@@ -1,0 +1,116 @@
+package graft
+
+import graft.flf.{FlfFormat, FlfParse}
+import graft.mock.Mocker
+import graft.schema.FixedSchema
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Output targets (reference: crates/evolution-target/src/target.rs:31-37).
+  * Delta/Iceberg are declared-but-unimplemented in the reference
+  * (examples/delta/src/main.rs:28-30 `todo!()`); here they are real
+  * `df.write.format(...)` calls that fail with a clear message when the
+  * connector jars are absent — strictly more than reference parity.
+  */
+sealed abstract class Target(val format: String)
+object Target {
+  case object Parquet extends Target("parquet")
+  case object Delta extends Target("delta")
+  case object Iceberg extends Target("iceberg")
+  case object Ipc extends Target("ipc")
+  case object Flf extends Target("text")
+  def fromString(s: String): Target = s.toLowerCase match {
+    case "parquet" => Parquet
+    case "delta"   => Delta
+    case "iceberg" => Iceberg
+    case "ipc"     => Ipc
+    case "flf"     => Flf
+    case other     => throw new IllegalArgumentException(s"unknown target '$other'")
+  }
+}
+
+/** Library façade + CLI — the engine's public API (SURVEY.md §2.8).
+  * `convert` and `mock` mirror the reference CLI subcommands
+  * (reference: examples/full/src/cli.rs:100-188).
+  */
+object Evolution {
+
+  /** Pure core: (lines, schema) → typed DataFrame (composition contract of
+    * EP3, SURVEY.md §3 — usable without the CLI).
+    */
+  def parse(lines: DataFrame, schema: FixedSchema): DataFrame =
+    FlfParse.parse(lines, schema)
+
+  /** `evolution convert`: fixed-length file → columnar target. The plan is
+    * scan text → project(substring/trim/cast × N) → write: narrow,
+    * shuffle-free, whole-stage-codegen'd (SURVEY.md §4).
+    */
+  def convert(spark: SparkSession, input: String, schemaPath: String,
+              output: String, target: Target = Target.Parquet,
+              coalesce1: Boolean = false): Unit = {
+    val schema = FixedSchema.fromPath(schemaPath)
+    val df = FlfParse.read(spark, input, schema)
+    target match {
+      case Target.Flf => FlfFormat.write(df, schema, output, coalesce1)
+      case Target.Ipc =>
+        throw new UnsupportedOperationException(
+          "Arrow IPC sink is not available in this Spark distribution")
+      case t =>
+        val d = if (coalesce1) df.coalesce(1) else df
+        try d.write.format(t.format).save(output)
+        catch {
+          case e: Exception if e.getMessage != null &&
+              (e.getMessage.contains("Failed to find") ||
+               e.getMessage.contains("DATA_SOURCE_NOT_FOUND")) =>
+            throw new UnsupportedOperationException(
+              s"${t.format} connector jars are not on the classpath: ${e.getMessage}")
+        }
+    }
+  }
+
+  /** `evolution mock`: schema-driven random fixed-length file. */
+  def mock(spark: SparkSession, schemaPath: String, output: String,
+           nRows: Long = 100000L, seed: Long = 42L, coalesce1: Boolean = false): Unit =
+    Mocker.mockToFlf(spark, FixedSchema.fromPath(schemaPath), nRows, seed, output, coalesce1)
+
+  def session(appName: String = "evolutionspark"): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  /** CLI: `convert -i <flf> -s <schema.json> -o <out> [-t parquet]` |
+    * `mock -s <schema.json> -o <out> [-n rows] [--seed s]`
+    * (flag surface per reference cli.rs:100-188; thread/buffer knobs are
+    * Spark's own parallelism and need no flags).
+    */
+  def main(args: Array[String]): Unit = {
+    def opt(flag: String): Option[String] =
+      args.sliding(2).collectFirst { case Array(`flag`, v) => v }
+    val spark = session()
+    try args.headOption match {
+      case Some("convert") =>
+        convert(spark,
+          opt("-i").getOrElse(sys.error("convert requires -i <input.flf>")),
+          opt("-s").getOrElse(sys.error("convert requires -s <schema.json>")),
+          opt("-o").getOrElse(sys.error("convert requires -o <output>")),
+          Target.fromString(opt("-t").getOrElse("parquet")),
+          coalesce1 = args.contains("--single-file"))
+      case Some("mock") =>
+        mock(spark,
+          opt("-s").getOrElse(sys.error("mock requires -s <schema.json>")),
+          opt("-o").getOrElse(sys.error("mock requires -o <output>")),
+          nRows = opt("-n").map(_.toLong).getOrElse(100000L),
+          seed = opt("--seed").map(_.toLong).getOrElse(42L),
+          coalesce1 = args.contains("--single-file"))
+      case _ =>
+        System.err.println("usage: evolution (convert|mock) [options]")
+        sys.exit(2)
+    } finally spark.stop()
+  }
+}

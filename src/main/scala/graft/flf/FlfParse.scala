@@ -1,0 +1,81 @@
+package graft.flf
+
+import graft.schema._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** The convert read path: fixed-length text lines → typed DataFrame.
+  *
+  * Spark-first re-expression of the reference's extract → trim → cast
+  * pipeline (reference: crates/evolution-builder/src/builder.rs:54-64,
+  * crates/evolution-parser/src/datatype.rs:37-178). The whole plan is a
+  * single narrow `select` over `spark.read.text` — no shuffle, fully
+  * whole-stage-codegen'd; Hadoop's LineRecordReader provides the
+  * newline-aligned chunk splitting the reference hand-rolls
+  * (crates/evolution-slicer/src/slicer.rs:159-266).
+  */
+object FlfParse {
+
+  /** Read a fixed-length file into a typed DataFrame. */
+  def read(spark: SparkSession, path: String, schema: FixedSchema): DataFrame =
+    parse(spark.read.text(path), schema)
+
+  /** Parse a DataFrame of lines (column `value: string`) per the schema.
+    * One expression per column: char-offset substring (rune semantics match
+    * Spark's character-based substring, SURVEY.md §1.4) → alignment-aware
+    * pad trim → strict typed cast with the reference's null policy.
+    */
+  def parse(lines: DataFrame, schema: FixedSchema): DataFrame =
+    lines.select(schema.columns.map(c => parseColumn(col("value"), c)): _*)
+
+  /** The per-column parse expression, composable into any plan. */
+  def parseColumn(line: Column, c: FixedColumn): Column = {
+    val raw = substring(line, c.offset + 1, c.length)
+    val trimmed = trimPad(raw, c)
+    val parsed = castStrict(trimmed, c.dtype)
+    // Null policy (reference: builder/datatype.rs:66-86 + column.rs:123-131):
+    // parse failure on a nullable column → NULL; on a non-nullable column
+    // the first bad row aborts the whole job (N2 strict abort).
+    val checked =
+      if (c.isNullable) parsed
+      else
+        when(parsed.isNull,
+          raise_error(concat(
+            lit(s"strict-mode abort: non-nullable column '${c.name}' failed to parse value '"),
+            trimmed, lit("'"))))
+          .otherwise(parsed)
+    checked.as(c.name)
+  }
+
+  /** Strip the pad symbol according to alignment (reference:
+    * crates/evolution-parser/src/trimmer.rs:88-94): Left-aligned values are
+    * padded on the right → rtrim; Right-aligned → ltrim; Center → both.
+    */
+  def trimPad(raw: Column, c: FixedColumn): Column = {
+    val pad = c.padSymbol.toString
+    c.alignment match {
+      case Alignment.Left   => rtrim(raw, pad)
+      case Alignment.Right  => ltrim(raw, pad)
+      case Alignment.Center => trim(raw, pad)
+    }
+  }
+
+  /** Typed cast with the reference's parse grammar:
+    *  - Boolean accepts exactly "true"/"false" (Rust `str::parse::<bool>`,
+    *    reference: parser/datatype.rs:37-70) — stricter than Spark's cast,
+    *    so expressed as an explicit `when` chain.
+    *  - Numerics: `try_cast` returns NULL on garbage/overflow, the same
+    *    observable semantics as the reference's `None`
+    *    (parser/datatype.rs:115-142; SURVEY.md §2.3 C2/C3) — and is
+    *    independent of the session's `spark.sql.ansi.enabled` setting
+    *    (ANSI is on by default in Spark 4, where a plain cast would throw).
+    *  - Utf8 never fails (parser/datatype.rs:145-178).
+    */
+  def castStrict(trimmed: Column, t: FlfType): Column = t match {
+    case FlfType.BooleanT =>
+      when(trimmed === "true", lit(true))
+        .when(trimmed === "false", lit(false))
+        .otherwise(lit(null).cast("boolean"))
+    case other => trimmed.try_cast(other.sparkType)
+  }
+}

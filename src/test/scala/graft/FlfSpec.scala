@@ -1,0 +1,200 @@
+package graft
+
+import graft.flf.{FlfFormat, FlfParse}
+import graft.mock.Mocker
+import graft.schema._
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+class SchemaSpec extends AnyFunSuite {
+
+  // Fixture A — reference examples/full/res/example_schema.json (FIXTURES.md §2)
+  val exampleJson: String =
+    """{
+      |  "name": "EvolutionExampleSchema",
+      |  "version": 1337,
+      |  "columns": [
+      |    {"name": "cool",     "offset": 0,  "length": 9,  "dtype": "Int32",   "alignment": "Right",  "pad_symbol": "Underscore", "is_nullable": false},
+      |    {"name": "salary",   "offset": 9,  "length": 20, "dtype": "Float16", "alignment": "Left",   "pad_symbol": "Asterisk",   "is_nullable": false},
+      |    {"name": "name",     "offset": 29, "length": 30, "dtype": "Utf8",    "alignment": "Center", "pad_symbol": "Semicolon",  "is_nullable": true},
+      |    {"name": "employed", "offset": 59, "length": 8,  "dtype": "Boolean", "alignment": "Center", "pad_symbol": "Zero",       "is_nullable": true}
+      |  ]
+      |}""".stripMargin
+
+  test("schema round-trips from JSON with defaults and enums") {
+    val s = FixedSchema.fromJson(exampleJson)
+    assert(s.name == "EvolutionExampleSchema" && s.version == 1337L)
+    assert(s.rowLength == 67)
+    assert(s.columns.map(_.padSymbol) == Seq('_', '*', ';', '0'))
+    assert(s.columns(1).dtype == FlfType.Float16T)
+    assert(s.toStructType.fields.map(_.nullable).toSeq == Seq(false, false, true, true))
+    // Float16 widens to FloatType; Boolean maps to BooleanType
+    assert(s.toStructType("salary").dataType.typeName == "float")
+    assert(s.toStructType("employed").dataType.typeName == "boolean")
+  }
+
+  test("defaults: alignment Right, pad Whitespace when omitted") {
+    val s = FixedSchema.fromJson(
+      """{"name":"d","version":1,"columns":[{"name":"x","offset":0,"length":4,"dtype":"Int32","is_nullable":true}]}""")
+    assert(s.columns.head.alignment == Alignment.Right)
+    assert(s.columns.head.padSymbol == ' ')
+  }
+
+  test("malformed JSON (trailing comma) fails like serde") {
+    val bad = """{"name":"x","version":1,"columns":[{"name":"a","offset":0,"length":1,"dtype":"Utf8","is_nullable":true},]}"""
+    assertThrows[SchemaError](FixedSchema.fromJson(bad))
+  }
+
+  test("invalid dtype / alignment / pad symbol / empty columns fail") {
+    assertThrows[SchemaError](FixedSchema.fromJson(
+      """{"name":"x","version":1,"columns":[{"name":"a","offset":0,"length":1,"dtype":"Decimal","is_nullable":true}]}"""))
+    assertThrows[SchemaError](FixedSchema.fromJson(
+      """{"name":"x","version":1,"columns":[{"name":"a","offset":0,"length":1,"dtype":"Utf8","alignment":"Middle","is_nullable":true}]}"""))
+    assertThrows[SchemaError](FixedSchema.fromJson(
+      """{"name":"x","version":1,"columns":[{"name":"a","offset":0,"length":1,"dtype":"Utf8","pad_symbol":"Tilde","is_nullable":true}]}"""))
+    assertThrows[SchemaError](FixedSchema.fromJson("""{"name":"x","version":1,"columns":[]}"""))
+    assertThrows[SchemaError](FixedSchema.fromJson("""{"version":1,"columns":[]}"""))
+  }
+
+  test("all 21 pad symbols resolve") {
+    assert(PadSymbol.table.size == 21)
+    assert(PadSymbol.table.values.toSet.size == 21)
+  }
+}
+
+class FlfParseSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  val schemaA: FixedSchema = FixedSchema.fromJson(new SchemaSpec().exampleJson)
+
+  test("fixture A example row parses to expected values") {
+    // 67-char row from FIXTURES.md §2
+    val row = "_____1234-42.5***************;;;;;;;;;;;;Alice;;;;;;;;;;;;;000true0"
+    assert(row.length == 67)
+    val got = FlfParse.parse(Seq(row).toDF("value"), schemaA).collect().head
+    assert(got.getInt(0) == 1234)
+    assert(got.getFloat(1) == -42.5f)
+    assert(got.getString(2) == "Alice")
+    assert(got.getBoolean(3) == true)
+  }
+
+  test("nullable garbage -> NULL, job continues (N1)") {
+    val row = "_____1234-42.5***************;;;;;;;;;;;;Alice;;;;;;;;;;;;;0banana0"
+    val got = FlfParse.parse(Seq(row).toDF("value"), schemaA).collect().head
+    assert(got.isNullAt(3))
+  }
+
+  test("non-nullable garbage aborts the job (N2 strict abort)") {
+    val row = "____12ab_-42.5***************;;;;;;;;;;;;Alice;;;;;;;;;;;;;000true0"
+    val ex = intercept[Exception] {
+      FlfParse.parse(Seq(row).toDF("value"), schemaA).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("strict-mode abort")))
+  }
+
+  test("boolean grammar is strict: only 'true'/'false' (C1)") {
+    // Spark's loose cast would accept 't'/'1'; the reference does not.
+    val rows = Seq("t", "1", "TRUE", "true", "false").map(v =>
+      f"$v%-8s".replace(' ', '0'))
+    val schema = FixedSchema(name = "b", version = 1, columns = Seq(
+      FixedColumn("b", 0, 8, FlfType.BooleanT, Alignment.Left, '0', isNullable = true)))
+    val got = FlfParse.parse(rows.toDF("value"), schema).collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getBoolean(0)))
+    assert(got.toSeq == Seq(None, None, None, Some(true), Some(false)))
+  }
+
+  test("multi-byte UTF-8: offsets count characters, not bytes") {
+    // 'Åsa' and '日本' occupy 3 and 2 character cells regardless of bytes
+    val schema = FixedSchema(name = "u", version = 1, columns = Seq(
+      FixedColumn("a", 0, 6, FlfType.Utf8T, Alignment.Left, '*', isNullable = true),
+      FixedColumn("n", 6, 4, FlfType.Int32T, Alignment.Right, '0', isNullable = false)))
+    val got = FlfParse.parse(Seq("Åsa日本*0042").toDF("value"), schema).collect().head
+    assert(got.getString(0) == "Åsa日本")
+    assert(got.getInt(1) == 42)
+  }
+
+  test("int overflow -> NULL on nullable (C3 overflow => None)") {
+    val schema = FixedSchema(name = "o", version = 1, columns = Seq(
+      FixedColumn("i", 0, 12, FlfType.Int16T, Alignment.Right, ' ', isNullable = true)))
+    val got = FlfParse.parse(Seq("       99999").toDF("value"), schema).collect().head
+    assert(got.isNullAt(0))
+  }
+
+  test("center alignment trims both sides; digits as pad symbols work") {
+    val schema = FixedSchema(name = "c", version = 1, columns = Seq(
+      FixedColumn("v", 0, 11, FlfType.Int32T, Alignment.Center, '9', isNullable = true)))
+    val got = FlfParse.parse(Seq("99991234999").toDF("value"), schema).collect().head
+    assert(got.getInt(0) == 1234)
+  }
+}
+
+class FlfFormatSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  test("center padding splits floor-left / ceil-right like the reference padder") {
+    val schema = FixedSchema(name = "c", version = 1, columns = Seq(
+      FixedColumn("name", 0, 30, FlfType.Utf8T, Alignment.Center, ';', isNullable = true)))
+    val line = FlfFormat.format(Seq("Alice").toDF("name"), schema).as[String].collect().head
+    assert(line == ";" * 12 + "Alice" + ";" * 13) // FIXTURES.md §2 expected cell
+  }
+
+  test("round-trip: parse(format(df)) == df for schema-conforming data") {
+    val schema = FixedSchema(name = "rt", version = 1, columns = Seq(
+      FixedColumn("id", 0, 10, FlfType.Int64T, Alignment.Right, '0', isNullable = false),
+      FixedColumn("word", 10, 12, FlfType.Utf8T, Alignment.Left, '*', isNullable = true),
+      FixedColumn("flag", 22, 6, FlfType.BooleanT, Alignment.Center, '-', isNullable = true),
+      FixedColumn("score", 28, 14, FlfType.Float64T, Alignment.Right, ' ', isNullable = true)))
+    val df = Seq(
+      (1L, "alpha", true, 1.5),
+      (-42L, "beta", false, -0.25),
+      (999999999L, "gamma", true, 1024.0)).toDF("id", "word", "flag", "score")
+    val back = FlfParse.parse(FlfFormat.format(df, schema), schema)
+    val a = df.orderBy("id").collect().toSeq
+    val b = back.orderBy("id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("mocked data round-trips through flf for every dtype (EP2 + EP1)") {
+    val schema = FixedSchema(name = "mock", version = 1, columns = Seq(
+      FixedColumn("b", 0, 6, FlfType.BooleanT, Alignment.Left, ' ', isNullable = true),
+      FixedColumn("f32", 6, 18, FlfType.Float32T, Alignment.Right, ' ', isNullable = true),
+      FixedColumn("f64", 24, 26, FlfType.Float64T, Alignment.Right, ' ', isNullable = true),
+      FixedColumn("i16", 50, 7, FlfType.Int16T, Alignment.Right, ' ', isNullable = true),
+      FixedColumn("i32", 57, 12, FlfType.Int32T, Alignment.Right, ' ', isNullable = true),
+      FixedColumn("i64", 69, 14, FlfType.Int64T, Alignment.Right, ' ', isNullable = true),
+      FixedColumn("s", 83, 16, FlfType.Utf8T, Alignment.Left, ' ', isNullable = true)))
+    val df = Mocker.mock(spark, schema, 500, seed = 7, numPartitions = 4).cache()
+    val back = FlfParse.parse(FlfFormat.format(df, schema), schema)
+    assert(df.count() == 500)
+    val a = df.collect().map(_.toSeq).toSet
+    val b = back.collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("mocker ranges respect the reference distributions") {
+    val schema = FixedSchema(name = "r", version = 1, columns = Seq(
+      FixedColumn("f16", 0, 12, FlfType.Float16T, Alignment.Right, ' ', isNullable = true),
+      FixedColumn("i16", 12, 7, FlfType.Int16T, Alignment.Right, ' ', isNullable = true),
+      FixedColumn("s", 19, 16, FlfType.Utf8T, Alignment.Left, ' ', isNullable = true)))
+    val rows = Mocker.mock(spark, schema, 2000, seed = 11).collect()
+    assert(rows.forall(r => math.abs(r.getFloat(0)) <= 256f))
+    assert(rows.forall(r => math.abs(r.getShort(1).toInt) <= 10000))
+    assert(rows.forall(r => r.getString(2).nonEmpty))
+    // seeded => deterministic
+    val again = Mocker.mock(spark, schema, 2000, seed = 11).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+}
