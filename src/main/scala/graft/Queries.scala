@@ -1,0 +1,718 @@
+package graft
+
+import graft.flf.FlfParse
+import graft.mock.Mocker
+import graft.ops._
+import graft.schema._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import scala.collection.mutable
+
+/** The engine's declared query surface: one entry per operator from
+  * SURVEY.md §2 (flf kernel family) plus the general relational surface
+  * (§2.7) and the LLM-data-pipeline extensions (§7.5). Each SQL-expressible
+  * query carries an equivalent DuckDB oracle; float discipline throughout:
+  * reductions run over exact decimals (cast to double at the end), ratios
+  * are single deterministic IEEE divisions, and every query is fully
+  * ordered with unique tie-breakers.
+  */
+object Queries {
+
+  private val reg =
+    mutable.LinkedHashMap[String, ((SparkSession, String) => DataFrame, Option[String])]()
+
+  private def q(name: String, oracleSql: String)(fn: (SparkSession, String) => DataFrame): Unit =
+    reg(name) = (fn, Some(oracleSql))
+  private def qRowsOnly(name: String)(fn: (SparkSession, String) => DataFrame): Unit =
+    reg(name) = (fn, None)
+
+  def all: Map[String, (SparkSession, String) => DataFrame] =
+    reg.view.mapValues(_._1).toMap
+  def oracle: Map[String, String] =
+    reg.collect { case (n, (_, Some(sql))) => n -> sql }.toMap
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Normalize the events timestamp to TIMESTAMP_NTZ microseconds however
+    * Spark surfaced the parquet ns column (NTZ / LTZ / legacy long).
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    // Spark rejects parquet TIMESTAMP(NANOS) outright without this.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = tbl(s, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType => // legacy nanos-as-long: integer-divide to micros
+        df.withColumn("ts",
+          timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+      case TimestampType => df.withColumn("ts", col("ts").cast(TimestampNTZType))
+      case _             => df
+    }
+  }
+
+  private def dec(c: Column, p: Int, s: Int): Column = c.cast(DecimalType(p, s))
+  /** price * (1 - discount) as exact decimal (scale-pinned on both engines). */
+  private def discPrice(price: Column, disc: Column): Column =
+    dec(price, 12, 2) * dec(lit(1) - dec(disc, 4, 2), 4, 2)
+  private val discPriceSql =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))"
+
+  // ===========================================================================
+  // flf kernel family — SURVEY.md §2.1–2.6 expressed as DuckDB-checkable
+  // queries: W2/G2 (format), P1–P4 + C1–C4 + N1 (parse), round-trip.
+  // ===========================================================================
+
+  /** The fixed-width layout used by the flf queries (over lineitem). */
+  private val flfCols = Seq(
+    FixedColumn("l_orderkey", 0, 12, FlfType.Int64T, Alignment.Right, '0', isNullable = true),
+    FixedColumn("l_linenumber", 12, 4, FlfType.Int32T, Alignment.Right, ' ', isNullable = true),
+    FixedColumn("l_returnflag", 16, 2, FlfType.Utf8T, Alignment.Left, '_', isNullable = true),
+    FixedColumn("l_linestatus", 18, 2, FlfType.Utf8T, Alignment.Left, '_', isNullable = true),
+    FixedColumn("l_quantity", 20, 6, FlfType.Int32T, Alignment.Right, ' ', isNullable = true),
+    FixedColumn("l_extendedprice", 26, 14, FlfType.Float64T, Alignment.Right, ' ', isNullable = true),
+    FixedColumn("l_discount", 40, 6, FlfType.Float64T, Alignment.Left, '*', isNullable = true),
+    FixedColumn("l_returned", 46, 8, FlfType.BooleanT, Alignment.Left, '0', isNullable = true))
+
+  private def flfLine(): Column = concat(
+    lpad(col("l_orderkey").cast("string"), 12, "0"),
+    lpad(col("l_linenumber").cast("string"), 4, " "),
+    rpad(col("l_returnflag"), 2, "_"),
+    rpad(col("l_linestatus"), 2, "_"),
+    lpad(col("l_quantity").cast("int").cast("string"), 6, " "),
+    lpad(dec(col("l_extendedprice"), 12, 2).cast("string"), 14, " "),
+    rpad(dec(col("l_discount"), 4, 2).cast("string"), 6, "*"),
+    rpad(when(col("l_returnflag") === "R", "true").otherwise("false"), 8, "0"))
+
+  private val flfLineSql =
+    """lpad(CAST(l_orderkey AS VARCHAR), 12, '0') ||
+      |lpad(CAST(l_linenumber AS VARCHAR), 4, ' ') ||
+      |rpad(l_returnflag, 2, '_') ||
+      |rpad(l_linestatus, 2, '_') ||
+      |lpad(CAST(CAST(l_quantity AS INT) AS VARCHAR), 6, ' ') ||
+      |lpad(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR), 14, ' ') ||
+      |rpad(CAST(CAST(l_discount AS DECIMAL(4,2)) AS VARCHAR), 6, '*') ||
+      |rpad(CASE WHEN l_returnflag = 'R' THEN 'true' ELSE 'false' END, 8, '0')"""
+      .stripMargin.replace("\n", " ")
+
+  q("flf_format",
+    s"""SELECT l_orderkey, l_linenumber, $flfLineSql AS line
+       |FROM lineitem ORDER BY l_orderkey, l_linenumber"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    tbl(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), flfLine().as("line"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  q("flf_parse",
+    """WITH lines AS (SELECT """ + flfLineSql + """ AS line FROM lineitem)
+      |SELECT TRY_CAST(trim(LEADING '0' FROM substring(line, 1, 12)) AS BIGINT) AS l_orderkey,
+      |  TRY_CAST(trim(LEADING ' ' FROM substring(line, 13, 4)) AS INT) AS l_linenumber,
+      |  trim(TRAILING '_' FROM substring(line, 17, 2)) AS l_returnflag,
+      |  trim(TRAILING '_' FROM substring(line, 19, 2)) AS l_linestatus,
+      |  TRY_CAST(trim(LEADING ' ' FROM substring(line, 21, 6)) AS INT) AS l_quantity,
+      |  TRY_CAST(trim(LEADING ' ' FROM substring(line, 27, 14)) AS DOUBLE) AS l_extendedprice,
+      |  TRY_CAST(trim(TRAILING '*' FROM substring(line, 41, 6)) AS DOUBLE) AS l_discount,
+      |  CASE trim(TRAILING '0' FROM substring(line, 47, 8))
+      |    WHEN 'true' THEN true WHEN 'false' THEN false END AS l_returned
+      |FROM lines ORDER BY l_orderkey, l_linenumber"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val lines = tbl(s, dir, "lineitem").select(flfLine().as("value"))
+    lines.select(flfCols.map(c => FlfParse.parseColumn(col("value"), c)): _*)
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  q("flf_roundtrip",
+    """WITH lines AS (SELECT l_orderkey, l_quantity, l_returnflag, """ + flfLineSql +
+      """ AS line FROM lineitem)
+      |SELECT COUNT(*) AS n_total,
+      |  CAST(SUM(CASE WHEN TRY_CAST(trim(LEADING '0' FROM substring(line, 1, 12)) AS BIGINT) = l_orderkey
+      |    AND TRY_CAST(trim(LEADING ' ' FROM substring(line, 21, 6)) AS INT) = CAST(l_quantity AS INT)
+      |    AND trim(TRAILING '_' FROM substring(line, 17, 2)) = l_returnflag
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+      |FROM lines"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val li = tbl(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"), flfLine().as("value"))
+    val parsed = li.select(col("l_orderkey").as("orig_key"),
+      col("l_quantity").as("orig_qty"), col("l_returnflag").as("orig_flag"),
+      FlfParse.parseColumn(col("value"), flfCols(0)),
+      FlfParse.parseColumn(col("value"), flfCols(4)),
+      FlfParse.parseColumn(col("value"), flfCols(2)))
+    parsed.agg(
+      count(lit(1)).as("n_total"),
+      sum(when(col("l_orderkey") === col("orig_key") &&
+        col("l_quantity") === col("orig_qty").cast("int") &&
+        col("l_returnflag") === col("orig_flag"), 1L).otherwise(0L)).as("n_match"))
+  }
+
+  q("flf_cast_policy",
+    """SELECT CAST(SUM(CASE WHEN b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bool_null,
+      |  CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+      |  CAST(SUM(CASE WHEN i IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_int_null,
+      |  CAST(SUM(i) AS BIGINT) AS sum_i
+      |FROM (SELECT
+      |  CASE trim(TRAILING '#' FROM CASE l_returnflag WHEN 'R' THEN 'true####'
+      |    WHEN 'A' THEN 'false###' ELSE 'TRUE####' END)
+      |    WHEN 'true' THEN true WHEN 'false' THEN false END AS b,
+      |  TRY_CAST(trim(LEADING '0' FROM CASE WHEN l_linenumber > 4 THEN 'garbage'
+      |    ELSE lpad(CAST(l_linenumber AS VARCHAR), 7, '0') END) AS INT) AS i
+      |FROM lineitem)"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val li = tbl(s, dir, "lineitem")
+    val boolRaw = when(col("l_returnflag") === "R", "true####")
+      .when(col("l_returnflag") === "A", "false###").otherwise("TRUE####")
+    val intRaw = when(col("l_linenumber") > 4, lit("garbage"))
+      .otherwise(lpad(col("l_linenumber").cast("string"), 7, "0"))
+    val b = FlfParse.castStrict(rtrim(boolRaw, "#"), FlfType.BooleanT)
+    val i = FlfParse.castStrict(ltrim(intRaw, "0"), FlfType.Int32T)
+    li.select(b.as("b"), i.as("i")).agg(
+      sum(when(col("b").isNull, 1L).otherwise(0L)).as("n_bool_null"),
+      sum(when(col("b") === true, 1L).otherwise(0L)).as("n_true"),
+      sum(when(col("i").isNull, 1L).otherwise(0L)).as("n_int_null"),
+      sum(col("i").cast("long")).as("sum_i"))
+  }
+
+  // ===========================================================================
+  // General relational surface — SURVEY.md §2.7 (joins, aggs, windows,
+  // sorts, set ops, scalar functions, grouping sets).
+  // ===========================================================================
+
+  q("q1_agg",
+    s"""SELECT l_returnflag, l_linestatus,
+       |  SUM(l_quantity) AS sum_qty,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base,
+       |  CAST(SUM($discPriceSql) AS DOUBLE) AS sum_disc_price,
+       |  CAST(SUM($discPriceSql * CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
+       |  SUM(l_quantity) / COUNT(*) AS avg_qty,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       |  COUNT(*) AS n
+       |FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+       |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val li = tbl(s, dir, "lineitem")
+      .filter(to_date(col("l_shipdate")) <= lit("1998-09-02").cast("date"))
+    val dp = discPrice(col("l_extendedprice"), col("l_discount"))
+    li.groupBy("l_returnflag", "l_linestatus").agg(
+        sum("l_quantity").as("sum_qty"),
+        sum(dec(col("l_extendedprice"), 12, 2)).cast("double").as("sum_base"),
+        sum(dp).cast("double").as("sum_disc_price"),
+        sum(dp * dec(lit(1) + dec(col("l_tax"), 4, 2), 4, 2)).cast("double").as("sum_charge"),
+        (sum("l_quantity") / count(lit(1))).as("avg_qty"),
+        (sum(dec(col("l_extendedprice"), 12, 2)).cast("double") / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  q("q3_join_topk",
+    s"""SELECT l_orderkey, CAST(SUM($discPriceSql) AS DOUBLE) AS revenue,
+       |  o_orderdate
+       |FROM customer JOIN orders ON c_custkey = o_custkey
+       |  JOIN lineitem ON l_orderkey = o_orderkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND CAST(o_orderdate AS DATE) < DATE '1998-03-15'
+       |  AND CAST(l_shipdate AS DATE) > DATE '1998-03-15'
+       |GROUP BY l_orderkey, o_orderdate
+       |ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val c = tbl(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = tbl(s, dir, "orders")
+      .filter(to_date(col("o_orderdate")) < lit("1998-03-15").cast("date"))
+    val li = tbl(s, dir, "lineitem")
+      .filter(to_date(col("l_shipdate")) > lit("1998-03-15").cast("date"))
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(li, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+        .cast("double").as("revenue"))
+      .select("l_orderkey", "revenue", "o_orderdate")
+      .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
+  }
+
+  q("q5_join_broadcast",
+    s"""SELECT n_name, CAST(SUM($discPriceSql) AS DOUBLE) AS revenue
+       |FROM region JOIN nation ON n_regionkey = r_regionkey
+       |  JOIN supplier ON s_nationkey = n_nationkey
+       |  JOIN lineitem ON l_suppkey = s_suppkey
+       |  JOIN orders ON o_orderkey = l_orderkey
+       |  JOIN customer ON c_custkey = o_custkey AND c_nationkey = s_nationkey
+       |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+       |  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+       |GROUP BY n_name ORDER BY n_name"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    broadcast(tbl(s, dir, "region"))
+      .join(broadcast(tbl(s, dir, "nation")), col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(tbl(s, dir, "supplier")), col("s_nationkey") === col("n_nationkey"))
+      .join(tbl(s, dir, "lineitem"), col("l_suppkey") === col("s_suppkey"))
+      .join(tbl(s, dir, "orders").filter(
+        to_date(col("o_orderdate")) >= lit("1996-01-01").cast("date") &&
+          to_date(col("o_orderdate")) < lit("1997-01-01").cast("date")),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(tbl(s, dir, "customer"),
+        col("c_custkey") === col("o_custkey") && col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy("n_name")
+  }
+
+  q("q6_filter_pushdown",
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      |  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    tbl(s, dir, "lineitem")
+      .filter(to_date(col("l_shipdate")) >= lit("1996-01-01").cast("date") &&
+        to_date(col("l_shipdate")) < lit("1997-01-01").cast("date") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg((sum(dec(col("l_extendedprice"), 12, 2) * dec(col("l_discount"), 4, 2)))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  q("q_join_semi",
+    """SELECT c_nationkey, COUNT(*) AS n FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_nationkey ORDER BY c_nationkey"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    tbl(s, dir, "customer")
+      .join(tbl(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+      .orderBy("c_nationkey")
+  }
+
+  q("q_join_anti",
+    """SELECT c_mktsegment, COUNT(*) AS n FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    tbl(s, dir, "customer")
+      .join(tbl(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+  }
+
+  q("q_join_outer",
+    """SELECT n_name, COUNT(c_custkey) AS n_cust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+      |FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    tbl(s, dir, "nation")
+      .join(tbl(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"), "left")
+      .groupBy("n_name")
+      .agg(count(col("c_custkey")).as("n_cust"),
+        sum(dec(col("c_acctbal"), 12, 2)).cast("double").as("sum_bal"))
+      .orderBy("n_name")
+  }
+
+  q("q_window_rank",
+    """SELECT c_nationkey, c_custkey, c_acctbal, rn, rnk FROM (
+      |  SELECT c_nationkey, c_custkey, c_acctbal,
+      |    row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn,
+      |    rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rnk
+      |  FROM customer)
+      |WHERE rn <= 3 ORDER BY c_nationkey, rn"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal").desc, col("c_custkey"))
+    tbl(s, dir, "customer")
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+        row_number().over(w).as("rn"), rank().over(w).as("rnk"))
+      .filter(col("rn") <= 3)
+      .orderBy("c_nationkey", "rn")
+  }
+
+  q("q_window_running",
+    """SELECT user_id, event_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running,
+      |  lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event
+      |FROM events WHERE user_id < 20 ORDER BY user_id, event_id"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events(s, dir).filter(col("user_id") < 20)
+      .select(col("user_id"), col("event_id"),
+        sum(dec(col("value"), 18, 4))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running"),
+        lag("event_id", 1).over(w).as("prev_event"))
+      .orderBy("user_id", "event_id")
+  }
+
+  q("q_window_frame",
+    """SELECT user_id, event_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) / COUNT(*) OVER w AS mov_avg
+      |FROM events WHERE user_id < 10
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
+    events(s, dir).filter(col("user_id") < 10)
+      .select(col("user_id"), col("event_id"),
+        (sum(dec(col("value"), 18, 4)).over(w).cast("double") /
+          count(lit(1)).over(w)).as("mov_avg"))
+      .orderBy("user_id", "event_id")
+  }
+
+  q("q_topk_orders",
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    tbl(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(20)
+  }
+
+  q("q_sort_multi",
+    """SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus FROM lineitem
+      |ORDER BY l_returnflag, l_linestatus, l_orderkey, l_linenumber LIMIT 100"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    tbl(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
+      .orderBy("l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber").limit(100)
+  }
+
+  q("q_setops",
+    """SELECT op, nationkey FROM (
+      |  SELECT 'both' AS op, nationkey FROM
+      |    (SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+      |  UNION ALL
+      |  SELECT 'cust_only' AS op, nationkey FROM
+      |    (SELECT c_nationkey AS nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier)
+      |  UNION ALL
+      |  SELECT 'any' AS op, nationkey FROM
+      |    (SELECT c_nationkey AS nationkey FROM customer UNION SELECT s_nationkey FROM supplier)
+      |) ORDER BY op, nationkey"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val c = tbl(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+    val su = tbl(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+    c.intersect(su).withColumn("op", lit("both"))
+      .unionByName(c.except(su).withColumn("op", lit("cust_only")))
+      .unionByName(c.union(su).distinct().withColumn("op", lit("any")))
+      .select("op", "nationkey")
+      .orderBy("op", "nationkey")
+  }
+
+  q("q_agg_distinct",
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_suppkey) AS n_supps,
+      |  CAST(SUM(DISTINCT CAST(l_quantity AS INT)) AS BIGINT) AS sum_dq
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    tbl(s, dir, "lineitem").groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        sum_distinct(col("l_quantity").cast("int")).cast("long").as("sum_dq"))
+      .orderBy("l_returnflag")
+  }
+
+  q("q_rollup",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    tbl(s, dir, "lineitem").rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  q("q_cube",
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    tbl(s, dir, "orders").cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice"), 12, 2)).cast("double").as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+  }
+
+  q("q_string_funcs",
+    """SELECT p_partkey, upper(p_name) AS uname, length(p_name) AS len,
+      |  substring(p_name, 1, 5) AS pre, replace(p_name, ' ', '_') AS slug,
+      |  concat_ws('|', p_brand, p_type) AS bt,
+      |  CASE WHEN p_type LIKE '%ECO%' THEN 1 ELSE 0 END AS is_eco,
+      |  regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+      |  CAST(len(string_split(p_name, ' ')) AS INT) AS n_words
+      |FROM part ORDER BY p_partkey"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    tbl(s, dir, "part").select(
+        col("p_partkey"), upper(col("p_name")).as("uname"),
+        length(col("p_name")).as("len"), substring(col("p_name"), 1, 5).as("pre"),
+        regexp_replace(col("p_name"), " ", "_").as("slug"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("bt"),
+        when(col("p_type").like("%ECO%"), 1).otherwise(0).as("is_eco"),
+        regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+        size(split(col("p_name"), " ")).as("n_words"))
+      .orderBy("p_partkey")
+  }
+
+  q("q_date_funcs",
+    """SELECT CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m,
+      |  COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY 1, 2 ORDER BY 1, 2"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    tbl(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice"), 12, 2)).cast("double").as("total"))
+      .orderBy("y", "m")
+  }
+
+  q("q_case_buckets",
+    """SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+      |  WHEN o_totalprice < 150000 THEN 'mid' ELSE 'high' END AS bucket,
+      |  COUNT(*) AS n, MIN(o_orderkey) AS min_key
+      |FROM orders GROUP BY 1 ORDER BY bucket"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    tbl(s, dir, "orders")
+      .groupBy(when(col("o_totalprice") < 50000, "low")
+        .when(col("o_totalprice") < 150000, "mid").otherwise("high").as("bucket"))
+      .agg(count(lit(1)).as("n"), min("o_orderkey").as("min_key"))
+      .orderBy("bucket")
+  }
+
+  q("q_events_hourly",
+    """SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"), 18, 4)).cast("double").as("sum_value"))
+      .orderBy("h", "event_type")
+  }
+
+  q("q_json_props",
+    """SELECT event_type,
+      |  CAST(SUM(TRY_CAST(regexp_extract(props, '([0-9]+)', 1) AS INT)) AS BIGINT) AS sum_k,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    events(s, dir).groupBy("event_type")
+      .agg(sum(regexp_extract(col("props"), "([0-9]+)", 1).try_cast("int").cast("long"))
+        .as("sum_k"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
+  q("q_asof_join",
+    """SELECT event_id, user_id, o_orderkey, o_orderdate FROM (
+      |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+      |    row_number() OVER (PARTITION BY e.event_id
+      |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      |  FROM events e JOIN orders o
+      |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+      |WHERE rn = 1 ORDER BY event_id"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    AsOfJoin.asofBackward(events(s, dir), tbl(s, dir, "orders"),
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        tieCol = "o_orderkey", leftId = "event_id")
+      .select("event_id", "user_id", "o_orderkey", "o_orderdate")
+      .orderBy("event_id")
+  }
+
+  // ===========================================================================
+  // LLM-data-pipeline extensions — dedup, similarity search, text analysis
+  // (SURVEY.md §7.5; first-class per BASELINE.json north star).
+  // ===========================================================================
+
+  private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
+  /** DuckDB mirror of TextAnalysis.shingles(text, 3). */
+  private val shinglesSql =
+    s"list_distinct(list_transform(range(1, CASE WHEN len($toksSql) >= 3 THEN len($toksSql) - 1 ELSE 1 END, 1), " +
+      s"i -> concat_ws(' ', $toksSql[i], $toksSql[i+1], $toksSql[i+2])))"
+
+  q("dedup_exact",
+    """SELECT md5(text) AS digest, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY keep_id"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    Dedup.exact(tbl(s, dir, "documents"), "text", "doc_id").orderBy("keep_id")
+  }
+
+  q("dedup_ngram_jaccard",
+    s"""WITH sh AS (SELECT doc_id, lang, $shinglesSql AS s FROM documents)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  round(len(list_intersect(a.s, b.s))::DOUBLE /
+       |        len(list_distinct(list_concat(a.s, b.s))), 6) AS jac
+       |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |WHERE round(len(list_intersect(a.s, b.s))::DOUBLE /
+       |      len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.5
+       |ORDER BY a_id, b_id"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), "text", "doc_id", "lang",
+      shingleN = 3, threshold = 0.5).orderBy("a_id", "b_id")
+  }
+
+  private def minhashOracleSql(bands: Int, rows: Int): String = {
+    val k = bands * rows
+    val sigEntries = (0 until k)
+      .map(i => s"list_min(list_transform(s, t -> md5(t || '#$i')))").mkString(", ")
+    val bandSelects = (0 until bands).map { b =>
+      val parts = (1 to rows).map(r => s"sig[${b * rows + r}]").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($parts) AS digest FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH sh AS (SELECT doc_id, $shinglesSql AS s FROM documents),
+       |sig AS (SELECT doc_id, s, [$sigEntries] AS sig FROM sh),
+       |bands AS ($bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.digest = b.digest
+       |    AND a.doc_id < b.doc_id),
+       |pairs AS (SELECT a_id, b_id,
+       |  round(len(list_intersect(x.s, y.s))::DOUBLE /
+       |        len(list_distinct(list_concat(x.s, y.s))), 6) AS jac
+       |  FROM cand JOIN sh x ON x.doc_id = a_id JOIN sh y ON y.doc_id = b_id)
+       |SELECT a_id, b_id, jac FROM pairs WHERE jac >= 0.5 ORDER BY a_id, b_id"""
+      .stripMargin.replace("\n", " ")
+  }
+
+  q("dedup_minhash_lsh", minhashOracleSql(bands = 3, rows = 3)) { (s, dir) =>
+    Dedup.minhashLsh(tbl(s, dir, "documents"), "text", "doc_id",
+      shingleN = 3, bands = 3, rows = 3, threshold = 0.5).orderBy("a_id", "b_id")
+  }
+
+  private def simhashOracleSql(bits: Int): String = {
+    val votes = (0 until bits)
+      .map(j => s"SUM(CASE WHEN ((hv >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS v$j").mkString(", ")
+    val sigExpr = (0 until bits)
+      .map(j => s"(CASE WHEN v$j >= 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM t),
+       |v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
+       |s AS (SELECT doc_id, $sigExpr AS sig FROM v)
+       |SELECT sig, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+       |FROM s GROUP BY sig ORDER BY keep_id"""
+      .stripMargin.replace("\n", " ")
+  }
+
+  q("dedup_simhash", simhashOracleSql(60)) { (s, dir) =>
+    Dedup.simhashFamilies(tbl(s, dir, "documents"), "text", "doc_id")
+      .select("sig", "keep_id", "n_docs").orderBy("keep_id")
+  }
+
+  private def knnOracleSql(joinCond: String): String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label
+       |  FROM embeddings WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS n_id, embedding AS n_vec, label AS n_label FROM embeddings),
+       |s AS (SELECT q_id, n_id,
+       |  list_sum(list_transform(range(1, len(q_vec) + 1),
+       |    i -> CAST(q_vec[i] AS DOUBLE) * CAST(n_vec[i] AS DOUBLE))) /
+       |  (sqrt(list_sum(list_transform(range(1, len(q_vec) + 1),
+       |    i -> CAST(q_vec[i] AS DOUBLE) * CAST(q_vec[i] AS DOUBLE)))) *
+       |   sqrt(list_sum(list_transform(range(1, len(n_vec) + 1),
+       |    i -> CAST(n_vec[i] AS DOUBLE) * CAST(n_vec[i] AS DOUBLE))))) AS cosim
+       |  FROM q JOIN c ON $joinCond),
+       |r AS (SELECT q_id, n_id, round(cosim, 6) AS cosim,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY round(cosim, 6) DESC, n_id) AS rn
+       |  FROM s)
+       |SELECT q_id, n_id, cosim AS cos FROM r WHERE rn <= 5 ORDER BY q_id, n_id"""
+      .stripMargin.replace("\n", " ")
+
+  q("knn_cosine_brute", knnOracleSql("q_id != n_id")) { (s, dir) =>
+    val emb = tbl(s, dir, "embeddings")
+    Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 10), k = 5)
+      .orderBy("q_id", "n_id")
+  }
+
+  q("knn_cosine_ivf", knnOracleSql("q_label = n_label AND q_id != n_id")) { (s, dir) =>
+    val emb = tbl(s, dir, "embeddings")
+    Similarity.ivfKnn(emb, emb.filter(col("vec_id") < 10), k = 5, cellCol = "label")
+      .orderBy("q_id", "n_id")
+  }
+
+  q("text_stats",
+    s"""WITH w AS (SELECT doc_id, lang, source, n_chars, $toksSql AS w FROM documents)
+       |SELECT doc_id, lang, source, n_chars,
+       |  CAST(len(w) AS INT) AS n_tokens,
+       |  CAST(len(list_distinct(w)) AS INT) AS n_distinct,
+       |  round(len(list_distinct(w))::DOUBLE / len(w), 6) AS ttr,
+       |  round(CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE) / len(w), 6) AS mean_token_len,
+       |  CAST(list_sum(list_transform(w, t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS est_subword_tokens
+       |FROM w ORDER BY doc_id"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val st = TextAnalysis.stats(tbl(s, dir, "documents"), "text")
+    st.select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("n_tokens"), col("n_distinct"), round(col("ttr"), 6).as("ttr"),
+        round(col("mean_token_len"), 6).as("mean_token_len"), col("est_subword_tokens"))
+      .orderBy("doc_id")
+  }
+
+  q("text_quality",
+    s"""WITH w AS (SELECT doc_id, $toksSql AS w FROM documents)
+       |SELECT doc_id,
+       |  round((len(list_distinct(w))::DOUBLE / len(w)) * 0.4
+       |    + least(1.0, len(w) / 100.0) * 0.3
+       |    + (1 - len(list_filter(w, t -> t IN ('the', 'a')))::DOUBLE / len(w)) * 0.3,
+       |  6) AS quality
+       |FROM w ORDER BY doc_id"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    tbl(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  q("text_langid",
+    """SELECT lang, CASE
+      |  WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+      |  WHEN regexp_matches(text, '[\x{3040}-\x{30ff}]') THEN 'ja'
+      |  WHEN regexp_matches(text, '[\x{0400}-\x{04ff}]') THEN 'ru'
+      |  WHEN regexp_matches(text, '[¡¿ñ]') THEN 'es'
+      |  WHEN regexp_matches(text, '[äöüß]') THEN 'de'
+      |  WHEN regexp_matches(text, '[çàâêîôûœ]') THEN 'fr'
+      |  ELSE 'en' END AS predicted, COUNT(*) AS n
+      |FROM documents GROUP BY 1, 2 ORDER BY 1, 2"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    tbl(s, dir, "documents")
+      .groupBy(col("lang"), TextAnalysis.langId(col("text")).as("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+  }
+
+  q("text_fingerprint",
+    s"""SELECT md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp,
+       |  MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+       |FROM documents GROUP BY 1 ORDER BY keep_id"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    tbl(s, dir, "documents")
+      .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_docs"))
+      .orderBy("keep_id")
+  }
+
+  // ===========================================================================
+  // Rows-only queries (no SQL-expressible oracle): mocker, LSH-ANN,
+  // multimodal plumbing.
+  // ===========================================================================
+
+  qRowsOnly("mock_generate") { (s, _) =>
+    val schema = FixedSchema(name = "bench", version = 1, columns = Seq(
+      FixedColumn("id", 0, 10, FlfType.Int64T, Alignment.Right, '0', isNullable = false),
+      FixedColumn("name", 10, 16, FlfType.Utf8T, Alignment.Left, ' ', isNullable = true),
+      FixedColumn("score", 26, 14, FlfType.Float32T, Alignment.Right, ' ', isNullable = true),
+      FixedColumn("active", 40, 6, FlfType.BooleanT, Alignment.Left, ' ', isNullable = true)))
+    Mocker.mock(s, schema, 1000, seed = 42)
+  }
+
+  qRowsOnly("knn_cosine_lsh") { (s, dir) =>
+    val emb = tbl(s, dir, "embeddings")
+    Similarity.lshKnn(emb, emb.filter(col("vec_id") < 10), k = 5, dim = 64, planes = 4)
+      .orderBy("q_id", "n_id")
+  }
+
+  qRowsOnly("multimodal_features") { (s, dir) =>
+    val media = Multimodal.fabricate(tbl(s, dir, "documents"), "text", "image")
+    Multimodal.extractFeatures(media, "doc_id", dim = 16)
+      .select(col("id"), size(col("features")).as("n_dims"),
+        round(aggregate(col("features"), lit(0.0), (acc, x) => acc + x.cast("double")), 4)
+          .as("checksum"))
+      .orderBy("id")
+  }
+}

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Two paths:
+  *  - brute-force cosine top-k: exact; the query side is broadcast, so the
+  *    corpus is never shuffled — one scan, linear in corpus size.
+  *  - LSH-bucketed (random-hyperplane sign bits): the scale path — corpus
+  *    and queries shuffle on a small bucket key; only same-bucket pairs
+  *    are scored. Recall is tunable via the number of hyperplanes/probes.
+  *
+  * All dot products run in double precision with a sequential fold
+  * (deterministic, engine-reproducible).
+  */
+object Similarity {
+
+  /** Deterministic sequential-fold dot product of two float vectors. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * Queries are expected small (they are broadcast); the corpus side
+    * streams through one scan + a per-query-partition top-k window.
+    */
+  def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val scored = q.join(c, col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(cosine(col("q_vec"), col("n_vec")), 6).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+  }
+
+  /** Random-hyperplane LSH bucket id: `planes` sign bits packed into a
+    * long. Hyperplane p's component for dimension i is a deterministic
+    * pseudo-random value in [-1, 1) derived from md5(p, i) — reproducible
+    * everywhere, no RNG state.
+    */
+  def lshBucket(vec: Column, dim: Int, planes: Int = 8): Column = {
+    val bits = (0 until planes).map { p =>
+      val proj = (0 until dim).map { i =>
+        val h = conv(substring(md5(lit(s"plane$p#$i")), 1, 12), 16, 10).cast("double")
+        element_at(vec, i + 1).cast("double") * (h / lit(math.pow(16, 12) / 2.0) - 1.0)
+      }.reduce(_ + _)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Approximate top-k: score only pairs sharing an LSH bucket.
+    * One shuffle on the bucket key; within-bucket scoring is quadratic but
+    * bounded by bucket occupancy (2^planes buckets).
+    */
+  def lshKnn(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+             planes: Int = 8, idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      lshBucket(col(vecCol), dim, planes).as("bucket"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      lshBucket(col(vecCol), dim, planes).as("bucket"))
+    val scored = q.join(c, Seq("bucket")).filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(cosine(col("q_vec"), col("n_vec")), 6).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+  }
+
+  /** IVF-style coarse quantization using an existing label/centroid
+    * assignment column: restrict search to the query's cell (plus
+    * neighboring cells at higher recall settings).
+    */
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+             cellCol: String, idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      col(cellCol).as("cell"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      col(cellCol).as("cell"))
+    val scored = q.join(c, Seq("cell")).filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(cosine(col("q_vec"), col("n_vec")), 6).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+  }
+}

@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, shingling, quality scoring, language-ID heuristics,
+  * document fingerprinting. All pure narrow projections over built-in
+  * codegen'd functions — no UDFs, no shuffles; they scale linearly with
+  * input splits.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (the canonical token unit for the dedup and
+    * quality operators). Trim first so leading/trailing whitespace cannot
+    * produce empty tokens.
+    */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Word n-gram shingles (distinct), the dedup unit for MinHash/Jaccard.
+    * Returns an empty array for texts with fewer than n tokens (guarded
+    * explicitly: Spark's `sequence(1, 0)` would count *down*).
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val w = tokens(text)
+    val grams = transform(
+      sequence(lit(1), size(w) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*))
+    array_distinct(when(size(w) >= n, grams).otherwise(array()))
+  }
+
+  /** Per-document statistics: token count, distinct-token count, type-token
+    * ratio, mean token length, and a BPE-ish subword-unit estimate
+    * (ceil(len/4) pieces per token — the usual ~4-chars-per-token prior).
+    */
+  def stats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val w = tokens(col(textCol))
+    df.select(
+      df.columns.filter(_ != textCol).map(col) :+
+        size(w).as("n_tokens") :+
+        size(array_distinct(w)).as("n_distinct") :+
+        (size(array_distinct(w)).cast("double") / size(w)).as("ttr") :+
+        (aggregate(w, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(w))
+          .as("mean_token_len") :+
+        aggregate(w, lit(0L), (acc, t) => acc + ceil(length(t) / lit(4.0)).cast("long"))
+          .as("est_subword_tokens"): _*)
+  }
+
+  /** Heuristic quality score in [0,1]: lexical diversity, length prior,
+    * stopword-density prior. Deterministic double arithmetic (identical
+    * IEEE evaluation order on any engine).
+    */
+  def qualityScore(text: Column, stopwords: Seq[String] = Seq("the", "a")): Column = {
+    val w = tokens(text)
+    val ttr = size(array_distinct(w)).cast("double") / size(w)
+    val lengthPrior = least(lit(1.0), size(w).cast("double") / 100.0)
+    val stopRatio =
+      size(filter(w, t => stopwords.map(t === _).reduce(_ || _))).cast("double") / size(w)
+    round(ttr * 0.4 + lengthPrior * 0.3 + (lit(1.0) - stopRatio) * 0.3, 6)
+  }
+
+  /** Character-class language-ID heuristic: script detection (CJK,
+    * Cyrillic, kana) then diacritic profiles for Latin-alphabet languages,
+    * defaulting to English. A real n-gram profile model drops in behind the
+    * same Column signature.
+    */
+  def langId(text: Column): Column =
+    when(text.rlike("[\\u4e00-\\u9fff]"), "zh")
+      .when(text.rlike("[\\u3040-\\u30ff]"), "ja")
+      .when(text.rlike("[\\u0400-\\u04ff]"), "ru")
+      .when(text.rlike("[¡¿ñ]"), "es")
+      .when(text.rlike("[äöüß]"), "de")
+      .when(text.rlike("[çàâêîôûœ]"), "fr")
+      .otherwise("en")
+
+  /** Order-insensitive content fingerprint: md5 over the sorted distinct
+    * token set. Documents that are word-order permutations of each other
+    * collide — the cheap first-pass near-dup family key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Rolling-hash fingerprint over shingles (winnowing-style): the minimum
+    * md5 of the document's shingles — robust to local edits.
+    */
+  def minShingleFingerprint(text: Column, n: Int = 3): Column =
+    array_min(transform(shingles(text, n), s => md5(s)))
+}

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import graft.flf.FlfParse
+import graft.schema.FixedSchema
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupStateTimeout, GroupState, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+
+/** Structured Streaming surface (SURVEY.md §7.5 extension): the reference's
+  * bounded convert loop generalizes to an unbounded landing-directory
+  * ingest; the events table drives watermark/window/stateful examples.
+  */
+object Streams {
+
+  /** Streaming flf ingestion: watch a landing directory for fixed-length
+    * files and run the identical parse pipeline incrementally. The batch
+    * and streaming plans share FlfParse column-for-column.
+    */
+  def flfIngest(spark: SparkSession, landingDir: String, schema: FixedSchema): DataFrame =
+    FlfParse.parse(
+      spark.readStream.option("maxFilesPerTrigger", 16).text(landingDir), schema)
+
+  /** Sink half of the streaming convert: append parquet with checkpointing. */
+  def flfIngestToParquet(parsed: DataFrame, outDir: String,
+                         checkpointDir: String): DataStreamWriter[Row] =
+    parsed.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+
+  /** Tumbling-window event aggregation with late-data handling: watermarked
+    * event-time windows, append-mode emission once a window is final.
+    */
+  def windowedCounts(events: DataFrame, window_ : String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("h"), col("event_type"), col("n"), col("sum_value"))
+
+  final case class SessionState(nEvents: Long, lastTsMicros: Long)
+  final case class SessionOut(user_id: Long, n_events: Long, last_ts_micros: Long)
+
+  /** Stateful per-user sessionization via mapGroupsWithState: the custom-
+    * state extension point (the Spark analogue of "bring your own
+    * operator" — reference trait ColumnBuilder, builder.rs:39-42).
+    */
+  def sessionize(events: Dataset[(Long, Long)]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[SessionState]) =>
+          val prev = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
+          val (n, last) = rows.foldLeft((prev.nEvents, prev.lastTsMicros)) {
+            case ((c, m), (_, ts)) => (c + 1, math.max(m, ts))
+          }
+          state.update(SessionState(n, last))
+          SessionOut(user, n, last)
+      }
+  }
+}

@@ -1,0 +1,155 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  val docs = Seq(
+    (0L, "the cat sat on the mat and looked at the dog", "en"),
+    (1L, "the cat sat on the mat and looked at the dog", "en"), // exact dup of 0
+    (2L, "the cat sat on the mat and stared at the dog", "en"), // near dup of 0
+    (3L, "quantum flux capacitors energize the warp drive core", "en"),
+    (4L, "completely different words about gardening tulips roses", "en"))
+    .toDF("doc_id", "text", "lang")
+
+  test("exact dedup groups identical texts") {
+    val fam = Dedup.exact(docs, "text", "doc_id").collect()
+    assert(fam.length == 4)
+    val dupFam = fam.find(_.getLong(2) == 2L).get
+    assert(dupFam.getLong(1) == 0L) // keeper is min doc_id
+  }
+
+  test("minhash LSH finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minhashLsh(docs, "text", "doc_id", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // identical -> all bands collide
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(4L) })
+  }
+
+  test("blocked ngram jaccard scores near dups high") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", "lang", threshold = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((0L, 1L)) == 1.0)
+    assert(pairs.get((0L, 2L)).exists(j => j > 0.3 && j < 1.0))
+    assert(!pairs.contains((3L, 4L)))
+  }
+
+  test("simhash: identical texts share signatures; families keep min id") {
+    val fam = Dedup.simhashFamilies(docs, "text", "doc_id").collect()
+    val bySize = fam.map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(bySize(0L) >= 2) // docs 0 and 1 identical -> same signature
+  }
+
+  test("brute-force knn returns k nearest by cosine with self excluded") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0.9f, 0.1f, 0f)),
+      (2L, Array(0f, 1f, 0f)), (3L, Array(0f, 0.9f, 0.1f)),
+      (4L, Array(-1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val knn = Similarity.bruteForceKnn(vecs, vecs.filter($"vec_id" === 0), k = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(knn.map(_._1).toSeq == Seq(1L, 2L) || knn.map(_._1).head == 1L)
+    assert(knn.head._2 > 0.99)
+  }
+
+  test("lsh knn buckets agree for identical vectors") {
+    val vecs = Seq(
+      (0L, Array.fill(8)(0.5f)), (1L, Array.fill(8)(0.5f)),
+      (2L, Array.fill(8)(-0.5f))).toDF("vec_id", "embedding")
+    val knn = Similarity.lshKnn(vecs, vecs.filter($"vec_id" === 0), k = 1, dim = 8)
+      .collect()
+    assert(knn.length == 1 && knn.head.getLong(1) == 1L)
+  }
+
+  test("text stats + quality + fingerprint are deterministic and sane") {
+    val st = TextAnalysis.stats(docs.select("doc_id", "text"), "text")
+      .filter($"doc_id" === 0).collect().head
+    assert(st.getAs[Int]("n_tokens") == 11)
+    assert(st.getAs[Int]("n_distinct") == 9) // 'the' x3, rest unique
+    val q = docs.select(TextAnalysis.qualityScore($"text").as("q"))
+      .collect().map(_.getDouble(0))
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+    // fingerprint: word-order permutation collides, different words don't
+    val fp = Seq("b a c", "c b a", "x y z").toDF("text")
+      .select(TextAnalysis.fingerprint($"text")).collect().map(_.getString(0))
+    assert(fp(0) == fp(1) && fp(0) != fp(2))
+  }
+
+  test("langid detects scripts and diacritics") {
+    val got = Seq("hello world", "你好世界", "straße kaufen", "mañana señor")
+      .toDF("text").select(TextAnalysis.langId($"text")).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("en", "zh", "de", "es"))
+  }
+
+  test("asof join picks latest right row at or before left time") {
+    val left = Seq((1L, 100L, 10L), (2L, 100L, 25L)).toDF("event_id", "k", "t")
+    val right = Seq((100L, 5L, 500L), (100L, 20L, 501L), (100L, 30L, 502L))
+      .toDF("rk", "rt", "payload")
+    val got = AsOfJoin.asofBackward(left, right, "k", "rk", "t", "rt", "payload", "event_id")
+      .select("event_id", "payload").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 500L, 2L -> 501L))
+  }
+
+  test("multimodal: fabricate -> extractFeatures preserves rows and dims") {
+    val media = Multimodal.fabricate(docs, "text", "image")
+    assert(media.schema("payload").dataType.typeName == "binary")
+    val feats = Multimodal.extractFeatures(media, "doc_id", dim = 8).collect()
+    assert(feats.length == 5)
+    assert(feats.forall(_.getSeq[Float](1).length == 8))
+    // deterministic stub: same text -> same features
+    val f = feats.map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(f(0L) == f(1L))
+  }
+}
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  test("streaming flf ingest parses a landing directory incrementally") {
+    import graft.schema._
+    val schema = FixedSchema(name = "s", version = 1, columns = Seq(
+      FixedColumn("id", 0, 8, FlfType.Int64T, Alignment.Right, '0', isNullable = true),
+      FixedColumn("word", 8, 10, FlfType.Utf8T, Alignment.Left, ' ', isNullable = true)))
+    val dir = java.nio.file.Files.createTempDirectory("flfstream").toFile
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir.getPath, "a.flf"),
+      "00000001alpha     \n00000002beta      \n")
+    val q = graft.streaming.Streams.flfIngest(spark, dir.getPath, schema)
+      .writeStream.format("memory").queryName("flf_ingested").outputMode("append").start()
+    q.processAllAvailable()
+    // a second file lands; the same query picks it up incrementally
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir.getPath, "b.flf"), "00000003gamma     \n")
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("flf_ingested").orderBy("id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(got.map(_.getString(1)).toSeq == Seq("alpha", "beta", "gamma"))
+  }
+
+  test("watermarked windowed aggregation over a rate-bounded batch") {
+    val events = Seq(
+      ("2024-01-01 00:10:00", "click", 1.0),
+      ("2024-01-01 00:20:00", "click", 2.0),
+      ("2024-01-01 01:10:00", "view", 3.0))
+      .toDF("ts_s", "event_type", "value")
+      .select(to_timestamp($"ts_s").as("ts"), $"event_type", $"value")
+    // batch execution of the same streaming plan shape
+    val agg = graft.streaming.Streams.windowedCounts(events)
+      .orderBy("h", "event_type").collect()
+    assert(agg.length == 2)
+    assert(agg.head.getLong(2) == 2L) // two clicks in hour 0
+  }
+
+  test("stateful sessionize counts per key") {
+    val ds = Seq((7L, 10L), (7L, 20L), (8L, 5L)).toDS()
+    val out = graft.streaming.Streams.sessionize(ds).collect()
+      .map(o => o.user_id -> (o.n_events, o.last_ts_micros)).toMap
+    assert(out == Map(7L -> (2L, 20L), 8L -> (1L, 5L)))
+  }
+}

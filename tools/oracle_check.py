@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Local pre-check of SparkEntry oracle parity.
+
+Usage: oracle_check.py <sfDir> <verifyOutDir>
+
+Replicates the driver's t2 compare: for each query dir under
+<verifyOutDir>, read the Spark parquet result, run the corresponding
+oracle SQL from oracle_sql.json in DuckDB (tables = views over the
+sfDir parquet files), then compare with columns sorted by name and
+rows sorted by all columns. Floats compared to 9 significant digits.
+"""
+import json
+import math
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        vals = df[c]
+        if vals.dtype == object and len(vals) and isinstance(vals.iloc[0], bytes):
+            df[c] = vals.apply(lambda b: b.hex())
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def cell(v):
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "NULL"
+    if isinstance(v, float):
+        return f"{v:.9g}"
+    return str(v)
+
+
+def table_hash(df: pd.DataFrame):
+    return [tuple(cell(v) for v in row) for row in df.itertuples(index=False)]
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    import os
+    for name in sorted(os.listdir(out_dir)):
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            continue
+        spark_df = pd.concat(
+            [pd.read_parquet(f"{out_dir}/{name}/{f}")
+             for f in os.listdir(f"{out_dir}/{name}") if f.endswith(".parquet")],
+            ignore_index=True)
+        if name not in oracle:
+            status = "ROWS-ONLY" if len(spark_df) > 0 else "ROWS-ONLY-EMPTY!"
+            print(f"{status:18} {name} ({len(spark_df)} rows)")
+            continue
+        try:
+            duck_df = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            print(f"{'ORACLE-ERROR':18} {name}: {str(e)[:160]}")
+            n_fail += 1
+            continue
+        a, b = canon(spark_df), canon(duck_df)
+        if list(a.columns) != list(b.columns):
+            print(f"{'COL-MISMATCH':18} {name}: spark={list(a.columns)} duck={list(b.columns)}")
+            n_fail += 1
+            continue
+        ha, hb = table_hash(a), table_hash(b)
+        if ha == hb:
+            print(f"{'PASS':18} {name} ({len(a)} rows)")
+            n_pass += 1
+        else:
+            n_fail += 1
+            diffs = [(i, x, y) for i, (x, y) in enumerate(zip(ha, hb)) if x != y][:3]
+            print(f"{'HASH-MISMATCH':18} {name}: rows spark={len(ha)} duck={len(hb)}")
+            for i, x, y in diffs:
+                print(f"    row {i}: spark={x}")
+                print(f"    row {i}:  duck={y}")
+    print(f"\n{n_pass} pass / {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
