@@ -538,11 +538,13 @@ object Queries {
   }
 
   q("dedup_ngram_jaccard",
-    s"""WITH sh AS (SELECT doc_id, lang, $shinglesSql AS s FROM documents)
+    s"""WITH sh AS (SELECT doc_id, lang, floor(length(text) / 64.0) AS bucket,
+       |  $shinglesSql AS s FROM documents)
        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
        |  round(len(list_intersect(a.s, b.s))::DOUBLE /
        |        len(list_distinct(list_concat(a.s, b.s))), 6) AS jac
        |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |  AND abs(a.bucket - b.bucket) <= 1
        |WHERE round(len(list_intersect(a.s, b.s))::DOUBLE /
        |      len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.5
        |ORDER BY a_id, b_id"""

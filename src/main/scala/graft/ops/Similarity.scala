@@ -31,13 +31,24 @@ object Similarity {
     * Queries are expected small (they are broadcast); the corpus side
     * streams through one scan + a per-query-partition top-k window.
     */
+  /** cosine with both norms hoisted to the join inputs: per pair only the
+    * dot product is evaluated; each side's norm is computed once per row
+    * before the join (bit-identical result — same IEEE ops, same order).
+    */
+  private def cosineHoisted(qVec: Column, nVec: Column,
+                            qNorm: Column, nNorm: Column): Column =
+    dot(qVec, nVec) / (qNorm * nNorm)
+
   def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")))
-    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      l2Norm(col(vecCol)).as("q_norm")))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      l2Norm(col(vecCol)).as("n_norm"))
     val scored = q.join(c, col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
-        round(cosine(col("q_vec"), col("n_vec")), 6).as("cos"))
+        round(cosineHoisted(col("q_vec"), col("n_vec"), col("q_norm"), col("n_norm")), 6)
+          .as("cos"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
   }
@@ -66,12 +77,13 @@ object Similarity {
              planes: Int = 8, idCol: String = "vec_id",
              vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-      lshBucket(col(vecCol), dim, planes).as("bucket"))
+      l2Norm(col(vecCol)).as("q_norm"), lshBucket(col(vecCol), dim, planes).as("bucket"))
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
-      lshBucket(col(vecCol), dim, planes).as("bucket"))
+      l2Norm(col(vecCol)).as("n_norm"), lshBucket(col(vecCol), dim, planes).as("bucket"))
     val scored = q.join(c, Seq("bucket")).filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
-        round(cosine(col("q_vec"), col("n_vec")), 6).as("cos"))
+        round(cosineHoisted(col("q_vec"), col("n_vec"), col("q_norm"), col("n_norm")), 6)
+          .as("cos"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
   }
@@ -84,12 +96,13 @@ object Similarity {
              cellCol: String, idCol: String = "vec_id",
              vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-      col(cellCol).as("cell"))
+      l2Norm(col(vecCol)).as("q_norm"), col(cellCol).as("cell"))
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
-      col(cellCol).as("cell"))
+      l2Norm(col(vecCol)).as("n_norm"), col(cellCol).as("cell"))
     val scored = q.join(c, Seq("cell")).filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
-        round(cosine(col("q_vec"), col("n_vec")), 6).as("cos"))
+        round(cosineHoisted(col("q_vec"), col("n_vec"), col("q_norm"), col("n_norm")), 6)
+          .as("cos"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
   }
