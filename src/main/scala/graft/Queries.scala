@@ -555,10 +555,14 @@ object Queries {
 
   private def minhashOracleSql(bands: Int, rows: Int): String = {
     val k = bands * rows
+    // Kirsch-Mitzenmacher double hashing, mirroring Dedup.minhashSignature:
+    // h_i(t) = h1(t) + i*h2(t) over 60/56-bit md5 slices (exact in BIGINT).
     val sigEntries = (0 until k)
-      .map(i => s"list_min(list_transform(s, t -> md5(t || '#$i')))").mkString(", ")
+      .map(i => "list_min(list_transform(s, t -> " +
+        "('0x' || substr(md5(t), 1, 15))::BIGINT + " +
+        s"$i * ('0x' || substr(md5(t), 16, 14))::BIGINT))").mkString(", ")
     val bandSelects = (0 until bands).map { b =>
-      val parts = (1 to rows).map(r => s"sig[${b * rows + r}]").mkString(" || '|' || ")
+      val parts = (1 to rows).map(r => s"sig[${b * rows + r}]::VARCHAR").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, md5($parts) AS digest FROM sig"
     }.mkString(" UNION ALL ")
     s"""WITH sh AS (SELECT doc_id, $shinglesSql AS s FROM documents),

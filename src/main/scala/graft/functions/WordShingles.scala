@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.GraftBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct word n-gram shingles in one pass — semantically identical to
+  * `array_distinct(transform(sequence(...), i -> concat_ws(' ',
+  * element_at(split(trim(text), "\\s+"), i..i+n-1))))` but evaluated as a
+  * single Java kernel instead of four nested interpreted higher-order
+  * functions (the dominant cost of every dedup operator at scale).
+  *
+  * Exact oracle contract: tokens are maximal runs split on the Java regex
+  * `\s+` after trimming ASCII spaces; shingles join n consecutive tokens
+  * with a single space; order of first occurrence, duplicates dropped.
+  * (Set-consumers — minhash, Jaccard, array_min — are order-insensitive.)
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    var s = input.asInstanceOf[UTF8String].toString
+    // trim ASCII space only (SQL trim semantics, not String.trim's <=0x20)
+    var lo = 0; var hi = s.length
+    while (lo < hi && s.charAt(lo) == ' ') lo += 1
+    while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
+    s = s.substring(lo, hi)
+    val words = if (s.isEmpty) Array.empty[String] else s.split("\\s+")
+    if (words.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](words.length * 2)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i + n <= words.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object WordShingles {
+  def apply(text: Column, n: Int): Column =
+    GraftBridge.column(WordShingles(GraftBridge.expression(text), n))
+}

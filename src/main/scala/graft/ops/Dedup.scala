@@ -35,13 +35,27 @@ object Dedup {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
-  /** k seeded minhashes of a shingle array: element i is
-    * min over shingles of md5(shingle || "#i"). Lexicographic min over the
-    * 32-hex digest equals numeric min over the 128-bit value.
+  /** k minhashes of a shingle array via Kirsch-Mitzenmacher double
+    * hashing: h_i(s) = h1(s) + i*h2(s), where h1/h2 are 60- and 56-bit
+    * slices of md5(s) — one digest per shingle instead of k, and the
+    * arithmetic stays below 2^63 so it is exact in any engine's BIGINT.
     */
-  def minhashSignature(shingleCol: Column, k: Int): Column =
+  /** The (h1, h2) digest pair per shingle — compute once per document
+    * (materialize/cache the result before fanning out to k minhash
+    * entries; see minhashLsh).
+    */
+  def shingleHashPairs(shingleCol: Column): Column =
+    transform(shingleCol, s => struct(
+      conv(substring(md5(s), 1, 15), 16, 10).cast("long").as("h1"),
+      conv(substring(md5(s), 16, 14), 16, 10).cast("long").as("h2")))
+
+  def minhashFromPairs(hashPairs: Column, k: Int): Column =
     array((0 until k).map(i =>
-      array_min(transform(shingleCol, s => md5(concat(s, lit("#" + i)))))): _*)
+      array_min(transform(hashPairs, h =>
+        h.getField("h1") + lit(i.toLong) * h.getField("h2")))): _*)
+
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    minhashFromPairs(shingleHashPairs(shingleCol), k)
 
   /** MinHash-LSH near-duplicate pairs over `df(idCol, textCol)`.
     *
@@ -62,13 +76,21 @@ object Dedup {
     // At cluster scale this cache becomes persist(DISK_ONLY) or a
     // checkpoint — the shape is the same.
     val sh = df.select(col(idCol).as("doc_id"),
-      TextAnalysis.shingles(col(textCol), shingleN).as("s")).cache()
-    val sig = sh.select(col("doc_id"), col("s"),
-      minhashSignature(col("s"), bands * rows).as("sig"))
+      TextAnalysis.shingles(col(textCol), shingleN).as("s"))
+      .withColumn("sx", sort_array(transform(col("s"), s => xxhash64(s))))
+      .cache()
+    val hp = sh.select(col("doc_id"), shingleHashPairs(col("s")).as("hp")).cache()
+    val sig = hp.select(col("doc_id"),
+      minhashFromPairs(col("hp"), bands * rows).as("sig"))
     val bandRows = sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => md5(concat_ws("|", slice(col("sig"), b * rows + 1, lit(rows))))))
+        b => md5(concat_ws("|",
+          slice(col("sig"), b * rows + 1, lit(rows)).cast("array<string>")))))
         .as(Seq("band", "digest"))).cache()
+    // Materialize the caches eagerly: the band self-join scans bandRows
+    // twice and the verification joins scan sh twice — on a cold cache
+    // each scan would recompute the full shingle/minhash upstream.
+    sh.count(); hp.count(); bandRows.count()
     val cand = bandRows.as("a")
       .join(bandRows.as("b"),
         col("a.band") === col("b.band") && col("a.digest") === col("b.digest") &&
@@ -76,11 +98,11 @@ object Dedup {
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
     cand
-      .join(sh.select(col("doc_id"), col("s").as("s_a")), col("a_id") === col("doc_id"))
+      .join(sh.select(col("doc_id"), col("sx").as("s_a")), col("a_id") === col("doc_id"))
       .drop("doc_id")
-      .join(sh.select(col("doc_id"), col("s").as("s_b")), col("b_id") === col("doc_id"))
+      .join(sh.select(col("doc_id"), col("sx").as("s_b")), col("b_id") === col("doc_id"))
       .select(col("a_id"), col("b_id"),
-        size(array_intersect(col("s_a"), col("s_b"))).as("__i"),
+        graft.functions.ArrayKernels.sortedIntersectCount(col("s_a"), col("s_b")).as("__i"),
         size(col("s_a")).as("__na"), size(col("s_b")).as("__nb"))
       .select(col("a_id"), col("b_id"),
         round(col("__i").cast("double") / (col("__na") + col("__nb") - col("__i")), 6)
@@ -111,16 +133,26 @@ object Dedup {
                         threshold: Double = 0.5, bucketWidth: Int = 64): DataFrame = {
     val sh = df.select(col(idCol).as("doc_id"), col(blockCol).as("block"),
       floor(length(col(textCol)) / lit(bucketWidth.toDouble)).as("bucket"),
-      transform(TextAnalysis.shingles(col(textCol), shingleN),
-        s => xxhash64(s)).as("s")).cache()
-    sh.as("a").join(sh.as("b"),
-        col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id") &&
-          abs(col("a.bucket") - col("b.bucket")) <= 1 &&
-          size(col("a.s")).cast("double") >= size(col("b.s")) * threshold &&
-          size(col("b.s")).cast("double") >= size(col("a.s")) * threshold)
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        size(array_intersect(col("a.s"), col("b.s"))).as("__i"),
-        size(col("a.s")).as("__na"), size(col("b.s")).as("__nb"))
+      sort_array(transform(TextAnalysis.shingles(col(textCol), shingleN),
+        s => xxhash64(s))).as("s")).cache()
+    sh.count() // materialize: both join sides scan this cache
+    // The length bucket joins as an EQUI key: the probe side fans out to
+    // buckets {b-1, b, b+1}, the build side keeps its own bucket, so a
+    // |Δbucket| <= 1 pair matches exactly once and the shuffle key is
+    // (block, bucket) — parallelism scales with block × length-bucket
+    // cardinality instead of collapsing onto the block column alone.
+    val probe = sh.select(col("doc_id").as("a_id"), col("block"), col("s").as("s_a"),
+      explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)).as("jb"))
+    val build = sh.select(col("doc_id").as("b_id"), col("block").as("block_b"),
+      col("s").as("s_b"), col("bucket").as("jb_b"))
+    probe.join(build,
+        col("block") === col("block_b") && col("jb") === col("jb_b") &&
+          col("a_id") < col("b_id") &&
+          size(col("s_a")).cast("double") >= size(col("s_b")) * threshold &&
+          size(col("s_b")).cast("double") >= size(col("s_a")) * threshold)
+      .select(col("a_id"), col("b_id"),
+        graft.functions.ArrayKernels.sortedIntersectCount(col("s_a"), col("s_b")).as("__i"),
+        size(col("s_a")).as("__na"), size(col("s_b")).as("__nb"))
       .select(col("a_id"), col("b_id"),
         round(col("__i").cast("double") / (col("__na") + col("__nb") - col("__i")), 6)
           .as("jac"))

@@ -18,10 +18,11 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Similarity {
 
-  /** Deterministic sequential-fold dot product of two float vectors. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Deterministic index-order dot product of two float vectors — a custom
+    * codegen'd kernel (graft.functions.FloatDotProduct); bit-identical to
+    * the sequential fold `aggregate(zip_with(a, b, _*_), 0.0, _+_)`.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.ArrayKernels.floatDot(a, b)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 

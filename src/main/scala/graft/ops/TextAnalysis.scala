@@ -17,11 +17,20 @@ object TextAnalysis {
     */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  /** Word n-gram shingles (distinct), the dedup unit for MinHash/Jaccard.
-    * Returns an empty array for texts with fewer than n tokens (guarded
-    * explicitly: Spark's `sequence(1, 0)` would count *down*).
+  /** Word n-gram shingles (distinct), the dedup unit for MinHash/Jaccard —
+    * a single-pass custom kernel (graft.functions.WordShingles); see
+    * `shinglesComposed` for the equivalent built-in composition it
+    * replaces (kept as the semantic reference and test oracle).
     */
-  def shingles(text: Column, n: Int = 3): Column = {
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.functions.WordShingles(text, n)
+
+  /** Built-in-composed shingles — semantically identical to `shingles`;
+    * retained as the cross-check for WordShingles and for engines without
+    * the custom expression. Returns an empty array below n tokens
+    * (guarded explicitly: Spark's `sequence(1, 0)` would count *down*).
+    */
+  def shinglesComposed(text: Column, n: Int = 3): Column = {
     val w = tokens(text)
     val grams = transform(
       sequence(lit(1), size(w) - (n - 1)),

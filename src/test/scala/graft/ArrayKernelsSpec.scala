@@ -1,0 +1,48 @@
+package graft
+
+import graft.functions.ArrayKernels
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ArrayKernelsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  test("sortedIntersectCount matches size(array_intersect) on sorted distinct arrays") {
+    val df = Seq(
+      (Array(1L, 3L, 5L, 9L), Array(3L, 4L, 5L, 10L)),
+      (Array(1L, 2L), Array(3L, 4L)),
+      (Array.empty[Long], Array(1L)),
+      (Array(7L), Array(7L))).toDF("a", "b")
+    val got = df.select(
+      ArrayKernels.sortedIntersectCount($"a", $"b").as("k"),
+      size(array_intersect($"a", $"b")).as("ref")).collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
+  test("sortedIntersectCount is null-safe") {
+    val df = Seq((Some(Array(1L)), Option.empty[Array[Long]])).toDF("a", "b")
+    val got = df.select(ArrayKernels.sortedIntersectCount($"a", $"b")).collect()
+    assert(got.head.isNullAt(0))
+  }
+
+  test("floatDot equals the interpreted sequential fold bit-for-bit") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(50)((Array.fill(64)(rnd.nextFloat() * 2 - 1),
+      Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      ArrayKernels.floatDot($"a", $"b").as("k"),
+      aggregate(zip_with($"a", $"b", (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x).as("ref")).collect()
+    got.foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // exact, not approx
+  }
+
+  test("kernels survive whole-stage codegen over a real scan") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(100)
+    val n = emb.select(ArrayKernels.floatDot($"embedding", $"embedding").as("d"))
+      .filter($"d" > 0).count()
+    assert(n == 100)
+  }
+}
