@@ -519,6 +519,60 @@ object Queries {
       .orderBy("event_id")
   }
 
+  q("q_pivot",
+    """SELECT date_trunc('day', ts) AS d,
+      |  count(*) FILTER (event_type = 'click') AS click,
+      |  count(*) FILTER (event_type = 'error') AS error,
+      |  count(*) FILTER (event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (event_type = 'signup') AS signup,
+      |  count(*) FILTER (event_type = 'view') AS view
+      |FROM events GROUP BY 1 ORDER BY 1"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("d"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy("d")
+  }
+
+  q("q_percentiles",
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_quantity, 0.5), 6) AS med_qty,
+      |  round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price,
+      |  round(quantile_cont(l_extendedprice, 0.75), 6) AS p75_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    tbl(s, dir, "lineitem").groupBy("l_returnflag")
+      .agg(round(expr("percentile(l_quantity, 0.5)"), 6).as("med_qty"),
+        round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25_price"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75_price"))
+      .orderBy("l_returnflag")
+  }
+
+  q("q_grouping_sets",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    tbl(s, dir, "lineitem").createOrReplaceTempView("graft_lineitem")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        |FROM graft_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
+  qRowsOnly("q_approx_distinct") { (s, dir) =>
+    // HLL sketches are engine-specific — rows-only (exact variant is
+    // oracle-checked in q_agg_distinct).
+    tbl(s, dir, "lineitem").groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy("l_returnflag")
+  }
+
   // ===========================================================================
   // LLM-data-pipeline extensions — dedup, similarity search, text analysis
   // (SURVEY.md §7.5; first-class per BASELINE.json north star).
