@@ -676,6 +676,35 @@ object Queries {
        |SELECT q_id, n_id, cosim AS cos FROM r WHERE rn <= 5 ORDER BY q_id, n_id"""
       .stripMargin.replace("\n", " ")
 
+  q("dedup_embedding_cosine",
+    """WITH e AS (SELECT vec_id, label, embedding,
+      |  sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+      |    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+      |  FROM embeddings)
+      |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |  round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |    / (a.nrm * b.nrm), 6) AS cos
+      |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |    / (a.nrm * b.nrm), 6) >= 0.2
+      |ORDER BY a_id, b_id"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    // Embedding-cosine near-dup: pairs above a cosine threshold, blocked
+    // by the coarse cell (label) so the join is an equi-shuffle, never a
+    // cross join. Norms hoisted; per-pair cost = one fused dot product.
+    val e = tbl(s, dir, "embeddings").select(col("vec_id"), col("label"),
+      col("embedding"), Similarity.l2Norm(col("embedding")).as("nrm"))
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        round(Similarity.dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+      .filter(col("cos") >= 0.2)
+      .orderBy("a_id", "b_id")
+  }
+
   q("knn_cosine_brute", knnOracleSql("q_id != n_id")) { (s, dir) =>
     val emb = tbl(s, dir, "embeddings")
     Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 10), k = 5)
@@ -765,6 +794,29 @@ object Queries {
     val emb = tbl(s, dir, "embeddings")
     Similarity.lshKnn(emb, emb.filter(col("vec_id") < 10), k = 5, dim = 64, planes = 4)
       .orderBy("q_id", "n_id")
+  }
+
+  qRowsOnly("stream_events_hourly") { (s, dir) =>
+    // A real Structured Streaming execution: file-source readStream over
+    // the events parquet, watermarked tumbling-window aggregation,
+    // memory sink drained to completion. (Batch equivalent is the
+    // oracle-checked q_events_hourly.)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = s.readStream.schema(tbl(s, dir, "events").schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    // watermarks require TIMESTAMP (LTZ) event time; session TZ is UTC so
+    // the wall-clock values match the batch NTZ variant
+    val normalized = src.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => src.withColumn("ts", col("ts").cast(TimestampType))
+    }
+    val qname = "graft_stream_hourly"
+    val query = graft.streaming.Streams.windowedCounts(normalized)
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("complete").start()
+    try query.processAllAvailable() finally query.stop()
+    s.table(qname).orderBy("h", "event_type")
   }
 
   qRowsOnly("multimodal_features") { (s, dir) =>
