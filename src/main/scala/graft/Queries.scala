@@ -564,6 +564,20 @@ object Queries {
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
   }
 
+  q("q_collect_agg",
+    """SELECT c_nationkey,
+      |  string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segs,
+      |  COUNT(*) AS n
+      |FROM (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer)
+      |GROUP BY c_nationkey ORDER BY c_nationkey"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    tbl(s, dir, "customer").select("c_nationkey", "c_mktsegment").distinct()
+      .groupBy("c_nationkey")
+      .agg(concat_ws(",", sort_array(collect_list(col("c_mktsegment")))).as("segs"),
+        count(lit(1)).as("n"))
+      .orderBy("c_nationkey")
+  }
+
   qRowsOnly("q_approx_distinct") { (s, dir) =>
     // HLL sketches are engine-specific — rows-only (exact variant is
     // oracle-checked in q_agg_distinct).
@@ -826,5 +840,15 @@ object Queries {
         round(aggregate(col("features"), lit(0.0), (acc, x) => acc + x.cast("double")), 4)
           .as("checksum"))
       .orderBy("id")
+  }
+
+  qRowsOnly("multimodal_frame_sample") { (s, dir) =>
+    // deterministic frame/sample grid over fabricated video rows
+    val media = Multimodal.fabricate(
+      tbl(s, dir, "documents").limit(100), "text", "video")
+    Multimodal.sampleGrid(media, "doc_id", samples = 4)
+      .select(col("doc_id"), col("sample_idx"), col("sample_ms"),
+        col("media_meta.duration_ms").as("duration_ms"))
+      .orderBy("doc_id", "sample_idx")
   }
 }

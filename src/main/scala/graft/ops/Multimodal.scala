@@ -72,9 +72,10 @@ object Multimodal {
     * `sample_idx` rows per media row (the sampling grid a video decoder
     * would fill) — demonstrates the fan-out shape without the codec.
     */
-  def sampleGrid(df: DataFrame, idCol: String, samples: Int): DataFrame =
+  def sampleGrid(df: DataFrame, idCol: String, samples: Int): DataFrame = {
+    val dur = coalesce(col("media_meta.duration_ms"), lit(0L))
+    val step = greatest((dur / lit(samples)).cast("long"), lit(1L))
     df.select(col(idCol), col("media_meta"),
-      posexplode(sequence(lit(0L), coalesce(col("media_meta.duration_ms"), lit(0L)),
-        greatest(coalesce(col("media_meta.duration_ms"), lit(0L)) / lit(samples), lit(1L))))
-        .as(Seq("sample_idx", "sample_ms")))
+      posexplode(sequence(lit(0L), dur, step)).as(Seq("sample_idx", "sample_ms")))
+  }
 }

@@ -132,6 +132,37 @@ class FlfParseSpec extends AnyFunSuite {
     assert(got.isNullAt(0))
   }
 
+  test("fixture B: defaults, LargeUtf8, hyphen-padded bool, dash in column name") {
+    // FIXTURES.md §3 (reference test_valid_schema.json), trimmed to the
+    // interesting columns
+    val schema = FixedSchema.fromJson(
+      """{"name":"ValidTestSchema","version":1337,"columns":[
+        |{"name":"id","offset":0,"length":9,"dtype":"Int32","is_nullable":false},
+        |{"name":"employed","offset":9,"length":5,"dtype":"Boolean","pad_symbol":"Hyphen","is_nullable":true},
+        |{"name":"pet-name","offset":14,"length":50,"dtype":"LargeUtf8","alignment":"Left","pad_symbol":"Asterisk","is_nullable":true}
+        |]}""".stripMargin)
+    assert(schema.columns.head.alignment == Alignment.Right) // default
+    val row = "      123-true" + "Rex" + "*" * 47
+    assert(row.length == 64)
+    val got = FlfParse.parse(Seq(row).toDF("value"), schema).collect().head
+    assert(got.getInt(0) == 123)
+    assert(got.getBoolean(1) == true)
+    assert(got.getString(2) == "Rex")
+    // dash in the column name round-trips through the DataFrame schema
+    assert(FlfParse.parse(Seq(row).toDF("value"), schema).columns.toSeq ==
+      Seq("id", "employed", "pet-name"))
+  }
+
+  test("EOF without trailing newline still parses the final row") {
+    val dir = java.nio.file.Files.createTempDirectory("flfeof")
+    java.nio.file.Files.write(dir.resolve("data.flf"),
+      "00000001\n00000002".getBytes("UTF-8")) // no trailing \n
+    val schema = FixedSchema(name = "e", version = 1, columns = Seq(
+      FixedColumn("id", 0, 8, FlfType.Int64T, Alignment.Right, '0', isNullable = false)))
+    val got = FlfParse.read(spark, dir.toString, schema).orderBy("id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
   test("center alignment trims both sides; digits as pad symbols work") {
     val schema = FixedSchema(name = "c", version = 1, columns = Seq(
       FixedColumn("v", 0, 11, FlfType.Int32T, Alignment.Center, '9', isNullable = true)))
