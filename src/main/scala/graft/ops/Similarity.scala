@@ -55,16 +55,16 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH bucket id: `planes` sign bits packed into a
-    * long. Hyperplane p's component for dimension i is a deterministic
-    * pseudo-random value in [-1, 1) derived from md5(p, i) — reproducible
-    * everywhere, no RNG state.
+    * long. Hyperplanes are plan-time literal arrays (seeded, deterministic
+    * across runs and engines), so each sign bit is one fused
+    * FloatDotProduct against a constant — not a dim×planes interpreted
+    * expression tree.
     */
   def lshBucket(vec: Column, dim: Int, planes: Int = 8): Column = {
     val bits = (0 until planes).map { p =>
-      val proj = (0 until dim).map { i =>
-        val h = conv(substring(md5(lit(s"plane$p#$i")), 1, 12), 16, 10).cast("double")
-        element_at(vec, i + 1).cast("double") * (h / lit(math.pow(16, 12) / 2.0) - 1.0)
-      }.reduce(_ + _)
+      val rnd = new scala.util.Random(0x5EEDL * (p + 1))
+      val plane = Array.fill(dim)(rnd.nextFloat() * 2f - 1f)
+      val proj = graft.functions.ArrayKernels.floatDot(vec, typedLit(plane))
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)

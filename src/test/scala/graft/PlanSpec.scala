@@ -1,0 +1,64 @@
+package graft
+
+import graft.flf.{FlfFormat, FlfParse}
+import graft.schema._
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards: the properties PLANS.md documents, held
+  * as assertions so a refactor that silently breaks pushdown, broadcast
+  * choice, or the narrow convert path fails CI — on a 1000-executor
+  * cluster these ARE the performance model.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  // executedPlan: after EnsureRequirements, so Exchange nodes are present
+  private def planOf(name: String): String =
+    Queries.all(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q6: date + numeric predicates reach the parquet scan") {
+    val plan = planOf("q6_filter_pushdown")
+    // toString truncates the PushedFilters list — assert on its head plus
+    // the full predicates visible in the Filter node
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"), plan.take(1500))
+    assert(plan.contains(">= 1996-01-01 00:00:00"))
+    assert(plan.replaceAll("#\\d+", "").contains("(l_quantity < 24.0)"))
+  }
+
+  test("q6: scan is pruned to the referenced columns only") {
+    val plan = planOf("q6_filter_pushdown")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_comment"))
+    assert(readSchema.contains("l_shipdate") && readSchema.contains("l_extendedprice"))
+  }
+
+  test("q5: all four dimension tables broadcast; fact table never shuffles on a join key") {
+    val plan = planOf("q5_join_broadcast")
+    val broadcasts = plan.linesIterator.count(_.contains("BroadcastExchange"))
+    assert(broadcasts >= 4, s"expected >=4 broadcast exchanges, got $broadcasts")
+    // the only hash-partitioned exchange is the final groupBy(n_name)
+    val shuffles = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("n_name"))
+    assert(shuffles == 0, s"unexpected join-key shuffles:\n$plan")
+  }
+
+  test("flf convert path is a single narrow stage (no Exchange)") {
+    import spark.implicits._
+    val schema = FixedSchema(name = "p", version = 1, columns = Seq(
+      FixedColumn("id", 0, 10, FlfType.Int64T, Alignment.Right, '0', isNullable = false),
+      FixedColumn("w", 10, 8, FlfType.Utf8T, Alignment.Left, ' ', isNullable = true)))
+    val parsed = FlfParse.parse(Seq("0000000001alpha   ").toDF("value"), schema)
+    val plan = parsed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    val formatted = FlfFormat.format(parsed, schema)
+    assert(!formatted.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("knn: corpus side is joined against a broadcast query side") {
+    val plan = planOf("knn_cosine_brute")
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(800))
+  }
+}
