@@ -74,7 +74,7 @@ object Queries {
     FixedColumn("l_quantity", 20, 6, FlfType.Int32T, Alignment.Right, ' ', isNullable = true),
     FixedColumn("l_extendedprice", 26, 14, FlfType.Float64T, Alignment.Right, ' ', isNullable = true),
     FixedColumn("l_discount", 40, 6, FlfType.Float64T, Alignment.Left, '*', isNullable = true),
-    FixedColumn("l_returned", 46, 8, FlfType.BooleanT, Alignment.Left, '0', isNullable = true))
+    FixedColumn("l_returned", 46, 8, FlfType.BooleanT, Alignment.Center, '0', isNullable = true))
 
   private def flfLine(): Column = concat(
     lpad(col("l_orderkey").cast("string"), 12, "0"),
@@ -84,7 +84,9 @@ object Queries {
     lpad(col("l_quantity").cast("int").cast("string"), 6, " "),
     lpad(dec(col("l_extendedprice"), 12, 2).cast("string"), 14, " "),
     rpad(dec(col("l_discount"), 4, 2).cast("string"), 6, "*"),
-    rpad(when(col("l_returnflag") === "R", "true").otherwise("false"), 8, "0"))
+    // center-padded cell (W2's floor-left/ceil-right rule) via the library
+    graft.flf.FlfFormat.formatColumn(
+      when(col("l_returnflag") === "R", "true").otherwise("false"), flfCols.last))
 
   private val flfLineSql =
     """lpad(CAST(l_orderkey AS VARCHAR), 12, '0') ||
@@ -94,7 +96,8 @@ object Queries {
       |lpad(CAST(CAST(l_quantity AS INT) AS VARCHAR), 6, ' ') ||
       |lpad(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR), 14, ' ') ||
       |rpad(CAST(CAST(l_discount AS DECIMAL(4,2)) AS VARCHAR), 6, '*') ||
-      |rpad(CASE WHEN l_returnflag = 'R' THEN 'true' ELSE 'false' END, 8, '0')"""
+      |rpad(repeat('0', CAST(floor((8 - length(CASE WHEN l_returnflag = 'R' THEN 'true' ELSE 'false' END)) / 2.0) AS INT)) ||
+      |  CASE WHEN l_returnflag = 'R' THEN 'true' ELSE 'false' END, 8, '0')"""
       .stripMargin.replace("\n", " ")
 
   q("flf_format",
@@ -115,7 +118,7 @@ object Queries {
       |  TRY_CAST(trim(LEADING ' ' FROM substring(line, 21, 6)) AS INT) AS l_quantity,
       |  TRY_CAST(trim(LEADING ' ' FROM substring(line, 27, 14)) AS DOUBLE) AS l_extendedprice,
       |  TRY_CAST(trim(TRAILING '*' FROM substring(line, 41, 6)) AS DOUBLE) AS l_discount,
-      |  CASE trim(TRAILING '0' FROM substring(line, 47, 8))
+      |  CASE trim(BOTH '0' FROM substring(line, 47, 8))
       |    WHEN 'true' THEN true WHEN 'false' THEN false END AS l_returned
       |FROM lines ORDER BY l_orderkey, l_linenumber"""
       .stripMargin.replace("\n", " ")) { (s, dir) =>
@@ -652,7 +655,10 @@ object Queries {
       shingleN = 3, bands = 3, rows = 3, threshold = 0.5).orderBy("a_id", "b_id")
   }
 
-  private def simhashOracleSql(bits: Int): String = {
+  /** Shared CTE prefix computing per-doc 60-bit simhash signatures,
+    * mirroring Dedup.simhashSignatures.
+    */
+  private def simhashSigCte(bits: Int): String = {
     val votes = (0 until bits)
       .map(j => s"SUM(CASE WHEN ((hv >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS v$j").mkString(", ")
     val sigExpr = (0 until bits)
@@ -661,15 +667,48 @@ object Queries {
     s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
        |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM t),
        |v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
-       |s AS (SELECT doc_id, $sigExpr AS sig FROM v)
-       |SELECT sig, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
-       |FROM s GROUP BY sig ORDER BY keep_id"""
-      .stripMargin.replace("\n", " ")
+       |s AS (SELECT doc_id, $sigExpr AS sig FROM v)""".stripMargin.replace("\n", " ")
   }
 
-  q("dedup_simhash", simhashOracleSql(60)) { (s, dir) =>
+  q("dedup_simhash",
+    simhashSigCte(60) +
+      " SELECT sig, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs" +
+      " FROM s GROUP BY sig ORDER BY keep_id") { (s, dir) =>
     Dedup.simhashFamilies(tbl(s, dir, "documents"), "text", "doc_id")
       .select("sig", "keep_id", "n_docs").orderBy("keep_id")
+  }
+
+  q("dedup_simhash_hamming", {
+    val bandSelects = (0 until 4).map(j =>
+      s"SELECT doc_id, sig, $j AS band, (sig >> ${j * 15}) & 32767 AS bv FROM s")
+      .mkString(" UNION ALL ")
+    simhashSigCte(60) +
+      s""", bands AS ($bandSelects),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  bit_count(xor(a.sig, b.sig)) AS hamming
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+         |    AND a.doc_id < b.doc_id)
+         |SELECT a_id, b_id, CAST(hamming AS INT) AS hamming FROM cand
+         |WHERE hamming <= 3 ORDER BY a_id, b_id""".stripMargin.replace("\n", " ")
+  }) { (s, dir) =>
+    Dedup.simhashHammingPairs(tbl(s, dir, "documents"), "text", "doc_id")
+      .orderBy("a_id", "b_id")
+  }
+
+  q("q_scalar_subquery",
+    """SELECT o_orderpriority, COUNT(*) AS n FROM orders
+      |WHERE o_totalprice * (SELECT COUNT(*) FROM orders) >
+      |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) FROM orders)
+      |GROUP BY 1 ORDER BY 1"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    tbl(s, dir, "orders").createOrReplaceTempView("graft_orders")
+    // above-average filter with an exact-arithmetic threshold: price*N >
+    // exact_sum compares identically in any engine (no double reduction)
+    s.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n FROM graft_orders
+        |WHERE o_totalprice * (SELECT COUNT(*) FROM graft_orders) >
+        |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) FROM graft_orders)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
   }
 
   private def knnOracleSql(joinCond: String): String =

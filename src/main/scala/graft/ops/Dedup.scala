@@ -186,16 +186,46 @@ object Dedup {
   def simhash(text: Column, bits: Int = 60): Column =
     simhashFromHashes(tokenHashes(text), bits)
 
-  /** SimHash dedup families: documents sharing a signature. The token-hash
-    * array is materialized once (cached) so the 60 per-bit votes don't
-    * each re-run tokenization + md5 after projection collapse.
+  /** Per-document SimHash signatures, with the token-hash array
+    * materialized once (cached) so the 60 per-bit votes don't each re-run
+    * tokenization + md5 after projection collapse.
     */
-  def simhashFamilies(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def simhashSignatures(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val hashed = df.select(col(idCol).as("doc_id"),
       tokenHashes(col(textCol)).as("th")).cache()
     hashed.select(col("doc_id"), simhashFromHashes(col("th")).as("sig"))
+  }
+
+  /** SimHash dedup families: documents sharing a signature. */
+  def simhashFamilies(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    simhashSignatures(df, textCol, idCol)
       .groupBy("sig")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_docs"),
         sort_array(collect_list("doc_id")).as("doc_ids"))
+
+  /** SimHash near-dup pairs within Hamming distance `maxHamming`.
+    * Candidates come from a band equi-join (pigeonhole: distance <= b-1
+    * over b bands guarantees at least one equal band), then the exact
+    * popcount-of-XOR verifies — never a cross join, same LSH shuffle
+    * shape as minhash.
+    */
+  def simhashHammingPairs(df: DataFrame, textCol: String, idCol: String,
+                          maxHamming: Int = 3, bands: Int = 4,
+                          bandBits: Int = 15): DataFrame = {
+    require(maxHamming <= bands - 1, "pigeonhole requires maxHamming <= bands-1")
+    val sigs = simhashSignatures(df, textCol, idCol).cache()
+    sigs.count() // materialize: self-join scans twice
+    val mask = (1L << bandBits) - 1
+    val bandRows = sigs.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until bands).map(j =>
+        shiftright(col("sig"), j * bandBits).bitwiseAND(mask)): _*))
+        .as(Seq("band", "bv")))
+    bandRows.as("a").join(bandRows.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
   }
 }
