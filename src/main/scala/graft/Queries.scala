@@ -514,10 +514,11 @@ object Queries {
       |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
       |WHERE rn = 1 ORDER BY event_id"""
       .stripMargin.replace("\n", " ")) { (s, dir) =>
-    AsOfJoin.asofBackward(events(s, dir), tbl(s, dir, "orders"),
+    // custom sort-merge AsOfJoinExec (graft.plans); ops.AsOfJoin is the
+    // compose-built-ins fallback, proven equivalent in OpsSpec
+    graft.plans.AsOfJoinPlan.asofMerge(events(s, dir), tbl(s, dir, "orders"),
         leftKey = "user_id", rightKey = "o_custkey",
-        leftTime = "ts", rightTime = "o_orderdate",
-        tieCol = "o_orderkey", leftId = "event_id")
+        leftTime = "ts", rightTime = "o_orderdate", rightTie = "o_orderkey")
       .select("event_id", "user_id", "o_orderkey", "o_orderdate")
       .orderBy("event_id")
   }

@@ -94,6 +94,40 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 500L, 2L -> 501L))
   }
 
+  test("custom AsOfJoinExec picks latest right row at or before left time") {
+    val left = Seq((1L, 100L, 10L), (2L, 100L, 25L), (3L, 200L, 1L)).toDF("event_id", "k", "t")
+    val right = Seq((100L, 5L, 500L), (100L, 20L, 501L), (100L, 30L, 502L))
+      .toDF("rk", "rt", "payload")
+    val got = graft.plans.AsOfJoinPlan.asofMerge(left, right, "k", "rk", "t", "rt", "payload")
+      .select("event_id", "payload").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 500L, 2L -> 501L)) // event 3: no matching key -> dropped
+  }
+
+  test("AsOfJoinExec ties on right time break by highest tie column") {
+    val left = Seq((1L, 9L, 50L)).toDF("event_id", "k", "t")
+    val right = Seq((9L, 50L, 7L), (9L, 50L, 11L), (9L, 49L, 99L)).toDF("rk", "rt", "payload")
+    val got = graft.plans.AsOfJoinPlan.asofMerge(left, right, "k", "rk", "t", "rt", "payload")
+      .select("payload").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(11L))
+  }
+
+  test("custom AsOfJoinExec agrees with the compose-built-ins fallback on real data") {
+    val d = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(s"$d/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val orders = spark.read.parquet(s"$d/orders.parquet")
+    val viaExec = graft.plans.AsOfJoinPlan
+      .asofMerge(events, orders, "user_id", "o_custkey", "ts", "o_orderdate", "o_orderkey")
+      .select("event_id", "o_orderkey").orderBy("event_id")
+    val viaWindow = AsOfJoin.asofBackward(events, orders,
+        "user_id", "o_custkey", "ts", "o_orderdate", "o_orderkey", "event_id")
+      .select("event_id", "o_orderkey").orderBy("event_id")
+    assert(viaExec.collect().toSeq == viaWindow.collect().toSeq)
+    // the physical plan really is the custom operator (nodeName strips "Exec")
+    assert(viaExec.queryExecution.executedPlan.toString.contains("AsOfJoin "))
+  }
+
   test("multimodal: fabricate -> extractFeatures preserves rows and dims") {
     val media = Multimodal.fabricate(docs, "text", "image")
     assert(media.schema("payload").dataType.typeName == "binary")
