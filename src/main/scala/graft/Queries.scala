@@ -819,6 +819,18 @@ object Queries {
       .orderBy("lang", "predicted")
   }
 
+  q("text_explode_tokens",
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents WHERE doc_id < 50)
+       |SELECT doc_id, CAST(generate_subscripts(w, 1) AS INT) AS pos, unnest(w) AS tok
+       |FROM toks ORDER BY doc_id, pos"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    tbl(s, dir, "documents").filter(col("doc_id") < 50)
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("int").as("pos"), col("tok"))
+      .orderBy("doc_id", "pos")
+  }
+
   q("text_fingerprint",
     s"""SELECT md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp,
        |  MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
@@ -866,10 +878,16 @@ object Queries {
       case _ => src.withColumn("ts", col("ts").cast(TimestampType))
     }
     val qname = "graft_stream_hourly"
-    val query = graft.streaming.Streams.windowedCounts(normalized)
-      .writeStream.format("memory").queryName(qname)
-      .outputMode("complete").start()
-    try query.processAllAvailable() finally query.stop()
+    // stateful streaming creates one state store per shuffle partition;
+    // 4 is plenty for this key cardinality and cuts per-batch overhead
+    val priorPartitions = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val query = graft.streaming.Streams.windowedCounts(normalized)
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("complete").start()
+      try query.processAllAvailable() finally query.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", priorPartitions)
     s.table(qname).orderBy("h", "event_type")
   }
 

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.GraftBridge
@@ -20,12 +20,29 @@ import org.apache.spark.unsafe.types.UTF8String
   * (Set-consumers — minhash, Jaccard, array_min — are order-insensitive.)
   */
 case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    var s = input.asInstanceOf[UTF8String].toString
+  override def nullSafeEval(input: Any): Any =
+    WordShingles.compute(input.asInstanceOf[UTF8String], n)
+
+  // Codegen via a static kernel call: the generated code stays inside the
+  // whole-stage span (no interpreter round-trip per row) and the kernel
+  // itself is plain JIT-compiled Java.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      // companion has no static forwarder (same-named case class) — go
+      // through MODULE$ explicitly
+      s"${ev.value} = graft.functions.WordShingles$$.MODULE$$.compute($c, $n);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object WordShingles {
+  /** The shingling kernel (also invoked from generated code). */
+  def compute(input: UTF8String, n: Int): ArrayData = {
+    var s = input.toString
     // trim ASCII space only (SQL trim semantics, not String.trim's <=0x20)
     var lo = 0; var hi = s.length
     while (lo < hi && s.charAt(lo) == ' ') lo += 1
@@ -54,10 +71,6 @@ case class WordShingles(child: Expression, n: Int)
     new GenericArrayData(out)
   }
 
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
-}
-
-object WordShingles {
   def apply(text: Column, n: Int): Column =
     GraftBridge.column(WordShingles(GraftBridge.expression(text), n))
 }
