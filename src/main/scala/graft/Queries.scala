@@ -847,6 +847,14 @@ object Queries {
   // multimodal plumbing.
   // ===========================================================================
 
+  qRowsOnly("dedup_cluster") { (s, dir) =>
+    // end-to-end dedup: MinHash-LSH pairs -> connected families ->
+    // (doc, canonical keeper); iterative, so rows-only (the pair stage is
+    // oracle-checked in dedup_minhash_lsh)
+    val pairs = Dedup.minhashLsh(tbl(s, dir, "documents"), "text", "doc_id")
+    Dedup.clusterPairs(pairs).orderBy("doc_id")
+  }
+
   qRowsOnly("mock_generate") { (s, _) =>
     val schema = FixedSchema(name = "bench", version = 1, columns = Seq(
       FixedColumn("id", 0, 10, FlfType.Int64T, Alignment.Right, '0', isNullable = false),

@@ -165,6 +165,44 @@ object Dedup {
     * long on any engine. Near-dup candidates = equal signatures (or equal
     * on rotated prefixes for Hamming-distance search).
     */
+  /** Cluster near-dup pairs into families: iterative min-label
+    * propagation over the pair graph (each doc converges to the smallest
+    * doc_id reachable from it). Each iteration is one shuffle join; the
+    * loop runs until fixpoint (bounded by `maxIters`, which caps the
+    * graph diameter it can resolve — dup families are near-cliques, so a
+    * handful of iterations suffices). Returns (doc_id, cluster_id); the
+    * canonical keeper per family is cluster_id itself.
+    */
+  def clusterPairs(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col("a_id"), col("b_id"))
+      .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .cache()
+    var labels = edges.select(col("a_id").as("doc_id"))
+      .union(edges.select(col("b_id").as("doc_id"))).distinct()
+      .withColumn("cluster_id", col("doc_id")).cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // each node adopts the min of its own label and its neighbors'
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("doc_id", "b_id")
+          .withColumnRenamed("cluster_id", "nbr_label"), Seq("b_id"))
+        .groupBy(col("a_id").as("doc_id"))
+        .agg(min("nbr_label").as("nbr_min"))
+      val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id")).cache()
+      next.count()
+      converged = next.join(labels.withColumnRenamed("cluster_id", "prev"), Seq("doc_id"))
+        .filter(col("cluster_id") =!= col("prev")).isEmpty
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
   /** 60-bit token hash array (15 hex chars of md5 keeps the value in a
     * signed long on any engine).
     */

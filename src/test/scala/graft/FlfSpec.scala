@@ -215,6 +215,18 @@ class FlfFormatSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("all 21 pad symbols round-trip for every alignment") {
+    for (align <- Seq(Alignment.Left, Alignment.Right, Alignment.Center);
+         (_, pad) <- PadSymbol.table.toSeq.sortBy(_._2)) {
+      val schema = FixedSchema(name = "pads", version = 1, columns = Seq(
+        FixedColumn("w", 0, 12, FlfType.Utf8T, align, pad, isNullable = true)))
+      val df = Seq("abc", "XY").toDF("w")
+      val back = FlfParse.parse(FlfFormat.format(df, schema), schema)
+      assert(back.collect().map(_.getString(0)).toSet == Set("abc", "XY"),
+        s"pad '$pad' alignment $align")
+    }
+  }
+
   test("mocker ranges respect the reference distributions") {
     val schema = FixedSchema(name = "r", version = 1, columns = Seq(
       FixedColumn("f16", 0, 12, FlfType.Float16T, Alignment.Right, ' ', isNullable = true),

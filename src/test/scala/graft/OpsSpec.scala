@@ -94,6 +94,14 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 500L, 2L -> 501L))
   }
 
+  test("clusterPairs resolves transitive families to the min doc_id") {
+    // chain 1-2, 2-3 plus isolated pair 8-9: {1,2,3} -> 1, {8,9} -> 8
+    val pairs = Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("a_id", "b_id")
+    val got = Dedup.clusterPairs(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 8L, 9L -> 8L))
+  }
+
   test("custom AsOfJoinExec picks latest right row at or before left time") {
     val left = Seq((1L, 100L, 10L), (2L, 100L, 25L), (3L, 200L, 1L)).toDF("event_id", "k", "t")
     val right = Seq((100L, 5L, 500L), (100L, 20L, 501L), (100L, 30L, 502L))
