@@ -177,27 +177,31 @@ object Dedup {
     val edges = pairs.select(col("a_id"), col("b_id"))
       .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .cache()
+    edges.count() // materialize once; every iteration scans this
     var labels = edges.select(col("a_id").as("doc_id"))
       .union(edges.select(col("b_id").as("doc_id"))).distinct()
       .withColumn("cluster_id", col("doc_id")).cache()
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      // each node adopts the min of its own label and its neighbors'
+      // each node adopts the min of its own label and its neighbors';
+      // the change flag rides along so one action per iteration both
+      // materializes the new labels and decides convergence
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("doc_id", "b_id")
           .withColumnRenamed("cluster_id", "nbr_label"), Seq("b_id"))
         .groupBy(col("a_id").as("doc_id"))
         .agg(min("nbr_label").as("nbr_min"))
-      val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
+      val next = labels.withColumnRenamed("cluster_id", "prev")
+        .join(viaNeighbors, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-            .as("cluster_id")).cache()
-      next.count()
-      converged = next.join(labels.withColumnRenamed("cluster_id", "prev"), Seq("doc_id"))
-        .filter(col("cluster_id") =!= col("prev")).isEmpty
+          least(col("prev"), coalesce(col("nbr_min"), col("prev"))).as("cluster_id"),
+          (least(col("prev"), coalesce(col("nbr_min"), col("prev"))) =!= col("prev"))
+            .as("changed"))
+        .cache()
+      converged = next.filter(col("changed")).isEmpty
       labels.unpersist()
-      labels = next
+      labels = next.select("doc_id", "cluster_id")
       i += 1
     }
     labels
