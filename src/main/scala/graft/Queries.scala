@@ -523,6 +523,116 @@ object Queries {
       .orderBy("event_id")
   }
 
+  q("q_asof_outer",
+    """SELECT event_id, user_id, o_orderkey, o_orderdate FROM (
+      |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+      |    row_number() OVER (PARTITION BY e.event_id
+      |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      |  FROM events e LEFT JOIN orders o
+      |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+      |WHERE rn = 1 ORDER BY event_id"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    // left-outer as-of: events with no prior order keep a null right side
+    graft.plans.AsOfJoinPlan.asofMerge(events(s, dir), tbl(s, dir, "orders"),
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate", rightTie = "o_orderkey",
+        joinType = "left_outer")
+      .select("event_id", "user_id", "o_orderkey", "o_orderdate")
+      .orderBy("event_id")
+  }
+
+  q("q_asof_tolerance",
+    """SELECT event_id, user_id, o_orderkey, o_orderdate FROM (
+      |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+      |    row_number() OVER (PARTITION BY e.event_id
+      |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      |  FROM events e JOIN orders o
+      |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+      |      AND o.o_orderdate >= e.ts - INTERVAL 9000 DAY)
+      |WHERE rn = 1 ORDER BY event_id"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    // bounded-lookback as-of. 9000 days ≈ 24.6 y: the synthetic events
+    // sit in 2024 while orders span 1995–2001, so this bound lands
+    // mid-corpus — some events keep their match, stale ones drop.
+    graft.plans.AsOfJoinPlan.asofMerge(events(s, dir), tbl(s, dir, "orders"),
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate", rightTie = "o_orderkey",
+        tolerance = Some(9000L * 86400L * 1000000L)) // micros
+      .select("event_id", "user_id", "o_orderkey", "o_orderdate")
+      .orderBy("event_id")
+  }
+
+  q("q_sessionize",
+    """WITH g AS (SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+      |  FROM events WHERE user_id < 50
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (SELECT user_id, ts,
+      |  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS session_id FROM g)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |  COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
+      |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    // 30-minute-gap sessionization — one shuffle on user_id; the lag,
+    // the running session counter, and the final per-session rollup all
+    // reuse that partitioning (no second exchange until the rollup).
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events(s, dir).filter(col("user_id") < 50)
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1L).otherwise(0L))
+      .withColumn("session_id", sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"), min("ts").as("session_start"),
+        max("ts").as("session_end"))
+      .orderBy("user_id", "session_id")
+  }
+
+  q("q_range_join",
+    """WITH w AS (SELECT DISTINCT date_trunc('week', ts) + INTERVAL 12 HOUR AS w_start
+      |  FROM events)
+      |SELECT w_start, COUNT(e.event_id) AS n
+      |FROM w LEFT JOIN events e
+      |  ON e.ts >= w.w_start AND e.ts < w.w_start + INTERVAL 24 HOUR
+      |GROUP BY w_start ORDER BY w_start"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    // Interval-containment (range) join, rewritten scale-first: fan each
+    // 24 h window out to the 2 calendar days it can overlap, equi-join on
+    // the day bucket, keep the range predicate as a residual filter. At
+    // 100 TB this is a broadcast hash join probing the fact table once —
+    // never the O(n·m) nested-loop a raw range predicate would plan.
+    val ev = events(s, dir).withColumn("d", date_trunc("DAY", col("ts")))
+    val w = events(s, dir).select(
+        (date_trunc("WEEK", col("ts")) + expr("INTERVAL 12 HOURS")).as("w_start"))
+      .distinct()
+    val wx = w.withColumn("d", explode(array(
+      date_trunc("DAY", col("w_start")),
+      date_trunc("DAY", col("w_start") + expr("INTERVAL 24 HOURS")))))
+    broadcast(wx).join(ev,
+        wx("d") === ev("d") && ev("ts") >= wx("w_start") &&
+          ev("ts") < wx("w_start") + expr("INTERVAL 24 HOURS"), "left")
+      .groupBy("w_start").agg(count(col("event_id")).as("n"))
+      .orderBy("w_start")
+  }
+
+  q("q_unpivot",
+    """SELECT p_partkey, attr, val FROM (
+      |  SELECT p_partkey, 'retailprice' AS attr, CAST(p_retailprice AS DOUBLE) AS val FROM part
+      |  UNION ALL SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part)
+      |ORDER BY p_partkey, attr"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    tbl(s, dir, "part")
+      .select(col("p_partkey"), col("p_retailprice").cast("double").as("retailprice"),
+        col("p_size").cast("double").as("size"))
+      .unpivot(Array(col("p_partkey")), Array(col("retailprice"), col("size")),
+        "attr", "val")
+      .orderBy("p_partkey", "attr")
+  }
+
   q("q_pivot",
     """SELECT date_trunc('day', ts) AS d,
       |  count(*) FILTER (event_type = 'click') AS click,
@@ -625,10 +735,14 @@ object Queries {
       shingleN = 3, threshold = 0.5).orderBy("a_id", "b_id")
   }
 
-  private def minhashOracleSql(bands: Int, rows: Int): String = {
+  /** The minhash-LSH pair pipeline as a reusable DuckDB CTE chain ending
+    * in `pairs(a_id, b_id, jac)` (threshold applied), mirroring
+    * Dedup.minhashLsh expression-for-expression (Kirsch-Mitzenmacher
+    * double hashing: h_i(t) = h1(t) + i*h2(t) over 60/56-bit md5 slices,
+    * exact in BIGINT).
+    */
+  private def minhashPairsCtes(bands: Int, rows: Int): String = {
     val k = bands * rows
-    // Kirsch-Mitzenmacher double hashing, mirroring Dedup.minhashSignature:
-    // h_i(t) = h1(t) + i*h2(t) over 60/56-bit md5 slices (exact in BIGINT).
     val sigEntries = (0 until k)
       .map(i => "list_min(list_transform(s, t -> " +
         "('0x' || substr(md5(t), 1, 15))::BIGINT + " +
@@ -637,21 +751,23 @@ object Queries {
       val parts = (1 to rows).map(r => s"sig[${b * rows + r}]::VARCHAR").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, md5($parts) AS digest FROM sig"
     }.mkString(" UNION ALL ")
-    s"""WITH sh AS (SELECT doc_id, $shinglesSql AS s FROM documents),
+    s"""sh AS (SELECT doc_id, $shinglesSql AS s FROM documents),
        |sig AS (SELECT doc_id, s, [$sigEntries] AS sig FROM sh),
        |bands AS ($bandSelects),
        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.digest = b.digest
        |    AND a.doc_id < b.doc_id),
-       |pairs AS (SELECT a_id, b_id,
+       |pairs AS (SELECT a_id, b_id, jac FROM (SELECT a_id, b_id,
        |  round(len(list_intersect(x.s, y.s))::DOUBLE /
        |        len(list_distinct(list_concat(x.s, y.s))), 6) AS jac
        |  FROM cand JOIN sh x ON x.doc_id = a_id JOIN sh y ON y.doc_id = b_id)
-       |SELECT a_id, b_id, jac FROM pairs WHERE jac >= 0.5 ORDER BY a_id, b_id"""
+       |  WHERE jac >= 0.5)"""
       .stripMargin.replace("\n", " ")
   }
 
-  q("dedup_minhash_lsh", minhashOracleSql(bands = 3, rows = 3)) { (s, dir) =>
+  q("dedup_minhash_lsh",
+    s"WITH ${minhashPairsCtes(bands = 3, rows = 3)} " +
+      "SELECT a_id, b_id, jac FROM pairs ORDER BY a_id, b_id") { (s, dir) =>
     Dedup.minhashLsh(tbl(s, dir, "documents"), "text", "doc_id",
       shingleN = 3, bands = 3, rows = 3, threshold = 0.5).orderBy("a_id", "b_id")
   }
@@ -842,15 +958,44 @@ object Queries {
       .orderBy("keep_id")
   }
 
+  q("text_ngram_topk",
+    s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
+       |g AS (SELECT unnest(list_transform(range(1, len(w), 1),
+       |  i -> w[i] || ' ' || w[i+1])) AS gram FROM t WHERE len(w) >= 2)
+       |SELECT gram, COUNT(*) AS n FROM g GROUP BY gram
+       |ORDER BY n DESC, gram LIMIT 20"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    // corpus-level bigram frequencies (duplicates kept, unlike the
+    // distinct shingle set): explode -> hash agg with map-side partials
+    // -> top-k; the only full-data exchange carries (gram, partial count)
+    val w = TextAnalysis.tokens(col("text"))
+    val grams = when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+      .otherwise(array())
+    tbl(s, dir, "documents")
+      .select(explode(grams).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram")).limit(20)
+  }
+
   // ===========================================================================
   // Rows-only queries (no SQL-expressible oracle): mocker, LSH-ANN,
   // multimodal plumbing.
   // ===========================================================================
 
-  qRowsOnly("dedup_cluster") { (s, dir) =>
-    // end-to-end dedup: MinHash-LSH pairs -> connected families ->
-    // (doc, canonical keeper); iterative, so rows-only (the pair stage is
-    // oracle-checked in dedup_minhash_lsh)
+  q("dedup_cluster",
+    // end-to-end dedup: MinHash-LSH pairs -> connected components ->
+    // (doc, canonical keeper = min reachable doc_id). The oracle computes
+    // the same families via a recursive transitive closure over the
+    // oracle-side pair graph.
+    s"""WITH RECURSIVE ${minhashPairsCtes(bands = 3, rows = 3)},
+       |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION ALL SELECT b_id, a_id FROM pairs),
+       |reach AS (SELECT src AS doc_id, src AS r FROM edges
+       |  UNION SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc_id)
+       |SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin.replace("\n", " ")) { (s, dir) =>
     val pairs = Dedup.minhashLsh(tbl(s, dir, "documents"), "text", "doc_id")
     Dedup.clusterPairs(pairs).orderBy("doc_id")
   }

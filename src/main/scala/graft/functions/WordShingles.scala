@@ -48,7 +48,12 @@ object WordShingles {
     while (lo < hi && s.charAt(lo) == ' ') lo += 1
     while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
     s = s.substring(lo, hi)
-    val words = if (s.isEmpty) Array.empty[String] else s.split("\\s+")
+    // limit -1 keeps trailing empty tokens — exactly Spark's
+    // split(trim(text), "\\s+") and DuckDB's regexp_split_to_array, so
+    // text ending in \t or \n (which the space-only trim preserves)
+    // shingles identically in the kernel, the composed form, and the
+    // oracle (ADVICE r1).
+    val words = if (s.isEmpty) Array.empty[String] else s.split("\\s+", -1)
     if (words.length < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String](words.length * 2)
     val sb = new java.lang.StringBuilder(64)

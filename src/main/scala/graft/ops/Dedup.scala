@@ -73,24 +73,24 @@ object Dedup {
     // Shingling and the k-minhash signature feed three consumers (band
     // self-join + both verification joins); materialize them once instead
     // of letting projection collapse recompute the md5 pyramid per use.
-    // At cluster scale this cache becomes persist(DISK_ONLY) or a
-    // checkpoint — the shape is the same.
+    // localCheckpoint is eager (each scan reads materialized blocks, never
+    // the md5 upstream), truncates lineage, and — unlike catalog .cache()
+    // — is released by the ContextCleaner when the result is dropped, so
+    // library use in a long-lived session doesn't accumulate storage
+    // (ADVICE r1). At cluster scale this becomes a reliable checkpoint —
+    // the plan shape is the same.
     val sh = df.select(col(idCol).as("doc_id"),
       TextAnalysis.shingles(col(textCol), shingleN).as("s"))
       .withColumn("sx", sort_array(transform(col("s"), s => xxhash64(s))))
-      .cache()
-    val hp = sh.select(col("doc_id"), shingleHashPairs(col("s")).as("hp")).cache()
+      .localCheckpoint()
+    val hp = sh.select(col("doc_id"), shingleHashPairs(col("s")).as("hp")).localCheckpoint()
     val sig = hp.select(col("doc_id"),
       minhashFromPairs(col("hp"), bands * rows).as("sig"))
     val bandRows = sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => md5(concat_ws("|",
           slice(col("sig"), b * rows + 1, lit(rows)).cast("array<string>")))))
-        .as(Seq("band", "digest"))).cache()
-    // Materialize the caches eagerly: the band self-join scans bandRows
-    // twice and the verification joins scan sh twice — on a cold cache
-    // each scan would recompute the full shingle/minhash upstream.
-    sh.count(); hp.count(); bandRows.count()
+        .as(Seq("band", "digest"))).localCheckpoint()
     val cand = bandRows.as("a")
       .join(bandRows.as("b"),
         col("a.band") === col("b.band") && col("a.digest") === col("b.digest") &&
@@ -134,8 +134,8 @@ object Dedup {
     val sh = df.select(col(idCol).as("doc_id"), col(blockCol).as("block"),
       floor(length(col(textCol)) / lit(bucketWidth.toDouble)).as("bucket"),
       sort_array(transform(TextAnalysis.shingles(col(textCol), shingleN),
-        s => xxhash64(s))).as("s")).cache()
-    sh.count() // materialize: both join sides scan this cache
+        s => xxhash64(s))).as("s"))
+      .localCheckpoint() // eager: both join sides scan the materialized blocks
     // The length bucket joins as an EQUI key: the probe side fans out to
     // buckets {b-1, b, b+1}, the build side keeps its own bucket, so a
     // |Δbucket| <= 1 pair matches exactly once and the shuffle key is
@@ -173,20 +173,23 @@ object Dedup {
     * handful of iterations suffices). Returns (doc_id, cluster_id); the
     * canonical keeper per family is cluster_id itself.
     */
-  def clusterPairs(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+  def clusterPairs(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // Iterative algorithm ⇒ every intermediate MUST be lineage-truncated:
+    // localCheckpoint is eager (materializes all partitions) and cuts the
+    // plan at an in-memory RDD scan. Round 1 used .cache() + isEmpty,
+    // which only materializes partitions until the probe finds a row;
+    // unpersisting the previous labels then forced later scans to
+    // recompute the whole upstream (LSH pipeline included) once per
+    // iteration — 206 s at sf0.1 for what is a sub-second graph.
     val edges = pairs.select(col("a_id"), col("b_id"))
       .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-      .cache()
-    edges.count() // materialize once; every iteration scans this
-    var labels = edges.select(col("a_id").as("doc_id"))
-      .union(edges.select(col("b_id").as("doc_id"))).distinct()
-      .withColumn("cluster_id", col("doc_id")).cache()
+      .localCheckpoint()
+    var labels = edges.select(col("a_id").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id")).localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      // each node adopts the min of its own label and its neighbors';
-      // the change flag rides along so one action per iteration both
-      // materializes the new labels and decides convergence
+      // each node adopts the min of its own label and its neighbors'
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("doc_id", "b_id")
           .withColumnRenamed("cluster_id", "nbr_label"), Seq("b_id"))
@@ -198,9 +201,8 @@ object Dedup {
           least(col("prev"), coalesce(col("nbr_min"), col("prev"))).as("cluster_id"),
           (least(col("prev"), coalesce(col("nbr_min"), col("prev"))) =!= col("prev"))
             .as("changed"))
-        .cache()
+        .localCheckpoint() // eager: safe to probe convergence below
       converged = next.filter(col("changed")).isEmpty
-      labels.unpersist()
       labels = next.select("doc_id", "cluster_id")
       i += 1
     }
@@ -234,7 +236,7 @@ object Dedup {
     */
   def simhashSignatures(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val hashed = df.select(col(idCol).as("doc_id"),
-      tokenHashes(col(textCol)).as("th")).cache()
+      tokenHashes(col(textCol)).as("th")).localCheckpoint()
     hashed.select(col("doc_id"), simhashFromHashes(col("th")).as("sig"))
   }
 
@@ -255,8 +257,8 @@ object Dedup {
                           maxHamming: Int = 3, bands: Int = 4,
                           bandBits: Int = 15): DataFrame = {
     require(maxHamming <= bands - 1, "pigeonhole requires maxHamming <= bands-1")
-    val sigs = simhashSignatures(df, textCol, idCol).cache()
-    sigs.count() // materialize: self-join scans twice
+    val sigs = simhashSignatures(df, textCol, idCol)
+      .localCheckpoint() // eager: the band self-join scans this twice
     val mask = (1L << bandBits) - 1
     val bandRows = sigs.select(col("doc_id"), col("sig"),
       posexplode(array((0 until bands).map(j =>

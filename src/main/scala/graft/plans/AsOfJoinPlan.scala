@@ -2,10 +2,11 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Cast, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.graftbridge.GraftBridge
 
@@ -13,8 +14,10 @@ import org.apache.spark.sql.graftbridge.GraftBridge
   * `LogicalPlan` + `Strategy` + `SparkPlan` for semantics Spark lacks).
   *
   * For each left row, emit it joined with the LAST right row (in
-  * (rightTime, tie) order) whose key matches and rightTime <= leftTime;
-  * left rows with no match are dropped (inner as-of).
+  * (rightTime, tie) order) whose key matches and rightTime <= leftTime
+  * (optionally also leftTime - rightTime <= tolerance). Unmatched left
+  * rows are dropped (inner) or emitted with a null right side
+  * (left_outer).
   *
   * Physical execution is a single sort-merge pass per co-partition:
   * both children are hash-clustered on the key and sorted by
@@ -24,24 +27,30 @@ import org.apache.spark.sql.graftbridge.GraftBridge
   * state. This is the shape that survives a right side with millions of
   * rows per key at 100 TB.
   *
-  * v1 scope: key evaluates to Long, time/tie evaluate to Long-backed
-  * types (integer types, timestamps — Spark's internal representation
-  * for both timestamp flavors is Long micros).
+  * Scope: key/time/tie evaluate to long-backed internals (integral
+  * types, date = int days, both timestamp flavors = long micros).
+  * Key and time types are validated at PLAN TIME: comparing raw
+  * internals across representations (e.g. DateType days vs TimestampType
+  * micros) would silently match almost everything, so mixed time types
+  * are either widened to a common type (Date vs TimestampNTZ) or
+  * rejected with an explicit error (ADVICE r1).
   */
 final case class AsOfJoinNode(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
-    rightTie: Expression) extends BinaryNode {
-  override def output: Seq[Attribute] = left.output ++ right.output
+    rightTie: Expression,
+    isOuter: Boolean, tolerance: Option[Long]) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ (if (isOuter) right.output.map(_.withNullability(true)) else right.output)
   override protected def withNewChildrenInternal(l: LogicalPlan, r: LogicalPlan): LogicalPlan =
     copy(left = l, right = r)
 }
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lt, rt, tie) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tie) :: Nil
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, tie, outer, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tie, outer, tol) :: Nil
     case _ => Nil
   }
 }
@@ -50,9 +59,11 @@ final case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
-    rightTie: Expression) extends BinaryExecNode {
+    rightTie: Expression,
+    isOuter: Boolean, tolerance: Option[Long]) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    left.output ++ (if (isOuter) right.output.map(_.withNullability(true)) else right.output)
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKey :: Nil) :: ClusteredDistribution(rightKey :: Nil) :: Nil
@@ -70,9 +81,13 @@ final case class AsOfJoinExec(
     val rk = BindReferences.bindReference(rightKey, right.output)
     val rt = BindReferences.bindReference(rightTime, right.output)
     val schema = output
+    val outer = isOuter
+    val tol = tolerance
+    val nRightCols = right.output.size
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val joiner = new JoinedRow
       val project = UnsafeProjection.create(schema.map(_.dataType).toArray)
+      val nullRight: InternalRow = new GenericInternalRow(nRightCols)
       new Iterator[InternalRow] {
         private var rHead: InternalRow = _          // lookahead right row
         private var rHeadKey = 0L
@@ -104,7 +119,7 @@ final case class AsOfJoinExec(
           case i: java.lang.Integer => i.toLong
           case s: java.lang.Short   => s.toLong
           case other => throw new IllegalArgumentException(
-            s"as-of join v1 requires long-backed key/time, got ${other.getClass}")
+            s"as-of join requires long-backed key/time, got ${other.getClass}")
         }
 
         advanceRight()
@@ -127,9 +142,12 @@ final case class AsOfJoinExec(
                 }
                 advanceRight()
               }
-              if (haveCand && candKey == k && candTime <= t) {
-                pending = project(joiner(l, cand))
-              }
+              val matched = haveCand && candKey == k && candTime <= t &&
+                tol.forall(d => t - candTime <= d)
+              if (matched) pending = project(joiner(l, cand))
+              else if (outer) pending = project(joiner(l, nullRight))
+            } else if (outer) {
+              pending = project(joiner(l, nullRight))
             }
           }
         }
@@ -156,13 +174,70 @@ final case class AsOfJoinExec(
 }
 
 object AsOfJoinPlan {
+
+  private def isIntegral(dt: DataType): Boolean = dt match {
+    case ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  private def isLongBacked(dt: DataType): Boolean = dt match {
+    case ShortType | IntegerType | LongType | DateType | TimestampType |
+         TimestampNTZType => true
+    case _ => false
+  }
+
+  /** Plan-time validation + widening of the (leftTime, rightTime) pair.
+    * Internals are only comparable within the same representation:
+    * DateType is int DAYS, both timestamp flavors are long MICROS —
+    * comparing days against micros silently matches nearly every row
+    * (ADVICE r1). Date vs TimestampNTZ widens (timezone-free cast);
+    * any pairing involving the session-timezone-dependent TimestampType
+    * must be cast explicitly by the caller.
+    */
+  private def isTimeLike(dt: DataType): Boolean = dt match {
+    case DateType | TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  private def alignTimes(lt: Expression, rt: Expression): (Expression, Expression) =
+    (lt.dataType, rt.dataType) match {
+      case (a, b) if a == b && isLongBacked(a) => (lt, rt)
+      case (a, b) if isIntegral(a) && isIntegral(b) => (lt, rt)
+      case (a, b) if isTimeLike(a) && isTimeLike(b) =>
+        // widen to a common wall-clock representation (TimestampNTZ
+        // micros): Date→NTZ is midnight expansion; LTZ→NTZ renders the
+        // instant in the session timezone — exactly how the SQL oracle
+        // compares a naive timestamp against a zoned one. The analyzer's
+        // ResolveTimeZone fills the cast's timeZoneId.
+        (if (a == TimestampNTZType) lt else Cast(lt, TimestampNTZType),
+          if (b == TimestampNTZType) rt else Cast(rt, TimestampNTZType))
+      case (a, b) => throw new IllegalArgumentException(
+        s"as-of join time columns have incomparable types $a vs $b: " +
+          "internal representations differ (DateType = days, timestamps = " +
+          "micros); cast both sides to one comparable type explicitly")
+    }
+
   /** Register the planner strategy on the session (idempotent) and build
     * the as-of join DataFrame.
+    *
+    * @param joinType  "inner" (drop unmatched left rows) or "left_outer"
+    *                  (emit them with a null right side)
+    * @param tolerance max allowed leftTime - rightTime, in the time
+    *                  column's native unit (micros for timestamps, days
+    *                  for dates, raw difference for integral types)
     */
   def asofMerge(left: DataFrame, right: DataFrame,
                 leftKey: String, rightKey: String,
                 leftTime: String, rightTime: String,
-                rightTie: String): DataFrame = {
+                rightTie: String,
+                joinType: String = "inner",
+                tolerance: Option[Long] = None): DataFrame = {
+    val isOuter = joinType match {
+      case "inner" => false
+      case "left_outer" => true
+      case other => throw new IllegalArgumentException(
+        s"as-of join supports inner | left_outer, got '$other'")
+    }
     val spark: SparkSession = left.sparkSession
     val existing = spark.experimental.extraStrategies
     if (!existing.exists(_.isInstanceOf[AsOfJoinStrategy.type]))
@@ -172,9 +247,14 @@ object AsOfJoinPlan {
     def resolve(plan: LogicalPlan, name: String): Expression =
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"column '$name' not found"))
+    val (lk, rk) = (resolve(lPlan, leftKey), resolve(rPlan, rightKey))
+    if (!(lk.dataType == rk.dataType && isLongBacked(lk.dataType)) &&
+        !(isIntegral(lk.dataType) && isIntegral(rk.dataType)))
+      throw new IllegalArgumentException(
+        s"as-of join key columns have incomparable types " +
+          s"${lk.dataType} vs ${rk.dataType}")
+    val (lt, rt) = alignTimes(resolve(lPlan, leftTime), resolve(rPlan, rightTime))
     GraftBridge.ofRows(spark, AsOfJoinNode(lPlan, rPlan,
-      resolve(lPlan, leftKey), resolve(rPlan, rightKey),
-      resolve(lPlan, leftTime), resolve(rPlan, rightTime),
-      resolve(rPlan, rightTie)))
+      lk, rk, lt, rt, resolve(rPlan, rightTie), isOuter, tolerance))
   }
 }

@@ -195,3 +195,84 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == Map(7L -> (2L, 20L), 8L -> (1L, 5L)))
   }
 }
+
+/** Regression guards for the round-1 advice findings: as-of type safety
+  * + generalization (outer, tolerance), and the WordShingles/oracle split
+  * contract.
+  */
+class AdviceRegressionSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  test("as-of: left_outer keeps unmatched left rows with a null right side") {
+    val left = Seq((1L, 100L, 10L), (3L, 200L, 1L)).toDF("event_id", "k", "t")
+    val right = Seq((100L, 5L, 500L)).toDF("rk", "rt", "payload")
+    val got = graft.plans.AsOfJoinPlan
+      .asofMerge(left, right, "k", "rk", "t", "rt", "payload", joinType = "left_outer")
+      .select("event_id", "payload").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got == Map(1L -> 500L, 3L -> -1L))
+  }
+
+  test("as-of: tolerance bounds the lookback window") {
+    val left = Seq((1L, 100L, 50L)).toDF("event_id", "k", "t")
+    val right = Seq((100L, 10L, 500L)).toDF("rk", "rt", "payload")
+    def run(tol: Option[Long]) = graft.plans.AsOfJoinPlan
+      .asofMerge(left, right, "k", "rk", "t", "rt", "payload", tolerance = tol)
+      .collect().length
+    assert(run(Some(40L)) == 1) // 50 - 10 == 40 <= 40
+    assert(run(Some(39L)) == 0) // out of tolerance -> dropped (inner)
+    // outer + tolerance: row kept, right side nulled
+    val outer = graft.plans.AsOfJoinPlan
+      .asofMerge(left, right, "k", "rk", "t", "rt", "payload",
+        joinType = "left_outer", tolerance = Some(39L))
+      .select("payload").collect()
+    assert(outer.length == 1 && outer.head.isNullAt(0))
+  }
+
+  test("as-of: Date time widens to TimestampNTZ instead of comparing days to micros") {
+    // ADVICE r1: raw internals would compare date DAYS (~18k) against
+    // timestamp MICROS (~1.6e15), matching every right row; the widened
+    // plan must pick the 01-01 row, not the later 01-03 one.
+    val left = Seq((1L, 100L, "2020-01-02 12:00:00")).toDF("event_id", "k", "ts")
+      .withColumn("ts", $"ts".cast("timestamp_ntz"))
+    val right = Seq((100L, "2020-01-01", 1L), (100L, "2020-01-03", 2L))
+      .toDF("rk", "d", "payload").withColumn("d", to_date($"d"))
+    val got = graft.plans.AsOfJoinPlan
+      .asofMerge(left, right, "k", "rk", "ts", "d", "payload")
+      .select("payload").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L))
+  }
+
+  test("as-of: incomparable time and key types are rejected at plan time") {
+    val left = Seq((1L, 100L, "oops")).toDF("event_id", "k", "t")
+    val right = Seq((100L, 5L, 500L)).toDF("rk", "rt", "payload")
+    assertThrows[IllegalArgumentException] {
+      graft.plans.AsOfJoinPlan.asofMerge(left, right, "k", "rk", "t", "rt", "payload")
+    }
+    val leftStrKey = Seq(("a", 10L, 1L)).toDF("k", "t", "event_id")
+    assertThrows[IllegalArgumentException] {
+      graft.plans.AsOfJoinPlan.asofMerge(leftStrKey, right, "k", "rk", "t", "rt", "payload")
+    }
+  }
+
+  test("WordShingles kernel reproduces the composed/oracle split semantics on edge whitespace") {
+    // ADVICE r1: Java split without limit drops trailing empty tokens;
+    // the kernel must match Spark split(trim(s), "\\s+") (limit -1),
+    // including text ending in \t or \n that the space-only trim keeps.
+    val edges = Seq("a b\t", "\ta b", "a b\n", "a\tb c\t\n", " a  b ", "",
+      "   ", "a b c\td", "\n\na b", "a b \t")
+    val rnd = new scala.util.Random(7)
+    val alpha = "ab \t\n"
+    val fuzz = (1 to 300).map(_ =>
+      (0 until rnd.nextInt(14)).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+    for (n <- Seq(2, 3)) {
+      val df = (edges ++ fuzz).toDF("text")
+      val kernel = df.select(TextAnalysis.shingles($"text", n)).collect()
+        .map(_.getSeq[String](0))
+      val composed = df.select(TextAnalysis.shinglesComposed($"text", n)).collect()
+        .map(_.getSeq[String](0))
+      assert(kernel.toSeq == composed.toSeq)
+    }
+  }
+}
