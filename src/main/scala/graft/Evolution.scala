@@ -14,12 +14,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 sealed abstract class Target(val format: String)
 object Target {
   case object Parquet extends Target("parquet")
+  case object Orc extends Target("orc")
+  case object Avro extends Target("avro")
   case object Delta extends Target("delta")
   case object Iceberg extends Target("iceberg")
   case object Ipc extends Target("ipc")
   case object Flf extends Target("text")
   def fromString(s: String): Target = s.toLowerCase match {
     case "parquet" => Parquet
+    case "orc"     => Orc
+    case "avro"    => Avro
     case "delta"   => Delta
     case "iceberg" => Iceberg
     case "ipc"     => Ipc

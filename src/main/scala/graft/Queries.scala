@@ -1009,7 +1009,37 @@ object Queries {
     Mocker.mock(s, schema, 1000, seed = 42)
   }
 
-  qRowsOnly("knn_cosine_lsh") { (s, dir) =>
+  q("knn_cosine_lsh", {
+    // The seeded hyperplanes embed as exact double literals: the Spark
+    // kernel computes (double)vec[i] * (double)plane[i], and
+    // Double.toString round-trips through DuckDB's decimal parser to the
+    // identical double, so bucket bits (and therefore candidate sets)
+    // agree bit-for-bit.
+    val dim = 64
+    val bucketExpr = Similarity.hyperplanes(dim, planes = 4).zipWithIndex
+      .map { case (plane, p) =>
+        val lit = plane.map(f => java.lang.Double.toString(f.toDouble))
+          .mkString("[", ",", "]")
+        s"(CASE WHEN list_sum(list_transform(range(1, ${dim + 1}), " +
+          s"i -> CAST(embedding[i] AS DOUBLE) * ($lit)[i])) >= 0 " +
+          s"THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |  sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+       |    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm,
+       |  $bucketExpr AS bucket FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_vec, nrm AS q_norm, bucket
+       |  FROM e WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS n_id, embedding AS n_vec, nrm AS n_norm, bucket FROM e),
+       |s AS (SELECT q_id, n_id,
+       |  round(list_sum(list_transform(range(1, len(q_vec) + 1),
+       |    i -> CAST(q_vec[i] AS DOUBLE) * CAST(n_vec[i] AS DOUBLE))) / (q_norm * n_norm), 6) AS cos
+       |  FROM q JOIN c USING (bucket) WHERE q_id != n_id),
+       |r AS (SELECT q_id, n_id, cos,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn FROM s)
+       |SELECT q_id, n_id, cos FROM r WHERE rn <= 5 ORDER BY q_id, n_id"""
+      .stripMargin.replace("\n", " ")
+  }) { (s, dir) =>
     val emb = tbl(s, dir, "embeddings")
     Similarity.lshKnn(emb, emb.filter(col("vec_id") < 10), k = 5, dim = 64, planes = 4)
       .orderBy("q_id", "n_id")

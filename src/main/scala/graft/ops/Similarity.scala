@@ -60,10 +60,19 @@ object Similarity {
     * FloatDotProduct against a constant — not a dim×planes interpreted
     * expression tree.
     */
-  def lshBucket(vec: Column, dim: Int, planes: Int = 8): Column = {
-    val bits = (0 until planes).map { p =>
+  /** The seeded random hyperplanes backing lshBucket — exposed so the
+    * DuckDB oracle can embed the identical planes as double literals
+    * (Double.toString round-trips bit-exactly through any correctly
+    * rounded decimal parser).
+    */
+  def hyperplanes(dim: Int, planes: Int): Seq[Array[Float]] =
+    (0 until planes).map { p =>
       val rnd = new scala.util.Random(0x5EEDL * (p + 1))
-      val plane = Array.fill(dim)(rnd.nextFloat() * 2f - 1f)
+      Array.fill(dim)(rnd.nextFloat() * 2f - 1f)
+    }
+
+  def lshBucket(vec: Column, dim: Int, planes: Int = 8): Column = {
+    val bits = hyperplanes(dim, planes).zipWithIndex.map { case (plane, p) =>
       val proj = graft.functions.ArrayKernels.floatDot(vec, typedLit(plane))
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }

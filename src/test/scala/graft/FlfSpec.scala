@@ -11,6 +11,8 @@ object SparkTestSession {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }
@@ -239,5 +241,48 @@ class FlfFormatSpec extends AnyFunSuite {
     // seeded => deterministic
     val again = Mocker.mock(spark, schema, 2000, seed = 11).collect()
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+}
+
+/** Sink-target coverage (SURVEY.md §2.5 W1/W3): ORC is a built-in source
+  * and must convert end-to-end; avro/delta/iceberg connectors are not
+  * bundled in this distribution, so the engine must fail with an explicit
+  * missing-connector message (strictly more than the reference, where
+  * these targets are `todo!()` — examples/delta/src/main.rs:28-30).
+  */
+class TargetSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private val schemaJson =
+    """{"name":"t","version":1,"columns":[
+      |{"name":"id","offset":0,"length":8,"dtype":"Int64","alignment":"Right","pad_symbol":"Zero","is_nullable":false},
+      |{"name":"w","offset":8,"length":8,"dtype":"Utf8","alignment":"Left","pad_symbol":"Whitespace","is_nullable":true}]}"""
+      .stripMargin
+
+  private def setup(): (String, String) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_target")
+    val sp = dir.resolve("schema.json")
+    java.nio.file.Files.writeString(sp, schemaJson)
+    Evolution.mock(spark, sp.toString, dir.resolve("m.flf").toString, nRows = 500, seed = 3)
+    (dir.toString, sp.toString)
+  }
+
+  test("orc target converts end-to-end and re-reads with the declared schema") {
+    val (dir, sp) = setup()
+    Evolution.convert(spark, s"$dir/m.flf", sp, s"$dir/out.orc", Target.Orc)
+    val back = spark.read.orc(s"$dir/out.orc")
+    assert(back.count() == 500)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "w"))
+    assert(back.schema("id").dataType.typeName == "long")
+  }
+
+  test("absent-connector targets fail with an explicit message, not a stack of class errors") {
+    val (dir, sp) = setup()
+    for (t <- Seq(Target.Avro, Target.Delta)) {
+      val e = intercept[UnsupportedOperationException] {
+        Evolution.convert(spark, s"$dir/m.flf", sp, s"$dir/out_${t.format}", t)
+      }
+      assert(e.getMessage.contains(t.format))
+    }
   }
 }

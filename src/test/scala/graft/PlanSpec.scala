@@ -61,4 +61,26 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"),
       plan.take(800))
   }
+
+  test("bucketed tables join without an exchange on either side") {
+    import graft.ops.Bucketing
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val customer = spark.read.parquet(s"$sf/customer.parquet")
+    Bucketing.writeBucketed(orders, "g_orders_bucketed", "o_custkey", 8)
+    Bucketing.writeBucketed(customer, "g_customer_bucketed", "c_custkey", 8)
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("g_orders_bucketed")
+        .join(spark.table("g_customer_bucketed"),
+          org.apache.spark.sql.functions.col("o_custkey") ===
+            org.apache.spark.sql.functions.col("c_custkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      // the persisted bucket layout IS the shuffle: co-partitioned scans
+      // feed the sort-merge join directly
+      assert(!plan.contains("Exchange"), plan.take(1200))
+      assert(plan.contains("SortMergeJoin"), plan.take(400))
+      assert(j.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
 }
