@@ -1,0 +1,174 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.GraftBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused hashing kernels for the dedup operators. Each replaces an
+  * interpreted higher-order-function pyramid with one compiled pass while
+  * reproducing the composed/oracle arithmetic bit-for-bit:
+  *
+  *  - TokenHashes60(text)  == transform(split(trim(text),"\\s+"),
+  *                              t -> conv(substring(md5(t),1,15),16,10)::long)
+  *  - SimHash60(hashes)    == the 60 per-bit ±1 vote aggregates of
+  *                              Dedup.simhashFromHashes
+  *  - MinHashSignature(s,k)== array_min over h1+i·h2 per shingle
+  *                              (Kirsch-Mitzenmacher; 60/56-bit md5 slices)
+  *
+  * All md5 slices are nibble arithmetic on the raw digest — no hex-string
+  * materialization, no base-16 string parse, one MessageDigest call per
+  * token/shingle. The composed forms are kept in graft.ops.Dedup as the
+  * semantic reference; OpsSpec property-checks kernel == composed.
+  */
+object HashKernels {
+
+  private val md5Local: ThreadLocal[MessageDigest] =
+    new ThreadLocal[MessageDigest] {
+      override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+    }
+
+  /** Big-endian value of `len` nibbles of `d` starting at nibble `from` —
+    * identical to parsing the corresponding md5 hex substring base 16.
+    */
+  private def nibbleSlice(d: Array[Byte], from: Int, len: Int): Long = {
+    var v = 0L
+    var i = from
+    val end = from + len
+    while (i < end) {
+      val nib =
+        if ((i & 1) == 0) (d(i >> 1) >> 4) & 0xF
+        else d(i >> 1) & 0xF
+      v = (v << 4) | nib
+      i += 1
+    }
+    v
+  }
+
+  /** 60-bit token hashes: split on \s+ after ASCII-space trim (Spark
+    * split limit -1 semantics, including the [""] result for empty
+    * input), then the first 15 md5 nibbles per token.
+    */
+  def tokenHashes60(input: UTF8String): ArrayData = {
+    var s = input.toString
+    var lo = 0; var hi = s.length
+    while (lo < hi && s.charAt(lo) == ' ') lo += 1
+    while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
+    s = s.substring(lo, hi)
+    val words = s.split("\\s+", -1)
+    val digest = md5Local.get()
+    val out = new Array[Any](words.length)
+    var i = 0
+    while (i < words.length) {
+      digest.reset()
+      out(i) = nibbleSlice(digest.digest(words(i).getBytes(StandardCharsets.UTF_8)), 0, 15)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** 60-bit SimHash from token hashes: per-bit ±1 votes, sign per bit. */
+  def simhash60(hashes: ArrayData): Long = {
+    val n = hashes.numElements()
+    val votes = new Array[Int](60)
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var j = 0
+      while (j < 60) {
+        votes(j) += (if (((h >> j) & 1L) == 1L) 1 else -1)
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 60) {
+      if (votes(j) >= 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  /** k minhashes in one pass: per shingle one md5, h1/h2 = 60/56-bit
+    * slices, running minimum of h1 + i·h2 per signature entry (the
+    * incremental `+ h2` equals i·h2 exactly — max value 2^60 + k·2^56
+    * stays far below Long.MaxValue for any practical k).
+    *
+    * An empty shingle array yields Long.MaxValue entries where the
+    * composed form yields nulls; both are per-band CONSTANTS, so the LSH
+    * candidate classes (and every downstream result) are identical —
+    * empty docs collide with each other either way and are dropped by
+    * the exact-Jaccard verification.
+    */
+  def minhashSig(shingles: ArrayData, k: Int): ArrayData = {
+    val n = shingles.numElements()
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val digest = md5Local.get()
+    var i = 0
+    while (i < n) {
+      digest.reset()
+      val d = digest.digest(shingles.getUTF8String(i).getBytes)
+      val h1 = nibbleSlice(d, 0, 15)
+      val h2 = nibbleSlice(d, 15, 14)
+      var hj = h1
+      var j = 0
+      while (j < k) {
+        if (hj < mins(j)) mins(j) = hj
+        hj += h2
+        j += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](k)
+    var j = 0
+    while (j < k) { out(j) = mins(j); j += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+case class TokenHashes60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.tokenHashes60(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels$$.MODULE$$.tokenHashes60($c);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class SimHash60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.simhash60(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels$$.MODULE$$.simhash60($c);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.minhashSig(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels$$.MODULE$$.minhashSig($c, $k);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object HashColumns {
+  def tokenHashes60(text: Column): Column =
+    GraftBridge.column(TokenHashes60(GraftBridge.expression(text)))
+  def simhash60(hashes: Column): Column =
+    GraftBridge.column(SimHash60(GraftBridge.expression(hashes)))
+  def minhashSignature(shingles: Column, k: Int): Column =
+    GraftBridge.column(MinHashSignature(GraftBridge.expression(shingles), k))
+}

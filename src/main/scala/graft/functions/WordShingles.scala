@@ -39,21 +39,65 @@ case class WordShingles(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Word n-grams with duplicates kept (corpus frequency counting), same
+  * tokenization contract as WordShingles; one pass, codegen'd.
+  */
+case class WordNGrams(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    WordShingles.computeNGrams(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordShingles$$.MODULE$$.computeNGrams($c, $n);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object WordNGrams {
+  def apply(text: Column, n: Int): Column =
+    GraftBridge.column(WordNGrams(GraftBridge.expression(text), n))
+}
+
 object WordShingles {
-  /** The shingling kernel (also invoked from generated code). */
-  def compute(input: UTF8String, n: Int): ArrayData = {
+  /** Shared tokenizer: trim ASCII space only (SQL trim semantics, not
+    * String.trim's <=0x20), then split "\\s+" with limit -1 — keeping
+    * trailing empty tokens exactly like Spark's split(trim(text),"\\s+")
+    * and DuckDB's regexp_split_to_array, so text ending in \t or \n
+    * (which the space-only trim preserves) tokenizes identically in the
+    * kernels, the composed forms, and the oracle (ADVICE r1).
+    */
+  private def tokenize(input: UTF8String): Array[String] = {
     var s = input.toString
-    // trim ASCII space only (SQL trim semantics, not String.trim's <=0x20)
     var lo = 0; var hi = s.length
     while (lo < hi && s.charAt(lo) == ' ') lo += 1
     while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
     s = s.substring(lo, hi)
-    // limit -1 keeps trailing empty tokens — exactly Spark's
-    // split(trim(text), "\\s+") and DuckDB's regexp_split_to_array, so
-    // text ending in \t or \n (which the space-only trim preserves)
-    // shingles identically in the kernel, the composed form, and the
-    // oracle (ADVICE r1).
-    val words = if (s.isEmpty) Array.empty[String] else s.split("\\s+", -1)
+    if (s.isEmpty) Array.empty[String] else s.split("\\s+", -1)
+  }
+
+  /** N-grams with duplicates (also invoked from generated code). */
+  def computeNGrams(input: UTF8String, n: Int): ArrayData = {
+    val words = tokenize(input)
+    if (words.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](words.length - n + 1)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i + n <= words.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** The shingling kernel (also invoked from generated code). */
+  def compute(input: UTF8String, n: Int): ArrayData = {
+    val words = tokenize(input)
     if (words.length < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String](words.length * 2)
     val sb = new java.lang.StringBuilder(64)

@@ -83,9 +83,11 @@ object Dedup {
       TextAnalysis.shingles(col(textCol), shingleN).as("s"))
       .withColumn("sx", sort_array(transform(col("s"), s => xxhash64(s))))
       .localCheckpoint()
-    val hp = sh.select(col("doc_id"), shingleHashPairs(col("s")).as("hp")).localCheckpoint()
-    val sig = hp.select(col("doc_id"),
-      minhashFromPairs(col("hp"), bands * rows).as("sig"))
+    // one-pass codegen kernel == minhashFromPairs(shingleHashPairs(s), k)
+    // (property-checked in OpsSpec); k running minima over one md5 per
+    // shingle instead of a k-wide interpreted transform pyramid
+    val sig = sh.select(col("doc_id"),
+      graft.functions.HashColumns.minhashSignature(col("s"), bands * rows).as("sig"))
     val bandRows = sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => md5(concat_ws("|",
@@ -195,11 +197,19 @@ object Dedup {
           .withColumnRenamed("cluster_id", "nbr_label"), Seq("b_id"))
         .groupBy(col("a_id").as("doc_id"))
         .agg(min("nbr_label").as("nbr_min"))
-      val next = labels.withColumnRenamed("cluster_id", "prev")
+      val propagated = labels.withColumnRenamed("cluster_id", "prev")
         .join(viaNeighbors, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("prev"), coalesce(col("nbr_min"), col("prev"))).as("cluster_id"),
-          (least(col("prev"), coalesce(col("nbr_min"), col("prev"))) =!= col("prev"))
+        .select(col("doc_id"), col("prev"),
+          least(col("prev"), coalesce(col("nbr_min"), col("prev"))).as("mid"))
+      // pointer jumping: also adopt the label's own label — chain
+      // diameters halve per round, so path-shaped families converge in
+      // O(log d) iterations instead of O(d)
+      val next = propagated.as("x")
+        .join(propagated.select(col("doc_id").as("cid"), col("mid").as("cmid")).as("y"),
+          col("x.mid") === col("y.cid"), "left")
+        .select(col("x.doc_id").as("doc_id"),
+          least(col("x.mid"), coalesce(col("cmid"), col("x.mid"))).as("cluster_id"),
+          (least(col("x.mid"), coalesce(col("cmid"), col("x.mid"))) =!= col("x.prev"))
             .as("changed"))
         .localCheckpoint() // eager: safe to probe convergence below
       converged = next.filter(col("changed")).isEmpty
@@ -210,14 +220,27 @@ object Dedup {
   }
 
   /** 60-bit token hash array (15 hex chars of md5 keeps the value in a
-    * signed long on any engine).
+    * signed long on any engine) — single-pass codegen kernel; the
+    * composed equivalent below is the semantic reference.
     */
   def tokenHashes(text: Column): Column =
+    graft.functions.HashColumns.tokenHashes60(text)
+
+  /** Built-in-composed tokenHashes (kernel cross-check / oracle form). */
+  def tokenHashesComposed(text: Column): Column =
     transform(TextAnalysis.tokens(text),
       t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
 
-  /** SimHash signature from a pre-computed token-hash array. */
-  def simhashFromHashes(hashes: Column, bits: Int = 60): Column = {
+  /** SimHash signature from a pre-computed token-hash array — one-pass
+    * codegen kernel (60 vote counters in a single loop).
+    */
+  def simhashFromHashes(hashes: Column): Column =
+    graft.functions.HashColumns.simhash60(hashes)
+
+  /** Built-in-composed simhashFromHashes (kernel cross-check / oracle
+    * form): one aggregate() vote per bit — 60 interpreted passes.
+    */
+  def simhashFromHashesComposed(hashes: Column, bits: Int = 60): Column = {
     val votes = (0 until bits).map { j =>
       aggregate(hashes, lit(0L),
         (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
@@ -227,18 +250,15 @@ object Dedup {
     }.reduce(_ + _)
   }
 
-  def simhash(text: Column, bits: Int = 60): Column =
-    simhashFromHashes(tokenHashes(text), bits)
+  def simhash(text: Column): Column = simhashFromHashes(tokenHashes(text))
 
-  /** Per-document SimHash signatures, with the token-hash array
-    * materialized once (cached) so the 60 per-bit votes don't each re-run
-    * tokenization + md5 after projection collapse.
+  /** Per-document SimHash signatures. With the fused kernels this is a
+    * single narrow codegen'd projection — no materialization needed (the
+    * round-1 checkpoint existed only because 60 aggregate() votes would
+    * re-run tokenization + md5 per bit after projection collapse).
     */
-  def simhashSignatures(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val hashed = df.select(col(idCol).as("doc_id"),
-      tokenHashes(col(textCol)).as("th")).localCheckpoint()
-    hashed.select(col("doc_id"), simhashFromHashes(col("th")).as("sig"))
-  }
+  def simhashSignatures(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("sig"))
 
   /** SimHash dedup families: documents sharing a signature. */
   def simhashFamilies(df: DataFrame, textCol: String, idCol: String): DataFrame =

@@ -95,11 +95,15 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("clusterPairs resolves transitive families to the min doc_id") {
-    // chain 1-2, 2-3 plus isolated pair 8-9: {1,2,3} -> 1, {8,9} -> 8
-    val pairs = Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("a_id", "b_id")
+    // chain 1-2, 2-3 plus isolated pair 8-9: {1,2,3} -> 1, {8,9} -> 8;
+    // long path 10..16 exercises multi-round pointer jumping
+    val pairs = (Seq((1L, 2L), (2L, 3L), (8L, 9L)) ++
+      (10L until 16L).map(x => (x + 1, x))).toDF("a_id", "b_id")
     val got = Dedup.clusterPairs(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 8L, 9L -> 8L))
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 8L, 9L -> 8L) ++
+      (10L to 16L).map(_ -> 10L)
+    assert(got == expected)
   }
 
   test("custom AsOfJoinExec picks latest right row at or before left time") {
@@ -254,6 +258,35 @@ class AdviceRegressionSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] {
       graft.plans.AsOfJoinPlan.asofMerge(leftStrKey, right, "k", "rk", "t", "rt", "payload")
     }
+  }
+
+  test("hash kernels reproduce the composed md5 pipelines exactly") {
+    import graft.functions.HashColumns
+    val rnd = new scala.util.Random(13)
+    val alpha = "abcd \t\n"
+    val fuzz = (1 to 200).map(_ =>
+      (0 until rnd.nextInt(40)).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+    val texts = (Seq("the cat sat on the mat", "a b c d e f", " x\ty ", "") ++ fuzz)
+      .toDF("text")
+    // token hashes: kernel == transform(split)+md5+conv composition
+    val th = texts.select(Dedup.tokenHashes($"text").as("a"),
+      Dedup.tokenHashesComposed($"text").as("b")).collect()
+    th.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+    // simhash: kernel == 60 interpreted aggregate() votes
+    val sh = texts.select(
+      HashColumns.simhash60(Dedup.tokenHashesComposed($"text")).as("a"),
+      Dedup.simhashFromHashesComposed(Dedup.tokenHashesComposed($"text")).as("b")).collect()
+    sh.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // minhash signature: kernel == array_min(transform(h1 + i*h2)) for
+    // non-empty shingle sets (empty sets: MaxValue vs null, documented
+    // output-equivalent deviation)
+    val shingled = texts.select(TextAnalysis.shingles($"text", 3).as("s"))
+      .filter(size($"s") > 0)
+    val mh = shingled.select(
+      HashColumns.minhashSignature($"s", 9).as("a"),
+      Dedup.minhashFromPairs(Dedup.shingleHashPairs($"s"), 9).as("b")).collect()
+    assert(mh.nonEmpty)
+    mh.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
   }
 
   test("WordShingles kernel reproduces the composed/oracle split semantics on edge whitespace") {
