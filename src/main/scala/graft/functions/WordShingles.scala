@@ -65,7 +65,7 @@ object WordShingles {
     * (which the space-only trim preserves) tokenizes identically in the
     * kernels, the composed forms, and the oracle (ADVICE r1).
     */
-  private def tokenize(input: UTF8String): Array[String] = {
+  private[functions] def tokenize(input: UTF8String): Array[String] = {
     var s = input.toString
     var lo = 0; var hi = s.length
     while (lo < hi && s.charAt(lo) == ' ') lo += 1

@@ -41,8 +41,24 @@ object TextAnalysis {
   /** Per-document statistics: token count, distinct-token count, type-token
     * ratio, mean token length, and a BPE-ish subword-unit estimate
     * (ceil(len/4) pieces per token — the usual ~4-chars-per-token prior).
+    *
+    * Counts come from the one-pass TextStats kernel (a struct per row),
+    * staged in its own projection so every ratio derives from a single
+    * evaluation; the composed form below is the semantic reference.
     */
   def stats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val others = df.columns.filter(_ != textCol).map(col)
+    df.select(others :+ graft.functions.TextStats(col(textCol), Nil).as("__st"): _*)
+      .select(others
+        :+ col("__st.n_tokens").as("n_tokens")
+        :+ col("__st.n_distinct").as("n_distinct")
+        :+ (col("__st.n_distinct").cast("double") / col("__st.n_tokens")).as("ttr")
+        :+ (col("__st.sum_len").cast("double") / col("__st.n_tokens")).as("mean_token_len")
+        :+ col("__st.est_subword").as("est_subword_tokens"): _*)
+  }
+
+  /** Built-in-composed stats (kernel cross-check / oracle form). */
+  def statsComposed(df: DataFrame, textCol: String = "text"): DataFrame = {
     val w = tokens(col(textCol))
     df.select(
       df.columns.filter(_ != textCol).map(col) :+
@@ -57,9 +73,21 @@ object TextAnalysis {
 
   /** Heuristic quality score in [0,1]: lexical diversity, length prior,
     * stopword-density prior. Deterministic double arithmetic (identical
-    * IEEE evaluation order on any engine).
+    * IEEE evaluation order on any engine); integer counts from the
+    * TextStats kernel (deduplicated by codegen subexpression
+    * elimination), ratios as the same single IEEE divisions as the
+    * composed reference below.
     */
   def qualityScore(text: Column, stopwords: Seq[String] = Seq("the", "a")): Column = {
+    val st = graft.functions.TextStats(text, stopwords)
+    val ttr = st.getField("n_distinct").cast("double") / st.getField("n_tokens")
+    val lengthPrior = least(lit(1.0), st.getField("n_tokens").cast("double") / 100.0)
+    val stopRatio = st.getField("n_stop").cast("double") / st.getField("n_tokens")
+    round(ttr * 0.4 + lengthPrior * 0.3 + (lit(1.0) - stopRatio) * 0.3, 6)
+  }
+
+  /** Built-in-composed qualityScore (kernel cross-check / oracle form). */
+  def qualityScoreComposed(text: Column, stopwords: Seq[String] = Seq("the", "a")): Column = {
     val w = tokens(text)
     val ttr = size(array_distinct(w)).cast("double") / size(w)
     val lengthPrior = least(lit(1.0), size(w).cast("double") / 100.0)

@@ -289,6 +289,21 @@ class AdviceRegressionSpec extends AnyFunSuite {
     mh.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
   }
 
+  test("TextStats kernel reproduces the composed stats and quality score exactly") {
+    val rnd = new scala.util.Random(29)
+    val alpha = "the a cat \t\n"
+    val fuzz = (1 to 200).map(_ =>
+      (0 until rnd.nextInt(60)).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+    val texts = (Seq("the cat sat on the mat", "", " ", "wörds ünïcode 漢字 here") ++ fuzz)
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val viaKernel = TextAnalysis.stats(texts).orderBy("doc_id").collect().map(_.toSeq)
+    val viaComposed = TextAnalysis.statsComposed(texts).orderBy("doc_id").collect().map(_.toSeq)
+    assert(viaKernel.toSeq == viaComposed.toSeq)
+    val q = texts.select(TextAnalysis.qualityScore($"text").as("a"),
+      TextAnalysis.qualityScoreComposed($"text").as("b")).collect()
+    q.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
   test("WordShingles kernel reproduces the composed/oracle split semantics on edge whitespace") {
     // ADVICE r1: Java split without limit drops trailing empty tokens;
     // the kernel must match Spark split(trim(s), "\\s+") (limit -1),
