@@ -399,6 +399,23 @@ object Queries {
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
   }
 
+  q("q_salted_join",
+    """WITH dim AS (SELECT l_returnflag AS rf, COUNT(*) AS rf_n FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, COUNT(*) AS n, MIN(rf_n) AS rf_total
+      |FROM lineitem JOIN dim ON l_returnflag = rf
+      |GROUP BY l_returnflag ORDER BY l_returnflag"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    // l_returnflag has 3 values — the textbook skewed key: a plain
+    // shuffle join collapses onto 3 tasks regardless of cluster size.
+    // Salting spreads each hot key over 8 tasks; result is identical.
+    val li = tbl(s, dir, "lineitem")
+    val dim = li.groupBy(col("l_returnflag").as("rf")).agg(count(lit(1)).as("rf_n"))
+    Salting.saltedJoin(li, dim, "l_returnflag", "rf", salts = 8)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), min("rf_n").as("rf_total"))
+      .orderBy("l_returnflag")
+  }
+
   q("q_topk_orders",
     """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"""
@@ -556,6 +573,26 @@ object Queries {
     graft.plans.AsOfJoinPlan.asofMerge(events(s, dir), tbl(s, dir, "orders"),
         leftKey = "user_id", rightKey = "o_custkey",
         leftTime = "ts", rightTime = "o_orderdate", rightTie = "o_orderkey")
+      .select("event_id", "user_id", "o_orderkey", "o_orderdate")
+      .orderBy("event_id")
+  }
+
+  q("q_asof_broadcast",
+    // same logical result as q_asof_join; physically the right side is
+    // collected + broadcast and the left streams with ZERO exchanges —
+    // the dimension-history-lookup plan for a huge fact table
+    """SELECT event_id, user_id, o_orderkey, o_orderdate FROM (
+      |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+      |    row_number() OVER (PARTITION BY e.event_id
+      |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      |  FROM events e JOIN orders o
+      |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+      |WHERE rn = 1 ORDER BY event_id"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    graft.plans.AsOfJoinPlan.asofMerge(events(s, dir), tbl(s, dir, "orders"),
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate", rightTie = "o_orderkey",
+        broadcastRight = true)
       .select("event_id", "user_id", "o_orderkey", "o_orderdate")
       .orderBy("event_id")
   }

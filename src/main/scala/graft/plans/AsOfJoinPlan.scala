@@ -40,7 +40,8 @@ final case class AsOfJoinNode(
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
     rightTie: Expression,
-    isOuter: Boolean, tolerance: Option[Long]) extends BinaryNode {
+    isOuter: Boolean, tolerance: Option[Long],
+    broadcastRight: Boolean) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ (if (isOuter) right.output.map(_.withNullability(true)) else right.output)
   override protected def withNewChildrenInternal(l: LogicalPlan, r: LogicalPlan): LogicalPlan =
@@ -49,8 +50,9 @@ final case class AsOfJoinNode(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lt, rt, tie, outer, tol) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tie, outer, tol) :: Nil
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, tie, outer, tol, bcast) =>
+      (if (bcast) BroadcastAsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tie, outer, tol)
+       else AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tie, outer, tol)) :: Nil
     case _ => Nil
   }
 }
@@ -173,6 +175,98 @@ final case class AsOfJoinExec(
     copy(left = l, right = r)
 }
 
+/** Broadcast-right as-of join: the right side is collected once, grouped
+  * per key into (time, tie)-sorted arrays, and broadcast; each left
+  * partition streams IN PLACE doing one binary search per row. Neither
+  * side is exchanged or sorted — the plan a dimension-history lookup
+  * against a huge fact table wants at 100 TB (same rationale as Spark's
+  * own BroadcastHashJoin, with as-of instead of equality semantics).
+  * Chosen via `asofMerge(..., broadcastRight = true)`; the caller
+  * asserts the right side fits in executor memory, exactly like
+  * `broadcast(df)` on a regular join.
+  */
+final case class BroadcastAsOfJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression,
+    rightTie: Expression,
+    isOuter: Boolean, tolerance: Option[Long]) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ (if (isOuter) right.output.map(_.withNullability(true)) else right.output)
+
+  private def asLong(v: Any): Long = v match {
+    case l: java.lang.Long    => l
+    case i: java.lang.Integer => i.toLong
+    case s: java.lang.Short   => s.toLong
+    case other => throw new IllegalArgumentException(
+      s"as-of join requires long-backed key/time, got ${other.getClass}")
+  }
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val rk = BindReferences.bindReference(rightKey, right.output)
+    val rt = BindReferences.bindReference(rightTime, right.output)
+    val rtie = BindReferences.bindReference(rightTie, right.output)
+    // collect + group + sort the right side once on the driver
+    val grouped = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[(Long, Long, InternalRow)]]()
+    right.executeCollect().foreach { r =>
+      val k = rk.eval(r); val t = rt.eval(r)
+      if (k != null && t != null) {
+        val tie = rtie.eval(r)
+        val buf = grouped.computeIfAbsent(asLong(k),
+          _ => scala.collection.mutable.ArrayBuffer.empty)
+        buf += ((asLong(t), if (tie == null) Long.MinValue else asLong(tie), r))
+      }
+    }
+    val built = new java.util.HashMap[Long, (Array[Long], Array[InternalRow])](grouped.size * 2)
+    grouped.forEach { (k, buf) =>
+      val sorted = buf.sortBy(e => (e._1, e._2))
+      built.put(k, (sorted.map(_._1).toArray, sorted.map(_._3).toArray))
+    }
+    val bc = session.sparkContext.broadcast(built)
+    val lkB = BindReferences.bindReference(leftKey, left.output)
+    val ltB = BindReferences.bindReference(leftTime, left.output)
+    val schema = output
+    val outer = isOuter
+    val tol = tolerance
+    val nRightCols = right.output.size
+    left.execute().mapPartitions { iter =>
+      val joiner = new JoinedRow
+      val project = UnsafeProjection.create(schema.map(_.dataType).toArray)
+      val nullRight: InternalRow = new GenericInternalRow(nRightCols)
+      val lookup = bc.value
+      iter.flatMap { l =>
+        val kRaw = lkB.eval(l)
+        val tRaw = ltB.eval(l)
+        if (kRaw == null || tRaw == null) {
+          if (outer) Iterator.single(project(joiner(l, nullRight))) else Iterator.empty
+        } else {
+          val t = asLong(tRaw)
+          val entry = lookup.get(asLong(kRaw))
+          var matched: InternalRow = null
+          if (entry != null) {
+            val times = entry._1
+            // rightmost index with times(idx) <= t
+            var lo = 0; var hi = times.length
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              if (times(mid) <= t) lo = mid + 1 else hi = mid
+            }
+            val idx = lo - 1
+            if (idx >= 0 && tol.forall(d => t - times(idx) <= d)) matched = entry._2(idx)
+          }
+          if (matched != null) Iterator.single(project(joiner(l, matched)))
+          else if (outer) Iterator.single(project(joiner(l, nullRight)))
+          else Iterator.empty
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(l: SparkPlan, r: SparkPlan): SparkPlan =
+    copy(left = l, right = r)
+}
+
 object AsOfJoinPlan {
 
   private def isIntegral(dt: DataType): Boolean = dt match {
@@ -225,13 +319,18 @@ object AsOfJoinPlan {
     * @param tolerance max allowed leftTime - rightTime, in the time
     *                  column's native unit (micros for timestamps, days
     *                  for dates, raw difference for integral types)
+    * @param broadcastRight collect + broadcast the right side and stream
+    *                  the left in place (no exchange on either side);
+    *                  caller asserts the right side is small, as with
+    *                  `broadcast(df)` on a regular join
     */
   def asofMerge(left: DataFrame, right: DataFrame,
                 leftKey: String, rightKey: String,
                 leftTime: String, rightTime: String,
                 rightTie: String,
                 joinType: String = "inner",
-                tolerance: Option[Long] = None): DataFrame = {
+                tolerance: Option[Long] = None,
+                broadcastRight: Boolean = false): DataFrame = {
     val isOuter = joinType match {
       case "inner" => false
       case "left_outer" => true
@@ -255,6 +354,6 @@ object AsOfJoinPlan {
           s"${lk.dataType} vs ${rk.dataType}")
     val (lt, rt) = alignTimes(resolve(lPlan, leftTime), resolve(rPlan, rightTime))
     GraftBridge.ofRows(spark, AsOfJoinNode(lPlan, rPlan,
-      lk, rk, lt, rt, resolve(rPlan, rightTie), isOuter, tolerance))
+      lk, rk, lt, rt, resolve(rPlan, rightTie), isOuter, tolerance, broadcastRight))
   }
 }

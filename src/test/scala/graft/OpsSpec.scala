@@ -289,6 +289,47 @@ class AdviceRegressionSpec extends AnyFunSuite {
     mh.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
   }
 
+  test("salted join equals the plain equi-join and shuffles on (key, salt)") {
+    val skewed = (1 to 900).map(i => (if (i % 10 == 0) "rare" else "hot", i.toLong))
+      .toDF("k", "v")
+    val dim = Seq(("hot", 1L), ("rare", 2L), ("absent", 3L)).toDF("dk", "dv")
+    val salted = Salting.saltedJoin(skewed, dim, "k", "dk", salts = 8)
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("dv").as("s"))
+    val plain = skewed.join(dim, $"k" === $"dk")
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("dv").as("s"))
+    assert(salted.orderBy("k").collect().toSeq == plain.orderBy("k").collect().toSeq)
+    // the exchange key must include the salt, not just k
+    val plan = salted.queryExecution.executedPlan.toString.replaceAll("#\\d+L?", "")
+    assert(plan.contains("__salt"), plan.take(1500))
+    // left variant keeps unmatched probe rows exactly once
+    val noDim = Salting.saltedJoin(skewed, dim.filter($"dk" === "rare"), "k", "dk",
+      salts = 4, joinType = "left")
+    assert(noDim.count() == 900)
+  }
+
+  test("broadcast as-of agrees with sort-merge as-of and plans with zero exchanges") {
+    val d = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(s"$d/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val orders = spark.read.parquet(s"$d/orders.parquet")
+    def run(bcast: Boolean, joinType: String, tol: Option[Long]) =
+      graft.plans.AsOfJoinPlan.asofMerge(events, orders,
+        "user_id", "o_custkey", "ts", "o_orderdate", "o_orderkey",
+        joinType = joinType, tolerance = tol, broadcastRight = bcast)
+    for ((jt, tol) <- Seq(("inner", None), ("left_outer", None),
+        ("inner", Some(9000L * 86400L * 1000000L)))) {
+      val a = run(bcast = true, jt, tol).select("event_id", "o_orderkey")
+        .orderBy("event_id").collect().toSeq
+      val b = run(bcast = false, jt, tol).select("event_id", "o_orderkey")
+        .orderBy("event_id").collect().toSeq
+      assert(a == b, s"joinType=$jt tol=$tol")
+    }
+    val plan = run(bcast = true, "inner", None).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastAsOfJoin"), plan.take(400))
+    assert(!plan.contains("Exchange"), plan.take(1200))
+  }
+
   test("TextStats kernel reproduces the composed stats and quality score exactly") {
     val rnd = new scala.util.Random(29)
     val alpha = "the a cat \t\n"
