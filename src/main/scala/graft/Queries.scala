@@ -521,6 +521,35 @@ object Queries {
       .orderBy("y", "m")
   }
 
+  q("q_math_funcs",
+    // restricted to operations with exact cross-engine semantics: sqrt is
+    // IEEE-correctly-rounded, abs/floor/ceil/sign/pmod/greatest/least are
+    // integral or exact; ln/exp/pow are libm-dependent and excluded
+    """SELECT l_orderkey, l_linenumber,
+      |  abs(l_extendedprice * -1) AS abs_price,
+      |  round(sqrt(l_extendedprice), 6) AS sqrt_price,
+      |  CAST(floor(l_extendedprice) AS BIGINT) AS floor_p,
+      |  CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_p,
+      |  CAST(sign(l_discount - 0.05) AS DOUBLE) AS sgn,
+      |  CAST(mod(l_orderkey, 7) AS BIGINT) AS m7,
+      |  greatest(l_quantity, l_discount * 100) AS g,
+      |  least(l_quantity, l_discount * 100) AS l
+      |FROM lineitem WHERE l_orderkey < 200
+      |ORDER BY l_orderkey, l_linenumber"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    tbl(s, dir, "lineitem").filter(col("l_orderkey") < 200)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_extendedprice") * -1).as("abs_price"),
+        round(sqrt(col("l_extendedprice")), 6).as("sqrt_price"),
+        floor(col("l_extendedprice")).cast("long").as("floor_p"),
+        ceil(col("l_extendedprice")).cast("long").as("ceil_p"),
+        signum(col("l_discount") - 0.05).as("sgn"),
+        pmod(col("l_orderkey"), lit(7)).cast("long").as("m7"),
+        greatest(col("l_quantity"), col("l_discount") * 100).as("g"),
+        least(col("l_quantity"), col("l_discount") * 100).as("l"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   q("q_case_buckets",
     """SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
       |  WHEN o_totalprice < 150000 THEN 'mid' ELSE 'high' END AS bucket,

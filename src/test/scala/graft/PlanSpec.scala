@@ -62,6 +62,28 @@ class PlanSpec extends AnyFunSuite {
       plan.take(800))
   }
 
+  test("range join fans out to a broadcast equi-join on the day bucket") {
+    val plan = planOf("q_range_join")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      plan.take(800))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "range predicate must not plan as a nested-loop join")
+  }
+
+  test("sessionize reuses one user_id partitioning for lag, counter, and rollup") {
+    val plan = planOf("q_sessionize")
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    // lag + running sum share the (user_id) window exchange; the final
+    // per-session rollup reuses it (partial agg on same prefix key)
+    assert(exchanges.count(_.contains("user_id")) <= 2, exchanges.mkString("\n"))
+  }
+
+  test("broadcast as-of plans with zero exchanges") {
+    val plan = planOf("q_asof_broadcast")
+    val bodyBeforeSort = plan.split("Sort ").head // final ORDER BY adds one
+    assert(!bodyBeforeSort.contains("Exchange hashpartitioning"), plan.take(1200))
+  }
+
   test("bucketed tables join without an exchange on either side") {
     import graft.ops.Bucketing
     val orders = spark.read.parquet(s"$sf/orders.parquet")
