@@ -137,21 +137,35 @@ object Dedup {
       floor(length(col(textCol)) / lit(bucketWidth.toDouble)).as("bucket"),
       sort_array(transform(TextAnalysis.shingles(col(textCol), shingleN),
         s => xxhash64(s))).as("s"))
-      .localCheckpoint() // eager: both join sides scan the materialized blocks
+      .localCheckpoint() // eager: all three consumers scan materialized blocks
     // The length bucket joins as an EQUI key: the probe side fans out to
     // buckets {b-1, b, b+1}, the build side keeps its own bucket, so a
     // |Δbucket| <= 1 pair matches exactly once and the shuffle key is
     // (block, bucket) — parallelism scales with block × length-bucket
     // cardinality instead of collapsing onto the block column alone.
-    val probe = sh.select(col("doc_id").as("a_id"), col("block"), col("s").as("s_a"),
+    // Candidate generation shuffles only (id, block, bucket, |s|) — the
+    // shingle arrays (the bulk of the bytes) never ride the 3-way
+    // fan-out; they are fetched per surviving candidate by two id-keyed
+    // joins against the checkpointed sh. At 100 TB this is the
+    // difference between shuffling 3× the corpus and 3× its id list.
+    val light = sh.select(col("doc_id"), col("block"), col("bucket"),
+      size(col("s")).as("ns"))
+    val probe = light.select(col("doc_id").as("a_id"), col("block"),
+      col("ns").as("na"),
       explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)).as("jb"))
-    val build = sh.select(col("doc_id").as("b_id"), col("block").as("block_b"),
-      col("s").as("s_b"), col("bucket").as("jb_b"))
-    probe.join(build,
+    val build = light.select(col("doc_id").as("b_id"), col("block").as("block_b"),
+      col("ns").as("nb"), col("bucket").as("jb_b"))
+    val cand = probe.join(build,
         col("block") === col("block_b") && col("jb") === col("jb_b") &&
           col("a_id") < col("b_id") &&
-          size(col("s_a")).cast("double") >= size(col("s_b")) * threshold &&
-          size(col("s_b")).cast("double") >= size(col("s_a")) * threshold)
+          // size-ratio bound implied by jac >= t: skips the intersection
+          col("na").cast("double") >= col("nb") * threshold &&
+          col("nb").cast("double") >= col("na") * threshold)
+      .select(col("a_id"), col("b_id"))
+    cand
+      .join(sh.select(col("doc_id"), col("s").as("s_a")), col("a_id") === col("doc_id"))
+      .drop("doc_id")
+      .join(sh.select(col("doc_id"), col("s").as("s_b")), col("b_id") === col("doc_id"))
       .select(col("a_id"), col("b_id"),
         graft.functions.ArrayKernels.sortedIntersectCount(col("s_a"), col("s_b")).as("__i"),
         size(col("s_a")).as("__na"), size(col("s_b")).as("__nb"))

@@ -41,6 +41,21 @@ object Streams {
         sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
       .select(col("window.start").as("h"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exact dedup: drop rows whose content digest was already
+    * seen within the watermark horizon — the ingest-time half of the
+    * batch Dedup.exact operator. State is bounded by the watermark
+    * (dropDuplicatesWithinWatermark evicts digests older than the
+    * horizon), so this runs indefinitely at ingest scale; the periodic
+    * batch MinHash/SimHash pass (Dedup) catches cross-horizon and fuzzy
+    * duplicates.
+    */
+  def dedupStream(docs: DataFrame, textCol: String, tsCol: String,
+                  watermark: String = "1 hour"): DataFrame =
+    docs.withColumn("__digest", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__digest")
+      .drop("__digest")
+
   final case class SessionState(nEvents: Long, lastTsMicros: Long)
   final case class SessionOut(user_id: Long, n_events: Long, last_ts_micros: Long)
 

@@ -198,6 +198,25 @@ class StreamingSpec extends AnyFunSuite {
       .map(o => o.user_id -> (o.n_events, o.last_ts_micros)).toMap
     assert(out == Map(7L -> (2L, 20L), 8L -> (1L, 5L)))
   }
+
+  test("streaming exact dedup drops in-watermark duplicate digests") {
+    val dir = java.nio.file.Files.createTempDirectory("dedupstream")
+    Seq(("2024-01-01 00:00:01", "alpha text"),
+        ("2024-01-01 00:00:02", "alpha text"), // dup within watermark
+        ("2024-01-01 00:00:03", "beta text"))
+      .toDF("ts_s", "text")
+      .select(to_timestamp($"ts_s").as("ts"), $"text")
+      .write.parquet(s"$dir/in")
+    val src = spark.readStream
+      .schema("ts timestamp, text string")
+      .parquet(s"$dir/in")
+    val q = graft.streaming.Streams.dedupStream(src, "text", "ts")
+      .writeStream.format("memory").queryName("dedup_streamed")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("dedup_streamed").orderBy("ts").collect()
+    assert(got.map(_.getString(1)).toSeq == Seq("alpha text", "beta text"))
+  }
 }
 
 /** Regression guards for the round-1 advice findings: as-of type safety
