@@ -990,6 +990,43 @@ object Queries {
       .orderBy("q_id", "n_id")
   }
 
+  q("knn_cosine_ivf_coarse",
+    """WITH cent AS (SELECT vec_id AS cid, embedding AS cvec,
+      |  sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+      |    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS cnrm
+      |  FROM embeddings WHERE vec_id < 8),
+      |e AS (SELECT vec_id, embedding,
+      |  sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+      |    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |a AS (SELECT e.vec_id, e.embedding, e.nrm, c.cid,
+      |  list_sum(list_transform(range(1, len(e.embedding) + 1),
+      |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE))) / (e.nrm * c.cnrm) AS ccos
+      |  FROM e CROSS JOIN cent c),
+      |cell AS (SELECT vec_id, embedding, nrm, cid AS cell FROM
+      |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM a)
+      |  WHERE rn = 1),
+      |q AS (SELECT vec_id AS q_id, embedding AS q_vec, nrm AS q_norm, cell FROM cell WHERE vec_id < 10),
+      |cc AS (SELECT vec_id AS n_id, embedding AS n_vec, nrm AS n_norm, cell FROM cell),
+      |s AS (SELECT q_id, n_id,
+      |  round(list_sum(list_transform(range(1, len(q_vec) + 1),
+      |    i -> CAST(q_vec[i] AS DOUBLE) * CAST(n_vec[i] AS DOUBLE))) / (q_norm * n_norm), 6) AS cos
+      |  FROM q JOIN cc USING (cell) WHERE q_id != n_id),
+      |r AS (SELECT q_id, n_id, cos,
+      |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn FROM s)
+      |SELECT q_id, n_id, cos FROM r WHERE rn <= 5 ORDER BY q_id, n_id"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    // real IVF shape: a tiny centroid codebook (here the first 8 vectors;
+    // an offline k-means codebook drops into the same signature) becomes
+    // plan-time literals, assignment is a narrow argmax projection, and
+    // search shuffles on the cell id only
+    val emb = tbl(s, dir, "embeddings")
+    val centroids = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray).toSeq
+    Similarity.ivfCentroidKnn(emb, emb.filter(col("vec_id") < 10), k = 5, centroids)
+      .orderBy("q_id", "n_id")
+  }
+
   q("text_stats",
     s"""WITH w AS (SELECT doc_id, lang, source, n_chars, $toksSql AS w FROM documents)
        |SELECT doc_id, lang, source, n_chars,

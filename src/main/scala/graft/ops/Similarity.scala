@@ -98,6 +98,48 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
   }
 
+  /** Assign each vector to its nearest centroid by cosine (ties broken
+    * by the lowest centroid index). The codebook is a plan-time literal
+    * (collected once — IVF codebooks are tiny relative to the corpus),
+    * so assignment is a narrow codegen'd projection: `|codebook|` fused
+    * dot products per row, no join, no shuffle.
+    */
+  def ivfAssignCell(vec: Column, centroids: Seq[Array[Float]]): Column = {
+    val entries = centroids.zipWithIndex.map { case (cvec, i) =>
+      var cn = 0.0
+      var j = 0
+      while (j < cvec.length) { cn += cvec(j).toDouble * cvec(j).toDouble; j += 1 }
+      val ccos = graft.functions.ArrayKernels.floatDot(vec, typedLit(cvec)) /
+        (l2Norm(vec) * lit(math.sqrt(cn)))
+      struct(ccos.as("c"), lit(-i).as("negid"))
+    }
+    // struct max = (max cos, then max -id = min id) — the argmax with a
+    // deterministic tie-break, identical to ORDER BY cos DESC, id ASC
+    array_max(array(entries: _*)).getField("negid") * -1
+  }
+
+  /** IVF with a coarse centroid codebook: assign corpus + queries to
+    * cells, search only the query's own cell (nProbe = 1). The codebook
+    * here is any Seq of vectors (callers typically run k-means offline;
+    * the assignment signature is the same).
+    */
+  def ivfCentroidKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+                     centroids: Seq[Array[Float]], idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      l2Norm(col(vecCol)).as("q_norm"),
+      ivfAssignCell(col(vecCol), centroids).as("cell"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      l2Norm(col(vecCol)).as("n_norm"),
+      ivfAssignCell(col(vecCol), centroids).as("cell"))
+    val scored = q.join(c, Seq("cell")).filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(cosineHoisted(col("q_vec"), col("n_vec"), col("q_norm"), col("n_norm")), 6)
+          .as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+  }
+
   /** IVF-style coarse quantization using an existing label/centroid
     * assignment column: restrict search to the query's cell (plus
     * neighboring cells at higher recall settings).
