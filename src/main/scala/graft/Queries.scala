@@ -1252,6 +1252,14 @@ object Queries {
       .orderBy("id")
   }
 
+  qRowsOnly("multimodal_resize") { (s, dir) =>
+    val media = Multimodal.fabricate(tbl(s, dir, "documents"), "text", "image")
+    Multimodal.resize(media, "doc_id", w = 64, h = 64)
+      .select(col("id"), length(col("payload")).as("n_bytes"),
+        col("media_meta.width").as("w"), col("media_meta.height").as("h"))
+      .orderBy("id")
+  }
+
   qRowsOnly("multimodal_frame_sample") { (s, dir) =>
     // deterministic frame/sample grid over fabricated video rows
     val media = Multimodal.fabricate(

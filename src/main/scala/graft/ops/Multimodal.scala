@@ -68,6 +68,42 @@ object Multimodal {
       }(enc)
   }
 
+  /** STUB resize: a real implementation decodes, scales to (w, h), and
+    * re-encodes here (`??? // e.g. Thumbnails/ffmpeg scale`). The stub
+    * keeps the batched per-partition shape and produces a deterministic
+    * payload of the right order of magnitude (byte-strided sample) plus
+    * correctly updated metadata, so downstream schema/partition behavior
+    * is exercised for real.
+    */
+  def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val target = math.max(1, math.min(payload.length, w * h / 64))
+    val stride = math.max(1, payload.length / target)
+    val out = new Array[Byte](math.max(1, payload.length / stride))
+    var i = 0
+    while (i < out.length) { out(i) = payload(i * stride); i += 1 }
+    out
+  }
+
+  /** Per-partition batched resize — same mapPartitions shape as
+    * extractFeatures; emits the resized payload with metadata rewritten
+    * to the target dimensions.
+    */
+  def resize(df: DataFrame, idCol: String, w: Int, h: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false),
+      StructField("media_meta", mediaMeta, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.select(col(idCol).cast("long").as("id"), col("payload"), col("media_meta"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val meta = r.getStruct(2)
+          Row(r.getLong(0), resizeStub(r.getAs[Array[Byte]](1), w, h),
+            Row(meta.getString(0), meta.getString(1), w, h, meta.get(4)))
+        }
+      }(enc)
+  }
+
   /** Deterministic frame/sample selection for time-media: emit
     * `sample_idx` rows per media row (the sampling grid a video decoder
     * would fill) — demonstrates the fan-out shape without the codec.

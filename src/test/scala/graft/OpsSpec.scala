@@ -150,6 +150,20 @@ class OpsSpec extends AnyFunSuite {
     val f = feats.map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
     assert(f(0L) == f(1L))
   }
+
+  test("multimodal: resize rewrites metadata and shrinks the payload deterministically") {
+    val media = Multimodal.fabricate(docs, "text", "image")
+    val out = Multimodal.resize(media, "doc_id", w = 32, h = 32).collect()
+    assert(out.length == 5)
+    out.foreach { r =>
+      val meta = r.getStruct(2)
+      assert(meta.getInt(2) == 32 && meta.getInt(3) == 32)
+      assert(r.getAs[Array[Byte]](1).nonEmpty)
+    }
+    val again = Multimodal.resize(media, "doc_id", w = 32, h = 32).collect()
+    assert(out.map(_.getAs[Array[Byte]](1).toSeq).toSeq ==
+      again.map(_.getAs[Array[Byte]](1).toSeq).toSeq)
+  }
 }
 
 class StreamingSpec extends AnyFunSuite {
