@@ -20,22 +20,46 @@ object FlfParse {
   def read(spark: SparkSession, path: String, schema: FixedSchema): DataFrame =
     parse(spark.read.text(path), schema)
 
-  /** Parse a DataFrame of lines (column `value: string`) per the schema.
-    * One expression per column: char-offset substring (rune semantics match
-    * Spark's character-based substring, SURVEY.md §1.4) → alignment-aware
-    * pad trim → strict typed cast with the reference's null policy.
+  /** Parse a DataFrame of lines (column `value: string`) per the schema:
+    * one fused SliceFixedLine walk per row (all cells extracted + trimmed
+    * in O(line length), independent of column count), then the strict
+    * typed cast + null policy per cell in built-in operators. Staged in
+    * two projections so the slicer evaluates once (CollapseProject keeps
+    * non-cheap producers used more than once in their own projection).
     */
-  def parse(lines: DataFrame, schema: FixedSchema): DataFrame =
+  def parse(lines: DataFrame, schema: FixedSchema): DataFrame = {
+    val alignCode: Alignment => Int = {
+      case Alignment.Left => 0; case Alignment.Right => 1; case Alignment.Center => 2
+    }
+    val cells = graft.functions.SliceFixedLine(col("value"),
+      schema.columns.map(_.offset), schema.columns.map(_.length),
+      schema.columns.map(c => alignCode(c.alignment)),
+      schema.columns.map(_.padSymbol))
+    lines.select(cells.as("__cells"))
+      .select(schema.columns.zipWithIndex.map { case (c, i) =>
+        fromTrimmed(col("__cells").getItem(i), c)
+      }: _*)
+  }
+
+  /** Per-column composed parse (substring → trim → cast), the semantic
+    * reference for the fused slicer; cross-checked in FlfSpec.
+    */
+  def parseComposed(lines: DataFrame, schema: FixedSchema): DataFrame =
     lines.select(schema.columns.map(c => parseColumn(col("value"), c)): _*)
 
   /** The per-column parse expression, composable into any plan. */
   def parseColumn(line: Column, c: FixedColumn): Column = {
     val raw = substring(line, c.offset + 1, c.length)
-    val trimmed = trimPad(raw, c)
+    fromTrimmed(trimPad(raw, c), c)
+  }
+
+  /** Strict cast + null policy from an already-trimmed cell (reference:
+    * builder/datatype.rs:66-86 + column.rs:123-131): parse failure on a
+    * nullable column → NULL; on a non-nullable column the first bad row
+    * aborts the whole job (N2 strict abort).
+    */
+  def fromTrimmed(trimmed: Column, c: FixedColumn): Column = {
     val parsed = castStrict(trimmed, c.dtype)
-    // Null policy (reference: builder/datatype.rs:66-86 + column.rs:123-131):
-    // parse failure on a nullable column → NULL; on a non-nullable column
-    // the first bad row aborts the whole job (N2 strict abort).
     val checked =
       if (c.isNullable) parsed
       else

@@ -24,3 +24,11 @@ object GraftBridge {
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
       .logicalPlan
 }
+
+object GraftBridgeExtensions {
+  /** Test/tooling accessor for the private[sql] strategy registry. */
+  def plannerStrategies(ext: org.apache.spark.sql.SparkSessionExtensions,
+                        spark: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.execution.SparkStrategy] =
+    ext.buildPlannerStrategies(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+}

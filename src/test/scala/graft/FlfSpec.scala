@@ -244,6 +244,47 @@ class FlfFormatSpec extends AnyFunSuite {
   }
 }
 
+/** SliceFixedLine (fused one-pass cell extraction) must agree with the
+  * composed substring/trim path on every alignment, pad, and multi-byte
+  * edge — including mocked data for every dtype.
+  */
+class SliceFixedLineSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private def check(schema: FixedSchema, lines: Seq[String]): Unit = {
+    val df = lines.toDF("value")
+    val fused = FlfParse.parse(df, schema).collect().map(_.toSeq)
+    val composed = FlfParse.parseComposed(df, schema).collect().map(_.toSeq)
+    assert(fused.toSeq == composed.toSeq)
+  }
+
+  test("fused slicer == composed path on fixture A + edge rows") {
+    val schema = FixedSchema(name = "a", version = 1, columns = Seq(
+      FixedColumn("cool", 0, 9, FlfType.Int32T, Alignment.Right, '_', isNullable = true),
+      FixedColumn("salary", 9, 20, FlfType.Float32T, Alignment.Left, '*', isNullable = true),
+      FixedColumn("name", 29, 30, FlfType.Utf8T, Alignment.Center, ';', isNullable = true),
+      FixedColumn("employed", 59, 8, FlfType.BooleanT, Alignment.Center, '0', isNullable = true)))
+    check(schema, Seq(
+      "_____1234-42.5***************;;;;;;;;;;;;Alice;;;;;;;;;;;;;000true0",
+      "_________********************;;;;;;;;;;;;;;;;;;;;;;;;;;;;;;00000000",
+      "garbage",                         // short row: clamped cells
+      "",                                // empty row
+      "_____1234-42.5***************;;;;;;;;;;;;Überläuferin;;;;;000true0")) // multi-byte
+  }
+
+  test("fused slicer == composed path on mocked data for a wide mixed schema") {
+    val schema = FixedSchema(name = "w", version = 1, columns = Seq(
+      FixedColumn("i16", 0, 7, FlfType.Int16T, Alignment.Right, '0', isNullable = true),
+      FixedColumn("i64", 7, 14, FlfType.Int64T, Alignment.Right, ' ', isNullable = true),
+      FixedColumn("f64", 21, 24, FlfType.Float64T, Alignment.Left, ' ', isNullable = true),
+      FixedColumn("u", 45, 12, FlfType.Utf8T, Alignment.Center, '.', isNullable = true),
+      FixedColumn("b", 57, 7, FlfType.BooleanT, Alignment.Left, '-', isNullable = true)))
+    val flf = FlfFormat.format(graft.mock.Mocker.mock(spark, schema, 300, seed = 5), schema)
+    check(schema, flf.collect().map(_.getString(0)).toSeq)
+  }
+}
+
 /** Sink-target coverage (SURVEY.md §2.5 W1/W3): ORC is a built-in source
   * and must convert end-to-end; avro/delta/iceberg connectors are not
   * bundled in this distribution, so the engine must fail with an explicit

@@ -106,3 +106,16 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 }
+
+/** GraftExtensions registers the engine's strategies via the standard
+  * SparkSessionExtensions hook (spark.sql.extensions=graft.plans.GraftExtensions).
+  */
+class ExtensionsSpec extends AnyFunSuite {
+  test("GraftExtensions injects the as-of planner strategy") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.plans.GraftExtensions().apply(ext)
+    val strategies = org.apache.spark.sql.graftbridge.GraftBridgeExtensions
+      .plannerStrategies(ext, SparkTestSession.spark)
+    assert(strategies.contains(graft.plans.AsOfJoinStrategy))
+  }
+}
