@@ -50,17 +50,18 @@ object Evolution {
     */
   def convert(spark: SparkSession, input: String, schemaPath: String,
               output: String, target: Target = Target.Parquet,
-              coalesce1: Boolean = false): Unit = {
+              coalesce1: Boolean = false,
+              mode: String = "errorifexists"): Unit = {
     val schema = FixedSchema.fromPath(schemaPath)
     val df = FlfParse.read(spark, input, schema)
     target match {
-      case Target.Flf => FlfFormat.write(df, schema, output, coalesce1)
+      case Target.Flf => FlfFormat.write(df, schema, output, coalesce1, mode)
       case Target.Ipc =>
         throw new UnsupportedOperationException(
           "Arrow IPC sink is not available in this Spark distribution")
       case t =>
         val d = if (coalesce1) df.coalesce(1) else df
-        try d.write.format(t.format).save(output)
+        try d.write.mode(mode).format(t.format).save(output)
         catch {
           case e: Exception if e.getMessage != null &&
               (e.getMessage.contains("Failed to find") ||
@@ -73,8 +74,10 @@ object Evolution {
 
   /** `evolution mock`: schema-driven random fixed-length file. */
   def mock(spark: SparkSession, schemaPath: String, output: String,
-           nRows: Long = 100000L, seed: Long = 42L, coalesce1: Boolean = false): Unit =
-    Mocker.mockToFlf(spark, FixedSchema.fromPath(schemaPath), nRows, seed, output, coalesce1)
+           nRows: Long = 100000L, seed: Long = 42L, coalesce1: Boolean = false,
+           numPartitions: Int = 0, mode: String = "errorifexists"): Unit =
+    Mocker.mockToFlf(spark, FixedSchema.fromPath(schemaPath), nRows, seed, output,
+      coalesce1, numPartitions, mode)
 
   def session(appName: String = "evolutionspark"): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -89,15 +92,25 @@ object Evolution {
       .getOrCreate()
   }
 
-  /** CLI: `convert -i <flf> -s <schema.json> -o <out> [-t parquet]` |
-    * `mock -s <schema.json> -o <out> [-n rows] [--seed s]`
-    * (flag surface per reference cli.rs:100-188; thread/buffer knobs are
-    * Spark's own parallelism and need no flags).
+  /** CLI (flag surface per reference cli.rs:100-188):
+    * `convert -i <flf> -s <schema.json> -o <out> [-t parquet] [-R bytes]
+    *   [--single-file] [--truncate-existing]`
+    * `mock -s <schema.json> -o <out> [-n rows] [--seed s] [-N partitions]
+    *   [--single-file] [--truncate-existing]`
+    * Mapping of the reference's knobs: `-N threads` → mock partitions
+    * (convert parallelism is the file-split count), `-R read buffer
+    * bytes` → `spark.sql.files.maxPartitionBytes`, `--truncate-existing`
+    * → SaveMode.Overwrite (default force-create-new = ErrorIfExists,
+    * writer.rs:112-121); `-C channel capacity` has no analogue (Spark's
+    * scheduler owns backpressure).
     */
   def main(args: Array[String]): Unit = {
     def opt(flag: String): Option[String] =
       args.sliding(2).collectFirst { case Array(`flag`, v) => v }
     val spark = session()
+    val mode = if (args.contains("--truncate-existing")) "overwrite" else "errorifexists"
+    opt("-R").foreach(bytes =>
+      spark.conf.set("spark.sql.files.maxPartitionBytes", bytes))
     try args.headOption match {
       case Some("convert") =>
         convert(spark,
@@ -105,14 +118,17 @@ object Evolution {
           opt("-s").getOrElse(sys.error("convert requires -s <schema.json>")),
           opt("-o").getOrElse(sys.error("convert requires -o <output>")),
           Target.fromString(opt("-t").getOrElse("parquet")),
-          coalesce1 = args.contains("--single-file"))
+          coalesce1 = args.contains("--single-file"),
+          mode = mode)
       case Some("mock") =>
         mock(spark,
           opt("-s").getOrElse(sys.error("mock requires -s <schema.json>")),
           opt("-o").getOrElse(sys.error("mock requires -o <output>")),
           nRows = opt("-n").map(_.toLong).getOrElse(100000L),
           seed = opt("--seed").map(_.toLong).getOrElse(42L),
-          coalesce1 = args.contains("--single-file"))
+          coalesce1 = args.contains("--single-file"),
+          numPartitions = opt("-N").map(_.toInt).getOrElse(0),
+          mode = mode)
       case _ =>
         System.err.println("usage: evolution (convert|mock) [options]")
         sys.exit(2)

@@ -24,9 +24,14 @@ object FlfFormat {
     * for byte-parity with the reference's single-file writer (SURVEY.md
     * §7.4); leave false at scale to let every task write its own split.
     */
-  def write(df: DataFrame, schema: FixedSchema, path: String, coalesce1: Boolean = false): Unit = {
+  /** `mode`: Spark SaveMode name — the reference writer's open-mode
+    * properties map onto it (force_create_new = errorifexists [default],
+    * truncate_existing = overwrite; writer.rs:112-121, 173-179).
+    */
+  def write(df: DataFrame, schema: FixedSchema, path: String,
+            coalesce1: Boolean = false, mode: String = "errorifexists"): Unit = {
     val lines = format(df, schema)
-    (if (coalesce1) lines.coalesce(1) else lines).write.text(path)
+    (if (coalesce1) lines.coalesce(1) else lines).write.mode(mode).text(path)
   }
 
   /** Pad one value to its cell width per alignment + pad symbol.

@@ -56,8 +56,10 @@ object Mocker {
     * EP2, SURVEY.md §3): range → generators → pad/concat → write.text.
     */
   def mockToFlf(spark: SparkSession, schema: FixedSchema, n: Long, seed: Long,
-                path: String, coalesce1: Boolean = false): Unit =
-    FlfFormat.write(mock(spark, schema, n, seed), schema, path, coalesce1)
+                path: String, coalesce1: Boolean = false,
+                numPartitions: Int = 0, mode: String = "errorifexists"): Unit =
+    FlfFormat.write(mock(spark, schema, n, seed, numPartitions), schema, path,
+      coalesce1, mode)
 
   /** One seeded generator column per dtype (reference ranges lib.rs:34-39,
     * generators lib.rs:57-94).

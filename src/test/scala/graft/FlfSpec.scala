@@ -317,6 +317,16 @@ class TargetSpec extends AnyFunSuite {
     assert(back.schema("id").dataType.typeName == "long")
   }
 
+  test("write modes: default refuses to overwrite; --truncate-existing replaces") {
+    val (dir, sp) = setup()
+    Evolution.convert(spark, s"$dir/m.flf", sp, s"$dir/out_mode", mode = "errorifexists")
+    intercept[Exception] { // force-create-new semantics (writer.rs:173-179)
+      Evolution.convert(spark, s"$dir/m.flf", sp, s"$dir/out_mode", mode = "errorifexists")
+    }
+    Evolution.convert(spark, s"$dir/m.flf", sp, s"$dir/out_mode", mode = "overwrite")
+    assert(spark.read.parquet(s"$dir/out_mode").count() == 500)
+  }
+
   test("absent-connector targets fail with an explicit message, not a stack of class errors") {
     val (dir, sp) = setup()
     for (t <- Seq(Target.Avro, Target.Delta)) {
