@@ -226,7 +226,9 @@ object Dedup {
           (least(col("x.mid"), coalesce(col("cmid"), col("x.mid"))) =!= col("x.prev"))
             .as("changed"))
         .localCheckpoint() // eager: safe to probe convergence below
-      converged = next.filter(col("changed")).isEmpty
+      // iteration 0 always changes something when any edge exists — skip
+      // the probe job there
+      converged = i > 0 && next.filter(col("changed")).isEmpty
       labels = next.select("doc_id", "cluster_id")
       i += 1
     }

@@ -41,6 +41,17 @@ object Streams {
         sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
       .select(col("window.start").as("h"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Stream-static enrichment: join a stream against a broadcast static
+    * dimension — the no-state, no-watermark join (each micro-batch probes
+    * the dimension like a batch broadcast join). The streaming side is
+    * never shuffled; at 100 TB/day ingest this is the only join shape
+    * that needs no state store at all.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, streamKey: String,
+             dimKey: String): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim),
+      col(streamKey) === col(dimKey), "left")
+
   /** Streaming exact dedup: drop rows whose content digest was already
     * seen within the watermark horizon — the ingest-time half of the
     * batch Dedup.exact operator. State is bounded by the watermark

@@ -213,6 +213,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == Map(7L -> (2L, 20L), 8L -> (1L, 5L)))
   }
 
+  test("stream-static enrichment joins each micro-batch against a broadcast dim") {
+    val dir = java.nio.file.Files.createTempDirectory("enrichstream")
+    Seq((1L, "click"), (2L, "view"), (3L, "unknown_user"))
+      .toDF("user_id", "event_type").write.parquet(s"$dir/in")
+    val dim = Seq((1L, "free"), (2L, "pro")).toDF("uid", "tier")
+    val src = spark.readStream.schema("user_id long, event_type string")
+      .parquet(s"$dir/in")
+    val q = graft.streaming.Streams.enrich(src, dim, "user_id", "uid")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("enriched").orderBy("user_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) null else r.getString(3))).toMap
+    assert(got == Map(1L -> "free", 2L -> "pro", 3L -> null))
+  }
+
   test("streaming exact dedup drops in-watermark duplicate digests") {
     val dir = java.nio.file.Files.createTempDirectory("dedupstream")
     Seq(("2024-01-01 00:00:01", "alpha text"),
