@@ -454,6 +454,42 @@ object Queries {
       .orderBy("op", "nationkey")
   }
 
+  q("q_setops_all",
+    """SELECT op, nationkey FROM (
+      |  SELECT 'i_all' AS op, nationkey FROM
+      |    (SELECT c_nationkey AS nationkey FROM customer INTERSECT ALL SELECT s_nationkey FROM supplier)
+      |  UNION ALL
+      |  SELECT 'e_all' AS op, nationkey FROM
+      |    (SELECT c_nationkey AS nationkey FROM customer EXCEPT ALL SELECT s_nationkey FROM supplier)
+      |) ORDER BY op, nationkey"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    // multiset (bag) semantics: duplicates preserved up to the matched count
+    val c = tbl(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+    val su = tbl(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+    c.intersectAll(su).withColumn("op", lit("i_all"))
+      .unionByName(c.exceptAll(su).withColumn("op", lit("e_all")))
+      .select("op", "nationkey")
+      .orderBy("op", "nationkey")
+  }
+
+  q("q_udaf_wavg",
+    s"""SELECT l_returnflag,
+       |  round(CAST(SUM($discPriceSql * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) /
+       |        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 6) AS wavg_price,
+       |  COUNT(*) AS n
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    // typed Aggregator UDAF (exact-decimal state, so partial-merge order
+    // cannot change the result) — quantity-weighted mean discounted price
+    val wavg = udaf(graft.functions.Aggregators.weightedAvg)
+    tbl(s, dir, "lineitem").groupBy("l_returnflag")
+      .agg(round(wavg(
+          discPrice(col("l_extendedprice"), col("l_discount")) * dec(col("l_quantity"), 12, 2),
+          dec(col("l_quantity"), 12, 2)).as("w"), 6).as("wavg_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
   q("q_agg_distinct",
     """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
       |  COUNT(DISTINCT l_suppkey) AS n_supps,
