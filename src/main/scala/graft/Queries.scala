@@ -951,6 +951,40 @@ object Queries {
       .orderBy("a_id", "b_id")
   }
 
+  q("q_correlated_subquery",
+    """SELECT o_custkey, COUNT(*) AS n FROM orders o
+      |WHERE o_totalprice > (SELECT 2 * CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+      |  / COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |GROUP BY o_custkey ORDER BY o_custkey"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    // correlated scalar subquery: Catalyst decorrelates to an aggregate +
+    // self-join on the correlation key (no per-row re-execution); exact
+    // decimal sum -> one double division -> doubled, same IEEE both engines
+    tbl(s, dir, "orders").createOrReplaceTempView("graft_orders_corr")
+    s.sql(
+      """SELECT o_custkey, COUNT(*) AS n FROM graft_orders_corr o
+        |WHERE o_totalprice > (SELECT 2 * CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |  / COUNT(*) FROM graft_orders_corr o2 WHERE o2.o_custkey = o.o_custkey)
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
+  }
+
+  q("q_window_range",
+    """SELECT user_id, event_id,
+      |  CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY CAST(value AS DOUBLE)
+      |    RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_near
+      |FROM events WHERE user_id < 10 ORDER BY user_id, event_id"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    // RANGE frame (value-based, not row-based): frame membership depends
+    // only on the order value, so ties in `value` cannot perturb the count
+    events(s, dir).filter(col("user_id") < 10)
+      .createOrReplaceTempView("graft_events_range")
+    s.sql(
+      """SELECT user_id, event_id,
+        |  COUNT(*) OVER (PARTITION BY user_id ORDER BY CAST(value AS DOUBLE)
+        |    RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS n_near
+        |FROM graft_events_range ORDER BY user_id, event_id""".stripMargin)
+  }
+
   q("q_scalar_subquery",
     """SELECT o_orderpriority, COUNT(*) AS n FROM orders
       |WHERE o_totalprice * (SELECT COUNT(*) FROM orders) >

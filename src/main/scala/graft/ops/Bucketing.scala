@@ -23,4 +23,13 @@ object Bucketing {
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+
+  /** Write `df` hive-style partitioned by `partCol`: a filter on that
+    * column prunes whole directories at plan time (PartitionFilters in
+    * the scan) — at 100 TB the difference between listing one partition
+    * and scanning the table. Keep partition cardinality modest (a
+    * date/category column, never a key).
+    */
+  def writePartitioned(df: DataFrame, path: String, partCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partCol).parquet(path)
 }

@@ -84,6 +84,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!bodyBeforeSort.contains("Exchange hashpartitioning"), plan.take(1200))
   }
 
+  test("partitioned writes prune to the matching directory at plan time") {
+    import graft.ops.Bucketing
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    Bucketing.writePartitioned(orders, s"$dir/orders_by_status", "o_orderstatus")
+    val q = spark.read.parquet(s"$dir/orders_by_status")
+      .filter(org.apache.spark.sql.functions.col("o_orderstatus") === "F")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(o_orderstatus"), plan.take(1500))
+    // the partition predicate must NOT appear as a post-scan data filter
+    assert(q.count() > 0 && q.count() < orders.count())
+  }
+
   test("bucketed tables join without an exchange on either side") {
     import graft.ops.Bucketing
     val orders = spark.read.parquet(s"$sf/orders.parquet")
