@@ -831,6 +831,29 @@ object Queries {
       .orderBy("c_nationkey")
   }
 
+  q("q_array_funcs",
+    """WITH g AS (SELECT c_nationkey, list_sort(list(c_custkey)) AS ks
+      |  FROM customer GROUP BY c_nationkey)
+      |SELECT c_nationkey, CAST(len(ks) AS INT) AS n,
+      |  array_to_string(ks[1:5], ',') AS first5,
+      |  list_contains(ks, 1) AS has_1,
+      |  ks[1] AS min_k, ks[-1] AS max_k,
+      |  CAST(len(list_filter(ks, k -> k % 2 = 0)) AS INT) AS n_even
+      |FROM g ORDER BY c_nationkey"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    // array surface over a grouped collect: sort/slice/contains/index/
+    // filter (arrays stringified where output — engines agree on values,
+    // not on nested-type hash encodings)
+    tbl(s, dir, "customer").groupBy("c_nationkey")
+      .agg(sort_array(collect_list(col("c_custkey"))).as("ks"))
+      .select(col("c_nationkey"), size(col("ks")).as("n"),
+        concat_ws(",", slice(col("ks"), 1, 5).cast("array<string>")).as("first5"),
+        array_contains(col("ks"), 1L).as("has_1"),
+        element_at(col("ks"), 1).as("min_k"), element_at(col("ks"), -1).as("max_k"),
+        size(filter(col("ks"), k => k % 2 === 0)).as("n_even"))
+      .orderBy("c_nationkey")
+  }
+
   qRowsOnly("q_approx_distinct") { (s, dir) =>
     // HLL sketches are engine-specific — rows-only (exact variant is
     // oracle-checked in q_agg_distinct).
