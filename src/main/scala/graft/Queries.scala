@@ -545,6 +545,26 @@ object Queries {
       .orderBy("p_partkey")
   }
 
+  q("q_string_distance",
+    """SELECT p_partkey,
+      |  CAST(levenshtein(p_brand, p_type) AS INT) AS lev,
+      |  reverse(p_name) AS rname,
+      |  translate(p_name, 'aeiou', '.....') AS tname,
+      |  repeat(p_brand, 2) AS bb,
+      |  CAST(strpos(p_name, 'a') AS INT) AS pos_a,
+      |  left(p_name, 4) AS l4, right(p_name, 4) AS r4
+      |FROM part ORDER BY p_partkey"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    tbl(s, dir, "part").select(col("p_partkey"),
+        levenshtein(col("p_brand"), col("p_type")).as("lev"),
+        reverse(col("p_name")).as("rname"),
+        translate(col("p_name"), "aeiou", ".....").as("tname"),
+        repeat(col("p_brand"), 2).as("bb"),
+        instr(col("p_name"), "a").as("pos_a"),
+        expr("left(p_name, 4)").as("l4"), expr("right(p_name, 4)").as("r4"))
+      .orderBy("p_partkey")
+  }
+
   q("q_date_funcs",
     """SELECT CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m,
       |  COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total

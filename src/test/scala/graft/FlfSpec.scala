@@ -273,6 +273,19 @@ class SliceFixedLineSpec extends AnyFunSuite {
       "_____1234-42.5***************;;;;;;;;;;;;Überläuferin;;;;;000true0")) // multi-byte
   }
 
+  test("fused slicer == composed path on code-point fuzz incl. astral plane") {
+    val schema = FixedSchema(name = "f", version = 1, columns = Seq(
+      FixedColumn("a", 0, 4, FlfType.Utf8T, Alignment.Right, '0', isNullable = true),
+      FixedColumn("b", 4, 5, FlfType.Utf8T, Alignment.Center, ' ', isNullable = true),
+      FixedColumn("c", 9, 3, FlfType.Utf8T, Alignment.Left, '*', isNullable = true)))
+    val rnd = new scala.util.Random(41)
+    // BMP ASCII + pads + multi-byte BMP + astral (surrogate-pair) chars
+    val pool = Array("0", " ", "*", "a", "é", "漢", "😀", "𐀀")
+    val lines = (1 to 400).map(_ =>
+      (0 until rnd.nextInt(16)).map(_ => pool(rnd.nextInt(pool.length))).mkString)
+    check(schema, lines)
+  }
+
   test("fused slicer == composed path on mocked data for a wide mixed schema") {
     val schema = FixedSchema(name = "w", version = 1, columns = Seq(
       FixedColumn("i16", 0, 7, FlfType.Int16T, Alignment.Right, '0', isNullable = true),
