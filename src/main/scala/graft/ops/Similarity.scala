@@ -118,6 +118,40 @@ object Similarity {
     array_max(array(entries: _*)).getField("negid") * -1
   }
 
+  /** Lloyd's k-means over an embedding column, producing the IVF
+    * codebook. Each iteration is one distributed pass: assignment is the
+    * narrow literal-codebook projection (ivfAssignCell), the update is a
+    * per-(cell, dimension) mean — only k×dim aggregates ever reach the
+    * driver, so the corpus scales freely while the codebook stays tiny.
+    * Deterministic: seeded by the first k vectors in `idCol` order,
+    * cosine assignment ties break by centroid index.
+    */
+  def kmeansCodebook(df: DataFrame, k: Int, iters: Int, dim: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): Seq[Array[Float]] = {
+    var centroids: Seq[Array[Float]] = df.orderBy(idCol).limit(k)
+      .select(vecCol).collect().map(_.getSeq[Float](0).toArray).toSeq
+    for (_ <- 0 until iters) {
+      val assigned = df.select(col(vecCol).as("v"),
+        ivfAssignCell(col(vecCol), centroids).as("cell"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg(col("x").cast("double")).as("m"))
+        .collect()
+      val next = centroids.zipWithIndex.map { case (old, c) =>
+        val dims = means.filter(_.getInt(0) == c)
+        if (dims.isEmpty) old // empty cell keeps its centroid
+        else {
+          val arr = old.clone()
+          dims.foreach(r => arr(r.getInt(1)) = r.getDouble(2).toFloat)
+          arr
+        }
+      }
+      centroids = next
+    }
+    centroids
+  }
+
   /** IVF with a coarse centroid codebook: assign corpus + queries to
     * cells, search only the query's own cell (nProbe = 1). The codebook
     * here is any Seq of vectors (callers typically run k-means offline;

@@ -140,6 +140,28 @@ class OpsSpec extends AnyFunSuite {
     assert(viaExec.queryExecution.executedPlan.toString.contains("AsOfJoin "))
   }
 
+  test("kmeans codebook separates clustered vectors and feeds ivfCentroidKnn") {
+    // two tight clusters around orthogonal directions
+    val rnd = new scala.util.Random(3)
+    def jitter(base: Array[Float]) =
+      base.map(x => x + rnd.nextFloat() * 0.05f)
+    val a = Array(1f, 0f, 0f, 0f); val b = Array(0f, 0f, 1f, 0f)
+    val vecs = ((0 until 20).map(i => (i.toLong, jitter(a))) ++
+      (20 until 40).map(i => (i.toLong, jitter(b)))).toDF("vec_id", "embedding")
+    val codebook = Similarity.kmeansCodebook(vecs, k = 2, iters = 3, dim = 4)
+    val cells = vecs.select(col("vec_id"),
+        Similarity.ivfAssignCell(col("embedding"), codebook).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // each cluster lands in one cell, and the cells differ
+    assert((0L until 20L).map(cells).toSet.size == 1)
+    assert((20L until 40L).map(cells).toSet.size == 1)
+    assert(cells(0L) != cells(39L))
+    // the codebook drives cell-restricted kNN end-to-end
+    val knn = Similarity.ivfCentroidKnn(vecs, vecs.filter($"vec_id" === 0), k = 3, codebook)
+      .collect().map(_.getLong(1))
+    assert(knn.forall(_ < 20L)) // neighbors come from the same cluster
+  }
+
   test("multimodal: fabricate -> extractFeatures preserves rows and dims") {
     val media = Multimodal.fabricate(docs, "text", "image")
     assert(media.schema("payload").dataType.typeName == "binary")
