@@ -889,10 +889,16 @@ object Queries {
   // ===========================================================================
 
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
-  /** DuckDB mirror of TextAnalysis.shingles(text, 3). */
-  private val shinglesSql =
-    s"list_distinct(list_transform(range(1, CASE WHEN len($toksSql) >= 3 THEN len($toksSql) - 1 ELSE 1 END, 1), " +
-      s"i -> concat_ws(' ', $toksSql[i], $toksSql[i+1], $toksSql[i+2])))"
+  /** DuckDB mirror of TextAnalysis.shingles(text, n). */
+  private def shinglesSqlN(n: Int): String = {
+    val parts = (0 until n).map(j => s"$toksSql[i+$j]").mkString(", ")
+    s"list_distinct(list_transform(range(1, CASE WHEN len($toksSql) >= $n THEN len($toksSql) - ${n - 2} ELSE 1 END, 1), " +
+      s"i -> concat_ws(' ', $parts)))"
+  }
+  private val shinglesSql = shinglesSqlN(3)
+  /** DuckDB mirror of Pipeline.md5Hash60 (60-bit md5 prefix as BIGINT). */
+  private def md5Hash60Sql(c: String): String =
+    s"('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 15))::BIGINT"
 
   q("dedup_exact",
     """SELECT md5(text) AS digest, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
@@ -1259,6 +1265,182 @@ object Queries {
       .select(explode(graft.functions.WordNGrams(col("text"), 2)).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("gram")).limit(20)
+  }
+
+  // ===========================================================================
+  // Corpus-curation pipeline — decontamination, deterministic sampling,
+  // mixture weighting, PII redaction, bloom prefiltering (ops.Pipeline).
+  // ===========================================================================
+
+  q("q_decontaminate", {
+    val sh5 = shinglesSqlN(5)
+    s"""WITH sh AS (SELECT doc_id, source, $sh5 AS s FROM documents),
+       |ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 17 = 0),
+       |contam AS (SELECT DISTINCT doc_id FROM
+       |  (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 17 != 0)
+       |  WHERE g IN (SELECT g FROM ev))
+       |SELECT source, COUNT(*) AS n_clean, MIN(doc_id) AS min_id
+       |FROM documents WHERE doc_id % 17 != 0
+       |  AND doc_id NOT IN (SELECT doc_id FROM contam)
+       |GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")
+  }) { (s, dir) =>
+    // benchmark decontamination: train docs sharing any 5-gram shingle
+    // with the eval slice (doc_id % 17 = 0) are dropped. Eval grams and
+    // the contaminated-id set both broadcast; the train side is only
+    // exploded + hashed map-side (the 100 TB-safe orientation).
+    val docs = tbl(s, dir, "documents")
+    val train = docs.filter(col("doc_id") % 17 =!= 0)
+    val ev = docs.filter(col("doc_id") % 17 === 0)
+    Pipeline.decontaminate(train, ev, "text", "doc_id", shingleN = 5)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_clean"), min("doc_id").as("min_id"))
+      .orderBy("source")
+  }
+
+  q("q_sample_hash",
+    s"""SELECT lang, COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+       |FROM documents WHERE ${md5Hash60Sql("doc_id")} % 20 = 0
+       |GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    // deterministic 5% sample: stable across runs/partitionings/engines
+    // (df.sample() is neither); a pure narrow filter, no shuffle
+    Pipeline.hashSample(tbl(s, dir, "documents"), "doc_id", mod = 20, keep = 1)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .orderBy("lang")
+  }
+
+  q("q_sample_stratified",
+    s"""SELECT lang, rn, doc_id FROM (
+       |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+       |    ORDER BY ${md5Hash60Sql("doc_id")}, doc_id) AS rn FROM documents)
+       |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    // fixed-n-per-stratum deterministic sample (hash-ordered rank)
+    Pipeline.stratifiedSample(tbl(s, dir, "documents"), "lang", "doc_id", nPerStratum = 20)
+      .select("lang", "rn", "doc_id")
+      .orderBy("lang", "rn")
+  }
+
+  private val mixtureRates: Seq[(String, Int)] =
+    (0 until 20).map(i => s"src$i" -> Seq(60, 30, 10)(i % 3))
+
+  q("q_mixture_weights", {
+    val rateSql = mixtureRates
+      .map { case (src, r) => s"WHEN source = '$src' THEN $r" }.mkString(" ")
+    s"""SELECT source, COUNT(*) AS n_kept, MIN(doc_id) AS min_id
+       |FROM documents WHERE ${md5Hash60Sql("doc_id")} % 100 < (CASE $rateSql ELSE 0 END)
+       |GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")
+  }) { (s, dir) =>
+    // training-mix materialization: per-source keep-rates (60/30/10%)
+    // applied as one deterministic narrow filter
+    Pipeline.mixtureSample(tbl(s, dir, "documents"), "source", "doc_id", mixtureRates.toMap)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), min("doc_id").as("min_id"))
+      .orderBy("source")
+  }
+
+  q("text_pii_redact", {
+    // DuckDB single-quoted literals pass backslashes through verbatim,
+    // so the Java pattern strings embed unchanged
+    val e = Pipeline.emailPattern
+    val p = Pipeline.phonePattern
+    s"""WITH p AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+       |  || '@mail.example.com or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t, '$e')) AS INT) AS n_emails,
+       |  CAST(len(regexp_extract_all(t, '$p')) AS INT) AS n_phones,
+       |  md5(regexp_replace(regexp_replace(t, '$e', '<EMAIL>', 'g'), '$p', '<PHONE>', 'g')) AS digest
+       |FROM p ORDER BY doc_id""".stripMargin.replace("\n", " ")
+  }) { (s, dir) =>
+    // PII scrub over a deterministically PII-enriched corpus (the raw
+    // synthetic text has none): count + mask emails/phones, digest the
+    // redacted text. RE2-compatible patterns — both engines agree.
+    val pii = concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com or +1-555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+    tbl(s, dir, "documents")
+      .select(col("doc_id"), pii.as("t"))
+      .select(col("doc_id"),
+        Pipeline.countPattern(col("t"), Pipeline.emailPattern).as("n_emails"),
+        Pipeline.countPattern(col("t"), Pipeline.phonePattern).as("n_phones"),
+        md5(Pipeline.redactPii(col("t"))).as("digest"))
+      .orderBy("doc_id")
+  }
+
+  q("q_bloom_join",
+    """SELECT o_orderpriority, COUNT(*) AS n, MIN(o_orderkey) AS min_key
+      |FROM orders WHERE EXISTS (SELECT 1 FROM customer
+      |  WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    // bloom-prefiltered semi join: the fact table is cut map-side by a
+    // broadcast bloom of the filtered dim keys before the exact confirm
+    // join — result is exactly the semi join (false positives removed)
+    val dim = tbl(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    Pipeline.bloomSemiJoin(tbl(s, dir, "orders"), dim, "o_custkey", "c_custkey",
+        expectedDimRows = 50000L)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), min("o_orderkey").as("min_key"))
+      .orderBy("o_orderpriority")
+  }
+
+  q("text_token_histogram",
+    s"""WITH t AS (SELECT CAST(len($toksSql) AS INT) AS n_tokens FROM documents)
+       |SELECT LEAST(CAST(floor(n_tokens / 8.0) AS INT), 12) AS bin,
+       |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+       |FROM t GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    // token-length distribution (the pre-training length histogram):
+    // one narrow kernel projection + one tiny aggregation
+    tbl(s, dir, "documents")
+      .select(size(TextAnalysis.tokens(col("text"))).as("n_tokens"))
+      .groupBy(least(floor(col("n_tokens") / 8).cast("int"), lit(12)).as("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").cast("long").as("sum_tokens"))
+      .orderBy("bin")
+  }
+
+  q("stream_sessionize",
+    // oracle: the batch sessionization (q_sessionize) — the streaming
+    // operator's single-batch output is provably identical
+    """WITH g AS (SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+      |  FROM events WHERE user_id < 50
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (SELECT user_id, ts,
+      |  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS session_id FROM g)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |  COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
+      |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = s.readStream.schema(tbl(s, dir, "events").schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val micros = src.schema("ts").dataType match {
+      case LongType => expr("ts div 1000")
+      case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+      case _ => unix_micros(col("ts"))
+    }
+    val evs = src.filter(col("user_id") < 50)
+      .select(col("user_id"), col("event_id"), micros.as("ts_micros"))
+      .as[graft.streaming.Streams.SessEvent]
+    val qname = "graft_stream_sessionize"
+    val priorPartitions = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val query = graft.streaming.Streams.sessionWindows(evs)
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      try query.processAllAvailable() finally query.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", priorPartitions)
+    // session timezone is UTC, so LTZ micros render the same wall clock
+    // as the oracle's naive timestamps once cast to NTZ
+    s.table(qname)
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        timestamp_micros(col("start_micros")).cast(TimestampNTZType).as("session_start"),
+        timestamp_micros(col("end_micros")).cast(TimestampNTZType).as("session_end"))
+      .orderBy("user_id", "session_id")
   }
 
   // ===========================================================================

@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Corpus-curation operators for large-scale training-data pipelines:
+  * decontamination against an eval set, deterministic (hash-based)
+  * sampling, stratified sampling, per-source mixture weighting, PII
+  * redaction, and bloom-prefiltered semi joins. Like the rest of the
+  * engine these are declarative DataFrame transforms — Catalyst plans
+  * them, so filters push down and the only shuffles are the ones the
+  * semantics require.
+  */
+object Pipeline {
+
+  /** Deterministic 60-bit content/id hash: the first 15 hex digits of
+    * md5, exactly reproducible in any engine (same construction as the
+    * Dedup minhash slices). Used instead of xxhash64 wherever the result
+    * is part of a cross-engine contract.
+    */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Deterministic hash sample: keep rows whose md5-based bucket (of
+    * `mod`) falls below `keep`. Unlike `df.sample()` this is stable
+    * across runs, partitionings, and engines — the property a training
+    * pipeline needs so a re-run selects the SAME subset. A pure narrow
+    * filter: no shuffle, pushes past column pruning to the scan.
+    */
+  def hashSample(df: DataFrame, idCol: String, mod: Int, keep: Int): DataFrame =
+    df.filter(pmod(md5Hash60(col(idCol)), lit(mod)) < keep)
+
+  /** Stratified deterministic sample: n rows per stratum, chosen by
+    * md5-hash order (id tie-break), so the per-group subset is stable and
+    * unbiased w.r.t. any natural ordering of the data. One shuffle on the
+    * stratum key; at 100 TB with few strata + huge n per stratum, swap
+    * rank for `hashSample` with per-stratum rates (see mixtureSample) to
+    * avoid the single-reducer-per-stratum sort.
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+                       nPerStratum: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol)
+      .orderBy(md5Hash60(col(idCol)), col(idCol))
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= nPerStratum)
+  }
+
+  /** Mixture weighting: per-source keep-rates (percent, 0–100) applied as
+    * a deterministic hash sample — how a training mix ("50% web, 30%
+    * books, 20% code") is materialized. Resolves to a single narrow
+    * filter (CASE over the rate map + one hash comparison); rows from
+    * sources absent in the map are dropped.
+    */
+  def mixtureSample(df: DataFrame, sourceCol: String, idCol: String,
+                    ratesPercent: Map[String, Int]): DataFrame = {
+    val rate = ratesPercent.foldLeft(lit(0)) { case (acc, (src, r)) =>
+      when(col(sourceCol) === src, lit(r)).otherwise(acc)
+    }
+    df.filter(pmod(md5Hash60(col(idCol)), lit(100)) < rate)
+  }
+
+  /** Benchmark decontamination: drop training documents that share any
+    * word n-gram shingle with the eval corpus (the standard n-gram
+    * overlap rule; n=13 in most published pipelines, parameterized here).
+    *
+    * Shape at scale: eval shingles are a small distinct set — broadcast
+    * them and LEFT SEMI join the exploded train shingles to find
+    * contaminated doc ids (never the reverse: the train side is the
+    * 100 TB side and is only ever exploded, hashed, and filtered
+    * map-side). The final anti join removes the (typically tiny)
+    * contaminated id set, also broadcast.
+    */
+  def decontaminate(train: DataFrame, eval_ : DataFrame, textCol: String,
+                    idCol: String, shingleN: Int = 13): DataFrame = {
+    // compare 64-bit shingle hashes, not strings (collision odds ~n²/2⁶⁴
+    // are irrelevant against the fuzzy-overlap rule itself)
+    def grams(df: DataFrame, cols: Seq[Column]): DataFrame =
+      df.select(cols :+ explode(TextAnalysis.shingles(col(textCol), shingleN)).as("g"): _*)
+        .select(cols :+ xxhash64(col("g")).as("gh"): _*)
+    val evalGrams = grams(eval_, Nil).distinct()
+    val contaminatedIds = grams(train, Seq(col(idCol)))
+      .join(broadcast(evalGrams), "gh", "left_semi")
+      .select(idCol).distinct()
+    train.join(broadcast(contaminatedIds), Seq(idCol), "left_anti")
+  }
+
+  /** PII redaction: mask emails and phone-like digit runs. Pure narrow
+    * regexp projection (RE2-compatible patterns so oracle engines agree);
+    * a production pass would chain more patterns through the same shape.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+  val phonePattern = "\\+?[0-9][0-9]{2}-[0-9]{4}"
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
+  def countPattern(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Bloom-prefiltered semi join: reduce a huge fact table against a
+    * filtered dimension by (1) building a bloom filter of dim keys on the
+    * driver (`df.stat.bloomFilter` — a treeAggregate, no shuffle), (2)
+    * filtering the fact table map-side through the broadcast bloom, and
+    * (3) confirming survivors with an exact semi join so false positives
+    * never reach the result. At 100 TB step (2) is the point: the shuffle
+    * (or even the broadcast-join probe) only sees the ~fpp-inflated
+    * matching fraction rather than the full fact table. Semantics are
+    * EXACTLY `fact SEMI JOIN dim` — the bloom is invisible in the result.
+    */
+  def bloomSemiJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+                    dimKey: String, expectedDimRows: Long = 1000000L,
+                    fpp: Double = 0.03): DataFrame = {
+    val bloom = dim.stat.bloomFilter(dimKey, expectedDimRows, fpp)
+    val spark = fact.sparkSession
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: Long) => bloomBc.value.mightContainLong(k))
+    fact.filter(mightContain(col(factKey).cast("long")))
+      .join(dim.select(col(dimKey)).distinct(), col(factKey) === col(dimKey), "left_semi")
+  }
+}

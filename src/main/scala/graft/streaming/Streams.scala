@@ -70,6 +70,53 @@ object Streams {
   final case class SessionState(nEvents: Long, lastTsMicros: Long)
   final case class SessionOut(user_id: Long, n_events: Long, last_ts_micros: Long)
 
+  final case class SessEvent(user_id: Long, event_id: Long, ts_micros: Long)
+  final case class SessAcc(nClosed: Long, startMicros: Long, lastMicros: Long, n: Long)
+  final case class SessionWindow(user_id: Long, session_id: Long, n_events: Long,
+                                 start_micros: Long, end_micros: Long)
+
+  /** Gap-based session windows via flatMapGroupsWithState — the custom-
+    * state operator a batch engine expresses with lag/sum windows
+    * (Queries.q_sessionize) and a streaming engine cannot: state is one
+    * O(1) open-session record per user, not the user's history, so it
+    * runs indefinitely at ingest scale.
+    *
+    * Each batch sorts its per-user slice by (event time, event id),
+    * closes sessions whose gap exceeds `gapMicros`, and ALSO emits the
+    * trailing still-open session, which makes the single-batch (bounded
+    * input) result exactly equal to the batch sessionization — that
+    * equivalence is oracle-checked in stream_sessionize. A production
+    * deployment over late/unordered data would close sessions with an
+    * event-time timeout + watermark instead of the end-of-batch flush.
+    */
+  def sessionWindows(events: Dataset[SessEvent],
+                     gapMicros: Long = 30L * 60 * 1000000): Dataset[SessionWindow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessAcc, SessionWindow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[SessEvent], state: GroupState[SessAcc]) =>
+          val sorted = rows.toArray.sortBy(e => (e.ts_micros, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionWindow]
+          val acc = state.getOption.getOrElse(SessAcc(0L, 0L, 0L, 0L))
+          var nClosed = acc.nClosed
+          var start = acc.startMicros
+          var last = acc.lastMicros
+          var n = acc.n
+          sorted.foreach { e =>
+            if (n == 0L) { start = e.ts_micros; last = e.ts_micros; n = 1L }
+            else if (e.ts_micros - last > gapMicros) {
+              nClosed += 1
+              out += SessionWindow(user, nClosed, n, start, last)
+              start = e.ts_micros; last = e.ts_micros; n = 1L
+            } else { last = math.max(last, e.ts_micros); n += 1L }
+          }
+          if (n > 0L) out += SessionWindow(user, nClosed + 1, n, start, last)
+          state.update(SessAcc(nClosed, start, last, n))
+          out.iterator
+      }
+  }
+
   /** Stateful per-user sessionization via mapGroupsWithState: the custom-
     * state extension point (the Spark analogue of "bring your own
     * operator" — reference trait ColumnBuilder, builder.rs:39-42).

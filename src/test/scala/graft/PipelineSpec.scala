@@ -1,0 +1,102 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  val docs = (0L until 200L).map(i =>
+    (i, s"document number $i with shared vocabulary tokens", s"src${i % 4}", s"lang${i % 3}"))
+    .toDF("doc_id", "text", "source", "lang")
+
+  test("hashSample is deterministic, a subset, and roughly at rate") {
+    val a = Pipeline.hashSample(docs, "doc_id", mod = 4, keep = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Pipeline.hashSample(docs.repartition(7), "doc_id", mod = 4, keep = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b) // stable under re-run and re-partitioning
+    assert(a.subsetOf((0L until 200L).toSet))
+    assert(a.size > 20 && a.size < 80) // ~25% of 200
+  }
+
+  test("stratifiedSample returns exactly n per stratum, deterministically") {
+    val out = Pipeline.stratifiedSample(docs, "lang", "doc_id", nPerStratum = 5)
+    val perStratum = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perStratum.values.toSet == Set(5L))
+    val again = Pipeline.stratifiedSample(docs, "lang", "doc_id", nPerStratum = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == out.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("mixtureSample honors 0 and 100 percent rates; unknown sources drop") {
+    val out = Pipeline.mixtureSample(docs, "source", "doc_id",
+      Map("src0" -> 100, "src1" -> 0, "src2" -> 50))
+    val bySource = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource("src0") == 50L)         // rate 100 keeps every row
+    assert(!bySource.contains("src1"))      // rate 0 drops all
+    assert(!bySource.contains("src3"))      // absent from the map drops all
+    assert(bySource("src2") > 5L && bySource("src2") < 45L)
+  }
+
+  test("decontaminate drops exactly the docs sharing an eval shingle") {
+    val train = Seq(
+      (0L, "alpha beta gamma delta"),      // shares 3-gram with eval
+      (1L, "epsilon zeta eta theta"),      // disjoint
+      (2L, "iota kappa lambda mu")).toDF("doc_id", "text")
+    val ev = Seq((100L, "prefix alpha beta gamma suffix")).toDF("doc_id", "text")
+    val clean = Pipeline.decontaminate(train, ev, "text", "doc_id", shingleN = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean == Set(1L, 2L))
+  }
+
+  test("redactPii masks emails and phone runs and counts them") {
+    val df = Seq("reach me at jo.na+1@corp.example.org or +1-555-0199 today").toDF("t")
+    val out = df.select(
+      Pipeline.redactPii($"t").as("r"),
+      Pipeline.countPattern($"t", Pipeline.emailPattern).as("ne"),
+      Pipeline.countPattern($"t", Pipeline.phonePattern).as("np")).head()
+    assert(out.getString(0).contains("<EMAIL>"))
+    assert(out.getString(0).contains("<PHONE>"))
+    assert(!out.getString(0).contains("@"))
+    assert(out.getInt(1) == 1 && out.getInt(2) == 1)
+  }
+
+  test("bloomSemiJoin equals the exact semi join") {
+    val fact = (0L until 1000L).map(i => (i, i % 100)).toDF("k", "payload")
+    val dim = Seq(3L, 7L, 500L, 999L, 1500L).toDF("dk") // 1500 matches nothing
+    val got = Pipeline.bloomSemiJoin(fact, dim, "k", "dk", expectedDimRows = 10L)
+      .select("k").collect().map(_.getLong(0)).toSet
+    val expected = fact.join(dim, $"k" === $"dk", "left_semi")
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    assert(got == Set(3L, 7L, 500L, 999L))
+  }
+
+  test("sessionWindows splits on gap and matches batch semantics") {
+    val dir = java.nio.file.Files.createTempDirectory("sessstream")
+    val gap = 30L * 60 * 1000000
+    Seq( // user 1: two sessions (gap > 30 min); user 2: one session
+      graft.streaming.Streams.SessEvent(1L, 10L, 0L),
+      graft.streaming.Streams.SessEvent(1L, 11L, 60L * 1000000),
+      graft.streaming.Streams.SessEvent(1L, 12L, gap + 61L * 1000000 + 1),
+      graft.streaming.Streams.SessEvent(2L, 20L, 5L * 1000000))
+      .toDS().write.parquet(s"$dir/in")
+    val src = spark.readStream
+      .schema("user_id long, event_id long, ts_micros long")
+      .parquet(s"$dir/in").as[graft.streaming.Streams.SessEvent]
+    val q = graft.streaming.Streams.sessionWindows(src, gap)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("sessions_out")
+      .orderBy("user_id", "session_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+}
