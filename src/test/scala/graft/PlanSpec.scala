@@ -118,6 +118,39 @@ class PlanSpec extends AnyFunSuite {
       assert(j.count() > 0)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
+
+  test("decontaminate broadcasts eval grams and contaminated ids; train side never shuffle-joins") {
+    val plan = planOf("q_decontaminate")
+    assert(plan.contains("LeftSemi, BuildRight"), plan.take(1500))
+    assert(plan.contains("LeftAnti, BuildRight"), plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("bloom prefilter reaches the fact scan before the confirm semi join") {
+    val plan = planOf("q_bloom_join")
+    // the bloom mightContain UDF is a scan-level DataFilter on orders —
+    // the fact table is cut map-side, then confirmed via broadcast semi
+    assert(plan.contains("UDF(knownnotnull(o_custkey"), plan.take(2000))
+    assert(plan.contains("LeftSemi, BuildRight"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("stratified sample rank is group-limited map-side before the shuffle") {
+    val plan = planOf("q_sample_stratified")
+    // WindowGroupLimit(Partial) below the exchange: only <=n rows per
+    // stratum per input partition cross the wire, not the full table
+    assert(plan.contains("WindowGroupLimit"), plan.take(1500))
+    assert(plan.contains("Partial"))
+  }
+
+  test("hash sample is a pure narrow filter over a pruned scan") {
+    val df = Queries.all("q_sample_hash")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the only exchanges belong to the final aggregation/order, not the
+    // sampling itself: the md5 filter sits directly on the file scan
+    assert(plan.contains("Filter (isnotnull(doc_id"), plan.take(1500))
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,lang:string>"))
+  }
 }
 
 /** GraftExtensions registers the engine's strategies via the standard
