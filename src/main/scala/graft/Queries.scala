@@ -631,6 +631,22 @@ object Queries {
       .orderBy("h", "event_type")
   }
 
+  q("q_events_sliding",
+    """WITH x AS (SELECT event_type, time_bucket(INTERVAL '30 minutes', ts) AS b FROM events),
+      |w AS (SELECT event_type, unnest([b, b - INTERVAL 30 MINUTE]) AS ws FROM x)
+      |SELECT ws, event_type, COUNT(*) AS n FROM w GROUP BY 1, 2 ORDER BY 1, 2"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    // sliding event-time windows (1 h window, 30 min slide): Spark's
+    // window() explodes each event into the 2 overlapping windows — same
+    // shuffle volume as a tumbling window at 2x row fan-out, epoch-aligned
+    // boundaries on both engines
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+      .orderBy("ws", "event_type")
+  }
+
   q("q_json_props",
     """SELECT event_type,
       |  CAST(SUM(TRY_CAST(regexp_extract(props, '([0-9]+)', 1) AS INT)) AS BIGINT) AS sum_k,
@@ -1143,6 +1159,46 @@ object Queries {
     val centroids = emb.filter(col("vec_id") < 8).orderBy("vec_id")
       .select("embedding").collect().map(_.getSeq[Float](0).toArray).toSeq
     Similarity.ivfCentroidKnn(emb, emb.filter(col("vec_id") < 10), k = 5, centroids)
+      .orderBy("q_id", "n_id")
+  }
+
+  q("knn_pq_adc", {
+    // DuckDB mirror of Similarity.pqKnn: the seeded codebooks embed as
+    // exact double literals; list_sum(list_transform(...)) reproduces the
+    // Spark side's left-associated distance chains bit-for-bit (the same
+    // contract every other knn oracle relies on).
+    val books = Similarity.pqCodebooks(dim = 64, m = 4, k = 4)
+    def centroidLit(c: Array[Float]): String =
+      c.map(f => java.lang.Double.toString(f.toDouble)).mkString("[", ",", "]")
+    def distSql(j: Int, c: Array[Float]): String = {
+      val off = j * c.length
+      val lit = centroidLit(c)
+      s"list_sum(list_transform(range(1, ${c.length + 1}), " +
+        s"i -> (CAST(embedding[$off + i] AS DOUBLE) - ($lit)[i]) * " +
+        s"(CAST(embedding[$off + i] AS DOUBLE) - ($lit)[i])))"
+    }
+    def distList(j: Int): String =
+      books(j).map(c => distSql(j, c)).mkString("[", ", ", "]")
+    val codeCols = books.indices
+      .map(j => s"list_position(d$j, list_min(d$j)) AS c$j").mkString(", ")
+    val dlists = books.indices.map(j => s"${distList(j)} AS d$j").mkString(", ")
+    val adc = books.indices.map(j => s"q.d$j[c.c$j]").mkString(" + ")
+    s"""WITH d AS (SELECT vec_id, $dlists FROM embeddings),
+       |c AS (SELECT vec_id AS n_id, $codeCols FROM d),
+       |q AS (SELECT vec_id AS q_id, d0, d1, d2, d3 FROM d WHERE vec_id < 10),
+       |s AS (SELECT q_id, n_id, round($adc, 6) AS adc
+       |  FROM q JOIN c ON q_id != n_id),
+       |r AS (SELECT q_id, n_id, adc,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS rn FROM s)
+       |SELECT q_id, n_id, adc FROM r WHERE rn <= 5 ORDER BY q_id, n_id"""
+      .stripMargin.replace("\n", " ")
+  }) { (s, dir) =>
+    // product-quantization ADC search: corpus as m centroid codes, each
+    // query pair scored by m table lookups — the compressed-domain ANN
+    // path (compose with IVF cells for the full IVF-PQ index)
+    val emb = tbl(s, dir, "embeddings")
+    Similarity.pqKnn(emb, emb.filter(col("vec_id") < 10), k = 5,
+        Similarity.pqCodebooks(dim = 64, m = 4, k = 4))
       .orderBy("q_id", "n_id")
   }
 

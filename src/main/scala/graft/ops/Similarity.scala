@@ -174,6 +174,74 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
   }
 
+  /** Seeded product-quantization codebooks: `m` subspaces of `dim/m`
+    * dimensions, `k` centroids each — plan-time literals, deterministic
+    * across runs and engines (same contract as `hyperplanes`). Callers
+    * wanting trained codebooks run `kmeansCodebook` per subspace offline
+    * and pass the result through the same shape.
+    */
+  def pqCodebooks(dim: Int, m: Int, k: Int): Seq[Seq[Array[Float]]] = {
+    val sub = dim / m
+    (0 until m).map { j =>
+      (0 until k).map { c =>
+        val rnd = new scala.util.Random(0x9E3779B9L * (j * k + c + 1))
+        Array.fill(sub)(rnd.nextFloat() * 2f - 1f)
+      }
+    }
+  }
+
+  /** Squared L2 distance between `vec[offset+1 .. offset+len]` and a
+    * literal centroid, as an explicit left-associated term chain — the
+    * exact IEEE op sequence the DuckDB oracle's
+    * `list_sum(list_transform(...))` produces, so distances (and
+    * therefore PQ codes and ADC ranks) agree bit-for-bit.
+    */
+  private def pqSubDist(vec: Column, offset: Int, centroid: Array[Float]): Column =
+    (1 to centroid.length).map { i =>
+      val d = element_at(vec, offset + i).cast("double") - lit(centroid(i - 1).toDouble)
+      d * d
+    }.reduceLeft(_ + _)
+
+  /** Per-subspace centroid distances as an array column (the query-side
+    * ADC distance table; argmin of it is the corpus-side code).
+    */
+  private def pqDistArray(vec: Column, j: Int, codebooks: Seq[Seq[Array[Float]]]): Column = {
+    val sub = codebooks(j).head.length
+    array(codebooks(j).map(c => pqSubDist(vec, j * sub, c)): _*)
+  }
+
+  /** Product-quantization ADC top-k: corpus vectors are encoded to one
+    * centroid index per subspace (a narrow argmin projection — at rest
+    * this is the m-byte-per-vector representation, 16-32x smaller than
+    * the raw floats); each query precomputes an m×k distance table; a
+    * candidate's approximate distance is m table lookups instead of a
+    * dim-length dot product. The scale path when even one full-precision
+    * scan per query batch is too expensive — compose with ivfKnn cells to
+    * also cut the scanned fraction. Exact-checkable: codebooks are seeded
+    * literals and every distance is a deterministic double chain.
+    */
+  def pqKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+            codebooks: Seq[Seq[Array[Float]]], idCol: String = "vec_id",
+            vecCol: String = "embedding"): DataFrame = {
+    val m = codebooks.length
+    // corpus → PQ codes (1-based argmin, first-match tie-break: identical
+    // to DuckDB list_position(l, list_min(l)))
+    val codeCols = (0 until m).map { j =>
+      val d = pqDistArray(col(vecCol), j, codebooks)
+      array_position(d, array_min(d)).cast("int").as(s"c$j")
+    }
+    val c = corpus.select(col(idCol).as("n_id") +: codeCols: _*)
+    // queries → ADC distance tables
+    val dtCols = (0 until m).map(j => pqDistArray(col(vecCol), j, codebooks).as(s"dt$j"))
+    val q = broadcast(queries.select(col(idCol).as("q_id") +: dtCols: _*))
+    val adc = (0 until m).map(j => element_at(col(s"dt$j"), col(s"c$j")))
+      .reduceLeft(_ + _)
+    val scored = q.join(c, col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), round(adc, 6).as("adc"))
+    val w = Window.partitionBy("q_id").orderBy(col("adc").asc, col("n_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+  }
+
   /** IVF-style coarse quantization using an existing label/centroid
     * assignment column: restrict search to the query's cell (plus
     * neighboring cells at higher recall settings).

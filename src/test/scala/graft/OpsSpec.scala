@@ -65,6 +65,22 @@ class OpsSpec extends AnyFunSuite {
     assert(knn.length == 1 && knn.head.getLong(1) == 1L)
   }
 
+  test("pq adc ranks an exact duplicate of the query first with the minimal distance") {
+    // a query's own codes minimize every per-subspace table entry, so a
+    // byte-identical duplicate must rank 1 with adc == the global minimum
+    val base = Array.tabulate(8)(i => 0.3f * i - 1f)
+    val vecs = Seq(
+      (0L, base), (1L, base.clone()),                 // 1 duplicates 0
+      (2L, Array.fill(8)(2f)), (3L, Array.fill(8)(-2f)))
+      .toDF("vec_id", "embedding")
+    val books = Similarity.pqCodebooks(dim = 8, m = 2, k = 3)
+    val knn = Similarity.pqKnn(vecs, vecs.filter($"vec_id" === 0), k = 3, books)
+      .orderBy("n_id").collect()
+    val byId = knn.map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(byId(1L) == byId.values.min) // the duplicate attains the minimum
+    assert(byId(1L) <= byId(2L) && byId(1L) <= byId(3L))
+  }
+
   test("text stats + quality + fingerprint are deterministic and sane") {
     val st = TextAnalysis.stats(docs.select("doc_id", "text"), "text")
       .filter($"doc_id" === 0).collect().head
