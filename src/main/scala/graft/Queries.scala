@@ -178,6 +178,52 @@ object Queries {
       sum(col("i").cast("long")).as("sum_i"))
   }
 
+  // CSV / JSON-lines source-sink round-trips: the text-format ingestion
+  // surface beyond fixed-width (SURVEY.md §2.5 extension). Each writes the
+  // table through the format and aggregates the re-read copy; the oracle
+  // aggregates the original parquet, so any serialization loss breaks the
+  // hash. Values chosen to round-trip exactly (ints, strings, decimals as
+  // strings, doubles via shortest-repr printing).
+
+  private val roundtripAggSql =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS INT)) AS BIGINT) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_key
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+      .stripMargin.replace("\n", " ")
+
+  private def roundtripAgg(df: DataFrame): DataFrame =
+    df.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("int")).cast("long").as("sum_qty"),
+        sum(dec(col("l_extendedprice"), 12, 2)).cast("double").as("sum_price"),
+        sum("l_orderkey").cast("long").as("sum_key"))
+      .orderBy("l_returnflag")
+
+  private def roundtripInput(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_returnflag"),
+      col("l_quantity").cast("int").as("l_quantity"),
+      dec(col("l_extendedprice"), 12, 2).cast("string").as("l_extendedprice"))
+
+  q("q_csv_roundtrip", roundtripAggSql) { (s, dir) =>
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip"
+    roundtripInput(s, dir).write.mode("overwrite").option("header", "true").csv(out)
+    roundtripAgg(s.read.option("header", "true")
+      .schema("l_orderkey bigint, l_returnflag string, l_quantity int, l_extendedprice string")
+      .csv(out))
+  }
+
+  q("q_jsonl_roundtrip", roundtripAggSql) { (s, dir) =>
+    // JSON-lines: the de-facto interchange format for training corpora
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_roundtrip"
+    roundtripInput(s, dir).write.mode("overwrite").json(out)
+    roundtripAgg(s.read
+      .schema("l_orderkey bigint, l_returnflag string, l_quantity int, l_extendedprice string")
+      .json(out))
+  }
+
   // ===========================================================================
   // General relational surface — SURVEY.md §2.7 (joins, aggs, windows,
   // sorts, set ops, scalar functions, grouping sets).
@@ -658,6 +704,28 @@ object Queries {
         .as("sum_k"),
         count(lit(1)).as("n"))
       .orderBy("event_type")
+  }
+
+  q("q_map_json",
+    """SELECT event_type,
+      |  array_to_string(json_keys(props), ',') AS ks,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+      |  CAST(MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
+      |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    // real JSON parsing (vs q_json_props's regexp fallback): from_json to
+    // a MapType + map_keys/element_at — narrow codegen'd projection
+    val m = from_json(col("props"), MapType(StringType, IntegerType))
+    events(s, dir)
+      .select(col("event_type"),
+        concat_ws(",", map_keys(m)).as("ks"),
+        element_at(m, "k").as("k"))
+      .groupBy("event_type", "ks")
+      .agg(sum(col("k").cast("long")).as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"), count(lit(1)).as("n"))
+      .orderBy("event_type", "ks")
   }
 
   q("q_asof_join",
