@@ -102,6 +102,46 @@ case class FloatDotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Squared L2 distance between a float-array slice
+  * `vec[offset .. offset+len-1]` (0-based) and a constant centroid — the
+  * product-quantization encode/table kernel. One tiny expression node per
+  * (subspace, centroid) instead of an unrolled ~100-node literal chain,
+  * which kept the PQ plan's analysis/codegen cost proportional to
+  * dim × k × m. Accumulation is index order from +0.0, bit-identical to
+  * the left-associated chain `((d1*d1 + d2*d2) + ...)` the DuckDB oracle
+  * computes via `list_sum(list_transform(...))`.
+  */
+case class FloatL2SubDist(child: Expression, offset: Int, centroid: Array[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(input: Any): Any =
+    FloatL2SubDist.compute(input.asInstanceOf[ArrayData], offset, centroid)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("pqCentroid", centroid, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.FloatL2SubDist$$.MODULE$$.compute($c, $offset, $cRef);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object FloatL2SubDist {
+  /** Also invoked from generated code. */
+  def compute(a: ArrayData, offset: Int, c: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < c.length) {
+      val d = a.getFloat(offset + i).toDouble - c(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+}
+
 object ArrayKernels {
   def sortedIntersectCount(a: Column, b: Column): Column =
     GraftBridge.column(
@@ -110,4 +150,7 @@ object ArrayKernels {
   def floatDot(a: Column, b: Column): Column =
     GraftBridge.column(
       FloatDotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def floatL2SubDist(vec: Column, offset: Int, centroid: Array[Double]): Column =
+    GraftBridge.column(FloatL2SubDist(GraftBridge.expression(vec), offset, centroid))
 }

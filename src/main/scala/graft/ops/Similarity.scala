@@ -190,13 +190,21 @@ object Similarity {
     }
   }
 
-  /** Squared L2 distance between `vec[offset+1 .. offset+len]` and a
-    * literal centroid, as an explicit left-associated term chain — the
-    * exact IEEE op sequence the DuckDB oracle's
-    * `list_sum(list_transform(...))` produces, so distances (and
-    * therefore PQ codes and ADC ranks) agree bit-for-bit.
+  /** Squared L2 distance between `vec[offset+1 .. offset+len]` (1-based
+    * SQL indexing) and a literal centroid — the fused FloatL2SubDist
+    * kernel, whose index-order accumulation from +0.0 is the exact IEEE
+    * op sequence of the DuckDB oracle's left-associated
+    * `list_sum(list_transform(...))` chain, so distances (and therefore
+    * PQ codes and ADC ranks) agree bit-for-bit. (The composed unrolled
+    * chain it replaces is equivalence-tested in ArrayKernelsSpec.)
     */
   private def pqSubDist(vec: Column, offset: Int, centroid: Array[Float]): Column =
+    graft.functions.ArrayKernels.floatL2SubDist(vec, offset, centroid.map(_.toDouble))
+
+  /** The composed built-in form of pqSubDist (semantic reference / kernel
+    * cross-check; not used in the hot path).
+    */
+  def pqSubDistComposed(vec: Column, offset: Int, centroid: Array[Float]): Column =
     (1 to centroid.length).map { i =>
       val d = element_at(vec, offset + i).cast("double") - lit(centroid(i - 1).toDouble)
       d * d
@@ -225,12 +233,17 @@ object Similarity {
             vecCol: String = "embedding"): DataFrame = {
     val m = codebooks.length
     // corpus → PQ codes (1-based argmin, first-match tie-break: identical
-    // to DuckDB list_position(l, list_min(l)))
+    // to DuckDB list_position(l, list_min(l))). The distance arrays are
+    // staged in their own projection: argmin consumes each array twice
+    // (position + min), and CollapseProject would otherwise re-inline the
+    // full literal distance chain per consumer, doubling the tree.
+    val staged = corpus.select(
+      col(idCol).as("n_id") +:
+        (0 until m).map(j => pqDistArray(col(vecCol), j, codebooks).as(s"d$j")): _*)
     val codeCols = (0 until m).map { j =>
-      val d = pqDistArray(col(vecCol), j, codebooks)
-      array_position(d, array_min(d)).cast("int").as(s"c$j")
+      array_position(col(s"d$j"), array_min(col(s"d$j"))).cast("int").as(s"c$j")
     }
-    val c = corpus.select(col(idCol).as("n_id") +: codeCols: _*)
+    val c = staged.select(col("n_id") +: codeCols: _*)
     // queries → ADC distance tables
     val dtCols = (0 until m).map(j => pqDistArray(col(vecCol), j, codebooks).as(s"dt$j"))
     val q = broadcast(queries.select(col(idCol).as("q_id") +: dtCols: _*))

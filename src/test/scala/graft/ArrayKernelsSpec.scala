@@ -39,6 +39,28 @@ class ArrayKernelsSpec extends AnyFunSuite {
     got.foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // exact, not approx
   }
 
+  test("floatL2SubDist equals the composed unrolled chain bit-for-bit") {
+    val rnd = new scala.util.Random(11)
+    val dim = 32
+    val rows = Seq.fill(40)(Array.fill(dim)(rnd.nextFloat() * 2 - 1))
+    val df = rows.map(Tuple1(_)).toDF("v")
+    // every subspace offset, including the last; centroids random per test
+    for (offset <- Seq(0, 8, 24)) {
+      val centroid = Array.fill(8)(rnd.nextFloat() * 2 - 1)
+      val got = df.select(
+        ArrayKernels.floatL2SubDist($"v", offset, centroid.map(_.toDouble)).as("k"),
+        graft.ops.Similarity.pqSubDistComposed($"v", offset, centroid).as("ref")).collect()
+      got.foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // exact, not approx
+    }
+  }
+
+  test("floatL2SubDist is null-safe") {
+    val df = Seq(Tuple1(Option.empty[Array[Float]])).toDF("v")
+    val got = df.select(
+      ArrayKernels.floatL2SubDist($"v", 0, Array(1.0, 2.0))).collect()
+    assert(got.head.isNullAt(0))
+  }
+
   test("kernels survive whole-stage codegen over a real scan") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(100)
     val n = emb.select(ArrayKernels.floatDot($"embedding", $"embedding").as("d"))
