@@ -1270,6 +1270,32 @@ object Queries {
       .orderBy("q_id", "n_id")
   }
 
+  q("knn_cosine_sq8",
+    """WITH e AS (SELECT vec_id, embedding,
+      |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS raw FROM embeddings),
+      |sc AS (SELECT vec_id, embedding,
+      |  CASE WHEN raw = 0.0 THEN 1.0 ELSE raw END AS scale FROM e),
+      |co AS (SELECT vec_id, list_transform(embedding,
+      |  x -> CAST(round(CAST(x AS DOUBLE) / scale * 127.0) AS BIGINT)) AS code FROM sc),
+      |n AS (SELECT vec_id, code,
+      |  sqrt(CAST(list_sum(list_transform(code, x -> x * x)) AS DOUBLE)) AS nrm FROM co),
+      |q AS (SELECT vec_id AS q_id, code AS q_code, nrm AS q_norm FROM n WHERE vec_id < 10),
+      |s AS (SELECT q_id, vec_id AS n_id,
+      |  round(CAST(list_sum(list_transform(range(1, len(q_code) + 1),
+      |    i -> q_code[i] * code[i])) AS DOUBLE) / (q_norm * nrm), 6) AS cos
+      |  FROM q JOIN n ON q_id != vec_id),
+      |r AS (SELECT q_id, n_id, cos,
+      |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn FROM s)
+      |SELECT q_id, n_id, cos FROM r WHERE rn <= 5 ORDER BY q_id, n_id"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    // int8 scalar-quantized kNN: the 4x-compressed rung below PQ — the
+    // inner loop is exact integer arithmetic over the codes, one IEEE
+    // division per pair, so ranks reproduce on any engine
+    val emb = tbl(s, dir, "embeddings")
+    Similarity.sq8Knn(emb, emb.filter(col("vec_id") < 10), k = 5)
+      .orderBy("q_id", "n_id")
+  }
+
   q("text_stats",
     s"""WITH w AS (SELECT doc_id, lang, source, n_chars, $toksSql AS w FROM documents)
        |SELECT doc_id, lang, source, n_chars,
@@ -1520,6 +1546,71 @@ object Queries {
       .groupBy(least(floor(col("n_tokens") / 8).cast("int"), lit(12)).as("bin"))
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").cast("long").as("sum_tokens"))
       .orderBy("bin")
+  }
+
+  q("text_repetition",
+    s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
+       |g AS (SELECT doc_id, w,
+       |  list_transform(range(1, CASE WHEN len(w) >= 2 THEN len(w) ELSE 1 END, 1),
+       |    i -> w[i] || ' ' || w[i+1]) AS g2,
+       |  list_transform(range(1, CASE WHEN len(w) >= 3 THEN len(w) - 1 ELSE 1 END, 1),
+       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS g3
+       |  FROM t)
+       |SELECT doc_id, CAST(len(g2) AS INT) AS n_bigrams,
+       |  round(CASE WHEN len(g2) > 0 THEN CAST(list_max(list_transform(list_distinct(g2),
+       |    gg -> len(list_filter(g2, x -> x = gg)))) AS DOUBLE) / len(g2)
+       |    ELSE 0.0 END, 6) AS top_bigram_frac,
+       |  round(CASE WHEN len(g3) > 0 THEN CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3)
+       |    ELSE 0.0 END, 6) AS dup_trigram_frac,
+       |  round(CASE WHEN len(w) > 1 THEN CAST(len(list_filter(range(1, len(w), 1),
+       |    i -> w[i] = w[i+1])) AS DOUBLE) / (len(w) - 1)
+       |    ELSE 0.0 END, 6) AS adj_dup_frac
+       |FROM g ORDER BY doc_id""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    // Gopher-style repetition/quality signals: a pure narrow projection
+    // (per-document work only — no shuffle, scales with input splits)
+    TextAnalysis.repetitionSignals(tbl(s, dir, "documents")).orderBy("doc_id")
+  }
+
+  q("q_pack_sequences",
+    s"""WITH t AS (SELECT doc_id, CAST(len($toksSql) AS INT) AS n_tok,
+       |  ${md5Hash60Sql("doc_id")} % 8 AS shard FROM documents),
+       |c AS (SELECT doc_id, shard, n_tok,
+       |  sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+       |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       |  CAST((cum - n_tok) // 2048 AS BIGINT) AS window_id,
+       |  CAST((cum - n_tok) % 2048 AS BIGINT) AS off, n_tok
+       |FROM c ORDER BY doc_id""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    // tokenize-and-pack plan: greedy concatenation into 2048-token
+    // training windows, hash-sharded so the running sum parallelizes
+    // (one shuffle; windows/offsets reuse the shard partitioning)
+    Pipeline.packSequences(tbl(s, dir, "documents"), "doc_id",
+        size(TextAnalysis.tokens(col("text"))), contextLen = 2048, shards = 8)
+      .select("doc_id", "shard", "window_id", "off", "n_tok")
+      .orderBy("doc_id")
+  }
+
+  q("q_zorder_layout", {
+    def interleaveSql(x: String, y: String, bits: Int): String =
+      (0 until bits).flatMap(i => Seq(
+        s"((($x >> $i) & 1) << ${2 * i})",
+        s"((($y >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+    val z = interleaveSql("CAST(o_custkey AS BIGINT)",
+      "CAST(date_diff('day', TIMESTAMP '1992-01-01', o_orderdate) AS BIGINT)", 16)
+    s"""WITH t AS (SELECT ($z) AS zval FROM orders)
+       |SELECT CAST(zval >> 20 AS BIGINT) AS bucket, COUNT(*) AS n,
+       |  CAST(MIN(zval) AS BIGINT) AS min_z, CAST(MAX(zval) AS BIGINT) AS max_z
+       |FROM t GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")
+  }) { (s, dir) =>
+    // Z-order layout key (customer × order-day): bucket stats prove the
+    // Morton interleave bit-for-bit; writeZordered sorts by this key so
+    // parquet footer min/max prune scans on EITHER dimension
+    tbl(s, dir, "orders")
+      .select(Bucketing.zorderKey(col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1992-01-01").cast("date")), 16).as("zval"))
+      .groupBy(shiftright(col("zval"), 20).as("bucket"))
+      .agg(count(lit(1)).as("n"), min("zval").as("min_z"), max("zval").as("max_z"))
+      .orderBy("bucket")
   }
 
   q("stream_sessionize",

@@ -84,6 +84,34 @@ object Pipeline {
     train.join(broadcast(contaminatedIds), Seq(idCol), "left_anti")
   }
 
+  /** Sequence packing: assign documents to fixed-size training context
+    * windows (greedy concatenation in deterministic id order, windows
+    * crossing document boundaries — the GPT-style packing plan). Each
+    * document gets (shard, window_id, off): documents are hash-sharded,
+    * ordered by id within the shard, and a running token count places
+    * each at offset `off` of window `window_id`.
+    *
+    * Scale shape: ONE shuffle on the shard key; the cumulative sum, the
+    * window assignment, and the offset all reuse that partitioning.
+    * Packing is per-shard rather than global precisely so the running
+    * sum never serializes through a single partition — shards are
+    * independent output streams, which is how a 100 TB tokenize-and-pack
+    * job actually writes its training files.
+    */
+  def packSequences(df: DataFrame, idCol: String, nTokens: Column,
+                    contextLen: Int, shards: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("n_tok", nTokens)
+      .withColumn("shard", pmod(md5Hash60(col(idCol)), lit(shards)))
+      .withColumn("cum", sum("n_tok").over(w))
+      .withColumn("window_id", expr(s"(cum - n_tok) div $contextLen"))
+      .withColumn("off", (col("cum") - col("n_tok")) % contextLen)
+      .drop("cum")
+  }
+
   /** PII redaction: mask emails and phone-like digit runs. Pure narrow
     * regexp projection (RE2-compatible patterns so oracle engines agree);
     * a production pass would chain more patterns through the same shape.

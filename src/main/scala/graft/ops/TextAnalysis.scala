@@ -96,6 +96,48 @@ object TextAnalysis {
     round(ttr * 0.4 + lengthPrior * 0.3 + (lit(1.0) - stopRatio) * 0.3, 6)
   }
 
+  /** Per-document repetition signals (Gopher-style quality heuristics,
+    * adapted to single-line corpora: the repetition unit is the word
+    * n-gram, not the line):
+    *  - top_bigram_frac: occurrences of the most frequent bigram / total
+    *    bigram occurrences (boilerplate detector),
+    *  - dup_trigram_frac: fraction of trigram occurrences that are
+    *    repeats of an earlier trigram,
+    *  - adj_dup_frac: fraction of adjacent token pairs that are equal
+    *    (stutter/filler detector).
+    * A pure narrow projection — per-document work only, no shuffle, so
+    * the pass scales with input splits like the other text signals.
+    * Ratios are single IEEE divisions rounded to 6 places; empty-unit
+    * documents report 0.0.
+    */
+  def repetitionSignals(df: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    // gram arrays staged in their own projection: each is consumed by
+    // several ratio expressions, and CollapseProject would re-inline the
+    // kernel per consumer (the round-2 projection-collapse trap)
+    val staged = df.select(col(idCol),
+      tokens(col(textCol)).as("w"),
+      graft.functions.WordNGrams(col(textCol), 2).as("g2"),
+      graft.functions.WordNGrams(col(textCol), 3).as("g3"))
+    val n2 = size(col("g2"))
+    val n3 = size(col("g3"))
+    // O(|g2|²) per document — bounded by document length, embarrassingly
+    // parallel; a counting kernel drops in behind the same column if
+    // profile-justified
+    val top2 = array_max(transform(array_distinct(col("g2")),
+      g => size(filter(col("g2"), x => x === g))))
+    val adjDup = size(filter(sequence(lit(1), size(col("w")) - 1),
+      i => element_at(col("w"), i) === element_at(col("w"), i + 1)))
+    staged.select(col(idCol),
+      n2.as("n_bigrams"),
+      round(when(n2 > 0, top2.cast("double") / n2).otherwise(0.0), 6)
+        .as("top_bigram_frac"),
+      round(when(n3 > 0, (n3 - size(array_distinct(col("g3")))).cast("double") / n3)
+        .otherwise(0.0), 6).as("dup_trigram_frac"),
+      round(when(size(col("w")) > 1, adjDup.cast("double") / (size(col("w")) - 1))
+        .otherwise(0.0), 6).as("adj_dup_frac"))
+  }
+
   /** Character-class language-ID heuristic: script detection (CJK,
     * Cyrillic, kana) then diacritic profiles for Latin-alphabet languages,
     * defaulting to English. A real n-gram profile model drops in behind the

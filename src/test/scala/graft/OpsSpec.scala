@@ -202,6 +202,48 @@ class OpsSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Array[Byte]](1).toSeq).toSeq ==
       again.map(_.getAs[Array[Byte]](1).toSeq).toSeq)
   }
+
+  test("sq8 knn ranks like brute force on well-separated vectors") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0.9f, 0.1f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)), (3L, Array(0f, 0f, 1f, 0f)),
+      (4L, Array(-1f, 0f, 0f, 0f)), (5L, Array(0f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.sq8Knn(vecs, vecs.filter($"vec_id" === 0), k = 2)
+      .orderBy($"cos".desc).collect().map(_.getLong(1)).toSeq
+    assert(got == Seq(1L, 2L) || got == Seq(1L, 3L)) // 1 is the clear nearest
+    // the zero vector quantizes with the guarded scale and never NaNs
+    val z = Similarity.sq8Encode(vecs.filter($"vec_id" === 5), "vec_id", "embedding", "n")
+      .collect().head
+    assert(z.getDouble(2) == 0.0 && !z.getDouble(2).isNaN)
+  }
+
+  test("repetition signals: repeated bigrams and adjacent dups score high, varied text low") {
+    val df = Seq(
+      (0L, "spam ham spam ham spam ham spam ham"),   // one dominant bigram
+      (1L, "all all all all"),                       // pure stutter
+      (2L, "each word here appears only one time")). // no repetition
+      toDF("doc_id", "text")
+    val rows = TextAnalysis.repetitionSignals(df).orderBy("doc_id").collect()
+    val top = rows.map(_.getAs[Double]("top_bigram_frac"))
+    val adj = rows.map(_.getAs[Double]("adj_dup_frac"))
+    val dup3 = rows.map(_.getAs[Double]("dup_trigram_frac"))
+    assert(top(0) > 0.5 && top(2) < 0.2)
+    assert(adj(1) == 1.0 && adj(2) == 0.0)
+    assert(dup3(1) > 0.4 && dup3(2) == 0.0)
+  }
+
+  test("zorderKey matches a reference Morton interleave bit for bit") {
+    def morton(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1)))
+        .reduce(_ | _)
+    val rnd = new scala.util.Random(11)
+    val pts = (1 to 200).map(_ => (rnd.nextInt(1 << 16).toLong, rnd.nextInt(1 << 16).toLong))
+    val got = pts.toDF("x", "y")
+      .select($"x", $"y", Bucketing.zorderKey($"x", $"y", 16).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (x, y, z) => assert(z == morton(x, y, 16)) }
+  }
 }
 
 class StreamingSpec extends AnyFunSuite {

@@ -78,6 +78,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Set(3L, 7L, 500L, 999L))
   }
 
+  test("packSequences lays out a contiguous token stream per shard") {
+    val df = (0L until 50L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val out = Pipeline.packSequences(df, "doc_id", lit(100L) + col("doc_id") % 7,
+        contextLen = 256, shards = 4)
+      .select("doc_id", "shard", "window_id", "off", "n_tok").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.forall { case (_, _, _, off, _) => off >= 0 && off < 256 })
+    // within a shard, ordered by doc_id, each doc starts where the
+    // previous stream position left off: start == cum_prev
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._1).foreach { case (_, _, win, off, n) =>
+        assert(win == cum / 256 && off == cum % 256)
+        cum += n
+      }
+    }
+    // deterministic under re-partitioning
+    val again = Pipeline.packSequences(df.repartition(7), "doc_id",
+        lit(100L) + col("doc_id") % 7, contextLen = 256, shards = 4)
+      .select("doc_id", "shard", "window_id", "off", "n_tok").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("sessionWindows splits on gap and matches batch semantics") {
     val dir = java.nio.file.Files.createTempDirectory("sessstream")
     val gap = 30L * 60 * 1000000
