@@ -1270,6 +1270,44 @@ object Queries {
       .orderBy("q_id", "n_id")
   }
 
+  q("knn_ivf_pq", {
+    // the knn_pq_adc oracle with the IVF cell (label) carried through and
+    // added to the join condition — same literal codebooks, same
+    // bit-exact distance chains
+    val books = Similarity.pqCodebooks(dim = 64, m = 4, k = 4)
+    def centroidLit(c: Array[Float]): String =
+      c.map(f => java.lang.Double.toString(f.toDouble)).mkString("[", ",", "]")
+    def distSql(j: Int, c: Array[Float]): String = {
+      val off = j * c.length
+      val lit = centroidLit(c)
+      s"list_sum(list_transform(range(1, ${c.length + 1}), " +
+        s"i -> (CAST(embedding[$off + i] AS DOUBLE) - ($lit)[i]) * " +
+        s"(CAST(embedding[$off + i] AS DOUBLE) - ($lit)[i])))"
+    }
+    def distList(j: Int): String =
+      books(j).map(c => distSql(j, c)).mkString("[", ", ", "]")
+    val codeCols = books.indices
+      .map(j => s"list_position(d$j, list_min(d$j)) AS c$j").mkString(", ")
+    val dlists = books.indices.map(j => s"${distList(j)} AS d$j").mkString(", ")
+    val adc = books.indices.map(j => s"q.d$j[c.c$j]").mkString(" + ")
+    s"""WITH d AS (SELECT vec_id, label, $dlists FROM embeddings),
+       |c AS (SELECT vec_id AS n_id, label, $codeCols FROM d),
+       |q AS (SELECT vec_id AS q_id, label, d0, d1, d2, d3 FROM d WHERE vec_id < 10),
+       |s AS (SELECT q_id, n_id, round($adc, 6) AS adc
+       |  FROM q JOIN c ON q.label = c.label AND q_id != n_id),
+       |r AS (SELECT q_id, n_id, adc,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS rn FROM s)
+       |SELECT q_id, n_id, adc FROM r WHERE rn <= 5 ORDER BY q_id, n_id"""
+      .stripMargin.replace("\n", " ")
+  }) { (s, dir) =>
+    // full IVF-PQ index: coarse cell restricts candidates, PQ ADC scores
+    // them in the compressed domain — the two reductions compose
+    val emb = tbl(s, dir, "embeddings")
+    Similarity.ivfPqKnn(emb, emb.filter(col("vec_id") < 10), k = 5,
+        Similarity.pqCodebooks(dim = 64, m = 4, k = 4), cellCol = "label")
+      .orderBy("q_id", "n_id")
+  }
+
   q("knn_cosine_sq8",
     """WITH e AS (SELECT vec_id, embedding,
       |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS raw FROM embeddings),

@@ -203,6 +203,23 @@ class OpsSpec extends AnyFunSuite {
       again.map(_.getAs[Array[Byte]](1).toSeq).toSeq)
   }
 
+  test("ivf-pq knn searches only the query's cell and ranks a duplicate first") {
+    val base = Array.tabulate(8)(i => 0.3f * i - 1f)
+    val far = Array.fill(8)(2f)
+    val vecs = Seq(
+      (0L, base, "cellA"), (1L, base.clone(), "cellA"),  // same-cell duplicate
+      (2L, far, "cellA"),
+      (3L, base.clone(), "cellB"))                       // duplicate, wrong cell
+      .toDF("vec_id", "embedding", "cell")
+    val books = Similarity.pqCodebooks(dim = 8, m = 2, k = 3)
+    val got = Similarity.ivfPqKnn(vecs, vecs.filter($"vec_id" === 0), k = 3,
+        books, cellCol = "cell").collect()
+    val ids = got.map(_.getLong(1)).toSet
+    assert(ids == Set(1L, 2L))          // 3 is excluded by the cell restriction
+    val byId = got.map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(byId(1L) <= byId(2L))        // the duplicate attains the minimum adc
+  }
+
   test("sq8 knn ranks like brute force on well-separated vectors") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0.9f, 0.1f, 0f, 0f)),
