@@ -1651,6 +1651,37 @@ object Queries {
       .orderBy("bucket")
   }
 
+  q("q_curate_pipeline",
+    s"""WITH t AS (SELECT doc_id, source, text, $toksSql AS w FROM documents
+       |  WHERE (CASE
+       |    WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+       |    WHEN regexp_matches(text, '[\\x{3040}-\\x{30ff}]') THEN 'ja'
+       |    WHEN regexp_matches(text, '[\\x{0400}-\\x{04ff}]') THEN 'ru'
+       |    WHEN regexp_matches(text, '[¡¿ñ]') THEN 'es'
+       |    WHEN regexp_matches(text, '[äöüß]') THEN 'de'
+       |    WHEN regexp_matches(text, '[çàâêîôûœ]') THEN 'fr'
+       |    ELSE 'en' END) = 'en'),
+       |s AS (SELECT doc_id, source, text,
+       |  round((len(list_distinct(w))::DOUBLE / len(w)) * 0.4
+       |    + least(1.0, len(w) / 100.0) * 0.3
+       |    + (1 - len(list_filter(w, t -> t IN ('the', 'a')))::DOUBLE / len(w)) * 0.3,
+       |  6) AS quality FROM t),
+       |f AS (SELECT * FROM s WHERE quality >= 0.5),
+       |d AS (SELECT doc_id, source, quality,
+       |  MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep FROM f)
+       |SELECT doc_id, source, quality FROM d
+       |WHERE doc_id = keep AND ${md5Hash60Sql("doc_id")} % 2 = 0
+       |ORDER BY doc_id""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    // the full curation funnel composed end to end: language filter →
+    // quality threshold → exact dedup → deterministic 50% downsample.
+    // Everything except the dedup's digest shuffle runs map-side in one
+    // codegen stage over the scan.
+    Pipeline.curate(tbl(s, dir, "documents"), lang = "en", minQuality = 0.5,
+        sampleMod = 2, sampleKeep = 1)
+      .select("doc_id", "source", "quality")
+      .orderBy("doc_id")
+  }
+
   q("stream_sessionize",
     // oracle: the batch sessionization (q_sessionize) — the streaming
     // operator's single-batch output is provably identical

@@ -84,6 +84,32 @@ object Pipeline {
     train.join(broadcast(contaminatedIds), Seq(idCol), "left_anti")
   }
 
+  /** The composed curation funnel — the query a corpus pipeline actually
+    * runs end to end: language filter → quality threshold → exact dedup
+    * (keep the min-id copy) → deterministic hash downsample.
+    *
+    * Plan shape at scale: language id, quality score, and both samples
+    * are narrow projections/filters that run map-side in ONE codegen
+    * stage over the scan; the only shuffle in the whole funnel is the
+    * dedup's hash partition on the content digest (a window min, not a
+    * groupBy + self-join — one exchange instead of two). Filters sit
+    * BELOW the shuffle, so the exchange carries only the
+    * language-and-quality survivors.
+    */
+  def curate(docs: DataFrame, lang: String, minQuality: Double,
+             sampleMod: Int, sampleKeep: Int,
+             textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val scored = docs
+      .filter(graft.ops.TextAnalysis.langId(col(textCol)) === lang)
+      .withColumn("quality", graft.ops.TextAnalysis.qualityScore(col(textCol)))
+      .filter(col("quality") >= minQuality)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(md5(col(textCol)))
+    val deduped = scored
+      .withColumn("keep", min(idCol).over(w))
+      .filter(col(idCol) === col("keep")).drop("keep")
+    hashSample(deduped, idCol, sampleMod, sampleKeep)
+  }
+
   /** Sequence packing: assign documents to fixed-size training context
     * windows (greedy concatenation in deterministic id order, windows
     * crossing document boundaries — the GPT-style packing plan). Each

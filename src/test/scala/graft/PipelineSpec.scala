@@ -78,6 +78,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Set(3L, 7L, 500L, 999L))
   }
 
+  test("curate drops wrong-language, low-quality, and duplicate docs") {
+    val df = Seq(
+      (0L, "many unique interesting words alpha beta gamma delta epsilon zeta", "web"),
+      (1L, "many unique interesting words alpha beta gamma delta epsilon zeta", "web"), // dup of 0
+      (2L, "the the the the the the the the", "web"),                // stopword slop
+      (3L, "palabras extrañas del señor ñandú", "web"),              // not English
+      (4L, "another perfectly reasonable distinct document here", "books"))
+      .toDF("doc_id", "text", "source")
+    val kept = Pipeline.curate(df, lang = "en", minQuality = 0.5,
+        sampleMod = 1, sampleKeep = 1) // mod 1 = no downsampling
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 4L))
+  }
+
   test("packSequences lays out a contiguous token stream per shard") {
     val df = (0L until 50L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val out = Pipeline.packSequences(df, "doc_id", lit(100L) + col("doc_id") % 7,

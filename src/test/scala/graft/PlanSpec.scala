@@ -151,6 +151,33 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Filter (isnotnull(doc_id"), plan.take(1500))
     assert(plan.contains("ReadSchema: struct<doc_id:bigint,lang:string>"))
   }
+
+  test("curate funnel shuffles once, on the dedup digest only") {
+    val plan = planOf("q_curate_pipeline")
+    val hashEx = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    // lang/quality filters and the hash sample are map-side; the one hash
+    // exchange is the dedup window's md5(text) partition (the trailing
+    // rangepartitioning exchange is the oracle's deterministic ORDER BY)
+    assert(hashEx.size == 1, s"expected 1 hash exchange, got:\n${hashEx.mkString("\n")}")
+    // the exchange key is the window's projected alias (_w0 = md5(cast(text…)))
+    assert(plan.replaceAll("#\\d+", "").contains("md5("), plan.take(2000))
+  }
+
+  test("packSequences reuses the shard partitioning for the running sum") {
+    val plan = planOf("q_pack_sequences")
+    val hashEx = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.size == 1, s"expected 1 hash exchange, got:\n${hashEx.mkString("\n")}")
+    assert(hashEx.head.contains("shard"), hashEx.head)
+  }
+
+  test("ivf-pq joins on the coarse cell with a broadcast query side") {
+    val plan = planOf("knn_ivf_pq")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      plan.take(800))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "cell restriction must plan as an equi-join")
+  }
+
 }
 
 /** GraftExtensions registers the engine's strategies via the standard
