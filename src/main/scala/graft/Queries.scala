@@ -1748,6 +1748,26 @@ object Queries {
     Dedup.clusterPairs(pairs).orderBy("doc_id")
   }
 
+  q("dedup_survivors",
+    // the dedup MATERIALIZATION: everything dedup_cluster diagnoses,
+    // then actually dropped — survivors (cluster keepers + untouched
+    // docs) summarized per source
+    s"""WITH RECURSIVE ${minhashPairsCtes(bands = 3, rows = 3)},
+       |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION ALL SELECT b_id, a_id FROM pairs),
+       |reach AS (SELECT src AS doc_id, src AS r FROM edges
+       |  UNION SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc_id),
+       |cl AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+       |dropped AS (SELECT doc_id FROM cl WHERE cluster_id != doc_id)
+       |SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+       |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+       |GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    Dedup.dedupByMinhash(tbl(s, dir, "documents"), "text", "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("source")
+  }
+
   qRowsOnly("mock_generate") { (s, _) =>
     val schema = FixedSchema(name = "bench", version = 1, columns = Seq(
       FixedColumn("id", 0, 10, FlfType.Int64T, Alignment.Right, '0', isNullable = false),

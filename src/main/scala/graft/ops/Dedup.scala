@@ -235,6 +235,26 @@ object Dedup {
     labels
   }
 
+  /** The dedup MATERIALIZATION: minhash-LSH pairs → connected components
+    * → drop every document that is not its family's canonical keeper
+    * (min id). This is the operator a corpus pipeline actually ends with
+    * — the others diagnose duplication, this one removes it.
+    *
+    * The drop set is only the duplicate ids (a small fraction of the
+    * corpus even at 100 TB, and orders of magnitude smaller than the
+    * corpus itself), so the final prune is a broadcast left-anti: the
+    * full corpus is scanned once and never shuffled.
+    */
+  def dedupByMinhash(df: DataFrame, textCol: String, idCol: String,
+                     shingleN: Int = 3, bands: Int = 3, rows: Int = 3,
+                     threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashLsh(df, textCol, idCol, shingleN, bands, rows, threshold)
+    val dropped = clusterPairs(pairs)
+      .filter(col("cluster_id") =!= col("doc_id"))
+      .select(col("doc_id").as(idCol))
+    df.join(broadcast(dropped), Seq(idCol), "left_anti")
+  }
+
   /** 60-bit token hash array (15 hex chars of md5 keeps the value in a
     * signed long on any engine) — single-pass codegen kernel; the
     * composed equivalent below is the semantic reference.

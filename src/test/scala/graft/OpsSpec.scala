@@ -203,6 +203,16 @@ class OpsSpec extends AnyFunSuite {
       again.map(_.getAs[Array[Byte]](1).toSeq).toSeq)
   }
 
+  test("dedupByMinhash keeps one canonical copy per family and all singletons") {
+    val kept = Dedup.dedupByMinhash(docs, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 0/1 are exact dups, 2 is a near dup of them → family keeps min id 0;
+    // 3 and 4 are unrelated singletons
+    assert(kept.contains(0L) && kept.contains(3L) && kept.contains(4L))
+    assert(!kept.contains(1L))
+    assert(kept == Set(0L, 3L, 4L) || kept == Set(0L, 2L, 3L, 4L)) // 2 may or may not band-collide
+  }
+
   test("ivf-pq knn searches only the query's cell and ranks a duplicate first") {
     val base = Array.tabulate(8)(i => 0.3f * i - 1f)
     val far = Array.fill(8)(2f)
