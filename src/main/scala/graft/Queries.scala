@@ -746,6 +746,26 @@ object Queries {
       .orderBy("event_id")
   }
 
+  q("q_asof_forward",
+    // forward direction: for each order, the FIRST event at or after the
+    // order date from the same user (ts is excluded from the output:
+    // Spark reads the nanos column truncated to micros, DuckDB keeps
+    // nanos — event_id identifies the row exactly)
+    """SELECT o_orderkey, o_custkey, event_id FROM (
+      |  SELECT o.o_orderkey, o.o_custkey, e.event_id,
+      |    row_number() OVER (PARTITION BY o.o_orderkey
+      |      ORDER BY e.ts ASC, e.event_id DESC) AS rn
+      |  FROM orders o JOIN events e
+      |    ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate)
+      |WHERE rn = 1 ORDER BY o_orderkey"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    graft.plans.AsOfJoinPlan.asofMergeForward(tbl(s, dir, "orders"), events(s, dir),
+        leftKey = "o_custkey", rightKey = "user_id",
+        leftTime = "o_orderdate", rightTime = "ts", rightTie = "event_id")
+      .select("o_orderkey", "o_custkey", "event_id")
+      .orderBy("o_orderkey")
+  }
+
   q("q_asof_broadcast",
     // same logical result as q_asof_join; physically the right side is
     // collected + broadcast and the left streams with ZERO exchanges —

@@ -356,4 +356,45 @@ object AsOfJoinPlan {
     GraftBridge.ofRows(spark, AsOfJoinNode(lPlan, rPlan,
       lk, rk, lt, rt, resolve(rPlan, rightTie), isOuter, tolerance, broadcastRight))
   }
+
+  /** Forward-direction as-of: for each left row, the EARLIEST right row
+    * with `rightTime >= leftTime` (pandas merge_asof direction='forward';
+    * the "next event after" lookup). Implemented by running the verified
+    * backward merge over negated time axes — backward-on(-t) is exactly
+    * forward-on(t) — so the sort-merge exec, outer handling, and the
+    * one-row-lag memory bound all carry over unchanged. Tolerance bounds
+    * the LOOKAHEAD window `[leftTime, leftTime + tolerance]`, in micros
+    * for timestamps and days for dates. Among equal right times the
+    * highest `rightTie` wins (same convention as backward).
+    */
+  def asofMergeForward(left: DataFrame, right: DataFrame,
+                       leftKey: String, rightKey: String,
+                       leftTime: String, rightTime: String,
+                       rightTie: String,
+                       joinType: String = "inner",
+                       tolerance: Option[Long] = None,
+                       broadcastRight: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{col, unix_date, unix_micros}
+    import org.apache.spark.sql.Column
+    def negated(df: DataFrame, c: String): Column = df.schema(c).dataType match {
+      case TimestampType => -unix_micros(col(c))
+      case TimestampNTZType =>
+        // session TZ is applied symmetrically to both sides, so the
+        // wall-clock ordering is preserved
+        -unix_micros(col(c).cast(TimestampType))
+      case DateType => -unix_date(col(c)).cast(LongType)
+      case ShortType | IntegerType | LongType => -col(c).cast(LongType)
+      case other => throw new IllegalArgumentException(
+        s"as-of forward join requires a time-like or integral column, " +
+          s"'$c' is $other")
+    }
+    val lNeg = "__asof_fwd_lt"
+    val rNeg = "__asof_fwd_rt"
+    asofMerge(
+      left.withColumn(lNeg, negated(left, leftTime)),
+      right.withColumn(rNeg, negated(right, rightTime)),
+      leftKey, rightKey, lNeg, rNeg, rightTie,
+      joinType, tolerance, broadcastRight)
+      .drop(lNeg, rNeg)
+  }
 }

@@ -203,6 +203,24 @@ class OpsSpec extends AnyFunSuite {
       again.map(_.getAs[Array[Byte]](1).toSeq).toSeq)
   }
 
+  test("as-of forward picks the first right row at or after the left time") {
+    val left = Seq((1L, 10L, 100L), (1L, 13L, 101L), (2L, 50L, 102L), (1L, 20L, 103L))
+      .toDF("k", "t", "lid")
+    val right = Seq((1L, 5L, 900L), (1L, 12L, 901L), (1L, 12L, 902L), (1L, 15L, 903L))
+      .toDF("k", "rt", "rid")
+    val got = graft.plans.AsOfJoinPlan.asofMergeForward(left, right,
+        "k", "k", "t", "rt", "rid")
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(100L -> 902L, 101L -> 903L)) // tie at rt=12 -> highest rid
+    // tolerance bounds the lookahead [t, t+tol] inclusive; left_outer
+    // keeps misses (no event in window / no event at all) as null
+    val tol = graft.plans.AsOfJoinPlan.asofMergeForward(left, right,
+        "k", "k", "t", "rt", "rid", joinType = "left_outer", tolerance = Some(2L))
+      .select("lid", "rid").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(tol == Map(100L -> 902L, 101L -> 903L, 102L -> -1L, 103L -> -1L))
+  }
+
   test("dedupByMinhash keeps one canonical copy per family and all singletons") {
     val kept = Dedup.dedupByMinhash(docs, "text", "doc_id")
       .select("doc_id").collect().map(_.getLong(0)).toSet
