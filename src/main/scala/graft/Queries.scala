@@ -1328,6 +1328,19 @@ object Queries {
       .orderBy("q_id", "n_id")
   }
 
+  q("q_embedding_centroids",
+    """SELECT label, CAST(pos AS INT) AS pos, round(avg(x), 6) AS c,
+      |  COUNT(*) AS n_vecs
+      |FROM (SELECT label, generate_subscripts(embedding, 1) AS pos,
+      |  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings)
+      |GROUP BY 1, 2 ORDER BY 1, 2"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    // per-label centroids in long format: map-side partial averages mean
+    // the shuffle carries label x dim summaries, never the vectors
+    Similarity.labelCentroids(tbl(s, dir, "embeddings"), "label")
+      .orderBy("label", "pos")
+  }
+
   q("knn_cosine_sq8",
     """WITH e AS (SELECT vec_id, embedding,
       |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS raw FROM embeddings),

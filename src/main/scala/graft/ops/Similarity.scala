@@ -303,6 +303,23 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
   }
 
+  /** Per-group centroid of an embedding column, in long format
+    * (group, dimension index, mean) — the vector-aggregation building
+    * block behind k-means assignment stats, per-cluster quality metrics,
+    * and IVF cell refreshes.
+    *
+    * Scale shape: the posexplode looks like a ×dim row blow-up, but the
+    * partial (map-side) average collapses each partition to
+    * n_groups × dim rows before the exchange — the shuffle carries group
+    * summaries, never the corpus.
+    */
+  def labelCentroids(df: DataFrame, labelCol: String,
+                     vecCol: String = "embedding"): DataFrame =
+    df.select(col(labelCol), posexplode(col(vecCol)).as(Seq("pos0", "x")))
+      .groupBy(col(labelCol), (col("pos0") + 1).cast("int").as("pos"))
+      .agg(round(avg(col("x").cast("double")), 6).as("c"),
+        count(lit(1)).as("n_vecs"))
+
   /** Full IVF-PQ composition: candidates are restricted to the query's
     * coarse cell (IVF) AND scored in the compressed domain (PQ ADC) — the
     * index layout every production-scale ANN system converges on. The

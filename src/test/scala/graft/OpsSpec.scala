@@ -203,6 +203,15 @@ class OpsSpec extends AnyFunSuite {
       again.map(_.getAs[Array[Byte]](1).toSeq).toSeq)
   }
 
+  test("labelCentroids averages each dimension per group") {
+    val vecs = Seq(("a", Array(1f, 3f)), ("a", Array(3f, 5f)), ("b", Array(2f, 2f)))
+      .toDF("label", "embedding")
+    val got = Similarity.labelCentroids(vecs, "label").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> ((r.getDouble(2), r.getLong(3)))).toMap
+    assert(got == Map(("a", 1) -> ((2.0, 2L)), ("a", 2) -> ((4.0, 2L)),
+      ("b", 1) -> ((2.0, 1L)), ("b", 2) -> ((2.0, 1L))))
+  }
+
   test("as-of forward picks the first right row at or after the left time") {
     val left = Seq((1L, 10L, 100L), (1L, 13L, 101L), (2L, 50L, 102L), (1L, 20L, 103L))
       .toDF("k", "t", "lid")
