@@ -462,6 +462,46 @@ object Queries {
       .orderBy("l_returnflag")
   }
 
+  q("q_skew_stats",
+    """WITH k AS (SELECT l_suppkey AS key, COUNT(*) AS n FROM lineitem GROUP BY 1),
+      |t AS (SELECT SUM(n) AS total FROM k),
+      |top AS (SELECT key, n, round(CAST(n AS DOUBLE) / (SELECT total FROM t), 6) AS share
+      |  FROM k ORDER BY n DESC, key LIMIT 20)
+      |SELECT key, n, share,
+      |  CAST(row_number() OVER (ORDER BY n DESC, key) AS INT) AS rank
+      |FROM top ORDER BY rank"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    // heavy-hitter pre-flight for join/agg planning: per-key share of the
+    // table, distributed top-k (orderBy+limit never single-partitions the
+    // key summaries; the rank window runs on the 20 survivors)
+    Salting.skewStats(tbl(s, dir, "lineitem"), "l_suppkey", topK = 20)
+      .orderBy("rank")
+  }
+
+  q("q_profile_columns",
+    """SELECT col_name, n_rows, n_nonnull, n_distinct, min_s, max_s FROM (
+      |  SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+      |    COUNT(o_orderkey) AS n_nonnull, COUNT(DISTINCT o_orderkey) AS n_distinct,
+      |    CAST(MIN(o_orderkey) AS VARCHAR) AS min_s, CAST(MAX(o_orderkey) AS VARCHAR) AS max_s
+      |  FROM orders
+      |  UNION ALL SELECT 'o_custkey', COUNT(*), COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+      |    CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR) FROM orders
+      |  UNION ALL SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus),
+      |    COUNT(DISTINCT o_orderstatus),
+      |    CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR) FROM orders
+      |  UNION ALL SELECT 'o_orderpriority', COUNT(*), COUNT(o_orderpriority),
+      |    COUNT(DISTINCT o_orderpriority),
+      |    CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR) FROM orders)
+      |ORDER BY col_name"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    // the one-pass profiler: all four columns' stats come from a single
+    // scan (multi-distinct via Expand), where the oracle's UNION ALL
+    // formulation scans once per column
+    Profile.profile(tbl(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+      .orderBy("col_name")
+  }
+
   q("q_topk_orders",
     """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"""
@@ -1758,6 +1798,24 @@ object Queries {
         timestamp_micros(col("start_micros")).cast(TimestampNTZType).as("session_start"),
         timestamp_micros(col("end_micros")).cast(TimestampNTZType).as("session_end"))
       .orderBy("user_id", "session_id")
+  }
+
+  q("stream_token_counts",
+    // oracle: the batch token count — a complete-mode streaming
+    // aggregation over one bounded batch is exactly the batch groupBy
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents WHERE doc_id < 100)
+       |SELECT tok, COUNT(*) AS n FROM (SELECT unnest(w) AS tok FROM toks)
+       |GROUP BY tok ORDER BY tok""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val src = s.readStream.schema(tbl(s, dir, "documents").schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val counts = src.filter(col("doc_id") < 100)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    val qname = "graft_stream_tokens"
+    val query = counts.writeStream.format("memory").queryName(qname)
+      .outputMode("complete").start()
+    try query.processAllAvailable() finally query.stop()
+    s.table(qname).orderBy("tok")
   }
 
   // ===========================================================================

@@ -41,4 +41,26 @@ object Salting {
         joinType)
       .drop("__salt")
   }
+
+  /** Heavy-hitter diagnostic: the top-k keys by row count with each key's
+    * share of the table — the pre-flight that decides whether a join
+    * needs `saltedJoin`/AQE skew handling and how many salts.
+    *
+    * Scale shape: one shuffle (the key count, with map-side partials);
+    * the total is a broadcast scalar; top-k is distributed orderBy+limit
+    * (per-partition limits, then one merge of k-row heads — the key
+    * summaries are never globally sorted through a single task); the
+    * rank window runs on the k survivors only.
+    */
+  def skewStats(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum("n").as("total"))
+    val top = counts.crossJoin(broadcast(total))
+      .orderBy(col("n").desc, col("key")).limit(topK)
+      .select(col("key"), col("n"),
+        round(col("n").cast("double") / col("total"), 6).as("share"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("key"))
+    top.withColumn("rank", row_number().over(w))
+  }
 }

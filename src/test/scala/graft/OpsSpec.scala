@@ -203,6 +203,22 @@ class OpsSpec extends AnyFunSuite {
       again.map(_.getAs[Array[Byte]](1).toSeq).toSeq)
   }
 
+  test("profile counts nulls and distincts per column in one pass") {
+    val df = Seq((Some(1), Some("a")), (Some(1), None), (None, Some("b")))
+      .toDF("x", "y")
+    val got = Profile.profile(df, Seq("x", "y")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("x") == ((3L, 2L, 1L))) // 3 rows, 2 non-null, 1 distinct
+    assert(got("y") == ((3L, 2L, 2L)))
+  }
+
+  test("skewStats ranks keys by count with exact shares") {
+    val df = (Seq.fill(6)("hot") ++ Seq.fill(3)("warm") ++ Seq("cold")).toDF("k")
+    val got = Salting.skewStats(df, "k", topK = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.toSeq == Seq(("hot", 6L, 0.6, 1), ("warm", 3L, 0.3, 2)))
+  }
+
   test("labelCentroids averages each dimension per group") {
     val vecs = Seq(("a", Array(1f, 3f)), ("a", Array(3f, 5f)), ("b", Array(2f, 2f)))
       .toDF("label", "embedding")
