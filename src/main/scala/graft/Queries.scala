@@ -1682,6 +1682,33 @@ object Queries {
     TextAnalysis.repetitionSignals(tbl(s, dir, "documents")).orderBy("doc_id")
   }
 
+  q("q_chunk_documents",
+    """WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents WHERE doc_id < 100),
+      |o AS (SELECT doc_id, text, n,
+      |  unnest(range(0, greatest(((n - 1) // 96) * 96 + 1, 1), 96)) AS off FROM t)
+      |SELECT doc_id, CAST(off // 96 AS INT) AS chunk_id, CAST(off AS INT) AS off,
+      |  substr(text, CAST(off AS INT) + 1, 128) AS chunk
+      |FROM o WHERE off < n ORDER BY doc_id, chunk_id"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    // overlapping 128-char chunks on a 96 stride (33% overlap — the
+    // RAG/embedding-ingest layout); narrow fan-out, no shuffle
+    Pipeline.chunkDocuments(tbl(s, dir, "documents").filter(col("doc_id") < 100),
+        chunkSize = 128, stride = 96)
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  q("q_truncate_tokens",
+    s"""WITH w AS (SELECT doc_id, $toksSql AS w FROM documents)
+       |SELECT doc_id, array_to_string(w[1:32], ' ') AS text,
+       |  CAST(len(w) AS INT) AS n_tok_orig, len(w) > 32 AS truncated
+       |FROM w ORDER BY doc_id""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    // context-length guard: cap each doc at its first 32 tokens and
+    // account for the dropped volume
+    Pipeline.truncateTokens(tbl(s, dir, "documents"), maxTokens = 32)
+      .select("doc_id", "text", "n_tok_orig", "truncated")
+      .orderBy("doc_id")
+  }
+
   q("q_pack_sequences",
     s"""WITH t AS (SELECT doc_id, CAST(len($toksSql) AS INT) AS n_tok,
        |  ${md5Hash60Sql("doc_id")} % 8 AS shard FROM documents),

@@ -138,6 +138,47 @@ object Pipeline {
       .drop("cum")
   }
 
+  /** Overlapping document chunking: split each document into
+    * `chunkSize`-character windows advancing by `stride` (stride <
+    * chunkSize ⇒ overlap — the RAG/embedding-ingest layout; stride ==
+    * chunkSize ⇒ disjoint windows). A pure narrow projection: the offset
+    * sequence explodes per document and each chunk is one substring —
+    * no shuffle, output rows ≈ corpus_chars / stride.
+    *
+    * The last window starts at the final stride boundary below the text
+    * length, so every character lands in ≥1 chunk and no empty chunks
+    * are emitted (empty text yields no rows).
+    */
+  def chunkDocuments(df: DataFrame, chunkSize: Int, stride: Int,
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(stride > 0 && chunkSize >= stride,
+      s"need 0 < stride <= chunkSize, got stride=$stride chunkSize=$chunkSize")
+    val lastOff = greatest(
+      (floor((length(col(textCol)) - 1).cast("double") / stride) * stride).cast("int"),
+      lit(0))
+    df.select(col(idCol), col(textCol),
+        explode(sequence(lit(0), lastOff, lit(stride))).as("off"))
+      .filter(col("off") < length(col(textCol)))
+      .select(col(idCol), (col("off") / stride).cast("int").as("chunk_id"),
+        col("off").cast("int").as("off"),
+        // functions.substring only takes literal pos — use the SQL form
+        expr(s"substring(`$textCol`, off + 1, $chunkSize)").as("chunk"))
+  }
+
+  /** Token-budget truncation: cap each document at its first `maxTokens`
+    * whitespace tokens (the context-length guard before packing or
+    * embedding). Narrow projection; reports the original count so the
+    * pipeline can account for dropped volume.
+    */
+  def truncateTokens(df: DataFrame, maxTokens: Int,
+                     textCol: String = "text"): DataFrame = {
+    val toks = graft.ops.TextAnalysis.tokens(col(textCol))
+    df.withColumn("n_tok_orig", size(toks).cast("int"))
+      .withColumn(textCol,
+        array_join(slice(toks, 1, maxTokens), " "))
+      .withColumn("truncated", col("n_tok_orig") > maxTokens)
+  }
+
   /** PII redaction: mask emails and phone-like digit runs. Pure narrow
     * regexp projection (RE2-compatible patterns so oracle engines agree);
     * a production pass would chain more patterns through the same shape.

@@ -78,6 +78,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Set(3L, 7L, 500L, 999L))
   }
 
+  test("chunkDocuments covers every character with overlapping windows") {
+    val df = Seq((1L, "abcdefghij"), (2L, "abc"), (3L, "")).toDF("doc_id", "text")
+    val got = Pipeline.chunkDocuments(df, chunkSize = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    // doc 1 (10 chars): offsets 0,3,6,9 -> overlapping 4-char windows
+    assert(got.filter(_._1 == 1L).toSeq ==
+      Seq((1L, 0, 0, "abcd"), (1L, 1, 3, "defg"), (1L, 2, 6, "ghij"), (1L, 3, 9, "j")))
+    assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 0, 0, "abc")))
+    assert(!got.exists(_._1 == 3L)) // empty text yields no chunks
+    // reassembling stride-aligned prefixes reproduces the document
+    val rebuilt = got.filter(_._1 == 1L).sortBy(_._2)
+      .map(_._4.take(3)).mkString
+    assert(rebuilt == "abcdefghij")
+  }
+
+  test("truncateTokens caps at the budget and flags the cut") {
+    val df = Seq((1L, "a b c d e"), (2L, "x y")).toDF("doc_id", "text")
+    val got = Pipeline.truncateTokens(df, maxTokens = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getBoolean(3)))).toMap
+    assert(got(1L) == (("a b c", 5, true)))
+    assert(got(2L) == (("x y", 2, false)))
+  }
+
   test("curate drops wrong-language, low-quality, and duplicate docs") {
     val df = Seq(
       (0L, "many unique interesting words alpha beta gamma delta epsilon zeta", "web"),
