@@ -806,6 +806,26 @@ object Queries {
       .orderBy("o_orderkey")
   }
 
+  q("q_asof_nearest",
+    // nearest in either direction, past wins ties: rank all same-user
+    // orders by |orderdate - event ts| (micros both sides in the oracle)
+    """SELECT event_id, user_id, o_orderkey FROM (
+      |  SELECT e.event_id, e.user_id, o.o_orderkey,
+      |    row_number() OVER (PARTITION BY e.event_id
+      |      ORDER BY abs(epoch_us(o.o_orderdate) - epoch_us(e.ts)),
+      |        CASE WHEN o.o_orderdate <= e.ts THEN 0 ELSE 1 END,
+      |        o.o_orderkey DESC) AS rn
+      |  FROM events e JOIN orders o ON o.o_custkey = e.user_id)
+      |WHERE rn = 1 ORDER BY event_id"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    graft.plans.AsOfJoinPlan.asofMergeNearest(events(s, dir), tbl(s, dir, "orders"),
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate", rightTie = "o_orderkey",
+        leftId = "event_id")
+      .select("event_id", "user_id", "o_orderkey")
+      .orderBy("event_id")
+  }
+
   q("q_asof_broadcast",
     // same logical result as q_asof_join; physically the right side is
     // collected + broadcast and the left streams with ZERO exchanges —

@@ -374,27 +374,70 @@ object AsOfJoinPlan {
                        joinType: String = "inner",
                        tolerance: Option[Long] = None,
                        broadcastRight: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.functions.{col, unix_date, unix_micros}
-    import org.apache.spark.sql.Column
-    def negated(df: DataFrame, c: String): Column = df.schema(c).dataType match {
-      case TimestampType => -unix_micros(col(c))
-      case TimestampNTZType =>
-        // session TZ is applied symmetrically to both sides, so the
-        // wall-clock ordering is preserved
-        -unix_micros(col(c).cast(TimestampType))
-      case DateType => -unix_date(col(c)).cast(LongType)
-      case ShortType | IntegerType | LongType => -col(c).cast(LongType)
-      case other => throw new IllegalArgumentException(
-        s"as-of forward join requires a time-like or integral column, " +
-          s"'$c' is $other")
-    }
     val lNeg = "__asof_fwd_lt"
     val rNeg = "__asof_fwd_rt"
     asofMerge(
-      left.withColumn(lNeg, negated(left, leftTime)),
-      right.withColumn(rNeg, negated(right, rightTime)),
+      left.withColumn(lNeg, -timeToLong(left, leftTime)),
+      right.withColumn(rNeg, -timeToLong(right, rightTime)),
       leftKey, rightKey, lNeg, rNeg, rightTie,
       joinType, tolerance, broadcastRight)
       .drop(lNeg, rNeg)
+  }
+
+  /** A time-like/integral column as comparable longs: micros for
+    * timestamps (session TZ applies symmetrically, preserving wall-clock
+    * order), days for dates, the raw value for integrals.
+    */
+  private def timeToLong(df: DataFrame,
+                         c: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, unix_date, unix_micros}
+    df.schema(c).dataType match {
+      case TimestampType => unix_micros(col(c))
+      case TimestampNTZType => unix_micros(col(c).cast(TimestampType))
+      case DateType => unix_date(col(c)).cast(LongType)
+      case ShortType | IntegerType | LongType => col(c).cast(LongType)
+      case other => throw new IllegalArgumentException(
+        s"as-of join requires a time-like or integral column, '$c' is $other")
+    }
+  }
+
+  /** Nearest-direction as-of: for each left row, the right row whose time
+    * is CLOSEST to the left time in either direction (merge_asof
+    * direction='nearest'), ties broken toward the past. Composed from
+    * one backward and one forward merge — two passes over the sorted
+    * co-partitions, still no per-key state beyond one row each — then a
+    * per-left-row argmin over the (at most two) candidates. `leftId`
+    * must uniquely identify left rows (the argmin window key).
+    * Tolerance bounds BOTH directions' windows.
+    */
+  def asofMergeNearest(left: DataFrame, right: DataFrame,
+                       leftKey: String, rightKey: String,
+                       leftTime: String, rightTime: String,
+                       rightTie: String, leftId: String,
+                       joinType: String = "inner",
+                       tolerance: Option[Long] = None,
+                       broadcastRight: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{abs, col, row_number, when}
+    require(joinType == "inner" || joinType == "left_outer",
+      s"as-of nearest supports inner | left_outer, got '$joinType'")
+    val b = asofMerge(left, right, leftKey, rightKey, leftTime, rightTime,
+      rightTie, "left_outer", tolerance, broadcastRight)
+    val f = asofMergeForward(left, right, leftKey, rightKey, leftTime, rightTime,
+      rightTie, "left_outer", tolerance, broadcastRight)
+    def withDist(df: DataFrame, dir: Int): DataFrame =
+      df.withColumn("__asof_dt",
+          abs(timeToLong(df, rightTime) - timeToLong(df, leftTime)))
+        .withColumn("__asof_dir", org.apache.spark.sql.functions.lit(dir))
+    // positional union: both merges emit left ++ right in the same order
+    // (and the key may legitimately appear once per side)
+    val unioned = withDist(b, 0).union(withDist(f, 1))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(leftId))
+      .orderBy(when(col("__asof_dt").isNull, 1).otherwise(0).asc,
+        col("__asof_dt").asc, col("__asof_dir").asc)
+    val picked = unioned.withColumn("__asof_rn", row_number().over(w))
+      .filter(col("__asof_rn") === 1)
+      .drop("__asof_dt", "__asof_dir", "__asof_rn")
+    if (joinType == "left_outer") picked
+    else picked.filter(col(rightTie).isNotNull)
   }
 }

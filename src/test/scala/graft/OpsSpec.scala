@@ -246,6 +246,26 @@ class OpsSpec extends AnyFunSuite {
     assert(tol == Map(100L -> 902L, 101L -> 903L, 102L -> -1L, 103L -> -1L))
   }
 
+  test("as-of nearest picks the closest right row in either direction, past on ties") {
+    val left = Seq((1L, 10L, 100L), (1L, 14L, 101L), (1L, 30L, 102L), (2L, 7L, 103L))
+      .toDF("k", "t", "lid")
+    val right = Seq((1L, 8L, 900L), (1L, 16L, 901L), (1L, 12L, 902L))
+      .toDF("k", "rt", "rid")
+    val got = graft.plans.AsOfJoinPlan.asofMergeNearest(left, right,
+        "k", "k", "t", "rt", "rid", leftId = "lid")
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // lid 100 (t=10): 8 and 12 both at distance 2 -> past (8) wins
+    // lid 101 (t=14): 12 (d=2) beats 16 (d=2)? also tie -> past (12)
+    // lid 102 (t=30): only past candidates -> 16
+    assert(got == Map(100L -> 900L, 101L -> 902L, 102L -> 901L)) // 103: no key-2 rows
+    val outer = graft.plans.AsOfJoinPlan.asofMergeNearest(left, right,
+        "k", "k", "t", "rt", "rid", leftId = "lid", joinType = "left_outer",
+        tolerance = Some(3L))
+      .select("lid", "rid").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(outer == Map(100L -> 900L, 101L -> 902L, 102L -> -1L, 103L -> -1L))
+  }
+
   test("dedupByMinhash keeps one canonical copy per family and all singletons") {
     val kept = Dedup.dedupByMinhash(docs, "text", "doc_id")
       .select("doc_id").collect().map(_.getLong(0)).toSet
