@@ -1847,6 +1847,24 @@ object Queries {
       .orderBy("user_id", "session_id")
   }
 
+  q("q_funnel",
+    """WITH t1 AS (SELECT user_id AS u, MIN(epoch_us(ts)) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |t2 AS (SELECT t1.u, MIN(epoch_us(e.ts)) AS t2 FROM events e JOIN t1 ON e.user_id = t1.u
+      |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > t1.t1 GROUP BY 1),
+      |t3 AS (SELECT t2.u, MIN(epoch_us(e.ts)) AS t3 FROM events e JOIN t2 ON e.user_id = t2.u
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t2.t2 GROUP BY 1)
+      |SELECT 1 AS step, 'view' AS step_name, (SELECT COUNT(*) FROM t1) AS n_users
+      |UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM t2)
+      |UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM t3)
+      |ORDER BY step""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    // 3-step ordered funnel (view -> click -> purchase): every exchange
+    // keys on user_id, so the partitioning is computed once and reused
+    val steps = Seq("view", "click", "purchase")
+    Funnel.conversions(Funnel.funnel(events(s, dir), steps), steps)
+      .orderBy("step")
+  }
+
   q("stream_token_counts",
     // oracle: the batch token count — a complete-mode streaming
     // aggregation over one bounded batch is exactly the batch groupBy

@@ -583,4 +583,31 @@ class AdviceRegressionSpec extends AnyFunSuite {
       assert(kernel.toSeq == composed.toSeq)
     }
   }
+
+  test("funnel orders steps strictly in time and honors the window bound") {
+    val ev = Seq(
+      // u1 converts fully: view@10, click@20, purchase@30
+      ("u1", "view", 10L), ("u1", "click", 20L), ("u1", "purchase", 30L),
+      // u2 clicks BEFORE viewing -> click must not count; re-click after
+      ("u2", "click", 5L), ("u2", "view", 10L), ("u2", "click", 40L),
+      // u3 views only
+      ("u3", "view", 7L),
+      // u4 never views (funnel entry) despite later steps
+      ("u4", "click", 1L), ("u4", "purchase", 2L))
+      .toDF("user_id", "event_type", "ts")
+    val steps = Seq("view", "click", "purchase")
+    val f = Funnel.funnel(ev, steps).collect()
+      .map(r => r.getString(0) -> (r.get(1), r.get(2), r.get(3))).toMap
+    assert(f.keySet == Set("u1", "u2", "u3")) // u4 has no step-1 entry
+    assert(f("u1") == ((10L, 20L, 30L)))
+    assert(f("u2") == ((10L, 40L, null))) // pre-view click ignored
+    assert(f("u3") == ((7L, null, null)))
+    // with a 15-tick window, u2's click@40 is outside view@10 + 15
+    val fw = Funnel.funnel(ev, steps, withinMicros = Some(15L)).collect()
+      .map(r => r.getString(0) -> r.get(2)).toMap
+    assert(fw("u1") == 20L && fw("u2") == null)
+    val conv = Funnel.conversions(Funnel.funnel(ev, steps), steps)
+      .orderBy("step").collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(conv.toSeq == Seq((1, "view", 3L), (2, "click", 2L), (3, "purchase", 1L)))
+  }
 }
