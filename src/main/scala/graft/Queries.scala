@@ -692,6 +692,31 @@ object Queries {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  q("q_stats_moments",
+    // exact decimal power sums -> one fixed double combination per group;
+    // built-in stddev/corr accumulate doubles in partition order and are
+    // not reproducible across engines or partitionings
+    """WITH s AS (SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, n,
+      |  round(sx / CAST(n AS DOUBLE), 6) AS mean_x,
+      |  round((CAST(n AS DOUBLE) * sxx - sx * sx) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)), 6) AS var_x,
+      |  round(sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))), 6) AS std_x,
+      |  round((CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)), 6) AS covar_xy,
+      |  round((CAST(n AS DOUBLE) * sxy - sx * sy) / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS corr_xy,
+      |  round((CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS slope_xy
+      |FROM s ORDER BY l_returnflag"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    Stats.moments(tbl(s, dir, "lineitem"), "l_returnflag",
+        "l_quantity", "l_extendedprice")
+      .orderBy("l_returnflag")
+  }
+
   q("q_case_buckets",
     """SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
       |  WHEN o_totalprice < 150000 THEN 'mid' ELSE 'high' END AS bucket,
@@ -731,6 +756,26 @@ object Queries {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("ws"), col("event_type"), col("n"))
       .orderBy("ws", "event_type")
+  }
+
+  q("q_resample_gapfill",
+    // hourly spine per user over their observed span, counts left-joined
+    // back, gaps forward-filled — all four steps reuse ONE hash
+    // partitioning on user_id
+    """WITH obs AS (SELECT user_id, date_trunc('hour', ts) AS h, COUNT(*) AS n
+      |  FROM events WHERE event_type = 'purchase' AND user_id < 40 GROUP BY 1, 2),
+      |spine AS (SELECT user_id, unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h
+      |  FROM obs GROUP BY user_id)
+      |SELECT s.user_id, s.h, o.n,
+      |  last_value(o.n IGNORE NULLS) OVER (PARTITION BY s.user_id ORDER BY s.h
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_fill
+      |FROM spine s LEFT JOIN obs o ON s.user_id = o.user_id AND s.h = o.h
+      |ORDER BY s.user_id, s.h"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    Resample.hourlyCountsFilled(
+        events(s, dir).filter(col("event_type") === "purchase" && col("user_id") < 40),
+        "user_id", "ts")
+      .orderBy("user_id", "h")
   }
 
   q("q_json_props",
@@ -1546,6 +1591,27 @@ object Queries {
       .select(explode(graft.functions.WordNGrams(col("text"), 2)).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("gram")).limit(20)
+  }
+
+  q("text_tfidf_topk",
+    // ln-free TF-IDF weight (tf * N / df): exact integer product + one
+    // IEEE division, so the ranking is reproducible in any engine; df is
+    // vocabulary-sized -> broadcast side of the tf join
+    s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+       |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+       |dfq AS (SELECT tok, COUNT(DISTINCT doc_id) AS dfreq FROM toks GROUP BY 1),
+       |nd AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM documents),
+       |scored AS (SELECT tf.doc_id, tf.tok, tf.tf, dfq.dfreq,
+       |  CAST(tf.tf * nd.nd AS DOUBLE) / dfq.dfreq AS tfidf
+       |  FROM tf JOIN dfq ON tf.tok = dfq.tok CROSS JOIN nd)
+       |SELECT doc_id, CAST(rk AS INT) AS rk, tok, tf, dfreq, round(tfidf, 6) AS tfidf
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |  ORDER BY tfidf DESC, tok) AS rk FROM scored)
+       |WHERE rk <= 3 AND doc_id < 80 ORDER BY doc_id, rk"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    TextAnalysis.tfidfTopK(tbl(s, dir, "documents"), k = 3)
+      .filter(col("doc_id") < 80)
+      .orderBy("doc_id", "rk")
   }
 
   // ===========================================================================

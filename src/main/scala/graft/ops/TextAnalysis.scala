@@ -1,13 +1,15 @@
 package graft.ops
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
 /** Text-analysis operators for large-scale training-data pipelines:
   * tokenization, shingling, quality scoring, language-ID heuristics,
-  * document fingerprinting. All pure narrow projections over built-in
-  * codegen'd functions — no UDFs, no shuffles; they scale linearly with
-  * input splits.
+  * document fingerprinting. Scalar helpers are pure narrow projections
+  * over built-in codegen'd functions — no UDFs, no shuffles; they scale
+  * linearly with input splits. (`tfidfTopK` is the one relational op here:
+  * two keyed aggregations plus a broadcast join.)
   */
 object TextAnalysis {
 
@@ -164,4 +166,32 @@ object TextAnalysis {
     */
   def minShingleFingerprint(text: Column, n: Int = 3): Column =
     array_min(transform(shingles(text, n), s => md5(s)))
+
+  /** Top-k salient terms per document by TF-IDF — the inverted-index join
+    * every keyword-extraction / BM25-feature pipeline runs.
+    *
+    * The weight is the ln-free linear form `tf · N / df` (one exact integer
+    * product, one IEEE division): `ln` is libm-dependent and would break
+    * cross-engine exactness, and for RANKING within a document any strictly
+    * decreasing function of df orders identically.
+    *
+    * Scale shape: term frequencies shuffle on (doc, token); document
+    * frequencies are a second aggregation of the SAME exploded tokens
+    * (distinct doc per token) whose output is vocabulary-sized — orders of
+    * magnitude smaller than the corpus — so the tf←df equi-join broadcasts
+    * the df side. Ties rank by token for run-to-run determinism.
+    */
+  def tfidfTopK(docs: DataFrame, k: Int = 3, textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val tf = toks.groupBy(idCol, "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.distinct().groupBy("tok").agg(count(lit(1)).as("dfreq"))
+    val nDocs = docs.select(col(idCol)).distinct().count()
+    val scored = tf.join(broadcast(dfreq), "tok")
+      .withColumn("tfidf", (col("tf") * lit(nDocs)).cast("double") / col("dfreq"))
+    val w = Window.partitionBy(idCol).orderBy(col("tfidf").desc, col("tok"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col(idCol), col("rk"), col("tok"), col("tf"), col("dfreq"),
+        round(col("tfidf"), 6).as("tfidf"))
+  }
 }

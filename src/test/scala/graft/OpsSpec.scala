@@ -610,4 +610,37 @@ class AdviceRegressionSpec extends AnyFunSuite {
       .orderBy("step").collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
     assert(conv.toSeq == Seq((1, "view", 3L), (2, "click", 2L), (3, "purchase", 1L)))
   }
+
+  test("stats moments reproduce hand-computed variance, corr and slope") {
+    // x = 1,2,3,4; y = 2x exactly -> corr 1, slope 2, var_x 5/3
+    val df = Seq(("g", 1.0, 2.0), ("g", 2.0, 4.0), ("g", 3.0, 6.0), ("g", 4.0, 8.0))
+      .toDF("grp", "x", "y")
+    val r = Stats.moments(df, "grp", "x", "y").collect().head
+    assert(r.getLong(1) == 4L)
+    assert(r.getDouble(2) == 2.5) // mean
+    assert(math.abs(r.getDouble(3) - 5.0 / 3) < 1e-6) // var_samp
+    assert(r.getDouble(6) == 1.0) // corr of an exact linear relation
+    assert(r.getDouble(7) == 2.0) // OLS slope
+  }
+
+  test("resample fills every hour in the span and forward-fills gaps") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:10:00")
+    val t3 = java.sql.Timestamp.valueOf("2024-01-01 03:20:00")
+    val df = Seq((1L, t0), (1L, t0), (1L, t3)).toDF("user_id", "ts")
+    val rows = Resample.hourlyCountsFilled(df, "user_id", "ts")
+      .orderBy("h").collect()
+    assert(rows.length == 4) // hours 00..03 inclusive, 01 and 02 materialized
+    assert(rows.map(r => Option(r.get(2)).orNull).toSeq == Seq(2L, null, null, 1L))
+    assert(rows.map(_.getLong(3)).toSeq == Seq(2L, 2L, 2L, 1L)) // forward fill
+  }
+
+  test("tfidf ranks a document's rare term above the corpus-wide term") {
+    val docs = Seq(
+      (0L, "common common zebra"), (1L, "common yak"), (2L, "common emu"))
+      .toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopK(docs, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    // 'common' appears in all 3 docs (df=3); each rare term df=1 wins
+    assert(top == Map(0L -> "zebra", 1L -> "yak", 2L -> "emu"))
+  }
 }
