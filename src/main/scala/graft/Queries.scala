@@ -758,6 +758,50 @@ object Queries {
       .orderBy("ws", "event_type")
   }
 
+  q("q_cohort_retention",
+    // two user-keyed aggregations reuse one partitioning; week offsets are
+    // exact integer day-diffs of week-truncated stamps (Monday start on
+    // both engines); retention is a single IEEE division
+    """WITH fw AS (SELECT user_id AS u, min(date_trunc('week', ts)) AS cohort_week
+      |  FROM events GROUP BY 1),
+      |aw AS (SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS week FROM events),
+      |j AS (SELECT fw.cohort_week,
+      |  CAST(date_diff('day', CAST(fw.cohort_week AS DATE), CAST(aw.week AS DATE)) // 7 AS INT) AS week_offset
+      |  FROM aw JOIN fw ON aw.u = fw.u),
+      |cs AS (SELECT cohort_week, COUNT(*) AS n_cohort FROM fw GROUP BY 1)
+      |SELECT j.cohort_week, j.week_offset, COUNT(*) AS n_active, cs.n_cohort,
+      |  round(CAST(COUNT(*) AS DOUBLE) / cs.n_cohort, 6) AS retention
+      |FROM j JOIN cs ON j.cohort_week = cs.cohort_week
+      |WHERE j.week_offset <= 8
+      |GROUP BY 1, 2, 4 ORDER BY 1, 2"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    Cohort.weeklyRetention(events(s, dir)).orderBy("cohort_week", "week_offset")
+  }
+
+  q("q_anomaly_zscore",
+    // integer trailing-window sums are exact under any window-evaluation
+    // strategy (segment tree vs streaming), so the z-score's one double
+    // combination per row matches bit-for-bit across engines
+    """WITH c AS (SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |wz AS (SELECT event_type, h, n, COUNT(*) OVER wnd AS w_n,
+      |  SUM(n) OVER wnd AS s1, SUM(n * n) OVER wnd AS s2 FROM c
+      |  WINDOW wnd AS (PARTITION BY event_type ORDER BY h
+      |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, h, n, CASE WHEN w_n = 24
+      |  AND CAST(w_n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) <> 0
+      |  THEN round((CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(w_n AS DOUBLE))
+      |    / sqrt((CAST(w_n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+      |      / (CAST(w_n AS DOUBLE) * (CAST(w_n AS DOUBLE) - 1))), 6) END AS zscore
+      |FROM wz ORDER BY event_type, h"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val hourly = events(s, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    Stats.trailingZScore(hourly, "event_type", "h", "n", lookback = 24)
+      .orderBy("event_type", "h")
+  }
+
   q("q_resample_gapfill",
     // hourly spine per user over their observed span, counts left-joined
     // back, gaps forward-filled — all four steps reuse ONE hash

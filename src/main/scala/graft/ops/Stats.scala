@@ -43,4 +43,33 @@ object Stats {
       round(covNum / (sqrt(varxNum) * sqrt(varyNum)), 6).as("corr_xy"),
       round(covNum / varxNum, 6).as("slope_xy"))
   }
+
+  /** Anomaly z-score of an integer metric against its trailing window
+    * (`lookback` prior rows, current row excluded). The window sums are
+    * integer — exact under any evaluation order, so segment-tree vs
+    * streaming window implementations agree bit-for-bit — and the z-score
+    * is one fixed double combination per row. Rows without a full trailing
+    * window emit null (warm-up).
+    *
+    * Scale shape: one hash partitioning on the partition column; the
+    * window never holds more than `lookback` longs per partition.
+    */
+  def trailingZScore(df: DataFrame, partCol: String, ordCol: String,
+                     metricCol: String, lookback: Int = 24): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partCol).orderBy(ordCol)
+      .rowsBetween(-lookback, -1)
+    val m = col(metricCol).cast("long")
+    val base = df.withColumn("w_n", count(lit(1)).over(w))
+      .withColumn("w_s1", sum(m).over(w))
+      .withColumn("w_s2", sum(m * m).over(w))
+    val n = col("w_n").cast("double")
+    val s1 = col("w_s1").cast("double")
+    val s2 = col("w_s2").cast("double")
+    val varNum = n * s2 - s1 * s1
+    val z = (m.cast("double") - s1 / n) / sqrt(varNum / (n * (n - 1)))
+    base.withColumn("zscore",
+        when(col("w_n") === lookback && varNum =!= 0.0, round(z, 6)))
+      .drop("w_n", "w_s1", "w_s2")
+  }
 }

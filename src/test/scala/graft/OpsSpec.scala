@@ -643,4 +643,30 @@ class AdviceRegressionSpec extends AnyFunSuite {
     // 'common' appears in all 3 docs (df=3); each rare term df=1 wins
     assert(top == Map(0L -> "zebra", 1L -> "yak", 2L -> "emu"))
   }
+
+  test("cohort retention counts week-offset actives against cohort size") {
+    def ts(d: String) = java.sql.Timestamp.valueOf(s"$d 12:00:00")
+    // u1,u2 start week of Jan 1 (Mon); u1 returns week 1, u2 does not;
+    // u3 starts week 1
+    val ev = Seq((1L, ts("2024-01-02")), (2L, ts("2024-01-03")),
+      (1L, ts("2024-01-09")), (3L, ts("2024-01-10")))
+      .toDF("user_id", "ts")
+    val r = Cohort.weeklyRetention(ev).orderBy("cohort_week", "week_offset")
+      .collect().map(x => (x.getInt(1), x.getLong(2), x.getLong(3), x.getDouble(4)))
+    assert(r.toSeq == Seq((0, 2L, 2L, 1.0), (1, 1L, 2L, 0.5), (0, 1L, 1L, 1.0)))
+  }
+
+  test("trailing z-score is null in warm-up and flags a spike after it") {
+    val rows = (1 to 30).map(i => ("a", i, if (i == 28) 50L else 10L))
+      .toDF("grp", "pos", "n")
+    val z = Stats.trailingZScore(rows, "grp", "pos", "n", lookback = 5)
+      .orderBy("pos").collect().map(r => Option(r.get(3)))
+    assert(z.take(5).forall(_.isEmpty)) // warm-up: fewer than 5 prior rows
+    assert(z(26).isEmpty) // constant window -> zero variance -> null
+    val spike = z(27) // pos 28: window all 10s... variance 0 -> null too
+    // windows containing the spike have nonzero variance; the row AFTER
+    // the spike gets a valid (negative) score
+    assert(spike.isEmpty && z(28).nonEmpty)
+    assert(z(28).get.asInstanceOf[Double] < 0)
+  }
 }
