@@ -1658,6 +1658,74 @@ object Queries {
       .orderBy("doc_id", "rk")
   }
 
+  q("q_sketch_cms", {
+    def hp(r: String, tok: String) =
+      s"('0x' || substr(md5(CAST($r AS VARCHAR) || '|' || $tok), 1, 15))::BIGINT % 256"
+    s"""WITH toks AS (SELECT unnest($toksSql) AS tok FROM documents),
+       |cells AS (SELECT r, ${hp("r", "tok")} AS bucket, COUNT(*) AS c
+       |  FROM toks CROSS JOIN (SELECT unnest(range(4)) AS r) GROUP BY 1, 2),
+       |top AS (SELECT tok, COUNT(*) AS n_true FROM toks GROUP BY 1
+       |  ORDER BY n_true DESC, tok LIMIT 20),
+       |probe AS (SELECT t.tok, t.n_true, c.c FROM top t
+       |  CROSS JOIN (SELECT unnest(range(4)) AS r) rr
+       |  JOIN cells c ON c.r = rr.r AND c.bucket = ${hp("rr.r", "t.tok")})
+       |SELECT tok, n_true, MIN(c) AS n_est FROM probe GROUP BY 1, 2
+       |ORDER BY n_true DESC, tok"""
+      .stripMargin.replace("\n", " ")
+  }) { (s, dir) =>
+    // count-min sketch: the grid of exact integer cell counts is ~KB no
+    // matter the corpus size; estimates are min-over-rows upper bounds
+    val toks = tbl(s, dir, "documents")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val cells = Sketch.cmsCells(toks, "tok")
+    val top = toks.groupBy("tok").agg(count(lit(1)).as("n_true"))
+      .orderBy(col("n_true").desc, col("tok")).limit(20)
+    Sketch.cmsEstimate(cells, top, "tok")
+      .orderBy(col("n_true").desc, col("tok"))
+  }
+
+  q("q_sketch_kmv_jaccard",
+    // KMV bottom-k signatures: pairwise source similarity from fixed-size
+    // synopses, checked against the exact token-set Jaccard
+    s"""WITH tk0 AS (SELECT source, unnest($toksSql) AS tok FROM documents),
+       |st AS (SELECT DISTINCT source, tok FROM tk0),
+       |sh AS (SELECT DISTINCT source, ${md5Hash60Sql("tok")} AS h FROM st),
+       |rk AS (SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk FROM sh),
+       |sigs AS (SELECT source, list_sort(list(h)) AS sig FROM rk WHERE rk <= 128 GROUP BY source),
+       |pairs AS (SELECT a.source AS key_a, b.source AS key_b, a.sig AS sa, b.sig AS sb
+       |  FROM sigs a JOIN sigs b ON a.source < b.source),
+       |est AS (SELECT key_a, key_b,
+       |  round(CAST(len(list_intersect(list_intersect(
+       |    list_sort(list_distinct(sa || sb))[1:128], sa), sb)) AS DOUBLE) / 128, 6) AS est_jaccard
+       |  FROM pairs),
+       |sz AS (SELECT source, COUNT(*) AS sz FROM st GROUP BY 1),
+       |iv AS (SELECT x.source AS key_a, y.source AS key_b, COUNT(*) AS ni
+       |  FROM st x JOIN st y ON x.tok = y.tok AND x.source < y.source GROUP BY 1, 2)
+       |SELECT e.key_a, e.key_b, e.est_jaccard,
+       |  round(CAST(iv.ni AS DOUBLE) / (sa.sz + sb.sz - iv.ni), 6) AS exact_jaccard
+       |FROM est e JOIN iv ON iv.key_a = e.key_a AND iv.key_b = e.key_b
+       |JOIN sz sa ON sa.source = e.key_a JOIN sz sb ON sb.source = e.key_b
+       |ORDER BY e.key_a, e.key_b"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val st = tbl(s, dir, "documents")
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .distinct()
+    val sigs = Sketch.bottomKSignatures(st, "source", "tok", k = 128)
+    val est = Sketch.kmvJaccard(sigs, "source", k = 128)
+    val sizes = st.groupBy("source").agg(count(lit(1)).as("sz"))
+    val inter = st.as("x").join(st.as("y"),
+        col("x.tok") === col("y.tok") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("key_a"), col("y.source").as("key_b"))
+      .agg(count(lit(1)).as("ni"))
+    est.join(inter, Seq("key_a", "key_b"))
+      .join(sizes.select(col("source").as("key_a"), col("sz").as("sza")), "key_a")
+      .join(sizes.select(col("source").as("key_b"), col("sz").as("szb")), "key_b")
+      .select(col("key_a"), col("key_b"), col("est_jaccard"),
+        round(col("ni").cast("double") / (col("sza") + col("szb") - col("ni")), 6)
+          .as("exact_jaccard"))
+      .orderBy("key_a", "key_b")
+  }
+
   // ===========================================================================
   // Corpus-curation pipeline — decontamination, deterministic sampling,
   // mixture weighting, PII redaction, bloom prefiltering (ops.Pipeline).

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Distributed sketches with DETERMINISTIC (md5-seeded) hash families, so
+  * estimates are reproducible across engines, partitionings and re-runs —
+  * the property that makes them oracle-checkable and, at 100 TB, makes two
+  * runs of the same curation job agree.
+  *
+  *  - Count-min sketch: a fixed `depth × width` grid of EXACT integer cell
+  *    counts (the only shuffle ships (r, bucket) keys — the sketch itself
+  *    is ~KB regardless of corpus size); point estimates never
+  *    under-count.
+  *  - KMV (bottom-k) signatures: per key, the k smallest distinct 60-bit
+  *    token hashes — a fixed-size set synopsis whose pairwise Jaccard
+  *    estimate needs only the two signatures, never the raw sets.
+  */
+object Sketch {
+
+  private def bucketOf(r: Column, tok: Column, width: Int): Column =
+    pmod(Pipeline.md5Hash60(concat(r.cast("string"), lit("|"), tok)), lit(width))
+
+  /** One row per occupied cell: (r, bucket, c). `df` carries one row per
+    * token OCCURRENCE. Map-side partial aggregation collapses each input
+    * partition to ≤ depth×width rows before the (tiny) shuffle.
+    */
+  def cmsCells(df: DataFrame, tokenCol: String,
+               depth: Int = 4, width: Int = 256): DataFrame =
+    df.select(col(tokenCol).as("tok"),
+        explode(lit((0 until depth).toArray)).as("r"))
+      .select(col("r"), bucketOf(col("r"), col("tok"), width).as("bucket"))
+      .groupBy("r", "bucket").agg(count(lit(1)).as("c"))
+
+  /** Point-estimate counts for `candidates` (one row per token in column
+    * `tokenCol`): min over the depth rows of the candidate's cell — the
+    * classic CMS upper-bound estimate. The cells side is sketch-sized, so
+    * it broadcasts.
+    */
+  def cmsEstimate(cells: DataFrame, candidates: DataFrame, tokenCol: String,
+                  depth: Int = 4, width: Int = 256): DataFrame =
+    candidates.select(col("*"), explode(lit((0 until depth).toArray)).as("r"))
+      .withColumn("bucket", bucketOf(col("r"), col(tokenCol), width))
+      .join(broadcast(cells), Seq("r", "bucket"), "left")
+      .groupBy(candidates.columns.map(col): _*)
+      .agg(min(coalesce(col("c"), lit(0L))).as("n_est"))
+
+  /** Per-key KMV signature: the k smallest DISTINCT md5-60bit hashes of
+    * the token column, as a sorted array. `WindowGroupLimit` forwards at
+    * most k rows per key from each input partition, so the shuffle carries
+    * O(keys × k × partitions), not the vocabulary.
+    */
+  def bottomKSignatures(df: DataFrame, keyCol: String, tokenCol: String,
+                        k: Int = 128): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy("h")
+    df.select(col(keyCol), Pipeline.md5Hash60(col(tokenCol)).as("h")).distinct()
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .groupBy(keyCol).agg(sort_array(collect_list("h")).as("sig"))
+  }
+
+  /** Pairwise Jaccard estimates from KMV signatures: for each key pair,
+    * take the k smallest of the union of the two signatures and count how
+    * many appear in both — `|tk ∩ A_k ∩ B_k| / k`. The join is over
+    * signature rows (one per key), so cost is pairs × k, independent of
+    * corpus size.
+    */
+  def kmvJaccard(sigs: DataFrame, keyCol: String, k: Int = 128): DataFrame = {
+    val a = sigs.select(col(keyCol).as("key_a"), col("sig").as("sig_a"))
+    val b = sigs.select(col(keyCol).as("key_b"), col("sig").as("sig_b"))
+    a.join(b, col("key_a") < col("key_b"))
+      .withColumn("tk",
+        slice(array_sort(array_distinct(concat(col("sig_a"), col("sig_b")))), 1, k))
+      .select(col("key_a"), col("key_b"),
+        round(size(array_intersect(array_intersect(col("tk"), col("sig_a")),
+          col("sig_b"))).cast("double") / lit(k), 6).as("est_jaccard"))
+  }
+}

@@ -669,4 +669,29 @@ class AdviceRegressionSpec extends AnyFunSuite {
     assert(spike.isEmpty && z(28).nonEmpty)
     assert(z(28).get.asInstanceOf[Double] < 0)
   }
+
+  test("count-min estimates never under-count and are exact without collisions") {
+    val toks = Seq.fill(7)("alpha") ++ Seq.fill(3)("beta") ++ Seq("gamma")
+    val df = toks.toDF("tok")
+    val cells = Sketch.cmsCells(df, "tok")
+    // total mass per row of the grid equals the input size
+    val rowMass = cells.groupBy("r").agg(sum("c")).collect().map(_.getLong(1))
+    assert(rowMass.toSeq == Seq.fill(4)(toks.size.toLong))
+    val truth = df.groupBy("tok").agg(count(lit(1)).as("n_true"))
+    val est = Sketch.cmsEstimate(cells, truth, "tok").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    est.foreach { case (_, t, e) => assert(e >= t) }
+    // 3 tokens in a 4x256 grid: no collisions, so estimates are exact
+    est.foreach { case (_, t, e) => assert(e == t) }
+  }
+
+  test("kmv jaccard: disjoint sets 0, identical sets 1, estimate in [0,1]") {
+    val rows = (1 to 200).flatMap(i => Seq(("a", s"tok$i"), ("b", s"tok$i"))) ++
+      (1 to 200).map(i => ("c", s"other$i"))
+    val sigs = Sketch.bottomKSignatures(rows.toDF("src", "tok"), "src", "tok", k = 64)
+    val j = Sketch.kmvJaccard(sigs, "src", k = 64).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(j(("a", "b")) == 1.0) // identical token sets
+    assert(j(("a", "c")) == 0.0) // disjoint token sets
+  }
 }
