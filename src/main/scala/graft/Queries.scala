@@ -360,6 +360,57 @@ object Queries {
       .orderBy("n_name")
   }
 
+  q("q_join_full",
+    // FULL OUTER: early vs late purchasers; both null sides exercised
+    """WITH a AS (SELECT o_custkey AS ck, COUNT(*) AS n_early FROM orders
+      |  WHERE o_orderdate < TIMESTAMP '1996-01-01' AND o_custkey < 500 GROUP BY 1),
+      |b AS (SELECT o_custkey AS ck, COUNT(*) AS n_late FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1999-01-01' AND o_custkey < 500 GROUP BY 1)
+      |SELECT coalesce(a.ck, b.ck) AS ck, a.n_early, b.n_late
+      |FROM a FULL JOIN b ON a.ck = b.ck ORDER BY ck"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val o = tbl(s, dir, "orders").filter(col("o_custkey") < 500)
+    val a = o.filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .groupBy(col("o_custkey").as("ck_a")).agg(count(lit(1)).as("n_early"))
+    val b = o.filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+      .groupBy(col("o_custkey").as("ck_b")).agg(count(lit(1)).as("n_late"))
+    a.join(b, col("ck_a") === col("ck_b"), "full")
+      .select(coalesce(col("ck_a"), col("ck_b")).as("ck"),
+        col("n_early"), col("n_late"))
+      .orderBy("ck")
+  }
+
+  q("q_cross_join",
+    // the one intentionally shuffle-free Cartesian in the surface: both
+    // sides are broadcast-sized dimensions
+    """SELECT a.r_name AS ra, b.r_name AS rb FROM region a CROSS JOIN region b
+      |ORDER BY ra, rb""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val r = tbl(s, dir, "region")
+    r.select(col("r_name").as("ra"))
+      .crossJoin(r.select(col("r_name").as("rb")))
+      .orderBy("ra", "rb")
+  }
+
+  q("q_scd2_intervals",
+    // type-2 slowly-changing-dimension build: each order version carries
+    // [valid_from, valid_to) via lead(); one window shuffle on the key
+    """SELECT o_custkey, CAST(ROW_NUMBER() OVER w AS INT) AS version, o_orderkey,
+      |  o_orderdate AS valid_from, lead(o_orderdate) OVER w AS valid_to,
+      |  (lead(o_orderdate) OVER w IS NULL) AS is_current
+      |FROM orders WHERE o_custkey < 200
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, version"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    tbl(s, dir, "orders").filter(col("o_custkey") < 200)
+      .select(col("o_custkey"),
+        row_number().over(w).cast("int").as("version"), col("o_orderkey"),
+        col("o_orderdate").as("valid_from"),
+        lead("o_orderdate", 1).over(w).as("valid_to"),
+        lead("o_orderdate", 1).over(w).isNull.as("is_current"))
+      .orderBy("o_custkey", "version")
+  }
+
   q("q_window_rank",
     """SELECT c_nationkey, c_custkey, c_acctbal, rn, rnk FROM (
       |  SELECT c_nationkey, c_custkey, c_acctbal,
@@ -730,6 +781,23 @@ object Queries {
       .orderBy("bucket")
   }
 
+  q("q_histogram_numeric",
+    // equal-width binning with literal edges: bin = floor(x / w) is one
+    // exact double division per row (w is a power-of-ten-ish literal that
+    // both engines hold bit-identically); counts/min/max shuffle 20 rows
+    """SELECT CAST(least(floor(o_totalprice / 30000.0), 19) AS INT) AS bin,
+      |  CAST(least(floor(o_totalprice / 30000.0), 19) AS INT) * 30000.0 AS lo_edge,
+      |  COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+      |FROM orders GROUP BY 1, 2 ORDER BY bin"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val bin = least(floor(col("o_totalprice") / 30000.0), lit(19)).cast("int")
+    tbl(s, dir, "orders")
+      .groupBy(bin.as("bin"), (bin * 30000.0).as("lo_edge"))
+      .agg(count(lit(1)).as("n"),
+        min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+      .orderBy("bin")
+  }
+
   q("q_events_hourly",
     """SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n,
       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
@@ -1029,6 +1097,29 @@ object Queries {
           ev("ts") < wx("w_start") + expr("INTERVAL 24 HOURS"), "left")
       .groupBy("w_start").agg(count(col("event_id")).as("n"))
       .orderBy("w_start")
+  }
+
+  q("q_graph_triangles",
+    // triangle counting in the parts-sharing-a-supplier graph: canonical
+    // (pa < pb) edges make each triangle appear exactly once in the
+    // wedge-plus-closing-edge join — the standard distributed algorithm
+    """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+      |  WHERE l_partkey < 300),
+      |e AS (SELECT DISTINCT a.p AS pa, b.p AS pb FROM ps a
+      |  JOIN ps b ON a.s = b.s AND a.p < b.p),
+      |tri AS (SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z FROM e e1
+      |  JOIN e e2 ON e1.pb = e2.pa
+      |  JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb)
+      |SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+      |  (SELECT COUNT(*) FROM tri) AS n_triangles"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val edges = Graph.coOccurrenceEdges(
+        tbl(s, dir, "lineitem").filter(col("l_partkey") < 300),
+        "l_partkey", "l_suppkey")
+      .localCheckpoint() // three consumers (two join sides + the count)
+    Graph.triangles(edges).agg(count(lit(1)).as("n_triangles"))
+      .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+      .select(col("n_edges"), col("n_triangles"))
   }
 
   q("q_unpivot",

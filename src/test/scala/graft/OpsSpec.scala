@@ -694,4 +694,19 @@ class AdviceRegressionSpec extends AnyFunSuite {
     assert(j(("a", "b")) == 1.0) // identical token sets
     assert(j(("a", "c")) == 0.0) // disjoint token sets
   }
+
+  test("triangle enumeration finds each triangle exactly once") {
+    // K4 on {1,2,3,4} (4 triangles) plus a pendant edge 4-5 (no new ones)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("pa", "pb")
+    val tris = Graph.triangles(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(tris == Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)))
+    // co-occurrence edge builder canonicalizes and dedups
+    val co = Graph.coOccurrenceEdges(
+      Seq((1L, "s1"), (2L, "s1"), (2L, "s2"), (1L, "s2"), (3L, "s2"))
+        .toDF("v", "k"), "v", "k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(co == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
 }
