@@ -2134,6 +2134,47 @@ object Queries {
       .orderBy("step")
   }
 
+  q("stream_interval_join",
+    // oracle: the batch range join — single-batch append output of a
+    // watermarked stream-stream interval join is exactly the batch result
+    """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+      |  v.ts AS view_ts, c.ts AS click_ts
+      |FROM events v JOIN events c ON c.user_id = v.user_id
+      |  AND v.event_type = 'view' AND c.event_type = 'click'
+      |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+      |WHERE v.user_id < 30
+      |ORDER BY v.user_id, view_id, click_id"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = tbl(s, dir, "events").schema
+    def src = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    def toTs: Column = schema("ts").dataType match {
+      case LongType => timestamp_micros(expr("ts div 1000"))
+      case TimestampNTZType => col("ts").cast(TimestampType)
+      case _ => col("ts")
+    }
+    val views = src.filter(col("user_id") < 30 && col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), toTs.as("l_ts"))
+    val clicks = src.filter(col("user_id") < 30 && col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
+        toTs.as("r_ts"))
+    val qname = "graft_stream_interval_join"
+    val priorPartitions = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val query = graft.streaming.Streams
+        .intervalJoin(views, clicks, "user_id", "c_user_id", "1 HOUR")
+        .select(col("user_id"), col("view_id"), col("click_id"),
+          col("l_ts").cast(TimestampNTZType).as("view_ts"),
+          col("r_ts").cast(TimestampNTZType).as("click_ts"))
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      try query.processAllAvailable() finally query.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", priorPartitions)
+    s.table(qname).orderBy("user_id", "view_id", "click_id")
+  }
+
   q("stream_token_counts",
     // oracle: the batch token count — a complete-mode streaming
     // aggregation over one bounded batch is exactly the batch groupBy

@@ -52,6 +52,26 @@ object Streams {
     stream.join(org.apache.spark.sql.functions.broadcast(dim),
       col(streamKey) === col(dimKey), "left")
 
+  /** Stream-stream interval join: each left event matches right events of
+    * the same key whose time falls in [left.ts, left.ts + `window`]. Both
+    * sides carry watermarks, and the time-range predicate bounds the state
+    * the join buffers: rows older than (watermark + window) are evicted,
+    * so state is O(rate × horizon), not unbounded — the only stream-stream
+    * join shape that runs indefinitely. Single-batch append output equals
+    * the batch range join (oracle-checked in stream_interval_join).
+    *
+    * Column contract: left has (`key`, ..., `l_ts`), right has (`r_key`,
+    * ..., `r_ts`); caller renames to avoid ambiguity.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   rKey: String, window: String = "1 hour",
+                   watermark: String = "2 hours"): DataFrame =
+    left.withWatermark("l_ts", watermark)
+      .join(right.withWatermark("r_ts", watermark),
+        col(key) === col(rKey) &&
+          col("r_ts") >= col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $window"))
+
   /** Streaming exact dedup: drop rows whose content digest was already
     * seen within the watermark horizon — the ingest-time half of the
     * batch Dedup.exact operator. State is bounded by the watermark
