@@ -1122,6 +1122,44 @@ object Queries {
       .select(col("n_edges"), col("n_triangles"))
   }
 
+  q("q_graph_pagerank",
+    // integer fixed-point PageRank (scale 1e12, damping 85/100 exact) on
+    // the symmetric 3-NN cosine graph — every iteration is integer
+    // arithmetic, so the DuckDB recursive CTE reproduces it bit-for-bit
+    """WITH RECURSIVE
+      |q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id % 10 < 3),
+      |c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings WHERE vec_id % 10 < 3),
+      |s AS (SELECT q_id, n_id,
+      |  list_sum(list_transform(range(1, len(q_vec) + 1), i -> CAST(q_vec[i] AS DOUBLE) * CAST(n_vec[i] AS DOUBLE))) /
+      |  (sqrt(list_sum(list_transform(range(1, len(q_vec) + 1), i -> CAST(q_vec[i] AS DOUBLE) * CAST(q_vec[i] AS DOUBLE)))) *
+      |   sqrt(list_sum(list_transform(range(1, len(n_vec) + 1), i -> CAST(n_vec[i] AS DOUBLE) * CAST(n_vec[i] AS DOUBLE))))) AS cosim
+      |  FROM q JOIN c ON q_id != n_id),
+      |r AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY round(cosim, 6) DESC, n_id) AS rn FROM s),
+      |e0 AS (SELECT q_id AS pa, n_id AS pb FROM r WHERE rn <= 3),
+      |edges AS (SELECT DISTINCT src, dst FROM
+      |  (SELECT pa AS src, pb AS dst FROM e0 UNION ALL SELECT pb, pa FROM e0)),
+      |deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY 1),
+      |verts AS (SELECT src AS p FROM deg),
+      |nv AS (SELECT COUNT(*) AS n FROM verts),
+      |pr(iter, p, rank) AS (
+      |  SELECT 0, p, 1000000000000 // (SELECT n FROM nv) FROM verts
+      |  UNION ALL
+      |  SELECT pr.iter + 1, e.dst,
+      |    (15 * (1000000000000 // (SELECT n FROM nv))) // 100
+      |      + (85 * SUM(pr.rank // deg.d)) // 100
+      |  FROM pr JOIN edges e ON pr.p = e.src JOIN deg ON deg.src = pr.p
+      |  WHERE pr.iter < 5 GROUP BY 1, 2)
+      |SELECT p, rank FROM pr WHERE iter = 5 ORDER BY rank DESC, p LIMIT 25"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val sub = tbl(s, dir, "embeddings").filter(pmod(col("vec_id"), lit(10)) < 3)
+    val knn = Similarity.bruteForceKnn(sub, sub, k = 3)
+      .select(col("q_id").as("pa"), col("n_id").as("pb"))
+    val edges = knn.select(col("pa").as("src"), col("pb").as("dst"))
+      .union(knn.select(col("pb").as("src"), col("pa").as("dst"))).distinct()
+    Graph.pageRank(edges, iters = 5)
+      .orderBy(col("rank").desc, col("p")).limit(25)
+  }
+
   q("q_unpivot",
     """SELECT p_partkey, attr, val FROM (
       |  SELECT p_partkey, 'retailprice' AS attr, CAST(p_retailprice AS DOUBLE) AS val FROM part

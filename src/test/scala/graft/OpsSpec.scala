@@ -709,4 +709,16 @@ class AdviceRegressionSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(co == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
+
+  test("integer pagerank ranks the star hub highest and conserves mass") {
+    // undirected star: hub 0 <-> leaves 1..4
+    val e0 = (1L to 4L).flatMap(l => Seq((0L, l), (l, 0L))).toDF("src", "dst")
+    val pr = Graph.pageRank(e0, iters = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr(0L) > pr(1L) * 2) // hub collects all leaf mass each round
+    assert((1L to 4L).map(pr).distinct.size == 1) // leaves symmetric
+    // fixed-point truncation only ever loses mass, never creates it
+    assert(pr.values.sum <= 1000000000000L)
+    assert(pr.values.sum > 900000000000L)
+  }
 }
