@@ -553,6 +553,75 @@ object Queries {
       .orderBy("col_name")
   }
 
+  q("q_gini_impurity",
+    // concentration diagnostic per categorical column: exact value counts
+    // (decimal squares, overflow-proof), one double combination at the end
+    """WITH c1 AS (SELECT o_orderstatus AS v, COUNT(*) AS c FROM orders GROUP BY 1),
+      |g1 AS (SELECT COUNT(*) AS n_distinct, CAST(SUM(c) AS DOUBLE) AS t,
+      |  CAST(SUM(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) AS DOUBLE) AS sq FROM c1),
+      |c2 AS (SELECT o_orderpriority AS v, COUNT(*) AS c FROM orders GROUP BY 1),
+      |g2 AS (SELECT COUNT(*) AS n_distinct, CAST(SUM(c) AS DOUBLE) AS t,
+      |  CAST(SUM(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) AS DOUBLE) AS sq FROM c2)
+      |SELECT col_name, n_distinct, gini FROM (
+      |  SELECT 'o_orderstatus' AS col_name, n_distinct,
+      |    round((t * t - sq) / (t * t), 6) AS gini FROM g1
+      |  UNION ALL SELECT 'o_orderpriority', n_distinct,
+      |    round((t * t - sq) / (t * t), 6) FROM g2)
+      |ORDER BY col_name"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    Profile.giniImpurity(tbl(s, dir, "orders"),
+        Seq("o_orderstatus", "o_orderpriority"))
+      .orderBy("col_name")
+  }
+
+  q("q_quality_checks",
+    // the validation gate: each rule is one aggregation returning a
+    // violation count; FK orphans via anti join
+    """SELECT rule, n_violations FROM (
+      |  SELECT 'not_null:o_orderkey' AS rule,
+      |    COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_violations FROM orders
+      |  UNION ALL SELECT 'in_range:o_totalprice',
+      |    COUNT(CASE WHEN o_totalprice < 0.0 OR o_totalprice >= 10000000.0
+      |      OR o_totalprice IS NULL THEN 1 END) FROM orders
+      |  UNION ALL SELECT 'unique:o_orderkey',
+      |    COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) FROM orders
+      |  UNION ALL SELECT 'foreign_key:o_custkey', COUNT(*) FROM orders o
+      |    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+      |ORDER BY rule"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val o = tbl(s, dir, "orders")
+    Quality.run(Seq(
+        Quality.notNull(o, "o_orderkey"),
+        Quality.inRange(o, "o_totalprice", 0.0, 10000000.0),
+        Quality.unique(o, "o_orderkey"),
+        Quality.foreignKey(o, "o_custkey", tbl(s, dir, "customer"), "c_custkey")))
+      .orderBy("rule")
+  }
+
+  q("q_quantile_normalize",
+    // rank-based feature scaling to [0,1] per group: integer ranks with a
+    // unique tiebreak, one IEEE division — no percent_rank float drift
+    """SELECT c_custkey, c_nationkey, rn,
+      |  CASE WHEN n > 1 THEN round(CAST(rn - 1 AS DOUBLE) / (n - 1), 6) END AS pct
+      |FROM (SELECT c_custkey, c_nationkey,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+      |      ORDER BY c_acctbal, c_custkey) AS INT) AS rn,
+      |    COUNT(*) OVER (PARTITION BY c_nationkey) AS n
+      |  FROM customer)
+      |ORDER BY c_nationkey, rn"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    val wn = Window.partitionBy("c_nationkey")
+    tbl(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"),
+        row_number().over(w).cast("int").as("rn"),
+        count(lit(1)).over(wn).as("n"))
+      .select(col("c_custkey"), col("c_nationkey"), col("rn"),
+        when(col("n") > 1,
+          round((col("rn") - 1).cast("double") / (col("n") - 1), 6)).as("pct"))
+      .orderBy("c_nationkey", "rn")
+  }
+
   q("q_topk_orders",
     """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"""
@@ -1397,6 +1466,28 @@ object Queries {
         |WHERE o_totalprice > (SELECT 2 * CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
         |  / COUNT(*) FROM graft_orders_corr o2 WHERE o2.o_custkey = o.o_custkey)
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
+  }
+
+  q("q_exists_subquery",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |    WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |    WHERE o_custkey = c_custkey AND o_totalprice < 10000)
+      |ORDER BY c_custkey"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    // correlated EXISTS / NOT EXISTS: Catalyst decorrelates to a left-semi
+    // plus a left-anti join on the correlation key — two hash joins, no
+    // per-row subquery execution
+    tbl(s, dir, "customer").createOrReplaceTempView("graft_customer_ex")
+    tbl(s, dir, "orders").createOrReplaceTempView("graft_orders_ex")
+    s.sql(
+      """SELECT c_custkey, c_name FROM graft_customer_ex
+        |WHERE EXISTS (SELECT 1 FROM graft_orders_ex
+        |    WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+        |  AND NOT EXISTS (SELECT 1 FROM graft_orders_ex
+        |    WHERE o_custkey = c_custkey AND o_totalprice < 10000)
+        |ORDER BY c_custkey""".stripMargin)
   }
 
   q("q_window_range",

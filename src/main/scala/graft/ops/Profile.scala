@@ -32,4 +32,26 @@ object Profile {
           "(col_name, n_nonnull, n_distinct, min_s, max_s)")
       .select("col_name", "n_rows", "n_nonnull", "n_distinct", "min_s", "max_s")
   }
+
+  /** Gini impurity (1 − Σ pᵢ²) per categorical column — the concentration
+    * diagnostic: 0 = one value dominates entirely, → 1 = evenly spread
+    * over many values. Counts are exact (value-count aggregation per
+    * column, decimal squares so 100 TB-scale counts cannot overflow); the
+    * impurity is one fixed double combination `(t² − Σc²) / t²`.
+    */
+  def giniImpurity(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "giniImpurity requires at least one column")
+    val perCol = cols.map { c =>
+      val counts = df.groupBy(col(c)).agg(count(lit(1)).as("c"))
+      val sums = counts.agg(
+        count(lit(1)).as("n_distinct"),
+        sum(col("c")).cast("double").as("t"),
+        sum(col("c").cast("decimal(19,0)") * col("c").cast("decimal(19,0)"))
+          .cast("double").as("sq"))
+      sums.select(lit(c).as("col_name"), col("n_distinct"),
+        round((col("t") * col("t") - col("sq")) / (col("t") * col("t")), 6)
+          .as("gini"))
+    }
+    perCol.reduce(_ union _)
+  }
 }

@@ -721,4 +721,24 @@ class AdviceRegressionSpec extends AnyFunSuite {
     assert(pr.values.sum <= 1000000000000L)
     assert(pr.values.sum > 900000000000L)
   }
+
+  test("quality rules count null, range, uniqueness and FK violations") {
+    val facts = Seq((Some(1L), 5.0, 10L), (Some(1L), -2.0, 11L),
+      (None, 3.0, 99L)).toDF("id", "amt", "fk")
+    val dim = Seq(10L, 11L).toDF("pk")
+    val rep = Quality.run(Seq(
+      Quality.notNull(facts, "id"), Quality.inRange(facts, "amt", 0.0, 100.0),
+      Quality.unique(facts, "id"), Quality.foreignKey(facts, "fk", dim, "pk")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep == Map("not_null:id" -> 1L, "in_range:amt" -> 1L,
+      "unique:id" -> 1L, "foreign_key:fk" -> 1L))
+  }
+
+  test("gini impurity is 0 for constant and 1-1/k for uniform columns") {
+    val df = (1 to 100).map(i => ("same", s"v${i % 4}")).toDF("konst", "uni")
+    val g = Profile.giniImpurity(df, Seq("konst", "uni")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(g("konst") == ((1L, 0.0)))
+    assert(g("uni") == ((4L, 0.75))) // uniform over 4 values: 1 - 4*(1/4)^2
+  }
 }
