@@ -178,6 +178,56 @@ class PlanSpec extends AnyFunSuite {
       "cell restriction must plan as an equi-join")
   }
 
+  test("funnel: every hash exchange keys on the user column") {
+    val plan = planOf("q_funnel")
+    val exchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(exchanges.forall(_.contains("u#")), exchanges.mkString("\n"))
+  }
+
+  test("tfidf: document frequencies broadcast into the tf join") {
+    val plan = planOf("text_tfidf_topk")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+  }
+
+  test("cms: cells join is broadcast, never a cartesian product") {
+    val plan = planOf("q_sketch_cms")
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
+  test("kmv: bottom-k rank is group-limited map-side before the shuffle") {
+    val plan = planOf("q_sketch_kmv_jaccard")
+    assert(plan.contains("WindowGroupLimit"), plan.take(1500))
+  }
+
+  test("triangles: closing-edge joins are hash joins, not cartesian") {
+    val plan = planOf("q_graph_triangles")
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
+  test("quality FK check is a broadcast anti join") {
+    val plan = planOf("q_quality_checks")
+    assert(plan.contains("LeftAnti"), plan.take(1500))
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("quantile normalize: both windows share one nation partitioning") {
+    val plan = planOf("q_quantile_normalize")
+    val exchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.size == 1, exchanges.mkString("\n"))
+  }
+
+  test("resample: spine, join and fill reuse user-keyed partitionings") {
+    val plan = planOf("q_resample_gapfill")
+    val exchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    // every exchange is keyed on user_id (alone or with the hour) — the
+    // data is never repartitioned on an unrelated key
+    assert(exchanges.forall(_.contains("user_id#")), exchanges.mkString("\n"))
+  }
 }
 
 /** GraftExtensions registers the engine's strategies via the standard
