@@ -553,6 +553,34 @@ object Queries {
       .orderBy("col_name")
   }
 
+  q("q_fuzzy_join",
+    // blocked fuzzy self-join: candidate pairs come from an EQUI join on
+    // (last name token, brand) — never a cross join — and only candidates
+    // pay the edit-distance verification, the same block→verify shape as
+    // the n-gram dedup operators
+    """WITH p AS (SELECT p_partkey, p_name, p_brand,
+      |  regexp_split_to_array(trim(p_name), '\s+')[-1] AS blk FROM part)
+      |SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
+      |  a.p_name AS a_name, b.p_name AS b_name,
+      |  levenshtein(a.p_name, b.p_name) AS dist
+      |FROM p a JOIN p b ON a.blk = b.blk AND a.p_brand = b.p_brand
+      |  AND a.p_partkey < b.p_partkey
+      |WHERE levenshtein(a.p_name, b.p_name) <= 2
+      |ORDER BY a_id, b_id"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val p = tbl(s, dir, "part").select(col("p_partkey"), col("p_name"),
+      col("p_brand"),
+      element_at(split(trim(col("p_name")), "\\s+"), -1).as("blk"))
+    p.as("a").join(p.as("b"),
+        col("a.blk") === col("b.blk") && col("a.p_brand") === col("b.p_brand")
+          && col("a.p_partkey") < col("b.p_partkey"))
+      .filter(levenshtein(col("a.p_name"), col("b.p_name")) <= 2)
+      .select(col("a.p_partkey").as("a_id"), col("b.p_partkey").as("b_id"),
+        col("a.p_name").as("a_name"), col("b.p_name").as("b_name"),
+        levenshtein(col("a.p_name"), col("b.p_name")).as("dist"))
+      .orderBy("a_id", "b_id")
+  }
+
   q("q_gini_impurity",
     // concentration diagnostic per categorical column: exact value counts
     // (decimal squares, overflow-proof), one double combination at the end
