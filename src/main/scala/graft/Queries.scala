@@ -2350,6 +2350,29 @@ object Queries {
     s.table(qname).orderBy("tok")
   }
 
+  q("stream_cms_cells", {
+    def hp(r: String, tok: String) =
+      s"('0x' || substr(md5(CAST($r AS VARCHAR) || '|' || $tok), 1, 15))::BIGINT % 256"
+    // streaming heavy-hitter sketch: the CMS grid aggregates incrementally
+    // (complete mode); a bounded single batch equals the batch sketch.
+    // The streaming state is the <=1024-cell grid, never the vocabulary.
+    s"""WITH toks AS (SELECT unnest($toksSql) AS tok FROM documents),
+       |cells AS (SELECT r, ${hp("r", "tok")} AS bucket, COUNT(*) AS c
+       |  FROM toks CROSS JOIN (SELECT unnest(range(4)) AS r) GROUP BY 1, 2)
+       |SELECT r, bucket, c FROM cells ORDER BY r, bucket"""
+      .stripMargin.replace("\n", " ")
+  }) { (s, dir) =>
+    val src = s.readStream.schema(tbl(s, dir, "documents").schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val cells = Sketch.cmsCells(
+      src.select(explode(TextAnalysis.tokens(col("text"))).as("tok")), "tok")
+    val qname = "graft_stream_cms"
+    val query = cells.writeStream.format("memory").queryName(qname)
+      .outputMode("complete").start()
+    try query.processAllAvailable() finally query.stop()
+    s.table(qname).orderBy("r", "bucket")
+  }
+
   // ===========================================================================
   // Rows-only queries (no SQL-expressible oracle): mocker, LSH-ANN,
   // multimodal plumbing.
