@@ -581,6 +581,33 @@ object Queries {
       .orderBy("a_id", "b_id")
   }
 
+  q("q_merge_partials",
+    // incremental aggregation: two independently-aggregated partitions
+    // (e.g. yesterday's rollup + today's delta) merge algebraically —
+    // count/sum/min/max re-aggregate, avg derives from merged sums. The
+    // oracle computes the direct full aggregate; equality IS the claim.
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+      |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty
+      |FROM lineitem GROUP BY 1 ORDER BY 1"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val li = tbl(s, dir, "lineitem")
+    def partial(pred: Column) = li.filter(pred)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"), 12, 2)).as("s"),
+        min("l_quantity").as("mn"), max("l_quantity").as("mx"))
+    val merged = partial(pmod(col("l_orderkey"), lit(2)) === 0)
+      .union(partial(pmod(col("l_orderkey"), lit(2)) === 1))
+      .groupBy("l_returnflag")
+      .agg(sum("n").as("n"), sum("s").as("s"), min("mn").as("min_qty"),
+        max("mx").as("max_qty"))
+    merged.select(col("l_returnflag"), col("n"),
+        col("s").cast("double").as("sum_qty"), col("min_qty"), col("max_qty"),
+        round(col("s").cast("double") / col("n"), 6).as("avg_qty"))
+      .orderBy("l_returnflag")
+  }
+
   q("q_gini_impurity",
     // concentration diagnostic per categorical column: exact value counts
     // (decimal squares, overflow-proof), one double combination at the end
@@ -1723,6 +1750,37 @@ object Queries {
     Similarity.ivfPqKnn(emb, emb.filter(col("vec_id") < 10), k = 5,
         Similarity.pqCodebooks(dim = 64, m = 4, k = 4), cellCol = "label")
       .orderBy("q_id", "n_id")
+  }
+
+  q("q_pca_power",
+    // dominant principal direction by fixed-point power iteration: the
+    // corpus pass builds the dim^2 second-moment grid (order-free integer
+    // sums of floor(xi*xj*1e12)); 6 integer M*v rounds then run on the
+    // synopsis alone — all reproduced bit-for-bit by the recursive CTE
+    """WITH RECURSIVE
+      |sub AS (SELECT embedding AS e FROM embeddings WHERE vec_id % 10 < 3),
+      |cells AS (SELECT i.i, j.j,
+      |    SUM(CAST(floor(CAST(e[i.i] AS DOUBLE) * CAST(e[j.j] AS DOUBLE) * 1000000000000) AS BIGINT)) AS m0
+      |  FROM sub CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+      |    CROSS JOIN (SELECT unnest(range(1, 65)) AS j) j
+      |  GROUP BY 1, 2),
+      |m AS (SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, m0 // 1000000 AS m FROM cells),
+      |pi(iter, i, v) AS (
+      |  SELECT 0, CAST(i.i AS INT), CAST(1000000 AS BIGINT)
+      |  FROM (SELECT unnest(range(1, 65)) AS i) i
+      |  UNION ALL
+      |  SELECT iter + 1, i, w // (CASE WHEN mx // 1000000 = 0 THEN 1 ELSE mx // 1000000 END)
+      |  FROM (SELECT pi.iter AS iter, m.i AS i, SUM(m.m * pi.v) AS w,
+      |      MAX(abs(SUM(m.m * pi.v))) OVER () AS mx
+      |    FROM pi JOIN m ON m.j = pi.i WHERE pi.iter < 6
+      |    GROUP BY pi.iter, m.i))
+      |SELECT i, v FROM pi WHERE iter = 6 ORDER BY abs(v) DESC, i LIMIT 8"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    Stats.topComponentFixedPoint(
+        tbl(s, dir, "embeddings").filter(pmod(col("vec_id"), lit(10)) < 3)
+          .select(col("embedding")),
+        "embedding", dim = 64, iters = 6)
+      .orderBy(abs(col("v")).desc, col("i")).limit(8)
   }
 
   q("q_embedding_centroids",

@@ -72,4 +72,44 @@ object Stats {
         when(col("w_n") === lookback && varNum =!= 0.0, round(z, 6)))
       .drop("w_n", "w_s1", "w_s2")
   }
+
+  /** Dominant principal direction of a vector column (uncentered PCA) by
+    * power iteration in FIXED-POINT integer arithmetic — deterministic on
+    * any engine/partitioning, like [[Graph.pageRank]].
+    *
+    * The second-moment matrix M is computed once, distributed: each
+    * vector fans out to dim² fixed-point products `floor(xᵢ·xⱼ·1e12)`
+    * whose integer sums are order-free; the ~dim² cell grid then drives
+    * `iters` rounds of v ← M·v with per-round max-|w| renormalization in
+    * integer division (truncating — Spark `div` and DuckDB `//` agree).
+    * Per iteration: one dim²-row join, one 64-row driver readback for the
+    * normalizer. At 100 TB the corpus pass is the only data-sized job;
+    * everything after runs on the dim² synopsis.
+    */
+  def topComponentFixedPoint(df: DataFrame, vecCol: String, dim: Int,
+                             iters: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    val a = df.select(col(vecCol).as("e"))
+      .select(posexplode(col("e")).as(Seq("i0", "xi")), col("e"))
+    val b = a.select(col("i0"), col("xi"),
+      posexplode(col("e")).as(Seq("j0", "xj")))
+    val m = b.select((col("i0") + 1).as("i"), (col("j0") + 1).as("j"),
+        floor(col("xi").cast("double") * col("xj").cast("double") * lit(1e12))
+          .cast("long").as("c"))
+      .groupBy("i", "j").agg(sum("c").as("m0"))
+      .select(col("i").cast("int").as("i"), col("j").cast("int").as("j"),
+        expr("m0 div 1000000").as("m"))
+      .localCheckpoint() // reused every iteration
+    var v = spark.range(1, dim + 1)
+      .select(col("id").cast("int").as("i"), lit(1000000L).as("v"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val w = m.join(v.withColumnRenamed("i", "j"), "j")
+        .groupBy("i").agg(sum(expr("m * v")).as("w"))
+      val mx = w.agg(max(abs(col("w")))).head().getLong(0)
+      val d = math.max(mx / 1000000L, 1L)
+      v = w.select(col("i"), expr(s"w div $d").as("v")).localCheckpoint()
+    }
+    v
+  }
 }

@@ -734,6 +734,18 @@ class AdviceRegressionSpec extends AnyFunSuite {
       "unique:id" -> 1L, "foreign_key:fk" -> 1L))
   }
 
+  test("fixed-point power iteration finds the dominant axis") {
+    // 20 vectors along axis 1 (with small axis-0 noise), 2 along axis 2
+    val vecs = ((1 to 20).map(i => Array(0.01f * i, 1f, 0f)) ++
+      Seq(Array(0f, 0f, 0.5f), Array(0f, 0f, -0.5f))).map(Tuple1(_))
+      .toDF("embedding")
+    val v = Stats.topComponentFixedPoint(vecs, "embedding", dim = 3, iters = 8)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(math.abs(v(2)) == v.values.map(math.abs).max) // axis 1 dominates
+    assert(math.abs(v(2)) == 1000000L) // normalized to the fixed-point unit
+    assert(math.abs(v(3)) < math.abs(v(1))) // axis-2 mass is tiny
+  }
+
   test("gini impurity is 0 for constant and 1-1/k for uniform columns") {
     val df = (1 to 100).map(i => ("same", s"v${i % 4}")).toDF("konst", "uni")
     val g = Profile.giniImpurity(df, Seq("konst", "uni")).collect()
