@@ -581,6 +581,42 @@ object Queries {
       .orderBy("a_id", "b_id")
   }
 
+  q("q_null_semantics",
+    // the null-semantics parity suite: COUNT(*) vs COUNT(col), null-safe
+    // equality (<=> / IS NOT DISTINCT FROM) in a join key, and NULLS
+    // FIRST ordering on a nullable aggregate
+    """WITH c AS (SELECT c_custkey, c_nationkey,
+      |    CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal
+      |  FROM customer WHERE c_custkey < 200),
+      |g AS (SELECT c_nationkey, COUNT(*) AS n_all, COUNT(bal) AS n_bal,
+      |    COUNT(CASE WHEN bal IS NULL THEN 1 END) AS n_null, MIN(bal) AS min_bal
+      |  FROM c GROUP BY 1),
+      |p AS (SELECT a.c_nationkey AS nk, COUNT(*) AS n_pairs
+      |  FROM c a JOIN c b ON a.c_nationkey = b.c_nationkey
+      |    AND a.bal IS NOT DISTINCT FROM b.bal AND a.c_custkey < b.c_custkey
+      |  GROUP BY 1)
+      |SELECT g.c_nationkey, n_all, n_bal, n_null, min_bal,
+      |  coalesce(p.n_pairs, 0) AS n_nullsafe_pairs
+      |FROM g LEFT JOIN p ON p.nk = g.c_nationkey
+      |ORDER BY min_bal NULLS FIRST, c_nationkey"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val c = tbl(s, dir, "customer").filter(col("c_custkey") < 200)
+      .select(col("c_custkey"), col("c_nationkey"),
+        when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal")).as("bal"))
+    val g = c.groupBy("c_nationkey").agg(count(lit(1)).as("n_all"),
+      count(col("bal")).as("n_bal"),
+      count(when(col("bal").isNull, 1)).as("n_null"), min("bal").as("min_bal"))
+    val p = c.as("a").join(c.as("b"),
+        col("a.c_nationkey") === col("b.c_nationkey")
+          && (col("a.bal") <=> col("b.bal"))
+          && col("a.c_custkey") < col("b.c_custkey"))
+      .groupBy(col("a.c_nationkey").as("nk")).agg(count(lit(1)).as("n_pairs"))
+    g.join(p, g("c_nationkey") === p("nk"), "left")
+      .select(col("c_nationkey"), col("n_all"), col("n_bal"), col("n_null"),
+        col("min_bal"), coalesce(col("n_pairs"), lit(0L)).as("n_nullsafe_pairs"))
+      .orderBy(col("min_bal").asc_nulls_first, col("c_nationkey"))
+  }
+
   q("q_merge_partials",
     // incremental aggregation: two independently-aggregated partitions
     // (e.g. yesterday's rollup + today's delta) merge algebraically —
