@@ -2444,6 +2444,44 @@ object Queries {
     s.table(qname).orderBy("tok")
   }
 
+  q("stream_funnel",
+    // oracle: the batch 3-step funnel per user — the O(1)-state streaming
+    // funnel over one sorted bounded batch is exactly the batch result
+    """WITH t1 AS (SELECT user_id AS u, MIN(epoch_us(ts)) AS t1 FROM events
+      |  WHERE event_type = 'view' AND user_id < 50 GROUP BY 1),
+      |t2 AS (SELECT t1.u, MIN(epoch_us(e.ts)) AS t2 FROM events e JOIN t1 ON e.user_id = t1.u
+      |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > t1.t1 GROUP BY 1),
+      |t3 AS (SELECT t2.u, MIN(epoch_us(e.ts)) AS t3 FROM events e JOIN t2 ON e.user_id = t2.u
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t2.t2 GROUP BY 1)
+      |SELECT t1.u AS user_id, t1.t1, t2.t2, t3.t3 FROM t1
+      |LEFT JOIN t2 ON t2.u = t1.u LEFT JOIN t3 ON t3.u = t1.u
+      |ORDER BY user_id"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = s.readStream.schema(tbl(s, dir, "events").schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val micros = src.schema("ts").dataType match {
+      case LongType => expr("ts div 1000")
+      case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+      case _ => unix_micros(col("ts"))
+    }
+    val evs = src.filter(col("user_id") < 50)
+      .select(col("user_id"), col("event_type"), micros.as("ts_micros"))
+      .as[graft.streaming.Streams.FunnelEvent]
+    val qname = "graft_stream_funnel"
+    val priorPartitions = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val query = graft.streaming.Streams
+        .funnelSteps(evs, Seq("view", "click", "purchase"))
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      try query.processAllAvailable() finally query.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", priorPartitions)
+    s.table(qname).orderBy("user_id")
+  }
+
   q("stream_cms_cells", {
     def hp(r: String, tok: String) =
       s"('0x' || substr(md5(CAST($r AS VARCHAR) || '|' || $tok), 1, 15))::BIGINT % 256"

@@ -137,6 +137,53 @@ object Streams {
       }
   }
 
+  final case class FunnelEvent(user_id: Long, event_type: String, ts_micros: Long)
+  final case class FunnelAcc(t1: Long, t2: Long, t3: Long) // -1 = unreached
+  final case class FunnelOut(user_id: Long, t1: Option[Long], t2: Option[Long],
+                             t3: Option[Long])
+
+  /** Streaming 3-step ordered funnel: per user, the earliest step-1 time,
+    * the earliest step-2 time strictly after it, and the earliest step-3
+    * time strictly after that — state is THREE longs per user regardless
+    * of event volume, so it runs indefinitely at ingest scale.
+    *
+    * Each batch sorts its per-user slice by (time, type) before folding,
+    * so a bounded single batch reproduces the batch funnel exactly
+    * (oracle-checked in stream_funnel). Inherent streaming caveat across
+    * batches: a step-1 event arriving in a later batch than an already-
+    * discarded step-2 event cannot resurrect it — the O(1)-state funnel
+    * trades that reordering window for unbounded-stream viability (a
+    * watermark-sized buffer would close the gap).
+    */
+  def funnelSteps(events: Dataset[FunnelEvent], steps: Seq[String])
+      : Dataset[FunnelOut] = {
+    require(steps.size == 3, "streaming funnel is fixed at 3 steps")
+    import events.sparkSession.implicits._
+    val Seq(s1, s2, s3) = steps
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelAcc, FunnelOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelAcc]) =>
+          var acc = state.getOption.getOrElse(FunnelAcc(-1L, -1L, -1L))
+          rows.toArray.sortBy(e => (e.ts_micros, e.event_type)).foreach { e =>
+            if (e.event_type == s1 && (acc.t1 == -1L || e.ts_micros < acc.t1))
+              acc = FunnelAcc(e.ts_micros, acc.t2, acc.t3)
+            else if (e.event_type == s2 && acc.t1 != -1L && e.ts_micros > acc.t1
+                && (acc.t2 == -1L || e.ts_micros < acc.t2))
+              acc = FunnelAcc(acc.t1, e.ts_micros, acc.t3)
+            else if (e.event_type == s3 && acc.t2 != -1L && e.ts_micros > acc.t2
+                && (acc.t3 == -1L || e.ts_micros < acc.t3))
+              acc = FunnelAcc(acc.t1, acc.t2, e.ts_micros)
+          }
+          state.update(acc)
+          if (acc.t1 == -1L) Iterator.empty
+          else Iterator(FunnelOut(user,
+            Some(acc.t1),
+            if (acc.t2 == -1L) None else Some(acc.t2),
+            if (acc.t3 == -1L) None else Some(acc.t3)))
+      }
+  }
+
   /** Stateful per-user sessionization via mapGroupsWithState: the custom-
     * state extension point (the Spark analogue of "bring your own
     * operator" — reference trait ColumnBuilder, builder.rs:39-42).

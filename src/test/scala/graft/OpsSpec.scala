@@ -383,6 +383,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == Map(7L -> (2L, 20L), 8L -> (1L, 5L)))
   }
 
+  test("streaming funnel orders steps within a batch and drops non-entrants") {
+    import graft.streaming.Streams.FunnelEvent
+    val ds = Seq(
+      FunnelEvent(1L, "view", 10L), FunnelEvent(1L, "click", 20L),
+      FunnelEvent(1L, "purchase", 30L),
+      // u2: click arrives before any view -> must not count; re-click after
+      FunnelEvent(2L, "click", 5L), FunnelEvent(2L, "view", 10L),
+      FunnelEvent(2L, "click", 40L),
+      // u3: steps without a view -> no funnel entry at all
+      FunnelEvent(3L, "click", 1L), FunnelEvent(3L, "purchase", 2L)).toDS()
+    val out = graft.streaming.Streams
+      .funnelSteps(ds, Seq("view", "click", "purchase")).collect()
+      .map(o => o.user_id -> ((o.t1, o.t2, o.t3))).toMap
+    assert(out == Map(
+      1L -> ((Some(10L), Some(20L), Some(30L))),
+      2L -> ((Some(10L), Some(40L), None))))
+  }
+
   test("stream-static enrichment joins each micro-batch against a broadcast dim") {
     val dir = java.nio.file.Files.createTempDirectory("enrichstream")
     Seq((1L, "click"), (2L, "view"), (3L, "unknown_user"))
