@@ -1259,6 +1259,50 @@ object Queries {
       .orderBy("w_start")
   }
 
+  q("q_copurchase_pairs",
+    // market-basket pair mining: the order-keyed self-join fans out to
+    // C(items,2) per order (bounded by basket size, never corpus²); the
+    // pair-count shuffle ships only (pa, pb) keys with map-side partials
+    """WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |pairs AS (SELECT a.p AS pa, b.p AS pb FROM ps a
+      |  JOIN ps b ON a.o = b.o AND a.p < b.p)
+      |SELECT pa, pb, COUNT(*) AS n FROM pairs GROUP BY 1, 2
+      |ORDER BY n DESC, pa, pb LIMIT 20"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val ps = tbl(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    ps.as("a").join(ps.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pa"), col("pb")).limit(20)
+  }
+
+  q("q_twap",
+    // time-weighted average price: integer-micros interval weights from
+    // lead(), exact decimal value*weight products, one IEEE division
+    """WITH h AS (SELECT o_custkey, CAST(o_totalprice AS DECIMAL(12,2)) AS v,
+      |    epoch_us(lead(o_orderdate) OVER w) - epoch_us(o_orderdate) AS wt
+      |  FROM orders WHERE o_custkey < 200
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+      |SELECT o_custkey, COUNT(wt) AS n_intervals, CAST(SUM(wt) AS BIGINT) AS total_micros,
+      |  round(CAST(SUM(v * wt) AS DOUBLE) / SUM(wt), 6) AS twap
+      |FROM h WHERE wt IS NOT NULL GROUP BY 1 ORDER BY 1"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    tbl(s, dir, "orders").filter(col("o_custkey") < 200)
+      .select(col("o_custkey"), dec(col("o_totalprice"), 12, 2).as("v"),
+        // o_orderdate surfaces as NTZ; UTC session makes the LTZ cast
+        // wall-clock-preserving, matching DuckDB's epoch_us
+        (unix_micros(lead("o_orderdate", 1).over(w).cast(TimestampType))
+          - unix_micros(col("o_orderdate").cast(TimestampType))).as("wt"))
+      .filter(col("wt").isNotNull)
+      .groupBy("o_custkey")
+      .agg(count(col("wt")).as("n_intervals"), sum("wt").as("total_micros"),
+        round(sum(col("v") * col("wt")).cast("double") / sum("wt"), 6).as("twap"))
+      .orderBy("o_custkey")
+  }
+
   q("q_graph_triangles",
     // triangle counting in the parts-sharing-a-supplier graph: canonical
     // (pa < pb) edges make each triangle appear exactly once in the
