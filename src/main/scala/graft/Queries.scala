@@ -1539,6 +1539,35 @@ object Queries {
       .stripMargin.replace("\n", " ")
   }
 
+  q("dedup_prefix_jaccard",
+    // exact similarity join via PPJoin-style prefix filtering: candidates
+    // key on each set's rarest tokens (df-ascending order), so posting-
+    // list size bounds the fan-out on a natural vocabulary; zero false
+    // negatives, unlike the LSH band join. (This corpus's ~31-token
+    // vocabulary makes every posting list long — worst case for the
+    // filter, which is exactly why both paths exist.)
+    """WITH t0 AS (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS tok
+      |    FROM documents WHERE doc_id % 7 < 2),
+      |dfq AS (SELECT tok, COUNT(*) AS df FROM t0 GROUP BY 1),
+      |rk AS (SELECT t0.doc_id, t0.tok,
+      |    ROW_NUMBER() OVER (PARTITION BY t0.doc_id ORDER BY dfq.df, t0.tok) AS rnk,
+      |    COUNT(*) OVER (PARTITION BY t0.doc_id) AS sz
+      |  FROM t0 JOIN dfq ON t0.tok = dfq.tok),
+      |pfx AS (SELECT doc_id, tok FROM rk WHERE rnk <= sz - CAST(ceil(0.8 * sz) AS INT) + 1),
+      |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM pfx a
+      |  JOIN pfx b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+      |sets AS (SELECT doc_id, list_sort(list(tok)) AS s, COUNT(*) AS n FROM t0 GROUP BY 1),
+      |v AS (SELECT a_id, b_id, len(list_intersect(sa.s, sb.s)) AS i, sa.n AS na, sb.n AS nb
+      |  FROM cand JOIN sets sa ON sa.doc_id = cand.a_id JOIN sets sb ON sb.doc_id = cand.b_id)
+      |SELECT a_id, b_id, round(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jac
+      |FROM v WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.8 ORDER BY a_id, b_id"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    Dedup.prefixJaccardPairs(
+        tbl(s, dir, "documents").filter(pmod(col("doc_id"), lit(7)) < 2),
+        "text", "doc_id", threshold = 0.8)
+      .orderBy("a_id", "b_id")
+  }
+
   q("dedup_minhash_lsh",
     s"WITH ${minhashPairsCtes(bands = 3, rows = 3)} " +
       "SELECT a_id, b_id, jac FROM pairs ORDER BY a_id, b_id") { (s, dir) =>

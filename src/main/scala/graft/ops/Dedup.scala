@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -327,5 +328,52 @@ object Dedup {
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** EXACT Jaccard similarity join via prefix filtering (PPJoin-style) —
+    * the deterministic alternative to minhash-LSH: no false negatives,
+    * no probabilistic bands. Tokens sort by global document frequency
+    * (rarest first); for J ≥ t, two sets must share a token among their
+    * first `|s| − ⌈t·|s|⌉ + 1` rarest tokens, so the candidate join keys
+    * on PREFIX tokens only. Rare tokens have tiny posting lists, which
+    * is what bounds the fan-out on a natural (Zipf) vocabulary — the
+    * df-ascending order is the entire trick. Survivors verify with the
+    * O(n+m) SortedIntersectCount kernel and one IEEE division.
+    */
+  def prefixJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                         threshold: Double = 0.8): DataFrame = {
+    val st = df.select(col(idCol).as("doc_id"),
+        explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("tok"))
+      .localCheckpoint() // three consumers: dfq, rank, verify sets
+    val dfq = st.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    val wn = Window.partitionBy("doc_id")
+    val rk = st.join(dfq, "tok")
+      .select(col("doc_id"), col("tok"), row_number().over(w).as("rnk"),
+        count(lit(1)).over(wn).as("sz"))
+    val pfx = rk.filter(col("rnk") <=
+        col("sz") - ceil(lit(threshold) * col("sz")).cast("int") + 1)
+      .select("doc_id", "tok")
+    val cand = pfx.as("a").join(pfx.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id")).distinct()
+    // tokens compare as xxhash64 longs (SortedIntersectCount is a sorted-
+    // LONG merge; corpus collision probability ~1e-7, survivors identical
+    // — same trade as ngramJaccardPairs, which the oracle mirrors with
+    // string lists)
+    val sets = st.groupBy("doc_id")
+      .agg(sort_array(collect_set(xxhash64(col("tok")))).as("s"),
+        count(lit(1)).as("n"))
+    val v = cand
+      .join(sets.select(col("doc_id").as("a_id"), col("s").as("s_a"), col("n").as("na")), "a_id")
+      .join(sets.select(col("doc_id").as("b_id"), col("s").as("s_b"), col("n").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        graft.functions.ArrayKernels.sortedIntersectCount(col("s_a"), col("s_b"))
+          .cast("long").as("inter"),
+        col("na"), col("nb"))
+    v.select(col("a_id"), col("b_id"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jac"))
+      .filter(col("jac") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jac"), 6).as("jac"))
   }
 }

@@ -39,6 +39,14 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.contains((3L, 4L)))
   }
 
+  test("prefix-filtered jaccard join finds near dups without false negatives") {
+    val pairs = Dedup.prefixJaccardPairs(docs, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((0L, 1L)) == 1.0) // identical token sets
+    assert(pairs.get((0L, 2L)).exists(j => j > 0.5 && j < 1.0)) // near dup
+    assert(!pairs.keySet.exists { case (a, b) => Set(a, b).intersect(Set(3L, 4L)).nonEmpty })
+  }
+
   test("simhash: identical texts share signatures; families keep min id") {
     val fam = Dedup.simhashFamilies(docs, "text", "doc_id").collect()
     val bySize = fam.map(r => r.getLong(1) -> r.getLong(2)).toMap
