@@ -228,6 +228,25 @@ class PlanSpec extends AnyFunSuite {
     // data is never repartitioned on an unrelated key
     assert(exchanges.forall(_.contains("user_id#")), exchanges.mkString("\n"))
   }
+
+  test("copurchase: the basket self-join is an equi join on the order key") {
+    val plan = planOf("q_copurchase_pairs")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(1500))
+  }
+
+  test("twap: lead and rollup share the customer partitioning") {
+    val plan = planOf("q_twap")
+    val exchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.count(_.contains("o_custkey")) <= 1, exchanges.mkString("\n"))
+  }
+
+  test("prefix jaccard: candidates come from an equi join on prefix tokens") {
+    val plan = planOf("dedup_prefix_jaccard")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(1500))
+  }
 }
 
 /** GraftExtensions registers the engine's strategies via the standard
