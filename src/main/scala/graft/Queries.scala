@@ -2099,6 +2099,33 @@ object Queries {
       .orderBy(col("n_true").desc, col("tok"))
   }
 
+  q("q_sketch_kmv_distinct",
+    // KMV cardinality estimation: (k-1)*2^60/h_k from the bottom-k
+    // synopsis, next to the exact distinct count — the deterministic
+    // HLL alternative (hash-checkable, unlike approx_count_distinct)
+    s"""WITH tk0 AS (SELECT source, unnest($toksSql) AS tok FROM documents),
+       |st AS (SELECT DISTINCT source, tok FROM tk0),
+       |sh AS (SELECT DISTINCT source, ${md5Hash60Sql("tok")} AS h FROM st),
+       |rk AS (SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk,
+       |  COUNT(*) OVER (PARTITION BY source) AS nh FROM sh),
+       |est AS (SELECT source, CASE WHEN nh < 128 THEN CAST(nh AS DOUBLE)
+       |    ELSE round(127.0 * 1152921504606846976.0 / h, 6) END AS est_distinct
+       |  FROM rk WHERE rk = CASE WHEN nh < 128 THEN 1 ELSE 128 END),
+       |ex AS (SELECT source, COUNT(*) AS n_exact FROM st GROUP BY 1)
+       |SELECT e.source, e.est_distinct, x.n_exact FROM est e
+       |JOIN ex x ON x.source = e.source ORDER BY e.source"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val st = tbl(s, dir, "documents")
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .distinct()
+    val sigs = Sketch.bottomKSignatures(st, "source", "tok", k = 128)
+    val exact = st.groupBy("source").agg(count(lit(1)).as("n_exact"))
+    Sketch.kmvDistinct(sigs, "source", k = 128)
+      .join(exact, "source")
+      .select(col("source"), col("est_distinct"), col("n_exact"))
+      .orderBy("source")
+  }
+
   q("q_sketch_kmv_jaccard",
     // KMV bottom-k signatures: pairwise source similarity from fixed-size
     // synopses, checked against the exact token-set Jaccard

@@ -59,6 +59,20 @@ object Sketch {
       .groupBy(keyCol).agg(sort_array(collect_list("h")).as("sig"))
   }
 
+  /** Distinct-count estimate from a KMV signature: with h uniform on
+    * [0, 2^60), the k-th smallest distinct hash h_k estimates cardinality
+    * as `(k-1) · 2^60 / h_k` — the deterministic (md5) alternative to
+    * HLL: same one-pass, fixed-size-synopsis shape, but reproducible
+    * across engines, so it hash-checks. Signatures shorter than k (small
+    * sets) fall back to their exact size.
+    */
+  def kmvDistinct(sigs: DataFrame, keyCol: String, k: Int = 128): DataFrame =
+    sigs.select(col(keyCol),
+      when(size(col("sig")) < k, size(col("sig")).cast("double"))
+        .otherwise(round(lit((k - 1).toDouble) * lit(1.152921504606846976e18)
+          / element_at(col("sig"), k), 6))
+        .as("est_distinct"))
+
   /** Pairwise Jaccard estimates from KMV signatures: for each key pair,
     * take the k smallest of the union of the two signatures and count how
     * many appear in both — `|tk ∩ A_k ∩ B_k| / k`. The join is over
