@@ -1991,6 +1991,57 @@ object Queries {
       .orderBy("doc_id", "pos")
   }
 
+  private val langIdSql =
+    """CASE
+      |  WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+      |  WHEN regexp_matches(text, '[\x{3040}-\x{30ff}]') THEN 'ja'
+      |  WHEN regexp_matches(text, '[\x{0400}-\x{04ff}]') THEN 'ru'
+      |  WHEN regexp_matches(text, '[¡¿ñ]') THEN 'es'
+      |  WHEN regexp_matches(text, '[äöüß]') THEN 'de'
+      |  WHEN regexp_matches(text, '[çàâêîôûœ]') THEN 'fr'
+      |  ELSE 'en' END""".stripMargin.replace("\n", " ")
+
+  q("q_eval_confusion",
+    // classifier scoring (langid vs ground truth): per-class tp/fp/fn
+    // via marginal identities — only confusion counts ever shuffle
+    s"""WITH cm AS (SELECT lang AS actual, $langIdSql AS pred, COUNT(*) AS n
+       |  FROM documents GROUP BY 1, 2),
+       |na AS (SELECT actual AS c, SUM(n) AS na FROM cm GROUP BY 1),
+       |np AS (SELECT pred AS c, SUM(n) AS np FROM cm GROUP BY 1),
+       |tp AS (SELECT actual AS c, SUM(n) AS tp FROM cm WHERE actual = pred GROUP BY 1)
+       |SELECT na.c, COALESCE(tp.tp, 0) AS tp,
+       |  COALESCE(np.np, 0) - COALESCE(tp.tp, 0) AS fp,
+       |  na.na - COALESCE(tp.tp, 0) AS fn,
+       |  CASE WHEN COALESCE(np.np, 0) > 0
+       |    THEN round(CAST(COALESCE(tp.tp, 0) AS DOUBLE) / np.np, 6) END AS prec,
+       |  round(CAST(COALESCE(tp.tp, 0) AS DOUBLE) / na.na, 6) AS rec,
+       |  CASE WHEN na.na + COALESCE(np.np, 0) > 0
+       |    THEN round(2.0 * COALESCE(tp.tp, 0) / (na.na + COALESCE(np.np, 0)), 6) END AS f1
+       |FROM na LEFT JOIN tp ON tp.c = na.c LEFT JOIN np ON np.c = na.c
+       |ORDER BY na.c""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val d = tbl(s, dir, "documents")
+      .select(col("lang"), TextAnalysis.langId(col("text")).as("pred"))
+    Eval.confusionMetrics(d, "lang", "pred").orderBy("c")
+  }
+
+  q("q_eval_kappa",
+    s"""WITH cm AS (SELECT lang AS actual, $langIdSql AS pred, COUNT(*) AS n
+       |  FROM documents GROUP BY 1, 2),
+       |na AS (SELECT actual AS c, SUM(n) AS na FROM cm GROUP BY 1),
+       |np AS (SELECT pred AS c, SUM(n) AS np FROM cm GROUP BY 1),
+       |marg AS (SELECT CAST(SUM(CAST(na.na AS DECIMAL(19,0)) * CAST(np.np AS DECIMAL(19,0))) AS DOUBLE) AS sum_prod
+       |  FROM na JOIN np ON na.c = np.c),
+       |tot AS (SELECT CAST(SUM(CASE WHEN actual = pred THEN n ELSE 0 END) AS DOUBLE) AS hit,
+       |  CAST(SUM(n) AS DOUBLE) AS nn FROM cm)
+       |SELECT round(hit / nn, 6) AS accuracy,
+       |  round((hit / nn - sum_prod / (nn * nn)) / (1.0 - sum_prod / (nn * nn)), 6) AS kappa
+       |FROM tot CROSS JOIN marg""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val d = tbl(s, dir, "documents")
+      .select(col("lang"), TextAnalysis.langId(col("text")).as("pred"))
+    Eval.kappa(d, "lang", "pred")
+      .select(col("accuracy"), col("kappa"))
+  }
+
   q("text_fingerprint",
     s"""SELECT md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp,
        |  MIN(doc_id) AS keep_id, COUNT(*) AS n_docs

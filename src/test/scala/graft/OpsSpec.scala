@@ -772,6 +772,23 @@ class AdviceRegressionSpec extends AnyFunSuite {
     assert(math.abs(v(3)) < math.abs(v(1))) // axis-2 mass is tiny
   }
 
+  test("confusion metrics and kappa match hand-computed values") {
+    // actual: a,a,a,b,b ; pred: a,a,b,b,b -> tp_a=2 fn_a=1 fp_a=0; tp_b=2 fp_b=1
+    val d = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"), ("b", "b"))
+      .toDF("actual", "pred")
+    val m = Eval.confusionMetrics(d, "actual", "pred").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    assert(m("a") == ((2L, 0L, 1L, 1.0, round6(2.0 / 3))))
+    assert(m("b") == ((2L, 1L, 0L, round6(2.0 / 3), 1.0)))
+    val k = Eval.kappa(d, "actual", "pred").collect().head
+    assert(k.getDouble(0) == 0.8) // accuracy 4/5
+    // po=0.8, pe=(3*2+2*3)/25=0.48 -> kappa=(0.8-0.48)/0.52
+    assert(k.getDouble(1) == round6((0.8 - 0.48) / 0.52))
+  }
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("gini impurity is 0 for constant and 1-1/k for uniform columns") {
     val df = (1 to 100).map(i => ("same", s"v${i % 4}")).toDF("konst", "uni")
     val g = Profile.giniImpurity(df, Seq("konst", "uni")).collect()
