@@ -1892,6 +1892,49 @@ object Queries {
       .orderBy(abs(col("v")).desc, col("i")).limit(8)
   }
 
+  q("q_eval_ann_recall",
+    // index-quality self-evaluation: recall@5 of the IVF (cell-restricted)
+    // index against exact brute force — the hit count is an integer set
+    // intersection per query, so the metric is engine-exact
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label
+       |  FROM embeddings WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS n_id, embedding AS n_vec, label AS n_label FROM embeddings),
+       |s AS (SELECT q_id, q_label, n_id, n_label,
+       |  list_sum(list_transform(range(1, len(q_vec) + 1),
+       |    i -> CAST(q_vec[i] AS DOUBLE) * CAST(n_vec[i] AS DOUBLE))) /
+       |  (sqrt(list_sum(list_transform(range(1, len(q_vec) + 1),
+       |    i -> CAST(q_vec[i] AS DOUBLE) * CAST(q_vec[i] AS DOUBLE)))) *
+       |   sqrt(list_sum(list_transform(range(1, len(n_vec) + 1),
+       |    i -> CAST(n_vec[i] AS DOUBLE) * CAST(n_vec[i] AS DOUBLE))))) AS cosim
+       |  FROM q JOIN c ON q_id != n_id),
+       |exact AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY round(cosim, 6) DESC, n_id) AS rn
+       |  FROM s) WHERE rn <= 5),
+       |ann AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY round(cosim, 6) DESC, n_id) AS rn
+       |  FROM s WHERE q_label = n_label) WHERE rn <= 5),
+       |inter AS (SELECT e.q_id, COUNT(*) AS hits FROM exact e
+       |  JOIN ann a ON a.q_id = e.q_id AND a.n_id = e.n_id GROUP BY 1)
+       |SELECT qq.q_id, COALESCE(i.hits, 0) AS hits,
+       |  round(CAST(COALESCE(i.hits, 0) AS DOUBLE) / 5, 6) AS recall_at_5
+       |FROM (SELECT DISTINCT q_id FROM exact) qq LEFT JOIN inter i ON i.q_id = qq.q_id
+       |ORDER BY qq.q_id""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val emb = tbl(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceKnn(emb, queries, k = 5)
+      .select(col("q_id"), col("n_id"))
+    val ann = Similarity.ivfKnn(emb, queries, k = 5, cellCol = "label")
+      .select(col("q_id").as("a_qid"), col("n_id").as("a_nid"))
+    val hits = exact.join(ann,
+        col("q_id") === col("a_qid") && col("n_id") === col("a_nid"))
+      .groupBy("q_id").agg(count(lit(1)).as("hits"))
+    exact.select("q_id").distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") / 5, 6).as("recall_at_5"))
+      .orderBy("q_id")
+  }
+
   q("q_embedding_centroids",
     """SELECT label, CAST(pos AS INT) AS pos, round(avg(x), 6) AS c,
       |  COUNT(*) AS n_vecs
