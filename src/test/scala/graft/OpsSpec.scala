@@ -466,6 +466,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(texts == Seq("alpha", "beta", "gamma"))
   }
 
+  test("watermark drops events later than the horizon across batches") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_late")
+    val in = Files.createDirectory(root.resolve("in")).toString
+    val out = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt").toString
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    def run(): Unit = {
+      val src = spark.readStream.schema("event_type STRING, ts TIMESTAMP, value DOUBLE")
+        .option("recursiveFileLookup", "true").parquet(in)
+      val q = graft.streaming.Streams.windowedCounts(src, "1 hour", "2 hours")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // batch 1 advances the watermark to 12:00 - 2h = 10:00
+    Seq(("a", ts(8), 1.0), ("a", ts(12), 1.0)).toDF("event_type", "ts", "value")
+      .write.parquet(s"$in/b1.parquet")
+    run()
+    // batch 2: 9:00 is BEHIND the 10:00 watermark -> silently dropped;
+    // 11:00 is within the horizon -> its window still counts
+    Seq(("a", ts(9), 1.0), ("a", ts(11), 1.0)).toDF("event_type", "ts", "value")
+      .write.parquet(s"$in/b2.parquet")
+    run()
+    // close all windows by advancing event time far ahead
+    Seq(("a", ts(23), 1.0)).toDF("event_type", "ts", "value")
+      .write.parquet(s"$in/b3.parquet")
+    run()
+    val counts = spark.read.parquet(out)
+      .collect().map(r => r.getTimestamp(0).toString.take(13) -> r.getLong(2)).toMap
+    assert(counts.get("2024-01-01 08").contains(1L))
+    assert(!counts.contains("2024-01-01 09")) // late event never surfaced
+    assert(counts.get("2024-01-01 11").contains(1L))
+  }
+
   test("streaming exact dedup drops in-watermark duplicate digests") {
     val dir = java.nio.file.Files.createTempDirectory("dedupstream")
     Seq(("2024-01-01 00:00:01", "alpha text"),
