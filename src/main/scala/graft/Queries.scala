@@ -2318,6 +2318,38 @@ object Queries {
   private val mixtureRates: Seq[(String, Int)] =
     (0 until 20).map(i => s"src$i" -> Seq(60, 30, 10)(i % 3))
 
+  q("q_sample_budget",
+    // exact per-stratum row budgets (the "n docs per source" training
+    // mixture): md5-hash rank within source, budgets broadcast
+    s"""WITH b AS (SELECT source, 5 + (length(source) % 7) AS budget
+       |  FROM (SELECT DISTINCT source FROM documents)),
+       |r AS (SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source
+       |  ORDER BY ${md5Hash60Sql("doc_id")}, doc_id) AS rn FROM documents)
+       |SELECT r.source, r.doc_id, CAST(r.rn AS INT) AS rn FROM r
+       |JOIN b ON b.source = r.source WHERE r.rn <= b.budget
+       |ORDER BY r.source, r.rn""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val docs = tbl(s, dir, "documents")
+    val budgets = docs.select("source").distinct()
+      .withColumn("budget", lit(5) + pmod(length(col("source")), lit(7)))
+    Pipeline.budgetSample(docs, "source", "doc_id", budgets)
+      .select(col("source"), col("doc_id"), col("rn").cast("int").as("rn"))
+      .orderBy("source", "rn")
+  }
+
+  q("q_trimmed_mean",
+    // robust location: drop the <5th and >95th percentile tails, average
+    // the rest over an exact decimal sum — two passes, bounds broadcast
+    """WITH bnd AS (SELECT l_returnflag, quantile_cont(l_extendedprice, 0.05) AS plo,
+      |  quantile_cont(l_extendedprice, 0.95) AS phi FROM lineitem GROUP BY 1)
+      |SELECT l.l_returnflag, COUNT(*) AS n_kept,
+      |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS trimmed_mean
+      |FROM lineitem l JOIN bnd b ON l.l_returnflag = b.l_returnflag
+      |WHERE l_extendedprice >= b.plo AND l_extendedprice <= b.phi
+      |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    Stats.trimmedMean(tbl(s, dir, "lineitem"), "l_returnflag", "l_extendedprice")
+      .orderBy("l_returnflag")
+  }
+
   q("q_mixture_weights", {
     val rateSql = mixtureRates
       .map { case (src, r) => s"WHEN source = '$src' THEN $r" }.mkString(" ")

@@ -45,6 +45,23 @@ object Pipeline {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") <= nPerStratum)
   }
 
+  /** Stratified sample with a PER-STRATUM budget (exact row counts per
+    * source — how a training mixture with fixed token/doc budgets is
+    * materialized). `budgets` is a stratum→n DataFrame (columns:
+    * stratumCol, "budget") — broadcast-sized, one per distinct stratum.
+    * Same map-side WindowGroupLimit shape as `stratifiedSample`; rows
+    * from strata absent in the budget table are dropped.
+    */
+  def budgetSample(df: DataFrame, stratumCol: String, idCol: String,
+                   budgets: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol)
+      .orderBy(md5Hash60(col(idCol)), col(idCol))
+    df.withColumn("rn", row_number().over(w))
+      .join(broadcast(budgets), stratumCol)
+      .filter(col("rn") <= col("budget")).drop("budget")
+  }
+
   /** Mixture weighting: per-source keep-rates (percent, 0–100) applied as
     * a deterministic hash sample — how a training mix ("50% web, 30%
     * books, 20% code") is materialized. Resolves to a single narrow

@@ -73,6 +73,27 @@ object Stats {
       .drop("w_n", "w_s1", "w_s2")
   }
 
+  /** Trimmed mean per group: drop values outside the [lo, hi] exact
+    * percentiles, then average the survivors with an exact decimal sum —
+    * the robust-location statistic that ignores outliers/corrupt rows.
+    * Bounds are group-cardinality-sized (broadcast back); the data makes
+    * two passes (bounds, then filtered mean) — unavoidable for exact
+    * percentiles without a sketch.
+    */
+  def trimmedMean(df: DataFrame, groupCol: String, valCol: String,
+                  lo: Double = 0.05, hi: Double = 0.95,
+                  p: Int = 12, s: Int = 2): DataFrame = {
+    val bounds = df.groupBy(groupCol).agg(
+      expr(s"percentile($valCol, $lo)").as("plo"),
+      expr(s"percentile($valCol, $hi)").as("phi"))
+    df.join(broadcast(bounds), groupCol)
+      .filter(col(valCol) >= col("plo") && col(valCol) <= col("phi"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_kept"),
+        round(sum(col(valCol).cast(s"decimal($p,$s)")).cast("double")
+          / count(lit(1)), 6).as("trimmed_mean"))
+  }
+
   /** Dominant principal direction of a vector column (uncentered PCA) by
     * power iteration in FIXED-POINT integer arithmetic — deterministic on
     * any engine/partitioning, like [[Graph.pageRank]].
