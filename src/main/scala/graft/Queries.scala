@@ -1030,6 +1030,43 @@ object Queries {
       .orderBy("event_type", "h")
   }
 
+  q("q_window_median",
+    // rolling exact median of hourly counts (25-row window): integer
+    // inputs, interpolation parity proven by q_percentiles
+    """WITH c AS (SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, h, n, round(quantile_cont(n, 0.5) OVER (
+      |  PARTITION BY event_type ORDER BY h
+      |  ROWS BETWEEN 24 PRECEDING AND CURRENT ROW), 6) AS med25
+      |FROM c ORDER BY event_type, h"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val w = Window.partitionBy("event_type").orderBy("h").rowsBetween(-24, 0)
+    events(s, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("med25", round(expr("percentile(n, 0.5)").over(w), 6))
+      .orderBy("event_type", "h")
+  }
+
+  q("q_mode_by_group",
+    // deterministic mode: value counts ranked with an explicit value
+    // tiebreak (built-in mode() ties are engine-arbitrary)
+    """SELECT l_returnflag, l_quantity AS mode_qty, n FROM (
+      |  SELECT l_returnflag, l_quantity, COUNT(*) AS n,
+      |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+      |      ORDER BY COUNT(*) DESC, l_quantity) AS rk
+      |  FROM lineitem GROUP BY 1, 2)
+      |WHERE rk = 1 ORDER BY l_returnflag"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("n").desc, col("l_quantity"))
+    tbl(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_quantity").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("n"))
+      .orderBy("l_returnflag")
+  }
+
   q("q_resample_gapfill",
     // hourly spine per user over their observed span, counts left-joined
     // back, gaps forward-filled — all four steps reuse ONE hash
