@@ -2883,6 +2883,30 @@ object Queries {
     s.table(qname).orderBy("h", "event_type")
   }
 
+  qRowsOnly("multimodal_decode_real") { (s, dir) =>
+    // REAL codec path: synthesize actual PNGs (deterministic pixels),
+    // decode them with the JDK's ImageIO inside mapPartitions, and report
+    // per-channel means — narrow plan, one codec call per row, the shape
+    // of a 100 TB image-quality filtering pass
+    val ids = tbl(s, dir, "documents").filter(col("doc_id") < 50).select("doc_id")
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val media = ids.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        org.apache.spark.sql.Row(id, Multimodal.syntheticPng(
+          id, 8 + (id % 9).toInt, 8 + (id % 7).toInt))
+      }
+    }(enc)
+    Multimodal.decodeImageStats(media, "doc_id")
+      .select(col("id"), col("width"), col("height"),
+        round(col("mean_r"), 6).as("mean_r"), round(col("mean_g"), 6).as("mean_g"),
+        round(col("mean_b"), 6).as("mean_b"))
+      .orderBy("id")
+  }
+
   qRowsOnly("multimodal_features") { (s, dir) =>
     val media = Multimodal.fabricate(tbl(s, dir, "documents"), "text", "image")
     Multimodal.extractFeatures(media, "doc_id", dim = 16)

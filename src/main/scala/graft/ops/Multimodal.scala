@@ -6,11 +6,13 @@ import org.apache.spark.sql.{DataFrame, Row}
 
 /** Multimodal column plumbing: image/audio/video payloads travel as opaque
   * `binary` columns with a typed metadata struct, processed per-partition
-  * in batches. The Spark-side machinery (schema, partitioning, batch
-  * shape, deterministic output) is real; the actual media codecs are
-  * STUBBED behind `decodeStub` — image/audio libraries are not available
-  * in this container, and a real deployment swaps the stub for a codec
-  * call with the identical signature.
+  * in batches. The IMAGE path is fully real — PNG encode/decode/resize via
+  * the JDK's javax.imageio (`syntheticPng`/`decodeImage`/`resizeImageNN`/
+  * `decodeImageStats`), no external library needed. Audio/video codecs are
+  * not available in this container, so those paths keep the deterministic
+  * STUB (`decodeStub`/`resizeStub`) — the Spark-side machinery (schema,
+  * partitioning, batch shape) is identical, and a deployment swaps the
+  * stub for the codec call with the same signature.
   */
 object Multimodal {
 
@@ -100,6 +102,96 @@ object Multimodal {
           val meta = r.getStruct(2)
           Row(r.getLong(0), resizeStub(r.getAs[Array[Byte]](1), w, h),
             Row(meta.getString(0), meta.getString(1), w, h, meta.get(4)))
+        }
+      }(enc)
+  }
+
+  // ==========================================================================
+  // REAL image codec path — javax.imageio ships with the JDK, so PNG
+  // decode/encode needs no external library. The stubs above remain the
+  // pattern for codecs that genuinely aren't present (audio/video).
+  // ==========================================================================
+
+  /** Deterministic synthetic PNG: pixel (x,y) is a fixed integer hash of
+    * (seed, x, y) — a REAL compressed image whose decoded pixels are
+    * exactly reproducible, used to exercise the codec path end-to-end.
+    */
+  def syntheticPng(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = seed * 1315423911L + x * 2654435761L + y * 40503L
+        img.setRGB(x, y, (v & 0xffffffL).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Real PNG decode via ImageIO: (width, height, row-major RGB ints). */
+  def decodeImage(payload: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    val w = img.getWidth
+    val h = img.getHeight
+    (w, h, img.getRGB(0, 0, w, h, null, 0, w))
+  }
+
+  /** Real resize: decode, nearest-neighbor sample on integer pixel
+    * coordinates (hand-rolled — Graphics2D interpolation is not
+    * bit-specified), re-encode PNG. Deterministic on any JVM.
+    */
+  def resizeImageNN(payload: Array[Byte], tw: Int, th: Int): Array[Byte] = {
+    val (w, h, px) = decodeImage(payload)
+    val out = new java.awt.image.BufferedImage(
+      tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < th) {
+      var x = 0
+      while (x < tw) {
+        out.setRGB(x, y, px((y * h / th) * w + (x * w / tw)))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Batched REAL decode + per-channel statistics: one codec call per
+    * row inside mapPartitions (narrow, no shuffle), integer channel sums
+    * reduced to means with one division each — the image analogue of the
+    * text quality signals, and the shape a 100 TB media-filtering pass
+    * runs (decode cost dominates; parallelism = input splits).
+    */
+  def decodeImageStats(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("mean_r", DoubleType, nullable = false),
+      StructField("mean_g", DoubleType, nullable = false),
+      StructField("mean_b", DoubleType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.select(col(idCol).cast("long").as("id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (w, h, px) = decodeImage(r.getAs[Array[Byte]](1))
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var i = 0
+          while (i < px.length) {
+            val p = px(i)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            i += 1
+          }
+          val n = (w * h).toDouble
+          Row(r.getLong(0), w, h, sr / n, sg / n, sb / n)
         }
       }(enc)
   }

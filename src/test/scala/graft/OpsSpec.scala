@@ -211,6 +211,27 @@ class OpsSpec extends AnyFunSuite {
       again.map(_.getAs[Array[Byte]](1).toSeq).toSeq)
   }
 
+  test("real PNG codec: encode -> decode round-trips pixels; NN resize samples the grid") {
+    val png = Multimodal.syntheticPng(seed = 7L, w = 6, h = 4)
+    // PNG magic bytes prove an actual codec ran, not a stub
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    val (w, h, px) = Multimodal.decodeImage(png)
+    assert(w == 6 && h == 4)
+    // decoded pixel (x,y) equals the generator's hash exactly (lossless)
+    def expected(x: Int, y: Int) =
+      ((7L * 1315423911L + x * 2654435761L + y * 40503L) & 0xffffffL).toInt
+    assert((px(2 * 6 + 3) & 0xffffff) == expected(3, 2))
+    // nearest-neighbor downscale: target (x,y) = source (x*w/tw, y*h/th)
+    val (rw, rh, rpx) = Multimodal.decodeImage(Multimodal.resizeImageNN(png, 3, 2))
+    assert(rw == 3 && rh == 2)
+    assert((rpx(1 * 3 + 2) & 0xffffff) == expected(2 * 6 / 3, 1 * 4 / 2))
+    // channel means match a direct computation over the decoded pixels
+    val stats = Multimodal.decodeImageStats(
+      Seq((1L, png)).toDF("doc_id", "payload"), "doc_id").collect().head
+    val meanR = px.map(p => (p >> 16) & 0xff).sum.toDouble / px.length
+    assert(stats.getDouble(3) == meanR)
+  }
+
   test("profile counts nulls and distincts per column in one pass") {
     val df = Seq((Some(1), Some("a")), (Some(1), None), (None, Some("b")))
       .toDF("x", "y")
