@@ -2907,6 +2907,28 @@ object Queries {
       .orderBy("id")
   }
 
+  qRowsOnly("multimodal_audio_real") { (s, dir) =>
+    // REAL audio path: synthesize actual RIFF/WAVE files (deterministic
+    // 16-bit PCM), decode with the JDK's AudioSystem, report duration /
+    // peak / RMS — integer sums, one sqrt
+    val ids = tbl(s, dir, "documents").filter(col("doc_id") < 50).select("doc_id")
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val media = ids.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        org.apache.spark.sql.Row(id, Multimodal.syntheticWav(
+          id, 8000, 400 + (id % 100).toInt))
+      }
+    }(enc)
+    Multimodal.decodeAudioStats(media, "doc_id")
+      .select(col("id"), col("sample_rate"), col("n_samples"),
+        col("duration_ms"), col("peak"), round(col("rms"), 6).as("rms"))
+      .orderBy("id")
+  }
+
   qRowsOnly("multimodal_features") { (s, dir) =>
     val media = Multimodal.fabricate(tbl(s, dir, "documents"), "text", "image")
     Multimodal.extractFeatures(media, "doc_id", dim = 16)

@@ -196,6 +196,77 @@ object Multimodal {
       }(enc)
   }
 
+  /** Deterministic synthetic WAV (16-bit mono little-endian PCM): sample i
+    * is an integer hash of (seed, i) — a REAL RIFF/WAVE container written
+    * by the JDK's javax.sound.sampled, decodable by any audio stack.
+    */
+  def syntheticWav(seed: Long, sampleRate: Int, nSamples: Int): Array[Byte] = {
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val v = (((seed * 1315423911L + i * 2654435761L) & 0xffffL) - 32768L).toShort
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Real WAV decode via AudioSystem: (sampleRate, 16-bit PCM samples). */
+  def decodeWav(payload: Array[Byte]): (Int, Array[Short]) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val fmt = ais.getFormat
+    val bytes = ais.readAllBytes()
+    val n = bytes.length / 2
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      out(i) = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort
+      i += 1
+    }
+    (fmt.getSampleRate.toInt, out)
+  }
+
+  /** Batched REAL audio decode + signal statistics: duration, peak, and
+    * RMS from exact integer sums (one sqrt at the end) — the audio
+    * analogue of decodeImageStats, same narrow mapPartitions shape.
+    */
+  def decodeAudioStats(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("n_samples", IntegerType, nullable = false),
+      StructField("duration_ms", LongType, nullable = false),
+      StructField("peak", IntegerType, nullable = false),
+      StructField("rms", DoubleType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.select(col(idCol).cast("long").as("id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (rate, pcm) = decodeWav(r.getAs[Array[Byte]](1))
+          var sumSq = 0L
+          var peak = 0
+          var i = 0
+          while (i < pcm.length) {
+            val v = pcm(i).toInt
+            sumSq += v.toLong * v
+            if (math.abs(v) > peak) peak = math.abs(v)
+            i += 1
+          }
+          Row(r.getLong(0), rate, pcm.length,
+            pcm.length * 1000L / rate, peak,
+            math.sqrt(sumSq.toDouble / pcm.length))
+        }
+      }(enc)
+  }
+
   /** Deterministic frame/sample selection for time-media: emit
     * `sample_idx` rows per media row (the sampling grid a video decoder
     * would fill) — demonstrates the fan-out shape without the codec.

@@ -232,6 +232,19 @@ class OpsSpec extends AnyFunSuite {
     assert(stats.getDouble(3) == meanR)
   }
 
+  test("real WAV codec: RIFF container round-trips the exact PCM samples") {
+    val wav = Multimodal.syntheticWav(seed = 3L, sampleRate = 8000, nSamples = 123)
+    assert(wav(0) == 'R' && wav(1) == 'I' && wav(2) == 'F' && wav(3) == 'F')
+    val (rate, pcm) = Multimodal.decodeWav(wav)
+    assert(rate == 8000 && pcm.length == 123)
+    def expected(i: Int) = (((3L * 1315423911L + i * 2654435761L) & 0xffffL) - 32768L).toShort
+    assert(pcm(0) == expected(0) && pcm(57) == expected(57) && pcm(122) == expected(122))
+    val stats = Multimodal.decodeAudioStats(
+      Seq((1L, wav)).toDF("doc_id", "payload"), "doc_id").collect().head
+    assert(stats.getLong(3) == 123L * 1000 / 8000) // duration_ms
+    assert(stats.getInt(4) == pcm.map(v => math.abs(v.toInt)).max) // peak
+  }
+
   test("profile counts nulls and distincts per column in one pass") {
     val df = Seq((Some(1), Some("a")), (Some(1), None), (None, Some("b")))
       .toDF("x", "y")
