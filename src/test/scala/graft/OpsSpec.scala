@@ -47,6 +47,54 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.keySet.exists { case (a, b) => Set(a, b).intersect(Set(3L, 4L)).nonEmpty })
   }
 
+  test("prefix-filtered jaccard equals the brute-force join on random corpora") {
+    // zero-false-negative property: on random small-vocab docs, the
+    // prefix-filtered result set must EQUAL the all-pairs computation
+    val rnd = new scala.util.Random(11)
+    val vocab = ('a' to 'p').map(_.toString)
+    val corpus = (0L until 40L).map { id =>
+      val n = 3 + rnd.nextInt(8)
+      (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = Dedup.prefixJaccardPairs(corpus, "text", "doc_id", threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sets = corpus.collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").toSet).toMap
+    val expected = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      j = sets(a).intersect(sets(b)).size.toDouble / sets(a).union(sets(b)).size
+      if j >= 0.6
+    } yield (a, b)).toSet
+    assert(got == expected)
+  }
+
+  test("funnel agrees with a brute-force per-user fold on random event logs") {
+    val rnd = new scala.util.Random(23)
+    val steps = Seq("s1", "s2", "s3")
+    val evs = (1 to 300).map { _ =>
+      (rnd.nextInt(12).toLong, steps(rnd.nextInt(3)), rnd.nextInt(50).toLong)
+    }
+    val got = Funnel.funnel(evs.toDF("user_id", "event_type", "ts"), steps)
+      .collect().map(r => r.getLong(0) -> (r.get(1), r.get(2), r.get(3))).toMap
+    // reference: per user, earliest s1; earliest s2 strictly after; etc.
+    val expected = evs.groupBy(_._1).flatMap { case (u, rows) =>
+      def earliest(step: String, after: Option[Long]): Option[Long] = {
+        val c = rows.filter(e => e._2 == step && after.forall(e._3 > _)).map(_._3)
+        if (after == Some(-1L)) None else if (c.isEmpty) None else Some(c.min)
+      }
+      val t1 = rows.filter(_._2 == "s1").map(_._3).reduceOption(_ min _)
+      t1.map { t1v =>
+        val t2 = earliest("s2", Some(t1v))
+        val t3 = t2.flatMap(t2v => earliest("s3", Some(t2v)))
+        u -> ((t1v, t2.map(Long.box).orNull, t3.map(Long.box).orNull))
+      }
+    }
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (u, (t1, t2, t3)) =>
+      assert(got(u) == ((t1, t2, t3)), s"user $u")
+    }
+  }
+
   test("simhash: identical texts share signatures; families keep min id") {
     val fam = Dedup.simhashFamilies(docs, "text", "doc_id").collect()
     val bySize = fam.map(r => r.getLong(1) -> r.getLong(2)).toMap
