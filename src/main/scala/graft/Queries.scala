@@ -903,6 +903,113 @@ object Queries {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  q("q_regex_funcs",
+    // Java and RE2 agree on this restricted syntax (classes, bounded
+    // repetition, alternation); both engines return '' on no-match
+    """SELECT doc_id,
+      |  regexp_extract(text, '([a-z]{7,})', 1) AS long_word,
+      |  substring(regexp_replace(text, '[aeiou]', '', 'g'), 1, 40) AS devowel40,
+      |  CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS INT) AS n_vowels,
+      |  CASE WHEN regexp_matches(text, ' (data|customer) ') THEN 1 ELSE 0 END AS mentions
+      |FROM documents ORDER BY doc_id"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    tbl(s, dir, "documents").select(col("doc_id"),
+        regexp_extract(col("text"), "([a-z]{7,})", 1).as("long_word"),
+        substring(regexp_replace(col("text"), "[aeiou]", ""), 1, 40).as("devowel40"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[aeiou]", ""))).as("n_vowels"),
+        when(col("text").rlike(" (data|customer) "), 1).otherwise(0).as("mentions"))
+      .orderBy("doc_id")
+  }
+
+  q("q_bitwise_funcs",
+    """SELECT l_orderkey, l_linenumber,
+      |  l_orderkey & l_partkey AS band, l_orderkey | l_partkey AS bor,
+      |  xor(l_orderkey, l_partkey) AS bxor,
+      |  l_orderkey << 3 AS shl, l_partkey >> 2 AS shr,
+      |  CAST(bit_count(l_orderkey) AS INT) AS bits
+      |FROM lineitem WHERE l_orderkey < 100
+      |ORDER BY l_orderkey, l_linenumber"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    tbl(s, dir, "lineitem").filter(col("l_orderkey") < 100)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_orderkey").bitwiseAND(col("l_partkey")).as("band"),
+        col("l_orderkey").bitwiseOR(col("l_partkey")).as("bor"),
+        col("l_orderkey").bitwiseXOR(col("l_partkey")).as("bxor"),
+        shiftleft(col("l_orderkey"), 3).as("shl"),
+        shiftright(col("l_partkey"), 2).as("shr"),
+        bit_count(col("l_orderkey")).as("bits"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  q("q_hash_funcs",
+    """SELECT p_partkey, md5(p_name) AS h_md5, sha256(p_name) AS h_sha256,
+      |  substring(md5(p_brand), 1, 8) AS brand8
+      |FROM part ORDER BY p_partkey"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    tbl(s, dir, "part").select(col("p_partkey"),
+        md5(col("p_name")).as("h_md5"), sha2(col("p_name"), 256).as("h_sha256"),
+        substring(md5(col("p_brand")), 1, 8).as("brand8"))
+      .orderBy("p_partkey")
+  }
+
+  q("q_sequence_hof",
+    // higher-order functions over generated arrays; the oracle is the
+    // closed-form arithmetic, so any lambda-eval drift hash-fails
+    """SELECT l_orderkey, l_linenumber, k,
+      |  k * (k + 1) // 2 AS tri,
+      |  k * (k + 1) * (2 * k + 1) // 6 AS sumsq,
+      |  k // 2 AS n_even
+      |FROM (SELECT l_orderkey, l_linenumber,
+      |  CAST(l_quantity AS BIGINT) AS k FROM lineitem WHERE l_orderkey < 300)
+      |ORDER BY l_orderkey, l_linenumber"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val k = col("l_quantity").cast("long")
+    tbl(s, dir, "lineitem").filter(col("l_orderkey") < 300)
+      .select(col("l_orderkey"), col("l_linenumber"), k.as("k"),
+        aggregate(sequence(lit(1L), k), lit(0L), (acc, x) => acc + x).as("tri"),
+        aggregate(transform(sequence(lit(1L), k), x => x * x),
+          lit(0L), (acc, x) => acc + x).as("sumsq"),
+        size(filter(sequence(lit(1L), k), x => x % 2 === 0))
+          .cast("long").as("n_even"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  q("q_try_arith",
+    // try_* null-on-failure semantics under ANSI mode: division by zero,
+    // out-of-bounds element access, and failed string casts all yield NULL
+    """SELECT l_orderkey, l_linenumber,
+      |  l_extendedprice / NULLIF(l_quantity - 25, 0) AS safe_div,
+      |  ([l_orderkey])[2] AS oob,
+      |  TRY_CAST(l_returnflag AS INT) AS flag_int
+      |FROM lineitem WHERE l_orderkey < 300
+      |ORDER BY l_orderkey, l_linenumber"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    tbl(s, dir, "lineitem").filter(col("l_orderkey") < 300)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        try_divide(col("l_extendedprice"), col("l_quantity") - 25).as("safe_div"),
+        try_element_at(array(col("l_orderkey")), lit(2)).as("oob"),
+        expr("try_cast(l_returnflag AS INT)").as("flag_int"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  q("q_width_bucket",
+    // DuckDB lacks width_bucket; the oracle is the bucket arithmetic
+    // (floor(n*(v-lo)/(hi-lo))+1 with the out-of-range conventions).
+    // 2q/11 stays >= 1/11 away from integers for non-multiples, so the
+    // floor is rounding-safe across engines
+    """SELECT l_orderkey, l_linenumber, l_quantity,
+      |  CASE WHEN l_quantity < 0 THEN 0 WHEN l_quantity >= 55 THEN 11
+      |    ELSE CAST(FLOOR(10.0 * l_quantity / 55.0) AS BIGINT) + 1 END AS wb
+      |FROM lineitem WHERE l_orderkey < 300
+      |ORDER BY l_orderkey, l_linenumber"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    tbl(s, dir, "lineitem").filter(col("l_orderkey") < 300)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        width_bucket(col("l_quantity"), lit(0.0), lit(55.0), lit(10L)).as("wb"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   q("q_stats_moments",
     // exact decimal power sums -> one fixed double combination per group;
     // built-in stddev/corr accumulate doubles in partition order and are
@@ -2687,6 +2794,69 @@ object Queries {
       try query.processAllAvailable() finally query.stop()
     } finally s.conf.set("spark.sql.shuffle.partitions", priorPartitions)
     s.table(qname).orderBy("user_id", "view_id", "click_id")
+  }
+
+  q("stream_interval_left_outer",
+    // oracle: the batch LEFT range join. A streaming left-outer join only
+    // emits an unmatched left row (NULL right side) once the watermark
+    // passes l_ts + window + delay, from a LATER micro-batch — so the
+    // bounded source is drained through a landing dir in three runs: the
+    // real data, then two sentinel batches that push the watermark past
+    // every real row's join window (checkpointed restarts carry the state)
+    """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+      |  v.ts AS view_ts, c.ts AS click_ts
+      |FROM events v LEFT JOIN events c ON c.user_id = v.user_id
+      |  AND c.event_type = 'click' AND c.ts >= v.ts
+      |  AND c.ts <= v.ts + INTERVAL 1 HOUR
+      |WHERE v.event_type = 'view' AND v.user_id < 30
+      |ORDER BY v.user_id, view_id, click_id"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    import s.implicits._
+    val ev = events(s, dir)
+      .filter(col("event_type").isin("view", "click"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts").cast(TimestampType).as("ts"))
+    val maxTs = ev.agg(max("ts")).head.getTimestamp(0)
+    val root = java.nio.file.Files.createTempDirectory("graft_louter")
+    val in = root.resolve("in").toString
+    val outP = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt").toString
+    def sentinel(batch: String, offsetDays: Int): Unit = {
+      val ts = new java.sql.Timestamp(maxTs.getTime + offsetDays * 86400000L)
+      Seq((-1L, 999999L, "view", ts), (-2L, 999999L, "click", ts))
+        .toDF("event_id", "user_id", "event_type", "ts")
+        .write.parquet(s"$in/$batch")
+    }
+    def run(): Unit = {
+      def src = s.readStream.schema(ev.schema)
+        .option("recursiveFileLookup", "true").parquet(in)
+      val views = src.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts").as("l_ts"))
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user_id"),
+          col("event_id").as("click_id"), col("ts").as("r_ts"))
+      val query = graft.streaming.Streams
+        .intervalJoinLeftOuter(views, clicks, "user_id", "c_user_id", "1 HOUR")
+        .select(col("user_id"), col("view_id"), col("click_id"),
+          col("l_ts").as("view_ts"), col("r_ts").as("click_ts"))
+        .writeStream.format("parquet").option("path", outP)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try query.processAllAvailable() finally query.stop()
+    }
+    val priorPartitions = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      ev.write.parquet(s"$in/b1")
+      run()
+      sentinel("b2", 3); run()
+      sentinel("b3", 6); run()
+    } finally s.conf.set("spark.sql.shuffle.partitions", priorPartitions)
+    s.read.parquet(outP).filter(col("user_id") < 30)
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        col("view_ts").cast(TimestampNTZType).as("view_ts"),
+        col("click_ts").cast(TimestampNTZType).as("click_ts"))
+      .orderBy("user_id", "view_id", "click_id")
   }
 
   q("stream_token_counts",

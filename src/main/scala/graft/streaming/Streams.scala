@@ -72,6 +72,25 @@ object Streams {
           col("r_ts") >= col("l_ts") &&
           col("r_ts") <= col("l_ts") + expr(s"INTERVAL $window"))
 
+  /** Stream-stream LEFT OUTER interval join. Matched pairs stream out like
+    * the inner join; an unmatched left row is held in state and emitted
+    * with a NULL right side only once the watermark passes
+    * l_ts + window + delay (i.e. no matching right row can still arrive),
+    * which bounds state by the watermark horizon. Note the null rows are
+    * produced by a LATER micro-batch than the one that read the left row —
+    * callers draining a bounded source must push the watermark past the
+    * data (e.g. with sentinel rows in a final batch) to flush them.
+    */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame, key: String,
+                            rKey: String, window: String = "1 hour",
+                            watermark: String = "10 minutes"): DataFrame =
+    left.withWatermark("l_ts", watermark)
+      .join(right.withWatermark("r_ts", watermark),
+        col(key) === col(rKey) &&
+          col("r_ts") >= col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $window"),
+        "left_outer")
+
   /** Streaming exact dedup: drop rows whose content digest was already
     * seen within the watermark horizon — the ingest-time half of the
     * batch Dedup.exact operator. State is bounded by the watermark
