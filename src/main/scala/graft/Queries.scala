@@ -3125,4 +3125,455 @@ object Queries {
         col("media_meta.duration_ms").as("duration_ms"))
       .orderBy("doc_id", "sample_idx")
   }
+
+  // ===========================================================================
+  // Classic OLAP query shapes — the TPC-H patterns (Q4, Q7–Q10, Q12–Q15,
+  // Q17–Q20, Q22) adapted to this schema (no partsupp/commitdate/shipmode).
+  // These exercise the decision-support plan space end-to-end: correlated
+  // EXISTS, multi-way broadcast joins, conditional-aggregation shares,
+  // left-join histograms, scalar-subquery max, HAVING semi joins, and
+  // NOT EXISTS + population-threshold predicates. Exact-decimal discipline
+  // throughout: sums/thresholds run over decimals or integers, with a
+  // single double cast (or one IEEE division) at the very end.
+  // ===========================================================================
+
+  q("q4_priority_exists",
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-07-01'
+      |  AND CAST(o_orderdate AS DATE) < DATE '1996-10-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE))
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val o = tbl(s, dir, "orders")
+      .filter(to_date(col("o_orderdate")) >= lit("1996-07-01").cast("date") &&
+        to_date(col("o_orderdate")) < lit("1996-10-01").cast("date"))
+    val li = tbl(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o.join(li, col("l_orderkey") === col("o_orderkey") &&
+        to_date(col("l_shipdate")) > to_date(col("o_orderdate")), "left_semi")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  q("q7_nation_volume",
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |  CAST(year(l_shipdate) AS INT) AS l_year,
+       |  CAST(SUM($discPriceSql) AS DOUBLE) AS revenue
+       |FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+       |  JOIN orders ON o_orderkey = l_orderkey
+       |  JOIN customer ON c_custkey = o_custkey
+       |  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+       |  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+       |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+       |  AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+       |  AND n1.n_name IN ('NATION_1','NATION_2')
+       |  AND n2.n_name IN ('NATION_1','NATION_2')
+       |  AND n1.n_name <> n2.n_name
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val n1 = broadcast(tbl(s, dir, "nation")
+      .filter(col("n_name").isin("NATION_1", "NATION_2"))
+      .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation")))
+    val n2 = broadcast(tbl(s, dir, "nation")
+      .filter(col("n_name").isin("NATION_1", "NATION_2"))
+      .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation")))
+    tbl(s, dir, "lineitem")
+      .filter(to_date(col("l_shipdate")) >= lit("1996-01-01").cast("date") &&
+        to_date(col("l_shipdate")) < lit("1998-01-01").cast("date"))
+      .join(broadcast(tbl(s, dir, "supplier")), col("s_suppkey") === col("l_suppkey"))
+      .join(n1, col("n1_key") === col("s_nationkey"))
+      .join(tbl(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+      .join(tbl(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+      .join(n2, col("n2_key") === col("c_nationkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  q("q8_market_share",
+    s"""WITH vol AS (
+       |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       |    $discPriceSql AS volume, n1.n_name AS supp_nation
+       |  FROM lineitem JOIN part ON p_partkey = l_partkey
+       |    JOIN supplier ON s_suppkey = l_suppkey
+       |    JOIN orders ON o_orderkey = l_orderkey
+       |    JOIN customer ON c_custkey = o_custkey
+       |    JOIN nation n1 ON n1.n_nationkey = s_nationkey
+       |    JOIN nation n2 ON n2.n_nationkey = c_nationkey
+       |    JOIN region ON r_regionkey = n2.n_regionkey
+       |  WHERE r_name = 'ASIA' AND p_type = 'PROMO')
+       |SELECT o_year,
+       |  CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume END) AS DOUBLE)
+       |    / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+       |FROM vol GROUP BY o_year ORDER BY o_year"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val n1 = broadcast(tbl(s, dir, "nation")
+      .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation")))
+    val n2 = broadcast(tbl(s, dir, "nation")
+      .select(col("n_nationkey").as("n2_key"),
+        col("n_regionkey").as("n2_regionkey")))
+    val vol = tbl(s, dir, "lineitem")
+      .join(broadcast(tbl(s, dir, "part").filter(col("p_type") === "PROMO")),
+        col("p_partkey") === col("l_partkey"))
+      .join(broadcast(tbl(s, dir, "supplier")), col("s_suppkey") === col("l_suppkey"))
+      .join(n1, col("n1_key") === col("s_nationkey"))
+      .join(tbl(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+      .join(tbl(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+      .join(n2, col("n2_key") === col("c_nationkey"))
+      .join(broadcast(tbl(s, dir, "region").filter(col("r_name") === "ASIA")),
+        col("r_regionkey") === col("n2_regionkey"))
+      .select(year(col("o_orderdate")).as("o_year"),
+        discPrice(col("l_extendedprice"), col("l_discount")).as("volume"),
+        col("supp_nation"))
+    vol.groupBy("o_year")
+      .agg((sum(when(col("supp_nation") === "NATION_5", col("volume"))).cast("double")
+        / sum(col("volume")).cast("double")).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  q("q9_profit_proxy",
+    s"""SELECT n_name, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit FROM (
+       |  SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+       |    $discPriceSql - CAST(p_retailprice AS DECIMAL(12,2))
+       |      * CAST(0.5 AS DECIMAL(2,1)) * CAST(l_quantity AS INT) AS amount
+       |  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+       |    JOIN part ON p_partkey = l_partkey
+       |    JOIN orders ON o_orderkey = l_orderkey
+       |    JOIN nation ON n_nationkey = s_nationkey
+       |  WHERE p_name LIKE '%bolt%') profit
+       |GROUP BY n_name, o_year ORDER BY n_name, o_year"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val amount = discPrice(col("l_extendedprice"), col("l_discount")) -
+      dec(col("p_retailprice"), 12, 2) * lit("0.5").cast(DecimalType(2, 1)) *
+        col("l_quantity").cast("int")
+    tbl(s, dir, "lineitem")
+      .join(broadcast(tbl(s, dir, "supplier")), col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(tbl(s, dir, "part").filter(col("p_name").like("%bolt%"))),
+        col("p_partkey") === col("l_partkey"))
+      .join(tbl(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(tbl(s, dir, "nation")), col("n_nationkey") === col("s_nationkey"))
+      .select(col("n_name"), year(col("o_orderdate")).as("o_year"), amount.as("amount"))
+      .groupBy("n_name", "o_year")
+      .agg(sum("amount").cast("double").as("sum_profit"))
+      .orderBy("n_name", "o_year")
+  }
+
+  q("q10_returned_top",
+    s"""SELECT c_custkey, c_name, CAST(SUM($discPriceSql) AS DOUBLE) AS revenue,
+       |  CAST(c_acctbal AS DOUBLE) AS acctbal, n_name
+       |FROM customer JOIN orders ON c_custkey = o_custkey
+       |  JOIN lineitem ON l_orderkey = o_orderkey
+       |  JOIN nation ON n_nationkey = c_nationkey
+       |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-10-01'
+       |  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+       |  AND l_returnflag = 'R'
+       |GROUP BY c_custkey, c_name, c_acctbal, n_name
+       |ORDER BY revenue DESC, c_custkey LIMIT 20"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    tbl(s, dir, "customer")
+      .join(tbl(s, dir, "orders")
+        .filter(to_date(col("o_orderdate")) >= lit("1996-10-01").cast("date") &&
+          to_date(col("o_orderdate")) < lit("1997-01-01").cast("date")),
+        col("c_custkey") === col("o_custkey"))
+      .join(tbl(s, dir, "lineitem").filter(col("l_returnflag") === "R"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(tbl(s, dir, "nation")), col("n_nationkey") === col("c_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+        .cast("double").as("revenue"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("c_acctbal").cast("double").as("acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
+  }
+
+  q("q12_delay_buckets",
+    """SELECT CASE
+      |    WHEN datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) < 30 THEN 'fast'
+      |    WHEN datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) < 90 THEN 'medium'
+      |    ELSE 'slow' END AS delay_bucket,
+      |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_count,
+      |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY 1 ORDER BY 1"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val delay = datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    tbl(s, dir, "orders")
+      .join(tbl(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(when(delay < 30, "fast").when(delay < 90, "medium").otherwise("slow")
+        .as("delay_bucket"))
+      .agg(sum(when(hi, 1L).otherwise(0L)).as("high_count"),
+        sum(when(hi, 0L).otherwise(1L)).as("low_count"))
+      .orderBy("delay_bucket")
+  }
+
+  q("q13_order_histogram",
+    """WITH co AS (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey)
+      |SELECT c_count, COUNT(*) AS custdist FROM co
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    tbl(s, dir, "customer")
+      .join(tbl(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  q("q14_promo_share",
+    s"""SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $discPriceSql END) AS DOUBLE)
+       |    * 100.0 / CAST(SUM($discPriceSql) AS DOUBLE) AS promo_share
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-09-01'
+       |  AND CAST(l_shipdate AS DATE) < DATE '1996-10-01'"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val dp = discPrice(col("l_extendedprice"), col("l_discount"))
+    tbl(s, dir, "lineitem")
+      .filter(to_date(col("l_shipdate")) >= lit("1996-09-01").cast("date") &&
+        to_date(col("l_shipdate")) < lit("1996-10-01").cast("date"))
+      .join(broadcast(tbl(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .agg((sum(when(col("p_type") === "PROMO", dp)).cast("double") * 100.0
+        / sum(dp).cast("double")).as("promo_share"))
+  }
+
+  q("q15_top_supplier",
+    s"""WITH revenue AS (
+       |  SELECT l_suppkey AS supplier_no, SUM($discPriceSql) AS total_rev
+       |  FROM lineitem
+       |  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+       |    AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+       |  GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+       |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+       |WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+       |ORDER BY s_suppkey"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val rev = tbl(s, dir, "lineitem")
+      .filter(to_date(col("l_shipdate")) >= lit("1996-01-01").cast("date") &&
+        to_date(col("l_shipdate")) < lit("1996-04-01").cast("date"))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).as("total_rev"))
+    val mx = rev.agg(max(col("total_rev")).as("mx"))
+    tbl(s, dir, "supplier")
+      .join(rev, col("s_suppkey") === col("supplier_no"))
+      .join(broadcast(mx), col("total_rev") === col("mx"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  q("q17_small_qty_revenue",
+    """WITH pq AS (SELECT l_partkey AS pk, COUNT(*) AS cnt,
+      |    CAST(SUM(CAST(l_quantity AS INT)) AS BIGINT) AS sq
+      |  FROM lineitem GROUP BY l_partkey)
+      |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+      |  COUNT(*) AS n
+      |FROM lineitem JOIN part ON p_partkey = l_partkey JOIN pq ON pk = l_partkey
+      |WHERE p_brand = 'Brand#11' AND 5 * CAST(l_quantity AS INT) * cnt < sq"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    // exact integer form of "qty < 0.2 * avg(qty) per part":
+    // 5 * qty * cnt < sum(qty) — no float thresholds anywhere
+    val pq = tbl(s, dir, "lineitem")
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(count(lit(1)).as("cnt"), sum(col("l_quantity").cast("int")).as("sq"))
+    tbl(s, dir, "lineitem")
+      .join(broadcast(tbl(s, dir, "part").filter(col("p_brand") === "Brand#11")),
+        col("p_partkey") === col("l_partkey"))
+      .join(pq, col("pk") === col("l_partkey"))
+      .filter(lit(5) * col("l_quantity").cast("int") * col("cnt") < col("sq"))
+      .agg((sum(dec(col("l_extendedprice"), 12, 2)).cast("double") / 7.0)
+        .as("avg_yearly"), count(lit(1)).as("n"))
+  }
+
+  q("q18_volume_customers",
+    """WITH big AS (SELECT l_orderkey AS bok,
+      |    CAST(SUM(CAST(l_quantity AS INT)) AS BIGINT) AS sum_qty
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING SUM(CAST(l_quantity AS INT)) > 300)
+      |SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+      |  CAST(o_totalprice AS DOUBLE) AS totalprice, sum_qty
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |  JOIN big ON bok = o_orderkey
+      |ORDER BY totalprice DESC, o_orderkey LIMIT 50"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val big = tbl(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("bok"))
+      .agg(sum(col("l_quantity").cast("int")).as("sum_qty"))
+      .filter(col("sum_qty") > 300)
+    tbl(s, dir, "customer")
+      .join(tbl(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(big, col("bok") === col("o_orderkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice").cast("double").as("totalprice"), col("sum_qty"))
+      .orderBy(col("totalprice").desc, col("o_orderkey")).limit(50)
+  }
+
+  q("q19_or_pushdown",
+    s"""SELECT CAST(SUM($discPriceSql) AS DOUBLE) AS revenue, COUNT(*) AS n
+       |FROM lineitem JOIN part ON p_partkey = l_partkey
+       |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+       |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    tbl(s, dir, "lineitem")
+      .join(broadcast(tbl(s, dir, "part")), col("p_partkey") === col("l_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+          col("l_quantity").between(20, 30)))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+        .cast("double").as("revenue"), count(lit(1)).as("n"))
+  }
+
+  q("q20_semi_agg",
+    """SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey IN (
+      |  SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+      |  WHERE p_type = 'PROMO' GROUP BY l_suppkey
+      |  HAVING SUM(CAST(l_quantity AS INT)) > 100)
+      |ORDER BY s_suppkey"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val promo = tbl(s, dir, "lineitem")
+      .join(broadcast(tbl(s, dir, "part").filter(col("p_type") === "PROMO")),
+        col("p_partkey") === col("l_partkey"))
+      .groupBy("l_suppkey")
+      .agg(sum(col("l_quantity").cast("int")).as("tq"))
+      .filter(col("tq") > 100)
+    tbl(s, dir, "supplier")
+      .join(promo, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name").orderBy("s_suppkey")
+  }
+
+  q("q22_idle_customers",
+    """WITH pos AS (SELECT COUNT(*) AS cnt,
+      |    SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS tot
+      |  FROM customer WHERE c_acctbal > 0.0)
+      |SELECT c_nationkey, COUNT(*) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+      |FROM customer, pos
+      |WHERE CAST(c_acctbal AS DECIMAL(12,2)) * cnt > tot
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_nationkey ORDER BY c_nationkey"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    // "acctbal above the positive-population mean" in exact decimal form:
+    // bal * cnt > sum  (one broadcast row, no float mean anywhere)
+    val pos = tbl(s, dir, "customer").filter(col("c_acctbal") > 0.0)
+      .agg(count(lit(1)).as("cnt"), sum(dec(col("c_acctbal"), 12, 2)).as("tot"))
+    tbl(s, dir, "customer")
+      .crossJoin(broadcast(pos))
+      .filter(dec(col("c_acctbal"), 12, 2) * col("cnt") > col("tot"))
+      .join(tbl(s, dir, "orders"), col("o_custkey") === col("c_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("numcust"),
+        sum(dec(col("c_acctbal"), 12, 2)).cast("double").as("totacctbal"))
+      .orderBy("c_nationkey")
+  }
+
+  q("q_window_nth",
+    """SELECT user_id, event_id, value,
+      |  nth_value(value, 3) OVER w AS v3,
+      |  lag(value, 2) OVER w AS lag2,
+      |  lead(value, 2, -1.0) OVER w AS lead2
+      |FROM events WHERE user_id < 40
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, event_id"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events(s, dir).filter(col("user_id") < 40)
+      .select(col("user_id"), col("event_id"), col("value"),
+        nth_value(col("value"), 3).over(w).as("v3"),
+        lag(col("value"), 2).over(w).as("lag2"),
+        lead(col("value"), 2, -1.0).over(w).as("lead2"))
+      .orderBy("user_id", "event_id")
+  }
+
+  q("q_minmax_by",
+    // arg-max/arg-min with an EXACT composite ordering key (decimal
+    // balance scaled + unique custkey) so ties are impossible and both
+    // engines pick the same row deterministically
+    """SELECT c_nationkey,
+      |  arg_max(c_name, CAST(c_acctbal AS DECIMAL(12,2)) * 1000000 + c_custkey) AS top_name,
+      |  arg_min(c_name, CAST(c_acctbal AS DECIMAL(12,2)) * 1000000 + c_custkey) AS bottom_name,
+      |  COUNT(*) AS n
+      |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val key = dec(col("c_acctbal"), 12, 2) * 1000000 + col("c_custkey")
+    tbl(s, dir, "customer")
+      .groupBy("c_nationkey")
+      .agg(max_by(col("c_name"), key).as("top_name"),
+        min_by(col("c_name"), key).as("bottom_name"),
+        count(lit(1)).as("n"))
+      .orderBy("c_nationkey")
+  }
+
+  q("q_bool_aggs",
+    """SELECT c_nationkey,
+      |  bool_and(c_acctbal > 0.0) AS all_positive,
+      |  bool_or(c_acctbal < -900.0) AS any_deep_debt,
+      |  count_if(c_mktsegment = 'BUILDING') AS n_building,
+      |  COUNT(*) AS n
+      |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    tbl(s, dir, "customer")
+      .groupBy("c_nationkey")
+      .agg(bool_and(col("c_acctbal") > 0.0).as("all_positive"),
+        bool_or(col("c_acctbal") < -900.0).as("any_deep_debt"),
+        count_if(col("c_mktsegment") === "BUILDING").as("n_building"),
+        count(lit(1)).as("n"))
+      .orderBy("c_nationkey")
+  }
+
+  q("q_url_funcs",
+    // parse_url over deterministically synthesized URLs; the oracle
+    // recomputes host/path/query-param with regexps
+    """WITH u AS (SELECT event_id,
+      |    'https://shop.example.com/' || event_type || '/page?user=' || CAST(user_id AS VARCHAR) || '&ref=mail' AS url
+      |  FROM events WHERE event_id < 2000)
+      |SELECT event_id, url,
+      |  regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+      |  regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+      |  regexp_extract(url, '[?&]user=([^&]*)', 1) AS user_param
+      |FROM u ORDER BY event_id"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    events(s, dir).filter(col("event_id") < 2000)
+      .select(col("event_id"),
+        concat(lit("https://shop.example.com/"), col("event_type"),
+          lit("/page?user="), col("user_id").cast("string"), lit("&ref=mail"))
+          .as("url"))
+      .select(col("event_id"), col("url"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY"), lit("user")).as("user_param"))
+      .orderBy("event_id")
+  }
+
+  q("q_interval_arith",
+    // date results compare as ISO strings: DuckDB DATE surfaces as a
+    // midnight timestamp through pandas, Spark DATE as a date — the
+    // string forms are identical on both engines
+    """SELECT event_id,
+      |  CAST(ts + INTERVAL 90 MINUTE AS TIMESTAMP) AS ts_plus,
+      |  CAST(CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS VARCHAR) AS week_start,
+      |  CAST(last_day(CAST(ts AS DATE)) AS VARCHAR) AS month_end,
+      |  CAST(CAST(CAST(ts AS DATE) + INTERVAL 2 MONTH AS DATE) AS VARCHAR) AS plus2m,
+      |  CAST(isodow(CAST(ts AS DATE)) AS INT) - 1 AS wd
+      |FROM events WHERE event_id < 2000 ORDER BY event_id"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    events(s, dir).filter(col("event_id") < 2000)
+      .select(col("event_id"),
+        (col("ts") + expr("INTERVAL 90 MINUTES")).as("ts_plus"),
+        date_trunc("week", col("ts").cast("date")).cast("date").cast("string").as("week_start"),
+        last_day(col("ts").cast("date")).cast("string").as("month_end"),
+        add_months(col("ts").cast("date"), 2).cast("string").as("plus2m"),
+        weekday(col("ts").cast("date")).as("wd"))
+      .orderBy("event_id")
+  }
 }
