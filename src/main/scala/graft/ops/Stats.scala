@@ -83,9 +83,12 @@ object Stats {
   def trimmedMean(df: DataFrame, groupCol: String, valCol: String,
                   lo: Double = 0.05, hi: Double = 0.95,
                   p: Int = 12, s: Int = 2): DataFrame = {
-    val bounds = df.groupBy(groupCol).agg(
-      expr(s"percentile($valCol, $lo)").as("plo"),
-      expr(s"percentile($valCol, $hi)").as("phi"))
+    // one percentile aggregation for both bounds: a single per-group
+    // value buffer and sort instead of two
+    val bounds = df.groupBy(groupCol)
+      .agg(expr(s"percentile($valCol, array($lo, $hi))").as("pb"))
+      .select(col(groupCol), col("pb").getItem(0).as("plo"),
+        col("pb").getItem(1).as("phi"))
     df.join(broadcast(bounds), groupCol)
       .filter(col(valCol) >= col("plo") && col(valCol) <= col("phi"))
       .groupBy(groupCol)

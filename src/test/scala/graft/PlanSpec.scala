@@ -247,6 +247,45 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       plan.take(1500))
   }
+
+  test("q4: correlated EXISTS plans as a semi join, orderdate predicate pushed") {
+    val plan = planOf("q4_priority_exists")
+    assert(plan.contains("LeftSemi"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate)"), plan.take(2000))
+  }
+
+  test("q7/q8/q9: every dimension side enters broadcast; no cartesian anywhere") {
+    for (name <- Seq("q7_nation_volume", "q8_market_share", "q9_profit_proxy")) {
+      val plan = planOf(name)
+      assert(plan.contains("BroadcastHashJoin"), s"$name:\n${plan.take(800)}")
+      assert(!plan.contains("CartesianProduct"), name)
+    }
+  }
+
+  test("q17: part filter broadcasts; per-part stats shuffle keys on l_partkey") {
+    val plan = planOf("q17_small_qty_revenue")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    val exchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.exists(_.contains("l_partkey")), exchanges.mkString("\n"))
+  }
+
+  test("q19: OR-of-ANDs keeps the part side broadcast and brand/size filters scan-level") {
+    val plan = planOf("q19_or_pushdown")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"))
+    // the disjunction references both tables so it stays a post-join
+    // Filter, but each scan still prunes columns to what the query needs
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!readSchemas.contains("p_retailprice"), readSchemas)
+  }
+
+  test("q22: population threshold is one broadcast row; idle filter is an anti join") {
+    val plan = planOf("q22_idle_customers")
+    assert(plan.contains("LeftAnti"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
 }
 
 /** GraftExtensions registers the engine's strategies via the standard
