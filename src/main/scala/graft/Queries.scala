@@ -3495,6 +3495,68 @@ object Queries {
       .orderBy("user_id", "event_id")
   }
 
+  q("q_merge_upsert",
+    // CDC MERGE: deterministic change set (deletes %37, balance-zeroing
+    // updates %10, inserts keyed +1000000 for %100) applied to the
+    // customer snapshot via ops.Merge (anti join + union — no windows,
+    // no sorts, one exchange per side)
+    """WITH chg AS (
+      |  SELECT c_custkey AS k, CASE WHEN c_custkey % 37 = 0 THEN 'D' ELSE 'U' END AS op,
+      |    c_name, c_nationkey, CAST(0.00 AS DECIMAL(12,2)) AS bal, c_mktsegment
+      |  FROM customer WHERE c_custkey % 37 = 0 OR c_custkey % 10 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, 'I', 'NEW_' || CAST(c_custkey AS VARCHAR),
+      |    0, CAST(100.00 AS DECIMAL(12,2)), 'MACHINERY'
+      |  FROM customer WHERE c_custkey % 100 = 0),
+      |survivors AS (
+      |  SELECT c_custkey, c_name, c_nationkey,
+      |    CAST(c_acctbal AS DECIMAL(12,2)) AS bal, c_mktsegment
+      |  FROM customer WHERE c_custkey NOT IN (SELECT k FROM chg)),
+      |merged AS (
+      |  SELECT * FROM survivors UNION ALL
+      |  SELECT k, c_name, c_nationkey, bal, c_mktsegment FROM chg WHERE op <> 'D')
+      |SELECT c_custkey, c_name, CAST(c_nationkey AS INT) AS c_nationkey,
+      |  CAST(bal AS DOUBLE) AS bal, c_mktsegment
+      |FROM merged ORDER BY c_custkey"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val target = tbl(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        dec(col("c_acctbal"), 12, 2).as("bal"), col("c_mktsegment"))
+    val mutations = tbl(s, dir, "customer")
+      .filter(col("c_custkey") % 37 === 0 || col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 37 === 0, "D").otherwise("U").as("op"),
+        col("c_name"), col("c_nationkey"),
+        lit("0.00").cast(DecimalType(12, 2)).as("bal"), col("c_mktsegment"))
+    val inserts = tbl(s, dir, "customer")
+      .filter(col("c_custkey") % 100 === 0)
+      .select((col("c_custkey") + 1000000).as("c_custkey"), lit("I").as("op"),
+        concat(lit("NEW_"), col("c_custkey").cast("string")).as("c_name"),
+        lit(0).as("c_nationkey"),
+        lit("100.00").cast(DecimalType(12, 2)).as("bal"),
+        lit("MACHINERY").as("c_mktsegment"))
+    Merge.applyChanges(target, mutations.unionByName(inserts), "c_custkey", "op")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("bal").cast("double").as("bal"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  q("q_posexplode",
+    // LATERAL-view positional explode; the oracle zips unnest(w) with
+    // unnest(range(len(w))) for the same 0-based ordinality
+    """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      |  FROM documents WHERE doc_id < 50),
+      |u AS (SELECT doc_id, unnest(w) AS tok, unnest(range(len(w))) AS pos FROM toks)
+      |SELECT doc_id, CAST(pos AS INT) AS pos, tok FROM u
+      |ORDER BY doc_id, pos"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    tbl(s, dir, "documents").filter(col("doc_id") < 50)
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos"), col("tok"))
+      .orderBy("doc_id", "pos")
+  }
+
   q("q_minmax_by",
     // arg-max/arg-min with an EXACT composite ordering key (decimal
     // balance scaled + unique custkey) so ties are impossible and both

@@ -17,6 +17,28 @@ class OpsSpec extends AnyFunSuite {
     (4L, "completely different words about gardening tulips roses", "en"))
     .toDF("doc_id", "text", "lang")
 
+  test("merge applyChanges: delete drops, update replaces, insert adds, rest survive") {
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+      .toDF("k", "name", "bal")
+    val changes = Seq(
+      (2L, "U", "b2", 99.0),  // update key 2
+      (3L, "D", "c", 0.0),    // delete key 3
+      (9L, "I", "new", 5.0))  // insert key 9
+      .toDF("k", "op", "name", "bal")
+      .select(col("k"), col("name"), col("bal"), col("op"))
+    val out = Merge.applyChanges(target, changes, "k", "op")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, "a", 10.0), (2L, "b2", 99.0), (4L, "d", 40.0), (9L, "new", 5.0)))
+  }
+
+  test("merge applyChanges: broadcastChanges=false still produces the same snapshot") {
+    val target = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val changes = Seq((1L, "a2", "U")).toDF("k", "v", "op")
+    val out = Merge.applyChanges(target, changes, "k", "op", broadcastChanges = false)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((1L, "a2"), (2L, "b")))
+  }
+
   test("exact dedup groups identical texts") {
     val fam = Dedup.exact(docs, "text", "doc_id").collect()
     assert(fam.length == 4)
