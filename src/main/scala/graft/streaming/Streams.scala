@@ -41,6 +41,45 @@ object Streams {
         sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
       .select(col("window.start").as("h"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming CDC apply: maintain a key-unique parquet snapshot from an
+    * unbounded change feed (op ∈ I/U/D) via foreachBatch + [[graft.ops.Merge]].
+    * Each micro-batch is compacted to one final state per key (arg-max on
+    * `seqCol`, so out-of-order mutations within a batch resolve
+    * deterministically), then merged into the snapshot and atomically
+    * swapped in (write tmp → repoint). This is the lakehouse "MERGE INTO
+    * every trigger" loop: per batch, cost is one snapshot scan + one
+    * broadcast-able anti join — state lives in the table, not the state
+    * store, so the stream restarts from any checkpoint without rebuild.
+    */
+  def cdcApply(changes: DataFrame, snapshotDir: String, key: String,
+               opCol: String, seqCol: String,
+               checkpointDir: String): DataStreamWriter[Row] = {
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val payload = batch.columns.filterNot(_ == seqCol)
+        // last-writer-wins compaction: keep the max-seq row per key
+        val latest = batch
+          .withColumn("__rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(key).orderBy(col(seqCol).desc)))
+          .filter(col("__rn") === 1)
+          .select(payload.map(col).toSeq: _*)
+        val target = spark.read.parquet(snapshotDir)
+        val next = graft.ops.Merge.applyChanges(target, latest, key, opCol)
+        val tmp = s"$snapshotDir.next-$batchId"
+        next.write.mode("overwrite").parquet(tmp)
+        // swap: rewritten snapshot replaces the old directory
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val dst = new org.apache.hadoop.fs.Path(snapshotDir)
+        fs.delete(dst, true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+        ()
+      }
+  }
+
   /** Stream-static enrichment: join a stream against a broadcast static
     * dimension — the no-state, no-watermark join (each micro-batch probes
     * the dimension like a batch broadcast join). The streaming side is

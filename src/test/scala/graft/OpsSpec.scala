@@ -623,6 +623,39 @@ class StreamingSpec extends AnyFunSuite {
     val got = spark.table("dedup_streamed").orderBy("ts").collect()
     assert(got.map(_.getString(1)).toSeq == Seq("alpha text", "beta text"))
   }
+
+  test("streaming CDC apply maintains the snapshot across micro-batches") {
+    val root = java.nio.file.Files.createTempDirectory("cdcstream")
+    val snap = s"$root/snapshot"
+    val in = s"$root/changes"
+    val ckpt = s"$root/ckpt"
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "bal").write.parquet(snap)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    // batch 1: update k=2 twice out of order (seq wins), delete k=3
+    Seq((2L, "b_old", 0.0, "U", 1L), (2L, "b_new", 99.0, "U", 2L),
+        (3L, "c", 0.0, "D", 3L))
+      .toDF("k", "name", "bal", "op", "seq").write.parquet(s"$in/b1")
+    val src = spark.readStream
+      .schema("k bigint, name string, bal double, op string, seq bigint")
+      .option("recursiveFileLookup", "true").parquet(in)
+    val q = graft.streaming.Streams
+      .cdcApply(src, snap, "k", "op", "seq", ckpt).start()
+    try {
+      q.processAllAvailable()
+      val afterB1 = spark.read.parquet(snap).orderBy("k")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      assert(afterB1.toSeq == Seq((1L, "a", 10.0), (2L, "b_new", 99.0)))
+      // batch 2 lands: insert k=9, resurrect k=3
+      Seq((9L, "new", 5.0, "I", 4L), (3L, "c2", 33.0, "I", 5L))
+        .toDF("k", "name", "bal", "op", "seq").write.parquet(s"$in/b2")
+      q.processAllAvailable()
+      val afterB2 = spark.read.parquet(snap).orderBy("k")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      assert(afterB2.toSeq == Seq((1L, "a", 10.0), (2L, "b_new", 99.0),
+        (3L, "c2", 33.0), (9L, "new", 5.0)))
+    } finally q.stop()
+  }
 }
 
 /** Regression guards for the round-1 advice findings: as-of type safety
