@@ -3099,6 +3099,29 @@ object Queries {
       .orderBy("id")
   }
 
+  qRowsOnly("multimodal_phash_dedup") { (s, dir) =>
+    // perceptual near-dup image families: 500 REAL PNGs drawn from 40
+    // distinct pixel seeds (doc_id % 40) — decode + aHash per row, banded
+    // hamming self-join, connected families via the min-id keeper
+    import org.apache.spark.sql.Row
+    val ids = tbl(s, dir, "documents").filter(col("doc_id") < 500).select("doc_id")
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false))))
+    val media = ids.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, Multimodal.syntheticPng(id % 40, 32, 24))
+      }
+    }(enc)
+    val pairs = Multimodal.phashPairs(media, "doc_id", maxHamming = 0)
+    // keeper of each duplicate = the smallest id it collides with;
+    // family size = keeper's duplicate count + itself
+    pairs.groupBy("b_id").agg(min("a_id").as("keep_id"))
+      .groupBy("keep_id").agg(count(lit(1)).as("n_dups"))
+      .orderBy("keep_id")
+  }
+
   qRowsOnly("multimodal_features") { (s, dir) =>
     val media = Multimodal.fabricate(tbl(s, dir, "documents"), "text", "image")
     Multimodal.extractFeatures(media, "doc_id", dim = 16)

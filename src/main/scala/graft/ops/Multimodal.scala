@@ -196,6 +196,73 @@ object Multimodal {
       }(enc)
   }
 
+  /** 64-bit average-hash (aHash) of a REAL decoded image: integer-only
+    * 8x8 block-mean downsample of the grayscale plane, thresholded at the
+    * integer global mean — the standard perceptual fingerprint for
+    * near-duplicate image detection. Pure integer arithmetic end to end,
+    * so the hash is bit-identical on any JVM/architecture.
+    */
+  def aHash64(payload: Array[Byte]): Long = {
+    val (w, h, px) = decodeImage(payload)
+    val cell = new Array[Long](64)
+    val cnt = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val by = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val p = px(y * w + x)
+        val g = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+        val i = by * 8 + x * 8 / w
+        cell(i) += g
+        cnt(i) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var i = 0
+    var total = 0L
+    while (i < 64) { cell(i) = cell(i) / math.max(cnt(i), 1L); total += cell(i); i += 1 }
+    val mean = total / 64
+    var hash = 0L
+    i = 0
+    while (i < 64) { if (cell(i) > mean) hash |= (1L << i); i += 1 }
+    hash
+  }
+
+  /** Perceptual near-duplicate image detection: one REAL decode + aHash
+    * per row (narrow mapPartitions — the 100 TB-scan shape where codec
+    * cost dominates), then the same banded LSH self-join as simhash text
+    * dedup: 4 × 16-bit bands guarantee any pair within Hamming distance 3
+    * shares a band (pigeonhole), XOR popcount verifies exactly. Never a
+    * cross join; shuffle volume is rows × bands.
+    */
+  def phashPairs(df: DataFrame, idCol: String, maxHamming: Int = 3): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("sig", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val sigs = df.select(col(idCol).cast("long").as("id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map(r => Row(r.getLong(0), aHash64(r.getAs[Array[Byte]](1))))
+      }(enc)
+      .localCheckpoint() // eager: the band self-join scans this twice
+    val bands = 4
+    val bandBits = 16
+    val mask = (1L << bandBits) - 1
+    val bandRows = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until bands).map(j =>
+        shiftright(col("sig"), j * bandBits).bitwiseAND(mask)): _*))
+        .as(Seq("band", "bv")))
+    bandRows.as("a").join(bandRows.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Deterministic synthetic WAV (16-bit mono little-endian PCM): sample i
     * is an integer hash of (seed, i) — a REAL RIFF/WAVE container written
     * by the JDK's javax.sound.sampled, decodable by any audio stack.

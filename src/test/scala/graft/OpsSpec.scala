@@ -17,6 +17,55 @@ class OpsSpec extends AnyFunSuite {
     (4L, "completely different words about gardening tulips roses", "en"))
     .toDF("doc_id", "text", "lang")
 
+  test("aHash: identical PNGs collide, distinct seeds differ, brightness shift stays close") {
+    val a1 = Multimodal.aHash64(Multimodal.syntheticPng(7, 32, 24))
+    val a2 = Multimodal.aHash64(Multimodal.syntheticPng(7, 32, 24))
+    assert(a1 == a2) // decode + hash is deterministic
+    val others = Seq(1L, 2L, 3L, 11L).map(s =>
+      Multimodal.aHash64(Multimodal.syntheticPng(s, 32, 24)))
+    others.foreach(o => assert(java.lang.Long.bitCount(a1 ^ o) > 8,
+      s"distinct seeds should be far apart, got ${java.lang.Long.bitCount(a1 ^ o)}"))
+    // a global brightness shift moves block means and threshold together,
+    // so the hash stays close (the invariance aHash is built for; NN
+    // resize of uncorrelated noise pixels is NOT hash-preserving)
+    val (w, h, px) = Multimodal.decodeImage(Multimodal.syntheticPng(7, 32, 24))
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = px(y * w + x)
+      def up(c: Int) = math.min(c + 8, 255)
+      img.setRGB(x, y,
+        (up((p >> 16) & 0xff) << 16) | (up((p >> 8) & 0xff) << 8) | up(p & 0xff))
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val brightened = Multimodal.aHash64(bos.toByteArray)
+    assert(java.lang.Long.bitCount(a1 ^ brightened) <= 8)
+  }
+
+  test("phashPairs finds exactly the same-seed image pairs") {
+    val enc = org.apache.spark.sql.Encoders.row(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("payload",
+          org.apache.spark.sql.types.BinaryType, nullable = false))))
+    val media = spark.range(12).toDF("id").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        org.apache.spark.sql.Row(id, Multimodal.syntheticPng(id % 4, 32, 24))
+      }
+    }(enc)
+    val pairs = Multimodal.phashPairs(media, "id", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 4 seed families of 3 copies each -> 3 pairs per family
+    val expected = (0L until 4L).flatMap { s =>
+      val m = Seq(s, s + 4, s + 8)
+      for (i <- m.indices; j <- i + 1 until m.size) yield (m(i), m(j))
+    }.toSet
+    assert(pairs == expected)
+  }
+
   test("merge applyChanges: delete drops, update replaces, insert adds, rest survive") {
     val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
       .toDF("k", "name", "bal")
