@@ -3580,6 +3580,31 @@ object Queries {
       .orderBy("doc_id", "pos")
   }
 
+  q("q_recursive_cte",
+    // native WITH RECURSIVE (Spark 4 and DuckDB): walk the implicit
+    // binary tree parent(k) = k div 2 from the root, per-level rollup.
+    // Strictly-increasing keys make the recursion provably acyclic.
+    """WITH RECURSIVE tree AS (
+      |  SELECT CAST(1 AS BIGINT) AS k, 0 AS depth
+      |  UNION ALL
+      |  SELECT c.c_custkey, t.depth + 1
+      |  FROM customer c JOIN tree t ON c.c_custkey // 2 = t.k
+      |  WHERE c.c_custkey > 1 AND c.c_custkey <= 200)
+      |SELECT depth, COUNT(*) AS n, MIN(k) AS min_k, MAX(k) AS max_k
+      |FROM tree GROUP BY depth ORDER BY depth"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    tbl(s, dir, "customer").createOrReplaceTempView("customer_rec")
+    s.sql(
+      """WITH RECURSIVE tree AS (
+        |  SELECT CAST(1 AS BIGINT) AS k, 0 AS depth
+        |  UNION ALL
+        |  SELECT c.c_custkey, t.depth + 1
+        |  FROM customer_rec c JOIN tree t ON c.c_custkey div 2 = t.k
+        |  WHERE c.c_custkey > 1 AND c.c_custkey <= 200)
+        |SELECT depth, COUNT(*) AS n, MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM tree GROUP BY depth ORDER BY depth""".stripMargin)
+  }
+
   q("q_minmax_by",
     // arg-max/arg-min with an EXACT composite ordering key (decimal
     // balance scaled + unique custkey) so ties are impossible and both
