@@ -3605,6 +3605,45 @@ object Queries {
         |FROM tree GROUP BY depth ORDER BY depth""".stripMargin)
   }
 
+  q("q_variant_json",
+    // Spark 4 VariantType: parse_json once, typed variant_get extraction —
+    // the open-schema ingestion path (vs q_map_json's fixed MapType);
+    // oracle = DuckDB's native JSON extraction
+    """SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k,
+      |  CAST(json_extract(props, '$.k') AS INT) % 10 AS k_mod,
+      |  json_extract(props, '$.missing') IS NULL AS no_such_field
+      |FROM events WHERE event_id < 3000 ORDER BY event_id"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val v = parse_json(col("props"))
+    events(s, dir).filter(col("event_id") < 3000)
+      .select(col("event_id"),
+        variant_get(v, "$.k", "int").as("k"),
+        (variant_get(v, "$.k", "int") % 10).as("k_mod"),
+        variant_get(v, "$.missing", "string").isNull.as("no_such_field"))
+      .orderBy("event_id")
+  }
+
+  q("q_lateral_join",
+    // correlated LATERAL derived table (Spark 4 + DuckDB syntax parity):
+    // per-nation top balance and count computed in the lateral subquery
+    """SELECT n_nationkey, n_name, l.cnt, l.top_bal
+      |FROM nation, LATERAL (
+      |  SELECT COUNT(*) AS cnt,
+      |    CAST(MAX(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS top_bal
+      |  FROM customer WHERE c_nationkey = n_nationkey) l
+      |ORDER BY n_nationkey"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    tbl(s, dir, "nation").createOrReplaceTempView("nation_lat")
+    tbl(s, dir, "customer").createOrReplaceTempView("customer_lat")
+    s.sql(
+      """SELECT n_nationkey, n_name, l.cnt, l.top_bal
+        |FROM nation_lat, LATERAL (
+        |  SELECT COUNT(*) AS cnt,
+        |    CAST(MAX(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS top_bal
+        |  FROM customer_lat WHERE c_nationkey = n_nationkey) l
+        |ORDER BY n_nationkey""".stripMargin)
+  }
+
   q("q_minmax_by",
     // arg-max/arg-min with an EXACT composite ordering key (decimal
     // balance scaled + unique custkey) so ties are impossible and both
