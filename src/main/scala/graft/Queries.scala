@@ -3605,6 +3605,41 @@ object Queries {
         |FROM tree GROUP BY depth ORDER BY depth""".stripMargin)
   }
 
+  q("q_join_right",
+    // right outer completes the join matrix: order side nulls out for
+    // customers who never ordered
+    """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+      |  COUNT(*) AS n_rows
+      |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_custkey ORDER BY c_custkey"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    tbl(s, dir, "orders")
+      .join(tbl(s, dir, "customer"), col("o_custkey") === col("c_custkey"),
+        "right_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"), count(lit(1)).as("n_rows"))
+      .orderBy("c_custkey")
+  }
+
+  q("q_grouping_id",
+    // GROUPING() disambiguates rollup-produced NULLs from data NULLs —
+    // the marker every BI layer depends on
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+      |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls, COUNT(*) AS n
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    tbl(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("g_rf"), col("g_ls"), col("n"))
+      .orderBy(col("g_rf"), col("g_ls"),
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
   q("q_variant_json",
     // Spark 4 VariantType: parse_json once, typed variant_get extraction —
     // the open-schema ingestion path (vs q_map_json's fixed MapType);
