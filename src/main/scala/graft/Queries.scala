@@ -3640,6 +3640,64 @@ object Queries {
         col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
   }
 
+  q("q_bpe_pair_freqs",
+    // the first BPE merge, distributed: corpus compresses to the
+    // vocabulary (groupBy word) BEFORE the char-pair fan-out, so
+    // adjacent-pair counting runs on vocab-sized data — the scale trick
+    // that makes tokenizer training tractable on a 100 TB corpus
+    """WITH sw AS (SELECT unnest(list_filter(
+      |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t != '')) AS w
+      |  FROM documents),
+      |v AS (SELECT w, COUNT(*) AS f FROM sw GROUP BY w),
+      |p AS (SELECT f, unnest(list_transform(range(1, length(w), 1),
+      |    i -> substring(w, CAST(i AS INT), 2))) AS pair
+      |  FROM v WHERE length(w) >= 2)
+      |SELECT pair, CAST(SUM(f) AS BIGINT) AS n FROM p GROUP BY pair
+      |ORDER BY n DESC, pair LIMIT 20"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val units = filter(split(lower(col("text")), "[^a-z0-9]+", -1), t => t =!= "")
+    val vocab = tbl(s, dir, "documents")
+      .select(explode(units).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    vocab.filter(length(col("w")) >= 2)
+      .select(col("f"), explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum("f").as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(20)
+  }
+
+  q("q_repeated_spans",
+    // exact-substring dedup signal (Lee et al. style, token-window
+    // approximation): 8-token spans occurring in >1 document, rolled up
+    // per document — the per-doc "how much of me is boilerplate" score.
+    // Span counting shuffles hashed span keys; the repeated-span set is
+    // tiny and broadcasts back for the per-doc rollup.
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      |  FROM documents),
+      |s AS (SELECT doc_id, unnest(list_transform(range(1, len(w)-6, 1),
+      |    i -> array_to_string(w[i:i+7], ' '))) AS span FROM t WHERE len(w) >= 8),
+      |d AS (SELECT span FROM s GROUP BY span HAVING COUNT(DISTINCT doc_id) > 1)
+      |SELECT s.doc_id, COUNT(DISTINCT s.span) AS n_repeated_spans
+      |FROM s JOIN d ON s.span = d.span
+      |GROUP BY s.doc_id ORDER BY s.doc_id"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val spans = tbl(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 8)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("w")) - 7),
+        i => concat_ws(" ", slice(col("w"), i, lit(8))))).as("span"))
+      .localCheckpoint() // two consumers: repeated-set build + rollup
+    val repeated = spans.groupBy("span")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") > 1)
+      .select("span")
+    spans.join(broadcast(repeated), "span")
+      .groupBy("doc_id").agg(countDistinct("span").as("n_repeated_spans"))
+      .orderBy("doc_id")
+  }
+
   q("q_variant_json",
     // Spark 4 VariantType: parse_json once, typed variant_get extraction —
     // the open-schema ingestion path (vs q_map_json's fixed MapType);
