@@ -2828,8 +2828,13 @@ object Queries {
         .write.parquet(s"$in/$batch")
     }
     def run(): Unit = {
+      // one file per micro-batch: the sentinel batches land AFTER the
+      // data batch inside a single query run, so the watermark advances
+      // across batches without paying two extra query startups (the
+      // restart variant of the same semantics is proven in StreamingSpec)
       def src = s.readStream.schema(ev.schema)
-        .option("recursiveFileLookup", "true").parquet(in)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1").parquet(in)
       val views = src.filter(col("event_type") === "view")
         .select(col("user_id"), col("event_id").as("view_id"),
           col("ts").as("l_ts"))
@@ -2847,10 +2852,11 @@ object Queries {
     val priorPartitions = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
     try {
-      ev.write.parquet(s"$in/b1")
+      // ev is multi-file; write it as ONE file so batch 1 = all real data
+      ev.coalesce(1).write.parquet(s"$in/b1")
+      sentinel("b2", 3)
+      sentinel("b3", 6)
       run()
-      sentinel("b2", 3); run()
-      sentinel("b3", 6); run()
     } finally s.conf.set("spark.sql.shuffle.partitions", priorPartitions)
     s.read.parquet(outP).filter(col("user_id") < 30)
       .select(col("user_id"), col("view_id"), col("click_id"),
