@@ -3646,6 +3646,34 @@ object Queries {
         col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
   }
 
+  q("flf_evolve",
+    // the reference's namesake scenario, oracle-checked: generation-1
+    // files (3 columns) and generation-2 files (adds l_returnflag) parse
+    // under their OWN layouts and evolve into the newest schema; the
+    // v1 half null-fills the column it predates
+    """WITH ev AS (SELECT l_orderkey, CAST(l_quantity AS INT) AS q,
+      |    CASE WHEN l_orderkey % 2 = 1 THEN l_returnflag END AS rf
+      |  FROM lineitem)
+      |SELECT rf AS l_returnflag, COUNT(*) AS n, CAST(SUM(q) AS BIGINT) AS sum_qty
+      |FROM ev GROUP BY rf ORDER BY rf NULLS FIRST"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val v1 = FixedSchema("ev", 1, Seq(
+      FixedColumn("l_orderkey", 0, 12, FlfType.Int64T, Alignment.Right, '0', isNullable = true),
+      FixedColumn("l_linenumber", 12, 4, FlfType.Int32T, Alignment.Right, ' ', isNullable = true),
+      FixedColumn("l_quantity", 16, 6, FlfType.Int32T, Alignment.Right, ' ', isNullable = true)))
+    val v2 = FixedSchema("ev", 2, v1.columns :+
+      FixedColumn("l_returnflag", 22, 2, FlfType.Utf8T, Alignment.Left, '_', isNullable = true))
+    val base = tbl(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("int").as("l_quantity"), col("l_returnflag"))
+    val gen1 = graft.flf.FlfFormat.format(base.filter(col("l_orderkey") % 2 === 0), v1)
+    val gen2 = graft.flf.FlfFormat.format(base.filter(col("l_orderkey") % 2 === 1), v2)
+    FlfParse.parseEvolving(Seq((gen1, v1), (gen2, v2)))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first)
+  }
+
   q("q_bpe_pair_freqs",
     // the first BPE merge, distributed: corpus compresses to the
     // vocabulary (groupBy word) BEFORE the char-pair fan-out, so

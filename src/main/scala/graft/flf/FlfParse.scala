@@ -41,6 +41,38 @@ object FlfParse {
       }: _*)
   }
 
+  /** Schema evolution — the reference's namesake scenario: a fleet of
+    * fixed-length files written under successive schema generations
+    * (`FixedSchema.version`), each with its own layout, evolved into ONE
+    * table shaped by the newest generation. Every generation parses with
+    * its own offsets/pads/types; columns align by NAME to the newest
+    * schema; columns a generation predates null-fill; columns the newest
+    * schema dropped are omitted. The union is narrow (no shuffle): each
+    * input split parses straight into the target shape.
+    *
+    * Generations must agree on the dtype of any shared column name
+    * (checked up front — silently casting e.g. an old Int32 into a new
+    * Utf8 would mask real layout bugs).
+    */
+  def parseEvolving(generations: Seq[(DataFrame, FixedSchema)]): DataFrame = {
+    require(generations.nonEmpty, "parseEvolving requires at least one generation")
+    val target = generations.last._2
+    for ((_, g) <- generations; c <- g.columns) {
+      target.columns.find(_.name == c.name).foreach { tc =>
+        require(tc.dtype == c.dtype,
+          s"column '${c.name}': generation ${g.version} declares ${c.dtype}, " +
+            s"newest generation ${target.version} declares ${tc.dtype}")
+      }
+    }
+    generations.map { case (lines, gen) =>
+      val parsed = parse(lines, gen)
+      target.columns.map { tc =>
+        if (gen.columns.exists(_.name == tc.name)) parsed.col(tc.name)
+        else lit(null).cast(tc.dtype.sparkType).as(tc.name)
+      } match { case cols => parsed.select(cols: _*) }
+    }.reduce(_.unionByName(_))
+  }
+
   /** Per-column composed parse (substring → trim → cast), the semantic
     * reference for the fused slicer; cross-checked in FlfSpec.
     */

@@ -173,6 +173,48 @@ class FlfParseSpec extends AnyFunSuite {
   }
 }
 
+class FlfEvolveSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private val v1 = FixedSchema("ev", 1, Seq(
+    FixedColumn("id", 0, 6, FlfType.Int64T, Alignment.Right, '0', isNullable = true),
+    FixedColumn("w", 6, 8, FlfType.Utf8T, Alignment.Left, ' ', isNullable = true)))
+  private val v2 = FixedSchema("ev", 2, Seq(
+    v1.columns.head,
+    FixedColumn("w", 6, 8, FlfType.Utf8T, Alignment.Left, ' ', isNullable = true),
+    FixedColumn("score", 14, 5, FlfType.Int32T, Alignment.Right, ' ', isNullable = true)))
+
+  test("parseEvolving null-fills columns a generation predates") {
+    val g1 = Seq("000001alpha   ").toDF("value")
+    val g2 = Seq("000002beta       42").toDF("value")
+    val got = graft.flf.FlfParse.parseEvolving(Seq((g1, v1), (g2, v2)))
+      .orderBy("id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(got(0).isNullAt(2) && got(1).getInt(2) == 42)
+    assert(got.map(_.getString(1)).toSeq == Seq("alpha", "beta"))
+  }
+
+  test("parseEvolving drops columns the newest schema removed") {
+    val v2drop = FixedSchema("ev", 2, Seq(v1.columns.head))
+    val g1 = Seq("000007gone    ").toDF("value")
+    val got = graft.flf.FlfParse.parseEvolving(Seq((g1, v1), (g1, v2drop)))
+    assert(got.columns.toSeq == Seq("id"))
+    assert(got.count() == 2)
+  }
+
+  test("parseEvolving rejects dtype drift on a shared column name") {
+    val v2bad = FixedSchema("ev", 2, Seq(
+      v1.columns.head,
+      FixedColumn("w", 6, 8, FlfType.Int32T, Alignment.Right, ' ', isNullable = true)))
+    val g = Seq("000001alpha   ").toDF("value")
+    val e = intercept[IllegalArgumentException] {
+      graft.flf.FlfParse.parseEvolving(Seq((g, v1), (g, v2bad)))
+    }
+    assert(e.getMessage.contains("column 'w'"))
+  }
+}
+
 class FlfFormatSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.spark
   import spark.implicits._
