@@ -47,13 +47,26 @@ object Evolution {
   /** `evolution convert`: fixed-length file → columnar target. The plan is
     * scan text → project(substring/trim/cast × N) → write: narrow,
     * shuffle-free, whole-stage-codegen'd (SURVEY.md §4).
+    *
+    * Returns the conversion counters the reference logs per chunk
+    * (rows/bytes processed, converter.rs:226-232), observed Spark-natively
+    * on the SAME pass that writes (`observe()` piggybacks aggregates on
+    * the write job — no second scan): `n_rows` out plus a
+    * `nulls__<column>` parse-failure tally per nullable column (N1
+    * append-or-null events; non-nullable failures abort instead, N2).
     */
   def convert(spark: SparkSession, input: String, schemaPath: String,
               output: String, target: Target = Target.Parquet,
               coalesce1: Boolean = false,
-              mode: String = "errorifexists"): Unit = {
+              mode: String = "errorifexists"): Map[String, Any] = {
+    import org.apache.spark.sql.functions.{col, count, count_if, lit}
     val schema = FixedSchema.fromPath(schemaPath)
-    val df = FlfParse.read(spark, input, schema)
+    val parsed = FlfParse.read(spark, input, schema)
+    val obs = org.apache.spark.sql.Observation()
+    val counters = count(lit(1)).as("n_rows") +:
+      schema.columns.filter(_.isNullable)
+        .map(c => count_if(col(c.name).isNull).as(s"nulls__${c.name}"))
+    val df = parsed.observe(obs, counters.head, counters.tail: _*)
     target match {
       case Target.Flf => FlfFormat.write(df, schema, output, coalesce1, mode)
       case Target.Ipc =>
@@ -70,6 +83,7 @@ object Evolution {
               s"${t.format} connector jars are not on the classpath: ${e.getMessage}")
         }
     }
+    obs.get
   }
 
   /** `evolution mock`: schema-driven random fixed-length file. */
@@ -113,13 +127,17 @@ object Evolution {
       spark.conf.set("spark.sql.files.maxPartitionBytes", bytes))
     try args.headOption match {
       case Some("convert") =>
-        convert(spark,
+        val metrics = convert(spark,
           opt("-i").getOrElse(sys.error("convert requires -i <input.flf>")),
           opt("-s").getOrElse(sys.error("convert requires -s <schema.json>")),
           opt("-o").getOrElse(sys.error("convert requires -o <output>")),
           Target.fromString(opt("-t").getOrElse("parquet")),
           coalesce1 = args.contains("--single-file"),
           mode = mode)
+        // progress/quality counters, mirroring the reference's post-chunk
+        // log line (converter.rs:226-232)
+        println(metrics.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"$k=$v" }.mkString("convert metrics: ", " ", ""))
       case Some("mock") =>
         mock(spark,
           opt("-s").getOrElse(sys.error("mock requires -s <schema.json>")),

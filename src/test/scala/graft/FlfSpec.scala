@@ -173,6 +173,28 @@ class FlfParseSpec extends AnyFunSuite {
   }
 }
 
+class ConvertMetricsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  test("convert observes row and per-column null counters on the write pass") {
+    val dir = java.nio.file.Files.createTempDirectory("obsconv")
+    val schemaJson =
+      """{"name":"m","version":1,"columns":[
+        |{"name":"id","offset":0,"length":6,"dtype":"Int64","alignment":"Right","pad_symbol":"Zero","is_nullable":false},
+        |{"name":"score","offset":6,"length":4,"dtype":"Int32","alignment":"Right","pad_symbol":"Whitespace","is_nullable":true}
+        |]}""".stripMargin
+    java.nio.file.Files.writeString(dir.resolve("schema.json"), schemaJson)
+    java.nio.file.Files.writeString(dir.resolve("in.flf"),
+      "000001  42\n000002 bad\n000003    \n") // one garbage + one all-pad null
+    val metrics = Evolution.convert(spark, s"$dir/in.flf", s"$dir/schema.json",
+      s"$dir/out.parquet")
+    assert(metrics("n_rows") == 3L)
+    assert(metrics("nulls__score") == 2L)
+    // the counters piggybacked on the real write: output exists and matches
+    assert(spark.read.parquet(s"$dir/out.parquet").count() == 3L)
+  }
+}
+
 class FlfEvolveSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.spark
   import spark.implicits._
