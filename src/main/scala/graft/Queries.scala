@@ -3674,6 +3674,26 @@ object Queries {
       .orderBy(col("l_returnflag").asc_nulls_first)
   }
 
+  q("q_jaro_winkler",
+    // custom codegen JaroWinkler expression vs DuckDB's native
+    // jaro_winkler_similarity over all vocabulary word pairs — double
+    // arithmetic, identical term order, rounded to 6 decimals
+    s"""WITH v AS (SELECT DISTINCT unnest($toksSql) AS w FROM documents),
+       |p AS (SELECT a.w AS w1, b.w AS w2 FROM v a JOIN v b ON a.w < b.w)
+       |SELECT w1, w2, round(jaro_winkler_similarity(w1, w2), 6) AS jw
+       |FROM p WHERE jaro_winkler_similarity(w1, w2) >= 0.6
+       |ORDER BY w1, w2"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val vocab = tbl(s, dir, "documents")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w")).distinct()
+    val jw = graft.functions.JaroWinkler.jaroWinkler(col("w1"), col("w2"))
+    vocab.select(col("w").as("w1"))
+      .join(vocab.select(col("w").as("w2")), col("w1") < col("w2"))
+      .filter(jw >= 0.6)
+      .select(col("w1"), col("w2"), round(jw, 6).as("jw"))
+      .orderBy("w1", "w2")
+  }
+
   q("q_bpe_pair_freqs",
     // the first BPE merge, distributed: corpus compresses to the
     // vocabulary (groupBy word) BEFORE the char-pair fan-out, so

@@ -61,6 +61,28 @@ class ArrayKernelsSpec extends AnyFunSuite {
     assert(got.head.isNullAt(0))
   }
 
+  test("jaroWinkler matches the published reference values") {
+    import graft.functions.JaroWinkler.compute
+    assert(math.abs(compute("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-15)
+    assert(math.abs(compute("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-15)
+    assert(compute("abc", "abc") == 1.0)
+    assert(compute("abc", "xyz") == 0.0)
+    assert(compute("", "x") == 0.0)
+    // symmetric, bounded, and the Winkler boost never lowers jaro
+    for ((a, b) <- Seq(("scan", "span"), ("merge", "mergesort"), ("a", "ab"))) {
+      assert(compute(a, b) == compute(b, a))
+      assert(compute(a, b) >= 0.0 && compute(a, b) <= 1.0)
+    }
+  }
+
+  test("jaroWinkler expression evaluates under codegen and is null-safe") {
+    val df = Seq(("martha", "marhta"), ("alpha", null))
+      .toDF("a", "b")
+    val got = df.select(graft.functions.JaroWinkler.jaroWinkler($"a", $"b")).collect()
+    assert(math.abs(got(0).getDouble(0) - 0.9611111111111111) < 1e-15)
+    assert(got(1).isNullAt(0))
+  }
+
   test("kernels survive whole-stage codegen over a real scan") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(100)
     val n = emb.select(ArrayKernels.floatDot($"embedding", $"embedding").as("d"))
