@@ -3674,6 +3674,34 @@ object Queries {
       .orderBy(col("l_returnflag").asc_nulls_first)
   }
 
+  q("q_hof_extras",
+    // the remaining higher-order-function family: zip_with, exists,
+    // forall, aggregate — DuckDB mirrors via list_zip/filter/reduce
+    """WITH g AS (SELECT c_nationkey, list_sort(list(c_custkey))[1:8] AS ks
+      |  FROM customer GROUP BY c_nationkey)
+      |SELECT c_nationkey,
+      |  CAST(len(ks) AS INT) AS n,
+      |  CAST(list_reduce(list_transform(list_zip(ks, list_transform(ks, k -> k + 10)),
+      |    p -> p[1] * p[2]), (acc, x) -> acc + x) AS BIGINT) AS sum_products,
+      |  len(list_filter(ks, k -> k % 7 = 0)) > 0 AS has_mult7,
+      |  len(list_filter(ks, k -> NOT (k >= 0))) = 0 AS all_pos,
+      |  CAST(list_reduce(ks, (acc, k) -> acc + k) AS BIGINT) AS total
+      |FROM g ORDER BY c_nationkey"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    tbl(s, dir, "customer")
+      .groupBy("c_nationkey")
+      .agg(slice(sort_array(collect_list(col("c_custkey"))), 1, 8).as("ks"))
+      .select(col("c_nationkey"),
+        size(col("ks")).as("n"),
+        aggregate(
+          zip_with(col("ks"), transform(col("ks"), k => k + 10), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x).as("sum_products"),
+        exists(col("ks"), k => k % 7 === 0).as("has_mult7"),
+        forall(col("ks"), k => k >= 0).as("all_pos"),
+        aggregate(col("ks"), lit(0L), (acc, k) => acc + k).as("total"))
+      .orderBy("c_nationkey")
+  }
+
   q("q_jaro_winkler",
     // custom codegen JaroWinkler expression vs DuckDB's native
     // jaro_winkler_similarity over all vocabulary word pairs — double
