@@ -3674,6 +3674,28 @@ object Queries {
       .orderBy(col("l_returnflag").asc_nulls_first)
   }
 
+  q("q_session_window",
+    // the built-in session_window operator (merge events closer than the
+    // gap); oracle = the islands formulation with the SAME strict
+    // boundary (a gap of exactly 30min starts a new session)
+    """WITH g AS (SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+      |  FROM events WHERE user_id < 50
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (SELECT user_id, ts,
+      |  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+      |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+      |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    events(s, dir).filter(col("user_id") < 50)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"), col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
   q("q_hof_extras",
     // the remaining higher-order-function family: zip_with, exists,
     // forall, aggregate — DuckDB mirrors via list_zip/filter/reduce
