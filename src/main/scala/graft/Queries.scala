@@ -2825,6 +2825,7 @@ object Queries {
       val ts = new java.sql.Timestamp(maxTs.getTime + offsetDays * 86400000L)
       Seq((-1L, 999999L, "view", ts), (-2L, 999999L, "click", ts))
         .toDF("event_id", "user_id", "event_type", "ts")
+        .coalesce(1) // one file -> exactly one micro-batch per sentinel
         .write.parquet(s"$in/$batch")
     }
     def run(): Unit = {
