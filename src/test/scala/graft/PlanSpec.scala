@@ -299,4 +299,35 @@ class ExtensionsSpec extends AnyFunSuite {
       .plannerStrategies(ext, SparkTestSession.spark)
     assert(strategies.contains(graft.plans.AsOfJoinStrategy))
   }
+
+  test("kernels registered as SQL functions resolve and evaluate in a fresh session") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-sql")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    try {
+      val row = spark.sql(
+        """SELECT jaro_winkler('martha', 'marhta') AS jw,
+          |  float_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+          |            array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
+          |  sorted_intersect_count(array(1L, 2L, 5L), array(2L, 5L, 9L)) AS ic,
+          |  simhash60(token_hashes60('a b a c')) AS sh,
+          |  size(word_shingles('a b c d', 2)) AS ns,
+          |  size(word_ngrams('a b c d', 2)) AS ng,
+          |  size(minhash_signature(token_hashes60('a b c'), 8)) AS mh
+          |""".stripMargin).head()
+      assert(math.abs(row.getDouble(0) - 0.9611111111111111) < 1e-15)
+      assert(row.getDouble(1) == 11.0)
+      assert(row.getInt(2) == 2)
+      assert(row.getLong(3) != 0L)
+      assert(row.getInt(4) == 3 && row.getInt(5) == 3 && row.getInt(6) == 8)
+      // non-literal n is rejected at resolution time with a clear message
+      val e = intercept[Exception] {
+        spark.sql("SELECT word_shingles('a b', 1 + 1)").collect()
+      }
+      assert(e.getMessage.contains("integer literal"))
+    } finally spark.stop()
+  }
 }
