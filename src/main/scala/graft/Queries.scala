@@ -2196,9 +2196,9 @@ object Queries {
        |na AS (SELECT actual AS c, SUM(n) AS na FROM cm GROUP BY 1),
        |np AS (SELECT pred AS c, SUM(n) AS np FROM cm GROUP BY 1),
        |tp AS (SELECT actual AS c, SUM(n) AS tp FROM cm WHERE actual = pred GROUP BY 1)
-       |SELECT na.c, COALESCE(tp.tp, 0) AS tp,
-       |  COALESCE(np.np, 0) - COALESCE(tp.tp, 0) AS fp,
-       |  na.na - COALESCE(tp.tp, 0) AS fn,
+       |SELECT na.c, CAST(COALESCE(tp.tp, 0) AS BIGINT) AS tp,
+       |  CAST(COALESCE(np.np, 0) - COALESCE(tp.tp, 0) AS BIGINT) AS fp,
+       |  CAST(na.na - COALESCE(tp.tp, 0) AS BIGINT) AS fn,
        |  CASE WHEN COALESCE(np.np, 0) > 0
        |    THEN round(CAST(COALESCE(tp.tp, 0) AS DOUBLE) / np.np, 6) END AS prec,
        |  round(CAST(COALESCE(tp.tp, 0) AS DOUBLE) / na.na, 6) AS rec,
@@ -2977,7 +2977,7 @@ object Queries {
        |  UNION SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc_id),
        |cl AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
        |dropped AS (SELECT doc_id FROM cl WHERE cluster_id != doc_id)
-       |SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+       |SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
        |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
        |GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")) { (s, dir) =>
     Dedup.dedupByMinhash(tbl(s, dir, "documents"), "text", "doc_id")
@@ -3326,8 +3326,8 @@ object Queries {
       |    WHEN datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) < 30 THEN 'fast'
       |    WHEN datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) < 90 THEN 'medium'
       |    ELSE 'slow' END AS delay_bucket,
-      |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_count,
-      |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_count
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_count
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY 1 ORDER BY 1"""
       .stripMargin.replace("\n", " ")) { (s, dir) =>
@@ -3865,7 +3865,7 @@ object Queries {
     """SELECT c_nationkey,
       |  bool_and(c_acctbal > 0.0) AS all_positive,
       |  bool_or(c_acctbal < -900.0) AS any_deep_debt,
-      |  count_if(c_mktsegment = 'BUILDING') AS n_building,
+      |  CAST(count_if(c_mktsegment = 'BUILDING') AS BIGINT) AS n_building,
       |  COUNT(*) AS n
       |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"""
       .stripMargin.replace("\n", " ")) { (s, dir) =>

@@ -4,6 +4,7 @@ import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -135,6 +136,10 @@ object HashKernels {
 }
 
 case class TokenHashes60(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"token_hashes60 expects STRING input, got ${child.dataType.sql}")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     HashKernels.tokenHashes60(input.asInstanceOf[UTF8String])
@@ -145,6 +150,11 @@ case class TokenHashes60(child: Expression) extends UnaryExpression {
 }
 
 case class SimHash60(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash60 expects ARRAY<BIGINT> input (token_hashes60 output), got ${other.sql}")
+  }
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =
     HashKernels.simhash60(input.asInstanceOf[ArrayData])
@@ -155,6 +165,11 @@ case class SimHash60(child: Expression) extends UnaryExpression {
 }
 
 case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_signature expects ARRAY<STRING> shingles, got ${other.sql}")
+  }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     HashKernels.minhashSig(input.asInstanceOf[ArrayData], k)

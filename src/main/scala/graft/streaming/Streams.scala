@@ -59,23 +59,38 @@ object Streams {
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
         val payload = batch.columns.filterNot(_ == seqCol)
-        // last-writer-wins compaction: keep the max-seq row per key
+        // last-writer-wins compaction: keep the max-seq row per key. Ties
+        // on seq (two mutations for one key sharing a sequence value in a
+        // batch) break on a content digest so the survivor is deterministic
+        // across retries and partitionings, not whichever row shuffled last.
         val latest = batch
           .withColumn("__rn", row_number().over(
             org.apache.spark.sql.expressions.Window
-              .partitionBy(key).orderBy(col(seqCol).desc)))
+              .partitionBy(key).orderBy(col(seqCol).desc,
+                md5(to_json(struct(batch.columns.map(col).toSeq: _*))).desc)))
           .filter(col("__rn") === 1)
           .select(payload.map(col).toSeq: _*)
+        // resolve the filesystem FROM the snapshot path — snapshotDir may
+        // live on a different FS (s3a://, file:) than the default one
+        val conf = spark.sparkContext.hadoopConfiguration
+        val dst = new org.apache.hadoop.fs.Path(snapshotDir)
+        val fs = dst.getFileSystem(conf)
+        val prev = new org.apache.hadoop.fs.Path(s"$snapshotDir.prev")
+        // crash recovery: a previous run that died mid-swap leaves the old
+        // snapshot parked at .prev with dst missing — restore it before
+        // reading so the stream resumes instead of failing the scan
+        if (!fs.exists(dst) && fs.exists(prev)) fs.rename(prev, dst)
         val target = spark.read.parquet(snapshotDir)
         val next = graft.ops.Merge.applyChanges(target, latest, key, opCol)
-        val tmp = s"$snapshotDir.next-$batchId"
-        next.write.mode("overwrite").parquet(tmp)
-        // swap: rewritten snapshot replaces the old directory
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-        val dst = new org.apache.hadoop.fs.Path(snapshotDir)
-        fs.delete(dst, true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+        val tmp = new org.apache.hadoop.fs.Path(s"$snapshotDir.next-$batchId")
+        next.write.mode("overwrite").parquet(tmp.toString)
+        // swap without a delete-first window: park the old snapshot aside,
+        // move the new one in, then drop the parked copy — every crash
+        // point leaves either dst or (.prev + tmp) fully intact on disk
+        fs.delete(prev, true)
+        if (fs.exists(dst)) fs.rename(dst, prev)
+        fs.rename(tmp, dst)
+        fs.delete(prev, true)
         ()
       }
   }

@@ -990,6 +990,12 @@ class AdviceRegressionSpec extends AnyFunSuite {
     val tris = Graph.triangles(edges).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(tris == Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)))
+    // degree-oriented wedges handle a super-node: star hub 10 over 1..6
+    // plus one closing edge (1,2) — exactly one triangle, found once
+    val star = (1L to 6L).map(v => (math.min(v, 10L), math.max(v, 10L))) :+ (1L, 2L)
+    val starTris = Graph.triangles(star.toDF("pa", "pb")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(starTris == Set((1L, 2L, 10L)))
     // co-occurrence edge builder canonicalizes and dedups
     val co = Graph.coOccurrenceEdges(
       Seq((1L, "s1"), (2L, "s1"), (2L, "s2"), (1L, "s2"), (3L, "s2"))

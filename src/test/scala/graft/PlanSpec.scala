@@ -205,6 +205,10 @@ class PlanSpec extends AnyFunSuite {
   test("triangles: closing-edge joins are hash joins, not cartesian") {
     val plan = planOf("q_graph_triangles")
     assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    // the wedge join must run on the degree-ORIENTED edge list (src/dst
+    // from the compact-forward re-orientation), not the raw pa/pb edges —
+    // that orientation is what bounds wedge fan-out on power-law graphs
+    assert(plan.contains("src") && plan.contains("dst"), plan.take(2000))
   }
 
   test("quality FK check is a broadcast anti join") {
@@ -301,13 +305,20 @@ class ExtensionsSpec extends AnyFunSuite {
   }
 
   test("kernels registered as SQL functions resolve and evaluate in a fresh session") {
+    // Force the shared session into existence first, then step aside: clearing the
+    // active/default session makes getOrCreate() build a NEW SparkSession (with our
+    // extensions applied) on top of the already-running SparkContext. We must never
+    // stop() here — the context is shared with every other suite in this JVM.
+    val shared = SparkTestSession.spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
     val spark = org.apache.spark.sql.SparkSession.builder()
-      .master("local[2]")
       .appName("graft-ext-sql")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     try {
+      assert(spark ne shared, "builder must create a fresh session, not reuse the shared one")
       val row = spark.sql(
         """SELECT jaro_winkler('martha', 'marhta') AS jw,
           |  float_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
@@ -316,7 +327,7 @@ class ExtensionsSpec extends AnyFunSuite {
           |  simhash60(token_hashes60('a b a c')) AS sh,
           |  size(word_shingles('a b c d', 2)) AS ns,
           |  size(word_ngrams('a b c d', 2)) AS ng,
-          |  size(minhash_signature(token_hashes60('a b c'), 8)) AS mh
+          |  size(minhash_signature(word_shingles('a b c', 2), 8)) AS mh
           |""".stripMargin).head()
       assert(math.abs(row.getDouble(0) - 0.9611111111111111) < 1e-15)
       assert(row.getDouble(1) == 11.0)
@@ -328,6 +339,11 @@ class ExtensionsSpec extends AnyFunSuite {
         spark.sql("SELECT word_shingles('a b', 1 + 1)").collect()
       }
       assert(e.getMessage.contains("integer literal"))
-    } finally spark.stop()
+    } finally {
+      // Restore the shared session as default/active; do NOT stop anything —
+      // the SparkContext is owned by SparkTestSession and shared across suites.
+      org.apache.spark.sql.SparkSession.setDefaultSession(shared)
+      org.apache.spark.sql.SparkSession.setActiveSession(shared)
+    }
   }
 }

@@ -70,6 +70,20 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"{'COL-MISMATCH':18} {name}: spark={list(a.columns)} duck={list(b.columns)}")
             n_fail += 1
             continue
+        # The driver's compare stringifies values without float normalization,
+        # so an integer column on one side vs float on the other ("5" vs "5.0")
+        # fails there even when values agree. DuckDB returns HUGEINT (-> pandas
+        # float64) for SUM(int)/count_if: oracles must CAST(... AS BIGINT).
+        dtype_diff = [
+            c for c in a.columns
+            if (pd.api.types.is_integer_dtype(a[c]) != pd.api.types.is_integer_dtype(b[c])
+                and not (a[c].isna().any() or b[c].isna().any()))]
+        if dtype_diff:
+            print(f"{'DTYPE-MISMATCH':18} {name}: int/float disagree on {dtype_diff} "
+                  f"(spark={[str(a[c].dtype) for c in dtype_diff]} "
+                  f"duck={[str(b[c].dtype) for c in dtype_diff]}) — driver would fail this")
+            n_fail += 1
+            continue
         ha, hb = table_hash(a), table_hash(b)
         if ha == hb:
             print(f"{'PASS':18} {name} ({len(a)} rows)")
