@@ -1604,12 +1604,23 @@ object Queries {
       .orderBy("c_nationkey")
   }
 
-  qRowsOnly("q_approx_distinct") { (s, dir) =>
-    // HLL sketches are engine-specific — rows-only (exact variant is
-    // oracle-checked in q_agg_distinct).
+  q("q_approx_distinct",
+    // HLL sketch values are engine-specific, but the sketch's ERROR BOUND
+    // is not: the oracle pins the exact distinct counts and expects the
+    // approximate path to land within 3x the configured rsd (0.05), so
+    // the approximate operator is verified, not just executed. A Spark
+    // HLL++ regression (or a wrong column wired into the sketch) flips
+    // within_rsd to false and fails the hash check.
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+      |  true AS within_rsd
+      |FROM lineitem GROUP BY 1 ORDER BY 1"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
     tbl(s, dir, "lineitem").groupBy("l_returnflag")
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      .agg(approx_count_distinct(col("l_partkey"), rsd = 0.05).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts")).cast("double")
+          / col("exact_parts") <= 0.15).as("within_rsd"))
       .orderBy("l_returnflag")
   }
 
@@ -3031,11 +3042,17 @@ object Queries {
       .orderBy("q_id", "n_id")
   }
 
-  qRowsOnly("stream_events_hourly") { (s, dir) =>
+  q("stream_events_hourly",
     // A real Structured Streaming execution: file-source readStream over
     // the events parquet, watermarked tumbling-window aggregation,
-    // memory sink drained to completion. (Batch equivalent is the
-    // oracle-checked q_events_hourly.)
+    // memory sink drained to completion. The oracle is the IDENTICAL SQL
+    // as the batch q_events_hourly — checking the core streaming claim
+    // (batch and streaming window aggregation share semantics) against
+    // DuckDB instead of merely asserting it.
+    """SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = s.readStream.schema(tbl(s, dir, "events").schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -3057,7 +3074,11 @@ object Queries {
         .outputMode("complete").start()
       try query.processAllAvailable() finally query.stop()
     } finally s.conf.set("spark.sql.shuffle.partitions", priorPartitions)
-    s.table(qname).orderBy("h", "event_type")
+    // watermarks forced LTZ event time; session TZ is UTC, so casting back
+    // to NTZ restores the exact wall-clock values the batch oracle emits
+    s.table(qname)
+      .withColumn("h", col("h").cast(TimestampNTZType))
+      .orderBy("h", "event_type")
   }
 
   qRowsOnly("multimodal_decode_real") { (s, dir) =>
@@ -3077,10 +3098,14 @@ object Queries {
           id, 8 + (id % 9).toInt, 8 + (id % 7).toInt))
       }
     }(enc)
+    // payload rides along so tools/oracle_check.py can re-decode the PNG
+    // with an independent (pure-Python zlib) decoder and cross-check the
+    // JVM ImageIO statistics — the real-codec analogue of the SQL oracle
     Multimodal.decodeImageStats(media, "doc_id")
+      .join(media.select(col("doc_id").as("id"), col("payload")), "id")
       .select(col("id"), col("width"), col("height"),
         round(col("mean_r"), 6).as("mean_r"), round(col("mean_g"), 6).as("mean_g"),
-        round(col("mean_b"), 6).as("mean_b"))
+        round(col("mean_b"), 6).as("mean_b"), col("payload"))
       .orderBy("id")
   }
 
@@ -3100,9 +3125,13 @@ object Queries {
           id, 8000, 400 + (id % 100).toInt))
       }
     }(enc)
+    // payload rides along for tools/oracle_check.py's independent decode
+    // (Python stdlib `wave`) cross-checking the JVM AudioSystem statistics
     Multimodal.decodeAudioStats(media, "doc_id")
+      .join(media.select(col("doc_id").as("id"), col("payload")), "id")
       .select(col("id"), col("sample_rate"), col("n_samples"),
-        col("duration_ms"), col("peak"), round(col("rms"), 6).as("rms"))
+        col("duration_ms"), col("peak"), round(col("rms"), 6).as("rms"),
+        col("payload"))
       .orderBy("id")
   }
 

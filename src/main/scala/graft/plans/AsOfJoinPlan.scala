@@ -51,7 +51,16 @@ final case class AsOfJoinNode(
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinNode(l, r, lk, rk, lt, rt, tie, outer, tol, bcast) =>
-      (if (bcast) BroadcastAsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tie, outer, tol)
+      // Broadcast selection mirrors Spark's equi-join planning: the
+      // caller's explicit flag always wins; otherwise the right side
+      // broadcasts when its estimated size fits under
+      // spark.sql.autoBroadcastJoinThreshold (set -1 to force the
+      // distributed sort-merge exec, exactly as with regular joins).
+      val threshold =
+        org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      val auto = threshold > 0 && r.stats.sizeInBytes <= threshold
+      (if (bcast || auto)
+        BroadcastAsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tie, outer, tol)
        else AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tie, outer, tol)) :: Nil
     case _ => Nil
   }
@@ -319,10 +328,13 @@ object AsOfJoinPlan {
     * @param tolerance max allowed leftTime - rightTime, in the time
     *                  column's native unit (micros for timestamps, days
     *                  for dates, raw difference for integral types)
-    * @param broadcastRight collect + broadcast the right side and stream
-    *                  the left in place (no exchange on either side);
-    *                  caller asserts the right side is small, as with
-    *                  `broadcast(df)` on a regular join
+    * @param broadcastRight FORCE collect + broadcast of the right side
+    *                  (stream the left in place, no exchange on either
+    *                  side) regardless of size, as with `broadcast(df)`
+    *                  on a regular join. When false, the planner still
+    *                  auto-selects the broadcast exec if the right
+    *                  side's estimated size fits under
+    *                  spark.sql.autoBroadcastJoinThreshold; -1 disables.
     */
   def asofMerge(left: DataFrame, right: DataFrame,
                 leftKey: String, rightKey: String,

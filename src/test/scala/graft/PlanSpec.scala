@@ -84,6 +84,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!bodyBeforeSort.contains("Exchange hashpartitioning"), plan.take(1200))
   }
 
+  test("as-of broadcast selection follows autoBroadcastJoinThreshold") {
+    import graft.plans.AsOfJoinPlan
+    val quotes = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("user_id AS q_uid", "ts AS q_ts", "event_id AS q_eid", "value")
+    val trades = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("user_id", "ts", "event_id")
+    def planWith(threshold: String): String = {
+      val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      try AsOfJoinPlan.asofMerge(trades, quotes, "user_id", "q_uid",
+        "ts", "q_ts", "q_eid").queryExecution.executedPlan.toString
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    }
+    // small right side under the default threshold -> broadcast exec picked
+    assert(planWith("10485760").contains("BroadcastAsOfJoin"))
+    // threshold disabled (the "right side too large" regime) -> sort-merge exec
+    val large = planWith("-1")
+    assert(large.contains("AsOfJoin") && !large.contains("BroadcastAsOfJoin"), large.take(800))
+  }
+
   test("partitioned writes prune to the matching directory at plan time") {
     import graft.ops.Bucketing
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
