@@ -70,8 +70,10 @@ object Evolution {
     target match {
       case Target.Flf => FlfFormat.write(df, schema, output, coalesce1, mode)
       case Target.Ipc =>
-        throw new UnsupportedOperationException(
-          "Arrow IPC sink is not available in this Spark distribution")
+        // real Arrow IPC write path (the reference stubs this target with
+        // todo!() — see graft.sources.IpcSink for the layout contract)
+        val d = if (coalesce1) df.coalesce(1) else df
+        graft.sources.IpcSink.write(d, output, mode)
       case t =>
         val d = if (coalesce1) df.coalesce(1) else df
         try d.write.mode(mode).format(t.format).save(output)

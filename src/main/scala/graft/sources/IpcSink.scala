@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.graftbridge.GraftArrow
+
+/** Arrow IPC "file" (Feather v2) sink — the reference's `Target::Ipc`
+  * (crates/evolution-target/src/target.rs:34), which the reference itself
+  * leaves `todo!()`; here it is a real write path built entirely from the
+  * Arrow runtime Spark already bundles (arrow-vector + the internal
+  * row→vector ArrowWriter), no extra jars.
+  *
+  * Layout mirrors the built-in file sinks: one `part-NNNNN.arrow` per
+  * non-empty partition plus `_SUCCESS`, written directly (no temporary
+  * directory protocol — a failed job may leave partial part files, which
+  * `overwrite` cleans up; acceptable for an export sink whose consumers
+  * key on `_SUCCESS`). Each file carries the full schema, so any Arrow
+  * reader (pyarrow, polars, DuckDB, arrow-rs) opens parts independently —
+  * the property that makes IPC the zero-copy interchange format for
+  * handing a 100 TB corpus partition-by-partition to non-JVM consumers.
+  */
+object IpcSink {
+
+  def write(df: DataFrame, output: String, mode: String = "errorifexists",
+            maxRecordsPerBatch: Int = 4096): Unit = {
+    val spark = df.sparkSession
+    val out = new Path(output)
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    mode.toLowerCase match {
+      case "errorifexists" | "error" =>
+        if (fs.exists(out)) throw new IllegalStateException(
+          s"path $output already exists (save mode errorifexists)")
+      case "overwrite" => if (fs.exists(out)) fs.delete(out, true)
+      case "ignore"    => if (fs.exists(out)) return
+      case other => throw new IllegalArgumentException(
+        s"ipc sink supports errorifexists | overwrite | ignore, got '$other'")
+    }
+    fs.mkdirs(out)
+    val schema = df.schema
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    val bcConf = GraftArrow.broadcastConf(spark.sparkContext)
+    val dir = out.toString
+    val batch = maxRecordsPerBatch
+    // tracked execution: observe() metrics attached upstream still fire,
+    // and the write shows as one SQL execution in the UI
+    GraftArrow.withTrackedExecution(df, "ipc write") {
+      GraftArrow.internalRowRdd(df).foreachPartition { rows =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        if (rows.hasNext || pid == 0) { // partition 0 always lands the schema
+          val part = new Path(dir, f"part-$pid%05d.arrow")
+          val pfs = part.getFileSystem(GraftArrow.confOf(bcConf))
+          val os = pfs.create(part, false)
+          try GraftArrow.writeIpcFile(schema, tz, batch, rows, os)
+          finally os.close()
+        }
+      }
+    }
+    fs.create(new Path(out, "_SUCCESS"), true).close()
+  }
+}

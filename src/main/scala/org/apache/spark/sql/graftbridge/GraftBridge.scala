@@ -32,3 +32,74 @@ object GraftBridgeExtensions {
       : Seq[org.apache.spark.sql.execution.SparkStrategy] =
     ext.buildPlannerStrategies(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
 }
+
+/** Accessors for Spark's bundled (but `private[sql]`/`private[spark]`)
+  * Arrow machinery, used by the IPC sink: the row→vector ArrowWriter,
+  * the InternalRow RDD behind a DataFrame, tracked SQL execution (so
+  * `observe()` metrics fire for an RDD-level action), and a serializable
+  * Hadoop configuration for executor-side filesystem access.
+  */
+object GraftArrow {
+  import org.apache.spark.broadcast.Broadcast
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.types.StructType
+  import org.apache.spark.util.SerializableConfiguration
+
+  private def classic(df: org.apache.spark.sql.DataFrame) =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+
+  def internalRowRdd(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.rdd.RDD[InternalRow] =
+    classic(df).queryExecution.toRdd
+
+  /** Run `body` under a named SQL execution for `df`'s plan: the action
+    * shows up in the SQL UI and — crucially — posts SQLExecutionEnd, which
+    * is what delivers `observe()` metrics to their Observation listeners.
+    */
+  def withTrackedExecution[T](df: org.apache.spark.sql.DataFrame,
+                              name: String)(body: => T): T =
+    org.apache.spark.sql.execution.SQLExecution.withNewExecutionId(
+      classic(df).queryExecution, Some(name))(body)
+
+  def broadcastConf(sc: org.apache.spark.SparkContext)
+      : Broadcast[SerializableConfiguration] =
+    SerializableConfiguration.broadcast(sc)
+
+  def confOf(b: Broadcast[SerializableConfiguration])
+      : org.apache.hadoop.conf.Configuration = b.value.value
+
+  /** Stream a partition of InternalRows into `out` as one Arrow IPC FILE
+    * (the random-access "Feather v2" format, readable by pyarrow /
+    * polars / DuckDB / arrow-rs). Batches of `maxRecordsPerBatch` rows
+    * bound memory; returns the row count written.
+    */
+  def writeIpcFile(schema: StructType, timeZoneId: String,
+                   maxRecordsPerBatch: Int,
+                   rows: Iterator[InternalRow],
+                   out: java.io.OutputStream): Long = {
+    val aw = org.apache.spark.sql.execution.arrow.ArrowWriter.create(
+      schema, timeZoneId, true, false)
+    val root = aw.root
+    val fw = new org.apache.arrow.vector.ipc.ArrowFileWriter(
+      root, null, java.nio.channels.Channels.newChannel(out))
+    try {
+      fw.start()
+      var n = 0L
+      var inBatch = 0
+      while (rows.hasNext) {
+        aw.write(rows.next())
+        n += 1
+        inBatch += 1
+        if (inBatch >= maxRecordsPerBatch) {
+          aw.finish(); fw.writeBatch(); aw.reset(); inBatch = 0
+        }
+      }
+      if (inBatch > 0) { aw.finish(); fw.writeBatch() }
+      fw.end()
+      n
+    } finally {
+      fw.close()
+      root.close()
+    }
+  }
+}

@@ -404,6 +404,41 @@ class TargetSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/out_mode").count() == 500)
   }
 
+  test("ipc target writes real Arrow IPC files that an Arrow reader round-trips") {
+    val (dir, sp) = setup()
+    val metrics = Evolution.convert(spark, s"$dir/m.flf", sp, s"$dir/out.ipc",
+      Target.Ipc, coalesce1 = true)
+    assert(metrics("n_rows") == 500L) // observe() metrics fire for the RDD write
+    val parts = new java.io.File(s"$dir/out.ipc").listFiles()
+      .filter(_.getName.endsWith(".arrow")).sortBy(_.getName)
+    assert(parts.nonEmpty)
+    assert(new java.io.File(s"$dir/out.ipc/_SUCCESS").exists())
+    // independent re-read through the Arrow runtime (not our writer code)
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    var n = 0L
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    for (p <- parts) {
+      val ch = java.nio.channels.FileChannel.open(p.toPath)
+      val rd = new org.apache.arrow.vector.ipc.ArrowFileReader(ch, alloc)
+      try {
+        assert(rd.getVectorSchemaRoot.getSchema.getFields.size == 2)
+        while (rd.loadNextBatch()) {
+          val root = rd.getVectorSchemaRoot
+          val idVec = root.getVector("id").asInstanceOf[org.apache.arrow.vector.BigIntVector]
+          for (i <- 0 until root.getRowCount) ids += idVec.get(i)
+          n += root.getRowCount
+        }
+      } finally { rd.close(); ch.close() }
+    }
+    alloc.close()
+    assert(n == 500)
+    // values must match what the parquet path produces for the same input
+    Evolution.convert(spark, s"$dir/m.flf", sp, s"$dir/out.parquet", Target.Parquet)
+    val expected = spark.read.parquet(s"$dir/out.parquet")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids.sorted.toSeq == expected)
+  }
+
   test("absent-connector targets fail with an explicit message, not a stack of class errors") {
     val (dir, sp) = setup()
     for (t <- Seq(Target.Avro, Target.Delta)) {
