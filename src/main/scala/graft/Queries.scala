@@ -3135,7 +3135,18 @@ object Queries {
       .orderBy("id")
   }
 
-  qRowsOnly("multimodal_phash_dedup") { (s, dir) =>
+  q("multimodal_phash_dedup",
+    // The image families are doc_id % 40 by construction, so the expected
+    // keeper/dup-count table is pure SQL — but the Spark side only gets
+    // there through the REAL pipeline (PNG decode → aHash64 → banded
+    // hamming join): any codec or hash instability, or a cross-family
+    // 64-bit hash collision, breaks the match.
+    """WITH fam AS (SELECT doc_id,
+      |    MIN(doc_id) OVER (PARTITION BY doc_id % 40) AS keep_id
+      |  FROM documents WHERE doc_id < 500)
+      |SELECT keep_id, COUNT(*) AS n_dups FROM fam
+      |WHERE doc_id != keep_id GROUP BY 1 ORDER BY 1"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
     // perceptual near-dup image families: 500 REAL PNGs drawn from 40
     // distinct pixel seeds (doc_id % 40) — decode + aHash per row, banded
     // hamming self-join, connected families via the min-id keeper
@@ -3167,7 +3178,16 @@ object Queries {
       .orderBy("id")
   }
 
-  qRowsOnly("multimodal_resize") { (s, dir) =>
+  q("multimodal_resize",
+    // the resize stub's byte-strided sampling is exact integer math over
+    // the UTF-8 payload length, so the oracle replays it in SQL:
+    // target = max(1, min(L, 64)); stride = max(1, L/target);
+    // n_bytes = max(1, L/stride)
+    """WITH b AS (SELECT doc_id AS id, octet_length(encode(text)) AS L FROM documents)
+      |SELECT id,
+      |  GREATEST(1, L // GREATEST(1, L // GREATEST(1, LEAST(L, 64)))) AS n_bytes,
+      |  64 AS w, 64 AS h
+      |FROM b ORDER BY id""".stripMargin.replace("\n", " ")) { (s, dir) =>
     val media = Multimodal.fabricate(tbl(s, dir, "documents"), "text", "image")
     Multimodal.resize(media, "doc_id", w = 64, h = 64)
       .select(col("id"), length(col("payload")).as("n_bytes"),
@@ -3175,10 +3195,22 @@ object Queries {
       .orderBy("id")
   }
 
-  qRowsOnly("multimodal_frame_sample") { (s, dir) =>
+  q("multimodal_frame_sample",
+    // deterministic sampling grid: duration = 10 ms per character, step =
+    // max(duration/4, 1), samples at 0, step, ..., <= duration — integer
+    // arithmetic both engines replay exactly (doc_id < 100 rather than
+    // LIMIT so row membership is deterministic on any engine/order)
+    """WITH d AS (SELECT doc_id, length(text) * 10 AS dur
+      |  FROM documents WHERE doc_id < 100),
+      |s AS (SELECT doc_id, dur, GREATEST(dur // 4, 1) AS step FROM d)
+      |SELECT doc_id, unnest(range(0, dur // step + 1)) AS sample_idx,
+      |  unnest(list_transform(range(0, dur // step + 1), i -> i * step)) AS sample_ms,
+      |  dur AS duration_ms
+      |FROM s ORDER BY doc_id, sample_idx"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
     // deterministic frame/sample grid over fabricated video rows
     val media = Multimodal.fabricate(
-      tbl(s, dir, "documents").limit(100), "text", "video")
+      tbl(s, dir, "documents").filter(col("doc_id") < 100), "text", "video")
     Multimodal.sampleGrid(media, "doc_id", samples = 4)
       .select(col("doc_id"), col("sample_idx"), col("sample_ms"),
         col("media_meta.duration_ms").as("duration_ms"))
