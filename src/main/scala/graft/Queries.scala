@@ -224,6 +224,15 @@ object Queries {
       .json(out))
   }
 
+  q("q_ipc_roundtrip", roundtripAggSql) { (s, dir) =>
+    // Arrow IPC: the zero-copy interchange format — write through IpcSink
+    // (Spark rows → Arrow record batches) and read back through IpcSource
+    // (Arrow → ColumnarBatch rows); the oracle checks the loop is lossless
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_ipc_roundtrip"
+    graft.sources.IpcSink.write(roundtripInput(s, dir), out, mode = "overwrite")
+    roundtripAgg(graft.sources.IpcSource.read(s, out))
+  }
+
   // ===========================================================================
   // General relational surface — SURVEY.md §2.7 (joins, aggs, windows,
   // sorts, set ops, scalar functions, grouping sets).

@@ -68,6 +68,53 @@ object GraftArrow {
   def confOf(b: Broadcast[SerializableConfiguration])
       : org.apache.hadoop.conf.Configuration = b.value.value
 
+  def sparkSchema(s: org.apache.arrow.vector.types.pojo.Schema): StructType =
+    org.apache.spark.sql.util.ArrowUtils.fromArrowSchema(s)
+
+  def childAllocator(name: String): org.apache.arrow.memory.BufferAllocator =
+    org.apache.spark.sql.util.ArrowUtils.rootAllocator
+      .newChildAllocator(name, 0, Long.MaxValue)
+
+  def internalCreateDataFrame(spark: org.apache.spark.sql.SparkSession,
+                              rdd: org.apache.spark.rdd.RDD[InternalRow],
+                              schema: StructType)
+      : org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = false)
+
+  /** Iterate every batch of an Arrow IPC file reader as COPIED
+    * InternalRows (the underlying vectors are reused per batch), closing
+    * `closeables` once the file is exhausted. Registers a task-completion
+    * hook so an abandoned iterator (limit, task kill) still releases the
+    * reader and its allocator.
+    */
+  def readerRows(rd: org.apache.arrow.vector.ipc.ArrowFileReader,
+                 closeables: Seq[AutoCloseable]): Iterator[InternalRow] = {
+    var closed = false
+    def closeAll(): Unit = if (!closed) { closed = true; closeables.foreach(_.close()) }
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => closeAll()))
+    new Iterator[InternalRow] {
+      private val root = rd.getVectorSchemaRoot
+      private var batch: java.util.Iterator[InternalRow] =
+        java.util.Collections.emptyIterator()
+      private var done = false
+      private def advance(): Unit =
+        while (!done && !batch.hasNext) {
+          if (rd.loadNextBatch()) {
+            val cols = root.getFieldVectors.toArray(
+              Array.empty[org.apache.arrow.vector.FieldVector])
+              .map(v => new org.apache.spark.sql.vectorized.ArrowColumnVector(v)
+                : org.apache.spark.sql.vectorized.ColumnVector)
+            batch = new org.apache.spark.sql.vectorized.ColumnarBatch(
+              cols, root.getRowCount).rowIterator()
+          } else { done = true; closeAll() }
+        }
+      override def hasNext: Boolean = { advance(); !done }
+      override def next(): InternalRow = { advance(); batch.next().copy() }
+    }
+  }
+
   /** Stream a partition of InternalRows into `out` as one Arrow IPC FILE
     * (the random-access "Feather v2" format, readable by pyarrow /
     * polars / DuckDB / arrow-rs). Batches of `maxRecordsPerBatch` rows

@@ -437,6 +437,13 @@ class TargetSpec extends AnyFunSuite {
     val expected = spark.read.parquet(s"$dir/out.parquet")
       .select("id").collect().map(_.getLong(0)).sorted.toSeq
     assert(ids.sorted.toSeq == expected)
+    // and IpcSource closes the loop inside the engine: full-row equality
+    val back = graft.sources.IpcSource.read(spark, s"$dir/out.ipc")
+    assert(back.schema.fieldNames.toSeq == Seq("id", "w"))
+    val parquetRows = spark.read.parquet(s"$dir/out.parquet")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val ipcRows = back.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(ipcRows == parquetRows)
   }
 
   test("absent-connector targets fail with an explicit message, not a stack of class errors") {
