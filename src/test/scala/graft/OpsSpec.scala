@@ -705,6 +705,66 @@ class StreamingSpec extends AnyFunSuite {
         (3L, "c2", 33.0), (9L, "new", 5.0)))
     } finally q.stop()
   }
+
+  test("CDC apply recovers a snapshot parked at .prev by a mid-swap crash") {
+    val root = java.nio.file.Files.createTempDirectory("cdccrash")
+    val snap = s"$root/snapshot"
+    val in = s"$root/changes"
+    Seq((1L, "a", 10.0)).toDF("k", "name", "bal").write.parquet(snap)
+    // simulate the crash window: old snapshot renamed aside, new one not
+    // yet in place — dst missing, .prev holding the only copy
+    val fs = new org.apache.hadoop.fs.Path(snap)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(snap),
+      new org.apache.hadoop.fs.Path(s"$snap.prev")))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    Seq((2L, "b", 20.0, "I", 1L))
+      .toDF("k", "name", "bal", "op", "seq").write.parquet(s"$in/b1")
+    val src = spark.readStream
+      .schema("k bigint, name string, bal double, op string, seq bigint")
+      .option("recursiveFileLookup", "true").parquet(in)
+    val q = graft.streaming.Streams
+      .cdcApply(src, snap, "k", "op", "seq", s"$root/ckpt").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(snap).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, "a", 10.0), (2L, "b", 20.0)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$snap.prev")))
+  }
+
+  test("CDC apply breaks equal-seq ties deterministically (content digest)") {
+    // two mutations for one key with the SAME seq: the survivor must be
+    // the same on every run/partitioning — the row with the higher md5 of
+    // its JSON encoding (descending digest order)
+    val expectWinner = {
+      import java.security.MessageDigest
+      def hex(s: String) = MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val a = hex("""{"k":1,"name":"x","bal":1.0,"op":"U","seq":7}""")
+      val b = hex("""{"k":1,"name":"y","bal":2.0,"op":"U","seq":7}""")
+      if (a > b) "x" else "y"
+    }
+    (1 to 2).foreach { run =>
+      val root = java.nio.file.Files.createTempDirectory(s"cdctie$run")
+      val snap = s"$root/snapshot"
+      val in = s"$root/changes"
+      Seq((1L, "orig", 0.0)).toDF("k", "name", "bal").write.parquet(snap)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      Seq((1L, "x", 1.0, "U", 7L), (1L, "y", 2.0, "U", 7L))
+        .toDF("k", "name", "bal", "op", "seq")
+        .repartition(if (run == 1) 1 else 4) // partitioning must not matter
+        .write.parquet(s"$in/b1")
+      val src = spark.readStream
+        .schema("k bigint, name string, bal double, op string, seq bigint")
+        .option("recursiveFileLookup", "true").parquet(in)
+      val q = graft.streaming.Streams
+        .cdcApply(src, snap, "k", "op", "seq", s"$root/ckpt").start()
+      try q.processAllAvailable() finally q.stop()
+      val got = spark.read.parquet(snap).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got == Seq((1L, expectWinner)), s"run $run")
+    }
+  }
 }
 
 /** Regression guards for the round-1 advice findings: as-of type safety
