@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Arrow IPC sink/source round-trip coverage beyond the convert schema:
+  * every type the engine's tables use (plus nested arrays/structs), null
+  * patterns, multiple batches per file, and multi-partition layouts.
+  */
+class IpcSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  test("ipc round-trips all column types, nulls, and nested values") {
+    val df = spark.range(0, 500, 1, 3).select(
+      col("id"),
+      (col("id") % 2 === 0).as("b"),
+      col("id").cast("int").as("i32"),
+      col("id").cast("short").as("i16"),
+      (col("id") * 1.5).cast("float").as("f32"),
+      (col("id") * 2.5).as("f64"),
+      concat(lit("s"), col("id")).as("s"),
+      when(col("id") % 7 === 0, lit(null)).otherwise(concat(lit("n"), col("id")))
+        .as("nullable_s"),
+      encode(concat(lit("b"), col("id")), "UTF-8").as("bin"),
+      date_add(lit("2024-01-01").cast("date"), col("id").cast("int")).as("d"),
+      timestamp_micros(col("id") * 1000000L).as("ts"),
+      timestamp_micros(col("id") * 1000000L).cast("timestamp_ntz").as("ts_ntz"),
+      array(col("id"), col("id") * 2).as("arr"),
+      struct(col("id").as("x"), concat(lit("y"), col("id")).as("y")).as("st"),
+      when(col("id") % 5 === 0, lit(null).cast("bigint")).otherwise(col("id"))
+        .as("nullable_l"))
+    val out = java.nio.file.Files.createTempDirectory("graft_ipc_types").toString + "/t"
+    // small batch size forces multiple record batches per part file
+    graft.sources.IpcSink.write(df, out, mode = "overwrite", maxRecordsPerBatch = 64)
+    val back = graft.sources.IpcSource.read(spark, out)
+    assert(back.schema == df.schema)
+    val key = (r: org.apache.spark.sql.Row) => r.getLong(0)
+    val a = df.collect().sortBy(key)
+    val b = back.collect().sortBy(key)
+    assert(b.length == 500)
+    assert(a.zip(b).forall { case (x, y) => x == y },
+      a.zip(b).find { case (x, y) => x != y }.toString)
+  }
+
+  test("ipc sink honors save modes") {
+    val df = spark.range(3).toDF("id")
+    val out = java.nio.file.Files.createTempDirectory("graft_ipc_mode").toString + "/m"
+    graft.sources.IpcSink.write(df, out)
+    intercept[IllegalStateException] { graft.sources.IpcSink.write(df, out) }
+    graft.sources.IpcSink.write(df, out, mode = "ignore") // no-op, no error
+    graft.sources.IpcSink.write(spark.range(5).toDF("id"), out, mode = "overwrite")
+    assert(graft.sources.IpcSource.read(spark, out).count() == 5)
+  }
+
+  test("ipc source reads an empty frame (schema-only part file)") {
+    val df = spark.range(10).toDF("id").filter(col("id") < 0)
+    val out = java.nio.file.Files.createTempDirectory("graft_ipc_empty").toString + "/e"
+    graft.sources.IpcSink.write(df, out, mode = "overwrite")
+    val back = graft.sources.IpcSource.read(spark, out)
+    assert(back.schema.fieldNames.toSeq == Seq("id") && back.count() == 0)
+  }
+}

@@ -775,6 +775,37 @@ class AdviceRegressionSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.spark
   import spark.implicits._
 
+  test("as-of execs agree: sort-merge, auto-broadcast, and forced broadcast") {
+    // deterministic pseudo-random left/right sides with repeated keys,
+    // duplicate timestamps, and sparse matches — every selection path
+    // (threshold -1 -> AsOfJoinExec, small side under default threshold ->
+    // BroadcastAsOfJoinExec, explicit flag) must produce identical rows
+    val left = spark.range(300).selectExpr(
+      "id AS lid", "id % 7 AS k", "(id * 37) % 1000 AS t")
+    val right = spark.range(150).selectExpr(
+      "id % 9 AS rk", "(id * 53) % 1000 AS rt", "id AS payload")
+    def run(joinType: String, tol: Option[Long], threshold: String,
+            force: Boolean): Seq[(Long, Long)] = {
+      val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      try graft.plans.AsOfJoinPlan
+        .asofMerge(left, right, "k", "rk", "t", "rt", "payload",
+          joinType = joinType, tolerance = tol, broadcastRight = force)
+        .select("lid", "payload").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .sorted.toSeq
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    }
+    for (jt <- Seq("inner", "left_outer"); tol <- Seq(None, Some(100L))) {
+      val sortMerge = run(jt, tol, "-1", force = false)
+      val autoBcast = run(jt, tol, "10485760", force = false)
+      val forced = run(jt, tol, "-1", force = true)
+      assert(sortMerge == autoBcast, s"$jt/$tol: auto-broadcast diverged")
+      assert(sortMerge == forced, s"$jt/$tol: forced broadcast diverged")
+      assert(jt == "left_outer" || sortMerge.nonEmpty)
+    }
+  }
+
   test("as-of: left_outer keeps unmatched left rows with a null right side") {
     val left = Seq((1L, 100L, 10L), (3L, 200L, 1L)).toDF("event_id", "k", "t")
     val right = Seq((100L, 5L, 500L)).toDF("rk", "rt", "payload")
