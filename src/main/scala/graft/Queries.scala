@@ -3178,7 +3178,26 @@ object Queries {
       .orderBy("keep_id")
   }
 
-  qRowsOnly("multimodal_features") { (s, dir) =>
+  q("multimodal_features",
+    // The feature stub accumulates byte/255 per slot in FLOAT — IEEE
+    // single-precision ops are deterministic, so DuckDB replays the exact
+    // same add sequence by casting to FLOAT after every step (verified
+    // bit-equal); the checksum then sums the 16 floats in DOUBLE in slot
+    // order, mirroring Spark's aggregate() fold.
+    """WITH b AS (SELECT doc_id AS id, hex(encode(text)) AS hx,
+      |    octet_length(encode(text)) AS L FROM documents),
+      |f AS (SELECT id, list_transform(range(0, 16), j ->
+      |    CASE WHEN j < L THEN
+      |      list_reduce(
+      |        list_transform(range(0, (L - j + 15) // 16),
+      |          m -> CAST(CAST(('0x' || substr(hx, CAST(2*(j + 16*m) + 1 AS INT), 2))::INT AS FLOAT)
+      |                 / CAST(255 AS FLOAT) AS FLOAT)),
+      |        (acc, x) -> CAST(acc + x AS FLOAT))
+      |    ELSE CAST(0 AS FLOAT) END) AS feats FROM b)
+      |SELECT id, len(feats) AS n_dims,
+      |  round(list_reduce(list_transform(feats, x -> CAST(x AS DOUBLE)),
+      |    (a, x) -> a + x), 4) AS checksum
+      |FROM f ORDER BY id""".stripMargin.replace("\n", " ")) { (s, dir) =>
     val media = Multimodal.fabricate(tbl(s, dir, "documents"), "text", "image")
     Multimodal.extractFeatures(media, "doc_id", dim = 16)
       .select(col("id"), size(col("features")).as("n_dims"),
