@@ -211,21 +211,32 @@ object Pipeline {
   /** Bloom-prefiltered semi join: reduce a huge fact table against a
     * filtered dimension by (1) building a bloom filter of dim keys on the
     * driver (`df.stat.bloomFilter` — a treeAggregate, no shuffle), (2)
-    * filtering the fact table map-side through the broadcast bloom, and
+    * filtering the fact table map-side through the bloom, and
     * (3) confirming survivors with an exact semi join so false positives
     * never reach the result. At 100 TB step (2) is the point: the shuffle
     * (or even the broadcast-join probe) only sees the ~fpp-inflated
     * matching fraction rather than the full fact table. Semantics are
     * EXACTLY `fact SEMI JOIN dim` — the bloom is invisible in the result.
+    *
+    * The probe is Spark's own `BloomFilterMightContain` expression (the
+    * one runtime row-level filtering injects) over the serialized filter
+    * as a binary literal: it stays inside whole-stage codegen and
+    * deserializes once per task, where a Scala UDF would break the
+    * codegen span at the scan — the hottest path of the whole operator.
     */
   def bloomSemiJoin(fact: DataFrame, dim: DataFrame, factKey: String,
                     dimKey: String, expectedDimRows: Long = 1000000L,
                     fpp: Double = 0.03): DataFrame = {
     val bloom = dim.stat.bloomFilter(dimKey, expectedDimRows, fpp)
-    val spark = fact.sparkSession
-    val bloomBc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((k: Long) => bloomBc.value.mightContainLong(k))
-    fact.filter(mightContain(col(factKey).cast("long")))
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val probe = org.apache.spark.sql.graftbridge.GraftBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          bos.toByteArray, org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.graftbridge.GraftBridge.expression(
+          col(factKey).cast("long"))))
+    fact.filter(probe)
       .join(dim.select(col(dimKey)).distinct(), col(factKey) === col(dimKey), "left_semi")
   }
 }

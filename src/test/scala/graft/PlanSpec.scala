@@ -148,9 +148,11 @@ class PlanSpec extends AnyFunSuite {
 
   test("bloom prefilter reaches the fact scan before the confirm semi join") {
     val plan = planOf("q_bloom_join")
-    // the bloom mightContain UDF is a scan-level DataFilter on orders —
-    // the fact table is cut map-side, then confirmed via broadcast semi
-    assert(plan.contains("UDF(knownnotnull(o_custkey"), plan.take(2000))
+    // the native might_contain probe is a scan-level filter on orders —
+    // the fact table is cut map-side inside codegen (no UDF boundary),
+    // then confirmed via broadcast semi
+    assert(plan.contains("might_contain"), plan.take(2000))
+    assert(!plan.contains("UDF("), "bloom probe must be the native expression, not a Scala UDF")
     assert(plan.contains("LeftSemi, BuildRight"))
     assert(!plan.contains("SortMergeJoin"))
   }
