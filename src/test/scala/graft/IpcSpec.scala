@@ -61,4 +61,13 @@ class IpcSpec extends AnyFunSuite {
     val back = graft.sources.IpcSource.read(spark, out)
     assert(back.schema.fieldNames.toSeq == Seq("id") && back.count() == 0)
   }
+
+  test("ipc source reads a single .arrow file path directly") {
+    val out = java.nio.file.Files.createTempDirectory("graft_ipc_one").toString + "/d"
+    graft.sources.IpcSink.write(spark.range(7).toDF("id").coalesce(1), out)
+    val part = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".arrow")).head
+    val back = graft.sources.IpcSource.read(spark, part.getAbsolutePath)
+    assert(back.collect().map(_.getLong(0)).sorted.toSeq == (0L until 7L))
+  }
 }
