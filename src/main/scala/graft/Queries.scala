@@ -109,7 +109,7 @@ object Queries {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
-  q("flf_parse",
+  private val flfParseSql =
     """WITH lines AS (SELECT """ + flfLineSql + """ AS line FROM lineitem)
       |SELECT TRY_CAST(trim(LEADING '0' FROM substring(line, 1, 12)) AS BIGINT) AS l_orderkey,
       |  TRY_CAST(trim(LEADING ' ' FROM substring(line, 13, 4)) AS INT) AS l_linenumber,
@@ -121,10 +121,30 @@ object Queries {
       |  CASE trim(BOTH '0' FROM substring(line, 47, 8))
       |    WHEN 'true' THEN true WHEN 'false' THEN false END AS l_returned
       |FROM lines ORDER BY l_orderkey, l_linenumber"""
-      .stripMargin.replace("\n", " ")) { (s, dir) =>
+      .stripMargin.replace("\n", " ")
+
+  q("flf_parse", flfParseSql) { (s, dir) =>
     val lines = tbl(s, dir, "lineitem").select(flfLine().as("value"))
     lines.select(flfCols.map(c => FlfParse.parseColumn(col("value"), c)): _*)
       .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  q("stream_flf_ingest", flfParseSql) { (s, dir) =>
+    // the reference's CORE pipeline as an unbounded stream: fixed-length
+    // lines land in a directory, Streams.flfIngest parses them through
+    // the identical FlfParse columns incrementally — same oracle as the
+    // batch flf_parse, checking that batch and streaming convert agree
+    val landing = java.nio.file.Files
+      .createTempDirectory("graft_flf_landing").toString
+    tbl(s, dir, "lineitem").select(flfLine().as("value"))
+      .write.mode("overwrite").text(landing)
+    val schema = FixedSchema(name = "li_stream", version = 1, columns = flfCols)
+    val qname = "graft_stream_flf"
+    val query = graft.streaming.Streams.flfIngest(s, landing, schema)
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("append").start()
+    try query.processAllAvailable() finally query.stop()
+    s.table(qname).orderBy("l_orderkey", "l_linenumber")
   }
 
   q("flf_roundtrip",
