@@ -244,6 +244,17 @@ object Queries {
       .json(out))
   }
 
+  q("q_xml_roundtrip", roundtripAggSql) { (s, dir) =>
+    // XML: Spark 4 ships the former spark-xml as a built-in source —
+    // rowTag-framed records, schema-on-read like the csv/jsonl paths
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_xml_roundtrip"
+    roundtripInput(s, dir).write.mode("overwrite")
+      .option("rowTag", "row").xml(out)
+    roundtripAgg(s.read.option("rowTag", "row")
+      .schema("l_orderkey bigint, l_returnflag string, l_quantity int, l_extendedprice string")
+      .xml(out))
+  }
+
   q("q_ipc_roundtrip", roundtripAggSql) { (s, dir) =>
     // Arrow IPC: the zero-copy interchange format — write through IpcSink
     // (Spark rows → Arrow record batches) and read back through IpcSource
