@@ -11,13 +11,15 @@ import org.apache.spark.sql.graftbridge.GraftArrow
   * row→vector ArrowWriter), no extra jars.
   *
   * Layout mirrors the built-in file sinks: one `part-NNNNN.arrow` per
-  * non-empty partition plus `_SUCCESS`, written directly (no temporary
-  * directory protocol — a failed job may leave partial part files, which
-  * `overwrite` cleans up; acceptable for an export sink whose consumers
-  * key on `_SUCCESS`). Each file carries the full schema, so any Arrow
-  * reader (pyarrow, polars, DuckDB, arrow-rs) opens parts independently —
-  * the property that makes IPC the zero-copy interchange format for
-  * handing a 100 TB corpus partition-by-partition to non-JVM consumers.
+  * non-empty partition plus `_SUCCESS`. Tasks write a per-attempt temp
+  * file and rename it into place, so retries and speculative duplicates
+  * are idempotent; a failed JOB may still leave committed part files
+  * (no job-level temporary directory), which `overwrite` cleans up —
+  * acceptable for an export sink whose consumers key on `_SUCCESS`.
+  * Each file carries the full schema, so any Arrow reader (pyarrow,
+  * polars, DuckDB, arrow-rs) opens parts independently — the property
+  * that makes IPC the zero-copy interchange format for handing a
+  * 100 TB corpus partition-by-partition to non-JVM consumers.
   */
 object IpcSink {
 
@@ -45,13 +47,26 @@ object IpcSink {
     // and the write shows as one SQL execution in the UI
     GraftArrow.withTrackedExecution(df, "ipc write") {
       GraftArrow.internalRowRdd(df).foreachPartition { rows =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val ctx = org.apache.spark.TaskContext.get()
+        val pid = if (ctx != null) ctx.partitionId() else 0
         if (rows.hasNext || pid == 0) { // partition 0 always lands the schema
           val part = new Path(dir, f"part-$pid%05d.arrow")
           val pfs = part.getFileSystem(GraftArrow.confOf(bcConf))
-          val os = pfs.create(part, false)
+          // per-attempt temp + rename makes task retries and speculative
+          // duplicates idempotent: a half-written file from a failed
+          // attempt never carries the final name, and the losing attempt
+          // of a rename race just discards its temp (at 1000 executors,
+          // retries are routine, not exceptional)
+          val attempt = if (ctx != null) ctx.taskAttemptId() else 0L
+          val tmp = new Path(dir, f".part-$pid%05d-$attempt.arrow.tmp")
+          val os = pfs.create(tmp, true)
           try GraftArrow.writeIpcFile(schema, tz, batch, rows, os)
           finally os.close()
+          if (!pfs.rename(tmp, part)) {
+            pfs.delete(tmp, false)
+            if (!pfs.exists(part)) throw new java.io.IOException(
+              s"could not commit $tmp to $part")
+          }
         }
       }
     }

@@ -62,6 +62,16 @@ class IpcSpec extends AnyFunSuite {
     assert(back.schema.fieldNames.toSeq == Seq("id") && back.count() == 0)
   }
 
+  test("ipc source ignores uncommitted temp files from failed attempts") {
+    val out = java.nio.file.Files.createTempDirectory("graft_ipc_tmpf").toString + "/t"
+    graft.sources.IpcSink.write(spark.range(9).toDF("id"), out)
+    // a crashed attempt's leftover: garbage bytes under the temp naming
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out, ".part-00099-42.arrow.tmp"),
+      Array[Byte](1, 2, 3))
+    assert(graft.sources.IpcSource.read(spark, out).count() == 9)
+  }
+
   test("ipc source reads a single .arrow file path directly") {
     val out = java.nio.file.Files.createTempDirectory("graft_ipc_one").toString + "/d"
     graft.sources.IpcSink.write(spark.range(7).toDF("id").coalesce(1), out)
