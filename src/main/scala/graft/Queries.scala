@@ -500,11 +500,18 @@ object Queries {
   }
 
   q("q_window_extras",
+    // rank ratios round via floor(x*1e6 + 0.5)/1e6 — pure IEEE double ops
+    // that evaluate bit-identically on both engines. round(x, 6) does
+    // NOT: Spark rounds the double's shortest DECIMAL representation
+    // (BigDecimal.valueOf) while DuckDB rounds the binary value, and a
+    // ratio like 41/640 prints as the exact midpoint "0.0640625" — Spark
+    // says 0.064063, DuckDB 0.064062. Found by the sf0.1 oracle sweep;
+    // sf0.01 group sizes never produced a midpoint-printing ratio.
     """SELECT c_custkey, c_nationkey,
       |  dense_rank() OVER w AS drnk, ntile(4) OVER w AS q4,
       |  first_value(c_custkey) OVER w AS richest,
-      |  round(percent_rank() OVER w, 6) AS pr,
-      |  round(cume_dist() OVER w, 6) AS cd
+      |  floor(percent_rank() OVER w * 1e6 + 0.5) / 1e6 AS pr,
+      |  floor(cume_dist() OVER w * 1e6 + 0.5) / 1e6 AS cd
       |FROM customer
       |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
       |ORDER BY c_nationkey, c_custkey"""
@@ -514,8 +521,8 @@ object Queries {
       .select(col("c_custkey"), col("c_nationkey"),
         dense_rank().over(w).as("drnk"), ntile(4).over(w).as("q4"),
         first(col("c_custkey")).over(w).as("richest"),
-        round(percent_rank().over(w), 6).as("pr"),
-        round(cume_dist().over(w), 6).as("cd"))
+        (floor(percent_rank().over(w) * 1e6 + 0.5) / 1e6).as("pr"),
+        (floor(cume_dist().over(w) * 1e6 + 0.5) / 1e6).as("cd"))
       .orderBy("c_nationkey", "c_custkey")
   }
 
