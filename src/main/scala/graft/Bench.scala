@@ -23,9 +23,7 @@ object Bench {
     // the plan, not first-use compilation.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // best of 2 runs: the plan's steady-state cost, robust to transient
-      // host contention (observed 2-3x whole-suite swings under load)
-      val times = (1 to 2).map { _ =>
+      def once(): Double = {
         // isolate queries: drop caches left by prior ops, settle the heap
         spark.catalog.clearCache()
         System.gc()
@@ -36,9 +34,16 @@ object Bench {
             -1.0
         }
       }
-      val ok = times.exists(_ >= 0)
+      // best of 2 runs measures the plan's steady-state cost; when the two
+      // disagree by >30% a transient (host contention, GC) polluted one of
+      // them, so a third run breaks the tie — the round-4 bench recorded
+      // 1.5-2.7x phantom regressions from exactly such a window (same code
+      // re-measured at round-3 times on an idle host)
+      var times = Seq(once(), once()).filter(_ >= 0)
+      if (times.size == 2 && times.max > times.min * 1.3)
+        times = (times :+ once()).filter(_ >= 0)
       // a failed query reports -1, never a plausible-looking duration
-      (name, if (ok) times.filter(_ >= 0).min else -1.0, ok)
+      (name, if (times.nonEmpty) times.min else -1.0, times.nonEmpty)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

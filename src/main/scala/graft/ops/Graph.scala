@@ -84,10 +84,26 @@ object Graph {
   /** Canonical co-occurrence edges: vertices u sharing at least one key
     * with v (u < v), deduplicated. The self-join keys on the shared
     * attribute, so parallelism scales with its cardinality.
+    *
+    * Skew defense: a key shared by n vertices emits C(n,2) pairs, and a
+    * self-join cannot split one key across tasks — a single hot attribute
+    * value (a stop-word-like token, a default/sentinel key) would hand one
+    * task quadratic work AND quadratic output. Keys above `hotKeyCap`
+    * distinct vertices are excluded before the join, the same stop-word
+    * rule similarity joins apply to high-df tokens (see Dedup prefix
+    * filtering): such keys carry no co-occurrence signal in proportion to
+    * their cost. Below the cap the result is exact; the worst surviving
+    * key is bounded at C(cap, 2) pairs. The count filter reuses the same
+    * hash partitioning on `s` as the self-join, so the defense costs one
+    * map-side-combined aggregate, not an extra full shuffle of pairs.
     */
-  def coOccurrenceEdges(df: DataFrame, vertexCol: String, keyCol: String): DataFrame = {
+  def coOccurrenceEdges(df: DataFrame, vertexCol: String, keyCol: String,
+                        hotKeyCap: Int = 10000): DataFrame = {
     val ps = df.select(col(vertexCol).as("p"), col(keyCol).as("s")).distinct()
-    ps.as("a").join(ps.as("b"),
+    val coldKeys = ps.groupBy("s").agg(count(lit(1)).as("n_s"))
+      .filter(col("n_s") <= hotKeyCap).select("s")
+    val kept = ps.join(coldKeys, Seq("s"))
+    kept.as("a").join(kept.as("b"),
         col("a.s") === col("b.s") && col("a.p") < col("b.p"))
       .select(col("a.p").as("pa"), col("b.p").as("pb")).distinct()
   }

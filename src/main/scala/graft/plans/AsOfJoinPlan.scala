@@ -41,7 +41,7 @@ final case class AsOfJoinNode(
     leftTime: Expression, rightTime: Expression,
     rightTie: Expression,
     isOuter: Boolean, tolerance: Option[Long],
-    broadcastRight: Boolean) extends BinaryNode {
+    broadcastRight: Option[Boolean]) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ (if (isOuter) right.output.map(_.withNullability(true)) else right.output)
   override protected def withNewChildrenInternal(l: LogicalPlan, r: LogicalPlan): LogicalPlan =
@@ -52,14 +52,15 @@ object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinNode(l, r, lk, rk, lt, rt, tie, outer, tol, bcast) =>
       // Broadcast selection mirrors Spark's equi-join planning: the
-      // caller's explicit flag always wins; otherwise the right side
-      // broadcasts when its estimated size fits under
-      // spark.sql.autoBroadcastJoinThreshold (set -1 to force the
-      // distributed sort-merge exec, exactly as with regular joins).
+      // caller's explicit choice (Some) always wins — Some(false) pins
+      // the distributed sort-merge exec even when a stats underestimate
+      // would auto-broadcast; with None the right side broadcasts when
+      // its estimated size fits under spark.sql.autoBroadcastJoinThreshold
+      // (set -1 to disable, exactly as with regular joins).
       val threshold =
         org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
       val auto = threshold > 0 && r.stats.sizeInBytes <= threshold
-      (if (bcast || auto)
+      (if (bcast.getOrElse(auto))
         BroadcastAsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tie, outer, tol)
        else AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tie, outer, tol)) :: Nil
     case _ => Nil
@@ -328,11 +329,14 @@ object AsOfJoinPlan {
     * @param tolerance max allowed leftTime - rightTime, in the time
     *                  column's native unit (micros for timestamps, days
     *                  for dates, raw difference for integral types)
-    * @param broadcastRight FORCE collect + broadcast of the right side
-    *                  (stream the left in place, no exchange on either
-    *                  side) regardless of size, as with `broadcast(df)`
-    *                  on a regular join. When false, the planner still
-    *                  auto-selects the broadcast exec if the right
+    * @param broadcastRight Some(true) FORCES collect + broadcast of the
+    *                  right side (stream the left in place, no exchange
+    *                  on either side) regardless of size, as with
+    *                  `broadcast(df)` on a regular join; Some(false) PINS
+    *                  the distributed sort-merge exec so a logical-stats
+    *                  underestimate can never trigger a driver-side
+    *                  collect of a large right side; None (default)
+    *                  auto-selects the broadcast exec when the right
     *                  side's estimated size fits under
     *                  spark.sql.autoBroadcastJoinThreshold; -1 disables.
     */
@@ -342,7 +346,7 @@ object AsOfJoinPlan {
                 rightTie: String,
                 joinType: String = "inner",
                 tolerance: Option[Long] = None,
-                broadcastRight: Boolean = false): DataFrame = {
+                broadcastRight: Option[Boolean] = None): DataFrame = {
     val isOuter = joinType match {
       case "inner" => false
       case "left_outer" => true
@@ -385,7 +389,7 @@ object AsOfJoinPlan {
                        rightTie: String,
                        joinType: String = "inner",
                        tolerance: Option[Long] = None,
-                       broadcastRight: Boolean = false): DataFrame = {
+                       broadcastRight: Option[Boolean] = None): DataFrame = {
     val lNeg = "__asof_fwd_lt"
     val rNeg = "__asof_fwd_rt"
     asofMerge(
@@ -428,7 +432,7 @@ object AsOfJoinPlan {
                        rightTie: String, leftId: String,
                        joinType: String = "inner",
                        tolerance: Option[Long] = None,
-                       broadcastRight: Boolean = false): DataFrame = {
+                       broadcastRight: Option[Boolean] = None): DataFrame = {
     import org.apache.spark.sql.functions.{abs, col, row_number, when}
     require(joinType == "inner" || joinType == "left_outer",
       s"as-of nearest supports inner | left_outer, got '$joinType'")

@@ -45,8 +45,21 @@ object IpcSink {
     val batch = maxRecordsPerBatch
     // tracked execution: observe() metrics attached upstream still fire,
     // and the write shows as one SQL execution in the UI
+    val rdd = GraftArrow.internalRowRdd(df)
+    if (rdd.getNumPartitions == 0) {
+      // a zero-partition plan (e.g. an empty LocalRelation) runs no tasks,
+      // so the "partition 0 lands the schema" guard never fires — write a
+      // schema-only part from the driver so readers get an empty frame
+      // with the right schema instead of a _SUCCESS-only directory
+      val part = new Path(out, "part-00000.arrow")
+      val os = fs.create(part, true)
+      try GraftArrow.writeIpcFile(schema, tz, batch, Iterator.empty, os)
+      finally os.close()
+      fs.create(new Path(out, "_SUCCESS"), true).close()
+      return
+    }
     GraftArrow.withTrackedExecution(df, "ipc write") {
-      GraftArrow.internalRowRdd(df).foreachPartition { rows =>
+      rdd.foreachPartition { rows =>
         val ctx = org.apache.spark.TaskContext.get()
         val pid = if (ctx != null) ctx.partitionId() else 0
         if (rows.hasNext || pid == 0) { // partition 0 always lands the schema

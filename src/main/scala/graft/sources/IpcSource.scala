@@ -23,31 +23,66 @@ object IpcSource {
     val sc = spark.sparkContext
     val inPath = new Path(input)
     val fs = inPath.getFileSystem(sc.hadoopConfiguration)
-    val files =
-      if (fs.getFileStatus(inPath).isDirectory)
-        fs.listStatus(inPath).map(_.getPath)
-          .filter(_.getName.endsWith(".arrow")).sortBy(_.getName).map(_.toString).toSeq
-      else Seq(input)
-    require(files.nonEmpty, s"no .arrow files under $input")
+    val sized: Seq[(String, Long)] =
+      if (fs.getFileStatus(inPath).isDirectory) {
+        val parts = fs.listStatus(inPath)
+          .filter(_.getPath.getName.endsWith(".arrow"))
+          .sortBy(_.getPath.getName)
+        // a directory in IpcSink's own part-NNNNN layout without _SUCCESS
+        // is a partially committed job (the sink has no job-level temp
+        // dir) — refuse to silently read it as complete data; externally
+        // named .arrow files carry no such contract and pass through
+        if (parts.nonEmpty &&
+            parts.forall(_.getPath.getName.matches("part-\\d{5}\\.arrow")))
+          require(fs.exists(new Path(inPath, "_SUCCESS")),
+            s"$input has IpcSink part files but no _SUCCESS marker — " +
+              "refusing to read a partially committed job (pass the part " +
+              "files individually to override)")
+        parts.map(s => (s.getPath.toString, s.getLen)).toSeq
+      } else Seq((input, fs.getFileStatus(inPath).getLen))
+    require(sized.nonEmpty, s"no .arrow files under $input")
     // schema from the first file's footer (driver-side metadata read only)
     val schema = {
-      val ch = channel(fs.open(new Path(files.head)),
-        fs.getFileStatus(new Path(files.head)).getLen)
+      val ch = channel(fs.open(new Path(sized.head._1)), sized.head._2)
       val alloc = GraftArrow.childAllocator("graft-ipc-schema")
       val rd = new org.apache.arrow.vector.ipc.ArrowFileReader(ch, alloc)
       try GraftArrow.sparkSchema(rd.getVectorSchemaRoot.getSchema)
       finally { rd.close(); alloc.close() }
     }
     val bcConf = GraftArrow.broadcastConf(sc)
-    val rows = sc.parallelize(files, files.length).flatMap { f =>
-      val p = new Path(f)
-      val pfs = p.getFileSystem(GraftArrow.confOf(bcConf))
-      val ch = channel(pfs.open(p), pfs.getFileStatus(p).getLen)
-      val alloc = GraftArrow.childAllocator(s"graft-ipc-read")
-      val rd = new org.apache.arrow.vector.ipc.ArrowFileReader(ch, alloc)
-      GraftArrow.readerRows(rd, Seq(rd, alloc))
+    // IPC files are not block-splittable, so task granularity is the file:
+    // pack files into ≤ defaultParallelism byte-balanced groups (greedy
+    // LPT) so externally produced mixed-size files don't leave one task
+    // with all the bytes while the rest idle
+    val groups = packBySize(sized, math.min(sized.length,
+      math.max(1, sc.defaultParallelism)))
+    val rows = sc.parallelize(groups, groups.length).flatMap { group =>
+      group.iterator.flatMap { f =>
+        val p = new Path(f)
+        val pfs = p.getFileSystem(GraftArrow.confOf(bcConf))
+        val ch = channel(pfs.open(p), pfs.getFileStatus(p).getLen)
+        val alloc = GraftArrow.childAllocator(s"graft-ipc-read")
+        val rd = new org.apache.arrow.vector.ipc.ArrowFileReader(ch, alloc)
+        GraftArrow.readerRows(rd, Seq(rd, alloc))
+      }
     }
     GraftArrow.internalCreateDataFrame(spark, rows, schema)
+  }
+
+  /** Greedy LPT packing: files descending by size, each into the
+    * currently-lightest bin — ≤ (4/3)·OPT makespan, deterministic
+    * (size ties break on name, bin ties on index). Empty bins dropped.
+    */
+  private[graft] def packBySize(files: Seq[(String, Long)],
+                                  bins: Int): Seq[Seq[String]] = {
+    val byBin = Array.fill(bins)(Vector.empty[String])
+    val load = new Array[Long](bins)
+    files.sortBy { case (f, len) => (-len, f) }.foreach { case (f, len) =>
+      val i = load.indices.minBy(load(_))
+      byBin(i) = byBin(i) :+ f
+      load(i) += len
+    }
+    byBin.toSeq.filter(_.nonEmpty)
   }
 
   /** Hadoop input stream as the SeekableByteChannel the Arrow reader

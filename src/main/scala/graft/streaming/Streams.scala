@@ -86,11 +86,23 @@ object Streams {
         next.write.mode("overwrite").parquet(tmp.toString)
         // swap without a delete-first window: park the old snapshot aside,
         // move the new one in, then drop the parked copy — every crash
-        // point leaves either dst or (.prev + tmp) fully intact on disk
+        // point leaves either dst or (.prev + tmp) fully intact on disk.
+        // Hadoop rename() signals most failures by returning false, not
+        // throwing: every step checks the boolean, and prev is only
+        // dropped once dst verifiably holds the new snapshot — a false
+        // return aborts the batch with both copies still on disk.
         fs.delete(prev, true)
-        if (fs.exists(dst)) fs.rename(dst, prev)
-        fs.rename(tmp, dst)
-        fs.delete(prev, true)
+        if (fs.exists(dst) && !fs.rename(dst, prev))
+          throw new java.io.IOException(
+            s"cdcApply batch $batchId: could not park $dst at $prev; aborting swap")
+        // dst is now guaranteed absent, so this rename is a move-to-name,
+        // never Hadoop's move-INTO-existing-directory
+        if (!fs.rename(tmp, dst)) {
+          if (fs.exists(prev)) fs.rename(prev, dst) // restore the parked copy
+          throw new java.io.IOException(
+            s"cdcApply batch $batchId: could not move $tmp to $dst; snapshot restored")
+        }
+        if (fs.exists(dst)) fs.delete(prev, true)
         ()
       }
   }

@@ -72,6 +72,55 @@ class IpcSpec extends AnyFunSuite {
     assert(graft.sources.IpcSource.read(spark, out).count() == 9)
   }
 
+  test("ipc sink writes a schema-only part for a zero-partition plan") {
+    // an empty LocalRelation optimizes to an RDD with ZERO partitions:
+    // no task runs, so the partition-0 guard can't write the schema file
+    val df = Seq.empty[(Long, String)].toDF("id", "s")
+    val out = java.nio.file.Files.createTempDirectory("graft_ipc_zero").toString + "/z"
+    graft.sources.IpcSink.write(df, out, mode = "overwrite")
+    val back = graft.sources.IpcSource.read(spark, out)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "s") && back.count() == 0)
+  }
+
+  test("ipc source refuses a partially committed sink directory") {
+    val out = java.nio.file.Files.createTempDirectory("graft_ipc_nosucc").toString + "/p"
+    graft.sources.IpcSink.write(spark.range(5).toDF("id").coalesce(1), out)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(out, "_SUCCESS"))
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.IpcSource.read(spark, out)
+    }
+    assert(e.getMessage.contains("_SUCCESS"))
+    // an individual part file still opens directly (the escape hatch)
+    val part = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".arrow")).head
+    assert(graft.sources.IpcSource.read(spark, part.getAbsolutePath).count() == 5)
+  }
+
+  test("ipc source packs skewed file sizes into byte-balanced tasks") {
+    // pure planning check: 1 big + 7 small files into 4 bins must put the
+    // big file alone and spread the small ones, not leave one task with
+    // all the bytes (the straggler an externally produced mix causes)
+    val files = Seq(("big", 1000L), ("s1", 10L), ("s2", 10L), ("s3", 10L),
+      ("s4", 10L), ("s5", 10L), ("s6", 10L), ("s7", 10L))
+    val groups = graft.sources.IpcSource.packBySize(files, 4)
+    assert(groups.flatten.sorted == files.map(_._1).sorted)
+    assert(groups.exists(_ == Seq("big")))
+    val loads = groups.map(_.map(f => files.toMap.apply(f)).sum)
+    assert(loads.filterNot(_ == 1000L).forall(_ <= 30L), loads.toString)
+
+    // end-to-end: mixed-size parts read back balanced across tasks
+    val out = java.nio.file.Files.createTempDirectory("graft_ipc_skew").toString + "/s"
+    val skewed = spark.range(0, 10000, 1, 1).toDF("id")
+      .union(spark.range(10000, 10040, 1, 4).toDF("id"))
+    graft.sources.IpcSink.write(skewed, out, mode = "overwrite")
+    val back = graft.sources.IpcSource.read(spark, out)
+    assert(back.count() == 10040)
+    val perTask = back.rdd.mapPartitions(it => Iterator(it.size)).collect()
+    // the 10k-row file dominates; no other task may also carry thousands
+    assert(perTask.max >= 10000)
+    assert(perTask.filter(_ < 10000).forall(_ <= 40), perTask.mkString(","))
+  }
+
   test("ipc source reads a single .arrow file path directly") {
     val out = java.nio.file.Files.createTempDirectory("graft_ipc_one").toString + "/d"
     graft.sources.IpcSink.write(spark.range(7).toDF("id").coalesce(1), out)

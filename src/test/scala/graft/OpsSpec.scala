@@ -790,7 +790,8 @@ class AdviceRegressionSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
       try graft.plans.AsOfJoinPlan
         .asofMerge(left, right, "k", "rk", "t", "rt", "payload",
-          joinType = joinType, tolerance = tol, broadcastRight = force)
+          joinType = joinType, tolerance = tol,
+          broadcastRight = if (force) Some(true) else None)
         .select("lid", "payload").collect()
         .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
         .sorted.toSeq
@@ -911,10 +912,13 @@ class AdviceRegressionSpec extends AnyFunSuite {
     val events = spark.read.parquet(s"$d/events.parquet")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     val orders = spark.read.parquet(s"$d/orders.parquet")
+    // Some(false) pins the distributed exec — without it a stats
+    // underestimate could auto-broadcast both sides and the test would
+    // compare broadcast against itself
     def run(bcast: Boolean, joinType: String, tol: Option[Long]) =
       graft.plans.AsOfJoinPlan.asofMerge(events, orders,
         "user_id", "o_custkey", "ts", "o_orderdate", "o_orderkey",
-        joinType = joinType, tolerance = tol, broadcastRight = bcast)
+        joinType = joinType, tolerance = tol, broadcastRight = Some(bcast))
     for ((jt, tol) <- Seq(("inner", None), ("left_outer", None),
         ("inner", Some(9000L * 86400L * 1000000L)))) {
       val a = run(bcast = true, jt, tol).select("event_id", "o_orderkey")
@@ -926,6 +930,8 @@ class AdviceRegressionSpec extends AnyFunSuite {
     val plan = run(bcast = true, "inner", None).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastAsOfJoin"), plan.take(400))
     assert(!plan.contains("Exchange"), plan.take(1200))
+    val pinned = run(bcast = false, "inner", None).queryExecution.executedPlan.toString
+    assert(!pinned.contains("BroadcastAsOfJoin"), pinned.take(400))
   }
 
   test("TextStats kernel reproduces the composed stats and quality score exactly") {
@@ -1093,6 +1099,14 @@ class AdviceRegressionSpec extends AnyFunSuite {
         .toDF("v", "k"), "v", "k").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(co == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // hot-key cap: a key shared by more vertices than the cap is dropped
+    // (stop-word rule); pairs reachable only through it disappear, pairs
+    // with a cold co-key survive
+    val hot = ((1L to 5L).map(v => (v, "hotkey")) ++
+      Seq((1L, "cold"), (2L, "cold"))).toDF("v", "k")
+    val capped = Graph.coOccurrenceEdges(hot, "v", "k", hotKeyCap = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)))
   }
 
   test("integer pagerank ranks the star hub highest and conserves mass") {

@@ -233,6 +233,18 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("src") && plan.contains("dst"), plan.take(2000))
   }
 
+  test("co-occurrence: hot-key cap filters before an equi self-join") {
+    // the operator's own plan (q_graph_triangles localCheckpoints it away)
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(org.apache.spark.sql.functions.col("l_partkey") < 300)
+    val plan = graft.ops.Graph.coOccurrenceEdges(li, "l_partkey", "l_suppkey")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    // the skew defense: a count-aggregate on the shared key gates the
+    // self-join, so one hot attribute value cannot hand a task C(n,2) work
+    assert(plan.contains("n_s"), plan.take(2000))
+  }
+
   test("quality FK check is a broadcast anti join") {
     val plan = planOf("q_quality_checks")
     assert(plan.contains("LeftAnti"), plan.take(1500))
