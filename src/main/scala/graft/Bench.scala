@@ -22,7 +22,12 @@ object Bench {
     // JVM/codegen warmup on the smallest sf so per-query numbers measure
     // the plan, not first-use compilation.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated subset for local perf iteration (the
+    // driver never sets this, so round benches always cover everything)
+    val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => only.forall(_.contains(kv._1)))
+      .map { case (name, fn) =>
       def once(): Double = {
         // isolate queries: drop caches left by prior ops, settle the heap
         spark.catalog.clearCache()
