@@ -2893,18 +2893,25 @@ object Queries {
       .filter(col("event_type").isin("view", "click"))
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("ts").cast(TimestampType).as("ts"))
-    val maxTs = ev.agg(max("ts")).head.getTimestamp(0)
     val root = java.nio.file.Files.createTempDirectory("graft_louter")
-    val in = root.resolve("in").toString
+    // the fabricated input (data + sentinel batches) is reused across
+    // bench iterations; the sink/checkpoint dirs must stay per-run
+    val in = cachedLanding(s"louter:$dir") { d =>
+      val maxTs = ev.agg(max("ts")).head.getTimestamp(0)
+      def sentinel(batch: String, offsetDays: Int): Unit = {
+        val ts = new java.sql.Timestamp(maxTs.getTime + offsetDays * 86400000L)
+        Seq((-1L, 999999L, "view", ts), (-2L, 999999L, "click", ts))
+          .toDF("event_id", "user_id", "event_type", "ts")
+          .coalesce(1) // one file -> exactly one micro-batch per sentinel
+          .write.parquet(s"$d/$batch")
+      }
+      // ev is multi-file; write it as ONE file so batch 1 = all real data
+      ev.coalesce(1).write.parquet(s"$d/b1")
+      sentinel("b2", 3)
+      sentinel("b3", 6)
+    }
     val outP = root.resolve("out").toString
     val ckpt = root.resolve("ckpt").toString
-    def sentinel(batch: String, offsetDays: Int): Unit = {
-      val ts = new java.sql.Timestamp(maxTs.getTime + offsetDays * 86400000L)
-      Seq((-1L, 999999L, "view", ts), (-2L, 999999L, "click", ts))
-        .toDF("event_id", "user_id", "event_type", "ts")
-        .coalesce(1) // one file -> exactly one micro-batch per sentinel
-        .write.parquet(s"$in/$batch")
-    }
     def run(): Unit = {
       // one file per micro-batch: the sentinel batches land AFTER the
       // data batch inside a single query run, so the watermark advances
@@ -2929,13 +2936,8 @@ object Queries {
     }
     val priorPartitions = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
-      // ev is multi-file; write it as ONE file so batch 1 = all real data
-      ev.coalesce(1).write.parquet(s"$in/b1")
-      sentinel("b2", 3)
-      sentinel("b3", 6)
-      run()
-    } finally s.conf.set("spark.sql.shuffle.partitions", priorPartitions)
+    try run()
+    finally s.conf.set("spark.sql.shuffle.partitions", priorPartitions)
     s.read.parquet(outP).filter(col("user_id") < 30)
       .select(col("user_id"), col("view_id"), col("click_id"),
         col("view_ts").cast(TimestampNTZType).as("view_ts"),
