@@ -43,9 +43,12 @@ object Bench {
       // disagree by >30% a transient (host contention, GC) polluted one of
       // them, so a third run breaks the tie — the round-4 bench recorded
       // 1.5-2.7x phantom regressions from exactly such a window (same code
-      // re-measured at round-3 times on an idle host)
+      // re-measured at round-3 times on an idle host). Sub-second queries
+      // also get a third run: scheduling noise is additive and ±0.15 s
+      // reads as a 1.5x swing on them, while the rerun costs almost
+      // nothing — min-of-N converges to the true cost.
       var times = Seq(once(), once()).filter(_ >= 0)
-      if (times.size == 2 && times.max > times.min * 1.3)
+      if (times.size == 2 && (times.max > times.min * 1.3 || times.min < 0.7))
         times = (times :+ once()).filter(_ >= 0)
       // a failed query reports -1, never a plausible-looking duration
       (name, if (times.nonEmpty) times.min else -1.0, times.nonEmpty)

@@ -121,6 +121,25 @@ class IpcSpec extends AnyFunSuite {
     assert(perTask.filter(_ < 10000).forall(_ <= 40), perTask.mkString(","))
   }
 
+  test("packBySize holds the LPT balance bound on random size mixes") {
+    // greedy LPT guarantee: max bin load <= total/bins + largest file —
+    // checked over random mixes so externally produced layouts (many
+    // tiny files, one giant, power-law) can't regress the planner
+    val gen = new scala.util.Random(20260813)
+    for (_ <- 1 to 200) {
+      val n = 1 + gen.nextInt(40)
+      val bins = 1 + gen.nextInt(8)
+      val files = (0 until n).map(i => (s"f$i", 1L + gen.nextInt(1 << 20).toLong))
+      val groups = graft.sources.IpcSource.packBySize(files, bins)
+      assert(groups.flatten.sorted == files.map(_._1).sorted) // partition, no loss
+      assert(groups.size <= bins)
+      val sizes = files.toMap
+      val loads = groups.map(_.map(sizes).sum)
+      val bound = files.map(_._2).sum / bins + files.map(_._2).max
+      assert(loads.max <= bound, s"max=${loads.max} bound=$bound n=$n bins=$bins")
+    }
+  }
+
   test("ipc source reads a single .arrow file path directly") {
     val out = java.nio.file.Files.createTempDirectory("graft_ipc_one").toString + "/d"
     graft.sources.IpcSink.write(spark.range(7).toDF("id").coalesce(1), out)
