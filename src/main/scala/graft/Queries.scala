@@ -2525,6 +2525,25 @@ object Queries {
       .orderBy("lang")
   }
 
+  q("q_sample_weighted",
+    // Efraimidis-Spirakis weighted sample: priority -ln(u)/w with u a
+    // deterministic md5-derived uniform — the oracle replays the exact
+    // float pipeline (52-bit hash → one ln, one division: both engines'
+    // libm log differ at most in the last ulp, and the top-k boundary
+    // gap over hundreds of docs is astronomically wider than an ulp)
+    """WITH p AS (SELECT doc_id, n_chars,
+      |    -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 1)
+      |        / 4503599627370496.0) / CAST(n_chars AS DOUBLE) AS arrival
+      |  FROM documents)
+      |SELECT doc_id, n_chars FROM p ORDER BY arrival LIMIT 25"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    // NOTE: driver compare re-sorts rows, so the LIMIT-selected SET is
+    // what is checked — membership is the sampling semantics
+    Pipeline.weightedSample(tbl(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars")), "doc_id", "n_chars", k = 25)
+      .orderBy("doc_id")
+  }
+
   q("q_sample_stratified",
     s"""SELECT lang, rn, doc_id FROM (
        |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang

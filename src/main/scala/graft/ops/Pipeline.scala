@@ -45,6 +45,30 @@ object Pipeline {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") <= nPerStratum)
   }
 
+  /** Weighted sample without replacement (Efraimidis-Spirakis A-ES): k
+    * rows with inclusion probability proportional to `weightCol`, via the
+    * exponential-arrival equivalence — priority -ln(u)/w ~ Exp(w), and
+    * the k smallest arrivals are exactly a w-weighted draw. `u` is a
+    * deterministic uniform from the id's md5 (52 mantissa bits), so the
+    * sample is reproducible run-to-run and replayable by any engine —
+    * the seeded analogue of quality-weighted corpus sampling.
+    *
+    * Scale shape: one narrow projection + TakeOrderedAndProject (per-
+    * partition top-k, k-row driver merge) — no global sort, no shuffle
+    * of the data. At 100 TB this touches every row once and moves k rows.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    // 13 hex chars = 52 bits: exact in a double, u ∈ (0, 1]
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    val u = (h + lit(1L)) / lit(4503599627370496.0) // 2^52
+    df.withColumn("__arrival", -log(u) / col(weightCol).cast("double"))
+      .orderBy("__arrival")
+      .limit(k)
+      .drop("__arrival")
+  }
+
   /** Stratified sample with a PER-STRATUM budget (exact row counts per
     * source — how a training mixture with fixed token/doc budgets is
     * materialized). `budgets` is a stratum→n DataFrame (columns:

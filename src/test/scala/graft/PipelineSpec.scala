@@ -23,6 +23,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(a.size > 20 && a.size < 80) // ~25% of 200
   }
 
+  test("weightedSample is partitioning-invariant and weight-biased") {
+    val rows = (0L until 400L).map(i => (i, if (i < 20) 10000.0 else 1.0))
+      .toDF("id", "w")
+    def ids(df: org.apache.spark.sql.DataFrame) = Pipeline
+      .weightedSample(df, "id", "w", k = 30)
+      .collect().map(_.getLong(0)).toSet
+    val a = ids(rows.repartition(1))
+    val b = ids(rows.repartition(13, col("id")))
+    assert(a == b && a.size == 30) // the SAMPLE is a function of the data only
+    // 20 ids carry 10000x the weight of the other 380: with arrival times
+    // Exp(w) the probability any heavy id misses a k=30 draw is ~1e-4 —
+    // and the draw is deterministic here, so this asserts the bias wiring
+    assert((0L until 20L).toSet.subsetOf(a), a.toString)
+  }
+
   test("stratifiedSample returns exactly n per stratum, deterministically") {
     val out = Pipeline.stratifiedSample(docs, "lang", "doc_id", nPerStratum = 5)
     val perStratum = out.groupBy("lang").count().collect()
