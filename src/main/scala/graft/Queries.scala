@@ -4027,6 +4027,36 @@ object Queries {
       .orderBy(col("n").desc, col("pair")).limit(20)
   }
 
+  q("text_bpe_merges", {
+    // full iterative BPE: each round's argmax merge + greedy re-tokenize,
+    // replayed round-for-round in SQL (the merge-apply is the same greedy
+    // left fold in DuckDB's list_reduce as in Spark's aggregate())
+    def round(k: Int) =
+      s"""b$k AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS n FROM (
+         |    SELECT freq, unnest(list_transform(range(1, len(u)),
+         |      i -> u[i] || ' ' || u[i+1])) AS pair FROM w${k - 1})
+         |  GROUP BY pair ORDER BY n DESC, pair LIMIT 1),
+         |m$k AS (SELECT split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b FROM b$k),
+         |w$k AS (SELECT freq, list_reduce(list_transform(u, s -> [s]),
+         |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.a AND x[1] = m.b
+         |      THEN acc[1:-2] || [acc[-1] || x[1]] ELSE acc || x END) AS u
+         |  FROM w${k - 1}, m$k m)""".stripMargin
+    val rounds = (1 to 6).map(round).mkString(",\n")
+    val finalSel = (1 to 6)
+      .map(k => s"SELECT $k AS round, pair, n FROM b$k")
+      .mkString(" UNION ALL ")
+    s"""WITH words AS (SELECT w, COUNT(*) AS freq FROM
+       |    (SELECT unnest($toksSql) AS w FROM documents) GROUP BY w),
+       |w0 AS (SELECT freq, list_transform(range(1, length(w) + 1),
+       |    i -> substring(w, CAST(i AS INT), 1)) AS u
+       |  FROM words WHERE length(w) >= 2),
+       |$rounds
+       |$finalSel ORDER BY round""".stripMargin.replace("\n", " ")
+  }) { (s, dir) =>
+    TextAnalysis.bpeMerges(tbl(s, dir, "documents"), "text", rounds = 6)
+      .orderBy("round")
+  }
+
   q("q_repeated_spans",
     // exact-substring dedup signal (Lee et al. style, token-window
     // approximation): 8-token spans occurring in >1 document, rolled up

@@ -181,6 +181,65 @@ object TextAnalysis {
     * magnitude smaller than the corpus — so the tf←df equi-join broadcasts
     * the df side. Ties rank by token for run-to-run determinism.
     */
+  /** Iterative BPE merge training (Sennrich-style, word-level): learn
+    * `rounds` merges over the corpus vocabulary. Each round is one
+    * distributed pass over the VOCABULARY (words × current units), never
+    * the corpus: pair frequencies aggregate adjacent unit pairs weighted
+    * by word frequency, the argmax pair (count desc, pair asc — fully
+    * deterministic) becomes the round's merge, and a greedy left-to-right
+    * fold applies it to every word's unit list. Only the single winning
+    * (pair, count) row reaches the driver per round — the same "tiny
+    * codebook, huge corpus" shape as the IVF k-means trainer. At 100 TB
+    * the corpus collapses to its vocabulary in the first aggregation
+    * (orders of magnitude smaller) and every round after that is
+    * vocabulary-sized work.
+    *
+    * Returns the merge table (round, pair, n) — `pair` is the two merged
+    * units separated by one space (units are whitespace-tokenized, so
+    * they can never contain one).
+    */
+  def bpeMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val words = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      // single-char words can never pair or merge; dropping them also
+      // guards the length-0 edge (sequence(1,0) counts DOWN in Spark)
+      .filter(length(col("w")) >= 2)
+    var units = words.select(col("freq"),
+        transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))).as("u"))
+      .localCheckpoint() // per-round lineage truncation (iterative rule)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    for (r <- 1 to rounds) {
+      val best = units
+        .select(col("freq"), explode(zip_with(
+          slice(col("u"), lit(1), size(col("u")) - 1),
+          slice(col("u"), lit(2), size(col("u")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("pair"))
+        .groupBy("pair").agg(sum("freq").as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(1)
+        .collect() // exactly ONE row: the round's winning merge
+      if (best.nonEmpty) {
+        val pair = best(0).getString(0)
+        merges += ((r, pair, best(0).getLong(1)))
+        val parts = pair.split(" ", 2)
+        val (a, b) = (parts(0), parts(1))
+        // greedy non-overlapping left fold: merge (a,b) wherever the
+        // PREVIOUS emitted unit is a and the next incoming unit is b
+        units = units.select(col("freq"),
+            aggregate(col("u"), array().cast("array<string>"), (acc, x) =>
+              when(size(acc) > 0 &&
+                  element_at(acc, -1) === lit(a) && x === lit(b),
+                concat(slice(acc, lit(1), size(acc) - 1),
+                  array(concat(element_at(acc, -1), x))))
+                .otherwise(concat(acc, array(x)))).as("u"))
+          .localCheckpoint()
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("round", "pair", "n")
+  }
+
   def tfidfTopK(docs: DataFrame, k: Int = 3, textCol: String = "text",
                 idCol: String = "doc_id"): DataFrame = {
     val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))

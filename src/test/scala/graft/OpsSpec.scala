@@ -222,6 +222,27 @@ class OpsSpec extends AnyFunSuite {
     assert(fp(0) == fp(1) && fp(0) != fp(2))
   }
 
+  test("bpe merges reproduce the textbook example, ties lexicographic") {
+    // Sennrich et al.'s worked example: low x5, lower x2, newest x6,
+    // widest x3. Round 1 ties (e,s)=9 with (s,t)=9 -> lexicographic;
+    // round 2 merges the JUST-FORMED unit (es,t)=9 — proving merges
+    // compound; round 3 ties (l,o)=7 with (o,w)=7.
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).toDF("text")
+    val merges = TextAnalysis.bpeMerges(corpus, "text", rounds = 3)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(merges == Seq((1, "e s", 9L), (2, "es t", 9L), (3, "l o", 7L)))
+    // greedy non-overlapping apply: "aaa" x2 merges (a,a) once per word
+    val aaa = Seq.fill(2)("aaa").toDF("text")
+    val m2 = TextAnalysis.bpeMerges(aaa, "text", rounds = 2)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    // round 1: (a,a) counted at both positions (overlap counts 2x2=4);
+    // after the greedy apply each word is [aa, a] -> round 2 merges (aa,a)
+    assert(m2 == Seq((1, "a a", 4L), (2, "aa a", 2L)))
+  }
+
   test("langid detects scripts and diacritics") {
     val got = Seq("hello world", "你好世界", "straße kaufen", "mañana señor")
       .toDF("text").select(TextAnalysis.langId($"text")).collect().map(_.getString(0))
