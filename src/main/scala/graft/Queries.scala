@@ -4027,10 +4027,11 @@ object Queries {
       .orderBy(col("n").desc, col("pair")).limit(20)
   }
 
-  q("text_bpe_merges", {
-    // full iterative BPE: each round's argmax merge + greedy re-tokenize,
-    // replayed round-for-round in SQL (the merge-apply is the same greedy
-    // left fold in DuckDB's list_reduce as in Spark's aggregate())
+  /** Shared oracle CTE chain for the BPE queries: vocabulary, char-level
+    * unit lists, then per-round (argmax pair b_k, split merge m_k, greedy
+    * fold apply w_k) — DuckDB's list_reduce mirrors Spark's aggregate().
+    */
+  private def bpeCtes(rounds: Int): String = {
     def round(k: Int) =
       s"""b$k AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS n FROM (
          |    SELECT freq, unnest(list_transform(range(1, len(u)),
@@ -4041,20 +4042,40 @@ object Queries {
          |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.a AND x[1] = m.b
          |      THEN acc[1:-2] || [acc[-1] || x[1]] ELSE acc || x END) AS u
          |  FROM w${k - 1}, m$k m)""".stripMargin
-    val rounds = (1 to 6).map(round).mkString(",\n")
-    val finalSel = (1 to 6)
-      .map(k => s"SELECT $k AS round, pair, n FROM b$k")
-      .mkString(" UNION ALL ")
-    s"""WITH words AS (SELECT w, COUNT(*) AS freq FROM
+    s"""words AS (SELECT w, COUNT(*) AS freq FROM
        |    (SELECT unnest($toksSql) AS w FROM documents) GROUP BY w),
        |w0 AS (SELECT freq, list_transform(range(1, length(w) + 1),
        |    i -> substring(w, CAST(i AS INT), 1)) AS u
        |  FROM words WHERE length(w) >= 2),
-       |$rounds
-       |$finalSel ORDER BY round""".stripMargin.replace("\n", " ")
+       |${(1 to rounds).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  q("text_bpe_merges", {
+    // full iterative BPE TRAINING: each round's argmax merge + greedy
+    // re-tokenize, replayed round-for-round in SQL
+    val finalSel = (1 to 6)
+      .map(k => s"SELECT $k AS round, pair, n FROM b$k")
+      .mkString(" UNION ALL ")
+    s"WITH ${bpeCtes(6)} $finalSel ORDER BY round".replace("\n", " ")
   }) { (s, dir) =>
     TextAnalysis.bpeMerges(tbl(s, dir, "documents"), "text", rounds = 6)
       .orderBy("round")
+  }
+
+  q("text_bpe_vocab",
+    // the ENCODE half: apply the 6 learned merges, emit the resulting
+    // top-20 subword vocabulary with corpus-weighted frequencies — the
+    // oracle replays training AND encoding through the same CTE chain
+    s"""WITH ${bpeCtes(6)}
+       |SELECT unit, CAST(SUM(freq) AS BIGINT) AS n FROM
+       |  (SELECT freq, unnest(u) AS unit FROM w6)
+       |GROUP BY unit ORDER BY n DESC, unit LIMIT 20"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val docs = tbl(s, dir, "documents")
+    val merges = TextAnalysis.bpeMerges(docs, "text", rounds = 6)
+      .orderBy("round").collect().map(_.getString(1)).toSeq
+    TextAnalysis.bpeVocab(docs, "text", merges)
+      .orderBy(col("n").desc, col("unit")).limit(20)
   }
 
   q("q_repeated_spans",

@@ -240,6 +240,38 @@ object TextAnalysis {
     merges.toSeq.toDF("round", "pair", "n")
   }
 
+  /** Apply a learned merge list (from [[bpeMerges]], in order) and return
+    * the resulting subword vocabulary with corpus-weighted frequencies —
+    * the ENCODE half of the tokenizer: train once, apply everywhere.
+    * Same vocabulary-sized work shape as training; the merge list is a
+    * plan-time literal sequence (folds compose as narrow projections,
+    * checkpointed per merge like the training loop).
+    */
+  def bpeVocab(docs: DataFrame, textCol: String,
+               merges: Seq[String]): DataFrame = {
+    val words = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .filter(length(col("w")) >= 2)
+    var units = words.select(col("freq"),
+        transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))).as("u"))
+      .localCheckpoint()
+    merges.foreach { pair =>
+      val parts = pair.split(" ", 2)
+      val (a, b) = (parts(0), parts(1))
+      units = units.select(col("freq"),
+          aggregate(col("u"), array().cast("array<string>"), (acc, x) =>
+            when(size(acc) > 0 &&
+                element_at(acc, -1) === lit(a) && x === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(concat(element_at(acc, -1), x))))
+              .otherwise(concat(acc, array(x)))).as("u"))
+        .localCheckpoint()
+    }
+    units.select(col("freq"), explode(col("u")).as("unit"))
+      .groupBy("unit").agg(sum("freq").as("n"))
+  }
+
   def tfidfTopK(docs: DataFrame, k: Int = 3, textCol: String = "text",
                 idCol: String = "doc_id"): DataFrame = {
     val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
