@@ -3105,6 +3105,28 @@ object Queries {
     Dedup.clusterPairs(pairs).orderBy("doc_id")
   }
 
+  q("dedup_survivor_weights",
+    // dedup with multiplicity preserved: each cluster keeper carries its
+    // family size as a weight — the "keep one copy, reweight the loss"
+    // form of dedup a training pipeline uses instead of discarding
+    // duplicate mass entirely
+    s"""WITH RECURSIVE ${minhashPairsCtes(bands = 3, rows = 3)},
+       |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION ALL SELECT b_id, a_id FROM pairs),
+       |reach AS (SELECT src AS doc_id, src AS r FROM edges
+       |  UNION SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc_id),
+       |cl AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id)
+       |SELECT cluster_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS weight
+       |FROM cl GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY 1"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val pairs = Dedup.minhashLsh(tbl(s, dir, "documents"), "text", "doc_id")
+    Dedup.clusterPairs(pairs)
+      .groupBy("cluster_id").agg(count(lit(1)).as("weight"))
+      .filter(col("weight") > 1)
+      .select(col("cluster_id").as("doc_id"), col("weight"))
+      .orderBy("doc_id")
+  }
+
   q("dedup_survivors",
     // the dedup MATERIALIZATION: everything dedup_cluster diagnoses,
     // then actually dropped — survivors (cluster keepers + untouched

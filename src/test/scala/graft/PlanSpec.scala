@@ -245,6 +245,13 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("n_s"), plan.take(2000))
   }
 
+  test("weighted sample is a narrow top-k, not a global sort") {
+    val plan = planOf("q_sample_weighted")
+    // per-partition top-k + k-row merge: every row read once, k rows move
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+    assert(!plan.contains("Exchange rangepartitioning"), plan.take(1500))
+  }
+
   test("quality FK check is a broadcast anti join") {
     val plan = planOf("q_quality_checks")
     assert(plan.contains("LeftAnti"), plan.take(1500))
