@@ -42,6 +42,17 @@ object Queries {
     * which should measure the STREAM's steady state, not re-pay the batch
     * write that fabricates its input.
     */
+  /** Run `body` with spark.sql.shuffle.partitions pinned to `n`,
+    * restoring the prior value afterwards — stateful streaming creates
+    * one state store per shuffle partition, so the stream queries pin a
+    * small count around start() (see each call site).
+    */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prior = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prior)
+  }
+
   private val landingCache = new scala.collection.concurrent.TrieMap[String, String]()
   private def cachedLanding(key: String)(build: String => Unit): String =
     landingCache.getOrElseUpdate(key, {
@@ -1527,6 +1538,9 @@ object Queries {
       |SELECT (SELECT COUNT(*) FROM e) AS n_edges,
       |  (SELECT COUNT(*) FROM tri) AS n_triangles"""
       .stripMargin.replace("\n", " ")) { (s, dir) =>
+    // the oracle has no hot-key cap, which is sound here because
+    // l_partkey < 300 bounds every supplier at 300 distinct parts —
+    // far under coOccurrenceEdges' 10k default (see its scaladoc)
     val edges = Graph.coOccurrenceEdges(
         tbl(s, dir, "lineitem").filter(col("l_partkey") < 300),
         "l_partkey", "l_suppkey")
@@ -2816,14 +2830,12 @@ object Queries {
       .select(col("user_id"), col("event_id"), micros.as("ts_micros"))
       .as[graft.streaming.Streams.SessEvent]
     val qname = "graft_stream_sessionize"
-    val priorPartitions = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
+    withShufflePartitions(s, 4) {
       val query = graft.streaming.Streams.sessionWindows(evs)
         .writeStream.format("memory").queryName(qname)
         .outputMode("append").start()
       try query.processAllAvailable() finally query.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", priorPartitions)
+    }
     // session timezone is UTC, so LTZ micros render the same wall clock
     // as the oracle's naive timestamps once cast to NTZ
     s.table(qname)
@@ -2877,9 +2889,7 @@ object Queries {
       .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
         toTs.as("r_ts"))
     val qname = "graft_stream_interval_join"
-    val priorPartitions = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
+    withShufflePartitions(s, 4) {
       val query = graft.streaming.Streams
         .intervalJoin(views, clicks, "user_id", "c_user_id", "1 HOUR")
         .select(col("user_id"), col("view_id"), col("click_id"),
@@ -2888,7 +2898,7 @@ object Queries {
         .writeStream.format("memory").queryName(qname)
         .outputMode("append").start()
       try query.processAllAvailable() finally query.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", priorPartitions)
+    }
     s.table(qname).orderBy("user_id", "view_id", "click_id")
   }
 
@@ -2953,10 +2963,7 @@ object Queries {
         .option("checkpointLocation", ckpt).outputMode("append").start()
       try query.processAllAvailable() finally query.stop()
     }
-    val priorPartitions = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try run()
-    finally s.conf.set("spark.sql.shuffle.partitions", priorPartitions)
+    withShufflePartitions(s, 4) { run() }
     s.read.parquet(outP).filter(col("user_id") < 30)
       .select(col("user_id"), col("view_id"), col("click_id"),
         col("view_ts").cast(TimestampNTZType).as("view_ts"),
@@ -2978,13 +2985,11 @@ object Queries {
     val qname = "graft_stream_tokens"
     // stateful streaming creates one state store per shuffle partition;
     // 4 covers this cardinality and cuts per-batch store overhead 8x
-    val priorPartitions = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
+    withShufflePartitions(s, 4) {
       val query = counts.writeStream.format("memory").queryName(qname)
         .outputMode("complete").start()
       try query.processAllAvailable() finally query.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", priorPartitions)
+    }
     s.table(qname).orderBy("tok")
   }
 
@@ -3014,15 +3019,13 @@ object Queries {
       .select(col("user_id"), col("event_type"), micros.as("ts_micros"))
       .as[graft.streaming.Streams.FunnelEvent]
     val qname = "graft_stream_funnel"
-    val priorPartitions = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
+    withShufflePartitions(s, 4) {
       val query = graft.streaming.Streams
         .funnelSteps(evs, Seq("view", "click", "purchase"))
         .writeStream.format("memory").queryName(qname)
         .outputMode("append").start()
       try query.processAllAvailable() finally query.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", priorPartitions)
+    }
     s.table(qname).orderBy("user_id")
   }
 
@@ -3044,13 +3047,11 @@ object Queries {
       src.select(explode(TextAnalysis.tokens(col("text"))).as("tok")), "tok")
     val qname = "graft_stream_cms"
     // ≤1024 grid cells: 4 state stores are plenty (see stream_token_counts)
-    val priorPartitions = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
+    withShufflePartitions(s, 4) {
       val query = cells.writeStream.format("memory").queryName(qname)
         .outputMode("complete").start()
       try query.processAllAvailable() finally query.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", priorPartitions)
+    }
     s.table(qname).orderBy("r", "bucket")
   }
 
@@ -3068,19 +3069,20 @@ object Queries {
     }
     // +1 day: Spark clamps the watermark at epoch 0, so an event AT the
     // epoch (doc_id 0) would be classified late and silently dropped;
-    // the ts span (≤ n docs in seconds) stays far inside the 1 h horizon
+    // mod 1800 bounds the ts SPAN at 30 min — half the 1 h horizon at
+    // ANY corpus size, so no replayed copy can ever be late even if the
+    // files split across micro-batches
     val src = s.readStream.schema(docs.schema).parquet(landing)
-      .withColumn("ts", timestamp_micros((col("doc_id") + 86400L) * 1000000L))
+      .withColumn("ts",
+        timestamp_micros((lit(86400L) + col("doc_id") % 1800L) * 1000000L))
     val qname = "graft_stream_dedup"
     // digest-keyed dedup state: 4 stores cover it (see stream_token_counts)
-    val priorPartitions = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
+    withShufflePartitions(s, 4) {
       val query = graft.streaming.Streams.dedupStream(src, "text", "ts")
         .writeStream.format("memory").queryName(qname)
         .outputMode("append").start()
       try query.processAllAvailable() finally query.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", priorPartitions)
+    }
     s.table(qname).select(md5(col("text")).as("digest")).orderBy("digest")
   }
 
@@ -3235,14 +3237,12 @@ object Queries {
     val qname = "graft_stream_hourly"
     // stateful streaming creates one state store per shuffle partition;
     // 4 is plenty for this key cardinality and cuts per-batch overhead
-    val priorPartitions = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
+    withShufflePartitions(s, 4) {
       val query = graft.streaming.Streams.windowedCounts(normalized)
         .writeStream.format("memory").queryName(qname)
         .outputMode("complete").start()
       try query.processAllAvailable() finally query.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", priorPartitions)
+    }
     // watermarks forced LTZ event time; session TZ is UTC, so casting back
     // to NTZ restores the exact wall-clock values the batch oracle emits
     s.table(qname)
@@ -4052,6 +4052,11 @@ object Queries {
   /** Shared oracle CTE chain for the BPE queries: vocabulary, char-level
     * unit lists, then per-round (argmax pair b_k, split merge m_k, greedy
     * fold apply w_k) — DuckDB's list_reduce mirrors Spark's aggregate().
+    * m_k joins in as LEFT JOIN ON TRUE: if a round finds no pair (corpus
+    * exhausted before `rounds` merges) m_k is empty, and a cross join
+    * would silently EMPTY every later w_k while Spark keeps the units —
+    * with the left join the fold's NULL comparisons are falsy, so an
+    * exhausted round is the identity on both engines.
     */
   private def bpeCtes(rounds: Int): String = {
     def round(k: Int) =
@@ -4063,7 +4068,7 @@ object Queries {
          |w$k AS (SELECT freq, list_reduce(list_transform(u, s -> [s]),
          |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.a AND x[1] = m.b
          |      THEN acc[1:-2] || [acc[-1] || x[1]] ELSE acc || x END) AS u
-         |  FROM w${k - 1}, m$k m)""".stripMargin
+         |  FROM w${k - 1} LEFT JOIN m$k m ON TRUE)""".stripMargin
     s"""words AS (SELECT w, COUNT(*) AS freq FROM
        |    (SELECT unnest($toksSql) AS w FROM documents) GROUP BY w),
        |w0 AS (SELECT freq, list_transform(range(1, length(w) + 1),
@@ -4093,10 +4098,7 @@ object Queries {
        |  (SELECT freq, unnest(u) AS unit FROM w6)
        |GROUP BY unit ORDER BY n DESC, unit LIMIT 20"""
       .stripMargin.replace("\n", " ")) { (s, dir) =>
-    val docs = tbl(s, dir, "documents")
-    val merges = TextAnalysis.bpeMerges(docs, "text", rounds = 6)
-      .orderBy("round").collect().map(_.getString(1)).toSeq
-    TextAnalysis.bpeVocab(docs, "text", merges)
+    TextAnalysis.bpeVocab(tbl(s, dir, "documents"), "text", rounds = 6)
       .orderBy(col("n").desc, col("unit")).limit(20)
   }
 

@@ -96,6 +96,12 @@ object Graph {
     * key is bounded at C(cap, 2) pairs. The count filter reuses the same
     * hash partitioning on `s` as the self-join, so the defense costs one
     * map-side-combined aggregate, not an extra full shuffle of pairs.
+    *
+    * The default cap CHANGES results for inputs with hotter keys — pass
+    * `hotKeyCap = Int.MaxValue` for exact semantics on any input, and
+    * when an exact oracle checks a call site, make the input's per-key
+    * bound explicit there (see q_graph_triangles: `l_partkey < 300`
+    * bounds every supplier at 300 parts, far under the cap).
     */
   def coOccurrenceEdges(df: DataFrame, vertexCol: String, keyCol: String,
                         hotKeyCap: Int = 10000): DataFrame = {

@@ -181,34 +181,43 @@ object TextAnalysis {
     * magnitude smaller than the corpus — so the tf←df equi-join broadcasts
     * the df side. Ties rank by token for run-to-run determinism.
     */
-  /** Iterative BPE merge training (Sennrich-style, word-level): learn
-    * `rounds` merges over the corpus vocabulary. Each round is one
-    * distributed pass over the VOCABULARY (words × current units), never
-    * the corpus: pair frequencies aggregate adjacent unit pairs weighted
-    * by word frequency, the argmax pair (count desc, pair asc — fully
-    * deterministic) becomes the round's merge, and a greedy left-to-right
-    * fold applies it to every word's unit list. Only the single winning
-    * (pair, count) row reaches the driver per round — the same "tiny
-    * codebook, huge corpus" shape as the IVF k-means trainer. At 100 TB
-    * the corpus collapses to its vocabulary in the first aggregation
-    * (orders of magnitude smaller) and every round after that is
-    * vocabulary-sized work.
-    *
-    * Returns the merge table (round, pair, n) — `pair` is the two merged
-    * units separated by one space (units are whitespace-tokenized, so
-    * they can never contain one).
+  /** Corpus vocabulary as (freq, unit-list) rows: the shared substrate
+    * of BPE training and encoding. Single-char words can never pair or
+    * merge, and dropping them also guards the length-0 edge
+    * (`sequence(1,0)` counts DOWN in Spark).
     */
-  def bpeMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
-    val spark = docs.sparkSession
-    val words = docs.select(explode(tokens(col(textCol))).as("w"))
+  private def charUnits(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
-      // single-char words can never pair or merge; dropping them also
-      // guards the length-0 edge (sequence(1,0) counts DOWN in Spark)
       .filter(length(col("w")) >= 2)
-    var units = words.select(col("freq"),
+      .select(col("freq"),
         transform(sequence(lit(1), length(col("w"))),
           i => col("w").substr(i, lit(1))).as("u"))
       .localCheckpoint() // per-round lineage truncation (iterative rule)
+
+  /** Greedy non-overlapping left fold: merge (a,b) wherever the PREVIOUS
+    * emitted unit is a and the next incoming unit is b — one definition
+    * shared by training and encoding (the DuckDB oracle's list_reduce
+    * mirrors exactly this fold).
+    */
+  private def applyMerge(units: DataFrame, a: String, b: String): DataFrame =
+    units.select(col("freq"),
+        aggregate(col("u"), array().cast("array<string>"), (acc, x) =>
+          when(size(acc) > 0 &&
+              element_at(acc, -1) === lit(a) && x === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1),
+              array(concat(element_at(acc, -1), x))))
+            .otherwise(concat(acc, array(x)))).as("u"))
+      .localCheckpoint()
+
+  /** The BPE training loop: per round, the argmax adjacent pair (count
+    * desc, pair asc — fully deterministic) is collected (ONE row) and
+    * greedily applied. Returns the merges AND the final unit table so
+    * train-then-encode is a single pass.
+    */
+  private def bpeLoop(docs: DataFrame, textCol: String, rounds: Int)
+      : (Seq[(Int, String, Long)], DataFrame) = {
+    var units = charUnits(docs, textCol)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     for (r <- 1 to rounds) {
       val best = units
@@ -223,54 +232,52 @@ object TextAnalysis {
         val pair = best(0).getString(0)
         merges += ((r, pair, best(0).getLong(1)))
         val parts = pair.split(" ", 2)
-        val (a, b) = (parts(0), parts(1))
-        // greedy non-overlapping left fold: merge (a,b) wherever the
-        // PREVIOUS emitted unit is a and the next incoming unit is b
-        units = units.select(col("freq"),
-            aggregate(col("u"), array().cast("array<string>"), (acc, x) =>
-              when(size(acc) > 0 &&
-                  element_at(acc, -1) === lit(a) && x === lit(b),
-                concat(slice(acc, lit(1), size(acc) - 1),
-                  array(concat(element_at(acc, -1), x))))
-                .otherwise(concat(acc, array(x)))).as("u"))
-          .localCheckpoint()
+        units = applyMerge(units, parts(0), parts(1))
       }
     }
-    import spark.implicits._
-    merges.toSeq.toDF("round", "pair", "n")
+    (merges.toSeq, units)
   }
 
-  /** Apply a learned merge list (from [[bpeMerges]], in order) and return
-    * the resulting subword vocabulary with corpus-weighted frequencies —
-    * the ENCODE half of the tokenizer: train once, apply everywhere.
-    * Same vocabulary-sized work shape as training; the merge list is a
-    * plan-time literal sequence (folds compose as narrow projections,
-    * checkpointed per merge like the training loop).
+  /** Iterative BPE merge training (Sennrich-style, word-level): learn
+    * `rounds` merges over the corpus vocabulary. Each round is one
+    * distributed pass over the VOCABULARY (words × current units), never
+    * the corpus: pair frequencies aggregate adjacent unit pairs weighted
+    * by word frequency. Only the single winning (pair, count) row reaches
+    * the driver per round — the same "tiny codebook, huge corpus" shape
+    * as the IVF k-means trainer. At 100 TB the corpus collapses to its
+    * vocabulary in the first aggregation (orders of magnitude smaller)
+    * and every round after that is vocabulary-sized work.
+    *
+    * Returns the merge table (round, pair, n) — `pair` is the two merged
+    * units separated by one space (units are whitespace-tokenized, so
+    * they can never contain one).
+    */
+  def bpeMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bpeLoop(docs, textCol, rounds)._1.toDF("round", "pair", "n")
+  }
+
+  /** Train `rounds` merges and emit the resulting subword vocabulary with
+    * corpus-weighted frequencies in ONE pass (the trained unit table is
+    * reused, not re-derived) — the train-then-encode composition.
+    */
+  def bpeVocab(docs: DataFrame, textCol: String, rounds: Int): DataFrame =
+    unitFrequencies(bpeLoop(docs, textCol, rounds)._2)
+
+  /** Apply an ALREADY-LEARNED merge list (from [[bpeMerges]], in order) —
+    * the encode half on its own: train once, apply everywhere.
     */
   def bpeVocab(docs: DataFrame, textCol: String,
-               merges: Seq[String]): DataFrame = {
-    val words = docs.select(explode(tokens(col(textCol))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("freq"))
-      .filter(length(col("w")) >= 2)
-    var units = words.select(col("freq"),
-        transform(sequence(lit(1), length(col("w"))),
-          i => col("w").substr(i, lit(1))).as("u"))
-      .localCheckpoint()
-    merges.foreach { pair =>
+               merges: Seq[String]): DataFrame =
+    unitFrequencies(merges.foldLeft(charUnits(docs, textCol)) { (units, pair) =>
       val parts = pair.split(" ", 2)
-      val (a, b) = (parts(0), parts(1))
-      units = units.select(col("freq"),
-          aggregate(col("u"), array().cast("array<string>"), (acc, x) =>
-            when(size(acc) > 0 &&
-                element_at(acc, -1) === lit(a) && x === lit(b),
-              concat(slice(acc, lit(1), size(acc) - 1),
-                array(concat(element_at(acc, -1), x))))
-              .otherwise(concat(acc, array(x)))).as("u"))
-        .localCheckpoint()
-    }
+      applyMerge(units, parts(0), parts(1))
+    })
+
+  private def unitFrequencies(units: DataFrame): DataFrame =
     units.select(col("freq"), explode(col("u")).as("unit"))
       .groupBy("unit").agg(sum("freq").as("n"))
-  }
 
   def tfidfTopK(docs: DataFrame, k: Int = 3, textCol: String = "text",
                 idCol: String = "doc_id"): DataFrame = {

@@ -191,9 +191,11 @@ final case class AsOfJoinExec(
   * side is exchanged or sorted — the plan a dimension-history lookup
   * against a huge fact table wants at 100 TB (same rationale as Spark's
   * own BroadcastHashJoin, with as-of instead of equality semantics).
-  * Chosen via `asofMerge(..., broadcastRight = true)`; the caller
-  * asserts the right side fits in executor memory, exactly like
-  * `broadcast(df)` on a regular join.
+  * Chosen via `asofMerge(..., broadcastRight = Some(true))`, or
+  * auto-selected under the broadcast threshold when the caller passes
+  * None; the caller asserts the right side fits in executor memory,
+  * exactly like `broadcast(df)` on a regular join (`Some(false)` pins
+  * the distributed exec).
   */
 final case class BroadcastAsOfJoinExec(
     left: SparkPlan, right: SparkPlan,

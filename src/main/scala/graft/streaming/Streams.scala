@@ -98,9 +98,12 @@ object Streams {
         // dst is now guaranteed absent, so this rename is a move-to-name,
         // never Hadoop's move-INTO-existing-directory
         if (!fs.rename(tmp, dst)) {
-          if (fs.exists(prev)) fs.rename(prev, dst) // restore the parked copy
+          val restored = fs.exists(prev) && fs.rename(prev, dst)
           throw new java.io.IOException(
-            s"cdcApply batch $batchId: could not move $tmp to $dst; snapshot restored")
+            s"cdcApply batch $batchId: could not move $tmp to $dst; " +
+              (if (restored) "prior snapshot restored"
+               else s"prior snapshot parked at $prev — restore it manually " +
+                 "or let the next batch's startup recovery move it back"))
         }
         if (fs.exists(dst)) fs.delete(prev, true)
         ()

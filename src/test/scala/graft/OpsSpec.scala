@@ -241,6 +241,14 @@ class OpsSpec extends AnyFunSuite {
     // round 1: (a,a) counted at both positions (overlap counts 2x2=4);
     // after the greedy apply each word is [aa, a] -> round 2 merges (aa,a)
     assert(m2 == Seq((1, "a a", 4L), (2, "aa a", 2L)))
+    // exhaustion: a corpus that runs out of pairs before `rounds` stops
+    // merging (no phantom rounds) and still encodes the intact units
+    val ab = Seq.fill(3)("ab").toDF("text")
+    val m3 = TextAnalysis.bpeMerges(ab, "text", rounds = 5).collect()
+    assert(m3.map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((1, "a b")))
+    val vocab = TextAnalysis.bpeVocab(ab, "text", rounds = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(vocab == Seq(("ab", 3L)))
   }
 
   test("langid detects scripts and diacritics") {
