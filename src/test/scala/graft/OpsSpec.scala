@@ -251,6 +251,52 @@ class OpsSpec extends AnyFunSuite {
     assert(vocab == Seq(("ab", 3L)))
   }
 
+  test("bpe merges match an in-memory reference on random corpora") {
+    // end-to-end equivalence of the distributed trainer against a plain
+    // Scala reference: same argmax tie-break (count desc, "a b" string
+    // asc) and the same greedy non-overlapping left fold
+    def applyGreedy(u: Seq[String], a: String, b: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      for (x <- u) {
+        if (out.nonEmpty && out.last == a && x == b)
+          out(out.length - 1) = a + b
+        else out += x
+      }
+      out.toSeq
+    }
+    def refBpe(words: Seq[String], rounds: Int): Seq[(Int, String, Long)] = {
+      var units: Seq[(Seq[String], Long)] = words.groupBy(identity).toSeq
+        .collect { case (w, ws) if w.length >= 2 =>
+          w.map(_.toString) -> ws.size.toLong }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+      for (r <- 1 to rounds) {
+        val counts = scala.collection.mutable.Map.empty[String, Long]
+          .withDefaultValue(0L)
+        units.foreach { case (u, f) =>
+          u.iterator.sliding(2).withPartial(false).foreach { p =>
+            counts(s"${p.head} ${p.last}") += f
+          }
+        }
+        if (counts.nonEmpty) {
+          val (pair, n) = counts.toSeq.minBy { case (p, c) => (-c, p) }
+          out += ((r, pair, n))
+          val Array(a, b) = pair.split(" ", 2)
+          units = units.map { case (u, f) => applyGreedy(u, a, b) -> f }
+        }
+      }
+      out.toSeq
+    }
+    val rnd = new scala.util.Random(20260813)
+    for (trial <- 1 to 3) {
+      val words = Seq.fill(30)(
+        (1 to (2 + rnd.nextInt(5))).map(_ => "abc"(rnd.nextInt(3))).mkString)
+      val got = TextAnalysis.bpeMerges(words.toDF("text"), "text", rounds = 4)
+        .orderBy("round").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+      assert(got == refBpe(words, 4), s"trial $trial words=$words")
+    }
+  }
+
   test("langid detects scripts and diacritics") {
     val got = Seq("hello world", "你好世界", "straße kaufen", "mañana señor")
       .toDF("text").select(TextAnalysis.langId($"text")).collect().map(_.getString(0))
