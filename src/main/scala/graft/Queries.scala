@@ -2558,6 +2558,25 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  q("q_split_train_val",
+    // deterministic disjoint train/val/test assignment: exhaustive,
+    // non-overlapping, stable across runs/partitionings/engines — the
+    // property random splits lack and leakage audits require
+    s"""WITH s AS (SELECT doc_id, lang,
+       |  CASE WHEN ${md5Hash60Sql("doc_id")} % 100 < 80 THEN 'train'
+       |       WHEN ${md5Hash60Sql("doc_id")} % 100 < 90 THEN 'val'
+       |       ELSE 'test' END AS split FROM documents)
+       |SELECT split, lang, COUNT(*) AS n,
+       |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+       |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    Pipeline.splitAssign(tbl(s, dir, "documents"), "doc_id",
+        cuts = Seq(80, 90), labels = Seq("train", "val", "test"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"),
+        max("doc_id").as("max_id"))
+      .orderBy("split", "lang")
+  }
+
   q("q_sample_stratified",
     s"""SELECT lang, rn, doc_id FROM (
        |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang

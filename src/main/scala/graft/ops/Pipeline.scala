@@ -45,6 +45,27 @@ object Pipeline {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") <= nPerStratum)
   }
 
+  /** Deterministic disjoint split assignment (train/val/test): each row
+    * gets exactly one split label from its id's hash bucket, so the
+    * splits are exhaustive, non-overlapping, reproducible on any engine,
+    * and stable under re-partitioning/re-runs — the property random
+    * splits lack and leakage audits require. `cuts` are cumulative
+    * percentages (e.g. Seq(80, 90) → 80/10/10). A pure narrow
+    * projection: no shuffle, scales with input splits.
+    */
+  def splitAssign(df: DataFrame, idCol: String, cuts: Seq[Int],
+                  labels: Seq[String]): DataFrame = {
+    require(labels.size == cuts.size + 1, "need one more label than cuts")
+    require(cuts == cuts.sorted && cuts.forall(c => c > 0 && c < 100),
+      "cuts must be ascending percentages in (0, 100)")
+    val bucket = pmod(md5Hash60(col(idCol)), lit(100))
+    val split = cuts.zip(labels).reverse
+      .foldLeft(lit(labels.last)) { case (acc, (cut, label)) =>
+        when(bucket < cut, label).otherwise(acc)
+      }
+    df.withColumn("split", split)
+  }
+
   /** Weighted sample without replacement (Efraimidis-Spirakis A-ES): k
     * rows with inclusion probability proportional to `weightCol`, via the
     * exponential-arrival equivalence — priority -ln(u)/w ~ Exp(w), and

@@ -23,6 +23,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(a.size > 20 && a.size < 80) // ~25% of 200
   }
 
+  test("splitAssign is exhaustive, disjoint, stable, and near the cuts") {
+    val split = Pipeline.splitAssign(docs, "doc_id",
+      cuts = Seq(80, 90), labels = Seq("train", "val", "test"))
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 200)          // exhaustive: every row labeled
+    assert(counts.keySet.subsetOf(Set("train", "val", "test")))
+    assert(counts("train") > counts("val"))   // proportions follow the cuts
+    // stable: the same ids land in the same split under any partitioning
+    val a = split.select("doc_id", "split").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = Pipeline.splitAssign(docs.repartition(7), "doc_id",
+        cuts = Seq(80, 90), labels = Seq("train", "val", "test"))
+      .select("doc_id", "split").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      Pipeline.splitAssign(docs, "doc_id", Seq(90, 80), Seq("a", "b", "c"))
+    }
+  }
+
   test("weightedSample is partitioning-invariant and weight-biased") {
     val rows = (0L until 400L).map(i => (i, if (i < 20) 10000.0 else 1.0))
       .toDF("id", "w")
