@@ -4121,6 +4121,29 @@ object Queries {
       .orderBy(col("n").desc, col("unit")).limit(20)
   }
 
+  q("text_lm_score",
+    // corpus-trained bigram LM scoring (CCNet-style statistical filter):
+    // mean transition probability per doc, log-free for cross-engine bit
+    // exactness — each p is one exact-int IEEE division, summed in
+    // DOCUMENT order (list ORDER BY pos ≡ Spark sort_array fold)
+    s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
+       |pr AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+       |    i -> {'pos': i, 'bg': w[i] || ' ' || w[i+1], 'prev': w[i]})) AS s FROM t),
+       |p2 AS (SELECT doc_id, s.pos AS pos, s.bg AS bg, s.prev AS prev FROM pr),
+       |uni AS (SELECT tok AS prev, COUNT(*) AS cw FROM
+       |  (SELECT unnest(w) AS tok FROM t) GROUP BY 1),
+       |bi AS (SELECT bg, COUNT(*) AS cb FROM p2 GROUP BY bg),
+       |j AS (SELECT doc_id, pos, CAST(cb AS DOUBLE) / cw AS p
+       |  FROM p2 JOIN bi USING (bg) JOIN uni USING (prev)),
+       |a AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_bigrams,
+       |    list(p ORDER BY pos) AS ps FROM j GROUP BY doc_id)
+       |SELECT doc_id, n_bigrams,
+       |  floor(list_reduce(ps, (acc, x) -> acc + x) / n_bigrams * 1e6 + 0.5) / 1e6
+       |    AS lm_score
+       |FROM a ORDER BY doc_id""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    TextAnalysis.bigramLmScore(tbl(s, dir, "documents")).orderBy("doc_id")
+  }
+
   q("q_repeated_spans",
     // exact-substring dedup signal (Lee et al. style, token-window
     // approximation): 8-token spans occurring in >1 document, rolled up

@@ -279,6 +279,47 @@ object TextAnalysis {
     units.select(col("freq"), explode(col("u")).as("unit"))
       .groupBy("unit").agg(sum("freq").as("n"))
 
+  /** Corpus-trained bigram LM quality score (the CCNet-style statistical
+    * filter): train bigram/unigram counts on the corpus itself, then
+    * score each document by its mean transition probability
+    * mean_i P(w_i | w_{i-1}) with P = c(bigram)/c(prev-unigram). Scores
+    * near the corpus norm mark fluent text; outliers mark gibberish —
+    * the shape of perplexity filtering without `log` (libm `log` is not
+    * bit-specified across engines; the mean of exact-integer-ratio
+    * divisions is, when summed in document order).
+    *
+    * Determinism: every p_i is one IEEE division of exact ints, and the
+    * per-doc sum folds over the doc's OWN bigrams in position order
+    * (sort_array + aggregate), never a partition-order float sum.
+    * Scale shape: both count tables are vocabulary-sized → broadcast
+    * joins against the narrow (doc, pos, bigram) stream; per-doc state
+    * is bounded by document length. One shuffle, on doc_id.
+    */
+  def bigramLmScore(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val w = tokens(col(textCol))
+    val pairRows = docs.select(col(idCol).as("doc_id"),
+      posexplode(zip_with(
+        slice(w, lit(1), size(w) - 1),
+        slice(w, lit(2), size(w) - 1),
+        (a, b) => concat(a, lit(" "), b))).as(Seq("pos", "bg")))
+    val uni = docs.select(explode(tokens(col(textCol))).as("prev"))
+      .groupBy("prev").agg(count(lit(1)).as("cw"))
+    val bi = pairRows.groupBy("bg").agg(count(lit(1)).as("cb"))
+    pairRows
+      .withColumn("prev", substring_index(col("bg"), " ", 1))
+      .join(broadcast(bi), "bg")
+      .join(broadcast(uni), "prev")
+      .select(col("doc_id"), col("pos"),
+        (col("cb").cast("double") / col("cw")).as("p"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("p")))).as("ps"))
+      .select(col("doc_id"),
+        size(col("ps")).as("n_bigrams"),
+        (floor(aggregate(col("ps"), lit(0.0), (acc, x) => acc + x.getField("p"))
+          / size(col("ps")) * 1e6 + 0.5) / 1e6).as("lm_score"))
+  }
+
   def tfidfTopK(docs: DataFrame, k: Int = 3, textCol: String = "text",
                 idCol: String = "doc_id"): DataFrame = {
     val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
