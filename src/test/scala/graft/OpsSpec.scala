@@ -222,6 +222,16 @@ class OpsSpec extends AnyFunSuite {
     assert(fp(0) == fp(1) && fp(0) != fp(2))
   }
 
+  test("bigram LM score matches hand-computed transition means") {
+    // corpus: uni a=3 b=3 x=1 y=1; bi "a b"=3, "b a"=1, "x y"=1
+    val corpus = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLmScore(corpus).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    // doc1: (3/3 + 1/3 + 3/3)/3 = 7/9 -> 0.777778; doc2, doc3: 1.0
+    assert(got == Seq((1L, 3, 0.777778), (2L, 1, 1.0), (3L, 1, 1.0)))
+  }
+
   test("bpe merges reproduce the textbook example, ties lexicographic") {
     // Sennrich et al.'s worked example: low x5, lower x2, newest x6,
     // widest x3. Round 1 ties (e,s)=9 with (s,t)=9 -> lexicographic;
