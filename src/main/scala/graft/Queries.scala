@@ -1540,10 +1540,11 @@ object Queries {
       .stripMargin.replace("\n", " ")) { (s, dir) =>
     // the oracle has no hot-key cap, which is sound here because
     // l_partkey < 300 bounds every supplier at 300 distinct parts —
-    // far under coOccurrenceEdges' 10k default (see its scaladoc)
+    // far under the explicit 10k cap (the skew defense stays opt-in;
+    // coOccurrenceEdges defaults to exact)
     val edges = Graph.coOccurrenceEdges(
         tbl(s, dir, "lineitem").filter(col("l_partkey") < 300),
-        "l_partkey", "l_suppkey")
+        "l_partkey", "l_suppkey", hotKeyCap = 10000)
       .localCheckpoint() // three consumers (two join sides + the count)
     Graph.triangles(edges).agg(count(lit(1)).as("n_triangles"))
       .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
@@ -2015,6 +2016,80 @@ object Queries {
     val centroids = emb.filter(col("vec_id") < 8).orderBy("vec_id")
       .select("embedding").collect().map(_.getSeq[Float](0).toArray).toSeq
     Similarity.ivfCentroidKnn(emb, emb.filter(col("vec_id") < 10), k = 5, centroids)
+      .orderBy("q_id", "n_id")
+  }
+
+  /** DuckDB replay of `Similarity.kmeansCodebook` + cell-restricted
+    * search: each Lloyd iteration is one assignment CTE (the cosine
+    * argmax every knn oracle already replays bit-for-bit) plus one
+    * fixed-point mean CTE (exact integer arithmetic — order-independent
+    * sums, one truncating division on offset-nonnegative values, one
+    * EXACT float re-entry since |mean| < 2^20 fits a float mantissa).
+    * Centroids flow through the chain as CTE rows, not literals, so the
+    * oracle trains the same codebook the Spark side trains.
+    */
+  private def kmeansKnnOracleSql(k: Int, iters: Int, dim: Int,
+                                 topK: Int, nQueries: Int): String = {
+    val r = s"range(1, ${dim + 1})"
+    def dotE(a: String, b: String) = s"list_sum(list_transform($r, i -> $a * $b))"
+    val header = Seq(
+      s"""e AS (SELECT vec_id, embedding,
+         |  sqrt(${dotE("CAST(embedding[i] AS DOUBLE)", "CAST(embedding[i] AS DOUBLE)")}) AS nrm
+         |  FROM embeddings)""",
+      // fixed-point coords, pre-offset by 2^20 so every sum is nonnegative
+      s"""sv AS (SELECT vec_id, list_transform(embedding,
+         |  x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) + 1048576) AS s
+         |  FROM embeddings)""",
+      s"""c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $k))""")
+    def assign(aName: String, cName: String) =
+      s"""$aName AS (SELECT vec_id, cell FROM (
+         |  SELECT e.vec_id, c.cid AS cell, row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${dotE("CAST(e.embedding[i] AS DOUBLE)", "c.cv[i]")} /
+         |      (e.nrm * sqrt(${dotE("c.cv[i]", "c.cv[i]")})) DESC, c.cid) AS rn
+         |  FROM e CROSS JOIN $cName c) WHERE rn = 1)"""
+    def update(mName: String, aName: String, prevC: String, cName: String) = Seq(
+      s"""$mName AS (SELECT a.cell AS cid, t.i,
+         |  (SUM(sv.s[t.i]) // COUNT(*)) - 1048576 AS cm
+         |  FROM $aName a JOIN sv USING (vec_id) CROSS JOIN $r AS t(i)
+         |  GROUP BY a.cell, t.i)""",
+      // float re-entry is exact (|cm| < 2^20); empty cells keep the old row
+      s"""$cName AS (SELECT p.cid, CASE WHEN m.cv IS NULL THEN p.cv ELSE m.cv END AS cv
+         |  FROM $prevC p LEFT JOIN (SELECT cid, list_transform(
+         |    list(CAST(CAST(cm AS DOUBLE) / 1048576.0 AS FLOAT) ORDER BY i),
+         |    x -> CAST(x AS DOUBLE)) AS cv FROM $mName GROUP BY cid) m USING (cid))""")
+    val rounds = (0 until iters).flatMap { it =>
+      assign(s"a$it", s"c$it") +: update(s"m${it + 1}", s"a$it", s"c$it", s"c${it + 1}")
+    }
+    val tail = Seq(
+      assign("cellt", s"c$iters"),
+      s"""q AS (SELECT e.vec_id AS q_id, e.embedding AS q_vec, e.nrm AS q_norm, cellt.cell
+         |  FROM e JOIN cellt USING (vec_id) WHERE vec_id < $nQueries)""",
+      s"""cc AS (SELECT e.vec_id AS n_id, e.embedding AS n_vec, e.nrm AS n_norm, cellt.cell
+         |  FROM e JOIN cellt USING (vec_id))""",
+      s"""s2 AS (SELECT q_id, n_id,
+         |  round(${dotE("CAST(q_vec[i] AS DOUBLE)", "CAST(n_vec[i] AS DOUBLE)")} /
+         |    (q_norm * n_norm), 6) AS cos
+         |  FROM q JOIN cc USING (cell) WHERE q_id != n_id)""",
+      s"""r2 AS (SELECT q_id, n_id, cos,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn FROM s2)""")
+    ((header ++ rounds ++ tail).mkString("WITH ", ", ", "") +
+      s" SELECT q_id, n_id, cos FROM r2 WHERE rn <= $topK ORDER BY q_id, n_id")
+      .stripMargin.replace("\n", " ")
+  }
+
+  q("knn_cosine_ivf_kmeans",
+    kmeansKnnOracleSql(k = 8, iters = 2, dim = 64, topK = 5, nQueries = 10)) { (s, dir) =>
+    // the TRAINED IVF path: 2 Lloyd iterations produce the codebook (all
+    // arithmetic engine-reproducible — see kmeansCodebook), assignment is
+    // a narrow literal-codebook projection, search shuffles on cell only
+    val emb = tbl(s, dir, "embeddings")
+    val codebook = Similarity.kmeansCodebook(emb, k = 8, iters = 2, dim = 64)
+    val withCell = emb.withColumn("cell",
+      Similarity.ivfAssignCell(col("embedding"), codebook))
+    Similarity.ivfKnn(withCell, withCell.filter(col("vec_id") < 10), k = 5,
+        cellCol = "cell")
       .orderBy("q_id", "n_id")
   }
 

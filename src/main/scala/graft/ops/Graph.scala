@@ -97,18 +97,23 @@ object Graph {
     * hash partitioning on `s` as the self-join, so the defense costs one
     * map-side-combined aggregate, not an extra full shuffle of pairs.
     *
-    * The default cap CHANGES results for inputs with hotter keys — pass
-    * `hotKeyCap = Int.MaxValue` for exact semantics on any input, and
-    * when an exact oracle checks a call site, make the input's per-key
-    * bound explicit there (see q_graph_triangles: `l_partkey < 300`
-    * bounds every supplier at 300 parts, far under the cap).
+    * The default is EXACT (`hotKeyCap = Int.MaxValue`, no gate, no extra
+    * aggregate): a result-changing truncation must be chosen, not
+    * inherited — a caller who never read this scaladoc gets every edge.
+    * Large-scale callers opt into the cap explicitly (see
+    * q_graph_triangles, which pins 10000 even though its input bounds
+    * every key at 300, so the choice is visible at the call site).
     */
   def coOccurrenceEdges(df: DataFrame, vertexCol: String, keyCol: String,
-                        hotKeyCap: Int = 10000): DataFrame = {
+                        hotKeyCap: Int = Int.MaxValue): DataFrame = {
     val ps = df.select(col(vertexCol).as("p"), col(keyCol).as("s")).distinct()
-    val coldKeys = ps.groupBy("s").agg(count(lit(1)).as("n_s"))
-      .filter(col("n_s") <= hotKeyCap).select("s")
-    val kept = ps.join(coldKeys, Seq("s"))
+    val kept =
+      if (hotKeyCap == Int.MaxValue) ps // exact: skip the gating aggregate
+      else {
+        val coldKeys = ps.groupBy("s").agg(count(lit(1)).as("n_s"))
+          .filter(col("n_s") <= hotKeyCap).select("s")
+        ps.join(coldKeys, Seq("s"))
+      }
     kept.as("a").join(kept.as("b"),
         col("a.s") === col("b.s") && col("a.p") < col("b.p"))
       .select(col("a.p").as("pa"), col("b.p").as("pb")).distinct()

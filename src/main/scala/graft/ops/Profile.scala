@@ -14,9 +14,15 @@ import org.apache.spark.sql.functions._
   * a plain global aggregate (count/min/max in the column's OWN type —
   * numeric ordering preserved — then stringified). Pass B stacks the
   * profiled columns into narrow (pos, value) rows and counts distinct
-  * values per column in one group-aggregate; the string cast is
-  * injective per column so the distinct count is the column's own.
-  * Never one job per column.
+  * values per column in one group-aggregate. Distinct counts are over
+  * the STRING rendering of each value, chosen injective per type: binary
+  * columns render as base64 (a plain string cast would collapse distinct
+  * byte strings under UTF-8 replacement chars), and -0.0 floats/doubles
+  * are normalized to 0.0 before the cast so the count matches native
+  * countDistinct, which treats them equal. Never one job per column.
+  * On empty input every column still gets its row (n_nonnull = 0,
+  * n_distinct = 0, null min/max) — the empty-drop case is exactly what a
+  * pre-flight exists to catch.
   */
 object Profile {
 
@@ -34,13 +40,27 @@ object Profile {
     val basic = wide.selectExpr("__total as n_rows",
       s"stack(${cols.size}, $stackArgs) as (col_name, n_nonnull, min_s, max_s)")
     val names = array(cols.map(lit): _*)
+    val fieldType = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val rendered = cols.map { c =>
+      fieldType.get(c) match {
+        case Some(org.apache.spark.sql.types.BinaryType) => base64(col(c))
+        case Some(org.apache.spark.sql.types.DoubleType) |
+             Some(org.apache.spark.sql.types.FloatType) =>
+          // -0.0 === 0.0 in Spark comparisons; collapse before stringify.
+          when(col(c) === 0, lit(0).cast(fieldType(c))).otherwise(col(c))
+            .cast("string")
+        case _ => col(c).cast("string")
+      }
+    }
     val distincts = df
-      .select(posexplode(array(cols.map(c => col(c).cast("string")): _*))
-        .as(Seq("pos", "value")))
+      .select(posexplode(array(rendered: _*)).as(Seq("pos", "value")))
       .groupBy("pos").agg(countDistinct(col("value")).as("n_distinct"))
       .select(element_at(names, col("pos") + 1).as("col_name"),
         col("n_distinct"))
-    basic.join(distincts, "col_name") // n_cols-row frames; trivially local
+    // Left join: on empty input Pass B yields zero rows, but every Pass-A
+    // row must survive with n_distinct = 0.
+    basic.join(distincts, Seq("col_name"), "left")
+      .withColumn("n_distinct", coalesce(col("n_distinct"), lit(0L)))
       .select("col_name", "n_rows", "n_nonnull", "n_distinct", "min_s", "max_s")
   }
 

@@ -120,32 +120,59 @@ object Similarity {
     array_max(array(entries: _*)).getField("negid") * -1
   }
 
+  /** Fixed-point scale for kmeansCodebook's centroid means: 2^20, a
+    * power of two so `x.toDouble * Scale` is EXACT for any float x (the
+    * multiply only shifts the exponent), and `+ 0.5` stays exact for
+    * |x| < 2^31 — the quantization is therefore bit-identical in any
+    * engine that evaluates the same expression.
+    */
+  val KmeansScale: Long = 1048576L
+
   /** Lloyd's k-means over an embedding column, producing the IVF
     * codebook. Each iteration is one distributed pass: assignment is the
     * narrow literal-codebook projection (ivfAssignCell), the update is a
     * per-(cell, dimension) mean — only k×dim aggregates ever reach the
     * driver, so the corpus scales freely while the codebook stays tiny.
-    * Deterministic: seeded by the first k vectors in `idCol` order,
-    * cosine assignment ties break by centroid index.
+    *
+    * Engine-reproducible by construction (the integer-PageRank recipe):
+    * a floating `avg` sums in partition order and drifts, so the mean
+    * runs in fixed-point integers instead — each coordinate quantizes to
+    * `floor(x·2^20 + 0.5)` (exact double ops, see [[KmeansScale]]), the
+    * per-cell sum is exact long arithmetic (order-independent), the mean
+    * is one truncating `div` on offset-nonnegative values (so floor and
+    * truncation agree across engines), and the centroid re-enters float
+    * via one deterministic round-to-nearest. Assignment is the cosine
+    * argmax of ivfAssignCell — a per-row double chain with a fixed op
+    * order, the contract every knn oracle already replays. Seeded by the
+    * first k vectors in `idCol` order; ties break by centroid index; an
+    * empty cell keeps its centroid. A DuckDB oracle can replay whole
+    * iterations bit-for-bit (see knn_cosine_ivf_kmeans).
     */
   def kmeansCodebook(df: DataFrame, k: Int, iters: Int, dim: Int,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): Seq[Array[Float]] = {
+    val off = KmeansScale // offset keeps sums nonnegative for |x| <= 1
     var centroids: Seq[Array[Float]] = df.orderBy(idCol).limit(k)
       .select(vecCol).collect().map(_.getSeq[Float](0).toArray).toSeq
+    val scaled = df.select(
+      col(vecCol).as("v"),
+      transform(col(vecCol),
+        x => floor(x.cast("double") * KmeansScale + 0.5) + off).as("s_off"))
     for (_ <- 0 until iters) {
-      val assigned = df.select(col(vecCol).as("v"),
-        ivfAssignCell(col(vecCol), centroids).as("cell"))
-      val means = assigned
-        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos").agg(avg(col("x").cast("double")).as("m"))
-        .collect()
+      val assigned = scaled.select(col("s_off"),
+        ivfAssignCell(col("v"), centroids).as("cell"))
+      val sums = assigned
+        .select(col("cell"), posexplode(col("s_off")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(sum("x").as("sm"), count(lit(1)).as("n"))
+        .select(col("cell"), col("pos"), (expr("sm div n") - off).as("cm"))
+        .collect() // k×dim rows — the legit codebook-size driver traffic
       val next = centroids.zipWithIndex.map { case (old, c) =>
-        val dims = means.filter(_.getInt(0) == c)
+        val dims = sums.filter(_.getInt(0) == c)
         if (dims.isEmpty) old // empty cell keeps its centroid
         else {
           val arr = old.clone()
-          dims.foreach(r => arr(r.getInt(1)) = r.getDouble(2).toFloat)
+          dims.foreach(r =>
+            arr(r.getInt(1)) = (r.getLong(2).toDouble / KmeansScale).toFloat)
           arr
         }
       }

@@ -19,11 +19,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object IpcSource {
 
   /** Read a `.arrow` file or a directory of `part-*.arrow` files. */
-  def read(spark: SparkSession, input: String): DataFrame = {
+  def read(spark: SparkSession, input: String): DataFrame =
+    read(spark, Seq(input))
+
+  /** Read several `.arrow` files/directories as one frame (first file's
+    * schema wins; all must match). This is also the real escape hatch the
+    * `_SUCCESS` gate refers to: after inspecting a partially committed
+    * directory, pass the intact part files individually.
+    */
+  def read(spark: SparkSession, inputs: Seq[String]): DataFrame = {
+    require(inputs.nonEmpty, "IpcSource.read needs at least one path")
     val sc = spark.sparkContext
-    val inPath = new Path(input)
-    val fs = inPath.getFileSystem(sc.hadoopConfiguration)
-    val sized: Seq[(String, Long)] =
+    val sized: Seq[(String, Long)] = inputs.flatMap { input =>
+      val inPath = new Path(input)
+      val fs = inPath.getFileSystem(sc.hadoopConfiguration)
       if (fs.getFileStatus(inPath).isDirectory) {
         val parts = fs.listStatus(inPath)
           .filter(_.getPath.getName.endsWith(".arrow"))
@@ -36,14 +45,18 @@ object IpcSource {
             parts.forall(_.getPath.getName.matches("part-\\d{5}\\.arrow")))
           require(fs.exists(new Path(inPath, "_SUCCESS")),
             s"$input has IpcSink part files but no _SUCCESS marker — " +
-              "refusing to read a partially committed job (pass the part " +
-              "files individually to override)")
+              "refusing to read a partially committed job (after " +
+              "inspection, pass the intact part files individually to " +
+              "read(spark, paths))")
         parts.map(s => (s.getPath.toString, s.getLen)).toSeq
       } else Seq((input, fs.getFileStatus(inPath).getLen))
-    require(sized.nonEmpty, s"no .arrow files under $input")
+    }
+    require(sized.nonEmpty, s"no .arrow files under ${inputs.mkString(", ")}")
     // schema from the first file's footer (driver-side metadata read only)
     val schema = {
-      val ch = channel(fs.open(new Path(sized.head._1)), sized.head._2)
+      val headPath = new Path(sized.head._1)
+      val fs = headPath.getFileSystem(sc.hadoopConfiguration)
+      val ch = channel(fs.open(headPath), sized.head._2)
       val alloc = GraftArrow.childAllocator("graft-ipc-schema")
       val rd = new org.apache.arrow.vector.ipc.ArrowFileReader(ch, alloc)
       try GraftArrow.sparkSchema(rd.getVectorSchemaRoot.getSchema)

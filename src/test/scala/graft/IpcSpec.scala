@@ -96,6 +96,20 @@ class IpcSpec extends AnyFunSuite {
     assert(graft.sources.IpcSource.read(spark, part.getAbsolutePath).count() == 5)
   }
 
+  test("ipc source reads several paths as one frame (the real escape hatch)") {
+    val out = java.nio.file.Files.createTempDirectory("graft_ipc_multi").toString + "/m"
+    graft.sources.IpcSink.write(spark.range(10).toDF("id").repartition(3), out)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(out, "_SUCCESS"))
+    // after inspecting a partially committed dir, the intact parts can be
+    // passed individually — one read call, one DataFrame, no union needed
+    val parts = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".arrow")).map(_.getAbsolutePath).toSeq
+    assert(parts.size == 3)
+    val back = graft.sources.IpcSource.read(spark, parts)
+    assert(back.count() == 10)
+    assert(back.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0) == 45L)
+  }
+
   test("ipc source packs skewed file sizes into byte-balanced tasks") {
     // pure planning check: 1 big + 7 small files into 4 bins must put the
     // big file alone and spread the small ones, not leave one task with

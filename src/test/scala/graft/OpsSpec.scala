@@ -458,6 +458,29 @@ class OpsSpec extends AnyFunSuite {
     assert(got("y") == ((3L, 2L, 2L)))
   }
 
+  test("profile still emits one row per column on empty input") {
+    // the empty-drop case is exactly what a pre-flight exists to catch:
+    // zero rows in must NOT mean zero rows out
+    val df = Seq.empty[(Option[Int], Option[String])].toDF("x", "y")
+    val got = Profile.profile(df, Seq("x", "y")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.isNullAt(4)))).toMap
+    assert(got("x") == ((0L, 0L, 0L, true)))
+    assert(got("y") == ((0L, 0L, 0L, true)))
+  }
+
+  test("profile distinct counts use injective renderings per type") {
+    // -0.0 and 0.0 are one distinct value (matches native countDistinct);
+    // distinct byte strings that are invalid UTF-8 must stay distinct
+    // (base64 rendering, not a lossy string cast)
+    val df = Seq((0.0, Array[Byte](-1, -2)), (-0.0, Array[Byte](-3, -4)),
+      (1.5, Array[Byte](-1, -2))).toDF("d", "b")
+    val got = Profile.profile(df, Seq("d", "b")).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got("d") == 2L) // {0.0, 1.5}
+    assert(got("b") == 2L) // two distinct byte strings
+  }
+
   test("skewStats ranks keys by count with exact shares") {
     val df = (Seq.fill(6)("hot") ++ Seq.fill(3)("warm") ++ Seq("cold")).toDF("k")
     val got = Salting.skewStats(df, "k", topK = 2).collect()
@@ -1204,6 +1227,26 @@ class AdviceRegressionSpec extends AnyFunSuite {
     // fixed-point truncation only ever loses mass, never creates it
     assert(pr.values.sum <= 1000000000000L)
     assert(pr.values.sum > 900000000000L)
+  }
+
+  test("pagerank vertex contract: the vertex set is the out-degree table") {
+    // documented contract (Graph.pageRank scaladoc): a pure sink — vertex
+    // 3 appears only as dst — is NOT a vertex, gets no rank row, and the
+    // mass its in-edges carry leaves the system. Callers wanting sinks
+    // ranked pass both directions (the undirected convention).
+    val dangling = Seq((1L, 2L), (2L, 1L), (1L, 3L)).toDF("src", "dst")
+    val pr = Graph.pageRank(dangling, iters = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr.keySet == Set(1L, 2L)) // 3 has no out-edges → not a vertex
+    // 1 splits its rank between 2 and the void each round: strictly less
+    // total mass than the closed 2-cycle alone would retain
+    assert(pr.values.sum < 1000000000000L * 9 / 10)
+    // same graph with the sink wired back (both directions) keeps ~all mass
+    val closed = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L)).toDF("src", "dst")
+    val prc = Graph.pageRank(closed, iters = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(prc.keySet == Set(1L, 2L, 3L))
+    assert(prc.values.sum > 1000000000000L * 99 / 100)
   }
 
   test("quality rules count null, range, uniqueness and FK violations") {

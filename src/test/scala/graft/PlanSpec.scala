@@ -237,7 +237,8 @@ class PlanSpec extends AnyFunSuite {
     // the operator's own plan (q_graph_triangles localCheckpoints it away)
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
       .filter(org.apache.spark.sql.functions.col("l_partkey") < 300)
-    val plan = graft.ops.Graph.coOccurrenceEdges(li, "l_partkey", "l_suppkey")
+    val plan = graft.ops.Graph
+      .coOccurrenceEdges(li, "l_partkey", "l_suppkey", hotKeyCap = 10000)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan.take(1500))
     // the skew defense: a count-aggregate on the shared key gates the
@@ -250,6 +251,26 @@ class PlanSpec extends AnyFunSuite {
     // per-partition top-k + k-row merge: every row read once, k rows move
     assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
     assert(!plan.contains("Exchange rangepartitioning"), plan.take(1500))
+  }
+
+  test("kmeans ivf: assignment is narrow; search shuffles on the cell id only") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cb = graft.ops.Similarity.kmeansCodebook(emb, k = 4, iters = 1, dim = 64)
+    // trained-codebook assignment is a literal projection: no join, no
+    // shuffle — the codebook rides the plan, the corpus never moves
+    val assigned = emb.withColumn("cell",
+      graft.ops.Similarity.ivfAssignCell(col("embedding"), cb))
+    val aPlan = assigned.queryExecution.executedPlan.toString
+    assert(!aPlan.contains("Exchange") && !aPlan.contains("Join"), aPlan.take(1500))
+    // the search join is an equi-join keyed on the cell — never a
+    // cartesian/nested-loop pairing of corpus and queries
+    val kPlan = graft.ops.Similarity
+      .ivfKnn(assigned, assigned.filter(col("vec_id") < 10), 5, "cell")
+      .queryExecution.executedPlan.toString
+    assert(!kPlan.contains("CartesianProduct") &&
+      !kPlan.contains("BroadcastNestedLoop"), kPlan.take(1500))
+    assert(kPlan.contains("cell"), kPlan.take(1500))
   }
 
   test("quality FK check is a broadcast anti join") {
