@@ -3028,37 +3028,60 @@ object Queries {
           .coalesce(1) // one file -> exactly one micro-batch per sentinel
           .write.parquet(s"$d/$batch")
       }
-      // ev is multi-file; write it as ONE file so batch 1 = all real data
-      ev.coalesce(1).write.parquet(s"$d/b1")
+      // ev is multi-file; write it as ONE file so batch 1 = all real
+      // data. The landing keeps only the oracle's user_id < 30 slice —
+      // the stream re-applies the same predicate, so this is purely a
+      // smaller fabricated input, not a semantic change.
+      ev.filter(col("user_id") < 30).coalesce(1).write.parquet(s"$d/b1")
+      // ONE sentinel suffices in the single-run variant: the batch after
+      // it re-reads no files but applies the advanced watermark (Spark's
+      // no-data micro-batch), evicting every real left row and emitting
+      // its NULL-padded result there
       sentinel("b2", 3)
-      sentinel("b3", 6)
     }
-    val outP = root.resolve("out").toString
     val ckpt = root.resolve("ckpt").toString
     def run(): Unit = {
-      // one file per micro-batch: the sentinel batches land AFTER the
-      // data batch inside a single query run, so the watermark advances
-      // across batches without paying two extra query startups (the
-      // restart variant of the same semantics is proven in StreamingSpec)
-      def src = s.readStream.schema(ev.schema)
-        .option("recursiveFileLookup", "true")
-        .option("maxFilesPerTrigger", "1").parquet(in)
-      val views = src.filter(col("event_type") === "view")
+      // data + sentinel consumed in ONE trigger: the watermark computed
+      // at the end of batch 0 (from the sentinel's max event time) is
+      // applied by the following no-data micro-batch, which evicts every
+      // real left row and emits its NULL-padded result — two micro-
+      // batches total. The multi-batch variant of the same semantics
+      // (watermark advancing across data batches) is proven in
+      // StreamingSpec's restart test.
+      // ONE file-stream source shared by both join branches (a streaming
+      // self-join): halves the per-batch source listing + offset WAL
+      // versus two independent sources over the same dir
+      val src = s.readStream.schema(ev.schema)
+        .option("recursiveFileLookup", "true").parquet(in)
+      // push the oracle's user_id < 30 into BOTH stream sides (sound for
+      // a left-outer equi-key join: left rows outside the filter aren't
+      // wanted, right rows outside it can't equi-match a kept left row) —
+      // join state holds ~0.2% of the events instead of all of them. The
+      // sentinel user (999999) must survive the filter: its rows are
+      // what advance the watermark past the real data's join windows.
+      val keep = col("user_id") < 30 || col("user_id") === 999999L
+      val views = src.filter(keep && col("event_type") === "view")
         .select(col("user_id"), col("event_id").as("view_id"),
           col("ts").as("l_ts"))
-      val clicks = src.filter(col("event_type") === "click")
+      val clicks = src.filter(keep && col("event_type") === "click")
         .select(col("user_id").as("c_user_id"),
           col("event_id").as("click_id"), col("ts").as("r_ts"))
+      // memory sink: skips the FileStreamSink's per-batch file commit +
+      // _spark_metadata manifest — the result is ~500 rows
       val query = graft.streaming.Streams
         .intervalJoinLeftOuter(views, clicks, "user_id", "c_user_id", "1 HOUR")
         .select(col("user_id"), col("view_id"), col("click_id"),
           col("l_ts").as("view_ts"), col("r_ts").as("click_ts"))
-        .writeStream.format("parquet").option("path", outP)
+        .writeStream.format("memory").queryName("graft_stream_louter")
         .option("checkpointLocation", ckpt).outputMode("append").start()
       try query.processAllAvailable() finally query.stop()
     }
-    withShufflePartitions(s, 4) { run() }
-    s.read.parquet(outP).filter(col("user_id") < 30)
+    // the pushed user_id filter leaves ~30 users of state: one shuffle
+    // partition means one set of join state stores per micro-batch
+    // instead of four, and stream-stream joins pay 4 stores per side
+    // per partition per batch
+    withShufflePartitions(s, 1) { run() }
+    s.table("graft_stream_louter").filter(col("user_id") < 30)
       .select(col("user_id"), col("view_id"), col("click_id"),
         col("view_ts").cast(TimestampNTZType).as("view_ts"),
         col("click_ts").cast(TimestampNTZType).as("click_ts"))

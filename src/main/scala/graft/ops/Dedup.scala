@@ -227,9 +227,15 @@ object Dedup {
           (least(col("x.mid"), coalesce(col("cmid"), col("x.mid"))) =!= col("x.prev"))
             .as("changed"))
         .localCheckpoint() // eager: safe to probe convergence below
-      // iteration 0 always changes something when any edge exists — skip
-      // the probe job there
-      converged = i > 0 && next.filter(col("changed")).isEmpty
+      // convergence probe every 2nd iteration only: iteration 0 always
+      // changes something when any edge exists, and with pointer jumping
+      // diameters halve per round, so consecutive probes mostly pay a
+      // job to learn nothing. Probing at i = 1, 3, 5… halves the probe
+      // jobs on this tiny labels frame; the worst case (convergence
+      // lands on an even i) runs one extra — already-stable — iteration
+      // before the next probe confirms it, which costs about the same as
+      // the probes saved and only touches label-sized frames.
+      converged = i % 2 == 1 && next.filter(col("changed")).isEmpty
       labels = next.select("doc_id", "cluster_id")
       i += 1
     }
