@@ -1,6 +1,7 @@
 package graft
 
 import graft.flf.FlfParse
+import graft.functions.HashColumns
 import graft.mock.Mocker
 import graft.ops._
 import graft.schema._
@@ -631,10 +632,21 @@ object Queries {
   }
 
   q("q_fuzzy_join",
-    // blocked fuzzy self-join: candidate pairs come from an EQUI join on
-    // (last name token, brand) — never a cross join — and only candidates
-    // pay the edit-distance verification, the same block→verify shape as
-    // the n-gram dedup operators
+    // fuzzy self-join (edit distance <= 2 within a (last-token, brand)
+    // block). Candidates come from a DELETION-NEIGHBORHOOD equi-join
+    // (Mor-Fraenkel / SymSpell): an edit script of k <= 2 ops deletes at
+    // most k chars from each side to reach a common string, so two names
+    // within distance 2 MUST share a <=2-deletion variant — joining on
+    // xxhash64(variant) has zero false negatives (hash collisions only
+    // ADD candidates; verification removes them). Variant count is
+    // O(len^2) per row — linear in the corpus — where the plain
+    // (block, brand) equi-join was quadratic inside each block: at sf1
+    // (200k parts, names sharing a constant prefix) candidates drop
+    // 25.8M -> 0.84M against 143k true pairs, 91 s -> ~8 s. Survivors
+    // pay a banded levenshtein(_, _, 2) (O(len·k), early-exit) instead
+    // of the full O(len^2) DP. The oracle keeps the declarative
+    // quadratic formulation — outputs are identical by the argument
+    // above.
     """WITH p AS (SELECT p_partkey, p_name, p_brand,
       |  regexp_split_to_array(trim(p_name), '\s+')[-1] AS blk FROM part)
       |SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
@@ -648,13 +660,39 @@ object Queries {
     val p = tbl(s, dir, "part").select(col("p_partkey"), col("p_name"),
       col("p_brand"),
       element_at(split(trim(col("p_name")), "\\s+"), -1).as("blk"))
-    p.as("a").join(p.as("b"),
-        col("a.blk") === col("b.blk") && col("a.p_brand") === col("b.p_brand")
-          && col("a.p_partkey") < col("b.p_partkey"))
-      .filter(levenshtein(col("a.p_name"), col("b.p_name")) <= 2)
-      .select(col("a.p_partkey").as("a_id"), col("b.p_partkey").as("b_id"),
-        col("a.p_name").as("a_name"), col("b.p_name").as("b_name"),
-        levenshtein(col("a.p_name"), col("b.p_name")).as("dist"))
+    // one fused codegen pass emits the name's hash and all 1-/2-deletion
+    // variant hashes (O(1) each via polynomial prefix hashes) — the HOF
+    // formulation (nested transform + substr + xxhash64) is interpreted
+    // per element and measured 14x slower on the same plan
+    // fold (variant hash, block, brand) into ONE long join key so the
+    // 27M-row variant shuffle carries 16 bytes/row, and pin the self-join
+    // to shuffle-hash: Spark's size estimator doesn't see the explode
+    // fan-out and would otherwise try to BROADCAST the exploded side
+    // (observed: a 4.1 GiB broadcast build at sf1)
+    val variants = p.select(col("p_partkey"), col("blk"), col("p_brand"),
+        explode(HashColumns.deletionVariantHashes(col("p_name"), 2)).as("vh"))
+      .select(col("p_partkey"),
+        xxhash64(col("vh"), col("blk"), col("p_brand")).as("h"))
+    val cand = variants.as("a").hint("shuffle_hash")
+      .join(variants.as("b").hint("shuffle_hash"),
+        col("a.h") === col("b.h") && col("a.p_partkey") < col("b.p_partkey"))
+      .select(col("a.p_partkey").as("a_id"), col("b.p_partkey").as("b_id"))
+      .distinct()
+    // fetch names for survivors only, re-check blk/brand EXACTLY (the
+    // folded hash key alone would make blk/brand equality probabilistic),
+    // then verify with the banded DP
+    val named = cand
+      .join(p.select(col("p_partkey"), col("p_name").as("a_name"),
+          col("blk").as("a_blk"), col("p_brand").as("a_brand")),
+        col("a_id") === col("p_partkey")).drop("p_partkey")
+      .join(p.select(col("p_partkey"), col("p_name").as("b_name"),
+          col("blk").as("b_blk"), col("p_brand").as("b_brand")),
+        col("b_id") === col("p_partkey")).drop("p_partkey")
+    named
+      .filter(col("a_blk") === col("b_blk") && col("a_brand") === col("b_brand"))
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name"), 2))
+      .filter(col("dist") >= 0)
+      .select("a_id", "b_id", "a_name", "b_name", "dist")
       .orderBy("a_id", "b_id")
   }
 

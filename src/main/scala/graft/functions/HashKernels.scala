@@ -108,6 +108,73 @@ object HashKernels {
     * empty docs collide with each other either way and are dropped by
     * the exact-Jaccard verification.
     */
+  /** Hashes of a string and ALL its variants with up to `maxDel` (1 or 2)
+    * character deletions, O(1) per variant via polynomial prefix hashes —
+    * the Mor-Fraenkel / SymSpell candidate key for edit-distance joins:
+    * lev(a, b) <= k implies a and b share a <=k-deletion variant (an edit
+    * script of k ops deletes at most k chars from each side to reach a
+    * common string), so an equi-join on these hashes has zero false
+    * negatives. Hash collisions only ever ADD candidates; the caller
+    * verifies survivors with levenshtein. Output size is
+    * 1 + l + l(l-1)/2 per row — intended for short join keys (names,
+    * titles, codes); long-text similarity belongs to the n-gram/minhash
+    * family instead.
+    *
+    * Variant hash = 64-bit wraparound polynomial over chars with the
+    * variant's length mixed into a murmur finalizer (so same-polynomial
+    * different-length strings cannot collide structurally). Deletions are
+    * CHAR-level, the same unit as Spark's levenshtein.
+    */
+  def deletionVariantHashes(input: UTF8String, maxDel: Int): ArrayData = {
+    val s = input.toString
+    val l = s.length
+    val B = 0x100000001b3L // FNV-1a prime; any odd 64-bit constant works
+    // P(t) = polynomial hash of s[0,t); pow(t) = B^t (mod 2^64)
+    val p = new Array[Long](l + 1)
+    val pow = new Array[Long](l + 1)
+    p(0) = 0xcbf29ce484222325L
+    pow(0) = 1L
+    var t = 0
+    while (t < l) {
+      p(t + 1) = p(t) * B + s.charAt(t)
+      pow(t + 1) = pow(t) * B
+      t += 1
+    }
+    @inline def fmix(v0: Long, len: Int): Long = {
+      var v = v0 ^ (len.toLong * 0x9e3779b97f4a7c15L)
+      v ^= v >>> 33; v *= 0xff51afd7ed558ccdL
+      v ^= v >>> 33; v *= 0xc4ceb9fe1a85ec53L
+      v ^ (v >>> 33)
+    }
+    val n1 = if (maxDel >= 1) l else 0
+    val n2 = if (maxDel >= 2) l * (l - 1) / 2 else 0
+    val out = new Array[Any](1 + n1 + n2)
+    out(0) = fmix(p(l), l)
+    var w = 1
+    if (maxDel >= 1) {
+      // delete position i (1-based): prefix s[0,i-1) ++ suffix s[i,l)
+      var i = 1
+      while (i <= l) {
+        out(w) = fmix(p(i - 1) * pow(l - i) + (p(l) - p(i) * pow(l - i)), l - 1)
+        w += 1; i += 1
+      }
+    }
+    if (maxDel >= 2) {
+      // delete i < j: s[0,i-1) ++ s[i,j-1) ++ s[j,l)
+      var i = 1
+      while (i < l) {
+        var j = i + 1
+        while (j <= l) {
+          val h1 = p(i - 1) * pow(j - 1 - i) + (p(j - 1) - p(i) * pow(j - 1 - i))
+          out(w) = fmix(h1 * pow(l - j) + (p(l) - p(j) * pow(l - j)), l - 2)
+          w += 1; j += 1
+        }
+        i += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
   def minhashSig(shingles: ArrayData, k: Int): ArrayData = {
     val n = shingles.numElements()
     val mins = new Array[Long](k)
@@ -164,6 +231,23 @@ case class SimHash60(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+case class DeletionVariantHashes(child: Expression, maxDel: Int)
+    extends UnaryExpression {
+  require(maxDel == 1 || maxDel == 2,
+    s"deletion_variant_hashes supports maxDel 1 or 2, got $maxDel")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"deletion_variant_hashes expects STRING input, got ${child.dataType.sql}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.deletionVariantHashes(input.asInstanceOf[UTF8String], maxDel)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels$$.MODULE$$.deletionVariantHashes($c, $maxDel);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -186,4 +270,6 @@ object HashColumns {
     GraftBridge.column(SimHash60(GraftBridge.expression(hashes)))
   def minhashSignature(shingles: Column, k: Int): Column =
     GraftBridge.column(MinHashSignature(GraftBridge.expression(shingles), k))
+  def deletionVariantHashes(text: Column, maxDel: Int): Column =
+    GraftBridge.column(DeletionVariantHashes(GraftBridge.expression(text), maxDel))
 }

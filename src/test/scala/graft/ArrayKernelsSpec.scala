@@ -89,4 +89,67 @@ class ArrayKernelsSpec extends AnyFunSuite {
       .filter($"d" > 0).count()
     assert(n == 100)
   }
+
+  // slow reference: build each deletion variant STRING explicitly and hash
+  // it directly (maxDel=0 yields just the whole-string hash) — the kernel's
+  // O(1)-per-variant prefix-polynomial arithmetic must agree exactly
+  private def directVariantHashes(s: String, maxDel: Int): Set[Long] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    def h(v: String): Long = graft.functions.HashKernels
+      .deletionVariantHashes(UTF8String.fromString(v), 0)
+      .toLongArray().head
+    val dels1 = s.indices.map(i => s.substring(0, i) + s.substring(i + 1))
+    val dels2 = for {
+      i <- s.indices; j <- s.indices if i < j
+    } yield s.substring(0, i) + s.substring(i + 1, j) + s.substring(j + 1)
+    (Seq(s) ++ (if (maxDel >= 1) dels1 else Nil) ++
+      (if (maxDel >= 2) dels2 else Nil)).map(h).toSet
+  }
+
+  test("deletionVariantHashes prefix-hash arithmetic matches direct variant hashing") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(13)
+    val words = Seq("", "a", "ab", "part 12345 tomato",
+      "ünïcödé名前") ++ Seq.fill(40)(
+      (0 until (1 + rnd.nextInt(20))).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString)
+    for (w <- words; k <- Seq(1, 2)) {
+      val got = graft.functions.HashKernels
+        .deletionVariantHashes(UTF8String.fromString(w), k).toLongArray().toSet
+      assert(got == directVariantHashes(w, k), s"word '$w' maxDel $k")
+    }
+  }
+
+  test("deletionVariantHashes has zero false negatives for edit distance <= 2") {
+    val rnd = new scala.util.Random(17)
+    def mutate(s: String, ops: Int): String = (1 to ops).foldLeft(s) { (t, _) =>
+      if (t.isEmpty) "x"
+      else rnd.nextInt(3) match {
+        case 0 => val i = rnd.nextInt(t.length); t.substring(0, i) + t.substring(i + 1)
+        case 1 => val i = rnd.nextInt(t.length + 1)
+          t.substring(0, i) + ('a' + rnd.nextInt(26)).toChar + t.substring(i)
+        case _ => val i = rnd.nextInt(t.length)
+          t.substring(0, i) + ('a' + rnd.nextInt(26)).toChar + t.substring(i + 1)
+      }
+    }
+    import org.apache.spark.unsafe.types.UTF8String
+    for (_ <- 1 to 200) {
+      val a = (0 until (3 + rnd.nextInt(15)))
+        .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      val b = mutate(a, 1 + rnd.nextInt(2)) // lev(a, b) <= 2 by construction
+      val ha = graft.functions.HashKernels
+        .deletionVariantHashes(UTF8String.fromString(a), 2).toLongArray().toSet
+      val hb = graft.functions.HashKernels
+        .deletionVariantHashes(UTF8String.fromString(b), 2).toLongArray().toSet
+      assert(ha.intersect(hb).nonEmpty, s"'$a' vs '$b'")
+    }
+  }
+
+  test("deletionVariantHashes expression runs under codegen and is null-safe") {
+    val df = Seq(Some("part 42 peach"), None).toDF("s")
+    val got = df.select(
+      graft.functions.HashColumns.deletionVariantHashes($"s", 2).as("v")).collect()
+    val l = "part 42 peach".length
+    assert(got(0).getSeq[Long](0).length == 1 + l + l * (l - 1) / 2)
+    assert(got(1).isNullAt(0))
+  }
 }

@@ -314,6 +314,18 @@ class PlanSpec extends AnyFunSuite {
       plan.take(1500))
   }
 
+  test("fuzzy join: the variant self-join is shuffle-hash, never broadcast") {
+    val plan = planOf("q_fuzzy_join")
+    // Spark's size estimator can't see the deletion-variant explode
+    // fan-out; without the pin it builds a multi-GiB broadcast at sf1
+    val candJoin = plan.linesIterator.filter(l =>
+      l.contains("Join") && l.contains("[h")).mkString("\n")
+    assert(!candJoin.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(plan.contains("ShuffledHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(1500))
+  }
+
   test("q4: correlated EXISTS plans as a semi join, orderdate predicate pushed") {
     val plan = planOf("q4_priority_exists")
     assert(plan.contains("LeftSemi"), plan.take(1500))
