@@ -9,6 +9,17 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// Opt-in lakehouse connectors: `sbt -Dgraft.connectors.dir=/path/to/jars test`
+// puts Delta/Iceberg (or any extra) jars on the classpath, turning the two
+// connector-gated TargetSpec cases from `assume`-canceled into real runs.
+// No such jars ship in this zero-egress image, so the default build is
+// unchanged.
+val connectorJars = Def.setting {
+  sys.props.get("graft.connectors.dir").toSeq
+    .flatMap(d => (file(d) ** "*.jar").get.map(Attributed.blank(_)))
+}
+Compile / unmanagedJars ++= connectorJars.value
+Test / unmanagedJars ++= connectorJars.value
 Test / fork := true
 run / fork := true
 // Emit the forked process's stdout verbatim (no "[info] " prefix): the

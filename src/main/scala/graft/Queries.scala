@@ -1995,13 +1995,34 @@ object Queries {
       |ORDER BY a_id, b_id"""
       .stripMargin.replace("\n", " ")) { (s, dir) =>
     // Embedding-cosine near-dup: pairs above a cosine threshold, blocked
-    // by the coarse cell (label) so the join is an equi-shuffle, never a
-    // cross join. Norms hoisted; per-pair cost = one fused dot product.
+    // by the coarse cell (label). A plain equi-join on label alone is a
+    // scale trap twice over: ~10 distinct labels means at most 10 shuffle
+    // keys do ALL the quadratic work (22 of 32 threads idle here; a 1000-
+    // executor cluster would idle 990), and if one side broadcasts the
+    // probe side's input partitioning caps parallelism instead. So split
+    // every label block into G sub-blocks by vec_id and cover the pairs
+    // with the (i <= j) cell grid — the standard all-pairs blocking: a
+    // pair with sub-blocks (x, y), x < y, meets in exactly cell (x, y);
+    // x == y pairs meet on the diagonal gated by vec_id ordering. That
+    // turns 10 hot keys into label*G*(G+1)/2 balanced keys with the same
+    // total pair count, and neither side ever needs to fit in memory.
+    val g = 8
     val e = tbl(s, dir, "embeddings").select(col("vec_id"), col("label"),
-      col("embedding"), Similarity.l2Norm(col("embedding")).as("nrm"))
-    e.as("a").join(e.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+      col("embedding"), Similarity.l2Norm(col("embedding")).as("nrm"),
+      pmod(col("vec_id"), lit(g)).cast("int").as("sb"))
+    // left role covers cells (sb, j) for j >= sb; right role (i, sb) for i <= sb
+    val lhs = e.withColumn("cj", explode(sequence(col("sb"), lit(g - 1))))
+    val rhs = e.withColumn("ci", explode(sequence(lit(0), col("sb"))))
+    lhs.as("a").hint("shuffle_hash").join(rhs.as("b").hint("shuffle_hash"),
+        col("a.label") === col("b.label") && col("a.sb") === col("b.ci") &&
+          col("a.cj") === col("b.sb") &&
+          // diagonal cells see both orientations — keep one; off-diagonal
+          // cells meet each pair exactly once in either orientation
+          (col("a.sb") < col("a.cj") || col("a.vec_id") < col("b.vec_id")))
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("a_id"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("b_id"),
+        // dot and norm-product are IEEE-commutative, so the orientation
+        // swap behind least/greatest cannot change a bit of the result
         round(Similarity.dot(col("a.embedding"), col("b.embedding")) /
           (col("a.nrm") * col("b.nrm")), 6).as("cos"))
       .filter(col("cos") >= 0.2)

@@ -36,6 +36,16 @@ object Similarity {
     * dot product is evaluated; each side's norm is computed once per row
     * before the join (bit-identical result — same IEEE ops, same order).
     */
+  /** Round-robin the streamed side of a broadcast score scan across the
+    * session's shuffle width. The scan's input split count caps the whole
+    * O(|corpus|·|queries|) stage: a corpus arriving as a few small files
+    * (or one shuffle partition) would serialize the quadratic loop on a
+    * handful of tasks no matter how many executors exist. The exchange
+    * moves |corpus| rows once — nothing at pair scale.
+    */
+  private def spreadForScan(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+
   private def cosineHoisted(qVec: Column, nVec: Column,
                             qNorm: Column, nNorm: Column): Column =
     // zero-norm guard: cosine against the zero vector is undefined — rank
@@ -46,7 +56,8 @@ object Similarity {
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
       l2Norm(col(vecCol)).as("q_norm")))
-    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+    val c = spreadForScan(corpus)
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
       l2Norm(col(vecCol)).as("n_norm"))
     val scored = q.join(c, col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
@@ -236,7 +247,7 @@ object Similarity {
   def sq8Knn(corpus: DataFrame, queries: DataFrame, k: Int,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = broadcast(sq8Encode(queries, idCol, vecCol, "q"))
-    val c = sq8Encode(corpus, idCol, vecCol, "n")
+    val c = sq8Encode(spreadForScan(corpus), idCol, vecCol, "n")
     val intDot = aggregate(
       zip_with(col("q_code"), col("n_code"), (x, y) => x * y),
       lit(0L), (acc, x) => acc + x)
@@ -312,7 +323,7 @@ object Similarity {
     // staged in their own projection: argmin consumes each array twice
     // (position + min), and CollapseProject would otherwise re-inline the
     // full literal distance chain per consumer, doubling the tree.
-    val staged = corpus.select(
+    val staged = spreadForScan(corpus).select(
       col(idCol).as("n_id") +:
         (0 until m).map(j => pqDistArray(col(vecCol), j, codebooks).as(s"d$j")): _*)
     val codeCols = (0 until m).map { j =>
