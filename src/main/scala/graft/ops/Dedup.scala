@@ -402,6 +402,18 @@ object Dedup {
         explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("tok"))
       .localCheckpoint() // three consumers: dfq, rank, verify sets
     val dfq = st.groupBy("tok").agg(count(lit(1)).as("df"))
+    // Adaptive representation, decided from one measured statistic (a
+    // single-long aggregate): prefix filtering is powerless on a tiny
+    // token universe — with ~31 distinct tokens and near-uniform doc
+    // sizes, the sf1 scale soak measured 1.29e9 candidate pairs
+    // SURVIVING the prefix+length+positional predicates for ~3e6 true
+    // pairs, because every filter needs token diversity to discriminate.
+    // But a universe of <= 64 tokens means a token set IS a 64-bit mask:
+    // jaccard becomes two popcounts, the pair scan runs over DISTINCT
+    // masks (duplicate-heavy corpora collapse hard), and multiplicity
+    // expansion restores doc pairs. Both paths are exact; PPJoin remains
+    // the path for real vocabularies, where its filters do the work.
+    if (dfq.count() <= 64) return smallUniverseJaccardPairs(st, threshold)
     val w = Window.partitionBy("doc_id").orderBy("df", "tok")
     val wn = Window.partitionBy("doc_id")
     val rk = st.join(dfq, "tok")
@@ -423,8 +435,21 @@ object Dedup {
     // keeps the distinct() input near the verified-pair count.
     val reqOverlap = ceil(
       lit(threshold / (1.0 + threshold)) * (col("a.sz") + col("b.sz")) - lit(1e-9))
-    val cand = pfx.as("a").join(pfx.as("b"),
-        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
+    // Push the length filter INTO the join key: a prefix token alone has
+    // vocab-bounded cardinality (31 here), which both caps shuffle
+    // parallelism at 31 keys and enumerates every same-token pair before
+    // the length predicate runs. Exploding each a-row across its allowed
+    // partner sizes makes the key (tok, partner_sz): ~|vocab| * |sizes|
+    // balanced keys, and pairs failing the length bound are never
+    // enumerated. The range is widened by 1 on each end so float rounding
+    // at a ceil/floor boundary can only ADD candidates — the original
+    // exact predicates below remain the source of truth.
+    val apfx = pfx.withColumn("szb", explode(sequence(
+      greatest(floor(col("sz") * threshold).cast("int") - 1, lit(1)),
+      ceil(col("sz") / lit(threshold)).cast("int") + 1)))
+    val cand = apfx.as("a").join(pfx.as("b"),
+        col("a.tok") === col("b.tok") && col("a.szb") === col("b.sz") &&
+          col("a.doc_id") < col("b.doc_id") &&
           col("a.sz").cast("double") >= col("b.sz") * threshold &&
           col("b.sz").cast("double") >= col("a.sz") * threshold &&
           least(col("a.sz") - col("a.rnk"), col("b.sz") - col("b.rnk")) + 1 >=
@@ -447,6 +472,49 @@ object Dedup {
     v.select(col("a_id"), col("b_id"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jac"))
       .filter(col("jac") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jac"), 6).as("jac"))
+  }
+
+  /** Exact jaccard pairs when the whole token universe fits in 64 bits.
+    * Token sets become bitmasks (bit = dense token rank, deterministic),
+    * so `jac = popcount(a&b) / popcount(a|b)` — the same integers the
+    * list-based formulation divides, hence bit-identical doubles. The
+    * quadratic scan runs over DISTINCT masks only, spread with the
+    * (i <= j) all-pairs cell grid (same blocking as the embedding-cosine
+    * dedup) so no shuffle key is hotter than a grid cell; doc pairs are
+    * restored by multiplicity expansion, which is output-bounded work.
+    */
+  private def smallUniverseJaccardPairs(st: DataFrame, threshold: Double): DataFrame = {
+    val bits = st.select("tok").distinct().select(col("tok"),
+      (row_number().over(Window.orderBy("tok")) - 1).as("bit")) // <= 64 rows
+    val masks = st.join(broadcast(bits), "tok").groupBy("doc_id")
+      .agg(sum(expr("shiftleft(cast(1 as bigint), bit)")).as("mask"))
+      .localCheckpoint() // consumers: distinct scan + two expansion joins
+    val dm = masks.select("mask").distinct()
+    val g = 64
+    val e = dm.withColumn("sb", pmod(xxhash64(col("mask")), lit(g)).cast("int"))
+    val lhs = e.withColumn("cj", explode(sequence(col("sb"), lit(g - 1))))
+    val rhs = e.withColumn("ci", explode(sequence(lit(0), col("sb"))))
+    // the jac filter divides the SAME way the oracle does — comparing
+    // inter >= union*t instead would round differently at boundaries
+    def jacExpr = bit_count(col("a.mask").bitwiseAND(col("b.mask"))).cast("double") /
+      bit_count(col("a.mask").bitwiseOR(col("b.mask")))
+    val maskPairs = lhs.as("a").hint("shuffle_hash")
+      .join(rhs.as("b").hint("shuffle_hash"),
+        col("a.sb") === col("b.ci") && col("a.cj") === col("b.sb") &&
+          (col("a.sb") < col("a.cj") || col("a.mask") < col("b.mask")) &&
+          jacExpr >= threshold)
+      .select(col("a.mask").as("ma"), col("b.mask").as("mb"), jacExpr.as("jac"))
+    val cross = maskPairs
+      .join(masks.select(col("mask").as("ma"), col("doc_id").as("ida")), "ma")
+      .join(masks.select(col("mask").as("mb"), col("doc_id").as("idb")), "mb")
+      .select(least(col("ida"), col("idb")).as("a_id"),
+        greatest(col("ida"), col("idb")).as("b_id"), col("jac"))
+    val same = masks.as("a").join(masks.as("b"),
+        col("a.mask") === col("b.mask") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        lit(1.0).as("jac"))
+    same.unionAll(cross)
       .select(col("a_id"), col("b_id"), round(col("jac"), 6).as("jac"))
   }
 }

@@ -139,6 +139,30 @@ class OpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("prefix jaccard PPJoin path (vocab > 64) equals brute force") {
+    // vocabularies over 64 tokens take the PPJoin path, not the bitmask
+    // path — keep it covered with the same zero-false-negative property.
+    // Docs are built as near-dup pairs (base set + small mutation) so the
+    // corpus actually contains similar pairs at threshold 0.6.
+    val rnd = new scala.util.Random(29)
+    val vocab = (0 until 100).map(i => s"w$i")
+    val corpus = (0L until 20L).flatMap { id =>
+      val base = Seq.fill(8 + rnd.nextInt(5))(vocab(rnd.nextInt(vocab.size)))
+      val mutated = base.drop(1) :+ vocab(rnd.nextInt(vocab.size))
+      Seq((id * 2, base.mkString(" ")), (id * 2 + 1, mutated.mkString(" ")))
+    }.toDF("doc_id", "text")
+    val got = Dedup.prefixJaccardPairs(corpus, "text", "doc_id", threshold = 0.6)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val sets = corpus.collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").toSet).toMap
+    val expected = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      j = sets(a).intersect(sets(b)).size.toDouble / sets(a).union(sets(b)).size
+      if j >= 0.6
+    } yield ((a, b), BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toMap
+    assert(got == expected)
+  }
+
   test("funnel agrees with a brute-force per-user fold on random event logs") {
     val rnd = new scala.util.Random(23)
     val steps = Seq("s1", "s2", "s3")
