@@ -196,6 +196,32 @@ class OpsSpec extends AnyFunSuite {
     assert(bySize(0L) >= 2) // docs 0 and 1 identical -> same signature
   }
 
+  test("embedding-cosine grid dedup equals an in-memory brute force at sf0.001") {
+    // guards the (i <= j) cell-grid pair coverage: every same-label pair
+    // exactly once, none lost, none doubled, orientation-invariant cos
+    val got = SparkEntry.queries("dedup_embedding_cosine")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val rows = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.get(1), r.getSeq[Float](2).toArray))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    // same rounding as Spark's round(): BigDecimal.valueOf + HALF_UP
+    def r6(d: Double): Double =
+      java.math.BigDecimal.valueOf(d).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val expected = (for {
+      (ia, la, va) <- rows; (ib, lb, vb) <- rows
+      if la == lb && ia < ib
+      cos = r6(dot(va, vb) / (math.sqrt(dot(va, va)) * math.sqrt(dot(vb, vb))))
+      if cos >= 0.2
+    } yield (ia, ib) -> cos).toMap
+    assert(got.size == expected.size)
+    assert(got == expected)
+  }
+
   test("brute-force knn returns k nearest by cosine with self excluded") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f)), (1L, Array(0.9f, 0.1f, 0f)),
