@@ -2536,6 +2536,40 @@ object Queries {
       .orderBy("doc_id", "rk")
   }
 
+  q("text_bm25_topk",
+    // BM25 retrieval with exact integer fixed-point scoring (rational
+    // idf surrogate, ln-free — see TextAnalysis.bm25TopK): with k1=6/5,
+    // b=3/4 the whole per-term score is two truncating integer
+    // divisions, so DuckDB replays it bit-for-bit
+    s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+       |stats AS (SELECT COUNT(DISTINCT doc_id) AS n, COUNT(*) AS t FROM toks),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+       |qt AS (SELECT * FROM (VALUES
+       |  ('q_analytics', 'query'), ('q_analytics', 'filter'), ('q_analytics', 'join'),
+       |  ('q_streaming', 'stream'), ('q_streaming', 'window'), ('q_streaming', 'scan'),
+       |  ('q_physical', 'hash'), ('q_physical', 'merge'), ('q_physical', 'sort'),
+       |  ('q_physical', 'table')) AS v(query_id, tok)),
+       |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+       |  WHERE tok IN (SELECT tok FROM qt) GROUP BY 1, 2),
+       |dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+       |scored AS (SELECT qt.query_id, tf.doc_id,
+       |  CAST(SUM(((2 * (s.n - dfq.df) + 1) * 1000000 // (2 * dfq.df + 1))
+       |    * ((22 * s.t * tf.tf * 1000000) // (10 * s.t * tf.tf + 3 * s.t + 9 * dl.dl * s.n)))
+       |    AS BIGINT) AS score_fp
+       |  FROM qt JOIN tf USING (tok) JOIN dfq USING (tok)
+       |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s GROUP BY 1, 2)
+       |SELECT query_id, CAST(rnk AS INT) AS rnk, doc_id, score_fp
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |  ORDER BY score_fp DESC, doc_id) AS rnk FROM scored)
+       |WHERE rnk <= 10 ORDER BY query_id, rnk"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    TextAnalysis.bm25TopK(tbl(s, dir, "documents"), Seq(
+        "q_analytics" -> "query filter join",
+        "q_streaming" -> "stream window scan",
+        "q_physical" -> "hash merge sort table"), k = 10)
+      .orderBy("query_id", "rnk")
+  }
+
   q("q_sketch_cms", {
     def hp(r: String, tok: String) =
       s"('0x' || substr(md5(CAST($r AS VARCHAR) || '|' || $tok), 1, 15))::BIGINT % 256"

@@ -320,6 +320,66 @@ object TextAnalysis {
           / size(col("ps")) * 1e6 + 0.5) / 1e6).as("lm_score"))
   }
 
+  /** BM25 top-k retrieval with EXACT integer fixed-point scoring.
+    *
+    * Classic BM25 (k1 = 1.2, b = 3/4) with one deliberate, documented
+    * substitution: the idf factor is Robertson's argument
+    * `(N - df + 0.5) / (df + 0.5)` used directly (scaled 1e6, truncating
+    * division) instead of its ln — the same trade `bigramLmScore` makes
+    * to stay log-free. Per-term document ranking is identical (exp is
+    * monotone); across terms the weighting skews further toward rare
+    * terms than ln-idf. In exchange every score is a 64-bit integer
+    * computed with one fixed sequence of exact operations, so a DuckDB
+    * oracle reproduces it bit-for-bit; no cross-engine libm ln drift.
+    *
+    * With b = 3/4 and k1 = 6/5 the tf saturation term reduces to the
+    * all-integer form `22·T·tf / (10·T·tf + 3·T + 9·dl·N)` (T = total
+    * corpus tokens, N = docs, dl = doc length): multiply out
+    * `tf·(k1+1) / (tf + k1·(1 - b + b·dl·N/T))` by `10T/10T`. Scaled
+    * magnitudes stay under 2^63 up to corpora of ~1e12 tokens × tf 1e3.
+    *
+    * Scale shape: the token scan is filtered to query terms BEFORE the
+    * tf aggregation (predicate reaches the parquet scan), df comes from
+    * the already-filtered tf frame, and corpus stats are a two-long
+    * aggregate joined as a broadcast literal row. The only full-corpus
+    * shuffle is the per-doc length aggregate; top-k is a rank window the
+    * optimizer group-limits map-side.
+    */
+  def bm25TopK(docs: DataFrame, queries: Seq[(String, String)], k: Int = 10,
+               textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qterms = queries.flatMap { case (qid, text) =>
+      text.trim.split("\\s+").distinct.toSeq.map(t => (qid, t))
+    }.toDF("query_id", "tok")
+    val allTerms = queries.flatMap(_._2.trim.split("\\s+")).distinct
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("tok"))
+    // per-doc lengths are |docs| rows — checkpointing them pins the full
+    // corpus to TWO scans (lengths + query-term tf); without it each of
+    // the dl consumers (score join, corpus stats) re-scans the corpus
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl")).localCheckpoint()
+    // corpus stats re-aggregate the per-doc lengths — no third corpus scan
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
+    val tf = toks.filter(col("tok").isin(allTerms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(qterms), "tok")
+      .join(broadcast(dfreq), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        (expr("(2 * (n - df) + 1) * 1000000L div (2 * df + 1)") *
+          expr("22L * t * tf * 1000000L div (10L * t * tf + 3L * t + 9L * dl * n)"))
+          .as("term_fp"))
+      .groupBy("query_id", "doc_id").agg(sum("term_fp").as("score_fp"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_fp").desc, col("doc_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("doc_id"), col("score_fp"))
+  }
+
   def tfidfTopK(docs: DataFrame, k: Int = 3, textCol: String = "text",
                 idCol: String = "doc_id"): DataFrame = {
     val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))

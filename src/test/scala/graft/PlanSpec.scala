@@ -314,6 +314,17 @@ class PlanSpec extends AnyFunSuite {
       plan.take(1500))
   }
 
+  test("bm25: two corpus scans, broadcast stats/terms, map-side top-k") {
+    val plan = planOf("text_bm25_topk")
+    // dl is checkpointed, so the corpus is scanned exactly twice
+    // (per-doc lengths + query-term tf); stats/query-terms/df broadcast
+    assert(plan.linesIterator.count(_.contains("FileScan parquet")) <= 2, plan.take(2000))
+    assert(plan.contains("WindowGroupLimit"), plan.take(1500))
+    // the one-row stats frame enters as a broadcast cross join — fine;
+    // an unbroadcast cartesian anywhere is not
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
   test("fuzzy join: the variant self-join is shuffle-hash, never broadcast") {
     val plan = planOf("q_fuzzy_join")
     // Spark's size estimator can't see the deletion-variant explode
