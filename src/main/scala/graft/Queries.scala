@@ -2035,6 +2035,15 @@ object Queries {
       .orderBy("q_id", "n_id")
   }
 
+  q("knn_hard_negatives", knnOracleSql("q_label != n_label")) { (s, dir) =>
+    // contrastive-training hard negatives: most-similar DIFFERENT-label
+    // vectors; label mismatch implies id mismatch, so the oracle's only
+    // condition is the label inequality
+    val emb = tbl(s, dir, "embeddings")
+    Similarity.hardNegativeKnn(emb, emb.filter(col("vec_id") < 10), k = 5)
+      .orderBy("q_id", "n_id")
+  }
+
   q("knn_cosine_ivf", knnOracleSql("q_label = n_label AND q_id != n_id")) { (s, dir) =>
     val emb = tbl(s, dir, "embeddings")
     Similarity.ivfKnn(emb, emb.filter(col("vec_id") < 10), k = 5, cellCol = "label")

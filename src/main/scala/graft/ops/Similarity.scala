@@ -67,6 +67,30 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
   }
 
+  /** Hard-negative mining for contrastive training data: each query's
+    * top-k most similar vectors with a DIFFERENT label — the highest-
+    * value negatives are the ones the embedding currently confuses.
+    * Same scan shape as bruteForceKnn (queries broadcast, corpus spread
+    * across the shuffle width, map-side group-limited top-k); the label
+    * mismatch is the join predicate, so same-label vectors never leave
+    * the scan.
+    */
+  def hardNegativeKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+                      labelCol: String = "label", idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      l2Norm(col(vecCol)).as("q_norm"), col(labelCol).as("q_label")))
+    val c = spreadForScan(corpus).select(col(idCol).as("n_id"),
+      col(vecCol).as("n_vec"), l2Norm(col(vecCol)).as("n_norm"),
+      col(labelCol).as("n_label"))
+    val scored = q.join(c, col("q_label") =!= col("n_label"))
+      .select(col("q_id"), col("n_id"),
+        round(cosineHoisted(col("q_vec"), col("n_vec"), col("q_norm"), col("n_norm")), 6)
+          .as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+  }
+
   /** Random-hyperplane LSH bucket id: `planes` sign bits packed into a
     * long. Hyperplanes are plan-time literal arrays (seeded, deterministic
     * across runs and engines), so each sign bit is one fused
