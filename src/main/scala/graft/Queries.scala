@@ -4284,13 +4284,13 @@ object Queries {
          |      i -> u[i] || ' ' || u[i+1])) AS pair FROM w${k - 1})
          |  GROUP BY pair ORDER BY n DESC, pair LIMIT 1),
          |m$k AS (SELECT split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b FROM b$k),
-         |w$k AS (SELECT freq, list_reduce(list_transform(u, s -> [s]),
+         |w$k AS (SELECT w, freq, list_reduce(list_transform(u, s -> [s]),
          |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.a AND x[1] = m.b
          |      THEN acc[1:-2] || [acc[-1] || x[1]] ELSE acc || x END) AS u
          |  FROM w${k - 1} LEFT JOIN m$k m ON TRUE)""".stripMargin
     s"""words AS (SELECT w, COUNT(*) AS freq FROM
        |    (SELECT unnest($toksSql) AS w FROM documents) GROUP BY w),
-       |w0 AS (SELECT freq, list_transform(range(1, length(w) + 1),
+       |w0 AS (SELECT w, freq, list_transform(range(1, length(w) + 1),
        |    i -> substring(w, CAST(i AS INT), 1)) AS u
        |  FROM words WHERE length(w) >= 2),
        |${(1 to rounds).map(round).mkString(",\n")}""".stripMargin
@@ -4319,6 +4319,29 @@ object Queries {
       .stripMargin.replace("\n", " ")) { (s, dir) =>
     TextAnalysis.bpeVocab(tbl(s, dir, "documents"), "text", rounds = 6)
       .orderBy(col("n").desc, col("unit")).limit(20)
+  }
+
+  q("text_bpe_encode",
+    // per-DOCUMENT encoding with the 6 corpus-trained merges: each
+    // distinct word encodes once in the unit table (w6), documents join
+    // their tokens against it and reassemble in position order — the
+    // oracle replays training through the same CTE chain, then encodes
+    s"""WITH ${bpeCtes(6)},
+       |t AS (SELECT doc_id, $toksSql AS ws FROM documents WHERE doc_id < 50),
+       |dt AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+       |    i -> {'pos': i, 'w': ws[i]})) AS s FROM t),
+       |p AS (SELECT doc_id, s.pos AS pos, s.w AS w FROM dt),
+       |enc AS (SELECT p.doc_id, p.pos, COALESCE(w6.u, [p.w]) AS u
+       |  FROM p LEFT JOIN w6 ON p.w = w6.w),
+       |agg AS (SELECT doc_id, flatten(list(u ORDER BY pos)) AS units
+       |  FROM enc GROUP BY doc_id)
+       |SELECT doc_id, CAST(len(units) AS INT) AS n_units,
+       |  array_to_string(units, ' ') AS encoded
+       |FROM agg ORDER BY doc_id"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    TextAnalysis.bpeEncode(tbl(s, dir, "documents"), "text", "doc_id", rounds = 6)
+      .filter(col("doc_id") < 50)
+      .orderBy("doc_id")
   }
 
   q("text_lm_score",

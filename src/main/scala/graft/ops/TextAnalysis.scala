@@ -190,7 +190,7 @@ object TextAnalysis {
     docs.select(explode(tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .filter(length(col("w")) >= 2)
-      .select(col("freq"),
+      .select(col("w"), col("freq"),
         transform(sequence(lit(1), length(col("w"))),
           i => col("w").substr(i, lit(1))).as("u"))
       .localCheckpoint() // per-round lineage truncation (iterative rule)
@@ -201,7 +201,7 @@ object TextAnalysis {
     * mirrors exactly this fold).
     */
   private def applyMerge(units: DataFrame, a: String, b: String): DataFrame =
-    units.select(col("freq"),
+    units.select(col("w"), col("freq"),
         aggregate(col("u"), array().cast("array<string>"), (acc, x) =>
           when(size(acc) > 0 &&
               element_at(acc, -1) === lit(a) && x === lit(b),
@@ -278,6 +278,34 @@ object TextAnalysis {
   private def unitFrequencies(units: DataFrame): DataFrame =
     units.select(col("freq"), explode(col("u")).as("unit"))
       .groupBy("unit").agg(sum("freq").as("n"))
+
+  /** Per-DOCUMENT BPE encoding with corpus-trained merges — the apply
+    * half at document granularity: each document's token stream becomes
+    * its subword-unit sequence.
+    *
+    * Scale shape: merges train once (driver traffic = one row per
+    * round); each DISTINCT word encodes once in the vocabulary-sized
+    * unit table, and documents join their tokens against it broadcast —
+    * the per-doc work is a join plus a position-ordered reassembly, never
+    * a per-document merge loop. Words under 2 chars (excluded from
+    * training) encode as themselves via the left join's coalesce.
+    * Reassembly sorts each doc's OWN (pos, units) structs — deterministic
+    * regardless of partition order.
+    */
+  def bpeEncode(docs: DataFrame, textCol: String, idCol: String,
+                rounds: Int): DataFrame = {
+    val units = bpeLoop(docs, textCol, rounds)._2.select(col("w"), col("u"))
+    val dtoks = docs.select(col(idCol).as("doc_id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
+    dtoks.join(broadcast(units), Seq("w"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("u"), array(col("w"))).as("u"))
+      .groupBy("doc_id")
+      .agg(flatten(transform(sort_array(collect_list(struct(col("pos"), col("u")))),
+        s => s.getField("u"))).as("units"))
+      .select(col("doc_id"), size(col("units")).as("n_units"),
+        array_join(col("units"), " ").as("encoded"))
+  }
 
   /** Corpus-trained bigram LM quality score (the CCNet-style statistical
     * filter): train bigram/unigram counts on the corpus itself, then
