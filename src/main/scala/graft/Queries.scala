@@ -3396,14 +3396,14 @@ object Queries {
         col("active").isNull, 1L).otherwise(0L)).as("n_nulls"))
   }
 
-  q("knn_cosine_lsh", {
-    // The seeded hyperplanes embed as exact double literals: the Spark
-    // kernel computes (double)vec[i] * (double)plane[i], and
-    // Double.toString round-trips through DuckDB's decimal parser to the
-    // identical double, so bucket bits (and therefore candidate sets)
-    // agree bit-for-bit.
-    val dim = 64
-    val bucketExpr = Similarity.hyperplanes(dim, planes = 4).zipWithIndex
+  /** The seeded hyperplanes embed as exact double literals: the Spark
+    * kernel computes (double)vec[i] * (double)plane[i], and
+    * Double.toString round-trips through DuckDB's decimal parser to the
+    * identical double, so bucket bits (and therefore candidate sets)
+    * agree bit-for-bit.
+    */
+  private def lshBucketSql(dim: Int, planes: Int): String =
+    Similarity.hyperplanes(dim, planes).zipWithIndex
       .map { case (plane, p) =>
         val lit = plane.map(f => java.lang.Double.toString(f.toDouble))
           .mkString("[", ",", "]")
@@ -3411,6 +3411,9 @@ object Queries {
           s"i -> CAST(embedding[i] AS DOUBLE) * ($lit)[i])) >= 0 " +
           s"THEN ${1L << p} ELSE 0 END)"
       }.mkString(" + ")
+
+  q("knn_cosine_lsh", {
+    val bucketExpr = lshBucketSql(dim = 64, planes = 4)
     s"""WITH e AS (SELECT vec_id, embedding,
        |  sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
        |    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm,
@@ -3430,6 +3433,41 @@ object Queries {
     val emb = tbl(s, dir, "embeddings")
     Similarity.lshKnn(emb, emb.filter(col("vec_id") < 10), k = 5, dim = 64, planes = 4)
       .orderBy("q_id", "n_id")
+  }
+
+  q("stream_embedding_dedup", {
+    // ingest-time near-dup VECTOR filter: embeddings land twice (replay)
+    // and the stream keeps one survivor per LSH bucket within the
+    // watermark. The emitted BUCKET set is arrival-order-invariant (which
+    // physical row survives is not), so the oracle is the distinct bucket
+    // set of the corpus landed once, with the plan-time literal planes
+    // replayed in SQL.
+    val bucketExpr = lshBucketSql(dim = 64, planes = 4)
+    s"""WITH e AS (SELECT CAST($bucketExpr AS BIGINT) AS bucket FROM embeddings)
+       |SELECT bucket FROM e GROUP BY 1 ORDER BY 1"""
+      .stripMargin.replace("\n", " ")
+  }) { (s, dir) =>
+    val emb = tbl(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val landing = cachedLanding(s"embdedup:$dir") { d =>
+      emb.write.mode("append").parquet(d)
+      emb.write.mode("append").parquet(d) // the replayed batch
+    }
+    // +1 day / mod 1800: same epoch-clamp + span bounds as stream_dedup
+    val src = s.readStream.schema(emb.schema).parquet(landing)
+      .withColumn("ts",
+        timestamp_micros((lit(86400L) + col("vec_id") % 1800L) * 1000000L))
+    val qname = "graft_stream_embedding_dedup"
+    withShufflePartitions(s, 4) {
+      val query = graft.streaming.Streams
+        .dedupVectorStream(src, "embedding", "ts", dim = 64, planes = 4)
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      try query.processAllAvailable() finally query.stop()
+    }
+    // no distinct(): the span (30 min) is inside the horizon (1 h), so the
+    // stream itself must emit each bucket exactly once — a dedup failure
+    // should fail the oracle hash, not be masked here
+    s.table(qname).select(col("__bucket").as("bucket")).orderBy("bucket")
   }
 
   q("stream_events_hourly",

@@ -175,6 +175,23 @@ object Streams {
       .dropDuplicatesWithinWatermark("__digest")
       .drop("__digest")
 
+  /** Streaming near-dup VECTOR filter: drop embeddings whose LSH bucket
+    * already produced a survivor within the watermark horizon — the
+    * ingest-time analogue of the batch embedding-cosine dedup, with the
+    * same random-hyperplane bucket as the batch lshKnn (seeded, plan-time
+    * literal planes, so the bucket is deterministic across engines and
+    * runs). State is one row per occupied bucket, watermark-evicted;
+    * ingest-scale by construction. The periodic batch pass catches
+    * cross-horizon and cross-bucket near-dups.
+    */
+  def dedupVectorStream(vecs: DataFrame, vecCol: String, tsCol: String,
+                        dim: Int, planes: Int = 4,
+                        watermark: String = "1 hour"): DataFrame =
+    vecs.withColumn("__bucket",
+        graft.ops.Similarity.lshBucket(col(vecCol), dim, planes))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__bucket")
+
   final case class SessionState(nEvents: Long, lastTsMicros: Long)
   final case class SessionOut(user_id: Long, n_events: Long, last_ts_micros: Long)
 
