@@ -2754,6 +2754,25 @@ object Queries {
       .orderBy("split", "lang")
   }
 
+  q("q_split_token_tv",
+    // split-skew audit: total-variation distance between train/rest
+    // unigram distributions, exact-integer numerator over the common
+    // denominator, one IEEE division at the end (see Eval.splitTokenTv)
+    s"""WITH s AS (SELECT doc_id, text,
+       |  CASE WHEN ${md5Hash60Sql("doc_id")} % 100 < 80 THEN 'train'
+       |       ELSE 'rest' END AS split FROM documents),
+       |t AS (SELECT split, unnest($toksSql) AS tok FROM s),
+       |c AS (SELECT tok, SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS c,
+       |  SUM(CASE WHEN split <> 'train' THEN 1 ELSE 0 END) AS d FROM t GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t1, CAST(SUM(d) AS BIGINT) AS t2 FROM c),
+       |n AS (SELECT CAST(SUM(abs(c * t2 - d * t1)) AS BIGINT) AS tv_num
+       |  FROM c CROSS JOIN tot)
+       |SELECT t1 AS n_train_toks, t2 AS n_rest_toks,
+       |  round(CAST(tv_num AS DOUBLE) / (2.0 * t1 * t2), 6) AS tv
+       |FROM n CROSS JOIN tot""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    Eval.splitTokenTv(tbl(s, dir, "documents"), "text", "doc_id", trainCut = 80)
+  }
+
   q("q_sample_stratified",
     s"""SELECT lang, rn, doc_id FROM (
        |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang

@@ -58,4 +58,32 @@ object Eval {
         round((col("hit") / col("nn") - col("sum_prod") / (col("nn") * col("nn")))
           / (lit(1.0) - col("sum_prod") / (col("nn") * col("nn"))), 6).as("kappa"))
   }
+
+  /** Total-variation distance between the token distributions of a
+    * deterministic train/rest split — the leakage/skew audit that a split
+    * didn't bias the unigram distribution. TV = ½·Σ|p_i − q_i| computed
+    * in EXACT integers (Σ|c_i·T₂ − d_i·T₁| over the common denominator
+    * T₁·T₂), collapsed to a double by one IEEE division at the end — no
+    * per-term float accumulation, so the number is bit-identical in any
+    * engine. One token-count shuffle (vocabulary-sized), then constant
+    * rows; products stay under 2^63 up to ~10^9-token corpora per side,
+    * with DECIMAL(38) the documented upgrade path beyond.
+    */
+  def splitTokenTv(docs: DataFrame, textCol: String, idCol: String,
+                   trainCut: Int = 80): DataFrame = {
+    val labeled = Pipeline.splitAssign(docs, idCol, Seq(trainCut),
+      Seq("train", "rest"))
+    val toks = labeled.select(col("split"),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    val counts = toks.groupBy("tok").agg(
+      sum(when(col("split") === "train", 1L).otherwise(0L)).as("c"),
+      sum(when(col("split") =!= "train", 1L).otherwise(0L)).as("d"))
+    val totals = counts.agg(sum("c").as("t1"), sum("d").as("t2"))
+    counts.crossJoin(broadcast(totals))
+      .agg(first(col("t1")).as("n_train_toks"), first(col("t2")).as("n_rest_toks"),
+        sum(abs(col("c") * col("t2") - col("d") * col("t1"))).as("tv_num"))
+      .select(col("n_train_toks"), col("n_rest_toks"),
+        round(col("tv_num").cast("double") /
+          (lit(2.0) * col("n_train_toks") * col("n_rest_toks")), 6).as("tv"))
+  }
 }
