@@ -120,23 +120,27 @@ object HashKernels {
     * titles, codes); long-text similarity belongs to the n-gram/minhash
     * family instead.
     *
-    * Variant hash = 64-bit wraparound polynomial over chars with the
-    * variant's length mixed into a murmur finalizer (so same-polynomial
-    * different-length strings cannot collide structurally). Deletions are
-    * CHAR-level, the same unit as Spark's levenshtein.
+    * Variant hash = 64-bit wraparound polynomial over CODE POINTS with
+    * the variant's length mixed into a murmur finalizer (so
+    * same-polynomial different-length strings cannot collide
+    * structurally). Deletions are code-point-level — the same unit
+    * Spark's levenshtein counts — so the no-false-negative guarantee
+    * holds for supplementary-plane characters too (a UTF-16 char-level
+    * deletion would need 2 units to remove one astral character and the
+    * candidate would be silently lost).
     */
   def deletionVariantHashes(input: UTF8String, maxDel: Int): ArrayData = {
-    val s = input.toString
-    val l = s.length
+    val cps = input.toString.codePoints().toArray
+    val l = cps.length
     val B = 0x100000001b3L // FNV-1a prime; any odd 64-bit constant works
-    // P(t) = polynomial hash of s[0,t); pow(t) = B^t (mod 2^64)
+    // P(t) = polynomial hash of cps[0,t); pow(t) = B^t (mod 2^64)
     val p = new Array[Long](l + 1)
     val pow = new Array[Long](l + 1)
     p(0) = 0xcbf29ce484222325L
     pow(0) = 1L
     var t = 0
     while (t < l) {
-      p(t + 1) = p(t) * B + s.charAt(t)
+      p(t + 1) = p(t) * B + cps(t)
       pow(t + 1) = pow(t) * B
       t += 1
     }

@@ -356,8 +356,9 @@ object Dedup {
     // it splinters hot band buckets by the REST of the signature: on the
     // synthetic corpus (correlated bits, every signature distinct) the
     // candidate mass drops 27.0M -> 2.65M at sf1 for 4x the key rows.
+    // nSub = bands, so the sub-band pigeonhole is covered by the require
+    // above (maxHamming <= bands-1)
     val nSub = bands
-    require(maxHamming <= nSub - 1, "sub-band pigeonhole needs maxHamming <= bands-1")
     val compBits = (bands - 1) * bandBits
     val subBits = (compBits + nSub - 1) / nSub
     val subMask = (1L << subBits) - 1
@@ -413,7 +414,8 @@ object Dedup {
     // masks (duplicate-heavy corpora collapse hard), and multiplicity
     // expansion restores doc pairs. Both paths are exact; PPJoin remains
     // the path for real vocabularies, where its filters do the work.
-    if (dfq.count() <= 64) return smallUniverseJaccardPairs(st, threshold)
+    if (dfq.count() <= 64)
+      return smallUniverseJaccardPairs(st, dfq.select("tok"), threshold)
     val w = Window.partitionBy("doc_id").orderBy("df", "tok")
     val wn = Window.partitionBy("doc_id")
     val rk = st.join(dfq, "tok")
@@ -484,8 +486,12 @@ object Dedup {
     * dedup) so no shuffle key is hotter than a grid cell; doc pairs are
     * restored by multiplicity expansion, which is output-bounded work.
     */
-  private def smallUniverseJaccardPairs(st: DataFrame, threshold: Double): DataFrame = {
-    val bits = st.select("tok").distinct().select(col("tok"),
+  private def smallUniverseJaccardPairs(st: DataFrame, vocab: DataFrame,
+                                        threshold: Double): DataFrame = {
+    // vocab is the caller's already-aggregated distinct-token frame (the
+    // <=64 gate read it) — re-deriving it here would re-shuffle the
+    // corpus-sized token stream
+    val bits = vocab.select(col("tok"),
       (row_number().over(Window.orderBy("tok")) - 1).as("bit")) // <= 64 rows
     val masks = st.join(broadcast(bits), "tok").groupBy("doc_id")
       .agg(sum(expr("shiftleft(cast(1 as bigint), bit)")).as("mask"))

@@ -17,9 +17,14 @@ import org.apache.spark.sql.functions._
   * values per column in one group-aggregate. Distinct counts are over
   * the STRING rendering of each value, chosen injective per type: binary
   * columns render as base64 (a plain string cast would collapse distinct
-  * byte strings under UTF-8 replacement chars), and -0.0 floats/doubles
-  * are normalized to 0.0 before the cast so the count matches native
-  * countDistinct, which treats them equal. Never one job per column.
+  * byte strings under UTF-8 replacement chars), -0.0 floats/doubles are
+  * normalized to 0.0 before the cast so the count matches native
+  * countDistinct (which treats them equal), and arrays/structs render as
+  * JSON (the default cast erases element boundaries: Seq("a, b") and
+  * Seq("a", "b") both print "[a, b]"). Maps are the documented
+  * exception: neither the cast nor JSON is injective under entry-order
+  * variation, so map columns may over- or under-count distinct values.
+  * Never one job per column.
   * On empty input every column still gets its row (n_nonnull = 0,
   * n_distinct = 0, null min/max) — the empty-drop case is exactly what a
   * pre-flight exists to catch.
@@ -49,6 +54,15 @@ object Profile {
           // -0.0 === 0.0 in Spark comparisons; collapse before stringify.
           when(col(c) === 0, lit(0).cast(fieldType(c))).otherwise(col(c))
             .cast("string")
+        case Some(_: org.apache.spark.sql.types.ArrayType) |
+             Some(_: org.apache.spark.sql.types.StructType) =>
+          // the default string cast is NOT injective for nested types —
+          // Seq("a, b") and Seq("a", "b") both render "[a, b]"; JSON
+          // escaping keeps element boundaries (and base64-encodes nested
+          // binary). Maps are left to the default cast: JSON would also
+          // depend on entry order, so neither rendering is injective —
+          // the scaladoc documents the caveat.
+          to_json(col(c))
         case _ => col(c).cast("string")
       }
     }

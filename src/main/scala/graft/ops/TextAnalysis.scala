@@ -363,8 +363,13 @@ object TextAnalysis {
     * With b = 3/4 and k1 = 6/5 the tf saturation term reduces to the
     * all-integer form `22·T·tf / (10·T·tf + 3·T + 9·dl·N)` (T = total
     * corpus tokens, N = docs, dl = doc length): multiply out
-    * `tf·(k1+1) / (tf + k1·(1 - b + b·dl·N/T))` by `10T/10T`. Scaled
-    * magnitudes stay under 2^63 up to corpora of ~1e12 tokens × tf 1e3.
+    * `tf·(k1+1) / (tf + k1·(1 - b + b·dl·N/T))` by `10T/10T`.
+    * Overflow bounds (64-bit, ANSI mode aborts rather than wraps): the
+    * tf numerator `22·T·tf·1e6` needs `T·tf ≲ 4e11`, and the
+    * idf·tf-part product needs `N ≲ 6e6` docs at df = 1 — comfortable
+    * for the bench corpora, NOT for a 1e12-token corpus. Past that,
+    * switch the two scaled factors to DECIMAL(38,0) (both engines keep
+    * exact integer semantics; only the overflow headroom changes).
     *
     * Scale shape: the token scan is filtered to query terms BEFORE the
     * tf aggregation (predicate reaches the parquet scan), df comes from

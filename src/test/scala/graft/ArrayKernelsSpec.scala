@@ -92,16 +92,23 @@ class ArrayKernelsSpec extends AnyFunSuite {
 
   // slow reference: build each deletion variant STRING explicitly and hash
   // it directly (maxDel=0 yields just the whole-string hash) — the kernel's
-  // O(1)-per-variant prefix-polynomial arithmetic must agree exactly
+  // O(1)-per-variant prefix-polynomial arithmetic must agree exactly.
+  // Deletions are CODE-POINT-level, the unit Spark's levenshtein counts.
   private def directVariantHashes(s: String, maxDel: Int): Set[Long] = {
     import org.apache.spark.unsafe.types.UTF8String
     def h(v: String): Long = graft.functions.HashKernels
       .deletionVariantHashes(UTF8String.fromString(v), 0)
       .toLongArray().head
-    val dels1 = s.indices.map(i => s.substring(0, i) + s.substring(i + 1))
+    val cps = s.codePoints().toArray
+    def drop(idx: Int*): String = {
+      val sb = new java.lang.StringBuilder
+      cps.indices.filterNot(idx.contains).foreach(i => sb.appendCodePoint(cps(i)))
+      sb.toString
+    }
+    val dels1 = cps.indices.map(i => drop(i))
     val dels2 = for {
-      i <- s.indices; j <- s.indices if i < j
-    } yield s.substring(0, i) + s.substring(i + 1, j) + s.substring(j + 1)
+      i <- cps.indices; j <- cps.indices if i < j
+    } yield drop(i, j)
     (Seq(s) ++ (if (maxDel >= 1) dels1 else Nil) ++
       (if (maxDel >= 2) dels2 else Nil)).map(h).toSet
   }
@@ -142,6 +149,23 @@ class ArrayKernelsSpec extends AnyFunSuite {
         .deletionVariantHashes(UTF8String.fromString(b), 2).toLongArray().toSet
       assert(ha.intersect(hb).nonEmpty, s"'$a' vs '$b'")
     }
+  }
+
+  test("deletionVariantHashes counts deletions in code points like levenshtein") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // one astral (surrogate-pair) substitution = levenshtein 1 = one
+    // deletion from each side to a common string; a UTF-16 char-level
+    // kernel would need 2 deletions and silently lose the candidate
+    val a = "x𝄞y part"  // 𝄞
+    val b = "x😀y part"  // 😀
+    def hs(s: String) = graft.functions.HashKernels
+      .deletionVariantHashes(UTF8String.fromString(s), 1).toLongArray().toSet
+    assert(hs(a).intersect(hs(b)).nonEmpty)
+    // variant count follows code-point length, not char length
+    val l = a.codePointCount(0, a.length)
+    assert(graft.functions.HashKernels
+      .deletionVariantHashes(UTF8String.fromString(a), 2).toLongArray().length
+      == 1 + l + l * (l - 1) / 2)
   }
 
   test("deletionVariantHashes expression runs under codegen and is null-safe") {
