@@ -669,7 +669,11 @@ object Queries {
     // to shuffle-hash: Spark's size estimator doesn't see the explode
     // fan-out and would otherwise try to BROADCAST the exploded side
     // (observed: a 4.1 GiB broadcast build at sf1)
-    val variants = p.select(col("p_partkey"), col("blk"), col("p_brand"),
+    // spread the scan first: the ~100x variant explode otherwise runs at
+    // the input's split count (one small file = one task generating all
+    // 27M variant rows at sf1)
+    val variants = Similarity.spreadForScan(p)
+      .select(col("p_partkey"), col("blk"), col("p_brand"),
         explode(HashColumns.deletionVariantHashes(col("p_name"), 2)).as("vh"))
       .select(col("p_partkey"),
         xxhash64(col("vh"), col("blk"), col("p_brand")).as("h"))

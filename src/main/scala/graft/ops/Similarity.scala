@@ -43,7 +43,7 @@ object Similarity {
     * handful of tasks no matter how many executors exist. The exchange
     * moves |corpus| rows once — nothing at pair scale.
     */
-  private def spreadForScan(df: DataFrame): DataFrame =
+  def spreadForScan(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
 
   private def cosineHoisted(qVec: Column, nVec: Column,
