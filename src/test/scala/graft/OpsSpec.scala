@@ -357,6 +357,100 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe encode matches an in-memory train+encode reference") {
+    // the per-doc encode must agree with training the same merges in
+    // memory and fold-applying them to every document token in order —
+    // covers the position reassembly and the short-word coalesce path
+    def applyGreedy(u: Seq[String], a: String, b: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      for (x <- u) {
+        if (out.nonEmpty && out.last == a && x == b)
+          out(out.length - 1) = a + b
+        else out += x
+      }
+      out.toSeq
+    }
+    def refMerges(words: Seq[String], rounds: Int): Seq[(String, String)] = {
+      var units: Seq[(Seq[String], Long)] = words.groupBy(identity).toSeq
+        .collect { case (w, ws) if w.length >= 2 =>
+          w.map(_.toString) -> ws.size.toLong }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      for (_ <- 1 to rounds) {
+        val counts = scala.collection.mutable.Map.empty[String, Long]
+          .withDefaultValue(0L)
+        units.foreach { case (u, f) =>
+          u.iterator.sliding(2).withPartial(false).foreach { p =>
+            counts(s"${p.head} ${p.last}") += f
+          }
+        }
+        if (counts.nonEmpty) {
+          val (pair, _) = counts.toSeq.minBy { case (p, c) => (-c, p) }
+          val Array(a, b) = pair.split(" ", 2)
+          out += ((a, b))
+          units = units.map { case (u, f) => applyGreedy(u, a, b) -> f }
+        }
+      }
+      out.toSeq
+    }
+    def refEncode(word: String, merges: Seq[(String, String)]): Seq[String] =
+      if (word.length < 2) Seq(word)
+      else merges.foldLeft(word.map(_.toString): Seq[String]) {
+        case (u, (a, b)) => applyGreedy(u, a, b)
+      }
+    val rnd = new scala.util.Random(47)
+    val docs = (0L until 20L).map { id =>
+      (id, (1 to (1 + rnd.nextInt(6)))
+        .map(_ => (1 to (1 + rnd.nextInt(5))).map(_ => "abcd"(rnd.nextInt(4))).mkString)
+        .mkString(" "))
+    }
+    val got = TextAnalysis.bpeEncode(docs.toDF("doc_id", "text"), "text", "doc_id", rounds = 4)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+    val merges = refMerges(docs.flatMap(_._2.split(" ")), 4)
+    docs.foreach { case (id, text) =>
+      val units = text.split(" ").toSeq.flatMap(w => refEncode(w, merges))
+      assert(got(id) == ((units.size, units.mkString(" "))), s"doc $id '$text'")
+    }
+  }
+
+  test("bm25 ranks an obvious tiny corpus correctly with exact scores") {
+    // hand-checkable: doc 1 is saturated with the query term, doc 2 has
+    // one hit, doc 3 none; idf/tf fixed-point formulas recomputed inline
+    val docs = Seq((1L, "x x x y"), (2L, "x y y y"), (3L, "y y z z")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(docs, Seq("q" -> "x"), k = 3)
+      .orderBy("query_id", "rnk")
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    // N=3 docs, T=12 tokens, df(x)=2; dl=4 for all docs
+    val idf = (2L * (3 - 2) + 1) * 1000000L / (2 * 2 + 1)
+    def tfPart(tf: Long) = 22L * 12 * tf * 1000000L / (10L * 12 * tf + 3L * 12 + 9L * 4 * 3)
+    assert(got.toSeq == Seq(
+      (1, 1L, idf * tfPart(3)),
+      (2, 2L, idf * tfPart(1))))
+  }
+
+  test("split token tv is exact on a hand-computed corpus") {
+    // recompute the operator's own deterministic split, then fold the
+    // TV numerator by hand; 40 docs so both split sides are occupied
+    val toks = (1L to 40L).map(id =>
+      id -> Seq.fill((id % 3 + 1).toInt)(if (id % 2 == 0) "a" else "b")).toMap
+    val docs = toks.toSeq.map { case (id, ts) => (id, ts.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val split = Pipeline.splitAssign(docs, "doc_id", Seq(80), Seq("train", "rest"))
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (c, d) = (scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L),
+      scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L))
+    toks.foreach { case (id, ts) =>
+      ts.foreach(t => if (split(id) == "train") c(t) += 1 else d(t) += 1)
+    }
+    val t1 = c.values.sum; val t2 = d.values.sum
+    assert(t1 > 0 && t2 > 0, s"degenerate split: t1=$t1 t2=$t2")
+    val tvNum = (c.keySet ++ d.keySet).toSeq.map(t => math.abs(c(t) * t2 - d(t) * t1)).sum
+    val exp = java.math.BigDecimal.valueOf(tvNum.toDouble / (2.0 * t1 * t2))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val got = Eval.splitTokenTv(docs, "text", "doc_id", trainCut = 80).collect().head
+    assert((got.getLong(0), got.getLong(1)) == ((t1, t2)))
+    assert(got.getDouble(2) == exp)
+  }
+
   test("langid detects scripts and diacritics") {
     val got = Seq("hello world", "你好世界", "straße kaufen", "mañana señor")
       .toDF("text").select(TextAnalysis.langId($"text")).collect().map(_.getString(0))
