@@ -1771,6 +1771,26 @@ object Queries {
     Dedup.exact(tbl(s, dir, "documents"), "text", "doc_id").orderBy("keep_id")
   }
 
+  q("dedup_incremental",
+    // new-batch dedup against the already-kept corpus: batch self-dedup
+    // (min-id per digest) then bloom-prefiltered exact anti-join against
+    // the base digests — the base is never re-deduped or re-shuffled
+    // (see Pipeline.incrementalDedup)
+    """WITH base AS (SELECT md5(text) AS digest FROM documents WHERE doc_id % 10 < 8),
+      |inc AS (SELECT doc_id, md5(text) AS digest FROM documents WHERE doc_id % 10 >= 8),
+      |keep AS (SELECT doc_id, digest FROM (SELECT doc_id, digest,
+      |  MIN(doc_id) OVER (PARTITION BY digest) AS m FROM inc) WHERE doc_id = m)
+      |SELECT doc_id, digest FROM keep
+      |WHERE digest NOT IN (SELECT digest FROM base) ORDER BY doc_id"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val docs = tbl(s, dir, "documents")
+    Pipeline.incrementalDedup(
+        docs.filter(col("doc_id") % 10 < 8),
+        docs.filter(col("doc_id") % 10 >= 8), "text", "doc_id")
+      .select(col("doc_id"), col("__digest").as("digest"))
+      .orderBy("doc_id")
+  }
+
   q("dedup_ngram_jaccard",
     s"""WITH sh AS (SELECT doc_id, lang, floor(length(text) / 64.0) AS bucket,
        |  $shinglesSql AS s FROM documents)

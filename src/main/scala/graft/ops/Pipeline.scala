@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -283,5 +284,42 @@ object Pipeline {
           col(factKey).cast("long"))))
     fact.filter(probe)
       .join(dim.select(col(dimKey)).distinct(), col(factKey) === col(dimKey), "left_semi")
+  }
+
+  /** Incremental exact dedup — the curation shape a growing corpus
+    * actually runs: dedupe the INCOMING batch against itself (min-id
+    * survivor per content digest, a window min: one exchange) and
+    * against the already-kept BASE corpus, without ever re-deduping or
+    * re-shuffling the base. The base contributes (1) a driver-built
+    * bloom filter over hashed digests — a treeAggregate, no shuffle —
+    * that the batch probes map-side, and (2) an exact anti-join that
+    * only the bloom-POSITIVE slice pays, so false positives never drop
+    * a document and the result is exactly `batch-dedup MINUS base
+    * digests`. Bloom false-negative rate is zero by construction, so no
+    * duplicate can slip through. Base is scanned digest-only (pruned
+    * columns) twice; the batch — the small side in steady state — twice.
+    */
+  def incrementalDedup(base: DataFrame, incoming: DataFrame, textCol: String,
+                       idCol: String, expectedBaseRows: Long = 1000000L,
+                       fpp: Double = 0.03): DataFrame = {
+    val inDig = incoming.withColumn("__digest", md5(col(textCol)))
+    val w = Window.partitionBy("__digest")
+    val batchKeep = inDig.withColumn("__minid", min(col(idCol)).over(w))
+      .filter(col(idCol) === col("__minid")).drop("__minid")
+    val baseDig = base.select(md5(col(textCol)).as("__digest"))
+    val bloom = baseDig.select(xxhash64(col("__digest")).as("__k"))
+      .stat.bloomFilter("__k", expectedBaseRows, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val probe = org.apache.spark.sql.graftbridge.GraftBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          bos.toByteArray, org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.graftbridge.GraftBridge.expression(
+          xxhash64(col("__digest")))))
+    val sureNew = batchKeep.filter(!probe)
+    val confirmedNew = batchKeep.filter(probe)
+      .join(baseDig, Seq("__digest"), "left_anti")
+    sureNew.unionByName(confirmedNew)
   }
 }

@@ -451,6 +451,19 @@ class OpsSpec extends AnyFunSuite {
     assert(got.getDouble(2) == exp)
   }
 
+  test("incremental dedup drops base duplicates and keeps min-id batch survivors") {
+    val base = Seq((1L, "alpha text"), (2L, "beta text")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "beta text"),   // exact dup of base -> dropped (bloom-positive, confirmed)
+      (11L, "gamma text"),  // new -> kept
+      (12L, "gamma text"),  // batch-internal dup -> dropped (min-id 11 survives)
+      (13L, "delta text")   // new -> kept
+    ).toDF("doc_id", "text")
+    val got = Pipeline.incrementalDedup(base, incoming, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(11L, 13L))
+  }
+
   test("langid detects scripts and diacritics") {
     val got = Seq("hello world", "你好世界", "straße kaufen", "mañana señor")
       .toDF("text").select(TextAnalysis.langId($"text")).collect().map(_.getString(0))
