@@ -1837,6 +1837,41 @@ object Queries {
       .stripMargin.replace("\n", " ")
   }
 
+  q("dedup_incremental_minhash", {
+    // near-dup incremental filter: incoming (doc_id%10>=8) dropped when
+    // an LSH band collides with a base doc AND exact jaccard >= 0.5 —
+    // same sig/band/verify replay as minhashPairsCtes, across the split
+    val k = 9 // bands * rows
+    val sigEntries = (0 until k)
+      .map(i => "list_min(list_transform(s, t -> " +
+        "('0x' || substr(md5(t), 1, 15))::BIGINT + " +
+        s"$i * ('0x' || substr(md5(t), 16, 14))::BIGINT))").mkString(", ")
+    val bandSelects = (0 until 3).map { b =>
+      val parts = (1 to 3).map(r => s"sig[${b * 3 + r}]::VARCHAR").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($parts) AS digest FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH sh AS (SELECT doc_id, $shinglesSql AS s FROM documents),
+       |sig AS (SELECT doc_id, s, [$sigEntries] AS sig FROM sh),
+       |bands AS ($bandSelects),
+       |cand AS (SELECT DISTINCT i.doc_id AS i_id, b.doc_id AS b_id
+       |  FROM bands i JOIN bands b ON i.band = b.band AND i.digest = b.digest
+       |  WHERE i.doc_id % 10 >= 8 AND b.doc_id % 10 < 8),
+       |cont AS (SELECT DISTINCT i_id FROM (SELECT i_id,
+       |  round(len(list_intersect(x.s, y.s))::DOUBLE /
+       |        len(list_distinct(list_concat(x.s, y.s))), 6) AS jac
+       |  FROM cand JOIN sh x ON x.doc_id = i_id JOIN sh y ON y.doc_id = b_id)
+       |  WHERE jac >= 0.5)
+       |SELECT doc_id FROM documents WHERE doc_id % 10 >= 8
+       |  AND doc_id NOT IN (SELECT i_id FROM cont) ORDER BY doc_id"""
+      .stripMargin.replace("\n", " ")
+  }) { (s, dir) =>
+    val docs = tbl(s, dir, "documents")
+    Dedup.incrementalMinhash(
+        docs.filter(col("doc_id") % 10 < 8),
+        docs.filter(col("doc_id") % 10 >= 8), "text", "doc_id")
+      .select("doc_id").orderBy("doc_id")
+  }
+
   q("dedup_prefix_jaccard",
     // exact similarity join via PPJoin-style prefix filtering: candidates
     // key on each set's rarest tokens (df-ascending order), so posting-

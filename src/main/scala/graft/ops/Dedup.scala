@@ -68,18 +68,15 @@ object Dedup {
     * documents) are bounded by the band digest's 128-bit spread; AQE's
     * skew-join handles the rest.
     */
-  def minhashLsh(df: DataFrame, textCol: String, idCol: String,
-                 shingleN: Int = 3, bands: Int = 3, rows: Int = 3,
-                 threshold: Double = 0.5): DataFrame = {
-    // Shingling and the k-minhash signature feed three consumers (band
-    // self-join + both verification joins); materialize them once instead
-    // of letting projection collapse recompute the md5 pyramid per use.
-    // localCheckpoint is eager (each scan reads materialized blocks, never
-    // the md5 upstream), truncates lineage, and — unlike catalog .cache()
-    // — is released by the ContextCleaner when the result is dropped, so
-    // library use in a long-lived session doesn't accumulate storage
-    // (ADVICE r1). At cluster scale this becomes a reliable checkpoint —
-    // the plan shape is the same.
+  /** Shared LSH prep: the shingle frame (with sorted xxhash64 shingle
+    * hashes for exact verification) and the banded signature rows.
+    * Both are localCheckpointed: each feeds several consumers, and
+    * projection collapse would otherwise recompute the md5 pyramid per
+    * use (see the minhashLsh scaladoc for the full rationale).
+    */
+  private def shingleBands(df: DataFrame, textCol: String, idCol: String,
+                           shingleN: Int, bands: Int,
+                           rows: Int): (DataFrame, DataFrame) = {
     val sh = df.select(col(idCol).as("doc_id"),
       TextAnalysis.shingles(col(textCol), shingleN).as("s"))
       .withColumn("sx", sort_array(transform(col("s"), s => xxhash64(s))))
@@ -94,6 +91,22 @@ object Dedup {
         b => md5(concat_ws("|",
           slice(col("sig"), b * rows + 1, lit(rows)).cast("array<string>")))))
         .as(Seq("band", "digest"))).localCheckpoint()
+    (sh, bandRows)
+  }
+
+  def minhashLsh(df: DataFrame, textCol: String, idCol: String,
+                 shingleN: Int = 3, bands: Int = 3, rows: Int = 3,
+                 threshold: Double = 0.5): DataFrame = {
+    // Shingling and the k-minhash signature feed three consumers (band
+    // self-join + both verification joins); materialize them once instead
+    // of letting projection collapse recompute the md5 pyramid per use.
+    // localCheckpoint is eager (each scan reads materialized blocks, never
+    // the md5 upstream), truncates lineage, and — unlike catalog .cache()
+    // — is released by the ContextCleaner when the result is dropped, so
+    // library use in a long-lived session doesn't accumulate storage
+    // (ADVICE r1). At cluster scale this becomes a reliable checkpoint —
+    // the plan shape is the same.
+    val (sh, bandRows) = shingleBands(df, textCol, idCol, shingleN, bands, rows)
     val cand = bandRows.as("a")
       .join(bandRows.as("b"),
         col("a.band") === col("b.band") && col("a.digest") === col("b.digest") &&
@@ -111,6 +124,43 @@ object Dedup {
         round(col("__i").cast("double") / (col("__na") + col("__nb") - col("__i")), 6)
           .as("jac"))
       .filter(col("jac") >= threshold)
+  }
+
+  /** Incremental NEAR-dup filter: drop incoming docs whose MinHash band
+    * digest collides with any already-kept BASE doc's band AND whose
+    * exact shingle jaccard against that doc reaches the threshold —
+    * minhashLsh's candidates-then-verify contract, applied across a
+    * base/incoming split instead of pairwise within one corpus. The base
+    * is banded once (digest rows, never pairwise), incoming probes it
+    * with an equi-join on (band, digest), and only colliding pairs pay
+    * the exact verification. Returns the SURVIVING incoming rows with
+    * their original columns. Same recall contract as minhashLsh: a
+    * near-dup pair missed by every band is missed here too (LSH
+    * probability, tunable via bands×rows), while the exact verify means
+    * band collisions alone never drop a document.
+    */
+  def incrementalMinhash(base: DataFrame, incoming: DataFrame,
+                         textCol: String, idCol: String, shingleN: Int = 3,
+                         bands: Int = 3, rows: Int = 3,
+                         threshold: Double = 0.5): DataFrame = {
+    val (shB, bandB) = shingleBands(base, textCol, idCol, shingleN, bands, rows)
+    val (shI, bandI) = shingleBands(incoming, textCol, idCol, shingleN, bands, rows)
+    val cand = bandI.as("i").join(bandB.as("b"),
+        col("i.band") === col("b.band") && col("i.digest") === col("b.digest"))
+      .select(col("i.doc_id").as("i_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val contaminated = cand
+      .join(shI.select(col("doc_id"), col("sx").as("s_i")), col("i_id") === col("doc_id"))
+      .drop("doc_id")
+      .join(shB.select(col("doc_id"), col("sx").as("s_b")), col("b_id") === col("doc_id"))
+      .select(col("i_id"),
+        graft.functions.ArrayKernels.sortedIntersectCount(col("s_i"), col("s_b")).as("__i"),
+        size(col("s_i")).as("__ni"), size(col("s_b")).as("__nb"))
+      .filter(round(col("__i").cast("double") /
+        (col("__ni") + col("__nb") - col("__i")), 6) >= threshold)
+      .select(col("i_id")).distinct()
+    incoming.join(contaminated.withColumnRenamed("i_id", idCol),
+      Seq(idCol), "left_anti")
   }
 
   /** Blocked n-gram Jaccard near-dup pairs: exact pairwise similarity

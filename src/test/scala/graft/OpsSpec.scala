@@ -451,6 +451,15 @@ class OpsSpec extends AnyFunSuite {
     assert(got.getDouble(2) == exp)
   }
 
+  test("incremental minhash drops near-dups of the base, keeps unrelated docs") {
+    val base = docs.filter($"doc_id" === 0)           // "the cat sat..."
+    val incoming = docs.filter($"doc_id" =!= 0)       // 1 exact, 2 near, 3-4 unrelated
+    val got = Dedup.incrementalMinhash(base, incoming, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(!got.contains(1L)) // exact dup of the base doc must be dropped
+    assert(got.contains(3L) && got.contains(4L)) // unrelated docs survive
+  }
+
   test("incremental dedup drops base duplicates and keeps min-id batch survivors") {
     val base = Seq((1L, "alpha text"), (2L, "beta text")).toDF("doc_id", "text")
     val incoming = Seq(
