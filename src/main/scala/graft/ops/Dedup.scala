@@ -75,8 +75,8 @@ object Dedup {
     * use (see the minhashLsh scaladoc for the full rationale).
     */
   private def shingleBands(df: DataFrame, textCol: String, idCol: String,
-                           shingleN: Int, bands: Int,
-                           rows: Int): (DataFrame, DataFrame) = {
+                           shingleN: Int, bands: Int, rows: Int,
+                           checkpointBands: Boolean = true): (DataFrame, DataFrame) = {
     val sh = df.select(col(idCol).as("doc_id"),
       TextAnalysis.shingles(col(textCol), shingleN).as("s"))
       .withColumn("sx", sort_array(transform(col("s"), s => xxhash64(s))))
@@ -90,8 +90,11 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => md5(concat_ws("|",
           slice(col("sig"), b * rows + 1, lit(rows)).cast("array<string>")))))
-        .as(Seq("band", "digest"))).localCheckpoint()
-    (sh, bandRows)
+        .as(Seq("band", "digest")))
+    // checkpoint only when the caller scans the band frame more than once
+    // (minhashLsh's self-join does; incrementalMinhash's one-shot probe
+    // join would pay an eager full-corpus materialization for nothing)
+    (sh, if (checkpointBands) bandRows.localCheckpoint() else bandRows)
   }
 
   def minhashLsh(df: DataFrame, textCol: String, idCol: String,
@@ -143,8 +146,10 @@ object Dedup {
                          textCol: String, idCol: String, shingleN: Int = 3,
                          bands: Int = 3, rows: Int = 3,
                          threshold: Double = 0.5): DataFrame = {
-    val (shB, bandB) = shingleBands(base, textCol, idCol, shingleN, bands, rows)
-    val (shI, bandI) = shingleBands(incoming, textCol, idCol, shingleN, bands, rows)
+    val (shB, bandB) = shingleBands(base, textCol, idCol, shingleN, bands, rows,
+      checkpointBands = false)
+    val (shI, bandI) = shingleBands(incoming, textCol, idCol, shingleN, bands, rows,
+      checkpointBands = false)
     val cand = bandI.as("i").join(bandB.as("b"),
         col("i.band") === col("b.band") && col("i.digest") === col("b.digest"))
       .select(col("i.doc_id").as("i_id"), col("b.doc_id").as("b_id"))

@@ -273,15 +273,8 @@ object Pipeline {
   def bloomSemiJoin(fact: DataFrame, dim: DataFrame, factKey: String,
                     dimKey: String, expectedDimRows: Long = 1000000L,
                     fpp: Double = 0.03): DataFrame = {
-    val bloom = dim.stat.bloomFilter(dimKey, expectedDimRows, fpp)
-    val bos = new java.io.ByteArrayOutputStream()
-    bloom.writeTo(bos)
-    val probe = org.apache.spark.sql.graftbridge.GraftBridge.column(
-      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-        org.apache.spark.sql.catalyst.expressions.Literal(
-          bos.toByteArray, org.apache.spark.sql.types.BinaryType),
-        org.apache.spark.sql.graftbridge.GraftBridge.expression(
-          col(factKey).cast("long"))))
+    val probe = bloomProbe(dim, dimKey, col(factKey).cast("long"),
+      expectedDimRows, fpp)
     fact.filter(probe)
       .join(dim.select(col(dimKey)).distinct(), col(factKey) === col(dimKey), "left_semi")
   }
@@ -302,24 +295,40 @@ object Pipeline {
   def incrementalDedup(base: DataFrame, incoming: DataFrame, textCol: String,
                        idCol: String, expectedBaseRows: Long = 1000000L,
                        fpp: Double = 0.03): DataFrame = {
-    val inDig = incoming.withColumn("__digest", md5(col(textCol)))
+    // NULL text gets a sentinel digest (shorter than any md5 hex, so it
+    // cannot collide): md5(NULL) = NULL would make the window treat NULL
+    // duplicates as equal but the anti-join treat them as matching
+    // nothing — the sentinel keeps both steps on groupBy semantics, like
+    // Dedup.exact
+    def digest(c: Column) = when(c.isNull, lit("null")).otherwise(md5(c))
+    val inDig = incoming.withColumn("__digest", digest(col(textCol)))
     val w = Window.partitionBy("__digest")
     val batchKeep = inDig.withColumn("__minid", min(col(idCol)).over(w))
       .filter(col(idCol) === col("__minid")).drop("__minid")
-    val baseDig = base.select(md5(col(textCol)).as("__digest"))
-    val bloom = baseDig.select(xxhash64(col("__digest")).as("__k"))
-      .stat.bloomFilter("__k", expectedBaseRows, fpp)
-    val bos = new java.io.ByteArrayOutputStream()
-    bloom.writeTo(bos)
-    val probe = org.apache.spark.sql.graftbridge.GraftBridge.column(
-      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-        org.apache.spark.sql.catalyst.expressions.Literal(
-          bos.toByteArray, org.apache.spark.sql.types.BinaryType),
-        org.apache.spark.sql.graftbridge.GraftBridge.expression(
-          xxhash64(col("__digest")))))
+    val baseDig = base.select(digest(col(textCol)).as("__digest"))
+    val probe = bloomProbe(
+      baseDig.select(xxhash64(col("__digest")).as("__k")), "__k",
+      xxhash64(col("__digest")), expectedBaseRows, fpp)
     val sureNew = batchKeep.filter(!probe)
     val confirmedNew = batchKeep.filter(probe)
       .join(baseDig, Seq("__digest"), "left_anti")
     sureNew.unionByName(confirmedNew)
+  }
+
+  /** Driver-built bloom probe over `keys` (a long column named `keyCol`),
+    * returned as a codegen `BloomFilterMightContain` of `probeKey` —
+    * shared by bloomSemiJoin and incrementalDedup so the
+    * serialize-to-Literal plumbing lives once.
+    */
+  private def bloomProbe(keys: DataFrame, keyCol: String, probeKey: Column,
+                         expectedRows: Long, fpp: Double): Column = {
+    val bloom = keys.stat.bloomFilter(keyCol, expectedRows, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    org.apache.spark.sql.graftbridge.GraftBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          bos.toByteArray, org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.graftbridge.GraftBridge.expression(probeKey)))
   }
 }

@@ -21,10 +21,11 @@ import org.apache.spark.sql.functions._
   * normalized to 0.0 before the cast so the count matches native
   * countDistinct (which treats them equal), and arrays/structs render as
   * JSON (the default cast erases element boundaries: Seq("a, b") and
-  * Seq("a", "b") both print "[a, b]"). Maps are the documented
-  * exception: neither the cast nor JSON is injective under entry-order
-  * variation, so map columns may over- or under-count distinct values.
-  * Never one job per column.
+  * Seq("a", "b") both print "[a, b]"), with -0.0 normalized inside
+  * float/double arrays. Two documented limits: -0.0 nested deeper than
+  * one array level (e.g. inside structs) still renders signed, and MAP
+  * columns are rejected up front — Pass A's min/max needs an orderable
+  * type, which maps are not. Never one job per column.
   * On empty input every column still gets its row (n_nonnull = 0,
   * n_distinct = 0, null min/max) — the empty-drop case is exactly what a
   * pre-flight exists to catch.
@@ -33,6 +34,10 @@ object Profile {
 
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile requires at least one column")
+    val mapCols = cols.filter(c => df.schema.fields.exists(f =>
+      f.name == c && f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType]))
+    require(mapCols.isEmpty,
+      s"profile cannot handle MAP columns (min/max needs an orderable type): ${mapCols.mkString(", ")}")
     val aggs = cols.flatMap { c =>
       Seq(count(col(c)).as(s"${c}__nn"),
         min(col(c)).cast("string").as(s"${c}__min"),
@@ -54,14 +59,20 @@ object Profile {
           // -0.0 === 0.0 in Spark comparisons; collapse before stringify.
           when(col(c) === 0, lit(0).cast(fieldType(c))).otherwise(col(c))
             .cast("string")
+        case Some(org.apache.spark.sql.types.ArrayType(et, _))
+            if et == org.apache.spark.sql.types.DoubleType ||
+              et == org.apache.spark.sql.types.FloatType =>
+          // JSON keeps element boundaries, but -0.0 elements must be
+          // normalized first (countDistinct normalizes them recursively)
+          to_json(transform(col(c),
+            x => when(x === 0, lit(0).cast(et)).otherwise(x)))
         case Some(_: org.apache.spark.sql.types.ArrayType) |
              Some(_: org.apache.spark.sql.types.StructType) =>
           // the default string cast is NOT injective for nested types —
           // Seq("a, b") and Seq("a", "b") both render "[a, b]"; JSON
           // escaping keeps element boundaries (and base64-encodes nested
-          // binary). Maps are left to the default cast: JSON would also
-          // depend on entry order, so neither rendering is injective —
-          // the scaladoc documents the caveat.
+          // binary). Floats/doubles nested deeper than one array level
+          // keep the -0.0 caveat (scaladoc).
           to_json(col(c))
         case _ => col(c).cast("string")
       }

@@ -473,6 +473,22 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Seq(11L, 13L))
   }
 
+  test("incremental dedup treats NULL text as a value, like groupBy semantics") {
+    // md5(NULL) = NULL would split semantics between the window (NULLs
+    // group together) and the anti-join (NULL matches nothing); the
+    // sentinel digest keeps both on groupBy semantics
+    val base = Seq((1L, Option("kept text")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, Option.empty[String]),  // dup of base's NULL-text doc -> dropped
+      (11L, Option("fresh text")),
+      (12L, Option.empty[String])   // batch-internal NULL dup -> dropped
+    ).toDF("doc_id", "text")
+    val got = Pipeline.incrementalDedup(base, incoming, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(11L))
+  }
+
   test("langid detects scripts and diacritics") {
     val got = Seq("hello world", "你好世界", "straße kaufen", "mañana señor")
       .toDF("text").select(TextAnalysis.langId($"text")).collect().map(_.getString(0))
