@@ -295,6 +295,44 @@ object Queries {
     roundtripAgg(graft.sources.IpcSource.read(s, out))
   }
 
+  q("q_orc_roundtrip", roundtripAggSql) { (s, dir) =>
+    // ORC: the other columnar interchange format Spark ships natively —
+    // splittable, predicate-pushdown-capable, schema-carrying, so unlike
+    // the text formats no read schema is declared; the loop must preserve
+    // types as well as values for the oracle hash to survive
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_roundtrip"
+    roundtripInput(s, dir).write.mode("overwrite").orc(out)
+    roundtripAgg(s.read.orc(out))
+  }
+
+  q("q_partitioned_layout",
+    """SELECT l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS INT)) AS BIGINT) AS sum_qty,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_key
+      |FROM lineitem WHERE l_returnflag = 'R'
+      |GROUP BY l_linestatus ORDER BY l_linestatus"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    // Hive-style partitioned layout: write partitioned by the filter
+    // column, read back one partition. The filter is satisfied by
+    // DIRECTORY pruning at plan time (PartitionFilters, PlanSpec-
+    // guarded), so the 'R' scan never opens the other partitions' files
+    // — at 100 TB this is the difference between listing one directory
+    // and scanning the table. The oracle aggregates the unpartitioned
+    // parquet with the same predicate: any row misrouted by the
+    // partitioned write breaks the hash.
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_part_layout"
+    val src = tbl(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linestatus"), col("l_returnflag"),
+      col("l_quantity").cast("int").as("l_quantity"))
+    graft.ops.Bucketing.writePartitioned(src, out, "l_returnflag")
+    s.read.parquet(out).filter(col("l_returnflag") === "R")
+      .groupBy("l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum("l_quantity").cast("long").as("sum_qty"),
+        sum("l_orderkey").cast("long").as("sum_key"))
+      .orderBy("l_linestatus")
+  }
+
   // ===========================================================================
   // General relational surface — SURVEY.md §2.7 (joins, aggs, windows,
   // sorts, set ops, scalar functions, grouping sets).
@@ -1813,7 +1851,7 @@ object Queries {
     * double hashing: h_i(t) = h1(t) + i*h2(t) over 60/56-bit md5 slices,
     * exact in BIGINT).
     */
-  private def minhashPairsCtes(bands: Int, rows: Int): String = {
+  private def minhashPairsCtes(bands: Int, rows: Int, where: String = ""): String = {
     val k = bands * rows
     val sigEntries = (0 until k)
       .map(i => "list_min(list_transform(s, t -> " +
@@ -1823,7 +1861,7 @@ object Queries {
       val parts = (1 to rows).map(r => s"sig[${b * rows + r}]::VARCHAR").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, md5($parts) AS digest FROM sig"
     }.mkString(" UNION ALL ")
-    s"""sh AS (SELECT doc_id, $shinglesSql AS s FROM documents),
+    s"""sh AS (SELECT doc_id, $shinglesSql AS s FROM documents $where),
        |sig AS (SELECT doc_id, s, [$sigEntries] AS sig FROM sh),
        |bands AS ($bandSelects),
        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
@@ -1906,6 +1944,85 @@ object Queries {
       "SELECT a_id, b_id, jac FROM pairs ORDER BY a_id, b_id") { (s, dir) =>
     Dedup.minhashLsh(tbl(s, dir, "documents"), "text", "doc_id",
       shingleN = 3, bands = 3, rows = 3, threshold = 0.5).orderBy("a_id", "b_id")
+  }
+
+  q("dedup_shared_ngram",
+    // exact shared-span criterion: any two docs sharing a verbatim
+    // 8-token window pair up — the windowed suffix-array substring test,
+    // keyed on the window itself (no hashing, no verification step)
+    s"""WITH gr AS (SELECT doc_id, unnest(${shinglesSqlN(8)}) AS g FROM documents)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_shared
+       |FROM gr a JOIN gr b ON a.g = b.g AND a.doc_id < b.doc_id
+       |GROUP BY a.doc_id, b.doc_id ORDER BY a_id, b_id"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    Dedup.sharedNgramPairs(tbl(s, dir, "documents"), "text", "doc_id", n = 8)
+      .orderBy("a_id", "b_id")
+  }
+
+  q("q_eval_dedup_recall", {
+    // candidate CTEs replayed over the sampled third of the corpus; the
+    // unreferenced pairs CTE is harmless
+    val ctes = minhashPairsCtes(bands = 3, rows = 3, where = "WHERE doc_id % 3 = 0")
+    s"""WITH $ctes,
+       |truth AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE round(len(list_intersect(a.s, b.s))::DOUBLE /
+       |        len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.5),
+       |hit AS (SELECT c.a_id, c.b_id FROM cand c JOIN truth t
+       |  ON c.a_id = t.a_id AND c.b_id = t.b_id)
+       |SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+       |  (SELECT COUNT(*) FROM cand) AS n_cand,
+       |  (SELECT COUNT(*) FROM hit) AS n_hit,
+       |  CASE WHEN (SELECT COUNT(*) FROM cand) = 0 THEN NULL
+       |    ELSE round((SELECT COUNT(*) FROM hit)::DOUBLE /
+       |      (SELECT COUNT(*) FROM cand), 6) END AS precision_lsh,
+       |  CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN NULL
+       |    ELSE round((SELECT COUNT(*) FROM hit)::DOUBLE /
+       |      (SELECT COUNT(*) FROM truth), 6) END AS recall_lsh"""
+      .stripMargin.replace("\n", " ")
+  }) { (s, dir) =>
+    // LSH quality eval: band-collision candidates vs exact >= 0.5 jaccard
+    // ground truth. Truth is inherently all-pairs, so it runs on a
+    // deterministic sample (doc_id % 3) — the standard way to audit an
+    // LSH configuration at scale is exactly this, truth on a sample,
+    // candidates from the production band join. The all-pairs scan uses
+    // the same id-sub-block grid as dedup_embedding_cosine so the
+    // quadratic work spreads over G*(G+1)/2 balanced shuffle keys.
+    val g = 8
+    val docs = tbl(s, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(3)) === 0)
+    val cand = Dedup.lshCandidatePairs(docs, "text", "doc_id",
+      shingleN = 3, bands = 3, rows = 3)
+    val sh = docs.select(col("doc_id"),
+        sort_array(transform(TextAnalysis.shingles(col("text"), 3),
+          t => xxhash64(t))).as("sx"),
+        pmod(col("doc_id"), lit(g)).cast("int").as("sb"))
+      .localCheckpoint() // two grid roles scan it; cut the md5 upstream
+    val lhs = sh.withColumn("cj", explode(sequence(col("sb"), lit(g - 1))))
+    val rhs = sh.withColumn("ci", explode(sequence(lit(0), col("sb"))))
+    val truth = lhs.as("a").hint("shuffle_hash")
+      .join(rhs.as("b").hint("shuffle_hash"),
+        col("a.sb") === col("b.ci") && col("a.cj") === col("b.sb") &&
+          (col("a.sb") < col("a.cj") || col("a.doc_id") < col("b.doc_id")))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"),
+        graft.functions.ArrayKernels.sortedIntersectCount(
+          col("a.sx"), col("b.sx")).as("__i"),
+        size(col("a.sx")).as("__na"), size(col("b.sx")).as("__nb"))
+      .filter(round(col("__i").cast("double") /
+        (col("__na") + col("__nb") - col("__i")), 6) >= 0.5)
+      .select("a_id", "b_id")
+    val hit = cand.join(truth, Seq("a_id", "b_id"))
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_truth"), col("n_cand"), col("n_hit"),
+        when(col("n_cand") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_hit").cast("double") / col("n_cand"), 6))
+          .as("precision_lsh"),
+        when(col("n_truth") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_hit").cast("double") / col("n_truth"), 6))
+          .as("recall_lsh"))
   }
 
   /** Shared CTE prefix computing per-doc 60-bit simhash signatures,
@@ -2155,27 +2272,39 @@ object Queries {
     * Centroids flow through the chain as CTE rows, not literals, so the
     * oracle trains the same codebook the Spark side trains.
     */
-  private def kmeansKnnOracleSql(k: Int, iters: Int, dim: Int,
-                                 topK: Int, nQueries: Int): String = {
+  private def duckDotE(dim: Int)(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, ${dim + 1}), i -> $a * $b))"
+
+  /** The training chain alone, ending in `cellt(vec_id, cell)` — the
+    * final post-training assignment — plus `e(vec_id, embedding, nrm)`.
+    * Shared by the trained-IVF search oracle and the semantic-dedup
+    * oracles. `trainWhere` restricts the TRAINING population (seeds,
+    * assignments, centroid means) to a subset, while `e`/`cellt` always
+    * cover every row — the incremental case: train on the kept base,
+    * assign base and incoming alike.
+    */
+  private def kmeansCellCtes(k: Int, iters: Int, dim: Int,
+                             trainWhere: String = ""): Seq[String] = {
     val r = s"range(1, ${dim + 1})"
-    def dotE(a: String, b: String) = s"list_sum(list_transform($r, i -> $a * $b))"
+    val dotE = duckDotE(dim) _
     val header = Seq(
       s"""e AS (SELECT vec_id, embedding,
          |  sqrt(${dotE("CAST(embedding[i] AS DOUBLE)", "CAST(embedding[i] AS DOUBLE)")}) AS nrm
          |  FROM embeddings)""",
+      s"""et AS (SELECT * FROM e $trainWhere)""",
       // fixed-point coords, pre-offset by 2^20 so every sum is nonnegative
       s"""sv AS (SELECT vec_id, list_transform(embedding,
          |  x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) + 1048576) AS s
-         |  FROM embeddings)""",
+         |  FROM embeddings $trainWhere)""",
       s"""c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid,
          |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $k))""")
-    def assign(aName: String, cName: String) =
+         |  FROM (SELECT vec_id, embedding FROM et ORDER BY vec_id LIMIT $k))""")
+    def assign(aName: String, cName: String, eName: String) =
       s"""$aName AS (SELECT vec_id, cell FROM (
          |  SELECT e.vec_id, c.cid AS cell, row_number() OVER (PARTITION BY e.vec_id
          |    ORDER BY ${dotE("CAST(e.embedding[i] AS DOUBLE)", "c.cv[i]")} /
          |      (e.nrm * sqrt(${dotE("c.cv[i]", "c.cv[i]")})) DESC, c.cid) AS rn
-         |  FROM e CROSS JOIN $cName c) WHERE rn = 1)"""
+         |  FROM $eName e CROSS JOIN $cName c) WHERE rn = 1)"""
     def update(mName: String, aName: String, prevC: String, cName: String) = Seq(
       s"""$mName AS (SELECT a.cell AS cid, t.i,
          |  (SUM(sv.s[t.i]) // COUNT(*)) - 1048576 AS cm
@@ -2187,10 +2316,15 @@ object Queries {
          |    list(CAST(CAST(cm AS DOUBLE) / 1048576.0 AS FLOAT) ORDER BY i),
          |    x -> CAST(x AS DOUBLE)) AS cv FROM $mName GROUP BY cid) m USING (cid))""")
     val rounds = (0 until iters).flatMap { it =>
-      assign(s"a$it", s"c$it") +: update(s"m${it + 1}", s"a$it", s"c$it", s"c${it + 1}")
+      assign(s"a$it", s"c$it", "et") +: update(s"m${it + 1}", s"a$it", s"c$it", s"c${it + 1}")
     }
+    (header ++ rounds) :+ assign("cellt", s"c$iters", "e")
+  }
+
+  private def kmeansKnnOracleSql(k: Int, iters: Int, dim: Int,
+                                 topK: Int, nQueries: Int): String = {
+    val dotE = duckDotE(dim) _
     val tail = Seq(
-      assign("cellt", s"c$iters"),
       s"""q AS (SELECT e.vec_id AS q_id, e.embedding AS q_vec, e.nrm AS q_norm, cellt.cell
          |  FROM e JOIN cellt USING (vec_id) WHERE vec_id < $nQueries)""",
       s"""cc AS (SELECT e.vec_id AS n_id, e.embedding AS n_vec, e.nrm AS n_norm, cellt.cell
@@ -2201,7 +2335,7 @@ object Queries {
          |  FROM q JOIN cc USING (cell) WHERE q_id != n_id)""",
       s"""r2 AS (SELECT q_id, n_id, cos,
          |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn FROM s2)""")
-    ((header ++ rounds ++ tail).mkString("WITH ", ", ", "") +
+    ((kmeansCellCtes(k, iters, dim) ++ tail).mkString("WITH ", ", ", "") +
       s" SELECT q_id, n_id, cos FROM r2 WHERE rn <= $topK ORDER BY q_id, n_id")
       .stripMargin.replace("\n", " ")
   }
@@ -2218,6 +2352,59 @@ object Queries {
     Similarity.ivfKnn(withCell, withCell.filter(col("vec_id") < 10), k = 5,
         cellCol = "cell")
       .orderBy("q_id", "n_id")
+  }
+
+  q("dedup_semantic", {
+    // SemDeDup replay: the shared k-means chain assigns every vector to
+    // its trained cell; a vector drops when an earlier same-cell vector
+    // is within cosine tau. NOT IN is safe — vec_id is never NULL.
+    val dotE = duckDotE(64) _
+    ((kmeansCellCtes(k = 8, iters = 2, dim = 64) ++ Seq(
+      s"""cw AS (SELECT e.vec_id, e.embedding, e.nrm, c.cell
+         |  FROM e JOIN cellt c USING (vec_id))""",
+      s"""drops AS (SELECT DISTINCT b.vec_id
+         |  FROM cw a JOIN cw b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE round(${dotE("CAST(a.embedding[i] AS DOUBLE)", "CAST(b.embedding[i] AS DOUBLE)")} /
+         |    (a.nrm * b.nrm), 6) >= 0.2)"""))
+      .mkString("WITH ", ", ", "") +
+      " SELECT vec_id, cell FROM cw WHERE vec_id NOT IN" +
+      " (SELECT vec_id FROM drops) ORDER BY vec_id")
+      .stripMargin.replace("\n", " ")
+  }) { (s, dir) =>
+    // semantic dedup on LEARNED clusters: train the codebook, assign,
+    // early-drop within each cell — the embedding-space keep-first rule
+    val emb = tbl(s, dir, "embeddings")
+    val codebook = Similarity.kmeansCodebook(emb, k = 8, iters = 2, dim = 64)
+    Similarity.semanticDedup(emb, codebook, tau = 0.2).orderBy("vec_id")
+  }
+
+  q("dedup_incremental_semantic", {
+    // incremental SemDeDup replay: train on the kept base (vec_id%10<8)
+    // only — et/sv/c0 carry the trainWhere — then cellt assigns every
+    // vector; an incoming vector drops when any same-cell BASE vector is
+    // within tau. Aliases x/bb avoid capturing the list lambda's i.
+    val dotE = duckDotE(64) _
+    ((kmeansCellCtes(k = 8, iters = 2, dim = 64,
+      trainWhere = "WHERE vec_id % 10 < 8") ++ Seq(
+      s"""cw AS (SELECT e.vec_id, e.embedding, e.nrm, c.cell
+         |  FROM e JOIN cellt c USING (vec_id))""",
+      s"""drops AS (SELECT DISTINCT x.vec_id
+         |  FROM cw x JOIN cw bb ON x.cell = bb.cell
+         |  WHERE x.vec_id % 10 >= 8 AND bb.vec_id % 10 < 8
+         |    AND round(${dotE("CAST(x.embedding[i] AS DOUBLE)", "CAST(bb.embedding[i] AS DOUBLE)")} /
+         |    (x.nrm * bb.nrm), 6) >= 0.3)"""))
+      .mkString("WITH ", ", ", "") +
+      " SELECT vec_id, cell FROM cw WHERE vec_id % 10 >= 8 AND vec_id NOT IN" +
+      " (SELECT vec_id FROM drops) ORDER BY vec_id")
+      .stripMargin.replace("\n", " ")
+  }) { (s, dir) =>
+    // the embedding-space incremental filter: codebook trained on the
+    // kept corpus, incoming batch assigned and dropped against it only
+    val emb = tbl(s, dir, "embeddings")
+    val base = emb.filter(col("vec_id") % 10 < 8)
+    val inc = emb.filter(col("vec_id") % 10 >= 8)
+    val codebook = Similarity.kmeansCodebook(base, k = 8, iters = 2, dim = 64)
+    Similarity.semanticFilter(base, inc, codebook, tau = 0.3).orderBy("vec_id")
   }
 
   q("knn_pq_adc", {

@@ -129,6 +129,54 @@ object Dedup {
       .filter(col("jac") >= threshold)
   }
 
+  /** The raw LSH candidate pairs — band-digest collisions BEFORE the
+    * exact-jaccard verification. Exposed for recall/precision evaluation
+    * against exact ground truth (q_eval_dedup_recall): the candidate set
+    * is what the bands×rows trade-off actually controls, and tuning it
+    * blind is how LSH deployments silently lose near-dups. Same band
+    * self-join as minhashLsh (one key-partitioned shuffle on
+    * (band, digest)); returns distinct (a_id, b_id), a_id < b_id.
+    */
+  def lshCandidatePairs(df: DataFrame, textCol: String, idCol: String,
+                        shingleN: Int = 3, bands: Int = 3,
+                        rows: Int = 3): DataFrame = {
+    val (_, bandRows) = shingleBands(df, textCol, idCol, shingleN, bands, rows)
+    bandRows.as("a")
+      .join(bandRows.as("b"),
+        col("a.band") === col("b.band") && col("a.digest") === col("b.digest") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+  }
+
+  /** Exact shared-span pairs: documents sharing at least one contiguous
+    * run of `n` tokens — the windowed form of suffix-array substring
+    * dedup (two docs share an n-token window iff they share a common
+    * token substring of length >= n), so unlike the set-similarity
+    * paths this catches a verbatim paragraph pasted into an otherwise
+    * unrelated document. Exact, no verification step: the shingle IS the
+    * criterion. One shuffle keyed on the n-gram itself; a window shared
+    * by m documents contributes m·(m-1)/2 pairs, all true results, so
+    * fan-out is output-bounded (boilerplate-heavy corpora should strip
+    * boilerplate first — see repeatedSpans — exactly as with suffix
+    * arrays). Returns (a_id, b_id, n_shared = distinct shared windows).
+    */
+  def sharedNgramPairs(df: DataFrame, textCol: String, idCol: String,
+                       n: Int = 8): DataFrame = {
+    // shingles() already de-dups windows within a document, so the join
+    // key stream carries each (doc, window) once and COUNT = distinct
+    val grams = df.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.shingles(col(textCol), n)).as("g"))
+    // explode-derived join sides defeat the size estimator (it cannot see
+    // the fan-out) — pin the shuffle join so a "small" estimate never
+    // broadcasts a corpus-sized gram frame (the q_fuzzy_join lesson)
+    grams.as("a").hint("shuffle_hash")
+      .join(grams.as("b").hint("shuffle_hash"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Incremental NEAR-dup filter: drop incoming docs whose MinHash band
     * digest collides with any already-kept BASE doc's band AND whose
     * exact shingle jaccard against that doc reaches the threshold —

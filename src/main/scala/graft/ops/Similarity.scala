@@ -238,6 +238,84 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
   }
 
+  /** SemDeDup-style semantic deduplication: assign every vector to its
+    * trained k-means cell, then within each cell drop any vector whose
+    * cosine to a LOWER-id vector in the same cell reaches `tau` — the
+    * embedding-space analogue of exact dedup's keep-first rule, on
+    * clusters the codebook LEARNED rather than a pre-labelled block.
+    * A threshold pair (x, y), x < y, always drops y (whether or not x
+    * itself is dropped by an even earlier partner), so the kept set is
+    * exactly {v : no earlier same-cell vector within tau} — order-free,
+    * fully parallel, engine-replayable.
+    *
+    * Scale shape: assignment is ivfAssignCell's narrow literal-codebook
+    * projection (no shuffle); the within-cell pair scan reuses the
+    * all-pairs grid of dedup_embedding_cosine — each cell splits into G
+    * id-sub-blocks and pairs meet in the (i <= j) cell grid, so k cells
+    * become k·G·(G+1)/2 balanced shuffle keys and neither side needs to
+    * fit in memory. Returns the KEPT rows as (vec_id, cell).
+    */
+  def semanticDedup(df: DataFrame, centroids: Seq[Array[Float]], tau: Double,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    g: Int = 8): DataFrame = {
+    val e = df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
+      l2Norm(col(vecCol)).as("nrm"),
+      ivfAssignCell(col(vecCol), centroids).as("cell"),
+      pmod(col(idCol), lit(g)).cast("int").as("sb"))
+    val lhs = e.withColumn("cj", explode(sequence(col("sb"), lit(g - 1))))
+    val rhs = e.withColumn("ci", explode(sequence(lit(0), col("sb"))))
+    val drops = lhs.as("a").hint("shuffle_hash")
+      .join(rhs.as("b").hint("shuffle_hash"),
+        col("a.cell") === col("b.cell") && col("a.sb") === col("b.ci") &&
+          col("a.cj") === col("b.sb") &&
+          (col("a.sb") < col("a.cj") || col("a.vec_id") < col("b.vec_id")))
+      // dot and the norm product are IEEE-commutative, so the unordered
+      // grid orientation cannot change a bit of the score
+      .filter(round(dot(col("a.embedding"), col("b.embedding")) /
+        (col("a.nrm") * col("b.nrm")), 6) >= tau)
+      .select(greatest(col("a.vec_id"), col("b.vec_id")).as("vec_id"))
+      .distinct()
+    e.join(drops, Seq("vec_id"), "left_anti").select("vec_id", "cell")
+  }
+
+  /** Incremental semantic filter: drop INCOMING vectors within cosine
+    * `tau` of any BASE vector in the same trained cell — the
+    * embedding-space member of the incremental-dedup family
+    * (incrementalDedup = exact digests, incrementalMinhash = shingle
+    * LSH, this = SemDeDup's criterion across a base/incoming split).
+    * The base is assigned once and never pairs with itself; train the
+    * codebook on the base (the kept corpus) so cell geometry doesn't
+    * drift with each arriving batch.
+    *
+    * Scale shape: both assignments are narrow literal-codebook
+    * projections. The probe join's natural key is the cell id alone —
+    * at most k shuffle keys carrying all pair work, the same trap as
+    * the label-blocked cosine join — so the base side sub-blocks by id
+    * and the incoming side fans out over the G sub-blocks: k·G balanced
+    * keys, fan-out G on the (small) incoming batch, never on the
+    * corpus. Returns surviving incoming rows as (vec_id, cell).
+    */
+  def semanticFilter(base: DataFrame, incoming: DataFrame,
+                     centroids: Seq[Array[Float]], tau: Double,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     g: Int = 8): DataFrame = {
+    def prep(df: DataFrame) = df.select(col(idCol).as("vec_id"),
+      col(vecCol).as("embedding"), l2Norm(col(vecCol)).as("nrm"),
+      ivfAssignCell(col(vecCol), centroids).as("cell"))
+    val b = prep(base).withColumn("sb", pmod(col("vec_id"), lit(g)).cast("int"))
+    val i = prep(incoming)
+      .withColumn("sb", explode(sequence(lit(0), lit(g - 1))))
+    val drops = i.as("i").hint("shuffle_hash")
+      .join(b.as("b").hint("shuffle_hash"),
+        col("i.cell") === col("b.cell") && col("i.sb") === col("b.sb"))
+      .filter(round(dot(col("i.embedding"), col("b.embedding")) /
+        (col("i.nrm") * col("b.nrm")), 6) >= tau)
+      .select(col("i.vec_id").as("vec_id"))
+      .distinct()
+    prep(incoming).join(drops, Seq("vec_id"), "left_anti")
+      .select("vec_id", "cell")
+  }
+
   /** Int8 scalar quantization: per-vector symmetric scale (max |x|),
     * codes = round(x / scale * 127). At rest the corpus shrinks 4× vs
     * float32 (the standard first rung of the memory/recall ladder, below

@@ -1479,4 +1479,85 @@ class AdviceRegressionSpec extends AnyFunSuite {
     assert(g("konst") == ((1L, 0.0)))
     assert(g("uni") == ((4L, 0.75))) // uniform over 4 values: 1 - 4*(1/4)^2
   }
+
+  test("shared-ngram pairs equal the in-memory windowed-substring criterion") {
+    val texts = Map(
+      0L -> "a b c d e f g h",
+      1L -> "x y z a b c d e", // shares the 'a b c d'/'b c d e' windows
+      2L -> "a b c d e f g h", // exact dup of 0
+      3L -> "p q r s t u v w") // unrelated
+    val corpus = texts.toSeq.toDF("doc_id", "text")
+    val got = Dedup.sharedNgramPairs(corpus, "text", "doc_id", n = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def wins(s: String) = s.split("\\s+").sliding(4).map(_.mkString(" ")).toSet
+    val want = (for {
+      a <- texts.keys; b <- texts.keys if a < b
+      n = wins(texts(a)).intersect(wins(texts(b))).size if n > 0
+    } yield (a, b) -> n.toLong).toMap
+    assert(got == want)
+    assert(got((0L, 2L)) == 5L) // all 5 windows of the exact dup
+  }
+
+  test("LSH candidate pairs are a superset of the verified minhash pairs") {
+    val corpus = Seq(
+      (0L, "the cat sat on the mat and looked at the dog"),
+      (1L, "the cat sat on the mat and looked at the dog"), // exact dup of 0
+      (2L, "the cat sat on the mat and stared at the dog"), // near dup of 0
+      (3L, "quantum flux capacitors energize the warp drive core"),
+      (4L, "completely different words about gardening tulips roses"))
+      .toDF("doc_id", "text")
+    val cand = Dedup.lshCandidatePairs(corpus, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val verified = Dedup.minhashLsh(corpus, "text", "doc_id", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.subsetOf(cand))
+    assert(cand.contains((0L, 1L))) // identical docs collide in every band
+  }
+
+  test("semantic dedup keeps exactly the vectors with no earlier in-cell partner within tau") {
+    val rnd = new scala.util.Random(5)
+    def jitter(base: Array[Float]) = base.map(x => x + rnd.nextFloat() * 0.05f)
+    val a = Array(1f, 0f, 0f, 0f); val b = Array(0f, 0f, 1f, 0f)
+    val data = (0 until 20).map(i => (i.toLong, jitter(a))) ++
+      (20 until 40).map(i => (i.toLong, jitter(b)))
+    val vecs = data.toDF("vec_id", "embedding")
+    val codebook = Similarity.kmeansCodebook(vecs, k = 2, iters = 2, dim = 4)
+    val kept = Similarity.semanticDedup(vecs, codebook, tau = 0.9)
+      .collect().map(_.getLong(0)).toSet
+    // in-memory reference: same assignment, brute-force pairwise cosine
+    val cells = vecs.select(col("vec_id"),
+        Similarity.ivfAssignCell(col("embedding"), codebook).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0
+      for (i <- x.indices) {
+        d += x(i).toDouble * y(i).toDouble
+        nx += x(i).toDouble * x(i).toDouble; ny += y(i).toDouble * y(i).toDouble
+      }
+      d / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val byId = data.toMap
+    val drops = (for {
+      x <- byId.keys; y <- byId.keys
+      if x < y && cells(x) == cells(y) && round6(cos(byId(x), byId(y))) >= 0.9
+    } yield y).toSet
+    assert(kept == byId.keySet.diff(drops))
+    // tight clusters collapse to their earliest member
+    assert(kept == Set(0L, 20L))
+  }
+
+  test("incremental semantic filter drops only in-cell neighbors of the base") {
+    val rnd = new scala.util.Random(7)
+    def jitter(base: Array[Float]) = base.map(x => x + rnd.nextFloat() * 0.05f)
+    val a = Array(1f, 0f, 0f, 0f); val b = Array(0f, 0f, 1f, 0f)
+    val base = ((0 until 15).map(i => (i.toLong, jitter(a))) ++
+      (15 until 30).map(i => (i.toLong, jitter(b)))).toDF("vec_id", "embedding")
+    // five near-dups of cluster a, one genuinely new direction
+    val inc = ((100 until 105).map(i => (i.toLong, jitter(a))) :+
+      (200L, Array(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val codebook = Similarity.kmeansCodebook(base, k = 2, iters = 2, dim = 4)
+    val kept = Similarity.semanticFilter(base, inc, codebook, tau = 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(200L))
+  }
 }

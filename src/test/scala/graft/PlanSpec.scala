@@ -246,6 +246,31 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("n_s"), plan.take(2000))
   }
 
+  test("shared-ngram self-join shuffles on the window, never broadcasts the exploded frame") {
+    // both sides are explode-derived (the size estimator cannot see the
+    // fan-out), so the join is pinned to shuffle-hash — a broadcast here
+    // ships a corpus-sized gram frame to every executor at scale
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.ops.Dedup.sharedNgramPairs(docs, "text", "doc_id", n = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), plan.take(1500))
+    assert(!plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
+  test("semantic dedup: the in-cell pair scan is a shuffled grid join, assignment is narrow") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val codebook = graft.ops.Similarity.kmeansCodebook(emb, k = 8, iters = 1, dim = 64)
+    val plan = graft.ops.Similarity.semanticDedup(emb, codebook, tau = 0.2)
+      .queryExecution.executedPlan.toString
+    // the grid splits each cell into sub-blocks; the pair scan must key on
+    // (cell, sub-block) via shuffle-hash — no broadcast (explode-derived
+    // sides), no cartesian fallback
+    assert(plan.contains("ShuffledHashJoin"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
+
   test("weighted sample is a narrow top-k, not a global sort") {
     val plan = planOf("q_sample_weighted")
     // per-partition top-k + k-row merge: every row read once, k rows move
