@@ -1959,10 +1959,29 @@ object Queries {
       .orderBy("a_id", "b_id")
   }
 
+  q("dedup_span_clusters",
+    // shared-span pairs -> connected components: the family view of
+    // exact-substring dedup (dedup_cluster's pipeline with the span
+    // criterion as the edge set); the oracle closes the same graph with
+    // a recursive transitive closure
+    s"""WITH RECURSIVE gr AS (SELECT doc_id, unnest(${shinglesSqlN(8)}) AS g FROM documents),
+       |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM gr a
+       |  JOIN gr b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION ALL SELECT b_id, a_id FROM pairs),
+       |reach AS (SELECT src AS doc_id, src AS r FROM edges
+       |  UNION SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc_id)
+       |SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val pairs = Dedup.sharedNgramPairs(tbl(s, dir, "documents"), "text",
+      "doc_id", n = 8)
+    Dedup.clusterPairs(pairs.select("a_id", "b_id")).orderBy("doc_id")
+  }
+
   q("q_eval_dedup_recall", {
     // candidate CTEs replayed over the sampled third of the corpus; the
     // unreferenced pairs CTE is harmless
-    val ctes = minhashPairsCtes(bands = 3, rows = 3, where = "WHERE doc_id % 3 = 0")
+    val ctes = minhashPairsCtes(bands = 3, rows = 3, where = "WHERE doc_id % 3 = 0 AND doc_id < 5000")
     s"""WITH $ctes,
        |truth AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -1983,14 +2002,18 @@ object Queries {
   }) { (s, dir) =>
     // LSH quality eval: band-collision candidates vs exact >= 0.5 jaccard
     // ground truth. Truth is inherently all-pairs, so it runs on a
-    // deterministic sample (doc_id % 3) — the standard way to audit an
-    // LSH configuration at scale is exactly this, truth on a sample,
-    // candidates from the production band join. The all-pairs scan uses
-    // the same id-sub-block grid as dedup_embedding_cosine so the
-    // quadratic work spreads over G*(G+1)/2 balanced shuffle keys.
+    // BOUNDED deterministic sample (doc_id % 3, capped at an absolute id
+    // bound) — the standard way to audit an LSH configuration at scale:
+    // truth on a fixed-size sample, candidates from the production band
+    // join. The absolute cap is what keeps the quadratic truth constant
+    // as the corpus grows (a proportional sample measured 30x from
+    // sf0.1 to sf1; the cap holds it at the sf0.1 cost at any scale).
+    // The all-pairs scan uses the same id-sub-block grid as
+    // dedup_embedding_cosine so the quadratic work spreads over
+    // G*(G+1)/2 balanced shuffle keys.
     val g = 8
     val docs = tbl(s, dir, "documents")
-      .filter(pmod(col("doc_id"), lit(3)) === 0)
+      .filter(pmod(col("doc_id"), lit(3)) === 0 && col("doc_id") < 5000)
     val cand = Dedup.lshCandidatePairs(docs, "text", "doc_id",
       shingleN = 3, bands = 3, rows = 3)
     val sh = docs.select(col("doc_id"),
@@ -2260,6 +2283,45 @@ object Queries {
     val centroids = emb.filter(col("vec_id") < 8).orderBy("vec_id")
       .select("embedding").collect().map(_.getSeq[Float](0).toArray).toSeq
     Similarity.ivfCentroidKnn(emb, emb.filter(col("vec_id") < 10), k = 5, centroids)
+      .orderBy("q_id", "n_id")
+  }
+
+  q("knn_cosine_ivf_probe2",
+    // the coarse-IVF oracle with the query side assigned to its TWO
+    // nearest cells (rn <= 2) — corpus stays single-cell, so each (q, n)
+    // pair meets at most once and no dedup precedes the top-k window
+    """WITH cent AS (SELECT vec_id AS cid, embedding AS cvec,
+      |  sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+      |    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS cnrm
+      |  FROM embeddings WHERE vec_id < 8),
+      |e AS (SELECT vec_id, embedding,
+      |  sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+      |    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |a AS (SELECT e.vec_id, e.embedding, e.nrm, c.cid,
+      |  list_sum(list_transform(range(1, len(e.embedding) + 1),
+      |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE))) / (e.nrm * c.cnrm) AS ccos
+      |  FROM e CROSS JOIN cent c),
+      |ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM a),
+      |cellc AS (SELECT vec_id, embedding, nrm, cid AS cell FROM ranked WHERE rn = 1),
+      |cellq AS (SELECT vec_id, embedding, nrm, cid AS cell FROM ranked
+      |  WHERE rn <= 2 AND vec_id < 10),
+      |s AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+      |  round(list_sum(list_transform(range(1, len(q.embedding) + 1),
+      |    i -> CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE))) / (q.nrm * n.nrm), 6) AS cos
+      |  FROM cellq q JOIN cellc n USING (cell) WHERE q.vec_id != n.vec_id),
+      |r AS (SELECT q_id, n_id, cos,
+      |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn FROM s)
+      |SELECT q_id, n_id, cos FROM r WHERE rn <= 5 ORDER BY q_id, n_id"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    // multi-probe IVF: nProbe = 2 nearest cells per query — the recall
+    // knob between single-probe IVF and brute force, at 2× the probe
+    // cost on the (small) query side only
+    val emb = tbl(s, dir, "embeddings")
+    val centroids = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray).toSeq
+    Similarity.ivfMultiProbeKnn(emb, emb.filter(col("vec_id") < 10), k = 5,
+        centroids, nProbe = 2)
       .orderBy("q_id", "n_id")
   }
 
@@ -2876,6 +2938,27 @@ object Queries {
       .join(exact, "source")
       .select(col("source"), col("est_distinct"), col("n_exact"))
       .orderBy("source")
+  }
+
+  q("q_sketch_quantiles",
+    // deterministic hash-reservoir quantile sketch: per event type, the
+    // 64 rows with the smallest md5(event_id) are a uniform mergeable
+    // sample; quantiles read the sorted sample at floor(q*(n-1)) — no
+    // interpolation, so the estimate is bit-identical in any engine
+    """WITH r AS (SELECT event_type, CAST(value AS DOUBLE) AS v,
+      |  row_number() OVER (PARTITION BY event_type
+      |    ORDER BY md5(CAST(event_id AS VARCHAR))) AS rn FROM events),
+      |s AS (SELECT event_type, list_sort(list(v)) AS vals
+      |  FROM r WHERE rn <= 64 GROUP BY 1)
+      |SELECT event_type,
+      |  vals[CAST(floor(0.5 * (len(vals) - 1)) AS BIGINT) + 1] AS p50,
+      |  vals[CAST(floor(0.9 * (len(vals) - 1)) AS BIGINT) + 1] AS p90,
+      |  vals[CAST(floor(0.99 * (len(vals) - 1)) AS BIGINT) + 1] AS p99
+      |FROM s ORDER BY event_type"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    Sketch.quantileSketch(tbl(s, dir, "events"), "event_type", "value",
+        "event_id", k = 64)
+      .orderBy("event_type")
   }
 
   q("q_sketch_kmv_jaccard",
@@ -4698,6 +4781,45 @@ object Queries {
       .select("span")
     spans.join(broadcast(repeated), "span")
       .groupBy("doc_id").agg(countDistinct("span").as("n_repeated_spans"))
+      .orderBy("doc_id")
+  }
+
+  q("text_chunk_dedup",
+    // the REMOVAL half of boilerplate dedup (q_repeated_spans is the
+    // score): C4/RefinedWeb-style line-level dedup at 16-token chunk
+    // granularity (this corpus has no newlines, so fixed chunks stand in
+    // for lines) — drop every chunk occurring in more than one document,
+    // reassemble the rest in order. A document that is pure boilerplate
+    // disappears entirely; both engines agree on that by construction.
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+      |c AS (SELECT doc_id, i AS chunk_idx,
+      |  array_to_string(w[(i-1)*16+1 : (i-1)*16+16], ' ') AS chunk FROM
+      |  (SELECT doc_id, w, unnest(range(1, CAST(ceil(len(w) / 16.0) AS BIGINT) + 1)) AS i FROM t)),
+      |d AS (SELECT chunk FROM c GROUP BY chunk HAVING COUNT(DISTINCT doc_id) > 1),
+      |k AS (SELECT doc_id, chunk_idx, chunk FROM c
+      |  WHERE chunk NOT IN (SELECT chunk FROM d))
+      |SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_clean
+      |FROM k GROUP BY doc_id ORDER BY doc_id"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    // chunk key shuffles once; the repeated-chunk set is an aggregated
+    // frame small enough for Catalyst to broadcast into the anti-join
+    val t = tbl(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("w"))
+    val c = t.select(col("doc_id"),
+        explode(sequence(lit(1L),
+          ceil(size(col("w")) / lit(16.0)).cast("long"))).as("chunk_idx"),
+        col("w"))
+      .select(col("doc_id"), col("chunk_idx"),
+        concat_ws(" ", expr("slice(w, int((chunk_idx - 1) * 16 + 1), 16)"))
+          .as("chunk"))
+      .localCheckpoint() // two consumers: repeated-set build + keep join
+    val d = c.groupBy("chunk").agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") > 1).select("chunk")
+    c.join(d, Seq("chunk"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+        s => s.getField("chunk")), " ").as("text_clean"))
       .orderBy("doc_id")
   }
 

@@ -155,6 +155,52 @@ object Similarity {
     array_max(array(entries: _*)).getField("negid") * -1
   }
 
+  /** The query's `nProbe` nearest cells by centroid cosine, best first —
+    * multi-probe IVF's query-side assignment. Same argmax contract as
+    * [[ivfAssignCell]] (cos DESC, then lowest centroid index): sorting
+    * the (cos, -id) structs descending orders ties by -id descending =
+    * id ascending. Still a narrow literal-codebook projection.
+    */
+  def ivfAssignCells(vec: Column, centroids: Seq[Array[Float]],
+                     nProbe: Int): Column = {
+    val entries = centroids.zipWithIndex.map { case (cvec, i) =>
+      var cn = 0.0
+      var j = 0
+      while (j < cvec.length) { cn += cvec(j).toDouble * cvec(j).toDouble; j += 1 }
+      val ccos = graft.functions.ArrayKernels.floatDot(vec, typedLit(cvec)) /
+        (l2Norm(vec) * lit(math.sqrt(cn)))
+      struct(ccos.as("c"), lit(-i).as("negid"))
+    }
+    transform(slice(sort_array(array(entries: _*), asc = false), 1, nProbe),
+      s => s.getField("negid") * -1)
+  }
+
+  /** Multi-probe IVF search: the corpus lives in exactly one cell, each
+    * query fans out to its `nProbe` nearest cells — the standard
+    * recall-vs-cost knob (nProbe=1 is [[ivfCentroidKnn]]; nProbe=|cells|
+    * degenerates to brute force). The fan-out multiplies the QUERY side
+    * only — queries are the small side by construction — and a (q, n)
+    * pair can meet at most once because each corpus vector owns one
+    * cell, so no dedup step is needed before the top-k window.
+    */
+  def ivfMultiProbeKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+                       centroids: Seq[Array[Float]], nProbe: Int,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      l2Norm(col(vecCol)).as("q_norm"),
+      explode(ivfAssignCells(col(vecCol), centroids, nProbe)).as("cell"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      l2Norm(col(vecCol)).as("n_norm"),
+      ivfAssignCell(col(vecCol), centroids).as("cell"))
+    val scored = q.join(c, Seq("cell")).filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(cosineHoisted(col("q_vec"), col("n_vec"), col("q_norm"), col("n_norm")), 6)
+          .as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+  }
+
   /** Fixed-point scale for kmeansCodebook's centroid means: 2^20, a
     * power of two so `x.toDouble * Scale` is EXACT for any float x (the
     * multiply only shifts the exponent), and `+ 0.5` stays exact for

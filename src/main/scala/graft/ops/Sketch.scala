@@ -73,6 +73,33 @@ object Sketch {
           / element_at(col("sig"), k), 6))
         .as("est_distinct"))
 
+  /** Deterministic hash-reservoir quantile sketch: per key, the k rows
+    * with the smallest md5(idCol) form a uniform sample that is
+    * MERGEABLE (the k smallest of a union are the k smallest of the
+    * merged per-part k-smallest sets — the KMV property, applied to row
+    * selection instead of distinct hashes) and reproducible, so the
+    * estimate hash-checks across engines. Quantile q reads the sorted
+    * sample at index floor(q·(n-1)) — the lower-value rule, no
+    * interpolation, hence no float arithmetic to drift. The plan is the
+    * KMV shape: map-side WindowGroupLimit keeps ≤ k rows per partition
+    * before the per-key shuffle, so sketch cost is keys × k, not rows.
+    */
+  def quantileSketch(df: DataFrame, keyCol: String, valueCol: String,
+                     idCol: String, k: Int = 64,
+                     qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy("u")
+    val sample = df.select(col(keyCol), col(valueCol).cast("double").as("v"),
+        md5(col(idCol).cast("string")).as("u"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .groupBy(keyCol).agg(sort_array(collect_list("v")).as("vals"))
+    val qcols = qs.map { q =>
+      element_at(col("vals"),
+        (floor(lit(q) * (size(col("vals")) - 1)) + 1).cast("int"))
+        .as(s"p${(q * 100).round}")
+    }
+    sample.select(col(keyCol) +: qcols: _*)
+  }
+
   /** Pairwise Jaccard estimates from KMV signatures: for each key pair,
     * take the k smallest of the union of the two signatures and count how
     * many appear in both — `|tk ∩ A_k ∩ B_k| / k`. The join is over

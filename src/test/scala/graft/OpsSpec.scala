@@ -1560,4 +1560,46 @@ class AdviceRegressionSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(200L))
   }
+
+  test("multi-probe IVF probing every cell equals brute force") {
+    val rnd = new scala.util.Random(11)
+    def vec() = Array.fill(6)(rnd.nextFloat() * 2 - 1)
+    val vecs = (0 until 60).map(i => (i.toLong, vec())).toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" < 5)
+    val codebook = Similarity.kmeansCodebook(vecs, k = 4, iters = 2, dim = 6)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val probed = rows(Similarity.ivfMultiProbeKnn(vecs, queries, k = 3,
+      codebook, nProbe = codebook.size))
+    val brute = rows(Similarity.bruteForceKnn(vecs, queries, k = 3))
+    assert(probed == brute)
+    // single-probe returns the same k only when the top neighbors share
+    // the query's cell — with 4 random cells it must be a subset quality-
+    // wise, never a superset of candidates
+    val single = rows(Similarity.ivfMultiProbeKnn(vecs, queries, k = 3,
+      codebook, nProbe = 1))
+    assert(single.map(t => (t._1, t._2)).subsetOf(
+      rows(Similarity.ivfMultiProbeKnn(vecs, queries, k = 60, codebook,
+        nProbe = codebook.size)).map(t => (t._1, t._2))))
+  }
+
+  test("quantile sketch reads the sorted hash-sample at floor(q*(n-1))") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val df = (0 until 10).map(i => ("g", i.toLong, i.toDouble))
+      .toDF("grp", "event_id", "value")
+    // k >= n: the sample is the whole group
+    val full = Sketch.quantileSketch(df, "grp", "value", "event_id", k = 10)
+      .collect().head
+    assert((full.getDouble(1), full.getDouble(2), full.getDouble(3)) == ((4.0, 8.0, 8.0)))
+    // k = 4: the four ids with the smallest md5 survive, in value order
+    val sampleVals = (0 until 10).map(i => md5hex(i.toString) -> i.toDouble)
+      .sortBy(_._1).take(4).map(_._2).sorted
+    val part = Sketch.quantileSketch(df, "grp", "value", "event_id", k = 4)
+      .collect().head
+    assert(part.getDouble(1) == sampleVals(1)) // floor(0.5*3) = 1
+    assert(part.getDouble(2) == sampleVals(2)) // floor(0.9*3) = 2
+    assert(part.getDouble(3) == sampleVals(2)) // floor(0.99*3) = 2
+  }
 }
