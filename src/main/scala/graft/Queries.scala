@@ -1979,8 +1979,8 @@ object Queries {
   }
 
   q("q_eval_dedup_recall", {
-    // candidate CTEs replayed over the sampled third of the corpus; the
-    // unreferenced pairs CTE is harmless
+    // candidate CTEs replayed over the capped sample (every third doc,
+    // bounded by an absolute id); the unreferenced pairs CTE is harmless
     val ctes = minhashPairsCtes(bands = 3, rows = 3, where = "WHERE doc_id % 3 = 0 AND doc_id < 5000")
     s"""WITH $ctes,
        |truth AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
@@ -2008,25 +2008,18 @@ object Queries {
     // join. The absolute cap is what keeps the quadratic truth constant
     // as the corpus grows (a proportional sample measured 30x from
     // sf0.1 to sf1; the cap holds it at the sf0.1 cost at any scale).
-    // The all-pairs scan uses the same id-sub-block grid as
-    // dedup_embedding_cosine so the quadratic work spreads over
-    // G*(G+1)/2 balanced shuffle keys.
-    val g = 8
+    // The all-pairs truth scan runs on the shared id-sub-block grid
+    // (Grid.allPairs) so the quadratic work spreads over G*(G+1)/2
+    // balanced shuffle keys.
     val docs = tbl(s, dir, "documents")
       .filter(pmod(col("doc_id"), lit(3)) === 0 && col("doc_id") < 5000)
     val cand = Dedup.lshCandidatePairs(docs, "text", "doc_id",
       shingleN = 3, bands = 3, rows = 3)
     val sh = docs.select(col("doc_id"),
         sort_array(transform(TextAnalysis.shingles(col("text"), 3),
-          t => xxhash64(t))).as("sx"),
-        pmod(col("doc_id"), lit(g)).cast("int").as("sb"))
+          t => xxhash64(t))).as("sx"))
       .localCheckpoint() // two grid roles scan it; cut the md5 upstream
-    val lhs = sh.withColumn("cj", explode(sequence(col("sb"), lit(g - 1))))
-    val rhs = sh.withColumn("ci", explode(sequence(lit(0), col("sb"))))
-    val truth = lhs.as("a").hint("shuffle_hash")
-      .join(rhs.as("b").hint("shuffle_hash"),
-        col("a.sb") === col("b.ci") && col("a.cj") === col("b.sb") &&
-          (col("a.sb") < col("a.cj") || col("a.doc_id") < col("b.doc_id")))
+    val truth = Grid.allPairs(sh, "doc_id", g = 8)
       .select(least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"),
         graft.functions.ArrayKernels.sortedIntersectCount(
@@ -2194,30 +2187,13 @@ object Queries {
       |ORDER BY a_id, b_id"""
       .stripMargin.replace("\n", " ")) { (s, dir) =>
     // Embedding-cosine near-dup: pairs above a cosine threshold, blocked
-    // by the coarse cell (label). A plain equi-join on label alone is a
-    // scale trap twice over: ~10 distinct labels means at most 10 shuffle
-    // keys do ALL the quadratic work (22 of 32 threads idle here; a 1000-
-    // executor cluster would idle 990), and if one side broadcasts the
-    // probe side's input partitioning caps parallelism instead. So split
-    // every label block into G sub-blocks by vec_id and cover the pairs
-    // with the (i <= j) cell grid — the standard all-pairs blocking: a
-    // pair with sub-blocks (x, y), x < y, meets in exactly cell (x, y);
-    // x == y pairs meet on the diagonal gated by vec_id ordering. That
-    // turns 10 hot keys into label*G*(G+1)/2 balanced keys with the same
-    // total pair count, and neither side ever needs to fit in memory.
-    val g = 8
+    // by the coarse cell (label). ~10 distinct labels would put ALL the
+    // quadratic work on ~10 shuffle keys, so the pair scan runs on the
+    // shared id-sub-block grid (Grid.allPairs: label×G·(G+1)/2 balanced
+    // keys, each unordered pair met exactly once, shuffle-hash pinned).
     val e = tbl(s, dir, "embeddings").select(col("vec_id"), col("label"),
-      col("embedding"), Similarity.l2Norm(col("embedding")).as("nrm"),
-      pmod(col("vec_id"), lit(g)).cast("int").as("sb"))
-    // left role covers cells (sb, j) for j >= sb; right role (i, sb) for i <= sb
-    val lhs = e.withColumn("cj", explode(sequence(col("sb"), lit(g - 1))))
-    val rhs = e.withColumn("ci", explode(sequence(lit(0), col("sb"))))
-    lhs.as("a").hint("shuffle_hash").join(rhs.as("b").hint("shuffle_hash"),
-        col("a.label") === col("b.label") && col("a.sb") === col("b.ci") &&
-          col("a.cj") === col("b.sb") &&
-          // diagonal cells see both orientations — keep one; off-diagonal
-          // cells meet each pair exactly once in either orientation
-          (col("a.sb") < col("a.cj") || col("a.vec_id") < col("b.vec_id")))
+      col("embedding"), Similarity.l2Norm(col("embedding")).as("nrm"))
+    Grid.allPairs(e, "vec_id", g = 8, keyCols = Seq("label"))
       .select(least(col("a.vec_id"), col("b.vec_id")).as("a_id"),
         greatest(col("a.vec_id"), col("b.vec_id")).as("b_id"),
         // dot and norm-product are IEEE-commutative, so the orientation
@@ -2940,14 +2916,16 @@ object Queries {
       .orderBy("source")
   }
 
-  q("q_sketch_quantiles",
-    // deterministic hash-reservoir quantile sketch: per event type, the
-    // 64 rows with the smallest md5(event_id) are a uniform mergeable
-    // sample; quantiles read the sorted sample at floor(q*(n-1)) — no
-    // interpolation, so the estimate is bit-identical in any engine
+  /** Shared oracle for the batch and streaming quantile sketches: the
+    * 64 rows with the smallest (md5(event_id), value) per event type are
+    * a uniform mergeable sample; quantiles read the sorted sample at
+    * floor(q*(n-1)) — no interpolation, so the estimate is bit-identical
+    * in any engine.
+    */
+  private val quantileSketchSql =
     """WITH r AS (SELECT event_type, CAST(value AS DOUBLE) AS v,
       |  row_number() OVER (PARTITION BY event_type
-      |    ORDER BY md5(CAST(event_id AS VARCHAR))) AS rn FROM events),
+      |    ORDER BY md5(CAST(event_id AS VARCHAR)), CAST(value AS DOUBLE)) AS rn FROM events),
       |s AS (SELECT event_type, list_sort(list(v)) AS vals
       |  FROM r WHERE rn <= 64 GROUP BY 1)
       |SELECT event_type,
@@ -2955,7 +2933,9 @@ object Queries {
       |  vals[CAST(floor(0.9 * (len(vals) - 1)) AS BIGINT) + 1] AS p90,
       |  vals[CAST(floor(0.99 * (len(vals) - 1)) AS BIGINT) + 1] AS p99
       |FROM s ORDER BY event_type"""
-      .stripMargin.replace("\n", " ")) { (s, dir) =>
+      .stripMargin.replace("\n", " ")
+
+  q("q_sketch_quantiles", quantileSketchSql) { (s, dir) =>
     Sketch.quantileSketch(tbl(s, dir, "events"), "event_type", "value",
         "event_id", k = 64)
       .orderBy("event_type")
@@ -3558,6 +3538,27 @@ object Queries {
       try query.processAllAvailable() finally query.stop()
     }
     s.table(qname).orderBy("tok")
+  }
+
+  q("stream_quantiles", quantileSketchSql) { (s, dir) =>
+    // the quantile sketch as STREAMING STATE: mergeability (k smallest
+    // of a union = k smallest of merged k-smallest sets) is what makes
+    // the per-batch state fold correct — O(k) state per key forever, and
+    // a bounded single batch reproduces the batch sketch bit-for-bit
+    import s.implicits._
+    val src = s.readStream.schema(tbl(s, dir, "events").schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val rows = src.select(col("event_type"), col("event_id"),
+        col("value").cast("double").as("value"))
+      .as[graft.streaming.Streams.QRow]
+    val qname = "graft_stream_quantiles"
+    withShufflePartitions(s, 4) {
+      val query = graft.streaming.Streams.quantileState(rows, k = 64)
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("update").start()
+      try query.processAllAvailable() finally query.stop()
+    }
+    s.table(qname).orderBy("event_type")
   }
 
   q("stream_funnel",

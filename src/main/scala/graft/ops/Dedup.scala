@@ -76,11 +76,23 @@ object Dedup {
     */
   private def shingleBands(df: DataFrame, textCol: String, idCol: String,
                            shingleN: Int, bands: Int, rows: Int,
-                           checkpointBands: Boolean = true): (DataFrame, DataFrame) = {
-    val sh = df.select(col(idCol).as("doc_id"),
+                           checkpointBands: Boolean = true,
+                           checkpointSh: Boolean = true): (DataFrame, DataFrame) = {
+    val sh0 = df.select(col(idCol).as("doc_id"),
       TextAnalysis.shingles(col(textCol), shingleN).as("s"))
+      // A doc shorter than shingleN tokens has an EMPTY shingle set: no
+      // similarity signal, jaccard undefined. Exclude it from banding —
+      // the kernel's sentinel signature (Long.MaxValue minima) would
+      // otherwise band all short docs together while a SQL replay's
+      // list_min over an empty list yields NULL digests that never join.
+      // Verified paths were immune (0/0 jaccard fails every threshold),
+      // but the raw candidate view (lshCandidatePairs) was not.
+      .filter(size(col("s")) > 0)
       .withColumn("sx", sort_array(transform(col("s"), s => xxhash64(s))))
-      .localCheckpoint()
+    // checkpoint sh only for callers that verify (they re-scan it twice
+    // by id); a candidates-only caller would pay a full materialization
+    // of the shingle arrays for a frame it never reads again
+    val sh = if (checkpointSh) sh0.localCheckpoint() else sh0
     // one-pass codegen kernel == minhashFromPairs(shingleHashPairs(s), k)
     // (property-checked in OpsSpec); k running minima over one md5 per
     // shingle instead of a k-wide interpreted transform pyramid
@@ -140,7 +152,8 @@ object Dedup {
   def lshCandidatePairs(df: DataFrame, textCol: String, idCol: String,
                         shingleN: Int = 3, bands: Int = 3,
                         rows: Int = 3): DataFrame = {
-    val (_, bandRows) = shingleBands(df, textCol, idCol, shingleN, bands, rows)
+    val (_, bandRows) = shingleBands(df, textCol, idCol, shingleN, bands, rows,
+      checkpointSh = false)
     bandRows.as("a")
       .join(bandRows.as("b"),
         col("a.band") === col("b.band") && col("a.digest") === col("b.digest") &&

@@ -141,8 +141,14 @@ object Similarity {
     * so assignment is a narrow codegen'd projection: `|codebook|` fused
     * dot products per row, no join, no shuffle.
     */
-  def ivfAssignCell(vec: Column, centroids: Seq[Array[Float]]): Column = {
-    val entries = centroids.zipWithIndex.map { case (cvec, i) =>
+  /** One (cos, -id) struct per centroid — the shared scoring step behind
+    * both assignment forms. Struct ordering then gives the deterministic
+    * argmax contract: max/descending = (cos DESC, -id DESC) =
+    * (cos DESC, id ASC).
+    */
+  private def centroidEntries(vec: Column,
+                              centroids: Seq[Array[Float]]): Seq[Column] =
+    centroids.zipWithIndex.map { case (cvec, i) =>
       var cn = 0.0
       var j = 0
       while (j < cvec.length) { cn += cvec(j).toDouble * cvec(j).toDouble; j += 1 }
@@ -150,10 +156,11 @@ object Similarity {
         (l2Norm(vec) * lit(math.sqrt(cn)))
       struct(ccos.as("c"), lit(-i).as("negid"))
     }
-    // struct max = (max cos, then max -id = min id) — the argmax with a
-    // deterministic tie-break, identical to ORDER BY cos DESC, id ASC
-    array_max(array(entries: _*)).getField("negid") * -1
-  }
+
+  def ivfAssignCell(vec: Column, centroids: Seq[Array[Float]]): Column =
+    // array_max keeps the hot corpus-assignment path O(k) per row (the
+    // nProbe>1 form below pays a k log k sort instead)
+    array_max(array(centroidEntries(vec, centroids): _*)).getField("negid") * -1
 
   /** The query's `nProbe` nearest cells by centroid cosine, best first —
     * multi-probe IVF's query-side assignment. Same argmax contract as
@@ -162,18 +169,11 @@ object Similarity {
     * id ascending. Still a narrow literal-codebook projection.
     */
   def ivfAssignCells(vec: Column, centroids: Seq[Array[Float]],
-                     nProbe: Int): Column = {
-    val entries = centroids.zipWithIndex.map { case (cvec, i) =>
-      var cn = 0.0
-      var j = 0
-      while (j < cvec.length) { cn += cvec(j).toDouble * cvec(j).toDouble; j += 1 }
-      val ccos = graft.functions.ArrayKernels.floatDot(vec, typedLit(cvec)) /
-        (l2Norm(vec) * lit(math.sqrt(cn)))
-      struct(ccos.as("c"), lit(-i).as("negid"))
-    }
-    transform(slice(sort_array(array(entries: _*), asc = false), 1, nProbe),
+                     nProbe: Int): Column =
+    transform(
+      slice(sort_array(array(centroidEntries(vec, centroids): _*),
+        asc = false), 1, nProbe),
       s => s.getField("negid") * -1)
-  }
 
   /** Multi-probe IVF search: the corpus lives in exactly one cell, each
     * query fans out to its `nProbe` nearest cells — the standard
@@ -269,20 +269,10 @@ object Similarity {
     */
   def ivfCentroidKnn(corpus: DataFrame, queries: DataFrame, k: Int,
                      centroids: Seq[Array[Float]], idCol: String = "vec_id",
-                     vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-      l2Norm(col(vecCol)).as("q_norm"),
-      ivfAssignCell(col(vecCol), centroids).as("cell"))
-    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
-      l2Norm(col(vecCol)).as("n_norm"),
-      ivfAssignCell(col(vecCol), centroids).as("cell"))
-    val scored = q.join(c, Seq("cell")).filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"),
-        round(cosineHoisted(col("q_vec"), col("n_vec"), col("q_norm"), col("n_norm")), 6)
-          .as("cos"))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
-  }
+                     vecCol: String = "embedding"): DataFrame =
+    // exactly the nProbe = 1 case of the multi-probe search — one
+    // implementation carries the assignment/tie-break contract
+    ivfMultiProbeKnn(corpus, queries, k, centroids, nProbe = 1, idCol, vecCol)
 
   /** SemDeDup-style semantic deduplication: assign every vector to its
     * trained k-means cell, then within each cell drop any vector whose
@@ -306,15 +296,8 @@ object Similarity {
                     g: Int = 8): DataFrame = {
     val e = df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
       l2Norm(col(vecCol)).as("nrm"),
-      ivfAssignCell(col(vecCol), centroids).as("cell"),
-      pmod(col(idCol), lit(g)).cast("int").as("sb"))
-    val lhs = e.withColumn("cj", explode(sequence(col("sb"), lit(g - 1))))
-    val rhs = e.withColumn("ci", explode(sequence(lit(0), col("sb"))))
-    val drops = lhs.as("a").hint("shuffle_hash")
-      .join(rhs.as("b").hint("shuffle_hash"),
-        col("a.cell") === col("b.cell") && col("a.sb") === col("b.ci") &&
-          col("a.cj") === col("b.sb") &&
-          (col("a.sb") < col("a.cj") || col("a.vec_id") < col("b.vec_id")))
+      ivfAssignCell(col(vecCol), centroids).as("cell"))
+    val drops = Grid.allPairs(e, "vec_id", g, keyCols = Seq("cell"))
       // dot and the norm product are IEEE-commutative, so the unordered
       // grid orientation cannot change a bit of the score
       .filter(round(dot(col("a.embedding"), col("b.embedding")) /

@@ -83,11 +83,14 @@ object Sketch {
     * interpolation, hence no float arithmetic to drift. The plan is the
     * KMV shape: map-side WindowGroupLimit keeps ≤ k rows per partition
     * before the per-key shuffle, so sketch cost is keys × k, not rows.
+    * `idCol` should be unique per row (it is the sampling key); if ids
+    * repeat, the (hash, value) order still makes the selection
+    * deterministic, though no longer uniform over rows.
     */
   def quantileSketch(df: DataFrame, keyCol: String, valueCol: String,
                      idCol: String, k: Int = 64,
                      qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
-    val w = Window.partitionBy(keyCol).orderBy("u")
+    val w = Window.partitionBy(keyCol).orderBy("u", "v")
     val sample = df.select(col(keyCol), col(valueCol).cast("double").as("v"),
         md5(col(idCol).cast("string")).as("u"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)

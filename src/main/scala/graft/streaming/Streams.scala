@@ -289,6 +289,39 @@ object Streams {
       }
   }
 
+  final case class QRow(event_type: String, event_id: Long, value: Double)
+  final case class QState(hashes: List[String], values: List[Double])
+  final case class QOut(event_type: String, p50: Double, p90: Double, p99: Double)
+
+  /** Streaming quantile sketch: the bottom-k-by-md5 hash reservoir of
+    * Sketch.quantileSketch carried as mapGroupsWithState state — the
+    * mergeability the batch sketch PROVES (k smallest of a union = k
+    * smallest of merged k-smallest sets) is exactly what makes the
+    * per-batch state fold correct, so state is O(k) per key forever and
+    * a bounded single batch reproduces the batch sketch bit-for-bit
+    * (oracle-checked in stream_quantiles). Entries sort by (hash, value),
+    * the same tie rule as the batch sketch; quantiles read the sorted
+    * sample at floor(q·(n-1)) with no interpolation.
+    */
+  def quantileState(events: Dataset[QRow], k: Int): Dataset[QOut] = {
+    import events.sparkSession.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    events.groupByKey(_.event_type)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[QRow], state: GroupState[QState]) =>
+          val prev = state.getOption
+            .map(s => s.hashes.zip(s.values)).getOrElse(Nil)
+          val merged = (prev ++ rows.map(r => (md5hex(r.event_id.toString), r.value)))
+            .sorted.take(k)
+          state.update(QState(merged.map(_._1), merged.map(_._2)))
+          val vals = merged.map(_._2).sorted.toIndexedSeq
+          def qAt(q: Double) = vals(math.floor(q * (vals.size - 1)).toInt)
+          QOut(key, qAt(0.5), qAt(0.9), qAt(0.99))
+      }
+  }
+
   /** Stateful per-user sessionization via mapGroupsWithState: the custom-
     * state extension point (the Spark analogue of "bring your own
     * operator" — reference trait ColumnBuilder, builder.rs:39-42).

@@ -813,6 +813,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.map(_.getString(1)).toSeq == Seq("alpha", "beta", "gamma"))
   }
 
+  test("streaming quantile sketch folds two batches to the batch sketch") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def sketch(rows: Seq[(Long, Double)], k: Int): (Double, Double, Double) = {
+      val vals = rows.map { case (id, v) => (md5hex(id.toString), v) }
+        .sorted.take(k).map(_._2).sorted.toIndexedSeq
+      def qAt(q: Double) = vals(math.floor(q * (vals.size - 1)).toInt)
+      (qAt(0.5), qAt(0.9), qAt(0.99))
+    }
+    val a = (0L until 10L).map(i => i -> i.toDouble)
+    val b = (10L until 20L).map(i => i -> i.toDouble)
+    val dir = java.nio.file.Files.createTempDirectory("qsketch").toFile
+    def writeJson(name: String, rows: Seq[(Long, Double)]): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir.getPath, name),
+        rows.map { case (id, v) =>
+          s"""{"event_type":"g","event_id":$id,"value":$v}"""
+        }.mkString("", "\n", "\n"))
+    writeJson("a.json", a)
+    val src = spark.readStream
+      .schema("event_type string, event_id long, value double")
+      .json(dir.getPath)
+      .as[graft.streaming.Streams.QRow]
+    val q = graft.streaming.Streams.quantileState(src, k = 4)
+      .writeStream.format("memory").queryName("qsketch_stream")
+      .outputMode("update").start()
+    q.processAllAvailable()
+    writeJson("b.json", b) // second batch: state must MERGE, not reset
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("qsketch_stream")
+      .collect().map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSet
+    // one emission per batch: after A alone, and after the A∪B fold —
+    // the final fold must equal the BATCH sketch over the union
+    assert(got == Set(sketch(a, 4), sketch(a ++ b, 4)))
+  }
+
   test("watermarked windowed aggregation over a rate-bounded batch") {
     val events = Seq(
       ("2024-01-01 00:10:00", "click", 1.0),
@@ -1573,14 +1611,43 @@ class AdviceRegressionSpec extends AnyFunSuite {
       codebook, nProbe = codebook.size))
     val brute = rows(Similarity.bruteForceKnn(vecs, queries, k = 3))
     assert(probed == brute)
-    // single-probe returns the same k only when the top neighbors share
-    // the query's cell — with 4 random cells it must be a subset quality-
-    // wise, never a superset of candidates
+    // single-probe pinned against an in-memory reference: per query, the
+    // top-3 by (round6 cosine DESC, id ASC) among same-cell others
+    val data = vecs.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val cells = vecs.select(col("vec_id"),
+        Similarity.ivfAssignCell(col("embedding"), codebook).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0
+      for (i <- x.indices) {
+        d += x(i).toDouble * y(i).toDouble
+        nx += x(i).toDouble * x(i).toDouble; ny += y(i).toDouble * y(i).toDouble
+      }
+      d / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val expected = (for {
+      qid <- 0L until 5L
+      (nid, sc) <- data.keys.toSeq.filter(n => n != qid && cells(n) == cells(qid))
+        .map(n => n -> round6(cos(data(qid), data(n))))
+        .sortBy { case (n, sc) => (-sc, n) }.take(3)
+    } yield (qid, nid, sc)).toSet
     val single = rows(Similarity.ivfMultiProbeKnn(vecs, queries, k = 3,
       codebook, nProbe = 1))
-    assert(single.map(t => (t._1, t._2)).subsetOf(
-      rows(Similarity.ivfMultiProbeKnn(vecs, queries, k = 60, codebook,
-        nProbe = codebook.size)).map(t => (t._1, t._2))))
+    assert(single == expected)
+  }
+
+  test("grid all-pairs meets every unordered pair exactly once") {
+    val df = (0 until 37).map(i => (i.toLong, s"k${i % 3}")).toDF("id", "key")
+    def pairsOf(res: org.apache.spark.sql.DataFrame) = res
+      .select(least(col("a.id"), col("b.id")), greatest(col("a.id"), col("b.id")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val keyed = pairsOf(Grid.allPairs(df, "id", g = 4, keyCols = Seq("key")))
+    val wantKeyed = for {
+      a <- 0L until 37L; b <- (a + 1) until 37L if a % 3 == b % 3
+    } yield (a, b)
+    assert(keyed.sorted == wantKeyed.sorted) // exactly once, no dups
+    val global = pairsOf(Grid.allPairs(df, "id", g = 4))
+    assert(global.size == 37 * 36 / 2 && global.distinct.size == global.size)
   }
 
   test("quantile sketch reads the sorted hash-sample at floor(q*(n-1))") {
