@@ -1978,6 +1978,25 @@ object Queries {
     Dedup.clusterPairs(pairs.select("a_id", "b_id")).orderBy("doc_id")
   }
 
+  q("dedup_incremental_span",
+    // incremental exact-substring filter: an incoming doc (doc_id%10>=8)
+    // drops when it shares any verbatim 8-token window with a kept base
+    // doc — the span criterion applied across the base/incoming split
+    s"""WITH grb AS (SELECT doc_id, unnest(${shinglesSqlN(8)}) AS g
+       |  FROM documents WHERE doc_id % 10 < 8),
+       |gri AS (SELECT doc_id, unnest(${shinglesSqlN(8)}) AS g
+       |  FROM documents WHERE doc_id % 10 >= 8),
+       |drop0 AS (SELECT DISTINCT i.doc_id FROM gri i JOIN grb b ON i.g = b.g)
+       |SELECT doc_id FROM documents WHERE doc_id % 10 >= 8
+       |  AND doc_id NOT IN (SELECT doc_id FROM drop0) ORDER BY doc_id"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val docs = tbl(s, dir, "documents")
+    Dedup.incrementalSharedNgram(
+        docs.filter(col("doc_id") % 10 < 8),
+        docs.filter(col("doc_id") % 10 >= 8), "text", "doc_id", n = 8)
+      .select("doc_id").orderBy("doc_id")
+  }
+
   q("q_eval_dedup_recall", {
     // candidate CTEs replayed over the capped sample (every third doc,
     // bounded by an absolute id); the unreferenced pairs CTE is harmless
@@ -2223,6 +2242,37 @@ object Queries {
     val emb = tbl(s, dir, "embeddings")
     Similarity.ivfKnn(emb, emb.filter(col("vec_id") < 10), k = 5, cellCol = "label")
       .orderBy("q_id", "n_id")
+  }
+
+  q("q_negative_sampling",
+    // contrastive training's OTHER negative source: uniform random
+    // different-label negatives, seeded per (query, candidate) by md5 so
+    // the draw is reproducible across engines and re-runs (the same
+    // determinism contract as the weighted sampler's md5 uniforms)
+    """WITH q AS (SELECT vec_id AS q_id, label AS q_label FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS n_id, label AS n_label FROM embeddings),
+      |s AS (SELECT q_id, n_id,
+      |  md5(CAST(q_id AS VARCHAR) || '|' || CAST(n_id AS VARCHAR)) AS u
+      |  FROM q JOIN c ON q_label != n_label),
+      |r AS (SELECT q_id, n_id,
+      |  row_number() OVER (PARTITION BY q_id ORDER BY u, n_id) AS rn FROM s)
+      |SELECT q_id, n_id FROM r WHERE rn <= 5 ORDER BY q_id, n_id"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    // queries broadcast (tiny side); the corpus streams through one scan
+    // spread across the shuffle width; per-query top-k is a window over
+    // the md5 rank — map-side group-limited like every other sampler
+    val emb = tbl(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"))
+    val c = Similarity.spreadForScan(
+      emb.select(col("vec_id").as("n_id"), col("label").as("n_label")))
+    val w = Window.partitionBy("q_id").orderBy("u", "n_id")
+    c.join(broadcast(q), col("q_label") =!= col("n_label"))
+      .select(col("q_id"), col("n_id"),
+        md5(concat(col("q_id").cast("string"), lit("|"),
+          col("n_id").cast("string"))).as("u"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select("q_id", "n_id").orderBy("q_id", "n_id")
   }
 
   q("knn_cosine_ivf_coarse",

@@ -190,6 +190,27 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Incremental shared-span filter: drop incoming docs sharing ANY
+    * verbatim n-token window with an already-kept base doc — the
+    * exact-substring member of the incremental family (exact digests /
+    * MinHash / semantic / this). The base grams build once; incoming
+    * probes them with a semi-join on the window, so only gram keys
+    * shuffle and the base is never pairwise-scanned. Exact: no
+    * verification step, the window IS the criterion. Returns surviving
+    * incoming rows with their original columns.
+    */
+  def incrementalSharedNgram(base: DataFrame, incoming: DataFrame,
+                             textCol: String, idCol: String,
+                             n: Int = 8): DataFrame = {
+    def grams(df: DataFrame) = df.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.shingles(col(textCol), n)).as("g"))
+    val contaminated = grams(incoming).hint("shuffle_hash")
+      .join(grams(base).hint("shuffle_hash"), Seq("g"), "left_semi")
+      .select(col("doc_id")).distinct()
+    incoming.join(contaminated.withColumnRenamed("doc_id", idCol),
+      Seq(idCol), "left_anti")
+  }
+
   /** Incremental NEAR-dup filter: drop incoming docs whose MinHash band
     * digest collides with any already-kept BASE doc's band AND whose
     * exact shingle jaccard against that doc reaches the threshold —

@@ -1636,6 +1636,18 @@ class AdviceRegressionSpec extends AnyFunSuite {
     assert(single == expected)
   }
 
+  test("incremental span filter drops only incoming docs sharing a base window") {
+    val base = Seq((0L, "a b c d e f g h")).toDF("doc_id", "text")
+    val inc = Seq(
+      (10L, "x y z a b c d e"), // shares the 'a b c d' window with base
+      (11L, "p q r s t u v w"), // no shared window
+      (12L, "a b x c d y e f")) // base tokens, but never 4 contiguous
+      .toDF("doc_id", "text")
+    val kept = Dedup.incrementalSharedNgram(base, inc, "text", "doc_id", n = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 12L))
+  }
+
   test("grid all-pairs meets every unordered pair exactly once") {
     val df = (0 until 37).map(i => (i.toLong, s"k${i % 3}")).toDF("id", "key")
     def pairsOf(res: org.apache.spark.sql.DataFrame) = res
