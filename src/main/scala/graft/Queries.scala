@@ -2535,6 +2535,59 @@ object Queries {
       .orderBy("q_id", "n_id")
   }
 
+  q("knn_two_stage", {
+    // the knn_pq_adc shortlist CTEs (rn <= 20) re-ranked by the exact
+    // cosine every knn oracle replays — stage 1's approximate order only
+    // selects WHICH pairs reach stage 2, so the final hash needs bit
+    // agreement on the shortlist membership (same rounded-adc ranking as
+    // knn_pq_adc) and on the exact re-rank chain (same as knn_cosine_*)
+    val books = Similarity.pqCodebooks(dim = 64, m = 4, k = 4)
+    def centroidLit(c: Array[Float]): String =
+      c.map(f => java.lang.Double.toString(f.toDouble)).mkString("[", ",", "]")
+    def distSql(j: Int, c: Array[Float]): String = {
+      val off = j * c.length
+      val lit = centroidLit(c)
+      s"list_sum(list_transform(range(1, ${c.length + 1}), " +
+        s"i -> (CAST(embedding[$off + i] AS DOUBLE) - ($lit)[i]) * " +
+        s"(CAST(embedding[$off + i] AS DOUBLE) - ($lit)[i])))"
+    }
+    def distList(j: Int): String =
+      books(j).map(c => distSql(j, c)).mkString("[", ", ", "]")
+    val codeCols = books.indices
+      .map(j => s"list_position(d$j, list_min(d$j)) AS c$j").mkString(", ")
+    val dlists = books.indices.map(j => s"${distList(j)} AS d$j").mkString(", ")
+    val adc = books.indices.map(j => s"q.d$j[c.c$j]").mkString(" + ")
+    s"""WITH d AS (SELECT vec_id, $dlists FROM embeddings),
+       |c AS (SELECT vec_id AS n_id, $codeCols FROM d),
+       |q AS (SELECT vec_id AS q_id, d0, d1, d2, d3 FROM d WHERE vec_id < 10),
+       |s AS (SELECT q_id, n_id, round($adc, 6) AS adc
+       |  FROM q JOIN c ON q_id != n_id),
+       |sl AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS rn FROM s)
+       |  WHERE rn <= 20),
+       |e AS (SELECT vec_id, embedding,
+       |  sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+       |    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |x AS (SELECT sl.q_id, sl.n_id,
+       |  round(list_sum(list_transform(range(1, len(qe.embedding) + 1),
+       |    i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(ne.embedding[i] AS DOUBLE))) /
+       |    (qe.nrm * ne.nrm), 6) AS cos
+       |  FROM sl JOIN e qe ON qe.vec_id = sl.q_id JOIN e ne ON ne.vec_id = sl.n_id),
+       |r AS (SELECT q_id, n_id, cos,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn FROM x)
+       |SELECT q_id, n_id, cos FROM r WHERE rn <= 5 ORDER BY q_id, n_id"""
+      .stripMargin.replace("\n", " ")
+  }) { (s, dir) =>
+    // two-stage retrieval: PQ-ADC shortlist (20 per query, compressed
+    // domain) re-ranked by exact cosine to the final 5 — the bounded-
+    // full-precision-touch architecture production ANN converges on
+    val emb = tbl(s, dir, "embeddings")
+    Similarity.twoStageKnn(emb, emb.filter(col("vec_id") < 10), kFinal = 5,
+        kShortlist = 20, Similarity.pqCodebooks(dim = 64, m = 4, k = 4))
+      .orderBy("q_id", "n_id")
+  }
+
   q("knn_ivf_pq", {
     // the knn_pq_adc oracle with the IVF cell (label) carried through and
     // added to the join condition — same literal codebooks, same

@@ -472,6 +472,40 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
   }
 
+  /** Two-stage retrieval: a cheap compressed-domain shortlist (PQ ADC,
+    * `kShortlist` candidates per query) re-ranked by EXACT cosine to the
+    * final `kFinal` — the architecture every production retrieval system
+    * converges on (FAISS/ScaNN-style): the approximate stage bounds how
+    * many full-precision vectors are ever touched, the exact stage
+    * restores ranking quality on that bounded set.
+    *
+    * Scale shape: stage 1 is pqKnn's broadcast scan (corpus scanned once
+    * in the compressed domain, map-side group-limited top-kShortlist).
+    * Stage 2 never re-scores the corpus: the shortlist (|queries| ×
+    * kShortlist rows) is BROADCAST against the corpus scan, so the
+    * re-rank fetch is one more narrow corpus pass with no shuffle; the
+    * final top-k window partitions on q_id like every other knn.
+    */
+  def twoStageKnn(corpus: DataFrame, queries: DataFrame, kFinal: Int,
+                  kShortlist: Int, codebooks: Seq[Seq[Array[Float]]],
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val shortlist = pqKnn(corpus, queries, kShortlist, codebooks, idCol, vecCol)
+      .select("q_id", "n_id")
+    val qv = broadcast(queries.select(col(idCol).as("q_id"),
+      col(vecCol).as("q_vec"), l2Norm(col(vecCol)).as("q_norm")))
+    val cv = spreadForScan(corpus).select(col(idCol).as("n_id"),
+      col(vecCol).as("n_vec"), l2Norm(col(vecCol)).as("n_norm"))
+    val rescored = cv.join(broadcast(shortlist), Seq("n_id"))
+      .join(qv, Seq("q_id"))
+      .select(col("q_id"), col("n_id"),
+        round(cosineHoisted(col("q_vec"), col("n_vec"), col("q_norm"), col("n_norm")), 6)
+          .as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    rescored.withColumn("rn", row_number().over(w)).filter(col("rn") <= kFinal)
+      .drop("rn")
+  }
+
   /** Per-group centroid of an embedding column, in long format
     * (group, dimension index, mean) — the vector-aggregation building
     * block behind k-means assignment stats, per-cluster quality metrics,

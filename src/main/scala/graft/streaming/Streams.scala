@@ -289,6 +289,49 @@ object Streams {
       }
   }
 
+  final case class EwmaRow(event_type: String, event_id: Long,
+                           ts_micros: Long, cents: Long)
+  final case class EwmaState(s: Long)
+  final case class EwmaOut(event_type: String, event_id: Long, s: Long,
+                           spike: Boolean)
+
+  /** Streaming EWMA anomaly scorer: per key, the exponentially weighted
+    * moving average of `cents` with α = 1/4, folded in EXACT integer
+    * arithmetic — s_t = (3·s_{t-1} + v_t·2^32) div 4 on nonnegative
+    * longs, so truncation equals floor and every engine replaying the
+    * recurrence gets the same bits (the integer-PageRank determinism
+    * recipe applied to per-row state). Each event emits its post-update
+    * smoothed value and a spike flag (v_t > 2 × previous smoothed —
+    * integer compare, no epsilon). State is ONE long per key, forever —
+    * the O(1)-state shape that runs indefinitely at ingest scale.
+    *
+    * Each batch sorts its per-key slice by (event time, event id) before
+    * folding, so a bounded single batch reproduces the batch recurrence
+    * exactly (oracle-checked in stream_ewma via a recursive CTE). Keys
+    * here are coarse demo keys (event_type); production keys are
+    * per-entity (user, device), where the per-batch slice is small.
+    * Headroom: cents·2^32 caps at ~2^63 for cents ≲ 2.1e9 — $21M per
+    * event — and the convex fold keeps s below max(v·2^32).
+    */
+  def ewmaState(events: Dataset[EwmaRow]): Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    val F = 4294967296L // 2^32
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[EwmaRow], state: GroupState[EwmaState]) =>
+          var s = state.getOption.map(_.s).getOrElse(-1L) // -1 = unseeded
+          val out = rows.toArray.sortBy(e => (e.ts_micros, e.event_id)).map { e =>
+            val vF = e.cents * F
+            val spike = s >= 0L && vF > 2L * s
+            s = if (s < 0L) vF else (3L * s + vF) / 4L
+            EwmaOut(key, e.event_id, s, spike)
+          }
+          state.update(EwmaState(s))
+          out.iterator
+      }
+  }
+
   final case class QRow(event_type: String, event_id: Long, value: Double)
   final case class QEntry(event_type: String, u: String, v: Double)
   final case class QState(hashes: List[String], values: List[Double])
