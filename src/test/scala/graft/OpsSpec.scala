@@ -5,9 +5,27 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+/** The events `ts` column however the parquet stored it: legacy
+  * nanos-as-long (older generated data) or a real timestamp (current
+  * data stores timestamp[us]); normalize to a timestamp either way.
+  */
+object TestEvents {
+  def normalized(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
+    val raw = spark.read.parquet(path)
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+  }
+}
+
 class OpsSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.spark
   import spark.implicits._
+
+  def eventsNormalized(path: String): org.apache.spark.sql.DataFrame =
+    TestEvents.normalized(spark, path)
 
   val docs = Seq(
     (0L, "the cat sat on the mat and looked at the dog", "en"),
@@ -536,8 +554,7 @@ class OpsSpec extends AnyFunSuite {
   test("custom AsOfJoinExec agrees with the compose-built-ins fallback on real data") {
     val d = "/root/testdata/sf0.001"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.read.parquet(s"$d/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val events = eventsNormalized(s"$d/events.parquet")
     val orders = spark.read.parquet(s"$d/orders.parquet")
     val viaExec = graft.plans.AsOfJoinPlan
       .asofMerge(events, orders, "user_id", "o_custkey", "ts", "o_orderdate", "o_orderkey")
@@ -1237,8 +1254,7 @@ class AdviceRegressionSpec extends AnyFunSuite {
   test("broadcast as-of agrees with sort-merge as-of and plans with zero exchanges") {
     val d = "/root/testdata/sf0.001"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.read.parquet(s"$d/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val events = TestEvents.normalized(spark, s"$d/events.parquet")
     val orders = spark.read.parquet(s"$d/orders.parquet")
     // Some(false) pins the distributed exec — without it a stats
     // underestimate could auto-broadcast both sides and the test would
