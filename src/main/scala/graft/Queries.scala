@@ -2966,6 +2966,56 @@ object Queries {
       .orderBy("query_id", "rnk")
   }
 
+  q("q_hybrid_rrf",
+    // Hybrid retrieval: BM25 and TF-IDF runs over the same query set,
+    // fused by reciprocal-rank fusion with exact fixed-point arithmetic
+    // (10^9 div (60+rank)) — both runs and the fusion replay bit-for-bit
+    s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+       |stats AS (SELECT COUNT(DISTINCT doc_id) AS n, COUNT(*) AS t FROM toks),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+       |qt AS (SELECT * FROM (VALUES
+       |  ('q_analytics', 'query'), ('q_analytics', 'filter'), ('q_analytics', 'join'),
+       |  ('q_streaming', 'stream'), ('q_streaming', 'window'), ('q_streaming', 'scan'),
+       |  ('q_physical', 'hash'), ('q_physical', 'merge'), ('q_physical', 'sort'),
+       |  ('q_physical', 'table')) AS v(query_id, tok)),
+       |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+       |  WHERE tok IN (SELECT tok FROM qt) GROUP BY 1, 2),
+       |dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+       |bscored AS (SELECT qt.query_id, tf.doc_id,
+       |  CAST(SUM(((2 * (s.n - dfq.df) + 1) * 1000000 // (2 * dfq.df + 1))
+       |    * ((22 * s.t * tf.tf * 1000000) // (10 * s.t * tf.tf + 3 * s.t + 9 * dl.dl * s.n)))
+       |    AS BIGINT) AS score_fp
+       |  FROM qt JOIN tf USING (tok) JOIN dfq USING (tok)
+       |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s GROUP BY 1, 2),
+       |brun AS (SELECT query_id, doc_id, ROW_NUMBER() OVER (PARTITION BY query_id
+       |  ORDER BY score_fp DESC, doc_id) AS rnk FROM bscored),
+       |nd AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM documents),
+       |tscored AS (SELECT qt.query_id, tf.doc_id,
+       |  CAST(SUM(tf.tf * nd.nd * 1000000 // dfq.df) AS BIGINT) AS score_fp
+       |  FROM qt JOIN tf USING (tok) JOIN dfq USING (tok) CROSS JOIN nd GROUP BY 1, 2),
+       |trun AS (SELECT query_id, doc_id, ROW_NUMBER() OVER (PARTITION BY query_id
+       |  ORDER BY score_fp DESC, doc_id) AS rnk FROM tscored),
+       |u AS (SELECT query_id, doc_id, rnk FROM brun WHERE rnk <= 10
+       |  UNION ALL SELECT query_id, doc_id, rnk FROM trun WHERE rnk <= 10),
+       |f AS (SELECT query_id, doc_id,
+       |  CAST(SUM(1000000000 // (60 + rnk)) AS BIGINT) AS rrf_fp,
+       |  COUNT(*) AS n_runs FROM u GROUP BY 1, 2)
+       |SELECT query_id, CAST(rnk AS INT) AS rnk, doc_id, rrf_fp, n_runs
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |  ORDER BY rrf_fp DESC, doc_id) AS rnk FROM f)
+       |WHERE rnk <= 10 ORDER BY query_id, rnk"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val docs = tbl(s, dir, "documents")
+    val qs = Seq(
+      "q_analytics" -> "query filter join",
+      "q_streaming" -> "stream window scan",
+      "q_physical" -> "hash merge sort table")
+    val bm = TextAnalysis.bm25TopK(docs, qs, k = 10)
+    val ti = TextAnalysis.tfidfRetrieveTopK(docs, qs, k = 10)
+    TextAnalysis.rrfFuse(Seq(bm, ti), k = 10)
+      .orderBy("query_id", "rnk")
+  }
+
   q("q_sketch_cms", {
     def hp(r: String, tok: String) =
       s"('0x' || substr(md5(CAST($r AS VARCHAR) || '|' || $tok), 1, 15))::BIGINT % 256"
@@ -3084,6 +3134,73 @@ object Queries {
         round(col("ni").cast("double") / (col("sza") + col("szb") - col("ni")), 6)
           .as("exact_jaccard"))
       .orderBy("key_a", "key_b")
+  }
+
+  q("q_sketch_hll_merge",
+    // HLL register MERGE: per-source register tables max-merge into one
+    // global sketch whose estimate equals the sketch built over the whole
+    // corpus directly (hash ignores the key) — the operation a 100 TB
+    // pipeline runs across shards/days instead of re-scanning history.
+    // The oracle computes the direct global sketch; equality IS the test.
+    s"""WITH tk0 AS (SELECT source, unnest($toksSql) AS tok FROM documents),
+       |st AS (SELECT DISTINCT tok FROM tk0),
+       |hh AS (SELECT ${md5Hash60Sql("tok")} AS h FROM st),
+       |r AS (SELECT h % 64 AS j, h // 64 AS w FROM hh),
+       |rr AS (SELECT j, MAX(55 - length(trim(LEADING '0' FROM bin(w)))) AS mj
+       |  FROM r GROUP BY 1),
+       |sm AS (SELECT CAST(SUM(CAST(1 AS BIGINT) << (55 - mj)) AS BIGINT) AS sp,
+       |  COUNT(*) AS np FROM rr),
+       |ex AS (SELECT COUNT(*) AS n_exact FROM st)
+       |SELECT 'all' AS scope,
+       |  round(0.709::DOUBLE * 4096.0::DOUBLE * 36028797018963968.0::DOUBLE
+       |    / (s.sp + (64 - s.np) * CAST(36028797018963968 AS BIGINT)), 6) AS est_distinct,
+       |  x.n_exact
+       |FROM sm s CROSS JOIN ex x""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val st = tbl(s, dir, "documents")
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .distinct()
+    // build PER-SOURCE register tables, then merge them by register max —
+    // never re-touching the token stream — and estimate from the merge
+    val perSource = Sketch.hllRegisters(st, "source", "tok", m = 64)
+    val merged = perSource.withColumn("scope", lit("all"))
+      .groupBy("scope", "j").agg(max("mj").as("mj"))
+    val exact = st.select("tok").distinct().agg(count(lit(1)).as("n_exact"))
+    Sketch.hllEstimate(merged, "scope", m = 64)
+      .crossJoin(exact)
+      .select(col("scope"), col("est_distinct"), col("n_exact"))
+  }
+
+  q("q_sketch_hll",
+    // HyperLogLog distinct sketch with the md5 hash family: register
+    // index = h mod 64, rho from integer/string bit-length (no log2), the
+    // harmonic sum kept exact as Σ 2^(55-Mj) in BIGINT — so the classic
+    // probabilistic counter is bit-reproducible and hash-checkable (the
+    // property approx_count_distinct lacks). Exact count alongside.
+    s"""WITH tk0 AS (SELECT source, unnest($toksSql) AS tok FROM documents),
+       |st AS (SELECT DISTINCT source, tok FROM tk0),
+       |hh AS (SELECT DISTINCT source, ${md5Hash60Sql("tok")} AS h FROM st),
+       |r AS (SELECT source, h % 64 AS j, h // 64 AS w FROM hh),
+       |rr AS (SELECT source, j,
+       |  MAX(55 - length(trim(LEADING '0' FROM bin(w)))) AS mj
+       |  FROM r GROUP BY 1, 2),
+       |sm AS (SELECT source, CAST(SUM(CAST(1 AS BIGINT) << (55 - mj)) AS BIGINT) AS sp,
+       |  COUNT(*) AS np FROM rr GROUP BY 1),
+       |ex AS (SELECT source, COUNT(*) AS n_exact FROM st GROUP BY 1)
+       |SELECT s.source,
+       |  round(0.709::DOUBLE * 4096.0::DOUBLE * 36028797018963968.0::DOUBLE
+       |    / (s.sp + (64 - s.np) * CAST(36028797018963968 AS BIGINT)), 6) AS est_distinct,
+       |  x.n_exact
+       |FROM sm s JOIN ex x ON x.source = s.source ORDER BY s.source"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val st = tbl(s, dir, "documents")
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .distinct()
+    val regs = Sketch.hllRegisters(st, "source", "tok", m = 64)
+    val exact = st.groupBy("source").agg(count(lit(1)).as("n_exact"))
+    Sketch.hllEstimate(regs, "source", m = 64)
+      .join(exact, "source")
+      .select(col("source"), col("est_distinct"), col("n_exact"))
+      .orderBy("source")
   }
 
   // ===========================================================================
@@ -3217,6 +3334,22 @@ object Queries {
       .orderBy("source", "rn")
   }
 
+  q("q_shuffle_epoch",
+    // deterministic epoch shuffle: the epoch-1 training order as
+    // (shard, pos) — epoch-salted hash shard + within-shard hash rank, so
+    // the permutation is stable across runs/engines WITHOUT a global sort
+    // (the rank window parallelizes across the 8 shards)
+    s"""WITH h AS (SELECT doc_id,
+       |  ${md5Hash60Sql("concat('e1|', doc_id)")} AS h FROM documents)
+       |SELECT doc_id, CAST(h % 8 AS INT) AS shard,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS INT) AS pos
+       |FROM h ORDER BY shard, pos""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    Pipeline.epochShuffle(tbl(s, dir, "documents"), "doc_id",
+        epoch = 1, nShards = 8)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy("shard", "pos")
+  }
+
   q("q_trimmed_mean",
     // robust location: drop the <5th and >95th percentile tails, average
     // the rest over an exact decimal sum — two passes, bounds broadcast
@@ -3327,6 +3460,33 @@ object Queries {
     // Gopher-style repetition/quality signals: a pure narrow projection
     // (per-document work only — no shuffle, scales with input splits)
     TextAnalysis.repetitionSignals(tbl(s, dir, "documents")).orderBy("doc_id")
+  }
+
+  q("text_gopher_rules",
+    // Gopher quality GATES (Rae et al. §A1.1): per-document boolean rules
+    // with every ratio in integer cross-multiplied form — no float to
+    // drift — plus the conjunction; a pure narrow projection
+    s"""WITH w AS (SELECT doc_id, $toksSql AS w FROM documents),
+       |m AS (SELECT doc_id, CAST(len(w) AS INT) AS n_words,
+       |  list_sum(list_transform(w, t -> CAST(length(t) AS BIGINT))) AS sum_len,
+       |  len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]'))) AS n_alpha,
+       |  len(list_filter(w, t -> t LIKE '#%' OR t LIKE '%...' OR t LIKE '%…')) AS n_symbol,
+       |  len(list_filter(list_distinct(w),
+       |    t -> t IN ('the','be','to','of','and','that','have','with'))) AS n_stop
+       |  FROM w)
+       |SELECT doc_id, n_words,
+       |  (n_words BETWEEN 50 AND 100000) AS ok_words,
+       |  (sum_len >= 3 * n_words AND sum_len <= 10 * n_words) AS ok_wlen,
+       |  (10 * n_symbol <= n_words) AS ok_symbol,
+       |  (10 * n_alpha >= 8 * n_words) AS ok_alpha,
+       |  (n_stop >= 2) AS ok_stop,
+       |  ((n_words BETWEEN 50 AND 100000)
+       |    AND (sum_len >= 3 * n_words AND sum_len <= 10 * n_words)
+       |    AND (10 * n_symbol <= n_words)
+       |    AND (10 * n_alpha >= 8 * n_words)
+       |    AND (n_stop >= 2)) AS pass
+       |FROM m ORDER BY doc_id""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    TextAnalysis.gopherRules(tbl(s, dir, "documents")).orderBy("doc_id")
   }
 
   q("q_chunk_documents",
@@ -3724,6 +3884,36 @@ object Queries {
       try query.processAllAvailable() finally query.stop()
     }
     s.table(qname).orderBy("r", "bucket")
+  }
+
+  q("stream_hll", {
+    // streaming cardinality sketch: HLL registers aggregate incrementally
+    // (register max is idempotent + order-free, so no distinct() is
+    // needed upstream); the streaming state is the ≤ sources×64 register
+    // grid, never the vocabulary — the cardinality member of the
+    // streaming sketch family (cms = frequency, quantiles = distribution)
+    s"""WITH tk0 AS (SELECT source, unnest($toksSql) AS tok FROM documents),
+       |hh AS (SELECT DISTINCT source, ${md5Hash60Sql("tok")} AS h FROM tk0),
+       |r AS (SELECT source, h % 64 AS j, h // 64 AS w FROM hh),
+       |rr AS (SELECT source, j,
+       |  CAST(MAX(55 - length(trim(LEADING '0' FROM bin(w)))) AS INT) AS mj
+       |  FROM r GROUP BY 1, 2)
+       |SELECT source, j, mj FROM rr ORDER BY source, j"""
+      .stripMargin.replace("\n", " ")
+  }) { (s, dir) =>
+    val src = s.readStream.schema(tbl(s, dir, "documents").schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val regs = Sketch.hllRegisters(
+      src.select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok")),
+      "source", "tok", m = 64)
+    val qname = "graft_stream_hll"
+    // ≤ sources×64 register cells: 4 state stores are plenty
+    withShufflePartitions(s, 4) {
+      val query = regs.writeStream.format("memory").queryName(qname)
+        .outputMode("complete").start()
+      try query.processAllAvailable() finally query.stop()
+    }
+    s.table(qname).orderBy("source", "j")
   }
 
   q("stream_dedup",

@@ -108,6 +108,28 @@ object Pipeline {
       .filter(col("rn") <= col("budget")).drop("budget")
   }
 
+  /** Deterministic epoch shuffle: the global training order for epoch e
+    * is (shard, pos) where `shard = md5("e<e>|" + id) mod nShards` and
+    * `pos` ranks rows within the shard by the same hash (id tie-break).
+    * Reading shards in order yields a permutation that is (a) stable
+    * across runs/engines/partitionings — a resumed job re-derives the
+    * exact order, (b) different per epoch (the epoch salt re-keys the
+    * hash), and (c) computed WITHOUT a global sort: the only wide op is
+    * the per-shard rank window, which parallelizes across nShards
+    * reducers — pick nShards ≥ cluster parallelism at 100 TB and no
+    * single task ever sees more than ~1/nShards of the data.
+    */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int,
+                   nShards: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("h"), col(idCol))
+    df.withColumn("h",
+        md5Hash60(concat(lit(s"e$epoch|"), col(idCol).cast("string"))))
+      .withColumn("shard", pmod(col("h"), lit(nShards)).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .drop("h")
+  }
+
   /** Mixture weighting: per-source keep-rates (percent, 0–100) applied as
     * a deterministic hash sample — how a training mix ("50% web, 30%
     * books, 20% code") is materialized. Resolves to a single narrow

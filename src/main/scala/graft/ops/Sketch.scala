@@ -119,4 +119,46 @@ object Sketch {
         round(size(array_intersect(array_intersect(col("tk"), col("sig_a")),
           col("sig_b"))).cast("double") / lit(k), 6).as("est_jaccard"))
   }
+
+  /** HyperLogLog registers over the deterministic md5 hash family
+    * (Flajolet et al. 2007): the 60-bit hash splits into a register index
+    * `j = h mod m` and a 54-bit word `w = h div m`; the register keeps the
+    * max of `rho(w)` = position of w's leftmost 1-bit counting from the
+    * left of the 54-bit window (all-zeros → 55). `rho` is computed with
+    * INTEGER/string ops only (`55 - len(bin(w) minus leading zeros)`), no
+    * log2, so any engine reproduces the registers bit-for-bit. `max` is
+    * idempotent and order-free: map-side partial aggregation collapses
+    * each input partition to ≤ keys×m rows before the (tiny) shuffle, and
+    * two register frames for disjoint corpora merge by the same groupBy —
+    * the mergeability HLL is used for at 100 TB.
+    */
+  def hllRegisters(df: DataFrame, keyCol: String, tokenCol: String,
+                   m: Int = 64): DataFrame = {
+    require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of two, got $m")
+    df.select(col(keyCol), Pipeline.md5Hash60(col(tokenCol)).as("h"))
+      .select(col(keyCol), pmod(col("h"), lit(m)).as("j"),
+        expr(s"h div $m").as("w"))
+      .withColumn("rho",
+        lit(55) - length(expr("trim(LEADING '0' FROM bin(w))")))
+      .groupBy(col(keyCol), col("j")).agg(max(col("rho")).as("mj"))
+  }
+
+  /** Raw HLL estimate from a register frame: `alpha_m · m² / Σ 2^(-M_j)`,
+    * with the harmonic sum kept EXACT — each register contributes the
+    * integer `2^(55-M_j)` (absent registers contribute `2^55`), summed as
+    * BIGINT, so the only float op is the one final division (plus the
+    * constant product), reproducible in any engine. `alpha` defaults to
+    * the classic 0.709 for m=64.
+    */
+  def hllEstimate(regs: DataFrame, keyCol: String, m: Int = 64,
+                  alpha: Double = 0.709): DataFrame = {
+    val two55 = 36028797018963968L // 2^55
+    regs.groupBy(keyCol)
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 55 - mj)")).as("sp"),
+        count(lit(1)).as("np"))
+      .select(col(keyCol),
+        round(lit(alpha) * lit(m.toDouble * m) * lit(two55.toDouble)
+          / (col("sp") + (lit(m.toLong) - col("np")) * lit(two55)), 6)
+          .as("est_distinct"))
+  }
 }

@@ -426,4 +426,101 @@ object TextAnalysis {
       .select(col(idCol), col("rk"), col("tok"), col("tf"), col("dfreq"),
         round(col("tfidf"), 6).as("tfidf"))
   }
+
+  /** TF-IDF query retrieval (the second system for hybrid fusion): per
+    * (query, doc), score = Σ_terms tf · N / df, kept EXACT as the
+    * fixed-point integer `tf · N · 10^6 div df` per term so the ranking
+    * reproduces bit-for-bit in any engine (same discipline as bm25TopK's
+    * ln-free scoring). Plan shape matches bm25TopK: the token scan is
+    * filtered to query terms before the tf aggregate, df and the query
+    * terms broadcast, top-k is a rank window the optimizer group-limits
+    * map-side.
+    */
+  def tfidfRetrieveTopK(docs: DataFrame, queries: Seq[(String, String)],
+                        k: Int = 10, textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qterms = queries.flatMap { case (qid, text) =>
+      text.trim.split("\\s+").distinct.toSeq.map(t => (qid, t))
+    }.toDF("query_id", "tok")
+    val allTerms = queries.flatMap(_._2.trim.split("\\s+")).distinct
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val nDocs = docs.select(col(idCol)).distinct().count()
+    val tf = toks.filter(col("tok").isin(allTerms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(qterms), "tok")
+      .join(broadcast(dfreq), "tok")
+      .select(col("query_id"), col("doc_id"),
+        expr(s"tf * ${nDocs}L * 1000000L div df").as("term_fp"))
+      .groupBy("query_id", "doc_id").agg(sum("term_fp").as("score_fp"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_fp").desc, col("doc_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("doc_id"), col("score_fp"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher 2009) of retrieval
+    * runs: fused score = Σ_runs 1/(kRrf + rank), kept exact as the
+    * truncating integer `10^9 div (kRrf + rnk)` per run so the fused
+    * order is engine-reproducible. Inputs carry (query_id, doc_id, rnk)
+    * — any mix of systems (BM25, TF-IDF, ANN) over the same id space.
+    * Each run is already top-k-bounded per query, so the union +
+    * re-aggregation shuffles O(queries × k × runs) rows regardless of
+    * corpus size — fusion cost never touches the corpus.
+    */
+  def rrfFuse(runs: Seq[DataFrame], k: Int = 10, kRrf: Int = 60): DataFrame = {
+    require(runs.nonEmpty, "need at least one run")
+    val u = runs.map(_.select(col("query_id"), col("doc_id"), col("rnk")))
+      .reduce(_ unionByName _)
+    val scored = u
+      .select(col("query_id"), col("doc_id"),
+        expr(s"1000000000L div ($kRrf + rnk)").as("contrib"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("contrib").as("rrf_fp"), count(lit(1)).as("n_runs"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_fp").desc, col("doc_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("doc_id"), col("rrf_fp"),
+        col("n_runs"))
+  }
+
+  /** Gopher-style document quality rules (Rae et al. 2021 §A1.1, adapted
+    * to single-line corpora): per-document boolean gates
+    *  - ok_words:   50 ≤ word count ≤ 100000
+    *  - ok_wlen:    3 ≤ mean word length ≤ 10
+    *  - ok_symbol:  ≤ 10% of words start with '#' or end with '…'/'...'
+    *  - ok_alpha:   ≥ 80% of words contain an alphabetic character
+    *  - ok_stop:    ≥ 2 distinct stopwords present
+    * and `pass` = conjunction. Every ratio gate is evaluated in INTEGER
+    * cross-multiplied form (e.g. `10·n_alpha ≥ 8·n_words`), so there is
+    * no float to drift between engines. A pure narrow projection: no
+    * shuffle, scales with input splits.
+    */
+  def gopherRules(df: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id",
+                  stopwords: Seq[String] =
+                    Seq("the", "be", "to", "of", "and", "that", "have", "with"))
+  : DataFrame = {
+    val w = tokens(col(textCol))
+    val nWords = size(w)
+    val sumLen = aggregate(w, lit(0L), (acc, t) => acc + length(t))
+    val nAlpha = size(filter(w, t => t.rlike("[A-Za-z]")))
+    val nSymbol = size(filter(w,
+      t => t.startsWith("#") || t.endsWith("...") || t.endsWith("…")))
+    val nStop = size(filter(array_distinct(w),
+      t => stopwords.map(t === _).reduce(_ || _)))
+    df.select(col(idCol), nWords.as("n_words"),
+        (nWords >= 50 && nWords <= 100000).as("ok_words"),
+        (sumLen >= lit(3L) * nWords && sumLen <= lit(10L) * nWords).as("ok_wlen"),
+        (lit(10) * nSymbol <= nWords).as("ok_symbol"),
+        (lit(10) * nAlpha >= lit(8) * nWords).as("ok_alpha"),
+        (nStop >= 2).as("ok_stop"))
+      .withColumn("pass",
+        col("ok_words") && col("ok_wlen") && col("ok_symbol") &&
+          col("ok_alpha") && col("ok_stop"))
+  }
 }

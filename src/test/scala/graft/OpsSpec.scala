@@ -1697,4 +1697,91 @@ class AdviceRegressionSpec extends AnyFunSuite {
     assert(part.getDouble(2) == sampleVals(2)) // floor(0.9*3) = 2
     assert(part.getDouble(3) == sampleVals(2)) // floor(0.99*3) = 2
   }
+
+  private def md5Hash60(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  test("HLL registers and estimate match the in-memory reference and merge by max") {
+    val toks = (0 until 500).map(i => ("k", s"tok$i")) ++
+      (0 until 100).map(i => ("k", s"tok$i")) // repeats must not matter
+    val df = toks.toDF("grp", "tok")
+    // in-memory reference: same md5-60bit family, j = h mod 64, w = h div 64
+    val regs = toks.map(_._2).distinct
+      .map { t => val h = md5Hash60(t); (h % 64, h / 64) }
+      .map { case (j, w) => (j, 55 - (64 - java.lang.Long.numberOfLeadingZeros(w))) }
+      .groupBy(_._1).map { case (j, rs) => j -> rs.map(_._2).max }
+    val got = Sketch.hllRegisters(df, "grp", "tok").collect()
+      .map(r => r.getLong(1) -> r.getInt(2)).toMap
+    assert(got == regs.map { case (j, m) => j -> m })
+    val sInt = (0L until 64L).map(j => 1L << (55 - regs.getOrElse(j, 0))).sum
+    val expected = BigDecimal(0.709 * 4096.0 * 36028797018963968.0 / sInt)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val est = Sketch.hllEstimate(Sketch.hllRegisters(df, "grp", "tok"), "grp")
+      .collect().head.getDouble(1)
+    assert(est == expected)
+    assert(math.abs(est - 500) < 0.4 * 500) // sanity: ~13% stderr at m=64
+    // mergeability: registers of A∪B = max-merge of registers(A) and registers(B)
+    val a = (0 until 300).map(i => ("k", s"tok$i")).toDF("grp", "tok")
+    val b = (200 until 500).map(i => ("k", s"tok$i")).toDF("grp", "tok")
+    val merged = Sketch.hllRegisters(a, "grp", "tok")
+      .unionByName(Sketch.hllRegisters(b, "grp", "tok"))
+      .groupBy("grp", "j").agg(max("mj").as("mj"))
+    val whole = Sketch.hllRegisters(a.unionByName(b), "grp", "tok")
+    assert(merged.collect().map(r => (r.getLong(1), r.getInt(2))).sorted.toSeq ==
+      whole.collect().map(r => (r.getLong(1), r.getInt(2))).sorted.toSeq)
+  }
+
+  test("RRF fusion scores exact fixed-point reciprocal ranks and re-ranks") {
+    val runA = Seq(("q", 10L, 1), ("q", 11L, 2), ("q", 12L, 3))
+      .toDF("query_id", "doc_id", "rnk")
+    val runB = Seq(("q", 11L, 1), ("q", 13L, 2), ("q", 10L, 3))
+      .toDF("query_id", "doc_id", "rnk")
+    val fused = TextAnalysis.rrfFuse(Seq(runA, runB), k = 10)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    def c(r: Int): Long = 1000000000L / (60 + r)
+    // doc 11: ranks 2+1; doc 10: ranks 1+3; docs 12, 13: single runs
+    val expect = Seq((11L, c(2) + c(1), 2L), (10L, c(1) + c(3), 2L),
+      (13L, c(2), 1L), (12L, c(3), 1L))
+    assert(fused.toSeq == expect)
+  }
+
+  test("gopher gates: each rule trips on its crafted document") {
+    val filler = (0 until 60).map(i => s"word$i").mkString(" ")
+    val gdocs = Seq(
+      (0L, s"the cat and dog of $filler"),                  // passes all
+      (1L, "the of short doc"),                             // fails ok_words
+      (2L, s"the of $filler " + Seq.fill(20)("#tag").mkString(" ")), // fails ok_symbol
+      (3L, s"the of $filler " + Seq.fill(30)("12345").mkString(" ")) // fails ok_alpha
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(gdocs).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(2), r.getBoolean(4),
+        r.getBoolean(5), r.getBoolean(6), r.getBoolean(7))).toMap
+    // (ok_words, ok_symbol, ok_alpha, ok_stop, pass)
+    assert(got(0L) == ((true, true, true, true, true)))
+    assert(got(1L)._1 == false && got(1L)._5 == false)
+    assert(got(2L)._2 == false && got(2L)._5 == false)
+    assert(got(3L)._3 == false && got(3L)._5 == false)
+  }
+
+  test("epoch shuffle is a stable per-epoch permutation with dense shard positions") {
+    val df = (0L until 100L).toDF("doc_id")
+    val e1 = Pipeline.epochShuffle(df, "doc_id", epoch = 1, nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(e1.length == 100 && e1.map(_._1).distinct.length == 100)
+    // positions are dense 1..n within each shard
+    e1.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length).toSeq)
+    }
+    // deterministic: a re-run derives the identical order
+    val e1b = Pipeline.epochShuffle(df, "doc_id", epoch = 1, nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(e1.sortBy(_._1).toSeq == e1b.sortBy(_._1).toSeq)
+    // a different epoch re-keys the permutation
+    val e2 = Pipeline.epochShuffle(df, "doc_id", epoch = 2, nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(e1.sortBy(_._1).toSeq != e2.sortBy(_._1).toSeq)
+  }
 }

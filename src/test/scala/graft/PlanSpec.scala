@@ -400,6 +400,33 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("LeftAnti"), plan.take(1500))
     assert(!plan.contains("CartesianProduct"), plan.take(1500))
   }
+
+  test("hll: registers partial-aggregate map-side before one tiny shuffle") {
+    val plan = planOf("q_sketch_hll")
+    // the register aggregation must be two-phase (partial_max before the
+    // exchange), so each input partition ships ≤ keys×64 rows — the
+    // property that makes the sketch a sketch at 100 TB
+    assert(plan.contains("partial_max"), plan.take(2000))
+  }
+
+  test("epoch shuffle: per-shard rank window, never a global sort") {
+    val plan = planOf("q_shuffle_epoch")
+    // the rank must run per-shard (hashpartitioning on shard), so it
+    // parallelizes across nShards reducers at any scale
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning(shard")), plan.take(2000))
+    val windowLines = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.exists(_.contains("shard")), windowLines.mkString("\n"))
+  }
+
+  test("rrf fusion: both retrieval runs group-limit map-side before fusing") {
+    val plan = planOf("q_hybrid_rrf")
+    // each run's top-k is a rank window the optimizer group-limits on the
+    // map side, so fusion input is O(queries×k) rows, never corpus-sized
+    val groupLimits = plan.linesIterator.count(_.contains("WindowGroupLimit"))
+    assert(groupLimits >= 4, // partial+final per run, +2 for the fused rank
+      s"expected >=4 WindowGroupLimit nodes, got $groupLimits:\n${plan.take(3000)}")
+  }
 }
 
 /** GraftExtensions registers the engine's strategies via the standard
