@@ -3136,6 +3136,49 @@ object Queries {
       .orderBy("key_a", "key_b")
   }
 
+  q("q_sketch_kmv_containment",
+    // asymmetric containment |A∩B|/|A| from the same KMV signatures as
+    // kmv_jaccard — the subset-duplication signal Jaccard hides — next to
+    // the exact containment from the token sets
+    s"""WITH tk0 AS (SELECT source, unnest($toksSql) AS tok FROM documents),
+       |st AS (SELECT DISTINCT source, tok FROM tk0),
+       |sh AS (SELECT DISTINCT source, ${md5Hash60Sql("tok")} AS h FROM st),
+       |rk AS (SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk FROM sh),
+       |sigs AS (SELECT source, list_sort(list(h)) AS sig FROM rk WHERE rk <= 128 GROUP BY source),
+       |pairs AS (SELECT a.source AS key_a, b.source AS key_b, a.sig AS sa, b.sig AS sb
+       |  FROM sigs a JOIN sigs b ON a.source != b.source),
+       |est AS (SELECT key_a, key_b,
+       |  CASE WHEN len(list_intersect(list_sort(list_distinct(sa || sb))[1:128], sa)) > 0
+       |    THEN round(CAST(len(list_intersect(list_intersect(
+       |        list_sort(list_distinct(sa || sb))[1:128], sa), sb)) AS DOUBLE)
+       |      / len(list_intersect(list_sort(list_distinct(sa || sb))[1:128], sa)), 6)
+       |    END AS est_containment FROM pairs),
+       |sz AS (SELECT source, COUNT(*) AS sz FROM st GROUP BY 1),
+       |iv AS (SELECT x.source AS key_a, y.source AS key_b, COUNT(*) AS ni
+       |  FROM st x JOIN st y ON x.tok = y.tok AND x.source != y.source GROUP BY 1, 2)
+       |SELECT e.key_a, e.key_b, e.est_containment,
+       |  round(CAST(coalesce(iv.ni, 0) AS DOUBLE) / sa.sz, 6) AS exact_containment
+       |FROM est e LEFT JOIN iv ON iv.key_a = e.key_a AND iv.key_b = e.key_b
+       |JOIN sz sa ON sa.source = e.key_a
+       |ORDER BY e.key_a, e.key_b""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val st = tbl(s, dir, "documents")
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .distinct()
+    val sigs = Sketch.bottomKSignatures(st, "source", "tok", k = 128)
+    val est = Sketch.kmvContainment(sigs, "source", k = 128)
+    val sizes = st.groupBy("source").agg(count(lit(1)).as("sz"))
+    val inter = st.as("x").join(st.as("y"),
+        col("x.tok") === col("y.tok") && col("x.source") =!= col("y.source"))
+      .groupBy(col("x.source").as("key_a"), col("y.source").as("key_b"))
+      .agg(count(lit(1)).as("ni"))
+    est.join(inter, Seq("key_a", "key_b"), "left")
+      .join(sizes.select(col("source").as("key_a"), col("sz").as("sza")), "key_a")
+      .select(col("key_a"), col("key_b"), col("est_containment"),
+        round(coalesce(col("ni"), lit(0L)).cast("double") / col("sza"), 6)
+          .as("exact_containment"))
+      .orderBy("key_a", "key_b")
+  }
+
   q("q_sketch_hll_merge",
     // HLL register MERGE: per-source register tables max-merge into one
     // global sketch whose estimate equals the sketch built over the whole

@@ -120,6 +120,28 @@ object Sketch {
           col("sig_b"))).cast("double") / lit(k), 6).as("est_jaccard"))
   }
 
+  /** Pairwise CONTAINMENT estimates from KMV signatures: for each ordered
+    * key pair (a, b), `C(a,b) = |tk ∩ A ∩ B| / |tk ∩ A|` where tk is the
+    * k smallest of the union of the two signatures — the asymmetric
+    * "fraction of a inside b" that Jaccard hides (a small doc wholly
+    * quoted by a large one has high containment but low Jaccard, the
+    * subset-duplication case a dedup pipeline must see). Same
+    * signature-pair cost model as kmvJaccard: pairs × k, independent of
+    * corpus size. Keys whose tk∩A is empty report null.
+    */
+  def kmvContainment(sigs: DataFrame, keyCol: String, k: Int = 128): DataFrame = {
+    val a = sigs.select(col(keyCol).as("key_a"), col("sig").as("sig_a"))
+    val b = sigs.select(col(keyCol).as("key_b"), col("sig").as("sig_b"))
+    a.join(b, col("key_a") =!= col("key_b"))
+      .withColumn("tk",
+        slice(array_sort(array_distinct(concat(col("sig_a"), col("sig_b")))), 1, k))
+      .withColumn("tka", array_intersect(col("tk"), col("sig_a")))
+      .select(col("key_a"), col("key_b"),
+        when(size(col("tka")) > 0,
+          round(size(array_intersect(col("tka"), col("sig_b"))).cast("double")
+            / size(col("tka")), 6)).as("est_containment"))
+  }
+
   /** HyperLogLog registers over the deterministic md5 hash family
     * (Flajolet et al. 2007): the 60-bit hash splits into a register index
     * `j = h mod m` and a 54-bit word `w = h div m`; the register keeps the

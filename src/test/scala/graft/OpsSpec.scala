@@ -1734,6 +1734,24 @@ class AdviceRegressionSpec extends AnyFunSuite {
       whole.collect().map(r => (r.getLong(1), r.getInt(2))).sorted.toSeq)
   }
 
+  test("KMV containment: a strict subset reports 1.0 toward its superset") {
+    val toks = (0 until 40).map(i => ("small", s"t$i")) ++
+      (0 until 200).map(i => ("big", s"t$i")) // small ⊂ big
+    val st = toks.toDF("grp", "tok")
+    val sigs = Sketch.bottomKSignatures(st, "grp", "tok", k = 128)
+    val got = Sketch.kmvContainment(sigs, "grp", k = 128).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got(("small", "big")) == 1.0) // every element of small is in big
+    // exact directed containment big→small = 40/200; with k=128 of the
+    // 200-element union, the estimate counts tk∩big (128) and tk∩big∩small
+    val md5s = (0 until 200).map(i => md5Hash60(s"t$i"))
+    val tk = md5s.sorted.take(128)
+    val smallSet = (0 until 40).map(i => md5Hash60(s"t$i")).toSet
+    val expected = BigDecimal(tk.count(smallSet).toDouble / 128)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(("big", "small")) == expected)
+  }
+
   test("RRF fusion scores exact fixed-point reciprocal ranks and re-ranks") {
     val runA = Seq(("q", 10L, 1), ("q", 11L, 2), ("q", 12L, 3))
       .toDF("query_id", "doc_id", "rnk")
