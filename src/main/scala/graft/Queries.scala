@@ -3136,6 +3136,74 @@ object Queries {
       .orderBy("key_a", "key_b")
   }
 
+  q("q_eval_ranking", {
+    val discVals = Eval.ndcgDiscountsFp(10).zipWithIndex
+      .map { case (d, i) => s"(${i + 1}, ${d})" }.mkString(", ")
+    // NDCG@10 + reciprocal rank of the TF-IDF run against BM25-graded
+    // truth (gain = 11 - bm25 rank): discounts are integer literals
+    // quantized once in Scala (round(10^12/log2(i+1))) and shared with
+    // the oracle, so DCG sums are exact BIGINTs — no transcendental and
+    // no float accumulation anywhere, one final division per metric
+    s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+       |stats AS (SELECT COUNT(DISTINCT doc_id) AS n, COUNT(*) AS t FROM toks),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+       |qt AS (SELECT * FROM (VALUES
+       |  ('q_analytics', 'query'), ('q_analytics', 'filter'), ('q_analytics', 'join'),
+       |  ('q_streaming', 'stream'), ('q_streaming', 'window'), ('q_streaming', 'scan'),
+       |  ('q_physical', 'hash'), ('q_physical', 'merge'), ('q_physical', 'sort'),
+       |  ('q_physical', 'table')) AS v(query_id, tok)),
+       |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+       |  WHERE tok IN (SELECT tok FROM qt) GROUP BY 1, 2),
+       |dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+       |bscored AS (SELECT qt.query_id, tf.doc_id,
+       |  CAST(SUM(((2 * (s.n - dfq.df) + 1) * 1000000 // (2 * dfq.df + 1))
+       |    * ((22 * s.t * tf.tf * 1000000) // (10 * s.t * tf.tf + 3 * s.t + 9 * dl.dl * s.n)))
+       |    AS BIGINT) AS score_fp
+       |  FROM qt JOIN tf USING (tok) JOIN dfq USING (tok)
+       |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s GROUP BY 1, 2),
+       |truth AS (SELECT query_id, doc_id, 11 - rnk AS gain
+       |  FROM (SELECT query_id, doc_id, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY score_fp DESC, doc_id) AS rnk FROM bscored) WHERE rnk <= 10),
+       |nd AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM documents),
+       |tscored AS (SELECT qt.query_id, tf.doc_id,
+       |  CAST(SUM(tf.tf * nd.nd * 1000000 // dfq.df) AS BIGINT) AS score_fp
+       |  FROM qt JOIN tf USING (tok) JOIN dfq USING (tok) CROSS JOIN nd GROUP BY 1, 2),
+       |trun AS (SELECT query_id, doc_id, rnk FROM (SELECT query_id, doc_id,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_fp DESC, doc_id) AS rnk
+       |  FROM tscored) WHERE rnk <= 10),
+       |disc AS (SELECT * FROM (VALUES $discVals) AS d(i, dfp)),
+       |dcg AS (SELECT t.query_id,
+       |  CAST(SUM(coalesce(tr.gain, 0) * d.dfp) AS BIGINT) AS dcg_fp
+       |  FROM trun t LEFT JOIN truth tr ON tr.query_id = t.query_id AND tr.doc_id = t.doc_id
+       |  JOIN disc d ON d.i = t.rnk GROUP BY 1),
+       |ideal AS (SELECT query_id, CAST(SUM(gain * d.dfp) AS BIGINT) AS idcg_fp
+       |  FROM (SELECT query_id, gain, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY gain DESC, doc_id) AS irn FROM truth) x
+       |  JOIN disc d ON d.i = x.irn WHERE x.irn <= 10 GROUP BY 1),
+       |frel AS (SELECT t.query_id, MIN(t.rnk) AS first_rel FROM trun t
+       |  JOIN truth tr ON tr.query_id = t.query_id AND tr.doc_id = t.doc_id GROUP BY 1)
+       |SELECT q.query_id, round(CAST(dcg.dcg_fp AS DOUBLE) / ideal.idcg_fp, 6) AS ndcg,
+       |  CAST(frel.first_rel AS INT) AS first_rel,
+       |  CAST(coalesce(1000000000 // frel.first_rel, 0) AS BIGINT) AS rr_fp
+       |FROM (SELECT DISTINCT query_id FROM trun) q
+       |JOIN dcg ON dcg.query_id = q.query_id
+       |JOIN ideal ON ideal.query_id = q.query_id
+       |LEFT JOIN frel ON frel.query_id = q.query_id
+       |ORDER BY q.query_id""".stripMargin.replace("\n", " ")
+  }) { (s, dir) =>
+    val docs = tbl(s, dir, "documents")
+    val qs = Seq(
+      "q_analytics" -> "query filter join",
+      "q_streaming" -> "stream window scan",
+      "q_physical" -> "hash merge sort table")
+    val truth = TextAnalysis.bm25TopK(docs, qs, k = 10)
+      .select(col("query_id"), col("doc_id"), (lit(11) - col("rnk")).cast("long").as("gain"))
+    val run = TextAnalysis.tfidfRetrieveTopK(docs, qs, k = 10)
+    Eval.ndcgAtK(run, truth, k = 10)
+      .join(Eval.reciprocalRankAtK(run, truth, k = 10), "query_id")
+      .orderBy("query_id")
+  }
+
   q("q_sketch_kmv_containment",
     // asymmetric containment |A∩B|/|A| from the same KMV signatures as
     // kmv_jaccard — the subset-duplication signal Jaccard hides — next to

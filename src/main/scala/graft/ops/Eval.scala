@@ -86,4 +86,56 @@ object Eval {
         round(col("tv_num").cast("double") /
           (lit(2.0) * col("n_train_toks") * col("n_rest_toks")), 6).as("tv"))
   }
+
+  /** Rank-position discounts for NDCG, quantized to integers:
+    * `round(10^12 / log2(i+1))` computed ONCE here and emitted as
+    * literals into both engines' plans, so no transcendental is ever
+    * evaluated at query time — the metric is exactly "NDCG with
+    * discounts quantized at 1e-12", deterministic on any engine.
+    */
+  def ndcgDiscountsFp(k: Int): Seq[Long] =
+    (1 to k).map(i => math.round(1e12 / (math.log(i + 1.0) / math.log(2.0))))
+
+  /** NDCG@k of a retrieval `run` (query_id, doc_id, rnk) against graded
+    * `truth` (query_id, doc_id, gain): DCG and ideal-DCG accumulate as
+    * exact BIGINT sums of gain × quantized-discount terms, so the only
+    * float op is the final division. Runs are top-k bounded per query, so
+    * the join + aggregation touch O(queries × k) rows — evaluating a
+    * ranking system never re-touches the corpus.
+    */
+  def ndcgAtK(run: DataFrame, truth: DataFrame, k: Int = 10): DataFrame = {
+    val discArr = array(ndcgDiscountsFp(k).map(lit): _*)
+    val dcg = run.filter(col("rnk") <= k)
+      .join(truth, Seq("query_id", "doc_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("gain"), lit(0L)).cast("long")
+          * element_at(discArr, col("rnk").cast("int"))).as("term_fp"))
+      .groupBy("query_id").agg(sum("term_fp").as("dcg_fp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("gain").desc, col("doc_id"))
+    val ideal = truth.withColumn("irn", row_number().over(w))
+      .filter(col("irn") <= k)
+      .select(col("query_id"), (col("gain").cast("long")
+        * element_at(discArr, col("irn").cast("int"))).as("iterm_fp"))
+      .groupBy("query_id").agg(sum("iterm_fp").as("idcg_fp"))
+    dcg.join(ideal, "query_id")
+      .select(col("query_id"),
+        when(col("idcg_fp") > 0,
+          round(col("dcg_fp").cast("double") / col("idcg_fp"), 6)).as("ndcg"))
+  }
+
+  /** Per-query reciprocal rank of the first relevant hit in the top-k
+    * (10^9 div rank, 0 when nothing relevant ranks), the exact-integer
+    * building block of MRR: averaging the returned `rr_fp` over queries
+    * and dividing once by 10^9 gives MRR with a single float op.
+    */
+  def reciprocalRankAtK(run: DataFrame, truth: DataFrame, k: Int = 10): DataFrame = {
+    val firstRel = run.filter(col("rnk") <= k)
+      .join(truth.select("query_id", "doc_id"), Seq("query_id", "doc_id"), "leftsemi")
+      .groupBy("query_id").agg(min("rnk").as("first_rel"))
+    run.select("query_id").distinct()
+      .join(firstRel, Seq("query_id"), "left")
+      .select(col("query_id"), col("first_rel").cast("int").as("first_rel"),
+        coalesce(expr("1000000000L div first_rel"), lit(0L)).as("rr_fp"))
+  }
 }

@@ -1752,6 +1752,28 @@ class AdviceRegressionSpec extends AnyFunSuite {
     assert(got(("big", "small")) == expected)
   }
 
+  test("NDCG and reciprocal rank match hand-computed fixed-point values") {
+    val truth = Seq(("q", 1L, 3L), ("q", 2L, 2L), ("q", 3L, 1L))
+      .toDF("query_id", "doc_id", "gain")
+    val run = Seq(("q", 2L, 1), ("q", 9L, 2), ("q", 1L, 3))
+      .toDF("query_id", "doc_id", "rnk")
+    val d = Eval.ndcgDiscountsFp(3)
+    assert(d == Seq(1000000000000L, math.round(1e12 / (math.log(3.0) / math.log(2.0))),
+      500000000000L))
+    val dcg = 2L * d(0) + 0L + 3L * d(2) // run order: doc2(g=2), doc9(g=0), doc1(g=3)
+    val idcg = 3L * d(0) + 2L * d(1) + 1L * d(2)
+    val wantNdcg = BigDecimal(dcg.toDouble / idcg)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nd = Eval.ndcgAtK(run, truth, k = 3).collect().head
+    assert(nd.getDouble(1) == wantNdcg)
+    val rr = Eval.reciprocalRankAtK(run, truth, k = 3).collect().head
+    assert(rr.getInt(1) == 1 && rr.getLong(2) == 1000000000L) // doc2 hits at rank 1
+    // a run with no relevant docs reports rank null, rr 0
+    val miss = Seq(("q", 8L, 1), ("q", 9L, 2)).toDF("query_id", "doc_id", "rnk")
+    val rm = Eval.reciprocalRankAtK(miss, truth, k = 3).collect().head
+    assert(rm.isNullAt(1) && rm.getLong(2) == 0L)
+  }
+
   test("RRF fusion scores exact fixed-point reciprocal ranks and re-ranks") {
     val runA = Seq(("q", 10L, 1), ("q", 11L, 2), ("q", 12L, 3))
       .toDF("query_id", "doc_id", "rnk")
