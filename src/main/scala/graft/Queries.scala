@@ -3600,6 +3600,50 @@ object Queries {
     TextAnalysis.gopherRules(tbl(s, dir, "documents")).orderBy("doc_id")
   }
 
+  q("text_skipgrams",
+    // word2vec-style (center, context) pair extraction at window ±2:
+    // pair generation is a narrow higher-order transform (no self-join,
+    // no positional explode); the only shuffle is the final pair count
+    s"""WITH w AS (SELECT $toksSql AS w FROM documents),
+       |fp AS (SELECT unnest(flatten(list_transform(range(1, len(w), 1), i ->
+       |  list_transform(range(i+1, least(i+2, len(w))+1, 1), j -> [w[i], w[j]])))) AS p
+       |  FROM w WHERE len(w) >= 2),
+       |pairs AS (SELECT p[1] AS w1, p[2] AS w2 FROM fp
+       |  UNION ALL SELECT p[2] AS w1, p[1] AS w2 FROM fp)
+       |SELECT w1, w2, COUNT(*) AS n FROM pairs GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    TextAnalysis.skipGramPairs(tbl(s, dir, "documents"), window = 2)
+      .orderBy("w1", "w2")
+  }
+
+  q("text_collocations",
+    // collocations ranked by the ln-free PMI surrogate n_ab·T·10^6 div
+    // (n_a·n_b) — integer-exact, same order as PMI; unigram counts are
+    // vocabulary-sized (broadcast side), top-k is orderBy+limit
+    s"""WITH w AS (SELECT $toksSql AS w FROM documents),
+       |fp AS (SELECT unnest(flatten(list_transform(range(1, len(w), 1), i ->
+       |  list_transform(range(i+1, least(i+2, len(w))+1, 1), j -> [w[i], w[j]])))) AS p
+       |  FROM w WHERE len(w) >= 2),
+       |pairs AS (SELECT p[1] AS w1, p[2] AS w2 FROM fp
+       |  UNION ALL SELECT p[2] AS w1, p[1] AS w2 FROM fp),
+       |pc AS (SELECT w1, w2, COUNT(*) AS n FROM pairs GROUP BY 1, 2
+       |  HAVING COUNT(*) >= 5),
+       |uni AS (SELECT tok, COUNT(*) AS cnt
+       |  FROM (SELECT unnest(w) AS tok FROM w) GROUP BY 1),
+       |tot AS (SELECT SUM(cnt) AS t FROM uni),
+       |scored AS (SELECT pc.w1, pc.w2, pc.n,
+       |  CAST(pc.n * t.t * 1000000 // (a.cnt * b.cnt) AS BIGINT) AS score_fp
+       |  FROM pc JOIN uni a ON a.tok = pc.w1 JOIN uni b ON b.tok = pc.w2
+       |  CROSS JOIN tot t)
+       |SELECT CAST(rk AS INT) AS rk, w1, w2, n, score_fp FROM (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY score_fp DESC, w1, w2) AS rk
+       |  FROM scored) WHERE rk <= 20 ORDER BY rk"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    TextAnalysis.collocationsTopK(tbl(s, dir, "documents"),
+        window = 2, k = 20, minCount = 5)
+      .orderBy("rk")
+  }
+
   q("q_chunk_documents",
     """WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents WHERE doc_id < 100),
       |o AS (SELECT doc_id, text, n,

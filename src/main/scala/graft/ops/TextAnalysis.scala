@@ -488,6 +488,66 @@ object TextAnalysis {
         col("n_runs"))
   }
 
+  /** Skip-gram (center, context) pair counts — the training-pair
+    * extraction for word2vec-style embedding pipelines: every ordered
+    * pair of tokens at distance 1..window within a document, counted
+    * corpus-wide. Pair GENERATION is a pure narrow projection (a
+    * higher-order transform over the token array — no self-join, no
+    * positional explode), so the only shuffle is the final (w1, w2)
+    * count aggregation, map-side combined. At 100 TB the pair stream is
+    * ~2·window×tokens rows but collapses to vocabulary² keys before the
+    * exchange.
+    */
+  def skipGramPairs(df: DataFrame, textCol: String = "text",
+                    window: Int = 2): DataFrame = {
+    val w = tokens(col(textCol))
+    // for token index i (1-based), pair with each of the next `window`
+    // tokens in both orientations — forward pairs (t_i, t_{i+d}) and
+    // their mirrors (t_{i+d}, t_i) — covering all |i-j| <= window pairs
+    val pairs = flatten(transform(sequence(lit(1), size(w) - 1), i =>
+      flatten(transform(sequence(i + 1, least(i + window, size(w))), j =>
+        array(struct(element_at(w, i).as("w1"), element_at(w, j).as("w2")),
+          struct(element_at(w, j).as("w1"), element_at(w, i).as("w2")))))))
+    df.filter(size(w) >= 2)
+      .select(explode(pairs).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+  }
+
+  /** Collocation ranking by an ln-free PMI surrogate: for each skip-gram
+    * pair, `score_fp = n_ab · T · 10^6 div (n_a · n_b)` where n_a/n_b are
+    * corpus token occurrence counts and T the total token count — the
+    * integer-exact monotone transform of pointwise mutual information
+    * (PMI = ln of that ratio), so the RANKING is identical to PMI's and
+    * reproduces bit-for-bit in any engine. Unigram counts are
+    * vocabulary-sized → broadcast; the pair side arrives already
+    * aggregated.
+    */
+  def collocationsTopK(df: DataFrame, textCol: String = "text",
+                       window: Int = 2, k: Int = 20,
+                       minCount: Long = 5): DataFrame = {
+    val pairs = skipGramPairs(df, textCol, window).filter(col("n") >= minCount)
+    val uni = df.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val tot = uni.agg(sum("cnt").as("t"))
+    // headroom: n·T·10^6 stays in BIGINT up to ~10^12 corpus tokens;
+    // past that switch the product to DECIMAL(38,0) (same exactness)
+    val scored = pairs
+      .join(broadcast(uni.select(col("tok").as("w1"), col("cnt").as("na"))), "w1")
+      .join(broadcast(uni.select(col("tok").as("w2"), col("cnt").as("nb"))), "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("n"),
+        expr("n * t * 1000000L div (na * nb)").as("score_fp"))
+    // global top-k as orderBy+limit → TakeOrderedAndProject (distributed
+    // per-partition heaps, only k rows move); the rank is then assigned
+    // over k rows, not over the pair stream
+    val top = scored.orderBy(col("score_fp").desc, col("w1"), col("w2")).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_fp").desc, col("w1"), col("w2"))
+    top.withColumn("rk", row_number().over(w))
+      .select(col("rk"), col("w1"), col("w2"), col("n"), col("score_fp"))
+  }
+
   /** Gopher-style document quality rules (Rae et al. 2021 §A1.1, adapted
     * to single-line corpora): per-document boolean gates
     *  - ok_words:   50 ≤ word count ≤ 100000

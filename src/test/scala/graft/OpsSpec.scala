@@ -1752,6 +1752,20 @@ class AdviceRegressionSpec extends AnyFunSuite {
     assert(got(("big", "small")) == expected)
   }
 
+  test("skip-gram pairs match hand enumeration, both orientations") {
+    val df = Seq((0L, "a b c"), (1L, "a b a")).toDF("doc_id", "text")
+    val got = TextAnalysis.skipGramPairs(df, window = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // "a b c": (a,b)(b,a)(a,c)(c,a)(b,c)(c,b); "a b a": (a,b)(b,a)
+    // (a,a)x2 [distance 2] (b,a)(a,b) → (a,b)/(b,a) total 1+2 = 3 each
+    val want = Map(("a", "b") -> 3L, ("b", "a") -> 3L, ("a", "c") -> 1L,
+      ("c", "a") -> 1L, ("b", "c") -> 1L, ("c", "b") -> 1L, ("a", "a") -> 2L)
+    assert(got == want)
+    // a single-token doc yields nothing
+    assert(TextAnalysis.skipGramPairs(
+      Seq((0L, "solo")).toDF("doc_id", "text"), window = 2).count() == 0)
+  }
+
   test("NDCG and reciprocal rank match hand-computed fixed-point values") {
     val truth = Seq(("q", 1L, 3L), ("q", 2L, 2L), ("q", 3L, 1L))
       .toDF("query_id", "doc_id", "gain")
