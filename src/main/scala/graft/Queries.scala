@@ -846,6 +846,22 @@ object Queries {
       .orderBy("rule")
   }
 
+  q("q_kanonymity",
+    // privacy audit before publishing: per (nation, segment) equivalence
+    // class, k-anonymity (class_size < 10 re-identifies) and l-diversity
+    // (fewer than 8 distinct balances leaks the sensitive attribute);
+    // one aggregation on the QI key, report bounded by the QI domain
+    """SELECT c_nationkey, c_mktsegment, COUNT(*) AS class_size,
+      |  COUNT(DISTINCT c_acctbal) AS n_sensitive,
+      |  (COUNT(*) < 10) AS k_risk,
+      |  (COUNT(DISTINCT c_acctbal) < 8) AS l_risk
+      |FROM customer GROUP BY 1, 2 ORDER BY 1, 2"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    Quality.kAnonymity(tbl(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 10, l = 8)
+      .orderBy("c_nationkey", "c_mktsegment")
+  }
+
   q("q_quantile_normalize",
     // rank-based feature scaling to [0,1] per group: integer ranks with a
     // unique tiebreak, one IEEE division — no percent_rank float drift

@@ -38,4 +38,24 @@ object Quality {
   /** Union the one-row rule results into the validation report. */
   def run(rules: Seq[DataFrame]): DataFrame =
     rules.reduce(_ union _)
+
+  /** Privacy audit before publishing a derived table: per
+    * quasi-identifier equivalence class, the class size (k-anonymity —
+    * classes smaller than `k` re-identify their members) and the number
+    * of DISTINCT sensitive values (l-diversity — classes with fewer than
+    * `l` reveal the sensitive attribute even when k holds). One
+    * aggregation over the QI key: class sizes partial-count map-side;
+    * the distinct-sensitive count shuffles (qi, sensitive) pairs once.
+    * Classes are bounded by the QI domain, not the row count, so the
+    * report stays small at any scale.
+    */
+  def kAnonymity(df: DataFrame, qiCols: Seq[String], sensitiveCol: String,
+                 k: Long, l: Long): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("k_risk", col("class_size") < k)
+      .withColumn("l_risk", col("n_sensitive") < l)
+  }
 }

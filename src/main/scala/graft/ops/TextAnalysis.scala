@@ -500,7 +500,14 @@ object TextAnalysis {
     */
   def skipGramPairs(df: DataFrame, textCol: String = "text",
                     window: Int = 2): DataFrame = {
-    val w = tokens(col(textCol))
+    // bind the token array as a column attribute FIRST: a free
+    // subexpression inside a lambda body is re-evaluated per element
+    // (no CSE through lambdas), so element_at(split(...), i) inside the
+    // nested transform would re-split the document per (i, j) — cubic
+    // per-row work. Against the bound attribute each element_at is O(1).
+    val toks = df.select(tokens(col(textCol)).as("__w"))
+      .filter(size(col("__w")) >= 2)
+    val w = col("__w")
     // for token index i (1-based), pair with each of the next `window`
     // tokens in both orientations — forward pairs (t_i, t_{i+d}) and
     // their mirrors (t_{i+d}, t_i) — covering all |i-j| <= window pairs
@@ -508,8 +515,7 @@ object TextAnalysis {
       flatten(transform(sequence(i + 1, least(i + window, size(w))), j =>
         array(struct(element_at(w, i).as("w1"), element_at(w, j).as("w2")),
           struct(element_at(w, j).as("w1"), element_at(w, i).as("w2")))))))
-    df.filter(size(w) >= 2)
-      .select(explode(pairs).as("p"))
+    toks.select(explode(pairs).as("p"))
       .select(col("p.w1"), col("p.w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
   }

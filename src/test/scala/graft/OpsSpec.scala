@@ -1752,6 +1752,18 @@ class AdviceRegressionSpec extends AnyFunSuite {
     assert(got(("big", "small")) == expected)
   }
 
+  test("k-anonymity flags small classes and low sensitive diversity") {
+    val rows = Seq.fill(12)(("us", "a", 1.0)) ++ // big class, 1 sensitive value
+      Seq(("de", "a", 1.0), ("de", "a", 2.0), ("de", "a", 3.0)) // small, diverse
+    val df = rows.toDF("country", "seg", "bal")
+    val got = Quality.kAnonymity(df, Seq("country", "seg"), "bal", k = 10, l = 3)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getBoolean(5))).toSet
+    assert(got == Set(
+      ("us", 12L, 1L, false, true), // k holds, l fails (single balance)
+      ("de", 3L, 3L, true, false))) // k fails, l holds
+  }
+
   test("skip-gram pairs match hand enumeration, both orientations") {
     val df = Seq((0L, "a b c"), (1L, "a b a")).toDF("doc_id", "text")
     val got = TextAnalysis.skipGramPairs(df, window = 2).collect()
