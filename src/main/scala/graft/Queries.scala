@@ -333,6 +333,35 @@ object Queries {
       .orderBy("l_linestatus")
   }
 
+  q("q_partition_backfill",
+    // backfill one partition via DYNAMIC partition overwrite (the
+    // reprocess-one-day primitive): only the 'F' directory is rewritten
+    // (doubled prices); the oracle applies the same correction to the
+    // unpartitioned source, so a backfill that leaked into any other
+    // partition — or missed part of its own — breaks the hash
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  round(CAST(SUM(CASE WHEN o_orderstatus = 'F'
+      |    THEN CAST(o_totalprice AS DECIMAL(12,2)) * 2
+      |    ELSE CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE), 2) AS total
+      |FROM orders GROUP BY 1 ORDER BY 1"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_backfill").toString + "/orders"
+    val src = tbl(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    Bucketing.writePartitioned(src, out, "o_orderstatus")
+    // the corrected recomputation of ONE partition
+    val fixed = src.filter(col("o_orderstatus") === "F")
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    Bucketing.backfillPartitions(fixed, out, "o_orderstatus")
+    s.read.parquet(out)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice").cast("decimal(12,2)")).cast("double"), 2)
+          .as("total"))
+      .orderBy("o_orderstatus")
+  }
+
   // ===========================================================================
   // General relational surface — SURVEY.md §2.7 (joins, aggs, windows,
   // sorts, set ops, scalar functions, grouping sets).
@@ -3614,6 +3643,21 @@ object Queries {
        |    AND (n_stop >= 2)) AS pass
        |FROM m ORDER BY doc_id""".stripMargin.replace("\n", " ")) { (s, dir) =>
     TextAnalysis.gopherRules(tbl(s, dir, "documents")).orderBy("doc_id")
+  }
+
+  q("text_normalize",
+    // canonical normalization before dedup/tokenization: Unicode NFC +
+    // root-locale lowercase + whitespace collapse as one compiled kernel
+    // (Spark has no NFC built-in; native Expression per the preference
+    // order, never a UDF); hash equality with DuckDB's nfc_normalize
+    // proves byte-identical canonical forms across engines
+    """SELECT doc_id,
+      |  regexp_replace(trim(lower(nfc_normalize(text))), '\s+', ' ', 'g') AS norm
+      |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.NormalizeText(col("text")).as("norm"))
+      .orderBy("doc_id")
   }
 
   q("text_skipgrams",

@@ -74,6 +74,23 @@ object Bucketing {
     n
   }
 
+  /** Backfill via DYNAMIC partition overwrite: rewrite only the hive
+    * partitions present in `updates`, leaving every other directory
+    * untouched — the reprocess-one-day primitive. At 100 TB the
+    * difference between this and static overwrite mode is rewriting one
+    * partition vs truncating the whole table; the write itself stays a
+    * narrow per-partition job.
+    */
+  def backfillPartitions(updates: DataFrame, path: String,
+                         partCol: String): Unit = {
+    val spark = updates.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prior = spark.conf.get(key)
+    spark.conf.set(key, "dynamic")
+    try updates.write.mode("overwrite").partitionBy(partCol).parquet(path)
+    finally spark.conf.set(key, prior)
+  }
+
   /** Sort-by-zorder write: range-partition + sort by the interleaved key,
     * then write parquet — each output file covers a compact Morton range,
     * i.e. a small rectangle in (x, y) space.

@@ -31,6 +31,10 @@ object TextAnalysis {
     * retained as the cross-check for WordShingles and for engines without
     * the custom expression. Returns an empty array below n tokens
     * (guarded explicitly: Spark's `sequence(1, 0)` would count *down*).
+    * NOT for production paths: `element_at(w, i+j)` references the split
+    * expression tree inside the lambda, which re-evaluates per element
+    * (the lambda-CSE trap, PLANS.md trap #5) — fine for test fixtures,
+    * quadratic on real documents. The kernel form has no such cost.
     */
   def shinglesComposed(text: Column, n: Int = 3): Column = {
     val w = tokens(text)

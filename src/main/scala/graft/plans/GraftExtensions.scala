@@ -68,6 +68,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => { arity(args, 2, "word_shingles"); WordShingles(args(0),
         litInt(args(1), "word_shingles", "n")) }))
 
+    ext.injectFunction((FunctionIdentifier("normalize_text"),
+      info("normalize_text",
+        "normalize_text(s) - NFC + root-locale lowercase + whitespace collapse"),
+      (args: Seq[Expression]) => NormalizeText(arity(args, 1, "normalize_text").head)))
+
     ext.injectFunction((FunctionIdentifier("word_ngrams"),
       info("word_ngrams", "word_ngrams(text, n) - all n-word grams in order"),
       (args: Seq[Expression]) => { arity(args, 2, "word_ngrams"); WordNGrams(args(0),

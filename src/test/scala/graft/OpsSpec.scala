@@ -1752,6 +1752,44 @@ class AdviceRegressionSpec extends AnyFunSuite {
     assert(got(("big", "small")) == expected)
   }
 
+  test("dynamic backfill rewrites only the updated partition's files") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_backfill_t").toString + "/t"
+    val src = Seq((1L, 10.0, "F"), (2L, 20.0, "O"), (3L, 30.0, "F"))
+      .toDF("k", "v", "p")
+    Bucketing.writePartitioned(src, out, "p")
+    def files(part: String): Set[String] = {
+      val d = new java.io.File(s"$out/p=$part")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName + ":" + f.lastModified).toSet
+    }
+    val oBefore = files("O")
+    val fBefore = files("F")
+    Thread.sleep(5) // ensure a rewrite would bump lastModified
+    Bucketing.backfillPartitions(
+      src.filter(col("p") === "F").withColumn("v", col("v") * 2), out, "p")
+    assert(files("O") == oBefore, "untouched partition must keep its files")
+    assert(files("F") != fBefore, "updated partition must be rewritten")
+    val got = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 20.0, 2L -> 20.0, 3L -> 60.0))
+  }
+
+  test("normalize kernel: NFC composition, root-locale lower, space collapse") {
+    val decomposed = "Café" // e + combining acute
+    val df = Seq((0L, s"  $decomposed   ÜBER\tAlles "), (1L, "plain text"))
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        graft.functions.NormalizeText(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(0L) == "café über alles") // é is ONE code point after NFC
+    assert(got(1L) == "plain text")
+    // null passes through
+    val n = Seq((2L, null: String)).toDF("doc_id", "text")
+      .select(graft.functions.NormalizeText(col("text"))).collect().head
+    assert(n.isNullAt(0))
+  }
+
   test("k-anonymity flags small classes and low sensitive diversity") {
     val rows = Seq.fill(12)(("us", "a", 1.0)) ++ // big class, 1 sensitive value
       Seq(("de", "a", 1.0), ("de", "a", 2.0), ("de", "a", 3.0)) // small, diverse

@@ -464,13 +464,15 @@ class ExtensionsSpec extends AnyFunSuite {
           |  simhash60(token_hashes60('a b a c')) AS sh,
           |  size(word_shingles('a b c d', 2)) AS ns,
           |  size(word_ngrams('a b c d', 2)) AS ng,
-          |  size(minhash_signature(word_shingles('a b c', 2), 8)) AS mh
+          |  size(minhash_signature(word_shingles('a b c', 2), 8)) AS mh,
+          |  normalize_text('  A   B ') AS nt
           |""".stripMargin).head()
       assert(math.abs(row.getDouble(0) - 0.9611111111111111) < 1e-15)
       assert(row.getDouble(1) == 11.0)
       assert(row.getInt(2) == 2)
       assert(row.getLong(3) != 0L)
       assert(row.getInt(4) == 3 && row.getInt(5) == 3 && row.getInt(6) == 8)
+      assert(row.getString(7) == "a b")
       // non-literal n is rejected at resolution time with a clear message
       val e = intercept[Exception] {
         spark.sql("SELECT word_shingles('a b', 1 + 1)").collect()
