@@ -345,11 +345,15 @@ object Queries {
       |    ELSE CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE), 2) AS total
       |FROM orders GROUP BY 1 ORDER BY 1"""
       .stripMargin.replace("\n", " ")) { (s, dir) =>
-    val out = java.nio.file.Files
-      .createTempDirectory("graft_backfill").toString + "/orders"
     val src = tbl(s, dir, "orders")
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
-    Bucketing.writePartitioned(src, out, "o_orderstatus")
+    // base partitioned table cached per sfDir (bench runs the query
+    // repeatedly — only the backfill itself should be re-measured, and
+    // temp dirs must not accumulate one table copy per iteration); the
+    // backfill is idempotent: 'F' is always recomputed from src
+    val out = cachedLanding(s"backfill:$dir") { d =>
+      Bucketing.writePartitioned(src, s"$d/orders", "o_orderstatus")
+    } + "/orders"
     // the corrected recomputation of ONE partition
     val fixed = src.filter(col("o_orderstatus") === "F")
       .withColumn("o_totalprice", col("o_totalprice") * 2)
@@ -3650,9 +3654,13 @@ object Queries {
     // root-locale lowercase + whitespace collapse as one compiled kernel
     // (Spark has no NFC built-in; native Expression per the preference
     // order, never a UDF); hash equality with DuckDB's nfc_normalize
-    // proves byte-identical canonical forms across engines
+    // proves byte-identical canonical forms across engines. The
+    // whitespace class is explicit on both sides — Java trim and RE2 \s
+    // disagree at the edges (see NormalizeText)
     """SELECT doc_id,
-      |  regexp_replace(trim(lower(nfc_normalize(text))), '\s+', ' ', 'g') AS norm
+      |  regexp_replace(regexp_replace(lower(nfc_normalize(text)),
+      |    '^[ \t\n\r\f\x0B]+|[ \t\n\r\f\x0B]+$', '', 'g'),
+      |    '[ \t\n\r\f\x0B]+', ' ', 'g') AS norm
       |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")) { (s, dir) =>
     tbl(s, dir, "documents")
       .select(col("doc_id"),

@@ -14,8 +14,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * default locale), and whitespace canonicalization (trim + collapse
   * runs to a single space). Spark has no NFC built-in, so this is a
   * compiled kernel per the engine's preference order (native Expression
-  * over UDF); the DuckDB oracle mirror is
-  * `regexp_replace(trim(lower(nfc_normalize(s))), '\s+', ' ', 'g')`.
+  * over UDF); the DuckDB oracle mirror uses the same explicit
+  * whitespace class: `regexp_replace(regexp_replace(lower(
+  * nfc_normalize(s)), '^[ \t\n\r\f\x0B]+|[ \t\n\r\f\x0B]+$', '', 'g'),
+  * '[ \t\n\r\f\x0B]+', ' ', 'g')`.
   * A pure narrow projection wherever it appears.
   */
 case class NormalizeText(child: Expression) extends UnaryExpression {
@@ -35,12 +37,24 @@ case class NormalizeText(child: Expression) extends UnaryExpression {
 
 object NormalizeText {
 
+  // The whitespace class is spelled out EXPLICITLY — not \s, not
+  // String.trim — because the engines disagree at the edges of both:
+  // Java's trim strips every char <= U+0020 (controls included), RE2's
+  // \s lacks \x0B. The explicit class is identical in Java regex and
+  // RE2, so the kernel and the DuckDB oracle mirror agree byte-for-byte
+  // on any input. Patterns compile once, not per row.
+  private val WsEdge =
+    java.util.regex.Pattern.compile("^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$")
+  private val WsRun =
+    java.util.regex.Pattern.compile("[ \\t\\n\\r\\f\\x0B]+")
+
   /** The normalization kernel (also invoked from generated code). */
   def compute(input: UTF8String): UTF8String = {
     val nfc = java.text.Normalizer
       .normalize(input.toString, java.text.Normalizer.Form.NFC)
     val lowered = nfc.toLowerCase(java.util.Locale.ROOT)
-    UTF8String.fromString(lowered.trim.replaceAll("\\s+", " "))
+    val trimmed = WsEdge.matcher(lowered).replaceAll("")
+    UTF8String.fromString(WsRun.matcher(trimmed).replaceAll(" "))
   }
 
   def apply(text: Column): Column =

@@ -451,15 +451,19 @@ object TextAnalysis {
     val allTerms = queries.flatMap(_._2.trim.split("\\s+")).distinct
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("tok"))
-    val nDocs = docs.select(col(idCol)).distinct().count()
+    // corpus doc count as a broadcast one-row frame, not an eager
+    // .count() — DataFrame construction must not run a corpus job
+    // (bm25TopK's stats pattern)
+    val ndDf = docs.select(col(idCol)).distinct().agg(count(lit(1)).as("nd"))
     val tf = toks.filter(col("tok").isin(allTerms: _*))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val scored = tf
       .join(broadcast(qterms), "tok")
       .join(broadcast(dfreq), "tok")
+      .crossJoin(broadcast(ndDf))
       .select(col("query_id"), col("doc_id"),
-        expr(s"tf * ${nDocs}L * 1000000L div df").as("term_fp"))
+        expr("tf * nd * 1000000L div df").as("term_fp"))
       .groupBy("query_id", "doc_id").agg(sum("term_fp").as("score_fp"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score_fp").desc, col("doc_id"))
@@ -540,8 +544,10 @@ object TextAnalysis {
     val uni = df.select(explode(tokens(col(textCol))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
     val tot = uni.agg(sum("cnt").as("t"))
-    // headroom: n·T·10^6 stays in BIGINT up to ~10^12 corpus tokens;
-    // past that switch the product to DECIMAL(38,0) (same exactness)
+    // headroom: the product n·T·10^6 must stay under 2^63, i.e.
+    // n·T < ~9.2e12 — a pair count of 1e5 against a 1e9-token corpus is
+    // already 1e20 and overflows. Past that, switch the product to
+    // DECIMAL(38,0) on both engines (same exactness, wider headroom)
     val scored = pairs
       .join(broadcast(uni.select(col("tok").as("w1"), col("cnt").as("na"))), "w1")
       .join(broadcast(uni.select(col("tok").as("w2"), col("cnt").as("nb"))), "w2")

@@ -1844,11 +1844,12 @@ class AdviceRegressionSpec extends AnyFunSuite {
     val runB = Seq(("q", 11L, 1), ("q", 13L, 2), ("q", 10L, 3))
       .toDF("query_id", "doc_id", "rnk")
     val fused = TextAnalysis.rrfFuse(Seq(runA, runB), k = 10)
-      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1) // rnk is deterministic; row order after collect is not
     def c(r: Int): Long = 1000000000L / (60 + r)
     // doc 11: ranks 2+1; doc 10: ranks 1+3; docs 12, 13: single runs
-    val expect = Seq((11L, c(2) + c(1), 2L), (10L, c(1) + c(3), 2L),
-      (13L, c(2), 1L), (12L, c(3), 1L))
+    val expect = Seq((1, 11L, c(2) + c(1), 2L), (2, 10L, c(1) + c(3), 2L),
+      (3, 13L, c(2), 1L), (4, 12L, c(3), 1L))
     assert(fused.toSeq == expect)
   }
 
