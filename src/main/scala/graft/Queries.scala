@@ -1924,6 +1924,91 @@ object Queries {
       .stripMargin.replace("\n", " ")
   }
 
+  q("q_eval_lsh_sweep", {
+    // LSH parameter sweep: the (bands, rows) tuning table. Each config's
+    // candidate generator is replayed exactly (same two-part md5 minhash
+    // family); truth is the bounded-sample exact jaccard >= 0.5 set the
+    // recall eval uses. (9,1) maximizes recall, (1,9) precision, (3,3)
+    // sits on the S-curve knee — the table a practitioner reads before
+    // committing a 100 TB dedup run to one configuration.
+    val where = "WHERE doc_id % 3 = 0 AND doc_id < 5000"
+    def cfgCtes(tag: String, bands: Int, rows: Int): String = {
+      val k = bands * rows
+      val sigEntries = (0 until k)
+        .map(i => "list_min(list_transform(s, t -> " +
+          "('0x' || substr(md5(t), 1, 15))::BIGINT + " +
+          s"$i * ('0x' || substr(md5(t), 16, 14))::BIGINT))").mkString(", ")
+      val bandSelects = (0 until bands).map { b =>
+        val parts = (1 to rows).map(r => s"sig[${b * rows + r}]::VARCHAR")
+          .mkString(" || '|' || ")
+        s"SELECT doc_id, $b AS band, md5($parts) AS digest FROM sig_$tag"
+      }.mkString(" UNION ALL ")
+      s"""sig_$tag AS (SELECT doc_id, s, [$sigEntries] AS sig FROM sh),
+         |bands_$tag AS ($bandSelects),
+         |cand_$tag AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands_$tag a JOIN bands_$tag b ON a.band = b.band
+         |    AND a.digest = b.digest AND a.doc_id < b.doc_id),
+         |hit_$tag AS (SELECT c.a_id FROM cand_$tag c JOIN truth t
+         |  ON c.a_id = t.a_id AND c.b_id = t.b_id)""".stripMargin
+    }
+    def cfgRow(tag: String, bands: Int, rows: Int): String =
+      s"""SELECT $bands AS n_bands, $rows AS n_rows,
+         |  (SELECT COUNT(*) FROM truth) AS n_truth,
+         |  (SELECT COUNT(*) FROM cand_$tag) AS n_cand,
+         |  (SELECT COUNT(*) FROM hit_$tag) AS n_hit,
+         |  CASE WHEN (SELECT COUNT(*) FROM cand_$tag) = 0 THEN NULL
+         |    ELSE round((SELECT COUNT(*) FROM hit_$tag)::DOUBLE /
+         |      (SELECT COUNT(*) FROM cand_$tag), 6) END AS precision_lsh,
+         |  CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN NULL
+         |    ELSE round((SELECT COUNT(*) FROM hit_$tag)::DOUBLE /
+         |      (SELECT COUNT(*) FROM truth), 6) END AS recall_lsh""".stripMargin
+    val cfgs = Seq(("b1r9", 1, 9), ("b3r3", 3, 3), ("b9r1", 9, 1))
+    (s"""WITH sh AS (SELECT doc_id, $shinglesSql AS s FROM documents $where),
+        |truth AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.s, b.s))::DOUBLE /
+        |        len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.5),
+        |""".stripMargin +
+      cfgs.map { case (t, b, r) => cfgCtes(t, b, r) }.mkString(",\n") + "\n" +
+      cfgs.map { case (t, b, r) => cfgRow(t, b, r) }.mkString(" UNION ALL ") +
+      " ORDER BY n_bands, n_rows").replace("\n", " ")
+  }) { (s, dir) =>
+    val docs = tbl(s, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(3)) === 0 && col("doc_id") < 5000)
+    val sh = docs.select(col("doc_id"),
+        sort_array(transform(TextAnalysis.shingles(col("text"), 3),
+          t => xxhash64(t))).as("sx"))
+      .localCheckpoint()
+    val truth = Grid.allPairs(sh, "doc_id", g = 8)
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"),
+        graft.functions.ArrayKernels.sortedIntersectCount(
+          col("a.sx"), col("b.sx")).as("__i"),
+        size(col("a.sx")).as("__na"), size(col("b.sx")).as("__nb"))
+      .filter(round(col("__i").cast("double") /
+        (col("__na") + col("__nb") - col("__i")), 6) >= 0.5)
+      .select("a_id", "b_id")
+      .localCheckpoint() // three configs probe it; compute the truth once
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val rows = Seq((1, 9), (3, 3), (9, 1)).map { case (b, r) =>
+      val cand = Dedup.lshCandidatePairs(docs, "text", "doc_id",
+        shingleN = 3, bands = b, rows = r)
+      val hit = cand.join(truth, Seq("a_id", "b_id"))
+      cand.agg(count(lit(1)).as("n_cand"))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .crossJoin(nTruth)
+        .select(lit(b).as("n_bands"), lit(r).as("n_rows"), col("n_truth"),
+          col("n_cand"), col("n_hit"),
+          when(col("n_cand") === 0, lit(null).cast("double"))
+            .otherwise(round(col("n_hit").cast("double") / col("n_cand"), 6))
+            .as("precision_lsh"),
+          when(col("n_truth") === 0, lit(null).cast("double"))
+            .otherwise(round(col("n_hit").cast("double") / col("n_truth"), 6))
+            .as("recall_lsh"))
+    }
+    rows.reduce(_ unionByName _).orderBy("n_bands", "n_rows")
+  }
+
   q("dedup_incremental_minhash", {
     // near-dup incremental filter: incoming (doc_id%10>=8) dropped when
     // an LSH band collides with a base doc AND exact jaccard >= 0.5 —
