@@ -3595,6 +3595,28 @@ object Queries {
       .orderBy("shard", "pos")
   }
 
+  q("q_sample_token_budget",
+    // TOKEN-budget mixture: per source, keep the hash-ordered prefix of
+    // docs whose cumulative token count fits 400 tokens — the "N tokens
+    // per source" training mix (vs q_sample_budget's doc counts); the
+    // cumulative sum is monotone along the unique hash order, so the
+    // kept set is a deterministic prefix on any engine
+    s"""WITH t AS (SELECT source, doc_id,
+       |  CAST(len($toksSql) AS BIGINT) AS n_tok,
+       |  ${md5Hash60Sql("doc_id")} AS h FROM documents),
+       |c AS (SELECT source, doc_id, n_tok,
+       |  CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok FROM t)
+       |SELECT source, doc_id, CAST(n_tok AS INT) AS n_tok, cum_tok
+       |FROM c WHERE cum_tok <= 400 ORDER BY source, doc_id"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    Pipeline.tokenBudgetSample(tbl(s, dir, "documents"), "source", "doc_id",
+        size(TextAnalysis.tokens(col("text"))), budget = 400L)
+      .select(col("source"), col("doc_id"),
+        col("n_tok").cast("int").as("n_tok"), col("cum_tok"))
+      .orderBy("source", "doc_id")
+  }
+
   q("q_trimmed_mean",
     // robust location: drop the <5th and >95th percentile tails, average
     // the rest over an exact decimal sum — two passes, bounds broadcast

@@ -108,6 +108,28 @@ object Pipeline {
       .filter(col("rn") <= col("budget")).drop("budget")
   }
 
+  /** TOKEN-budget sampling: per stratum, keep the md5-hash-ordered
+    * PREFIX of documents whose cumulative token count stays within
+    * `budget` — how a training mixture specified in tokens ("1B tokens
+    * of web, 200M of code") is materialized, vs `budgetSample`'s
+    * document counts. The strict-prefix rule (first overflowing doc and
+    * everything after it in hash order are dropped) keeps the selection
+    * deterministic and engine-reproducible; the cumulative sum is an
+    * exact integer window over a uniquely-ordered frame. One shuffle on
+    * the stratum key, same WindowGroupLimit-free shape as packSequences.
+    */
+  def tokenBudgetSample(df: DataFrame, stratumCol: String, idCol: String,
+                        nTokens: Column, budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol)
+      .orderBy(md5Hash60(col(idCol)), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("n_tok", nTokens.cast("long"))
+      .withColumn("cum_tok", sum("n_tok").over(w))
+      .filter(col("cum_tok") <= budget)
+  }
+
   /** Deterministic epoch shuffle: the global training order for epoch e
     * is (shard, pos) where `shard = md5("e<e>|" + id) mod nShards` and
     * `pos` ranks rows within the shard by the same hash (id tie-break).
