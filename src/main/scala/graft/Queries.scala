@@ -2446,6 +2446,74 @@ object Queries {
       .orderBy("q_id", "n_id")
   }
 
+  q("q_eval_ivf_sweep", {
+    // IVF nProbe sweep: recall@5 vs exact brute-force truth for
+    // nProbe ∈ {1, 2, 4} over the same 8-cell index — the accuracy/cost
+    // tuning table for the ANN knob (mirrors q_eval_lsh_sweep). Truth
+    // and per-config results use the same (cos desc, n_id) tie-break, so
+    // the hit sets are deterministic in both engines.
+    val shared =
+      """cent AS (SELECT vec_id AS cid, embedding AS cvec,
+        |  sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+        |    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS cnrm
+        |  FROM embeddings WHERE vec_id < 8),
+        |e AS (SELECT vec_id, embedding,
+        |  sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+        |    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |a AS (SELECT e.vec_id, e.embedding, e.nrm, c.cid,
+        |  list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE))) / (e.nrm * c.cnrm) AS ccos
+        |  FROM e CROSS JOIN cent c),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM a),
+        |cellc AS (SELECT vec_id, embedding, nrm, cid AS cell FROM ranked WHERE rn = 1),
+        |bs AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+        |  round(list_sum(list_transform(range(1, len(q.embedding) + 1),
+        |    i -> CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE))) / (q.nrm * n.nrm), 6) AS cos
+        |  FROM e q JOIN e n ON q.vec_id != n.vec_id WHERE q.vec_id < 10),
+        |truth AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn FROM bs)
+        |  WHERE rn <= 5)""".stripMargin
+    def cfg(p: Int): String =
+      s"""cellq_$p AS (SELECT vec_id, embedding, nrm, cid AS cell FROM ranked
+         |  WHERE rn <= $p AND vec_id < 10),
+         |s_$p AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         |  round(list_sum(list_transform(range(1, len(q.embedding) + 1),
+         |    i -> CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE))) / (q.nrm * n.nrm), 6) AS cos
+         |  FROM cellq_$p q JOIN cellc n USING (cell) WHERE q.vec_id != n.vec_id),
+         |r_$p AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn FROM s_$p)
+         |  WHERE rn <= 5),
+         |h_$p AS (SELECT r.q_id FROM r_$p r JOIN truth t
+         |  ON t.q_id = r.q_id AND t.n_id = r.n_id)""".stripMargin
+    def row(p: Int): String =
+      s"""SELECT $p AS n_probe,
+         |  (SELECT COUNT(*) FROM truth) AS n_truth,
+         |  (SELECT COUNT(*) FROM h_$p) AS n_hit,
+         |  round((SELECT COUNT(*) FROM h_$p)::DOUBLE /
+         |    (SELECT COUNT(*) FROM truth), 6) AS recall_at_5""".stripMargin
+    ("WITH " + shared + ", " + Seq(1, 2, 4).map(cfg).mkString(", ") + " " +
+      Seq(1, 2, 4).map(row).mkString(" UNION ALL ") +
+      " ORDER BY n_probe").replace("\n", " ")
+  }) { (s, dir) =>
+    val emb = tbl(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val centroids = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray).toSeq
+    val truth = Similarity.bruteForceKnn(emb, queries, k = 5)
+      .select("q_id", "n_id").localCheckpoint() // probed by three configs
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    Seq(1, 2, 4).map { p =>
+      val hits = Similarity.ivfMultiProbeKnn(emb, queries, k = 5,
+          centroids, nProbe = p)
+        .select("q_id", "n_id").join(truth, Seq("q_id", "n_id"))
+      hits.agg(count(lit(1)).as("n_hit")).crossJoin(nTruth)
+        .select(lit(p).as("n_probe"), col("n_truth"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_truth"), 6)
+            .as("recall_at_5"))
+    }.reduce(_ unionByName _).orderBy("n_probe")
+  }
+
   q("knn_cosine_ivf_probe2",
     // the coarse-IVF oracle with the query side assigned to its TWO
     // nearest cells (rn <= 2) — corpus stays single-cell, so each (q, n)
