@@ -1790,6 +1790,25 @@ class AdviceRegressionSpec extends AnyFunSuite {
     assert(n.isNullAt(0))
   }
 
+  test("normalize is idempotent and skip-gram counts are orientation-symmetric") {
+    // idempotence: a canonical form must be a fixed point
+    val texts = Seq("  Mixed   CASE\ttext ", "Café déjà-vu", "a\n\nb", "汉字 テスト")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val once = df.select(col("doc_id"),
+      graft.functions.NormalizeText(col("text")).as("text"))
+    val twice = once.select(col("doc_id"),
+      graft.functions.NormalizeText(col("text")).as("text"))
+    assert(once.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      twice.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+    // symmetry: the mirrored pair always ships with the forward pair
+    val counts = TextAnalysis.skipGramPairs(df, window = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    counts.foreach { case ((a, b), n) =>
+      assert(counts((b, a)) == n, s"asymmetric pair ($a,$b)")
+    }
+  }
+
   test("k-anonymity flags small classes and low sensitive diversity") {
     val rows = Seq.fill(12)(("us", "a", 1.0)) ++ // big class, 1 sensitive value
       Seq(("de", "a", 1.0), ("de", "a", 2.0), ("de", "a", 3.0)) // small, diverse
