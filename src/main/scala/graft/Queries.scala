@@ -155,6 +155,42 @@ object Queries {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  q("flf_quarantine",
+    // the third null policy: rows whose NON-NULLABLE cells fail to parse
+    // are flagged and routed aside (raw line retained) instead of
+    // aborting the whole job (strict) or silently nulling (lenient) —
+    // every 97th order's quantity window is corrupted at fabrication
+    // time in BOTH engines, and the split + per-side aggregates must
+    // agree exactly
+    s"""WITH l0 AS (SELECT l_orderkey AS src_key, $flfLineSql AS l FROM lineitem),
+       |lines AS (SELECT CASE WHEN src_key % 97 = 0
+       |  THEN substring(l, 1, 20) || 'XXXXXX' || substring(l, 27, 28)
+       |  ELSE l END AS line FROM l0),
+       |p AS (SELECT
+       |  TRY_CAST(trim(LEADING '0' FROM substring(line, 1, 12)) AS BIGINT) AS l_orderkey,
+       |  trim(TRAILING '_' FROM substring(line, 17, 2)) AS l_returnflag,
+       |  TRY_CAST(trim(LEADING ' ' FROM substring(line, 21, 6)) AS INT) AS l_quantity
+       |  FROM lines)
+       |SELECT (l_orderkey IS NULL OR l_quantity IS NULL) AS quarantined,
+       |  l_returnflag, COUNT(*) AS n, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+       |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val qSchema = FixedSchema(name = "lineitem_q", version = 1,
+      columns = flfCols.map {
+        case c if c.name == "l_orderkey" || c.name == "l_quantity" =>
+          c.copy(isNullable = false)
+        case c => c
+      })
+    val lines = tbl(s, dir, "lineitem")
+      .select(when(col("l_orderkey") % 97 === 0,
+          concat(substring(flfLine(), 1, 20), lit("XXXXXX"),
+            substring(flfLine(), 27, 28)))
+        .otherwise(flfLine()).as("value"))
+    FlfParse.parseQuarantine(lines, qSchema)
+      .groupBy(col("_quarantined").as("quarantined"), col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum("l_quantity").cast("long").as("sum_qty"))
+      .orderBy("quarantined", "l_returnflag")
+  }
+
   q("stream_flf_ingest", flfParseSql) { (s, dir) =>
     // the reference's CORE pipeline as an unbounded stream: fixed-length
     // lines land in a directory, Streams.flfIngest parses them through

@@ -103,6 +103,29 @@ object FlfParse {
     checked.as(c.name)
   }
 
+  /** QUARANTINE-mode parse — the third null policy (the reference has
+    * two: append-or-null for nullable columns, whole-job strict abort
+    * for non-nullable, builder/column.rs:123-131). Strict abort is the
+    * wrong tool at 100 TB — one bad row a billion rows in kills the job
+    * and loses the partition's work. Here every column parses leniently
+    * (null on failure) and `_quarantined` flags rows where any
+    * NON-NULLABLE column failed; callers split on the flag and route bad
+    * rows — raw line retained for repair — to a side sink while the good
+    * rows commit. A pure narrow projection like the strict path.
+    */
+  def parseQuarantine(lines: DataFrame, schema: FixedSchema,
+                      lineCol: String = "value"): DataFrame = {
+    val parsedCols = schema.columns.map { c =>
+      castStrict(trimPad(substring(col(lineCol), c.offset + 1, c.length), c),
+        c.dtype).as(c.name)
+    }
+    val bad = schema.columns.filterNot(_.isNullable)
+      .map(c => col(c.name).isNull)
+      .reduceOption(_ || _).getOrElse(lit(false))
+    lines.select(col(lineCol) +: parsedCols: _*)
+      .withColumn("_quarantined", bad)
+  }
+
   /** Strip the pad symbol according to alignment (reference:
     * crates/evolution-parser/src/trimmer.rs:88-94): Left-aligned values are
     * padded on the right → rtrim; Right-aligned → ltrim; Center → both.

@@ -106,6 +106,23 @@ class FlfParseSpec extends AnyFunSuite {
     assert(messages(ex).exists(_.contains("strict-mode abort")))
   }
 
+  test("quarantine mode flags non-nullable failures, keeps raw line, nullable nulls pass") {
+    val good = "_____1234-42.5***************;;;;;;;;;;;;Alice;;;;;;;;;;;;;000true0"
+    val badNN = "____12ab_-42.5***************;;;;;;;;;;;;Alice;;;;;;;;;;;;;000true0" // cool unparseable
+    val badN = "_____1234-42.5***************;;;;;;;;;;;;Alice;;;;;;;;;;;;;0banana0" // employed (nullable) garbage
+    val got = FlfParse.parseQuarantine(
+        Seq(good, badNN, badN).toDF("value"), schemaA)
+      .collect().map(r => r.getString(0) -> r.getBoolean(r.length - 1)).toMap
+    assert(got(good) == false)
+    assert(got(badNN) == true) // non-nullable 'cool' failed -> quarantined
+    assert(got(badN) == false) // nullable failure stays append-or-null
+    // the split is exhaustive and the raw line survives for repair
+    val q = FlfParse.parseQuarantine(Seq(good, badNN).toDF("value"), schemaA)
+    assert(q.filter(org.apache.spark.sql.functions.col("_quarantined"))
+      .select("value").collect()
+      .map(_.getString(0)).toSeq == Seq(badNN))
+  }
+
   test("boolean grammar is strict: only 'true'/'false' (C1)") {
     // Spark's loose cast would accept 't'/'1'; the reference does not.
     val rows = Seq("t", "1", "TRUE", "true", "false").map(v =>
