@@ -58,10 +58,32 @@ object Evolution {
   def convert(spark: SparkSession, input: String, schemaPath: String,
               output: String, target: Target = Target.Parquet,
               coalesce1: Boolean = false,
-              mode: String = "errorifexists"): Map[String, Any] = {
-    import org.apache.spark.sql.functions.{col, count, count_if, lit}
+              mode: String = "errorifexists",
+              quarantine: Option[String] = None): Map[String, Any] = {
+    import org.apache.spark.sql.functions.{col, count, count_if, lit, not}
     val schema = FixedSchema.fromPath(schemaPath)
-    val parsed = FlfParse.read(spark, input, schema)
+    // With --quarantine, non-nullable parse failures no longer abort the
+    // job (N2 strict): bad rows are written — raw line intact, for
+    // repair/replay — to the quarantine dir, and only clean rows reach
+    // the target. The right policy at scale: one bad row a billion rows
+    // in must not cost the partition's work.
+    val quarantineCount: Map[String, Any] = quarantine match {
+      case Some(qDir) =>
+        val flagged = FlfParse.parseQuarantine(
+          spark.read.text(input), schema)
+        val badObs = org.apache.spark.sql.Observation()
+        flagged.filter(col("_quarantined")).select(col("value"))
+          .observe(badObs, count(lit(1)).as("n_quarantined"))
+          .write.mode(mode).text(qDir)
+        badObs.get
+      case None => Map.empty
+    }
+    val parsed = quarantine match {
+      case Some(_) =>
+        FlfParse.parseQuarantine(spark.read.text(input), schema)
+          .filter(not(col("_quarantined"))).drop("value", "_quarantined")
+      case None => FlfParse.read(spark, input, schema)
+    }
     val obs = org.apache.spark.sql.Observation()
     val counters = count(lit(1)).as("n_rows") +:
       schema.columns.filter(_.isNullable)
@@ -85,7 +107,7 @@ object Evolution {
               s"${t.format} connector jars are not on the classpath: ${e.getMessage}")
         }
     }
-    obs.get
+    obs.get ++ quarantineCount
   }
 
   /** `evolution mock`: schema-driven random fixed-length file. */
@@ -110,7 +132,7 @@ object Evolution {
 
   /** CLI (flag surface per reference cli.rs:100-188):
     * `convert -i <flf> -s <schema.json> -o <out> [-t parquet] [-R bytes]
-    *   [--single-file] [--truncate-existing]`
+    *   [--single-file] [--truncate-existing] [--quarantine <dir>]`
     * `mock -s <schema.json> -o <out> [-n rows] [--seed s] [-N partitions]
     *   [--single-file] [--truncate-existing]`
     * Mapping of the reference's knobs: `-N threads` → mock partitions
@@ -135,7 +157,8 @@ object Evolution {
           opt("-o").getOrElse(sys.error("convert requires -o <output>")),
           Target.fromString(opt("-t").getOrElse("parquet")),
           coalesce1 = args.contains("--single-file"),
-          mode = mode)
+          mode = mode,
+          quarantine = opt("--quarantine"))
         // progress/quality counters, mirroring the reference's post-chunk
         // log line (converter.rs:226-232)
         println(metrics.toSeq.sortBy(_._1)

@@ -210,6 +210,34 @@ class ConvertMetricsSpec extends AnyFunSuite {
     // the counters piggybacked on the real write: output exists and matches
     assert(spark.read.parquet(s"$dir/out.parquet").count() == 3L)
   }
+
+  test("convert --quarantine routes non-nullable failures aside instead of aborting") {
+    val dir = java.nio.file.Files.createTempDirectory("qconv")
+    val schemaJson =
+      """{"name":"m","version":1,"columns":[
+        |{"name":"id","offset":0,"length":6,"dtype":"Int64","alignment":"Right","pad_symbol":"Zero","is_nullable":false},
+        |{"name":"score","offset":6,"length":4,"dtype":"Int32","alignment":"Right","pad_symbol":"Whitespace","is_nullable":true}
+        |]}""".stripMargin
+    java.nio.file.Files.writeString(dir.resolve("schema.json"), schemaJson)
+    java.nio.file.Files.writeString(dir.resolve("in.flf"),
+      "000001  42\n00bad!  77\n000003    \n") // row 2: non-nullable id garbage
+    // strict mode aborts on the bad id…
+    val ex = intercept[Exception] {
+      Evolution.convert(spark, s"$dir/in.flf", s"$dir/schema.json",
+        s"$dir/strict.parquet")
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("strict-mode abort")))
+    // …quarantine mode converts the clean rows and sidelines the bad line
+    val metrics = Evolution.convert(spark, s"$dir/in.flf", s"$dir/schema.json",
+      s"$dir/out.parquet", quarantine = Some(s"$dir/bad"))
+    assert(metrics("n_rows") == 2L)
+    assert(metrics("n_quarantined") == 1L)
+    assert(spark.read.parquet(s"$dir/out.parquet").count() == 2L)
+    assert(spark.read.text(s"$dir/bad").collect()
+      .map(_.getString(0)).toSeq == Seq("00bad!  77"))
+  }
 }
 
 class FlfEvolveSpec extends AnyFunSuite {
