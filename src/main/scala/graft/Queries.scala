@@ -209,6 +209,51 @@ object Queries {
     s.table(qname).orderBy("l_orderkey", "l_linenumber")
   }
 
+  q("stream_flf_quarantine",
+    // ingest-time quarantine on an unbounded stream: parseQuarantine is
+    // a narrow projection, so it composes with the file stream as-is —
+    // bad rows are flagged (not dropped, not fatal) while the stream
+    // keeps flowing; the complete-mode split counts must equal the batch
+    // quarantine split exactly
+    s"""WITH l0 AS (SELECT l_orderkey AS src_key, $flfLineSql AS l FROM lineitem),
+       |lines AS (SELECT CASE WHEN src_key % 97 = 0
+       |  THEN substring(l, 1, 20) || 'XXXXXX' || substring(l, 27, 28)
+       |  ELSE l END AS line FROM l0),
+       |p AS (SELECT
+       |  TRY_CAST(trim(LEADING '0' FROM substring(line, 1, 12)) AS BIGINT) AS l_orderkey,
+       |  trim(TRAILING '_' FROM substring(line, 17, 2)) AS l_returnflag,
+       |  TRY_CAST(trim(LEADING ' ' FROM substring(line, 21, 6)) AS INT) AS l_quantity
+       |  FROM lines)
+       |SELECT (l_orderkey IS NULL OR l_quantity IS NULL) AS quarantined,
+       |  l_returnflag, COUNT(*) AS n
+       |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val landing = cachedLanding(s"flfq:$dir") { d =>
+      tbl(s, dir, "lineitem")
+        .select(when(col("l_orderkey") % 97 === 0,
+            concat(substring(flfLine(), 1, 20), lit("XXXXXX"),
+              substring(flfLine(), 27, 28)))
+          .otherwise(flfLine()).as("value"))
+        .write.mode("overwrite").text(d)
+    }
+    val qSchema = FixedSchema(name = "li_q_stream", version = 1,
+      columns = flfCols.map {
+        case c if c.name == "l_orderkey" || c.name == "l_quantity" =>
+          c.copy(isNullable = false)
+        case c => c
+      })
+    val src = s.readStream.text(landing)
+    val split = FlfParse.parseQuarantine(src, qSchema)
+      .groupBy(col("_quarantined").as("quarantined"), col("l_returnflag"))
+      .agg(count(lit(1)).as("n"))
+    val qname = "graft_stream_flfq"
+    withShufflePartitions(s, 4) {
+      val query = split.writeStream.format("memory").queryName(qname)
+        .outputMode("complete").start()
+      try query.processAllAvailable() finally query.stop()
+    }
+    s.table(qname).orderBy("quarantined", "l_returnflag")
+  }
+
   q("flf_roundtrip",
     """WITH lines AS (SELECT l_orderkey, l_quantity, l_returnflag, """ + flfLineSql +
       """ AS line FROM lineitem)
