@@ -419,6 +419,22 @@ class PlanSpec extends AnyFunSuite {
     assert(windowLines.exists(_.contains("shard")), windowLines.mkString("\n"))
   }
 
+  test("quarantine parse stays a single narrow stage like the strict path") {
+    import spark.implicits._
+    val schema = graft.schema.FixedSchema(name = "p", version = 1, columns = Seq(
+      graft.schema.FixedColumn("id", 0, 10, graft.schema.FlfType.Int64T,
+        graft.schema.Alignment.Right, '0', isNullable = false),
+      graft.schema.FixedColumn("w", 10, 8, graft.schema.FlfType.Utf8T,
+        graft.schema.Alignment.Left, ' ', isNullable = true)))
+    val flagged = graft.flf.FlfParse.parseQuarantine(
+      Seq("0000000001alpha   ").toDF("value"), schema)
+    val plan = flagged.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    // and both split sides stay narrow too (filter composes into the scan)
+    val good = flagged.filter(!org.apache.spark.sql.functions.col("_quarantined"))
+    assert(!good.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("rrf fusion: both retrieval runs group-limit map-side before fusing") {
     val plan = planOf("q_hybrid_rrf")
     // each run's top-k is a rank window the optimizer group-limits on the
