@@ -3564,6 +3564,37 @@ object Queries {
       .select(col("scope"), col("est_distinct"), col("n_exact"))
   }
 
+  q("q_sketch_hll_windowed",
+    // time-bucketed cardinality ("distinct users per hour") as one HLL
+    // register table keyed by the hour — the sketch-per-window form that
+    // absorbs late data by max-merge instead of recount; estimate next
+    // to the exact count per window
+    s"""WITH ev AS (SELECT DISTINCT date_trunc('hour', ts) AS hour, user_id FROM events),
+       |hh AS (SELECT DISTINCT hour, ${md5Hash60Sql("user_id")} AS h FROM ev),
+       |r AS (SELECT hour, h % 64 AS j, h // 64 AS w FROM hh),
+       |rr AS (SELECT hour, j,
+       |  MAX(55 - length(trim(LEADING '0' FROM bin(w)))) AS mj
+       |  FROM r GROUP BY 1, 2),
+       |sm AS (SELECT hour, CAST(SUM(CAST(1 AS BIGINT) << (55 - mj)) AS BIGINT) AS sp,
+       |  COUNT(*) AS np FROM rr GROUP BY 1),
+       |ex AS (SELECT hour, COUNT(*) AS n_exact FROM ev GROUP BY 1)
+       |SELECT s.hour,
+       |  round(0.709::DOUBLE * 4096.0::DOUBLE * 36028797018963968.0::DOUBLE
+       |    / (s.sp + (64 - s.np) * CAST(36028797018963968 AS BIGINT)), 6) AS est_distinct,
+       |  x.n_exact
+       |FROM sm s JOIN ex x ON x.hour = s.hour ORDER BY s.hour"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val ev = events(s, dir)
+      .select(date_trunc("hour", col("ts")).as("hour"), col("user_id"))
+      .distinct()
+    val regs = Sketch.hllRegisters(ev, "hour", "user_id", m = 64)
+    val exact = ev.groupBy("hour").agg(count(lit(1)).as("n_exact"))
+    Sketch.hllEstimate(regs, "hour", m = 64)
+      .join(exact, "hour")
+      .select(col("hour"), col("est_distinct"), col("n_exact"))
+      .orderBy("hour")
+  }
+
   q("q_sketch_hll",
     // HyperLogLog distinct sketch with the md5 hash family: register
     // index = h mod 64, rho from integer/string bit-length (no log2), the
