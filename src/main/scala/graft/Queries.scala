@@ -1932,11 +1932,45 @@ object Queries {
   private def md5Hash60Sql(c: String): String =
     s"('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 15))::BIGINT"
 
+  /** DuckDB mirror of Sketch.hllEstimate from (sp, np) aggregates: raw
+    * harmonic estimate with the linear-counting small-range correction,
+    * whose m·ln(m/V) table is quantized driver-side into literals shared
+    * with the Spark plan (no ln at query time in either engine).
+    */
+  private def hllEstSql(m: Int, sp: String, np: String): String = {
+    val shift = Sketch.hllShift(m)
+    val twoShift = 1L << shift
+    val lc = Sketch.hllLcTable(m).mkString("[", ", ", "]")
+    val raw = s"(${Sketch.hllAlpha(m)}::DOUBLE * ${m.toDouble * m}::DOUBLE" +
+      s" * ${twoShift.toDouble}::DOUBLE" +
+      s" / ($sp + ($m - $np) * CAST($twoShift AS BIGINT)))"
+    s"round(CASE WHEN $m - $np > 0 AND $raw <= ${2.5 * m}" +
+      s" THEN ($lc)[$m - $np] ELSE $raw END, 6)"
+  }
+
   q("dedup_exact",
     """SELECT md5(text) AS digest, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
       |FROM documents GROUP BY 1 ORDER BY keep_id"""
       .stripMargin.replace("\n", " ")) { (s, dir) =>
     Dedup.exact(tbl(s, dir, "documents"), "text", "doc_id").orderBy("keep_id")
+  }
+
+  q("dedup_exact_normalized",
+    // canonical exact dedup: digests over the NFC+lower+whitespace
+    // canonical form, so case/spacing/composition variants of the same
+    // text collapse into one family — the normalize kernel feeding the
+    // dedup pipeline (plain exact dedup misses all three variant axes)
+    """SELECT md5(regexp_replace(regexp_replace(lower(nfc_normalize(text)),
+      |  '^[ \t\n\r\f\x0B]+|[ \t\n\r\f\x0B]+$', '', 'g'),
+      |  '[ \t\n\r\f\x0B]+', ' ', 'g')) AS digest,
+      |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY keep_id"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    Dedup.exact(
+        tbl(s, dir, "documents")
+          .withColumn("text", graft.functions.NormalizeText(col("text"))),
+        "text", "doc_id")
+      .orderBy("keep_id")
   }
 
   q("dedup_incremental",
@@ -3546,8 +3580,7 @@ object Queries {
        |  COUNT(*) AS np FROM rr),
        |ex AS (SELECT COUNT(*) AS n_exact FROM st)
        |SELECT 'all' AS scope,
-       |  round(0.709::DOUBLE * 4096.0::DOUBLE * 36028797018963968.0::DOUBLE
-       |    / (s.sp + (64 - s.np) * CAST(36028797018963968 AS BIGINT)), 6) AS est_distinct,
+       |  ${hllEstSql(64, "s.sp", "s.np")} AS est_distinct,
        |  x.n_exact
        |FROM sm s CROSS JOIN ex x""".stripMargin.replace("\n", " ")) { (s, dir) =>
     val st = tbl(s, dir, "documents")
@@ -3562,6 +3595,49 @@ object Queries {
     Sketch.hllEstimate(merged, "scope", m = 64)
       .crossJoin(exact)
       .select(col("scope"), col("est_distinct"), col("n_exact"))
+  }
+
+  q("q_eval_hll_error", {
+    // HLL precision sweep: m ∈ {16, 64, 256} registers over the corpus
+    // 3-gram shingle universe (thousands of values — the raw-regime the
+    // sketch exists for, unlike the 31-token vocabulary) — the
+    // memory/accuracy table (stderr ~ 1.04/sqrt(m)) a pipeline reads
+    // before sizing a 100 TB cardinality job; small-range linear
+    // counting applies automatically where raw ≤ 2.5m
+    def cfg(m: Int): String = {
+      val shift = Sketch.hllShift(m)
+      s"""SELECT $m AS m, ${hllEstSql(m, "sm.sp", "sm.np")} AS est_distinct
+         |FROM (SELECT CAST(SUM(CAST(1 AS BIGINT) << ($shift - mj)) AS BIGINT) AS sp,
+         |  COUNT(*) AS np
+         |  FROM (SELECT j, MAX($shift - length(trim(LEADING '0' FROM bin(w)))) AS mj
+         |    FROM (SELECT h % $m AS j, h // $m AS w FROM hh) GROUP BY 1)) sm"""
+        .stripMargin
+    }
+    s"""WITH st AS (SELECT DISTINCT g FROM
+       |  (SELECT unnest($shinglesSql) AS g FROM documents)),
+       |hh AS (SELECT ${md5Hash60Sql("g")} AS h FROM st),
+       |ex AS (SELECT COUNT(*) AS n_exact FROM st),
+       |cfgs AS (${Seq(16, 64, 256).map(cfg).mkString(" UNION ALL ")})
+       |SELECT c.m, c.est_distinct, x.n_exact,
+       |  round((c.est_distinct - x.n_exact) / x.n_exact, 6) AS rel_err
+       |FROM cfgs c CROSS JOIN ex x ORDER BY c.m"""
+      .stripMargin.replace("\n", " ")
+  }) { (s, dir) =>
+    val st = tbl(s, dir, "documents")
+      .select(explode(TextAnalysis.shingles(col("text"), 3)).as("g"))
+      .distinct()
+      .withColumn("grp", lit("all"))
+      .localCheckpoint() // three register builds scan it
+    val exact = st.agg(count(lit(1)).as("n_exact"))
+    Seq(16, 64, 256).map { m =>
+      Sketch.hllEstimate(Sketch.hllRegisters(st, "grp", "g", m), "grp", m)
+        .select(lit(m).as("m"), col("est_distinct"))
+    }.reduce(_ unionByName _)
+      .crossJoin(exact)
+      .select(col("m"), col("est_distinct"), col("n_exact"),
+        round((col("est_distinct") - col("n_exact")) / col("n_exact"), 6)
+          .as("rel_err"))
+      .orderBy("m")
   }
 
   q("q_sketch_hll_windowed",
@@ -3579,8 +3655,7 @@ object Queries {
        |  COUNT(*) AS np FROM rr GROUP BY 1),
        |ex AS (SELECT hour, COUNT(*) AS n_exact FROM ev GROUP BY 1)
        |SELECT s.hour,
-       |  round(0.709::DOUBLE * 4096.0::DOUBLE * 36028797018963968.0::DOUBLE
-       |    / (s.sp + (64 - s.np) * CAST(36028797018963968 AS BIGINT)), 6) AS est_distinct,
+       |  ${hllEstSql(64, "s.sp", "s.np")} AS est_distinct,
        |  x.n_exact
        |FROM sm s JOIN ex x ON x.hour = s.hour ORDER BY s.hour"""
       .stripMargin.replace("\n", " ")) { (s, dir) =>
@@ -3612,8 +3687,7 @@ object Queries {
        |  COUNT(*) AS np FROM rr GROUP BY 1),
        |ex AS (SELECT source, COUNT(*) AS n_exact FROM st GROUP BY 1)
        |SELECT s.source,
-       |  round(0.709::DOUBLE * 4096.0::DOUBLE * 36028797018963968.0::DOUBLE
-       |    / (s.sp + (64 - s.np) * CAST(36028797018963968 AS BIGINT)), 6) AS est_distinct,
+       |  ${hllEstSql(64, "s.sp", "s.np")} AS est_distinct,
        |  x.n_exact
        |FROM sm s JOIN ex x ON x.source = s.source ORDER BY s.source"""
       .stripMargin.replace("\n", " ")) { (s, dir) =>

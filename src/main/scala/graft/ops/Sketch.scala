@@ -154,14 +154,30 @@ object Sketch {
     * two register frames for disjoint corpora merge by the same groupBy —
     * the mergeability HLL is used for at 100 TB.
     */
+  /** `(60 - log2 m) + 1`: the rho of an all-zero word, i.e. one past the
+    * bit width of the hash remainder after the register index is split
+    * off. 55 for the default m=64.
+    */
+  def hllShift(m: Int): Int = 61 - java.lang.Integer.numberOfTrailingZeros(m)
+
+  /** The standard bias-correction constant alpha_m (Flajolet et al.
+    * 2007, Fig. 3).
+    */
+  def hllAlpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _  => 0.7213 / (1 + 1.079 / m)
+  }
+
   def hllRegisters(df: DataFrame, keyCol: String, tokenCol: String,
                    m: Int = 64): DataFrame = {
-    require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of two, got $m")
+    require(m >= 16 && (m & (m - 1)) == 0, s"m must be a power of two >= 16, got $m")
     df.select(col(keyCol), Pipeline.md5Hash60(col(tokenCol)).as("h"))
       .select(col(keyCol), pmod(col("h"), lit(m)).as("j"),
         expr(s"h div $m").as("w"))
       .withColumn("rho",
-        lit(55) - length(expr("trim(LEADING '0' FROM bin(w))")))
+        lit(hllShift(m)) - length(expr("trim(LEADING '0' FROM bin(w))")))
       .groupBy(col(keyCol), col("j")).agg(max(col("rho")).as("mj"))
   }
 
@@ -172,15 +188,31 @@ object Sketch {
     * constant product), reproducible in any engine. `alpha` defaults to
     * the classic 0.709 for m=64.
     */
-  def hllEstimate(regs: DataFrame, keyCol: String, m: Int = 64,
-                  alpha: Double = 0.709): DataFrame = {
-    val two55 = 36028797018963968L // 2^55
+  /** Linear-counting table `m·ln(m/V)` for V = 1..m zero registers —
+    * the HLL small-range correction, quantized ONCE here (same
+    * discipline as the NDCG discounts: the transcendental is evaluated
+    * driver-side and shipped as literals, so both engines read identical
+    * doubles and no ln runs at query time).
+    */
+  def hllLcTable(m: Int): Seq[Double] =
+    (1 to m).map(v => m * math.log(m.toDouble / v))
+
+  def hllEstimate(regs: DataFrame, keyCol: String, m: Int = 64): DataFrame = {
+    val shift = hllShift(m)
+    val twoShift = 1L << shift
+    val lcArr = array(hllLcTable(m).map(lit): _*)
     regs.groupBy(keyCol)
-      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 55 - mj)")).as("sp"),
+      .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), $shift - mj)")).as("sp"),
         count(lit(1)).as("np"))
+      .withColumn("raw",
+        lit(hllAlpha(m)) * lit(m.toDouble * m) * lit(twoShift.toDouble)
+          / (col("sp") + (lit(m.toLong) - col("np")) * lit(twoShift)))
+      .withColumn("v", lit(m) - col("np"))
       .select(col(keyCol),
-        round(lit(alpha) * lit(m.toDouble * m) * lit(two55.toDouble)
-          / (col("sp") + (lit(m.toLong) - col("np")) * lit(two55)), 6)
-          .as("est_distinct"))
+        // classic small-range rule: below 2.5m with empty registers,
+        // linear counting beats the raw harmonic estimate
+        round(when(col("v") > 0 && col("raw") <= lit(2.5 * m),
+            element_at(lcArr, col("v").cast("int")))
+          .otherwise(col("raw")), 6).as("est_distinct"))
   }
 }
