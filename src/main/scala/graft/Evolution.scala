@@ -67,10 +67,16 @@ object Evolution {
     // repair/replay — to the quarantine dir, and only clean rows reach
     // the target. The right policy at scale: one bad row a billion rows
     // in must not cost the partition's work.
+    // One flagged frame feeds both sides. Two sinks still mean two jobs
+    // (Spark writes one sink per action) and therefore two input scans —
+    // deliberately so: the scan+parse is a cheap narrow pass, while
+    // materializing the parsed frame (cache/checkpoint) to save the
+    // second scan would spill the ENTIRE converted table to executor
+    // disk first — strictly worse at the 100 TB sizes quarantine exists
+    // for.
+    lazy val flagged = FlfParse.parseQuarantine(spark.read.text(input), schema)
     val quarantineCount: Map[String, Any] = quarantine match {
       case Some(qDir) =>
-        val flagged = FlfParse.parseQuarantine(
-          spark.read.text(input), schema)
         val badObs = org.apache.spark.sql.Observation()
         flagged.filter(col("_quarantined")).select(col("value"))
           .observe(badObs, count(lit(1)).as("n_quarantined"))
@@ -80,8 +86,7 @@ object Evolution {
     }
     val parsed = quarantine match {
       case Some(_) =>
-        FlfParse.parseQuarantine(spark.read.text(input), schema)
-          .filter(not(col("_quarantined"))).drop("value", "_quarantined")
+        flagged.filter(not(col("_quarantined"))).drop("value", "_quarantined")
       case None => FlfParse.read(spark, input, schema)
     }
     val obs = org.apache.spark.sql.Observation()

@@ -2106,8 +2106,11 @@ object Queries {
       .localCheckpoint() // three configs probe it; compute the truth once
     val nTruth = truth.agg(count(lit(1)).as("n_truth"))
     val rows = Seq((1, 9), (3, 3), (9, 1)).map { case (b, r) =>
+      // two consumers (count + hit join): checkpoint the bounded
+      // candidate set so the band self-join runs once per config
       val cand = Dedup.lshCandidatePairs(docs, "text", "doc_id",
-        shingleN = 3, bands = b, rows = r)
+          shingleN = 3, bands = b, rows = r)
+        .localCheckpoint()
       val hit = cand.join(truth, Seq("a_id", "b_id"))
       cand.agg(count(lit(1)).as("n_cand"))
         .crossJoin(hit.agg(count(lit(1)).as("n_hit")))

@@ -115,6 +115,12 @@ object FlfParse {
     */
   def parseQuarantine(lines: DataFrame, schema: FixedSchema,
                       lineCol: String = "value"): DataFrame = {
+    val reserved = schema.columns.map(_.name)
+      .filter(n => n == lineCol || n == "_quarantined")
+    require(reserved.isEmpty,
+      s"parseQuarantine reserves column name(s) '$lineCol' (raw line) and " +
+        s"'_quarantined' (flag); rename schema column(s) ${reserved.mkString(", ")} " +
+        "or pass a different lineCol")
     val parsedCols = schema.columns.map { c =>
       castStrict(trimPad(substring(col(lineCol), c.offset + 1, c.length), c),
         c.dtype).as(c.name)

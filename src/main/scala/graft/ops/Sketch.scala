@@ -142,18 +142,6 @@ object Sketch {
             / size(col("tka")), 6)).as("est_containment"))
   }
 
-  /** HyperLogLog registers over the deterministic md5 hash family
-    * (Flajolet et al. 2007): the 60-bit hash splits into a register index
-    * `j = h mod m` and a 54-bit word `w = h div m`; the register keeps the
-    * max of `rho(w)` = position of w's leftmost 1-bit counting from the
-    * left of the 54-bit window (all-zeros → 55). `rho` is computed with
-    * INTEGER/string ops only (`55 - len(bin(w) minus leading zeros)`), no
-    * log2, so any engine reproduces the registers bit-for-bit. `max` is
-    * idempotent and order-free: map-side partial aggregation collapses
-    * each input partition to ≤ keys×m rows before the (tiny) shuffle, and
-    * two register frames for disjoint corpora merge by the same groupBy —
-    * the mergeability HLL is used for at 100 TB.
-    */
   /** `(60 - log2 m) + 1`: the rho of an all-zero word, i.e. one past the
     * bit width of the hash remainder after the register index is split
     * off. 55 for the default m=64.
@@ -170,6 +158,19 @@ object Sketch {
     case _  => 0.7213 / (1 + 1.079 / m)
   }
 
+  /** HyperLogLog registers over the deterministic md5 hash family
+    * (Flajolet et al. 2007): the 60-bit hash splits into a register index
+    * `j = h mod m` and a (60 − log2 m)-bit word `w = h div m`; the
+    * register keeps the max of `rho(w)` = position of w's leftmost 1-bit
+    * in that window (all-zeros → hllShift(m)). `rho` is computed with
+    * INTEGER/string ops only (`hllShift(m) - len(bin(w) minus leading
+    * zeros)`), no log2, so any engine reproduces the registers
+    * bit-for-bit. `max` is idempotent and order-free: map-side partial
+    * aggregation collapses each input partition to ≤ keys×m rows before
+    * the (tiny) shuffle, and two register frames for disjoint corpora
+    * merge by the same groupBy — the mergeability HLL is used for at
+    * 100 TB.
+    */
   def hllRegisters(df: DataFrame, keyCol: String, tokenCol: String,
                    m: Int = 64): DataFrame = {
     require(m >= 16 && (m & (m - 1)) == 0, s"m must be a power of two >= 16, got $m")
@@ -181,13 +182,6 @@ object Sketch {
       .groupBy(col(keyCol), col("j")).agg(max(col("rho")).as("mj"))
   }
 
-  /** Raw HLL estimate from a register frame: `alpha_m · m² / Σ 2^(-M_j)`,
-    * with the harmonic sum kept EXACT — each register contributes the
-    * integer `2^(55-M_j)` (absent registers contribute `2^55`), summed as
-    * BIGINT, so the only float op is the one final division (plus the
-    * constant product), reproducible in any engine. `alpha` defaults to
-    * the classic 0.709 for m=64.
-    */
   /** Linear-counting table `m·ln(m/V)` for V = 1..m zero registers —
     * the HLL small-range correction, quantized ONCE here (same
     * discipline as the NDCG discounts: the transcendental is evaluated
@@ -197,6 +191,16 @@ object Sketch {
   def hllLcTable(m: Int): Seq[Double] =
     (1 to m).map(v => m * math.log(m.toDouble / v))
 
+  /** HLL estimate from a register frame: `alpha_m · m² / Σ 2^(-M_j)`,
+    * with the harmonic sum kept EXACT — each register contributes the
+    * integer `2^(hllShift(m)-M_j)` (absent registers contribute the full
+    * `2^hllShift(m)`), summed as BIGINT, so the only float ops are the
+    * constant product and one final division, reproducible in any
+    * engine. Below the classic `2.5m` small-range threshold with empty
+    * registers present, the estimate switches to linear counting via the
+    * quantized `hllLcTable` lookup — accurate in both regimes, still
+    * hash-identical across engines.
+    */
   def hllEstimate(regs: DataFrame, keyCol: String, m: Int = 64): DataFrame = {
     val shift = hllShift(m)
     val twoShift = 1L << shift

@@ -1734,6 +1734,24 @@ class AdviceRegressionSpec extends AnyFunSuite {
       whole.collect().map(r => (r.getLong(1), r.getInt(2))).sorted.toSeq)
   }
 
+  test("HLL small-range estimates switch to the quantized linear-counting table") {
+    // 20 distinct tokens over m=64 registers: raw << 2.5m and empty
+    // registers exist, so the estimate must be m*ln(m/V) from the
+    // driver-quantized table, V = empty register count
+    val toks = (0 until 20).map(i => ("k", s"lc$i"))
+    val df = toks.toDF("grp", "tok")
+    val occupied = toks.map(_._2).distinct
+      .map(t => md5Hash60(t) % 64).toSet
+    val v = 64 - occupied.size
+    assert(v > 0)
+    val expected = BigDecimal(Sketch.hllLcTable(64)(v - 1))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val est = Sketch.hllEstimate(Sketch.hllRegisters(df, "grp", "tok"), "grp")
+      .collect().head.getDouble(1)
+    assert(est == expected)
+    assert(math.abs(est - 20) < 6) // and it is actually close to the truth
+  }
+
   test("KMV containment: a strict subset reports 1.0 toward its superset") {
     val toks = (0 until 40).map(i => ("small", s"t$i")) ++
       (0 until 200).map(i => ("big", s"t$i")) // small ⊂ big
