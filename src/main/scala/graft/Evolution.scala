@@ -115,6 +115,43 @@ object Evolution {
     obs.get ++ quarantineCount
   }
 
+  /** `evolution curate <op>`: the LLM-pipeline operators as CLI
+    * subcommands over parquet — the reference-style CLI user gets the
+    * curation surface (dedup / sampling / splits / quality gates /
+    * normalization) without writing Scala. Each op is a thin dispatch
+    * onto the tested library operator; returns (n_in, n_out).
+    */
+  def curate(spark: SparkSession, op: String, input: String, output: String,
+             textCol: String = "text", idCol: String = "doc_id",
+             mod: Int = 10, keep: Int = 1,
+             cuts: Seq[Int] = Seq(80, 90),
+             labels: Seq[String] = Seq("train", "val", "test"),
+             mode: String = "errorifexists"): Map[String, Long] = {
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.parquet(input)
+    val out = op match {
+      case "dedup-exact" => ops.Dedup.dedupExact(df, textCol, idCol)
+      case "dedup-minhash" => ops.Dedup.dedupByMinhash(df, textCol, idCol)
+      case "sample-hash" => ops.Pipeline.hashSample(df, idCol, mod, keep)
+      case "split" => ops.Pipeline.splitAssign(df, idCol, cuts, labels)
+      case "gopher-filter" =>
+        df.join(ops.TextAnalysis.gopherRules(df, textCol, idCol)
+            .filter(col("pass")).select(idCol),
+          Seq(idCol), "left_semi")
+      case "normalize" =>
+        df.withColumn(textCol, graft.functions.NormalizeText(col(textCol)))
+      case other => throw new IllegalArgumentException(
+        s"unknown curate op '$other' (dedup-exact | dedup-minhash | " +
+          "sample-hash | split | gopher-filter | normalize)")
+    }
+    // count piggybacks on the write via observe — one pass, like convert
+    val obs = org.apache.spark.sql.Observation()
+    out.observe(obs, org.apache.spark.sql.functions
+        .count(org.apache.spark.sql.functions.lit(1)).as("n_out"))
+      .write.mode(mode).parquet(output)
+    Map("n_in" -> df.count(), "n_out" -> obs.get("n_out").asInstanceOf[Long])
+  }
+
   /** `evolution mock`: schema-driven random fixed-length file. */
   def mock(spark: SparkSession, schemaPath: String, output: String,
            nRows: Long = 100000L, seed: Long = 42L, coalesce1: Boolean = false,
@@ -140,6 +177,10 @@ object Evolution {
     *   [--single-file] [--truncate-existing] [--quarantine <dir>]`
     * `mock -s <schema.json> -o <out> [-n rows] [--seed s] [-N partitions]
     *   [--single-file] [--truncate-existing]`
+    * `curate <op> -i <in.parquet> -o <out.parquet> [--text-col text]
+    *   [--id-col doc_id] [--mod m --keep k] [--cuts 80,90 --labels a,b,c]`
+    *   where op ∈ dedup-exact | dedup-minhash | sample-hash | split |
+    *   gopher-filter | normalize (§7.5 surface as CLI subcommands)
     * Mapping of the reference's knobs: `-N threads` → mock partitions
     * (convert parallelism is the file-split count), `-R read buffer
     * bytes` → `spark.sql.files.maxPartitionBytes`, `--truncate-existing`
@@ -168,6 +209,24 @@ object Evolution {
         // log line (converter.rs:226-232)
         println(metrics.toSeq.sortBy(_._1)
           .map { case (k, v) => s"$k=$v" }.mkString("convert metrics: ", " ", ""))
+      case Some("curate") =>
+        val metrics = curate(spark,
+          args.lift(1).getOrElse(sys.error(
+            "curate requires an op: dedup-exact | dedup-minhash | " +
+              "sample-hash | split | gopher-filter | normalize")),
+          opt("-i").getOrElse(sys.error("curate requires -i <input.parquet>")),
+          opt("-o").getOrElse(sys.error("curate requires -o <output.parquet>")),
+          textCol = opt("--text-col").getOrElse("text"),
+          idCol = opt("--id-col").getOrElse("doc_id"),
+          mod = opt("--mod").map(_.toInt).getOrElse(10),
+          keep = opt("--keep").map(_.toInt).getOrElse(1),
+          cuts = opt("--cuts").map(_.split(",").map(_.toInt).toSeq)
+            .getOrElse(Seq(80, 90)),
+          labels = opt("--labels").map(_.split(",").toSeq)
+            .getOrElse(Seq("train", "val", "test")),
+          mode = mode)
+        println(metrics.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"$k=$v" }.mkString("curate metrics: ", " ", ""))
       case Some("mock") =>
         mock(spark,
           opt("-s").getOrElse(sys.error("mock requires -s <schema.json>")),
@@ -178,7 +237,7 @@ object Evolution {
           numPartitions = opt("-N").map(_.toInt).getOrElse(0),
           mode = mode)
       case _ =>
-        System.err.println("usage: evolution (convert|mock) [options]")
+        System.err.println("usage: evolution (convert|mock|curate <op>) [options]")
         sys.exit(2)
     } finally spark.stop()
   }

@@ -30,6 +30,20 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("digest"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Exact-dedup MATERIALIZATION: the full rows of each digest family's
+    * canonical keeper (min id). One digest aggregation + one semi join
+    * on (digest, id) — the corpus is scanned twice, shuffled once per
+    * side, and never collected.
+    */
+  def dedupExact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val keep = exact(df, textCol, idCol).select(col("digest"), col("keep_id"))
+    df.withColumn("__digest", md5(col(textCol)))
+      .join(keep,
+        col("__digest") === col("digest") && col(idCol) === col("keep_id"),
+        "left_semi")
+      .drop("__digest")
+  }
+
   /** Jaccard similarity of two string-array columns (distinct-element
     * semantics on both sides of the ratio).
     */

@@ -240,6 +240,59 @@ class ConvertMetricsSpec extends AnyFunSuite {
   }
 }
 
+class CurateCliSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private def corpus(dir: String): String = {
+    val filler = (0 until 60).map(i => s"word$i").mkString(" ")
+    val p = s"$dir/docs.parquet"
+    Seq(
+      (0L, s"the cat and dog of $filler"),   // gopher-passing
+      (1L, s"the cat and dog of $filler"),   // exact dup of 0
+      (2L, s"THE  cat and dog of $filler"),  // case/space variant of 0
+      (3L, "short doc"),                     // fails gopher word count
+      (4L, s"the bird and fish of $filler")) // distinct, passing
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(p)
+    p
+  }
+
+  test("curate ops: dedup, sample, split, gopher filter, normalize end-to-end") {
+    val dir = java.nio.file.Files.createTempDirectory("curate").toString
+    val in = corpus(dir)
+
+    val d = Evolution.curate(spark, "dedup-exact", in, s"$dir/dedup")
+    assert(d == Map("n_in" -> 5L, "n_out" -> 4L)) // doc 1 dropped, 2 kept (differs)
+    assert(spark.read.parquet(s"$dir/dedup").select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(0L, 2L, 3L, 4L))
+
+    // normalize then dedup: the case/space variant now collapses too
+    Evolution.curate(spark, "normalize", in, s"$dir/norm")
+    val d2 = Evolution.curate(spark, "dedup-exact", s"$dir/norm", s"$dir/dedup2")
+    assert(d2("n_out") == 3L) // docs 0, 3, 4
+
+    val g = Evolution.curate(spark, "gopher-filter", in, s"$dir/gopher")
+    assert(spark.read.parquet(s"$dir/gopher").select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L, 2L, 4L)) // 3 too short
+
+    val sp = Evolution.curate(spark, "split", in, s"$dir/split")
+    val splits = spark.read.parquet(s"$dir/split")
+    assert(sp("n_out") == 5L)
+    assert(splits.columns.contains("split"))
+    assert(splits.select("split").distinct().collect().map(_.getString(0)).toSet
+      .subsetOf(Set("train", "val", "test")))
+
+    val h = Evolution.curate(spark, "sample-hash", in, s"$dir/sample",
+      mod = 2, keep = 1)
+    assert(h("n_out") > 0L && h("n_out") < 5L) // a real deterministic subset
+
+    val e = intercept[IllegalArgumentException] {
+      Evolution.curate(spark, "nope", in, s"$dir/x")
+    }
+    assert(e.getMessage.contains("unknown curate op"))
+  }
+}
+
 class FlfEvolveSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.spark
   import spark.implicits._
