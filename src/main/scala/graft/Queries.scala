@@ -1955,6 +1955,19 @@ object Queries {
     Dedup.exact(tbl(s, dir, "documents"), "text", "doc_id").orderBy("keep_id")
   }
 
+  q("dedup_exact_materialized",
+    // the exact-dedup MATERIALIZATION (full rows of each digest family's
+    // min-id keeper — what `curate dedup-exact` writes): digest
+    // aggregate + semi join, the corpus never collected
+    """SELECT d.doc_id, d.source FROM documents d
+      |JOIN (SELECT md5(text) AS dg, MIN(doc_id) AS keep_id
+      |  FROM documents GROUP BY 1) k
+      |ON md5(d.text) = k.dg AND d.doc_id = k.keep_id
+      |ORDER BY d.doc_id""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    Dedup.dedupExact(tbl(s, dir, "documents"), "text", "doc_id")
+      .select("doc_id", "source").orderBy("doc_id")
+  }
+
   q("dedup_exact_normalized",
     // canonical exact dedup: digests over the NFC+lower+whitespace
     // canonical form, so case/spacing/composition variants of the same
