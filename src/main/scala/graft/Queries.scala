@@ -2645,6 +2645,21 @@ object Queries {
     }.reduce(_ unionByName _).orderBy("n_probe")
   }
 
+  q("knn_cosine_ivf_persisted",
+    // the PERSISTED-index path: codebook + precomputed cell assignments
+    // written once per corpus (cached per sfDir like the stream
+    // landings) and read back at query time — floats round-trip parquet
+    // losslessly, so the result is bit-identical to the in-memory
+    // trained path and shares its oracle
+    kmeansKnnOracleSql(k = 8, iters = 2, dim = 64, topK = 5, nQueries = 10)) { (s, dir) =>
+    val emb = tbl(s, dir, "embeddings")
+    val idx = cachedLanding(s"ivfidx:$dir") { d =>
+      Similarity.writeIvfIndex(emb, d, k = 8, iters = 2, dim = 64)
+    }
+    Similarity.ivfKnnFromIndex(s, idx, emb.filter(col("vec_id") < 10), k = 5)
+      .orderBy("q_id", "n_id")
+  }
+
   q("knn_cosine_ivf_probe2",
     // the coarse-IVF oracle with the query side assigned to its TWO
     // nearest cells (rn <= 2) — corpus stays single-cell, so each (q, n)

@@ -572,4 +572,50 @@ object Similarity {
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
   }
+
+  /** PERSISTED IVF index: the trained codebook (`codebook.parquet`,
+    * k×dim rows) and the per-vector cell assignments + vectors
+    * (`cells.parquet`) written as a parquet layout — the index build is
+    * paid once and amortized across query batches instead of recomputed
+    * per run. Floats round-trip parquet losslessly, so a search against
+    * the loaded index is bit-identical to one against the in-memory
+    * codebook it was built from.
+    */
+  def writeIvfIndex(corpus: DataFrame, path: String, k: Int, iters: Int,
+                    dim: Int, idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    mode: String = "overwrite"): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val codebook = kmeansCodebook(corpus, k, iters, dim, idCol, vecCol)
+    codebook.zipWithIndex.map { case (cv, cid) => (cid, cv.toSeq) }
+      .toDF("cid", "centroid")
+      .coalesce(1) // k×dim — one footer, not one file per cell
+      .write.mode(mode).parquet(s"$path/codebook.parquet")
+    corpus.select(col(idCol), col(vecCol))
+      .withColumn("cell", ivfAssignCell(col(vecCol), codebook))
+      .write.mode(mode).parquet(s"$path/cells.parquet")
+  }
+
+  /** Load the codebook of a persisted index (k×dim rows — index-sized
+    * driver traffic, the same legit collect as training).
+    */
+  def readIvfCodebook(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Seq[Array[Float]] =
+    spark.read.parquet(s"$path/codebook.parquet").orderBy("cid")
+      .collect().map(_.getSeq[Float](1).toArray).toSeq
+
+  /** Search a persisted index: queries are assigned with the loaded
+    * codebook (narrow projection); the corpus side reads its
+    * PRECOMPUTED cells straight from the index layout — no assignment
+    * pass over the corpus at query time.
+    */
+  def ivfKnnFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                      queries: DataFrame, k: Int, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val codebook = readIvfCodebook(spark, path)
+    val corpus = spark.read.parquet(s"$path/cells.parquet")
+    val q = queries.withColumn("cell", ivfAssignCell(col(vecCol), codebook))
+    ivfKnn(corpus, q, k, cellCol = "cell", idCol, vecCol)
+  }
 }

@@ -1734,6 +1734,29 @@ class AdviceRegressionSpec extends AnyFunSuite {
       whole.collect().map(r => (r.getLong(1), r.getInt(2))).sorted.toSeq)
   }
 
+  test("persisted IVF index search equals the in-memory trained path exactly") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    Similarity.writeIvfIndex(df, path, k = 4, iters = 2, dim = 8)
+    val queries = df.filter(col("vec_id") < 5)
+    val fromIndex = Similarity.ivfKnnFromIndex(spark, path, queries, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    val codebook = Similarity.kmeansCodebook(df, k = 4, iters = 2, dim = 8)
+    val withCell = df.withColumn("cell",
+      Similarity.ivfAssignCell(col("embedding"), codebook))
+    val inMemory = Similarity.ivfKnn(withCell,
+        withCell.filter(col("vec_id") < 5), k = 3, cellCol = "cell")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(fromIndex.toSeq == inMemory.toSeq)
+    // the layout is what it claims: k codebook rows, one per cell
+    assert(spark.read.parquet(s"$path/codebook.parquet").count() == 4)
+    assert(spark.read.parquet(s"$path/cells.parquet").columns.toSet ==
+      Set("vec_id", "embedding", "cell"))
+  }
+
   test("HLL small-range estimates switch to the quantized linear-counting table") {
     // 20 distinct tokens over m=64 registers: raw << 2.5m and empty
     // registers exist, so the estimate must be m*ln(m/V) from the
