@@ -126,8 +126,10 @@ object Evolution {
              mod: Int = 10, keep: Int = 1,
              cuts: Seq[Int] = Seq(80, 90),
              labels: Seq[String] = Seq("train", "val", "test"),
+             stratumCol: String = "source", budget: Long = 1000000L,
+             epoch: Int = 1, shards: Int = 64,
              mode: String = "errorifexists"): Map[String, Long] = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, size}
     val df = spark.read.parquet(input)
     val out = op match {
       case "dedup-exact" => ops.Dedup.dedupExact(df, textCol, idCol)
@@ -140,9 +142,15 @@ object Evolution {
           Seq(idCol), "left_semi")
       case "normalize" =>
         df.withColumn(textCol, graft.functions.NormalizeText(col(textCol)))
+      case "token-budget" =>
+        ops.Pipeline.tokenBudgetSample(df, stratumCol, idCol,
+          size(ops.TextAnalysis.tokens(col(textCol))), budget)
+      case "epoch-shuffle" =>
+        ops.Pipeline.epochShuffle(df, idCol, epoch, shards)
       case other => throw new IllegalArgumentException(
         s"unknown curate op '$other' (dedup-exact | dedup-minhash | " +
-          "sample-hash | split | gopher-filter | normalize)")
+          "sample-hash | split | gopher-filter | normalize | " +
+          "token-budget | epoch-shuffle)")
     }
     // count piggybacks on the write via observe — one pass, like convert
     val obs = org.apache.spark.sql.Observation()
@@ -178,9 +186,11 @@ object Evolution {
     * `mock -s <schema.json> -o <out> [-n rows] [--seed s] [-N partitions]
     *   [--single-file] [--truncate-existing]`
     * `curate <op> -i <in.parquet> -o <out.parquet> [--text-col text]
-    *   [--id-col doc_id] [--mod m --keep k] [--cuts 80,90 --labels a,b,c]`
+    *   [--id-col doc_id] [--mod m --keep k] [--cuts 80,90 --labels a,b,c]
+    *   [--stratum-col source --budget n] [--epoch e --shards n]`
     *   where op ∈ dedup-exact | dedup-minhash | sample-hash | split |
-    *   gopher-filter | normalize (§7.5 surface as CLI subcommands)
+    *   gopher-filter | normalize | token-budget | epoch-shuffle
+    *   (§7.5 surface as CLI subcommands)
     * Mapping of the reference's knobs: `-N threads` → mock partitions
     * (convert parallelism is the file-split count), `-R read buffer
     * bytes` → `spark.sql.files.maxPartitionBytes`, `--truncate-existing`
@@ -224,6 +234,10 @@ object Evolution {
             .getOrElse(Seq(80, 90)),
           labels = opt("--labels").map(_.split(",").toSeq)
             .getOrElse(Seq("train", "val", "test")),
+          stratumCol = opt("--stratum-col").getOrElse("source"),
+          budget = opt("--budget").map(_.toLong).getOrElse(1000000L),
+          epoch = opt("--epoch").map(_.toInt).getOrElse(1),
+          shards = opt("--shards").map(_.toInt).getOrElse(64),
           mode = mode)
         println(metrics.toSeq.sortBy(_._1)
           .map { case (k, v) => s"$k=$v" }.mkString("curate metrics: ", " ", ""))

@@ -286,6 +286,20 @@ class CurateCliSpec extends AnyFunSuite {
       mod = 2, keep = 1)
     assert(h("n_out") > 0L && h("n_out") < 5L) // a real deterministic subset
 
+    // token-budget with each doc its own stratum: only the 2-token doc
+    // fits a 50-token budget (the 65-token docs overflow immediately)
+    val tb = Evolution.curate(spark, "token-budget", in, s"$dir/tb",
+      stratumCol = "doc_id", budget = 50L)
+    assert(tb("n_out") == 1L)
+    assert(spark.read.parquet(s"$dir/tb").select("doc_id").collect()
+      .map(_.getLong(0)).toSeq == Seq(3L))
+
+    val ep = Evolution.curate(spark, "epoch-shuffle", in, s"$dir/epoch",
+      epoch = 1, shards = 4)
+    val shuffled = spark.read.parquet(s"$dir/epoch")
+    assert(ep("n_out") == 5L)
+    assert(shuffled.columns.contains("shard") && shuffled.columns.contains("pos"))
+
     val e = intercept[IllegalArgumentException] {
       Evolution.curate(spark, "nope", in, s"$dir/x")
     }
