@@ -5852,4 +5852,226 @@ object Queries {
         weekday(col("ts").cast("date")).as("wd"))
       .orderBy("event_id")
   }
+
+  // ===========================================================================
+  // Record linkage / entity resolution (Fellegi-Sunter): multi-pass blocking,
+  // literal-integer log-odds scoring, three-zone decisions. ops/Linkage.scala.
+  // ===========================================================================
+
+  /** DuckDB mirror of Linkage.dirtyCustomers + linkCustomers: the dirty
+    * fixture, both blocking passes, and the FS-scored pair frame.
+    */
+  private val linkCtes =
+    """hsrc AS (SELECT *, ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT AS hh
+      |  FROM customer),
+      |d AS (SELECT c_custkey AS d_id,
+      |    CASE hh % 4 WHEN 0 THEN upper(c_name)
+      |                WHEN 1 THEN substr(c_name, 1, length(c_name) - 1)
+      |                WHEN 2 THEN c_name || ' '
+      |                ELSE c_name END AS d_name,
+      |    CASE WHEN hh % 7 = 0 THEN (c_nationkey + 1) % 25 ELSE c_nationkey END AS d_nat,
+      |    CASE WHEN hh % 5 = 0 THEN CAST(c_acctbal AS DECIMAL(12,2)) + CAST(0.07 AS DECIMAL(12,2))
+      |         ELSE CAST(c_acctbal AS DECIMAL(12,2)) END AS d_bal,
+      |    c_mktsegment AS d_seg
+      |  FROM hsrc WHERE c_custkey % 3 != 2),
+      |pa AS (SELECT d.d_id, c.c_custkey FROM d JOIN customer c
+      |  ON CAST(d.d_nat AS VARCHAR) || '|' || d.d_seg
+      |   = CAST(c.c_nationkey AS VARCHAR) || '|' || c.c_mktsegment),
+      |pb AS (SELECT d.d_id, c.c_custkey FROM d JOIN customer c
+      |  ON substr(d.d_name, 10, 7) = substr(c.c_name, 10, 7)),
+      |cand AS (SELECT DISTINCT d_id, c_custkey
+      |  FROM (SELECT * FROM pa UNION ALL SELECT * FROM pb)),
+      |pr AS (SELECT cand.d_id, cand.c_custkey, d.d_name, d.d_nat, d.d_bal, d.d_seg,
+      |    c.c_name, c.c_nationkey, CAST(c.c_acctbal AS DECIMAL(12,2)) AS c_bal, c.c_mktsegment
+      |  FROM cand JOIN d ON cand.d_id = d.d_id JOIN customer c ON cand.c_custkey = c.c_custkey),
+      |lv AS (SELECT d_id, c_custkey,
+      |    CASE WHEN d_name = c_name THEN 2
+      |         WHEN levenshtein(lower(d_name), lower(c_name)) <= 2 THEN 1 ELSE 0 END AS name_lv,
+      |    CASE WHEN abs(d_bal - c_bal) <= CAST(0.10 AS DECIMAL(12,2)) THEN 1 ELSE 0 END AS bal_lv,
+      |    CASE WHEN d_nat = c_nationkey THEN 1 ELSE 0 END AS key_lv,
+      |    CASE WHEN d_seg = c_mktsegment THEN 1 ELSE 0 END AS seg_lv
+      |  FROM pr),
+      |fs AS (SELECT d_id, c_custkey,
+      |    'n' || name_lv || '|b' || bal_lv || '|k' || key_lv || '|s' || seg_lv AS pattern,
+      |    (CASE name_lv WHEN 2 THEN 20 WHEN 1 THEN 12 ELSE -10 END)
+      |    + (CASE bal_lv WHEN 1 THEN 6 ELSE -4 END)
+      |    + (CASE key_lv WHEN 1 THEN 3 ELSE -2 END)
+      |    + (CASE seg_lv WHEN 1 THEN 3 ELSE -2 END) AS fs_score
+      |  FROM lv)""".stripMargin
+
+  q("q_link_blocking",
+    // multi-pass blocking pre-flight: per-pass pair fan-out + the distinct
+    // union the scorer actually sees. Each pass is an equi-join (shuffle
+    // on its key); no cross join exists anywhere in the linker.
+    s"""WITH $linkCtes
+       |SELECT 'pass_block' AS pass, COUNT(*) AS n_pairs, COUNT(DISTINCT d_id) AS n_left FROM pa
+       |UNION ALL SELECT 'pass_name', COUNT(*), COUNT(DISTINCT d_id) FROM pb
+       |UNION ALL SELECT 'union_distinct', COUNT(*), COUNT(DISTINCT d_id) FROM cand
+       |ORDER BY pass""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val cust = tbl(s, dir, "customer")
+    val dirty = Linkage.dirtyCustomers(cust)
+    def pass(lk: Column, rk: Column): DataFrame =
+      dirty.withColumn("__bk", lk).join(cust.withColumn("__bk", rk), "__bk")
+        .select("d_id", "c_custkey")
+    val pa = pass(concat_ws("|", col("d_nat"), col("d_seg")),
+      concat_ws("|", col("c_nationkey"), col("c_mktsegment")))
+    val pb = pass(substring(col("d_name"), 10, 7),
+      substring(col("c_name"), 10, 7))
+    def counted(df: DataFrame, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_pairs"), countDistinct("d_id").as("n_left"))
+        .select(lit(name).as("pass"), col("n_pairs"), col("n_left"))
+    counted(pa, "pass_block")
+      .unionByName(counted(pb, "pass_name"))
+      .unionByName(counted(pa.unionByName(pb).distinct(), "union_distinct"))
+      .orderBy("pass")
+  }
+
+  q("q_link_matches",
+    // the match zone: every candidate pair scoring >= 18 under the literal
+    // FS weights, with its agreement pattern — what an automated merge
+    // would act on (q_link_zones carries the confusion table)
+    s"""WITH $linkCtes
+       |SELECT d_id, c_custkey, pattern, fs_score FROM fs
+       |WHERE fs_score >= 18 ORDER BY d_id, c_custkey"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    Linkage.linkCustomers(tbl(s, dir, "customer"))
+      .filter(col("fs_score") >= 18)
+      .select("d_id", "c_custkey", "pattern", "fs_score")
+      .orderBy("d_id", "c_custkey")
+  }
+
+  q("q_link_zones",
+    // FS three-zone decision quality: counts and score ranges per
+    // (zone, is-actually-the-same-record) cell — the linker's confusion
+    // table, including the clerical-review band
+    s"""WITH $linkCtes
+       |SELECT CASE WHEN fs_score >= 18 THEN 'match'
+       |            WHEN fs_score >= 5 THEN 'possible' ELSE 'nonmatch' END AS zone,
+       |  (d_id = c_custkey) AS is_true, COUNT(*) AS n,
+       |  MIN(fs_score) AS min_s, MAX(fs_score) AS max_s
+       |FROM fs GROUP BY 1, 2 ORDER BY 1, 2"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    Linkage.decide(Linkage.linkCustomers(tbl(s, dir, "customer")), 18, 5)
+      .groupBy(col("zone"), (col("d_id") === col("c_custkey")).as("is_true"))
+      .agg(count(lit(1)).as("n"),
+        min("fs_score").as("min_s"), max("fs_score").as("max_s"))
+      .orderBy("zone", "is_true")
+  }
+
+  // ===========================================================================
+  // DSIR importance weighting (TextAnalysis.dsirWeights): resample the raw
+  // pool toward a target domain via smoothed unigram likelihood ratios.
+  // ===========================================================================
+
+  /** DuckDB mirror of TextAnalysis.dsirWeights with target = src0. */
+  private val dsirCtes =
+    s"""t AS (SELECT doc_id, source, $toksSql AS w FROM documents),
+       |tk0 AS (SELECT doc_id, source = 'src0' AS is_t,
+       |    unnest(list_transform(range(1, len(w) + 1),
+       |      i -> {'pos': i, 'tok': w[i]})) AS s FROM t),
+       |tok AS (SELECT doc_id, is_t, s.pos AS pos, s.tok AS tok FROM tk0),
+       |cnt AS (SELECT tok, SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+       |    SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS cs FROM tok GROUP BY tok),
+       |tot AS (SELECT SUM(ct) AS nt, SUM(cs) AS ns, COUNT(*) AS v FROM cnt),
+       |r AS (SELECT tok, CAST((ct + 1) * (ns + v) AS DOUBLE)
+       |    / CAST((cs + 1) * (nt + v) AS DOUBLE) AS p FROM cnt, tot),
+       |j AS (SELECT doc_id, pos, p FROM tok JOIN r USING (tok) WHERE NOT is_t),
+       |a AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_toks,
+       |    list(p ORDER BY pos) AS ps FROM j GROUP BY doc_id),
+       |wts AS (SELECT doc_id, n_toks,
+       |    floor(list_reduce(ps, (acc, x) -> acc + x) / n_toks * 1e6 + 0.5) / 1e6
+       |      AS dsir_w FROM a)""".stripMargin
+
+  q("q_dsir_weights",
+    s"""WITH $dsirCtes
+       |SELECT doc_id, n_toks, dsir_w FROM wts ORDER BY doc_id"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val docs = tbl(s, dir, "documents")
+    TextAnalysis.dsirWeights(docs, col("source") === "src0").orderBy("doc_id")
+  }
+
+  q("q_dsir_resample",
+    // the resampling step: top-30 raw-pool docs by domain affinity
+    // (doc_id tiebreak pins the LIMIT boundary; the driver compares the
+    // selected SET, which is deterministic)
+    s"""WITH $dsirCtes
+       |SELECT w.doc_id, d2.source, w.dsir_w
+       |FROM wts w JOIN documents d2 ON w.doc_id = d2.doc_id
+       |ORDER BY w.dsir_w DESC, w.doc_id LIMIT 30"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val docs = tbl(s, dir, "documents")
+    TextAnalysis.dsirWeights(docs, col("source") === "src0")
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .orderBy(col("dsir_w").desc, col("doc_id"))
+      .limit(30)
+      .select("doc_id", "source", "dsir_w")
+  }
+
+  // ===========================================================================
+  // Robust time-series / stats additions: EWMA (dyadic alpha, bit-exact
+  // ordered fold) and median/MAD outlier summaries. ops/Stats.scala.
+  // ===========================================================================
+
+  q("q_ewma_events",
+    // per-user final EWMA of event value (alpha = 1/2): both engines fold
+    // the identical IEEE sequence over the (ts, event_id)-ordered list
+    """WITH a AS (SELECT user_id, COUNT(*) AS n,
+      |    list(value ORDER BY ts, event_id) AS xs
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, CAST(n AS INT) AS n,
+      |  floor(list_reduce(xs, (acc, x) -> acc * 0.5e0 + x * 0.5e0) * 1e6 + 0.5) / 1e6
+      |    AS ewma
+      |FROM a ORDER BY user_id""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    Stats.ewmaLast(events(s, dir), "user_id",
+        Seq(col("ts"), col("event_id")), "value")
+      .orderBy("user_id")
+  }
+
+  q("q_anomaly_mad",
+    // robust outliers per order priority: lower median + MAD in exact
+    // decimals (physical element selection, no interpolation), outlier =
+    // deviation > 3 MAD
+    """WITH g AS (SELECT o_orderpriority AS grp,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS v FROM orders),
+      |m AS (SELECT grp, COUNT(*) AS n, list(v ORDER BY v) AS vs FROM g GROUP BY grp),
+      |m2 AS (SELECT grp, n, vs[CAST((n + 1) // 2 AS INT)] AS med, vs FROM m),
+      |d AS (SELECT grp, n, med,
+      |    list_sort(list_transform(vs, x -> abs(x - med))) AS ds FROM m2),
+      |d2 AS (SELECT grp, n, med, ds[CAST((n + 1) // 2 AS INT)] AS mad, ds FROM d)
+      |SELECT grp, n, CAST(med AS DOUBLE) AS med, CAST(mad AS DOUBLE) AS mad,
+      |  CAST(len(list_filter(ds, x -> x > mad * 3)) AS INT) AS n_outliers
+      |FROM d2 ORDER BY grp""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    Stats.madOutliers(
+        tbl(s, dir, "orders").select(col("o_orderpriority").as("grp"),
+          dec(col("o_totalprice"), 12, 2).as("v")),
+        "grp", col("v"), k = 3)
+      .orderBy("grp")
+  }
+
+  q("q_snapshot_diff",
+    // dataset-version diff (Merge.snapshotDiff): one full-outer join on
+    // the key, output proportional to the delta — added / removed /
+    // changed keys between two deterministic snapshot fixtures
+    """WITH o AS (SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 13 = 0 THEN 'P' ELSE o_orderstatus END AS o_orderstatus,
+      |    o_totalprice FROM orders WHERE o_orderkey % 17 != 5),
+      |n AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |  WHERE o_orderkey % 11 != 3),
+      |j AS (SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+      |    CASE WHEN o.o_orderkey IS NULL THEN 'added'
+      |         WHEN n.o_orderkey IS NULL THEN 'removed'
+      |         WHEN (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+      |           OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice) THEN 'changed'
+      |    END AS change
+      |  FROM o FULL JOIN n ON o.o_orderkey = n.o_orderkey)
+      |SELECT o_orderkey, change FROM j WHERE change IS NOT NULL
+      |ORDER BY o_orderkey""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val orders = tbl(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val oldV = orders.filter(col("o_orderkey") % 17 =!= 5)
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 13 === 0, "P").otherwise(col("o_orderstatus")))
+    val newV = orders.filter(col("o_orderkey") % 11 =!= 3)
+    Merge.snapshotDiff(oldV, newV, "o_orderkey").orderBy("o_orderkey")
+  }
 }

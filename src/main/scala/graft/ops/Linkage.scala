@@ -1,0 +1,181 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Record linkage / entity resolution: multi-pass blocking + Fellegi-Sunter
+  * field-agreement scoring + three-zone decisions (match / possible /
+  * non-match).
+  *
+  * This is the classic probabilistic-linkage pipeline (Fellegi & Sunter
+  * 1969; see also the Splink/dedupe lineage) re-expressed Spark-first:
+  * a 100 TB customer-matching job is blocking equi-joins plus a narrow
+  * scoring projection, never an all-pairs comparison. The reference
+  * engine has no linkage surface at all (it stops at byte-level parse,
+  * /root/reference/crates/evolution-parser/src/parser.rs:1-40); this is
+  * part of the §7.5 pipeline extension layer.
+  *
+  * Scale shape:
+  * - `candidates` is a UNION of equi-joins on the blocking keys (one
+  *   shuffle per pass on its key, or map-side when one side broadcasts)
+  *   followed by one pair-id dedup shuffle. No cross join exists: a pair
+  *   is only ever materialized if some pass keys it together, so cost is
+  *   Σ_block |L_b|·|R_b| per pass — bounded by the block-key design, the
+  *   knob every production linker exposes.
+  * - `score` is a pure narrow projection over the pair frame (levenshtein
+  *   + integer weight sums; whole-stage codegen keeps it fused).
+  * - Weights are LITERAL integers (scaled log-odds quantized up front,
+  *   the same discipline as the NDCG/HLL constant tables) so scores are
+  *   exact, associative, and bit-identical across engines — the real
+  *   FS m/u log-ratios would be floats and engine-order-dependent.
+  *
+  * Block-size skew: a hot blocking key makes one task quadratic. The
+  * multi-pass union lets each pass use tight keys (hot passes can be
+  * dropped or refined); for observability `blockSizes` reports the pair
+  * fan-out per key before the join runs.
+  */
+object Linkage {
+
+  /** One field comparator: ordered agreement `levels` (first predicate
+    * that holds wins, earning its weight), else `missWeight`. Level
+    * index is emitted for the pattern string (len(levels) = exact match
+    * down to 1; 0 = total disagreement).
+    */
+  case class Comparator(name: String, levels: Seq[(Column, Int)], missWeight: Int)
+
+  /** Multi-pass blocked candidate pairs: for each pass (leftKey, rightKey)
+    * equi-join `left` × `right`, union all passes, dedup on the id pair.
+    * Both inputs must carry disjoint column names (pre-alias); the output
+    * keeps every column of both sides for downstream scoring.
+    */
+  def candidates(left: DataFrame, right: DataFrame,
+                 leftId: String, rightId: String,
+                 passes: Seq[(Column, Column)]): DataFrame = {
+    require(passes.nonEmpty, "at least one blocking pass required")
+    val joined = passes.map { case (lk, rk) =>
+      left.withColumn("__bk", lk)
+        .join(right.withColumn("__bk", rk), "__bk")
+        .drop("__bk")
+    }
+    joined.reduce(_ unionByName _).dropDuplicates(leftId, rightId)
+  }
+
+  /** Pair fan-out per blocking key for one pass — the pre-flight skew
+    * check (|L_b| · |R_b| per key, descending). Run before committing to
+    * a key design; a key whose product rivals the table size means that
+    * pass degenerates toward all-pairs.
+    */
+  def blockSizes(left: DataFrame, right: DataFrame,
+                 leftKey: Column, rightKey: Column): DataFrame = {
+    val l = left.groupBy(leftKey.as("block")).agg(count(lit(1)).as("n_left"))
+    val r = right.groupBy(rightKey.as("block")).agg(count(lit(1)).as("n_right"))
+    l.join(r, "block")
+      .withColumn("n_pairs", col("n_left") * col("n_right"))
+      .orderBy(col("n_pairs").desc, col("block"))
+  }
+
+  /** Score a candidate-pair frame: per comparator a `<name>_lv` level
+    * column, plus the concatenated agreement `pattern` and the summed
+    * integer `fs_score`. Narrow projection — no shuffle.
+    */
+  def score(pairs: DataFrame, comps: Seq[Comparator]): DataFrame = {
+    val withLevels = comps.foldLeft(pairs) { (df, c) =>
+      val n = c.levels.size
+      val lv = c.levels.zipWithIndex.foldLeft(lit(null).cast("int")) {
+        case (acc, ((pred, _), i)) =>
+          when(acc.isNotNull, acc).otherwise(when(pred, lit(n - i)))
+      }
+      df.withColumn(s"${c.name}_lv", coalesce(lv, lit(0)))
+    }
+    val weight = comps.map { c =>
+      val n = c.levels.size
+      c.levels.zipWithIndex.foldLeft(lit(null).cast("int")) {
+        case (acc, ((_, w), i)) =>
+          when(acc.isNotNull, acc)
+            .otherwise(when(col(s"${c.name}_lv") === (n - i), lit(w)))
+      }
+    }.map(w => coalesce(w, lit(0)))
+      .reduce(_ + _)
+    // missWeight: applied where the level column is 0
+    val miss = comps.map(c =>
+      when(col(s"${c.name}_lv") === 0, lit(c.missWeight)).otherwise(lit(0)))
+      .reduce(_ + _)
+    val pattern = concat_ws("|",
+      comps.map(c => concat(lit(c.name.take(1)), col(s"${c.name}_lv"))): _*)
+    withLevels
+      .withColumn("pattern", pattern)
+      .withColumn("fs_score", weight + miss)
+  }
+
+  /** Three-zone FS decision: score ≥ upper ⇒ match, ≥ lower ⇒ possible
+    * (clerical review), else nonmatch.
+    */
+  def decide(scored: DataFrame, upper: Int, lower: Int): DataFrame =
+    scored.withColumn("zone",
+      when(col("fs_score") >= upper, "match")
+        .when(col("fs_score") >= lower, "possible")
+        .otherwise("nonmatch"))
+
+  /** Deterministic corruption fixture over the customer table: a "dirty"
+    * replica with name typos (case fold / dropped last char / trailing
+    * space), nation-key transpositions, and small balance drift, keyed by
+    * the md5-derived hash so both engines fabricate the IDENTICAL dirty
+    * set (no RNG). Two thirds of customers get a dirty copy.
+    */
+  def dirtyCustomers(customer: DataFrame): DataFrame = {
+    val h = Pipeline.md5Hash60(col("c_custkey"))
+    val bal = col("c_acctbal").cast("decimal(12,2)")
+    customer
+      .filter(col("c_custkey") % 3 =!= 2)
+      .select(
+        col("c_custkey").as("d_id"),
+        when(pmod(h, lit(4)) === 0, upper(col("c_name")))
+          .when(pmod(h, lit(4)) === 1, expr("substring(c_name, 1, length(c_name)-1)"))
+          .when(pmod(h, lit(4)) === 2, concat(col("c_name"), lit(" ")))
+          .otherwise(col("c_name")).as("d_name"),
+        when(pmod(h, lit(7)) === 0, (col("c_nationkey") + 1) % 25)
+          .otherwise(col("c_nationkey")).as("d_nat"),
+        when(pmod(h, lit(5)) === 0, bal + expr("CAST(0.07 AS DECIMAL(12,2))"))
+          .otherwise(bal).as("d_bal"),
+        col("c_mktsegment").as("d_seg"))
+  }
+
+  /** The standard comparator set for the customer fixture: three-level
+    * name agreement (exact / levenshtein≤2 on the case-folded form /
+    * disagree), balance-within-0.10, nation and segment equality.
+    * Weights are scaled log-odds literals (match zone ≥ 18).
+    */
+  def customerComparators: Seq[Comparator] = Seq(
+    Comparator("name", Seq(
+      (col("d_name") === col("c_name"), 20),
+      (levenshtein(lower(col("d_name")), lower(col("c_name"))) <= 2, 12)), -10),
+    Comparator("bal", Seq(
+      (abs(col("d_bal") - col("c_acctbal").cast("decimal(12,2)"))
+        <= expr("CAST(0.10 AS DECIMAL(12,2))"), 6)), -4),
+    Comparator("key", Seq((col("d_nat") === col("c_nationkey"), 3)), -2),
+    Comparator("seg", Seq((col("d_seg") === col("c_mktsegment"), 3)), -2))
+
+  /** End-to-end customer linkage: dirty fixture → two blocking passes →
+    * FS scoring. Blocking keys are chosen the way a production linker
+    * chooses them — per dataset, so every key is BOTH corruption-stable
+    * and low-fan-out:
+    *  - pass A: (nation, segment) — survives all name corruptions; block
+    *    size = customers per (nation, segment) cell.
+    *  - pass B: name characters 10..16 (the stable digit region of
+    *    `Customer#\d{9}` — untouched by case folds, last-char drops, and
+    *    trailing spaces) — catches the nation-transposed records pass A
+    *    misses, with blocks capped at 100 customers by construction. The
+    *    tempting `substr(name, 1, 12)` prefix is a HOT-BLOCK trap here:
+    *    it is constant over the whole corpus and degenerates to
+    *    all-pairs (`blockSizes` flags it immediately).
+    */
+  def linkCustomers(customer: DataFrame): DataFrame = {
+    val dirty = dirtyCustomers(customer)
+    val pairs = candidates(dirty, customer, "d_id", "c_custkey", Seq(
+      (concat_ws("|", col("d_nat"), col("d_seg")),
+        concat_ws("|", col("c_nationkey"), col("c_mktsegment"))),
+      (substring(col("d_name"), 10, 7),
+        substring(col("c_name"), 10, 7))))
+    score(pairs, customerComparators)
+  }
+}

@@ -43,4 +43,35 @@ object Merge {
       .select(payload.map(col): _*)
     survivors.unionByName(replacements)
   }
+
+  /** Snapshot diff — the inverse of `applyChanges`: given two key-unique
+    * table versions, emit one row per differing key with `change` ∈
+    * {'added', 'removed', 'changed'}. Payloads compare null-safely
+    * column-by-column (`<=>`), so a null→value flip counts as a change.
+    *
+    * This is the dataset-versioning primitive (what changed between
+    * yesterday's curated corpus and today's?) — diff two snapshots, audit
+    * the delta, or derive the CDC feed that `applyChanges` would replay.
+    *
+    * Scale shape: ONE full-outer shuffle join on the key; the comparison
+    * is a narrow projection. Identical rows drop before any further
+    * stage, so output is proportional to the delta, not the table.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, key: String): DataFrame = {
+    val payload = oldDf.columns.filterNot(_ == key).toSeq
+    require(payload.toSet == newDf.columns.filterNot(_ == key).toSet,
+      "snapshotDiff requires identical payload schemas")
+    val o = oldDf.select(col(key) +: lit(1).as("__o") +:
+      payload.map(c => col(c).as(s"o_$c")): _*)
+    val n = newDf.select(col(key) +: lit(1).as("__n") +:
+      payload.map(c => col(c).as(s"n_$c")): _*)
+    val same = payload.map(c => col(s"o_$c") <=> col(s"n_$c")).reduce(_ && _)
+    o.join(n, Seq(key), "full_outer")
+      .withColumn("change",
+        when(col("__o").isNull, "added")
+          .when(col("__n").isNull, "removed")
+          .when(!same, "changed"))
+      .filter(col("change").isNotNull)
+      .select(col(key), col("change"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Second-moment statistics (variance / stddev / covariance / correlation /
@@ -135,5 +135,69 @@ object Stats {
       v = w.select(col("i"), expr(s"w div $d").as("v")).localCheckpoint()
     }
     v
+  }
+
+  /** Per-key final EWMA (`s_n = (1-α)·s_{n-1} + α·x_n`, `s_1 = x_1`) of a
+    * double metric, folded in explicit event order. α must be DYADIC
+    * (0.5, 0.25, …) so every multiply is exact bit-shifting in IEEE
+    * doubles; the fold order is pinned by `sort_array` over the ordering
+    * struct (≡ DuckDB `list(x ORDER BY …)` + `list_reduce`), so both
+    * engines run the IDENTICAL operation sequence and the result is
+    * bit-exact without rounding. The output still rounds at 1e-6 as
+    * belt-and-braces against future metric columns that are derived
+    * (not raw-parquet) doubles.
+    *
+    * Scale shape: one shuffle on the key; per-key state during the fold
+    * is the key's event list (bounded by per-key activity, not table
+    * size). The recurrence is a linear scan — for unbounded per-key
+    * histories use the streaming form (`mapGroupsWithState` carrying one
+    * double) instead of the batch fold.
+    */
+  def ewmaLast(df: DataFrame, keyCol: String, ordCols: Seq[Column],
+               valCol: String, alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha < 1 &&
+      java.lang.Double.doubleToLongBits(alpha).toBinaryString.count(_ == '1') <= 12,
+      s"alpha should be a short dyadic/low-mantissa constant, got $alpha")
+    val ordered = sort_array(collect_list(struct(
+      ordCols :+ col(valCol).cast("double").as("x"): _*)))
+    df.groupBy(keyCol)
+      .agg(ordered.as("s"))
+      .select(col(keyCol), size(col("s")).as("n"),
+        (floor(aggregate(
+          slice(col("s"), lit(2), greatest(size(col("s")) - 1, lit(0))),
+          element_at(col("s"), 1).getField("x"),
+          (acc, e) => acc * lit(1 - alpha) + e.getField("x") * lit(alpha))
+          * 1e6 + 0.5) / 1e6).as("ewma"))
+  }
+
+  /** Per-group robust outlier summary: lower median, MAD (median absolute
+    * deviation), and the count of points deviating more than `k`·MAD —
+    * entirely in EXACT decimal arithmetic (the median is the physical
+    * element at position ⌊(n+1)/2⌋ of the sorted list, never an
+    * interpolation, so no floats exist until the final display casts).
+    *
+    * Scale shape: one shuffle on the group key; each group's values are
+    * collected and sorted within its task — right for many-groups/
+    * bounded-group data (per-priority, per-day, per-tenant). For a group
+    * that alone exceeds task memory, swap the exact median for the
+    * KLL/GK sketch path (`q_sketch_quantiles`) and keep the same
+    * deviation-count contract.
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valCol: Column,
+                  k: Int = 3): DataFrame = {
+    val idx: Column => Column = n => ((n + 1) / lit(2)).cast("int")
+    val g = df.select(col(groupCol), valCol.as("v"))
+    g.groupBy(groupCol)
+      .agg(sort_array(collect_list("v")).as("vs"), count(lit(1)).as("n"))
+      .select(col(groupCol), col("n"),
+        element_at(col("vs"), idx(col("n"))).as("med"), col("vs"))
+      .select(col(groupCol), col("n"), col("med"),
+        sort_array(transform(col("vs"), v => abs(v - col("med")))).as("ds"))
+      .select(col(groupCol), col("n"), col("med"),
+        element_at(col("ds"), idx(col("n"))).as("mad"), col("ds"))
+      .select(col(groupCol), col("n"),
+        col("med").cast("double").as("med"),
+        col("mad").cast("double").as("mad"),
+        size(filter(col("ds"), d => d > col("mad") * lit(k))).as("n_outliers"))
   }
 }

@@ -599,4 +599,51 @@ object TextAnalysis {
         col("ok_words") && col("ok_wlen") && col("ok_symbol") &&
           col("ok_alpha") && col("ok_stop"))
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection via
+    * Importance Resampling"): score each RAW-pool document by how much its
+    * unigram distribution looks like the TARGET corpus, so the raw pool
+    * can be resampled toward the target domain without a trained
+    * classifier.
+    *
+    * Per token, the add-one-smoothed likelihood ratio
+    * `p_target(tok) / p_raw(tok)` is computed CROSS-MULTIPLIED —
+    * `(c_t+1)·(n_raw+V)` over `(c_raw+1)·(n_target+V)`, both exact 64-bit
+    * integers — and spent as ONE IEEE division. The per-document weight is
+    * the MEAN ratio over token positions, folded in document order
+    * (`sort_array` list fold ≡ DuckDB `list(p ORDER BY pos)` reduce) and
+    * rounded once at 1e-6, the same bit-exactness discipline as
+    * `bigramLmScore`. (Canonical DSIR sums LOG ratios — a geometric mean —
+    * but ln is libm-dependent; the arithmetic mean ranks domain affinity
+    * the same way for filtering and stays hash-identical across engines.
+    * Overflow headroom: the cross products need `c·(n+V) < 2^63`, i.e.
+    * fine to ~1e9 tokens per side; past that, widen to DECIMAL(38,0).)
+    *
+    * Scale shape: one token-count shuffle, totals as a broadcast literal
+    * row, ratio table broadcast back (vocabulary-sized — switch the probe
+    * join to a shuffle join if the vocab outgrows the driver), then one
+    * per-doc aggregation. No driver collect.
+    */
+  def dsirWeights(docs: DataFrame, isTarget: Column,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), isTarget.as("is_t"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val cnt = toks.groupBy("tok").agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+      sum(when(col("is_t"), 0L).otherwise(1L)).as("cs"))
+    val tot = cnt.agg(sum("ct").as("nt"), sum("cs").as("ns"),
+      count(lit(1)).as("v"))
+    val ratios = cnt.crossJoin(broadcast(tot))
+      .select(col("tok"),
+        (((col("ct") + 1) * (col("ns") + col("v"))).cast("double") /
+          ((col("cs") + 1) * (col("nt") + col("v"))).cast("double")).as("p"))
+    toks.filter(!col("is_t"))
+      .join(broadcast(ratios), "tok")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("p")))).as("ps"))
+      .select(col("doc_id"),
+        size(col("ps")).as("n_toks"),
+        (floor(aggregate(col("ps"), lit(0.0), (acc, x) => acc + x.getField("p"))
+          / size(col("ps")) * 1e6 + 0.5) / 1e6).as("dsir_w"))
+  }
 }

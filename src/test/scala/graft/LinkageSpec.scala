@@ -1,0 +1,153 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Record linkage (Fellegi-Sunter), DSIR importance weights, EWMA, MAD
+  * outliers, snapshot diff — the round-8 op additions.
+  */
+class LinkageSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  // --- Linkage -------------------------------------------------------------
+
+  val left = Seq(
+    (1L, "alice", "NY"), (2L, "bob", "NY"), (3L, "carol", "CA"))
+    .toDF("l_id", "l_name", "l_state")
+  val right = Seq(
+    (10L, "alice", "NY"), (20L, "bobb", "NY"), (30L, "carol", "WA"))
+    .toDF("r_id", "r_name", "r_state")
+
+  test("candidates: multi-pass union dedups pairs and never cross-joins") {
+    val pairs = Linkage.candidates(left, right, "l_id", "r_id", Seq(
+      (col("l_state"), col("r_state")),                  // state block
+      (substring(col("l_name"), 1, 3), substring(col("r_name"), 1, 3))))
+    val got = pairs.select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    // state NY: (1,10),(1,20),(2,10),(2,20); name prefix: ali/bob/car passes
+    assert(got == Set((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (3L, 30L)))
+    // (3,30) found ONLY by the name pass (states differ) — multi-pass matters
+    val stateOnly = Linkage.candidates(left, right, "l_id", "r_id",
+      Seq((col("l_state"), col("r_state"))))
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    assert(!stateOnly.contains((3L, 30L)))
+  }
+
+  test("score + decide: level precedence, pattern, integer weights, zones") {
+    val pairs = Linkage.candidates(left, right, "l_id", "r_id",
+      Seq((lit(1), lit(1)))) // tiny all-pairs block: 9 pairs, test-only
+    val comps = Seq(
+      Linkage.Comparator("name", Seq(
+        (col("l_name") === col("r_name"), 10),
+        (levenshtein(col("l_name"), col("r_name")) <= 1, 6)), -5),
+      Linkage.Comparator("state", Seq((col("l_state") === col("r_state"), 3)), -2))
+    val scored = Linkage.decide(Linkage.score(pairs, comps), upper = 10, lower = 4)
+    val byPair = scored.select("l_id", "r_id", "name_lv", "pattern", "fs_score", "zone")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(2), r.getString(3), r.getInt(4), r.getString(5))).toMap
+    assert(byPair((1L, 10L)) == ((2, "n2|s1", 13, "match")))   // exact + state
+    assert(byPair((2L, 20L)) == ((1, "n1|s1", 9, "possible"))) // lev 1 + state
+    assert(byPair((3L, 30L)) == ((2, "n2|s0", 8, "possible"))) // exact, state off
+    assert(byPair((1L, 20L))._4 == "nonmatch")
+    // weights are pure integers: score equals the hand sum for every pair
+    scored.collect().foreach { r =>
+      val nameW = r.getAs[Int]("name_lv") match {
+        case 2 => 10; case 1 => 6; case _ => -5 }
+      val stW = if (r.getAs[Int]("state_lv") == 1) 3 else -2
+      assert(r.getAs[Int]("fs_score") == nameW + stW)
+    }
+  }
+
+  test("dirtyCustomers is deterministic and linkCustomers finds every true pair") {
+    val cust = (0L until 300L).toDF("c_custkey")
+      .select(col("c_custkey"),
+        format_string("Customer#%09d", col("c_custkey")).as("c_name"),
+        (col("c_custkey") % 25).cast("int").as("c_nationkey"),
+        (col("c_custkey").cast("double") / 7.0).as("c_acctbal"),
+        element_at(array(lit("AUTOMOBILE"), lit("BUILDING"), lit("FURNITURE"),
+          lit("HOUSEHOLD"), lit("MACHINERY")),
+          (col("c_custkey") % 5 + 1).cast("int")).as("c_mktsegment"))
+    val d1 = Linkage.dirtyCustomers(cust).collect().map(_.toString).sorted
+    val d2 = Linkage.dirtyCustomers(cust).collect().map(_.toString).sorted
+    assert(d1.sameElements(d2) && d1.length == 200) // 2/3 of 300
+    val matches = Linkage.linkCustomers(cust)
+      .filter(col("fs_score") >= 18 && col("d_id") === col("c_custkey"))
+    assert(matches.count() == 200) // every dirty record links home
+  }
+
+  // --- DSIR ----------------------------------------------------------------
+
+  test("dsirWeights: target-like docs outweigh off-domain docs; mean of exact ratios") {
+    val docs = Seq(
+      (0L, "alpha beta alpha beta", true),   // target
+      (1L, "alpha beta", false),             // raw, pure target vocabulary
+      (2L, "gamma delta", false),            // raw, pure off-domain
+      (3L, "alpha gamma", false))            // raw, mixed
+      .toDF("doc_id", "text", "is_t")
+    val w = TextAnalysis.dsirWeights(docs, col("is_t"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(w.keySet == Set(1L, 2L, 3L))
+    assert(w(1L)._1 == 2 && w(2L)._1 == 2 && w(3L)._1 == 2)
+    // hand computation: nt=4, ns=6, V=4; ratio(tok) = (ct+1)(ns+V)/((cs+1)(nt+V))
+    // alpha: ct=2, cs=2 -> 3*10/(3*8)=1.25 ; beta: 2,1 -> 30/16=1.875
+    // gamma: 0,2 -> 10/24 ; delta: 0,1 -> 10/16=0.625
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(w(1L)._2 == r6((1.25 + 1.875) / 2))
+    assert(w(2L)._2 == r6((10.0 / 24 + 0.625) / 2))
+    assert(w(3L)._2 == r6((1.25 + 10.0 / 24) / 2))
+    assert(w(1L)._2 > w(3L)._2 && w(3L)._2 > w(2L)._2)
+  }
+
+  // --- EWMA ----------------------------------------------------------------
+
+  test("ewmaLast folds s=(s+x)/2 in event order; singleton returns its value") {
+    val df = Seq(
+      ("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 40.0),
+      ("b", 1, 7.5))
+      .toDF("k", "seq", "x")
+    val got = Stats.ewmaLast(df, "k", Seq(col("seq")), "x")
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    // a: s1=10, s2=15, s3=27.5 (exact dyadic arithmetic)
+    assert(got("a") == ((3, 27.5)))
+    assert(got("b") == ((1, 7.5)))
+    // order sensitivity: reversing the sequence changes the fold
+    val rev = Stats.ewmaLast(df.withColumn("seq", -col("seq")), "k",
+      Seq(col("seq")), "x").filter(col("k") === "a")
+      .collect().head.getDouble(2)
+    assert(rev == 20.0) // fold order 40,20,10: s1=40, s2=30, s3=20
+  }
+
+  // --- MAD -----------------------------------------------------------------
+
+  test("madOutliers: lower median, exact MAD, 3-MAD outlier count") {
+    val vals = Seq(10, 11, 12, 13, 14, 100).map(v => ("g", BigDecimal(v)))
+    val df = vals.toDF("grp", "v")
+      .select(col("grp"), col("v").cast("decimal(12,2)").as("v"))
+    val r = Stats.madOutliers(df, "grp", col("v")).collect().head
+    // sorted: 10..14,100; n=6 -> lower median idx 3 -> 12
+    // devs: 2,1,0,1,2,88 sorted: 0,1,1,2,2,88 -> mad idx 3 = 1
+    assert(r.getAs[Long]("n") == 6L)
+    assert(r.getAs[Double]("med") == 12.0)
+    assert(r.getAs[Double]("mad") == 1.0)
+    assert(r.getAs[Int]("n_outliers") == 1) // only 88 > 3*1
+  }
+
+  // --- snapshot diff -------------------------------------------------------
+
+  test("snapshotDiff: added/removed/changed incl. null-safe payload compare") {
+    val oldV = Seq((1L, Some("a"), 10.0), (2L, Some("b"), 20.0),
+      (3L, None: Option[String], 30.0), (4L, Some("d"), 40.0))
+      .toDF("k", "s", "x")
+    val newV = Seq((1L, Some("a"), 10.0),            // unchanged -> absent
+      (2L, Some("B"), 20.0),                          // changed payload
+      (3L, Some("c"), 30.0),                          // null -> value = changed
+      (5L, Some("e"), 50.0))                          // added
+      .toDF("k", "s", "x")
+    val got = Merge.snapshotDiff(oldV, newV, "k")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(2L -> "changed", 3L -> "changed",
+      4L -> "removed", 5L -> "added"))
+  }
+}
