@@ -4625,6 +4625,37 @@ object Queries {
       .orderBy("source")
   }
 
+  q("dedup_priority_survivors",
+    // dedup with a CURATION POLICY: the cluster keeper is the copy from
+    // the most-preferred source (higher srcN wins here), not min-id —
+    // how mirror/re-crawl corpora keep the curated copy. Keeper election
+    // is an associative min(struct(prio, id)) per cluster.
+    s"""WITH RECURSIVE ${minhashPairsCtes(bands = 3, rows = 3)},
+       |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION ALL SELECT b_id, a_id FROM pairs),
+       |reach AS (SELECT src AS doc_id, src AS r FROM edges
+       |  UNION SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc_id),
+       |cl AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+       |prio AS (SELECT cl.doc_id, cl.cluster_id,
+       |    -CAST(substr(d.source, 4, 2) AS INT) AS p
+       |  FROM cl JOIN documents d ON cl.doc_id = d.doc_id),
+       |keep AS (SELECT cluster_id, doc_id AS keeper_id FROM
+       |  (SELECT cluster_id, doc_id,
+       |     row_number() OVER (PARTITION BY cluster_id ORDER BY p, doc_id) AS rn
+       |   FROM prio) WHERE rn = 1),
+       |dropped AS (SELECT prio.doc_id FROM prio JOIN keep USING (cluster_id)
+       |  WHERE prio.doc_id != keep.keeper_id)
+       |SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+       |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+       |GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val docs = tbl(s, dir, "documents")
+    Dedup.dedupByMinhashPriority(docs, "text", "doc_id",
+        -substring(col("source"), 4, 2).cast("int"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("source")
+  }
+
   q("mock_generate",
     // Generation is random but its CONTRACT is not: row count, per-dtype
     // value ranges (Mocker ±1e6/±1e9, reference lib.rs:34-39), name-list

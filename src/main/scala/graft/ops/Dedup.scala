@@ -438,6 +438,34 @@ object Dedup {
     df.join(broadcast(dropped), Seq(idCol), "left_anti")
   }
 
+  /** `dedupByMinhash` with a CURATION POLICY: within each near-dup
+    * cluster the keeper is the row minimizing `(priority, id)` — "keep
+    * the copy from the most trusted source" instead of min-id. This is
+    * how production corpora fold mirror sites / re-crawls: when the same
+    * document appears in a curated dump and a raw crawl, the curated copy
+    * must survive, whatever its id.
+    *
+    * Same plan shape as `dedupByMinhash` (the keeper election is one
+    * extra cluster-sized aggregate: `min(struct(priority, id))` is an
+    * ordinary associative min, map-side combined); ties are impossible
+    * because the id completes the struct key.
+    */
+  def dedupByMinhashPriority(df: DataFrame, textCol: String, idCol: String,
+                             priority: Column,
+                             shingleN: Int = 3, bands: Int = 3, rows: Int = 3,
+                             threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashLsh(df, textCol, idCol, shingleN, bands, rows, threshold)
+    val labeled = clusterPairs(pairs)
+      .join(df.select(col(idCol).as("doc_id"), priority.as("__prio")), "doc_id")
+    val keepers = labeled.groupBy("cluster_id")
+      .agg(min(struct(col("__prio"), col("doc_id"))).getField("doc_id")
+        .as("keeper_id"))
+    val dropped = labeled.join(keepers, "cluster_id")
+      .filter(col("doc_id") =!= col("keeper_id"))
+      .select(col("doc_id").as(idCol))
+    df.join(broadcast(dropped), Seq(idCol), "left_anti")
+  }
+
   /** 60-bit token hash array (15 hex chars of md5 keeps the value in a
     * signed long on any engine) — single-pass codegen kernel; the
     * composed equivalent below is the semantic reference.

@@ -77,6 +77,21 @@ class LinkageSpec extends AnyFunSuite {
     assert(matches.count() == 200) // every dirty record links home
   }
 
+  test("dedupByMinhashPriority keeps the preferred-source copy, not min-id") {
+    val near = Seq(
+      (0L, "the cat sat on the mat and looked at the dog", "raw"),
+      (5L, "the cat sat on the mat and looked at the dog", "curated"), // dup, better source
+      (9L, "totally unrelated text about gardening tulips roses", "raw"))
+      .toDF("doc_id", "text", "source")
+    val prio = when(col("source") === "curated", 0).otherwise(1)
+    val kept = Dedup.dedupByMinhashPriority(near, "text", "doc_id", prio)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(5L, 9L)) // min-id dedup would keep 0L instead
+    val keptMinId = Dedup.dedupByMinhash(near, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptMinId == Set(0L, 9L))
+  }
+
   // --- DSIR ----------------------------------------------------------------
 
   test("dsirWeights: target-like docs outweigh off-domain docs; mean of exact ratios") {
