@@ -5930,6 +5930,112 @@ object Queries {
       |    + (CASE seg_lv WHEN 1 THEN 3 ELSE -2 END) AS fs_score
       |  FROM lv)""".stripMargin
 
+  /** Benford expected first-digit frequencies log10(1 + 1/d), d = 1..9,
+    * quantized driver-side at 1e-6 (shared literal strings → identical
+    * doubles in both engines; no log10 at query time).
+    */
+  private val benfordP: Seq[String] = Seq("0.30103", "0.176091", "0.124939",
+    "0.09691", "0.079181", "0.066947", "0.057992", "0.051153", "0.045757")
+
+  q("q_corr_matrix", {
+    // one-pass pairwise Pearson matrix from exact decimal power sums —
+    // the multi-column generalization of q_stats_moments; the table is
+    // scanned ONCE for all k(k-1)/2 pairs
+    val cs = Seq("l_quantity" -> "q", "l_extendedprice" -> "ep",
+      "l_discount" -> "di", "l_tax" -> "tx")
+    val prs = for (i <- cs.indices; j <- cs.indices if i < j) yield (cs(i), cs(j))
+    val sums = cs.map { case (_, a) =>
+      s"CAST(SUM($a) AS DOUBLE) AS s_$a, CAST(SUM($a*$a) AS DOUBLE) AS ss_$a"
+    }.mkString(", ")
+    val sps = prs.map { case ((_, a), (_, b)) =>
+      s"CAST(SUM($a*$b) AS DOUBLE) AS sp_${a}_$b" }.mkString(", ")
+    val rows = prs.map { case ((ca, a), (cb, b)) =>
+      s"""SELECT '$ca' AS x_col, '$cb' AS y_col,
+         | round((n*sp_${a}_$b - s_$a*s_$b) /
+         |   (sqrt(n*ss_$a - s_$a*s_$a) * sqrt(n*ss_$b - s_$b*s_$b)), 6) AS corr
+         | FROM w""".stripMargin
+    }.mkString(" UNION ALL ")
+    s"""WITH d AS (SELECT ${cs.map { case (c, a) =>
+        s"CAST($c AS DECIMAL(12,2)) AS $a" }.mkString(", ")} FROM lineitem),
+       |w AS (SELECT COUNT(*) AS n, $sums, $sps FROM d)
+       |SELECT x_col, y_col, corr FROM ($rows) ORDER BY x_col, y_col"""
+      .stripMargin.replace("\n", " ")
+  }) { (s, dir) =>
+    Stats.corrMatrix(tbl(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      .orderBy("x_col", "y_col")
+  }
+
+  q("q_quality_benford", {
+    // Benford first-digit screen over order totals: observed counts vs
+    // the log10(1+1/d) expectation. The nine expected frequencies are
+    // QUANTIZED DRIVER-SIDE literals (same discipline as the NDCG/HLL
+    // tables) — no log10 at query time in either engine. (Synthetic
+    // uniform prices will NOT follow Benford — the deviation column is
+    // the point: this is the fraud/quality alarm reading.)
+    s"""WITH f AS (SELECT substr(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), 1, 1) AS d
+       |  FROM orders),
+       |o AS (SELECT d, COUNT(*) AS n_obs FROM f WHERE d BETWEEN '1' AND '9' GROUP BY d),
+       |t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM o)
+       |SELECT d, n_obs,
+       |  floor(CAST(n_total AS DOUBLE) * ([${benfordP.mkString(", ")}])[CAST(d AS INT)]
+       |    * 1e6 + 0.5) / 1e6 AS expected,
+       |  floor((n_obs - CAST(n_total AS DOUBLE) * ([${benfordP.mkString(", ")}])[CAST(d AS INT)])
+       |    / (CAST(n_total AS DOUBLE) * ([${benfordP.mkString(", ")}])[CAST(d AS INT)])
+       |    * 1e6 + 0.5) / 1e6 AS rel_dev
+       |FROM o CROSS JOIN t ORDER BY d""".stripMargin.replace("\n", " ")
+  }) { (s, dir) =>
+    val first = substring(dec(col("o_totalprice"), 12, 2).cast("string"), 1, 1)
+    val obs = tbl(s, dir, "orders").select(first.as("d"))
+      .filter(col("d") >= "1" && col("d") <= "9")
+      .groupBy("d").agg(count(lit(1)).as("n_obs"))
+    val total = obs.agg(sum("n_obs").as("n_total"))
+    val pd = element_at(array(benfordP.map(p => lit(p.toDouble)): _*),
+      col("d").cast("int"))
+    val exp = col("n_total").cast("double") * pd
+    obs.crossJoin(broadcast(total))
+      .select(col("d"), col("n_obs"),
+        (floor(exp * 1e6 + 0.5) / 1e6).as("expected"),
+        (floor((col("n_obs") - exp) / exp * 1e6 + 0.5) / 1e6).as("rel_dev"))
+      .orderBy("d")
+  }
+
+  q("q_data_card",
+    // the per-source "data card": document/char volume, language spread
+    // (Gini impurity — exact rational (n² - Σnl²)/n², no logs), english
+    // share, mean doc length. One narrow two-level aggregation; every
+    // float is one division or one multiply of exact integer sums.
+    """WITH bylang AS (SELECT source, lang, COUNT(*) AS nl, SUM(n_chars) AS cl
+      |  FROM documents GROUP BY source, lang),
+      |agg AS (SELECT source,
+      |    CAST(SUM(nl) AS BIGINT) AS n_docs,
+      |    CAST(SUM(cl) AS BIGINT) AS sum_chars,
+      |    COUNT(*) AS n_langs,
+      |    CAST(SUM(nl * nl) AS BIGINT) AS sl2,
+      |    CAST(SUM(CASE WHEN lang = 'en' THEN nl ELSE 0 END) AS BIGINT) AS n_en
+      |  FROM bylang GROUP BY source)
+      |SELECT source, n_docs, sum_chars, n_langs,
+      |  floor(CAST(sum_chars AS DOUBLE) / n_docs * 1e6 + 0.5) / 1e6 AS mean_chars,
+      |  floor(CAST(n_docs * n_docs - sl2 AS DOUBLE) / (n_docs * n_docs) * 1e6 + 0.5) / 1e6
+      |    AS lang_gini,
+      |  floor(CAST(n_en AS DOUBLE) / n_docs * 1e6 + 0.5) / 1e6 AS pct_en
+      |FROM agg ORDER BY source""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    def r6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+    val bylang = tbl(s, dir, "documents")
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("nl"), sum("n_chars").as("cl"))
+    bylang.groupBy("source")
+      .agg(sum("nl").as("n_docs"), sum("cl").as("sum_chars"),
+        count(lit(1)).as("n_langs"), sum(col("nl") * col("nl")).as("sl2"),
+        sum(when(col("lang") === "en", col("nl")).otherwise(0L)).as("n_en"))
+      .select(col("source"), col("n_docs"), col("sum_chars"), col("n_langs"),
+        r6(col("sum_chars").cast("double") / col("n_docs")).as("mean_chars"),
+        r6((col("n_docs") * col("n_docs") - col("sl2")).cast("double")
+          / (col("n_docs") * col("n_docs"))).as("lang_gini"),
+        r6(col("n_en").cast("double") / col("n_docs")).as("pct_en"))
+      .orderBy("source")
+  }
+
   q("q_link_blocking",
     // multi-pass blocking pre-flight: per-pass pair fan-out + the distinct
     // union the scorer actually sees. Each pass is an equi-join (shuffle

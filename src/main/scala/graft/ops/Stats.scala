@@ -137,6 +137,45 @@ object Stats {
     v
   }
 
+  /** Full pairwise Pearson correlation matrix over `cols` in ONE pass:
+    * a single aggregation computes every Σx, Σx², and Σxᵢxⱼ as EXACT
+    * decimal sums (associative, map-side combined — one shuffle of
+    * k + k + k(k-1)/2 numbers total), then each of the k(k-1)/2 output
+    * rows is one fixed double combination of those sums. Compare: naive
+    * per-pair `corr()` calls would scan the table k(k-1)/2 times AND
+    * accumulate doubles in partition order (not hash-stable).
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String],
+                 p: Int = 12, s: Int = 2): DataFrame = {
+    require(cols.size >= 2, "corrMatrix needs at least two columns")
+    val decs = cols.map(c => c -> col(c).cast(s"decimal($p,$s)")).toMap
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      cols.flatMap(c => Seq(
+        sum(decs(c)).cast("double").as(s"s_$c"),
+        sum(decs(c) * decs(c)).cast("double").as(s"ss_$c"))) ++
+      pairs.map { case (a, b) =>
+        sum(decs(a) * decs(b)).cast("double").as(s"sp_${a}__$b") }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val n = col("n").cast("double")
+    def corrOf(a: String, b: String): Column = {
+      val num = n * col(s"sp_${a}__$b") - col(s"s_$a") * col(s"s_$b")
+      val da = n * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a")
+      val db = n * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b")
+      round(num / (sqrt(da) * sqrt(db)), 6)
+    }
+    // one explode over the single aggregate row — the scan happens once,
+    // not once per pair
+    val rows = pairs.map { case (a, b) =>
+      struct(lit(a).as("x_col"), lit(b).as("y_col"), corrOf(a, b).as("corr"))
+    }
+    wide.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.x_col").as("x_col"), col("r.y_col").as("y_col"),
+        col("r.corr").as("corr"))
+  }
+
   /** Per-key final EWMA (`s_n = (1-α)·s_{n-1} + α·x_n`, `s_1 = x_1`) of a
     * double metric, folded in explicit event order. α must be DYADIC
     * (0.5, 0.25, …) so every multiply is exact bit-shifting in IEEE

@@ -149,6 +149,16 @@ class LinkageSpec extends AnyFunSuite {
     assert(r.getAs[Int]("n_outliers") == 1) // only 88 > 3*1
   }
 
+  test("corrMatrix: exact +1/-1 on linear columns, all pairs emitted once") {
+    val df = Seq((1, 2, 3), (2, 4, 2), (3, 6, 1))
+      .toDF("a", "b", "c") // b = 2a (corr +1), c = 4-a (corr -1)
+    val got = Stats.corrMatrix(df, Seq("a", "b", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    assert(got(("a", "b")) == 1.0 && got(("a", "c")) == -1.0 &&
+      got(("b", "c")) == -1.0)
+  }
+
   // --- snapshot diff -------------------------------------------------------
 
   test("snapshotDiff: added/removed/changed incl. null-safe payload compare") {
