@@ -443,6 +443,35 @@ class PlanSpec extends AnyFunSuite {
     assert(groupLimits >= 4, // partial+final per run, +2 for the fused rank
       s"expected >=4 WindowGroupLimit nodes, got $groupLimits:\n${plan.take(3000)}")
   }
+
+  test("linkage: candidates come from equi-joins only — no nested-loop or cartesian") {
+    val plan = planOf("q_link_matches")
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    // both blocking passes plan as hash equi-joins
+    val hashJoins = plan.linesIterator.count(l =>
+      l.contains("HashJoin") || l.contains("SortMergeJoin"))
+    assert(hashJoins >= 2, s"expected >=2 equi-joins (one per pass):\n$plan")
+  }
+
+  test("dsir: vocabulary ratio table broadcasts back to the token stream") {
+    val plan = planOf("q_dsir_weights")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("corr matrix: one scan of lineitem feeds every pair") {
+    val plan = planOf("q_corr_matrix")
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected a single lineitem scan, got $scans:\n$plan")
+  }
+
+  test("snapshot diff: a single full-outer join, no extra exchanges after it") {
+    val plan = planOf("q_snapshot_diff")
+    assert(plan.contains("FullOuter"), plan.take(2000))
+    val joins = plan.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("HashJoin"))
+    assert(joins == 1, s"expected exactly one join:\n$plan")
+  }
 }
 
 /** GraftExtensions registers the engine's strategies via the standard
