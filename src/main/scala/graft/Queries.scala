@@ -6211,4 +6211,77 @@ object Queries {
     val newV = orders.filter(col("o_orderkey") % 11 =!= 3)
     Merge.snapshotDiff(oldV, newV, "o_orderkey").orderBy("o_orderkey")
   }
+
+  // ===========================================================================
+  // Round-6 batch additions: offline CUSUM change-point screen, wedge-join
+  // link prediction, log-free lexical diversity (Simpson repeat probability).
+  // ===========================================================================
+
+  q("q_cusum_changepoint",
+    // per-user mean-shift screen: argmax |S_i| of the centered cumulative
+    // sum, kept integer as D_i = n·C_i − i·T over micro-scaled values —
+    // both engines run the identical integer recurrence
+    """WITH s AS (SELECT user_id,
+      |    row_number() OVER w AS i,
+      |    SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) OVER w AS c,
+      |    SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) OVER (PARTITION BY user_id) AS t,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |d AS (SELECT user_id, i, n, abs(n * c - i * t) AS d_abs FROM s),
+      |r AS (SELECT user_id, i, n, d_abs,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY d_abs DESC, i) AS rn FROM d)
+      |SELECT user_id, CAST(n AS INT) AS n, CAST(i AS INT) AS cp_pos,
+      |  round(CAST(d_abs AS DOUBLE) / (n * 1e6), 6) AS cp_stat
+      |FROM r WHERE rn = 1 ORDER BY user_id"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    Stats.cusumChangePoint(events(s, dir), "user_id",
+        Seq(col("ts"), col("event_id")), "value")
+      .orderBy("user_id")
+  }
+
+  q("q_graph_link_predict",
+    // missing-link candidates in the parts-sharing-a-supplier graph:
+    // common-neighbor counts from the center-keyed wedge join, Jaccard
+    // via the exact union identity deg(x)+deg(y)−common
+    """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+      |  WHERE l_partkey < 300),
+      |e AS (SELECT DISTINCT a.p AS pa, b.p AS pb FROM ps a
+      |  JOIN ps b ON a.s = b.s AND a.p < b.p),
+      |nb AS (SELECT pa AS v, pb AS u FROM e UNION ALL SELECT pb, pa FROM e),
+      |deg AS (SELECT v, COUNT(*) AS d FROM nb GROUP BY 1),
+      |w AS (SELECT a.u AS x, b.u AS y, COUNT(*) AS common FROM nb a
+      |  JOIN nb b ON a.v = b.v AND a.u < b.u GROUP BY 1, 2),
+      |cand AS (SELECT x, y, common FROM w
+      |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.pa = w.x AND e.pb = w.y))
+      |SELECT x AS pa, y AS pb, CAST(common AS INT) AS common,
+      |  round(CAST(common AS DOUBLE) / (dx.d + dy.d - common), 6) AS jaccard
+      |FROM cand JOIN deg dx ON dx.v = x JOIN deg dy ON dy.v = y
+      |ORDER BY common DESC, pa, pb LIMIT 20"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    // same bounded fixture as q_graph_triangles (every supplier ≤ 300
+    // parts), so the explicit cap is inert and the oracle needs none
+    val edges = Graph.coOccurrenceEdges(
+      tbl(s, dir, "lineitem").filter(col("l_partkey") < 300),
+      "l_partkey", "l_suppkey", hotKeyCap = 10000)
+    Graph.linkPredict(edges)
+      .orderBy(col("common").desc, col("pa"), col("pb")).limit(20)
+  }
+
+  q("text_lexical_diversity",
+    // log-free diversity per document: type-token ratio and the Simpson
+    // repeat probability Σc(c−1)/n(n−1) — exact integer counts, one IEEE
+    // division each
+    s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+       |c AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+       |a AS (SELECT doc_id, SUM(c) AS n, COUNT(*) AS types,
+       |    SUM(c * (c - 1)) AS coll FROM c GROUP BY 1)
+       |SELECT doc_id, CAST(n AS INT) AS n_tokens, CAST(types AS INT) AS n_types,
+       |  round(CAST(types AS DOUBLE) / n, 6) AS ttr,
+       |  CASE WHEN n > 1 THEN round(CAST(coll AS DOUBLE) / (n * (n - 1)), 6)
+       |    ELSE 0.0 END AS rep_prob
+       |FROM a ORDER BY doc_id"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    TextAnalysis.lexicalDiversity(tbl(s, dir, "documents"))
+      .orderBy("doc_id")
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Second-moment statistics (variance / stddev / covariance / correlation /
@@ -238,5 +239,47 @@ object Stats {
         col("med").cast("double").as("med"),
         col("mad").cast("double").as("mad"),
         size(filter(col("ds"), d => d > col("mad") * lit(k))).as("n_outliers"))
+  }
+
+  /** Offline CUSUM change-point screen per key: for each key's series
+    * x_1..x_n (ordered by `ordCols`), the centered cumulative sum at
+    * position i is S_i = Σ_{j≤i}(x_j − x̄). The estimated single change
+    * point is argmax_i |S_i| (ties → smallest i), and the statistic is
+    * max|S_i|/n — the classic mean-shift detector (Page 1954; the offline
+    * form is Pettitt-style). Everything before the final display division
+    * is INTEGER arithmetic: x is scaled to micro-units with one IEEE
+    * multiply + floor (bit-identical in any engine), and the centered sum
+    * is kept as D_i = n·C_i − i·T (C_i = running sum, T = total) so no
+    * rational mean ever appears — D_i = n·S_i exactly.
+    *
+    * Scale shape: one hash partitioning on the key feeds BOTH window
+    * passes (running sum and the argmax rank — same partition spec, the
+    * exchange is planned once), then the rn=1 filter. No collect, no
+    * per-key list materialization: state per row is O(1), so a key with
+    * millions of events streams through its sorted partition. Output is
+    * one row per key.
+    */
+  def cusumChangePoint(df: DataFrame, keyCol: String, ordCols: Seq[Column],
+                       valCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(ordCols: _*)
+    val all = Window.partitionBy(keyCol)
+    val scaled = df.withColumn("x",
+      floor(col(valCol).cast("double") * 1e6 + 0.5).cast("long"))
+    val d = scaled
+      .select(col(keyCol),
+        row_number().over(w).as("i"),
+        sum("x").over(w).as("c"),
+        sum("x").over(all).as("t"),
+        count(lit(1)).over(all).as("n"))
+      .select(col(keyCol), col("i"), col("n"),
+        abs(col("n") * col("c") - col("i") * col("t")).as("d_abs"))
+    val rank = Window.partitionBy(keyCol)
+      .orderBy(col("d_abs").desc, col("i"))
+    d.withColumn("rn", row_number().over(rank))
+      .filter(col("rn") === 1)
+      .select(col(keyCol), col("n").cast("int").as("n"),
+        col("i").cast("int").as("cp_pos"),
+        round(col("d_abs").cast("double") / (col("n") * lit(1e6)), 6)
+          .as("cp_stat"))
   }
 }

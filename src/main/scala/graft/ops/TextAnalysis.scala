@@ -646,4 +646,33 @@ object TextAnalysis {
         (floor(aggregate(col("ps"), lit(0.0), (acc, x) => acc + x.getField("p"))
           / size(col("ps")) * 1e6 + 0.5) / 1e6).as("dsir_w"))
   }
+
+  /** Per-document lexical diversity WITHOUT logarithms: token count,
+    * type count, type-token ratio, and the repeat probability
+    * Σ c_t(c_t−1) / n(n−1) — the probability two tokens drawn without
+    * replacement are equal (Simpson's index; 1−D is Gini-Simpson, its
+    * reciprocal the Hill number of order 2). It carries the same
+    * "low diversity = TEMPLATE/boilerplate" signal Shannon entropy does,
+    * but is an exact rational in integer counts, so it hash-matches any
+    * engine where entropy's per-term ln drifts. High rep_prob + low ttr
+    * is the cheap pre-filter before the n-gram repetition signals.
+    *
+    * Shuffle shape: explode → one map-side-combined count keyed
+    * (doc, token) → one count keyed doc. Per-row state is O(1); a
+    * million-token document streams through — nothing collects a
+    * per-doc token list.
+    */
+  def lexicalDiversity(df: DataFrame, textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame =
+    df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum("c").as("n"), count(lit(1)).as("types"),
+        sum(col("c") * (col("c") - 1)).as("coll"))
+      .select(col(idCol), col("n").cast("int").as("n_tokens"),
+        col("types").cast("int").as("n_types"),
+        round(col("types").cast("double") / col("n"), 6).as("ttr"),
+        when(col("n") > 1,
+          round(col("coll").cast("double") / (col("n") * (col("n") - 1)), 6))
+          .otherwise(lit(0.0)).as("rep_prob"))
 }

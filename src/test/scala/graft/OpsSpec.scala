@@ -802,6 +802,40 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     got.foreach { case (x, y, z) => assert(z == morton(x, y, 16)) }
   }
+
+  test("CUSUM finds the hand-computed mean shift; flat series peaks at zero") {
+    // series 1,1,1,5,5: T=13, D_i = 5·C_i − i·13 (micro-scale cancels in
+    // cp_stat): |D| = 8,16,24,12,0 → argmax i=3, stat 24/5 = 4.8
+    val df = Seq((1L, 1, 1.0), (1L, 2, 1.0), (1L, 3, 1.0),
+      (1L, 4, 5.0), (1L, 5, 5.0),
+      (2L, 1, 2.0), (2L, 2, 2.0), (2L, 3, 2.0))
+      .toDF("k", "seq", "v")
+    val out = Stats.cusumChangePoint(df, "k", Seq(col("seq")), "v")
+      .orderBy("k").collect()
+    assert(out(0).getInt(1) == 5 && out(0).getInt(2) == 3 &&
+      out(0).getDouble(3) == 4.8)
+    // a constant series has every D_i = 0: argmax ties resolve to i=1
+    assert(out(1).getInt(1) == 3 && out(1).getInt(2) == 1 &&
+      out(1).getDouble(3) == 0.0)
+  }
+
+  test("link prediction: common neighbors and Jaccard on a hand graph") {
+    // triangle 1-2-3 plus pendant 3-4: the only non-adjacent pairs with a
+    // common neighbor are (1,4) and (2,4), both through center 3
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("pa", "pb")
+    val got = Graph.linkPredict(edges).orderBy("pa", "pb")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 4L, 1, 0.5), (2L, 4L, 1, 0.5)))
+    // wedgeCap=2 silences the degree-3 center: no candidates remain
+    assert(Graph.linkPredict(edges, wedgeCap = 2).count() == 0)
+  }
+
+  test("lexical diversity: ttr and Simpson repeat probability, single-token edge") {
+    val d = Seq((0L, "a b a"), (1L, "x")).toDF("doc_id", "text")
+    val got = TextAnalysis.lexicalDiversity(d).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == Seq((0L, 3, 2, 0.666667, 0.333333), (1L, 1, 1, 1.0, 0.0)))
+  }
 }
 
 class StreamingSpec extends AnyFunSuite {

@@ -472,6 +472,37 @@ class PlanSpec extends AnyFunSuite {
       l.contains("SortMergeJoin") || l.contains("HashJoin"))
     assert(joins == 1, s"expected exactly one join:\n$plan")
   }
+
+  test("cusum: all three window passes share one user_id exchange") {
+    val plan = planOf("q_cusum_changepoint")
+    // running sum, whole-partition totals, and the argmax rank are all
+    // partitioned on user_id — EnsureRequirements must plan ONE hash
+    // exchange (the final ORDER BY adds a range exchange, which is fine)
+    val hashEx = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.size == 1 && hashEx.head.contains("user_id"),
+      s"expected one user_id exchange:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("link prediction: equi-joins only, count aggregation map-side combined") {
+    val plan = planOf("q_graph_link_predict")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    // the wedge self-join keys on the center vertex; the common-neighbor
+    // count must partial-aggregate before its shuffle
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      plan.take(2000))
+  }
+
+  test("lexical diversity: two-level aggregation, no per-doc list collection") {
+    val plan = planOf("text_lexical_diversity")
+    assert(!plan.contains("collect_list") && !plan.contains("sort_array"),
+      plan.take(2000))
+    // token counts combine map-side before the (doc, token) shuffle
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      plan.take(2000))
+  }
 }
 
 /** GraftExtensions registers the engine's strategies via the standard
