@@ -6267,6 +6267,84 @@ object Queries {
       .orderBy(col("common").desc, col("pa"), col("pb")).limit(20)
   }
 
+  q("q_drift_chisq",
+    // dataset-version drift monitor: per-priority counts of the two
+    // snapshot fixtures plus each bin's two-sample chi-square
+    // contribution — integer cross-products, one division at the end
+    """WITH h1 AS (SELECT o_orderpriority AS bin, COUNT(*) AS o1 FROM orders
+      |  WHERE o_orderkey % 17 != 5 GROUP BY 1),
+      |h2 AS (SELECT o_orderpriority AS bin, COUNT(*) AS o2 FROM orders
+      |  WHERE o_orderkey % 11 != 3 GROUP BY 1),
+      |j AS (SELECT coalesce(h1.bin, h2.bin) AS bin, coalesce(o1, 0) AS o1,
+      |    coalesce(o2, 0) AS o2 FROM h1 FULL JOIN h2 ON h1.bin = h2.bin),
+      |t AS (SELECT SUM(o1) AS n1, SUM(o2) AS n2 FROM j)
+      |SELECT bin, CAST(o1 AS INT) AS o1, CAST(o2 AS INT) AS o2,
+      |  round(CAST(n1 + n2 AS DOUBLE) *
+      |    (CAST((o1 * n2 - o2 * n1) * (o1 * n2 - o2 * n1) AS DOUBLE) /
+      |     CAST(n1 * n2 * (o1 + o2) AS DOUBLE)), 6) AS contrib
+      |FROM j, t ORDER BY bin""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val orders = tbl(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+    Quality.histDrift(
+        orders.filter(col("o_orderkey") % 17 =!= 5),
+        orders.filter(col("o_orderkey") % 11 =!= 3),
+        "o_orderpriority")
+      .orderBy("bin")
+  }
+
+  q("stream_cdc_upsert",
+    // the CDC MERGE loop end-to-end: a seeded parquet snapshot receives a
+    // 4-step change feed (insert / update / delete / late upsert) through
+    // Streams.cdcApply; strictly increasing seq makes the final snapshot
+    // last-writer-wins per key however the files batch — which is exactly
+    // what the oracle computes, plus the untouched seed rows
+    """WITH o AS (SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+      |    o_orderstatus AS status FROM orders WHERE o_orderkey < 4000),
+      |ch AS (
+      |  SELECT k, 'I' AS op, 0 AS seq, price, status FROM o WHERE k % 3 != 0
+      |  UNION ALL SELECT k, 'U', 1, CAST(price * 2 AS DECIMAL(12,2)), status FROM o WHERE k % 4 = 1
+      |  UNION ALL SELECT k, 'D', 2, price, status FROM o WHERE k % 4 = 2
+      |  UNION ALL SELECT k, 'U', 3, CAST(price + 10 AS DECIMAL(12,2)), status FROM o WHERE k % 5 = 3),
+      |last AS (SELECT k, op, price, status,
+      |    row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn FROM ch),
+      |fin AS (SELECT k, price, status FROM last WHERE rn = 1 AND op != 'D'
+      |  UNION ALL
+      |  SELECT k, price, status FROM o
+      |  WHERE k % 3 = 0 AND k NOT IN (SELECT k FROM ch))
+      |SELECT k, status, CAST(price AS DOUBLE) AS price FROM fin ORDER BY k"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val o = tbl(s, dir, "orders").filter(col("o_orderkey") < 4000)
+      .select(col("o_orderkey").as("k"),
+        dec(col("o_totalprice"), 12, 2).as("price"),
+        col("o_orderstatus").as("status"))
+    val landing = cachedLanding(s"cdc:$dir") { d =>
+      def w(df: DataFrame): Unit = df.write.mode("append").parquet(d)
+      w(o.filter(col("k") % 3 =!= 0).select(col("k"), lit("I").as("op"),
+        lit(0L).as("seq"), col("price"), col("status")))
+      w(o.filter(col("k") % 4 === 1).select(col("k"), lit("U").as("op"),
+        lit(1L).as("seq"), dec(col("price") * 2, 12, 2).as("price"), col("status")))
+      w(o.filter(col("k") % 4 === 2).select(col("k"), lit("D").as("op"),
+        lit(2L).as("seq"), col("price"), col("status")))
+      w(o.filter(col("k") % 5 === 3).select(col("k"), lit("U").as("op"),
+        lit(3L).as("seq"), dec(col("price") + 10, 12, 2).as("price"), col("status")))
+    }
+    // snapshot + checkpoint are FRESH per run (the stream mutates the
+    // snapshot in place; re-using one across runs would re-merge onto the
+    // final state — idempotent here, but fresh dirs keep the measured way
+    // the real loop runs: seed, stream, read)
+    val root = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    val snap = s"$root/snap"
+    o.filter(col("k") % 3 === 0).write.parquet(snap)
+    val src = s.readStream.schema(s.read.parquet(landing).schema).parquet(landing)
+    withShufflePartitions(s, 4) {
+      val query = graft.streaming.Streams
+        .cdcApply(src, snap, "k", "op", "seq", s"$root/ckpt").start()
+      try query.processAllAvailable() finally query.stop()
+    }
+    s.read.parquet(snap)
+      .select(col("k"), col("status"), col("price").cast("double").as("price"))
+      .orderBy("k")
+  }
+
   q("text_lexical_diversity",
     // log-free diversity per document: type-token ratio and the Simpson
     // repeat probability Σc(c−1)/n(n−1) — exact integer counts, one IEEE

@@ -58,4 +58,34 @@ object Quality {
       .withColumn("k_risk", col("class_size") < k)
       .withColumn("l_risk", col("n_sensitive") < l)
   }
+
+  /** Distribution-drift monitor between two dataset versions: per
+    * category bin, both counts and the bin's two-sample chi-square
+    * contribution N·(o1·n2 − o2·n1)² / (n1·n2·(o1+o2)) — algebraically
+    * identical to Σ(o−e)²/e with pooled expectations, but the numerator
+    * and denominator stay INTEGERS until one final division+multiply, so
+    * the statistic hash-matches across engines (PSI/KL need per-bin
+    * logs; at a fixed bin count chi-square ranks drift the same way).
+    * Compare Σ contrib against χ²(bins−1) offline for a trigger.
+    *
+    * Scale shape: each side reduces map-side to its histogram (bins ≪
+    * rows), then a bins-sized full-outer join + a broadcast of the
+    * 1-row totals. Nothing row-sized ever shuffles.
+    */
+  def histDrift(oldDf: DataFrame, newDf: DataFrame, binCol: String): DataFrame = {
+    val h1 = oldDf.groupBy(col(binCol).as("bin")).agg(count(lit(1)).as("o1"))
+    val h2 = newDf.groupBy(col(binCol).as("bin")).agg(count(lit(1)).as("o2"))
+    val j = h1.join(h2, Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("o1"), lit(0L)).as("o1"),
+        coalesce(col("o2"), lit(0L)).as("o2"))
+    val tot = j.agg(sum("o1").as("n1"), sum("o2").as("n2"))
+    val dlt = col("o1") * col("n2") - col("o2") * col("n1")
+    j.crossJoin(broadcast(tot))
+      .select(col("bin"), col("o1").cast("int").as("o1"),
+        col("o2").cast("int").as("o2"),
+        round((col("n1") + col("n2")).cast("double") *
+          ((dlt * dlt).cast("double") /
+            (col("n1") * col("n2") * (col("o1") + col("o2"))).cast("double")),
+          6).as("contrib"))
+  }
 }

@@ -830,6 +830,20 @@ class OpsSpec extends AnyFunSuite {
     assert(Graph.linkPredict(edges, wedgeCap = 2).count() == 0)
   }
 
+  test("histogram drift: hand-computed chi-square contributions, missing bins coalesce") {
+    // old [A,A,B], mirrored new [A,B,B] per 2: symmetric 8.0 per bin
+    val oldV = Seq("A", "A", "A", "A", "B", "B").toDF("c")
+    val newV = Seq("A", "A", "B", "B", "B", "B").toDF("c")
+    val got = Quality.histDrift(oldV, newV, "c").orderBy("bin").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(("A", 4, 2, 8.0), ("B", 2, 4, 8.0)))
+    // a bin absent on one side counts as zero there, not a dropped row
+    val got2 = Quality.histDrift(Seq("A", "A").toDF("c"),
+        Seq("A", "B").toDF("c"), "c").orderBy("bin").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    assert(got2.toSeq == Seq(("A", 2, 1, 1.333333), ("B", 0, 1, 4.0)))
+  }
+
   test("lexical diversity: ttr and Simpson repeat probability, single-token edge") {
     val d = Seq((0L, "a b a"), (1L, "x")).toDF("doc_id", "text")
     val got = TextAnalysis.lexicalDiversity(d).orderBy("doc_id").collect()

@@ -495,6 +495,16 @@ class PlanSpec extends AnyFunSuite {
       plan.take(2000))
   }
 
+  test("drift monitor: histograms partial-aggregate, totals broadcast back") {
+    val plan = planOf("q_drift_chisq")
+    // each snapshot reduces to its bins map-side; the 1-row totals frame
+    // joins back as a broadcast, never a row-sized shuffle
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      plan.take(2000))
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
   test("lexical diversity: two-level aggregation, no per-doc list collection") {
     val plan = planOf("text_lexical_diversity")
     assert(!plan.contains("collect_list") && !plan.contains("sort_array"),
