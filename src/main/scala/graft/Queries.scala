@@ -6345,6 +6345,99 @@ object Queries {
       .orderBy("k")
   }
 
+  /** Unrolled DuckDB replay of `Similarity.kCenterCoreset` (k = 6 over
+    * the vec_id %% 5 = 0 subset): each step computes the running min
+    * squared-L2 distance (rounded 6, same as the Spark fold) to the
+    * chosen set and picks the farthest point, ties to the smaller id.
+    */
+  private def kCenterOracle(k: Int): String = {
+    def d2(a: String, b: String): String =
+      s"round(list_sum(list_transform(range(1, len($a) + 1), i -> " +
+        s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
+        s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))), 6)"
+    // the chosen center's vector enters as a 1-row CROSS JOIN (DuckDB
+    // cannot subscript a parenthesized scalar subquery)
+    def cv(c: String): String =
+      s"CROSS JOIN (SELECT embedding AS v FROM emb " +
+        s"WHERE vec_id = (SELECT id FROM $c)) cv"
+    val sb = new StringBuilder
+    sb ++= "WITH emb AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0), "
+    sb ++= "c1 AS (SELECT MIN(vec_id) AS id FROM emb), "
+    sb ++= s"m1 AS (SELECT e.vec_id, ${d2("e.embedding", "cv.v")} AS md " +
+      s"FROM emb e ${cv("c1")}), "
+    for (i <- 2 to k) {
+      val prev = s"m${i - 1}"
+      val excl = (1 until i).map(j => s"SELECT id FROM c$j").mkString(" UNION ALL ")
+      sb ++= s"c$i AS (SELECT vec_id AS id, md FROM $prev WHERE vec_id NOT IN ($excl) " +
+        "ORDER BY md DESC, vec_id LIMIT 1), "
+      if (i < k)
+        sb ++= s"m$i AS (SELECT p.vec_id, LEAST(p.md, " +
+          s"${d2("e.embedding", "cv.v")}) AS md " +
+          s"FROM $prev p JOIN emb e ON p.vec_id = e.vec_id ${cv(s"c$i")}), "
+    }
+    sb.setLength(sb.length - 2) // drop the trailing ", " after the last CTE
+    sb ++= " SELECT 1 AS sel_order, (SELECT id FROM c1) AS vec_id, 0.0e0 AS md"
+    for (i <- 2 to k) sb ++= s" UNION ALL SELECT $i, id, md FROM c$i"
+    sb ++= " ORDER BY sel_order"
+    sb.toString
+  }
+
+  q("q_coreset_kcenter", kCenterOracle(6)) { (s, dir) =>
+    // farthest-point sampling: maximally spread prototypes for coreset
+    // distillation / diverse seeding; k rows ever reach the driver
+    Similarity.kCenterCoreset(
+        tbl(s, dir, "embeddings").filter(col("vec_id") % 5 === 0), k = 6)
+      .orderBy("sel_order")
+  }
+
+  q("q_label_noise",
+    // kNN-disagreement label screen: 5 nearest neighbors vote; a row
+    // whose own label loses the plurality (ties to the smaller label)
+    // is flagged as suspect training data
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label
+      |  FROM embeddings WHERE vec_id % 10 < 3),
+      |c AS (SELECT vec_id AS n_id, embedding AS n_vec, label AS n_label
+      |  FROM embeddings WHERE vec_id % 10 < 3),
+      |s AS (SELECT q_id, n_id, n_label,
+      |  list_sum(list_transform(range(1, len(q_vec) + 1), i -> CAST(q_vec[i] AS DOUBLE) * CAST(n_vec[i] AS DOUBLE))) /
+      |  (sqrt(list_sum(list_transform(range(1, len(q_vec) + 1), i -> CAST(q_vec[i] AS DOUBLE) * CAST(q_vec[i] AS DOUBLE)))) *
+      |   sqrt(list_sum(list_transform(range(1, len(n_vec) + 1), i -> CAST(n_vec[i] AS DOUBLE) * CAST(n_vec[i] AS DOUBLE))))) AS cosim
+      |  FROM q JOIN c ON q_id != n_id),
+      |r AS (SELECT q_id, n_label,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY round(cosim, 6) DESC, n_id) AS rn FROM s),
+      |v AS (SELECT q_id, n_label, COUNT(*) AS nv FROM r WHERE rn <= 5 GROUP BY 1, 2),
+      |m AS (SELECT q_id, n_label, nv,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY nv DESC, n_label) AS mrn FROM v)
+      |SELECT m.q_id AS vec_id, q.q_label AS label, m.n_label AS knn_label,
+      |  CAST(nv AS INT) AS n_agree, m.n_label != q.q_label AS flagged
+      |FROM m JOIN q ON m.q_id = q.q_id WHERE mrn = 1 ORDER BY vec_id"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    Eval.labelNoiseKnn(
+        tbl(s, dir, "embeddings").filter(pmod(col("vec_id"), lit(10)) < 3),
+        k = 5)
+      .orderBy("vec_id")
+  }
+
+  q("q_winsorize",
+    // robust per-priority mean: clamp at the exact physical p05/p95
+    // elements, exact decimal clamped sum, one final division
+    """WITH g AS (SELECT o_orderpriority AS grp,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS v FROM orders),
+      |m AS (SELECT grp, COUNT(*) AS n, list(v ORDER BY v) AS vs FROM g GROUP BY 1),
+      |b AS (SELECT grp, n, vs[CAST(1 + (n - 1) * 5 // 100 AS INT)] AS lo,
+      |    vs[CAST(1 + (n - 1) * 95 // 100 AS INT)] AS hi FROM m),
+      |j AS (SELECT g.grp, n, lo, hi, LEAST(GREATEST(v, lo), hi) AS cv
+      |  FROM g JOIN b ON g.grp = b.grp)
+      |SELECT grp, CAST(n AS INT) AS n, CAST(lo AS DOUBLE) AS lo,
+      |  CAST(hi AS DOUBLE) AS hi,
+      |  round(CAST(SUM(cv) AS DOUBLE) / n, 6) AS mean_w
+      |FROM j GROUP BY grp, n, lo, hi ORDER BY grp"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    Stats.winsorizedMean(tbl(s, dir, "orders"), "o_orderpriority",
+        dec(col("o_totalprice"), 12, 2))
+      .orderBy("grp")
+  }
+
   q("text_lexical_diversity",
     // log-free diversity per document: type-token ratio and the Simpson
     // repeat probability Σc(c−1)/n(n−1) — exact integer counts, one IEEE

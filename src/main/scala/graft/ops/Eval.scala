@@ -138,4 +138,36 @@ object Eval {
       .select(col("query_id"), col("first_rel").cast("int").as("first_rel"),
         coalesce(expr("1000000000L div first_rel"), lit(0L)).as("rr_fp"))
   }
+
+  /** Label-noise screen over a labeled embedding table (the kNN-
+    * disagreement heuristic behind confident-learning cleanup): each
+    * vector's k nearest neighbors vote, and a row whose own label differs
+    * from the neighborhood plurality is flagged as suspect. Vote ties
+    * break on the smaller label, so the flag set is deterministic.
+    *
+    * Scale shape: inherits bruteForceKnn's scan (queries broadcast,
+    * corpus spread, map-side group-limited top-k) — swap in the IVF path
+    * for corpus-scale sweeps; after that everything is votes-sized:
+    * one (q_id, label) count, one plurality rank, two label joins.
+    */
+  def labelNoiseKnn(df: DataFrame, k: Int, labelCol: String = "label",
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val lbl = df.select(col(idCol), col(labelCol))
+    val knn = Similarity.bruteForceKnn(df, df, k, idCol, vecCol)
+    val votes = knn
+      .join(lbl.select(col(idCol).as("n_id"), col(labelCol).as("n_label")),
+        Seq("n_id"))
+      .groupBy(col("q_id"), col("n_label"))
+      .agg(count(lit(1)).as("nv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("nv").desc, col("n_label"))
+    votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("q_id"), col("n_label").as("knn_label"),
+        col("nv").cast("int").as("n_agree"))
+      .join(lbl.select(col(idCol).as("q_id"), col(labelCol)), Seq("q_id"))
+      .select(col("q_id").as(idCol), col(labelCol),
+        col("knn_label"), col("n_agree"),
+        (col("knn_label") =!= col(labelCol)).as("flagged"))
+  }
 }

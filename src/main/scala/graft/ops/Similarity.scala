@@ -618,4 +618,56 @@ object Similarity {
     val q = queries.withColumn("cell", ivfAssignCell(col(vecCol), codebook))
     ivfKnn(corpus, q, k, cellCol = "cell", idCol, vecCol)
   }
+
+  /** Greedy k-center coreset (farthest-point sampling): pick the min-id
+    * vector, then k−1 times the point farthest from its nearest chosen
+    * center — the 2-approximation cover that selects maximally spread
+    * prototypes (coreset distillation, diverse seed selection, k-means++
+    * without the randomness). Distances are squared-L2 folded in a fixed
+    * per-dimension order and rounded to 6 before comparisons; argmax ties
+    * break on the smaller id — fully engine-replayable (see
+    * q_coreset_kcenter's unrolled DuckDB chain).
+    *
+    * Scale shape: per iteration ONE narrow pass updates each row's
+    * min-distance against the single new center (a dim-length literal),
+    * and a TakeOrderedAndProject ships exactly one row to the driver;
+    * the running frame is lineage-truncated per iteration. Total driver
+    * traffic is k rows + k centroid vectors — the codebook rule.
+    * Output: (sel_order, id, md) where md is the point's distance to the
+    * previously chosen centers at selection time (0 for the seed).
+    */
+  def kCenterCoreset(df: DataFrame, k: Int, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val spark = df.sparkSession
+    def d2(a: Column, b: Column): Column =
+      round(aggregate(
+        zip_with(a, b, (x, y) =>
+          (x.cast("double") - y.cast("double")) *
+            (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, e) => acc + e), 6)
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .localCheckpoint()
+    val first = base.orderBy("id").limit(1).collect()(0)
+    var picked = Vector((first.getLong(0), 0.0))
+    var lastVec: Seq[Float] = first.getSeq[Float](1)
+    var cur = base
+      .withColumn("md", d2(col("v"), array(lastVec.map(lit): _*)))
+      .localCheckpoint()
+    for (i <- 2 to k) {
+      val next = cur.filter(!col("id").isInCollection(picked.map(_._1)))
+        .orderBy(col("md").desc, col("id")).limit(1).collect()(0)
+      picked = picked :+ ((next.getLong(0), next.getDouble(2)))
+      lastVec = next.getSeq[Float](1)
+      if (i < k) // the last pick needs no further distance refresh
+        cur = cur
+          .withColumn("md",
+            least(col("md"), d2(col("v"), array(lastVec.map(lit): _*))))
+          .localCheckpoint()
+    }
+    import spark.implicits._
+    picked.zipWithIndex
+      .map { case ((id, md), i) => (i + 1, id, md) }
+      .toDF("sel_order", idCol, "md")
+  }
 }

@@ -241,6 +241,37 @@ object Stats {
         size(filter(col("ds"), d => d > col("mad") * lit(k))).as("n_outliers"))
   }
 
+  /** Per-group winsorized mean: clamp values at the exact PHYSICAL
+    * percentile elements (position 1+⌊(n−1)·p/100⌋ of the sorted list —
+    * element selection, never interpolation, same contract as
+    * madOutliers' median) and average the clamped values — the standard
+    * robust alternative to trimming that keeps n constant. The clamped
+    * sum is an exact decimal aggregate; the single float op is the final
+    * display division.
+    *
+    * Scale shape: bounds come from the per-group sorted list (bounded-
+    * group contract, or swap in the quantile sketch); the clamped sum is
+    * a SECOND streaming pass over the raw rows with the tiny bounds
+    * frame broadcast back — so the heavy aggregation never materializes
+    * per-group lists, only the bounds pass does.
+    */
+  def winsorizedMean(df: DataFrame, groupCol: String, valCol: Column,
+                     loPct: Int = 5, hiPct: Int = 95): DataFrame = {
+    require(0 <= loPct && loPct <= hiPct && hiPct <= 100, "bad percent bounds")
+    val g = df.select(col(groupCol).as("grp"), valCol.as("v"))
+    def at(p: Int): Column =
+      element_at(col("vs"), expr(s"int(1 + (n - 1) * $p div 100)"))
+    val bounds = g.groupBy("grp")
+      .agg(sort_array(collect_list("v")).as("vs"), count(lit(1)).as("n"))
+      .select(col("grp"), col("n"), at(loPct).as("lo"), at(hiPct).as("hi"))
+    g.join(broadcast(bounds), Seq("grp"))
+      .groupBy("grp", "n", "lo", "hi")
+      .agg(sum(least(greatest(col("v"), col("lo")), col("hi"))).as("sw"))
+      .select(col("grp"), col("n").cast("int").as("n"),
+        col("lo").cast("double").as("lo"), col("hi").cast("double").as("hi"),
+        round(col("sw").cast("double") / col("n"), 6).as("mean_w"))
+  }
+
   /** Offline CUSUM change-point screen per key: for each key's series
     * x_1..x_n (ordered by `ordCols`), the centered cumulative sum at
     * position i is S_i = Σ_{j≤i}(x_j − x̄). The estimated single change

@@ -830,6 +830,37 @@ class OpsSpec extends AnyFunSuite {
     assert(Graph.linkPredict(edges, wedgeCap = 2).count() == 0)
   }
 
+  test("k-center coreset picks the farthest point each round, min-id seed") {
+    // 2-D: seed = min id (0,0); (10,0) is farthest (d²=100); then (0,1)
+    // joins at its ORIGINAL distance-to-nearest 1.0, not 101
+    val pts = Seq((1L, Array(0f, 0f)), (2L, Array(10f, 0f)), (3L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kCenterCoreset(pts, k = 3).orderBy("sel_order")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1, 1L, 0.0), (2, 2L, 100.0), (3, 3L, 1.0)))
+  }
+
+  test("label noise: plurality disagreement flags the planted bad label") {
+    // three near-identical vectors, one labeled differently: its 2-NN
+    // vote 0-0 against its label 1; the clean rows' ties break low
+    val vs = Seq(
+      (1L, Array(1f, 0f), 0), (2L, Array(0.99f, 0.01f), 0),
+      (3L, Array(0.98f, 0.02f), 1), (4L, Array(0f, 1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Eval.labelNoiseKnn(vs, k = 2).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getBoolean(4)))
+    assert(got.find(_._1 == 3L).get == ((3L, 1, 0, true)))
+    assert(got.find(_._1 == 1L).get._4 == false)
+  }
+
+  test("winsorized mean clamps at the exact physical p05/p95 elements") {
+    // n=10 of 1..10: lo index 1 → 1, hi index 9 → 9; clamped sum 54
+    val df = (1 to 10).map(i => ("g", BigDecimal(i))).toDF("grp", "v")
+    val got = Stats.winsorizedMean(df, "grp", col("v")).collect()(0)
+    assert(got.getInt(1) == 10 && got.getDouble(2) == 1.0 &&
+      got.getDouble(3) == 9.0 && got.getDouble(4) == 5.4)
+  }
+
   test("histogram drift: hand-computed chi-square contributions, missing bins coalesce") {
     // old [A,A,B], mirrored new [A,B,B] per 2: symmetric 8.0 per bin
     val oldV = Seq("A", "A", "A", "A", "B", "B").toDF("c")

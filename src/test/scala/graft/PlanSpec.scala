@@ -495,6 +495,20 @@ class PlanSpec extends AnyFunSuite {
       plan.take(2000))
   }
 
+  test("label noise: queries broadcast into the knn scan; votes shuffle on q_id only") {
+    val plan = planOf("q_label_noise")
+    // bruteForceKnn broadcasts the query side (the corpus never shuffles
+    // for the scan); after the top-k everything is votes-sized
+    assert(plan.contains("BroadcastExchange"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("winsorize: bounds broadcast back; raw rows never sort-merge join") {
+    val plan = planOf("q_winsorize")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
   test("drift monitor: histograms partial-aggregate, totals broadcast back") {
     val plan = planOf("q_drift_chisq")
     // each snapshot reduces to its bins map-side; the 1-row totals frame
