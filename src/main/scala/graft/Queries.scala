@@ -6438,6 +6438,124 @@ object Queries {
       .orderBy("grp")
   }
 
+  q("q_scd2_lookup",
+    // point-in-time enrichment: each event joined to the dimension
+    // VERSION valid at its timestamp — the SCD2 intervals consumed
+    // through the custom as-of exec (latest valid_from <= ts)
+    """WITH v AS (SELECT o_custkey, ROW_NUMBER() OVER w AS version, o_orderkey,
+      |    o_orderdate AS valid_from FROM orders WHERE o_custkey < 200
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      |j AS (SELECT e.event_id, e.user_id, v.version, v.o_orderkey,
+      |    row_number() OVER (PARTITION BY e.event_id
+      |      ORDER BY v.valid_from DESC, v.version DESC) AS rn
+      |  FROM events e JOIN v ON v.o_custkey = e.user_id AND v.valid_from <= e.ts)
+      |SELECT event_id, user_id, CAST(version AS INT) AS version, o_orderkey
+      |FROM j WHERE rn = 1 ORDER BY event_id"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val versions = tbl(s, dir, "orders").filter(col("o_custkey") < 200)
+      .select(col("o_custkey"), row_number().over(w).cast("int").as("version"),
+        col("o_orderkey"), col("o_orderdate").as("valid_from"))
+    graft.plans.AsOfJoinPlan.asofMerge(events(s, dir), versions,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "valid_from", rightTie = "version")
+      .select("event_id", "user_id", "version", "o_orderkey")
+      .orderBy("event_id")
+  }
+
+  q("q_attribution_lasttouch",
+    // marketing attribution: each purchase credits the most recent PRIOR
+    // click of the same user (IGNORE NULLS last_value over the
+    // everything-before-me frame); null = organic purchase
+    """WITH e AS (SELECT user_id, event_id, ts, event_type, value FROM events
+      |  WHERE user_id < 100),
+      |a AS (SELECT user_id, event_id, event_type, value,
+      |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_event_id
+      |  FROM e)
+      |SELECT event_id, user_id, click_event_id, value FROM a
+      |WHERE event_type = 'purchase' ORDER BY event_id"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(s, dir).filter(col("user_id") < 100)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        last(when(col("event_type") === "click", col("event_id")),
+          ignoreNulls = true).over(w).as("click_event_id"))
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "click_event_id", "value")
+      .orderBy("event_id")
+  }
+
+  q("q_graph_clustering_coef",
+    // local clustering coefficient 2t/d(d-1) per vertex of the
+    // parts-sharing-a-supplier graph — integer triangle counts and
+    // degrees, one division; top-25 most clique-like vertices
+    """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+      |  WHERE l_partkey < 300),
+      |e AS (SELECT DISTINCT a.p AS pa, b.p AS pb FROM ps a
+      |  JOIN ps b ON a.s = b.s AND a.p < b.p),
+      |tri AS (SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z FROM e e1
+      |  JOIN e e2 ON e1.pb = e2.pa
+      |  JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+      |tv AS (SELECT unnest([x, y, z]) AS v FROM tri),
+      |tc AS (SELECT v, COUNT(*) AS t FROM tv GROUP BY 1),
+      |nb AS (SELECT pa AS v FROM e UNION ALL SELECT pb FROM e),
+      |dg AS (SELECT v, COUNT(*) AS d FROM nb GROUP BY 1),
+      |c AS (SELECT dg.v, d, coalesce(t, 0) AS t FROM dg LEFT JOIN tc
+      |  ON dg.v = tc.v WHERE d >= 2)
+      |SELECT v, CAST(d AS INT) AS d, CAST(t AS INT) AS t,
+      |  round(CAST(t * 2 AS DOUBLE) / (d * (d - 1)), 6) AS coef
+      |FROM c ORDER BY coef DESC, v LIMIT 25"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val edges = Graph.coOccurrenceEdges(
+      tbl(s, dir, "lineitem").filter(col("l_partkey") < 300),
+      "l_partkey", "l_suppkey", hotKeyCap = 10000)
+    Graph.clusteringCoefficient(edges)
+      .orderBy(col("coef").desc, col("v")).limit(25)
+  }
+
+  q("q_sketch_join_size",
+    // join-size estimation BEFORE running the join: KMV distinct + row
+    // counts per side, key overlap from the Jaccard identity, |A⋈B| ≈
+    // Î·(na/d̂a)·(nb/d̂b); the exact Σ c_a·c_b companion rides along
+    s"""WITH ka AS (SELECT o_custkey AS tok FROM orders),
+       |kb AS (SELECT user_id AS tok FROM events),
+       |sha AS (SELECT DISTINCT ${md5Hash60Sql("tok")} AS h FROM ka),
+       |shb AS (SELECT DISTINCT ${md5Hash60Sql("tok")} AS h FROM kb),
+       |cna AS (SELECT COUNT(*) AS na FROM ka),
+       |cnb AS (SELECT COUNT(*) AS nb FROM kb),
+       |ra AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rk,
+       |  COUNT(*) OVER () AS nh FROM sha),
+       |rb AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rk,
+       |  COUNT(*) OVER () AS nh FROM shb),
+       |eda AS (SELECT CASE WHEN nh < 128 THEN CAST(nh AS DOUBLE)
+       |    ELSE round(127.0 * 1152921504606846976.0 / h, 6) END AS da
+       |  FROM ra WHERE rk = CASE WHEN nh < 128 THEN 1 ELSE 128 END),
+       |edb AS (SELECT CASE WHEN nh < 128 THEN CAST(nh AS DOUBLE)
+       |    ELSE round(127.0 * 1152921504606846976.0 / h, 6) END AS db
+       |  FROM rb WHERE rk = CASE WHEN nh < 128 THEN 1 ELSE 128 END),
+       |siga AS (SELECT h FROM ra WHERE rk <= 128),
+       |sigb AS (SELECT h FROM rb WHERE rk <= 128),
+       |u AS (SELECT DISTINCT h FROM (SELECT h FROM siga UNION ALL SELECT h FROM sigb)),
+       |tk AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rk FROM u),
+       |ji AS (SELECT round(CAST(COUNT(*) AS DOUBLE) / 128, 6) AS ej FROM tk
+       |  WHERE rk <= 128 AND h IN (SELECT h FROM siga) AND h IN (SELECT h FROM sigb)),
+       |ex AS (SELECT CAST(coalesce(SUM(ca * cb), 0) AS BIGINT) AS n_exact FROM
+       |  (SELECT tok AS kk, COUNT(*) AS ca FROM ka GROUP BY 1) x JOIN
+       |  (SELECT tok AS kk, COUNT(*) AS cb FROM kb GROUP BY 1) y ON x.kk = y.kk),
+       |est AS (SELECT round(ej * (da + db) / (1e0 + ej)
+       |    * (CAST(na AS DOUBLE) / da) * (CAST(nb AS DOUBLE) / db), 6) AS est_join,
+       |  n_exact FROM ji, eda, edb, cna, cnb, ex)
+       |SELECT est_join, n_exact,
+       |  round((est_join - n_exact) / n_exact, 6) AS rel_err FROM est"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    Sketch.kmvJoinSize(
+      tbl(s, dir, "orders").select("o_custkey"), "o_custkey",
+      events(s, dir).select("user_id"), "user_id", k = 128)
+  }
+
   q("text_lexical_diversity",
     // log-free diversity per document: type-token ratio and the Simpson
     // repeat probability Σc(c−1)/n(n−1) — exact integer counts, one IEEE

@@ -141,6 +141,29 @@ object Graph {
     * unchanged; only pairs whose every common neighbor is a super-hub
     * disappear — at 100 TB that is the standard stop-word rule again.
     */
+  /** Per-vertex local clustering coefficient 2·t(v)/(deg(v)·(deg(v)−1)):
+    * how close each vertex's neighborhood is to a clique — the community-
+    * structure signal next to the global triangle count. Triangle counts
+    * per vertex come from [[triangles]] (compact-forward, skew-bounded);
+    * the ratio is exact integers until one IEEE division. Degree-1
+    * vertices are excluded (coefficient undefined).
+    */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("pa"), col("pb")).localCheckpoint()
+    val tv = triangles(e)
+      .select(explode(array(col("x"), col("y"), col("z"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("t"))
+    val deg = e.select(col("pa").as("v")).union(e.select(col("pb").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    deg.join(tv, Seq("v"), "left")
+      .select(col("v"), col("d"), coalesce(col("t"), lit(0L)).as("t"))
+      .filter(col("d") >= 2)
+      .select(col("v"), col("d").cast("int").as("d"),
+        col("t").cast("int").as("t"),
+        round((col("t") * 2).cast("double") / (col("d") * (col("d") - 1)), 6)
+          .as("coef"))
+  }
+
   def linkPredict(edges: DataFrame, wedgeCap: Int = Int.MaxValue): DataFrame = {
     val e = edges.select(col("pa"), col("pb"))
     val nb = e.select(col("pa").as("v"), col("pb").as("u"))

@@ -219,4 +219,42 @@ object Sketch {
             element_at(lcArr, col("v").cast("int")))
           .otherwise(col("raw")), 6).as("est_distinct"))
   }
+
+  /** Equi-join SIZE estimate from KMV synopses — what a planner (or a
+    * cost gate before an expensive join) wants without touching the
+    * data twice: per side, the KMV distinct estimate d̂ and row count n;
+    * the key-overlap estimate Î = Ĵ·(d̂a+d̂b)/(1+Ĵ) from the pairwise
+    * Jaccard identity; then |A⋈B| ≈ Î · (na/d̂a) · (nb/d̂b) under
+    * per-key uniformity. Everything reuses the deterministic md5
+    * synopses, so the estimate is engine-reproducible; the exact join
+    * size Σ_k c_a(k)·c_b(k) rides along (counts-only join, no payload)
+    * with the relative error.
+    *
+    * Scale shape: two KMV passes (map-side WindowGroupLimit, k rows per
+    * side survive), one counts-only aggregation per side for n, and the
+    * exact companion is a frequency-vector join — never the row payload.
+    */
+  def kmvJoinSize(a: DataFrame, aKey: String, b: DataFrame, bKey: String,
+                  k: Int = 128): DataFrame = {
+    val sides = a.select(col(aKey).as("tok")).withColumn("side", lit("a"))
+      .unionByName(b.select(col(bKey).as("tok")).withColumn("side", lit("b")))
+    val counts = sides.groupBy("side").agg(count(lit(1)).as("n"))
+    val sigs = bottomKSignatures(sides, "side", "tok", k)
+    val d = kmvDistinct(sigs, "side", k)
+    val exact = a.groupBy(col(aKey).as("kk")).agg(count(lit(1)).as("ca"))
+      .join(b.groupBy(col(bKey).as("kk")).agg(count(lit(1)).as("cb")), "kk")
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("n_exact"))
+    val est = round(
+      col("ej") * (col("da") + col("db")) / (lit(1.0) + col("ej"))
+        * (col("na").cast("double") / col("da"))
+        * (col("nb").cast("double") / col("db")), 6)
+    counts.filter(col("side") === "a").select(col("n").as("na"))
+      .crossJoin(counts.filter(col("side") === "b").select(col("n").as("nb")))
+      .crossJoin(d.filter(col("side") === "a").select(col("est_distinct").as("da")))
+      .crossJoin(d.filter(col("side") === "b").select(col("est_distinct").as("db")))
+      .crossJoin(kmvJaccard(sigs, "side", k).select(col("est_jaccard").as("ej")))
+      .crossJoin(exact)
+      .select(est.as("est_join"), col("n_exact"),
+        round((est - col("n_exact")) / col("n_exact"), 6).as("rel_err"))
+  }
 }

@@ -861,6 +861,43 @@ class OpsSpec extends AnyFunSuite {
       got.getDouble(3) == 9.0 && got.getDouble(4) == 5.4)
   }
 
+  test("clustering coefficient: triangle vertices score by 2t/d(d-1), pendants drop") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("pa", "pb")
+    val got = Graph.clusteringCoefficient(edges).orderBy("v").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    // v1,v2: closed pair (coef 1); v3: one triangle of C(3,2)=3 possible
+    // wedges; v4 has degree 1 → excluded
+    assert(got.toSeq == Seq((1L, 2, 1, 1.0), (2L, 2, 1, 1.0), (3L, 3, 1, 0.333333)))
+  }
+
+  test("kmv join size: exact companion counts multiplicities; estimate is reported") {
+    val a = Seq(1L, 1L, 2L, 3L).toDF("k")
+    val b = Seq(2L, 3L, 3L, 4L).toDF("k")
+    val got = Sketch.kmvJoinSize(a, "k", b, "k").collect()(0)
+    // exact join = 1·1 (key 2) + 1·2 (key 3) = 3
+    assert(got.getLong(1) == 3L)
+    val est = got.getDouble(0)
+    assert(est > 0 && got.getDouble(2) ==
+      BigDecimal((est - 3.0) / 3.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("last-touch attribution window excludes the current row and later clicks") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("u").orderBy("t", "id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ev = Seq((1L, 1L, 1L, "click"), (1L, 2L, 2L, "purchase"),
+      (1L, 3L, 3L, "purchase"), (2L, 4L, 1L, "purchase"), (2L, 5L, 2L, "click"))
+      .toDF("u", "id", "t", "typ")
+    val got = ev.select(col("id"),
+        last(when(col("typ") === "click", col("id")), ignoreNulls = true)
+          .over(w).as("attrib"))
+      .filter(col("id").isin(2L, 3L, 4L)).orderBy("id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    // purchases 2 and 3 credit click 1; purchase 4 precedes its user's
+    // only click → organic (null)
+    assert(got.toSeq == Seq((2L, 1L), (3L, 1L), (4L, -1L)))
+  }
+
   test("histogram drift: hand-computed chi-square contributions, missing bins coalesce") {
     // old [A,A,B], mirrored new [A,B,B] per 2: symmetric 8.0 per bin
     val oldV = Seq("A", "A", "A", "A", "B", "B").toDF("c")

@@ -509,6 +509,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan.take(2000))
   }
 
+  test("scd2 lookup runs through the custom as-of exec") {
+    val plan = planOf("q_scd2_lookup")
+    assert(plan.contains("AsOfJoin"), plan.take(2000))
+  }
+
+  test("attribution: one user_id exchange feeds the window; filter reaches the scan") {
+    val plan = planOf("q_attribution_lasttouch")
+    val hashEx = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.size == 1 && hashEx.head.contains("user_id"), plan.take(2000))
+    assert(plan.contains("PushedFilters: [IsNotNull(user_id), LessThan(user_id,100)"),
+      plan.take(2000))
+  }
+
+  test("join-size sketch: bottom-k survives map-side via WindowGroupLimit") {
+    val plan = planOf("q_sketch_join_size")
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
+
   test("drift monitor: histograms partial-aggregate, totals broadcast back") {
     val plan = planOf("q_drift_chisq")
     // each snapshot reduces to its bins map-side; the 1-row totals frame
