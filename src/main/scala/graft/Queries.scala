@@ -6556,6 +6556,101 @@ object Queries {
       events(s, dir).select("user_id"), "user_id", k = 128)
   }
 
+  q("stream_drift",
+    // live drift monitoring: the streaming half's complete-mode type
+    // histogram against the static reference half, scored with the same
+    // integer chi-square contributions as the batch monitor
+    """WITH h1 AS (SELECT event_type AS bin, COUNT(*) AS o1 FROM events
+      |  WHERE event_id % 2 = 0 GROUP BY 1),
+      |h2 AS (SELECT event_type AS bin, COUNT(*) AS o2 FROM events
+      |  WHERE event_id % 2 = 1 GROUP BY 1),
+      |j AS (SELECT coalesce(h1.bin, h2.bin) AS bin, coalesce(o1, 0) AS o1,
+      |    coalesce(o2, 0) AS o2 FROM h1 FULL JOIN h2 ON h1.bin = h2.bin),
+      |t AS (SELECT SUM(o1) AS n1, SUM(o2) AS n2 FROM j)
+      |SELECT bin, CAST(o1 AS INT) AS o1, CAST(o2 AS INT) AS o2,
+      |  round(CAST(n1 + n2 AS DOUBLE) *
+      |    (CAST((o1 * n2 - o2 * n1) * (o1 * n2 - o2 * n1) AS DOUBLE) /
+      |     CAST(n1 * n2 * (o1 + o2) AS DOUBLE)), 6) AS contrib
+      |FROM j, t ORDER BY bin""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val ev = events(s, dir).select("event_id", "event_type")
+    val landing = cachedLanding(s"drift:$dir") { d =>
+      ev.filter(col("event_id") % 2 === 1).write.mode("append").parquet(d)
+    }
+    val qname = "graft_stream_drift"
+    withShufflePartitions(s, 4) {
+      val query = s.readStream.schema(s.read.parquet(landing).schema)
+        .parquet(landing)
+        .groupBy(col("event_type").as("bin")).agg(count(lit(1)).as("o2"))
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("complete").start()
+      try query.processAllAvailable() finally query.stop()
+    }
+    val ref = ev.filter(col("event_id") % 2 === 0)
+      .groupBy(col("event_type").as("bin")).agg(count(lit(1)).as("o1"))
+    Quality.histDriftCounts(ref, s.table(qname)).orderBy("bin")
+  }
+
+  q("multimodal_audio_fingerprint",
+    // equal-content audio dedup through REAL WAV decode: block-energy
+    // vectors digest the PCM, seeds repeat every 20 ids so the family
+    // structure is known; the oracle replays the integer PCM generator
+    """WITH ids AS (SELECT doc_id AS id, doc_id % 20 AS seed,
+      |    CAST(400 + doc_id % 20 AS INT) AS n FROM documents WHERE doc_id < 50),
+      |smp AS (SELECT id, n, g.i,
+      |    (((seed * 1315423911 + g.i * 2654435761) & 65535) - 32768) AS v
+      |  FROM ids, (SELECT unnest(range(420)) AS i) g WHERE g.i < n),
+      |blk AS (SELECT id, i // 128 AS b, SUM(v * v) AS e FROM smp GROUP BY 1, 2),
+      |fp AS (SELECT id, CAST(COUNT(*) AS INT) AS n_blocks,
+      |    CAST(SUM(e) AS BIGINT) AS total_energy,
+      |    string_agg(CAST(e AS VARCHAR), ',' ORDER BY b) AS sig FROM blk GROUP BY 1),
+      |fam AS (SELECT sig, MIN(id) AS family FROM fp GROUP BY 1)
+      |SELECT fp.id, n_blocks, total_energy, fam.family,
+      |  fp.id != fam.family AS is_dup
+      |FROM fp JOIN fam ON fp.sig = fam.sig ORDER BY fp.id"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val ids = tbl(s, dir, "documents").filter(col("doc_id") < 50).select("doc_id")
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val media = ids.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        org.apache.spark.sql.Row(id,
+          Multimodal.syntheticWav(id % 20, 8000, 400 + (id % 20).toInt))
+      }
+    }(enc)
+    val fp = Multimodal.audioEnergyFingerprint(media, "doc_id", blockSize = 128)
+    val fam = fp.groupBy("digest").agg(min(col("id")).as("family"))
+    fp.join(fam, "digest")
+      .select(col("id"), col("n_blocks"), col("total_energy"), col("family"),
+        (col("id") =!= col("family")).as("is_dup"))
+      .orderBy("id")
+  }
+
+  q("text_vocab_prune",
+    // the tokenizer min_df/max_df gate, audited before adoption: kept
+    // vocabulary size and per-source OOV rate under df >= 3 AND
+    // df <= half the corpus (integer cross-multiplied ratio)
+    s"""WITH toks AS (SELECT source, unnest($toksSql) AS tok FROM documents),
+       |dt AS (SELECT DISTINCT doc_id, unnest($toksSql) AS tok FROM documents),
+       |dfq AS (SELECT tok, COUNT(*) AS dfq FROM dt GROUP BY 1),
+       |nd AS (SELECT COUNT(*) AS nd FROM documents),
+       |kept AS (SELECT tok FROM dfq, nd WHERE dfq >= 3 AND dfq * 2 <= nd * 1),
+       |vs AS (SELECT COUNT(*) AS vocab_size FROM kept),
+       |cov AS (SELECT source, COUNT(*) AS n_tokens,
+       |    SUM(CASE WHEN tok IN (SELECT tok FROM kept) THEN 1 ELSE 0 END) AS n_covered
+       |  FROM toks GROUP BY 1)
+       |SELECT source, CAST(n_tokens AS INT) AS n_tokens,
+       |  CAST(n_covered AS INT) AS n_covered, CAST(vocab_size AS INT) AS vocab_size,
+       |  round(CAST(n_tokens - n_covered AS DOUBLE) / n_tokens, 6) AS oov_rate
+       |FROM cov, vs ORDER BY source"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    TextAnalysis.vocabPruneStats(tbl(s, dir, "documents"),
+        minDf = 3, maxDfNum = 1, maxDfDen = 2)
+      .orderBy("source")
+  }
+
   q("text_lexical_diversity",
     // log-free diversity per document: type-token ratio and the Simpson
     // repeat probability Σc(c−1)/n(n−1) — exact integer counts, one IEEE

@@ -334,6 +334,41 @@ object Multimodal {
       }(enc)
   }
 
+  /** Audio fingerprint from REAL WAV decode: fixed-size blocks of the
+    * PCM stream reduce to exact integer energies Σv², and the md5 of the
+    * comma-joined energy vector is the content digest — the
+    * equal-content audio dedup signal (the pHash analogue for sound;
+    * a band-quantized variant drops in behind the same digest column
+    * for near-dup). Narrow mapPartitions, one row out per media row.
+    */
+  def audioEnergyFingerprint(df: DataFrame, idCol: String,
+                             blockSize: Int = 128): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("n_blocks", IntegerType, nullable = false),
+      StructField("total_energy", LongType, nullable = false),
+      StructField("digest", StringType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.select(col(idCol).cast("long").as("id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (_, pcm) = decodeWav(r.getAs[Array[Byte]](1))
+          val nb = (pcm.length + blockSize - 1) / blockSize
+          val energies = new Array[Long](math.max(nb, 1))
+          var i = 0
+          while (i < pcm.length) {
+            val v = pcm(i).toLong
+            energies(i / blockSize) += v * v
+            i += 1
+          }
+          val digest = java.security.MessageDigest.getInstance("MD5")
+            .digest(energies.mkString(",").getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          Row(r.getLong(0), nb, energies.sum, digest)
+        }
+      }(enc)
+  }
+
   /** Deterministic frame/sample selection for time-media: emit
     * `sample_idx` rows per media row (the sampling grid a video decoder
     * would fill) — demonstrates the fan-out shape without the codec.

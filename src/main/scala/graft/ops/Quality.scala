@@ -72,9 +72,16 @@ object Quality {
     * rows), then a bins-sized full-outer join + a broadcast of the
     * 1-row totals. Nothing row-sized ever shuffles.
     */
-  def histDrift(oldDf: DataFrame, newDf: DataFrame, binCol: String): DataFrame = {
-    val h1 = oldDf.groupBy(col(binCol).as("bin")).agg(count(lit(1)).as("o1"))
-    val h2 = newDf.groupBy(col(binCol).as("bin")).agg(count(lit(1)).as("o2"))
+  def histDrift(oldDf: DataFrame, newDf: DataFrame, binCol: String): DataFrame =
+    histDriftCounts(
+      oldDf.groupBy(col(binCol).as("bin")).agg(count(lit(1)).as("o1")),
+      newDf.groupBy(col(binCol).as("bin")).agg(count(lit(1)).as("o2")))
+
+  /** [[histDrift]] over PRE-AGGREGATED histograms `(bin, o1)` / `(bin,
+    * o2)` — for counts that already exist (a streaming aggregation's
+    * state, a stored profile) so the raw rows are never re-scanned.
+    */
+  def histDriftCounts(h1: DataFrame, h2: DataFrame): DataFrame = {
     val j = h1.join(h2, Seq("bin"), "full_outer")
       .select(col("bin"), coalesce(col("o1"), lit(0L)).as("o1"),
         coalesce(col("o2"), lit(0L)).as("o2"))

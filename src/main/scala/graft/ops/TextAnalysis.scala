@@ -647,6 +647,43 @@ object TextAnalysis {
           / size(col("ps")) * 1e6 + 0.5) / 1e6).as("dsir_w"))
   }
 
+  /** Vocabulary pruning report — the min_df / max_df gate every
+    * tokenizer/TF-IDF pipeline applies, measured before committing to
+    * it: tokens kept when their document frequency satisfies
+    * `df >= minDf` and `df · maxDfDen <= nDocs · maxDfNum` (the max-df
+    * ratio in integer cross-multiplied form — no float threshold), and
+    * per source the token coverage / OOV rate the pruned vocabulary
+    * would leave. One df aggregation, kept-vocab broadcast back to the
+    * token stream, the doc count a broadcast 1-row frame — nothing
+    * row-sized shuffles twice.
+    */
+  def vocabPruneStats(docs: DataFrame, minDf: Int = 3,
+                      maxDfNum: Int = 1, maxDfDen: Int = 2,
+                      textCol: String = "text",
+                      sourceCol: String = "source"): DataFrame = {
+    val toks = docs.select(col(sourceCol).as("source"),
+      explode(tokens(col(textCol))).as("tok"))
+    val dfreq = docs
+      .select(explode(array_distinct(tokens(col(textCol)))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("dfq"))
+    val nd = docs.agg(count(lit(1)).as("nd"))
+    val kept = dfreq.crossJoin(broadcast(nd))
+      .filter(col("dfq") >= minDf &&
+        col("dfq") * maxDfDen <= col("nd") * maxDfNum)
+      .select("tok")
+    val vsize = kept.agg(count(lit(1)).as("vocab_size"))
+    toks.join(broadcast(kept.withColumn("inv", lit(1L))), Seq("tok"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("inv"), lit(0L))).as("n_covered"))
+      .crossJoin(broadcast(vsize))
+      .select(col("source"), col("n_tokens").cast("int").as("n_tokens"),
+        col("n_covered").cast("int").as("n_covered"),
+        col("vocab_size").cast("int").as("vocab_size"),
+        round((col("n_tokens") - col("n_covered")).cast("double")
+          / col("n_tokens"), 6).as("oov_rate"))
+  }
+
   /** Per-document lexical diversity WITHOUT logarithms: token count,
     * type count, type-token ratio, and the repeat probability
     * Σ c_t(c_t−1) / n(n−1) — the probability two tokens drawn without

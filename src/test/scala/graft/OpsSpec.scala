@@ -898,6 +898,36 @@ class OpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((2L, 1L), (3L, 1L), (4L, -1L)))
   }
 
+  test("audio energy fingerprint: same PCM collides, different seeds diverge") {
+    val media = Seq(
+      (1L, Multimodal.syntheticWav(7, 8000, 300)),
+      (2L, Multimodal.syntheticWav(7, 8000, 300)), // identical content
+      (3L, Multimodal.syntheticWav(8, 8000, 300)))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.audioEnergyFingerprint(media, "doc_id", blockSize = 128)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(3)))
+    assert(got.map(_._2).toSeq == Seq(3, 3, 3)) // ceil(300/128)
+    assert(got(0)._3 == got(1)._3 && got(0)._3 != got(2)._3)
+  }
+
+  test("vocab prune keeps mid-df tokens only and scores OOV per source") {
+    // 10 docs: 'mid' in 3 (kept: 3>=3, 6<=10), 'hot' in 8 (pruned by
+    // max-df), 'rare' in 1 (pruned by min-df)
+    val d = (0 until 10).map { i =>
+      val parts = Seq("hot").filter(_ => i < 8) ++
+        Seq("mid").filter(_ => i < 3) ++ Seq(s"rare$i").filter(_ => i == 0)
+      (i.toLong, parts.mkString(" "), if (i < 5) "s1" else "s2")
+    }.toDF("doc_id", "text", "source")
+    val got = TextAnalysis.vocabPruneStats(d, minDf = 3, maxDfNum = 1, maxDfDen = 2)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    // s1 docs 0-4: tokens hot×5 + mid×3 + rare0 = 9, covered = mid×3
+    // s2 docs 5-9: hot×3 + empty-token rows for docs 8,9 ("" splits to [""])
+    assert(got.find(_._1 == "s1").get == (("s1", 9, 3, 1)))
+    assert(got.find(_._1 == "s2").get._3 == 0)
+  }
+
   test("histogram drift: hand-computed chi-square contributions, missing bins coalesce") {
     // old [A,A,B], mirrored new [A,B,B] per 2: symmetric 8.0 per bin
     val oldV = Seq("A", "A", "A", "A", "B", "B").toDF("c")

@@ -528,6 +528,12 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))
   }
 
+  test("vocab prune: kept vocabulary broadcasts back to the token stream") {
+    val plan = planOf("text_vocab_prune")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
   test("drift monitor: histograms partial-aggregate, totals broadcast back") {
     val plan = planOf("q_drift_chisq")
     // each snapshot reduces to its bins map-side; the 1-row totals frame
