@@ -6651,6 +6651,114 @@ object Queries {
       .orderBy("source")
   }
 
+  q("q_rolling_corr",
+    // trailing-20 Pearson correlation of quantity vs price per supplier:
+    // exact decimal power sums over a ROWS frame, one fixed IEEE
+    // combination per emitted row; incomplete/degenerate windows drop
+    """WITH g AS (SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+      |    CAST(l_quantity AS DECIMAL(12,2)) AS x,
+      |    CAST(l_extendedprice AS DECIMAL(12,2)) AS y
+      |  FROM lineitem WHERE l_suppkey < 20),
+      |s AS (SELECT l_suppkey, row_number() OVER wo AS rn,
+      |    COUNT(*) OVER w AS n, SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+      |    SUM(x * x) OVER w AS sxx, SUM(y * y) OVER w AS syy,
+      |    SUM(x * y) OVER w AS sxy
+      |  FROM g WINDOW
+      |    wo AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber),
+      |    w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+      |SELECT l_suppkey, CAST(rn AS INT) AS rn,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+      |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr
+      |FROM s WHERE n = 20 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+      |ORDER BY l_suppkey, rn""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    Stats.rollingCorr(tbl(s, dir, "lineitem").filter(col("l_suppkey") < 20),
+        "l_suppkey",
+        Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")),
+        dec(col("l_quantity"), 12, 2), dec(col("l_extendedprice"), 12, 2),
+        window = 20)
+      .orderBy("l_suppkey", "rn")
+  }
+
+  /** Unrolled DuckDB replay of `Graph.kCore(k = 3)` over the
+    * parts-sharing-a-supplier fixture: `rounds` peel passes (drop
+    * degree-<k vertices, keep edges with both endpoints surviving);
+    * peeling is monotone, so rounds beyond convergence are no-ops.
+    */
+  private def kCoreOracle(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    // MATERIALIZED: each round references the previous edge set three
+    // times (degree count + both endpoint filters) — inlined CTEs would
+    // re-expand the whole chain exponentially
+    sb ++= "WITH p AS (SELECT o_orderkey % 3000 AS a, o_custkey % 3000 AS b FROM orders), "
+    sb ++= "e0 AS MATERIALIZED (SELECT DISTINCT LEAST(a, b) AS pa, GREATEST(a, b) AS pb FROM p WHERE a != b), "
+    for (i <- 0 until rounds) {
+      sb ++= s"d$i AS MATERIALIZED (SELECT v, COUNT(*) AS d FROM (SELECT pa AS v FROM e$i UNION ALL SELECT pb FROM e$i) GROUP BY 1), "
+      sb ++= s"k$i AS MATERIALIZED (SELECT v FROM d$i WHERE d >= $k), "
+      sb ++= s"e${i + 1} AS MATERIALIZED (SELECT pa, pb FROM e$i WHERE pa IN (SELECT v FROM k$i) AND pb IN (SELECT v FROM k$i)), "
+    }
+    sb ++= s"fin AS (SELECT v, COUNT(*) AS d FROM (SELECT pa AS v FROM e$rounds UNION ALL SELECT pb FROM e$rounds) GROUP BY 1) "
+    sb ++= "SELECT v, CAST(d AS INT) AS d FROM fin ORDER BY v"
+    sb.toString
+  }
+
+  /** The k-core fixture is the ORDER-HASH graph (endpoints o_orderkey
+    * and o_custkey mod 3000): near-random with spread degrees, so at
+    * sf0.01 the 6-core peel genuinely cascades (3 rounds, half the
+    * vertices drop) — the supplier co-occurrence graph is too close to
+    * complete to ever peel.
+    */
+  q("q_graph_kcore", kCoreOracle(6, 12)) { (s, dir) =>
+    val p = tbl(s, dir, "orders")
+      .select((col("o_orderkey") % 3000).as("a"), (col("o_custkey") % 3000).as("b"))
+      .filter(col("a") =!= col("b"))
+    val edges = p.select(least(col("a"), col("b")).as("pa"),
+      greatest(col("a"), col("b")).as("pb")).distinct()
+    Graph.kCore(edges, k = 6, maxIters = 12).orderBy("v")
+  }
+
+  q("stream_ewma",
+    // the O(1)-state streaming EWMA scorer driver-green: integer fold
+    // s ← (3s + v·2^32) div 4 per event type, replayed row-for-row by a
+    // recursive CTE (single-batch landing, per-batch sort = oracle order)
+    """WITH RECURSIVE e AS (SELECT event_type, event_id, epoch_us(ts) AS tsm,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events WHERE user_id < 40),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+      |    ORDER BY tsm, event_id) AS rn FROM e),
+      |rec(rn, event_type, event_id, s, spike) AS (
+      |  SELECT rn, event_type, event_id, cents * 4294967296, FALSE FROM r WHERE rn = 1
+      |  UNION ALL
+      |  SELECT r.rn, r.event_type, r.event_id,
+      |    (3 * rec.s + r.cents * 4294967296) // 4,
+      |    r.cents * 4294967296 > 2 * rec.s
+      |  FROM rec JOIN r ON r.event_type = rec.event_type AND r.rn = rec.rn + 1)
+      |SELECT event_type, event_id, s AS smoothed, spike FROM rec
+      |ORDER BY event_type, event_id""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val ev = events(s, dir).filter(col("user_id") < 40)
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts").cast(TimestampType)).as("ts_micros"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val landing = cachedLanding(s"ewma:$dir") { d =>
+      ev.write.mode("append").parquet(d)
+    }
+    val qname = "graft_stream_ewma"
+    withShufflePartitions(s, 4) {
+      import s.implicits._
+      val src = s.readStream.schema(s.read.parquet(landing).schema)
+        .parquet(landing).as[graft.streaming.Streams.EwmaRow]
+      val query = graft.streaming.Streams.ewmaState(src)
+        .toDF().writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      try query.processAllAvailable() finally query.stop()
+    }
+    s.table(qname)
+      .select(col("event_type"), col("event_id"),
+        col("s").as("smoothed"), col("spike"))
+      .orderBy("event_type", "event_id")
+  }
+
   q("text_lexical_diversity",
     // log-free diversity per document: type-token ratio and the Simpson
     // repeat probability Σc(c−1)/n(n−1) — exact integer counts, one IEEE

@@ -119,6 +119,39 @@ object Graph {
       .select(col("a.p").as("pa"), col("b.p").as("pb")).distinct()
   }
 
+  /** k-core decomposition by iterative peeling: repeatedly drop vertices
+    * of degree < k (with their edges) until the graph stabilizes — the
+    * densely-knit backbone used for community seeds and graph cleanup.
+    * Returns the surviving vertices with their in-core degrees.
+    *
+    * Each round is one degree aggregation + two semi joins; the edge
+    * frame is lineage-truncated per round (the iterative-operator rule)
+    * and the convergence probe ships one count. Peeling is monotone, so
+    * extra rounds are no-ops — `maxIters` caps the loop for the oracle's
+    * unrolled replay (q_graph_kcore verifies convergence within the cap
+    * on its fixture; a non-converged cap would surface as a mismatch).
+    */
+  def kCore(edges: DataFrame, k: Int, maxIters: Int = 12): DataFrame = {
+    var e = edges.select(col("pa"), col("pb")).localCheckpoint()
+    var n = e.count()
+    var iter = 0
+    var stable = false
+    while (!stable && iter < maxIters) {
+      val deg = e.select(col("pa").as("v")).union(e.select(col("pb").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select("v")
+      val e2 = e
+        .join(keep.withColumnRenamed("v", "pa"), Seq("pa"), "left_semi")
+        .join(keep.withColumnRenamed("v", "pb"), Seq("pb"), "left_semi")
+        .localCheckpoint()
+      val n2 = e2.count()
+      stable = n2 == n
+      e = e2; n = n2; iter += 1
+    }
+    e.select(col("pa").as("v")).union(e.select(col("pb").as("v")))
+      .groupBy("v").agg(count(lit(1)).cast("int").as("d"))
+  }
+
   /** Link prediction over an undirected graph given as canonical edges
     * (pa < pb, distinct): for every NON-adjacent pair (x < y) with at
     * least one common neighbor, emit the common-neighbor count and the

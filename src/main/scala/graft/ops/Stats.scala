@@ -241,6 +241,37 @@ object Stats {
         size(filter(col("ds"), d => d > col("mad") * lit(k))).as("n_outliers"))
   }
 
+  /** Trailing-window Pearson correlation per key: the six power sums
+    * (n, Σx, Σy, Σx², Σy², Σxy) accumulate as EXACT decimals over a
+    * ROWS frame, combined per row by one fixed IEEE sequence —
+    * [[moments]]' determinism contract applied to a moving window, for
+    * co-movement monitoring (price/quantity, metric pairs) without a
+    * per-group collect. One hash exchange on the key feeds every
+    * windowed sum. Rows with an incomplete window or a zero-variance
+    * side are dropped (both conditions are exact decimal compares, so
+    * the survivor set is engine-identical).
+    */
+  def rollingCorr(df: DataFrame, keyCol: String, ordCols: Seq[Column],
+                  xCol: Column, yCol: Column, window: Int): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(ordCols: _*)
+      .rowsBetween(-(window - 1), 0)
+    val wn = Window.partitionBy(keyCol).orderBy(ordCols: _*)
+    val staged = df.select(col(keyCol),
+      row_number().over(wn).as("rn"),
+      count(lit(1)).over(w).as("n"),
+      sum(xCol).over(w).as("sx"), sum(yCol).over(w).as("sy"),
+      sum(xCol * xCol).over(w).as("sxx"),
+      sum(yCol * yCol).over(w).as("syy"),
+      sum(xCol * yCol).over(w).as("sxy"))
+    val dx = col("n") * col("sxx") - col("sx") * col("sx")
+    val dy = col("n") * col("syy") - col("sy") * col("sy")
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    staged.filter(col("n") === window && dx > 0 && dy > 0)
+      .select(col(keyCol), col("rn").cast("int").as("rn"),
+        round(num.cast("double") /
+          (sqrt(dx.cast("double")) * sqrt(dy.cast("double"))), 6).as("corr"))
+  }
+
   /** Per-group winsorized mean: clamp values at the exact PHYSICAL
     * percentile elements (position 1+⌊(n−1)·p/100⌋ of the sorted list —
     * element selection, never interpolation, same contract as

@@ -928,6 +928,32 @@ class OpsSpec extends AnyFunSuite {
     assert(got.find(_._1 == "s2").get._3 == 0)
   }
 
+  test("k-core peels the chain tail and keeps the triangle") {
+    // triangle 1-2-3 plus chain 3-4-5: at k=2 vertex 5 (deg 1) peels,
+    // which drops 4 to deg 1 — the cascade the one-shot filter misses
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("pa", "pb")
+    val got = Graph.kCore(edges, k = 2).orderBy("v").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(got.toSeq == Seq((1L, 2), (2L, 2), (3L, 2)))
+    assert(Graph.kCore(edges, k = 3).count() == 0)
+  }
+
+  test("rolling correlation: exact ±1 on linear windows, zero-variance drops") {
+    val df = Seq(
+      // key 1: y = 2x → every full window corr 1.0
+      (1L, 1, BigDecimal(1), BigDecimal(2)), (1L, 2, BigDecimal(2), BigDecimal(4)),
+      (1L, 3, BigDecimal(3), BigDecimal(6)), (1L, 4, BigDecimal(4), BigDecimal(8)),
+      // key 2: constant x → zero variance, all windows drop
+      (2L, 1, BigDecimal(5), BigDecimal(1)), (2L, 2, BigDecimal(5), BigDecimal(2)),
+      (2L, 3, BigDecimal(5), BigDecimal(3)))
+      .toDF("k", "seq", "x", "y")
+    val got = Stats.rollingCorr(df, "k", Seq(col("seq")), col("x"), col("y"),
+        window = 3).orderBy("k", "rn").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 3, 1.0), (1L, 4, 1.0)))
+  }
+
   test("histogram drift: hand-computed chi-square contributions, missing bins coalesce") {
     // old [A,A,B], mirrored new [A,B,B] per 2: symmetric 8.0 per bin
     val oldV = Seq("A", "A", "A", "A", "B", "B").toDF("c")

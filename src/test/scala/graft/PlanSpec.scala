@@ -534,6 +534,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan.take(2000))
   }
 
+  test("rolling corr: one supplier exchange feeds every windowed sum") {
+    val plan = planOf("q_rolling_corr")
+    val hashEx = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.size == 1 && hashEx.head.contains("l_suppkey"),
+      s"expected one l_suppkey exchange:\n${plan.take(2000)}")
+  }
+
   test("drift monitor: histograms partial-aggregate, totals broadcast back") {
     val plan = planOf("q_drift_chisq")
     // each snapshot reduces to its bins map-side; the 1-row totals frame
