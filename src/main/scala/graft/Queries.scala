@@ -6759,6 +6759,104 @@ object Queries {
       .orderBy("event_type", "event_id")
   }
 
+  q("q_ols_by_group",
+    // per-flag regression price = a + b·quantity with R², all from the
+    // six exact decimal power sums (one shuffle of six numbers per group)
+    """WITH g AS (SELECT l_returnflag AS grp,
+      |    CAST(l_quantity AS DECIMAL(12,2)) AS x,
+      |    CAST(l_extendedprice AS DECIMAL(12,2)) AS y FROM lineitem),
+      |s AS (SELECT grp, COUNT(*) AS n,
+      |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(x * x) AS DOUBLE) AS sxx,
+      |    CAST(SUM(y) AS DOUBLE) AS sy, CAST(SUM(y * y) AS DOUBLE) AS syy,
+      |    CAST(SUM(x * y) AS DOUBLE) AS sxy
+      |  FROM g GROUP BY 1)
+      |SELECT grp, n,
+      |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+      |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept,
+      |  round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
+      |    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+      |FROM s ORDER BY grp""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    Stats.olsFit(tbl(s, dir, "lineitem")
+        .select(col("l_returnflag").as("grp"),
+          col("l_quantity"), col("l_extendedprice")),
+        "grp", "l_quantity", "l_extendedprice")
+      .orderBy("grp")
+  }
+
+  q("q_pareto_abc",
+    // ABC/Pareto inventory classification: cumulative revenue share with
+    // integer cross-multiplied 80/95 boundaries — exact decimal cumsum
+    // over the per-part AGGREGATE (bounded by the part domain, so the
+    // global ranking window ranks a report, not raw rows)
+    """WITH r AS (SELECT l_partkey AS part,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev
+      |  FROM lineitem WHERE l_partkey < 500 GROUP BY 1),
+      |t AS (SELECT SUM(rev) AS tot FROM r),
+      |c AS (SELECT part, rev, SUM(rev) OVER (ORDER BY rev DESC, part) AS cum FROM r)
+      |SELECT part, CAST(rev AS DOUBLE) AS rev,
+      |  CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+      |       WHEN cum * 100 <= tot * 95 THEN 'B' ELSE 'C' END AS abc
+      |FROM c, t ORDER BY part""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val r = tbl(s, dir, "lineitem").filter(col("l_partkey") < 500)
+      .groupBy(col("l_partkey").as("part"))
+      .agg(sum(dec(col("l_extendedprice"), 12, 2)).as("rev"))
+    val tot = r.agg(sum("rev").as("tot"))
+    val w = Window.orderBy(col("rev").desc, col("part"))
+    r.withColumn("cum", sum("rev").over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("part"), col("rev").cast("double").as("rev"),
+        when(col("cum") * 100 <= col("tot") * 80, "A")
+          .when(col("cum") * 100 <= col("tot") * 95, "B")
+          .otherwise("C").as("abc"))
+      .orderBy("part")
+  }
+
+  q("q_seasonality_profile",
+    // hour-of-week activity profile with per-cell chi-square deviation
+    // from uniform — (168·o − T)²/(168·T), integers until one division
+    """WITH e AS (SELECT isodow(ts) AS dow, hour(ts) AS hod FROM events),
+      |c AS (SELECT dow, hod, COUNT(*) AS n FROM e GROUP BY 1, 2),
+      |t AS (SELECT SUM(n) AS tot FROM c)
+      |SELECT CAST(dow AS INT) AS dow, CAST(hod AS INT) AS hod,
+      |  CAST(n AS INT) AS n,
+      |  round(CAST((168 * n - tot) * (168 * n - tot) AS DOUBLE) /
+      |    CAST(168 * tot AS DOUBLE), 6) AS contrib
+      |FROM c, t ORDER BY dow, hod""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val c = events(s, dir)
+      .select((weekday(col("ts")) + 1).as("dow"), hour(col("ts")).as("hod"))
+      .groupBy("dow", "hod").agg(count(lit(1)).as("n"))
+    val t = c.agg(sum("n").as("tot"))
+    c.crossJoin(broadcast(t))
+      .select(col("dow").cast("int").as("dow"), col("hod").cast("int").as("hod"),
+        col("n").cast("int").as("n"),
+        round(((lit(168) * col("n") - col("tot"))
+            * (lit(168) * col("n") - col("tot"))).cast("double")
+          / (lit(168) * col("tot")).cast("double"), 6).as("contrib"))
+      .orderBy("dow", "hod")
+  }
+
+  q("q_join_fanout_histogram",
+    // join-skew preflight: per-key fanout products c_a·c_b bucketed by
+    // DIGIT COUNT (string length — log-free), with keys and rows per
+    // bucket; pairs with q_sketch_join_size as the pre-join report
+    """WITH ca AS (SELECT o_custkey AS kk, COUNT(*) AS ca FROM orders GROUP BY 1),
+      |cb AS (SELECT user_id AS kk, COUNT(*) AS cb FROM events GROUP BY 1),
+      |p AS (SELECT ca.kk, ca.ca * cb.cb AS fanout FROM ca JOIN cb ON ca.kk = cb.kk)
+      |SELECT CAST(length(CAST(fanout AS VARCHAR)) AS INT) AS digits,
+      |  CAST(COUNT(*) AS INT) AS n_keys,
+      |  CAST(SUM(fanout) AS BIGINT) AS n_rows
+      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val ca = tbl(s, dir, "orders")
+      .groupBy(col("o_custkey").as("kk")).agg(count(lit(1)).as("ca"))
+    val cb = events(s, dir)
+      .groupBy(col("user_id").as("kk")).agg(count(lit(1)).as("cb"))
+    ca.join(cb, "kk")
+      .select((col("ca") * col("cb")).as("fanout"))
+      .groupBy(length(col("fanout").cast("string")).cast("int").as("digits"))
+      .agg(count(lit(1)).cast("int").as("n_keys"), sum("fanout").as("n_rows"))
+      .orderBy("digits")
+  }
+
   q("text_lexical_diversity",
     // log-free diversity per document: type-token ratio and the Simpson
     // repeat probability Σc(c−1)/n(n−1) — exact integer counts, one IEEE

@@ -45,6 +45,31 @@ object Stats {
       round(covNum / varxNum, 6).as("slope_xy"))
   }
 
+  /** Per-group simple linear regression y = a + b·x with fit quality:
+    * slope, intercept, and R² combined from the same exact decimal
+    * power sums as [[moments]] — one shuffle of six numbers per group,
+    * three fixed IEEE combinations per group row.
+    */
+  def olsFit(df: DataFrame, groupCol: String, xCol: String, yCol: String,
+             p: Int = 12, s: Int = 2): DataFrame = {
+    val x = col(xCol).cast(s"decimal($p,$s)")
+    val y = col(yCol).cast(s"decimal($p,$s)")
+    val sums = df.groupBy(groupCol).agg(
+      count(lit(1)).as("n"),
+      sum(x).cast("double").as("sx"), sum(x * x).cast("double").as("sxx"),
+      sum(y).cast("double").as("sy"), sum(y * y).cast("double").as("syy"),
+      sum(x * y).cast("double").as("sxy"))
+    val n = col("n").cast("double")
+    val varxNum = n * col("sxx") - col("sx") * col("sx")
+    val varyNum = n * col("syy") - col("sy") * col("sy")
+    val covNum = n * col("sxy") - col("sx") * col("sy")
+    val slope = covNum / varxNum
+    sums.select(col(groupCol), col("n"),
+      round(slope, 6).as("slope"),
+      round((col("sy") - slope * col("sx")) / n, 6).as("intercept"),
+      round(covNum * covNum / (varxNum * varyNum), 6).as("r2"))
+  }
+
   /** Anomaly z-score of an integer metric against its trailing window
     * (`lookback` prior rows, current row excluded). The window sums are
     * integer — exact under any evaluation order, so segment-tree vs

@@ -954,6 +954,15 @@ class OpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 3, 1.0), (1L, 4, 1.0)))
   }
 
+  test("OLS fit recovers slope/intercept/R² exactly on a perfect line") {
+    val df = Seq(("g", BigDecimal(1), BigDecimal(3)),
+      ("g", BigDecimal(2), BigDecimal(5)), ("g", BigDecimal(3), BigDecimal(7)))
+      .toDF("grp", "x", "y")
+    val got = Stats.olsFit(df, "grp", "x", "y").collect()(0)
+    assert(got.getLong(1) == 3 && got.getDouble(2) == 2.0 &&
+      got.getDouble(3) == 1.0 && got.getDouble(4) == 1.0)
+  }
+
   test("histogram drift: hand-computed chi-square contributions, missing bins coalesce") {
     // old [A,A,B], mirrored new [A,B,B] per 2: symmetric 8.0 per bin
     val oldV = Seq("A", "A", "A", "A", "B", "B").toDF("c")
