@@ -6857,6 +6857,70 @@ object Queries {
       .orderBy("digits")
   }
 
+  q("q_hilbert_layout",
+    // Hilbert curve distance (customer × order-day): bucket stats prove
+    // the per-level quadrant+rotation recurrence bit-for-bit against a
+    // recursive-CTE replay; writeHilbert sorts by this key for tighter
+    // file rectangles than Morton at range-predicate pruning
+    """WITH RECURSIVE pts AS (SELECT o_orderkey AS id, CAST(o_custkey AS BIGINT) AS x0,
+      |    CAST(date_diff('day', TIMESTAMP '1992-01-01', o_orderdate) AS BIGINT) AS y0
+      |  FROM orders),
+      |h(id, x, y, d, lvl) AS (
+      |  SELECT id, x0, y0, CAST(0 AS BIGINT), 0 FROM pts
+      |  UNION ALL
+      |  SELECT id,
+      |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN s - 1 - y ELSE y END) ELSE x END,
+      |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN s - 1 - x ELSE x END) ELSE y END,
+      |    d + s * s * xor(rx * 3, ry), lvl + 1
+      |  FROM (SELECT id, x, y, d, lvl, (CAST(1 AS BIGINT) << (15 - lvl)) AS s,
+      |      CASE WHEN (x & (CAST(1 AS BIGINT) << (15 - lvl))) > 0 THEN 1 ELSE 0 END AS rx,
+      |      CASE WHEN (y & (CAST(1 AS BIGINT) << (15 - lvl))) > 0 THEN 1 ELSE 0 END AS ry
+      |    FROM h WHERE lvl < 16) t),
+      |f AS (SELECT id, d AS hval FROM h WHERE lvl = 16)
+      |SELECT CAST(hval >> 20 AS BIGINT) AS bucket, COUNT(*) AS n,
+      |  CAST(MIN(hval) AS BIGINT) AS min_h, CAST(MAX(hval) AS BIGINT) AS max_h
+      |FROM f GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    tbl(s, dir, "orders")
+      .select(Bucketing.hilbertKey(col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1992-01-01").cast("date")), 16)
+        .as("hval"))
+      .groupBy(shiftright(col("hval"), 20).as("bucket"))
+      .agg(count(lit(1)).as("n"), min("hval").as("min_h"), max("hval").as("max_h"))
+      .orderBy("bucket")
+  }
+
+  q("q_item_item_cosine",
+    // item-item collaborative similarity: co-order counts normalized by
+    // sqrt of each item's order count — integer counts, two sqrts and
+    // one division per surviving pair; degree joins broadcast
+    """WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+      |  WHERE l_partkey < 300),
+      |ci AS (SELECT p, COUNT(*) AS c FROM ps GROUP BY 1),
+      |pairs AS (SELECT a.p AS pa, b.p AS pb, COUNT(*) AS cij FROM ps a
+      |  JOIN ps b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2)
+      |SELECT pa, pb, CAST(cij AS INT) AS cij,
+      |  round(CAST(cij AS DOUBLE) /
+      |    (sqrt(CAST(ca.c AS DOUBLE)) * sqrt(CAST(cb.c AS DOUBLE))), 6) AS cosine
+      |FROM pairs JOIN ci ca ON ca.p = pa JOIN ci cb ON cb.p = pb
+      |ORDER BY cosine DESC, pa, pb LIMIT 20"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val ps = tbl(s, dir, "lineitem").filter(col("l_partkey") < 300)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val ci = ps.groupBy("p").agg(count(lit(1)).as("c"))
+    val pairs = ps.as("a").join(ps.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+      .agg(count(lit(1)).as("cij"))
+    pairs
+      .join(broadcast(ci.select(col("p").as("pa"), col("c").as("ca"))), Seq("pa"))
+      .join(broadcast(ci.select(col("p").as("pb"), col("c").as("cb"))), Seq("pb"))
+      .select(col("pa"), col("pb"), col("cij").cast("int").as("cij"),
+        round(col("cij").cast("double") /
+          (sqrt(col("ca").cast("double")) * sqrt(col("cb").cast("double"))), 6)
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("pa"), col("pb")).limit(20)
+  }
+
   q("text_lexical_diversity",
     // log-free diversity per document: type-token ratio and the Simpson
     // repeat probability Σc(c−1)/n(n−1) — exact integer counts, one IEEE

@@ -102,4 +102,44 @@ object Bucketing {
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+
+  /** Hilbert-curve distance of (x, y) on a 2^bits grid — the
+    * locality-preserving alternative to [[zorderKey]]: consecutive keys
+    * are always grid-adjacent (Morton jumps at quadrant seams), so
+    * range-partitioned files cover tighter rectangles and footer min/max
+    * prune better on range predicates. The classic per-level
+    * quadrant+rotation recurrence runs as a RUNTIME `aggregate` fold
+    * over the descending level sizes with a struct accumulator — one
+    * lambda's worth of expression tree no matter how many bits (a
+    * column-fold formulation would re-substitute x/y per level and grow
+    * the tree exponentially). Pure built-ins, integer-only: bit-exact in
+    * any engine (q_hilbert_layout replays it as a recursive CTE).
+    */
+  def hilbertKey(x: Column, y: Column, bits: Int = 16): Column = {
+    val levels = array((bits - 1 to 0 by -1).map(i => lit(1L << i)): _*)
+    val init = struct(x.cast("long").as("x"), y.cast("long").as("y"),
+      lit(0L).as("d"))
+    aggregate(levels, init, (acc, s) => {
+      val ax = acc.getField("x"); val ay = acc.getField("y")
+      val rx = when(ax.bitwiseAND(s) > 0, 1L).otherwise(0L)
+      val ry = when(ay.bitwiseAND(s) > 0, 1L).otherwise(0L)
+      val newX = when(ry === 0,
+        when(rx === 1, s - 1 - ay).otherwise(ay)).otherwise(ax)
+      val newY = when(ry === 0,
+        when(rx === 1, s - 1 - ax).otherwise(ax)).otherwise(ay)
+      struct(newX.as("x"), newY.as("y"),
+        (acc.getField("d") + s * s * (rx * 3).bitwiseXOR(ry)).as("d"))
+    }).getField("d")
+  }
+
+  /** [[writeZordered]]'s Hilbert sibling: range-partition + sort by the
+    * curve distance, write parquet.
+    */
+  def writeHilbert(df: DataFrame, path: String, x: String, y: String,
+                   bits: Int = 16, files: Int = 32): Unit =
+    df.withColumn("__h", hilbertKey(col(x), col(y), bits))
+      .repartitionByRange(files, col("__h"))
+      .sortWithinPartitions("__h")
+      .drop("__h")
+      .write.mode("overwrite").parquet(path)
 }

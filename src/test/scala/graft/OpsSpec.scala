@@ -963,6 +963,43 @@ class OpsSpec extends AnyFunSuite {
       got.getDouble(3) == 1.0 && got.getDouble(4) == 1.0)
   }
 
+  test("hilbertKey walks the full 16x16 curve: bijective and always grid-adjacent") {
+    val pts = for (x <- 0 until 16; y <- 0 until 16) yield (x.toLong, y.toLong)
+    val keyed = pts.toDF("x", "y")
+      .select($"x", $"y", Bucketing.hilbertKey($"x", $"y", 4).as("h"))
+      .collect().map(r => (r.getLong(2), (r.getLong(0), r.getLong(1))))
+      .sortBy(_._1)
+    assert(keyed.map(_._1).toSeq == (0L until 256L)) // bijection onto 0..255
+    keyed.sliding(2).foreach { case Array((_, (x1, y1)), (_, (x2, y2))) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"curve jump between ($x1,$y1) and ($x2,$y2)") // Hilbert adjacency
+    }
+  }
+
+  test("hilbertKey matches the reference xy2d recurrence at 16 bits") {
+    def xy2d(bits: Int, x0: Long, y0: Long): Long = {
+      var (x, y, d) = (x0, y0, 0L)
+      var s = 1L << (bits - 1)
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s >>= 1
+      }
+      d
+    }
+    val rnd = new scala.util.Random(13)
+    val pts = (1 to 100).map(_ => (rnd.nextInt(1 << 16).toLong, rnd.nextInt(1 << 16).toLong))
+    val got = pts.toDF("x", "y")
+      .select($"x", $"y", Bucketing.hilbertKey($"x", $"y", 16).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (x, y, h) => assert(h == xy2d(16, x, y)) }
+  }
+
   test("histogram drift: hand-computed chi-square contributions, missing bins coalesce") {
     // old [A,A,B], mirrored new [A,B,B] per 2: symmetric 8.0 per bin
     val oldV = Seq("A", "A", "A", "A", "B", "B").toDF("c")
