@@ -6921,6 +6921,80 @@ object Queries {
       .orderBy(col("cosine").desc, col("pa"), col("pb")).limit(20)
   }
 
+  q("text_feature_hash",
+    // the hashing-trick vectorizer: tokens land in md5 % 256 buckets,
+    // per-doc sparse counts — fixed-width features with no vocabulary
+    // to ship; collisions are the accepted tradeoff, the bucket space
+    // is the knob
+    s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents
+       |  WHERE doc_id < 20)
+       |SELECT doc_id, CAST(${md5Hash60Sql("tok")} % 256 AS INT) AS bucket,
+       |  CAST(COUNT(*) AS INT) AS n
+       |FROM toks GROUP BY 1, 2 ORDER BY doc_id, bucket"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    tbl(s, dir, "documents").filter(col("doc_id") < 20)
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"),
+        (Pipeline.md5Hash60(col("tok")) % 256).cast("int").as("bucket"))
+      .agg(count(lit(1)).cast("int").as("n"))
+      .orderBy("doc_id", "bucket")
+  }
+
+  q("text_sentence_split",
+    // sentence segmentation on terminal punctuation runs: per-doc
+    // positional sentences with exact char/word counts — the unit most
+    // quality filters and sentence-level dedup operate on
+    s"""WITH sen AS (SELECT doc_id,
+       |    generate_subscripts(regexp_split_to_array(text, '[.!?]+\\s+'), 1) AS pos,
+       |    unnest(regexp_split_to_array(text, '[.!?]+\\s+')) AS s
+       |  FROM documents WHERE doc_id < 50)
+       |SELECT doc_id, CAST(pos AS INT) AS pos, CAST(length(s) AS INT) AS n_chars,
+       |  CAST(len(regexp_split_to_array(trim(s), '\\s+')) AS INT) AS n_words
+       |FROM sen WHERE length(s) > 0 ORDER BY doc_id, pos"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    tbl(s, dir, "documents").filter(col("doc_id") < 50)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "[.!?]+\\s+")).as(Seq("pos0", "s")))
+      .filter(length(col("s")) > 0)
+      .select(col("doc_id"), (col("pos0") + 1).cast("int").as("pos"),
+        length(col("s")).cast("int").as("n_chars"),
+        size(split(trim(col("s")), "\\s+")).cast("int").as("n_words"))
+      .orderBy("doc_id", "pos")
+  }
+
+  q("q_feature_chisq",
+    // R×C contingency association screen (the log-free feature-selection
+    // score): per cell N·(N·o − r·c)²/(N·r·c) — integer cross products,
+    // one division; Σ over cells compares against χ²((R−1)(C−1))
+    """WITH o AS (SELECT o_orderpriority AS f, o_orderstatus AS cls FROM orders),
+      |cell AS (SELECT f, cls, COUNT(*) AS n FROM o GROUP BY 1, 2),
+      |r AS (SELECT f, SUM(n) AS rn FROM cell GROUP BY 1),
+      |c AS (SELECT cls, SUM(n) AS cn FROM cell GROUP BY 1),
+      |t AS (SELECT SUM(n) AS tot FROM cell)
+      |SELECT cell.f, cell.cls, CAST(cell.n AS INT) AS n,
+      |  round(CAST(tot * cell.n - rn * cn AS DOUBLE) *
+      |    (CAST(tot * cell.n - rn * cn AS DOUBLE) /
+      |     CAST(tot * rn * cn AS DOUBLE)), 6) AS contrib
+      |FROM cell JOIN r ON cell.f = r.f JOIN c ON cell.cls = c.cls, t
+      |ORDER BY cell.f, cell.cls""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val cell = tbl(s, dir, "orders")
+      .select(col("o_orderpriority").as("f"), col("o_orderstatus").as("cls"))
+      .groupBy("f", "cls").agg(count(lit(1)).as("n"))
+    val r = cell.groupBy("f").agg(sum("n").as("rn"))
+    val c = cell.groupBy("cls").agg(sum("n").as("cn"))
+    val t = cell.agg(sum("n").as("tot"))
+    // deviation d is a BIGINT, but d² would overflow at large SFs —
+    // square in double (d < 2^53, so the conversion is exact)
+    val d = (col("tot") * col("n") - col("rn") * col("cn")).cast("double")
+    cell.join(broadcast(r), "f").join(broadcast(c), "cls")
+      .crossJoin(broadcast(t))
+      .select(col("f"), col("cls"), col("n").cast("int").as("n"),
+        round(d * (d /
+          (col("tot") * col("rn") * col("cn")).cast("double")), 6).as("contrib"))
+      .orderBy("f", "cls")
+  }
+
   q("text_lexical_diversity",
     // log-free diversity per document: type-token ratio and the Simpson
     // repeat probability Σc(c−1)/n(n−1) — exact integer counts, one IEEE
