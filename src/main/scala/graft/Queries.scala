@@ -6995,6 +6995,64 @@ object Queries {
       .orderBy("f", "cls")
   }
 
+  q("q_curate_audit",
+    // the curation funnel's accounting twin: every document with one
+    // boolean per gate (lang → quality → dup-among-passers → sample),
+    // kept rows provably equal to q_curate_pipeline's survivors
+    s"""WITH b AS (SELECT doc_id, text, ($langIdSql) != 'en' AS f_lang,
+       |    round((len(list_distinct(w))::DOUBLE / len(w)) * 0.4
+       |      + least(1.0, len(w) / 100.0) * 0.3
+       |      + (1 - len(list_filter(w, t -> t IN ('the', 'a')))::DOUBLE / len(w)) * 0.3,
+       |      6) < 0.5 AS f_quality
+       |  FROM (SELECT doc_id, text, $toksSql AS w FROM documents)),
+       |d AS (SELECT doc_id, text, f_lang, f_quality,
+       |    (NOT f_lang AND NOT f_quality) AS pass,
+       |    MIN(CASE WHEN NOT f_lang AND NOT f_quality THEN doc_id END)
+       |      OVER (PARTITION BY md5(text)) AS keepid
+       |  FROM b)
+       |SELECT doc_id, f_lang, f_quality,
+       |  (pass AND doc_id != keepid) AS f_dup,
+       |  (pass AND doc_id = keepid AND ${md5Hash60Sql("doc_id")} % 2 != 0) AS f_sample,
+       |  (pass AND doc_id = keepid AND ${md5Hash60Sql("doc_id")} % 2 = 0) AS kept
+       |FROM d ORDER BY doc_id""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    Pipeline.curateAudit(tbl(s, dir, "documents"), lang = "en",
+        minQuality = 0.5, sampleMod = 2, sampleKeep = 1)
+      .orderBy("doc_id")
+  }
+
+  q("multimodal_tile_stats",
+    // region statistics through REAL PNG decode: 2×2 tile channel sums,
+    // integer-only output (tile index = coord·2/dim, the aHash cell
+    // rule); oracle replays the pixel generator with the same mapping
+    """WITH ids AS (SELECT doc_id AS id, CAST(8 + doc_id % 9 AS INT) AS w,
+      |    CAST(8 + doc_id % 7 AS INT) AS h FROM documents WHERE doc_id < 50),
+      |px AS (SELECT id, w, h, gx.x, gy.y,
+      |    ((id * 1315423911 + gx.x * 2654435761 + gy.y * 40503) & 16777215) AS v
+      |  FROM ids, (SELECT unnest(range(16)) AS x) gx, (SELECT unnest(range(14)) AS y) gy
+      |  WHERE gx.x < w AND gy.y < h)
+      |SELECT id, CAST(y * 2 // h AS INT) AS tr, CAST(x * 2 // w AS INT) AS tc,
+      |  COUNT(*) AS n_px,
+      |  CAST(SUM((v >> 16) & 255) AS BIGINT) AS sum_r,
+      |  CAST(SUM((v >> 8) & 255) AS BIGINT) AS sum_g,
+      |  CAST(SUM(v & 255) AS BIGINT) AS sum_b
+      |FROM px GROUP BY 1, 2, 3 ORDER BY id, tr, tc"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val ids = tbl(s, dir, "documents").filter(col("doc_id") < 50).select("doc_id")
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val media = ids.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        org.apache.spark.sql.Row(id, Multimodal.syntheticPng(
+          id, 8 + (id % 9).toInt, 8 + (id % 7).toInt))
+      }
+    }(enc)
+    Multimodal.tileChannelSums(media, "doc_id", grid = 2)
+      .orderBy("id", "tr", "tc")
+  }
+
   q("text_lexical_diversity",
     // log-free diversity per document: type-token ratio and the Simpson
     // repeat probability Σc(c−1)/n(n−1) — exact integer counts, one IEEE

@@ -196,6 +196,51 @@ object Multimodal {
       }(enc)
   }
 
+  /** Per-tile channel sums of a REAL decoded image on a grid×grid
+    * partition (tile index = coord·grid / dim, the aHash cell rule) —
+    * the region-statistics primitive behind crop-quality checks, border
+    * detection, and tile-level near-dup. INTEGER-ONLY output (sums +
+    * pixel counts, no means), so results are bit-exact anywhere and the
+    * caller picks its own precision. grid² rows per image via a narrow
+    * flatMap.
+    */
+  def tileChannelSums(df: DataFrame, idCol: String, grid: Int = 2): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("tr", IntegerType, nullable = false),
+      StructField("tc", IntegerType, nullable = false),
+      StructField("n_px", LongType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.select(col(idCol).cast("long").as("id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val (w, h, px) = decodeImage(r.getAs[Array[Byte]](1))
+          val n = new Array[Long](grid * grid)
+          val sr = new Array[Long](grid * grid)
+          val sg = new Array[Long](grid * grid)
+          val sb = new Array[Long](grid * grid)
+          var y = 0
+          while (y < h) {
+            val ty = y * grid / h
+            var x = 0
+            while (x < w) {
+              val i = ty * grid + x * grid / w
+              val p = px(y * w + x)
+              n(i) += 1
+              sr(i) += (p >> 16) & 0xff; sg(i) += (p >> 8) & 0xff; sb(i) += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          (0 until grid * grid).map(i =>
+            Row(r.getLong(0), i / grid, i % grid, n(i), sr(i), sg(i), sb(i)))
+        }
+      }(enc)
+  }
+
   /** 64-bit average-hash (aHash) of a REAL decoded image: integer-only
     * 8x8 block-mean downsample of the grayscale plane, thresholded at the
     * integer global mean — the standard perceptual fingerprint for

@@ -217,6 +217,38 @@ object Pipeline {
     hashSample(deduped, idCol, sampleMod, sampleKeep)
   }
 
+  /** The curation funnel's ACCOUNTING twin: where [[curate]] returns the
+    * survivors, this returns EVERY document with one boolean per gate
+    * explaining its fate — the "why was my document dropped" audit a
+    * data-governance review asks for. Gates mirror curate exactly,
+    * including order dependence: the dup flag exists only among rows
+    * passing lang+quality (curate dedups after filtering), and the
+    * sample flag only for dedup keepers. Exactly one flag fires per
+    * dropped row; `kept` rows equal curate's output set.
+    * Same cost shape as curate plus nothing: the flags are the same
+    * narrow expressions, the digest window the same shuffle.
+    */
+  def curateAudit(docs: DataFrame, lang: String, minQuality: Double,
+                  sampleMod: Int, sampleKeep: Int,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val base = docs.select(col(idCol), col(textCol),
+      (graft.ops.TextAnalysis.langId(col(textCol)) =!= lang).as("f_lang"),
+      (graft.ops.TextAnalysis.qualityScore(col(textCol)) < minQuality)
+        .as("f_quality"))
+    val passing = !col("f_lang") && !col("f_quality")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(md5(col(textCol)))
+    base
+      .withColumn("keepid", min(when(passing, col(idCol))).over(w))
+      .select(col(idCol), col("f_lang"), col("f_quality"),
+        (passing && col(idCol) =!= col("keepid")).as("f_dup"),
+        (passing && col(idCol) === col("keepid") &&
+          pmod(md5Hash60(col(idCol)), lit(sampleMod)) >= sampleKeep)
+          .as("f_sample"),
+        (passing && col(idCol) === col("keepid") &&
+          pmod(md5Hash60(col(idCol)), lit(sampleMod)) < sampleKeep)
+          .as("kept"))
+  }
+
   /** Sequence packing: assign documents to fixed-size training context
     * windows (greedy concatenation in deterministic id order, windows
     * crossing document boundaries — the GPT-style packing plan). Each

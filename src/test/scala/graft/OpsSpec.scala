@@ -1000,6 +1000,33 @@ class OpsSpec extends AnyFunSuite {
     got.foreach { case (x, y, h) => assert(h == xy2d(16, x, y)) }
   }
 
+  test("curate audit: kept set equals curate's survivors, one flag per drop") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val audit = Pipeline.curateAudit(d, "en", 0.5, 2, 1).collect()
+    val keptIds = audit.filter(_.getBoolean(5)).map(_.getLong(0)).toSet
+    val curated = Pipeline.curate(d, "en", 0.5, 2, 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds == curated)
+    // accounting is total and exclusive: exactly one of the four flags
+    // or kept is true for every document
+    audit.foreach { r =>
+      val flags = (1 to 5).count(i => r.getBoolean(i))
+      assert(flags == 1, s"doc ${r.getLong(0)} fired $flags flags")
+    }
+  }
+
+  test("tile sums on a 2x2 image: one pixel per tile, counts partition the plane") {
+    val media = Seq((5L, Multimodal.syntheticPng(5, 2, 2)))
+      .toDF("doc_id", "payload")
+    val tiles = Multimodal.tileChannelSums(media, "doc_id", grid = 2)
+      .orderBy("tr", "tc").collect()
+    assert(tiles.length == 4 && tiles.forall(_.getLong(3) == 1L))
+    // per-tile sums reassemble the whole-image channel means exactly
+    val stats = Multimodal.decodeImageStats(media, "doc_id").collect()(0)
+    assert(tiles.map(_.getLong(4)).sum.toDouble / 4 == stats.getDouble(3))
+    assert(tiles.map(_.getLong(6)).sum.toDouble / 4 == stats.getDouble(5))
+  }
+
   test("histogram drift: hand-computed chi-square contributions, missing bins coalesce") {
     // old [A,A,B], mirrored new [A,B,B] per 2: symmetric 8.0 per bin
     val oldV = Seq("A", "A", "A", "A", "B", "B").toDF("c")
