@@ -6394,10 +6394,14 @@ object Queries {
     // kNN-disagreement label screen: 5 nearest neighbors vote; a row
     // whose own label loses the plurality (ties to the smaller label)
     // is flagged as suspect training data
+    // vec_id < 2000 is the ABSOLUTE cap (inert at sf0.01): the audit's
+    // kNN truth is quadratic, so its sample must not scale with the
+    // corpus — the round-6 eval-cap rule; corpus-scale screening swaps
+    // in the IVF path behind the same vote logic
     """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label
-      |  FROM embeddings WHERE vec_id % 10 < 3),
+      |  FROM embeddings WHERE vec_id % 10 < 3 AND vec_id < 2000),
       |c AS (SELECT vec_id AS n_id, embedding AS n_vec, label AS n_label
-      |  FROM embeddings WHERE vec_id % 10 < 3),
+      |  FROM embeddings WHERE vec_id % 10 < 3 AND vec_id < 2000),
       |s AS (SELECT q_id, n_id, n_label,
       |  list_sum(list_transform(range(1, len(q_vec) + 1), i -> CAST(q_vec[i] AS DOUBLE) * CAST(n_vec[i] AS DOUBLE))) /
       |  (sqrt(list_sum(list_transform(range(1, len(q_vec) + 1), i -> CAST(q_vec[i] AS DOUBLE) * CAST(q_vec[i] AS DOUBLE)))) *
@@ -6413,7 +6417,8 @@ object Queries {
       |FROM m JOIN q ON m.q_id = q.q_id WHERE mrn = 1 ORDER BY vec_id"""
       .stripMargin.replace("\n", " ")) { (s, dir) =>
     Eval.labelNoiseKnn(
-        tbl(s, dir, "embeddings").filter(pmod(col("vec_id"), lit(10)) < 3),
+        tbl(s, dir, "embeddings")
+          .filter(pmod(col("vec_id"), lit(10)) < 3 && col("vec_id") < 2000),
         k = 5)
       .orderBy("vec_id")
   }
@@ -6869,8 +6874,8 @@ object Queries {
       |  SELECT id, x0, y0, CAST(0 AS BIGINT), 0 FROM pts
       |  UNION ALL
       |  SELECT id,
-      |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN s - 1 - y ELSE y END) ELSE x END,
-      |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN s - 1 - x ELSE x END) ELSE y END,
+      |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 65535 - y ELSE y END) ELSE x END,
+      |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 65535 - x ELSE x END) ELSE y END,
       |    d + s * s * xor(rx * 3, ry), lvl + 1
       |  FROM (SELECT id, x, y, d, lvl, (CAST(1 AS BIGINT) << (15 - lvl)) AS s,
       |      CASE WHEN (x & (CAST(1 AS BIGINT) << (15 - lvl))) > 0 THEN 1 ELSE 0 END AS rx,

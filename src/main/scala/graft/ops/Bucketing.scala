@@ -108,29 +108,16 @@ object Bucketing {
     * are always grid-adjacent (Morton jumps at quadrant seams), so
     * range-partitioned files cover tighter rectangles and footer min/max
     * prune better on range predicates. The classic per-level
-    * quadrant+rotation recurrence runs as a RUNTIME `aggregate` fold
-    * over the descending level sizes with a struct accumulator — one
-    * lambda's worth of expression tree no matter how many bits (a
-    * column-fold formulation would re-substitute x/y per level and grow
-    * the tree exponentially). Pure built-ins, integer-only: bit-exact in
-    * any engine (q_hilbert_layout replays it as a recursive CTE).
+    * quadrant+rotation recurrence runs as a compiled codegen kernel
+    * ([[graft.functions.HilbertKey]]): a column-fold formulation would
+    * re-substitute x/y per level and grow the expression tree
+    * exponentially, and the interpreted HOF `aggregate` fold it replaced
+    * paid per-element lambda dispatch 16× per row (9.7 s → sub-second at
+    * 1.5M rows). Integer-only: bit-exact in any engine (q_hilbert_layout
+    * replays it as a recursive CTE).
     */
-  def hilbertKey(x: Column, y: Column, bits: Int = 16): Column = {
-    val levels = array((bits - 1 to 0 by -1).map(i => lit(1L << i)): _*)
-    val init = struct(x.cast("long").as("x"), y.cast("long").as("y"),
-      lit(0L).as("d"))
-    aggregate(levels, init, (acc, s) => {
-      val ax = acc.getField("x"); val ay = acc.getField("y")
-      val rx = when(ax.bitwiseAND(s) > 0, 1L).otherwise(0L)
-      val ry = when(ay.bitwiseAND(s) > 0, 1L).otherwise(0L)
-      val newX = when(ry === 0,
-        when(rx === 1, s - 1 - ay).otherwise(ay)).otherwise(ax)
-      val newY = when(ry === 0,
-        when(rx === 1, s - 1 - ax).otherwise(ax)).otherwise(ay)
-      struct(newX.as("x"), newY.as("y"),
-        (acc.getField("d") + s * s * (rx * 3).bitwiseXOR(ry)).as("d"))
-    }).getField("d")
-  }
+  def hilbertKey(x: Column, y: Column, bits: Int = 16): Column =
+    graft.functions.HilbertKey(x, y, bits)
 
   /** [[writeZordered]]'s Hilbert sibling: range-partition + sort by the
     * curve distance, write parquet.

@@ -985,7 +985,7 @@ class OpsSpec extends AnyFunSuite {
         val ry = if ((y & s) > 0) 1L else 0L
         d += s * s * ((3 * rx) ^ ry)
         if (ry == 0) {
-          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          if (rx == 1) { x = (1L << bits) - 1 - x; y = (1L << bits) - 1 - y }
           val t = x; x = y; y = t
         }
         s >>= 1
