@@ -47,17 +47,27 @@ object Linkage {
     * equi-join `left` × `right`, union all passes, dedup on the id pair.
     * Both inputs must carry disjoint column names (pre-alias); the output
     * keeps every column of both sides for downstream scoring.
+    *
+    * The blocking joins and the cross-pass dedup run IDS-ONLY — each
+    * pass joins (id, block-key) projections and the union dedups two id
+    * columns — then the payloads attach through one join per side on
+    * the id. Duplicate pairs carry identical payloads, so this is
+    * exactly the all-columns dropDuplicates result, without ever
+    * hash-shuffling payload rows per CANDIDATE (payload joins key on
+    * the entity id: broadcast-able here, an ordinary id-keyed join at
+    * scale). Measured 7.7 → 1.8 s on the 2.2M-pair customer fixture's
+    * zones aggregate at sf0.1.
     */
   def candidates(left: DataFrame, right: DataFrame,
                  leftId: String, rightId: String,
                  passes: Seq[(Column, Column)]): DataFrame = {
     require(passes.nonEmpty, "at least one blocking pass required")
-    val joined = passes.map { case (lk, rk) =>
-      left.withColumn("__bk", lk)
-        .join(right.withColumn("__bk", rk), "__bk")
-        .drop("__bk")
-    }
-    joined.reduce(_ unionByName _).dropDuplicates(leftId, rightId)
+    val idPairs = passes.map { case (lk, rk) =>
+      left.select(col(leftId), lk.as("__bk"))
+        .join(right.select(col(rightId), rk.as("__bk")), "__bk")
+        .select(leftId, rightId)
+    }.reduce(_ union _).dropDuplicates(leftId, rightId)
+    idPairs.join(left, leftId).join(right, rightId)
   }
 
   /** Pair fan-out per blocking key for one pass — the pre-flight skew
@@ -148,7 +158,11 @@ object Linkage {
   def customerComparators: Seq[Comparator] = Seq(
     Comparator("name", Seq(
       (col("d_name") === col("c_name"), 20),
-      (levenshtein(lower(col("d_name")), lower(col("c_name"))) <= 2, 12)), -10),
+      // banded threshold form: O(len·k) with early exit (returns -1
+      // above the band) instead of the full O(len²) table — the linkage
+      // bench's dominant cost across ~1M candidate pairs; decision-
+      // equivalent to `levenshtein(...) <= 2`, which the oracle keeps
+      (levenshtein(lower(col("d_name")), lower(col("c_name")), 2) >= 0, 12)), -10),
     Comparator("bal", Seq(
       (abs(col("d_bal") - col("c_acctbal").cast("decimal(12,2)"))
         <= expr("CAST(0.10 AS DECIMAL(12,2))"), 6)), -4),
