@@ -147,10 +147,13 @@ object Evolution {
           size(ops.TextAnalysis.tokens(col(textCol))), budget)
       case "epoch-shuffle" =>
         ops.Pipeline.epochShuffle(df, idCol, epoch, shards)
+      case "audit" => // per-doc gate accounting (why was each row dropped)
+        ops.Pipeline.curateAudit(df, lang = "en", minQuality = 0.5,
+          sampleMod = mod, sampleKeep = keep, textCol, idCol)
       case other => throw new IllegalArgumentException(
         s"unknown curate op '$other' (dedup-exact | dedup-minhash | " +
           "sample-hash | split | gopher-filter | normalize | " +
-          "token-budget | epoch-shuffle)")
+          "token-budget | epoch-shuffle | audit)")
     }
     // count piggybacks on the write via observe — one pass, like convert
     val obs = org.apache.spark.sql.Observation()

@@ -300,6 +300,14 @@ class CurateCliSpec extends AnyFunSuite {
     assert(ep("n_out") == 5L)
     assert(shuffled.columns.contains("shard") && shuffled.columns.contains("pos"))
 
+    // audit: total accounting — one row per input doc, kept + flags
+    val au = Evolution.curate(spark, "audit", in, s"$dir/audit",
+      mod = 2, keep = 1)
+    val audit = spark.read.parquet(s"$dir/audit")
+    assert(au("n_out") == 5L)
+    assert(audit.columns.toSet ==
+      Set("doc_id", "f_lang", "f_quality", "f_dup", "f_sample", "kept"))
+
     val e = intercept[IllegalArgumentException] {
       Evolution.curate(spark, "nope", in, s"$dir/x")
     }
