@@ -7058,6 +7058,78 @@ object Queries {
       .orderBy("id", "tr", "tc")
   }
 
+  q("q_mannwhitney_u",
+    // nonparametric two-sample test on order values: tie-averaged ranks
+    // kept as integers (2·avgrank = 2·(#below) + #equal + 1), so 2·U and
+    // the rank-biserial effect size are exact
+    """WITH g AS (SELECT CAST(o_totalprice AS DECIMAL(12,2)) AS v,
+      |    SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS ca,
+      |    COUNT(*) AS c
+      |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') GROUP BY 1),
+      |r AS (SELECT ca, c, coalesce(SUM(c) OVER (ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rlo FROM g),
+      |t AS (SELECT SUM(ca) AS n1, SUM(c) - SUM(ca) AS n2,
+      |    SUM(ca * (2 * rlo + c + 1)) AS r1x2 FROM r)
+      |SELECT CAST(n1 AS INT) AS n1, CAST(n2 AS INT) AS n2,
+      |  CAST(r1x2 - n1 * (n1 + 1) AS BIGINT) AS u2x,
+      |  round(1.0e0 - CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) /
+      |    CAST(n1 * n2 AS DOUBLE), 6) AS rank_biserial
+      |FROM t""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val o = tbl(s, dir, "orders")
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+    Stats.mannWhitneyU(o, col("o_orderpriority") === "1-URGENT",
+      dec(col("o_totalprice"), 12, 2))
+  }
+
+  q("q_ks_test",
+    // exact two-sample Kolmogorov–Smirnov: D·n1·n2 = max |c1·n2 − c2·n1|
+    // over the pooled per-value ECDFs (integer), argmax ties to the
+    // smallest value, one division at the end
+    """WITH g AS (SELECT CAST(o_totalprice AS DECIMAL(12,2)) AS v,
+      |    SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS da,
+      |    SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 0 ELSE 1 END) AS db
+      |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') GROUP BY 1),
+      |t AS (SELECT SUM(da) AS n1, SUM(db) AS n2 FROM g),
+      |c AS (SELECT v, SUM(da) OVER w AS c1, SUM(db) OVER w AS c2 FROM g
+      |  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |d AS (SELECT v, n1, n2, abs(c1 * n2 - c2 * n1) AS dnum FROM c, t)
+      |SELECT CAST(n1 AS INT) AS n1, CAST(n2 AS INT) AS n2,
+      |  CAST(v AS DOUBLE) AS at_value,
+      |  round(CAST(dnum AS DOUBLE) / CAST(n1 * n2 AS DOUBLE), 6) AS ks_d
+      |FROM d ORDER BY dnum DESC, v LIMIT 1"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val o = tbl(s, dir, "orders")
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+    Stats.ksTest(o, col("o_orderpriority") === "1-URGENT",
+      dec(col("o_totalprice"), 12, 2))
+  }
+
+  q("q_bootstrap_ci", {
+    val thr = Stats.poissonThresholds60
+    val b = 32
+    def idx(q: Double): Int = 1 + math.floor(q * (b - 1)).toInt
+    val wExpr = thr.map(t => s"CASE WHEN u >= $t THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val uExpr = md5Hash60Sql("(CAST(rep AS VARCHAR) || '_' || CAST(id AS VARCHAR))")
+    // deterministic Poisson bootstrap: per (replica, row) weight from the
+    // md5 uniform against driver-quantized Poisson(1) cdf thresholds —
+    // the one-pass distributed bootstrap, reproducible in any engine
+    s"""WITH base AS (SELECT o_orderkey AS id, CAST(o_totalprice AS DECIMAL(12,2)) AS x
+       |  FROM orders WHERE o_custkey < 300),
+       |reps AS (SELECT id, x, r.rep FROM base, (SELECT unnest(range($b)) AS rep) r),
+       |wts AS (SELECT rep, x, ($wExpr) AS w FROM
+       |  (SELECT rep, x, $uExpr AS u FROM reps)),
+       |m AS (SELECT rep, round(CAST(SUM(x * w) AS DOUBLE) / SUM(w), 6) AS m
+       |  FROM wts GROUP BY 1),
+       |s AS (SELECT list(m ORDER BY m) AS ms FROM m)
+       |SELECT $b AS b, ms[${idx(0.05)}] AS ci_lo, ms[${idx(0.5)}] AS median,
+       |  ms[${idx(0.95)}] AS ci_hi FROM s""".stripMargin.replace("\n", " ")
+  }) { (s, dir) =>
+    Stats.bootstrapMeanCI(
+      tbl(s, dir, "orders").filter(col("o_custkey") < 300),
+      col("o_orderkey"), dec(col("o_totalprice"), 12, 2), b = 32)
+  }
+
   q("text_lexical_diversity",
     // log-free diversity per document: type-token ratio and the Simpson
     // repeat probability Σc(c−1)/n(n−1) — exact integer counts, one IEEE

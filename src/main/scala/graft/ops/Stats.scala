@@ -70,6 +70,105 @@ object Stats {
       round(covNum * covNum / (varxNum * varyNum), 6).as("r2"))
   }
 
+  /** Mann-Whitney U between two groups — the nonparametric two-sample
+    * test (no normality assumption, no logs): with average ranks for
+    * ties, 2·avgrank(v) = 2·(#values < v) + (#values = v) + 1 is an
+    * INTEGER, so 2·U₁ = 2·R₁ − n₁(n₁+1) is exact; the rank-biserial
+    * effect size 1 − 2U₁/(n₁n₂) is one division. Compare u2x against
+    * the normal approximation offline for significance.
+    *
+    * Scale shape: one aggregation to per-VALUE counts (bounded by the
+    * value domain, not rows), one ordered window over those counts, a
+    * two-number reduce. No row-level ranking shuffle.
+    */
+  def mannWhitneyU(df: DataFrame, isA: Column, valCol: Column): DataFrame = {
+    val g = df.select(isA.as("a"), valCol.as("v"))
+      .groupBy("v").agg(sum(when(col("a"), 1L).otherwise(0L)).as("ca"),
+        count(lit(1)).as("c"))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = g.select(col("ca"), col("c"),
+      coalesce(sum("c").over(w), lit(0L)).as("rlo"))
+    ranked.agg(
+        sum("ca").as("n1"), (sum("c") - sum("ca")).as("n2"),
+        sum(col("ca") * (lit(2) * col("rlo") + col("c") + 1)).as("r1x2"))
+      .select(col("n1").cast("int").as("n1"), col("n2").cast("int").as("n2"),
+        (col("r1x2") - col("n1") * (col("n1") + 1)).as("u2x"),
+        round(lit(1.0) - (col("r1x2") - col("n1") * (col("n1") + 1))
+          .cast("double") / (col("n1") * col("n2")).cast("double"), 6)
+          .as("rank_biserial"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic, exactly: over the pooled
+    * per-value cumulative counts, D·n₁·n₂ = max |c₁·n₂ − c₂·n₁| is an
+    * integer (the CUSUM cross-multiplication trick on ECDFs); ties on
+    * the argmax break to the smallest value. One division at the end.
+    * Same counts-then-window shape as [[mannWhitneyU]].
+    */
+  def ksTest(df: DataFrame, isA: Column, valCol: Column): DataFrame = {
+    val g = df.select(isA.as("a"), valCol.as("v"))
+      .groupBy("v").agg(sum(when(col("a"), 1L).otherwise(0L)).as("da"),
+        sum(when(col("a"), 0L).otherwise(1L)).as("db"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = g.agg(sum("da").as("n1"), sum("db").as("n2"))
+    val cum = g.select(col("v"), sum("da").over(w).as("c1"),
+        sum("db").over(w).as("c2"))
+      .crossJoin(broadcast(tot))
+      .select(col("v"), col("n1"), col("n2"),
+        abs(col("c1") * col("n2") - col("c2") * col("n1")).as("dnum"))
+    cum.orderBy(col("dnum").desc, col("v")).limit(1)
+      .select(col("n1").cast("int").as("n1"), col("n2").cast("int").as("n2"),
+        col("v").cast("double").as("at_value"),
+        round(col("dnum").cast("double") /
+          (col("n1") * col("n2")).cast("double"), 6).as("ks_d"))
+  }
+
+  /** Cumulative Poisson(1) thresholds quantized to the 2^60 hash grid —
+    * computed ONCE driver-side (the NDCG-discount discipline), so the
+    * bootstrap's per-row weights are pure integer hash compares in both
+    * engines. Weight = #thresholds strictly below the row's hash.
+    */
+  def poissonThresholds60: Seq[Long] = {
+    val e = math.exp(-1.0)
+    var cum = 0.0
+    var fact = 1.0
+    (0 to 6).map { k => // cdf(0..6); weights cap at 7
+      if (k > 0) fact *= k
+      cum += e / fact
+      math.floor(cum * 1.152921504606846976e18).toLong
+    }
+  }
+
+  /** Deterministic Poisson bootstrap CI of a mean: each of `b` replicas
+    * weights every row by a Poisson(1) draw derived from
+    * md5(replica, id) — the standard one-pass distributed bootstrap
+    * (no resampling shuffle), made REPRODUCIBLE by hash-derived
+    * uniforms against quantized thresholds. Replica means use exact
+    * decimal sums and one division each; the CI reads the sorted
+    * replica means at the physical floor(q·(b−1)) positions (the
+    * quantile-sketch rule). Only `b` means ever leave the aggregation.
+    */
+  def bootstrapMeanCI(df: DataFrame, idCol: Column, valCol: Column,
+                      b: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val thr = poissonThresholds60
+    val reps = df.select(idCol.as("id"), valCol.as("x"))
+      .crossJoin((0 until b).toDF("rep"))
+    val u = Pipeline.md5Hash60(concat_ws("_", col("rep"), col("id")))
+    val wCol = thr.map(t => when(u >= t, 1L).otherwise(0L)).reduce(_ + _)
+    val means = reps.withColumn("w", wCol)
+      .groupBy("rep")
+      .agg(round(sum(col("x") * col("w")).cast("double") / sum("w"), 6)
+        .as("m"))
+    val at: Int => Column = i => element_at(col("ms"), i)
+    means.agg(sort_array(collect_list("m")).as("ms"))
+      .select(lit(b).as("b"),
+        at(1 + (0.05 * (b - 1)).floor.toInt).as("ci_lo"),
+        at(1 + (0.5 * (b - 1)).floor.toInt).as("median"),
+        at(1 + (0.95 * (b - 1)).floor.toInt).as("ci_hi"))
+  }
+
   /** Anomaly z-score of an integer metric against its trailing window
     * (`lookback` prior rows, current row excluded). The window sums are
     * integer — exact under any evaluation order, so segment-tree vs

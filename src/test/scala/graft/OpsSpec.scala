@@ -1027,6 +1027,32 @@ class OpsSpec extends AnyFunSuite {
     assert(tiles.map(_.getLong(6)).sum.toDouble / 4 == stats.getDouble(5))
   }
 
+  test("Mann-Whitney U: tie-averaged ranks match the textbook example") {
+    // A=[1,2], B=[2,3]: ranks 1, 2.5, 2.5, 4 → R1=3.5, 2U1=1, r=0.75
+    val df = Seq((true, 1), (true, 2), (false, 2), (false, 3)).toDF("a", "v")
+    val got = Stats.mannWhitneyU(df, col("a"), col("v")).collect()(0)
+    assert(got.getInt(0) == 2 && got.getInt(1) == 2 &&
+      got.getLong(2) == 1L && got.getDouble(3) == 0.75)
+  }
+
+  test("KS statistic: disjoint samples reach D=1 at the first sample's max") {
+    val df = Seq((true, 1), (true, 2), (false, 3), (false, 4)).toDF("a", "v")
+    val got = Stats.ksTest(df, col("a"), col("v")).collect()(0)
+    assert(got.getInt(0) == 2 && got.getInt(1) == 2 &&
+      got.getDouble(2) == 2.0 && got.getDouble(3) == 1.0)
+  }
+
+  test("bootstrap CI is deterministic, ordered, and inside the data range") {
+    val df = (1 to 200).map(i => (i.toLong, BigDecimal(i))).toDF("id", "x")
+    val a = Stats.bootstrapMeanCI(df, col("id"), col("x"), b = 16).collect()(0)
+    val b = Stats.bootstrapMeanCI(df, col("id"), col("x"), b = 16).collect()(0)
+    assert(a == b) // hash-derived weights: bit-stable across runs
+    val (lo, med, hi) = (a.getDouble(1), a.getDouble(2), a.getDouble(3))
+    assert(lo <= med && med <= hi && lo > 1.0 && hi < 200.0)
+    // replica means hover near the true mean 100.5
+    assert(math.abs(med - 100.5) < 15.0)
+  }
+
   test("histogram drift: hand-computed chi-square contributions, missing bins coalesce") {
     // old [A,A,B], mirrored new [A,B,B] per 2: symmetric 8.0 per bin
     val oldV = Seq("A", "A", "A", "A", "B", "B").toDF("c")
