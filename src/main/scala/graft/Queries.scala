@@ -7130,6 +7130,133 @@ object Queries {
       col("o_orderkey"), dec(col("o_totalprice"), 12, 2), b = 32)
   }
 
+  q("q_causal_did",
+    // difference-in-differences over the event panel: the four exact
+    // cell sums (treat × period), four means, one fixed combination —
+    // the workhorse quasi-experimental estimator
+    """WITH e AS (SELECT user_id % 2 = 0 AS treat,
+      |    ts >= TIMESTAMP '2024-01-16' AS post,
+      |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v FROM events),
+      |c AS (SELECT treat, post, COUNT(*) AS n, SUM(v) AS s FROM e GROUP BY 1, 2),
+      |m AS (SELECT
+      |  MAX(CASE WHEN treat AND post THEN CAST(s AS DOUBLE) / n END) AS tp,
+      |  MAX(CASE WHEN treat AND NOT post THEN CAST(s AS DOUBLE) / n END) AS tr,
+      |  MAX(CASE WHEN NOT treat AND post THEN CAST(s AS DOUBLE) / n END) AS cp,
+      |  MAX(CASE WHEN NOT treat AND NOT post THEN CAST(s AS DOUBLE) / n END) AS cr,
+      |  SUM(n) AS n_total FROM c)
+      |SELECT CAST(n_total AS INT) AS n_total,
+      |  round((tp - tr) / 1e6, 6) AS delta_treat,
+      |  round((cp - cr) / 1e6, 6) AS delta_control,
+      |  round(((tp - tr) - (cp - cr)) / 1e6, 6) AS did
+      |FROM m""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val e = events(s, dir).select(
+      (col("user_id") % 2 === 0).as("treat"),
+      (col("ts") >= lit("2024-01-16").cast(TimestampNTZType)).as("post"),
+      floor(col("value") * 1e6 + 0.5).cast("long").as("v"))
+    val c = e.groupBy("treat", "post")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+    val mean = col("s").cast("double") / col("n")
+    c.agg(
+        max(when(col("treat") && col("post"), mean)).as("tp"),
+        max(when(col("treat") && !col("post"), mean)).as("tr"),
+        max(when(!col("treat") && col("post"), mean)).as("cp"),
+        max(when(!col("treat") && !col("post"), mean)).as("cr"),
+        sum("n").as("n_total"))
+      .select(col("n_total").cast("int").as("n_total"),
+        round((col("tp") - col("tr")) / 1e6, 6).as("delta_treat"),
+        round((col("cp") - col("cr")) / 1e6, 6).as("delta_control"),
+        round(((col("tp") - col("tr")) - (col("cp") - col("cr"))) / 1e6, 6)
+          .as("did"))
+  }
+
+  q("q_cuped",
+    // CUPED variance reduction: θ = cov(X,Y)/var(X) over per-user
+    // PRE/POST totals (exact integer sums — means would be divisions),
+    // reporting the adjusted-variance reduction an experiment gains
+    """WITH u AS (SELECT user_id,
+      |    SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+      |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS x,
+      |    SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+      |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS y
+      |  FROM events GROUP BY 1),
+      |s AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy FROM u)
+      |SELECT CAST(n AS INT) AS n,
+      |  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+      |    (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6) AS theta,
+      |  round(1.0e0 -
+      |    ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) *
+      |     ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+      |      ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+      |       (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)))), 6)
+      |    AS var_ratio
+      |FROM s""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val cut = lit("2024-01-16").cast(TimestampNTZType)
+    // cents, not micro-units: per-user totals get SQUARED in the power
+    // sums, and micro-scaled squares overflow BIGINT
+    val v = floor(col("value") * 100 + 0.5).cast("long")
+    val u = events(s, dir).groupBy("user_id")
+      .agg(sum(when(col("ts") < cut, v).otherwise(0L)).as("x"),
+        sum(when(col("ts") >= cut, v).otherwise(0L)).as("y"))
+    val t = u.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    val n = col("n").cast("double")
+    val cov = n * col("sxy") - col("sx").cast("double") * col("sy")
+    val vx = n * col("sxx") - col("sx").cast("double") * col("sx")
+    val vy = n * col("syy") - col("sy").cast("double") * col("sy")
+    // var(Y−θX)/var(Y) = 1 − ρ²: the fraction of variance CUPED keeps
+    t.select(col("n").cast("int").as("n"),
+      round(cov / vx, 6).as("theta"),
+      round(lit(1.0) - (cov * (cov / (vx * vy))), 6).as("var_ratio"))
+  }
+
+  q("q_rfm_segments",
+    // RFM segmentation: per-customer recency/frequency/monetary with
+    // quintile scores (NTILE over total orders with id tie-breaks) and
+    // the classic champion/loyal/at-risk labels; top-50 by composite
+    """WITH c AS (SELECT o_custkey,
+      |    date_diff('day', MAX(o_orderdate), TIMESTAMP '2001-08-02') AS recency_days,
+      |    COUNT(*) AS frequency,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS monetary
+      |  FROM orders GROUP BY 1),
+      |sc AS (SELECT *,
+      |    NTILE(5) OVER (ORDER BY recency_days ASC, o_custkey) AS r_score,
+      |    NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+      |    NTILE(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+      |  FROM c)
+      |SELECT o_custkey, CAST(recency_days AS INT) AS recency_days,
+      |  CAST(frequency AS INT) AS frequency, round(monetary, 2) AS monetary,
+      |  r_score, f_score, m_score,
+      |  CASE WHEN r_score <= 2 AND f_score <= 2 THEN 'champion'
+      |       WHEN f_score <= 2 THEN 'loyal'
+      |       WHEN r_score >= 4 THEN 'at_risk' ELSE 'regular' END AS segment
+      |FROM sc ORDER BY r_score + f_score + m_score, o_custkey LIMIT 50"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val ref = lit("2001-08-02").cast("date")
+    val c = tbl(s, dir, "orders").groupBy("o_custkey")
+      .agg(datediff(ref, max("o_orderdate")).as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(dec(col("o_totalprice"), 12, 2)).cast("double").as("monetary"))
+    val sc = c
+      .withColumn("r_score",
+        ntile(5).over(Window.orderBy(col("recency_days").asc, col("o_custkey"))))
+      .withColumn("f_score",
+        ntile(5).over(Window.orderBy(col("frequency").desc, col("o_custkey"))))
+      .withColumn("m_score",
+        ntile(5).over(Window.orderBy(col("monetary").desc, col("o_custkey"))))
+    sc.select(col("o_custkey"), col("recency_days").cast("int").as("recency_days"),
+        col("frequency").cast("int").as("frequency"),
+        round(col("monetary"), 2).as("monetary"),
+        col("r_score"), col("f_score"), col("m_score"),
+        when(col("r_score") <= 2 && col("f_score") <= 2, "champion")
+          .when(col("f_score") <= 2, "loyal")
+          .when(col("r_score") >= 4, "at_risk")
+          .otherwise("regular").as("segment"))
+      .orderBy(col("r_score") + col("f_score") + col("m_score"), col("o_custkey"))
+      .limit(50)
+  }
+
   q("text_lexical_diversity",
     // log-free diversity per document: type-token ratio and the Simpson
     // repeat probability Σc(c−1)/n(n−1) — exact integer counts, one IEEE
