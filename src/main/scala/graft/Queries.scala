@@ -7257,6 +7257,104 @@ object Queries {
       .limit(50)
   }
 
+  q("q_km_survival",
+    // Kaplan–Meier user-lifetime curve (right-censored at 2024-01-29):
+    // at-risk counts from one window over per-duration aggregates, the
+    // survival prefix product folded in ascending order — no logs
+    """WITH u AS (SELECT user_id, MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx,
+      |    MAX(ts) < TIMESTAMP '2024-01-29' AS ev FROM events GROUP BY 1),
+      |dur AS (SELECT (mx - mn) // 3600000000 AS t,
+      |    CASE WHEN ev THEN 1 ELSE 0 END AS d FROM u),
+      |g AS (SELECT t, SUM(d) AS d, COUNT(*) AS c FROM dur GROUP BY 1),
+      |tt AS (SELECT SUM(c) AS n_tot FROM g),
+      |km AS (SELECT t, d,
+      |    n_tot - coalesce(SUM(c) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+      |  FROM g, tt),
+      |f AS (SELECT list(t ORDER BY t) AS ts, list(d ORDER BY t) AS ds,
+      |    list(n_risk ORDER BY t) AS ns,
+      |    list(1.0e0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) ORDER BY t) AS fs
+      |  FROM km),
+      |idx AS (SELECT unnest(range(1, (SELECT len(ts) FROM f) + 1)) AS i)
+      |SELECT ts[CAST(i AS INT)] AS t, CAST(ds[CAST(i AS INT)] AS INT) AS d,
+      |  CAST(ns[CAST(i AS INT)] AS INT) AS n_risk,
+      |  round(list_reduce(list_slice(fs, 1, CAST(i AS INT)), (a, b) -> a * b), 6) AS s_t
+      |FROM f, idx ORDER BY t""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val u = events(s, dir).groupBy("user_id")
+      .agg(min(unix_micros(col("ts").cast(TimestampType))).as("mn"),
+        max(unix_micros(col("ts").cast(TimestampType))).as("mx"),
+        (max(col("ts")) < lit("2024-01-29").cast(TimestampNTZType)).as("ev"))
+    val dur = u.select(expr("(mx - mn) div 3600000000").as("t"),
+      when(col("ev"), 1).otherwise(0).as("d"))
+    Stats.kaplanMeier(dur, col("t"), col("d")).orderBy("t")
+  }
+
+  q("q_funnel_latency",
+    // step-to-step conversion latency: exact physical median seconds per
+    // transition of the view→click→purchase funnel
+    """WITH t1 AS (SELECT user_id AS u, MIN(epoch_us(ts)) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |t2 AS (SELECT t1.u, MIN(epoch_us(e.ts)) AS t2 FROM events e JOIN t1 ON e.user_id = t1.u
+      |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > t1.t1 GROUP BY 1),
+      |t3 AS (SELECT t2.u, MIN(epoch_us(e.ts)) AS t3 FROM events e JOIN t2 ON e.user_id = t2.u
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t2.t2 GROUP BY 1),
+      |a AS (SELECT 1 AS step, t2.t2 - t1.t1 AS dm FROM t2 JOIN t1 ON t2.u = t1.u
+      |  UNION ALL SELECT 2, t3.t3 - t2.t2 FROM t3 JOIN t2 ON t3.u = t2.u),
+      |g AS (SELECT step, COUNT(*) AS n, list(dm ORDER BY dm) AS ds FROM a GROUP BY 1)
+      |SELECT step, CAST(n AS INT) AS n,
+      |  round(CAST(ds[CAST((n + 1) // 2 AS INT)] AS DOUBLE) / 1e6, 6) AS median_s
+      |FROM g ORDER BY step""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val f = Funnel.funnel(events(s, dir), Seq("view", "click", "purchase"))
+    val a = f.filter(col("t2").isNotNull)
+      .select(lit(1).as("step"), (col("t2") - col("t1")).as("dm"))
+      .unionByName(f.filter(col("t3").isNotNull)
+        .select(lit(2).as("step"), (col("t3") - col("t2")).as("dm")))
+    a.groupBy("step")
+      .agg(count(lit(1)).as("n"), sort_array(collect_list("dm")).as("ds"))
+      .select(col("step"), col("n").cast("int").as("n"),
+        round(element_at(col("ds"), expr("int((n + 1) div 2)")).cast("double")
+          / 1e6, 6).as("median_s"))
+      .orderBy("step")
+  }
+
+  q("q_golden_record",
+    // survivorship / golden-record build over the linkage matches: per
+    // matched customer, the longest (tie: lexicographically greatest)
+    // name across sources and the maximum balance — MDM's merge step
+    s"""WITH $linkCtes,
+       |m AS (SELECT pr.* FROM fs JOIN pr
+       |    ON fs.d_id = pr.d_id AND fs.c_custkey = pr.c_custkey
+       |  WHERE fs.fs_score >= 18),
+       |names AS (SELECT c_custkey, d_name AS nm, d_bal AS bal FROM m
+       |  UNION ALL SELECT DISTINCT c_custkey, c_name, c_bal FROM m),
+       |best AS (SELECT c_custkey, nm, row_number() OVER (PARTITION BY c_custkey
+       |    ORDER BY length(nm) DESC, nm DESC) AS rn FROM names),
+       |agg AS (SELECT c_custkey, COUNT(DISTINCT d_id) AS n_matched FROM m GROUP BY 1),
+       |mb AS (SELECT c_custkey, MAX(bal) AS max_bal FROM names GROUP BY 1)
+       |SELECT agg.c_custkey, CAST(n_matched AS INT) AS n_matched,
+       |  best.nm AS best_name, CAST(max_bal AS DOUBLE) AS max_bal
+       |FROM agg JOIN best ON agg.c_custkey = best.c_custkey AND best.rn = 1
+       |JOIN mb ON mb.c_custkey = agg.c_custkey
+       |ORDER BY agg.c_custkey""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val m = Linkage.decide(Linkage.linkCustomers(tbl(s, dir, "customer")), 18, 5)
+      .filter(col("zone") === "match")
+    val names = m.select(col("c_custkey"), col("d_name").as("nm"),
+        col("d_bal").as("bal"))
+      .unionByName(m.select(col("c_custkey"), col("c_name").as("nm"),
+        dec(col("c_acctbal"), 12, 2).as("bal")).distinct())
+    val w = Window.partitionBy("c_custkey")
+      .orderBy(length(col("nm")).desc, col("nm").desc)
+    val best = names.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select(col("c_custkey"), col("nm").as("best_name"))
+    val agg = m.groupBy("c_custkey")
+      .agg(countDistinct("d_id").cast("int").as("n_matched"))
+    val mb = names.groupBy("c_custkey")
+      .agg(max("bal").cast("double").as("max_bal"))
+    agg.join(best, "c_custkey").join(mb, "c_custkey")
+      .select(col("c_custkey"), col("n_matched"), col("best_name"), col("max_bal"))
+      .orderBy("c_custkey")
+  }
+
   q("text_lexical_diversity",
     // log-free diversity per document: type-token ratio and the Simpson
     // repeat probability Σc(c−1)/n(n−1) — exact integer counts, one IEEE

@@ -169,6 +169,38 @@ object Stats {
         at(1 + (0.95 * (b - 1)).floor.toInt).as("ci_hi"))
   }
 
+  /** Kaplan–Meier survival curve with right censoring: at each distinct
+    * duration t, S(t) = Π_{t'≤t} (1 − d_{t'}/n_{t'}) where d = events
+    * and n = subjects still at risk. The at-risk counts come from one
+    * window over the per-duration AGGREGATE (bounded by the duration
+    * domain, not subjects); the prefix product folds a factor list in
+    * ascending-t order — a fixed IEEE sequence both engines replay
+    * (the EWMA list-fold discipline; no logs, no exp).
+    */
+  def kaplanMeier(df: DataFrame, durCol: Column, eventCol: Column): DataFrame = {
+    val g = df.select(durCol.as("t"), eventCol.cast("long").as("d"))
+      .groupBy("t").agg(sum("d").as("d"), count(lit(1)).as("c"))
+    val w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    val tot = g.agg(sum("c").as("n_tot"))
+    val staged = g.crossJoin(broadcast(tot))
+      .select(col("t"), col("d"),
+        (col("n_tot") - coalesce(sum("c").over(w), lit(0L))).as("n_risk"))
+    val packed = staged
+      .agg(sort_array(collect_list(struct(col("t"), col("d"), col("n_risk"))))
+        .as("ls"))
+      .select(col("ls"),
+        transform(col("ls"), e => lit(1.0) -
+          e.getField("d").cast("double") / e.getField("n_risk").cast("double"))
+          .as("fs"))
+    packed
+      .select(col("fs"), posexplode(col("ls")).as(Seq("i0", "e")))
+      .select(col("e").getField("t").as("t"),
+        col("e").getField("d").cast("int").as("d"),
+        col("e").getField("n_risk").cast("int").as("n_risk"),
+        round(aggregate(slice(col("fs"), lit(1), col("i0") + 1),
+          lit(1.0), (acc, f) => acc * f), 6).as("s_t"))
+  }
+
   /** Anomaly z-score of an integer metric against its trailing window
     * (`lookback` prior rows, current row excluded). The window sums are
     * integer — exact under any evaluation order, so segment-tree vs

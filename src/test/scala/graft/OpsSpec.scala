@@ -1053,6 +1053,15 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(med - 100.5) < 15.0)
   }
 
+  test("Kaplan-Meier: censored subjects leave the risk set without an event") {
+    // (1,death) (2,death) (2,censored) (3,death):
+    // S = 3/4, then ·(1−1/3) = 0.5, then ·0 at t=3
+    val df = Seq((1, 1), (2, 1), (2, 0), (3, 1)).toDF("t", "d")
+    val got = Stats.kaplanMeier(df, col("t"), col("d")).orderBy("t").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1, 1, 4, 0.75), (2, 1, 3, 0.5), (3, 1, 1, 0.0)))
+  }
+
   test("histogram drift: hand-computed chi-square contributions, missing bins coalesce") {
     // old [A,A,B], mirrored new [A,B,B] per 2: symmetric 8.0 per bin
     val oldV = Seq("A", "A", "A", "A", "B", "B").toDF("c")
