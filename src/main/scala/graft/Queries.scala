@@ -7355,6 +7355,82 @@ object Queries {
       .orderBy("c_custkey")
   }
 
+  q("q_markov_transitions",
+    // first-order behavior model: event-type transition counts and
+    // probabilities from per-user lead() sequences — exact integer
+    // counts, one division per cell
+    """WITH p AS (SELECT event_type AS cur, lead(event_type) OVER
+      |    (PARTITION BY user_id ORDER BY ts, event_id) AS nxt FROM events),
+      |c AS (SELECT cur, nxt, COUNT(*) AS n FROM p WHERE nxt IS NOT NULL
+      |  GROUP BY 1, 2),
+      |t AS (SELECT cur, SUM(n) AS tn FROM c GROUP BY 1)
+      |SELECT c.cur, c.nxt, CAST(n AS INT) AS n,
+      |  round(CAST(n AS DOUBLE) / tn, 6) AS p
+      |FROM c JOIN t ON c.cur = t.cur ORDER BY 1, 2"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val c = events(s, dir)
+      .select(col("event_type").as("cur"),
+        lead("event_type", 1).over(w).as("nxt"))
+      .filter(col("nxt").isNotNull)
+      .groupBy("cur", "nxt").agg(count(lit(1)).as("n"))
+    val t = c.groupBy("cur").agg(sum("n").as("tn"))
+    c.join(broadcast(t), "cur")
+      .select(col("cur"), col("nxt"), col("n").cast("int").as("n"),
+        round(col("n").cast("double") / col("tn"), 6).as("p"))
+      .orderBy("cur", "nxt")
+  }
+
+  q("q_sankey_paths",
+    // top first-3-step user journeys (the Sankey/flow view): ordered
+    // per-user prefix paths counted exactly
+    """WITH r AS (SELECT user_id, event_type, row_number() OVER
+      |    (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events),
+      |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      |  FROM r WHERE rn <= 3 GROUP BY 1)
+      |SELECT path, COUNT(*) AS n FROM p GROUP BY 1
+      |ORDER BY n DESC, path LIMIT 20""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events(s, dir)
+      .select(col("user_id"), col("event_type").as("et"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .groupBy("user_id")
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("rn"), col("et")))),
+        e => e.getField("et")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(20)
+  }
+
+  q("text_tokenizer_stats",
+    // per-source tokenizer accounting: UTF-8 bytes, whitespace words,
+    // subword units, fertility (subwords/word) and bytes/subword — the
+    // tokenizer-choice metrics a corpus report leads with
+    s"""WITH w AS (SELECT source, octet_length(encode(text)) AS nb, len($toksSql) AS nw,
+       |    len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+       |      t -> t != '')) AS ns
+       |  FROM documents)
+       |SELECT source, CAST(SUM(nb) AS BIGINT) AS n_bytes,
+       |  CAST(SUM(nw) AS BIGINT) AS n_words, CAST(SUM(ns) AS BIGINT) AS n_subwords,
+       |  round(CAST(SUM(ns) AS DOUBLE) / SUM(nw), 6) AS fertility,
+       |  round(CAST(SUM(nb) AS DOUBLE) / SUM(ns), 6) AS bytes_per_subword
+       |FROM w GROUP BY 1 ORDER BY source""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val sw = filter(split(lower(col("text")), "[^a-z0-9]+", -1), t => t =!= "")
+    tbl(s, dir, "documents")
+      .select(col("source"), octet_length(col("text")).as("nb"),
+        size(TextAnalysis.tokens(col("text"))).as("nw"), size(sw).as("ns"))
+      .groupBy("source")
+      .agg(sum("nb").as("n_bytes"), sum("nw").as("n_words"),
+        sum("ns").as("n_subwords"))
+      .select(col("source"), col("n_bytes"), col("n_words"), col("n_subwords"),
+        round(col("n_subwords").cast("double") / col("n_words"), 6)
+          .as("fertility"),
+        round(col("n_bytes").cast("double") / col("n_subwords"), 6)
+          .as("bytes_per_subword"))
+      .orderBy("source")
+  }
+
   q("text_lexical_diversity",
     // log-free diversity per document: type-token ratio and the Simpson
     // repeat probability Σc(c−1)/n(n−1) — exact integer counts, one IEEE
