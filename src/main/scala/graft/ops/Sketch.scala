@@ -233,6 +233,11 @@ object Sketch {
     * Scale shape: two KMV passes (map-side WindowGroupLimit, k rows per
     * side survive), one counts-only aggregation per side for n, and the
     * exact companion is a frequency-vector join — never the row payload.
+    *
+    * Contract: meaningful when BOTH sides carry ≥ k distinct keys —
+    * below that the Jaccard synopsis divides by k regardless (the
+    * kmvJaccard small-set behavior) and the overlap estimate biases
+    * low. Tiny inputs should drop k accordingly.
     */
   def kmvJoinSize(a: DataFrame, aKey: String, b: DataFrame, bKey: String,
                   k: Int = 128): DataFrame = {

@@ -79,7 +79,8 @@ object Stats {
     *
     * Scale shape: one aggregation to per-VALUE counts (bounded by the
     * value domain, not rows), one ordered window over those counts, a
-    * two-number reduce. No row-level ranking shuffle.
+    * two-number reduce. No row-level ranking shuffle. Both
+    * groups must be nonempty (n₁n₂ = 0 nulls the effect size).
     */
   def mannWhitneyU(df: DataFrame, isA: Column, valCol: Column): DataFrame = {
     val g = df.select(isA.as("a"), valCol.as("v"))
@@ -147,6 +148,9 @@ object Stats {
     * decimal sums and one division each; the CI reads the sorted
     * replica means at the physical floor(q·(b−1)) positions (the
     * quantile-sketch rule). Only `b` means ever leave the aggregation.
+    * Contract: rows ≫ b — a replica drawing all-zero weights (P = e^−n
+    * per replica) would divide by zero; realistic input sizes make that
+    * impossible.
     */
   def bootstrapMeanCI(df: DataFrame, idCol: Column, valCol: Column,
                       b: Int = 32): DataFrame = {
