@@ -542,6 +542,23 @@ class PlanSpec extends AnyFunSuite {
       s"expected one l_suppkey exchange:\n${plan.take(2000)}")
   }
 
+  test("pareto: the global ranking window consumes the per-part AGGREGATE") {
+    val plan = planOf("q_pareto_abc")
+    // raw lineitem rows must reduce map-side before anything goes to the
+    // single-partition cumulative window
+    assert(plan.contains("partial_sum") || plan.contains("partial sum"),
+      plan.take(2000))
+    val single = plan.linesIterator
+      .filter(_.contains("Exchange SinglePartition")).size
+    assert(single >= 1, plan.take(2000))
+  }
+
+  test("markov transitions: per-type totals broadcast back to the cells") {
+    val plan = planOf("q_markov_transitions")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
   test("drift monitor: histograms partial-aggregate, totals broadcast back") {
     val plan = planOf("q_drift_chisq")
     // each snapshot reduces to its bins map-side; the 1-row totals frame
