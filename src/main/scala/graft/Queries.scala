@@ -7448,4 +7448,223 @@ object Queries {
     TextAnalysis.lexicalDiversity(tbl(s, dir, "documents"))
       .orderBy("doc_id")
   }
+
+  q("q_welch_ttest",
+    // Welch's unequal-variance t-test (the default A/B significance
+    // test): exact decimal power sums per arm, then one fixed IEEE
+    // sequence for t and the Welch–Satterthwaite df
+    """WITH g AS (SELECT o_orderpriority = '1-URGENT' AS a, COUNT(*) AS n,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS s,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) *
+      |      CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS q
+      |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') GROUP BY 1),
+      |t AS (SELECT SUM(CASE WHEN a THEN n END) AS n1,
+      |    MAX(CASE WHEN a THEN s END) AS s1, MAX(CASE WHEN a THEN q END) AS q1,
+      |    SUM(CASE WHEN NOT a THEN n END) AS n2,
+      |    MAX(CASE WHEN NOT a THEN s END) AS s2, MAX(CASE WHEN NOT a THEN q END) AS q2
+      |  FROM g),
+      |d AS (SELECT n1, n2, s1, s2,
+      |    ((CAST(n1 AS DOUBLE) * q1 - s1 * s1) /
+      |     (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1))) / CAST(n1 AS DOUBLE) AS se1,
+      |    ((CAST(n2 AS DOUBLE) * q2 - s2 * s2) /
+      |     (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1))) / CAST(n2 AS DOUBLE) AS se2
+      |  FROM t)
+      |SELECT CAST(n1 AS INT) AS n1, CAST(n2 AS INT) AS n2,
+      |  round(s1 / CAST(n1 AS DOUBLE) - s2 / CAST(n2 AS DOUBLE), 6) AS mean_diff,
+      |  round((s1 / CAST(n1 AS DOUBLE) - s2 / CAST(n2 AS DOUBLE)) / sqrt(se1 + se2), 6) AS t_stat,
+      |  round((se1 + se2) * (se1 + se2) /
+      |    (se1 * se1 / (CAST(n1 AS DOUBLE) - 1) + se2 * se2 / (CAST(n2 AS DOUBLE) - 1)), 6)
+      |    AS df_welch
+      |FROM d""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val o = tbl(s, dir, "orders")
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+    Stats.welchT(o, col("o_orderpriority") === "1-URGENT",
+      dec(col("o_totalprice"), 12, 2))
+  }
+
+  q("q_eval_auc",
+    // exact ROC-AUC of "length predicts English" via the tie-averaged
+    // rank-sum identity: 2·U1 stays integer (auc_2x_num), scores are
+    // distinct-compressed before the single rank window
+    """WITH g AS (SELECT n_chars AS v,
+      |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ca, COUNT(*) AS c
+      |  FROM documents GROUP BY 1),
+      |r AS (SELECT ca, c, coalesce(SUM(c) OVER (ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rlo FROM g),
+      |t AS (SELECT SUM(ca) AS n1, SUM(c) - SUM(ca) AS n2,
+      |    SUM(ca * (2 * rlo + c + 1)) AS r1x2 FROM r)
+      |SELECT CAST(n1 AS INT) AS n_pos, CAST(n2 AS INT) AS n_neg,
+      |  CAST(r1x2 - n1 * (n1 + 1) AS BIGINT) AS auc_2x_num,
+      |  round(CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) /
+      |    CAST(2 * n1 * n2 AS DOUBLE), 6) AS auc
+      |FROM t""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    Eval.rocAuc(tbl(s, dir, "documents"), col("lang") === "en", col("n_chars"))
+  }
+
+  q("q_eval_calibration",
+    // reliability table of a synthetic probability (exact milli-units)
+    // against the English label: per-bin mean predicted p vs observed
+    // rate plus |gap| — the ECE decomposition, integers until 3 divisions
+    """WITH p AS (SELECT lang = 'en' AS pos,
+      |    LEAST(999, n_chars % 500 + CASE WHEN lang = 'en' THEN 300 ELSE 100 END) AS pm
+      |  FROM documents),
+      |b AS (SELECT CAST(LEAST(floor(pm * 10 / 1000), 9) AS INT) AS bin,
+      |    CASE WHEN pos THEN 1 ELSE 0 END AS pos, pm FROM p),
+      |a AS (SELECT bin, COUNT(*) AS n, SUM(pos) AS n_pos, SUM(pm) AS sum_milli
+      |  FROM b GROUP BY 1)
+      |SELECT bin, n, CAST(n_pos AS BIGINT) AS n_pos,
+      |  CAST(sum_milli AS BIGINT) AS sum_milli,
+      |  round(CAST(sum_milli AS DOUBLE) / CAST(n * 1000 AS DOUBLE), 6) AS mean_p,
+      |  round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pos_rate,
+      |  round(abs(CAST(sum_milli AS DOUBLE) / CAST(n * 1000 AS DOUBLE)
+      |    - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS abs_gap
+      |FROM a ORDER BY bin""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val d = tbl(s, dir, "documents")
+    val pm = least(lit(999), col("n_chars") % 500
+      + when(col("lang") === "en", 300).otherwise(100))
+    Eval.calibrationBins(d, col("lang") === "en", pm, bins = 10)
+  }
+
+  /** Unrolled multi-source BFS oracle over the order-hash graph: round i
+    * expands frontier hop = i−1 through both edge directions, then folds
+    * with a min — MATERIALIZED per round (each CTE is referenced twice).
+    */
+  private def bfsOracle(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH p AS (SELECT o_orderkey % 3000 AS a, o_custkey % 3000 AS b FROM orders), "
+    sb ++= "e AS MATERIALIZED (SELECT DISTINCT LEAST(a, b) AS pa, GREATEST(a, b) AS pb FROM p WHERE a != b), "
+    sb ++= "h0 AS MATERIALIZED (SELECT v, 0 AS hop FROM (SELECT pa AS v FROM e UNION SELECT pb FROM e) WHERE v < 20), "
+    for (i <- 1 to rounds) {
+      sb ++= s"n$i AS MATERIALIZED (SELECT e.pb AS v FROM e JOIN h${i - 1} f ON f.v = e.pa AND f.hop = ${i - 1} " +
+        s"UNION ALL SELECT e.pa FROM e JOIN h${i - 1} f ON f.v = e.pb AND f.hop = ${i - 1}), "
+      sb ++= s"h$i AS MATERIALIZED (SELECT v, MIN(hop) AS hop FROM " +
+        s"(SELECT v, hop FROM h${i - 1} UNION ALL SELECT v, $i FROM n$i) GROUP BY 1), "
+    }
+    sb.setLength(sb.length - 2)
+    sb ++= s" SELECT v, CAST(hop AS INT) AS hop FROM h$rounds ORDER BY v"
+    sb.toString
+  }
+
+  q("q_graph_bfs_hops", bfsOracle(3)) { (s, dir) =>
+    // multi-source BFS on the order-hash graph (the k-core fixture):
+    // min hops from the 20 lowest vertex ids, bounded at 3 rounds —
+    // frontier join + min-fold per round, lineage truncated per round
+    val p = tbl(s, dir, "orders")
+      .select((col("o_orderkey") % 3000).as("a"), (col("o_custkey") % 3000).as("b"))
+      .filter(col("a") =!= col("b"))
+    val edges = p.select(least(col("a"), col("b")).as("pa"),
+      greatest(col("a"), col("b")).as("pb")).distinct()
+    val sources = edges.select(col("pa").as("v"))
+      .union(edges.select(col("pb").as("v")))
+      .filter(col("v") < 20).distinct()
+    Graph.bfsHops(edges, sources, maxHops = 3).orderBy("v")
+  }
+
+  q("multimodal_audio_segments",
+    // energy-threshold activity segmentation (the VAD primitive) through
+    // REAL WAV decode: threshold 45.4e9 splits the full 128-sample blocks
+    // by seed and always drops the short tail block, so islands vary;
+    // the oracle replays the integer PCM generator + the same island rule
+    """WITH ids AS (SELECT doc_id AS id, doc_id % 20 AS seed,
+      |    CAST(400 + doc_id % 20 AS INT) AS n FROM documents WHERE doc_id < 50),
+      |smp AS (SELECT id, n, g.i,
+      |    (((seed * 1315423911 + g.i * 2654435761) & 65535) - 32768) AS v
+      |  FROM ids, (SELECT unnest(range(420)) AS i) g WHERE g.i < n),
+      |blk AS (SELECT id, i // 128 AS b, SUM(v * v) AS e FROM smp GROUP BY 1, 2),
+      |act AS (SELECT id, b, e, b - row_number() OVER (PARTITION BY id ORDER BY b) AS grp
+      |  FROM blk WHERE e >= 45400000000),
+      |seg AS (SELECT id, MIN(b) AS start_block, MAX(b) AS end_block,
+      |    CAST(COUNT(*) AS INT) AS n_blocks, CAST(SUM(e) AS BIGINT) AS energy
+      |  FROM act GROUP BY id, grp)
+      |SELECT id, CAST(row_number() OVER (PARTITION BY id ORDER BY start_block) - 1 AS INT) AS seg,
+      |  CAST(start_block AS INT) AS start_block, CAST(end_block AS INT) AS end_block,
+      |  n_blocks, energy
+      |FROM seg ORDER BY id, seg""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val ids = tbl(s, dir, "documents").filter(col("doc_id") < 50).select("doc_id")
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val media = ids.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        org.apache.spark.sql.Row(id,
+          Multimodal.syntheticWav(id % 20, 8000, 400 + (id % 20).toInt))
+      }
+    }(enc)
+    Multimodal.audioActiveSegments(media, "doc_id", blockSize = 128,
+        threshold = 45400000000L)
+      .orderBy("id", "seg")
+  }
+
+  q("text_readability",
+    // per-source Flesch reading ease from exact integer counts: words,
+    // vowel-group syllables (the classic heuristic), and terminal-
+    // punctuation sentences (min 1 per doc for space-joined corpora)
+    s"""WITH w AS (SELECT source, len($toksSql) AS nw,
+       |    len(regexp_extract_all(text, '[aeiouy]+')) AS ny,
+       |    len(regexp_split_to_array(text, '[.!?]+\\s+')) AS ns
+       |  FROM documents),
+       |a AS (SELECT source, COUNT(*) AS n_docs, SUM(nw) AS n_words,
+       |    SUM(ny) AS n_syllables, SUM(ns) AS n_sentences FROM w GROUP BY 1)
+       |SELECT source, n_docs, CAST(n_words AS BIGINT) AS n_words,
+       |  CAST(n_syllables AS BIGINT) AS n_syllables,
+       |  CAST(n_sentences AS BIGINT) AS n_sentences,
+       |  round(CAST(n_words AS DOUBLE) / n_sentences, 6) AS words_per_sentence,
+       |  round(CAST(n_syllables AS DOUBLE) / n_words, 6) AS syll_per_word,
+       |  round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+       |    - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6) AS flesch
+       |FROM a ORDER BY source""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    TextAnalysis.readability(tbl(s, dir, "documents")).orderBy("source")
+  }
+
+  q("text_mojibake_audit",
+    // encoding-health screen over a deterministically dirtied corpus:
+    // replacement-char docs, C0 control chars (minus tab/NL/CR), and the
+    // non-ASCII ratio — the pre-ingest mojibake gate, exact counts
+    """WITH d AS (SELECT source, text ||
+      |    CASE WHEN doc_id % 7 = 0 THEN chr(65533)
+      |         WHEN doc_id % 5 = 0 THEN chr(7)
+      |         WHEN doc_id % 3 = 0 THEN chr(233) ELSE '' END AS txt
+      |  FROM documents),
+      |c AS (SELECT source, length(txt) AS nc,
+      |    CASE WHEN contains(txt, chr(65533)) THEN 1 ELSE 0 END AS repl,
+      |    len(regexp_extract_all(txt, '[\x01-\x08\x0E-\x1F]')) AS ctrl,
+      |    len(regexp_extract_all(txt, '[^\x00-\x7F]')) AS nona FROM d)
+      |SELECT source, COUNT(*) AS n_docs, CAST(SUM(nc) AS BIGINT) AS n_chars,
+      |  CAST(SUM(repl) AS BIGINT) AS n_repl_docs,
+      |  CAST(SUM(ctrl) AS BIGINT) AS n_ctrl_chars,
+      |  CAST(SUM(nona) AS BIGINT) AS n_nonascii_chars,
+      |  round(1.0e0 - CAST(SUM(nona) AS DOUBLE) / SUM(nc), 6) AS ascii_ratio
+      |FROM c GROUP BY 1 ORDER BY source""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val d = tbl(s, dir, "documents")
+    val dirty = concat(col("text"),
+      when(col("doc_id") % 7 === 0, lit("\ufffd"))
+        .when(col("doc_id") % 5 === 0, lit("\u0007"))
+        .when(col("doc_id") % 3 === 0, lit("\u00e9")).otherwise(lit("")))
+    TextAnalysis.encodingAudit(d, dirty).orderBy("source")
+  }
+
+  q("stream_topk",
+    // complete-mode streaming heavy hitters: the running top-15 tokens —
+    // sort+limit is legal in complete mode because the full aggregate
+    // state re-emits per batch; oracle = the batch top-k
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents WHERE doc_id < 200)
+       |SELECT tok, COUNT(*) AS n FROM (SELECT unnest(w) AS tok FROM toks)
+       |GROUP BY tok ORDER BY n DESC, tok LIMIT 15"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val src = s.readStream.schema(tbl(s, dir, "documents").schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val top = src.filter(col("doc_id") < 200)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(15)
+    val qname = "graft_stream_topk"
+    withShufflePartitions(s, 4) {
+      val query = top.writeStream.format("memory").queryName(qname)
+        .outputMode("complete").start()
+      try query.processAllAvailable() finally query.stop()
+    }
+    s.table(qname).orderBy(col("n").desc, col("tok"))
+  }
 }

@@ -59,6 +59,58 @@ object Eval {
           / (lit(1.0) - col("sum_prod") / (col("nn") * col("nn"))), 6).as("kappa"))
   }
 
+  /** Exact ROC-AUC of a score against a binary label, via the tie-averaged
+    * rank-sum identity AUC = (R₁ − n₁(n₁+1)/2) / (n₁·n₂) — the
+    * Mann–Whitney U normalization (same counts-then-window shape as
+    * [[Stats.mannWhitneyU]], so scores are distinct-compressed BEFORE the
+    * global rank window: the windowed table is value-cardinality-sized,
+    * not corpus-sized). `auc_2x_num` = 2·U₁ stays an exact integer; the
+    * AUC itself is one IEEE division.
+    */
+  def rocAuc(df: DataFrame, isPos: org.apache.spark.sql.Column,
+             scoreCol: org.apache.spark.sql.Column): DataFrame = {
+    val g = df.select(isPos.as("a"), scoreCol.as("v"))
+      .groupBy("v").agg(sum(when(col("a"), 1L).otherwise(0L)).as("ca"),
+        count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ranked = g.select(col("ca"), col("c"),
+      coalesce(sum("c").over(w), lit(0L)).as("rlo"))
+    ranked.agg(sum("ca").as("n1"), (sum("c") - sum("ca")).as("n2"),
+        sum(col("ca") * (lit(2) * col("rlo") + col("c") + 1)).as("r1x2"))
+      .select(col("n1").cast("int").as("n_pos"), col("n2").cast("int").as("n_neg"),
+        (col("r1x2") - col("n1") * (col("n1") + 1)).as("auc_2x_num"),
+        round((col("r1x2") - col("n1") * (col("n1") + 1)).cast("double") /
+          (lit(2) * col("n1") * col("n2")).cast("double"), 6).as("auc"))
+  }
+
+  /** Calibration/reliability table of a probability score (given in exact
+    * integer MILLI-units, 0..1000) against a binary outcome: per bin the
+    * count, positive count, exact milli-sum, mean predicted probability,
+    * observed positive rate, and |gap| — the per-bin contributions to
+    * expected calibration error. All aggregates are integers (map-side
+    * combined, bins-sized result); each output ratio is one fixed IEEE
+    * expression.
+    */
+  def calibrationBins(df: DataFrame, isPos: org.apache.spark.sql.Column,
+                      pMilli: org.apache.spark.sql.Column,
+                      bins: Int = 10): DataFrame = {
+    val bin = least(floor(pMilli * bins / 1000).cast("int"), lit(bins - 1))
+    df.select(bin.as("bin"), when(isPos, 1L).otherwise(0L).as("pos"),
+        pMilli.cast("long").as("pm"))
+      .groupBy("bin").agg(count(lit(1)).as("n"), sum("pos").as("n_pos"),
+        sum("pm").as("sum_milli"))
+      .select(col("bin"), col("n"), col("n_pos"), col("sum_milli"),
+        round(col("sum_milli").cast("double") / (col("n") * 1000).cast("double"), 6)
+          .as("mean_p"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("pos_rate"),
+        round(abs(col("sum_milli").cast("double") / (col("n") * 1000).cast("double")
+          - col("n_pos").cast("double") / col("n").cast("double")), 6)
+          .as("abs_gap"))
+      .orderBy("bin")
+  }
+
   /** Total-variation distance between the token distributions of a
     * deterministic train/rest split — the leakage/skew audit that a split
     * didn't bias the unigram distribution. TV = ½·Σ|p_i − q_i| computed

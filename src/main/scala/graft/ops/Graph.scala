@@ -219,4 +219,38 @@ object Graph {
         round(col("common").cast("double") /
           (col("dx") + col("dy") - col("common")), 6).as("jaccard"))
   }
+
+  /** Multi-source BFS over an undirected graph given as canonical edges
+    * (pa < pb, distinct): the minimum hop distance from ANY source vertex,
+    * up to `maxHops`. Vertices unreachable within the bound are absent.
+    *
+    * Each round expands only the newest frontier (hop = round − 1) through
+    * one equi-join per edge direction, then folds into the hop table with
+    * a min-aggregation — so total cost is rounds × (frontier-sized probe +
+    * one vertex-keyed shuffle), never |V|×|E|. Lineage truncates per round
+    * via localCheckpoint (the kCore/pageRank discipline), and an empty
+    * frontier stops early, so a diameter-d region costs d rounds, not
+    * maxHops. At 100 TB the frontier join is an equi-join on the vertex
+    * key — broadcast-able while the frontier is small, shuffle otherwise.
+    */
+  def bfsHops(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
+    val e = edges.select(col("pa"), col("pb")).localCheckpoint()
+    var hops = sources.select(col("v")).distinct()
+      .withColumn("hop", lit(0)).localCheckpoint()
+    var h = 1
+    var frontierEmpty = false
+    while (h <= maxHops && !frontierEmpty) {
+      val frontier = hops.filter(col("hop") === h - 1).select("v")
+      val nbrs = e.join(frontier.withColumnRenamed("v", "pa"), Seq("pa"), "inner")
+        .select(col("pb").as("v"))
+        .union(e.join(frontier.withColumnRenamed("v", "pb"), Seq("pb"), "inner")
+          .select(col("pa").as("v")))
+        .withColumn("hop", lit(h))
+      hops = hops.union(nbrs)
+        .groupBy("v").agg(min("hop").as("hop")).localCheckpoint()
+      frontierEmpty = hops.filter(col("hop") === h).isEmpty
+      h += 1
+    }
+    hops.select(col("v"), col("hop").cast("int").as("hop"))
+  }
 }

@@ -414,6 +414,59 @@ object Multimodal {
       }(enc)
   }
 
+  /** Energy-threshold activity segmentation (the VAD-shaped primitive)
+    * through REAL WAV decode: block the 16-bit PCM into `blockSize`-sample
+    * windows, mark a block active when its exact integer energy Σv² meets
+    * `threshold`, and emit one row per maximal run of consecutive active
+    * blocks — (id, seg, start/end block, block count, exact total energy).
+    *
+    * Same narrow mapPartitions shape as [[decodeAudioStats]]: codec work
+    * is per-row, output is segments-sized, nothing shuffles. The island
+    * detection is a single in-kernel pass (per-row data is already local),
+    * not a window function — no sort, no state.
+    */
+  def audioActiveSegments(df: DataFrame, idCol: String, blockSize: Int,
+                          threshold: Long): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("seg", IntegerType, nullable = false),
+      StructField("start_block", IntegerType, nullable = false),
+      StructField("end_block", IntegerType, nullable = false),
+      StructField("n_blocks", IntegerType, nullable = false),
+      StructField("energy", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.select(col(idCol).cast("long").as("id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val (_, pcm) = decodeWav(r.getAs[Array[Byte]](1))
+          val nb = (pcm.length + blockSize - 1) / blockSize
+          val energies = new Array[Long](math.max(nb, 1))
+          var i = 0
+          while (i < pcm.length) {
+            val v = pcm(i).toLong
+            energies(i / blockSize) += v * v
+            i += 1
+          }
+          val segs = scala.collection.mutable.ArrayBuffer.empty[Row]
+          var b = 0
+          var start = -1
+          var acc = 0L
+          while (b <= nb) {
+            val active = b < nb && energies(b) >= threshold
+            if (active) {
+              if (start < 0) { start = b; acc = 0L }
+              acc += energies(b)
+            } else if (start >= 0) {
+              segs += Row(r.getLong(0), segs.length, start, b - 1, b - start, acc)
+              start = -1
+            }
+            b += 1
+          }
+          segs
+        }
+      }(enc)
+  }
+
   /** Deterministic frame/sample selection for time-media: emit
     * `sample_idx` rows per media row (the sampling grid a video decoder
     * would fill) — demonstrates the fan-out shape without the codec.

@@ -99,6 +99,39 @@ object Stats {
           .as("rank_biserial"))
   }
 
+  /** Welch's unequal-variance t-test from the same exact decimal power
+    * sums as [[moments]]: per group n, Σv, Σv² are exact (map-side
+    * partial-aggregated, one shuffle of three numbers per group), the two
+    * sample variances, the t statistic, and the Welch–Satterthwaite
+    * degrees of freedom are one fixed sequence of IEEE operations on a
+    * single result row — deterministic on any partitioning or engine.
+    */
+  def welchT(df: DataFrame, isA: Column, valCol: Column): DataFrame = {
+    val g = df.select(isA.as("a"), valCol.as("v"))
+      .groupBy("a").agg(count(lit(1)).as("n"),
+        sum("v").cast("double").as("s"),
+        sum(col("v") * col("v")).cast("double").as("q"))
+    val t = g.agg(
+      sum(when(col("a"), col("n"))).as("n1"),
+      max(when(col("a"), col("s"))).as("s1"),
+      max(when(col("a"), col("q"))).as("q1"),
+      sum(when(!col("a"), col("n"))).as("n2"),
+      max(when(!col("a"), col("s"))).as("s2"),
+      max(when(!col("a"), col("q"))).as("q2"))
+    def nd(c: Column) = c.cast("double")
+    val (n1, n2) = (nd(col("n1")), nd(col("n2")))
+    val var1 = (n1 * col("q1") - col("s1") * col("s1")) / (n1 * (n1 - 1))
+    val var2 = (n2 * col("q2") - col("s2") * col("s2")) / (n2 * (n2 - 1))
+    val se1 = var1 / n1
+    val se2 = var2 / n2
+    val meanDiff = col("s1") / n1 - col("s2") / n2
+    t.select(col("n1").cast("int").as("n1"), col("n2").cast("int").as("n2"),
+      round(meanDiff, 6).as("mean_diff"),
+      round(meanDiff / sqrt(se1 + se2), 6).as("t_stat"),
+      round((se1 + se2) * (se1 + se2) /
+        (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)), 6).as("df_welch"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic, exactly: over the pooled
     * per-value cumulative counts, D·n₁·n₂ = max |c₁·n₂ − c₂·n₁| is an
     * integer (the CUSUM cross-multiplication trick on ECDFs); ties on

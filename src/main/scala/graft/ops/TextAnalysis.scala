@@ -712,4 +712,58 @@ object TextAnalysis {
         when(col("n") > 1,
           round(col("coll").cast("double") / (col("n") * (col("n") - 1)), 6))
           .otherwise(lit(0.0)).as("rep_prob"))
+
+  /** Per-group Flesch reading-ease from exact integer counts: whitespace
+    * words, terminal-punctuation sentences (a document with no terminal
+    * punctuation counts as ONE sentence — the honest convention for
+    * space-joined corpora), and the standard vowel-group syllable
+    * surrogate (`[aeiouy]+` runs — the classic heuristic, not a
+    * dictionary). The three sums reduce map-side; the Flesch formula
+    * 206.835 − 1.015·(W/S) − 84.6·(Syl/W) is one fixed IEEE expression
+    * per group row.
+    */
+  def readability(df: DataFrame, textCol: String = "text",
+                  groupCol: String = "source"): DataFrame =
+    df.select(col(groupCol),
+        size(tokens(col(textCol))).cast("long").as("nw"),
+        regexp_count(col(textCol), lit("[aeiouy]+")).as("ny"),
+        size(split(col(textCol), "[.!?]+\\s+", -1)).cast("long").as("ns"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"), sum("nw").as("n_words"),
+        sum("ny").as("n_syllables"), sum("ns").as("n_sentences"))
+      .select(col(groupCol), col("n_docs"), col("n_words"),
+        col("n_syllables"), col("n_sentences"),
+        round(col("n_words").cast("double") / col("n_sentences"), 6)
+          .as("words_per_sentence"),
+        round(col("n_syllables").cast("double") / col("n_words"), 6)
+          .as("syll_per_word"),
+        round(lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+          - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")), 6)
+          .as("flesch"))
+
+  /** Per-group encoding-health audit — the mojibake/controls screen run
+    * before any text enters a training corpus: documents carrying the
+    * U+FFFD replacement character (a decode already went wrong upstream),
+    * total non-printing control characters (C0 minus tab/newline/CR), and
+    * non-ASCII character count with the ASCII ratio. All counts are exact
+    * integers from codegen'd regexp counts (narrow, map-side combined);
+    * the ratio is one IEEE division per group.
+    */
+  def encodingAudit(df: DataFrame, textCol: Column,
+                    groupCol: String = "source"): DataFrame =
+    df.select(col(groupCol), textCol.as("txt"))
+      .select(col(groupCol),
+        length(col("txt")).cast("long").as("nc"),
+        when(col("txt").contains(lit("\ufffd")), 1L).otherwise(0L).as("repl"),
+        regexp_count(col("txt"), lit("[\\x01-\\x08\\x0E-\\x1F]")).as("ctrl"),
+        regexp_count(col("txt"), lit("[^\\x00-\\x7F]")).as("nona"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"), sum("nc").as("n_chars"),
+        sum("repl").as("n_repl_docs"), sum("ctrl").as("n_ctrl_chars"),
+        sum("nona").as("n_nonascii_chars"))
+      .select(col(groupCol), col("n_docs"), col("n_chars"),
+        col("n_repl_docs"), col("n_ctrl_chars"), col("n_nonascii_chars"),
+        round(lit(1.0) - col("n_nonascii_chars").cast("double") / col("n_chars"), 6)
+          .as("ascii_ratio"))
 }

@@ -2211,6 +2211,96 @@ class AdviceRegressionSpec extends AnyFunSuite {
     assert(got(3L)._3 == false && got(3L)._5 == false)
   }
 
+  test("welchT matches a hand-computed two-sample case") {
+    // A = {1, 2, 3}: mean 2, var 1; B = {2, 4, 6, 8}: mean 5, var 20/3
+    val df = Seq(("a", 1), ("a", 2), ("a", 3), ("b", 2), ("b", 4), ("b", 6),
+      ("b", 8)).toDF("g", "v")
+    val r = Stats.welchT(df, col("g") === "a",
+      col("v").cast("decimal(12,2)")).collect().head
+    assert(r.getInt(0) == 3 && r.getInt(1) == 4)
+    assert(r.getDouble(2) == -3.0) // mean diff
+    // se = 1/3 + (20/3)/4 = 2; t = -3/sqrt(2)
+    assert(math.abs(r.getDouble(3) - (-3.0 / math.sqrt(2.0))) < 1e-6)
+    // df = 2² / ((1/3)²/2 + (5/3)²/3) = 4 / (53/54) = 216/53
+    assert(math.abs(r.getDouble(4) - 216.0 / 53) < 1e-6)
+  }
+
+  test("rocAuc: perfect separation gives 1, all-ties give 0.5, hand case exact") {
+    val perfect = Seq((true, 10), (true, 9), (false, 2), (false, 1)).toDF("p", "s")
+    assert(Eval.rocAuc(perfect, col("p"), col("s")).collect().head.getDouble(3) == 1.0)
+    val ties = Seq((true, 5), (false, 5), (true, 5), (false, 5)).toDF("p", "s")
+    assert(Eval.rocAuc(ties, col("p"), col("s")).collect().head.getDouble(3) == 0.5)
+    // pos scores {3, 1}, neg {2, 0}: pairs won 3 of 4 -> AUC .75
+    val hand = Seq((true, 3), (true, 1), (false, 2), (false, 0)).toDF("p", "s")
+    val r = Eval.rocAuc(hand, col("p"), col("s")).collect().head
+    assert(r.getLong(2) == 6L && r.getDouble(3) == 0.75) // 2·U1 = 6
+  }
+
+  test("calibrationBins: exact per-bin means, rates, and gaps") {
+    // bin 0: pm {50, 50}, one positive -> mean_p .05, rate .5
+    // bin 9: pm {950}, positive -> mean_p .95, rate 1
+    val df = Seq((true, 50L), (false, 50L), (true, 950L)).toDF("p", "pm")
+    val rows = Eval.calibrationBins(df, col("p"), col("pm")).collect()
+    assert(rows.length == 2)
+    val b0 = rows.find(_.getInt(0) == 0).get
+    assert(b0.getLong(1) == 2 && b0.getLong(2) == 1 && b0.getLong(3) == 100)
+    assert(b0.getDouble(4) == 0.05 && b0.getDouble(5) == 0.5 &&
+      b0.getDouble(6) == 0.45)
+    val b9 = rows.find(_.getInt(0) == 9).get
+    assert(b9.getDouble(4) == 0.95 && b9.getDouble(5) == 1.0 &&
+      b9.getDouble(6) == 0.05)
+  }
+
+  test("bfsHops: path graph hops from a single source, bound respected") {
+    // path 1-2-3-4-5 plus isolated edge 8-9
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+      .toDF("pa", "pb")
+    val src = Seq(1L).toDF("v")
+    val got = Graph.bfsHops(edges, src, maxHops = 3).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3)) // 5 beyond bound, 8/9 unreachable
+    // two sources meet in the middle with the min hop
+    val got2 = Graph.bfsHops(edges, Seq(1L, 5L).toDF("v"), maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got2(3L) == 2 && got2(2L) == 1 && got2(4L) == 1)
+  }
+
+  test("audioActiveSegments: islands of above-threshold blocks, exact energies") {
+    val wav = Multimodal.syntheticWav(seed = 3, sampleRate = 8000, nSamples = 403)
+    val media = Seq((7L, wav)).toDF("doc_id", "payload")
+    // replicate: block energies from the known PCM generator
+    val energies = Array.ofDim[Long](4)
+    for (i <- 0 until 403) {
+      val v = (((3L * 1315423911L + i * 2654435761L) & 0xffffL) - 32768L)
+      energies(i / 128) += v * v
+    }
+    val thr = energies.take(3).sorted.apply(1) // middle full block -> 2 active
+    val segs = Multimodal.audioActiveSegments(media, "doc_id", 128, thr)
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(5)))
+    val expActive = (0 until 4).filter(b => energies(b) >= thr)
+    assert(segs.map(s => (s._2 to s._3)).flatten.toSet == expActive.toSet)
+    assert(segs.map(_._4).sum == expActive.map(energies).sum)
+  }
+
+  test("readability + encodingAudit: exact counts on a tiny fixture") {
+    val df = Seq((1L, "the cat sat. it ran!", "a"),
+      (2L, "big dog", "a")).toDF("doc_id", "text", "source")
+    val r = TextAnalysis.readability(df).collect().head
+    // words: 5 + 2 = 7; sentences: "sat. it" is the only terminal run
+    // FOLLOWED by whitespace, so doc 1 splits in 2 and doc 2 stays 1
+    assert(r.getLong(1) == 2 && r.getLong(2) == 7 && r.getLong(4) == 3)
+    // vowel groups: the|cat|sat|it|ran -> 5, big|dog -> 2
+    assert(r.getLong(3) == 7)
+    val dirty = Seq((1L, "ok text\u0007\u0007", "a"),
+      (2L, "caf\u00e9 \ufffd", "a"))
+      .toDF("doc_id", "text", "source")
+    val a = TextAnalysis.encodingAudit(dirty, col("text")).collect().head
+    assert(a.getLong(1) == 2) // docs
+    assert(a.getLong(3) == 1) // one replacement-char doc
+    assert(a.getLong(4) == 2) // two bell chars
+    assert(a.getLong(5) == 2) // é and U+FFFD are non-ascii
+  }
+
   test("epoch shuffle is a stable per-epoch permutation with dense shard positions") {
     val df = (0L until 100L).toDF("doc_id")
     val e1 = Pipeline.epochShuffle(df, "doc_id", epoch = 1, nShards = 8)
