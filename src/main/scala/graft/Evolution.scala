@@ -253,8 +253,41 @@ object Evolution {
           coalesce1 = args.contains("--single-file"),
           numPartitions = opt("-N").map(_.toInt).getOrElse(0),
           mode = mode)
+      case Some("index") =>
+        // persisted ANN index over an embedding parquet: `index build`
+        // trains the k-means codebook and writes codebook+cell layout;
+        // `index search` answers top-k from the layout with NO corpus
+        // assignment pass (Similarity.writeIvfIndex/ivfKnnFromIndex)
+        args.lift(1) match {
+          case Some("build") =>
+            ops.Similarity.writeIvfIndex(
+              spark.read.parquet(opt("-i").getOrElse(
+                sys.error("index build requires -i <embeddings.parquet>"))),
+              opt("-o").getOrElse(sys.error("index build requires -o <indexDir>")),
+              k = opt("-k").map(_.toInt).getOrElse(8),
+              iters = opt("--iters").map(_.toInt).getOrElse(2),
+              dim = opt("--dim").map(_.toInt).getOrElse(64),
+              idCol = opt("--id-col").getOrElse("vec_id"),
+              vecCol = opt("--vec-col").getOrElse("embedding"),
+              mode = mode)
+            println(s"index build: wrote codebook + cells under ${opt("-o").get}")
+          case Some("search") =>
+            val out = ops.Similarity.ivfKnnFromIndex(spark,
+              opt("-x").getOrElse(sys.error("index search requires -x <indexDir>")),
+              spark.read.parquet(opt("-q").getOrElse(
+                sys.error("index search requires -q <queries.parquet>"))),
+              k = opt("-k").map(_.toInt).getOrElse(5),
+              idCol = opt("--id-col").getOrElse("vec_id"),
+              vecCol = opt("--vec-col").getOrElse("embedding"))
+            out.write.mode(mode).parquet(opt("-o").getOrElse(
+              sys.error("index search requires -o <output.parquet>")))
+            println(s"index search: wrote top-k matches to ${opt("-o").get}")
+          case other => sys.error(
+            s"unknown index op '${other.getOrElse("")}' (build | search)")
+        }
       case _ =>
-        System.err.println("usage: evolution (convert|mock|curate <op>) [options]")
+        System.err.println(
+          "usage: evolution (convert|mock|curate <op>|index build|index search) [options]")
         sys.exit(2)
     } finally spark.stop()
   }

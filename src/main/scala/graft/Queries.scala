@@ -5906,8 +5906,10 @@ object Queries {
       |    c_mktsegment AS d_seg
       |  FROM hsrc WHERE c_custkey % 3 != 2),
       |pa AS (SELECT d.d_id, c.c_custkey FROM d JOIN customer c
-      |  ON CAST(d.d_nat AS VARCHAR) || '|' || d.d_seg
-      |   = CAST(c.c_nationkey AS VARCHAR) || '|' || c.c_mktsegment),
+      |  ON CAST(d.d_nat AS VARCHAR) || '|' || d.d_seg || '|' ||
+      |     CAST(CAST(floor(d.d_bal / 100) AS INT) AS VARCHAR)
+      |   = CAST(c.c_nationkey AS VARCHAR) || '|' || c.c_mktsegment || '|' ||
+      |     CAST(CAST(floor(CAST(c.c_acctbal AS DECIMAL(12,2)) / 100) AS INT) AS VARCHAR)),
       |pb AS (SELECT d.d_id, c.c_custkey FROM d JOIN customer c
       |  ON substr(d.d_name, 10, 7) = substr(c.c_name, 10, 7)),
       |cand AS (SELECT DISTINCT d_id, c_custkey
@@ -6050,8 +6052,11 @@ object Queries {
     def pass(lk: Column, rk: Column): DataFrame =
       dirty.withColumn("__bk", lk).join(cust.withColumn("__bk", rk), "__bk")
         .select("d_id", "c_custkey")
-    val pa = pass(concat_ws("|", col("d_nat"), col("d_seg")),
-      concat_ws("|", col("c_nationkey"), col("c_mktsegment")))
+    val pa = pass(
+      concat_ws("|", col("d_nat"), col("d_seg"),
+        floor(col("d_bal") / 100).cast("int")),
+      concat_ws("|", col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal").cast("decimal(12,2)") / 100).cast("int")))
     val pb = pass(substring(col("d_name"), 10, 7),
       substring(col("c_name"), 10, 7))
     def counted(df: DataFrame, name: String): DataFrame =
@@ -7643,6 +7648,75 @@ object Queries {
         .when(col("doc_id") % 5 === 0, lit("\u0007"))
         .when(col("doc_id") % 3 === 0, lit("\u00e9")).otherwise(lit("")))
     TextAnalysis.encodingAudit(d, dirty).orderBy("source")
+  }
+
+  q("q_event_throttle",
+    // throttle/rate-limit dedup: keep an event iff ≥24h after the LAST
+    // KEPT event of its (user, type) — the data-dependent recursion no
+    // window frame expresses; oracle replays the fold row-for-row with a
+    // recursive CTE (the stream_ewma discipline)
+    """WITH RECURSIVE e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS tsm
+      |  FROM events WHERE user_id < 60),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+      |    ORDER BY tsm, event_id) AS rn FROM e),
+      |rec(user_id, event_type, rn, tsm_kept, event_id, tsm, kept) AS (
+      |  SELECT user_id, event_type, rn, tsm, event_id, tsm, TRUE FROM r WHERE rn = 1
+      |  UNION ALL
+      |  SELECT r.user_id, r.event_type, r.rn,
+      |    CASE WHEN r.tsm - rec.tsm_kept >= 86400000000 THEN r.tsm ELSE rec.tsm_kept END,
+      |    r.event_id, r.tsm, r.tsm - rec.tsm_kept >= 86400000000
+      |  FROM rec JOIN r ON r.user_id = rec.user_id
+      |    AND r.event_type = rec.event_type AND r.rn = rec.rn + 1)
+      |SELECT user_id, event_type, event_id, tsm FROM rec WHERE kept
+      |ORDER BY user_id, event_type, event_id"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val ev = events(s, dir).filter(col("user_id") < 60)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts").cast(TimestampType)).as("tsm"))
+    Resample.throttleEvents(ev, Seq("user_id", "event_type"), "tsm",
+        "event_id", minGapMicros = 86400000000L)
+      .orderBy("user_id", "event_type", "event_id")
+  }
+
+  /** Unrolled synchronous label-propagation oracle over the order-hash
+    * graph: seeds (v < 30, label = v % 3) stay fixed; per round the
+    * plurality label among labeled neighbors, ties to the smallest label.
+    */
+  private def labelPropOracle(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH p AS (SELECT o_orderkey % 3000 AS a, o_custkey % 3000 AS b FROM orders), "
+    sb ++= "e AS MATERIALIZED (SELECT DISTINCT LEAST(a, b) AS pa, GREATEST(a, b) AS pb FROM p WHERE a != b), "
+    sb ++= "s AS MATERIALIZED (SELECT v, CAST(v % 3 AS INT) AS label FROM " +
+      "(SELECT pa AS v FROM e UNION SELECT pb FROM e) WHERE v < 30), "
+    sb ++= "l0 AS MATERIALIZED (SELECT v, label FROM s), "
+    for (i <- 1 to rounds) {
+      sb ++= s"v$i AS MATERIALIZED (SELECT e.pb AS v, l.label FROM e JOIN l${i - 1} l ON l.v = e.pa " +
+        s"UNION ALL SELECT e.pa, l.label FROM e JOIN l${i - 1} l ON l.v = e.pb), "
+      sb ++= s"c$i AS MATERIALIZED (SELECT v, label, COUNT(*) AS cnt FROM v$i GROUP BY 1, 2), "
+      sb ++= s"b$i AS MATERIALIZED (SELECT v, label FROM (SELECT v, label, " +
+        s"row_number() OVER (PARTITION BY v ORDER BY cnt DESC, label) AS rn FROM c$i) WHERE rn = 1), "
+      sb ++= s"l$i AS MATERIALIZED (SELECT v, label FROM s UNION ALL " +
+        s"SELECT v, label FROM b$i WHERE v NOT IN (SELECT v FROM s)), "
+    }
+    sb.setLength(sb.length - 2)
+    sb ++= s" SELECT v, label FROM l$rounds ORDER BY v"
+    sb.toString
+  }
+
+  q("q_graph_label_prop", labelPropOracle(3)) { (s, dir) =>
+    // deterministic synchronous label propagation: communities spread
+    // from 30 seed vertices in 3 rounds — edge join + argmax window +
+    // seed-priority union per round (Graph.labelPropagation)
+    val p = tbl(s, dir, "orders")
+      .select((col("o_orderkey") % 3000).as("a"), (col("o_custkey") % 3000).as("b"))
+      .filter(col("a") =!= col("b"))
+    val edges = p.select(least(col("a"), col("b")).as("pa"),
+      greatest(col("a"), col("b")).as("pb")).distinct()
+    val seeds = edges.select(col("pa").as("v"))
+      .union(edges.select(col("pb").as("v"))).distinct()
+      .filter(col("v") < 30)
+      .withColumn("label", (col("v") % 3).cast("int"))
+    Graph.labelPropagation(edges, seeds, iters = 3).orderBy("v")
   }
 
   q("stream_topk",

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed graph primitives over edge DataFrames. Connected components
@@ -252,5 +253,42 @@ object Graph {
       h += 1
     }
     hops.select(col("v"), col("hop").cast("int").as("hop"))
+  }
+
+  /** Semi-supervised label propagation with SYNCHRONOUS rounds and a
+    * deterministic tie-break: seed vertices keep their label forever;
+    * every round, each vertex reachable from a labeled neighbor adopts
+    * the plurality label among its currently-labeled neighbors, ties
+    * breaking to the SMALLEST label. Synchronous updates + the total
+    * tie order make the result engine-replayable (asynchronous/random
+    * LPA is not) — the same determinism discipline as pageRank's integer
+    * fixed-point.
+    *
+    * Per round: one equi-join per edge direction (votes), a map-side-
+    * combined (v, label) count, a per-vertex argmax window over the
+    * label-cardinality-sized count table, and a seed-priority union;
+    * lineage truncates per round. Cost is rounds × (edge join + one
+    * vertex-keyed shuffle) — the BFS/kCore class.
+    */
+  def labelPropagation(edges: DataFrame, seeds: DataFrame,
+                       iters: Int): DataFrame = {
+    val e = edges.select(col("pa"), col("pb")).localCheckpoint()
+    val seed = seeds.select(col("v"), col("label").cast("int").as("label"))
+      .localCheckpoint()
+    var labels = seed
+    for (_ <- 1 to iters) {
+      val votes = e.join(labels.withColumnRenamed("v", "pa"), Seq("pa"))
+        .select(col("pb").as("v"), col("label"))
+        .union(e.join(labels.withColumnRenamed("v", "pb"), Seq("pb"))
+          .select(col("pa").as("v"), col("label")))
+      val counts = votes.groupBy("v", "label").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("v").orderBy(col("cnt").desc, col("label"))
+      val best = counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("v"), col("label"))
+      labels = seed
+        .union(best.join(seed.select("v"), Seq("v"), "left_anti"))
+        .localCheckpoint()
+    }
+    labels
   }
 }

@@ -58,14 +58,33 @@ object Linkage {
     * scale). Measured 7.7 → 1.8 s on the 2.2M-pair customer fixture's
     * zones aggregate at sf0.1.
     */
+  /** `maxBlockPairs`: RESULT-CHANGING opt-in (the hotKeyCap contract —
+    * default = exact, no gate). When set, any block whose |L_b|·|R_b|
+    * fan-out exceeds the cap is skipped IN THAT PASS — the standard
+    * linkage defense against a degenerate key (a constant-ish block is
+    * all-pairs in disguise). A skipped block's true pairs survive iff
+    * another pass catches them, so cap only passes that have a
+    * corruption-independent backstop, and run [[blockSizes]] first.
+    */
   def candidates(left: DataFrame, right: DataFrame,
                  leftId: String, rightId: String,
-                 passes: Seq[(Column, Column)]): DataFrame = {
+                 passes: Seq[(Column, Column)],
+                 maxBlockPairs: Long = Long.MaxValue): DataFrame = {
     require(passes.nonEmpty, "at least one blocking pass required")
     val idPairs = passes.map { case (lk, rk) =>
-      left.select(col(leftId), lk.as("__bk"))
-        .join(right.select(col(rightId), rk.as("__bk")), "__bk")
-        .select(leftId, rightId)
+      val l = left.select(col(leftId), lk.as("__bk"))
+      val r = right.select(col(rightId), rk.as("__bk"))
+      val (lf, rf) =
+        if (maxBlockPairs == Long.MaxValue) (l, r) // exact: no gating aggregate
+        else {
+          val keep = l.groupBy("__bk").agg(count(lit(1)).as("__nl"))
+            .join(r.groupBy("__bk").agg(count(lit(1)).as("__nr")), "__bk")
+            .filter(col("__nl") * col("__nr") <= maxBlockPairs)
+            .select("__bk")
+          (l.join(keep, Seq("__bk"), "left_semi"),
+            r.join(keep, Seq("__bk"), "left_semi"))
+        }
+      lf.join(rf, "__bk").select(leftId, rightId)
     }.reduce(_ union _).dropDuplicates(leftId, rightId)
     idPairs.join(left, leftId).join(right, rightId)
   }
@@ -172,24 +191,40 @@ object Linkage {
   /** End-to-end customer linkage: dirty fixture → two blocking passes →
     * FS scoring. Blocking keys are chosen the way a production linker
     * chooses them — per dataset, so every key is BOTH corruption-stable
-    * and low-fan-out:
-    *  - pass A: (nation, segment) — survives all name corruptions; block
-    *    size = customers per (nation, segment) cell.
+    * and low-fan-out, and (the scale rule this file learned twice) the
+    * key's CARDINALITY must grow with the corpus:
+    *  - pass A: (nation, segment, $100-balance-bucket). The bucket term
+    *    is load-bearing: (nation, segment) alone has 125 values at ANY
+    *    corpus size, so pairs grow n²/125 — measured 2.5 s at sf0.1 but
+    *    257 s at sf1 (quadratic, not host noise). The balance bucket
+    *    multiplies cardinality by ~110 and, because balances spread with
+    *    n, keeps per-block size roughly flat. Balance drift (+0.07) can
+    *    cross a $100 edge for ~0.1% of records; those true pairs fall
+    *    through to pass B, which is immune to every fixture corruption.
     *  - pass B: name characters 10..16 (the stable digit region of
     *    `Customer#\d{9}` — untouched by case folds, last-char drops, and
-    *    trailing spaces) — catches the nation-transposed records pass A
-    *    misses, with blocks capped at 100 customers by construction. The
-    *    tempting `substr(name, 1, 12)` prefix is a HOT-BLOCK trap here:
-    *    it is constant over the whole corpus and degenerates to
-    *    all-pairs (`blockSizes` flags it immediately).
+    *    trailing spaces) — catches the nation-transposed and
+    *    bucket-straddling records pass A misses, with blocks capped at
+    *    100 customers BY CONSTRUCTION at any corpus size. The tempting
+    *    `substr(name, 1, 12)` prefix is the same trap as bare
+    *    (nation, segment): constant over the whole corpus, degenerates
+    *    to all-pairs (`blockSizes` flags both immediately).
     */
   def linkCustomers(customer: DataFrame): DataFrame = {
     val dirty = dirtyCustomers(customer)
     val pairs = candidates(dirty, customer, "d_id", "c_custkey", Seq(
-      (concat_ws("|", col("d_nat"), col("d_seg")),
-        concat_ws("|", col("c_nationkey"), col("c_mktsegment"))),
+      (concat_ws("|", col("d_nat"), col("d_seg"),
+        floor(col("d_bal") / 100).cast("int")),
+        concat_ws("|", col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal").cast("decimal(12,2)") / 100).cast("int"))),
       (substring(col("d_name"), 10, 7),
-        substring(col("c_name"), 10, 7))))
+        substring(col("c_name"), 10, 7))),
+      // backstop for the residual n²/cells growth of attribute blocking:
+      // at ≥ sf30 the $100-bucket cells exceed this fan-out and drop from
+      // pass A (pass B still catches every true pair); inert at driver
+      // SFs (max cell fan-out ≈ 726 pairs at sf3), so the oracle replays
+      // without the gate — the q_graph_triangles hotKeyCap precedent
+      maxBlockPairs = 100000L)
     score(pairs, customerComparators)
   }
 }

@@ -34,4 +34,43 @@ object Resample {
       .select(col(keyCol), col("h"), col("n"),
         last("n", ignoreNulls = true).over(w).as("n_fill"))
   }
+
+  /** Throttle/rate-limit dedup: per key, keep an event iff it is at least
+    * `minGapMicros` after the PREVIOUSLY KEPT event (the first event of a
+    * key is always kept). This is the data-dependent recursion window
+    * functions cannot express — whether an event is kept depends on which
+    * earlier events were kept, not on any fixed frame — so it runs as the
+    * classic secondary-sort fold: repartition on the key columns,
+    * sortWithinPartitions on (key, ts, tie-break), then one O(1)-state
+    * linear pass per partition. (Gap-based sessionize-and-keep-first is
+    * the DIFFERENT semantics: a dense burst longer than the gap suppresses
+    * everything after its head, while throttle re-emits every minGap.)
+    *
+    * Scale shape: one shuffle on the key, an in-partition sort, a narrow
+    * fold — the same cost class as any windowed pass, with no per-key
+    * materialization (a million-event key streams through). Input rows
+    * must carry `tsMicrosCol` (already an integer micros column) and a
+    * unique `tieCol` for a total order.
+    */
+  def throttleEvents(df: DataFrame, keyCols: Seq[String], tsMicrosCol: String,
+                     tieCol: String, minGapMicros: Long): DataFrame = {
+    val cols = df.columns
+    val ki = keyCols.map(k => cols.indexOf(k))
+    val ti = cols.indexOf(tsMicrosCol)
+    require(ki.forall(_ >= 0) && ti >= 0, "key/ts columns must exist")
+    val sorted = df.repartition(keyCols.map(col): _*)
+      .sortWithinPartitions((keyCols :+ tsMicrosCol :+ tieCol).map(col): _*)
+    val enc = org.apache.spark.sql.Encoders.row(df.schema)
+    sorted.mapPartitions { rows =>
+      var curKey: Seq[Any] = null
+      var lastKept = Long.MinValue
+      rows.filter { r =>
+        val k = ki.map(r.get)
+        val ts = r.getLong(ti)
+        if (k != curKey) { curKey = k; lastKept = ts; true }
+        else if (ts - lastKept >= minGapMicros) { lastKept = ts; true }
+        else false
+      }
+    }(enc)
+  }
 }

@@ -35,6 +35,22 @@ class LinkageSpec extends AnyFunSuite {
     assert(!stateOnly.contains((3L, 30L)))
   }
 
+  test("candidates maxBlockPairs: hot block skipped in its pass, backstop pass still catches") {
+    // NY block fans out 2x2=4 > cap 2, so the state pass drops it; the
+    // name-prefix pass (1x1 blocks) still finds the NY true pairs
+    val capped = Linkage.candidates(left, right, "l_id", "r_id", Seq(
+      (col("l_state"), col("r_state")),
+      (substring(col("l_name"), 1, 3), substring(col("r_name"), 1, 3))),
+      maxBlockPairs = 2L)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    assert(capped == Set((1L, 10L), (2L, 20L), (3L, 30L)))
+    // default stays exact (no gate): same result as the uncapped call
+    val exact = Linkage.candidates(left, right, "l_id", "r_id",
+      Seq((col("l_state"), col("r_state"))))
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    assert(exact == Set((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L)))
+  }
+
   test("score + decide: level precedence, pattern, integer weights, zones") {
     val pairs = Linkage.candidates(left, right, "l_id", "r_id",
       Seq((lit(1), lit(1)))) // tiny all-pairs block: 9 pairs, test-only

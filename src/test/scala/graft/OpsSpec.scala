@@ -2301,6 +2301,33 @@ class AdviceRegressionSpec extends AnyFunSuite {
     assert(a.getLong(5) == 2) // é and U+FFFD are non-ascii
   }
 
+  test("throttleEvents: re-arms from the kept event, not the previous event") {
+    // key A at 0h, 1h, 2h, 2.5h, 4h with a 2h gap: keep 0h, 2h, 4h —
+    // a gap-sessionize would glue 2h/2.5h to the 1h event and drop 2h
+    val h = 3600000000L
+    val ev = Seq(("a", 0L * h, 1L), ("a", 1L * h, 2L), ("a", 2L * h, 3L),
+      ("a", (2.5 * h).toLong, 4L), ("a", 4L * h, 5L),
+      ("b", 0L * h, 6L)) // other key independent, first always kept
+      .toDF("k", "tsm", "id")
+    val kept = Resample.throttleEvents(ev, Seq("k"), "tsm", "id", 2L * h)
+      .collect().map(_.getLong(2)).sorted
+    assert(kept.toSeq == Seq(1L, 3L, 5L, 6L))
+  }
+
+  test("labelPropagation: sync rounds, smallest-label ties, seeds immutable") {
+    // path 1-2-3-4-5, seeds 1->0 and 5->1: round 1 labels 2 and 4;
+    // round 2 gives 3 a {0,1} tie -> smallest label 0
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("pa", "pb")
+    val seeds = Seq((1L, 0), (5L, 1)).toDF("v", "label")
+    val got = Graph.labelPropagation(edges, seeds, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 1, 5L -> 1))
+    // one round: 3 has no labeled neighbor yet
+    val r1 = Graph.labelPropagation(edges, seeds, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(!r1.contains(3L) && r1(2L) == 0 && r1(4L) == 1)
+  }
+
   test("epoch shuffle is a stable per-epoch permutation with dense shard positions") {
     val df = (0L until 100L).toDF("doc_id")
     val e1 = Pipeline.epochShuffle(df, "doc_id", epoch = 1, nShards = 8)

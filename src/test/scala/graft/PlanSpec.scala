@@ -577,6 +577,38 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_count") || plan.contains("partial count"),
       plan.take(2000))
   }
+
+  test("roc auc: scores distinct-compress map-side before the single rank window") {
+    val plan = planOf("q_eval_auc")
+    // the corpus reduces to per-score counts (partial aggregation) and
+    // only the value-cardinality table meets the global window
+    assert(plan.contains("partial_sum") || plan.contains("partial sum"),
+      plan.take(2000))
+    assert(plan.linesIterator.count(_.contains("Window")) >= 1, plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
+  test("welch t-test: exact sums partial-aggregate; no join anywhere") {
+    val plan = planOf("q_welch_ttest")
+    assert(plan.contains("partial_sum") || plan.contains("partial sum"),
+      plan.take(2000))
+    assert(!plan.contains("Join"), plan.take(2000))
+  }
+
+  test("audio segments: codec pass is narrow — no key shuffle before the sort") {
+    val plan = planOf("multimodal_audio_segments")
+    // the only exchange is the final presentation sort's range partitioning
+    assert(!plan.contains("hashpartitioning"), plan.take(2000))
+  }
+
+  test("calibration bins: one bins-sized aggregation, filter-free scan of two columns") {
+    val plan = planOf("q_eval_calibration")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("text") && !readSchema.contains("source"),
+      readSchema)
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      plan.take(2000))
+  }
 }
 
 /** GraftExtensions registers the engine's strategies via the standard
