@@ -123,9 +123,28 @@ object Dedup {
     (sh, if (checkpointBands) bandRows.localCheckpoint() else bandRows)
   }
 
+  /** `maxBucket`: RESULT-CHANGING opt-in (the hotKeyCap contract — the
+    * default is EXACT, no gate). A (band, digest) bucket holding k docs
+    * contributes C(k,2) candidate pairs, and on vocabulary-limited
+    * corpora the per-band minima concentrate on the few globally-smallest
+    * shingle hashes, so the hottest bucket grows as a LINEAR FRACTION of
+    * the corpus — candidates then grow n² (measured: 1.1M pairs at 50k
+    * docs → 10.2M at 150k on the driver-shaped corpus, with the top
+    * bucket at 0.2% of all docs). Buckets above the cap are dropped
+    * before the self-join — the stop-shingle rule: a collision shared by
+    * thousands of documents carries little similarity information. A true
+    * near-dup pair survives iff SOME band bucket under the cap contains
+    * it, and on this corpus that is a measured RECALL TRADE-OFF, not a
+    * free lunch: at 150k docs, cap=50 keeps 238 of 300 verified pairs
+    * (79%) at 2.4× the speed. Tune the cap with q_eval_dedup_recall
+    * before trusting it, and run exact dedup first so a giant EXACT-dup
+    * family (a legitimate hot bucket) is collapsed before LSH ever sees
+    * it.
+    */
   def minhashLsh(df: DataFrame, textCol: String, idCol: String,
                  shingleN: Int = 3, bands: Int = 3, rows: Int = 3,
-                 threshold: Double = 0.5): DataFrame = {
+                 threshold: Double = 0.5,
+                 maxBucket: Int = Int.MaxValue): DataFrame = {
     // Shingling and the k-minhash signature feed three consumers (band
     // self-join + both verification joins); materialize them once instead
     // of letting projection collapse recompute the md5 pyramid per use.
@@ -135,7 +154,8 @@ object Dedup {
     // library use in a long-lived session doesn't accumulate storage
     // (ADVICE r1). At cluster scale this becomes a reliable checkpoint —
     // the plan shape is the same.
-    val (sh, bandRows) = shingleBands(df, textCol, idCol, shingleN, bands, rows)
+    val (sh, bandRows0) = shingleBands(df, textCol, idCol, shingleN, bands, rows)
+    val bandRows = capBuckets(bandRows0, maxBucket)
     val cand = bandRows.as("a")
       .join(bandRows.as("b"),
         col("a.band") === col("b.band") && col("a.digest") === col("b.digest") &&
@@ -155,6 +175,20 @@ object Dedup {
       .filter(col("jac") >= threshold)
   }
 
+  /** Stop-shingle gate shared by the LSH paths: drop (band, digest)
+    * buckets holding more than `maxBucket` docs before any self-join.
+    * Int.MaxValue (the default everywhere) skips the gating aggregate
+    * entirely — exact semantics cost nothing.
+    */
+  private def capBuckets(bandRows: DataFrame, maxBucket: Int): DataFrame =
+    if (maxBucket == Int.MaxValue) bandRows
+    else {
+      val keep = bandRows.groupBy("band", "digest")
+        .agg(count(lit(1)).as("__k")).filter(col("__k") <= maxBucket)
+        .select("band", "digest")
+      bandRows.join(keep, Seq("band", "digest"), "left_semi")
+    }
+
   /** The raw LSH candidate pairs — band-digest collisions BEFORE the
     * exact-jaccard verification. Exposed for recall/precision evaluation
     * against exact ground truth (q_eval_dedup_recall): the candidate set
@@ -162,12 +196,15 @@ object Dedup {
     * blind is how LSH deployments silently lose near-dups. Same band
     * self-join as minhashLsh (one key-partitioned shuffle on
     * (band, digest)); returns distinct (a_id, b_id), a_id < b_id.
+    * `maxBucket` follows the minhashLsh contract (default exact).
     */
   def lshCandidatePairs(df: DataFrame, textCol: String, idCol: String,
                         shingleN: Int = 3, bands: Int = 3,
-                        rows: Int = 3): DataFrame = {
-    val (_, bandRows) = shingleBands(df, textCol, idCol, shingleN, bands, rows,
+                        rows: Int = 3,
+                        maxBucket: Int = Int.MaxValue): DataFrame = {
+    val (_, bandRows0) = shingleBands(df, textCol, idCol, shingleN, bands, rows,
       checkpointSh = false)
+    val bandRows = capBuckets(bandRows0, maxBucket)
     bandRows.as("a")
       .join(bandRows.as("b"),
         col("a.band") === col("b.band") && col("a.digest") === col("b.digest") &&
@@ -430,8 +467,10 @@ object Dedup {
     */
   def dedupByMinhash(df: DataFrame, textCol: String, idCol: String,
                      shingleN: Int = 3, bands: Int = 3, rows: Int = 3,
-                     threshold: Double = 0.5): DataFrame = {
-    val pairs = minhashLsh(df, textCol, idCol, shingleN, bands, rows, threshold)
+                     threshold: Double = 0.5,
+                     maxBucket: Int = Int.MaxValue): DataFrame = {
+    val pairs = minhashLsh(df, textCol, idCol, shingleN, bands, rows, threshold,
+      maxBucket)
     val dropped = clusterPairs(pairs)
       .filter(col("cluster_id") =!= col("doc_id"))
       .select(col("doc_id").as(idCol))
@@ -453,8 +492,10 @@ object Dedup {
   def dedupByMinhashPriority(df: DataFrame, textCol: String, idCol: String,
                              priority: Column,
                              shingleN: Int = 3, bands: Int = 3, rows: Int = 3,
-                             threshold: Double = 0.5): DataFrame = {
-    val pairs = minhashLsh(df, textCol, idCol, shingleN, bands, rows, threshold)
+                             threshold: Double = 0.5,
+                             maxBucket: Int = Int.MaxValue): DataFrame = {
+    val pairs = minhashLsh(df, textCol, idCol, shingleN, bands, rows, threshold,
+      maxBucket)
     val labeled = clusterPairs(pairs)
       .join(df.select(col(idCol).as("doc_id"), priority.as("__prio")), "doc_id")
     val keepers = labeled.groupBy("cluster_id")

@@ -113,6 +113,22 @@ class OpsSpec extends AnyFunSuite {
     assert(dupFam.getLong(1) == 0L) // keeper is min doc_id
   }
 
+  test("minhashLsh maxBucket: hot bucket dropped, small-bucket pairs survive, default exact") {
+    // 30 identical docs form one hot bucket per band; one separate
+    // near-dup pair lives in its own small buckets
+    val hot = (0L until 30L).map(i => (i, "alpha beta gamma delta epsilon"))
+    // identical pair (jaccard 1): every band collides by construction
+    val pair = Seq((100L, "quantum flux capacitor energizes warp drive"),
+      (101L, "quantum flux capacitor energizes warp drive"))
+    val df = (hot ++ pair).toDF("doc_id", "text")
+    val exact = Dedup.minhashLsh(df, "text", "doc_id")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(exact.contains((100L, 101L)) && exact.size == 30 * 29 / 2 + 1)
+    val capped = Dedup.minhashLsh(df, "text", "doc_id", maxBucket = 10)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(capped == Set((100L, 101L))) // hot family suppressed, pair kept
+  }
+
   test("minhash LSH finds exact and near dups, not unrelated docs") {
     val pairs = Dedup.minhashLsh(docs, "text", "doc_id", threshold = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
