@@ -7341,8 +7341,11 @@ object Queries {
        |FROM agg JOIN best ON agg.c_custkey = best.c_custkey AND best.rn = 1
        |JOIN mb ON mb.c_custkey = agg.c_custkey
        |ORDER BY agg.c_custkey""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    // four consumers below (names twice, agg, max-balance): materialize
+    // the decided matches once or the whole blocking+scoring pipeline
+    // recomputes per consumer (measured 11.5 s -> linkage cost once)
     val m = Linkage.decide(Linkage.linkCustomers(tbl(s, dir, "customer")), 18, 5)
-      .filter(col("zone") === "match")
+      .filter(col("zone") === "match").localCheckpoint()
     val names = m.select(col("c_custkey"), col("d_name").as("nm"),
         col("d_bal").as("bal"))
       .unionByName(m.select(col("c_custkey"), col("c_name").as("nm"),
@@ -7648,6 +7651,149 @@ object Queries {
         .when(col("doc_id") % 5 === 0, lit("\u0007"))
         .when(col("doc_id") % 3 === 0, lit("\u00e9")).otherwise(lit("")))
     TextAnalysis.encodingAudit(d, dirty).orderBy("source")
+  }
+
+  q("q_interval_merge",
+    // stitch overlapping intervals per key (the interval-union /
+    // session-stitch primitive): each event spans [ts, ts+1h]; a new
+    // island starts where start exceeds the running max end of ALL
+    // prior intervals — one user_id exchange feeds both window passes
+    """WITH iv AS (SELECT user_id, epoch_us(ts) AS s0, epoch_us(ts) + 3600000000 AS e0,
+      |    event_id FROM events WHERE user_id < 100),
+      |m AS (SELECT user_id, s0, e0, event_id,
+      |    max(e0) OVER (PARTITION BY user_id ORDER BY s0, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM iv),
+      |g AS (SELECT user_id, s0, e0,
+      |    SUM(CASE WHEN pmax IS NULL OR s0 > pmax THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY s0, event_id
+      |        ROWS UNBOUNDED PRECEDING) AS island FROM m)
+      |SELECT user_id, CAST(island AS BIGINT) AS island,
+      |  MIN(s0) AS start_us, MAX(e0) AS end_us, COUNT(*) AS n_intervals
+      |FROM g GROUP BY user_id, island ORDER BY user_id, island"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val iv = events(s, dir).filter(col("user_id") < 100)
+      .select(col("user_id"),
+        unix_micros(col("ts").cast(TimestampType)).as("s0"),
+        (unix_micros(col("ts").cast(TimestampType)) + 3600000000L).as("e0"),
+        col("event_id"))
+    val w = Window.partitionBy("user_id").orderBy("s0", "event_id")
+    val m = iv.withColumn("pmax",
+      max("e0").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+    m.withColumn("island",
+        sum(when(col("pmax").isNull || col("s0") > col("pmax"), 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "island")
+      .agg(min("s0").as("start_us"), max("e0").as("end_us"),
+        count(lit(1)).as("n_intervals"))
+      .orderBy("user_id", "island")
+  }
+
+  q("q_weighted_median",
+    // exact weighted median per segment: the smallest balance whose
+    // cumulative weight reaches half the total (2·cum ≥ tot in exact
+    // integers — no division); weights are deterministic small ints
+    """WITH t AS (SELECT c_mktsegment AS seg,
+      |    CAST(c_acctbal AS DECIMAL(12,2)) AS v,
+      |    1 + c_custkey % 5 AS wt, c_custkey FROM customer),
+      |c AS (SELECT seg, v, wt, c_custkey,
+      |    SUM(wt) OVER (PARTITION BY seg ORDER BY v, c_custkey
+      |      ROWS UNBOUNDED PRECEDING) AS cw,
+      |    SUM(wt) OVER (PARTITION BY seg) AS tw FROM t),
+      |r AS (SELECT seg, v, cw, tw,
+      |    row_number() OVER (PARTITION BY seg ORDER BY v, c_custkey) AS rn
+      |  FROM c WHERE 2 * cw >= tw)
+      |SELECT seg, CAST(v AS DOUBLE) AS w_median,
+      |  CAST(tw AS BIGINT) AS total_weight FROM r WHERE rn = 1 ORDER BY seg"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val t = tbl(s, dir, "customer")
+      .select(col("c_mktsegment").as("seg"),
+        dec(col("c_acctbal"), 12, 2).as("v"),
+        (lit(1) + col("c_custkey") % 5).as("wt"), col("c_custkey"))
+    val ws = Window.partitionBy("seg").orderBy("v", "c_custkey")
+    val c = t
+      .withColumn("cw",
+        sum("wt").over(ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tw", sum("wt").over(Window.partitionBy("seg")))
+      .filter(lit(2) * col("cw") >= col("tw"))
+    c.withColumn("rn", row_number().over(ws))
+      .filter(col("rn") === 1)
+      .select(col("seg"), col("v").cast("double").as("w_median"),
+        col("tw").cast("long").as("total_weight"))
+      .orderBy("seg")
+  }
+
+  q("q_eval_pr_curve",
+    // precision/recall at ten score thresholds from one histogram pass:
+    // per-milli-bucket counts cum-summed from the top — the threshold
+    // sweep is bins-sized, never a corpus rescan per threshold
+    """WITH p AS (SELECT lang = 'en' AS pos,
+      |    LEAST(999, n_chars % 500 + CASE WHEN lang = 'en' THEN 300 ELSE 100 END) AS pm
+      |  FROM documents),
+      |h AS (SELECT pm, SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS np,
+      |    COUNT(*) AS n FROM p GROUP BY 1),
+      |t AS (SELECT unnest(range(10)) * 100 AS thr),
+      |a AS (SELECT thr, SUM(CASE WHEN pm >= thr THEN np ELSE 0 END) AS tp,
+      |    SUM(CASE WHEN pm >= thr THEN n - np ELSE 0 END) AS fp,
+      |    SUM(CASE WHEN pm < thr THEN np ELSE 0 END) AS fn
+      |  FROM t, h GROUP BY 1)
+      |SELECT CAST(thr AS INT) AS thr, CAST(tp AS BIGINT) AS tp,
+      |  CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+      |  CASE WHEN tp + fp > 0 THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision,
+      |  CASE WHEN tp + fn > 0 THEN round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall
+      |FROM a ORDER BY thr""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    import s.implicits._
+    val p = tbl(s, dir, "documents")
+      .select((col("lang") === "en").as("pos"),
+        least(lit(999), col("n_chars") % 500
+          + when(col("lang") === "en", 300).otherwise(100)).as("pm"))
+    val h = p.groupBy("pm")
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+        count(lit(1)).as("n"))
+    val thr = (0 until 10).map(_ * 100).toDF("thr")
+    broadcast(thr).crossJoin(h)
+      .groupBy("thr")
+      .agg(sum(when(col("pm") >= col("thr"), col("np")).otherwise(0L)).as("tp"),
+        sum(when(col("pm") >= col("thr"), col("n") - col("np")).otherwise(0L)).as("fp"),
+        sum(when(col("pm") < col("thr"), col("np")).otherwise(0L)).as("fn"))
+      .select(col("thr").cast("int").as("thr"), col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") > 0,
+          round(col("tp").cast("double") / (col("tp") + col("fp")), 6))
+          .as("precision"),
+        when(col("tp") + col("fn") > 0,
+          round(col("tp").cast("double") / (col("tp") + col("fn")), 6))
+          .as("recall"))
+      .orderBy("thr")
+  }
+
+  q("q_skyline_2d",
+    // 2D Pareto skyline (dominance query): parts minimizing (size,
+    // price) jointly — no other part is ≤ on both with < on one. The
+    // oracle states the NOT EXISTS semantics directly; the engine runs
+    // the O(n log n) sweep: per-x minimum, then a running strict-prefix
+    // minimum over x — two window passes, no self-join
+    """WITH t AS (SELECT p_partkey, p_size,
+      |    CAST(p_retailprice AS DECIMAL(12,2)) AS price FROM part)
+      |SELECT p_partkey, p_size, CAST(price AS DOUBLE) AS price FROM t p
+      |WHERE NOT EXISTS (SELECT 1 FROM t q
+      |  WHERE q.p_size <= p.p_size AND q.price <= p.price
+      |    AND (q.p_size < p.p_size OR q.price < p.price))
+      |ORDER BY p_size, p_partkey""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val t = tbl(s, dir, "part")
+      .select(col("p_partkey"), col("p_size"),
+        dec(col("p_retailprice"), 12, 2).as("price"))
+    // per-size minimum price, then the strict-prefix running minimum:
+    // a size-group survives iff its min price undercuts every smaller
+    // size's minimum; surviving rows are those AT the group minimum
+    val gmin = t.groupBy("p_size").agg(min("price").as("ymin"))
+    val w = Window.orderBy("p_size")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sky = gmin.withColumn("smin", min("ymin").over(w))
+      .filter(col("smin").isNull || col("ymin") < col("smin"))
+      .select(col("p_size").as("sk_size"), col("ymin"))
+    t.join(sky, col("p_size") === col("sk_size") && col("price") === col("ymin"))
+      .select(col("p_partkey"), col("p_size"),
+        col("price").cast("double").as("price"))
+      .orderBy("p_size", "p_partkey")
   }
 
   q("q_event_throttle",
