@@ -3903,14 +3903,24 @@ object Queries {
   }
 
   q("q_trimmed_mean",
-    // robust location: drop the <5th and >95th percentile tails, average
-    // the rest over an exact decimal sum — two passes, bounds broadcast
-    """WITH bnd AS (SELECT l_returnflag, quantile_cont(l_extendedprice, 0.05) AS plo,
-      |  quantile_cont(l_extendedprice, 0.95) AS phi FROM lineitem GROUP BY 1)
-      |SELECT l.l_returnflag, COUNT(*) AS n_kept,
-      |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS trimmed_mean
-      |FROM lineitem l JOIN bnd b ON l.l_returnflag = b.l_returnflag
-      |WHERE l_extendedprice >= b.plo AND l_extendedprice <= b.phi
+    // robust location: drop values outside the exact PHYSICAL 5th/95th
+    // percentile elements (rank 1+(n−1)·p div 100 — integer selection,
+    // tie-order-proof), average the rest over an exact decimal sum.
+    // Bounds come from a spillable rank window, never a per-group
+    // in-memory buffer (the percentile()/collect_list 100 TB trap)
+    """WITH g AS (SELECT l_returnflag, l_extendedprice AS v FROM lineitem),
+      |r AS (SELECT l_returnflag, v,
+      |    row_number() OVER (PARTITION BY l_returnflag ORDER BY v) AS rn,
+      |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n FROM g),
+      |bnd AS (SELECT l_returnflag,
+      |    MIN(CASE WHEN rn = 1 + (n - 1) * 5 // 100 THEN v END) AS plo,
+      |    MIN(CASE WHEN rn = 1 + (n - 1) * 95 // 100 THEN v END) AS phi
+      |  FROM r WHERE rn = 1 + (n - 1) * 5 // 100
+      |    OR rn = 1 + (n - 1) * 95 // 100 GROUP BY 1)
+      |SELECT g.l_returnflag, COUNT(*) AS n_kept,
+      |  round(CAST(SUM(CAST(v AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS trimmed_mean
+      |FROM g JOIN bnd b ON g.l_returnflag = b.l_returnflag
+      |WHERE v >= b.plo AND v <= b.phi
       |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")) { (s, dir) =>
     Stats.trimmedMean(tbl(s, dir, "lineitem"), "l_returnflag", "l_extendedprice")
       .orderBy("l_returnflag")

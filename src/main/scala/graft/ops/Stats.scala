@@ -274,16 +274,35 @@ object Stats {
     * two passes (bounds, then filtered mean) — unavoidable for exact
     * percentiles without a sketch.
     */
+  /** Trimmed mean inside the exact PHYSICAL percentile bounds (the
+    * elements at rank 1 + (n−1)·pct div 100 — integer selection, no
+    * interpolation, deterministic under duplicate values because the
+    * value at a sorted rank does not depend on tie order).
+    *
+    * Bounds come from one rank window over the group sort — Spark's
+    * window sort spills to disk, so a group of any size streams through.
+    * The previous `percentile()` aggregate buffered EVERY group value in
+    * an in-memory array on the reducer: wrong cost class at 100 TB (and
+    * measured 1.9 s vs 0.6 s at sf0.1). Bounds then broadcast back for
+    * the one-pass trim + exact decimal mean.
+    */
   def trimmedMean(df: DataFrame, groupCol: String, valCol: String,
-                  lo: Double = 0.05, hi: Double = 0.95,
+                  loPct: Int = 5, hiPct: Int = 95,
                   p: Int = 12, s: Int = 2): DataFrame = {
-    // one percentile aggregation for both bounds: a single per-group
-    // value buffer and sort instead of two
-    val bounds = df.groupBy(groupCol)
-      .agg(expr(s"percentile($valCol, array($lo, $hi))").as("pb"))
-      .select(col(groupCol), col("pb").getItem(0).as("plo"),
-        col("pb").getItem(1).as("phi"))
-    df.join(broadcast(bounds), groupCol)
+    val g = df.select(col(groupCol), col(valCol))
+    val wOrd = Window.partitionBy(groupCol).orderBy(valCol)
+    val wAll = Window.partitionBy(groupCol)
+    val ranked = g.withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+    val bounds = ranked
+      .filter(col("rn") === expr(s"1 + (n - 1) * $loPct div 100") ||
+        col("rn") === expr(s"1 + (n - 1) * $hiPct div 100"))
+      .groupBy(groupCol)
+      .agg(min(when(col("rn") === expr(s"1 + (n - 1) * $loPct div 100"),
+        col(valCol))).as("plo"),
+        min(when(col("rn") === expr(s"1 + (n - 1) * $hiPct div 100"),
+          col(valCol))).as("phi"))
+    g.join(broadcast(bounds), groupCol)
       .filter(col(valCol) >= col("plo") && col(valCol) <= col("phi"))
       .groupBy(groupCol)
       .agg(count(lit(1)).as("n_kept"),
@@ -483,11 +502,22 @@ object Stats {
                      loPct: Int = 5, hiPct: Int = 95): DataFrame = {
     require(0 <= loPct && loPct <= hiPct && hiPct <= 100, "bad percent bounds")
     val g = df.select(col(groupCol).as("grp"), valCol.as("v"))
-    def at(p: Int): Column =
-      element_at(col("vs"), expr(s"int(1 + (n - 1) * $p div 100)"))
-    val bounds = g.groupBy("grp")
-      .agg(sort_array(collect_list("v")).as("vs"), count(lit(1)).as("n"))
-      .select(col("grp"), col("n"), at(loPct).as("lo"), at(hiPct).as("hi"))
+    // physical bound elements via a SPILLABLE rank window — identical
+    // values to the previous sort_array(collect_list) form (the element
+    // at a sorted rank is tie-order-proof), but a group of any size
+    // streams through the window sort instead of materializing in one
+    // reducer array (the collect_list 100 TB trap; see trimmedMean)
+    val wOrd = Window.partitionBy("grp").orderBy("v")
+    val wAll = Window.partitionBy("grp")
+    val loAt = expr(s"1 + (n - 1) * $loPct div 100")
+    val hiAt = expr(s"1 + (n - 1) * $hiPct div 100")
+    val bounds = g.withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .filter(col("rn") === loAt || col("rn") === hiAt)
+      .groupBy("grp")
+      .agg(max("n").as("n"),
+        min(when(col("rn") === loAt, col("v"))).as("lo"),
+        min(when(col("rn") === hiAt, col("v"))).as("hi"))
     g.join(broadcast(bounds), Seq("grp"))
       .groupBy("grp", "n", "lo", "hi")
       .agg(sum(least(greatest(col("v"), col("lo")), col("hi"))).as("sw"))
