@@ -6806,8 +6806,13 @@ object Queries {
   q("q_pareto_abc",
     // ABC/Pareto inventory classification: cumulative revenue share with
     // integer cross-multiplied 80/95 boundaries — exact decimal cumsum
-    // over the per-part AGGREGATE (bounded by the part domain, so the
-    // global ranking window ranks a report, not raw rows)
+    // over the per-part AGGREGATE. CARDINALITY CONTRACT: the global
+    // cumulative window is |parts|-sized — inherent to ABC (the output
+    // IS a ranked walk of the catalog) and bounded by catalog
+    // cardinality (~200k/SF for TPC-H parts, ~10^5-10^7 for real
+    // catalogs), never by lineitem rows; a catalog too big for one task
+    // is a catalog no one ABC-ranks — pre-aggregate to revenue bands
+    // first (the q_histogram discipline) if that ever changes
     """WITH r AS (SELECT l_partkey AS part,
       |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev
       |  FROM lineitem WHERE l_partkey < 500 GROUP BY 1),
@@ -7096,6 +7101,34 @@ object Queries {
       dec(col("o_totalprice"), 12, 2))
   }
 
+  q("q_mannwhitney_continuous",
+    // the CONTINUOUS-domain stress of the rank-statistic family: the
+    // score is a distinct-per-row double (md5-hash uniform on [0,1) —
+    // both engines compute the identical IEEE value), so per-value
+    // compression buys nothing and the cumulative counts MUST come from
+    // the range-bucketed prefix sums (PlanSpec holds "no unpartitioned
+    // Window" on this plan; the old Window.orderBy form would sort the
+    // whole corpus in one task)
+    """WITH g AS (SELECT
+      |    CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
+      |      / 1152921504606846976.0 AS v,
+      |    SUM(CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+      |    COUNT(*) AS c
+      |  FROM orders GROUP BY 1),
+      |r AS (SELECT ca, c, coalesce(SUM(c) OVER (ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rlo FROM g),
+      |t AS (SELECT SUM(ca) AS n1, SUM(c) - SUM(ca) AS n2,
+      |    SUM(ca * (2 * rlo + c + 1)) AS r1x2 FROM r)
+      |SELECT CAST(n1 AS INT) AS n1, CAST(n2 AS INT) AS n2,
+      |  CAST(r1x2 - n1 * (n1 + 1) AS BIGINT) AS u2x,
+      |  round(1.0e0 - CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) /
+      |    CAST(n1 * n2 AS DOUBLE), 6) AS rank_biserial
+      |FROM t""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    Stats.mannWhitneyU(tbl(s, dir, "orders"), col("o_custkey") % 2 === 0,
+      Pipeline.md5Hash60(col("o_orderkey")).cast("double")
+        / lit(1.152921504606846976e18))
+  }
+
   q("q_ks_test",
     // exact two-sample Kolmogorov–Smirnov: D·n1·n2 = max |c1·n2 − c2·n1|
     // over the pooled per-value ECDFs (integer), argmax ties to the
@@ -7248,18 +7281,29 @@ object Queries {
       |       WHEN r_score >= 4 THEN 'at_risk' ELSE 'regular' END AS segment
       |FROM sc ORDER BY r_score + f_score + m_score, o_custkey LIMIT 50"""
       .stripMargin.replace("\n", " ")) { (s, dir) =>
+    // NTILE(5) without the three global unpartitioned windows (each was
+    // a |customers|-sized single-task sort): per dimension a range-
+    // bucketed global rank (Ranks.globalRank — descending dims negate),
+    // then the exact NTILE formula from (rank, n). Same quintile values
+    // INCLUDING at the boundaries — ties still break by o_custkey
+    // through the rank's tie column, so the result is bit-identical to
+    // the window form and the oracle keeps its NTILE.
     val ref = lit("2001-08-02").cast("date")
     val c = tbl(s, dir, "orders").groupBy("o_custkey")
       .agg(datediff(ref, max("o_orderdate")).as("recency_days"),
         count(lit(1)).as("frequency"),
         sum(dec(col("o_totalprice"), 12, 2)).cast("double").as("monetary"))
+      .localCheckpoint() // consumers: 3 rank passes + the score join
+    val n = c.count()
+    def rankOf(sortCol: Column, name: String): DataFrame =
+      Ranks.globalRank(c.select(col("o_custkey"), sortCol.as("__s")),
+          col("__s"), col("o_custkey"), name)
+        .select(col("o_custkey"), Ranks.ntileOfRank(col(name), lit(n), 5)
+          .as(name))
     val sc = c
-      .withColumn("r_score",
-        ntile(5).over(Window.orderBy(col("recency_days").asc, col("o_custkey"))))
-      .withColumn("f_score",
-        ntile(5).over(Window.orderBy(col("frequency").desc, col("o_custkey"))))
-      .withColumn("m_score",
-        ntile(5).over(Window.orderBy(col("monetary").desc, col("o_custkey"))))
+      .join(rankOf(col("recency_days"), "r_score"), "o_custkey")
+      .join(rankOf(-col("frequency"), "f_score"), "o_custkey")
+      .join(rankOf(-col("monetary"), "m_score"), "o_custkey")
     sc.select(col("o_custkey"), col("recency_days").cast("int").as("recency_days"),
         col("frequency").cast("int").as("frequency"),
         round(col("monetary"), 2).as("monetary"),
@@ -7274,8 +7318,10 @@ object Queries {
 
   q("q_km_survival",
     // Kaplan–Meier user-lifetime curve (right-censored at 2024-01-29):
-    // at-risk counts from one window over per-duration aggregates, the
-    // survival prefix product folded in ascending order — no logs
+    // at-risk counts from per-duration cumulative counts, the survival
+    // prefix product as the TWO-LEVEL blockW=64 grid fold kaplanMeier
+    // defines (per-block factor products, then a carry across blocks —
+    // both engines replay the identical IEEE sequence) — no logs
     """WITH u AS (SELECT user_id, MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx,
       |    MAX(ts) < TIMESTAMP '2024-01-29' AS ev FROM events GROUP BY 1),
       |dur AS (SELECT (mx - mn) // 3600000000 AS t,
@@ -7286,15 +7332,21 @@ object Queries {
       |    n_tot - coalesce(SUM(c) OVER (ORDER BY t
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
       |  FROM g, tt),
-      |f AS (SELECT list(t ORDER BY t) AS ts, list(d ORDER BY t) AS ds,
-      |    list(n_risk ORDER BY t) AS ns,
+      |fb AS (SELECT t // 64 AS bk, list(t ORDER BY t) AS ts,
+      |    list(d ORDER BY t) AS ds, list(n_risk ORDER BY t) AS ns,
       |    list(1.0e0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) ORDER BY t) AS fs
-      |  FROM km),
-      |idx AS (SELECT unnest(range(1, (SELECT len(ts) FROM f) + 1)) AS i)
+      |  FROM km GROUP BY 1),
+      |pb AS (SELECT bk, list_reduce(fs, (a, b) -> a * b) AS p FROM fb),
+      |bl AS (SELECT list(bk ORDER BY bk) AS bks, list(p ORDER BY bk) AS ps FROM pb),
+      |cr AS (SELECT bks[CAST(i AS INT)] AS bk,
+      |    CASE WHEN i = 1 THEN 1.0e0
+      |      ELSE list_reduce(ps[1:CAST(i AS INT) - 1], (a, b) -> a * b) END AS carry
+      |  FROM bl, (SELECT unnest(range(1, (SELECT len(bks) FROM bl) + 1)) AS i) ix),
+      |ex AS (SELECT bk, ts, ds, ns, fs, unnest(range(1, len(ts) + 1)) AS i FROM fb)
       |SELECT ts[CAST(i AS INT)] AS t, CAST(ds[CAST(i AS INT)] AS INT) AS d,
       |  CAST(ns[CAST(i AS INT)] AS INT) AS n_risk,
-      |  round(list_reduce(list_slice(fs, 1, CAST(i AS INT)), (a, b) -> a * b), 6) AS s_t
-      |FROM f, idx ORDER BY t""".stripMargin.replace("\n", " ")) { (s, dir) =>
+      |  round(list_reduce(list_prepend(carry, fs[1:CAST(i AS INT)]), (a, b) -> a * b), 6) AS s_t
+      |FROM ex JOIN cr USING (bk) ORDER BY t""".stripMargin.replace("\n", " ")) { (s, dir) =>
     val u = events(s, dir).groupBy("user_id")
       .agg(min(unix_micros(col("ts").cast(TimestampType))).as("mn"),
         max(unix_micros(col("ts").cast(TimestampType))).as("mx"),
@@ -7647,7 +7699,7 @@ object Queries {
       |  FROM documents),
       |c AS (SELECT source, length(txt) AS nc,
       |    CASE WHEN contains(txt, chr(65533)) THEN 1 ELSE 0 END AS repl,
-      |    len(regexp_extract_all(txt, '[\x01-\x08\x0E-\x1F]')) AS ctrl,
+      |    len(regexp_extract_all(txt, '[\x00-\x08\x0B\x0C\x0E-\x1F]')) AS ctrl,
       |    len(regexp_extract_all(txt, '[^\x00-\x7F]')) AS nona FROM d)
       |SELECT source, COUNT(*) AS n_docs, CAST(SUM(nc) AS BIGINT) AS n_chars,
       |  CAST(SUM(repl) AS BIGINT) AS n_repl_docs,

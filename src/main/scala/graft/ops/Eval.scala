@@ -61,21 +61,22 @@ object Eval {
 
   /** Exact ROC-AUC of a score against a binary label, via the tie-averaged
     * rank-sum identity AUC = (R₁ − n₁(n₁+1)/2) / (n₁·n₂) — the
-    * Mann–Whitney U normalization (same counts-then-window shape as
-    * [[Stats.mannWhitneyU]], so scores are distinct-compressed BEFORE the
-    * global rank window: the windowed table is value-cardinality-sized,
-    * not corpus-sized). `auc_2x_num` = 2·U₁ stays an exact integer; the
-    * AUC itself is one IEEE division.
+    * Mann–Whitney U normalization (same counts-then-prefix-sum shape as
+    * [[Stats.mannWhitneyU]]: scores are distinct-compressed first, then
+    * the global cumulative count comes from [[Ranks.prefixCounts]] —
+    * range-bucketed two-pass prefix sums, no unpartitioned window — so a
+    * CONTINUOUS score column, where distinct values ≈ rows, never plans
+    * a single-task sort). `auc_2x_num` = 2·U₁ stays an exact integer;
+    * the AUC itself is one IEEE division.
     */
   def rocAuc(df: DataFrame, isPos: org.apache.spark.sql.Column,
              scoreCol: org.apache.spark.sql.Column): DataFrame = {
     val g = df.select(isPos.as("a"), scoreCol.as("v"))
       .groupBy("v").agg(sum(when(col("a"), 1L).otherwise(0L)).as("ca"),
         count(lit(1)).as("c"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy("v")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val ranked = g.select(col("ca"), col("c"),
-      coalesce(sum("c").over(w), lit(0L)).as("rlo"))
+      .localCheckpoint() // consumers: boundary sample + the cum pass
+    val ranked = Ranks.prefixCounts(g, "v", Seq("c"))
+      .select(col("ca"), col("c"), (col("c_cum") - col("c")).as("rlo"))
     ranked.agg(sum("ca").as("n1"), (sum("c") - sum("ca")).as("n2"),
         sum(col("ca") * (lit(2) * col("rlo") + col("c") + 1)).as("r1x2"))
       .select(col("n1").cast("int").as("n_pos"), col("n2").cast("int").as("n_neg"),

@@ -210,7 +210,17 @@ object Linkage {
     *    (nation, segment): constant over the whole corpus, degenerates
     *    to all-pairs (`blockSizes` flags both immediately).
     */
-  def linkCustomers(customer: DataFrame): DataFrame = {
+  /** `maxBlockPairs` follows the [[candidates]] contract — DEFAULT EXACT
+    * (`Long.MaxValue`, no gate), so engine and oracle stay comparable at
+    * EVERY scale. A caller running ≥ sf30 corpora, where the residual
+    * n²/cells growth of attribute blocking makes pass-A cells exceed
+    * ~100k-pair fan-outs, opts into a cap explicitly (100000L is the
+    * soak-tested value; pass B's name-digit blocks are ≤100 customers by
+    * construction at any corpus size and catch every fixture-true pair —
+    * LinkageSpec holds that property end-to-end with the cap engaged).
+    */
+  def linkCustomers(customer: DataFrame,
+                    maxBlockPairs: Long = Long.MaxValue): DataFrame = {
     val dirty = dirtyCustomers(customer)
     val pairs = candidates(dirty, customer, "d_id", "c_custkey", Seq(
       (concat_ws("|", col("d_nat"), col("d_seg"),
@@ -219,12 +229,7 @@ object Linkage {
           floor(col("c_acctbal").cast("decimal(12,2)") / 100).cast("int"))),
       (substring(col("d_name"), 10, 7),
         substring(col("c_name"), 10, 7))),
-      // backstop for the residual n²/cells growth of attribute blocking:
-      // at ≥ sf30 the $100-bucket cells exceed this fan-out and drop from
-      // pass A (pass B still catches every true pair); inert at driver
-      // SFs (max cell fan-out ≈ 726 pairs at sf3), so the oracle replays
-      // without the gate — the q_graph_triangles hotKeyCap precedent
-      maxBlockPairs = 100000L)
+      maxBlockPairs = maxBlockPairs)
     score(pairs, customerComparators)
   }
 }

@@ -58,6 +58,10 @@ object Resample {
     val ki = keyCols.map(k => cols.indexOf(k))
     val ti = cols.indexOf(tsMicrosCol)
     require(ki.forall(_ >= 0) && ti >= 0, "key/ts columns must exist")
+    val tsField = df.schema(tsMicrosCol)
+    require(tsField.dataType == org.apache.spark.sql.types.LongType,
+      s"tsMicrosCol '$tsMicrosCol' must be LongType (integer micros), " +
+        s"got ${tsField.dataType.simpleString}")
     val sorted = df.repartition(keyCols.map(col): _*)
       .sortWithinPartitions((keyCols :+ tsMicrosCol :+ tieCol).map(col): _*)
     val enc = org.apache.spark.sql.Encoders.row(df.schema)
@@ -66,6 +70,9 @@ object Resample {
       var lastKept = Long.MinValue
       rows.filter { r =>
         val k = ki.map(r.get)
+        if (r.isNullAt(ti)) throw new IllegalArgumentException(
+          s"throttleEvents: null in ts column at ordinal $ti — a null " +
+            "timestamp has no throttle position (coalesce or filter first)")
         val ts = r.getLong(ti)
         if (k != curKey) { curKey = k; lastKept = ts; true }
         else if (ts - lastKept >= minGapMicros) { lastKept = ts; true }

@@ -77,18 +77,21 @@ object Stats {
     * effect size 1 − 2U₁/(n₁n₂) is one division. Compare u2x against
     * the normal approximation offline for significance.
     *
-    * Scale shape: one aggregation to per-VALUE counts (bounded by the
-    * value domain, not rows), one ordered window over those counts, a
-    * two-number reduce. No row-level ranking shuffle. Both
-    * groups must be nonempty (n₁n₂ = 0 nulls the effect size).
+    * Scale shape: one aggregation to per-VALUE counts, then the global
+    * cumulative count comes from [[Ranks.prefixCounts]] — range-bucketed
+    * two-pass prefix sums, NO unpartitioned window — so the plan holds
+    * even on a CONTINUOUS score column where distinct values ≈ rows (the
+    * old `Window.orderBy(v)` form was a full-corpus single-task sort
+    * there), then a two-number reduce. Both groups must be nonempty
+    * (n₁n₂ = 0 nulls the effect size).
     */
   def mannWhitneyU(df: DataFrame, isA: Column, valCol: Column): DataFrame = {
     val g = df.select(isA.as("a"), valCol.as("v"))
       .groupBy("v").agg(sum(when(col("a"), 1L).otherwise(0L)).as("ca"),
         count(lit(1)).as("c"))
-    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = g.select(col("ca"), col("c"),
-      coalesce(sum("c").over(w), lit(0L)).as("rlo"))
+      .localCheckpoint() // consumers: boundary sample + the cum pass
+    val ranked = Ranks.prefixCounts(g, "v", Seq("c"))
+      .select(col("ca"), col("c"), (col("c_cum") - col("c")).as("rlo"))
     ranked.agg(
         sum("ca").as("n1"), (sum("c") - sum("ca")).as("n2"),
         sum(col("ca") * (lit(2) * col("rlo") + col("c") + 1)).as("r1x2"))
@@ -105,6 +108,13 @@ object Stats {
     * sample variances, the t statistic, and the Welch–Satterthwaite
     * degrees of freedom are one fixed sequence of IEEE operations on a
     * single result row — deterministic on any partitioning or engine.
+    *
+    * Contract: BOTH arms must be present with n ≥ 2. An empty arm yields
+    * a row of nulls (its n/s/q aggregates are null) and an n = 1 arm a
+    * null variance (division by n−1 = 0 → the whole statistic nulls) —
+    * there is no error signal, only null t_stat/df_welch, so gate on a
+    * count (`df.groupBy(isA).count()`) before trusting a null-bearing
+    * result row.
     */
   def welchT(df: DataFrame, isA: Column, valCol: Column): DataFrame = {
     val g = df.select(isA.as("a"), valCol.as("v"))
@@ -136,17 +146,18 @@ object Stats {
     * per-value cumulative counts, D·n₁·n₂ = max |c₁·n₂ − c₂·n₁| is an
     * integer (the CUSUM cross-multiplication trick on ECDFs); ties on
     * the argmax break to the smallest value. One division at the end.
-    * Same counts-then-window shape as [[mannWhitneyU]].
+    * Same counts-then-prefix-sum shape as [[mannWhitneyU]] — the pooled
+    * ECDFs come from [[Ranks.prefixCounts]], no unpartitioned window,
+    * so a continuous value domain (distinct ≈ rows) stays distributed.
     */
   def ksTest(df: DataFrame, isA: Column, valCol: Column): DataFrame = {
     val g = df.select(isA.as("a"), valCol.as("v"))
       .groupBy("v").agg(sum(when(col("a"), 1L).otherwise(0L)).as("da"),
         sum(when(col("a"), 0L).otherwise(1L)).as("db"))
-    val w = Window.orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      .localCheckpoint() // consumers: totals + boundary sample + cum pass
     val tot = g.agg(sum("da").as("n1"), sum("db").as("n2"))
-    val cum = g.select(col("v"), sum("da").over(w).as("c1"),
-        sum("db").over(w).as("c2"))
+    val cum = Ranks.prefixCounts(g, "v", Seq("da", "db"))
+      .select(col("v"), col("da_cum").as("c1"), col("db_cum").as("c2"))
       .crossJoin(broadcast(tot))
       .select(col("v"), col("n1"), col("n2"),
         abs(col("c1") * col("n2") - col("c2") * col("n1")).as("dnum"))
@@ -208,34 +219,52 @@ object Stats {
 
   /** Kaplan–Meier survival curve with right censoring: at each distinct
     * duration t, S(t) = Π_{t'≤t} (1 − d_{t'}/n_{t'}) where d = events
-    * and n = subjects still at risk. The at-risk counts come from one
-    * window over the per-duration AGGREGATE (bounded by the duration
-    * domain, not subjects); the prefix product folds a factor list in
-    * ascending-t order — a fixed IEEE sequence both engines replay
-    * (the EWMA list-fold discipline; no logs, no exp).
+    * and n = subjects still at risk.
+    *
+    * Scale shape — nothing holds more than O(blockW + #blocks) state:
+    * the at-risk counts come from [[Ranks.prefixCounts]] over the
+    * per-duration aggregate (range-bucketed prefix sums, no
+    * unpartitioned window), and the survival prefix product runs as a
+    * TWO-LEVEL fold on a fixed duration grid (`bk = t div blockW`):
+    * per-block factor lists are ≤ blockW entries BY CONSTRUCTION, the
+    * block-product carry folds over the #blocks-sized (domain/blockW)
+    * block table, and S(t) = fold(within-block factors up to t, init =
+    * carry). The grouping of IEEE multiplies — (Πblocks)·f₁·f₂… — is
+    * part of the metric's definition (both engines replay the identical
+    * two-level sequence; the old flat fold packed EVERY distinct
+    * duration into one row). No logs, no exp.
     */
-  def kaplanMeier(df: DataFrame, durCol: Column, eventCol: Column): DataFrame = {
+  def kaplanMeier(df: DataFrame, durCol: Column, eventCol: Column,
+                  blockW: Int = 64): DataFrame = {
     val g = df.select(durCol.as("t"), eventCol.cast("long").as("d"))
       .groupBy("t").agg(sum("d").as("d"), count(lit(1)).as("c"))
-    val w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+      .localCheckpoint() // consumers: totals + boundary sample + cum pass
     val tot = g.agg(sum("c").as("n_tot"))
-    val staged = g.crossJoin(broadcast(tot))
+    val staged = Ranks.prefixCounts(g, "t", Seq("c"))
+      .crossJoin(broadcast(tot))
       .select(col("t"), col("d"),
-        (col("n_tot") - coalesce(sum("c").over(w), lit(0L))).as("n_risk"))
-    val packed = staged
+        (col("n_tot") - (col("c_cum") - col("c"))).as("n_risk"))
+    val fb = staged.withColumn("bk", expr(s"t div $blockW"))
+      .groupBy("bk")
       .agg(sort_array(collect_list(struct(col("t"), col("d"), col("n_risk"))))
         .as("ls"))
-      .select(col("ls"),
-        transform(col("ls"), e => lit(1.0) -
-          e.getField("d").cast("double") / e.getField("n_risk").cast("double"))
-          .as("fs"))
-    packed
-      .select(col("fs"), posexplode(col("ls")).as(Seq("i0", "e")))
+      .withColumn("fs", transform(col("ls"), e => lit(1.0) -
+        e.getField("d").cast("double") / e.getField("n_risk").cast("double")))
+      .withColumn("pb", aggregate(col("fs"), lit(1.0), (acc, f) => acc * f))
+      .localCheckpoint() // consumers: the carry pack + the final explode
+    val carry = fb
+      .agg(sort_array(collect_list(struct(col("bk"), col("pb")))).as("bl"))
+      .select(posexplode(col("bl")).as(Seq("i0", "be")), col("bl"))
+      .select(col("be").getField("bk").as("bk"),
+        aggregate(slice(transform(col("bl"), x => x.getField("pb")),
+          lit(1), col("i0")), lit(1.0), (acc, p) => acc * p).as("carry"))
+    fb.join(broadcast(carry), "bk")
+      .select(col("carry"), col("fs"), posexplode(col("ls")).as(Seq("i0", "e")))
       .select(col("e").getField("t").as("t"),
         col("e").getField("d").cast("int").as("d"),
         col("e").getField("n_risk").cast("int").as("n_risk"),
         round(aggregate(slice(col("fs"), lit(1), col("i0") + 1),
-          lit(1.0), (acc, f) => acc * f), 6).as("s_t"))
+          col("carry"), (acc, f) => acc * f), 6).as("s_t"))
   }
 
   /** Anomaly z-score of an integer metric against its trailing window

@@ -745,7 +745,9 @@ object TextAnalysis {
   /** Per-group encoding-health audit — the mojibake/controls screen run
     * before any text enters a training corpus: documents carrying the
     * U+FFFD replacement character (a decode already went wrong upstream),
-    * total non-printing control characters (C0 minus tab/newline/CR), and
+    * total non-printing control characters (every C0 control except the
+    * whitespace trio tab U+0009 / newline U+000A / CR U+000D — NUL, VT,
+    * and FF count as controls), and
     * non-ASCII character count with the ASCII ratio. All counts are exact
     * integers from codegen'd regexp counts (narrow, map-side combined);
     * the ratio is one IEEE division per group.
@@ -756,7 +758,7 @@ object TextAnalysis {
       .select(col(groupCol),
         length(col("txt")).cast("long").as("nc"),
         when(col("txt").contains(lit("\ufffd")), 1L).otherwise(0L).as("repl"),
-        regexp_count(col("txt"), lit("[\\x01-\\x08\\x0E-\\x1F]")).as("ctrl"),
+        regexp_count(col("txt"), lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")).as("ctrl"),
         regexp_count(col("txt"), lit("[^\\x00-\\x7F]")).as("nona"))
       .groupBy(groupCol)
       .agg(count(lit(1)).as("n_docs"), sum("nc").as("n_chars"),

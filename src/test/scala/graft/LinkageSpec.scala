@@ -93,6 +93,28 @@ class LinkageSpec extends AnyFunSuite {
     assert(matches.count() == 200) // every dirty record links home
   }
 
+  test("linkCustomers cap engaged: pass-A hot block drops, pass B still links every record") {
+    // FORCE-ENGAGE the maxBlockPairs contingency (what happens at
+    // >= sf30 when attribute cells outgrow the cap): every customer
+    // shares ONE (nation, segment, $100-bucket) cell, so pass A is a
+    // single 200x300 = 60000-pair block that the 10000 cap drops, while
+    // pass B's name-digit blocks (~67x100 pairs) survive — and recall
+    // must ride entirely on pass B: every dirty record still links home.
+    val cust = (0L until 300L).toDF("c_custkey")
+      .select(col("c_custkey"),
+        format_string("Customer#%09d", col("c_custkey")).as("c_name"),
+        lit(7).as("c_nationkey"),
+        (col("c_custkey").cast("double") / 7.0).as("c_acctbal"),
+        lit("BUILDING").as("c_mktsegment"))
+    val capped = Linkage.linkCustomers(cust, maxBlockPairs = 10000L)
+      .filter(col("fs_score") >= 18 && col("d_id") === col("c_custkey"))
+    assert(capped.count() == 200)
+    // sanity: the cap really engaged — candidate volume shrank vs exact
+    val nExact = Linkage.linkCustomers(cust).count()
+    val nCapped = Linkage.linkCustomers(cust, maxBlockPairs = 10000L).count()
+    assert(nCapped < nExact, s"cap did not engage: $nCapped vs $nExact")
+  }
+
   test("dedupByMinhashPriority keeps the preferred-source copy, not min-id") {
     val near = Seq(
       (0L, "the cat sat on the mat and looked at the dog", "raw"),

@@ -2307,13 +2307,13 @@ class AdviceRegressionSpec extends AnyFunSuite {
     assert(r.getLong(1) == 2 && r.getLong(2) == 7 && r.getLong(4) == 3)
     // vowel groups: the|cat|sat|it|ran -> 5, big|dog -> 2
     assert(r.getLong(3) == 7)
-    val dirty = Seq((1L, "ok text\u0007\u0007", "a"),
-      (2L, "caf\u00e9 \ufffd", "a"))
+    val dirty = Seq((1L, "ok text\u0007\u0007\u000b\u000c\u0000", "a"),
+      (2L, "caf\u00e9 \ufffd\tok\nline\r", "a"))
       .toDF("doc_id", "text", "source")
     val a = TextAnalysis.encodingAudit(dirty, col("text")).collect().head
     assert(a.getLong(1) == 2) // docs
     assert(a.getLong(3) == 1) // one replacement-char doc
-    assert(a.getLong(4) == 2) // two bell chars
+    assert(a.getLong(4) == 5) // bell x2 + VT + FF + NUL; tab/NL/CR exempt
     assert(a.getLong(5) == 2) // é and U+FFFD are non-ascii
   }
 

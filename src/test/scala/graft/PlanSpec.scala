@@ -578,14 +578,32 @@ class PlanSpec extends AnyFunSuite {
       plan.take(2000))
   }
 
-  test("roc auc: scores distinct-compress map-side before the single rank window") {
+  test("roc auc: scores distinct-compress before bucketed rank; no sort-merge join") {
     val plan = planOf("q_eval_auc")
-    // the corpus reduces to per-score counts (partial aggregation) and
-    // only the value-cardinality table meets the global window
-    assert(plan.contains("partial_sum") || plan.contains("partial sum"),
-      plan.take(2000))
+    // the corpus reduces to per-score counts, and the cumulative counts
+    // come from bucket-partitioned windows (+ broadcast offsets)
     assert(plan.linesIterator.count(_.contains("Window")) >= 1, plan.take(2000))
     assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
+  test("rank-statistic family + RFM: no unpartitioned Window anywhere in the plan") {
+    // the round-6 weak class: an unpartitioned Window.orderBy over
+    // per-value counts is a full-corpus single-task sort on continuous
+    // score domains (distinct values ~ rows). Ranks.prefixCounts /
+    // globalRank replaced every such node with bucket-partitioned
+    // windows + windowless broadcast offsets; this guard keeps a future
+    // edit from reintroducing the shape.
+    val names = Seq("q_mannwhitney_u", "q_mannwhitney_continuous",
+      "q_ks_test", "q_eval_auc", "q_km_survival", "q_rfm_segments")
+    names.foreach { name =>
+      val lp = Queries.all(name)(spark, sf).queryExecution.optimizedPlan
+      val bad = lp.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty,
+        s"$name plans ${bad.size} unpartitioned Window node(s):\n${bad.mkString("\n")}")
+    }
   }
 
   test("welch t-test: exact sums partial-aggregate; no join anywhere") {

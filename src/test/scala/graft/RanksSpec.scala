@@ -1,0 +1,73 @@
+package graft
+
+import graft.ops.Ranks
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ranks.prefixCounts / globalRank / ntileOfRank must be BIT-IDENTICAL to
+  * the unpartitioned-window forms they replace — bucket boundaries only
+  * move work, never results.
+  */
+class RanksSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  test("prefixCounts equals the global cumulative sum, at several bucket counts") {
+    // deterministic pseudo-random per-value frame incl. negative values
+    val g = spark.range(0, 500)
+      .select((col("id") * 7919 % 1000 - 300).as("v"),
+        (col("id") % 5 + 1).as("c"), (col("id") % 3).as("d"))
+      .groupBy("v").agg(sum("c").as("c"), sum("d").as("d"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expect = g.select(col("v"), sum("c").over(w).as("c_cum"),
+        sum("d").over(w).as("d_cum"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for (b <- Seq(1, 3, 16)) {
+      val got = Ranks.prefixCounts(g, "v", Seq("c", "d"), buckets = b)
+        .collect().map(r => r.getAs[Long]("v") ->
+          (r.getAs[Long]("c_cum"), r.getAs[Long]("d_cum"))).toMap
+      assert(got == expect, s"buckets=$b")
+    }
+  }
+
+  test("globalRank equals row_number over (sort, tie), desc via negation") {
+    val df = spark.range(0, 300)
+      .select(col("id").as("k"), (col("id") * 131 % 40).as("s"))
+    val w = Window.orderBy(col("s"), col("k"))
+    val expect = df.withColumn("rn", row_number().over(w).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val got = Ranks.globalRank(df, col("s"), col("k"), "rnk", buckets = 7)
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("rnk")).toMap
+    assert(got == expect)
+    // descending: -s asc == s desc (ties by k asc in both)
+    val wd = Window.orderBy(col("s").desc, col("k"))
+    val expectD = df.withColumn("rn", row_number().over(wd).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val gotD = Ranks.globalRank(df, -col("s"), col("k"), "rnk", buckets = 5)
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("rnk")).toMap
+    assert(gotD == expectD)
+  }
+
+  test("ntileOfRank matches NTILE for n below, at, and above k") {
+    for (n <- Seq(3, 5, 7, 12, 100)) {
+      val df = spark.range(1, n + 1).select(col("id").as("r"))
+      val expect = df.withColumn("t", ntile(5).over(Window.orderBy("r")))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val got = df.select(col("r"),
+          Ranks.ntileOfRank(col("r"), lit(n.toLong), 5).as("t"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == expect, s"n=$n")
+    }
+  }
+
+  test("prefixCounts: empty input and single-value input") {
+    val empty = Seq.empty[(Long, Long)].toDF("v", "c")
+    assert(Ranks.prefixCounts(empty, "v", Seq("c")).count() == 0)
+    val one = Seq((42L, 3L)).toDF("v", "c")
+    val r = Ranks.prefixCounts(one, "v", Seq("c")).collect().head
+    assert(r.getAs[Long]("v") == 42L && r.getAs[Long]("c_cum") == 3L)
+  }
+}
