@@ -2325,6 +2325,98 @@ object Queries {
           .as("recall_lsh"))
   }
 
+  q("q_eval_lsh_bucket_sweep", {
+    // the maxBucket (stop-shingle cap) tuning table: for each cap the
+    // candidate count, hit count, precision and recall vs the exact
+    // >= 0.5-jaccard truth on the bounded sample — so the cap the
+    // 100 TB dedup run commits to is a MEASURED recall trade-off, not a
+    // scaladoc claim (pairs with q_eval_lsh_sweep, which tunes
+    // bands x rows; this tunes the bucket gate at fixed 3x3). The
+    // 1000000 row is the effectively-exact reference (no sample bucket
+    // comes near it); 5 and 2 force the gate to drop dup-family
+    // buckets, trading recall for candidate volume.
+    val where = "WHERE doc_id % 3 = 0 AND doc_id < 5000"
+    val k = 9
+    val sigEntries = (0 until k)
+      .map(i => "list_min(list_transform(s, t -> " +
+        "('0x' || substr(md5(t), 1, 15))::BIGINT + " +
+        s"$i * ('0x' || substr(md5(t), 16, 14))::BIGINT))").mkString(", ")
+    val bandSelects = (0 until 3).map { b =>
+      val parts = (1 to 3).map(r => s"sig[${b * 3 + r}]::VARCHAR")
+        .mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($parts) AS digest FROM sig"
+    }.mkString(" UNION ALL ")
+    def capCtes(cap: Int): String =
+      s"""keep_c$cap AS (SELECT band, digest FROM bands
+         |  GROUP BY 1, 2 HAVING COUNT(*) <= $cap),
+         |bk_c$cap AS (SELECT b.doc_id, b.band, b.digest FROM bands b
+         |  JOIN keep_c$cap USING (band, digest)),
+         |cand_c$cap AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bk_c$cap a JOIN bk_c$cap b ON a.band = b.band
+         |    AND a.digest = b.digest AND a.doc_id < b.doc_id),
+         |hit_c$cap AS (SELECT c.a_id FROM cand_c$cap c JOIN truth t
+         |  ON c.a_id = t.a_id AND c.b_id = t.b_id)""".stripMargin
+    def capRow(cap: Int): String =
+      s"""SELECT $cap AS max_bucket,
+         |  (SELECT COUNT(*) FROM truth) AS n_truth,
+         |  (SELECT COUNT(*) FROM cand_c$cap) AS n_cand,
+         |  (SELECT COUNT(*) FROM hit_c$cap) AS n_hit,
+         |  CASE WHEN (SELECT COUNT(*) FROM cand_c$cap) = 0 THEN NULL
+         |    ELSE round((SELECT COUNT(*) FROM hit_c$cap)::DOUBLE /
+         |      (SELECT COUNT(*) FROM cand_c$cap), 6) END AS precision_lsh,
+         |  CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN NULL
+         |    ELSE round((SELECT COUNT(*) FROM hit_c$cap)::DOUBLE /
+         |      (SELECT COUNT(*) FROM truth), 6) END AS recall_lsh""".stripMargin
+    val caps = Seq(1000000, 5, 2)
+    (s"""WITH sh AS (SELECT doc_id, $shinglesSql AS s FROM documents $where),
+        |truth AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.s, b.s))::DOUBLE /
+        |        len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.5),
+        |sig AS (SELECT doc_id, s, [$sigEntries] AS sig FROM sh),
+        |bands AS ($bandSelects),
+        |""".stripMargin +
+      caps.map(capCtes).mkString(",\n") + "\n" +
+      caps.map(capRow).mkString(" UNION ALL ") +
+      " ORDER BY max_bucket").replace("\n", " ")
+  }) { (s, dir) =>
+    val docs = tbl(s, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(3)) === 0 && col("doc_id") < 5000)
+    val sh = docs.select(col("doc_id"),
+        sort_array(transform(TextAnalysis.shingles(col("text"), 3),
+          t => xxhash64(t))).as("sx"))
+      .localCheckpoint()
+    val truth = Grid.allPairs(sh, "doc_id", g = 8)
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"),
+        graft.functions.ArrayKernels.sortedIntersectCount(
+          col("a.sx"), col("b.sx")).as("__i"),
+        size(col("a.sx")).as("__na"), size(col("b.sx")).as("__nb"))
+      .filter(round(col("__i").cast("double") /
+        (col("__na") + col("__nb") - col("__i")), 6) >= 0.5)
+      .select("a_id", "b_id")
+      .localCheckpoint() // three cap configs probe it; compute truth once
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val rowsOut = Seq(1000000, 5, 2).map { cap =>
+      val cand = Dedup.lshCandidatePairs(docs, "text", "doc_id",
+          shingleN = 3, bands = 3, rows = 3, maxBucket = cap)
+        .localCheckpoint() // two consumers: count + hit join
+      val hit = cand.join(truth, Seq("a_id", "b_id"))
+      cand.agg(count(lit(1)).as("n_cand"))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .crossJoin(nTruth)
+        .select(lit(cap).as("max_bucket"), col("n_truth"),
+          col("n_cand"), col("n_hit"),
+          when(col("n_cand") === 0, lit(null).cast("double"))
+            .otherwise(round(col("n_hit").cast("double") / col("n_cand"), 6))
+            .as("precision_lsh"),
+          when(col("n_truth") === 0, lit(null).cast("double"))
+            .otherwise(round(col("n_hit").cast("double") / col("n_truth"), 6))
+            .as("recall_lsh"))
+    }
+    rowsOut.reduce(_ unionByName _).orderBy("max_bucket")
+  }
+
   /** Shared CTE prefix computing per-doc 60-bit simhash signatures,
     * mirroring Dedup.simhashSignatures.
     */
@@ -2660,6 +2752,28 @@ object Queries {
       .orderBy("q_id", "n_id")
   }
 
+  q("knn_cosine_ivf_persisted_incremental",
+    // INCREMENTAL index maintenance: build from the kept base
+    // (vec_id%10<8 — the incremental-dedup split convention), then
+    // APPEND the incoming batch with ivfIndexAppend (stored-codebook
+    // assignment, cell-partition append, no retrain/rebuild). The
+    // oracle trains on the base only (trainWhere through the shared
+    // k-means chain) and assigns every vector with that codebook —
+    // exactly what build+append leaves on disk, so search over the
+    // appended index hash-matches a from-scratch assignment of the
+    // full corpus
+    kmeansKnnOracleSql(k = 8, iters = 2, dim = 64, topK = 5, nQueries = 10,
+      trainWhere = "WHERE vec_id % 10 < 8")) { (s, dir) =>
+    val emb = tbl(s, dir, "embeddings")
+    val idx = cachedLanding(s"ivfidxinc:$dir") { d =>
+      Similarity.writeIvfIndex(emb.filter(col("vec_id") % 10 < 8), d,
+        k = 8, iters = 2, dim = 64)
+      Similarity.ivfIndexAppend(s, d, emb.filter(col("vec_id") % 10 >= 8))
+    }
+    Similarity.ivfKnnFromIndex(s, idx, emb.filter(col("vec_id") < 10), k = 5)
+      .orderBy("q_id", "n_id")
+  }
+
   q("knn_cosine_ivf_probe2",
     // the coarse-IVF oracle with the query side assigned to its TWO
     // nearest cells (rn <= 2) — corpus stays single-cell, so each (q, n)
@@ -2758,7 +2872,8 @@ object Queries {
   }
 
   private def kmeansKnnOracleSql(k: Int, iters: Int, dim: Int,
-                                 topK: Int, nQueries: Int): String = {
+                                 topK: Int, nQueries: Int,
+                                 trainWhere: String = ""): String = {
     val dotE = duckDotE(dim) _
     val tail = Seq(
       s"""q AS (SELECT e.vec_id AS q_id, e.embedding AS q_vec, e.nrm AS q_norm, cellt.cell
@@ -2771,7 +2886,8 @@ object Queries {
          |  FROM q JOIN cc USING (cell) WHERE q_id != n_id)""",
       s"""r2 AS (SELECT q_id, n_id, cos,
          |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn FROM s2)""")
-    ((kmeansCellCtes(k, iters, dim) ++ tail).mkString("WITH ", ", ", "") +
+    ((kmeansCellCtes(k, iters, dim, trainWhere) ++ tail)
+      .mkString("WITH ", ", ", "") +
       s" SELECT q_id, n_id, cos FROM r2 WHERE rn <= $topK ORDER BY q_id, n_id")
       .stripMargin.replace("\n", " ")
   }

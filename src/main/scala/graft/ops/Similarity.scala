@@ -597,6 +597,29 @@ object Similarity {
       .write.mode(mode).parquet(s"$path/cells.parquet")
   }
 
+  /** INCREMENTAL index maintenance: append a batch of new vectors to a
+    * persisted IVF index WITHOUT retraining or touching the existing
+    * corpus. The batch is assigned with the STORED codebook (k×dim
+    * driver literals — the same narrow argmax projection the build
+    * uses) and its cell rows append as new parquet files under
+    * `cells.parquet`; the codebook file is untouched, so a search after
+    * N appends is bit-identical to a search against a single build
+    * whose corpus carried every batch (same codebook → same cells →
+    * same cosine top-k). This is the production ANN flow: the codebook
+    * is paid once on the kept base, and each arriving batch costs one
+    * batch-sized assignment pass plus an append commit — never a corpus
+    * rewrite. (Re-train + full rebuild only when drift makes the cell
+    * balance degrade.)
+    */
+  def ivfIndexAppend(spark: org.apache.spark.sql.SparkSession, path: String,
+                     batch: DataFrame, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): Unit = {
+    val codebook = readIvfCodebook(spark, path)
+    batch.select(col(idCol), col(vecCol))
+      .withColumn("cell", ivfAssignCell(col(vecCol), codebook))
+      .write.mode("append").parquet(s"$path/cells.parquet")
+  }
+
   /** Load the codebook of a persisted index (k×dim rows — index-sized
     * driver traffic, the same legit collect as training).
     */

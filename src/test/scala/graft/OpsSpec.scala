@@ -2053,6 +2053,33 @@ class AdviceRegressionSpec extends AnyFunSuite {
       Set("vec_id", "embedding", "cell"))
   }
 
+  test("ivfIndexAppend: search after append is bit-identical to assigning the full corpus") {
+    val rnd = new scala.util.Random(23)
+    val vecs = (0L until 50L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val base = df.filter(col("vec_id") % 10 < 8)
+    val batch = df.filter(col("vec_id") % 10 >= 8)
+    val path = java.nio.file.Files.createTempDirectory("ivfinc").toString
+    Similarity.writeIvfIndex(base, path, k = 4, iters = 2, dim = 8)
+    val nBase = spark.read.parquet(s"$path/cells.parquet").count()
+    Similarity.ivfIndexAppend(spark, path, batch)
+    // cells grew by exactly the batch; the codebook file is untouched
+    assert(spark.read.parquet(s"$path/cells.parquet").count()
+      == nBase + batch.count())
+    val queries = df.filter(col("vec_id") < 5)
+    val got = Similarity.ivfKnnFromIndex(spark, path, queries, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    // reference: train on base, assign base AND batch with that codebook
+    val codebook = Similarity.kmeansCodebook(base, k = 4, iters = 2, dim = 8)
+    val withCell = df.withColumn("cell",
+      Similarity.ivfAssignCell(col("embedding"), codebook))
+    val expect = Similarity.ivfKnn(withCell,
+        withCell.filter(col("vec_id") < 5), k = 3, cellCol = "cell")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(got.toSeq == expect.toSeq)
+  }
+
   test("HLL small-range estimates switch to the quantized linear-counting table") {
     // 20 distinct tokens over m=64 registers: raw << 2.5m and empty
     // registers exist, so the estimate must be m*ln(m/V) from the
