@@ -17,10 +17,12 @@ import org.apache.spark.sql.{Column, DataFrame}
   *  2. within each bucket, an ordinary PARTITIONED window computes local
   *     running sums / row numbers (one hash exchange on the bucket id,
   *     each task sorts |values|/buckets rows);
-  *  3. per-bucket totals (≤ `buckets` rows) turn into cross-bucket
-  *     offsets via a windowless triangular self-join — bounded
-  *     buckets² work, so the WHOLE plan carries no unpartitioned Window
-  *     node (PlanSpec holds that as a regression guard);
+  *  3. per-bucket totals (≤ `buckets` rows by construction — the
+  *     codebook rule) collect to the driver, prefix-sum in Scala, and
+  *     return as a LITERAL lookup array, so the cross-bucket offset is
+  *     a narrow `element_at` projection — no join, no second window,
+  *     and the WHOLE plan carries no unpartitioned Window node
+  *     (PlanSpec holds that as a regression guard);
   *  4. global cum/rank = bucket offset + local value.
   *
   * The result is bit-identical to the single-task `Window.orderBy` form
@@ -73,20 +75,29 @@ object Ranks {
       when(gt, 1).otherwise(0)
     }.reduceOption(_ + _).getOrElse(lit(0))
 
-  /** Per-bucket totals → cross-bucket prefix offsets, windowless: the
-    * triangular self-join is ≤ buckets² rows of constant width.
+  /** Per-bucket totals → cross-bucket prefix offsets as literal lookup
+    * arrays, one per summed column: ONE aggregate job collects ≤
+    * `nBuckets` rows (bounded by construction — the codebook rule), the
+    * prefix sums run in Scala, and each array ships back inside the
+    * plan, so applying an offset is a narrow `element_at(arr, __b + 1)`
+    * projection — no join, no window, no extra exchange.
     */
-  private def bucketOffsets(parted: DataFrame, sums: Seq[(String, Column)])
-  : DataFrame = {
+  private def offsetArrays(parted: DataFrame, sums: Seq[(String, Column)],
+                           nBuckets: Int): Map[String, Column] = {
     val tot = parted.groupBy("__b")
-      .agg(sums.head._2.as(s"__t_${sums.head._1}"),
-        sums.tail.map { case (nm, c) => c.as(s"__t_$nm") }: _*)
-    tot.as("a").join(tot.as("b"), col("a.__b") > col("b.__b"), "left")
-      .groupBy(col("a.__b").as("__b"))
-      .agg(coalesce(sum(col(s"b.__t_${sums.head._1}")), lit(0L))
-          .as(s"__off_${sums.head._1}"),
-        sums.tail.map { case (nm, _) =>
-          coalesce(sum(col(s"b.__t_$nm")), lit(0L)).as(s"__off_$nm") }: _*)
+      .agg(sums.head._2.cast("long").as(sums.head._1),
+        sums.tail.map { case (nm, c) => c.cast("long").as(nm) }: _*)
+      .collect()
+    val byBucket = tot.map(r => r.getInt(0) -> r).toMap
+    sums.zipWithIndex.map { case ((nm, _), j) =>
+      val offs = new Array[Long](nBuckets)
+      var acc = 0L
+      (0 until nBuckets).foreach { b =>
+        offs(b) = acc
+        acc += byBucket.get(b).map(_.getLong(j + 1)).getOrElse(0L)
+      }
+      nm -> element_at(array(offs.map(lit): _*), col("__b") + 1)
+    }.toMap
   }
 
   /** Adds an INCLUSIVE global running sum `<c>_cum` for each count column
@@ -104,10 +115,10 @@ object Ranks {
     val cum = cntCols.foldLeft(parted) { (df, c) =>
       df.withColumn(s"__c_$c", sum(col(c)).over(w))
     }
-    val offs = bucketOffsets(parted, cntCols.map(c => c -> sum(col(c))))
-    cum.join(broadcast(offs), "__b")
-      .select(g.columns.map(col) ++
-        cntCols.map(c => (col(s"__c_$c") + col(s"__off_$c")).as(s"${c}_cum")): _*)
+    val offs = offsetArrays(parted, cntCols.map(c => c -> sum(col(c))),
+      bnds.length + 1)
+    cum.select(g.columns.map(col) ++
+      cntCols.map(c => (col(s"__c_$c") + offs(c)).as(s"${c}_cum")): _*)
   }
 
   /** Adds the global 1-based rank by `(sortCol asc, tieCol asc)` as
@@ -123,10 +134,9 @@ object Ranks {
     val parted = tagged.withColumn("__b", bucketExpr(Seq("__sv", "__tv"), bnds))
     val w = Window.partitionBy("__b").orderBy(col("__sv"), col("__tv"))
     val rn = parted.withColumn("__rn", row_number().over(w).cast("long"))
-    val offs = bucketOffsets(parted, Seq("n" -> count(lit(1))))
-    rn.join(broadcast(offs), "__b")
-      .withColumn(rankName, col("__off_n") + col("__rn"))
-      .drop("__b", "__sv", "__tv", "__rn", "__off_n")
+    val offs = offsetArrays(parted, Seq("n" -> count(lit(1))), bnds.length + 1)
+    rn.withColumn(rankName, offs("n") + col("__rn"))
+      .drop("__b", "__sv", "__tv", "__rn")
   }
 
   /** NTILE(k) of a precomputed global rank — Spark/DuckDB NTILE
