@@ -1,7 +1,9 @@
 package graft.ops
 
+import graft.functions.{BucketOffset, RangeBucketId}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
 import org.apache.spark.sql.{Column, DataFrame}
 
 /** Range-bucketed global order statistics — cumulative counts and global
@@ -12,75 +14,104 @@ import org.apache.spark.sql.{Column, DataFrame}
   * The shape is the classic two-pass distributed prefix sum:
   *  1. sample `O(buckets)` boundary values by DETERMINISTIC md5 order
   *     (the hash-reservoir discipline of [[Sketch.quantileSketch]] — no
-  *     RNG, so re-runs bucket identically), broadcast them as literals,
-  *     and tag every row with its range-bucket id;
+  *     RNG, so re-runs bucket identically), ship them inside ONE plan
+  *     reference object, and tag every row with its range-bucket id by
+  *     BINARY SEARCH ([[graft.functions.RangeBucketId]] — O(log buckets)
+  *     per row, generated code size independent of the bucket count, so
+  *     the cost stays flat as buckets scale with cluster parallelism);
   *  2. within each bucket, an ordinary PARTITIONED window computes local
   *     running sums / row numbers (one hash exchange on the bucket id,
   *     each task sorts |values|/buckets rows);
   *  3. per-bucket totals (≤ `buckets` rows by construction — the
   *     codebook rule) collect to the driver, prefix-sum in Scala, and
-  *     return as a LITERAL lookup array, so the cross-bucket offset is
-  *     a narrow `element_at` projection — no join, no second window,
-  *     and the WHOLE plan carries no unpartitioned Window node
-  *     (PlanSpec holds that as a regression guard);
+  *     apply as an O(1) [[graft.functions.BucketOffset]] array lookup —
+  *     no join, no second window, and the WHOLE plan carries no
+  *     unpartitioned Window node (PlanSpec holds that as a regression
+  *     guard);
   *  4. global cum/rank = bucket offset + local value.
   *
   * The result is bit-identical to the single-task `Window.orderBy` form
   * for ANY boundary choice — bucket edges only move work, never results —
   * so the DuckDB oracles of the rank-statistic family replay unchanged.
   *
-  * At 100 TB: the sample pass is a TakeOrderedAndProject (parallel
-  * partial top-k, k = `8·buckets` values to the driver — the codebook
-  * rule), and the heavy frame shuffles ONCE on the bucket id with
-  * `buckets` ≈ 4× the shuffle parallelism, so no task ever holds more
-  * than ~1/buckets of the value domain.
+  * DETERMINISTIC-INPUT CONTRACT: these operators run the input frame in
+  * FOUR separate Spark actions (size count, boundary sample, per-bucket
+  * totals, final pass). The input must produce the same rows on each
+  * execution —
+  * parquet scans, checkpointed frames, and deterministic transforms
+  * qualify; a frame built on `sample()`, round-robin `repartition()`, or
+  * other nondeterministic expressions must be `localCheckpoint()`ed
+  * first (every in-repo caller does), or the collected offsets can
+  * disagree with the final pass.
+  *
+  * At 100 TB: the sample pass is a deterministic hash-threshold FILTER
+  * (narrow scan, expected `max(8·buckets, 256)` rows to the driver —
+  * the codebook rule; no Spark sort, no partitions×k driver merge), and
+  * the heavy frame shuffles ONCE on the bucket id with `buckets` ≈ 4×
+  * the shuffle parallelism, so no task ever holds more than ~1/buckets
+  * of the value domain — and thanks to the binary-search kernel the
+  * tagging cost no longer grows with that bucket count.
   */
 object Ranks {
 
   private def defaultBuckets(df: DataFrame): Int =
     math.max(4, df.sparkSession.sessionState.conf.numShufflePartitions) * 4
 
-  /** Boundary literals: a deterministic md5-ordered sample of the order
-    * tuple, re-sorted by the tuple itself, read at the `buckets`-iles.
-    * Returns one (per-column literal) row per boundary, possibly fewer
-    * than `buckets − 1` (duplicates collapse; small inputs undersample —
-    * both only merge buckets, never change results).
+  /** Boundary tuples in Catalyst internal form, sorted ascending.
+    *
+    * Sampling is a deterministic md5-THRESHOLD FILTER, never a Spark
+    * sort: one partial-agg `count()` sizes the input, then rows whose
+    * 60-bit tuple hash falls below `k/n · 2⁶⁰` collect to the driver
+    * (expected `k = max(8·buckets, 256)` rows — the codebook rule; small
+    * inputs collect whole). The earlier `orderBy(md5).limit(k)` form
+    * planned a driver merge of `partitions × k` rows — and with a
+    * re-sort on top, a full single-partition sort — so its cost grew
+    * with BOTH buckets and parallelism; the filter is a narrow scan
+    * whose cost is flat in the bucket count. The sample then sorts
+    * DRIVER-SIDE with the kernel's own comparator (bit-equal to Spark's
+    * asc NULLS FIRST order over internal values) and is read at the
+    * `buckets`-iles. Undersampling (hash tail, duplicates) only merges
+    * buckets, never changes results.
     */
   private def boundaries(df: DataFrame, ordCols: Seq[String],
-                         buckets: Int): Seq[Seq[Any]] = {
+                         buckets: Int): (Array[DataType], Array[Array[Any]]) = {
+    val types = ordCols.map(c => df.schema(c).dataType).toArray
     val k = math.max(buckets * 8, 256)
-    val h = md5(concat_ws("|", ordCols.map(c => col(c).cast("string")): _*))
-    val smp = df.select(ordCols.map(col): _*)
-      .orderBy(h +: ordCols.map(col): _*).limit(k)
-      .orderBy(ordCols.map(col): _*)
-      .collect()
-    val n = smp.length
-    (1 until buckets).map(i => i * n / buckets).filter(_ > 0).distinct
-      .map(i => ordCols.indices.map(j => smp(i - 1).get(j)))
+    val base = df.select(ordCols.map(col): _*)
+    val n = base.count()
+    val smpRows =
+      if (n <= k) base.collect()
+      else {
+        val h = Pipeline.md5Hash60(
+          concat_ws("|", ordCols.map(c => col(c).cast("string")): _*))
+        val cut = math.ceil(k.toDouble / n * (1L << 60).toDouble).toLong
+        base.filter(h < lit(cut)).collect()
+      }
+    val rows = RangeBucketId.toInternal(types, smpRows)
+    val spec = new RangeBucketId.Spec(types, Array.empty)
+    java.util.Arrays.sort(rows, new java.util.Comparator[Array[Any]] {
+      override def compare(a: Array[Any], b: Array[Any]): Int = spec.compare(a, b)
+    })
+    val m = rows.length
+    val bnds = (1 until buckets).map(i => i * m / buckets).filter(_ > 0).distinct
+      .map(i => rows(i - 1)).toArray
+    (types, bnds)
   }
 
-  /** `Σ_b 1[(row tuple) > boundary_b]` — the range-bucket id as one
-    * codegen'd literal expression (lexicographic tuple compare).
+  /** The range-bucket id column: binary search of the row tuple against
+    * the sorted boundary list (asc NULLS FIRST, matching the window
+    * order) — see [[graft.functions.RangeBucketId]].
     */
-  private def bucketExpr(ordCols: Seq[String], bnds: Seq[Seq[Any]]): Column =
-    bnds.map { b =>
-      // row > boundary lexicographically: some strict prefix ties, next
-      // column exceeds. Nulls order FIRST (matching Window asc order):
-      // null > x is null -> when() falls to otherwise(0) = never above.
-      val gt = ordCols.indices.map { j =>
-        val tie = (0 until j).map(i => col(ordCols(i)) <=> lit(b(i)))
-          .foldLeft(lit(true))(_ && _)
-        tie && col(ordCols(j)) > lit(b(j))
-      }.reduce(_ || _)
-      when(gt, 1).otherwise(0)
-    }.reduceOption(_ + _).getOrElse(lit(0))
+  private def bucketExpr(ordCols: Seq[String], types: Array[DataType],
+                         bnds: Array[Array[Any]]): Column =
+    RangeBucketId.fromInternal(ordCols.map(col), types, bnds)
 
-  /** Per-bucket totals → cross-bucket prefix offsets as literal lookup
-    * arrays, one per summed column: ONE aggregate job collects ≤
-    * `nBuckets` rows (bounded by construction — the codebook rule), the
-    * prefix sums run in Scala, and each array ships back inside the
-    * plan, so applying an offset is a narrow `element_at(arr, __b + 1)`
-    * projection — no join, no window, no extra exchange.
+  /** Per-bucket totals → cross-bucket prefix offsets: ONE aggregate job
+    * collects ≤ `nBuckets` rows (bounded by construction — the codebook
+    * rule), the prefix sums run in Scala, and each offset array ships
+    * back as a single plan reference object, so applying an offset is an
+    * O(1) [[graft.functions.BucketOffset]] lookup — no join, no window,
+    * no extra exchange, no generated code growing with the bucket count.
     */
   private def offsetArrays(parted: DataFrame, sums: Seq[(String, Column)],
                            nBuckets: Int): Map[String, Column] = {
@@ -96,7 +127,7 @@ object Ranks {
         offs(b) = acc
         acc += byBucket.get(b).map(_.getLong(j + 1)).getOrElse(0L)
       }
-      nm -> element_at(array(offs.map(lit): _*), col("__b") + 1)
+      nm -> BucketOffset(col("__b"), offs)
     }.toMap
   }
 
@@ -106,11 +137,21 @@ object Ranks {
     * the output is bit-identical to the unpartitioned-window form.
     */
   def prefixCounts(g: DataFrame, valCol: String, cntCols: Seq[String],
-                   buckets: Int = 0): DataFrame = {
+                   buckets: Int = 0): DataFrame =
+    prefixCountsBy(g, Seq(valCol), cntCols, buckets)
+
+  /** Multi-column order variant: global running sums in `(ordCols…)`
+    * lexicographic ascending order over a frame with one row per
+    * distinct order TUPLE (descending components: negate at the call
+    * site). This is the windowless replacement for
+    * `SUM(c) OVER (ORDER BY o1, o2, …)`.
+    */
+  def prefixCountsBy(g: DataFrame, ordCols: Seq[String], cntCols: Seq[String],
+                     buckets: Int = 0): DataFrame = {
     val b = if (buckets > 0) buckets else defaultBuckets(g)
-    val bnds = boundaries(g, Seq(valCol), b)
-    val parted = g.withColumn("__b", bucketExpr(Seq(valCol), bnds))
-    val w = Window.partitionBy("__b").orderBy(valCol)
+    val (types, bnds) = boundaries(g, ordCols, b)
+    val parted = g.withColumn("__b", bucketExpr(ordCols, types, bnds))
+    val w = Window.partitionBy("__b").orderBy(ordCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = cntCols.foldLeft(parted) { (df, c) =>
       df.withColumn(s"__c_$c", sum(col(c)).over(w))
@@ -130,8 +171,9 @@ object Ranks {
                  rankName: String, buckets: Int = 0): DataFrame = {
     val b = if (buckets > 0) buckets else defaultBuckets(df)
     val tagged = df.withColumn("__sv", sortCol).withColumn("__tv", tieCol)
-    val bnds = boundaries(tagged, Seq("__sv", "__tv"), b)
-    val parted = tagged.withColumn("__b", bucketExpr(Seq("__sv", "__tv"), bnds))
+    val (types, bnds) = boundaries(tagged, Seq("__sv", "__tv"), b)
+    val parted = tagged.withColumn("__b",
+      bucketExpr(Seq("__sv", "__tv"), types, bnds))
     val w = Window.partitionBy("__b").orderBy(col("__sv"), col("__tv"))
     val rn = parted.withColumn("__rn", row_number().over(w).cast("long"))
     val offs = offsetArrays(parted, Seq("n" -> count(lit(1))), bnds.length + 1)

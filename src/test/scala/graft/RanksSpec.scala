@@ -25,7 +25,7 @@ class RanksSpec extends AnyFunSuite {
     val expect = g.select(col("v"), sum("c").over(w).as("c_cum"),
         sum("d").over(w).as("d_cum"))
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-    for (b <- Seq(1, 3, 16)) {
+    for (b <- Seq(1, 3, 16, 128, 4096)) {
       val got = Ranks.prefixCounts(g, "v", Seq("c", "d"), buckets = b)
         .collect().map(r => r.getAs[Long]("v") ->
           (r.getAs[Long]("c_cum"), r.getAs[Long]("d_cum"))).toMap
@@ -39,9 +39,11 @@ class RanksSpec extends AnyFunSuite {
     val w = Window.orderBy(col("s"), col("k"))
     val expect = df.withColumn("rn", row_number().over(w).cast("long"))
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
-    val got = Ranks.globalRank(df, col("s"), col("k"), "rnk", buckets = 7)
-      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("rnk")).toMap
-    assert(got == expect)
+    for (b <- Seq(7, 128, 4096)) {
+      val got = Ranks.globalRank(df, col("s"), col("k"), "rnk", buckets = b)
+        .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("rnk")).toMap
+      assert(got == expect, s"buckets=$b")
+    }
     // descending: -s asc == s desc (ties by k asc in both)
     val wd = Window.orderBy(col("s").desc, col("k"))
     val expectD = df.withColumn("rn", row_number().over(wd).cast("long"))
@@ -60,6 +62,24 @@ class RanksSpec extends AnyFunSuite {
           Ranks.ntileOfRank(col("r"), lit(n.toLong), 5).as("t"))
         .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
       assert(got == expect, s"n=$n")
+    }
+  }
+
+  test("prefixCountsBy: multi-column order with strings, nulls and decimals " +
+    "matches the window form") {
+    val g = spark.range(0, 400).select(
+      concat(lit("k"), lpad((col("id") % 37).cast("string"), 2, "0")).as("a"),
+      when(col("id") % 11 === 0, lit(null))
+        .otherwise(((col("id") * 13 % 50) - 10).cast("decimal(12,2)")).as("b"),
+      col("id").as("tie"), (col("id") % 7 + 1).as("c"))
+    val w = Window.orderBy(col("a"), col("b"), col("tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expect = g.select(col("tie"), sum("c").over(w).as("c_cum"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (b <- Seq(1, 13, 128)) {
+      val got = Ranks.prefixCountsBy(g, Seq("a", "b", "tie"), Seq("c"), buckets = b)
+        .collect().map(r => r.getAs[Long]("tie") -> r.getAs[Long]("c_cum")).toMap
+      assert(got == expect, s"buckets=$b")
     }
   }
 
