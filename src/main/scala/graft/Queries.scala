@@ -6921,14 +6921,12 @@ object Queries {
 
   q("q_pareto_abc",
     // ABC/Pareto inventory classification: cumulative revenue share with
-    // integer cross-multiplied 80/95 boundaries — exact decimal cumsum
-    // over the per-part AGGREGATE. CARDINALITY CONTRACT: the global
-    // cumulative window is |parts|-sized — inherent to ABC (the output
-    // IS a ranked walk of the catalog) and bounded by catalog
-    // cardinality (~200k/SF for TPC-H parts, ~10^5-10^7 for real
-    // catalogs), never by lineitem rows; a catalog too big for one task
-    // is a catalog no one ABC-ranks — pre-aggregate to revenue bands
-    // first (the q_histogram discipline) if that ever changes
+    // integer cross-multiplied 80/95 boundaries. The cumsum runs in
+    // exact integer CENTS through Ranks.prefixCountsBy (range-bucketed
+    // distributed prefix sums over (rev desc, part) — no unpartitioned
+    // window, so the plan holds at any catalog cardinality); cents_cum
+    // /100 = the oracle's decimal cumsum exactly, and the class
+    // comparisons cross-multiply so both engines compare integers
     """WITH r AS (SELECT l_partkey AS part,
       |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev
       |  FROM lineitem WHERE l_partkey < 500 GROUP BY 1),
@@ -6941,13 +6939,14 @@ object Queries {
     val r = tbl(s, dir, "lineitem").filter(col("l_partkey") < 500)
       .groupBy(col("l_partkey").as("part"))
       .agg(sum(dec(col("l_extendedprice"), 12, 2)).as("rev"))
-    val tot = r.agg(sum("rev").as("tot"))
-    val w = Window.orderBy(col("rev").desc, col("part"))
-    r.withColumn("cum", sum("rev").over(w))
+    val c = r.select(col("part"), col("rev"),
+      (col("rev") * 100).cast("long").as("cents"), (-col("rev")).as("nrev"))
+    val tot = c.agg(sum("cents").as("totc"))
+    Ranks.prefixCountsBy(c, Seq("nrev", "part"), Seq("cents"))
       .crossJoin(broadcast(tot))
       .select(col("part"), col("rev").cast("double").as("rev"),
-        when(col("cum") * 100 <= col("tot") * 80, "A")
-          .when(col("cum") * 100 <= col("tot") * 95, "B")
+        when(col("cents_cum") * 100 <= col("totc") * 80, "A")
+          .when(col("cents_cum") * 100 <= col("totc") * 95, "B")
           .otherwise("C").as("abc"))
       .orderBy("part")
   }
@@ -7959,14 +7958,16 @@ object Queries {
     val t = tbl(s, dir, "part")
       .select(col("p_partkey"), col("p_size"),
         dec(col("p_retailprice"), 12, 2).as("price"))
-    // per-size minimum price, then the strict-prefix running minimum:
-    // a size-group survives iff its min price undercuts every smaller
-    // size's minimum; surviving rows are those AT the group minimum
+    // per-size minimum price, then the strict-prefix running minimum
+    // (Ranks.prefixMinExclusive over integer cents — no unpartitioned
+    // window, MaxValue sentinel = "no smaller size", so the first size
+    // survives the same < comparison): a size-group survives iff its
+    // min price undercuts every smaller size's minimum; surviving rows
+    // are those AT the group minimum
     val gmin = t.groupBy("p_size").agg(min("price").as("ymin"))
-    val w = Window.orderBy("p_size")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val sky = gmin.withColumn("smin", min("ymin").over(w))
-      .filter(col("smin").isNull || col("ymin") < col("smin"))
+      .withColumn("cents", (col("ymin") * 100).cast("long"))
+    val sky = Ranks.prefixMinExclusive(gmin, Seq("p_size"), "cents")
+      .filter(col("cents") < col("cents_premin"))
       .select(col("p_size").as("sk_size"), col("ymin"))
     t.join(sky, col("p_size") === col("sk_size") && col("price") === col("ymin"))
       .select(col("p_partkey"), col("p_size"),

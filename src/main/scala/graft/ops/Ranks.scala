@@ -181,6 +181,59 @@ object Ranks {
       .drop("__b", "__sv", "__tv", "__rn")
   }
 
+  /** 1-based rank of a SMALL frame (bounded by construction: the ≤ k
+    * survivors of an `orderBy().limit(k)` top-k, a ≤ |groups| summary)
+    * WITHOUT a Window node: one single-row aggregate packs
+    * `(order tuple, payload)` structs, `sort_array` orders them, and
+    * `posexplode` restores the rows with rank = position + 1.
+    * `ordCols` must total-order the rows (include a unique tiebreak;
+    * descending components: negate at the call site) and the whole
+    * frame must fit one aggregate row — use [[globalRank]] for anything
+    * that scales with the data.
+    */
+  def smallRank(df: DataFrame, ordCols: Seq[Column], rankName: String): DataFrame = {
+    val cols = df.columns
+    val ord = ordCols.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }
+    df.select(struct(ord ++ cols.map(col): _*).as("__s"))
+      .agg(sort_array(collect_list(col("__s"))).as("__a"))
+      .select(posexplode(col("__a")).as(Seq("__i", "__e")))
+      .select(cols.map(c => col("__e").getField(c).as(c)) :+
+        (col("__i") + 1).cast("int").as(rankName): _*)
+  }
+
+  /** STRICT-prefix running minimum of a long column in `(ordCols…)`
+    * ascending order — `MIN(v) OVER (ORDER BY … ROWS BETWEEN UNBOUNDED
+    * PRECEDING AND 1 PRECEDING)` without the single-task sort, using the
+    * same bucket machinery as [[prefixCountsBy]] (per-bucket exclusive
+    * window min + driver-side exclusive prefix min of the ≤ `buckets`
+    * per-bucket minima). Emits `<valCol>_premin`, with `Long.MaxValue`
+    * as the empty-prefix sentinel (the first row globally) — callers
+    * comparing `v < premin` get the usual "first row survives" semantics
+    * for free. One row per distinct order tuple, deterministic-input
+    * contract as above.
+    */
+  def prefixMinExclusive(g: DataFrame, ordCols: Seq[String], valCol: String,
+                         buckets: Int = 0): DataFrame = {
+    val b = if (buckets > 0) buckets else defaultBuckets(g)
+    val (types, bnds) = boundaries(g, ordCols, b)
+    val parted = g.withColumn("__b", bucketExpr(ordCols, types, bnds))
+    val w = Window.partitionBy("__b").orderBy(ordCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = parted.withColumn("__lm", min(col(valCol)).over(w))
+    val nBuckets = bnds.length + 1
+    val tot = parted.groupBy("__b").agg(min(col(valCol)).cast("long").as("m"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offs = new Array[Long](nBuckets)
+    var acc = Long.MaxValue
+    (0 until nBuckets).foreach { i =>
+      offs(i) = acc
+      acc = math.min(acc, tot.getOrElse(i, Long.MaxValue))
+    }
+    local.select(g.columns.map(col) :+
+      least(coalesce(col("__lm").cast("long"), lit(Long.MaxValue)),
+        BucketOffset(col("__b"), offs)).as(s"${valCol}_premin"): _*)
+  }
+
   /** NTILE(k) of a precomputed global rank — Spark/DuckDB NTILE
     * semantics exactly: the first `n mod k` tiles hold `n div k + 1`
     * rows, the rest `n div k`. Lazy CaseWhen keeps the second branch's

@@ -59,8 +59,8 @@ object Salting {
       .orderBy(col("n").desc, col("key")).limit(topK)
       .select(col("key"), col("n"),
         round(col("n").cast("double") / col("total"), 6).as("share"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("n").desc, col("key"))
-    top.withColumn("rank", row_number().over(w))
+    // rank the <= topK survivors without a Window node (sorted-struct
+    // pack — Ranks.smallRank; bounded by the limit above)
+    Ranks.smallRank(top, Seq(-col("n"), col("key")), "rank")
   }
 }

@@ -558,9 +558,7 @@ object TextAnalysis {
     // per-partition heaps, only k rows move); the rank is then assigned
     // over k rows, not over the pair stream
     val top = scored.orderBy(col("score_fp").desc, col("w1"), col("w2")).limit(k)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("score_fp").desc, col("w1"), col("w2"))
-    top.withColumn("rk", row_number().over(w))
+    Ranks.smallRank(top, Seq(-col("score_fp"), col("w1"), col("w2")), "rk")
       .select(col("rk"), col("w1"), col("w2"), col("n"), col("score_fp"))
   }
 
