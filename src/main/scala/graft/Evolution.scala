@@ -282,12 +282,25 @@ object Evolution {
             out.write.mode(mode).parquet(opt("-o").getOrElse(
               sys.error("index search requires -o <output.parquet>")))
             println(s"index search: wrote top-k matches to ${opt("-o").get}")
+          case Some("append") =>
+            ops.Similarity.ivfIndexAppend(spark,
+              opt("-x").getOrElse(sys.error("index append requires -x <indexDir>")),
+              spark.read.parquet(opt("-i").getOrElse(
+                sys.error("index append requires -i <batch.parquet>"))),
+              idCol = opt("--id-col").getOrElse("vec_id"),
+              vecCol = opt("--vec-col").getOrElse("embedding"))
+            println(s"index append: assigned + appended batch into ${opt("-x").get}")
+          case Some("compact") =>
+            ops.Similarity.ivfIndexCompact(spark,
+              opt("-x").getOrElse(sys.error("index compact requires -x <indexDir>")))
+            println(s"index compact: rewrote cell partitions of ${opt("-x").get}")
           case other => sys.error(
-            s"unknown index op '${other.getOrElse("")}' (build | search)")
+            s"unknown index op '${other.getOrElse("")}' (build | search | append | compact)")
         }
       case _ =>
         System.err.println(
-          "usage: evolution (convert|mock|curate <op>|index build|index search) [options]")
+          "usage: evolution (convert|mock|curate <op>|index build|index search|" +
+            "index append|index compact) [options]")
         sys.exit(2)
     } finally spark.stop()
   }

@@ -2774,6 +2774,29 @@ object Queries {
       .orderBy("q_id", "n_id")
   }
 
+  q("knn_cosine_ivf_persisted_compacted",
+    // COMPACTION closes the maintenance loop ivfIndexAppend opened:
+    // build on the kept base, append the incoming batch in TWO separate
+    // commits (each its own set of small parquet files), then
+    // ivfIndexCompact rewrites the cell partitions co-located on the
+    // cell id — codebook and rows untouched, so search over the
+    // compacted index hash-matches the same base-trained oracle as the
+    // incremental path (bit-identity is the compaction contract;
+    // AdviceRegressionSpec also proves the file count drops)
+    kmeansKnnOracleSql(k = 8, iters = 2, dim = 64, topK = 5, nQueries = 10,
+      trainWhere = "WHERE vec_id % 10 < 8")) { (s, dir) =>
+    val emb = tbl(s, dir, "embeddings")
+    val idx = cachedLanding(s"ivfidxcmp:$dir") { d =>
+      Similarity.writeIvfIndex(emb.filter(col("vec_id") % 10 < 8), d,
+        k = 8, iters = 2, dim = 64)
+      Similarity.ivfIndexAppend(s, d, emb.filter(col("vec_id") % 10 === 8))
+      Similarity.ivfIndexAppend(s, d, emb.filter(col("vec_id") % 10 === 9))
+      Similarity.ivfIndexCompact(s, d)
+    }
+    Similarity.ivfKnnFromIndex(s, idx, emb.filter(col("vec_id") < 10), k = 5)
+      .orderBy("q_id", "n_id")
+  }
+
   q("knn_cosine_ivf_probe2",
     // the coarse-IVF oracle with the query side assigned to its TWO
     // nearest cells (rn <= 2) — corpus stays single-cell, so each (q, n)

@@ -620,6 +620,44 @@ object Similarity {
       .write.mode("append").parquet(s"$path/cells.parquet")
   }
 
+  /** COMPACTION: rewrite the cell partitions of a persisted index after
+    * many [[ivfIndexAppend]] batches. Each append commits its own small
+    * parquet files under `cells.parquet`; a corpus maintained by N
+    * batches accumulates N× the file (and footer/open) count until scan
+    * startup dominates query latency. Compacting re-reads the cells,
+    * repartitions ON THE CELL ID (each cell's vectors land contiguously,
+    * which is exactly the locality the cell equi-join scan wants), and
+    * swaps the directory in — codebook untouched, rows untouched, so a
+    * search after compaction is BIT-IDENTICAL to one before (IvfSpec
+    * proves it). File count drops from O(appends × partitions) to at
+    * most the shuffle parallelism.
+    *
+    * Write-then-swap: the new layout fully commits to a side directory
+    * before any destructive step, so a failed compaction leaves the live
+    * index readable. The swap itself is two renames — run compaction as
+    * the index's single maintenance writer (the same discipline any
+    * LSM/lakehouse compactor assumes).
+    */
+  def ivfIndexCompact(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val cells = new Path(s"$path/cells.parquet")
+    val tmp = new Path(s"$path/cells.compacting.parquet")
+    val old = new Path(s"$path/cells.retired.parquet")
+    spark.read.parquet(cells.toString)
+      .repartition(col("cell"))
+      .write.mode("overwrite").parquet(tmp.toString)
+    val fs = cells.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(cells, old))
+      sys.error(s"ivfIndexCompact: cannot retire $cells")
+    if (!fs.rename(tmp, cells)) {
+      fs.rename(old, cells) // roll back: live index stays usable
+      sys.error(s"ivfIndexCompact: cannot install $tmp")
+    }
+    fs.delete(old, true)
+  }
+
   /** Load the codebook of a persisted index (k×dim rows — index-sized
     * driver traffic, the same legit collect as training).
     */

@@ -225,26 +225,43 @@ object Stats {
     * the at-risk counts come from [[Ranks.prefixCounts]] over the
     * per-duration aggregate (range-bucketed prefix sums, no
     * unpartitioned window), and the survival prefix product runs as a
-    * TWO-LEVEL fold on a fixed duration grid (`bk = t div blockW`):
-    * per-block factor lists are ≤ blockW entries BY CONSTRUCTION, the
-    * block-product carry folds over the #blocks-sized (domain/blockW)
-    * block table, and S(t) = fold(within-block factors up to t, init =
-    * carry). The grouping of IEEE multiplies — (Πblocks)·f₁·f₂… — is
+    * TWO-LEVEL fold on a fixed duration grid (`bk = floor(t/blockW′)`,
+    * where blockW′ auto-scales from the observed domain span so
+    * #blocks ≤ maxBlocks — the grid contract is ENFORCED, not assumed):
+    * per-block factor lists hold the block's distinct durations, the
+    * block-product carry folds over the ≤ maxBlocks-sized block table,
+    * and S(t) = fold(within-block factors up to t, init = carry). The grouping of IEEE multiplies — (Πblocks)·f₁·f₂… — is
     * part of the metric's definition (both engines replay the identical
     * two-level sequence; the old flat fold packed EVERY distinct
     * duration into one row). No logs, no exp.
     */
   def kaplanMeier(df: DataFrame, durCol: Column, eventCol: Column,
-                  blockW: Int = 64): DataFrame = {
+                  blockW: Int = 64, maxBlocks: Int = 4096): DataFrame = {
     val g = df.select(durCol.as("t"), eventCol.cast("long").as("d"))
       .groupBy("t").agg(sum("d").as("d"), count(lit(1)).as("c"))
       .localCheckpoint() // consumers: totals + boundary sample + cum pass
+    // DURATION-GRID ENFORCEMENT: the carry pack below is one row of
+    // #blocks structs, so #blocks must stay bounded no matter what the
+    // duration unit is. A second-resolution column over years at the
+    // default blockW=64 would pack millions of structs into that row —
+    // so the effective block width auto-scales from the observed domain
+    // span to keep #blocks ≤ maxBlocks (a grid choice, made once,
+    // driver-side — the same deterministic-once discipline as the Ranks
+    // boundaries; callers pinning a unit for oracle replay pass a blockW
+    // that already satisfies the cap and nothing changes). floor()
+    // division keeps the old tolerance for fractional durations.
+    val span = g.agg(min(col("t").cast("double")).as("lo"),
+      max(col("t").cast("double")).as("hi")).collect()(0)
+    val blockWEff: Long =
+      if (span.isNullAt(0)) blockW.toLong
+      else math.max(blockW.toLong,
+        math.ceil((span.getDouble(1) - span.getDouble(0) + 1) / maxBlocks).toLong)
     val tot = g.agg(sum("c").as("n_tot"))
     val staged = Ranks.prefixCounts(g, "t", Seq("c"))
       .crossJoin(broadcast(tot))
       .select(col("t"), col("d"),
         (col("n_tot") - (col("c_cum") - col("c"))).as("n_risk"))
-    val fb = staged.withColumn("bk", expr(s"t div $blockW"))
+    val fb = staged.withColumn("bk", floor(col("t") / blockWEff).cast("long"))
       .groupBy("bk")
       .agg(sort_array(collect_list(struct(col("t"), col("d"), col("n_risk"))))
         .as("ls"))

@@ -1078,6 +1078,57 @@ class OpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1, 1, 4, 0.75), (2, 1, 3, 0.5), (3, 1, 1, 0.0)))
   }
 
+  test("Kaplan-Meier: second-resolution durations auto-scale the block grid " +
+    "(bounded carry row) and fractional durations are accepted") {
+    // 3000 distinct second-grained durations spread over ~3 years
+    // (span ~9.5e7 s): at the default blockW=64 the carry row would pack
+    // ~1.5M structs; the enforced grid caps #blocks at maxBlocks
+    val rows = (0 until 3000).map { i =>
+      (i.toLong * 31771L + (i % 7) * 13L, if (i % 4 == 0) 0 else 1)
+    }
+    val df = rows.toDF("t", "d")
+    val maxBlocks = 64 // small cap so the test exercises the scaling path
+    val got = Stats.kaplanMeier(df, col("t"), col("d"), maxBlocks = maxBlocks)
+      .orderBy("t").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    // independent Scala replay of the SAME two-level fold (per-block
+    // factor products, exclusive carry, within-block prefix fold)
+    val lo = rows.map(_._1).min.toDouble
+    val hi = rows.map(_._1).max.toDouble
+    val blockW = math.max(64L, math.ceil((hi - lo + 1) / maxBlocks).toLong)
+    val byT = rows.groupBy(_._1).map { case (t, rs) =>
+      (t, rs.map(_._2).sum.toLong, rs.size.toLong)
+    }.toSeq.sortBy(_._1)
+    val n = rows.size.toLong
+    val cum = byT.scanLeft(0L)(_ + _._3).init
+    val staged = byT.zip(cum).map { case ((t, d, _), before) =>
+      (t, d, n - before)
+    }
+    val blocks = staged.groupBy { case (t, _, _) => t / blockW } // t >= 0
+    val blockProd = blocks.map { case (bk, es) =>
+      bk -> es.sortBy(_._1).foldLeft(1.0) { case (acc, (_, d, risk)) =>
+        acc * (1.0 - d.toDouble / risk)
+      }
+    }
+    val bks = blocks.keys.toSeq.sorted
+    val carry = bks.zip(bks.scanLeft(1.0)((acc, bk) => acc * blockProd(bk)).init).toMap
+    val expect = bks.flatMap { bk =>
+      blocks(bk).sortBy(_._1).scanLeft(("sentinel", carry(bk))) {
+        case ((_, acc), (t, d, risk)) =>
+          (s"$t", acc * (1.0 - d.toDouble / risk))
+      }.tail.zip(blocks(bk).sortBy(_._1)).map { case ((_, s), (t, d, risk)) =>
+        (t, d.toInt, risk.toInt, math.rint(s * 1e6) / 1e6)
+      }
+    }.sortBy(_._1)
+    assert(got.length == expect.length)
+    got.zip(expect).foreach { case (gRow, e) => assert(gRow == e, s"$gRow != $e") }
+    // fractional durations no longer throw (floor-division tolerance)
+    val frac = Seq((1.5, 1), (2.5, 1), (2.5, 0), (3.25, 1)).toDF("t", "d")
+    val fgot = Stats.kaplanMeier(frac, col("t"), col("d")).orderBy("t").collect()
+      .map(r => (r.getDouble(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    assert(fgot.toSeq == Seq((1.5, 1, 4, 0.75), (2.5, 1, 3, 0.5), (3.25, 1, 1, 0.0)))
+  }
+
   test("histogram drift: hand-computed chi-square contributions, missing bins coalesce") {
     // old [A,A,B], mirrored new [A,B,B] per 2: symmetric 8.0 per bin
     val oldV = Seq("A", "A", "A", "A", "B", "B").toDF("c")
@@ -2078,6 +2129,37 @@ class AdviceRegressionSpec extends AnyFunSuite {
         withCell.filter(col("vec_id") < 5), k = 3, cellCol = "cell")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
     assert(got.toSeq == expect.toSeq)
+  }
+
+  test("ivfIndexCompact: search bit-identical before/after; small-file count drops") {
+    val rnd = new scala.util.Random(31)
+    val vecs = (0L until 60L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val base = df.filter(col("vec_id") < 30)
+    val path = java.nio.file.Files.createTempDirectory("ivfcmp").toString
+    Similarity.writeIvfIndex(base, path, k = 4, iters = 2, dim = 8)
+    for (b <- 0 until 3) // three maintenance batches, each its own commit
+      Similarity.ivfIndexAppend(spark, path,
+        df.filter(col("vec_id") >= 30 + b * 10 && col("vec_id") < 40 + b * 10))
+    def dataFiles: Int = new java.io.File(s"$path/cells.parquet")
+      .listFiles.count(_.getName.endsWith(".parquet"))
+    val queries = df.filter(col("vec_id") < 5)
+    def search = Similarity.ivfKnnFromIndex(spark, path, queries, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val before = search
+    val filesBefore = dataFiles
+    val codebookBefore = spark.read.parquet(s"$path/codebook.parquet")
+      .collect().map(_.toString).sorted.toSeq
+    Similarity.ivfIndexCompact(spark, path)
+    assert(search == before)
+    assert(dataFiles < filesBefore,
+      s"expected fewer data files after compaction: $filesBefore -> $dataFiles")
+    // one file run per shuffle partition at most, no leftover temp dirs
+    assert(!new java.io.File(path).list.exists(_.contains("compacting")))
+    assert(!new java.io.File(path).list.exists(_.contains("retired")))
+    assert(spark.read.parquet(s"$path/codebook.parquet")
+      .collect().map(_.toString).sorted.toSeq == codebookBefore)
   }
 
   test("HLL small-range estimates switch to the quantized linear-counting table") {
