@@ -2797,6 +2797,66 @@ object Queries {
       .orderBy("q_id", "n_id")
   }
 
+  q("q_eval_ivf_cell_balance", {
+    // index-health report: per-cell population of the persisted IVF
+    // index plus the ×1000 fixed-point load factor (1000 ≡ perfectly
+    // balanced). The IVF scan-cost model assumes ~1/n_cells per query —
+    // this is the report that says whether that bound actually holds or
+    // a hot cell is quietly carrying a linear fraction of the corpus
+    // (the same failure mode the LSH maxBucket sweep measures). Oracle
+    // replays the shared k-means assignment chain and counts cells.
+    ((kmeansCellCtes(k = 8, iters = 2, dim = 64) ++ Seq(
+      "pc AS (SELECT cell, COUNT(*) AS n_vecs FROM cellt GROUP BY 1)",
+      "t AS (SELECT SUM(n_vecs) AS tot FROM pc)"))
+      .mkString("WITH ", ", ", "") +
+      " SELECT CAST(cell AS INT) AS cell, CAST(n_vecs AS BIGINT) AS n_vecs," +
+      " CAST(n_vecs * 8 * 1000 // tot AS BIGINT) AS load_x1000" +
+      " FROM pc, t ORDER BY cell").stripMargin.replace("\n", " ")
+  }) { (s, dir) =>
+    val idx = cachedLanding(s"ivfidx:$dir") { d =>
+      Similarity.writeIvfIndex(tbl(s, dir, "embeddings"), d,
+        k = 8, iters = 2, dim = 64)
+    }
+    val pc = s.read.parquet(s"$idx/cells.parquet")
+      .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+    val t = pc.agg(sum("n_vecs").as("tot"))
+    pc.crossJoin(broadcast(t))
+      .select(col("cell").cast("int").as("cell"), col("n_vecs"),
+        expr("n_vecs * 8 * 1000 div tot").as("load_x1000"))
+      .orderBy("cell")
+  }
+
+  q("stream_ivf_ingest",
+    // STREAMING index maintenance: the embedding batches arrive as a
+    // file-source stream and foreachBatch-append into the persisted
+    // index (Streams.ivfIngest). Append order never affects assignment
+    // (frozen codebook), so the drained index is bit-identical to a
+    // batch build over base+batches — the same base-trained oracle as
+    // the incremental and compacted paths
+    kmeansKnnOracleSql(k = 8, iters = 2, dim = 64, topK = 5, nQueries = 10,
+      trainWhere = "WHERE vec_id % 10 < 8")) { (s, dir) =>
+    val emb = tbl(s, dir, "embeddings")
+    val root = cachedLanding(s"ivfidxstr:$dir") { d =>
+      Similarity.writeIvfIndex(emb.filter(col("vec_id") % 10 < 8),
+        s"$d/index", k = 8, iters = 2, dim = 64)
+      val batches = emb.filter(col("vec_id") % 10 >= 8)
+        .select("vec_id", "embedding")
+      // two landed files = at least one real micro-batch boundary
+      batches.filter(col("vec_id") % 10 === 8).write.mode("append")
+        .parquet(s"$d/batches")
+      batches.filter(col("vec_id") % 10 === 9).write.mode("append")
+        .parquet(s"$d/batches")
+      val src = s.readStream.schema(batches.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$d/batches")
+      val query = graft.streaming.Streams
+        .ivfIngest(src, s"$d/index", s"$d/ckpt").start()
+      try query.processAllAvailable() finally query.stop()
+    }
+    Similarity.ivfKnnFromIndex(s, s"$root/index",
+        emb.filter(col("vec_id") < 10), k = 5)
+      .orderBy("q_id", "n_id")
+  }
+
   q("knn_cosine_ivf_probe2",
     // the coarse-IVF oracle with the query side assigned to its TWO
     // nearest cells (rn <= 2) — corpus stays single-cell, so each (q, n)
@@ -6964,6 +7024,7 @@ object Queries {
       .agg(sum(dec(col("l_extendedprice"), 12, 2)).as("rev"))
     val c = r.select(col("part"), col("rev"),
       (col("rev") * 100).cast("long").as("cents"), (-col("rev")).as("nrev"))
+      .localCheckpoint() // consumers: total + the 4 Ranks actions
     val tot = c.agg(sum("cents").as("totc"))
     Ranks.prefixCountsBy(c, Seq("nrev", "part"), Seq("cents"))
       .crossJoin(broadcast(tot))
@@ -7989,6 +8050,7 @@ object Queries {
     // are those AT the group minimum
     val gmin = t.groupBy("p_size").agg(min("price").as("ymin"))
       .withColumn("cents", (col("ymin") * 100).cast("long"))
+      .localCheckpoint() // consumers: the 4 Ranks actions
     val sky = Ranks.prefixMinExclusive(gmin, Seq("p_size"), "cents")
       .filter(col("cents") < col("cents_premin"))
       .select(col("p_size").as("sk_size"), col("ymin"))

@@ -11,6 +11,13 @@ import org.apache.spark.sql.DataFrame
   * (actual, predicted) keys, map-side combined; the per-class and kappa
   * math is then a fixed sequence of integer-fed IEEE divisions on the
   * classes×classes table — deterministic at any scale, any partitioning.
+  *
+  * CHECKPOINT CONVENTION: operators whose inputs feed the multi-action
+  * Ranks machinery (`rocAuc`, the ranking evaluators) `localCheckpoint()`
+  * small aggregate frames at PLAN-CONSTRUCTION time — eager Spark jobs
+  * run when the DataFrame is BUILT, and the (aggregate-sized) checkpoint
+  * blocks stay pinned for the session; see the matching note on
+  * [[Stats]].
   */
 object Eval {
 

@@ -15,6 +15,17 @@ import org.apache.spark.sql.functions._
   * partial-aggregated — one shuffle of six numbers per group), and the
   * float combination happens once per GROUP, not per row, so determinism
   * costs nothing at scale.
+  *
+  * CHECKPOINT CONVENTION: the rank-statistic operators below
+  * (`mannWhitneyU`, `ksTest`, `kaplanMeier`) `localCheckpoint()` their
+  * per-value aggregate at PLAN-CONSTRUCTION time — building the
+  * DataFrame eagerly runs the aggregation once so the multi-action
+  * Ranks machinery (see the Ranks deterministic-input contract) reads a
+  * materialized frame instead of re-executing lineage per action. The
+  * checkpoint blocks stay pinned in executor storage for the session; a
+  * long-lived session constructing MANY of these should expect that
+  * storage growth (the blocks are aggregate-sized, not corpus-sized)
+  * or recycle sessions between batches.
   */
 object Stats {
 

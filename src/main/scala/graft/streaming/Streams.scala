@@ -110,6 +110,28 @@ object Streams {
       }
   }
 
+  /** Streaming ANN-index maintenance: each micro-batch of (id, vector)
+    * rows appends into a persisted IVF index ([[graft.ops.Similarity
+    * .ivfIndexAppend]] — stored-codebook assignment, cell-partition
+    * append; no retrain, no corpus rewrite). This is the production
+    * embedding-ingest loop: vectors land continuously, the index is
+    * searchable between batches, and since append-order never affects
+    * assignment (the codebook is frozen), the index after the stream
+    * drains is bit-identical to a batch build whose corpus carried every
+    * vector — which is exactly what the stream_ivf_ingest oracle checks.
+    * Run [[graft.ops.Similarity.ivfIndexCompact]] on a maintenance cadence
+    * to fold the per-batch small files back into cell-sized partitions.
+    */
+  def ivfIngest(batches: DataFrame, indexDir: String, checkpointDir: String,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataStreamWriter[Row] =
+    batches.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        graft.ops.Similarity.ivfIndexAppend(batch.sparkSession, indexDir,
+          batch, idCol, vecCol)
+      }
+
   /** Stream-static enrichment: join a stream against a broadcast static
     * dimension — the no-state, no-watermark join (each micro-batch probes
     * the dimension like a batch broadcast join). The streaming side is
