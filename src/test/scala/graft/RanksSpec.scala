@@ -83,6 +83,27 @@ class RanksSpec extends AnyFunSuite {
     }
   }
 
+  test("bucket kernel: interpreted (codegen-off) evaluation matches codegen") {
+    // RangeBucketId/BucketOffset carry both doGenCode and eval paths;
+    // force the interpreted path once so a drift between them cannot
+    // hide behind whole-stage codegen being on everywhere else
+    val g = spark.range(0, 300)
+      .select((col("id") * 7919 % 500).as("v"), (col("id") % 5 + 1).as("c"))
+      .groupBy("v").agg(sum("c").as("c"))
+    val expect = Ranks.prefixCounts(g, "v", Seq("c"), buckets = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val got = Ranks.prefixCounts(g, "v", Seq("c"), buckets = 16)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("prefixCounts: empty input and single-value input") {
     val empty = Seq.empty[(Long, Long)].toDF("v", "c")
     assert(Ranks.prefixCounts(empty, "v", Seq("c")).count() == 0)
