@@ -5902,6 +5902,35 @@ object Queries {
     TextAnalysis.bigramLmScore(tbl(s, dir, "documents")).orderBy("doc_id")
   }
 
+  q("text_lm_kneser_ney", {
+    // Kneser-Ney-smoothed bigram LM (the CCNet-filter upgrade): absolute
+    // discount D=3/4 plus continuation-probability backoff, log-free —
+    // each p_KN is one fixed IEEE expression of integer counts,
+    // replicated operator-for-operator here, and the per-doc mean folds
+    // in document order (list ORDER BY pos == sort_array fold)
+    s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
+       |pr AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+       |    i -> {'pos': i, 'w1': w[i], 'w2': w[i+1]})) AS s FROM t),
+       |p2 AS (SELECT doc_id, s.pos AS pos, s.w1 AS w1, s.w2 AS w2 FROM pr),
+       |bi AS (SELECT w1, w2, COUNT(*) AS cb FROM p2 GROUP BY 1, 2),
+       |lft AS (SELECT w1, SUM(cb) AS cw1, COUNT(*) AS n1l FROM bi GROUP BY 1),
+       |rgt AS (SELECT w2, COUNT(*) AS n1r FROM bi GROUP BY 1),
+       |tt AS (SELECT COUNT(*) AS tt FROM bi),
+       |j AS (SELECT doc_id, pos,
+       |    (GREATEST(CAST(cb AS DOUBLE) - 0.75, 0.0) / cw1)
+       |    + (0.75 * n1l / cw1) * (CAST(n1r AS DOUBLE) / tt) AS p
+       |  FROM p2 JOIN bi USING (w1, w2) JOIN lft USING (w1)
+       |  JOIN rgt USING (w2) CROSS JOIN tt),
+       |a AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_bigrams,
+       |    list(p ORDER BY pos) AS ps FROM j GROUP BY doc_id)
+       |SELECT doc_id, n_bigrams,
+       |  floor(list_reduce(ps, (acc, x) -> acc + x) / n_bigrams * 1e6 + 0.5) / 1e6
+       |    AS kn_score
+       |FROM a ORDER BY doc_id""".stripMargin.replace("\n", " ")
+  }) { (s, dir) =>
+    TextAnalysis.kneserNeyLmScore(tbl(s, dir, "documents")).orderBy("doc_id")
+  }
+
   q("q_repeated_spans",
     // exact-substring dedup signal (Lee et al. style, token-window
     // approximation): 8-token spans occurring in >1 document, rolled up

@@ -352,6 +352,63 @@ object TextAnalysis {
           / size(col("ps")) * 1e6 + 0.5) / 1e6).as("lm_score"))
   }
 
+  /** Kneser–Ney-smoothed bigram LM scoring — the standard statistical
+    * quality filter upgrade over [[bigramLmScore]]'s raw MLE: unseen
+    * continuations receive mass proportional to how PROMISCUOUS a word's
+    * contexts are (its distinct-left-neighbor count), which is what
+    * separates "rare but well-formed" from "garbled" text far better
+    * than raw bigram frequency.
+    *
+    *   p_KN(w2|w1) = max(c(w1w2) − D, 0)/c(w1•)
+    *               + (D·N1+(w1•)/c(w1•)) · (N1+(•w2)/T)
+    *
+    * with the textbook discount D = 3/4 and T = distinct bigram types.
+    * Every factor is an integer count; each p is ONE fixed expression
+    * tree of IEEE operations replicated operator-for-operator in the
+    * DuckDB oracle (no ln anywhere — the [[bm25TopK]] trade), and the
+    * per-document mean folds in document order like `bigramLmScore`, so
+    * scores hash-match cross-engine. Per-document output:
+    * (doc_id, n_bigrams, kn_score).
+    *
+    * Scale shape: bigram TYPE counts (vocabulary-sized, broadcast) are
+    * the only state; the corpus-sized pair stream joins them narrowly
+    * and reduces per document. Within each fixed w1, the KN masses sum
+    * to exactly 1 (OpsSpec holds this as a property).
+    */
+  def kneserNeyLmScore(docs: DataFrame, textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val w = tokens(col(textCol))
+    val pairRows = docs.select(col(idCol).as("doc_id"),
+      posexplode(zip_with(
+        slice(w, lit(1), size(w) - 1),
+        slice(w, lit(2), size(w) - 1),
+        (a, b) => concat(a, lit(" "), b))).as(Seq("pos", "bg")))
+    val bi = pairRows.groupBy("bg").agg(count(lit(1)).as("cb"))
+    val biKeys = bi
+      .withColumn("prev", substring_index(col("bg"), " ", 1))
+      .withColumn("nxt", substring_index(col("bg"), " ", -1))
+    val left = biKeys.groupBy("prev")
+      .agg(sum("cb").as("cw1"), count(lit(1)).as("n1l"))
+    val right = biKeys.groupBy("nxt").agg(count(lit(1)).as("n1r"))
+    val tt = bi.agg(count(lit(1)).as("tt"))
+    val p = (greatest(col("cb").cast("double") - lit(0.75), lit(0.0)) / col("cw1")) +
+      (lit(0.75) * col("n1l") / col("cw1")) * (col("n1r").cast("double") / col("tt"))
+    pairRows
+      .withColumn("prev", substring_index(col("bg"), " ", 1))
+      .withColumn("nxt", substring_index(col("bg"), " ", -1))
+      .join(broadcast(bi), "bg")
+      .join(broadcast(left), "prev")
+      .join(broadcast(right), "nxt")
+      .crossJoin(broadcast(tt))
+      .select(col("doc_id"), col("pos"), p.as("p"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("p")))).as("ps"))
+      .select(col("doc_id"),
+        size(col("ps")).as("n_bigrams"),
+        (floor(aggregate(col("ps"), lit(0.0), (acc, x) => acc + x.getField("p"))
+          / size(col("ps")) * 1e6 + 0.5) / 1e6).as("kn_score"))
+  }
+
   /** BM25 top-k retrieval with EXACT integer fixed-point scoring.
     *
     * Classic BM25 (k1 = 1.2, b = 3/4) with one deliberate, documented

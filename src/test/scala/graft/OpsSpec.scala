@@ -1143,6 +1143,40 @@ class OpsSpec extends AnyFunSuite {
     assert(got2.toSeq == Seq(("A", 2, 1, 1.333333), ("B", 0, 1, 4.0)))
   }
 
+  test("Kneser-Ney bigram masses sum to exactly 1 per context") {
+    // Σ_w2 p_KN(w2|w1) = (cw1 − D·n1l)/cw1 + (D·n1l/cw1)·Σ n1r/T = 1
+    // for every observed context w1 when summed over the full
+    // continuation vocabulary — the smoothing redistributes, never
+    // leaks, mass
+    val docs = Seq((0L, "a b a c a b b c"), (1L, "b c a a c b"),
+      (2L, "c c a b")).toDF("doc_id", "text")
+    val w = split(trim(col("text")), "\\s+")
+    val pairs = docs.select(posexplode(zip_with(
+      slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+      (a, b) => concat(a, lit(" "), b))).as(Seq("pos", "bg")))
+    val bi = pairs.groupBy("bg").agg(count(lit(1)).as("cb"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .collect().map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
+        r.getAs[Long]("cb")))
+    val tt = bi.length.toDouble
+    val cw1 = bi.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    val n1l = bi.groupBy(_._1).map { case (k, v) => k -> v.size }
+    val n1r = bi.groupBy(_._2).map { case (k, v) => k -> v.size }
+    val vocab = bi.map(_._2).distinct
+    for (w1 <- cw1.keys) {
+      val total = vocab.map { w2 =>
+        val cb = bi.find(e => e._1 == w1 && e._2 == w2).map(_._3).getOrElse(0L)
+        math.max(cb - 0.75, 0.0) / cw1(w1) +
+          (0.75 * n1l(w1) / cw1(w1)) * (n1r(w2) / tt)
+      }.sum
+      assert(math.abs(total - 1.0) < 1e-12, s"context $w1 sums to $total")
+    }
+    // and the operator emits one row per doc with >= 2 tokens
+    val out = graft.ops.TextAnalysis.kneserNeyLmScore(docs).collect()
+    assert(out.length == 3 && out.forall(r => r.getAs[Double]("kn_score") > 0))
+  }
+
   test("lexical diversity: ttr and Simpson repeat probability, single-token edge") {
     val d = Seq((0L, "a b a"), (1L, "x")).toDF("doc_id", "text")
     val got = TextAnalysis.lexicalDiversity(d).orderBy("doc_id").collect()
