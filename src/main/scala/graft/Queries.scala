@@ -5902,6 +5902,63 @@ object Queries {
     TextAnalysis.bigramLmScore(tbl(s, dir, "documents")).orderBy("doc_id")
   }
 
+  q("text_html_strip",
+    // web-corpus extraction: wrap each document in deterministic markup
+    // (entities included), then strip tags + decode the five core
+    // entities + collapse whitespace. The tag regex and the literal
+    // replace chain (amp LAST) are engine-identical; DuckDB regexes get
+    // the 'g' flag to match Spark's replace-all default
+    """WITH d AS (SELECT doc_id,
+      |  '<html><head><title>t</title></head><body><p id="d' || doc_id || '">'
+      |    || replace(text, ' the ', ' &amp; ') || '</p>'
+      |    || CASE WHEN doc_id % 3 = 0
+      |         THEN '<br/><span class="x">&lt;tag&gt;</span>' ELSE '' END
+      |    || '</body></html>' AS html FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(html, '<[^>]*>')) AS INT) AS n_tags,
+      |  CAST(length(html) AS INT) AS n_raw_chars,
+      |  trim(regexp_replace(
+      |    replace(replace(replace(replace(replace(
+      |      regexp_replace(html, '<[^>]*>', '', 'g'),
+      |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+      |      '&amp;', '&'),
+      |    '\s+', ' ', 'g')) AS extracted
+      |FROM d ORDER BY doc_id""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val html = concat(
+      lit("<html><head><title>t</title></head><body><p id=\"d"),
+      col("doc_id").cast("string"), lit("\">"),
+      replace(col("text"), lit(" the "), lit(" &amp; ")), lit("</p>"),
+      when(col("doc_id") % 3 === 0,
+        lit("<br/><span class=\"x\">&lt;tag&gt;</span>")).otherwise(lit("")),
+      lit("</body></html>"))
+    TextAnalysis.htmlStrip(tbl(s, dir, "documents"), html).orderBy("doc_id")
+  }
+
+  q("text_script_profile",
+    // Unicode script routing over a deterministically multilingualized
+    // corpus (the mojibake-audit dirtying discipline): per doc, counts
+    // of Latin/Cyrillic/CJK/digit code points by explicit BMP ranges
+    // (identical in Java and RE2 regex) and the dominant script
+    """WITH d AS (SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 4 = 0 THEN repeat(' дата', 120)
+      |         WHEN doc_id % 4 = 1 THEN repeat(' 数据', 200)
+      |         WHEN doc_id % 4 = 2 THEN ' données 123' ELSE '' END AS txt
+      |  FROM documents)
+      |SELECT doc_id, CAST(length(txt) AS INT) AS n_chars,
+      |  CAST(len(regexp_extract_all(txt, '[A-Za-z]')) AS INT) AS n_latin,
+      |  CAST(len(regexp_extract_all(txt, '[\x{0400}-\x{04FF}]')) AS INT) AS n_cyrillic,
+      |  CAST(len(regexp_extract_all(txt, '[\x{4E00}-\x{9FFF}]')) AS INT) AS n_cjk,
+      |  CAST(len(regexp_extract_all(txt, '[0-9]')) AS INT) AS n_digit,
+      |  CASE WHEN n_latin >= n_cyrillic AND n_latin >= n_cjk THEN 'latin'
+      |       WHEN n_cyrillic >= n_cjk THEN 'cyrillic' ELSE 'cjk' END AS dominant
+      |FROM d ORDER BY doc_id""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val dirty = concat(col("text"),
+      when(col("doc_id") % 4 === 0, repeat(lit(" дата"), 120))
+        .when(col("doc_id") % 4 === 1, repeat(lit(" 数据"), 200))
+        .when(col("doc_id") % 4 === 2, lit(" données 123")).otherwise(lit("")))
+    TextAnalysis.scriptProfile(tbl(s, dir, "documents"), dirty).orderBy("doc_id")
+  }
+
   q("text_lm_kneser_ney", {
     // Kneser-Ney-smoothed bigram LM (the CCNet-filter upgrade): absolute
     // discount D=3/4 plus continuation-probability backoff, log-free —

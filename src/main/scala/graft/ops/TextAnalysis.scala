@@ -352,6 +352,51 @@ object TextAnalysis {
           / size(col("ps")) * 1e6 + 0.5) / 1e6).as("lm_score"))
   }
 
+  /** Markup extraction: strip tags and decode the five XML/HTML core
+    * entities — the first step of any web-corpus ingest (the simplified
+    * deterministic core of trafilatura-style extraction; no DOM, no
+    * heuristics, so both engines replay it exactly). Tag removal is one
+    * RE2/Java-identical regex `<[^>]*>`; entity decode is a FIXED chain
+    * of literal replaces (amp LAST, so `&amp;lt;` decodes to the literal
+    * `&lt;` the author wrote, not a tag-opening `<`). Narrow projection —
+    * no shuffle.
+    */
+  def htmlStrip(docs: DataFrame, html: org.apache.spark.sql.Column,
+                idCol: String = "doc_id"): DataFrame = {
+    val noTags = regexp_replace(html, "<[^>]*>", "")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    docs.select(col(idCol),
+      regexp_count(html, lit("<[^>]*>")).as("n_tags"),
+      length(html).as("n_raw_chars"),
+      trim(regexp_replace(decoded, "\\s+", " ")).as("extracted"))
+  }
+
+  /** Per-document Unicode SCRIPT profile — the multilingual-corpus
+    * routing primitive (which alphabet is this document actually written
+    * in?) that complements the n-gram [[langId]]: counts of Latin,
+    * Cyrillic, CJK-unified, and digit code points via explicit BMP
+    * ranges (identical byte-for-byte in Java and RE2 regex engines — no
+    * \p{Script=…} dialect drift), plus the dominant script with a fixed
+    * latin > cyrillic > cjk tie order. A pure narrow projection: no
+    * shuffle, scales with input splits.
+    */
+  def scriptProfile(docs: DataFrame, txt: org.apache.spark.sql.Column,
+                    idCol: String = "doc_id"): DataFrame = {
+    val nLatin = regexp_count(txt, lit("[A-Za-z]")).as("n_latin")
+    val nCyr = regexp_count(txt, lit("[Ѐ-ӿ]")).as("n_cyrillic")
+    val nCjk = regexp_count(txt, lit("[一-鿿]")).as("n_cjk")
+    val nDig = regexp_count(txt, lit("[0-9]")).as("n_digit")
+    docs.select(col(idCol), length(txt).as("n_chars"),
+        nLatin, nCyr, nCjk, nDig)
+      .withColumn("dominant",
+        when(col("n_latin") >= col("n_cyrillic") &&
+          col("n_latin") >= col("n_cjk"), "latin")
+          .when(col("n_cyrillic") >= col("n_cjk"), "cyrillic")
+          .otherwise("cjk"))
+  }
+
   /** Kneser–Ney-smoothed bigram LM scoring — the standard statistical
     * quality filter upgrade over [[bigramLmScore]]'s raw MLE: unseen
     * continuations receive mass proportional to how PROMISCUOUS a word's
