@@ -83,6 +83,36 @@ class RanksSpec extends AnyFunSuite {
     }
   }
 
+  test("prefixMinExclusive equals the strict-prefix window min; sentinel on first row") {
+    val g = spark.range(0, 400)
+      .select((col("id") * 131 % 97).as("k"), col("id").as("tie"),
+        ((col("id") * 7919) % 1000 - 200).as("v"))
+      .groupBy("k", "tie").agg(min("v").as("v"))
+    val w = Window.orderBy("k", "tie")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val expect = g.withColumn("pm", min("v").over(w))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(3)) Long.MaxValue else r.getLong(3))).toMap
+    for (b <- Seq(1, 9, 128)) {
+      val got = Ranks.prefixMinExclusive(g, Seq("k", "tie"), "v", buckets = b)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          r.getAs[Long]("v_premin")).toMap
+      assert(got == expect, s"buckets=$b")
+    }
+  }
+
+  test("smallRank equals row_number over the same order on a bounded frame") {
+    val df = spark.range(0, 40)
+      .select(col("id").as("k"), (col("id") * 17 % 7).as("s"),
+        concat(lit("w"), (col("id") % 5).cast("string")).as("t"))
+    val w = Window.orderBy(col("s").desc, col("t"), col("k"))
+    val expect = df.withColumn("r", row_number().over(w))
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    val got = Ranks.smallRank(df, Seq(-col("s"), col("t"), col("k")), "r")
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Int]("r")).toMap
+    assert(got == expect)
+  }
+
   test("bucket kernel: interpreted (codegen-off) evaluation matches codegen") {
     // RangeBucketId/BucketOffset carry both doGenCode and eval paths;
     // force the interpreted path once so a drift between them cannot
