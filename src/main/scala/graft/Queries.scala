@@ -7604,9 +7604,12 @@ object Queries {
   q("q_km_survival",
     // Kaplan–Meier user-lifetime curve (right-censored at 2024-01-29):
     // at-risk counts from per-duration cumulative counts, the survival
-    // prefix product as the TWO-LEVEL blockW=64 grid fold kaplanMeier
-    // defines (per-block factor products, then a carry across blocks —
-    // both engines replay the identical IEEE sequence) — no logs
+    // prefix product as the TWO-LEVEL grid fold kaplanMeier defines
+    // (per-block factor products, then a carry across blocks — both
+    // engines replay the identical IEEE sequence) — no logs. The block
+    // width MIRRORS the operator's enforced grid (max(64, ceil(span /
+    // 4096))), so the oracle tracks the auto-scale instead of silently
+    // diverging if the duration span ever outgrows 64·4096
     """WITH u AS (SELECT user_id, MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx,
       |    MAX(ts) < TIMESTAMP '2024-01-29' AS ev FROM events GROUP BY 1),
       |dur AS (SELECT (mx - mn) // 3600000000 AS t,
@@ -7617,7 +7620,9 @@ object Queries {
       |    n_tot - coalesce(SUM(c) OVER (ORDER BY t
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
       |  FROM g, tt),
-      |fb AS (SELECT t // 64 AS bk, list(t ORDER BY t) AS ts,
+      |bwc AS (SELECT GREATEST(64, CAST(ceil(
+      |    (CAST(MAX(t) AS DOUBLE) - MIN(t) + 1) / 4096) AS BIGINT)) AS bw FROM g),
+      |fb AS (SELECT t // (SELECT bw FROM bwc) AS bk, list(t ORDER BY t) AS ts,
       |    list(d ORDER BY t) AS ds, list(n_risk ORDER BY t) AS ns,
       |    list(1.0e0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) ORDER BY t) AS fs
       |  FROM km GROUP BY 1),

@@ -613,11 +613,53 @@ object Similarity {
     */
   def ivfIndexAppend(spark: org.apache.spark.sql.SparkSession, path: String,
                      batch: DataFrame, idCol: String = "vec_id",
-                     vecCol: String = "embedding"): Unit = {
-    val codebook = readIvfCodebook(spark, path)
-    batch.select(col(idCol), col(vecCol))
+                     vecCol: String = "embedding",
+                     commitTag: Option[String] = None): Unit =
+    ivfIndexAppendWith(readIvfCodebook(spark, path), path, batch,
+      idCol, vecCol, commitTag)
+
+  /** [[ivfIndexAppend]] with a PRELOADED codebook — the loop form for
+    * callers appending many batches (the streaming ingest): the k×dim
+    * collect happens once, not per batch.
+    *
+    * `commitTag`: when set, the append is IDEMPOTENT under that tag —
+    * the batch lands in a staging dir, any `cells.parquet/<tag>-*`
+    * files from a previous (possibly partial) attempt are deleted, and
+    * the staged files move in under tag-prefixed names. Re-running the
+    * same tag (Structured Streaming's at-least-once foreachBatch
+    * replay, a retried maintenance job) replaces rather than duplicates
+    * — which is what keeps the drained-stream index bit-identical to a
+    * batch build. Untagged appends keep the plain one-shot
+    * `mode("append")` commit.
+    */
+  def ivfIndexAppendWith(codebook: Seq[Array[Float]], path: String,
+                         batch: DataFrame, idCol: String = "vec_id",
+                         vecCol: String = "embedding",
+                         commitTag: Option[String] = None): Unit = {
+    val assigned = batch.select(col(idCol), col(vecCol))
       .withColumn("cell", ivfAssignCell(col(vecCol), codebook))
-      .write.mode("append").parquet(s"$path/cells.parquet")
+    commitTag match {
+      case None =>
+        assigned.write.mode("append").parquet(s"$path/cells.parquet")
+      case Some(tag) =>
+        import org.apache.hadoop.fs.Path
+        require(tag.nonEmpty && !tag.contains("/"), s"bad commit tag '$tag'")
+        val cells = new Path(s"$path/cells.parquet")
+        val staging = new Path(s"$path/.staging-$tag")
+        assigned.write.mode("overwrite").parquet(staging.toString)
+        val fs = cells.getFileSystem(
+          batch.sparkSession.sparkContext.hadoopConfiguration)
+        // wipe any partial earlier attempt of THIS tag, then move in
+        fs.listStatus(cells).filter(_.getPath.getName.startsWith(s"$tag-"))
+          .foreach(s => fs.delete(s.getPath, false))
+        fs.listStatus(staging)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .foreach { s =>
+            if (!fs.rename(s.getPath, new Path(cells, s"$tag-${s.getPath.getName}")))
+              sys.error(s"ivfIndexAppend: cannot commit ${s.getPath} under $tag")
+          }
+        fs.delete(staging, true)
+    }
   }
 
   /** COMPACTION: rewrite the cell partitions of a persisted index after
@@ -634,9 +676,12 @@ object Similarity {
     *
     * Write-then-swap: the new layout fully commits to a side directory
     * before any destructive step, so a failed compaction leaves the live
-    * index readable. The swap itself is two renames — run compaction as
-    * the index's single maintenance writer (the same discipline any
-    * LSM/lakehouse compactor assumes).
+    * index readable. The swap itself is two renames, so a PROCESS DEATH
+    * between them can leave the cells parked at the retired name; entry
+    * therefore starts with crash recovery (cells absent + retired
+    * present → restore), making "re-run the compaction" the complete
+    * repair procedure. Run compaction as the index's single maintenance
+    * writer (the same discipline any LSM/lakehouse compactor assumes).
     */
   def ivfIndexCompact(spark: org.apache.spark.sql.SparkSession,
                       path: String): Unit = {
@@ -644,6 +689,9 @@ object Similarity {
     val cells = new Path(s"$path/cells.parquet")
     val tmp = new Path(s"$path/cells.compacting.parquet")
     val old = new Path(s"$path/cells.retired.parquet")
+    val fs0 = cells.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs0.exists(cells) && fs0.exists(old) && !fs0.rename(old, cells))
+      sys.error(s"ivfIndexCompact: crash recovery could not restore $old")
     spark.read.parquet(cells.toString)
       .repartition(col("cell"))
       .write.mode("overwrite").parquet(tmp.toString)

@@ -338,9 +338,12 @@ object TextAnalysis {
     val uni = docs.select(explode(tokens(col(textCol))).as("prev"))
       .groupBy("prev").agg(count(lit(1)).as("cw"))
     val bi = pairRows.groupBy("bg").agg(count(lit(1)).as("cb"))
+    // bi is bigram-TYPE-scaled (can approach corpus scale on open-domain
+    // text) — leave its join strategy to AQE; only the vocabulary-sized
+    // unigram table is pinned broadcast
     pairRows
       .withColumn("prev", substring_index(col("bg"), " ", 1))
-      .join(broadcast(bi), "bg")
+      .join(bi, "bg")
       .join(broadcast(uni), "prev")
       .select(col("doc_id"), col("pos"),
         (col("cb").cast("double") / col("cw")).as("p"))
@@ -415,10 +418,12 @@ object TextAnalysis {
     * scores hash-match cross-engine. Per-document output:
     * (doc_id, n_bigrams, kn_score).
     *
-    * Scale shape: bigram TYPE counts (vocabulary-sized, broadcast) are
-    * the only state; the corpus-sized pair stream joins them narrowly
-    * and reduces per document. Within each fixed w1, the KN masses sum
-    * to exactly 1 (OpsSpec holds this as a property).
+    * Scale shape: the context/continuation tables and the 1-row type
+    * total are vocabulary-sized (broadcast); the bigram-TYPE table
+    * scales with the corpus on open-domain text, so its join is left to
+    * AQE (shuffle join at web scale, auto-broadcast when small). Within
+    * each fixed w1, the KN masses sum to exactly 1 (OpsSpec holds this
+    * as a property).
     */
   def kneserNeyLmScore(docs: DataFrame, textCol: String = "text",
                        idCol: String = "doc_id"): DataFrame = {
@@ -438,10 +443,14 @@ object TextAnalysis {
     val tt = bi.agg(count(lit(1)).as("tt"))
     val p = (greatest(col("cb").cast("double") - lit(0.75), lit(0.0)) / col("cw1")) +
       (lit(0.75) * col("n1l") / col("cw1")) * (col("n1r").cast("double") / col("tt"))
+    // bi scales with distinct BIGRAM types (near-linear in corpus tokens
+    // on web text) — never force-broadcast it; AQE still broadcasts when
+    // it is actually small. The context/continuation tables and the
+    // 1-row total are vocabulary-sized and safe to pin.
     pairRows
       .withColumn("prev", substring_index(col("bg"), " ", 1))
       .withColumn("nxt", substring_index(col("bg"), " ", -1))
-      .join(broadcast(bi), "bg")
+      .join(bi, "bg")
       .join(broadcast(left), "prev")
       .join(broadcast(right), "nxt")
       .crossJoin(broadcast(tt))

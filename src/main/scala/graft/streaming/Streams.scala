@@ -121,16 +121,26 @@ object Streams {
     * vector — which is exactly what the stream_ivf_ingest oracle checks.
     * Run [[graft.ops.Similarity.ivfIndexCompact]] on a maintenance cadence
     * to fold the per-batch small files back into cell-sized partitions.
+    *
+    * Exactly-once under replay: foreachBatch is at-least-once, so each
+    * batch commits under the `b<batchId>` idempotence tag
+    * ([[graft.ops.Similarity.ivfIndexAppendWith]]) — a crash between the
+    * parquet commit and the checkpoint offset commit makes the restarted
+    * batch REPLACE its own files, never duplicate them. The frozen
+    * codebook loads once, outside the loop, not per trigger.
     */
   def ivfIngest(batches: DataFrame, indexDir: String, checkpointDir: String,
                 idCol: String = "vec_id",
-                vecCol: String = "embedding"): DataStreamWriter[Row] =
+                vecCol: String = "embedding"): DataStreamWriter[Row] = {
+    val codebook = graft.ops.Similarity.readIvfCodebook(
+      batches.sparkSession, indexDir)
     batches.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        graft.ops.Similarity.ivfIndexAppend(batch.sparkSession, indexDir,
-          batch, idCol, vecCol)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        graft.ops.Similarity.ivfIndexAppendWith(codebook, indexDir,
+          batch, idCol, vecCol, commitTag = Some(s"b$batchId"))
       }
+  }
 
   /** Stream-static enrichment: join a stream against a broadcast static
     * dimension — the no-state, no-watermark join (each micro-batch probes

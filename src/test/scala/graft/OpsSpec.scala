@@ -2196,6 +2196,35 @@ class AdviceRegressionSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted.toSeq == codebookBefore)
   }
 
+  test("tagged ivfIndexAppend is idempotent under replay; compact recovers a crashed swap") {
+    val rnd = new scala.util.Random(47)
+    val vecs = (0L until 40L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("ivfreplay").toString
+    Similarity.writeIvfIndex(df.filter(col("vec_id") < 30), path,
+      k = 4, iters = 2, dim = 8)
+    val batch = df.filter(col("vec_id") >= 30)
+    val cb = Similarity.readIvfCodebook(spark, path)
+    // at-least-once replay: the SAME batch commits twice under one tag
+    Similarity.ivfIndexAppendWith(cb, path, batch, commitTag = Some("b0"))
+    Similarity.ivfIndexAppendWith(cb, path, batch, commitTag = Some("b0"))
+    assert(spark.read.parquet(s"$path/cells.parquet").count() == 40,
+      "replayed tag must replace, not duplicate")
+    val queries = df.filter(col("vec_id") < 5)
+    def search = Similarity.ivfKnnFromIndex(spark, path, queries, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val before = search
+    // crash between the two swap renames: cells parked at the retired
+    // name, nothing live — re-running compaction must repair and proceed
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$path/cells.parquet"),
+      new org.apache.hadoop.fs.Path(s"$path/cells.retired.parquet")))
+    Similarity.ivfIndexCompact(spark, path)
+    assert(search == before)
+    assert(!new java.io.File(path).list.exists(_.contains("retired")))
+  }
+
   test("HLL small-range estimates switch to the quantized linear-counting table") {
     // 20 distinct tokens over m=64 registers: raw << 2.5m and empty
     // registers exist, so the estimate must be m*ln(m/V) from the

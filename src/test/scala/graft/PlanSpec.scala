@@ -599,10 +599,13 @@ class PlanSpec extends AnyFunSuite {
     // every data-scaled instance (rank statistics, RFM, pareto) with
     // bucket-partitioned windows + broadcast offsets; this sweep over
     // EVERY SparkEntry query keeps a future edit from reintroducing the
-    // shape anywhere. Allowlisted: plans whose unpartitioned window input
-    // is a ≤64-row frame BY CONSTRUCTION (the small-universe jaccard
-    // vocab-bit ranking, Dedup.smallUniverseJaccardPairs — gated on
-    // vocab size before the window is ever planned).
+    // shape anywhere. The allowlist is EMPTY: the one known bounded
+    // exception (Dedup.smallUniverseJaccardPairs' ≤64-row vocab-bit
+    // ranking, Dedup.scala:715) never reaches a final query plan because
+    // its frame is localCheckpoint()ed — the window executes eagerly
+    // behind a lineage truncation. If that checkpoint is ever removed,
+    // THIS sweep fails and the offending query needs an explicit entry
+    // here with a bounded-by-construction justification.
     val allow = Set[String]()
     val offenders = Queries.all.keys.toSeq.sorted.filterNot(allow).flatMap { name =>
       val lp = Queries.all(name)(spark, sf).queryExecution.optimizedPlan
