@@ -119,8 +119,11 @@ object Streams {
     * assignment (the codebook is frozen), the index after the stream
     * drains is bit-identical to a batch build whose corpus carried every
     * vector — which is exactly what the stream_ivf_ingest oracle checks.
-    * Run [[graft.ops.Similarity.ivfIndexCompact]] on a maintenance cadence
-    * to fold the per-batch small files back into cell-sized partitions.
+    * Pass `compactEvery = N` to fold the per-batch small files back into
+    * cell-sized partitions every N batches (compaction runs at batch
+    * START, so it only ever touches committed batches' files and stays
+    * replay-safe), or run [[graft.ops.Similarity.ivfIndexCompact]] out of
+    * band on your own cadence.
     *
     * Exactly-once under replay: foreachBatch is at-least-once, so each
     * batch commits under the `b<batchId>` idempotence tag
@@ -131,12 +134,23 @@ object Streams {
     */
   def ivfIngest(batches: DataFrame, indexDir: String, checkpointDir: String,
                 idCol: String = "vec_id",
-                vecCol: String = "embedding"): DataStreamWriter[Row] = {
+                vecCol: String = "embedding",
+                compactEvery: Int = 0): DataStreamWriter[Row] = {
     val codebook = graft.ops.Similarity.readIvfCodebook(
       batches.sparkSession, indexDir)
     batches.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        // the ingest loop is the index's single maintenance writer, so
+        // it owns the compaction cadence. Compact BEFORE this batch's
+        // append, never after: everything on disk at batch start belongs
+        // to batches Spark has already committed (batch N only starts
+        // after N−1's offsets commit), so folding their tag files away
+        // can never collide with a replay — whereas compacting the
+        // current batch's own files would let a crash-then-replay
+        // re-append rows whose tags were already folded in.
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          graft.ops.Similarity.ivfIndexCompact(batch.sparkSession, indexDir)
         graft.ops.Similarity.ivfIndexAppendWith(codebook, indexDir,
           batch, idCol, vecCol, commitTag = Some(s"b$batchId"))
       }

@@ -1211,6 +1211,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.map(_.getString(1)).toSeq == Seq("alpha", "beta", "gamma"))
   }
 
+  test("ivfIngest with compactEvery folds committed batches and stays correct") {
+    val rnd = new scala.util.Random(53)
+    val vecs = (0L until 60L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("ivfstream").toString
+    graft.ops.Similarity.writeIvfIndex(df.filter(col("vec_id") < 30),
+      s"$root/index", k = 4, iters = 2, dim = 8)
+    val batches = df.filter(col("vec_id") >= 30).select("vec_id", "embedding")
+    for (b <- 0 until 3)
+      batches.filter(col("vec_id") >= 30 + b * 10 && col("vec_id") < 40 + b * 10)
+        .write.mode("append").parquet(s"$root/landing")
+    val src = spark.readStream.schema(batches.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/landing")
+    val q = graft.streaming.Streams
+      .ivfIngest(src, s"$root/index", s"$root/ckpt", compactEvery = 2).start()
+    try q.processAllAvailable() finally q.stop()
+    val cells = spark.read.parquet(s"$root/index/cells.parquet")
+    assert(cells.count() == 60)
+    assert(cells.select("vec_id").distinct().count() == 60)
+    // search equals the batch build over the same corpus + codebook
+    val cb = graft.ops.Similarity.readIvfCodebook(spark, s"$root/index")
+    val withCell = df.withColumn("cell",
+      graft.ops.Similarity.ivfAssignCell(col("embedding"), cb))
+    val queries = df.filter(col("vec_id") < 5)
+    val expect = graft.ops.Similarity.ivfKnn(withCell,
+        withCell.filter(col("vec_id") < 5), k = 3, cellCol = "cell")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val got = graft.ops.Similarity.ivfKnnFromIndex(spark, s"$root/index", queries, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(got == expect)
+  }
+
   test("streaming quantile sketch folds two batches to the batch sketch") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
