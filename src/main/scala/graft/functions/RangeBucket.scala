@@ -77,6 +77,21 @@ object RangeBucketId {
     @transient private lazy val ords: Array[Ordering[Any]] =
       types.map(t => TypeUtils.getInterpretedOrdering(t))
 
+    // Spark's sort/window comparison NORMALIZES floating zeros
+    // (-0.0 == 0.0, via NormalizeFloatingNumbers on ordering keys), but
+    // the raw interpreted orderings use Double.compare (-0.0 < 0.0).
+    // Normalize before comparing so bucket ids stay monotone in the
+    // window's order when a float/double order column carries both
+    // zeros — which the "negate at the call site" descending idiom
+    // produces naturally from a 0.0 value.
+    @transient private lazy val norm: Array[Any => Any] = types.map {
+      case org.apache.spark.sql.types.DoubleType =>
+        (v: Any) => { val d = v.asInstanceOf[Double]; if (d == 0.0d) (0.0d: Any) else v }
+      case org.apache.spark.sql.types.FloatType =>
+        (v: Any) => { val f = v.asInstanceOf[Float]; if (f == 0.0f) (0.0f: Any) else v }
+      case _ => identity[Any] _
+    }
+
     /** Count of boundaries strictly below `row` = index of the first
       * boundary ≥ `row` in the sorted list (classic lower bound).
       */
@@ -105,7 +120,7 @@ object RangeBucketId {
           if (x != null) return 1
           if (y != null) return -1
         } else {
-          val c = ords(j).compare(x, y)
+          val c = ords(j).compare(norm(j)(x), norm(j)(y))
           if (c != 0) return c
         }
         j += 1

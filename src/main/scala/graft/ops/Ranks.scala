@@ -221,8 +221,14 @@ object Ranks {
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = parted.withColumn("__lm", min(col(valCol)).over(w))
     val nBuckets = bnds.length + 1
+    // an all-null bucket's min is null — treat it as "no contribution"
+    // (MaxValue), matching the window form's null-skipping min; a bare
+    // getLong would silently unbox null to 0 and poison every later
+    // bucket's offset
     val tot = parted.groupBy("__b").agg(min(col(valCol)).cast("long").as("m"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) Long.MaxValue else r.getLong(1)))
+      .toMap
     val offs = new Array[Long](nBuckets)
     var acc = Long.MaxValue
     (0 until nBuckets).foreach { i =>

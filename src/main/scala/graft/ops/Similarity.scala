@@ -636,6 +636,11 @@ object Similarity {
                          batch: DataFrame, idCol: String = "vec_id",
                          vecCol: String = "embedding",
                          commitTag: Option[String] = None): Unit = {
+    // every maintenance entry point recovers a crashed compaction swap
+    // FIRST — otherwise an untagged append would silently recreate
+    // cells.parquet holding only the batch, and the next compaction
+    // would then delete the parked full corpus
+    recoverCellsSwap(batch.sparkSession, path)
     val assigned = batch.select(col(idCol), col(vecCol))
       .withColumn("cell", ivfAssignCell(col(vecCol), codebook))
     commitTag match {
@@ -650,8 +655,7 @@ object Similarity {
         val fs = cells.getFileSystem(
           batch.sparkSession.sparkContext.hadoopConfiguration)
         // wipe any partial earlier attempt of THIS tag, then move in
-        fs.listStatus(cells).filter(_.getPath.getName.startsWith(s"$tag-"))
-          .foreach(s => fs.delete(s.getPath, false))
+        ivfIndexDropTag(batch.sparkSession, path, tag)
         fs.listStatus(staging)
           .filter(_.getPath.getName.endsWith(".parquet"))
           .foreach { s =>
@@ -660,6 +664,36 @@ object Similarity {
           }
         fs.delete(staging, true)
     }
+  }
+
+  /** Delete every cells file committed under `tag` (tag names contain no
+    * `-`, and files are named `<tag>-<part>`, so `b1` can never match
+    * `b11`'s files). Used by the tagged append's replace step and by the
+    * streaming ingest to drop a crashed attempt's uncommitted files
+    * before compacting.
+    */
+  def ivfIndexDropTag(spark: org.apache.spark.sql.SparkSession,
+                      path: String, tag: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val cells = new Path(s"$path/cells.parquet")
+    val fs = cells.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(cells))
+      fs.listStatus(cells).filter(_.getPath.getName.startsWith(s"$tag-"))
+        .foreach(s => fs.delete(s.getPath, false))
+  }
+
+  /** Crash recovery for [[ivfIndexCompact]]'s two-rename swap: if the
+    * live cells dir is absent but the retired copy exists, restore it.
+    * Called on entry by every index-maintenance operation.
+    */
+  private def recoverCellsSwap(spark: org.apache.spark.sql.SparkSession,
+                               path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val cells = new Path(s"$path/cells.parquet")
+    val old = new Path(s"$path/cells.retired.parquet")
+    val fs = cells.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(cells) && fs.exists(old) && !fs.rename(old, cells))
+      sys.error(s"IVF index: crash recovery could not restore $old")
   }
 
   /** COMPACTION: rewrite the cell partitions of a persisted index after
@@ -689,9 +723,7 @@ object Similarity {
     val cells = new Path(s"$path/cells.parquet")
     val tmp = new Path(s"$path/cells.compacting.parquet")
     val old = new Path(s"$path/cells.retired.parquet")
-    val fs0 = cells.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs0.exists(cells) && fs0.exists(old) && !fs0.rename(old, cells))
-      sys.error(s"ivfIndexCompact: crash recovery could not restore $old")
+    recoverCellsSwap(spark, path)
     spark.read.parquet(cells.toString)
       .repartition(col("cell"))
       .write.mode("overwrite").parquet(tmp.toString)

@@ -443,14 +443,14 @@ object TextAnalysis {
     val tt = bi.agg(count(lit(1)).as("tt"))
     val p = (greatest(col("cb").cast("double") - lit(0.75), lit(0.0)) / col("cw1")) +
       (lit(0.75) * col("n1l") / col("cw1")) * (col("n1r").cast("double") / col("tt"))
-    // bi scales with distinct BIGRAM types (near-linear in corpus tokens
-    // on web text) — never force-broadcast it; AQE still broadcasts when
-    // it is actually small. The context/continuation tables and the
-    // 1-row total are vocabulary-sized and safe to pin.
+    // biKeys scales with distinct BIGRAM types (near-linear in corpus
+    // tokens on web text) — never force-broadcast it; AQE still
+    // broadcasts when it is actually small. Joining it ALSO supplies
+    // prev/nxt, computed once per TYPE instead of twice per token
+    // occurrence. The context/continuation tables and the 1-row total
+    // are vocabulary-sized and safe to pin.
     pairRows
-      .withColumn("prev", substring_index(col("bg"), " ", 1))
-      .withColumn("nxt", substring_index(col("bg"), " ", -1))
-      .join(bi, "bg")
+      .join(biKeys, "bg")
       .join(broadcast(left), "prev")
       .join(broadcast(right), "nxt")
       .crossJoin(broadcast(tt))

@@ -143,14 +143,20 @@ object Streams {
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         // the ingest loop is the index's single maintenance writer, so
         // it owns the compaction cadence. Compact BEFORE this batch's
-        // append, never after: everything on disk at batch start belongs
-        // to batches Spark has already committed (batch N only starts
-        // after N−1's offsets commit), so folding their tag files away
-        // can never collide with a replay — whereas compacting the
-        // current batch's own files would let a crash-then-replay
-        // re-append rows whose tags were already folded in.
-        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+        // append, never after — and FIRST drop any `b<id>-*` files a
+        // crashed earlier attempt of THIS batch left behind (they are
+        // uncommitted state; the append below rebuilds them). Without
+        // that drop, compaction would fold the orphaned files into
+        // untagged parts and the tagged append would then duplicate the
+        // replayed batch. After the drop, everything folded belongs to
+        // batches whose offsets Spark has already committed (batch N
+        // only starts after N−1 commits), so the fold never collides
+        // with a replay.
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+          graft.ops.Similarity.ivfIndexDropTag(batch.sparkSession, indexDir,
+            s"b$batchId")
           graft.ops.Similarity.ivfIndexCompact(batch.sparkSession, indexDir)
+        }
         graft.ops.Similarity.ivfIndexAppendWith(codebook, indexDir,
           batch, idCol, vecCol, commitTag = Some(s"b$batchId"))
       }

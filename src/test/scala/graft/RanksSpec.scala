@@ -113,6 +113,44 @@ class RanksSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("globalRank: -0.0 and 0.0 tie exactly as Spark's window order does") {
+    // the descending idiom (-col) manufactures -0.0 from 0.0 scores; the
+    // kernel must treat them EQUAL (Spark normalizes floating zeros in
+    // ordering keys) or bucket ids stop being monotone in the window
+    // order and ranks diverge on the tie run
+    val df = spark.range(0, 200)
+      .select(col("id").as("k"),
+        when(col("id") % 3 === 0, -lit(0.0))
+          .when(col("id") % 3 === 1, lit(0.0))
+          .otherwise((col("id") % 7).cast("double") - 3.0).as("s"))
+    val w = Window.orderBy(col("s"), col("k"))
+    val expect = df.withColumn("rn", row_number().over(w).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    for (b <- Seq(4, 16, 64)) {
+      val got = Ranks.globalRank(df, col("s"), col("k"), "rnk", buckets = b)
+        .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("rnk")).toMap
+      assert(got == expect, s"buckets=$b")
+    }
+  }
+
+  test("prefixMinExclusive: an all-null bucket contributes nothing, not zero") {
+    // keys 100..119 carry only null values; the window form's min skips
+    // them, so later keys' strict-prefix min must stay 5, not drop to 0
+    val g = spark.range(0, 200)
+      .select(col("id").as("k"),
+        when(col("id") >= 100 && col("id") < 120, lit(null))
+          .otherwise((col("id") % 37) + 5).as("v"))
+    val w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    val expect = g.withColumn("pm", min("v").over(w))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) Long.MaxValue else r.getLong(2))).toMap
+    for (b <- Seq(1, 8, 32)) {
+      val got = Ranks.prefixMinExclusive(g, Seq("k"), "v", buckets = b)
+        .collect().map(r => r.getLong(0) -> r.getAs[Long]("v_premin")).toMap
+      assert(got == expect, s"buckets=$b")
+    }
+  }
+
   test("bucket kernel: interpreted (codegen-off) evaluation matches codegen") {
     // RangeBucketId/BucketOffset carry both doGenCode and eval paths;
     // force the interpreted path once so a drift between them cannot
