@@ -5,8 +5,52 @@ import org.apache.spark.sql.SparkSession
   * {"metric":...,"value":N,"unit":"sec","queries":{...},"sf":...}.
   * Each query is fully executed via count() (all are ordered/aggregated,
   * so count forces the complete plan).
+  *
+  * OUTPUT BUDGET: the harness records only a bounded tail of stdout
+  * (~2000 chars), and with 300+ queries a per-query map no longer fits —
+  * rounds 3-8 recorded an unparseable truncated line. The final line
+  * therefore carries the total, per-FAMILY subtotals, and a fixed
+  * headline-query subset (stable names, so round-over-round deltas stay
+  * comparable), and the COMPLETE per-query map is written to
+  * BENCH_FULL.json in the working directory (committed with the repo).
   */
 object Bench {
+
+  /** Fixed headline subset: the historical top-cost queries plus one or
+    * two representatives per operator family. Stable across rounds —
+    * add, never rename. Sized so the final JSON line stays under the
+    * ~2000-char stdout tail the harness keeps.
+    */
+  private val headline: Seq[String] = Seq(
+    "flf_parse", "flf_format", "mock_generate",
+    "dedup_cluster", "dedup_minhash_lsh", "dedup_prefix_jaccard",
+    "dedup_semantic",
+    "knn_cosine_brute", "knn_cosine_ivf", "knn_ivf_pq",
+    "knn_cosine_ivf_persisted",
+    "q1_agg", "q3_join_topk", "q9_profit_proxy", "q18_volume_customers",
+    "q_asof_join", "q_fuzzy_join", "q_range_join", "q_salted_join",
+    "q_window_median", "q_resample_gapfill", "q_rolling_corr",
+    "q_quantile_normalize", "q_graph_pagerank", "q_graph_kcore",
+    "q_link_matches", "q_km_survival", "q_rfm_segments", "q_pareto_abc",
+    "q_mannwhitney_continuous", "q_xml_roundtrip", "q_curate_pipeline",
+    "q_eval_lsh_bucket_sweep",
+    "multimodal_decode_real", "multimodal_phash_dedup",
+    "stream_flf_ingest", "stream_cms_cells", "stream_interval_join",
+    "stream_quantiles", "stream_ivf_ingest",
+    "text_collocations", "text_skipgrams", "text_bpe_vocab",
+    "text_lm_kneser_ney", "text_tfidf_topk")
+
+  private def family(name: String): String = {
+    val i = name.indexOf('_')
+    // numbered queries (q1_agg, q19_or_pushdown) fold into the q family
+    val p = (if (i < 0) name else name.substring(0, i)).takeWhile(_.isLetter)
+    p match {
+      case "q" | "flf" | "mock" | "dedup" | "knn" | "stream" | "text" |
+           "multimodal" => p
+      case _ => "other"
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -53,12 +97,31 @@ object Bench {
       // a failed query reports -1, never a plausible-looking duration
       (name, if (times.nonEmpty) times.min else -1.0, times.nonEmpty)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
+    def jmap(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // complete per-query map → file (the line form stopped fitting the
+    // harness's stdout tail once the query count passed ~150)
+    val fullJson =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${
+        jmap(results.map(r => (r._1, r._2)))
+      },"failed":$failed,"sf":"$sfDir"}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
+    try {
+      val w = new java.io.PrintWriter(outPath, "UTF-8")
+      try w.println(fullJson) finally w.close()
+    } catch { case t: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${t.getMessage}")
+    }
+    val byName = results.map(r => r._1 -> r._2).toMap
+    val fams = results.filter(_._3).groupBy(r => family(r._1)).toSeq
+      .map { case (f, rs) => f -> rs.map(_._2).sum }.sortBy(_._1)
+    val head = headline.flatMap(n => byName.get(n).map(n -> _))
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","nq":${
+      results.size},"queries":${jmap(head)},"families":${jmap(fams)
+      },"failed":$failed,"full":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

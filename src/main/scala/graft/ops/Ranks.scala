@@ -76,17 +76,7 @@ object Ranks {
   private def boundaries(df: DataFrame, ordCols: Seq[String],
                          buckets: Int): (Array[DataType], Array[Array[Any]]) = {
     val types = ordCols.map(c => df.schema(c).dataType).toArray
-    val k = math.max(buckets * 8, 256)
-    val base = df.select(ordCols.map(col): _*)
-    val n = base.count()
-    val smpRows =
-      if (n <= k) base.collect()
-      else {
-        val h = Pipeline.md5Hash60(
-          concat_ws("|", ordCols.map(c => col(c).cast("string")): _*))
-        val cut = math.ceil(k.toDouble / n * (1L << 60).toDouble).toLong
-        base.filter(h < lit(cut)).collect()
-      }
+    val smpRows = sampleRows(df, ordCols, math.max(buckets * 8, 256))
     val rows = RangeBucketId.toInternal(types, smpRows)
     val spec = new RangeBucketId.Spec(types, Array.empty)
     java.util.Arrays.sort(rows, new java.util.Comparator[Array[Any]] {
@@ -96,6 +86,41 @@ object Ranks {
     val bnds = (1 until buckets).map(i => i * m / buckets).filter(_ > 0).distinct
       .map(i => rows(i - 1)).toArray
     (types, bnds)
+  }
+
+  /** The boundary sample itself: small inputs collect whole, larger ones
+    * pass the md5-threshold filter. HARD CAP on driver traffic: the
+    * filter admits an EXPECTED `k` rows only under the
+    * one-row-per-distinct-tuple contract (callers pre-aggregate). If a
+    * caller violates it, one hot tuple whose hash lands under the cut
+    * would otherwise dump every one of its duplicate rows to the driver;
+    * `limit(16k)` turns that failure mode into degraded (possibly
+    * skewed) bucketing — safe, because bucket edges move work, never
+    * results — instead of a driver OOM. The 16× headroom over the
+    * expectation is Chernoff-far from binding on contract-respecting
+    * input. `private[graft]` so RanksSpec can assert the bound on an
+    * adversarial duplicate-heavy frame directly.
+    */
+  private[graft] def sampleRows(df: DataFrame, ordCols: Seq[String],
+                                k: Int): Array[org.apache.spark.sql.Row] = {
+    val cap = 16 * k
+    val base = df.select(ordCols.map(col): _*)
+    val n = base.count()
+    if (n <= k) base.collect()
+    else {
+      val h = Pipeline.md5Hash60(
+        concat_ws("|", ordCols.map(c => col(c).cast("string")): _*))
+      val cut = math.ceil(k.toDouble / n * (1L << 60).toDouble).toLong
+      val got = base.filter(h < lit(cut)).limit(cap + 1).collect()
+      if (got.length > cap) {
+        org.slf4j.LoggerFactory.getLogger(Ranks.getClass).warn(
+          s"Ranks.boundaries: sample for ${ordCols.mkString(",")} hit the " +
+            s"$cap-row cap (expected ~$k of $n) — input likely violates " +
+            "the one-row-per-distinct-tuple contract; bucketing degrades " +
+            "but results are unaffected")
+        got.take(cap)
+      } else got
+    }
   }
 
   /** The range-bucket id column: binary search of the row tuple against

@@ -179,4 +179,42 @@ class RanksSpec extends AnyFunSuite {
     val r = Ranks.prefixCounts(one, "v", Seq("c")).collect().head
     assert(r.getAs[Long]("v") == 42L && r.getAs[Long]("c_cum") == 3L)
   }
+
+  test("sampleRows: a contract-violating hot tuple cannot flood the driver") {
+    // replicate md5Hash60 driver-side to FIND a value whose hash falls
+    // under the sample cut — so the adversarial case (a duplicate-heavy
+    // tuple that IS sampled) triggers deterministically, not at the
+    // ~1% rate chance would give it
+    def hash60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val k = 256
+    val nFill = 300
+    val nHot = 20000
+    val n = nHot + nFill
+    val cut = math.ceil(k.toDouble / n * (1L << 60).toDouble).toLong
+    val hot = (0 until 10000).map(i => s"hot$i").find(hash60(_) < cut).get
+    // 20k duplicates of the hot tuple + distinct filler: violates the
+    // one-row-per-distinct-tuple contract sampleRows documents
+    val df = (Seq.fill(nHot)(hot) ++ (0 until nFill).map(i => f"fill$i%04d"))
+      .toDF("v")
+    val sample = Ranks.sampleRows(df, Seq("v"), k)
+    assert(sample.length <= 16 * k,
+      s"driver sample must stay capped, got ${sample.length}")
+    assert(sample.nonEmpty && sample.forall(_.getString(0) == hot))
+    // and the cap degrades only the bucketing, never the results:
+    // ranks over the duplicate-heavy frame are still a permutation with
+    // the filler block ranked correctly relative to the hot block
+    val withTie = df.withColumn("t", monotonically_increasing_id())
+      .localCheckpoint()
+    val ranked = Ranks.globalRank(withTie, col("v"), col("t"), "rnk")
+      .collect()
+    assert(ranked.map(_.getAs[Long]("rnk")).sorted.toSeq == (1L to n).toSeq)
+    val fillRanks = ranked.filter(_.getString(0).startsWith("fill"))
+      .map(_.getAs[Long]("rnk")).sorted.toSeq
+    assert(fillRanks == (1L to nFill.toLong).toSeq,
+      "\"fill...\" sorts before \"hot...\" so filler must occupy ranks 1..nFill")
+  }
 }
