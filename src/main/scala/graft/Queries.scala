@@ -2817,7 +2817,7 @@ object Queries {
       Similarity.writeIvfIndex(tbl(s, dir, "embeddings"), d,
         k = 8, iters = 2, dim = 64)
     }
-    val pc = s.read.parquet(s"$idx/cells.parquet")
+    val pc = s.read.parquet(Similarity.ivfCellsPath(s, idx))
       .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
     val t = pc.agg(sum("n_vecs").as("tot"))
     pc.crossJoin(broadcast(t))

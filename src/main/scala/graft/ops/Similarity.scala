@@ -574,12 +574,34 @@ object Similarity {
   }
 
   /** PERSISTED IVF index: the trained codebook (`codebook.parquet`,
-    * k×dim rows) and the per-vector cell assignments + vectors
-    * (`cells.parquet`) written as a parquet layout — the index build is
-    * paid once and amortized across query batches instead of recomputed
-    * per run. Floats round-trip parquet losslessly, so a search against
-    * the loaded index is bit-identical to one against the in-memory
-    * codebook it was built from.
+    * k×dim rows) and the per-vector cell assignments + vectors written
+    * as a parquet layout — the index build is paid once and amortized
+    * across query batches instead of recomputed per run. Floats
+    * round-trip parquet losslessly, so a search against the loaded index
+    * is bit-identical to one against the in-memory codebook it was
+    * built from.
+    *
+    * CELLS LAYOUT — versioned directories + manifest markers (the
+    * snapshot scheme every table format uses so readers never observe a
+    * half-swapped state):
+    *
+    *   path/codebook.parquet        frozen k×dim centroids
+    *   path/cells-v<N>.parquet      cell rows; N = 0, 1, 2, …
+    *   path/manifest-<N>            empty marker; CURRENT version = max N
+    *
+    * Readers ([[ivfKnnFromIndex]]) resolve max-manifest → read that one
+    * complete, immutable-once-superseded directory. [[ivfIndexCompact]]
+    * fully commits `cells-v(N+1)` BEFORE creating `manifest-(N+1)`, and
+    * RETAINS `cells-vN` until the next compaction, so a search that
+    * resolved version N keeps a readable snapshot through the entire
+    * following inter-compaction period — no FileNotFound race, no
+    * "index briefly absent" window. Every crash point is recoverable
+    * from the markers alone: an orphan `cells-v(N+1)` without its
+    * manifest is uncommitted (GC'd on the next maintenance entry), two
+    * manifests resolve to the newer, and re-running the failed
+    * operation completes it. Writes assume ONE maintenance writer at a
+    * time (the same discipline as any LSM/lakehouse compactor); reads
+    * need no coordination at all.
     */
   def writeIvfIndex(corpus: DataFrame, path: String, k: Int, iters: Int,
                     dim: Int, idCol: String = "vec_id",
@@ -592,17 +614,109 @@ object Similarity {
       .toDF("cid", "centroid")
       .coalesce(1) // k×dim — one footer, not one file per cell
       .write.mode(mode).parquet(s"$path/codebook.parquet")
+    val fs = hadoopFs(spark, path)
+    if (mode == "overwrite") wipeCellsLayout(fs, path)
     corpus.select(col(idCol), col(vecCol))
       .withColumn("cell", ivfAssignCell(col(vecCol), codebook))
-      .write.mode(mode).parquet(s"$path/cells.parquet")
+      .write.mode(mode).parquet(cellsDir(path, 0))
+    createManifest(fs, path, 0)
+  }
+
+  // ----- versioned-cells plumbing -----
+
+  private def hadoopFs(spark: org.apache.spark.sql.SparkSession,
+                       path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def cellsDir(path: String, v: Int): String =
+    s"$path/cells-v$v.parquet"
+
+  private val ManifestRe = "manifest-(\\d+)".r
+  private val CellsRe = "cells-v(\\d+)\\.parquet".r
+
+  /** CURRENT version = the highest committed manifest marker. */
+  private def currentVersion(fs: org.apache.hadoop.fs.FileSystem,
+                             path: String): Option[Int] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(root)) None
+    else fs.listStatus(root).map(_.getPath.getName).collect {
+      case ManifestRe(n) => n.toInt
+    }.maxOption
+  }
+
+  private def createManifest(fs: org.apache.hadoop.fs.FileSystem,
+                             path: String, v: Int): Unit = {
+    val m = new org.apache.hadoop.fs.Path(s"$path/manifest-$v")
+    if (!fs.exists(m)) fs.create(m, false).close()
+  }
+
+  private def wipeCellsLayout(fs: org.apache.hadoop.fs.FileSystem,
+                              path: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (fs.exists(root)) fs.listStatus(root).map(_.getPath).foreach { p =>
+      p.getName match {
+        case ManifestRe(_) | CellsRe(_) | "cells.parquet" =>
+          fs.delete(p, true); ()
+        case _ => ()
+      }
+    }
+  }
+
+  /** Entry hook for every maintenance WRITE: adopt a pre-versioned
+    * layout (plain `cells.parquet` becomes version 0), then sweep what
+    * the markers prove dead — orphan cells dirs NEWER than the current
+    * manifest (a crashed compaction's uncommitted output), manifests
+    * older than current (a crash between marker create and marker
+    * delete), and cells dirs older than `cur − 1` (the one prior
+    * version is RETAINED deliberately as the readers' grace snapshot;
+    * [[ivfIndexCompact]] retires it). Returns the current version.
+    */
+  private def ensureVersioned(fs: org.apache.hadoop.fs.FileSystem,
+                              path: String): Int = {
+    val legacy = new org.apache.hadoop.fs.Path(s"$path/cells.parquet")
+    if (currentVersion(fs, path).isEmpty && fs.exists(legacy)) {
+      if (!fs.rename(legacy, new org.apache.hadoop.fs.Path(cellsDir(path, 0))))
+        sys.error(s"IVF index: cannot adopt legacy layout at $path")
+      createManifest(fs, path, 0)
+    }
+    val cur = currentVersion(fs, path).getOrElse(
+      sys.error(s"IVF index: no committed cells manifest under $path"))
+    val root = new org.apache.hadoop.fs.Path(path)
+    fs.listStatus(root).map(_.getPath).foreach { p =>
+      p.getName match {
+        case ManifestRe(n) if n.toInt < cur => fs.delete(p, false); ()
+        case CellsRe(n) if n.toInt > cur || n.toInt < cur - 1 =>
+          fs.delete(p, true); ()
+        case _ => ()
+      }
+    }
+    cur
+  }
+
+  /** The CURRENT cells directory of a persisted index — the path every
+    * reader should scan. Public so callers inspecting the layout (cell
+    * balance reports, tests) resolve it the same way search does.
+    */
+  def ivfCellsPath(spark: org.apache.spark.sql.SparkSession,
+                   path: String): String = {
+    val fs = hadoopFs(spark, path)
+    currentVersion(fs, path) match {
+      case Some(v) => cellsDir(path, v)
+      case None =>
+        val legacy = s"$path/cells.parquet"
+        if (fs.exists(new org.apache.hadoop.fs.Path(legacy))) legacy
+        else sys.error(s"IVF index: no cells layout under $path")
+    }
   }
 
   /** INCREMENTAL index maintenance: append a batch of new vectors to a
     * persisted IVF index WITHOUT retraining or touching the existing
     * corpus. The batch is assigned with the STORED codebook (k×dim
     * driver literals — the same narrow argmax projection the build
-    * uses) and its cell rows append as new parquet files under
-    * `cells.parquet`; the codebook file is untouched, so a search after
+    * uses) and its cell rows append as new parquet files under the
+    * CURRENT versioned cells directory (see [[writeIvfIndex]] for the
+    * layout); the codebook file is untouched, so a search after
     * N appends is bit-identical to a search against a single build
     * whose corpus carried every batch (same codebook → same cells →
     * same cosine top-k). This is the production ANN flow: the codebook
@@ -623,37 +737,47 @@ object Similarity {
     * collect happens once, not per batch.
     *
     * `commitTag`: when set, the append is IDEMPOTENT under that tag —
-    * the batch lands in a staging dir, any `cells.parquet/<tag>-*`
-    * files from a previous (possibly partial) attempt are deleted, and
-    * the staged files move in under tag-prefixed names. Re-running the
-    * same tag (Structured Streaming's at-least-once foreachBatch
-    * replay, a retried maintenance job) replaces rather than duplicates
-    * — which is what keeps the drained-stream index bit-identical to a
-    * batch build. Untagged appends keep the plain one-shot
-    * `mode("append")` commit.
+    * the batch lands in a staging dir, any `<tag>-*` files from a
+    * previous (possibly partial) attempt are deleted, and the staged
+    * files move in under tag-prefixed names. Re-running the same tag
+    * (Structured Streaming's at-least-once foreachBatch replay, a
+    * retried maintenance job) replaces rather than duplicates — which
+    * is what keeps the drained-stream index bit-identical to a batch
+    * build. Untagged appends keep the plain one-shot `mode("append")`
+    * commit. Concurrent READERS are safe against either form in the
+    * torn-state sense (parquet files commit whole; a racing search can
+    * at worst miss part of the in-flight batch, or — during a crash
+    * REPLAY of a tagged batch only — see that one batch's rows absent
+    * between the drop and the re-commit).
     */
   def ivfIndexAppendWith(codebook: Seq[Array[Float]], path: String,
                          batch: DataFrame, idCol: String = "vec_id",
                          vecCol: String = "embedding",
                          commitTag: Option[String] = None): Unit = {
-    // every maintenance entry point recovers a crashed compaction swap
-    // FIRST — otherwise an untagged append would silently recreate
-    // cells.parquet holding only the batch, and the next compaction
-    // would then delete the parked full corpus
-    recoverCellsSwap(batch.sparkSession, path)
+    // every maintenance entry point normalizes the layout FIRST: adopt
+    // a legacy un-versioned index, then sweep whatever the manifest
+    // markers prove dead (crashed-compaction orphans, superseded
+    // markers, expired grace snapshots)
+    val fs = hadoopFs(batch.sparkSession, path)
+    val cur = ensureVersioned(fs, path)
+    val cells = new org.apache.hadoop.fs.Path(cellsDir(path, cur))
     val assigned = batch.select(col(idCol), col(vecCol))
       .withColumn("cell", ivfAssignCell(col(vecCol), codebook))
     commitTag match {
       case None =>
-        assigned.write.mode("append").parquet(s"$path/cells.parquet")
+        assigned.write.mode("append").parquet(cells.toString)
       case Some(tag) =>
         import org.apache.hadoop.fs.Path
-        require(tag.nonEmpty && !tag.contains("/"), s"bad commit tag '$tag'")
-        val cells = new Path(s"$path/cells.parquet")
+        // [A-Za-z0-9_]+ enforces the prefix-uniqueness invariant
+        // ivfIndexDropTag relies on: committed files are named
+        // `<tag>-<part>`, so a tag containing '-' (say "a-b") would let
+        // dropTag("a") delete tag "a-b"'s files. Rejecting '-' (and '/',
+        // '.', whitespace — anything path- or separator-like) makes the
+        // documented invariant checked rather than assumed.
+        require(tag.matches("[A-Za-z0-9_]+"),
+          s"bad commit tag '$tag' (want [A-Za-z0-9_]+)")
         val staging = new Path(s"$path/.staging-$tag")
         assigned.write.mode("overwrite").parquet(staging.toString)
-        val fs = cells.getFileSystem(
-          batch.sparkSession.sparkContext.hadoopConfiguration)
         // wipe any partial earlier attempt of THIS tag, then move in
         ivfIndexDropTag(batch.sparkSession, path, tag)
         fs.listStatus(staging)
@@ -663,79 +787,69 @@ object Similarity {
               sys.error(s"ivfIndexAppend: cannot commit ${s.getPath} under $tag")
           }
         fs.delete(staging, true)
+        ()
     }
   }
 
-  /** Delete every cells file committed under `tag` (tag names contain no
-    * `-`, and files are named `<tag>-<part>`, so `b1` can never match
-    * `b11`'s files). Used by the tagged append's replace step and by the
-    * streaming ingest to drop a crashed attempt's uncommitted files
-    * before compacting.
+  /** Delete every CURRENT-version cells file committed under `tag` (tag
+    * names contain no `-`, and files are named `<tag>-<part>`, so `b1`
+    * can never match `b11`'s files). Used by the tagged append's replace
+    * step and by the streaming ingest to drop a crashed attempt's
+    * uncommitted files before compacting.
     */
   def ivfIndexDropTag(spark: org.apache.spark.sql.SparkSession,
                       path: String, tag: String): Unit = {
     import org.apache.hadoop.fs.Path
-    val cells = new Path(s"$path/cells.parquet")
-    val fs = cells.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = hadoopFs(spark, path)
+    val cells = new Path(ivfCellsPath(spark, path))
     if (fs.exists(cells))
       fs.listStatus(cells).filter(_.getPath.getName.startsWith(s"$tag-"))
         .foreach(s => fs.delete(s.getPath, false))
   }
 
-  /** Crash recovery for [[ivfIndexCompact]]'s two-rename swap: if the
-    * live cells dir is absent but the retired copy exists, restore it.
-    * Called on entry by every index-maintenance operation.
-    */
-  private def recoverCellsSwap(spark: org.apache.spark.sql.SparkSession,
-                               path: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    val cells = new Path(s"$path/cells.parquet")
-    val old = new Path(s"$path/cells.retired.parquet")
-    val fs = cells.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(cells) && fs.exists(old) && !fs.rename(old, cells))
-      sys.error(s"IVF index: crash recovery could not restore $old")
-  }
-
   /** COMPACTION: rewrite the cell partitions of a persisted index after
     * many [[ivfIndexAppend]] batches. Each append commits its own small
-    * parquet files under `cells.parquet`; a corpus maintained by N
-    * batches accumulates N× the file (and footer/open) count until scan
-    * startup dominates query latency. Compacting re-reads the cells,
-    * repartitions ON THE CELL ID (each cell's vectors land contiguously,
-    * which is exactly the locality the cell equi-join scan wants), and
-    * swaps the directory in — codebook untouched, rows untouched, so a
-    * search after compaction is BIT-IDENTICAL to one before (IvfSpec
-    * proves it). File count drops from O(appends × partitions) to at
-    * most the shuffle parallelism.
+    * parquet files; a corpus maintained by N batches accumulates N× the
+    * file (and footer/open) count until scan startup dominates query
+    * latency. Compacting re-reads the current cells, repartitions ON THE
+    * CELL ID (each cell's vectors land contiguously, which is exactly
+    * the locality the cell equi-join scan wants), and commits the result
+    * as the NEXT version — codebook untouched, rows untouched, so a
+    * search after compaction is BIT-IDENTICAL to one before (the
+    * AdviceRegressionSpec proves it). File count drops from
+    * O(appends × partitions) to at most the shuffle parallelism.
     *
-    * Write-then-swap: the new layout fully commits to a side directory
-    * before any destructive step, so a failed compaction leaves the live
-    * index readable. The swap itself is two renames, so a PROCESS DEATH
-    * between them can leave the cells parked at the retired name; entry
-    * therefore starts with crash recovery (cells absent + retired
-    * present → restore), making "re-run the compaction" the complete
-    * repair procedure. Run compaction as the index's single maintenance
-    * writer (the same discipline any LSM/lakehouse compactor assumes).
+    * SNAPSHOT-ISOLATED swap: `cells-v(N+1)` fully commits before
+    * `manifest-(N+1)` appears, and the superseded `cells-vN` is
+    * RETAINED until the NEXT compaction retires it — so a reader that
+    * resolved version N (or is mid-scan on it) keeps a complete
+    * directory for the whole following inter-compaction period; there
+    * is no instant at which the index is absent or torn. The retained
+    * prior version costs one extra corpus copy between compactions
+    * (the standard table-format snapshot trade); pass
+    * `retainPrior = false` to drop it immediately when no reader can
+    * be concurrent (single-process batch jobs). Any crash point is
+    * repaired by the next maintenance entry's marker sweep
+    * ([[ensureVersioned]]); "re-run the compaction" remains the
+    * complete repair procedure. Run compaction as the index's single
+    * maintenance WRITER (the discipline any LSM/lakehouse compactor
+    * assumes); readers need no coordination.
     */
   def ivfIndexCompact(spark: org.apache.spark.sql.SparkSession,
-                      path: String): Unit = {
+                      path: String, retainPrior: Boolean = true): Unit = {
     import org.apache.hadoop.fs.Path
-    val cells = new Path(s"$path/cells.parquet")
-    val tmp = new Path(s"$path/cells.compacting.parquet")
-    val old = new Path(s"$path/cells.retired.parquet")
-    recoverCellsSwap(spark, path)
-    spark.read.parquet(cells.toString)
+    val fs = hadoopFs(spark, path)
+    val cur = ensureVersioned(fs, path)
+    // the PREVIOUS grace snapshot (cur−1) has now survived one full
+    // inter-compaction period — retire it before creating the next one
+    fs.delete(new Path(cellsDir(path, cur - 1)), true)
+    spark.read.parquet(cellsDir(path, cur))
       .repartition(col("cell"))
-      .write.mode("overwrite").parquet(tmp.toString)
-    val fs = cells.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(old)) fs.delete(old, true)
-    if (!fs.rename(cells, old))
-      sys.error(s"ivfIndexCompact: cannot retire $cells")
-    if (!fs.rename(tmp, cells)) {
-      fs.rename(old, cells) // roll back: live index stays usable
-      sys.error(s"ivfIndexCompact: cannot install $tmp")
-    }
-    fs.delete(old, true)
+      .write.mode("overwrite").parquet(cellsDir(path, cur + 1))
+    createManifest(fs, path, cur + 1)
+    fs.delete(new Path(s"$path/manifest-$cur"), false)
+    if (!retainPrior) fs.delete(new Path(cellsDir(path, cur)), true)
+    ()
   }
 
   /** Load the codebook of a persisted index (k×dim rows — index-sized
@@ -748,14 +862,17 @@ object Similarity {
 
   /** Search a persisted index: queries are assigned with the loaded
     * codebook (narrow projection); the corpus side reads its
-    * PRECOMPUTED cells straight from the index layout — no assignment
-    * pass over the corpus at query time.
+    * PRECOMPUTED cells straight from the CURRENT snapshot of the index
+    * layout ([[ivfCellsPath]]) — no assignment pass over the corpus at
+    * query time, and no coordination with maintenance writers (the
+    * resolved snapshot stays complete on disk until the compaction
+    * after next).
     */
   def ivfKnnFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                       queries: DataFrame, k: Int, idCol: String = "vec_id",
                       vecCol: String = "embedding"): DataFrame = {
     val codebook = readIvfCodebook(spark, path)
-    val corpus = spark.read.parquet(s"$path/cells.parquet")
+    val corpus = spark.read.parquet(ivfCellsPath(spark, path))
     val q = queries.withColumn("cell", ivfAssignCell(col(vecCol), codebook))
     ivfKnn(corpus, q, k, cellCol = "cell", idCol, vecCol)
   }

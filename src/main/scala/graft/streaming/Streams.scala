@@ -119,6 +119,12 @@ object Streams {
     * assignment (the codebook is frozen), the index after the stream
     * drains is bit-identical to a batch build whose corpus carried every
     * vector — which is exactly what the stream_ivf_ingest oracle checks.
+    * Searches may run CONCURRENTLY with this loop: readers resolve the
+    * versioned-cells manifest ([[graft.ops.Similarity.ivfCellsPath]])
+    * and the snapshot they resolve stays complete on disk through the
+    * following inter-compaction period, so a compaction firing
+    * mid-search never yanks files out from under it; the only thing a
+    * racing reader can miss is part of the batch currently committing.
     * Pass `compactEvery = N` to fold the per-batch small files back into
     * cell-sized partitions every N batches (compaction runs at batch
     * START, so it only ever touches committed batches' files and stays

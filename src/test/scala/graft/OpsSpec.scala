@@ -1227,7 +1227,8 @@ class StreamingSpec extends AnyFunSuite {
     val q = graft.streaming.Streams
       .ivfIngest(src, s"$root/index", s"$root/ckpt", compactEvery = 2).start()
     try q.processAllAvailable() finally q.stop()
-    val cells = spark.read.parquet(s"$root/index/cells.parquet")
+    val cells = spark.read.parquet(
+      graft.ops.Similarity.ivfCellsPath(spark, s"$root/index"))
     assert(cells.count() == 60)
     assert(cells.select("vec_id").distinct().count() == 60)
     // search equals the batch build over the same corpus + codebook
@@ -2164,10 +2165,13 @@ class AdviceRegressionSpec extends AnyFunSuite {
         withCell.filter(col("vec_id") < 5), k = 3, cellCol = "cell")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
     assert(fromIndex.toSeq == inMemory.toSeq)
-    // the layout is what it claims: k codebook rows, one per cell
+    // the layout is what it claims: k codebook rows, versioned cells
+    // behind a manifest marker resolving to version 0
     assert(spark.read.parquet(s"$path/codebook.parquet").count() == 4)
-    assert(spark.read.parquet(s"$path/cells.parquet").columns.toSet ==
-      Set("vec_id", "embedding", "cell"))
+    assert(Similarity.ivfCellsPath(spark, path) == s"$path/cells-v0.parquet")
+    assert(new java.io.File(s"$path/manifest-0").exists())
+    assert(spark.read.parquet(Similarity.ivfCellsPath(spark, path))
+      .columns.toSet == Set("vec_id", "embedding", "cell"))
   }
 
   test("ivfIndexAppend: search after append is bit-identical to assigning the full corpus") {
@@ -2179,11 +2183,11 @@ class AdviceRegressionSpec extends AnyFunSuite {
     val batch = df.filter(col("vec_id") % 10 >= 8)
     val path = java.nio.file.Files.createTempDirectory("ivfinc").toString
     Similarity.writeIvfIndex(base, path, k = 4, iters = 2, dim = 8)
-    val nBase = spark.read.parquet(s"$path/cells.parquet").count()
+    def cells = spark.read.parquet(Similarity.ivfCellsPath(spark, path))
+    val nBase = cells.count()
     Similarity.ivfIndexAppend(spark, path, batch)
     // cells grew by exactly the batch; the codebook file is untouched
-    assert(spark.read.parquet(s"$path/cells.parquet").count()
-      == nBase + batch.count())
+    assert(cells.count() == nBase + batch.count())
     val queries = df.filter(col("vec_id") < 5)
     val got = Similarity.ivfKnnFromIndex(spark, path, queries, k = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
@@ -2208,7 +2212,8 @@ class AdviceRegressionSpec extends AnyFunSuite {
     for (b <- 0 until 3) // three maintenance batches, each its own commit
       Similarity.ivfIndexAppend(spark, path,
         df.filter(col("vec_id") >= 30 + b * 10 && col("vec_id") < 40 + b * 10))
-    def dataFiles: Int = new java.io.File(s"$path/cells.parquet")
+    def dataFiles: Int = new java.io.File(
+        Similarity.ivfCellsPath(spark, path))
       .listFiles.count(_.getName.endsWith(".parquet"))
     val queries = df.filter(col("vec_id") < 5)
     def search = Similarity.ivfKnnFromIndex(spark, path, queries, k = 3)
@@ -2217,15 +2222,31 @@ class AdviceRegressionSpec extends AnyFunSuite {
     val filesBefore = dataFiles
     val codebookBefore = spark.read.parquet(s"$path/codebook.parquet")
       .collect().map(_.toString).sorted.toSeq
+    // SNAPSHOT ISOLATION: resolve the reader's view BEFORE compacting —
+    // that exact directory must stay complete and readable afterwards
+    val preSwapDir = Similarity.ivfCellsPath(spark, path)
+    val preSwapRows = spark.read.parquet(preSwapDir).count()
     Similarity.ivfIndexCompact(spark, path)
     assert(search == before)
     assert(dataFiles < filesBefore,
       s"expected fewer data files after compaction: $filesBefore -> $dataFiles")
-    // one file run per shuffle partition at most, no leftover temp dirs
-    assert(!new java.io.File(path).list.exists(_.contains("compacting")))
-    assert(!new java.io.File(path).list.exists(_.contains("retired")))
+    // manifest flipped to v1; the superseded v0 is RETAINED as the
+    // in-flight readers' grace snapshot and still reads whole
+    assert(Similarity.ivfCellsPath(spark, path) == s"$path/cells-v1.parquet")
+    assert(!new java.io.File(s"$path/manifest-0").exists())
+    assert(spark.read.parquet(preSwapDir).count() == preSwapRows)
     assert(spark.read.parquet(s"$path/codebook.parquet")
       .collect().map(_.toString).sorted.toSeq == codebookBefore)
+    // the compaction AFTER next retires the grace snapshot
+    Similarity.ivfIndexCompact(spark, path)
+    assert(search == before)
+    assert(Similarity.ivfCellsPath(spark, path) == s"$path/cells-v2.parquet")
+    assert(!new java.io.File(preSwapDir).exists())
+    // retainPrior=false drops the just-superseded version immediately
+    Similarity.ivfIndexCompact(spark, path, retainPrior = false)
+    assert(search == before)
+    assert(new java.io.File(path).list.toSet.filter(_.startsWith("cells")) ==
+      Set("cells-v3.parquet"))
   }
 
   test("tagged ivfIndexAppend is idempotent under replay; compact recovers a crashed swap") {
@@ -2240,21 +2261,68 @@ class AdviceRegressionSpec extends AnyFunSuite {
     // at-least-once replay: the SAME batch commits twice under one tag
     Similarity.ivfIndexAppendWith(cb, path, batch, commitTag = Some("b0"))
     Similarity.ivfIndexAppendWith(cb, path, batch, commitTag = Some("b0"))
-    assert(spark.read.parquet(s"$path/cells.parquet").count() == 40,
+    assert(spark.read.parquet(Similarity.ivfCellsPath(spark, path)).count() == 40,
       "replayed tag must replace, not duplicate")
     val queries = df.filter(col("vec_id") < 5)
     def search = Similarity.ivfKnnFromIndex(spark, path, queries, k = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
     val before = search
-    // crash between the two swap renames: cells parked at the retired
-    // name, nothing live — re-running compaction must repair and proceed
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$path/cells.parquet"),
-      new org.apache.hadoop.fs.Path(s"$path/cells.retired.parquet")))
+    // crash DURING a compaction's rewrite: an orphan next-version dir
+    // with no manifest. Readers still resolve v0; re-running the
+    // compaction completes the job and sweeps the orphan.
+    val orphan = new org.apache.hadoop.fs.Path(s"$path/cells-v1.parquet")
+    fs.mkdirs(orphan)
+    assert(Similarity.ivfCellsPath(spark, path) == s"$path/cells-v0.parquet")
+    assert(search == before)
     Similarity.ivfIndexCompact(spark, path)
     assert(search == before)
-    assert(!new java.io.File(path).list.exists(_.contains("retired")))
+    assert(Similarity.ivfCellsPath(spark, path) == s"$path/cells-v1.parquet")
+    // crash BETWEEN manifest create and old-manifest delete: both
+    // markers present — readers resolve the NEWER committed version,
+    // and the next maintenance entry sweeps the stale marker
+    fs.create(new org.apache.hadoop.fs.Path(s"$path/manifest-0"), false).close()
+    assert(Similarity.ivfCellsPath(spark, path) == s"$path/cells-v1.parquet")
+    assert(search == before)
+    Similarity.ivfIndexAppendWith(cb, path,
+      df.filter(col("vec_id") < 0), commitTag = Some("b1")) // empty batch: entry sweep only
+    assert(!new java.io.File(s"$path/manifest-0").exists())
+    assert(search == before)
+  }
+
+  test("commit tags reject separator chars; legacy un-versioned layout is adopted") {
+    val rnd = new scala.util.Random(53)
+    val vecs = (0L until 30L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("ivfguard").toString
+    Similarity.writeIvfIndex(df.filter(col("vec_id") < 20), path,
+      k = 4, iters = 2, dim = 8)
+    val cb = Similarity.readIvfCodebook(spark, path)
+    val batch = df.filter(col("vec_id") >= 20)
+    // '-' is the tag/part separator in committed file names — a tag
+    // containing it ("a-b") would let dropTag("a") delete its files, so
+    // the documented prefix-uniqueness invariant must be ENFORCED
+    for (bad <- Seq("a-b", "a/b", "a.b", "", "a b"))
+      intercept[IllegalArgumentException] {
+        Similarity.ivfIndexAppendWith(cb, path, batch, commitTag = Some(bad))
+      }
+    // an index written by a pre-versioned build (plain cells.parquet, no
+    // manifest): reads fall back to it, and the first maintenance WRITE
+    // adopts it as version 0 before committing
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$path/cells-v0.parquet"),
+      new org.apache.hadoop.fs.Path(s"$path/cells.parquet")))
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$path/manifest-0"), false))
+    assert(Similarity.ivfCellsPath(spark, path) == s"$path/cells.parquet")
+    val queries = df.filter(col("vec_id") < 5)
+    assert(Similarity.ivfKnnFromIndex(spark, path, queries, k = 3).count() > 0)
+    Similarity.ivfIndexAppendWith(cb, path, batch, commitTag = Some("b1"))
+    assert(Similarity.ivfCellsPath(spark, path) == s"$path/cells-v0.parquet")
+    assert(new java.io.File(s"$path/manifest-0").exists())
+    assert(spark.read.parquet(Similarity.ivfCellsPath(spark, path)).count() == 30)
   }
 
   test("HLL small-range estimates switch to the quantized linear-counting table") {
