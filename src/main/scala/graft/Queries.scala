@@ -6956,6 +6956,121 @@ object Queries {
       .orderBy("source")
   }
 
+  q("text_heaps_law",
+    // vocabulary-growth curve (Heaps' law): cumulative tokens and
+    // distinct types at 50-doc checkpoints; each type charges its FIRST
+    // document, cumulative sums via the windowless prefix machinery —
+    // all integers, bit-exact
+    s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+       |pb AS (SELECT doc_id // 50 AS bucket, COUNT(*) AS toks FROM toks GROUP BY 1),
+       |ft AS (SELECT tok, MIN(doc_id) AS first_id FROM toks GROUP BY 1),
+       |nt AS (SELECT first_id // 50 AS bucket, COUNT(*) AS new_types FROM ft GROUP BY 1),
+       |g AS (SELECT pb.bucket, pb.toks, COALESCE(nt.new_types, 0) AS new_types
+       |  FROM pb LEFT JOIN nt USING (bucket))
+       |SELECT CAST(bucket AS BIGINT) AS bucket,
+       |  CAST((bucket + 1) * 50 AS BIGINT) AS docs_seen,
+       |  CAST(SUM(toks) OVER (ORDER BY bucket) AS BIGINT) AS tokens_seen,
+       |  CAST(SUM(new_types) OVER (ORDER BY bucket) AS BIGINT) AS vocab
+       |FROM g ORDER BY bucket"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    TextAnalysis.heapsLaw(tbl(s, dir, "documents"), bucketDocs = 50)
+      .orderBy("bucket")
+  }
+
+  q("text_vocab_coverage",
+    // tokenizer-budget planning table: share of all token OCCURRENCES
+    // the k most frequent types cover, k in {10, 100, 1000} — global
+    // rank by (freq desc, tok) via the windowless rank kernel, one
+    // truncating integer division per row
+    s"""WITH toks AS (SELECT unnest($toksSql) AS tok FROM documents),
+       |f AS (SELECT tok, COUNT(*) AS freq FROM toks GROUP BY 1),
+       |r AS (SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rnk FROM f),
+       |t AS (SELECT SUM(freq) AS total FROM f),
+       |c AS (SELECT ks.k, SUM(CASE WHEN rnk <= ks.k THEN freq ELSE 0 END) AS covered
+       |  FROM r CROSS JOIN (VALUES (10), (100), (1000)) ks(k) GROUP BY 1)
+       |SELECT CAST(k AS INT) AS k, CAST(covered AS BIGINT) AS covered,
+       |  CAST(total AS BIGINT) AS total,
+       |  CAST(covered * 1000000 // total AS BIGINT) AS coverage_x1e6
+       |FROM c, t ORDER BY k"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    TextAnalysis.vocabCoverage(tbl(s, dir, "documents"), Seq(10, 100, 1000))
+      .orderBy("k")
+  }
+
+  q("text_zipf_decades",
+    // Zipf profile by rank decade (ranks [10^d, 10^(d+1))): mean
+    // freq×rank product per decade, ×1000 truncating — flat across
+    // decades is Zipf; a collapsing tail decade is the vocab-prune
+    // threshold. Decade = decimal-digit count of the rank, exact
+    s"""WITH toks AS (SELECT unnest($toksSql) AS tok FROM documents),
+       |f AS (SELECT tok, COUNT(*) AS freq FROM toks GROUP BY 1),
+       |r AS (SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rnk FROM f),
+       |d AS (SELECT length(CAST(rnk AS VARCHAR)) - 1 AS decade,
+       |    COUNT(*) AS n_tokens, SUM(freq * rnk) AS fr_sum FROM r GROUP BY 1)
+       |SELECT CAST(decade AS INT) AS decade, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(fr_sum AS BIGINT) AS fr_sum,
+       |  CAST(fr_sum * 1000 // n_tokens AS BIGINT) AS fr_avg_x1000
+       |FROM d ORDER BY decade"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    TextAnalysis.zipfDecades(tbl(s, dir, "documents"))
+      .orderBy("decade")
+  }
+
+  q("q_url_canonicalize", {
+    // URL canonicalization + dedup (the crawl-pipeline normalization:
+    // case, default ports, www, tracking params, param order, fragments
+    // all collapse). The messy-URL fixture derives deterministically
+    // from doc_id in BOTH engines; the oracle replays every rule with
+    // the same regex/list primitives — exact strings end to end
+    val fixture =
+      """CASE WHEN doc_id % 2 = 0
+        |    THEN 'HTTPS://WWW.Site' || (doc_id % 5) || '.COM:443/p/' || (doc_id % 17)
+        |    ELSE 'http://site' || (doc_id % 5) || '.com:80/p/' || (doc_id % 17) END ||
+        |  CASE doc_id % 3 WHEN 0 THEN '?b=2&utm_source=feed&a=1'
+        |    WHEN 1 THEN '?a=1&b=2&gclid=xyz' ELSE '' END ||
+        |  CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END""".stripMargin
+    s"""WITH u AS (SELECT doc_id, $fixture AS url FROM documents),
+       |c AS (SELECT doc_id, regexp_replace(url, '#.*$$', '') AS nf FROM u),
+       |p AS (SELECT doc_id,
+       |    lower(regexp_extract(nf, '^([^:/?#]+)://', 1)) AS scheme,
+       |    lower(regexp_extract(nf, '^[^:/?#]+://([^/?#]*)', 1)) AS hostport,
+       |    regexp_extract(nf, '^[^:/?#]+://[^/?#]*(.*)$$', 1) AS pathq FROM c),
+       |h AS (SELECT *, regexp_replace(CASE
+       |      WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
+       |      WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
+       |      ELSE hostport END, '^www\\.', '') AS host FROM p),
+       |pq AS (SELECT *, regexp_extract(pathq, '^([^?]*)', 1) AS path,
+       |    CASE WHEN contains(pathq, '?')
+       |      THEN regexp_replace(pathq, '^[^?]*\\?', '') ELSE '' END AS query FROM h),
+       |qq AS (SELECT *, COALESCE(array_to_string(list_sort(list_filter(
+       |      string_split(query, '&'),
+       |      x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid)='))),
+       |    '&'), '') AS cq FROM pq),
+       |canon AS (SELECT doc_id, scheme || '://' || host ||
+       |    (CASE WHEN path = '' THEN '/' ELSE path END) ||
+       |    (CASE WHEN cq = '' THEN '' ELSE '?' || cq END) AS curl FROM qq)
+       |SELECT curl, CAST(COUNT(*) AS BIGINT) AS n_urls,
+       |  CAST(MIN(doc_id) AS BIGINT) AS first_doc
+       |FROM canon GROUP BY 1 ORDER BY curl"""
+      .stripMargin.replace("\n", " ")
+  }) { (s, dir) =>
+    val d = col("doc_id")
+    val url = concat(
+      when(d % 2 === 0,
+        concat(lit("HTTPS://WWW.Site"), (d % 5).cast("string"),
+          lit(".COM:443/p/"), (d % 17).cast("string")))
+        .otherwise(concat(lit("http://site"), (d % 5).cast("string"),
+          lit(".com:80/p/"), (d % 17).cast("string"))),
+      when(d % 3 === 0, lit("?b=2&utm_source=feed&a=1"))
+        .when(d % 3 === 1, lit("?a=1&b=2&gclid=xyz")).otherwise(lit("")),
+      when(d % 4 === 0, lit("#frag")).otherwise(lit("")))
+    tbl(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.canonicalizeUrl(url).as("curl"))
+      .groupBy("curl")
+      .agg(count(lit(1)).as("n_urls"), min("doc_id").as("first_doc"))
+      .orderBy("curl")
+  }
+
   q("q_rolling_corr",
     // trailing-20 Pearson correlation of quantity vs price per supplier:
     // exact decimal power sums over a ROWS frame, one fixed IEEE

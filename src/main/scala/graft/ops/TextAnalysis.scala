@@ -877,4 +877,113 @@ object TextAnalysis {
         col("n_repl_docs"), col("n_ctrl_chars"), col("n_nonascii_chars"),
         round(lit(1.0) - col("n_nonascii_chars").cast("double") / col("n_chars"), 6)
           .as("ascii_ratio"))
+
+  /** Canonical URL form for web-corpus dedup — the normalization every
+    * crawl pipeline applies before URL-level dedup so that tracking
+    * params, host case, default ports and fragments don't fan one page
+    * out into many "distinct" URLs (cf. the reference's trimmer
+    * normalization discipline, trimmer.rs:55-167, applied to the web
+    * domain). Rules, in order: drop the `#fragment`; lowercase scheme
+    * and host; strip the scheme's default port (`:80` http, `:443`
+    * https) and a leading `www.`; drop tracking query params
+    * (`utm_*`, `fbclid`, `gclid`); sort the surviving params; empty
+    * path becomes `/`. A pure narrow projection over codegen'd builtins
+    * (regexp_extract / filter / array_sort) — no UDF, no shuffle, scales
+    * with input splits.
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    val nf = regexp_replace(u, "#.*$", "")
+    val scheme = lower(regexp_extract(nf, "^([^:/?#]+)://", 1))
+    val hostport = lower(regexp_extract(nf, "^[^:/?#]+://([^/?#]*)", 1))
+    val noPort = when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .otherwise(hostport)
+    val host = regexp_replace(noPort, "^www\\.", "")
+    val pathq = regexp_extract(nf, "^[^:/?#]+://[^/?#]*(.*)$", 1)
+    val path = regexp_extract(pathq, "^([^?]*)", 1)
+    val query = when(pathq.contains("?"),
+      regexp_replace(pathq, "^[^?]*\\?", "")).otherwise(lit(""))
+    val keep = filter(split(query, "&"),
+      p => p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid)="))
+    val cq = array_join(array_sort(keep), "&")
+    concat(scheme, lit("://"), host,
+      when(path === "", lit("/")).otherwise(path),
+      when(cq === "", lit("")).otherwise(concat(lit("?"), cq)))
+  }
+
+  /** Vocabulary-growth (Heaps-law) profile: cumulative token and
+    * distinct-type counts at every `bucketDocs`-document checkpoint of
+    * the corpus in id order — the curve whose flattening says when more
+    * data stops buying new vocabulary. Each token's contribution to the
+    * type curve is its FIRST document (one `min` aggregation), so the
+    * whole profile costs two keyed aggregations plus
+    * [[Ranks.prefixCounts]] — cumulative sums with no unpartitioned
+    * window, scaling to corpus-sized bucket counts.
+    */
+  def heapsLaw(docs: DataFrame, bucketDocs: Int, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("__id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val perBucket = toks
+      .groupBy(floor(col("__id") / bucketDocs).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("toks"))
+    val newTypes = toks.groupBy("tok").agg(min("__id").as("first_id"))
+      .groupBy(floor(col("first_id") / bucketDocs).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("new_types"))
+    // a bucket always has tokens when it has first-occurrences, so the
+    // left join from the token side is exhaustive
+    val g = perBucket.join(newTypes, Seq("bucket"), "left")
+      .na.fill(0L, Seq("new_types"))
+    Ranks.prefixCounts(g, "bucket", Seq("toks", "new_types"))
+      .select(col("bucket"),
+        ((col("bucket") + 1) * bucketDocs).cast("long").as("docs_seen"),
+        col("toks_cum").as("tokens_seen"),
+        col("new_types_cum").as("vocab"))
+  }
+
+  /** Global token frequencies ranked 1..V by (freq desc, token asc) via
+    * [[Ranks.globalRank]] — the shared input of [[vocabCoverage]] and
+    * [[zipfDecades]]; no unpartitioned window, so the rank pass holds up
+    * on web-scale vocabularies.
+    */
+  def rankedTokenFreqs(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val freqs = docs.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+    Ranks.globalRank(freqs, col("freq") * -1, col("tok"), "rnk")
+  }
+
+  /** Top-k vocabulary coverage: for each k, what fraction of all token
+    * OCCURRENCES the k most frequent types cover (the tokenizer-budget /
+    * OOV-rate planning table; complement of coverage = OOV mass under a
+    * k-entry vocab). Exact integers end to end — one ranked-frequency
+    * pass, one conditional aggregate per k, one integer division.
+    */
+  def vocabCoverage(docs: DataFrame, ks: Seq[Int],
+                    textCol: String = "text"): DataFrame = {
+    require(ks.nonEmpty)
+    val ranked = rankedTokenFreqs(docs, textCol)
+    val aggd = ranked.agg(
+      sum(when(col("rnk") <= ks.head, col("freq")).otherwise(0L))
+        .cast("long").as(s"c${ks.head}"),
+      ks.tail.map(k => sum(when(col("rnk") <= k, col("freq")).otherwise(0L))
+        .cast("long").as(s"c$k")) :+ sum("freq").cast("long").as("total"): _*)
+    aggd.select(
+        explode(array(ks.map(k => struct(lit(k).as("k"),
+          col(s"c$k").as("covered"))): _*)).as("e"), col("total"))
+      .select(col("e.k").as("k"), col("e.covered").as("covered"),
+        col("total"), expr("e.covered * 1000000 div total").as("coverage_x1e6"))
+  }
+
+  /** Zipf profile by rank decade: tokens at ranks [10^d, 10^(d+1)) and
+    * their mean freq×rank product (×1000, truncating integer division) —
+    * Zipf's law says the product stays roughly flat across decades, and
+    * a decade where it collapses marks where the long tail stops pulling
+    * its weight (vocab-prune threshold planning). Exact integers.
+    */
+  def zipfDecades(docs: DataFrame, textCol: String = "text"): DataFrame =
+    rankedTokenFreqs(docs, textCol)
+      .groupBy((length(col("rnk").cast("string")) - 1).cast("int").as("decade"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("freq") * col("rnk")).cast("long").as("fr_sum"))
+      .withColumn("fr_avg_x1000", expr("fr_sum * 1000 div n_tokens"))
 }

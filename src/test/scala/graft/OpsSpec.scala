@@ -35,6 +35,62 @@ class OpsSpec extends AnyFunSuite {
     (4L, "completely different words about gardening tulips roses", "en"))
     .toDF("doc_id", "text", "lang")
 
+  test("canonicalizeUrl applies every crawl-normalization rule") {
+    val cases = Seq(
+      // case, www, default port, tracking params, param order, fragment
+      ("HTTPS://WWW.Example.COM:443/a/b?utm_source=x&b=2&a=1#frag",
+        "https://example.com/a/b?a=1&b=2"),
+      ("http://Example.com:80", "http://example.com/"),
+      ("http://example.com:8080/x", "http://example.com:8080/x"), // non-default kept
+      ("https://example.com:80/x", "https://example.com:80/x"),   // https keeps :80
+      ("http://www.example.com/?gclid=1&fbclid=2&utm_campaign=c",
+        "http://example.com/"),
+      ("ftp://Host.com/file", "ftp://host.com/file"),
+      ("https://a.com/p?z=1&y=2&z=0", "https://a.com/p?y=2&z=0&z=1"))
+    val got = cases.map(_._1).toDF("u")
+      .select(TextAnalysis.canonicalizeUrl(col("u")).as("c"))
+      .collect().map(_.getString(0))
+    assert(got.toSeq == cases.map(_._2))
+  }
+
+  test("heapsLaw: cumulative curves are monotone and end at corpus totals") {
+    val words = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val fix = (0L until 100L).map { i =>
+      (i, (0 to (i % 4).toInt).map(j => words(((i * 7 + j * 3) % 6).toInt))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = TextAnalysis.heapsLaw(fix, bucketDocs = 10)
+      .orderBy("bucket").collect()
+    assert(got.length == 10)
+    val toks = fix.select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+    assert(got.last.getAs[Long]("tokens_seen") == toks.count())
+    assert(got.last.getAs[Long]("vocab") == toks.distinct().count())
+    val vs = got.map(_.getAs[Long]("vocab")).toSeq
+    val ts = got.map(_.getAs[Long]("tokens_seen")).toSeq
+    assert(vs == vs.sorted && ts == ts.sorted)
+    assert(got.map(_.getAs[Long]("docs_seen")).toSeq == (1L to 10L).map(_ * 10))
+  }
+
+  test("vocabCoverage and zipfDecades match hand-computed rank tables") {
+    val fix = Seq((0L, "a a a b b c")).toDF("doc_id", "text")
+    val cov = TextAnalysis.vocabCoverage(fix, Seq(1, 2, 100))
+      .orderBy("k").collect()
+      .map(r => (r.getAs[Int]("k"), r.getAs[Long]("covered"),
+        r.getAs[Long]("total"), r.getAs[Long]("coverage_x1e6")))
+    assert(cov.toSeq == Seq((1, 3L, 6L, 500000L), (2, 5L, 6L, 833333L),
+      (100, 6L, 6L, 1000000L)))
+    // 12 tokens with distinct frequencies 13-i => rank i exactly
+    val txt = (1 to 12).flatMap(i => Seq.fill(14 - i)(f"t$i%02d")).mkString(" ")
+    val zf = TextAnalysis.zipfDecades(Seq((0L, txt)).toDF("doc_id", "text"))
+      .orderBy("decade").collect()
+      .map(r => (r.getAs[Int]("decade"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("fr_sum"), r.getAs[Long]("fr_avg_x1000")))
+    val fr = (1 to 12).map(i => (i, i.toLong * (14 - i)))
+    val d0 = fr.filter(_._1 <= 9).map(_._2).sum
+    val d1 = fr.filter(_._1 >= 10).map(_._2).sum
+    assert(zf.toSeq == Seq((0, 9L, d0, d0 * 1000 / 9), (1, 3L, d1, d1 * 1000 / 3)))
+  }
+
   test("aHash: identical PNGs collide, distinct seeds differ, brightness shift stays close") {
     val a1 = Multimodal.aHash64(Multimodal.syntheticPng(7, 32, 24))
     val a2 = Multimodal.aHash64(Multimodal.syntheticPng(7, 32, 24))
