@@ -7071,6 +7071,57 @@ object Queries {
       .orderBy("curl")
   }
 
+  q("q_spearman",
+    // Spearman rank correlation of quantity vs price, windowless: exact
+    // integer doubled average ranks from the prefix machinery, CENTERED
+    // so the power sums cancel nothing (Σu = 0 exactly) — the oracle's
+    // window form replays the identical integers, one IEEE combination
+    """WITH base AS (SELECT CAST(l_quantity AS DECIMAL(12,2)) AS x,
+      |    CAST(l_extendedprice AS DECIMAL(12,2)) AS y FROM lineitem),
+      |nn AS (SELECT COUNT(*) AS n FROM base),
+      |gx AS (SELECT x, COUNT(*) AS c FROM base GROUP BY 1),
+      |rx AS (SELECT x, 2 * SUM(c) OVER (ORDER BY x) - c + 1 AS r2 FROM gx),
+      |gy AS (SELECT y, COUNT(*) AS c FROM base GROUP BY 1),
+      |ry AS (SELECT y, 2 * SUM(c) OVER (ORDER BY y) - c + 1 AS r2 FROM gy),
+      |j AS (SELECT rx.r2 - (nn.n + 1) AS ux, ry.r2 - (nn.n + 1) AS uy
+      |  FROM base JOIN rx USING (x) JOIN ry USING (y) CROSS JOIN nn),
+      |s AS (SELECT COUNT(*) AS n, SUM(CAST(ux * uy AS DECIMAL(38,0))) AS suv,
+      |  SUM(CAST(ux * ux AS DECIMAL(38,0))) AS suu,
+      |  SUM(CAST(uy * uy AS DECIMAL(38,0))) AS svv FROM j)
+      |SELECT CAST(n AS BIGINT) AS n, round(CAST(suv AS DOUBLE) /
+      |  (sqrt(CAST(suu AS DOUBLE)) * sqrt(CAST(svv AS DOUBLE))), 6) AS rho
+      |FROM s""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    Stats.spearman(tbl(s, dir, "lineitem"),
+      dec(col("l_quantity"), 12, 2), dec(col("l_extendedprice"), 12, 2))
+  }
+
+  q("q_cramers_v",
+    // Cramér's V association of nation × market segment: contingency
+    // lifts in truncating ×1e6 fixed point, χ² from an exact decimal
+    // sum (clamped at 0 — truncation can push independence a hair
+    // negative), one IEEE sqrt on the single result row
+    """WITH cells AS (SELECT c_nationkey AS a, c_mktsegment AS b, COUNT(*) AS o
+      |  FROM customer GROUP BY 1, 2),
+      |ra AS (SELECT a, SUM(o) AS ra FROM cells GROUP BY 1),
+      |cb AS (SELECT b, SUM(o) AS cb FROM cells GROUP BY 1),
+      |tot AS (SELECT SUM(o) AS n, COUNT(DISTINCT a) AS ka,
+      |  COUNT(DISTINCT b) AS kb FROM cells),
+      |l AS (SELECT n, ka, kb, o * (o * 1000000 * n // (ra * cb)) AS olift
+      |  FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot),
+      |s AS (SELECT n, ka, kb, SUM(CAST(olift AS DECIMAL(38,0))) AS s
+      |  FROM l GROUP BY 1, 2, 3)
+      |SELECT CAST(n AS BIGINT) AS n, CAST(ka AS BIGINT) AS ka,
+      |  CAST(kb AS BIGINT) AS kb,
+      |  CAST(GREATEST(s - CAST(n AS DECIMAL(38,0)) * 1000000, 0) AS BIGINT)
+      |    AS chi2_x1e6,
+      |  round(sqrt(CAST(GREATEST(s - CAST(n AS DECIMAL(38,0)) * 1000000, 0)
+      |      AS DOUBLE) /
+      |    CAST(n * (LEAST(ka, kb) - 1) * 1000000 AS DOUBLE)), 6) AS cramers_v
+      |FROM s""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    Stats.cramersV(tbl(s, dir, "customer"),
+      col("c_nationkey"), col("c_mktsegment"))
+  }
+
   q("q_rolling_corr",
     // trailing-20 Pearson correlation of quantity vs price per supplier:
     // exact decimal power sums over a ROWS frame, one fixed IEEE

@@ -113,6 +113,76 @@ object Stats {
           .as("rank_biserial"))
   }
 
+  /** Spearman rank correlation WITHOUT a global sort: average ranks (as
+    * exact integers — doubled, so ties' half-ranks stay integral) come
+    * from the windowless prefix machinery per distinct value, join back
+    * to the rows, and the Pearson combination runs over CENTERED doubled
+    * ranks u = 2·rank_avg − (n+1), whose sums are exactly zero — so
+    * ρ = Σuv / √(Σu²·Σv²) has NO catastrophic cancellation and the
+    * decimal→double casts at the end can move the result by at most an
+    * ulp. Rank maps are |distinct values| rows joined on the value (the
+    * low-cardinality side auto-broadcasts); the wide frame shuffles once
+    * per rank column. Per-row products are computed in longs: exact
+    * while 4n² < 2⁶³, i.e. n ≲ 1.5·10⁹ rows — beyond that, cast the
+    * centered ranks to decimals at the call site.
+    */
+  def spearman(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val base = df.select(xCol.as("x"), yCol.as("y"))
+      .localCheckpoint() // consumers: n, two rank maps, the final pass
+    val n = base.count()
+    def rankMap(c: String): DataFrame = {
+      val g = base.groupBy(c).agg(count(lit(1)).as("cnt")).localCheckpoint()
+      Ranks.prefixCounts(g, c, Seq("cnt"))
+        .select(col(c),
+          (lit(2) * col("cnt_cum") - col("cnt") + 1 - (n + 1)).as(s"u_$c"))
+    }
+    val withU = base.join(rankMap("x"), Seq("x")).join(rankMap("y"), Seq("y"))
+    def d(c: Column): Column = c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    withU.agg(count(lit(1)).cast("long").as("n"),
+        sum(d(col("u_x") * col("u_y"))).as("suv"),
+        sum(d(col("u_x") * col("u_x"))).as("suu"),
+        sum(d(col("u_y") * col("u_y"))).as("svv"))
+      .select(col("n"),
+        round(col("suv").cast("double") /
+          (sqrt(col("suu").cast("double")) * sqrt(col("svv").cast("double"))), 6)
+          .as("rho"))
+  }
+
+  /** Cramér's V association between two categorical columns, from a
+    * contingency table in exact fixed-point: per cell the lift
+    * O·N/(R·C) is one truncating long division at ×10⁶ (deterministic
+    * on any engine), χ² = Σ O·lift − N via an exact decimal sum
+    * (clamped at 0: truncation can push an independent table a hair
+    * negative), and V = √(χ²/(N·(min(k_a,k_b)−1))) is one fixed IEEE
+    * combination on the single result row. One groupBy over the pair,
+    * two marginal aggregates broadcast back — no shuffle wider than the
+    * distinct-pair count. Long fixed-point bound: O·N·10⁶ < 2⁶³, i.e.
+    * N ≲ 3·10⁹ per profiled pair (cast to decimals beyond).
+    */
+  def cramersV(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val cells = df.select(aCol.as("a"), bCol.as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("o"))
+    val ra = cells.groupBy("a").agg(sum("o").cast("long").as("ra"))
+    val cb = cells.groupBy("b").agg(sum("o").cast("long").as("cb"))
+    val tot = cells.agg(sum("o").cast("long").as("n"),
+      countDistinct("a").cast("long").as("ka"),
+      countDistinct("b").cast("long").as("kb"))
+    def d(c: Column): Column = c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    cells.join(broadcast(ra), Seq("a")).join(broadcast(cb), Seq("b"))
+      .crossJoin(broadcast(tot))
+      .select(col("n"), col("ka"), col("kb"),
+        (col("o") * expr("o * 1000000 * n div (ra * cb)")).as("olift"))
+      .groupBy("n", "ka", "kb")
+      .agg(sum(d(col("olift"))).as("s"))
+      .select(col("n"), col("ka"), col("kb"),
+        greatest(col("s") - d(col("n") * 1000000L), d(lit(0)))
+          .cast("long").as("chi2_x1e6"))
+      .select(col("n"), col("ka"), col("kb"), col("chi2_x1e6"),
+        round(sqrt(col("chi2_x1e6").cast("double") /
+          (col("n") * (least(col("ka"), col("kb")) - 1) * 1000000L)
+            .cast("double")), 6).as("cramers_v"))
+  }
+
   /** Welch's unequal-variance t-test from the same exact decimal power
     * sums as [[moments]]: per group n, Σv, Σv² are exact (map-side
     * partial-aggregated, one shuffle of three numbers per group), the two

@@ -35,6 +35,36 @@ class OpsSpec extends AnyFunSuite {
     (4L, "completely different words about gardening tulips roses", "en"))
     .toDF("doc_id", "text", "lang")
 
+  test("spearman: hand-computed values, ties via average ranks, sign sanity") {
+    // perfect inverse monotone: rho = -1 exactly
+    val inv = (1 to 5).map(i => (i.toDouble, (6 - i).toDouble)).toDF("x", "y")
+    assert(Stats.spearman(inv, col("x"), col("y")).collect().head
+      .getAs[Double]("rho") == -1.0)
+    // ties: identical tie structure on both sides is still rho = 1
+    val tied = Seq((1.0, 10.0), (1.0, 10.0), (2.0, 20.0), (3.0, 30.0))
+      .toDF("x", "y")
+    assert(Stats.spearman(tied, col("x"), col("y")).collect().head
+      .getAs[Double]("rho") == 1.0)
+    // textbook 4-point example: ranks x = 1,2,3,4; y = 2,1,4,3
+    // rho = 1 - 6*Σd²/(n(n²-1)) = 1 - 6*4/60 = 0.6
+    val ex = Seq((1.0, 5.0), (2.0, 4.0), (3.0, 9.0), (4.0, 8.0)).toDF("x", "y")
+    assert(Stats.spearman(ex, col("x"), col("y")).collect().head
+      .getAs[Double]("rho") == 0.6)
+  }
+
+  test("cramersV: perfect association is 1, independence is 0, fixed point exact") {
+    val diag = (0 until 3).flatMap(i => Seq.fill(7)((s"a$i", s"b$i")))
+      .toDF("u", "v")
+    val r1 = Stats.cramersV(diag, col("u"), col("v")).collect().head
+    assert(r1.getAs[Double]("cramers_v") == 1.0)
+    assert(r1.getAs[Long]("chi2_x1e6") == 21L * 2 * 1000000)
+    val indep = (for (a <- 0 until 2; b <- 0 until 2; _ <- 0 until 5)
+      yield (s"a$a", s"b$b")).toDF("u", "v")
+    val r2 = Stats.cramersV(indep, col("u"), col("v")).collect().head
+    assert(r2.getAs[Double]("cramers_v") == 0.0 &&
+      r2.getAs[Long]("chi2_x1e6") == 0L)
+  }
+
   test("canonicalizeUrl applies every crawl-normalization rule") {
     val cases = Seq(
       // case, www, default port, tracking params, param order, fragment
