@@ -7859,25 +7859,28 @@ object Queries {
        |FROM agg JOIN best ON agg.c_custkey = best.c_custkey AND best.rn = 1
        |JOIN mb ON mb.c_custkey = agg.c_custkey
        |ORDER BY agg.c_custkey""".stripMargin.replace("\n", " ")) { (s, dir) =>
-    // four consumers below (names twice, agg, max-balance): materialize
-    // the decided matches once or the whole blocking+scoring pipeline
-    // recomputes per consumer (measured 11.5 s -> linkage cost once)
+    // every output column is a DUPLICATE-INSENSITIVE per-custkey
+    // aggregate (max-by-(length,name), max balance, distinct d_id
+    // count), so the oracle's window + three joins collapse into ONE
+    // groupBy over an exploded two-struct array and the match frame is
+    // referenced exactly once — no localCheckpoint (which also dropped
+    // AQE on the 2.2M-pair linkage plan and cost ~2.5 s at sf0.1), no
+    // executor-pinned blocks, one shuffle after the linkage itself.
+    // (The oracle's DISTINCT on the c-side union arm only dedups rows
+    // that max/countDistinct ignore anyway.)
     val m = Linkage.decide(Linkage.linkCustomers(tbl(s, dir, "customer")), 18, 5)
-      .filter(col("zone") === "match").localCheckpoint()
-    val names = m.select(col("c_custkey"), col("d_name").as("nm"),
-        col("d_bal").as("bal"))
-      .unionByName(m.select(col("c_custkey"), col("c_name").as("nm"),
-        dec(col("c_acctbal"), 12, 2).as("bal")).distinct())
-    val w = Window.partitionBy("c_custkey")
-      .orderBy(length(col("nm")).desc, col("nm").desc)
-    val best = names.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).select(col("c_custkey"), col("nm").as("best_name"))
-    val agg = m.groupBy("c_custkey")
-      .agg(countDistinct("d_id").cast("int").as("n_matched"))
-    val mb = names.groupBy("c_custkey")
-      .agg(max("bal").cast("double").as("max_bal"))
-    agg.join(best, "c_custkey").join(mb, "c_custkey")
-      .select(col("c_custkey"), col("n_matched"), col("best_name"), col("max_bal"))
+      .filter(col("zone") === "match")
+    m.select(col("c_custkey"), col("d_id"), explode(array(
+        struct(length(col("d_name")).as("l"), col("d_name").as("nm"),
+          col("d_bal").as("bal")),
+        struct(length(col("c_name")).as("l"), col("c_name").as("nm"),
+          dec(col("c_acctbal"), 12, 2).as("bal")))).as("e"))
+      .groupBy("c_custkey")
+      .agg(countDistinct("d_id").cast("int").as("n_matched"),
+        max(struct(col("e.l"), col("e.nm"))).as("b"),
+        max(col("e.bal")).cast("double").as("max_bal"))
+      .select(col("c_custkey"), col("n_matched"), col("b.nm").as("best_name"),
+        col("max_bal"))
       .orderBy("c_custkey")
   }
 
