@@ -180,11 +180,16 @@ object Queries {
           c.copy(isNullable = false)
         case c => c
       })
+    // stage the formatted line once: the corrupt branch references it
+    // three times, and a staged projection guarantees the 30-column
+    // pad/concat evaluates once per row regardless of subexpression
+    // elimination in the CASE
     val lines = tbl(s, dir, "lineitem")
+      .select(col("l_orderkey"), flfLine().as("l"))
       .select(when(col("l_orderkey") % 97 === 0,
-          concat(substring(flfLine(), 1, 20), lit("XXXXXX"),
-            substring(flfLine(), 27, 28)))
-        .otherwise(flfLine()).as("value"))
+          concat(substring(col("l"), 1, 20), lit("XXXXXX"),
+            substring(col("l"), 27, 28)))
+        .otherwise(col("l")).as("value"))
     FlfParse.parseQuarantine(lines, qSchema)
       .groupBy(col("_quarantined").as("quarantined"), col("l_returnflag"))
       .agg(count(lit(1)).as("n"), sum("l_quantity").cast("long").as("sum_qty"))
