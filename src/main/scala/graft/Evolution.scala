@@ -128,6 +128,7 @@ object Evolution {
              labels: Seq[String] = Seq("train", "val", "test"),
              stratumCol: String = "source", budget: Long = 1000000L,
              epoch: Int = 1, shards: Int = 64,
+             urlCol: String = "url",
              mode: String = "errorifexists"): Map[String, Long] = {
     import org.apache.spark.sql.functions.{col, size}
     val df = spark.read.parquet(input)
@@ -147,13 +148,17 @@ object Evolution {
           size(ops.TextAnalysis.tokens(col(textCol))), budget)
       case "epoch-shuffle" =>
         ops.Pipeline.epochShuffle(df, idCol, epoch, shards)
+      case "url-dedup" => // keep the min-id row per CANONICAL url form
+        ops.Dedup.dedupExact(df.withColumn("__curl",
+            ops.TextAnalysis.canonicalizeUrl(col(urlCol))), "__curl", idCol)
+          .drop("__curl")
       case "audit" => // per-doc gate accounting (why was each row dropped)
         ops.Pipeline.curateAudit(df, lang = "en", minQuality = 0.5,
           sampleMod = mod, sampleKeep = keep, textCol, idCol)
       case other => throw new IllegalArgumentException(
         s"unknown curate op '$other' (dedup-exact | dedup-minhash | " +
           "sample-hash | split | gopher-filter | normalize | " +
-          "token-budget | epoch-shuffle | audit)")
+          "token-budget | epoch-shuffle | audit | url-dedup)")
     }
     // count piggybacks on the write via observe — one pass, like convert
     val obs = org.apache.spark.sql.Observation()
@@ -161,6 +166,34 @@ object Evolution {
         .count(org.apache.spark.sql.functions.lit(1)).as("n_out"))
       .write.mode(mode).parquet(output)
     Map("n_in" -> df.count(), "n_out" -> obs.get("n_out").asInstanceOf[Long])
+  }
+
+  /** `evolution analyze`: corpus-statistics reports over a document
+    * parquet — the planning tables a curation run reads before choosing
+    * its knobs (vocabulary growth → is more data still buying types;
+    * coverage → tokenizer budget / OOV mass; zipf → prune threshold;
+    * quality → per-doc token stats). Thin dispatch onto the tested
+    * library operators; writes the report parquet, returns its row
+    * count.
+    */
+  def analyze(spark: SparkSession, op: String, input: String, output: String,
+              textCol: String = "text", idCol: String = "doc_id",
+              bucketDocs: Int = 1000, ks: Seq[Int] = Seq(100, 1000, 10000),
+              mode: String = "errorifexists"): Long = {
+    val df = spark.read.parquet(input)
+    val out = op match {
+      case "heaps" => ops.TextAnalysis.heapsLaw(df, bucketDocs, idCol, textCol)
+      case "vocab-coverage" => ops.TextAnalysis.vocabCoverage(df, ks, textCol)
+      case "zipf" => ops.TextAnalysis.zipfDecades(df, textCol)
+      case "quality" => ops.TextAnalysis.stats(df, textCol)
+      case other => throw new IllegalArgumentException(
+        s"unknown analyze op '$other' (heaps | vocab-coverage | zipf | quality)")
+    }
+    val obs = org.apache.spark.sql.Observation()
+    out.observe(obs, org.apache.spark.sql.functions
+        .count(org.apache.spark.sql.functions.lit(1)).as("n_out"))
+      .write.mode(mode).parquet(output)
+    obs.get("n_out").asInstanceOf[Long]
   }
 
   /** `evolution mock`: schema-driven random fixed-length file. */
@@ -297,10 +330,23 @@ object Evolution {
           case other => sys.error(
             s"unknown index op '${other.getOrElse("")}' (build | search | append | compact)")
         }
+      case Some("analyze") =>
+        val n = analyze(spark,
+          args.lift(1).getOrElse(sys.error(
+            "analyze requires an op: heaps | vocab-coverage | zipf | quality")),
+          opt("-i").getOrElse(sys.error("analyze requires -i <input.parquet>")),
+          opt("-o").getOrElse(sys.error("analyze requires -o <output.parquet>")),
+          textCol = opt("--text-col").getOrElse("text"),
+          idCol = opt("--id-col").getOrElse("doc_id"),
+          bucketDocs = opt("--bucket-docs").map(_.toInt).getOrElse(1000),
+          ks = opt("--ks").map(_.split(",").map(_.toInt).toSeq)
+            .getOrElse(Seq(100, 1000, 10000)),
+          mode = mode)
+        println(s"analyze ${args.lift(1).get}: wrote $n rows to ${opt("-o").get}")
       case _ =>
         System.err.println(
-          "usage: evolution (convert|mock|curate <op>|index build|index search|" +
-            "index append|index compact) [options]")
+          "usage: evolution (convert|mock|curate <op>|analyze <op>|" +
+            "index build|index search|index append|index compact) [options]")
         sys.exit(2)
     } finally spark.stop()
   }

@@ -300,6 +300,19 @@ class CurateCliSpec extends AnyFunSuite {
     assert(ep("n_out") == 5L)
     assert(shuffled.columns.contains("shard") && shuffled.columns.contains("pos"))
 
+    // url-dedup: tracking params / case / port variants collapse to one
+    // canonical form; the min-id row survives per form
+    val urls = Seq(
+      (0L, "HTTPS://WWW.A.COM:443/p?utm_source=x&b=2&a=1"),
+      (1L, "https://a.com/p?a=1&b=2"),
+      (2L, "https://a.com/p?a=1&b=2#frag"),
+      (3L, "https://a.com/q?a=1")).toDF("doc_id", "url")
+    urls.write.mode("overwrite").parquet(s"$dir/urls")
+    val ud = Evolution.curate(spark, "url-dedup", s"$dir/urls", s"$dir/urldedup")
+    assert(ud == Map("n_in" -> 4L, "n_out" -> 2L))
+    assert(spark.read.parquet(s"$dir/urldedup").select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(0L, 3L))
+
     // audit: total accounting — one row per input doc, kept + flags
     val au = Evolution.curate(spark, "audit", in, s"$dir/audit",
       mod = 2, keep = 1)
@@ -312,6 +325,30 @@ class CurateCliSpec extends AnyFunSuite {
       Evolution.curate(spark, "nope", in, s"$dir/x")
     }
     assert(e.getMessage.contains("unknown curate op"))
+  }
+
+  test("analyze ops: heaps, vocab-coverage, zipf, quality reports end-to-end") {
+    val dir = java.nio.file.Files.createTempDirectory("analyze").toString
+    val in = s"$dir/docs"
+    (0L until 20L).map(i => (i, s"tok${i % 7} tok${i % 3} common"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(in)
+    val nh = Evolution.analyze(spark, "heaps", in, s"$dir/heaps", bucketDocs = 5)
+    assert(nh == 4L)
+    val heaps = spark.read.parquet(s"$dir/heaps").orderBy("bucket").collect()
+    assert(heaps.last.getAs[Long]("tokens_seen") == 60L)
+    assert(heaps.last.getAs[Long]("vocab") == 8L) // tok0..tok6 + common
+    val nc = Evolution.analyze(spark, "vocab-coverage", in, s"$dir/cov",
+      ks = Seq(1, 11))
+    assert(nc == 2L)
+    val cov = spark.read.parquet(s"$dir/cov").orderBy("k").collect()
+    assert(cov.head.getAs[Long]("covered") == 20L) // "common", once per doc
+    assert(cov.last.getAs[Long]("coverage_x1e6") == 1000000L)
+    assert(Evolution.analyze(spark, "zipf", in, s"$dir/zipf") == 1L) // 8 ranks, all decade 0
+    assert(Evolution.analyze(spark, "quality", in, s"$dir/q") == 20L)
+    val e = intercept[IllegalArgumentException] {
+      Evolution.analyze(spark, "nope", in, s"$dir/x")
+    }
+    assert(e.getMessage.contains("unknown analyze op"))
   }
 }
 
