@@ -127,8 +127,15 @@ object Stats {
     * centered ranks to decimals at the call site.
     */
   def spearman(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    // NOT checkpointed: the multi-action contract only needs a
+    // DETERMINISTIC input (parquet scans and pure projections qualify —
+    // see the Ranks contract), and re-scanning a two-column projection
+    // per action is cheaper than materializing the full base. Callers
+    // passing a nondeterministic frame (sample(), round-robin
+    // repartition) must localCheckpoint() it themselves. The small
+    // per-VALUE aggregates do checkpoint (inside rankMap) so the
+    // bucket machinery's own actions read a materialized frame.
     val base = df.select(xCol.as("x"), yCol.as("y"))
-      .localCheckpoint() // consumers: n, two rank maps, the final pass
     val n = base.count()
     def rankMap(c: String): DataFrame = {
       val g = base.groupBy(c).agg(count(lit(1)).as("cnt")).localCheckpoint()
