@@ -8059,6 +8059,46 @@ object Queries {
     Eval.calibrationBins(d, col("lang") === "en", pm, bins = 10)
   }
 
+  q("q_eval_isotonic",
+    // isotonic (PAV) recalibration of the same reliability table: the
+    // oracle replays pool-adjacent-violators as a recursive CTE over a
+    // pool list, merging the LEFTMOST violating pair per step with
+    // exact cross-multiplied rational compares (the fixpoint is
+    // merge-order independent, so the engine's driver-side stack form
+    // lands on identical pools); pooled rates in truncating ×1e6 fixed
+    // point, monotone by construction
+    """WITH RECURSIVE p AS (SELECT lang = 'en' AS pos,
+      |    LEAST(999, n_chars % 500 + CASE WHEN lang = 'en' THEN 300 ELSE 100 END) AS pm
+      |  FROM documents),
+      |b AS (SELECT CAST(LEAST(floor(pm * 10 / 1000), 9) AS INT) AS bin,
+      |    CASE WHEN pos THEN 1 ELSE 0 END AS pos FROM p),
+      |a AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(pos) AS BIGINT) AS n_pos FROM b GROUP BY 1),
+      |st(i, pools) AS (
+      |  SELECT 0, list({'lo': bin, 'hi': bin, 'n': n, 'pos': n_pos} ORDER BY bin) FROM a
+      |  UNION ALL
+      |  SELECT i + 1,
+      |    list_slice(pools, 1, k - 1) ||
+      |      [{'lo': pools[k].lo, 'hi': pools[k+1].hi,
+      |        'n': pools[k].n + pools[k+1].n, 'pos': pools[k].pos + pools[k+1].pos}] ||
+      |      list_slice(pools, k + 2, len(pools))
+      |  FROM (SELECT i, pools, list_position(
+      |      list_transform(range(1, len(pools)),
+      |        j -> pools[j].pos * pools[j+1].n > pools[j+1].pos * pools[j].n), true) AS k
+      |    FROM st) WHERE k > 0),
+      |fin AS (SELECT pools FROM st ORDER BY i DESC LIMIT 1),
+      |pr AS (SELECT unnest(pools) AS pl FROM fin)
+      |SELECT a.bin, a.n, a.n_pos,
+      |  CAST(pl.pos * 1000000 // pl.n AS BIGINT) AS iso_rate_x1e6
+      |FROM a JOIN pr ON a.bin BETWEEN pl.lo AND pl.hi ORDER BY a.bin"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val d = tbl(s, dir, "documents")
+    val pm = least(lit(999), col("n_chars") % 500
+      + when(col("lang") === "en", 300).otherwise(100))
+    Eval.isotonicCalibration(d, col("lang") === "en", pm, bins = 10)
+      .orderBy("bin")
+  }
+
   /** Unrolled multi-source BFS oracle over the order-hash graph: round i
     * expands frontier hop = i−1 through both edge directions, then folds
     * with a min — MATERIALIZED per round (each CTE is referenced twice).

@@ -119,6 +119,46 @@ object Eval {
       .orderBy("bin")
   }
 
+  /** Isotonic (PAV) recalibration of the binned reliability table: the
+    * unique non-decreasing fit to the per-bin positive rates under L2,
+    * via pool-adjacent-violators — the standard post-hoc calibration
+    * map for a quality/classifier score. The DISTRIBUTED work is the
+    * binning aggregate (same bin formula as [[calibrationBins]]); the
+    * pooling runs driver-side over the ≤ `bins` collected rows (the
+    * codebook rule) with EXACT rational compares — a violation is
+    * `pos_i·n_j > pos_j·n_i`, cross-multiplied longs, no float rates —
+    * so the result replays bit-for-bit in any engine. The PAV fixpoint
+    * is merge-order independent, which is why this stack form and the
+    * oracle's leftmost-first recursive form agree exactly. Output: one
+    * row per occupied bin with its pooled rate in truncating ×10⁶
+    * fixed point (monotone non-decreasing by construction).
+    */
+  def isotonicCalibration(df: DataFrame, isPos: org.apache.spark.sql.Column,
+                          pMilli: org.apache.spark.sql.Column,
+                          bins: Int = 10): DataFrame = {
+    val spark = df.sparkSession
+    val bin = least(floor(pMilli * bins / 1000).cast("int"), lit(bins - 1))
+    val a = df.select(bin.as("bin"), when(isPos, 1L).otherwise(0L).as("pos"))
+      .groupBy("bin").agg(count(lit(1)).as("n"), sum("pos").as("n_pos"))
+      .orderBy("bin").collect() // ≤ bins rows by construction
+    case class P(lo: Int, hi: Int, n: Long, pos: Long)
+    val pools = scala.collection.mutable.ArrayBuffer[P]()
+    a.foreach { r =>
+      var cur = P(r.getInt(0), r.getInt(0), r.getLong(1), r.getLong(2))
+      while (pools.nonEmpty && pools.last.pos * cur.n > cur.pos * pools.last.n) {
+        val t = pools.remove(pools.length - 1)
+        cur = P(t.lo, cur.hi, t.n + cur.n, t.pos + cur.pos)
+      }
+      pools += cur
+    }
+    import spark.implicits._
+    a.toSeq.map { r =>
+      val b = r.getInt(0)
+      val pl = pools.find(p => p.lo <= b && b <= p.hi).get
+      (b, r.getLong(1), r.getLong(2), pl.pos * 1000000L / pl.n)
+    }.toDF("bin", "n", "n_pos", "iso_rate_x1e6")
+  }
+
   /** Total-variation distance between the token distributions of a
     * deterministic train/rest split — the leakage/skew audit that a split
     * didn't bias the unigram distribution. TV = ½·Σ|p_i − q_i| computed

@@ -35,6 +35,25 @@ class OpsSpec extends AnyFunSuite {
     (4L, "completely different words about gardening tulips roses", "en"))
     .toDF("doc_id", "text", "lang")
 
+  test("isotonicCalibration: PAV pools violators, preserves totals, is monotone") {
+    // three bins with rates 3/4, 1/4, 2/4: PAV pools all into rate 1/2
+    val rows = Seq.fill(3)((true, 50)) ++ Seq.fill(1)((false, 50)) ++
+      Seq.fill(1)((true, 450)) ++ Seq.fill(3)((false, 450)) ++
+      Seq.fill(2)((true, 850)) ++ Seq.fill(2)((false, 850))
+    val df = rows.toDF("y", "pm")
+    val got = Eval.isotonicCalibration(df, col("y"), col("pm"), bins = 10)
+      .orderBy("bin").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((0, 4L, 3L, 500000L), (4, 4L, 1L, 500000L),
+      (8, 4L, 2L, 500000L)))
+    // already-monotone input is returned unpooled
+    val mono = Seq.fill(4)((false, 50)) ++ Seq.fill(2)((true, 450)) ++
+      Seq.fill(2)((false, 450)) ++ Seq.fill(4)((true, 850))
+    val g2 = Eval.isotonicCalibration(mono.toDF("y", "pm"), col("y"), col("pm"))
+      .orderBy("bin").collect().map(_.getLong(3))
+    assert(g2.toSeq == Seq(0L, 500000L, 1000000L))
+  }
+
   test("spearman: hand-computed values, ties via average ranks, sign sanity") {
     // perfect inverse monotone: rho = -1 exactly
     val inv = (1 to 5).map(i => (i.toDouble, (6 - i).toDouble)).toDF("x", "y")
