@@ -4145,6 +4145,25 @@ object Queries {
       .orderBy("source")
   }
 
+  q("q_sample_temperature",
+    // temperature-smoothed (α=1/2) mixture budgets: per-source √n
+    // weights as EXACT integer square roots (floor(sqrt) corrected by
+    // one compare each way, so libm ulp differences cannot shift it),
+    // one truncating division per source against the exact weight total
+    """WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+      |s AS (SELECT source, n_docs, n_docs * 1000000 AS x,
+      |  CAST(floor(sqrt(CAST(n_docs * 1000000 AS DOUBLE))) AS BIGINT) AS s0 FROM c),
+      |w AS (SELECT source, n_docs, CASE WHEN (s0+1)*(s0+1) <= x THEN s0+1
+      |  WHEN s0*s0 > x THEN s0-1 ELSE s0 END AS w_fp FROM s),
+      |t AS (SELECT SUM(w_fp) AS tw FROM w)
+      |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(w_fp AS BIGINT) AS w_fp,
+      |  CAST(w_fp * 10000 // tw AS BIGINT) AS alloc_docs
+      |FROM w, t ORDER BY source""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    Pipeline.temperatureBudgets(tbl(s, dir, "documents"), "source",
+      budget = 10000L).orderBy("source")
+  }
+
   q("text_pii_redact", {
     // DuckDB single-quoted literals pass backslashes through verbatim,
     // so the Java pattern strings embed unchanged

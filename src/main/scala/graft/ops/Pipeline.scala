@@ -166,6 +166,34 @@ object Pipeline {
     df.filter(pmod(md5Hash60(col(idCol)), lit(100)) < rate)
   }
 
+  /** Temperature-smoothed (α = 1/2) mixture budgets: allocate a total
+    * document budget across sources proportionally to √n_s — the
+    * standard multinomial temperature reweighting that upsamples small
+    * domains relative to raw proportions without letting any domain
+    * dominate. This is the PLANNING step whose output rates
+    * [[mixtureSample]] then materializes.
+    *
+    * Exact on any engine: the weight is the integer square root of
+    * n·10⁶ — `floor(sqrt(x as double))` corrected by one comparison in
+    * each direction, so a last-ulp libm difference cannot shift it —
+    * and the allocation is one truncating integer division per source
+    * against the exact integer weight total. Distributed work is a
+    * per-source count; everything after is |sources|-sized.
+    */
+  def temperatureBudgets(df: DataFrame, sourceCol: String,
+                         budget: Long): DataFrame = {
+    val cnt = df.groupBy(sourceCol).agg(count(lit(1)).as("n_docs"))
+    val x = col("n_docs") * 1000000L
+    val s0 = floor(sqrt(x.cast("double"))).cast("long")
+    val w = when((s0 + 1) * (s0 + 1) <= x, s0 + 1)
+      .when(s0 * s0 > x, s0 - 1).otherwise(s0)
+    val wc = cnt.select(col(sourceCol), col("n_docs"), w.as("w_fp"))
+    val tot = wc.agg(sum("w_fp").cast("long").as("tw"))
+    wc.crossJoin(broadcast(tot))
+      .select(col(sourceCol), col("n_docs"), col("w_fp"),
+        expr(s"w_fp * ${budget}L div tw").as("alloc_docs"))
+  }
+
   /** Benchmark decontamination: drop training documents that share any
     * word n-gram shingle with the eval corpus (the standard n-gram
     * overlap rule; n=13 in most published pipelines, parameterized here).

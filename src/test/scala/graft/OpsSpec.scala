@@ -35,6 +35,22 @@ class OpsSpec extends AnyFunSuite {
     (4L, "completely different words about gardening tulips roses", "en"))
     .toDF("doc_id", "text", "lang")
 
+  test("temperatureBudgets: sqrt smoothing upsamples small domains; isqrt exact") {
+    // raw proportions 100:400 = 20%:80%; sqrt weights 10:20 = 33%:67%
+    val df = (Seq.fill(100)("small") ++ Seq.fill(400)("large")).toDF("source")
+    val got = Pipeline.temperatureBudgets(df, "source", budget = 3000L)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // w = isqrt(n*1e6): 100 -> 10000, 400 -> 20000 (both exact squares)
+    assert(got.toSeq == Seq(("large", 400L, 20000L, 2000L),
+      ("small", 100L, 10000L, 1000L)))
+    // isqrt correction: n=2 -> x=2e6, isqrt=1414 (1414^2=1999396 <= x < 1415^2)
+    val g2 = Pipeline.temperatureBudgets(
+        (Seq.fill(2)("a") ++ Seq.fill(3)("b")).toDF("source"), "source", 100L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(g2 == Map("a" -> 1414L, "b" -> 1732L)) // floor(sqrt(3e6))=1732
+  }
+
   test("isotonicCalibration: PAV pools violators, preserves totals, is monotone") {
     // three bins with rates 3/4, 1/4, 2/4: PAV pools all into rate 1/2
     val rows = Seq.fill(3)((true, 50)) ++ Seq.fill(1)((false, 50)) ++
