@@ -7040,12 +7040,24 @@ object Queries {
       .orderBy("decade")
   }
 
-  q("q_url_canonicalize", {
-    // URL canonicalization + dedup (the crawl-pipeline normalization:
-    // case, default ports, www, tracking params, param order, fragments
-    // all collapse). The messy-URL fixture derives deterministically
-    // from doc_id in BOTH engines; the oracle replays every rule with
-    // the same regex/list primitives — exact strings end to end
+  /** Messy-URL fixture (Spark side): deterministic from doc_id — case,
+    * default ports, www, tracking params, param order, fragments all
+    * vary so canonicalization has real work per rule.
+    */
+  private def messyUrl(d: Column): Column = concat(
+    when(d % 2 === 0,
+      concat(lit("HTTPS://WWW.Site"), (d % 5).cast("string"),
+        lit(".COM:443/p/"), (d % 17).cast("string")))
+      .otherwise(concat(lit("http://site"), (d % 5).cast("string"),
+        lit(".com:80/p/"), (d % 17).cast("string"))),
+    when(d % 3 === 0, lit("?b=2&utm_source=feed&a=1"))
+      .when(d % 3 === 1, lit("?a=1&b=2&gclid=xyz")).otherwise(lit("")),
+    when(d % 4 === 0, lit("#frag")).otherwise(lit("")))
+
+  /** DuckDB CTE chain replaying the same fixture + every
+    * [[TextAnalysis.canonicalizeUrl]] rule; ends in `canon(doc_id, curl)`.
+    */
+  private val urlCanonCtes: String = {
     val fixture =
       """CASE WHEN doc_id % 2 = 0
         |    THEN 'HTTPS://WWW.Site' || (doc_id % 5) || '.COM:443/p/' || (doc_id % 17)
@@ -7053,7 +7065,7 @@ object Queries {
         |  CASE doc_id % 3 WHEN 0 THEN '?b=2&utm_source=feed&a=1'
         |    WHEN 1 THEN '?a=1&b=2&gclid=xyz' ELSE '' END ||
         |  CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END""".stripMargin
-    s"""WITH u AS (SELECT doc_id, $fixture AS url FROM documents),
+    s"""u AS (SELECT doc_id, $fixture AS url FROM documents),
        |c AS (SELECT doc_id, regexp_replace(url, '#.*$$', '') AS nf FROM u),
        |p AS (SELECT doc_id,
        |    lower(regexp_extract(nf, '^([^:/?#]+)://', 1)) AS scheme,
@@ -7072,27 +7084,58 @@ object Queries {
        |    '&'), '') AS cq FROM pq),
        |canon AS (SELECT doc_id, scheme || '://' || host ||
        |    (CASE WHEN path = '' THEN '/' ELSE path END) ||
-       |    (CASE WHEN cq = '' THEN '' ELSE '?' || cq END) AS curl FROM qq)
+       |    (CASE WHEN cq = '' THEN '' ELSE '?' || cq END) AS curl FROM qq)"""
+      .stripMargin
+  }
+
+  q("q_url_canonicalize",
+    // URL canonicalization + dedup (the crawl-pipeline normalization:
+    // case, default ports, www, tracking params, param order, fragments
+    // all collapse). The messy-URL fixture derives deterministically
+    // from doc_id in BOTH engines; the oracle replays every rule with
+    // the same regex/list primitives — exact strings end to end
+    s"""WITH $urlCanonCtes
        |SELECT curl, CAST(COUNT(*) AS BIGINT) AS n_urls,
        |  CAST(MIN(doc_id) AS BIGINT) AS first_doc
        |FROM canon GROUP BY 1 ORDER BY curl"""
-      .stripMargin.replace("\n", " ")
-  }) { (s, dir) =>
-    val d = col("doc_id")
-    val url = concat(
-      when(d % 2 === 0,
-        concat(lit("HTTPS://WWW.Site"), (d % 5).cast("string"),
-          lit(".COM:443/p/"), (d % 17).cast("string")))
-        .otherwise(concat(lit("http://site"), (d % 5).cast("string"),
-          lit(".com:80/p/"), (d % 17).cast("string"))),
-      when(d % 3 === 0, lit("?b=2&utm_source=feed&a=1"))
-        .when(d % 3 === 1, lit("?a=1&b=2&gclid=xyz")).otherwise(lit("")),
-      when(d % 4 === 0, lit("#frag")).otherwise(lit("")))
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
     tbl(s, dir, "documents")
-      .select(col("doc_id"), TextAnalysis.canonicalizeUrl(url).as("curl"))
+      .select(col("doc_id"),
+        TextAnalysis.canonicalizeUrl(messyUrl(col("doc_id"))).as("curl"))
       .groupBy("curl")
       .agg(count(lit(1)).as("n_urls"), min("doc_id").as("first_doc"))
       .orderBy("curl")
+  }
+
+  q("stream_url_dedup",
+    // ingest-time canonical-URL dedup: the crawl frontier lands the SAME
+    // pages under tracking-param/case/port variants (and the whole feed
+    // replays once — the at-least-once scenario); the stream
+    // canonicalizes per row and keeps one row per canonical form. The
+    // oracle is the distinct canonical-URL set — deterministic no matter
+    // which physical variant arrived first.
+    s"""WITH $urlCanonCtes
+       |SELECT DISTINCT curl FROM canon ORDER BY curl"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val docs = tbl(s, dir, "documents").select(col("doc_id"))
+    val landing = cachedLanding(s"urldedup:$dir") { d =>
+      docs.write.mode("append").parquet(d)
+      docs.write.mode("append").parquet(d) // the replayed feed
+    }
+    val src = s.readStream.schema(docs.schema).parquet(landing)
+      .withColumn("curl",
+        TextAnalysis.canonicalizeUrl(messyUrl(col("doc_id"))))
+      // same epoch-clamp + span-bounding discipline as stream_dedup
+      .withColumn("ts",
+        timestamp_micros((lit(86400L) + col("doc_id") % 1800L) * 1000000L))
+    val qname = "graft_stream_url_dedup"
+    withShufflePartitions(s, 4) {
+      val query = graft.streaming.Streams.dedupStream(src, "curl", "ts")
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      try query.processAllAvailable() finally query.stop()
+    }
+    s.table(qname).select(col("curl")).distinct().orderBy("curl")
   }
 
   q("q_spearman",
