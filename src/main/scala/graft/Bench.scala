@@ -38,7 +38,9 @@ object Bench {
     "stream_flf_ingest", "stream_cms_cells", "stream_interval_join",
     "stream_quantiles", "stream_ivf_ingest",
     "text_collocations", "text_skipgrams", "text_bpe_vocab",
-    "text_lm_kneser_ney", "text_tfidf_topk")
+    "text_lm_kneser_ney", "text_tfidf_topk",
+    // round-9 additions (top-cost / new families)
+    "q_golden_record", "q_spearman", "text_heaps_law")
 
   private def family(name: String): String = {
     val i = name.indexOf('_')
