@@ -4164,6 +4164,110 @@ object Queries {
       budget = 10000L).orderBy("source")
   }
 
+  q("q_gini_spend",
+    // Gini coefficient of per-customer spend: windowless global ranks
+    // with a unique tie-break, exact decimal numerator/denominator,
+    // one IEEE combination on the single result row
+    """WITH s AS (SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))
+      |    * 100) AS BIGINT) AS cents FROM orders GROUP BY 1),
+      |r AS (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS r FROM s),
+      |a AS (SELECT COUNT(*) AS n, SUM(CAST(cents AS DECIMAL(38,0))) AS sv,
+      |  SUM(CAST(2 * r * cents AS DECIMAL(38,0))) AS s2rv FROM r)
+      |SELECT CAST(n AS BIGINT) AS n,
+      |  round((CAST(s2rv AS DOUBLE) - (n + 1) * CAST(sv AS DOUBLE))
+      |    / (n * CAST(sv AS DOUBLE)), 6) AS gini FROM a"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val spend = tbl(s, dir, "orders").groupBy("o_custkey")
+      .agg((sum(dec(col("o_totalprice"), 12, 2) * 100)).cast("long").as("cents"))
+    Stats.gini(spend, col("cents"), col("o_custkey"))
+  }
+
+  q("q_lorenz_deciles",
+    // Lorenz curve at spend deciles: NTILE over the same unique-ranked
+    // order (ntileOfRank is NTILE-exact), per-decile and cumulative
+    // value shares — cumulative sums windowless over the 10 bucket rows
+    """WITH s AS (SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))
+      |    * 100) AS BIGINT) AS cents FROM orders GROUP BY 1),
+      |r AS (SELECT cents, NTILE(10) OVER (ORDER BY cents, o_custkey) AS bucket FROM s),
+      |g AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS BIGINT) AS v_sum FROM r GROUP BY 1),
+      |t AS (SELECT SUM(v_sum) AS v_tot FROM g),
+      |c AS (SELECT bucket, n_rows, v_sum,
+      |  SUM(v_sum) OVER (ORDER BY bucket) AS v_cum FROM g)
+      |SELECT CAST(bucket AS INT) AS bucket, n_rows, v_sum,
+      |  round(CAST(v_sum AS DOUBLE) / CAST(v_tot AS DOUBLE), 6) AS share,
+      |  round(CAST(v_cum AS DOUBLE) / CAST(v_tot AS DOUBLE), 6) AS cum_share
+      |FROM c, t ORDER BY bucket""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val spend = tbl(s, dir, "orders").groupBy("o_custkey")
+      .agg((sum(dec(col("o_totalprice"), 12, 2) * 100)).cast("long").as("cents"))
+    Stats.lorenzBuckets(spend, col("cents"), col("o_custkey"), k = 10)
+      .orderBy("bucket")
+  }
+
+  q("q_hhi_supplier",
+    // Herfindahl-Hirschman revenue concentration across suppliers:
+    // ×1e6 truncating shares against the exact cents total, HHI = Σ
+    // share² — all integers
+    """WITH g AS (SELECT l_suppkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |    * 100) AS BIGINT) AS gv FROM lineitem GROUP BY 1),
+      |t AS (SELECT SUM(gv) AS t, COUNT(*) AS n_groups FROM g),
+      |s AS (SELECT n_groups, gv * 1000000 // t AS share_fp FROM g, t)
+      |SELECT CAST(n_groups AS BIGINT) AS n_groups,
+      |  CAST(SUM(share_fp * share_fp) // 1000000 AS BIGINT) AS hhi_x1e6
+      |FROM s GROUP BY 1""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val li = tbl(s, dir, "lineitem")
+      .select(col("l_suppkey"), (dec(col("l_extendedprice"), 12, 2) * 100).as("c"))
+    Stats.hhi(li, col("l_suppkey"), col("c"))
+  }
+
+  q("q_eval_mcnemar",
+    // McNemar's paired comparison of two classifiers on the same docs:
+    // discordant counts, accuracies, (b−c)²·1e6/(b+c) — exact integers
+    """WITH p AS (SELECT lang = 'en' AS y,
+      |  LEAST(999, n_chars % 500 + CASE WHEN lang = 'en' THEN 300 ELSE 100 END)
+      |    >= 500 AS pa,
+      |  n_chars % 3 = 0 AS pb FROM documents),
+      |t AS (SELECT (pa = y) AS oka, (pb = y) AS okb FROM p),
+      |a AS (SELECT COUNT(*) AS n,
+      |  SUM(CASE WHEN oka THEN 1 ELSE 0 END) AS n_ok_a,
+      |  SUM(CASE WHEN okb THEN 1 ELSE 0 END) AS n_ok_b,
+      |  SUM(CASE WHEN oka AND NOT okb THEN 1 ELSE 0 END) AS b,
+      |  SUM(CASE WHEN NOT oka AND okb THEN 1 ELSE 0 END) AS c FROM t)
+      |SELECT CAST(n AS BIGINT) AS n, CAST(n_ok_a AS BIGINT) AS n_ok_a,
+      |  CAST(n_ok_b AS BIGINT) AS n_ok_b, CAST(b AS BIGINT) AS b,
+      |  CAST(c AS BIGINT) AS c,
+      |  CAST(CASE WHEN b + c = 0 THEN 0
+      |    ELSE (b - c) * (b - c) * 1000000 // (b + c) END AS BIGINT)
+      |    AS mcnemar_x1e6 FROM a""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val d = tbl(s, dir, "documents")
+    val pm = least(lit(999), col("n_chars") % 500
+      + when(col("lang") === "en", 300).otherwise(100))
+    Eval.mcnemar(d, col("lang") === "en", pm >= 500, col("n_chars") % 3 === 0)
+  }
+
+  q("q_assoc_rules",
+    // association rules over co-bought part pairs: support, directional
+    // confidence, symmetric lift — ×1e6 truncating fixed point against
+    // exact counts, top-20 by (lift desc, pa, pb)
+    """WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |no AS (SELECT COUNT(DISTINCT o) AS n_orders FROM ps),
+      |item AS (SELECT p, COUNT(*) AS n_item FROM ps GROUP BY 1),
+      |pairs AS (SELECT a.p AS pa, b.p AS pb, COUNT(*) AS n_pair FROM ps a
+      |  JOIN ps b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2
+      |  HAVING COUNT(*) >= 2),
+      |s AS (SELECT pa, pb, n_pair, ia.n_item AS n_a, ib.n_item AS n_b
+      |  FROM pairs JOIN item ia ON ia.p = pa JOIN item ib ON ib.p = pb)
+      |SELECT pa, pb, CAST(n_pair AS BIGINT) AS n_pair,
+      |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      |  CAST(n_pair * 1000000 // n_a AS BIGINT) AS conf_ab_x1e6,
+      |  CAST(n_pair * 1000000 // n_b AS BIGINT) AS conf_ba_x1e6,
+      |  CAST(n_pair * 1000000 * n_orders // (n_a * n_b) AS BIGINT) AS lift_x1e6
+      |FROM s, no ORDER BY lift_x1e6 DESC, pa, pb LIMIT 20"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    Basket.assocRules(tbl(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+      k = 20, minPairs = 2L)
+  }
+
   q("text_pii_redact", {
     // DuckDB single-quoted literals pass backslashes through verbatim,
     // so the Java pattern strings embed unchanged

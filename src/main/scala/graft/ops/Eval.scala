@@ -119,6 +119,29 @@ object Eval {
       .orderBy("bin")
   }
 
+  /** McNemar's paired test for two classifiers judged on the SAME
+    * examples — the discordant-pair counts b (A right, B wrong) and c
+    * (A wrong, B right), both accuracies, and the χ² statistic
+    * (b−c)²/(b+c) in truncating ×10⁶ fixed point. Exact integers end to
+    * end (one narrow projection + one aggregate); the marginal counts a
+    * model comparison actually needs, not a float p-value.
+    */
+  def mcnemar(df: DataFrame, truth: org.apache.spark.sql.Column,
+              predA: org.apache.spark.sql.Column,
+              predB: org.apache.spark.sql.Column): DataFrame = {
+    val t = df.select(truth.as("y"), predA.as("pa"), predB.as("pb"))
+      .select((col("pa") === col("y")).as("okA"), (col("pb") === col("y")).as("okB"))
+    t.agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col("okA"), 1L).otherwise(0L)).as("n_ok_a"),
+        sum(when(col("okB"), 1L).otherwise(0L)).as("n_ok_b"),
+        sum(when(col("okA") && !col("okB"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("okA") && col("okB"), 1L).otherwise(0L)).as("c"))
+      .select(col("n"), col("n_ok_a"), col("n_ok_b"), col("b"), col("c"),
+        when(col("b") + col("c") === 0, 0L)
+          .otherwise(expr("(b - c) * (b - c) * 1000000 div (b + c)"))
+          .as("mcnemar_x1e6"))
+  }
+
   /** Isotonic (PAV) recalibration of the binned reliability table: the
     * unique non-decreasing fit to the per-bin positive rates under L2,
     * via pool-adjacent-violators — the standard post-hoc calibration

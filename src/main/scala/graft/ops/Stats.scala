@@ -190,6 +190,72 @@ object Stats {
             .cast("double")), 6).as("cramers_v"))
   }
 
+  /** Gini coefficient of a non-negative integer value column (cents):
+    * G = Σ(2·rank − n − 1)·v / (n·Σv) over values ranked ascending with
+    * a unique tie-break — the inequality summary for spend/token/size
+    * distributions. Ranks come from [[Ranks.globalRank]] (no global
+    * sort); the numerator and denominator accumulate as EXACT decimals
+    * and combine in one IEEE division on the single result row. With a
+    * deterministic unique tie-break the tied-value contributions sum to
+    * the same total as average-rank Gini, so the result is the classic
+    * statistic, engine-replayable.
+    */
+  def gini(df: DataFrame, valCol: Column, tieCol: Column): DataFrame = {
+    val base = df.select(valCol.as("v"), tieCol.as("t"))
+    val ranked = Ranks.globalRank(base, col("v"), col("t"), "r")
+    def d(c: Column): Column = c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    ranked.agg(count(lit(1)).cast("long").as("n"),
+        sum(d(col("v"))).as("sv"),
+        sum(d((lit(2) * col("r")) * col("v"))).as("s2rv"))
+      .select(col("n"),
+        round((col("s2rv").cast("double")
+            - (col("n") + 1).cast("double") * col("sv").cast("double")) /
+          (col("n").cast("double") * col("sv").cast("double")), 6).as("gini"))
+  }
+
+  /** Lorenz curve at k quantile buckets of the same ranked order:
+    * per-bucket population and value share plus the CUMULATIVE value
+    * share (the curve itself), cumulative sums via the windowless
+    * prefix machinery over the ≤ k bucket rows. Shares are one IEEE
+    * division each over exact decimal sums.
+    */
+  def lorenzBuckets(df: DataFrame, valCol: Column, tieCol: Column,
+                    k: Int = 10): DataFrame = {
+    val base = df.select(valCol.as("v"), tieCol.as("t"))
+    val n = base.count()
+    val ranked = Ranks.globalRank(base, col("v"), col("t"), "r")
+      .withColumn("bucket", Ranks.ntileOfRank(col("r"), lit(n), k))
+    def d(c: Column): Column = c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val g = ranked.groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"), sum(d(col("v"))).cast("long").as("v_sum"))
+    val tot = g.agg(sum("v_sum").cast("long").as("v_tot"))
+    Ranks.prefixCounts(g, "bucket", Seq("v_sum"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_rows"), col("v_sum"),
+        round(col("v_sum").cast("double") / col("v_tot").cast("double"), 6)
+          .as("share"),
+        round(col("v_sum_cum").cast("double") / col("v_tot").cast("double"), 6)
+          .as("cum_share"))
+  }
+
+  /** Herfindahl–Hirschman concentration index over a grouped value
+    * column: per-group shares in truncating ×10⁶ fixed point against
+    * the exact total, HHI = Σ share² (reported ×10⁶). One aggregation
+    * plus a |groups|-sized reduce — all integers. Long bound: group
+    * value ×10⁶ < 2⁶³ (cast to decimals beyond).
+    */
+  def hhi(df: DataFrame, groupCol: Column, valCol: Column): DataFrame = {
+    val g = df.select(groupCol.as("g"), valCol.as("v"))
+      .groupBy("g").agg(sum(col("v")).cast("long").as("gv"))
+    val tot = g.agg(sum("gv").cast("long").as("t"),
+      count(lit(1)).cast("long").as("n_groups"))
+    g.crossJoin(broadcast(tot))
+      .select(col("n_groups"), expr("gv * 1000000 div t").as("share_fp"))
+      .groupBy("n_groups")
+      .agg(expr("sum(share_fp * share_fp) div 1000000").as("hhi_x1e6"))
+      .select(col("n_groups"), col("hhi_x1e6"))
+  }
+
   /** Welch's unequal-variance t-test from the same exact decimal power
     * sums as [[moments]]: per group n, Σv, Σv² are exact (map-side
     * partial-aggregated, one shuffle of three numbers per group), the two

@@ -35,6 +35,47 @@ class OpsSpec extends AnyFunSuite {
     (4L, "completely different words about gardening tulips roses", "en"))
     .toDF("doc_id", "text", "lang")
 
+  test("gini/lorenz/hhi: equality and monopoly limits are exact") {
+    val equal = (1L to 10L).map(i => (i, 500L)).toDF("id", "v")
+    assert(Stats.gini(equal, col("v"), col("id")).collect().head
+      .getAs[Double]("gini") == 0.0)
+    // one holder of everything: G = (n-1)/n = 0.9
+    val mono = ((1L to 9L).map(i => (i, 0L)) :+ (10L, 1000L)).toDF("id", "v")
+    assert(Stats.gini(mono, col("v"), col("id")).collect().head
+      .getAs[Double]("gini") == 0.9)
+    val lz = Stats.lorenzBuckets(equal, col("v"), col("id"), k = 5)
+      .orderBy("bucket").collect()
+    assert(lz.map(_.getAs[Double]("share")).forall(_ == 0.2))
+    assert(lz.map(_.getAs[Double]("cum_share")).toSeq ==
+      Seq(0.2, 0.4, 0.6, 0.8, 1.0))
+    val hhiEq = Stats.hhi((1 to 4).map(g => (s"g$g", 100L)).toDF("g", "v"),
+      col("g"), col("v")).collect().head
+    assert(hhiEq.getAs[Long]("hhi_x1e6") == 250000L) // 4 equal groups: 1/4
+    val hhiMono = Stats.hhi(Seq(("a", 100L)).toDF("g", "v"),
+      col("g"), col("v")).collect().head
+    assert(hhiMono.getAs[Long]("hhi_x1e6") == 1000000L)
+  }
+
+  test("mcnemar and assocRules: hand-computed counts") {
+    // y always true; A right on 3 of 5, B right on 2; overlap: both
+    // right on 1 -> b = 2 (A only), c = 1 (B only)
+    val df = Seq((true, true, true), (true, true, false), (true, true, false),
+      (true, false, true), (true, false, false)).toDF("y", "pa", "pb")
+    val m = Eval.mcnemar(df, col("y"), col("pa"), col("pb")).collect().head
+    assert((m.getAs[Long]("n"), m.getAs[Long]("n_ok_a"), m.getAs[Long]("n_ok_b"),
+      m.getAs[Long]("b"), m.getAs[Long]("c"), m.getAs[Long]("mcnemar_x1e6")) ==
+      (5L, 3L, 2L, 2L, 1L, 333333L)) // (2-1)^2*1e6/3
+    // 4 orders: {1,2} x3, {1,3} x1 -> pair (1,2): n=3, n_1=4, n_2=3,
+    // lift = 3*4/(4*3) = 1.0; pair (1,3): lift = 1*4/(4*1) = 1.0
+    val baskets = Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L),
+      (12L, 1L), (12L, 2L), (13L, 1L), (13L, 3L)).toDF("o", "p")
+    val r = Basket.assocRules(baskets, "o", "p", k = 5, minPairs = 1L)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getAs[Long]("conf_ab_x1e6"), x.getAs[Long]("lift_x1e6")))
+    assert(r.toSeq == Seq((1L, 2L, 3L, 750000L, 1000000L),
+      (1L, 3L, 1L, 250000L, 1000000L)))
+  }
+
   test("temperatureBudgets: sqrt smoothing upsamples small domains; isqrt exact") {
     // raw proportions 100:400 = 20%:80%; sqrt weights 10:20 = 33%:67%
     val df = (Seq.fill(100)("small") ++ Seq.fill(400)("large")).toDF("source")
