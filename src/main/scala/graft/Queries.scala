@@ -4164,6 +4164,32 @@ object Queries {
       budget = 10000L).orderBy("source")
   }
 
+  q("q_acf_hourly",
+    // autocorrelation of the hourly event-count series at lags 1..6:
+    // pairwise-complete Pearson over the shifted-index equi-join, exact
+    // decimal power sums per lag, one IEEE combination each (the
+    // rolling_corr float discipline applied to the time domain)
+    """WITH h AS (SELECT CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS t,
+      |    CAST(COUNT(*) AS BIGINT) AS v FROM events GROUP BY 1),
+      |l AS (SELECT lag FROM (VALUES (1), (2), (3), (4), (5), (6)) x(lag)),
+      |j AS (SELECT l.lag, CAST(a.v AS DECIMAL(18,0)) AS x,
+      |    CAST(b.v AS DECIMAL(18,0)) AS y
+      |  FROM h a CROSS JOIN l JOIN h b ON b.t = a.t + l.lag),
+      |s AS (SELECT lag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      |  FROM j GROUP BY 1)
+      |SELECT CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+      |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS acf
+      |FROM s ORDER BY lag""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val h = events(s, dir)
+      .groupBy((unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+        .cast("long").as("t"))
+      .agg(count(lit(1)).as("v"))
+    Stats.acf(h, col("t"), col("v"), maxLag = 6).orderBy("lag")
+  }
+
   q("q_gini_spend",
     // Gini coefficient of per-customer spend: windowless global ranks
     // with a unique tie-break, exact decimal numerator/denominator,

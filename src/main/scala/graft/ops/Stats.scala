@@ -190,6 +190,37 @@ object Stats {
             .cast("double")), 6).as("cramers_v"))
   }
 
+  /** Sample autocorrelation of an integer-valued regular series at lags
+    * 1..maxLag — pairwise-complete Pearson over the (t, t+lag)
+    * equi-join (gaps in the series simply produce no pair; no gap-fill
+    * assumption). One explode to maxLag rows per point, ONE shuffle
+    * join on the shifted index, exact DECIMAL(18,0) power sums per lag
+    * and the usual single IEEE combination — deterministic on any
+    * partitioning or engine. maxLag is a literal fan-out factor, never
+    * data-scaled.
+    */
+  def acf(df: DataFrame, tCol: Column, vCol: Column, maxLag: Int): DataFrame = {
+    require(maxLag >= 1)
+    val base = df.select(tCol.as("t"), vCol.as("v"))
+    def d(c: Column): Column = c.cast(org.apache.spark.sql.types.DecimalType(18, 0))
+    val lagged = base.select(col("t"), col("v").as("x"),
+        explode(array((1 to maxLag).map(lit): _*)).as("lag"))
+      .withColumn("t2", col("t") + col("lag"))
+    val right = base.select(col("t").as("t2"), col("v").as("y"))
+    lagged.join(right, "t2")
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n"),
+        sum(d(col("x"))).as("sx"), sum(d(col("y"))).as("sy"),
+        sum(d(col("x") * col("x"))).as("sxx"),
+        sum(d(col("y") * col("y"))).as("syy"),
+        sum(d(col("x") * col("y"))).as("sxy"))
+      .select(col("lag"), col("n").cast("long").as("n_pairs"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+           sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))), 6)
+          .as("acf"))
+  }
+
   /** Gini coefficient of a non-negative integer value column (cents):
     * G = Σ(2·rank − n − 1)·v / (n·Σv) over values ranked ascending with
     * a unique tie-break — the inequality summary for spend/token/size

@@ -35,6 +35,19 @@ class OpsSpec extends AnyFunSuite {
     (4L, "completely different words about gardening tulips roses", "en"))
     .toDF("doc_id", "text", "lang")
 
+  test("acf: alternating series has acf(1) = -1, acf(2) = 1; gaps drop pairs") {
+    val alt = (0L until 40L).map(t => (t, if (t % 2 == 0) 10L else 20L))
+      .toDF("t", "v")
+    val got = Stats.acf(alt, col("t"), col("v"), maxLag = 2)
+      .orderBy("lag").collect()
+      .map(r => (r.getInt(0), r.getAs[Long]("n_pairs"), r.getAs[Double]("acf")))
+    assert(got.toSeq == Seq((1, 39L, -1.0), (2, 38L, 1.0)))
+    // a hole in the series just removes its pairs
+    val gap = alt.filter(col("t") =!= 10L)
+    val g2 = Stats.acf(gap, col("t"), col("v"), maxLag = 1).collect().head
+    assert(g2.getAs[Long]("n_pairs") == 37L && g2.getAs[Double]("acf") == -1.0)
+  }
+
   test("gini/lorenz/hhi: equality and monopoly limits are exact") {
     val equal = (1L to 10L).map(i => (i, 500L)).toDF("id", "v")
     assert(Stats.gini(equal, col("v"), col("id")).collect().head
