@@ -4164,6 +4164,46 @@ object Queries {
       budget = 10000L).orderBy("source")
   }
 
+  q("q_logrank",
+    // log-rank (Mantel-Cox) comparison of even- vs odd-user lifetime
+    // distributions (every subject an event — censoring is exercised by
+    // the spec's hand fixture): at-risk sets from exclusive cumulative
+    // counts, hypergeometric expectation/variance per event time in
+    // ×1e6 truncating fixed point, one double combination for the χ² —
+    // the companion test to q_km_survival over the same lifetimes
+    """WITH u AS (SELECT user_id, MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx
+      |  FROM events GROUP BY 1),
+      |dur AS (SELECT user_id % 2 = 0 AS a, (mx - mn) // 3600000000 AS t,
+      |    1 AS d FROM u),
+      |g AS (SELECT t, COUNT(*) AS c, SUM(d) AS dd,
+      |    SUM(CASE WHEN a THEN 1 ELSE 0 END) AS ca,
+      |    SUM(CASE WHEN a THEN d ELSE 0 END) AS da FROM dur GROUP BY 1),
+      |tt AS (SELECT SUM(c) AS nn, SUM(ca) AS na FROM g),
+      |km AS (SELECT dd, da,
+      |    nn - coalesce(SUM(c) OVER w, 0) AS nr,
+      |    na - coalesce(SUM(ca) OVER w, 0) AS nra
+      |  FROM g, tt WINDOW w AS (ORDER BY t
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |terms AS (SELECT da, dd * nra * 1000000 // nr AS e_fp,
+      |    (dd * (nr - dd) * 1000000 // GREATEST(nr - 1, 1))
+      |      * nra // nr * (nr - nra) // nr AS v_fp
+      |  FROM km WHERE dd > 0),
+      |s AS (SELECT SUM(da) AS o_a, SUM(e_fp) AS e, SUM(v_fp) AS v FROM terms)
+      |SELECT CAST(nn AS BIGINT) AS n, CAST(na AS BIGINT) AS n_a,
+      |  CAST(o_a AS BIGINT) AS o_a, CAST(e AS BIGINT) AS e_a_x1e6,
+      |  CAST(v AS BIGINT) AS v_x1e6,
+      |  round(CAST(CAST(o_a AS BIGINT) * 1000000 - CAST(e AS BIGINT) AS DOUBLE)
+      |    * CAST(CAST(o_a AS BIGINT) * 1000000 - CAST(e AS BIGINT) AS DOUBLE)
+      |    / (CAST(CAST(v AS BIGINT) AS DOUBLE) * 1.0e6), 6) AS logrank_chi2
+      |FROM s, tt""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val u = events(s, dir).groupBy("user_id")
+      .agg(min(unix_micros(col("ts").cast(TimestampType))).as("mn"),
+        max(unix_micros(col("ts").cast(TimestampType))).as("mx"))
+    val dur = u.select((col("user_id") % 2 === 0).as("a"),
+      expr("(mx - mn) div 3600000000").as("t"), lit(1L).as("d"))
+    Stats.logRank(dur, col("a"), col("t"), col("d"))
+  }
+
   q("q_acf_hourly",
     // autocorrelation of the hourly event-count series at lags 1..6:
     // pairwise-complete Pearson over the shifted-index equi-join, exact

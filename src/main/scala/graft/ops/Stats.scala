@@ -190,6 +190,50 @@ object Stats {
             .cast("double")), 6).as("cramers_v"))
   }
 
+  /** Log-rank (Mantel–Cox) test comparing the survival experience of
+    * group A against the rest: per distinct event time, observed group-A
+    * deaths vs the hypergeometric expectation d·n_A/n and variance
+    * d(n−d)/(n−1)·(n_A/n)(1−n_A/n) over the at-risk sets — the
+    * companion test to [[kaplanMeier]]. At-risk counts come from the
+    * windowless prefix machinery (one row per distinct duration);
+    * expectation and variance accumulate in truncating ×10⁶ fixed point
+    * (exact longs — identical truncations in any engine) and the χ²
+    * combines once in doubles on the single result row. Censored
+    * subjects leave the risk set at their censor time and contribute no
+    * deaths, the standard handling. Long bound: n²·10⁶ < 2⁶³ per
+    * comparison, i.e. n ≲ 2.5·10⁶ subjects (cast to decimals beyond).
+    */
+  def logRank(df: DataFrame, isA: Column, durCol: Column,
+              eventCol: Column): DataFrame = {
+    val g = df.select(isA.cast("boolean").as("a"), durCol.as("t"),
+        eventCol.cast("long").as("d"))
+      .groupBy("t").agg(count(lit(1)).as("c"), sum("d").as("dd"),
+        sum(when(col("a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("a"), col("d")).otherwise(0L)).as("da"))
+      .localCheckpoint() // consumers: totals + the prefix passes
+    val tot = g.agg(sum("c").cast("long").as("nn"), sum("ca").cast("long").as("na"))
+    val terms = Ranks.prefixCounts(g, "t", Seq("c", "ca"))
+      .crossJoin(broadcast(tot))
+      .select(col("dd"), col("da"),
+        (col("nn") - (col("c_cum") - col("c"))).as("nr"),
+        (col("na") - (col("ca_cum") - col("ca"))).as("nra"))
+      .filter(col("dd") > 0)
+      .select(col("da"),
+        expr("dd * nra * 1000000 div nr").as("e_fp"),
+        expr("(dd * (nr - dd) * 1000000 div greatest(nr - 1, 1))" +
+          " * nra div nr * (nr - nra) div nr").as("v_fp"))
+    def d38(c: Column): Column = c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    terms.agg(sum("da").cast("long").as("o_a"),
+        sum(d38(col("e_fp"))).cast("long").as("e_l"),
+        sum(d38(col("v_fp"))).cast("long").as("v_l"))
+      .crossJoin(broadcast(tot))
+      .select(col("nn").as("n"), col("na").as("n_a"), col("o_a"),
+        col("e_l").as("e_a_x1e6"), col("v_l").as("v_x1e6"),
+        round((col("o_a") * 1000000L - col("e_l")).cast("double")
+          * (col("o_a") * 1000000L - col("e_l")).cast("double")
+          / (col("v_l").cast("double") * 1e6), 6).as("logrank_chi2"))
+  }
+
   /** Sample autocorrelation of an integer-valued regular series at lags
     * 1..maxLag — pairwise-complete Pearson over the (t, t+lag)
     * equi-join (gaps in the series simply produce no pair; no gap-fill

@@ -35,6 +35,27 @@ class OpsSpec extends AnyFunSuite {
     (4L, "completely different words about gardening tulips roses", "en"))
     .toDF("doc_id", "text", "lang")
 
+  test("logRank: hand-computed hypergeometric terms; censoring leaves the risk set") {
+    // A events at t=1,2; B events at t=3,4 — fully separated groups
+    val df = Seq((true, 1L, 1L), (true, 2L, 1L), (false, 3L, 1L), (false, 4L, 1L))
+      .toDF("a", "t", "d")
+    val r = Stats.logRank(df, col("a"), col("t"), col("d")).collect().head
+    assert((r.getAs[Long]("n"), r.getAs[Long]("n_a"), r.getAs[Long]("o_a"),
+      r.getAs[Long]("e_a_x1e6"), r.getAs[Long]("v_x1e6")) ==
+      (4L, 2L, 2L, 833333L, 472222L))
+    val num = (2L * 1000000L - 833333L).toDouble
+    assert(r.getAs[Double]("logrank_chi2") ==
+      BigDecimal(num * num / (472222L.toDouble * 1e6))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // a censored B subject at t=1 leaves the risk set: at t=2 only the
+    // remaining B event is at risk (n=1), not 2
+    val cen = Seq((true, 1L, 1L), (false, 1L, 0L), (false, 2L, 1L))
+      .toDF("a", "t", "d")
+    val c = Stats.logRank(cen, col("a"), col("t"), col("d")).collect().head
+    assert((c.getAs[Long]("o_a"), c.getAs[Long]("e_a_x1e6"),
+      c.getAs[Long]("v_x1e6")) == (1L, 333333L, 222222L))
+  }
+
   test("acf: alternating series has acf(1) = -1, acf(2) = 1; gaps drop pairs") {
     val alt = (0L until 40L).map(t => (t, if (t % 2 == 0) 10L else 20L))
       .toDF("t", "v")
