@@ -276,7 +276,10 @@ object Stats {
     * statistic, engine-replayable.
     */
   def gini(df: DataFrame, valCol: Column, tieCol: Column): DataFrame = {
-    val base = df.select(valCol.as("v"), tieCol.as("t"))
+    // checkpoint convention: the input is typically a per-entity
+    // AGGREGATE whose lineage would otherwise re-execute once per rank
+    // action (boundary sample, bucket totals, final pass)
+    val base = df.select(valCol.as("v"), tieCol.as("t")).localCheckpoint()
     val ranked = Ranks.globalRank(base, col("v"), col("t"), "r")
     def d(c: Column): Column = c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
     ranked.agg(count(lit(1)).cast("long").as("n"),
@@ -296,7 +299,7 @@ object Stats {
     */
   def lorenzBuckets(df: DataFrame, valCol: Column, tieCol: Column,
                     k: Int = 10): DataFrame = {
-    val base = df.select(valCol.as("v"), tieCol.as("t"))
+    val base = df.select(valCol.as("v"), tieCol.as("t")).localCheckpoint()
     val n = base.count()
     val ranked = Ranks.globalRank(base, col("v"), col("t"), "r")
       .withColumn("bucket", Ranks.ntileOfRank(col("r"), lit(n), k))
