@@ -4204,12 +4204,12 @@ object Queries {
     Stats.logRank(dur, col("a"), col("t"), col("d"))
   }
 
-  q("q_acf_hourly",
-    // autocorrelation of the hourly event-count series at lags 1..6:
-    // pairwise-complete Pearson over the shifted-index equi-join, exact
-    // decimal power sums per lag, one IEEE combination each (the
-    // rolling_corr float discipline applied to the time domain)
-    """WITH h AS (SELECT CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS t,
+  /** DuckDB CTE chain for the hourly event-count acf at lags 1..6;
+    * ends in `ac(lag, n_pairs, acf)` — shared by the acf and pacf
+    * oracles.
+    */
+  private val acfHourlyCtes: String =
+    """h AS (SELECT CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS t,
       |    CAST(COUNT(*) AS BIGINT) AS v FROM events GROUP BY 1),
       |l AS (SELECT lag FROM (VALUES (1), (2), (3), (4), (5), (6)) x(lag)),
       |j AS (SELECT l.lag, CAST(a.v AS DECIMAL(18,0)) AS x,
@@ -4217,17 +4217,57 @@ object Queries {
       |  FROM h a CROSS JOIN l JOIN h b ON b.t = a.t + l.lag),
       |s AS (SELECT lag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
       |    SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
-      |  FROM j GROUP BY 1)
-      |SELECT CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+      |  FROM j GROUP BY 1),
+      |ac AS (SELECT CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_pairs,
       |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
       |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
       |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS acf
-      |FROM s ORDER BY lag""".stripMargin.replace("\n", " ")) { (s, dir) =>
+      |FROM s)""".stripMargin
+
+  q("q_acf_hourly",
+    // autocorrelation of the hourly event-count series at lags 1..6:
+    // pairwise-complete Pearson over the shifted-index equi-join, exact
+    // decimal power sums per lag, one IEEE combination each (the
+    // rolling_corr float discipline applied to the time domain)
+    s"""WITH $acfHourlyCtes
+      |SELECT lag, n_pairs, acf FROM ac ORDER BY lag"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
     val h = events(s, dir)
       .groupBy((unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
         .cast("long").as("t"))
       .agg(count(lit(1)).as("v"))
     Stats.acf(h, col("t"), col("v"), maxLag = 6).orderBy("lag")
+  }
+
+  q("q_pacf_hourly",
+    // partial autocorrelation via Levinson-Durbin over the SAME rounded
+    // acf vector: the oracle's recursive CTE replays the recursion
+    // operation for operation (ascending-fold dot products, one
+    // subtraction, one division per order), so the doubles match bit
+    // for bit; the engine runs it driver-side over the 6 collected
+    // values — the codebook rule
+    s"""WITH RECURSIVE $acfHourlyCtes,
+      |rr AS (SELECT list(acf ORDER BY lag) AS r FROM ac),
+      |st(m, phis, e, pacfs) AS (
+      |  SELECT 1, [r[1]], 1.0e0 - r[1] * r[1], [r[1]] FROM rr
+      |  UNION ALL
+      |  SELECT m + 1,
+      |    list_append(list_transform(range(1, m + 1),
+      |      i -> phis[i] - kap * phis[m + 1 - i]), kap),
+      |    e * (1.0e0 - kap * kap),
+      |    list_append(pacfs, kap)
+      |  FROM (SELECT m, phis, e, pacfs,
+      |      (r[m + 1] - list_reduce(list_transform(range(1, m + 1),
+      |        j -> phis[j] * r[m + 1 - j]), (a, b) -> a + b)) / e AS kap
+      |    FROM st, rr) WHERE m < 6),
+      |fin AS (SELECT pacfs FROM st ORDER BY m DESC LIMIT 1)
+      |SELECT ac.lag, ac.acf, round(fin.pacfs[ac.lag], 6) AS pacf
+      |FROM ac, fin ORDER BY ac.lag""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val h = events(s, dir)
+      .groupBy((unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+        .cast("long").as("t"))
+      .agg(count(lit(1)).as("v"))
+    Stats.pacf(h, col("t"), col("v"), maxLag = 6).orderBy("lag")
   }
 
   q("q_gini_spend",

@@ -190,6 +190,46 @@ object Stats {
             .cast("double")), 6).as("cramers_v"))
   }
 
+  /** Partial autocorrelation at lags 1..maxLag via Levinson–Durbin over
+    * the [[acf]] vector — the AR-order diagnostic (PACF cuts off after
+    * the true AR order). The distributed work IS the acf computation;
+    * the recursion runs driver-side over the maxLag collected values
+    * (bounded by construction) using one fixed IEEE sequence — dot
+    * products fold ascending, one subtraction, one division per order —
+    * which the oracle's recursive CTE replays operation for operation
+    * on the SAME rounded acf inputs, so the doubles match bit for bit.
+    * E→0 (a perfectly AR series) would make later kappas ±Inf/NaN; real
+    * count series keep E bounded away from 0.
+    */
+  def pacf(df: DataFrame, tCol: Column, vCol: Column,
+           maxLag: Int): DataFrame = {
+    require(maxLag >= 1)
+    val spark = df.sparkSession
+    val rows = acf(df, tCol, vCol, maxLag).orderBy("lag").collect()
+    val rv = new Array[Double](maxLag + 1)
+    rows.foreach(x => rv(x.getInt(0)) = x.getAs[Double]("acf"))
+    var phis = Array(rv(1))
+    var e = 1.0 - rv(1) * rv(1)
+    val pac = scala.collection.mutable.ArrayBuffer(rv(1))
+    for (m <- 2 to maxLag) {
+      var s = 0.0
+      var j = 1
+      while (j < m) { s += phis(j - 1) * rv(m - j); j += 1 }
+      val kap = (rv(m) - s) / e
+      val nphis = new Array[Double](m)
+      var i = 1
+      while (i < m) { nphis(i - 1) = phis(i - 1) - kap * phis(m - i - 1); i += 1 }
+      nphis(m - 1) = kap
+      phis = nphis
+      e = e * (1 - kap * kap)
+      pac += kap
+    }
+    import spark.implicits._
+    (1 to maxLag).map(l => (l, rv(l), BigDecimal(pac(l - 1))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("lag", "acf", "pacf")
+  }
+
   /** Log-rank (Mantel–Cox) test comparing the survival experience of
     * group A against the rest: per distinct event time, observed group-A
     * deaths vs the hypergeometric expectation d·n_A/n and variance

@@ -35,6 +35,23 @@ class OpsSpec extends AnyFunSuite {
     (4L, "completely different words about gardening tulips roses", "en"))
     .toDF("doc_id", "text", "lang")
 
+  test("pacf: lag 1 equals acf(1); lag 2 matches the closed form") {
+    // deterministic wavy series (period 8, no exact AR degeneracy)
+    val wave = (0L until 200L)
+      .map(t => (t, 100L + 37L * ((t % 8) - 3) + (t % 5))).toDF("t", "v")
+    val p = Stats.pacf(wave, col("t"), col("v"), maxLag = 3)
+      .orderBy("lag").collect()
+      .map(r => (r.getInt(0), r.getAs[Double]("acf"), r.getAs[Double]("pacf")))
+    assert(p(0)._2 == p(0)._3, "pacf(1) must equal acf(1)")
+    // Levinson order 2 closed form on the same rounded acf inputs:
+    // kappa2 = (r2 - r1*r1) / (1 - r1*r1)
+    val (r1, r2) = (p(0)._2, p(1)._2)
+    val expect2 = BigDecimal((r2 - r1 * r1) / (1.0 - r1 * r1))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(p(1)._3 == expect2)
+    assert(p.forall(x => !x._3.isNaN && !x._3.isInfinite))
+  }
+
   test("logRank: hand-computed hypergeometric terms; censoring leaves the risk set") {
     // A events at t=1,2; B events at t=3,4 — fully separated groups
     val df = Seq((true, 1L, 1L), (true, 2L, 1L), (false, 3L, 1L), (false, 4L, 1L))
