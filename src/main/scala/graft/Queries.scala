@@ -4239,6 +4239,90 @@ object Queries {
     Stats.acf(h, col("t"), col("v"), maxLag = 6).orderBy("lag")
   }
 
+  q("q_ccf_hourly",
+    // cross-correlation of click vs view hourly counts at lags −3..3:
+    // which stream LEADS shows as the peak-lag sign; same shifted-index
+    // join + exact decimal power sums as the acf
+    """WITH hx AS (SELECT CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS t,
+      |    CAST(COUNT(*) AS BIGINT) AS v FROM events WHERE event_type = 'click' GROUP BY 1),
+      |hy AS (SELECT CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS t,
+      |    CAST(COUNT(*) AS BIGINT) AS v FROM events WHERE event_type = 'view' GROUP BY 1),
+      |l AS (SELECT lag FROM (VALUES (-3), (-2), (-1), (0), (1), (2), (3)) x(lag)),
+      |j AS (SELECT l.lag, CAST(a.v AS DECIMAL(18,0)) AS x,
+      |    CAST(b.v AS DECIMAL(18,0)) AS y
+      |  FROM hx a CROSS JOIN l JOIN hy b ON b.t = a.t + l.lag),
+      |s AS (SELECT lag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      |  FROM j GROUP BY 1)
+      |SELECT CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+      |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS ccf
+      |FROM s ORDER BY lag""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    def hourly(et: String) = events(s, dir).filter(col("event_type") === et)
+      .groupBy((unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+        .cast("long").as("t"))
+      .agg(count(lit(1)).as("v"))
+    Stats.ccf(hourly("click"), hourly("view"), "t", "v", maxLag = 3)
+      .orderBy("lag")
+  }
+
+  q("q_mase_hourly",
+    // seasonal MASE: |v_t − v_{t−24}| vs the one-step naive |v_t −
+    // v_{t−1}|, pairwise-complete — one truncating division of exact
+    // cross-multiplied integer sums; below 1e6 = the daily cycle beats
+    // last-value persistence
+    """WITH h AS (SELECT CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS t,
+      |    CAST(COUNT(*) AS BIGINT) AS v FROM events GROUP BY 1),
+      |se AS (SELECT COUNT(*) AS n_season, SUM(abs(a.v - b.v)) AS sum_season
+      |  FROM h a JOIN h b ON a.t = b.t + 24),
+      |na AS (SELECT COUNT(*) AS n_naive, SUM(abs(a.v - b.v)) AS sum_naive
+      |  FROM h a JOIN h b ON a.t = b.t + 1)
+      |SELECT CAST(n_season AS BIGINT) AS n_season,
+      |  CAST(sum_season AS BIGINT) AS sum_season,
+      |  CAST(n_naive AS BIGINT) AS n_naive, CAST(sum_naive AS BIGINT) AS sum_naive,
+      |  CAST(sum_season * n_naive * 1000000 // (n_season * sum_naive) AS BIGINT)
+      |    AS mase_x1e6
+      |FROM se, na""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val h = events(s, dir)
+      .groupBy((unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+        .cast("long").as("t"))
+      .agg(count(lit(1)).as("v"))
+    Stats.seasonalMase(h, col("t"), col("v"), season = 24)
+  }
+
+  q("q_runs_test",
+    // Wald-Wolfowitz runs test on the above-mean indicator of the
+    // hourly series: run count from adjacent-index joins (no window),
+    // exact cross-multiplied mean comparison, E and V in ×1e6
+    // truncating fixed point, one double z combination
+    """WITH h AS (SELECT CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS t,
+      |    CAST(COUNT(*) AS BIGINT) AS v FROM events GROUP BY 1),
+      |tt AS (SELECT COUNT(*) AS n, SUM(v) AS sv FROM h),
+      |ind AS (SELECT t, v * n > sv AS hi FROM h, tt),
+      |bd AS (SELECT SUM(CASE WHEN a.hi <> b.hi THEN 1 ELSE 0 END) AS chg
+      |  FROM ind a JOIN ind b ON a.t = b.t + 1),
+      |cn AS (SELECT SUM(CASE WHEN hi THEN 1 ELSE 0 END) AS n1,
+      |  SUM(CASE WHEN NOT hi THEN 1 ELSE 0 END) AS n2 FROM ind),
+      |s AS (SELECT n1, n2, chg + 1 AS runs,
+      |    1000000 + 2 * n1 * n2 * 1000000 // (n1 + n2) AS e_x1e6,
+      |    (2 * n1 * n2 * 1000000 // ((n1 + n2) * (n1 + n2)))
+      |      * (2 * n1 * n2 - n1 - n2) // GREATEST(n1 + n2 - 1, 1) AS v_x1e6
+      |  FROM cn, bd)
+      |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |  CAST(runs AS BIGINT) AS runs, CAST(e_x1e6 AS BIGINT) AS e_x1e6,
+      |  CAST(v_x1e6 AS BIGINT) AS v_x1e6,
+      |  round(CAST(CAST(runs AS BIGINT) * 1000000 - CAST(e_x1e6 AS BIGINT)
+      |      AS DOUBLE) /
+      |    sqrt(CAST(CAST(v_x1e6 AS BIGINT) AS DOUBLE) * 1.0e6), 6) AS z
+      |FROM s""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val h = events(s, dir)
+      .groupBy((unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+        .cast("long").as("t"))
+      .agg(count(lit(1)).as("v"))
+    Stats.runsTest(h, col("t"), col("v"))
+  }
+
   q("q_pacf_hourly",
     // partial autocorrelation via Levinson-Durbin over the SAME rounded
     // acf vector: the oracle's recursive CTE replays the recursion

@@ -305,6 +305,90 @@ object Stats {
           .as("acf"))
   }
 
+  /** Cross-correlation between TWO integer-valued regular series at
+    * lags −maxLag..maxLag: Pearson of (x_t, y_{t+lag}) pairs — which
+    * side LEADS shows up as the sign of the peak lag. Same shape and
+    * float discipline as [[acf]] (one explode, one shuffle join on the
+    * shifted index, exact decimal power sums per lag).
+    */
+  def ccf(x: DataFrame, y: DataFrame, tCol: String, vCol: String,
+          maxLag: Int): DataFrame = {
+    require(maxLag >= 0)
+    def d(c: Column): Column = c.cast(org.apache.spark.sql.types.DecimalType(18, 0))
+    val lags = (-maxLag to maxLag)
+    val lagged = x.select(col(tCol).as("t"), col(vCol).as("xv"),
+        explode(array(lags.map(lit): _*)).as("lag"))
+      .withColumn("t2", col("t") + col("lag"))
+    val right = y.select(col(tCol).as("t2"), col(vCol).as("yv"))
+    lagged.join(right, "t2")
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n"),
+        sum(d(col("xv"))).as("sx"), sum(d(col("yv"))).as("sy"),
+        sum(d(col("xv") * col("xv"))).as("sxx"),
+        sum(d(col("yv") * col("yv"))).as("syy"),
+        sum(d(col("xv") * col("yv"))).as("sxy"))
+      .select(col("lag"), col("n").cast("long").as("n_pairs"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+           sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))), 6)
+          .as("ccf"))
+  }
+
+  /** Seasonal MASE of the naive seasonal forecast (v̂_t = v_{t−season})
+    * against the one-step naive benchmark (v̂_t = v_{t−1}), pairwise-
+    * complete over whatever lags exist: MASE = mean|e_season| /
+    * mean|e_naive| as ONE truncating ×10⁶ integer division of exact
+    * cross-multiplied sums — below 10⁶ means the seasonal structure is
+    * real (the seasonal predictor beats last-value persistence). Two
+    * shifted-index joins, all integers.
+    */
+  def seasonalMase(df: DataFrame, tCol: Column, vCol: Column,
+                   season: Int): DataFrame = {
+    require(season >= 2)
+    val base = df.select(tCol.as("t"), vCol.as("v"))
+    def absErr(lag: Int, nName: String, sName: String): DataFrame =
+      base.join(base.select((col("t") + lag).as("t"), col("v").as("vp")), "t")
+        .agg(count(lit(1)).cast("long").as(nName),
+          sum(abs(col("v") - col("vp"))).cast("long").as(sName))
+    absErr(season, "n_season", "sum_season")
+      .crossJoin(absErr(1, "n_naive", "sum_naive"))
+      .select(col("n_season"), col("sum_season"), col("n_naive"), col("sum_naive"),
+        expr("sum_season * n_naive * 1000000 div (n_season * sum_naive)")
+          .as("mase_x1e6"))
+  }
+
+  /** Wald–Wolfowitz runs test on the above-mean indicator of a regular
+    * series in time order: run count from adjacent-index pairs (a JOIN
+    * on t+1 — no window, gaps simply contribute no boundary), the
+    * above/below split by EXACT cross-multiplied mean comparison
+    * (v·n > Σv), expectation 1 + 2n₁n₂/n and variance
+    * 2n₁n₂(2n₁n₂−n)/(n²(n−1)) in ×10⁶ truncating fixed point, and the
+    * z-score as one double combination. Long bound: n²·10⁶ < 2⁶³, i.e.
+    * n ≲ 3·10⁶ points per series (cast to decimals beyond — series
+    * here are GRID-sized, not corpus-sized).
+    */
+  def runsTest(df: DataFrame, tCol: Column, vCol: Column): DataFrame = {
+    val base = df.select(tCol.as("t"), vCol.as("v")).localCheckpoint()
+    val tot = base.agg(count(lit(1)).cast("long").as("n"),
+      sum("v").cast("long").as("sv"))
+    val ind = base.crossJoin(broadcast(tot))
+      .select(col("t"), (col("v") * col("n") > col("sv")).as("hi"))
+    val bounds = ind.join(ind.select((col("t") + 1).as("t"), col("hi").as("hip")),
+        "t")
+      .agg(sum(when(col("hi") =!= col("hip"), 1L).otherwise(0L)).as("chg"))
+    ind.agg(sum(when(col("hi"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("hi"), 1L).otherwise(0L)).as("n2"))
+      .crossJoin(bounds)
+      .select(col("n1"), col("n2"), (col("chg") + 1).as("runs"),
+        expr("1000000 + 2 * n1 * n2 * 1000000 div (n1 + n2)").as("e_x1e6"),
+        expr("(2 * n1 * n2 * 1000000 div ((n1 + n2) * (n1 + n2)))" +
+          " * (2 * n1 * n2 - n1 - n2) div greatest(n1 + n2 - 1, 1)")
+          .as("v_x1e6"))
+      .select(col("n1"), col("n2"), col("runs"), col("e_x1e6"), col("v_x1e6"),
+        round((col("runs") * 1000000L - col("e_x1e6")).cast("double") /
+          sqrt(col("v_x1e6").cast("double") * 1e6), 6).as("z"))
+  }
+
   /** Gini coefficient of a non-negative integer value column (cents):
     * G = Σ(2·rank − n − 1)·v / (n·Σv) over values ranked ascending with
     * a unique tie-break — the inequality summary for spend/token/size

@@ -35,6 +35,34 @@ class OpsSpec extends AnyFunSuite {
     (4L, "completely different words about gardening tulips roses", "en"))
     .toDF("doc_id", "text", "lang")
 
+  test("ccf: a known lead shows up at the right lag with sign") {
+    // y is x shifted forward by 2 (y_{t} = x_{t-2}): perfect corr at
+    // lag -2 (x_t pairs with y_{t-2+...}): x leads y by 2
+    val xs = (0L until 60L).map(t => (t, 10L + (t * 7 % 13))).toDF("t", "v")
+    val ys = (0L until 60L).map(t => (t + 2, 10L + (t * 7 % 13))).toDF("t", "v")
+    val r = Stats.ccf(xs, ys, "t", "v", maxLag = 3).collect()
+      .map(x => x.getInt(0) -> x.getAs[Double]("ccf")).toMap
+    assert(r(2) == 1.0, s"x leads y by 2 -> perfect ccf at lag +2, got $r")
+    assert(r(0) != 1.0 && r(-2) != 1.0)
+  }
+
+  test("seasonalMase and runsTest: hand-checkable limits") {
+    // pure period-4 series: seasonal error 0 -> mase 0; alternating
+    // above/below mean -> maximum runs
+    val per = (0L until 40L).map(t => (t, Seq(5L, 9L, 5L, 9L)((t % 4).toInt)))
+      .toDF("t", "v")
+    val m = Stats.seasonalMase(per, col("t"), col("v"), season = 4)
+      .collect().head
+    assert(m.getAs[Long]("sum_season") == 0L && m.getAs[Long]("mase_x1e6") == 0L)
+    val alt = (0L until 20L).map(t => (t, if (t % 2 == 0) 1L else 9L))
+      .toDF("t", "v")
+    val rt = Stats.runsTest(alt, col("t"), col("v")).collect().head
+    // perfectly alternating: 20 runs; n1 = n2 = 10 -> E = 1 + 2*100/20 = 11
+    assert((rt.getAs[Long]("n1"), rt.getAs[Long]("n2"), rt.getAs[Long]("runs"),
+      rt.getAs[Long]("e_x1e6")) == (10L, 10L, 20L, 11000000L))
+    assert(rt.getAs[Double]("z") > 0)
+  }
+
   test("pacf: lag 1 equals acf(1); lag 2 matches the closed form") {
     // deterministic wavy series (period 8, no exact AR degeneracy)
     val wave = (0L until 200L)
