@@ -8753,7 +8753,12 @@ object Queries {
     * graph: seeds (v < 30, label = v % 3) stay fixed; per round the
     * plurality label among labeled neighbors, ties to the smallest label.
     */
-  private def labelPropOracle(rounds: Int): String = {
+  /** CTE chain replaying [[Graph.labelPropagation]] round by round over
+    * the orders mod-3000 graph; `finalSelect` (beginning with ", " to
+    * continue the CTE list) lets consumers build on the `e` edge set and
+    * final `l<rounds>` label CTEs — empty = the plain label listing.
+    */
+  private def labelPropOracle(rounds: Int, finalSelect: String = ""): String = {
     val sb = new StringBuilder
     sb ++= "WITH p AS (SELECT o_orderkey % 3000 AS a, o_custkey % 3000 AS b FROM orders), "
     sb ++= "e AS MATERIALIZED (SELECT DISTINCT LEAST(a, b) AS pa, GREATEST(a, b) AS pb FROM p WHERE a != b), "
@@ -8770,7 +8775,8 @@ object Queries {
         s"SELECT v, label FROM b$i WHERE v NOT IN (SELECT v FROM s)), "
     }
     sb.setLength(sb.length - 2)
-    sb ++= s" SELECT v, label FROM l$rounds ORDER BY v"
+    if (finalSelect.nonEmpty) sb ++= finalSelect
+    else sb ++= s" SELECT v, label FROM l$rounds ORDER BY v"
     sb.toString
   }
 
@@ -8788,6 +8794,248 @@ object Queries {
       .filter(col("v") < 30)
       .withColumn("label", (col("v") % 3).cast("int"))
     Graph.labelPropagation(edges, seeds, iters = 3).orderBy("v")
+  }
+
+  q("q_anova_f",
+    // one-way ANOVA F of account balance (cents) across market segments:
+    // ×1e6 truncating fixed-point group means (positive-sum domain, div
+    // == //), SSB/SSW as exact DECIMAL(38,0) sums in the scaled space,
+    // two IEEE divisions at the end — no k-term double sum anywhere
+    """WITH r AS (SELECT c_mktsegment AS g,
+      |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS v FROM customer),
+      |g AS (SELECT g, COUNT(*) AS n, SUM(v) AS s FROM r GROUP BY 1),
+      |gm AS (SELECT g, n, CAST(s AS HUGEINT) * 1000000 // n AS m FROM g),
+      |t AS (SELECT SUM(n) AS nn, COUNT(*) AS k, SUM(s) AS ss FROM g),
+      |tm AS (SELECT nn, k, CAST(ss AS HUGEINT) * 1000000 // nn AS mm FROM t),
+      |sb AS (SELECT SUM(CAST(n AS HUGEINT) * (m - mm) * (m - mm)) AS ssb FROM gm, tm),
+      |sw AS (SELECT SUM((CAST(v AS HUGEINT) * 1000000 - m)
+      |    * (CAST(v AS HUGEINT) * 1000000 - m)) AS ssw FROM r JOIN gm USING (g))
+      |SELECT CAST(k AS INT) AS k_groups, CAST(nn AS BIGINT) AS n,
+      |  CAST(ssb AS DOUBLE) AS ssb, CAST(ssw AS DOUBLE) AS ssw,
+      |  round(CAST(ssb AS DOUBLE) / (k - 1) / (CAST(ssw AS DOUBLE) / (nn - k)), 6)
+      |    AS f_stat,
+      |  round(CAST(ssb AS DOUBLE) / CAST(ssb + ssw AS DOUBLE), 6) AS eta2
+      |FROM sb, sw, tm""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    Stats.anovaF(tbl(s, dir, "customer"), col("c_mktsegment"),
+      floor(col("c_acctbal") * 100 + 0.5).cast("long"))
+  }
+
+  q("q_levene",
+    // Levene's homogeneity-of-variance test (mean-centered): |deviation
+    // from the ×1e6 fixed-point group mean| per event value, then the
+    // same exact-decimal ANOVA F over those deviations (inner scale
+    // ×1e3) — the variance pre-check before any pooled t-test
+    """WITH r AS (SELECT event_type AS g,
+      |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v FROM events),
+      |g1 AS (SELECT g, COUNT(*) AS n, SUM(v) AS s FROM r GROUP BY 1),
+      |m1 AS (SELECT g, CAST(s AS HUGEINT) * 1000000 // n AS m FROM g1),
+      |z AS (SELECT r.g, abs(CAST(v AS HUGEINT) * 1000000 - m) AS z
+      |  FROM r JOIN m1 USING (g)),
+      |g2 AS (SELECT g, COUNT(*) AS n, SUM(z) AS s FROM z GROUP BY 1),
+      |gm AS (SELECT g, n, CAST(s AS HUGEINT) * 1000 // n AS m FROM g2),
+      |t AS (SELECT SUM(n) AS nn, COUNT(*) AS k, SUM(s) AS ss FROM g2),
+      |tm AS (SELECT nn, k, CAST(ss AS HUGEINT) * 1000 // nn AS mm FROM t),
+      |sb AS (SELECT SUM(CAST(n AS HUGEINT) * (m - mm) * (m - mm)) AS ssb FROM gm, tm),
+      |sw AS (SELECT SUM((z.z * 1000 - m) * (z.z * 1000 - m)) AS ssw
+      |  FROM z JOIN gm USING (g))
+      |SELECT CAST(k AS INT) AS k_groups, CAST(nn AS BIGINT) AS n,
+      |  CAST(ssb AS DOUBLE) AS ssb, CAST(ssw AS DOUBLE) AS ssw,
+      |  round(CAST(ssb AS DOUBLE) / (k - 1) / (CAST(ssw AS DOUBLE) / (nn - k)), 6)
+      |    AS f_stat,
+      |  round(CAST(ssb AS DOUBLE) / CAST(ssb + ssw AS DOUBLE), 6) AS eta2
+      |FROM sb, sw, tm""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    Stats.levene(events(s, dir), col("event_type"),
+      floor(col("value") * 1000 + 0.5).cast("long"))
+  }
+
+  q("q_kruskal_wallis",
+    // Kruskal-Wallis H across the five market segments: doubled
+    // tie-averaged ranks (2r = 2p+c+1) stay integral, prefix counts
+    // come from the windowless rank machinery, per-group (2R)² div n in
+    // truncating fixed point, exact tie correction — the k-group rank
+    // test completing the MW-U family
+    """WITH r AS (SELECT c_mktsegment AS g,
+      |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS v FROM customer),
+      |vg AS (SELECT v, g, COUNT(*) AS cgv FROM r GROUP BY 1, 2),
+      |pv AS (SELECT v, SUM(cgv) AS c FROM vg GROUP BY 1),
+      |pre AS (SELECT v, c, COALESCE(SUM(c) OVER (ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p FROM pv),
+      |ties AS (SELECT SUM(CAST(c AS HUGEINT) * c * c - c) AS tie FROM pre),
+      |grp AS (SELECT g, SUM(cgv) AS n,
+      |    SUM(CAST(cgv AS HUGEINT) * (2 * p + c + 1)) AS r2
+      |  FROM vg JOIN pre USING (v) GROUP BY 1),
+      |gt AS (SELECT g, n, CAST(r2 AS HUGEINT) * r2 // n AS t_fp FROM grp),
+      |tot AS (SELECT COUNT(*) AS k, SUM(n) AS nn, SUM(t_fp) AS t FROM gt)
+      |SELECT CAST(k AS INT) AS k_groups, CAST(nn AS BIGINT) AS n,
+      |  CAST(t AS BIGINT) AS t_sum, CAST(tie AS BIGINT) AS tie_sum,
+      |  round(3 * CAST(t AS DOUBLE) / (CAST(nn AS DOUBLE) * CAST(nn + 1 AS DOUBLE))
+      |    - 3 * CAST(nn + 1 AS DOUBLE), 6) AS h,
+      |  round((3 * CAST(t AS DOUBLE) / (CAST(nn AS DOUBLE) * CAST(nn + 1 AS DOUBLE))
+      |    - 3 * CAST(nn + 1 AS DOUBLE))
+      |    / (1 - CAST(tie AS DOUBLE)
+      |      / CAST(CAST(nn AS HUGEINT) * nn * nn - nn AS DOUBLE)), 6) AS h_adj
+      |FROM tot, ties""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    Stats.kruskalWallis(tbl(s, dir, "customer"), col("c_mktsegment"),
+      floor(col("c_acctbal") * 100 + 0.5).cast("long"))
+  }
+
+  q("q_burstiness",
+    // inter-arrival burstiness per event type: millisecond gaps from
+    // each user's (ts, event_id)-ordered stream (partitioned window,
+    // state = one user's history), exact integer power sums, CV² in
+    // truncating ×1e6 fixed point and Goh-Barabási B = (σ−μ)/(σ+μ)
+    // with one IEEE sqrt — B → 1 bursty, → 0 Poisson-like, < 0 regular
+    """WITH e AS (SELECT user_id AS u, event_type AS key,
+      |    epoch_us(ts) // 1000 AS t, event_id AS i FROM events),
+      |l AS (SELECT key, lead(t) OVER (PARTITION BY u ORDER BY t, i) - t AS gap
+      |  FROM e),
+      |gp AS (SELECT key, gap FROM l WHERE gap IS NOT NULL),
+      |a AS (SELECT key, COUNT(*) AS n, SUM(CAST(gap AS HUGEINT)) AS s,
+      |    SUM(CAST(gap AS HUGEINT) * gap) AS q FROM gp GROUP BY 1)
+      |SELECT key, CAST(n AS BIGINT) AS n_gaps, CAST(s AS BIGINT) AS sum_ms,
+      |  CAST((n * q - s * s) * 1000000 // (s * s) AS BIGINT) AS cv2_x1e6,
+      |  round((sqrt(CAST(n * q - s * s AS DOUBLE)) - CAST(s AS DOUBLE))
+      |    / (sqrt(CAST(n * q - s * s AS DOUBLE)) + CAST(s AS DOUBLE)), 6)
+      |    AS burstiness
+      |FROM a ORDER BY key""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    Stats.burstiness(events(s, dir), col("user_id"), col("event_type"),
+        expr("unix_micros(cast(ts as timestamp)) div 1000"), col("event_id"))
+      .orderBy("key")
+  }
+
+  q("q_graph_assortativity",
+    // degree assortativity of the parts-sharing-a-supplier graph:
+    // Pearson of endpoint degrees over both edge orientations — exact
+    // integer power sums (by symmetry only three ship), one IEEE
+    // combination; negative r = hubs attach to leaves
+    """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+      |  WHERE l_partkey < 300),
+      |e AS (SELECT DISTINCT a.p AS pa, b.p AS pb FROM ps a
+      |  JOIN ps b ON a.s = b.s AND a.p < b.p),
+      |nb AS (SELECT pa AS v FROM e UNION ALL SELECT pb FROM e),
+      |d AS (SELECT v, COUNT(*) AS dg FROM nb GROUP BY 1),
+      |pr AS (SELECT da.dg AS x, db.dg AS y FROM e
+      |  JOIN d da ON e.pa = da.v JOIN d db ON e.pb = db.v),
+      |sm AS (SELECT 2 * COUNT(*) AS m2, SUM(CAST(x AS HUGEINT) + y) AS sx,
+      |  SUM(CAST(x AS HUGEINT) * x + CAST(y AS HUGEINT) * y) AS sxx,
+      |  2 * SUM(CAST(x AS HUGEINT) * y) AS sxy FROM pr)
+      |SELECT CAST(m2 AS BIGINT) AS n_endpoints,
+      |  round(CAST(m2 * sxy - sx * sx AS DOUBLE)
+      |    / CAST(m2 * sxx - sx * sx AS DOUBLE), 6) AS assortativity
+      |FROM sm""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    Graph.assortativity(Graph.coOccurrenceEdges(
+      tbl(s, dir, "lineitem").filter(col("l_partkey") < 300),
+      "l_partkey", "l_suppkey"))
+  }
+
+  q("q_graph_modularity", labelPropOracle(3,
+    """, vts AS (SELECT DISTINCT v FROM
+      |  (SELECT pa AS v FROM e UNION ALL SELECT pb AS v FROM e)),
+      |vc AS (SELECT vts.v, COALESCE(l.label, -vts.v - 1) AS c
+      |  FROM vts LEFT JOIN l3 l ON l.v = vts.v),
+      |wc AS MATERIALIZED (SELECT ca.c AS ca, cb.c AS cb FROM e
+      |  JOIN vc ca ON e.pa = ca.v JOIN vc cb ON e.pb = cb.v),
+      |mm AS (SELECT COUNT(*) AS m FROM wc),
+      |ic AS (SELECT ca AS c, COUNT(*) AS in_c FROM wc WHERE ca = cb GROUP BY 1),
+      |tc AS (SELECT c, COUNT(*) AS tot_c FROM
+      |  (SELECT ca AS c FROM wc UNION ALL SELECT cb FROM wc) GROUP BY 1),
+      |ag AS (SELECT COUNT(*) AS n_communities,
+      |    SUM(4 * mm.m * CAST(COALESCE(in_c, 0) AS HUGEINT)
+      |      - CAST(tot_c AS HUGEINT) * tot_c) AS q4m2
+      |  FROM tc LEFT JOIN ic USING (c), mm)
+      |SELECT CAST(mm.m AS BIGINT) AS m_edges,
+      |  CAST(n_communities AS BIGINT) AS n_communities,
+      |  CAST(q4m2 AS BIGINT) AS q4m2,
+      |  CAST(CASE WHEN q4m2 < 0 THEN -1 WHEN q4m2 > 0 THEN 1 ELSE 0 END
+      |    * (abs(q4m2) * 1000000 // (4 * CAST(mm.m AS HUGEINT) * mm.m)) AS BIGINT)
+      |    AS modularity_x1e6
+      |FROM ag, mm""".stripMargin.replace("\n", " "))) { (s, dir) =>
+    // Newman modularity of the 3-round label-prop communities over the
+    // SAME orders mod-3000 graph — Q·4m² exactly in integers (unlabeled
+    // vertices = singleton communities), one sign-split ×1e6 division
+    val p = tbl(s, dir, "orders")
+      .select((col("o_orderkey") % 3000).as("a"), (col("o_custkey") % 3000).as("b"))
+      .filter(col("a") =!= col("b"))
+    val edges = p.select(least(col("a"), col("b")).as("pa"),
+      greatest(col("a"), col("b")).as("pb")).distinct()
+    val seeds = edges.select(col("pa").as("v"))
+      .union(edges.select(col("pb").as("v"))).distinct()
+      .filter(col("v") < 30)
+      .withColumn("label", (col("v") % 3).cast("int"))
+    Graph.modularity(edges, Graph.labelPropagation(edges, seeds, iters = 3))
+  }
+
+  q("q_eval_brier",
+    // Murphy decomposition of the Brier score over the calibration
+    // bins: BS (exact integer Σ(p−o)² div N), reliability, resolution,
+    // uncertainty — all in truncating ×1e6 fixed point, zero float
+    // accumulation
+    """WITH p AS (SELECT lang = 'en' AS pos,
+      |    LEAST(999, n_chars % 500 + CASE WHEN lang = 'en' THEN 300 ELSE 100 END) AS pm
+      |  FROM documents),
+      |b AS (SELECT CAST(LEAST(floor(pm * 10 / 1000), 9) AS INT) AS bin,
+      |    CASE WHEN pos THEN 1 ELSE 0 END AS pos, pm FROM p),
+      |a AS (SELECT bin, COUNT(*) AS n, SUM(pos) AS n_pos, SUM(pm) AS sum_milli,
+      |    SUM(CAST(pm - 1000 * pos AS HUGEINT) * (pm - 1000 * pos)) AS se
+      |  FROM b GROUP BY 1),
+      |t AS (SELECT SUM(n) AS nn, SUM(n_pos) AS np FROM a),
+      |tm AS (SELECT nn, np, CAST(np AS HUGEINT) * 1000000 // nn AS obar FROM t),
+      |pb AS (SELECT n, se, CAST(sum_milli AS HUGEINT) * 1000 // n AS pbar,
+      |    CAST(n_pos AS HUGEINT) * 1000000 // n AS obk FROM a),
+      |ag AS (SELECT SUM(se) AS se_sum,
+      |    SUM(CAST(n AS HUGEINT) * (pbar - obk) * (pbar - obk)) AS rel_n,
+      |    SUM(CAST(n AS HUGEINT) * (obk - obar) * (obk - obar)) AS res_n
+      |  FROM pb, tm)
+      |SELECT CAST(nn AS BIGINT) AS n, CAST(np AS BIGINT) AS n_pos,
+      |  CAST(se_sum // nn AS BIGINT) AS brier_x1e6,
+      |  CAST(rel_n // (nn * CAST(1000000 AS HUGEINT)) AS BIGINT) AS rel_x1e6,
+      |  CAST(res_n // (nn * CAST(1000000 AS HUGEINT)) AS BIGINT) AS res_x1e6,
+      |  CAST(obar * (1000000 - obar) // 1000000 AS BIGINT) AS unc_x1e6
+      |FROM ag, tm""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val d = tbl(s, dir, "documents")
+    val pm = least(lit(999), col("n_chars") % 500
+      + when(col("lang") === "en", 300).otherwise(100))
+    Eval.brierDecomposition(d, col("lang") === "en", pm, bins = 10)
+  }
+
+  q("q_ab_srm",
+    // sample-ratio-mismatch check for the deterministic md5-parity
+    // 50/50 split: per-stratum and pooled (stratum = NULL) arm counts,
+    // χ² vs the even split in exact ×1e6 fixed point, z in one IEEE
+    // step — run this BEFORE reading any A/B result
+    s"""WITH a AS (SELECT c_mktsegment AS stratum,
+      |    ${md5Hash60Sql("c_custkey")} % 2 = 0 AS arm_a FROM customer),
+      |c AS (SELECT stratum, SUM(CASE WHEN arm_a THEN 1 ELSE 0 END) AS n1,
+      |    SUM(CASE WHEN arm_a THEN 0 ELSE 1 END) AS n2 FROM a GROUP BY 1),
+      |u AS (SELECT * FROM c UNION ALL
+      |  SELECT CAST(NULL AS VARCHAR), SUM(n1), SUM(n2) FROM c)
+      |SELECT stratum, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |  CAST((n1 - n2) * (n1 - n2) * 1000000 // (n1 + n2) AS BIGINT) AS chi2_x1e6,
+      |  round(CAST(n1 - n2 AS DOUBLE) / sqrt(CAST(n1 + n2 AS DOUBLE)), 6) AS z
+      |FROM u ORDER BY stratum NULLS FIRST"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    Eval.srmCheck(tbl(s, dir, "customer"), col("c_custkey"), col("c_mktsegment"))
+      .orderBy(asc_nulls_first("stratum"))
+  }
+
+  q("text_source_similarity",
+    // corpus-mix comparison: pairwise cosine between per-source unigram
+    // tf vectors — integer dot products via ONE token-keyed join (fan-out
+    // bounded by the source-pair count), integer norms, one IEEE
+    // sqrt+division per pair
+    s"""WITH tf AS (SELECT source AS g, tok, COUNT(*) AS f FROM
+      |  (SELECT source, unnest($toksSql) AS tok FROM documents)
+      |  WHERE tok <> '' GROUP BY 1, 2),
+      |nm AS (SELECT g, SUM(CAST(f AS HUGEINT) * f) AS n2 FROM tf GROUP BY 1),
+      |dt AS (SELECT a.g AS ga, b.g AS gb, SUM(CAST(a.f AS HUGEINT) * b.f) AS dot
+      |  FROM tf a JOIN tf b ON a.tok = b.tok AND a.g < b.g GROUP BY 1, 2)
+      |SELECT ga, gb, CAST(dot AS BIGINT) AS dot,
+      |  round(CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)), 6)
+      |    AS cosine
+      |FROM dt JOIN nm na ON dt.ga = na.g JOIN nm nb ON dt.gb = nb.g
+      |ORDER BY ga, gb""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    TextAnalysis.sourceCosine(tbl(s, dir, "documents"), col("source"))
+      .orderBy("ga", "gb")
   }
 
   q("stream_topk",

@@ -293,4 +293,77 @@ object Eval {
         col("knn_label"), col("n_agree"),
         (col("knn_label") =!= col(labelCol)).as("flagged"))
   }
+
+  /** Murphy decomposition of the Brier score over the same milli-unit
+    * probability bins as [[calibrationBins]]: BS = REL − RES + UNC
+    * (up to within-bin variance of p, reported as the residual), with
+    * REL = Σn_k(p̄_k−ō_k)²/N (calibration), RES = Σn_k(ō_k−ō)²/N
+    * (resolution/sharpness), UNC = ō(1−ō). Everything in truncating
+    * ×10⁶ fixed point: per-bin means are `·10⁶ div n` integers, the
+    * k ≤ bins squared-gap terms sum exactly, and the raw BS is the
+    * exact integer Σ(pm−1000·o)² div N — zero float accumulation, so
+    * the decomposition is reproducible on any engine or partitioning.
+    */
+  def brierDecomposition(df: DataFrame, isPos: org.apache.spark.sql.Column,
+                         pMilli: org.apache.spark.sql.Column,
+                         bins: Int = 10): DataFrame = {
+    def d38(c: org.apache.spark.sql.Column) =
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val bin = least(floor(pMilli * bins / 1000).cast("int"), lit(bins - 1))
+    val b = df.select(bin.as("bin"), when(isPos, 1L).otherwise(0L).as("pos"),
+        pMilli.cast("long").as("pm"))
+      .groupBy("bin").agg(count(lit(1)).as("n"), sum("pos").as("n_pos"),
+        sum("pm").as("sum_milli"),
+        sum(d38((col("pm") - lit(1000) * col("pos"))
+          * (col("pm") - lit(1000) * col("pos")))).as("se"))
+    val tot = b.agg(sum("n").cast("long").as("nn"),
+        sum("n_pos").cast("long").as("np"))
+      .withColumn("obar", expr("np * 1000000 div nn"))
+    b.crossJoin(broadcast(tot))
+      .select(col("n"), col("se"),
+        expr("sum_milli * 1000 div n").as("pbar"),
+        expr("n_pos * 1000000 div n").as("obk"), col("nn"), col("np"),
+        col("obar"))
+      .groupBy("nn", "np", "obar")
+      .agg(sum(d38(col("se"))).cast("decimal(38,0)").as("se_sum"),
+        sum(d38(col("n")) * d38(col("pbar") - col("obk"))
+          * d38(col("pbar") - col("obk"))).as("rel_n"),
+        sum(d38(col("n")) * d38(col("obk") - col("obar"))
+          * d38(col("obk") - col("obar"))).as("res_n"))
+      .select(col("nn").as("n"), col("np").as("n_pos"),
+        expr("se_sum div nn").cast("long").as("brier_x1e6"),
+        expr("rel_n div (nn * cast(1000000 as decimal(38,0)))").cast("long")
+          .as("rel_x1e6"),
+        expr("res_n div (nn * cast(1000000 as decimal(38,0)))").cast("long")
+          .as("res_x1e6"),
+        expr("obar * (1000000 - obar) div 1000000").cast("long")
+          .as("unc_x1e6"))
+  }
+
+  /** Sample-ratio-mismatch check for a deterministic 50/50 hash split —
+    * the first thing to verify before reading ANY A/B result. Arms come
+    * from the md5 parity of the unit id (the engine's standing
+    * deterministic-assignment primitive), the χ² against the expected
+    * even split is the exact (n₁−n₂)²·10⁶ div N, and z = (n₁−n₂)/√N is
+    * the one IEEE combination. Emitted per stratum plus the pooled row
+    * (stratum = NULL), so a per-segment imbalance shows even when the
+    * pool looks balanced.
+    */
+  def srmCheck(df: DataFrame, unitCol: org.apache.spark.sql.Column,
+               stratumCol: org.apache.spark.sql.Column): DataFrame = {
+    val armed = df.select(unitCol.as("u"), stratumCol.cast("string").as("stratum"))
+      .select(col("stratum"),
+        (pmod(Pipeline.md5Hash60(col("u").cast("string")), lit(2)) === 0)
+          .as("arm_a"))
+    val cube = armed.groupBy(col("stratum"))
+      .agg(sum(when(col("arm_a"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm_a"), 0L).otherwise(1L)).as("n2"))
+    val pooled = cube.agg(sum("n1").as("n1"), sum("n2").as("n2"))
+      .withColumn("stratum", lit(null).cast("string"))
+    cube.unionByName(pooled)
+      .select(col("stratum"), col("n1"), col("n2"),
+        expr("(n1 - n2) * (n1 - n2) * 1000000 div (n1 + n2)").as("chi2_x1e6"),
+        round((col("n1") - col("n2")).cast("double")
+          / sqrt((col("n1") + col("n2")).cast("double")), 6).as("z"))
+  }
 }

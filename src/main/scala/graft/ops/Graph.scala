@@ -291,4 +291,77 @@ object Graph {
     }
     labels
   }
+
+  /** Degree assortativity: Pearson correlation of endpoint degrees over
+    * the DIRECTED view of the undirected edge set (each edge counted in
+    * both orientations, the standard Newman convention — so the pair
+    * distribution is symmetric and r is well defined). Degrees are
+    * integers, so the five power sums are exact DECIMAL(38,0) and the
+    * correlation is one IEEE combination — the acf float discipline.
+    * Positive r = hubs attach to hubs; social graphs skew positive,
+    * dependency/co-occurrence graphs negative.
+    *
+    * Two degree joins + one reduce; by symmetry Σx = Σy and Σx² = Σy²,
+    * so only three sums ship.
+    */
+  def assortativity(edges: DataFrame): DataFrame = {
+    def d38(c: org.apache.spark.sql.Column) =
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val e = edges.select(col("pa"), col("pb")).localCheckpoint()
+    val deg = e.select(col("pa").as("v")).union(e.select(col("pb").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val pairs = e
+      .join(deg.select(col("v").as("pa"), col("d").as("da")), Seq("pa"))
+      .join(deg.select(col("v").as("pb"), col("d").as("db")), Seq("pb"))
+      .select(col("da"), col("db"))
+    pairs.agg((count(lit(1)) * 2).as("m2"),
+        sum(d38(col("da") + col("db"))).as("sx"),
+        sum(d38(col("da")) * d38(col("da"))
+          + d38(col("db")) * d38(col("db"))).as("sxx"),
+        (sum(d38(col("da")) * d38(col("db"))) * 2).as("sxy"))
+      .select(col("m2").cast("long").as("n_endpoints"),
+        round((col("m2") * col("sxy") - col("sx") * col("sx")).cast("double")
+          / (col("m2") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          .as("assortativity"))
+  }
+
+  /** Newman modularity of a vertex partition (e.g. the
+    * [[labelPropagation]] communities): Q = Σ_c [in_c/m − (tot_c/2m)²],
+    * evaluated EXACTLY as Q·4m² = Σ_c (4m·in_c − tot_c²) over integer
+    * edge and degree counts, one truncating ×10⁶ division at the end
+    * (positive m). Unlabeled vertices count as singleton communities
+    * (in = 0, tot = their degree) — the honest penalty for an
+    * incomplete labeling. One edge-keyed join per endpoint + a
+    * per-community reduce; long bound 4m²·10⁶ < 2⁶³ (m < 1.5·10⁶ —
+    * lift to decimal beyond).
+    */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val e = edges.select(col("pa"), col("pb")).localCheckpoint()
+    val lab = labels.select(col("v"), col("label").cast("long").as("c"))
+    val verts = e.select(col("pa").as("v")).union(e.select(col("pb").as("v")))
+      .distinct()
+    val vc = verts.join(lab, Seq("v"), "left")
+      .select(col("v"), coalesce(col("c"), -col("v") - 1).as("c"))
+    val withC = e
+      .join(vc.select(col("v").as("pa"), col("c").as("ca")), Seq("pa"))
+      .join(vc.select(col("v").as("pb"), col("c").as("cb")), Seq("pb"))
+      .localCheckpoint() // consumers: m count, in_c, tot_c
+    val m = withC.count()
+    val inC = withC.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("c")).agg(count(lit(1)).as("in_c"))
+    val totC = withC.select(col("ca").as("c"))
+      .union(withC.select(col("cb").as("c")))
+      .groupBy("c").agg(count(lit(1)).as("tot_c"))
+    totC.join(inC, Seq("c"), "left")
+      .select(coalesce(col("in_c"), lit(0L)).as("in_c"), col("tot_c"))
+      .agg(count(lit(1)).cast("long").as("n_communities"),
+        sum(lit(4) * lit(m) * col("in_c") - col("tot_c") * col("tot_c"))
+          .cast("long").as("q4m2"))
+      // sign/abs split: Q can be negative, and Spark `div` truncates where
+      // DuckDB `//` floors — positive-domain division keeps them equal
+      .select(lit(m).as("m_edges"), col("n_communities"), col("q4m2"),
+        (signum(col("q4m2")).cast("long") *
+          expr(s"abs(q4m2) * 1000000 div (4 * ${m} * ${m})")).cast("long")
+          .as("modularity_x1e6"))
+  }
 }

@@ -969,4 +969,144 @@ object Stats {
         round(col("d_abs").cast("double") / (col("n") * lit(1e6)), 6)
           .as("cp_stat"))
   }
+
+  /** One-way ANOVA F on an INTEGER-valued column (callers quantize —
+    * the `floor(x·10^s + 0.5)` house rule) across k groups, exact until
+    * the final two IEEE divisions: per-group means are ×`scaleK`
+    * truncating fixed point (`S_g·K div n_g`, positive-sum domain so
+    * `div` == DuckDB `//`), and both sums of squares accumulate as
+    * exact DECIMAL(38,0) in the SCALED space — SSW per row
+    * `(v·K − m_g)²`, SSB per group `n_g·(m_g − m)²` — so no k-term
+    * double sum ever depends on partition order. One aggregation over
+    * the rows + a k-row reduce; the group means broadcast back.
+    *
+    * Bounds (document at call sites): |v|·K < 2⁶³ per row, and
+    * N·(max|v·K − m|)² < 10³⁸ for the decimal SSW sum.
+    *
+    * η² = SSB/(SSB+SSW) is scale-invariant; F additionally multiplies
+    * by the exact integer df ratio. Quantization means this is ANOVA of
+    * the quantized values — deviations O(1/K) of a value unit,
+    * deterministic on both engines.
+    */
+  def anovaF(df: DataFrame, groupCol: Column, valCol: Column,
+             scaleK: Long = 1000000L): DataFrame = {
+    def d38(c: Column): Column = c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val rows = df.select(groupCol.as("g"), valCol.cast("long").as("v"))
+    val g = rows.groupBy("g").agg(count(lit(1)).as("n"), sum(d38(col("v"))).as("s"))
+      .withColumn("m", expr(s"s * $scaleK div n"))
+    val tot = g.agg(sum("n").cast("long").as("nn"),
+        count(lit(1)).cast("int").as("k"), sum(d38(col("s"))).as("ss"))
+      .withColumn("mm", expr(s"ss * $scaleK div nn"))
+    val ssb = g.crossJoin(broadcast(tot))
+      .agg(sum(d38(col("n")) * d38(col("m") - col("mm"))
+        * d38(col("m") - col("mm"))).as("ssb"))
+    val ssw = rows.join(broadcast(g.select("g", "m")), Seq("g"))
+      .agg(sum(d38(col("v") * lit(scaleK) - col("m"))
+        * d38(col("v") * lit(scaleK) - col("m"))).as("ssw"))
+    ssb.crossJoin(ssw).crossJoin(broadcast(tot.select("nn", "k")))
+      .select(col("k").as("k_groups"), col("nn").as("n"),
+        col("ssb").cast("double").as("ssb"),
+        col("ssw").cast("double").as("ssw"),
+        round(col("ssb").cast("double") / (col("k") - 1)
+          / (col("ssw").cast("double") / (col("nn") - col("k"))), 6).as("f_stat"),
+        round(col("ssb").cast("double")
+          / (col("ssb") + col("ssw")).cast("double"), 6).as("eta2"))
+  }
+
+  /** Levene's homogeneity-of-variance test (mean-centered form): ANOVA F
+    * on z = |v·K − m_g| — absolute deviations from the ×K truncating
+    * fixed-point group mean. The classic pre-check before trusting a
+    * pooled-variance t-test. Deviations carry the K scale already, so
+    * the inner ANOVA quantizes no further than `innerK`.
+    */
+  def levene(df: DataFrame, groupCol: Column, valCol: Column,
+             scaleK: Long = 1000000L, innerK: Long = 1000L): DataFrame = {
+    def d38(c: Column): Column = c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    // no checkpoint: rows is corpus-sized and every consumer re-derives it
+    // from the deterministic source scan with one narrow projection
+    val rows = df.select(groupCol.as("g"), valCol.cast("long").as("v"))
+    val means = rows.groupBy("g")
+      .agg(count(lit(1)).as("n"), sum(d38(col("v"))).as("s"))
+      .withColumn("m", expr(s"s * $scaleK div n"))
+    val z = rows.join(broadcast(means.select("g", "m")), Seq("g"))
+      .select(col("g"), abs(col("v") * lit(scaleK) - col("m")).as("z"))
+    anovaF(z, col("g"), col("z"), innerK)
+  }
+
+  /** Kruskal–Wallis H: the k-group rank test (Mann–Whitney's
+    * generalization), exactly. Tie-averaged ranks stay integral as
+    * DOUBLED ranks: a value with `c_v` copies and `p_v` smaller rows has
+    * 2·r̄ = 2p_v + c_v + 1, with p_v from the windowless
+    * [[Ranks.prefixCounts]] prefix machinery over the per-value counts —
+    * a continuous value domain stays distributed. Per group,
+    * T_g = (2R_g)² div n_g in truncating fixed point (positive domain),
+    * H = 3·ΣT_g/(N(N+1)) − 3(N+1), then the tie correction
+    * H/(1 − Σ(c³−c)/(N³−N)) — integers until the final IEEE steps.
+    * Long bound: (2R_g)² div n_g ≈ n_g·N² must fit 2⁶³ (holds through
+    * ~10⁹ rows per group at N ≈ 10⁹ × ... — beyond that lift T to
+    * decimal).
+    */
+  def kruskalWallis(df: DataFrame, groupCol: Column, valCol: Column): DataFrame = {
+    def d38(c: Column): Column = c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val vg = df.select(groupCol.as("g"), valCol.as("v"))
+      .groupBy("v", "g").agg(count(lit(1)).as("cgv"))
+      .localCheckpoint() // consumers: per-value totals + the rank passes
+    val pv = vg.groupBy("v").agg(sum("cgv").as("c"))
+    val pre = Ranks.prefixCounts(pv, "v", Seq("c"))
+      .select(col("v"), col("c"), (col("c_cum") - col("c")).as("p"))
+    val ties = pre.agg(sum(d38(col("c")) * d38(col("c")) * d38(col("c"))
+      - d38(col("c"))).cast("decimal(38,0)").as("tie"))
+    val grp = vg.join(pre, Seq("v"))
+      .groupBy("g").agg(sum("cgv").cast("long").as("n"),
+        // 2r̄ = 2p + c + 1 uses the value's TOTAL count c (ties average
+        // across ALL groups), weighted by this group's slice cgv
+        sum(d38(col("cgv")) * d38(lit(2) * col("p") + col("c") + 1))
+          .as("r2"))
+      .select(col("g"), col("n"), expr("r2 * r2 div n").as("t_fp"))
+    val tot = grp.agg(count(lit(1)).cast("int").as("k"),
+      sum("n").cast("long").as("nn"), sum(d38(col("t_fp"))).as("t"))
+    tot.crossJoin(ties)
+      .select(col("k").as("k_groups"), col("nn").as("n"),
+        col("t").cast("long").as("t_sum"), col("tie").cast("long").as("tie_sum"),
+        round(lit(3) * col("t").cast("double")
+            / (col("nn").cast("double") * (col("nn") + lit(1)).cast("double"))
+          - lit(3) * (col("nn") + lit(1)).cast("double"), 6).as("h"),
+        round((lit(3) * col("t").cast("double")
+            / (col("nn").cast("double") * (col("nn") + lit(1)).cast("double"))
+          - lit(3) * (col("nn") + lit(1)).cast("double"))
+          / (lit(1) - col("tie").cast("double")
+            / (d38(col("nn")) * d38(col("nn")) * d38(col("nn"))
+               - d38(col("nn"))).cast("double")), 6).as("h_adj"))
+  }
+
+  /** Inter-arrival burstiness per stream key: gaps from each entity's
+    * ordered event sequence (per-entity PARTITIONED window — state
+    * bounded by one entity's history), grouped by the stream key of the
+    * gap-opening event. Exact integer power sums of millisecond gaps →
+    * CV² = (nQ − S²)·10⁶ div S² in truncating fixed point (positive
+    * domain) and the Goh–Barabási B = (σ−μ)/(σ+μ) with one IEEE sqrt.
+    * Decimal bound: n·Σgap² < 10³⁸ (holds to ~10¹² gaps of a year in
+    * ms).
+    */
+  def burstiness(df: DataFrame, entityCol: Column, keyCol: Column,
+                 tsMillisCol: Column, tieCol: Column): DataFrame = {
+    def d38(c: Column): Column = c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val w = Window.partitionBy("e").orderBy(col("t"), col("tie"))
+    val gaps = df.select(entityCol.as("e"), keyCol.as("key"),
+        tsMillisCol.cast("long").as("t"), tieCol.as("tie"))
+      .withColumn("nxt", lead(col("t"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("key"), (col("nxt") - col("t")).as("gap"))
+    gaps.groupBy("key")
+      .agg(count(lit(1)).as("n"), sum(d38(col("gap"))).as("s"),
+        sum(d38(col("gap")) * d38(col("gap"))).as("q"))
+      .select(col("key"), col("n").cast("long").as("n_gaps"),
+        col("s").cast("long").as("sum_ms"),
+        expr("(n * q - s * s) * 1000000 div (s * s)").cast("long")
+          .as("cv2_x1e6"),
+        round((sqrt((col("n") * col("q") - col("s") * col("s")).cast("double"))
+            - col("s").cast("double"))
+          / (sqrt((col("n") * col("q") - col("s") * col("s")).cast("double"))
+            + col("s").cast("double")), 6).as("burstiness"))
+  }
 }

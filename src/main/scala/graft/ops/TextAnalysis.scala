@@ -986,4 +986,36 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("freq") * col("rnk")).cast("long").as("fr_sum"))
       .withColumn("fr_avg_x1000", expr("fr_sum * 1000 div n_tokens"))
+
+  /** Pairwise cosine similarity between per-group unigram
+    * term-frequency vectors (group = source, domain, shard…) — the
+    * standard corpus-mix comparison: which sources say the same things,
+    * which one is the odd duck before weighting a mixture. Exact until
+    * the end: integer tf dot products via ONE token-keyed self-join
+    * (never a dense |V| vector per group on the driver), integer
+    * squared norms, then cosine = dot/√(na·nb) as one IEEE expression.
+    * The token join shuffles on the token key; a Zipf head token
+    * contributes one row per group PAIR sharing it (≤ |G|²), so fan-out
+    * is bounded by the group count, not the corpus.
+    */
+  def sourceCosine(docs: DataFrame, groupCol: Column,
+                   textCol: String = "text"): DataFrame = {
+    def d38(c: Column) = c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val tf = docs.select(groupCol.as("g"), explode(tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("g", "tok").agg(count(lit(1)).as("f"))
+      .localCheckpoint() // consumers: norms + both sides of the pair join
+    val norms = tf.groupBy("g")
+      .agg(sum(d38(col("f")) * d38(col("f"))).as("n2"))
+    val dots = tf.as("a").join(tf.as("b"),
+        col("a.tok") === col("b.tok") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("ga"), col("b.g").as("gb"))
+      .agg(sum(d38(col("a.f")) * d38(col("b.f"))).as("dot"))
+    dots
+      .join(norms.select(col("g").as("ga"), col("n2").as("na")), Seq("ga"))
+      .join(norms.select(col("g").as("gb"), col("n2").as("nb")), Seq("gb"))
+      .select(col("ga"), col("gb"), col("dot").cast("long").as("dot"),
+        round(col("dot").cast("double")
+          / sqrt((col("na") * col("nb")).cast("double")), 6).as("cosine"))
+  }
 }

@@ -2754,6 +2754,118 @@ class AdviceRegressionSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(4) - 216.0 / 53) < 1e-6)
   }
 
+  test("anovaF matches a hand-computed three-vs-three case") {
+    // a = {2, 4, 6} mean 4, b = {8, 10, 12} mean 10, grand mean 7:
+    // SSB = 3·(4-7)² + 3·(10-7)² = 54, SSW = 8 + 8 = 16 (value units);
+    // in the ×1e6 scaled space both multiply by 1e12; F = 54/(16/4) =
+    // 13.5, eta² = 54/70
+    val df = Seq(("a", 2L), ("a", 4L), ("a", 6L), ("b", 8L), ("b", 10L),
+      ("b", 12L)).toDF("g", "v")
+    val r = Stats.anovaF(df, col("g"), col("v")).collect().head
+    assert(r.getInt(0) == 2 && r.getLong(1) == 6L)
+    assert(r.getAs[Double]("ssb") == 54e12 && r.getAs[Double]("ssw") == 16e12)
+    assert(r.getAs[Double]("f_stat") == 13.5)
+    assert(r.getAs[Double]("eta2") ==
+      BigDecimal(54.0 / 70.0).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+  }
+
+  test("levene: deviations and the inner ANOVA come out exact") {
+    // a = {0, 2, 10} mean 4 -> z = {4, 2, 6}·1e6; b = {3, 5} mean 4 ->
+    // z = {1, 1}·1e6. Inner K = 1e3: SSW = 8e18, SSB = 1.08e19,
+    // F = 1.08e19 / (8e18/3) = 4.05
+    val df = Seq(("a", 0L), ("a", 2L), ("a", 10L), ("b", 3L), ("b", 5L))
+      .toDF("g", "v")
+    val r = Stats.levene(df, col("g"), col("v")).collect().head
+    assert(r.getAs[Double]("ssw") == 8e18 && r.getAs[Double]("ssb") == 1.08e19)
+    assert(r.getAs[Double]("f_stat") == 4.05)
+  }
+
+  test("kruskalWallis: cross-group tie averages over the pooled count") {
+    // a = {1, 2, 3}, b = {2, 4}: ranks 1, 2.5, 4 / 2.5, 5 -> doubled
+    // sums 15 and 15; T = 225 div 3 + 225 div 2 = 187; H = 3·187/30−18
+    // = 0.7; one tied pair -> tie 6, h_adj = 0.7/0.95
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 2L), ("b", 4L))
+      .toDF("g", "v")
+    val r = Stats.kruskalWallis(df, col("g"), col("v")).collect().head
+    assert(r.getInt(0) == 2 && r.getLong(1) == 5L)
+    assert(r.getAs[Long]("t_sum") == 187L && r.getAs[Long]("tie_sum") == 6L)
+    assert(r.getAs[Double]("h") == 0.7)
+    assert(r.getAs[Double]("h_adj") ==
+      BigDecimal(0.7 / 0.95).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+  }
+
+  test("burstiness: regular spacing gives B = -1, a burst goes positive") {
+    val reg = Seq((1L, "k", 0L, 1L), (1L, "k", 1000L, 2L),
+      (1L, "k", 2000L, 3L), (1L, "k", 3000L, 4L)).toDF("u", "key", "t", "i")
+    val r = Stats.burstiness(reg, col("u"), col("key"), col("t"), col("i"))
+      .collect().head
+    assert(r.getAs[Long]("n_gaps") == 3L && r.getAs[Long]("cv2_x1e6") == 0L)
+    assert(r.getAs[Double]("burstiness") == -1.0)
+    val burst = Seq((1L, "k", 0L, 1L), (1L, "k", 1L, 2L), (1L, "k", 2L, 3L),
+      (1L, "k", 10000L, 4L)).toDF("u", "key", "t", "i")
+    val b = Stats.burstiness(burst, col("u"), col("key"), col("t"), col("i"))
+      .collect().head
+    assert(b.getAs[Long]("cv2_x1e6") > 1000000L) // CV² > 1: burstier than Poisson
+    assert(b.getAs[Double]("burstiness") > 0)
+  }
+
+  test("assortativity: a star is perfectly disassortative") {
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("pa", "pb")
+    val r = Graph.assortativity(star).collect().head
+    assert(r.getAs[Long]("n_endpoints") == 6L)
+    assert(r.getAs[Double]("assortativity") == -1.0)
+  }
+
+  test("modularity: two labeled triangles give exactly 1/2; singletons negative") {
+    val tri2 = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L))
+      .toDF("pa", "pb")
+    val labels = Seq((1L, 0), (2L, 0), (3L, 0), (4L, 1), (5L, 1), (6L, 1))
+      .toDF("v", "label")
+    val r = Graph.modularity(tri2, labels).collect().head
+    assert(r.getAs[Long]("m_edges") == 6L &&
+      r.getAs[Long]("n_communities") == 2L)
+    assert(r.getAs[Long]("modularity_x1e6") == 500000L)
+    val none = Graph.modularity(tri2,
+      Seq.empty[(Long, Int)].toDF("v", "label")).collect().head
+    assert(none.getAs[Long]("n_communities") == 6L &&
+      none.getAs[Long]("modularity_x1e6") < 0L)
+  }
+
+  test("brierDecomposition: perfect predictions decompose to BS = 0") {
+    val df = Seq((true, 1000L), (true, 1000L), (false, 0L), (false, 0L))
+      .toDF("p", "pm")
+    val r = Eval.brierDecomposition(df, col("p"), col("pm")).collect().head
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("n_pos") == 2L)
+    assert(r.getAs[Long]("brier_x1e6") == 0L && r.getAs[Long]("rel_x1e6") == 0L)
+    // obar = .5: RES = UNC = .25 (they cancel: BS = REL - RES + UNC)
+    assert(r.getAs[Long]("res_x1e6") == 250000L &&
+      r.getAs[Long]("unc_x1e6") == 250000L)
+  }
+
+  test("srmCheck: pooled row sums the strata; assignment is deterministic") {
+    val df = (0L until 1000L).map(u => (u, s"s${u % 3}")).toDF("u", "st")
+    val rows = Eval.srmCheck(df, col("u"), col("st")).collect()
+    val pooled = rows.find(_.isNullAt(0)).get
+    assert(pooled.getAs[Long]("n1") + pooled.getAs[Long]("n2") == 1000L)
+    val strata = rows.filter(!_.isNullAt(0))
+    assert(strata.map(_.getAs[Long]("n1")).sum == pooled.getAs[Long]("n1"))
+    val again = Eval.srmCheck(df, col("u"), col("st")).collect()
+      .find(_.isNullAt(0)).get
+    assert(again.getAs[Long]("n1") == pooled.getAs[Long]("n1"))
+  }
+
+  test("sourceCosine: identical tf vectors give 1, disjoint vocab no pair") {
+    val d = Seq(("g1", "a b b"), ("g2", "a b b"), ("g3", "zz"))
+      .toDF("source", "text")
+    val rows = TextAnalysis.sourceCosine(d, col("source")).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getString(0) == "g1" && r.getString(1) == "g2")
+    assert(r.getAs[Long]("dot") == 5L && r.getAs[Double]("cosine") == 1.0)
+  }
+
   test("rocAuc: perfect separation gives 1, all-ties give 0.5, hand case exact") {
     val perfect = Seq((true, 10), (true, 9), (false, 2), (false, 1)).toDF("p", "s")
     assert(Eval.rocAuc(perfect, col("p"), col("s")).collect().head.getDouble(3) == 1.0)
