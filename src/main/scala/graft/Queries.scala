@@ -9038,6 +9038,165 @@ object Queries {
       .orderBy("ga", "gb")
   }
 
+  q("q_mann_kendall",
+    // Mann-Kendall monotonic-trend test + Sen's slope on the hourly
+    // event-count series: exact sign sums and tie-corrected Var·18 over
+    // the span-bounded pair join, continuity-corrected z, and the
+    // physical lower-middle pairwise slope (exact dv/dt reported)
+    """WITH h AS (SELECT CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS t,
+      |    CAST(COUNT(*) AS BIGINT) AS v FROM events GROUP BY 1),
+      |p AS (SELECT b.v - a.v AS dv, b.t - a.t AS dt FROM h a JOIN h b ON b.t > a.t),
+      |sa AS (SELECT COUNT(*) AS m,
+      |    SUM(CASE WHEN dv > 0 THEN 1 WHEN dv < 0 THEN -1 ELSE 0 END) AS s FROM p),
+      |tn AS (SELECT COUNT(*) AS t FROM h),
+      |tie AS (SELECT COALESCE(SUM(CAST(c AS HUGEINT) * (c - 1) * (2 * c + 5)), 0)
+      |    AS ts FROM (SELECT v, COUNT(*) AS c FROM h GROUP BY 1) WHERE c > 1),
+      |sen AS (SELECT dv, dt FROM
+      |  (SELECT dv, dt, row_number() OVER (ORDER BY CAST(dv AS DOUBLE) / dt,
+      |    dv, dt) AS rn FROM p), sa WHERE rn = (m - 1) // 2 + 1)
+      |SELECT t AS n_points, CAST(m AS BIGINT) AS n_pairs, CAST(s AS BIGINT) AS s,
+      |  CAST(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5) - ts AS BIGINT) AS var18,
+      |  round(CAST(s - CASE WHEN s > 0 THEN 1 WHEN s < 0 THEN -1 ELSE 0 END
+      |      AS DOUBLE)
+      |    / sqrt(CAST(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5) - ts AS DOUBLE)
+      |      / 18.0), 6) AS z,
+      |  sen.dv AS sen_dv, sen.dt AS sen_dt,
+      |  round(CAST(sen.dv AS DOUBLE) / CAST(sen.dt AS DOUBLE), 6) AS sen_slope
+      |FROM tn, sa, tie, sen""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val h = events(s, dir)
+      .groupBy((unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+        .cast("long").as("t"))
+      .agg(count(lit(1)).as("v"))
+    Stats.mannKendall(h, col("t"), col("v"))
+  }
+
+  q("q_kendall_tau",
+    // Kendall's tau-b between the click and view hourly series:
+    // concordant/discordant/tied pair counts exactly over the
+    // span-bounded pair join, one IEEE combination — the rank
+    // correlation completing Spearman (which assumes no heavy ties)
+    """WITH hx AS (SELECT CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS t,
+      |    CAST(COUNT(*) AS BIGINT) AS v FROM events WHERE event_type = 'click' GROUP BY 1),
+      |hy AS (SELECT CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS t,
+      |    CAST(COUNT(*) AS BIGINT) AS v FROM events WHERE event_type = 'view' GROUP BY 1),
+      |j AS (SELECT hx.t, hx.v AS xv, hy.v AS yv FROM hx JOIN hy USING (t)),
+      |p AS (SELECT b.xv - a.xv AS dx, b.yv - a.yv AS dy
+      |  FROM j a JOIN j b ON b.t > a.t),
+      |ag AS (SELECT COUNT(*) AS n0,
+      |  SUM(CASE WHEN dx <> 0 AND dy <> 0 AND ((dx > 0) = (dy > 0))
+      |    THEN 1 ELSE 0 END) AS c,
+      |  SUM(CASE WHEN dx <> 0 AND dy <> 0 AND ((dx > 0) <> (dy > 0))
+      |    THEN 1 ELSE 0 END) AS d,
+      |  SUM(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS n1,
+      |  SUM(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS n2 FROM p)
+      |SELECT CAST(n0 AS BIGINT) AS n0, CAST(c AS BIGINT) AS c,
+      |  CAST(d AS BIGINT) AS d, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |  round(CAST(c - d AS DOUBLE)
+      |    / sqrt(CAST(CAST(n0 - n1 AS HUGEINT) * (n0 - n2) AS DOUBLE)), 6)
+      |    AS tau_b
+      |FROM ag""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    def hourly(et: String) = events(s, dir).filter(col("event_type") === et)
+      .groupBy((unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+        .cast("long").as("t"))
+      .agg(count(lit(1)).as("v"))
+    Stats.kendallTau(hourly("click"), hourly("view"), "t", "v")
+  }
+
+  q("q_seasonal_decomp",
+    // classical decomposition of the hourly series at period 24:
+    // half-weight-ended centered MA trend in exact ×1e6 fixed point
+    // (one 25-way literal fan-out + ONE shifted-index join, gap-robust),
+    // seasonal index per hour-of-day as the exact detrended sum + one
+    // IEEE division — the additive X-11 opening move, windowless
+    s"""WITH h AS (SELECT CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS t,
+      |    CAST(COUNT(*) AS BIGINT) AS v FROM events GROUP BY 1),
+      |o AS (SELECT k, w FROM (VALUES ${(-12 to 12).map(k =>
+            s"($k, ${if (math.abs(k) == 12) 1 else 2})").mkString(", ")}) x(k, w)),
+      |f AS (SELECT h.t, o.w, n.v AS nv FROM h CROSS JOIN o
+      |  JOIN h n ON n.t = h.t + o.k),
+      |tr AS (SELECT t, COUNT(*) AS cnt, SUM(w * nv) AS s2p FROM f GROUP BY 1),
+      |td AS (SELECT t, s2p * 1000000 // 48 AS trend_fp FROM tr WHERE cnt = 25),
+      |dd AS (SELECT CAST(h.t % 24 AS INT) AS phase,
+      |    h.v * 1000000 - trend_fp AS d_fp FROM td JOIN h USING (t))
+      |SELECT phase, COUNT(*) AS n_points, CAST(SUM(d_fp) AS BIGINT) AS d_sum,
+      |  round(CAST(SUM(d_fp) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1e6), 6)
+      |    AS seasonal
+      |FROM dd GROUP BY 1 ORDER BY phase""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val h = events(s, dir)
+      .groupBy((unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+        .cast("long").as("t"))
+      .agg(count(lit(1)).as("v"))
+    Stats.seasonalDecompose(h, col("t"), col("v"), period = 24)
+      .orderBy("phase")
+  }
+
+  q("q_two_proportion",
+    // pooled two-proportion z-test of per-user HEAVY-purchaser status
+    // (>= 14 purchases — near the per-user median at every sf, so
+    // neither pooled rate degenerates to 0/1) between the md5-parity
+    // arms: exact integer arm totals, one fixed IEEE sequence for
+    // p-diff and z — the standard conversion read behind q_ab_srm's gate
+    s"""WITH u AS (SELECT user_id,
+      |    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+      |      THEN 1 ELSE 0 END AS conv
+      |  FROM events GROUP BY 1),
+      |a AS (SELECT ${md5Hash60Sql("user_id")} % 2 = 0 AS arm, conv FROM u),
+      |g AS (SELECT SUM(CASE WHEN arm THEN 1 ELSE 0 END) AS n1,
+      |    SUM(CASE WHEN arm THEN conv ELSE 0 END) AS x1,
+      |    SUM(CASE WHEN NOT arm THEN 1 ELSE 0 END) AS n2,
+      |    SUM(CASE WHEN NOT arm THEN conv ELSE 0 END) AS x2 FROM a)
+      |SELECT CAST(n1 AS BIGINT) AS n1, CAST(x1 AS BIGINT) AS x1,
+      |  CAST(n2 AS BIGINT) AS n2, CAST(x2 AS BIGINT) AS x2,
+      |  round(CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |    - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE), 6) AS p_diff,
+      |  round((CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |      - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+      |    / sqrt((CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+      |      * (1 - CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+      |      * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))), 6) AS z
+      |FROM g""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val u = events(s, dir).groupBy("user_id")
+      .agg(when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        >= 14, 1L).otherwise(0L).as("conv"))
+    Eval.twoProportionZ(u,
+      pmod(graft.ops.Pipeline.md5Hash60(col("user_id").cast("string")),
+        lit(2)) === 0,
+      col("conv") === 1L)
+  }
+
+  q("stream_srm",
+    // the 20th streaming query: RUNNING sample-ratio-mismatch monitoring
+    // — complete-mode arm counts over the replayed event feed, the same
+    // exact ×1e6 chi-square as the batch q_ab_srm; catches a broken
+    // assignment WHILE the experiment ingests, not after
+    s"""WITH a AS (SELECT ${md5Hash60Sql("user_id")} % 2 = 0 AS arm FROM events),
+      |g AS (SELECT SUM(CASE WHEN arm THEN 1 ELSE 0 END) AS n1,
+      |    SUM(CASE WHEN arm THEN 0 ELSE 1 END) AS n2 FROM a)
+      |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |  CAST((n1 - n2) * (n1 - n2) * 1000000 // (n1 + n2) AS BIGINT)
+      |    AS chi2_x1e6
+      |FROM g""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = s.readStream.schema(tbl(s, dir, "events").schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val armed = src.select(
+      (pmod(graft.ops.Pipeline.md5Hash60(col("user_id").cast("string")),
+        lit(2)) === 0).as("arm"))
+      .groupBy("arm").agg(count(lit(1)).as("n"))
+    val qname = "graft_stream_srm"
+    withShufflePartitions(s, 4) {
+      val query = armed.writeStream.format("memory").queryName(qname)
+        .outputMode("complete").start()
+      try query.processAllAvailable() finally query.stop()
+    }
+    s.table(qname)
+      .agg(sum(when(col("arm"), col("n")).otherwise(0L)).cast("long").as("n1"),
+        sum(when(!col("arm"), col("n")).otherwise(0L)).cast("long").as("n2"))
+      .select(col("n1"), col("n2"),
+        expr("(n1 - n2) * (n1 - n2) * 1000000 div (n1 + n2)").cast("long")
+          .as("chi2_x1e6"))
+  }
+
   q("stream_topk",
     // complete-mode streaming heavy hitters: the running top-15 tokens —
     // sort+limit is legal in complete mode because the full aggregate

@@ -340,6 +340,28 @@ object Eval {
           .as("unc_x1e6"))
   }
 
+  /** Two-proportion z-test (pooled): the conversion-rate A/B read.
+    * Exact integer arm totals (one aggregate), then one fixed IEEE
+    * sequence — p̂₁−p̂₂ over the pooled-variance standard error. The
+    * companion to [[srmCheck]]: run that first, then this.
+    */
+  def twoProportionZ(df: DataFrame, isA: org.apache.spark.sql.Column,
+                     isConv: org.apache.spark.sql.Column): DataFrame = {
+    val g = df.select(isA.as("a"), when(isConv, 1L).otherwise(0L).as("conv"))
+      .agg(sum(when(col("a"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("a"), col("conv")).otherwise(0L)).as("x1"),
+        sum(when(!col("a"), 1L).otherwise(0L)).as("n2"),
+        sum(when(!col("a"), col("conv")).otherwise(0L)).as("x2"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val p1 = d(col("x1")) / d(col("n1"))
+    val p2 = d(col("x2")) / d(col("n2"))
+    val pp = d(col("x1") + col("x2")) / d(col("n1") + col("n2"))
+    g.select(col("n1"), col("x1"), col("n2"), col("x2"),
+      round(p1 - p2, 6).as("p_diff"),
+      round((p1 - p2) / sqrt(pp * (lit(1) - pp)
+        * (lit(1.0) / d(col("n1")) + lit(1.0) / d(col("n2")))), 6).as("z"))
+  }
+
   /** Sample-ratio-mismatch check for a deterministic 50/50 hash split —
     * the first thing to verify before reading ANY A/B result. Arms come
     * from the md5 parity of the unit id (the engine's standing

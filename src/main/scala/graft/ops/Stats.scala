@@ -1109,4 +1109,128 @@ object Stats {
           / (sqrt((col("n") * col("q") - col("s") * col("s")).cast("double"))
             + col("s").cast("double")), 6).as("burstiness"))
   }
+
+  /** Mann–Kendall monotonic-trend test + Sen's slope over an
+    * integer-valued regular series: S = Σ sign(v_j − v_i) over ordered
+    * pairs, tie-corrected Var·18 exactly in integers, the
+    * continuity-corrected z as one IEEE combination, and Sen's slope as
+    * the PHYSICAL lower-middle pairwise slope (dv, dt reported exactly;
+    * the ordering key is the deterministic IEEE quotient with (dv, dt)
+    * tie-breaks, so both engines select the identical pair).
+    *
+    * SPAN-BOUNDED CONTRACT (the acf discipline): the pair join is
+    * O(T²) in the SERIES length — the time-domain span (an hourly year
+    * is 8.8k points → 38M pairs), never the event volume that produced
+    * it. Callers aggregate to the series first.
+    */
+  def mannKendall(df: DataFrame, tCol: Column, vCol: Column): DataFrame = {
+    def d38(c: Column): Column = c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val h = df.select(tCol.cast("long").as("t"), vCol.cast("long").as("v"))
+      .localCheckpoint() // consumers: pairs ×2 actions, tie counts, T
+    val pairs = h.as("a").join(h.as("b"), col("b.t") > col("a.t"))
+      .select((col("b.v") - col("a.v")).as("dv"),
+        (col("b.t") - col("a.t")).as("dt"))
+    val sAgg = pairs.agg(count(lit(1)).cast("long").as("n_pairs"),
+      sum(when(col("dv") > 0, 1L).when(col("dv") < 0, -1L).otherwise(0L))
+        .cast("long").as("s"))
+    val tn = h.count()
+    val tie = h.groupBy("v").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .agg(coalesce(sum(d38(col("c")) * (col("c") - 1) * (lit(2) * col("c") + 5)),
+        lit(0).cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("ts"))
+    val sen = pairsMedianSlope(pairs)
+    sAgg.crossJoin(tie).crossJoin(sen)
+      .select(lit(tn).as("n_points"), col("n_pairs"), col("s"),
+        (d38(lit(tn)) * (lit(tn) - 1) * (lit(2) * tn + 5) - col("ts"))
+          .cast("long").as("var18"),
+        round((col("s") - signum(col("s"))).cast("double")
+          / sqrt((d38(lit(tn)) * (lit(tn) - 1) * (lit(2) * tn + 5) - col("ts"))
+            .cast("double") / 18.0), 6).as("z"),
+        col("sen_dv"), col("sen_dt"),
+        round(col("sen_dv").cast("double") / col("sen_dt").cast("double"), 6)
+          .as("sen_slope"))
+  }
+
+  /** The pair whose slope sits at the 0-based lower-middle of the
+    * ascending slope order — selected PHYSICALLY by the double-sort
+    * trick (asc limit k+1, then desc limit 1): both sorts plan as
+    * TakeOrdered, never a full global sort. The ordering key is the
+    * IEEE quotient with exact (dv, dt) tie-breaks — identical on any
+    * engine, so the picked pair (and hence the reported exact dv/dt)
+    * is deterministic even among equal slopes.
+    */
+  private def pairsMedianSlope(pairs: DataFrame): DataFrame = {
+    val m = pairs.count()
+    val k = ((m - 1) / 2).toInt
+    val keyed = pairs.withColumn("__q",
+      col("dv").cast("double") / col("dt").cast("double"))
+    keyed.orderBy(col("__q"), col("dv"), col("dt")).limit(k + 1)
+      .orderBy(col("__q").desc, col("dv").desc, col("dt").desc).limit(1)
+      .select(col("dv").as("sen_dv"), col("dt").as("sen_dt"))
+  }
+
+  /** Kendall's τ-b between two integer-valued regular series joined on
+    * the shared index: concordant/discordant/tied pair counts exactly,
+    * τ-b = (C − D)/√((n0−n1)(n0−n2)) as one IEEE combination. Same
+    * span-bounded O(T²) pair contract as [[mannKendall]].
+    */
+  def kendallTau(x: DataFrame, y: DataFrame, tCol: String,
+                 vCol: String): DataFrame = {
+    def d38(c: Column): Column = c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val j = x.select(col(tCol).cast("long").as("t"), col(vCol).cast("long").as("xv"))
+      .join(y.select(col(tCol).cast("long").as("t"), col(vCol).cast("long").as("yv")),
+        "t")
+    val p = j.as("a").join(j.as("b"), col("b.t") > col("a.t"))
+      .select((col("b.xv") - col("a.xv")).as("dx"),
+        (col("b.yv") - col("a.yv")).as("dy"))
+    p.agg(count(lit(1)).cast("long").as("n0"),
+        sum(when(col("dx") =!= 0 && col("dy") =!= 0 &&
+          (col("dx") > 0) === (col("dy") > 0), 1L).otherwise(0L))
+          .cast("long").as("c"),
+        sum(when(col("dx") =!= 0 && col("dy") =!= 0 &&
+          (col("dx") > 0) =!= (col("dy") > 0), 1L).otherwise(0L))
+          .cast("long").as("d"),
+        sum(when(col("dx") === 0, 1L).otherwise(0L)).cast("long").as("n1"),
+        sum(when(col("dy") === 0, 1L).otherwise(0L)).cast("long").as("n2"))
+      .select(col("n0"), col("c"), col("d"), col("n1"), col("n2"),
+        round((col("c") - col("d")).cast("double")
+          / sqrt((d38(col("n0") - col("n1")) * d38(col("n0") - col("n2")))
+            .cast("double")), 6).as("tau_b"))
+  }
+
+  /** Classical seasonal decomposition at an even period P (the X-11
+    * opening move): trend = centered (P+1)-term moving average with
+    * half-weight ends — exactly, as S = v_{t−P/2} + v_{t+P/2} +
+    * 2·Σ_{|k|<P/2} v_{t+k}, trend·2P = S·10⁶ div 2P in truncating fixed
+    * point (positive counts) — then the seasonal index per phase
+    * (t mod P) as the mean detrended deviation, reported as an exact
+    * sum + one IEEE division. Gap-robust: a t missing any of its 2P+1
+    * neighbors is excluded (pairwise-complete, the acf rule). One
+    * literal (2P+1)-way explode + ONE shifted-index equi-join — linear
+    * in the series, no window, no driver state.
+    */
+  def seasonalDecompose(df: DataFrame, tCol: Column, vCol: Column,
+                        period: Int): DataFrame = {
+    require(period >= 2 && period % 2 == 0, "even period required")
+    val half = period / 2
+    val h = df.select(tCol.cast("long").as("t"), vCol.cast("long").as("v"))
+    val offs = (-half to half).map(k =>
+      struct(lit(k).as("k"), lit(if (math.abs(k) == half) 1L else 2L).as("w")))
+    val fan = h.select(col("t"), explode(array(offs: _*)).as("o"))
+      .select((col("t") + col("o.k")).as("ts"), col("t"), col("o.w"))
+    val nbr = h.select(col("t").as("ts"), col("v").as("nv"))
+    val trend = fan.join(nbr, "ts")
+      .groupBy("t").agg(count(lit(1)).as("cnt"),
+        sum(col("w") * col("nv")).as("s2p"))
+      .filter(col("cnt") === 2 * half + 1)
+      .select(col("t"), expr(s"s2p * 1000000 div ${2 * period}").as("trend_fp"))
+    trend.join(h, "t")
+      .select(pmod(col("t"), lit(period)).cast("int").as("phase"),
+        (col("v") * 1000000L - col("trend_fp")).as("d_fp"))
+      .groupBy("phase")
+      .agg(count(lit(1)).as("n_points"), sum("d_fp").cast("long").as("d_sum"))
+      .select(col("phase"), col("n_points"), col("d_sum"),
+        round(col("d_sum").cast("double")
+          / (col("n_points").cast("double") * 1e6), 6).as("seasonal"))
+  }
 }

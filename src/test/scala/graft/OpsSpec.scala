@@ -2866,6 +2866,57 @@ class AdviceRegressionSpec extends AnyFunSuite {
     assert(r.getAs[Long]("dot") == 5L && r.getAs[Double]("cosine") == 1.0)
   }
 
+  test("mannKendall: strict increase maximizes S, Sen slope exact") {
+    // v = 2t: every pair concordant -> S = n_pairs = 45, no ties ->
+    // var18 = 10·9·25 = 2250, every pairwise slope = 2
+    val df = (0L until 10L).map(t => (t, 2 * t)).toDF("t", "v")
+    val r = Stats.mannKendall(df, col("t"), col("v")).collect().head
+    assert(r.getAs[Long]("n_points") == 10L && r.getAs[Long]("n_pairs") == 45L)
+    assert(r.getAs[Long]("s") == 45L && r.getAs[Long]("var18") == 2250L)
+    assert(r.getAs[Double]("sen_slope") == 2.0)
+    val expectZ = BigDecimal(44.0 / math.sqrt(2250.0 / 18.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("z") == expectZ)
+  }
+
+  test("kendallTau: identity gives 1, reversal -1, ties counted") {
+    val xs = (0L until 8L).map(t => (t, t * 3 % 7)).toDF("t", "v")
+    val same = Stats.kendallTau(xs, xs, "t", "v").collect().head
+    assert(same.getAs[Double]("tau_b") == 1.0)
+    val neg = xs.select(col("t"), (-col("v")).as("v"))
+    val rev = Stats.kendallTau(xs, neg, "t", "v").collect().head
+    assert(rev.getAs[Double]("tau_b") == -1.0)
+    // one tied x pair (t=0 and t=7 both have v=0): n1 counts it
+    assert(same.getAs[Long]("n1") == 1L && same.getAs[Long]("n0") == 28L)
+  }
+
+  test("seasonalDecompose: pure period-2-in-4 pattern recovers ±2 exactly") {
+    // {5, 9, 5, 9, ...}: centered MA trend is exactly 7, so the
+    // seasonal index is -2 at even phases, +2 at odd
+    val df = (0L until 20L).map(t => (t, if (t % 2 == 0) 5L else 9L))
+      .toDF("t", "v")
+    val rows = Stats.seasonalDecompose(df, col("t"), col("v"), period = 4)
+      .orderBy("phase").collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.getAs[Long]("n_points")).forall(_ == 4L))
+    assert(rows.map(r => r.getInt(0) -> r.getAs[Double]("seasonal")).toMap ==
+      Map(0 -> -2.0, 1 -> 2.0, 2 -> -2.0, 3 -> 2.0))
+  }
+
+  test("twoProportionZ: hand case matches the pooled-variance formula") {
+    val df = Seq(("a", true), ("a", true), ("a", false), ("a", false),
+      ("b", true), ("b", false), ("b", false), ("b", false))
+      .toDF("g", "c")
+    val r = Eval.twoProportionZ(df, col("g") === "a", col("c")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (4L, 2L, 4L, 1L))
+    assert(r.getAs[Double]("p_diff") == 0.25)
+    val pp = 3.0 / 8
+    val expectZ = BigDecimal(0.25 / math.sqrt(pp * (1 - pp) * (0.25 + 0.25)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("z") == expectZ)
+  }
+
   test("rocAuc: perfect separation gives 1, all-ties give 0.5, hand case exact") {
     val perfect = Seq((true, 10), (true, 9), (false, 2), (false, 1)).toDF("p", "s")
     assert(Eval.rocAuc(perfect, col("p"), col("s")).collect().head.getDouble(3) == 1.0)
