@@ -9197,6 +9197,123 @@ object Queries {
           .as("chi2_x1e6"))
   }
 
+  q("q_embedding_drift",
+    // embedding-distribution drift between the even/odd vec_id cohorts:
+    // per-dim coordinate sums on the 2^20 grid, centroid deltas as
+    // cross-multiplied integers over the common na·nb denominator (the
+    // dims reduce is an exact decimal sum), squared centroid distance +
+    // centroid cosine (scale cancels) + the most-shifted dimension
+    """WITH q AS (SELECT vec_id % 2 = 0 AS a,
+      |    generate_subscripts(embedding, 1) - 1 AS dim,
+      |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1048576 + 0.5) AS BIGINT) AS q
+      |  FROM embeddings),
+      |cnt AS (SELECT SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS na,
+      |    SUM(CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END) AS nb FROM embeddings),
+      |bd AS (SELECT dim, SUM(CASE WHEN a THEN q ELSE 0 END) AS sa,
+      |    SUM(CASE WHEN NOT a THEN q ELSE 0 END) AS sb FROM q GROUP BY 1),
+      |dd AS (SELECT dim, na, nb,
+      |    CAST(sa AS HUGEINT) * nb - CAST(sb AS HUGEINT) * na AS ddn,
+      |    CAST(sa AS HUGEINT) AS sa, CAST(sb AS HUGEINT) AS sb FROM bd, cnt),
+      |ag AS (SELECT na, nb, COUNT(*) AS n_dims, SUM(ddn * ddn) AS d2n,
+      |    SUM(sa * sb) AS sab, SUM(sa * sa) AS saa, SUM(sb * sb) AS sbb
+      |  FROM dd GROUP BY 1, 2),
+      |tp AS (SELECT dim AS top_dim, ddn AS top_ddn FROM dd
+      |  ORDER BY ddn * ddn DESC, dim LIMIT 1)
+      |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      |  CAST(n_dims AS INT) AS n_dims,
+      |  round(CAST(d2n AS DOUBLE)
+      |    / ((CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * 1048576.0)
+      |      * (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * 1048576.0)), 6)
+      |    AS centroid_dist2,
+      |  round(CAST(sab AS DOUBLE)
+      |    / sqrt(CAST(saa AS DOUBLE) * CAST(sbb AS DOUBLE)), 6) AS centroid_cos,
+      |  CAST(top_dim AS INT) AS top_dim,
+      |  round(CAST(top_ddn AS DOUBLE)
+      |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * 1048576.0), 6)
+      |    AS top_dim_shift
+      |FROM ag, tp""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    Similarity.embeddingDrift(tbl(s, dir, "embeddings"), col("vec_id") % 2 === 0)
+  }
+
+  q("q_theilsen_by_group",
+    // per-stream Theil-Sen robust trend: each event type's hourly
+    // series gets the physical lower-middle pairwise slope — outliers
+    // in single hours cannot move it, unlike the OLS fit; span-bounded
+    // pair join, one partitioned sort per group
+    """WITH h AS (SELECT event_type AS g,
+      |    CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS t,
+      |    CAST(COUNT(*) AS BIGINT) AS v FROM events GROUP BY 1, 2),
+      |p AS (SELECT a.g, b.v - a.v AS dv, b.t - a.t AS dt
+      |  FROM h a JOIN h b ON a.g = b.g AND b.t > a.t),
+      |r AS (SELECT g, dv, dt,
+      |    row_number() OVER (PARTITION BY g
+      |      ORDER BY CAST(dv AS DOUBLE) / dt, dv, dt) AS rn,
+      |    COUNT(*) OVER (PARTITION BY g) AS m FROM p)
+      |SELECT g, CAST(m AS BIGINT) AS n_pairs, dv AS sen_dv, dt AS sen_dt,
+      |  round(CAST(dv AS DOUBLE) / CAST(dt AS DOUBLE), 6) AS sen_slope
+      |FROM r WHERE rn = (m - 1) // 2 + 1 ORDER BY g"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val h = events(s, dir)
+      .groupBy(col("event_type").as("g"),
+        (unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+          .cast("long").as("t"))
+      .agg(count(lit(1)).as("v"))
+    Stats.senSlopeByGroup(h, col("g"), col("t"), col("v")).orderBy("g")
+  }
+
+  q("q_cochran_armitage",
+    // Cochran-Armitage trend test: does the share of FINISHED orders
+    // rise monotonically with the priority digit? T·N and the variance
+    // pieces exactly in integers over the 5 dose rows, one IEEE
+    // combination — the ordered-category completion of the chi-square
+    """WITH r AS (SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS w,
+      |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS x FROM orders),
+      |g AS (SELECT w, COUNT(*) AS n, SUM(x) AS x FROM r GROUP BY 1),
+      |t AS (SELECT SUM(n) AS nn, SUM(x) AS xx FROM g),
+      |p AS (SELECT COUNT(*) AS k,
+      |    SUM(CAST(w AS HUGEINT) * (CAST(x AS HUGEINT) * nn - CAST(n AS HUGEINT) * xx)) AS tn,
+      |    SUM(CAST(w AS HUGEINT) * w * n) AS w2n,
+      |    SUM(CAST(w AS HUGEINT) * n) AS wn FROM g, t)
+      |SELECT CAST(k AS INT) AS k_doses, CAST(nn AS BIGINT) AS n,
+      |  CAST(xx AS BIGINT) AS x, CAST(tn AS BIGINT) AS t_n,
+      |  round(CAST(tn AS DOUBLE)
+      |    / sqrt(CAST(CAST(xx AS HUGEINT) * (nn - xx) * (nn * w2n - wn * wn)
+      |        AS DOUBLE) / CAST(nn AS DOUBLE)), 6) AS z
+      |FROM p, t""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    Stats.cochranArmitage(tbl(s, dir, "orders"),
+      substring(col("o_orderpriority"), 1, 1).cast("long"),
+      col("o_orderstatus") === "F")
+  }
+
+  q("q_feature_bins",
+    // equal-frequency feature binning of order totals (cents): NTILE
+    // deciles via the windowless global-rank machinery, per-bin count,
+    // exact min/max/sum, mean in one IEEE step — the bin-edge table a
+    // feature pipeline persists
+    """WITH r AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+      |    o_orderkey AS tie FROM orders),
+      |b AS (SELECT v, ntile(10) OVER (ORDER BY v, tie) AS bin FROM r)
+      |SELECT CAST(bin AS INT) AS bin, COUNT(*) AS n, MIN(v) AS min_cents,
+      |  MAX(v) AS max_cents, CAST(SUM(v) AS BIGINT) AS sum_cents,
+      |  round(CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0, 6)
+      |    AS mean_dollars
+      |FROM b GROUP BY 1 ORDER BY bin""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    def d38(c: Column): Column = c.cast(DecimalType(38, 0))
+    val base = tbl(s, dir, "orders")
+      .select(floor(col("o_totalprice") * 100 + 0.5).cast("long").as("v"),
+        col("o_orderkey").as("tie"))
+      .localCheckpoint() // Ranks deterministic-input contract (4 actions)
+    val n = base.count()
+    Ranks.globalRank(base, col("v"), col("tie"), "r")
+      .withColumn("bin", Ranks.ntileOfRank(col("r"), lit(n), 10).cast("int"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), min("v").as("min_cents"),
+        max("v").as("max_cents"), sum(d38(col("v"))).cast("long").as("sum_cents"))
+      .withColumn("mean_dollars",
+        round(col("sum_cents").cast("double") / col("n").cast("double") / 100.0, 6))
+      .orderBy("bin")
+  }
+
   q("stream_topk",
     // complete-mode streaming heavy hitters: the running top-15 tokens —
     // sort+limit is legal in complete mode because the full aggregate

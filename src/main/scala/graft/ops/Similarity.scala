@@ -928,4 +928,57 @@ object Similarity {
       .map { case ((id, md), i) => (i + 1, id, md) }
       .toDF("sel_order", idCol, "md")
   }
+
+  /** Embedding-distribution drift between two cohorts (old batch vs new
+    * batch, train vs serve): squared centroid distance, centroid
+    * cosine, and the single most-shifted dimension — the cheap monitor
+    * that catches an upstream encoder change before an index rebuild
+    * degrades. Exactly: per-dim coordinate sums on the 2²⁰ quantization
+    * grid (the [[KmeansScale]] rule), centroid differences as
+    * cross-multiplied integers over the common (n_a·n_b) denominator —
+    * so the dims-sized reduction is an EXACT decimal sum, never an
+    * order-dependent double accumulation — then three IEEE combinations.
+    * In the cosine the scale and counts cancel:
+    * cos = Σs_a·s_b / √(Σs_a²·Σs_b²). One explode + one dim-keyed
+    * aggregate (`dim` rows), one broadcast of the two counts.
+    */
+  def embeddingDrift(vecs: DataFrame, isA: Column,
+                     vecCol: Column = col("embedding")): DataFrame = {
+    def d38(c: Column): Column = c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val q = vecs.select(isA.as("a"),
+        posexplode(vecCol).as(Seq("dim", "x")))
+      .select(col("a"), col("dim"),
+        floor(col("x").cast("double") * KmeansScale + 0.5).cast("long").as("q"))
+    val cnt = vecs.agg(
+      sum(when(isA, 1L).otherwise(0L)).as("na"),
+      sum(when(isA, 0L).otherwise(1L)).as("nb"))
+    val byDim = q.groupBy("dim")
+      .agg(sum(when(col("a"), col("q")).otherwise(0L)).as("sa"),
+        sum(when(!col("a"), col("q")).otherwise(0L)).as("sb"))
+      .crossJoin(broadcast(cnt))
+      .select(col("dim"), col("na"), col("nb"),
+        (d38(col("sa")) * col("nb") - d38(col("sb")) * col("na")).as("ddn"),
+        d38(col("sa")).as("sa"), d38(col("sb")).as("sb"))
+      .localCheckpoint() // consumers: the reduce + the top-dim pick
+    val agg = byDim.groupBy("na", "nb")
+      .agg(count(lit(1)).cast("int").as("n_dims"),
+        sum(col("ddn") * col("ddn")).as("d2n"),
+        sum(col("sa") * col("sb")).as("sab"),
+        sum(col("sa") * col("sa")).as("saa"),
+        sum(col("sb") * col("sb")).as("sbb"))
+    val top = byDim
+      .orderBy((col("ddn") * col("ddn")).desc, col("dim")).limit(1)
+      .select(col("dim").as("top_dim"), col("ddn").as("top_ddn"))
+    val den = col("na").cast("double") * col("nb").cast("double") *
+      lit(KmeansScale.toDouble)
+    agg.crossJoin(top)
+      .select(col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+        col("n_dims"),
+        round(col("d2n").cast("double") / (den * den), 6).as("centroid_dist2"),
+        round(col("sab").cast("double")
+          / sqrt(col("saa").cast("double") * col("sbb").cast("double")), 6)
+          .as("centroid_cos"),
+        col("top_dim"),
+        round(col("top_ddn").cast("double") / den, 6).as("top_dim_shift"))
+  }
 }

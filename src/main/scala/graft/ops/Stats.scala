@@ -1198,6 +1198,63 @@ object Stats {
             .cast("double")), 6).as("tau_b"))
   }
 
+  /** Per-group Sen's slope (the Theil–Sen robust trend, grouped): for
+    * each group, the PHYSICAL lower-middle pairwise slope of its
+    * (t, v) series. Pairs join per group (same span-bounded contract
+    * as [[mannKendall]]), then a PARTITIONED row_number window over the
+    * deterministic (IEEE quotient, dv, dt) order picks index
+    * ⌊(m−1)/2⌋ — one sort per group, each group's pair list
+    * span-bounded by construction.
+    */
+  def senSlopeByGroup(df: DataFrame, gCol: Column, tCol: Column,
+                      vCol: Column): DataFrame = {
+    val h = df.select(gCol.as("g"), tCol.cast("long").as("t"),
+      vCol.cast("long").as("v"))
+    val p = h.as("a").join(h.as("b"),
+        col("a.g") === col("b.g") && col("b.t") > col("a.t"))
+      .select(col("a.g").as("g"), (col("b.v") - col("a.v")).as("dv"),
+        (col("b.t") - col("a.t")).as("dt"))
+      .withColumn("__q", col("dv").cast("double") / col("dt").cast("double"))
+    val w = Window.partitionBy("g").orderBy(col("__q"), col("dv"), col("dt"))
+    val all = Window.partitionBy("g")
+    p.withColumn("rn", row_number().over(w))
+      .withColumn("m", count(lit(1)).over(all))
+      .filter(col("rn") === expr("(m - 1) div 2 + 1"))
+      .select(col("g"), col("m").as("n_pairs"), col("dv").as("sen_dv"),
+        col("dt").as("sen_dt"),
+        round(col("dv").cast("double") / col("dt").cast("double"), 6)
+          .as("sen_slope"))
+  }
+
+  /** Cochran–Armitage trend-in-proportions test across ordered doses
+    * (tiers, buckets, priority levels): is the positive rate rising or
+    * falling MONOTONICALLY with the dose score w? T·N =
+    * Σ wᵢ(xᵢN − nᵢX) exactly in integers, and
+    * z = T·N / √(X(N−X)(N·Σw²nᵢ − (Σwnᵢ)²)/N) as one IEEE combination
+    * over exact decimal pieces. One dose-keyed aggregate (k rows) + a
+    * k-row reduce.
+    */
+  def cochranArmitage(df: DataFrame, doseCol: Column, posCol: Column): DataFrame = {
+    def d38(c: Column): Column = c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val g = df.select(doseCol.cast("long").as("w"),
+        when(posCol, 1L).otherwise(0L).as("x"))
+      .groupBy("w").agg(count(lit(1)).as("n"), sum("x").as("x"))
+    val tot = g.agg(sum("n").cast("long").as("nn"), sum("x").cast("long").as("xx"))
+    val parts = g.crossJoin(broadcast(tot))
+      .agg(count(lit(1)).cast("int").as("k_doses"),
+        sum(d38(col("w")) * (d38(col("x")) * col("nn") - d38(col("n")) * col("xx")))
+          .as("tn"),
+        sum(d38(col("w")) * col("w") * col("n")).as("w2n"),
+        sum(d38(col("w")) * col("n")).as("wn"))
+    parts.crossJoin(broadcast(tot))
+      .select(col("k_doses"), col("nn").as("n"), col("xx").as("x"),
+        col("tn").cast("long").as("t_n"),
+        round(col("tn").cast("double")
+          / sqrt((d38(col("xx")) * (col("nn") - col("xx"))
+            * (col("nn") * col("w2n") - col("wn") * col("wn"))).cast("double")
+            / col("nn").cast("double")), 6).as("z"))
+  }
+
   /** Classical seasonal decomposition at an even period P (the X-11
     * opening move): trend = centered (P+1)-term moving average with
     * half-weight ends — exactly, as S = v_{t−P/2} + v_{t+P/2} +

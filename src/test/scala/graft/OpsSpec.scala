@@ -2917,6 +2917,37 @@ class AdviceRegressionSpec extends AnyFunSuite {
     assert(r.getAs[Double]("z") == expectZ)
   }
 
+  test("embeddingDrift: orthogonal cohort centroids give dist2 = 2, cos = 0") {
+    val vecs = Seq((0L, Array(1f, 0f)), (2L, Array(1f, 0f)),
+      (1L, Array(0f, 1f)), (3L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    val r = Similarity.embeddingDrift(vecs, col("vec_id") % 2 === 0)
+      .collect().head
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Int]("n_dims") == 2)
+    assert(r.getAs[Double]("centroid_dist2") == 2.0)
+    assert(r.getAs[Double]("centroid_cos") == 0.0)
+    assert(r.getAs[Int]("top_dim") == 0 &&
+      r.getAs[Double]("top_dim_shift") == 1.0) // |ddn| tie -> lowest dim
+  }
+
+  test("senSlopeByGroup: per-group robust slopes exact") {
+    val df = (0L until 10L).flatMap(t =>
+      Seq(("up", t, 3 * t), ("down", t, 100 - t))).toDF("g", "t", "v")
+    val m = Stats.senSlopeByGroup(df, col("g"), col("t"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("sen_slope")).toMap
+    assert(m == Map("up" -> 3.0, "down" -> -1.0))
+  }
+
+  test("cochranArmitage: linear rise over three doses, hand-exact z") {
+    // doses 1,2,3 with n=2 each and x = 0,1,2: T·N = 12, z = 12/6 = 2
+    val df = Seq((1, false), (1, false), (2, true), (2, false),
+      (3, true), (3, true)).toDF("w", "pos")
+    val r = Stats.cochranArmitage(df, col("w"), col("pos")).collect().head
+    assert(r.getAs[Int]("k_doses") == 3 && r.getAs[Long]("n") == 6L)
+    assert(r.getAs[Long]("t_n") == 12L)
+    assert(r.getAs[Double]("z") == 2.0)
+  }
+
   test("rocAuc: perfect separation gives 1, all-ties give 0.5, hand case exact") {
     val perfect = Seq((true, 10), (true, 9), (false, 2), (false, 1)).toDF("p", "s")
     assert(Eval.rocAuc(perfect, col("p"), col("s")).collect().head.getDouble(3) == 1.0)
