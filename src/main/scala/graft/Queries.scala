@@ -8173,6 +8173,69 @@ object Queries {
     Stats.kaplanMeier(dur, col("t"), col("d")).orderBy("t")
   }
 
+  q("q_nelson_aalen",
+    // Nelson–Aalen cumulative hazard over the SAME censored lifetimes as
+    // q_km_survival: per-duration hazard d/n quantized once to 1e12 fixed
+    // point, then an EXACT integer prefix sum (no order-dependent float
+    // accumulation) — the additive companion to the K-M product curve
+    """WITH u AS (SELECT user_id, MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx,
+      |    MAX(ts) < TIMESTAMP '2024-01-29' AS ev FROM events GROUP BY 1),
+      |dur AS (SELECT (mx - mn) // 3600000000 AS t,
+      |    CASE WHEN ev THEN 1 ELSE 0 END AS d FROM u),
+      |g AS (SELECT t, SUM(d) AS d, COUNT(*) AS c FROM dur GROUP BY 1),
+      |tt AS (SELECT SUM(c) AS n_tot FROM g),
+      |na AS (SELECT t, d,
+      |    n_tot - coalesce(SUM(c) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+      |  FROM g, tt),
+      |h AS (SELECT t, d, n_risk, CAST(floor(CAST(d AS DOUBLE)
+      |    / CAST(n_risk AS DOUBLE) * 1e12 + 0.5) AS BIGINT) AS hq FROM na)
+      |SELECT t, CAST(d AS INT) AS d, CAST(n_risk AS INT) AS n_risk,
+      |  round(CAST(SUM(hq) OVER (ORDER BY t) AS DOUBLE) / 1e12, 6) AS h_t
+      |FROM h ORDER BY t""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val u = events(s, dir).groupBy("user_id")
+      .agg(min(unix_micros(col("ts").cast(TimestampType))).as("mn"),
+        max(unix_micros(col("ts").cast(TimestampType))).as("mx"),
+        (max(col("ts")) < lit("2024-01-29").cast(TimestampNTZType)).as("ev"))
+    val dur = u.select(expr("(mx - mn) div 3600000000").as("t"),
+      when(col("ev"), 1).otherwise(0).as("d"))
+    Stats.nelsonAalen(dur, col("t"), col("d")).orderBy("t")
+  }
+
+  q("q_mutual_info",
+    // mutual information (nats) between document language and source,
+    // with marginal entropies and the normalized MI — the
+    // feature-redundancy / label-leakage screen; every cell term takes
+    // ln of an exact decimal rational, is quantized once to 1e12 fixed
+    // point, and the reductions are exact decimal sums (order-free)
+    """WITH cells AS (SELECT lang AS x, source AS y, COUNT(*) AS nij
+      |  FROM documents GROUP BY 1, 2),
+      |mx AS (SELECT x, SUM(nij) AS ni FROM cells GROUP BY 1),
+      |my AS (SELECT y, SUM(nij) AS nj FROM cells GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(nij) AS BIGINT) AS n FROM cells),
+      |mi AS (SELECT SUM(CAST(nij AS DECIMAL(38,0)) * CAST(floor(ln(
+      |    CAST(CAST(nij AS DECIMAL(38,0)) * n AS DOUBLE)
+      |    / CAST(CAST(ni AS DECIMAL(38,0)) * nj AS DOUBLE)) * 1e12 + 0.5)
+      |    AS BIGINT)) AS mi_q
+      |  FROM cells JOIN mx USING (x) JOIN my USING (y), tot),
+      |hx AS (SELECT CAST(COUNT(*) AS INT) AS k_x,
+      |    SUM(CAST(ni AS DECIMAL(38,0)) * CAST(floor(ln(
+      |      CAST(n AS DOUBLE) / CAST(ni AS DOUBLE)) * 1e12 + 0.5) AS BIGINT))
+      |    AS hx_q FROM mx, tot),
+      |hy AS (SELECT CAST(COUNT(*) AS INT) AS k_y,
+      |    SUM(CAST(nj AS DECIMAL(38,0)) * CAST(floor(ln(
+      |      CAST(n AS DOUBLE) / CAST(nj AS DOUBLE)) * 1e12 + 0.5) AS BIGINT))
+      |    AS hy_q FROM my, tot)
+      |SELECT n, k_x, k_y,
+      |  round(CAST(mi_q AS DOUBLE) / (CAST(n AS DOUBLE) * 1e12), 6) AS mi_nats,
+      |  round(CAST(hx_q AS DOUBLE) / (CAST(n AS DOUBLE) * 1e12), 6) AS h_x,
+      |  round(CAST(hy_q AS DOUBLE) / (CAST(n AS DOUBLE) * 1e12), 6) AS h_y,
+      |  round(CAST(mi_q AS DOUBLE)
+      |    / sqrt(CAST(hx_q AS DOUBLE) * CAST(hy_q AS DOUBLE)), 6) AS nmi
+      |FROM mi, hx, hy, tot""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    Stats.mutualInfo(tbl(s, dir, "documents"), col("lang"), col("source"))
+  }
+
   q("q_funnel_latency",
     // step-to-step conversion latency: exact physical median seconds per
     // transition of the view→click→purchase funnel

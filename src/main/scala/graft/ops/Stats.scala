@@ -1290,4 +1290,80 @@ object Stats {
         round(col("d_sum").cast("double")
           / (col("n_points").cast("double") * 1e6), 6).as("seasonal"))
   }
+
+  /** Mutual information between two categorical columns, with the
+    * marginal entropies and the normalized MI — the feature-redundancy /
+    * label-leakage screen run before training a classifier on tabular
+    * features. Each cell term ln(n_ij·N / (n_i·n_j)) takes its log of an
+    * EXACT rational (decimal cross-products, one IEEE division), is
+    * quantized once to 1e12 fixed point, and the Σ n_ij·t_ij reductions
+    * are exact decimal sums — order-free, so the result is bit-stable
+    * under any partitioning; the only remaining float ops are three final
+    * divisions and one sqrt. One (x,y)-keyed aggregate (cells) + two
+    * cell-table re-aggregates for the margins — the raw rows are scanned
+    * once.
+    */
+  def mutualInfo(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    def d38(c: Column): Column =
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    def qln(num: Column, den: Column): Column =
+      floor(log(num.cast("double") / den.cast("double")) * 1e12 + 0.5)
+    val cells = df.select(xCol.as("x"), yCol.as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("nij"))
+      .localCheckpoint() // consumers: both margins + the cell reduce
+    val mx = cells.groupBy("x").agg(sum("nij").as("ni"))
+    val my = cells.groupBy("y").agg(sum("nij").as("nj"))
+    val tot = cells.agg(sum("nij").cast("long").as("n"))
+    val mi = cells.join(mx, "x").join(my, "y").crossJoin(broadcast(tot))
+      .agg(sum(d38(col("nij")) *
+        qln(d38(col("nij")) * col("n"), d38(col("ni")) * col("nj"))).as("mi_q"))
+    def entQ(m: DataFrame, cnt: String, kName: String, qName: String): DataFrame =
+      m.crossJoin(broadcast(tot))
+        .agg(count(lit(1)).cast("int").as(kName),
+          sum(d38(col(cnt)) * qln(d38(col("n")), d38(col(cnt)))).as(qName))
+    val scale = lit(1e12)
+    entQ(mx, "ni", "k_x", "hx_q").crossJoin(entQ(my, "nj", "k_y", "hy_q"))
+      .crossJoin(mi).crossJoin(broadcast(tot))
+      .select(col("n"), col("k_x"), col("k_y"),
+        round(col("mi_q").cast("double") / (col("n").cast("double") * scale), 6)
+          .as("mi_nats"),
+        round(col("hx_q").cast("double") / (col("n").cast("double") * scale), 6)
+          .as("h_x"),
+        round(col("hy_q").cast("double") / (col("n").cast("double") * scale), 6)
+          .as("h_y"),
+        round(col("mi_q").cast("double")
+          / sqrt(col("hx_q").cast("double") * col("hy_q").cast("double")), 6)
+          .as("nmi"))
+  }
+
+  /** Nelson–Aalen cumulative hazard with right censoring: at each
+    * distinct duration t, H(t) = Σ_{t'≤t} d_{t'}/n_{t'} — the additive
+    * companion to [[kaplanMeier]] (same per-duration aggregate, same
+    * at-risk machinery), preferred when hazards are summed or compared
+    * across cohorts. Each increment d/n is one IEEE division quantized
+    * to 1e12 fixed point; the cumulative sum is then an EXACT integer
+    * prefix sum via [[Ranks.prefixCounts]] — no unpartitioned window, no
+    * order-dependent float accumulation, identical under any
+    * partitioning. Two prefix passes over the duration-sized aggregate
+    * (at-risk counts, then the hazard cumsum); the raw rows are scanned
+    * once.
+    */
+  def nelsonAalen(df: DataFrame, durCol: Column, eventCol: Column): DataFrame = {
+    val g = df.select(durCol.as("t"), eventCol.cast("long").as("d"))
+      .groupBy("t").agg(sum("d").as("d"), count(lit(1)).as("c"))
+      .localCheckpoint() // consumers: totals + two Ranks passes
+    val tot = g.agg(sum("c").as("n_tot"))
+    val staged = Ranks.prefixCounts(g, "t", Seq("c"))
+      .crossJoin(broadcast(tot))
+      .select(col("t"), col("d"),
+        (col("n_tot") - (col("c_cum") - col("c"))).as("n_risk"))
+      .withColumn("hq",
+        floor(col("d").cast("double") / col("n_risk").cast("double") * 1e12
+          + 0.5))
+      .localCheckpoint() // Ranks deterministic-input contract, pass 2
+    Ranks.prefixCounts(staged, "t", Seq("hq"))
+      .select(col("t"), col("d").cast("int").as("d"),
+        col("n_risk").cast("int").as("n_risk"),
+        round(col("hq_cum").cast("double") / 1e12, 6).as("h_t"))
+  }
 }

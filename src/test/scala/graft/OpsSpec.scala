@@ -101,6 +101,32 @@ class OpsSpec extends AnyFunSuite {
       c.getAs[Long]("v_x1e6")) == (1L, 333333L, 222222L))
   }
 
+  test("nelsonAalen: hand-computed hazard increments; censoring leaves " +
+    "the risk set without an increment") {
+    // (1,death) (2,death) (2,censored) (3,death):
+    // H = 1/4, then +1/3 = 0.583333, then +1/1 = 1.583333
+    val df = Seq((1, 1), (2, 1), (2, 0), (3, 1)).toDF("t", "d")
+    val got = Stats.nelsonAalen(df, col("t"), col("d")).orderBy("t").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    assert(got.toSeq ==
+      Seq((1, 1, 4, 0.25), (2, 1, 3, 0.583333), (3, 1, 1, 1.583333)))
+  }
+
+  test("mutualInfo: dependent pair gives MI = H = ln 2 and nmi = 1; " +
+    "independent pair gives MI = 0") {
+    val dep = Seq(("a", 1), ("a", 1), ("b", 2), ("b", 2)).toDF("x", "y")
+    val r = Stats.mutualInfo(dep, col("x"), col("y")).collect().head
+    assert((r.getAs[Long]("n"), r.getAs[Int]("k_x"), r.getAs[Int]("k_y")) ==
+      (4L, 2, 2))
+    assert(r.getAs[Double]("mi_nats") == 0.693147)
+    assert(r.getAs[Double]("h_x") == 0.693147)
+    assert(r.getAs[Double]("nmi") == 1.0)
+    val ind = Seq(("a", 1), ("a", 2), ("b", 1), ("b", 2)).toDF("x", "y")
+    val i = Stats.mutualInfo(ind, col("x"), col("y")).collect().head
+    assert(i.getAs[Double]("mi_nats") == 0.0)
+    assert(i.getAs[Double]("nmi") == 0.0)
+  }
+
   test("acf: alternating series has acf(1) = -1, acf(2) = 1; gaps drop pairs") {
     val alt = (0L until 40L).map(t => (t, if (t % 2 == 0) 10L else 20L))
       .toDF("t", "v")
