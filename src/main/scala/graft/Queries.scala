@@ -8236,6 +8236,80 @@ object Queries {
     Stats.mutualInfo(tbl(s, dir, "documents"), col("lang"), col("source"))
   }
 
+  q("q_psi_deciles",
+    // Population Stability Index of the order-price distribution between
+    // even- and odd-orderkey cohorts over fixed $50k price bins (exact
+    // cents via DECIMAL(12,2), capped at bin 9): per-bin exact decimal
+    // cross-products, one 1e12-quantized log each, exact sum — the
+    // model-monitoring drift score as a single bins-sized reduce
+    """WITH b AS (SELECT o_orderkey % 2 = 0 AS even,
+      |    LEAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |      // 5000000, 9) AS bin FROM orders),
+      |h1 AS (SELECT bin, COUNT(*) AS o1 FROM b WHERE even GROUP BY 1),
+      |h2 AS (SELECT bin, COUNT(*) AS o2 FROM b WHERE NOT even GROUP BY 1),
+      |j AS (SELECT bin, CAST(coalesce(o1, 0) AS DECIMAL(38,0)) AS o1,
+      |    CAST(coalesce(o2, 0) AS DECIMAL(38,0)) AS o2
+      |  FROM h1 FULL OUTER JOIN h2 USING (bin)),
+      |tot AS (SELECT SUM(o1) AS n1, SUM(o2) AS n2 FROM j)
+      |SELECT CAST(COUNT(*) AS INT) AS k_bins,
+      |  CAST(coalesce(SUM(CASE WHEN o1 = 0 OR o2 = 0 THEN 1 END), 0) AS INT)
+      |    AS k_zero,
+      |  CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+      |  round(CAST(coalesce(SUM(CASE WHEN o1 > 0 AND o2 > 0 THEN
+      |      (o1 * n2 - o2 * n1) * CAST(floor(ln(CAST(o1 * n2 AS DOUBLE)
+      |        / CAST(o2 * n1 AS DOUBLE)) * 1e12 + 0.5) AS BIGINT) END), 0)
+      |    AS DOUBLE) / (CAST(n1 * n2 AS DOUBLE) * 1e12), 6) AS psi
+      |FROM j, tot GROUP BY n1, n2""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val b = tbl(s, dir, "orders").select(
+      (col("o_orderkey") % 2 === 0).as("even"),
+      least(expr(
+        "cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint) div 5000000"),
+        lit(9L)).as("bin"))
+    Quality.psi(b.filter(col("even")).select("bin"),
+      b.filter(!col("even")).select("bin"), "bin")
+  }
+
+  q("q_drift_panel",
+    // four drift measures between even- and odd-doc_id document cohorts
+    // over the source distribution in ONE bins-sized reduce: exact-sum
+    // TVD and JSD (1e12-quantized exact-rational logs), fixed-point χ²
+    // and Hellinger (one IEEE combination per bin, quantized so the
+    // reduction is order-free)
+    """WITH h1 AS (SELECT source AS bin, COUNT(*) AS o1 FROM documents
+      |  WHERE doc_id % 2 = 0 GROUP BY 1),
+      |h2 AS (SELECT source AS bin, COUNT(*) AS o2 FROM documents
+      |  WHERE doc_id % 2 = 1 GROUP BY 1),
+      |j AS (SELECT bin, CAST(coalesce(o1, 0) AS DECIMAL(38,0)) AS o1,
+      |    CAST(coalesce(o2, 0) AS DECIMAL(38,0)) AS o2
+      |  FROM h1 FULL OUTER JOIN h2 USING (bin)),
+      |tot AS (SELECT SUM(o1) AS n1, SUM(o2) AS n2 FROM j),
+      |t AS (SELECT o1, o2, n1, n2, o1 * n2 - o2 * n1 AS dlt,
+      |    o1 * n2 + o2 * n1 AS mix FROM j, tot)
+      |SELECT CAST(COUNT(*) AS INT) AS k_bins,
+      |  CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+      |  round(CAST(SUM(abs(dlt)) AS DOUBLE)
+      |    / (2 * CAST(n1 * n2 AS DOUBLE)), 6) AS tvd,
+      |  round(CAST(SUM(CAST(floor(CAST(n1 + n2 AS DOUBLE)
+      |      * (CAST(dlt AS DOUBLE) * CAST(dlt AS DOUBLE)
+      |        / CAST(n1 * n2 * (o1 + o2) AS DOUBLE)) * 1e6 + 0.5) AS BIGINT))
+      |    AS DOUBLE) / 1e6, 6) AS chi2,
+      |  round(CAST(SUM(CASE WHEN o1 > 0 THEN o1 * n2 * CAST(floor(ln(
+      |        CAST(2 * o1 * n2 AS DOUBLE) / CAST(mix AS DOUBLE)) * 1e12 + 0.5)
+      |        AS BIGINT) ELSE 0 END
+      |      + CASE WHEN o2 > 0 THEN o2 * n1 * CAST(floor(ln(
+      |        CAST(2 * o2 * n1 AS DOUBLE) / CAST(mix AS DOUBLE)) * 1e12 + 0.5)
+      |        AS BIGINT) ELSE 0 END) AS DOUBLE)
+      |    / (2 * CAST(n1 * n2 AS DOUBLE) * 1e12), 6) AS jsd_nats,
+      |  round(sqrt(GREATEST(0, 1 - CAST(SUM(CAST(floor(sqrt(
+      |      CAST(o1 * o2 AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)) * 1e12 + 0.5)
+      |      AS BIGINT)) AS DOUBLE) / 1e12)), 6) AS hellinger
+      |FROM t GROUP BY n1, n2""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val d = tbl(s, dir, "documents")
+    Quality.categoricalDrift(
+      d.filter(col("doc_id") % 2 === 0).select("source"),
+      d.filter(col("doc_id") % 2 === 1).select("source"), "source")
+  }
+
   q("q_funnel_latency",
     // step-to-step conversion latency: exact physical median seconds per
     // transition of the view→click→purchase funnel

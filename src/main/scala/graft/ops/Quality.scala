@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Declarative data-quality checks — the validation gate a pipeline runs
@@ -76,6 +76,107 @@ object Quality {
     histDriftCounts(
       oldDf.groupBy(col(binCol).as("bin")).agg(count(lit(1)).as("o1")),
       newDf.groupBy(col(binCol).as("bin")).agg(count(lit(1)).as("o2")))
+
+  /** Population Stability Index between two cohorts over a caller-chosen
+    * bin column — the standard model-monitoring drift score
+    * PSI = Σ (p_i − q_i)·ln(p_i/q_i). One aggregate per side (the raw
+    * rows are scanned once each), then a bins-sized full-outer join.
+    * Each bin term multiplies the EXACT decimal cross-product difference
+    * (o1·n2 − o2·n1 = (p−q)·n1·n2) by ln of the same exact rational,
+    * quantized once to 1e12 fixed point; the reduction is an exact
+    * decimal sum — order-free, bit-stable under any partitioning. Bins
+    * empty on either side have an undefined log ratio: they are COUNTED
+    * (`k_zero`) but excluded from the sum, the conventional alternative
+    * to smoothing (callers who want smoothing pre-add pseudo-counts to
+    * the histograms and call [[psiCounts]]).
+    */
+  def psi(a: DataFrame, b: DataFrame, binCol: String): DataFrame =
+    psiCounts(
+      a.groupBy(col(binCol).as("bin")).agg(count(lit(1)).as("o1")),
+      b.groupBy(col(binCol).as("bin")).agg(count(lit(1)).as("o2")))
+
+  /** [[psi]] over pre-aggregated `(bin, o1)` / `(bin, o2)` histograms. */
+  def psiCounts(h1: DataFrame, h2: DataFrame): DataFrame = {
+    val j = joinedCounts(h1, h2)
+    val n12 = col("n1") * col("n2") // decimal: totals are summed as d38
+    val live = col("o1") > 0 && col("o2") > 0
+    j.agg(count(lit(1)).cast("int").as("k_bins"),
+        sum(when(!live, 1)).cast("int").as("k_zero"),
+        first(col("n1")).cast("long").as("n_a"),
+        first(col("n2")).cast("long").as("n_b"),
+        sum(when(live, (col("o1") * col("n2") - col("o2") * col("n1")) *
+          qln(col("o1") * col("n2"), col("o2") * col("n1")))).as("psi_q"),
+        first(n12).as("n12"))
+      .select(col("k_bins"), coalesce(col("k_zero"), lit(0)).as("k_zero"),
+        col("n_a"), col("n_b"),
+        round(coalesce(col("psi_q"), lit(0)).cast("double")
+          / (col("n12").cast("double") * 1e12), 6).as("psi"))
+  }
+
+  /** Distribution-drift panel between two cohorts of one categorical
+    * column: total variation distance, the two-sample χ² statistic,
+    * Jensen–Shannon divergence (nats), and Hellinger distance in ONE
+    * bins-sized reduce over the same exact cross-product machinery as
+    * [[psi]] — TVD and JSD fold exact decimal terms (JSD log args are
+    * exact rationals, quantized once to 1e12); χ² and the Hellinger
+    * affinity take one IEEE combination per bin, quantized to fixed
+    * point so their sums stay order-free. Zero-count JSD terms are
+    * exactly 0 by definition (x·ln x → 0), so NO bins are excluded.
+    */
+  def categoricalDrift(a: DataFrame, b: DataFrame, catCol: String): DataFrame = {
+    val j = joinedCounts(
+      a.groupBy(col(catCol).as("bin")).agg(count(lit(1)).as("o1")),
+      b.groupBy(col(catCol).as("bin")).agg(count(lit(1)).as("o2")))
+    val dlt = col("o1") * col("n2") - col("o2") * col("n1")
+    val mix = col("o1") * col("n2") + col("o2") * col("n1")
+    // dlt squared IN DOUBLE (a d38 square would overflow 38 digits once
+    // the per-side totals pass ~1e9.5 rows); both engines share the shape
+    val chi2Term = (col("n1") + col("n2")).cast("double") *
+      (dlt.cast("double") * dlt.cast("double") /
+        (col("n1") * col("n2") * (col("o1") + col("o2"))).cast("double"))
+    val hellTerm = sqrt((col("o1") * col("o2")).cast("double") /
+      (col("n1") * col("n2")).cast("double"))
+    j.agg(count(lit(1)).cast("int").as("k_bins"),
+        first(col("n1")).cast("long").as("n_a"),
+        first(col("n2")).cast("long").as("n_b"),
+        sum(abs(dlt)).as("tvd_num"),
+        sum(floor(chi2Term * 1e6 + 0.5)).cast("long").as("chi2_q"),
+        sum(when(col("o1") > 0,
+            col("o1") * col("n2") * qln(lit(2) * col("o1") * col("n2"), mix))
+            .otherwise(lit(0))
+          + when(col("o2") > 0,
+            col("o2") * col("n1") * qln(lit(2) * col("o2") * col("n1"), mix))
+            .otherwise(lit(0))).as("jsd_q"),
+        sum(floor(hellTerm * 1e12 + 0.5)).cast("long").as("hell_q"),
+        first(col("n1") * col("n2")).as("n12"))
+      .select(col("k_bins"), col("n_a"), col("n_b"),
+        round(col("tvd_num").cast("double")
+          / (col("n12").cast("double") * 2d), 6).as("tvd"),
+        round(col("chi2_q").cast("double") / 1e6, 6).as("chi2"),
+        round(col("jsd_q").cast("double")
+          / (col("n12").cast("double") * 2e12), 6).as("jsd_nats"),
+        round(sqrt(greatest(lit(0d),
+          lit(1d) - col("hell_q").cast("double") / 1e12)), 6).as("hellinger"))
+  }
+
+  /** Shared drift plumbing: full-outer bin join with zero-filled counts
+    * as exact decimals plus broadcast d38 totals `n1`, `n2`.
+    */
+  private def joinedCounts(h1: DataFrame, h2: DataFrame): DataFrame = {
+    def d38(c: Column): Column =
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val j = h1.join(h2, Seq("bin"), "full_outer")
+      .select(col("bin"), d38(coalesce(col("o1"), lit(0L))).as("o1"),
+        d38(coalesce(col("o2"), lit(0L))).as("o2"))
+    val tot = j.agg(sum("o1").as("n1"), sum("o2").as("n2"))
+    j.crossJoin(broadcast(tot))
+  }
+
+  /** ln(num/den) of an exact decimal rational, quantized once to 1e12
+    * fixed point (the [[graft.ops.Stats.mutualInfo]] float discipline).
+    */
+  private def qln(num: Column, den: Column): Column =
+    floor(log(num.cast("double") / den.cast("double")) * 1e12 + 0.5)
 
   /** [[histDrift]] over PRE-AGGREGATED histograms `(bin, o1)` / `(bin,
     * o2)` — for counts that already exist (a streaming aggregation's

@@ -127,6 +127,59 @@ class OpsSpec extends AnyFunSuite {
     assert(i.getAs[Double]("nmi") == 0.0)
   }
 
+  test("psi: hand-replayed quantized terms; empty-side bins are counted " +
+    "but excluded from the sum") {
+    val a = Seq("a", "a", "b", "b", "c").toDF("bin")
+    val b = Seq("a", "b", "b", "b").toDF("bin")
+    val r = Quality.psi(a, b, "bin").collect().head
+    assert((r.getAs[Int]("k_bins"), r.getAs[Int]("k_zero"),
+      r.getAs[Long]("n_a"), r.getAs[Long]("n_b")) == (3, 1, 5L, 4L))
+    // replay the exact-rational quantization: bins a(2,1) b(2,3), n1=5 n2=4
+    val terms = Seq((2L, 1L), (2L, 3L)).map { case (o1, o2) =>
+      val dlt = o1 * 4 - o2 * 5
+      dlt * math.floor(
+        math.log((o1 * 4).toDouble / (o2 * 5).toDouble) * 1e12 + 0.5)
+    }
+    val expect = BigDecimal(terms.sum / (20.0 * 1e12))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("psi") == expect)
+    // identical cohorts: zero drift exactly
+    val z = Quality.psi(a, a, "bin").collect().head
+    assert(z.getAs[Double]("psi") == 0.0 && z.getAs[Int]("k_zero") == 0)
+  }
+
+  test("categoricalDrift: TVD/chi2/JSD/Hellinger replay on a two-bin panel") {
+    val a = Seq("x", "x", "y", "y").toDF("c")
+    val b = Seq("x", "y", "y", "y").toDF("c")
+    val r = Quality.categoricalDrift(a, b, "c").collect().head
+    assert((r.getAs[Int]("k_bins"), r.getAs[Long]("n_a"),
+      r.getAs[Long]("n_b")) == (2, 4L, 4L))
+    assert(r.getAs[Double]("tvd") == 0.25)
+    // chi2: bins x(2,1) y(2,3) → 8·16/(16·3) + 8·16/(16·5), each q6
+    val chi2 = (math.floor(8d * 16 / 48 * 1e6 + 0.5) +
+      math.floor(8d * 16 / 80 * 1e6 + 0.5)) / 1e6
+    assert(r.getAs[Double]("chi2") ==
+      BigDecimal(chi2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    def q12(x: Double) = math.floor(x * 1e12 + 0.5)
+    val jsdQ = Seq((2L, 1L), (2L, 3L)).map { case (o1, o2) =>
+      val (pn, qn, mix) = (o1 * 4, o2 * 4, o1 * 4 + o2 * 4)
+      pn * q12(math.log(2.0 * pn / mix)) + qn * q12(math.log(2.0 * qn / mix))
+    }.sum
+    val jsd = BigDecimal(jsdQ / (2 * 16.0 * 1e12))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("jsd_nats") == jsd)
+    val hellQ = Seq((2L, 1L), (2L, 3L)).map { case (o1, o2) =>
+      q12(math.sqrt(o1 * o2 / 16.0))
+    }.sum
+    val hell = BigDecimal(math.sqrt(math.max(0.0, 1.0 - hellQ / 1e12)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("hellinger") == hell)
+    // identical cohorts: all four measures vanish
+    val z = Quality.categoricalDrift(a, a, "c").collect().head
+    assert(z.getAs[Double]("tvd") == 0.0 && z.getAs[Double]("chi2") == 0.0 &&
+      z.getAs[Double]("jsd_nats") == 0.0 && z.getAs[Double]("hellinger") == 0.0)
+  }
+
   test("acf: alternating series has acf(1) = -1, acf(2) = 1; gaps drop pairs") {
     val alt = (0L until 40L).map(t => (t, if (t % 2 == 0) 10L else 20L))
       .toDF("t", "v")
