@@ -8310,6 +8310,153 @@ object Queries {
       d.filter(col("doc_id") % 2 === 1).select("source"), "source")
   }
 
+  q("q_ohlc_bars",
+    // hourly OHLC bars over the event value stream (exact cents): ONE
+    // map-side-partial aggregation — open/close via min_by/max_by on the
+    // scalar composite key micros·1e10 + event_id (exact as d38/HUGEINT;
+    // a double key would collide above 2^53), volume an exact sum
+    """WITH t AS (SELECT date_trunc('hour', ts) AS bar,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+      |    CAST(epoch_us(ts) AS HUGEINT) * 10000000000 + event_id AS k
+      |  FROM events)
+      |SELECT bar, CAST(COUNT(*) AS BIGINT) AS n_ticks,
+      |  arg_min(v, k) AS open, MAX(v) AS high, MIN(v) AS low,
+      |  arg_max(v, k) AS close, CAST(SUM(v) AS BIGINT) AS volume
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    Resample.ohlcBars(events(s, dir), col("ts"),
+      floor(col("value") * 100 + 0.5).cast("long"), col("event_id"))
+      .orderBy("bar")
+  }
+
+  q("q_compaction_plan",
+    // lakehouse small-file compaction PLAN: assign each file (docs stand
+    // in, n_chars = bytes) to an output bin by its start offset in the
+    // id-ordered byte stream — cumulative sums from bucket-partitioned
+    // prefix machinery, no single-task window; next-fit guarantee: bins
+    // overshoot the 8 KB target by at most one file
+    """WITH c AS (SELECT doc_id, n_chars,
+      |    SUM(n_chars) OVER (ORDER BY doc_id) AS cum FROM documents),
+      |b AS (SELECT (cum - n_chars) // 8192 AS bin, n_chars, doc_id FROM c)
+      |SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS INT) AS n_files,
+      |  CAST(SUM(n_chars) AS BIGINT) AS bytes,
+      |  MIN(doc_id) AS first_id, MAX(doc_id) AS last_id,
+      |  round(CAST(SUM(n_chars) AS DOUBLE) / 8192, 6) AS fill
+      |FROM b GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    Bucketing.compactionPlan(tbl(s, dir, "documents")
+        .select("doc_id", "n_chars"), "doc_id", "n_chars", 8192L)
+      .orderBy("bin")
+  }
+
+  q("q_stratified_kfold",
+    // stratified 5-fold cross-validation assignment: within each
+    // language stratum, rows rank by md5-hash order (doc_id tie-break)
+    // and fold = (rank−1) mod 5 — per-stratum fold sizes differ by ≤ 1,
+    // deterministic on any engine; reported as the (lang, fold) balance
+    s"""WITH a AS (SELECT lang, n_chars,
+      |    (row_number() OVER (PARTITION BY lang
+      |      ORDER BY ${md5Hash60Sql("doc_id")}, doc_id) - 1) % 5 AS fold
+      |  FROM documents)
+      |SELECT lang, CAST(fold AS INT) AS fold, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    Pipeline.stratifiedKFold(tbl(s, dir, "documents"), "lang", "doc_id", 5)
+      .groupBy("lang", "fold")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("lang", "fold")
+  }
+
+  q("q_power_mde",
+    // two-proportion power analysis of the even/odd-user purchase rates:
+    // per-arm n to detect the observed lift at α=0.05 / 80% power
+    // (unpooled normal approximation) and the minimum detectable effect
+    // at the current smaller arm — z quantiles pinned as shared literals
+    """WITH u AS (SELECT user_id,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+      |  FROM events GROUP BY 1),
+      |g AS (SELECT user_id % 2 = 0 AS g, COUNT(*) AS n, SUM(c) AS x
+      |  FROM u GROUP BY 1),
+      |two AS (SELECT MAX(CASE WHEN g THEN n END) AS n1,
+      |    MAX(CASE WHEN g THEN x END) AS x1,
+      |    MAX(CASE WHEN NOT g THEN n END) AS n2,
+      |    MAX(CASE WHEN NOT g THEN x END) AS x2 FROM g),
+      |p AS (SELECT n1, x1, n2, x2,
+      |    CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+      |    CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2,
+      |    1.9599639845400545 + 0.8416212335729143 AS z FROM two),
+      |v AS (SELECT *, p1 * (1 - p1) + p2 * (1 - p2) AS vsum, p1 - p2 AS dlt
+      |  FROM p)
+      |SELECT CAST(n1 AS BIGINT) AS n1, CAST(x1 AS BIGINT) AS x1,
+      |  CAST(n2 AS BIGINT) AS n2, CAST(x2 AS BIGINT) AS x2,
+      |  round(p1, 6) AS p1, round(p2, 6) AS p2,
+      |  CASE WHEN dlt <> 0 THEN CAST(ceil(z * z * vsum / (dlt * dlt))
+      |    AS BIGINT) END AS n_per_arm_req,
+      |  round(z * sqrt(vsum / CAST(LEAST(n1, n2) AS DOUBLE)), 6) AS mde_at_n
+      |FROM v""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val u = events(s, dir).groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase", 1).otherwise(0)).as("c"))
+    Stats.powerTwoProportion(u, col("user_id") % 2 === 0, col("c"))
+  }
+
+  q("q_direct_standardization",
+    // Simpson's-paradox-proof rate comparison: even/odd-user purchase
+    // rates adjusted to the POOLED hour-of-day mix (direct
+    // standardization) — per-stratum exact-rational terms, one IEEE
+    // division each, 1e12-quantized, exact integer sums per group
+    """WITH cells AS (SELECT user_id % 2 = 0 AS g, EXTRACT(hour FROM ts) AS s,
+      |    COUNT(*) AS n_gs,
+      |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x_gs
+      |  FROM events GROUP BY 1, 2),
+      |st AS (SELECT s, SUM(n_gs) AS n_s FROM cells GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n_tot FROM st),
+      |t AS (SELECT g, n_gs, x_gs, CAST(floor(
+      |    CAST(CAST(n_s AS DECIMAL(38,0)) * x_gs AS DOUBLE)
+      |    / CAST(CAST(n_tot AS DECIMAL(38,0)) * n_gs AS DOUBLE) * 1e12 + 0.5)
+      |    AS BIGINT) AS term_q
+      |  FROM cells JOIN st USING (s), tot)
+      |SELECT g, CAST(SUM(n_gs) AS BIGINT) AS n, CAST(SUM(x_gs) AS BIGINT) AS x,
+      |  CAST(COUNT(*) AS INT) AS k_strata,
+      |  round(CAST(SUM(CAST(x_gs AS DECIMAL(38,0))) AS DOUBLE)
+      |    / CAST(SUM(CAST(n_gs AS DECIMAL(38,0))) AS DOUBLE), 6) AS crude_rate,
+      |  round(CAST(SUM(term_q) AS DOUBLE) / 1e12, 6) AS adj_rate
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val e = events(s, dir)
+    Stats.directStandardization(e, col("user_id") % 2 === 0, hour(col("ts")),
+        when(col("event_type") === "purchase", 1L).otherwise(0L))
+      .orderBy("g")
+  }
+
+  q("q_qq_deciles",
+    // decile QQ table of order price between even/odd-orderkey cohorts —
+    // the drift DIAGNOSTIC that says WHERE the distributions diverge
+    // (PSI says how much): interpolated deciles per cohort (parity
+    // proven by q_percentiles), gap per decile
+    """WITH o AS (SELECT o_orderkey % 2 = 0 AS even,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS v FROM orders),
+      |e AS (SELECT unnest(quantile_cont(v,
+      |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])) AS q,
+      |    unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS i FROM o WHERE even),
+      |d AS (SELECT unnest(quantile_cont(v,
+      |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])) AS q,
+      |    unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS i FROM o WHERE NOT even)
+      |SELECT CAST(e.i AS INT) AS decile, round(e.q, 6) AS q_even,
+      |  round(d.q, 6) AS q_odd, round(e.q - d.q, 6) AS qq_gap
+      |FROM e JOIN d USING (i) ORDER BY 1""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val o = tbl(s, dir, "orders").select(
+      (col("o_orderkey") % 2 === 0).as("even"),
+      dec(col("o_totalprice"), 12, 2).cast("double").as("v"))
+    val fr = "array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D, 0.6D, 0.7D, 0.8D, 0.9D)"
+    val qs = o.groupBy("even").agg(expr(s"percentile(v, $fr)").as("qs"))
+    val e = qs.filter(col("even"))
+      .select(posexplode(col("qs")).as(Seq("i", "q_even")))
+    val d = qs.filter(!col("even"))
+      .select(posexplode(col("qs")).as(Seq("i", "q_odd")))
+    e.join(d, "i")
+      .select((col("i") + 1).cast("int").as("decile"),
+        round(col("q_even"), 6).as("q_even"), round(col("q_odd"), 6).as("q_odd"),
+        round(col("q_even") - col("q_odd"), 6).as("qq_gap"))
+      .orderBy("decile")
+  }
+
   q("q_funnel_latency",
     // step-to-step conversion latency: exact physical median seconds per
     // transition of the view→click→purchase funnel

@@ -129,4 +129,34 @@ object Bucketing {
       .sortWithinPartitions("__h")
       .drop("__h")
       .write.mode("overwrite").parquet(path)
+
+  /** Compaction PLANNER (the analysis half of [[compact]]): given a file
+    * inventory `(ordCol unique ascending id, sizeCol bytes)`, assign each
+    * file to an output bin by its START OFFSET in the id-ordered byte
+    * stream — `bin = (cumulative_bytes_before_file) / target` — and
+    * report per bin the file count, exact byte total, id span, and fill
+    * ratio. This is the deterministic sorted-order coalesce a lakehouse
+    * maintenance job runs (ordering preserved for data-skipping; no
+    * driver-side greedy loop): the cumulative sum comes from
+    * [[Ranks.prefixCounts]] — bucket-partitioned prefix sums, no
+    * single-task window — so the plan itself scales to inventories of
+    * millions of files. Bins overshoot `target` by at most one file,
+    * the classic next-fit guarantee.
+    */
+  def compactionPlan(files: DataFrame, ordCol: String, sizeCol: String,
+                     targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val c = Ranks.prefixCounts(
+      files.select(col(ordCol), col(sizeCol)), ordCol, Seq(sizeCol))
+    c.select(col(ordCol), col(sizeCol),
+        // integral div (Column./ is IEEE): positive domain, so Spark's
+        // truncating `div` == DuckDB's flooring `//`
+        expr(s"(${sizeCol}_cum - $sizeCol) div $targetBytes").as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).cast("int").as("n_files"),
+        sum(sizeCol).cast("long").as("bytes"),
+        min(ordCol).as("first_id"), max(ordCol).as("last_id"))
+      .withColumn("fill",
+        round(col("bytes").cast("double") / targetBytes.toDouble, 6))
+  }
 }

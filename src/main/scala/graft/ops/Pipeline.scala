@@ -46,6 +46,26 @@ object Pipeline {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") <= nPerStratum)
   }
 
+  /** Stratified k-fold assignment: within each stratum, rows rank by
+    * md5-hash order (id tie-break) and take `fold = (rank − 1) mod k` —
+    * so every stratum's rows spread across the k folds as evenly as
+    * arithmetic allows (fold sizes differ by ≤ 1 per stratum), the
+    * assignment is deterministic on any engine, and each fold preserves
+    * the stratum mix — the cross-validation split that random assignment
+    * only approximates. One shuffle on the stratum key; the window is
+    * partitioned (never global), so skewed strata bound the task size,
+    * not the cluster.
+    */
+  def stratifiedKFold(df: DataFrame, stratumCol: String, idCol: String,
+                      k: Int): DataFrame = {
+    require(k > 1, "need at least 2 folds")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol)
+      .orderBy(md5Hash60(col(idCol)), col(idCol))
+    df.withColumn("fold",
+      pmod(row_number().over(w) - 1, lit(k)).cast("int"))
+  }
+
   /** Deterministic disjoint split assignment (train/val/test): each row
     * gets exactly one split label from its id's hash bucket, so the
     * splits are exhaustive, non-overlapping, reproducible on any engine,

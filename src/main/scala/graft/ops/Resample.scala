@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -79,5 +79,32 @@ object Resample {
         else false
       }
     }(enc)
+  }
+
+  /** OHLC bars: per time bucket, the first/highest/lowest/last value plus
+    * the count and exact volume — the canonical downsampling of a tick
+    * stream. ONE aggregation over the bucket key (map-side partial
+    * min/max/min_by/max_by, no window, no self-join): open/close resolve
+    * by `min_by`/`max_by` over the scalar composite key
+    * micros·10¹⁰ + tie (exact as DECIMAL(38,0); doubles would collide
+    * above 2⁵³), so ties at the same timestamp break deterministically by
+    * `tieCol` — `tieCol` must be unique within a bucket and non-negative
+    * below 10¹⁰. `valCol` should be an exact (integer/decimal) value —
+    * cents, not dollars — so `volume` is an exact sum.
+    */
+  def ohlcBars(df: DataFrame, tsCol: Column, valCol: Column, tieCol: Column,
+               bucket: String = "hour"): DataFrame = {
+    def d38(c: Column): Column =
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val key = d38(unix_micros(tsCol.cast("timestamp"))) *
+      lit(10000000000L) + tieCol
+    df.select(date_trunc(bucket, tsCol).as("bar"), key.as("k"),
+        valCol.as("v"))
+      .groupBy("bar")
+      .agg(count(lit(1)).as("n_ticks"),
+        min_by(col("v"), col("k")).as("open"),
+        max(col("v")).as("high"), min(col("v")).as("low"),
+        max_by(col("v"), col("k")).as("close"),
+        sum(col("v")).as("volume"))
   }
 }

@@ -1366,4 +1366,78 @@ object Stats {
         col("n_risk").cast("int").as("n_risk"),
         round(col("hq_cum").cast("double") / 1e12, 6).as("h_t"))
   }
+
+  /** z(0.975) and z(0.80): the two normal quantiles of the conventional
+    * α=0.05 two-sided / 80%-power design, pinned as LITERALS (no inverse
+    * CDF at query time) so both engines share the exact doubles.
+    */
+  val ZAlpha025: Double = 1.9599639845400545
+  val ZPower80: Double = 0.8416212335729143
+
+  /** Two-proportion power analysis from observed data: the per-arm
+    * sample size needed to detect the OBSERVED rate difference at
+    * α=0.05 two-sided with 80% power (unpooled-variance normal
+    * approximation, n = (z_α/2+z_β)²·(p₁q₁+p₂q₂)/Δ²), plus the minimum
+    * detectable effect at the CURRENT smaller arm — the "how much longer
+    * must this A/B run" readout. One tiny aggregate per arm (exact
+    * counts), then scalar IEEE arithmetic on the one-row combine; the
+    * raw rows are scanned once.
+    */
+  def powerTwoProportion(df: DataFrame, groupCol: Column,
+                         convCol: Column): DataFrame = {
+    val g = df.select(groupCol.as("g"), convCol.cast("long").as("c"))
+      .groupBy("g").agg(count(lit(1)).as("n"), sum("c").as("x"))
+    val two = g.agg(
+      max(when(col("g"), col("n"))).as("n1"),
+      max(when(col("g"), col("x"))).as("x1"),
+      max(when(!col("g"), col("n"))).as("n2"),
+      max(when(!col("g"), col("x"))).as("x2"))
+    val z = lit(ZAlpha025 + ZPower80)
+    val p1 = col("x1").cast("double") / col("n1").cast("double")
+    val p2 = col("x2").cast("double") / col("n2").cast("double")
+    val vsum = p1 * (lit(1d) - p1) + p2 * (lit(1d) - p2)
+    val dlt = p1 - p2
+    val nMin = least(col("n1"), col("n2")).cast("double")
+    two.select(col("n1").cast("long").as("n1"), col("x1").cast("long").as("x1"),
+      col("n2").cast("long").as("n2"), col("x2").cast("long").as("x2"),
+      round(p1, 6).as("p1"), round(p2, 6).as("p2"),
+      // NULL when the arms tie exactly: an Inf→long ANSI cast would abort
+      when(dlt =!= 0d, ceil(z * z * vsum / (dlt * dlt)).cast("long"))
+        .as("n_per_arm_req"),
+      round(z * sqrt(vsum / nMin), 6).as("mde_at_n"))
+  }
+
+  /** Direct standardization: compare two groups' event rates with the
+    * stratum mix held fixed at the POOLED distribution — the
+    * Simpson's-paradox-proof rate comparison (adjusted rate_g =
+    * Σ_s w_s·r_{g,s}, w_s = pooled stratum share). Each stratum term
+    * (n_s·x_{g,s})/(N·n_{g,s}) is an exact decimal rational taking ONE
+    * IEEE division, quantized to 1e12 fixed point; the per-group
+    * reduction is an exact integer sum — order-free. Strata a group
+    * never enters contribute nothing (their rate is unobserved).
+    * Scale shape: one (group, stratum) aggregate, a strata-sized
+    * re-aggregate broadcast back, and a groups-sized output.
+    */
+  def directStandardization(df: DataFrame, groupCol: Column,
+                            strataCol: Column, eventCol: Column): DataFrame = {
+    def d38(c: Column): Column =
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val cells = df.select(groupCol.as("g"), strataCol.as("s"),
+        eventCol.cast("long").as("e"))
+      .groupBy("g", "s").agg(count(lit(1)).as("n_gs"), sum("e").as("x_gs"))
+      .localCheckpoint() // consumers: stratum margins + the term reduce
+    val strata = cells.groupBy("s").agg(sum("n_gs").as("n_s"))
+    val tot = strata.agg(sum("n_s").cast("long").as("n_tot"))
+    cells.join(broadcast(strata), "s").crossJoin(broadcast(tot))
+      .withColumn("term_q", floor(
+        (d38(col("n_s")) * col("x_gs")).cast("double")
+          / (d38(col("n_tot")) * col("n_gs")).cast("double") * 1e12 + 0.5))
+      .groupBy("g")
+      .agg(sum("n_gs").cast("long").as("n"),
+        sum("x_gs").cast("long").as("x"),
+        count(lit(1)).cast("int").as("k_strata"),
+        round(sum(d38(col("x_gs"))).cast("double")
+          / sum(d38(col("n_gs"))).cast("double"), 6).as("crude_rate"),
+        round(sum("term_q").cast("double") / 1e12, 6).as("adj_rate"))
+  }
 }

@@ -180,6 +180,89 @@ class OpsSpec extends AnyFunSuite {
       z.getAs[Double]("jsd_nats") == 0.0 && z.getAs[Double]("hellinger") == 0.0)
   }
 
+  test("ohlcBars: open/close resolve ts ties by the id tie-break; " +
+    "volume is exact") {
+    val rows = Seq(
+      ("2024-01-01 00:00:01", 1L, 10L), ("2024-01-01 00:00:01", 0L, 20L),
+      ("2024-01-01 00:30:00", 9L, 5L), ("2024-01-01 00:59:00", 3L, 30L),
+      ("2024-01-01 01:10:00", 4L, 7L))
+      .toDF("ts", "id", "v")
+      .select(col("ts").cast("timestamp_ntz").as("ts"), col("id"), col("v"))
+    val got = Resample.ohlcBars(rows, col("ts"), col("v"), col("id"))
+      .orderBy("bar").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    // hour 0: open = 20 (id 0 wins the 00:00:01 tie), close = 30
+    assert(got.toSeq == Seq((4L, 20L, 30L, 5L, 30L, 65L),
+      (1L, 7L, 7L, 7L, 7L, 7L)))
+  }
+
+  test("compactionPlan: start-offset next-fit bins; oversize file " +
+    "overshoots alone") {
+    val files = Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L), (5L, 12L))
+      .toDF("id", "sz")
+    val got = Bucketing.compactionPlan(files, "id", "sz", 10L)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    // offsets 0,5,10,15,20 → bins 0,0,1,1,2; the 12-byte file fills 1.2
+    assert(got.toSeq == Seq((0L, 2, 10L, 1L, 2L, 1.0),
+      (1L, 2, 10L, 3L, 4L, 1.0), (2L, 1, 12L, 5L, 5L, 1.2)))
+  }
+
+  test("stratifiedKFold: per-stratum fold sizes differ by at most one; " +
+    "assignment is deterministic") {
+    val df = (1 to 17).map(i => (if (i <= 7) "a" else "b", i.toLong))
+      .toDF("g", "id")
+    val a = Pipeline.stratifiedKFold(df, "g", "id", 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val b = Pipeline.stratifiedKFold(df, "g", "id", 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(a.sortBy(_._2).toSeq == b.sortBy(_._2).toSeq) // md5: bit-stable
+    val sizes = a.groupBy(x => (x._1, x._3)).view.mapValues(_.length).toMap
+    // stratum a: 7 rows over 3 folds → 3/2/2; stratum b: 10 → 4/3/3
+    assert(Seq(0, 1, 2).map(f => sizes(("a", f))).sorted == Seq(2, 2, 3))
+    assert(Seq(0, 1, 2).map(f => sizes(("b", f))).sorted == Seq(3, 3, 4))
+    assert(a.forall(x => x._3 >= 0 && x._3 < 3))
+  }
+
+  test("powerTwoProportion: textbook 60% vs 50% arms replay") {
+    val rows = (0 until 100).map(i => (true, if (i < 60) 1 else 0)) ++
+      (0 until 100).map(i => (false, if (i < 50) 1 else 0))
+    val df = rows.toDF("g", "c")
+    val r = Stats.powerTwoProportion(df, col("g"), col("c")).collect().head
+    assert((r.getAs[Long]("n1"), r.getAs[Long]("x1"), r.getAs[Long]("n2"),
+      r.getAs[Long]("x2")) == (100L, 60L, 100L, 50L))
+    val z = Stats.ZAlpha025 + Stats.ZPower80
+    val vsum = 0.6 * (1 - 0.6) + 0.5 * (1 - 0.5)
+    assert(r.getAs[Long]("n_per_arm_req") ==
+      math.ceil(z * z * vsum / (0.1 * 0.1)).toLong)
+    assert(r.getAs[Double]("mde_at_n") ==
+      BigDecimal(z * math.sqrt(vsum / 100.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // identical arms: n_per_arm_req is NULL, not an Inf-cast abort
+    val tie = ((0 until 4).map(i => (true, i % 2)) ++
+      (0 until 4).map(i => (false, i % 2))).toDF("g", "c")
+    val t = Stats.powerTwoProportion(tie, col("g"), col("c")).collect().head
+    assert(t.isNullAt(t.fieldIndex("n_per_arm_req")))
+  }
+
+  test("directStandardization: equal pooled weights average the stratum " +
+    "rates; crude rates tie") {
+    // s1: T 1/1, F 2/3; s2: T 1/3, F 0/1 — crude 0.5 vs 0.5, but the
+    // mix-adjusted rates are 2/3 vs 1/3
+    val rows = Seq(("T", "s1", 1)) ++
+      Seq(1, 1, 0).map(e => ("F", "s1", e)) ++
+      Seq(1, 0, 0).map(e => ("T", "s2", e)) ++ Seq(("F", "s2", 0))
+    val df = rows.toDF("g", "s", "e")
+    val got = Stats.directStandardization(df, col("g"), col("s"), col("e"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(("F", 4L, 2L, 2, 0.5, 0.333333),
+      ("T", 4L, 2L, 2, 0.5, 0.666667)))
+  }
+
   test("acf: alternating series has acf(1) = -1, acf(2) = 1; gaps drop pairs") {
     val alt = (0L until 40L).map(t => (t, if (t % 2 == 0) 10L else 20L))
       .toDF("t", "v")
