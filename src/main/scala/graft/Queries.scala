@@ -8457,6 +8457,147 @@ object Queries {
       .orderBy("decile")
   }
 
+  q("q_graph_ppr",
+    // personalized PageRank on the same 3-NN cosine graph as
+    // q_graph_pagerank, teleporting to the p%7=0 seed set — integer
+    // fixed point throughout, so the recursive CTE replays every
+    // iteration bit-for-bit; top-25 "most related to the seeds"
+    """WITH RECURSIVE
+      |q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id % 10 < 3),
+      |c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings WHERE vec_id % 10 < 3),
+      |s AS (SELECT q_id, n_id,
+      |  list_sum(list_transform(range(1, len(q_vec) + 1), i -> CAST(q_vec[i] AS DOUBLE) * CAST(n_vec[i] AS DOUBLE))) /
+      |  (sqrt(list_sum(list_transform(range(1, len(q_vec) + 1), i -> CAST(q_vec[i] AS DOUBLE) * CAST(q_vec[i] AS DOUBLE)))) *
+      |   sqrt(list_sum(list_transform(range(1, len(n_vec) + 1), i -> CAST(n_vec[i] AS DOUBLE) * CAST(n_vec[i] AS DOUBLE))))) AS cosim
+      |  FROM q JOIN c ON q_id != n_id),
+      |r AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY round(cosim, 6) DESC, n_id) AS rn FROM s),
+      |e0 AS (SELECT q_id AS pa, n_id AS pb FROM r WHERE rn <= 3),
+      |edges AS (SELECT DISTINCT src, dst FROM
+      |  (SELECT pa AS src, pb AS dst FROM e0 UNION ALL SELECT pb, pa FROM e0)),
+      |deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY 1),
+      |verts AS (SELECT src AS p FROM deg),
+      |seeds AS (SELECT p FROM verts WHERE p % 7 = 0),
+      |nsd AS (SELECT COUNT(*) AS n FROM seeds),
+      |pr(iter, p, rank) AS (
+      |  SELECT 0, v.p, CASE WHEN sd.p IS NOT NULL
+      |    THEN 1000000000000 // (SELECT n FROM nsd) ELSE 0 END
+      |  FROM verts v LEFT JOIN seeds sd ON v.p = sd.p
+      |  UNION ALL
+      |  SELECT pr.iter + 1, e.dst,
+      |    (CASE WHEN sd.p IS NOT NULL
+      |      THEN (15 * (1000000000000 // (SELECT n FROM nsd))) // 100 ELSE 0 END)
+      |      + (85 * SUM(pr.rank // deg.d)) // 100
+      |  FROM pr JOIN edges e ON pr.p = e.src JOIN deg ON deg.src = pr.p
+      |    LEFT JOIN seeds sd ON sd.p = e.dst
+      |  WHERE pr.iter < 5 GROUP BY 1, 2, sd.p)
+      |SELECT p, rank FROM pr WHERE iter = 5 ORDER BY rank DESC, p LIMIT 25"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val sub = tbl(s, dir, "embeddings").filter(pmod(col("vec_id"), lit(10)) < 3)
+    val knn = Similarity.bruteForceKnn(sub, sub, k = 3)
+      .select(col("q_id").as("pa"), col("n_id").as("pb"))
+    val edges = knn.select(col("pa").as("src"), col("pb").as("dst"))
+      .union(knn.select(col("pb").as("src"), col("pa").as("dst"))).distinct()
+    val seeds = edges.select(col("src").as("p")).distinct()
+      .filter(pmod(col("p"), lit(7)) === 0)
+    Graph.personalizedPageRank(edges, seeds, iters = 5)
+      .orderBy(col("rank").desc, col("p")).limit(25)
+  }
+
+  q("q_sequential_sprt",
+    // Wald SPRT over per-user conversions in user_id order (H0 p=0.2 vs
+    // H1 p=0.3, α=β=0.05): the two per-observation log terms and both
+    // boundaries quantize ONCE to 1e12 fixed point, the running LLR is
+    // an exact integer prefix sum — first-crossing positions + decision
+    """WITH u AS (SELECT user_id AS i,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x
+      |  FROM events GROUP BY 1),
+      |k AS (SELECT CAST(floor(ln(0.3 / 0.2) * 1e12 + 0.5) AS BIGINT) AS la,
+      |  CAST(floor(ln((1 - 0.3) / (1 - 0.2)) * 1e12 + 0.5) AS BIGINT) AS lb,
+      |  CAST(floor(ln((1 - 0.05) / 0.05) * 1e12 + 0.5) AS BIGINT) AS up,
+      |  CAST(floor(ln(0.05 / (1 - 0.05)) * 1e12 + 0.5) AS BIGINT) AS dn),
+      |c AS (SELECT i, SUM(x * la + (1 - x) * lb) OVER (ORDER BY i) AS cum,
+      |    up, dn FROM u, k)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  round(CAST(arg_max(cum, i) AS DOUBLE) / 1e12, 6) AS llr_final,
+      |  MIN(CASE WHEN cum >= up THEN i END) AS first_h1,
+      |  MIN(CASE WHEN cum <= dn THEN i END) AS first_h0,
+      |  CASE WHEN MIN(CASE WHEN cum >= up THEN i END) IS NOT NULL
+      |      AND (MIN(CASE WHEN cum <= dn THEN i END) IS NULL
+      |        OR MIN(CASE WHEN cum >= up THEN i END)
+      |          <= MIN(CASE WHEN cum <= dn THEN i END)) THEN 'accept_h1'
+      |    WHEN MIN(CASE WHEN cum <= dn THEN i END) IS NOT NULL
+      |      THEN 'accept_h0' ELSE 'continue' END AS decision
+      |FROM c GROUP BY up, dn""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val u = events(s, dir).groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("x"))
+    Stats.sprtBernoulli(u, col("user_id"), col("x"), p0 = 0.2, p1 = 0.3)
+  }
+
+  q("q_lift_gains",
+    // gains/lift table: users decile-ranked by view count (converter
+    // label = any purchase) — per decile the positive rate, cumulative
+    // capture of all converters, and lift over base rate; NTILE without
+    // the single-task sort (range-bucketed global rank + exact formula)
+    """WITH u AS (SELECT user_id,
+      |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS score,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+      |  FROM events GROUP BY 1),
+      |r AS (SELECT *, NTILE(10) OVER (ORDER BY score DESC, user_id) AS tile
+      |  FROM u),
+      |g AS (SELECT tile, COUNT(*) AS n, SUM(y) AS pos FROM r GROUP BY 1),
+      |t AS (SELECT SUM(n) AS nn, SUM(pos) AS pp FROM g),
+      |c AS (SELECT tile, n, pos, SUM(pos) OVER (ORDER BY tile) AS pos_cum
+      |  FROM g)
+      |SELECT CAST(tile AS INT) AS tile, CAST(n AS BIGINT) AS n,
+      |  CAST(pos AS BIGINT) AS pos,
+      |  round(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pos_rate,
+      |  round(CAST(pos_cum AS DOUBLE) / CAST(pp AS DOUBLE), 6) AS cum_capture,
+      |  round(CAST(CAST(pos AS DECIMAL(38,0)) * nn AS DOUBLE)
+      |    / CAST(CAST(n AS DECIMAL(38,0)) * pp AS DOUBLE), 6) AS lift
+      |FROM c, t ORDER BY 1""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val u = events(s, dir).groupBy("user_id")
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("score"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+    Eval.liftGains(u, col("score"), col("y"), col("user_id"), k = 10)
+      .orderBy("tile")
+  }
+
+  q("stream_ohlc",
+    // streaming OHLC bars: the q_ohlc_bars aggregation as a watermarked
+    // tumbling-window streaming query (complete mode, memory sink) —
+    // the oracle is the IDENTICAL batch SQL, checking that streaming
+    // min_by/max_by open/close resolution matches a batch recompute
+    """WITH t AS (SELECT date_trunc('hour', ts) AS bar,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+      |    CAST(epoch_us(ts) AS HUGEINT) * 10000000000 + event_id AS k
+      |  FROM events)
+      |SELECT bar, CAST(COUNT(*) AS BIGINT) AS n_ticks,
+      |  arg_min(v, k) AS open, MAX(v) AS high, MIN(v) AS low,
+      |  arg_max(v, k) AS close, CAST(SUM(v) AS BIGINT) AS volume
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = s.readStream.schema(tbl(s, dir, "events").schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val normalized = src.schema("ts").dataType match {
+      case LongType =>
+        src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => src.withColumn("ts", col("ts").cast(TimestampType))
+    }
+    val qname = "graft_stream_ohlc"
+    withShufflePartitions(s, 4) {
+      val query = graft.streaming.Streams.ohlcStream(normalized,
+          floor(col("value") * 100 + 0.5).cast("long"), col("event_id"))
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("complete").start()
+      try query.processAllAvailable() finally query.stop()
+    }
+    s.table(qname)
+      .withColumn("bar", col("bar").cast(TimestampNTZType))
+      .orderBy("bar")
+  }
+
   q("q_funnel_latency",
     // step-to-step conversion latency: exact physical median seconds per
     // transition of the view→click→purchase funnel

@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Classifier-evaluation metrics from a (actual, predicted) column pair —
   * the scoring step of any labeling/filtering model in a data pipeline
@@ -387,5 +387,43 @@ object Eval {
         expr("(n1 - n2) * (n1 - n2) * 1000000 div (n1 + n2)").as("chi2_x1e6"),
         round((col("n1") - col("n2")).cast("double")
           / sqrt((col("n1") + col("n2")).cast("double")), 6).as("z"))
+  }
+
+  /** Lift / gains table: rank rows by score descending (id tie-break),
+    * cut into `k` tiles (exact NTILE semantics), and per tile report the
+    * positive count, rate, CUMULATIVE capture of all positives, and lift
+    * over the base rate — the classic model-targeting readout ("the top
+    * decile captures X% of converters at Y× base"). The global rank uses
+    * [[Ranks.globalRank]] (range-bucketed, no single-task sort), the
+    * tiles the exact [[Ranks.ntileOfRank]] formula, and the k-row
+    * cumulative the same prefix machinery — nothing unpartitioned
+    * anywhere. Rates are exact rationals taking one IEEE division each;
+    * lift = (pos·N)/(n·P) stays exact until its single division.
+    */
+  def liftGains(df: DataFrame, scoreCol: Column, labelCol: Column,
+                idCol: Column, k: Int = 10): DataFrame = {
+    def d38(c: Column): Column =
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val base = df.select(idCol.as("id"), scoreCol.as("score"),
+        labelCol.cast("long").as("y"))
+      .localCheckpoint() // consumers: count + the rank pass
+    val n = base.count()
+    val tiled = Ranks.globalRank(base, -col("score"), col("id"), "rk")
+      .withColumn("tile", Ranks.ntileOfRank(col("rk"), lit(n), k))
+    val g = tiled.groupBy("tile")
+      .agg(count(lit(1)).as("n"), sum("y").as("pos"))
+      .localCheckpoint() // consumers: totals + the prefix pass
+    val tot = g.agg(sum("n").cast("long").as("nn"),
+      sum("pos").cast("long").as("pp"))
+    Ranks.prefixCounts(g, "tile", Seq("pos"))
+      .crossJoin(broadcast(tot))
+      .select(col("tile"), col("n").cast("long").as("n"),
+        col("pos").cast("long").as("pos"),
+        round(col("pos").cast("double") / col("n").cast("double"), 6)
+          .as("pos_rate"),
+        round(col("pos_cum").cast("double") / col("pp").cast("double"), 6)
+          .as("cum_capture"),
+        round((d38(col("pos")) * col("nn")).cast("double")
+          / (d38(col("n")) * col("pp")).cast("double"), 6).as("lift"))
   }
 }

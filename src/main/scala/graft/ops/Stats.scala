@@ -1367,6 +1367,51 @@ object Stats {
         round(col("hq_cum").cast("double") / 1e12, 6).as("h_t"))
   }
 
+  /** Sequential probability ratio test (Wald) for a Bernoulli rate over
+    * a DETERMINISTIC observation order: cumulative log-likelihood ratio
+    * Λ_n = Σ xᵢ·ln(p₁/p₀) + (1−xᵢ)·ln((1−p₁)/(1−p₀)) against the
+    * boundaries ln((1−β)/α) (accept H₁) and ln(β/(1−α)) (accept H₀) —
+    * the always-valid A/B readout that stops as soon as the evidence
+    * suffices instead of at a fixed n. The two per-observation log
+    * terms and both boundaries are constants: each takes its log ONCE
+    * (quantized to 1e12 fixed point), so the running Λ is an EXACT
+    * integer prefix sum via [[Ranks.prefixCounts]] — no unpartitioned
+    * window, no order-dependent float accumulation. Output one row:
+    * n, final Λ (nats), the first crossing position per boundary, and
+    * the decision at the data's end. `ordCol` must be unique per row
+    * (the prefix contract) — pre-aggregate to one observation per
+    * subject first.
+    */
+  def sprtBernoulli(df: DataFrame, ordCol: Column, xCol: Column,
+                    p0: Double, p1: Double,
+                    alpha: Double = 0.05, beta: Double = 0.05): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
+      "need distinct rates inside (0, 1)")
+    def q12(c: Column): Column = floor(c * 1e12 + 0.5).cast("long")
+    // all four log constants evaluate once via constant folding — the
+    // engines share the literal ratios, so the quantized longs agree
+    val la = q12(log(lit(p1) / lit(p0)))
+    val lb = q12(log((lit(1d) - lit(p1)) / (lit(1d) - lit(p0))))
+    val up = q12(log((lit(1d) - lit(beta)) / lit(alpha)))
+    val dn = q12(log(lit(beta) / (lit(1d) - lit(alpha))))
+    val g = df.select(ordCol.as("i"), xCol.cast("long").as("x"))
+      .withColumn("llr_q",
+        col("x") * la + (lit(1L) - col("x")) * lb)
+    val c = Ranks.prefixCounts(g, "i", Seq("llr_q"))
+    c.agg(count(lit(1)).cast("long").as("n"),
+        max_by(col("llr_q_cum"), col("i")).as("llr_final_q"),
+        min(when(col("llr_q_cum") >= up, col("i"))).as("first_h1"),
+        min(when(col("llr_q_cum") <= dn, col("i"))).as("first_h0"))
+      .select(col("n"),
+        round(col("llr_final_q").cast("double") / 1e12, 6).as("llr_final"),
+        col("first_h1"), col("first_h0"),
+        when(col("first_h1").isNotNull &&
+            (col("first_h0").isNull || col("first_h1") <= col("first_h0")),
+            "accept_h1")
+          .when(col("first_h0").isNotNull, "accept_h0")
+          .otherwise("continue").as("decision"))
+  }
+
   /** z(0.975) and z(0.80): the two normal quantiles of the conventional
     * α=0.05 two-sided / 80%-power design, pinned as LITERALS (no inverse
     * CDF at query time) so both engines share the exact doubles.

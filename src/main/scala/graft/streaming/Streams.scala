@@ -4,7 +4,7 @@ import graft.flf.FlfParse
 import graft.schema.FixedSchema
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupStateTimeout, GroupState, OutputMode}
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 
 /** Structured Streaming surface (SURVEY.md §7.5 extension): the reference's
   * bounded convert loop generalizes to an unbounded landing-directory
@@ -40,6 +40,32 @@ object Streams {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
       .select(col("window.start").as("h"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Streaming OHLC bars — [[graft.ops.Resample.ohlcBars]] as a
+    * watermarked tumbling-window aggregation: open/close are min_by/
+    * max_by over the same exact d38 micros·10¹⁰+tie composite key, so a
+    * late tick within the watermark updates the open/close exactly as a
+    * batch recompute would. State is one row per window (bounded by the
+    * watermark horizon), volume an exact integer sum.
+    */
+  def ohlcStream(events: DataFrame, valCol: Column, tieCol: Column,
+                 window_ : String = "1 hour",
+                 watermark: String = "2 hours"): DataFrame = {
+    def d38(c: Column): Column =
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val key = d38(unix_micros(col("ts"))) * lit(10000000000L) + tieCol
+    events.withWatermark("ts", watermark)
+      .select(window(col("ts"), window_).as("w"), key.as("k"),
+        valCol.as("v"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("n_ticks"),
+        min_by(col("v"), col("k")).as("open"),
+        max(col("v")).as("high"), min(col("v")).as("low"),
+        max_by(col("v"), col("k")).as("close"),
+        sum(col("v")).as("volume"))
+      .select(col("w.start").as("bar"), col("n_ticks"), col("open"),
+        col("high"), col("low"), col("close"), col("volume"))
+  }
 
   /** Streaming CDC apply: maintain a key-unique parquet snapshot from an
     * unbounded change feed (op ∈ I/U/D) via foreachBatch + [[graft.ops.Merge]].

@@ -263,6 +263,48 @@ class OpsSpec extends AnyFunSuite {
       ("T", 4L, 2L, 2, 0.5, 0.666667)))
   }
 
+  test("personalizedPageRank: hand-replayed integer iterations on a " +
+    "3-path with seed {1}") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("p")
+    val got = Graph.personalizedPageRank(edges, seeds, iters = 2)
+      .orderBy("p").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // iter1: r=(150e9, 850e9, 0); iter2 contribs: 1→2:150e9,
+    // 2→{1,3}:425e9 each → r=(150e9+361.25e9, 127.5e9, 361.25e9)
+    assert(got.toSeq == Seq((1L, 511250000000L), (2L, 127500000000L),
+      (3L, 361250000000L)))
+  }
+
+  test("sprtBernoulli: strong evidence crosses the H1 boundary at the " +
+    "replayed position") {
+    val df = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 0L), (5L, 1L))
+      .toDF("i", "x")
+    val r = Stats.sprtBernoulli(df, col("i"), col("x"), p0 = 0.2, p1 = 0.8)
+      .collect().head
+    def q12(x: Double) = math.floor(x * 1e12 + 0.5).toLong
+    val la = q12(math.log(0.8 / 0.2)); val lb = q12(math.log(0.2 / 0.8))
+    val up = q12(math.log(0.95 / 0.05))
+    // cum: la, 2la, 3la (≥ up: 3·1.3863e12 > 2.9444e12 at n=3), …
+    assert(2 * la < up && 3 * la >= up)
+    assert((r.getAs[Long]("n"), r.getAs[Long]("first_h1"),
+      r.getAs[String]("decision")) == (5L, 3L, "accept_h1"))
+    assert(r.isNullAt(r.fieldIndex("first_h0")))
+    assert(r.getAs[Double]("llr_final") ==
+      BigDecimal((4 * la + lb).toDouble / 1e12)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("liftGains: three tiles of two rows each — rates, capture, lift") {
+    val df = Seq((1L, 60L, 1L), (2L, 50L, 1L), (3L, 40L, 0L),
+      (4L, 30L, 0L), (5L, 20L, 1L), (6L, 10L, 0L)).toDF("id", "score", "y")
+    val got = Eval.liftGains(df, col("score"), col("y"), col("id"), k = 3)
+      .orderBy("tile").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.toSeq == Seq((1, 2L, 2L, 1.0, 0.666667, 2.0),
+      (2, 2L, 0L, 0.0, 0.666667, 0.0), (3, 2L, 1L, 0.5, 1.0, 1.0)))
+  }
+
   test("acf: alternating series has acf(1) = -1, acf(2) = 1; gaps drop pairs") {
     val alt = (0L until 40L).map(t => (t, if (t % 2 == 0) 10L else 20L))
       .toDF("t", "v")
