@@ -8128,16 +8128,15 @@ object Queries {
       .limit(50)
   }
 
-  q("q_km_survival",
-    // Kaplan–Meier user-lifetime curve (right-censored at 2024-01-29):
-    // at-risk counts from per-duration cumulative counts, the survival
-    // prefix product as the TWO-LEVEL grid fold kaplanMeier defines
-    // (per-block factor products, then a carry across blocks — both
-    // engines replay the identical IEEE sequence) — no logs. The block
-    // width MIRRORS the operator's enforced grid (max(64, ceil(span /
-    // 4096))), so the oracle tracks the auto-scale instead of silently
-    // diverging if the duration span ever outgrows 64·4096
-    """WITH u AS (SELECT user_id, MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx,
+  /** DuckDB CTE chain for the right-censored user-lifetime Kaplan–Meier
+    * curve — the two-level grid fold kaplanMeier defines (per-block
+    * factor products, carry across blocks; block width mirrors the
+    * operator's enforced max(64, ceil(span/4096)) auto-scale). Ends in
+    * `km_out(t, d, n_risk, s_t)` — shared by the survival-curve and
+    * RMST oracles.
+    */
+  private val kmSurvivalCtes: String =
+    """u AS (SELECT user_id, MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx,
       |    MAX(ts) < TIMESTAMP '2024-01-29' AS ev FROM events GROUP BY 1),
       |dur AS (SELECT (mx - mn) // 3600000000 AS t,
       |    CASE WHEN ev THEN 1 ELSE 0 END AS d FROM u),
@@ -8159,18 +8158,54 @@ object Queries {
       |    CASE WHEN i = 1 THEN 1.0e0
       |      ELSE list_reduce(ps[1:CAST(i AS INT) - 1], (a, b) -> a * b) END AS carry
       |  FROM bl, (SELECT unnest(range(1, (SELECT len(bks) FROM bl) + 1)) AS i) ix),
-      |ex AS (SELECT bk, ts, ds, ns, fs, unnest(range(1, len(ts) + 1)) AS i FROM fb)
-      |SELECT ts[CAST(i AS INT)] AS t, CAST(ds[CAST(i AS INT)] AS INT) AS d,
+      |ex AS (SELECT bk, ts, ds, ns, fs, unnest(range(1, len(ts) + 1)) AS i FROM fb),
+      |km_out AS (SELECT ts[CAST(i AS INT)] AS t, CAST(ds[CAST(i AS INT)] AS INT) AS d,
       |  CAST(ns[CAST(i AS INT)] AS INT) AS n_risk,
       |  round(list_reduce(list_prepend(carry, fs[1:CAST(i AS INT)]), (a, b) -> a * b), 6) AS s_t
-      |FROM ex JOIN cr USING (bk) ORDER BY t""".stripMargin.replace("\n", " ")) { (s, dir) =>
+      |FROM ex JOIN cr USING (bk))""".stripMargin
+
+  /** The Spark side of [[kmSurvivalCtes]]: right-censored user-lifetime
+    * durations in hours.
+    */
+  private def kmDurations(s: SparkSession, dir: String): DataFrame = {
     val u = events(s, dir).groupBy("user_id")
       .agg(min(unix_micros(col("ts").cast(TimestampType))).as("mn"),
         max(unix_micros(col("ts").cast(TimestampType))).as("mx"),
         (max(col("ts")) < lit("2024-01-29").cast(TimestampNTZType)).as("ev"))
-    val dur = u.select(expr("(mx - mn) div 3600000000").as("t"),
+    u.select(expr("(mx - mn) div 3600000000").as("t"),
       when(col("ev"), 1).otherwise(0).as("d"))
-    Stats.kaplanMeier(dur, col("t"), col("d")).orderBy("t")
+  }
+
+  q("q_km_survival",
+    // Kaplan–Meier user-lifetime curve (right-censored at 2024-01-29):
+    // at-risk counts from per-duration cumulative counts, the survival
+    // prefix product as the TWO-LEVEL grid fold kaplanMeier defines
+    // (per-block factor products, then a carry across blocks — both
+    // engines replay the identical IEEE sequence) — no logs. The block
+    // width MIRRORS the operator's enforced grid (max(64, ceil(span /
+    // 4096))), so the oracle tracks the auto-scale instead of silently
+    // diverging if the duration span ever outgrows 64·4096
+    s"""WITH $kmSurvivalCtes
+      |SELECT t, d, n_risk, s_t FROM km_out ORDER BY t"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    Stats.kaplanMeier(kmDurations(s, dir), col("t"), col("d")).orderBy("t")
+  }
+
+  q("q_rmst",
+    // restricted mean survival time on [0, 700h]: area under the K-M
+    // curve — each interval term re-quantizes the published 6-dp S(t)
+    // to an exact ×1e6 integer times the exact clipped interval width,
+    // so the area is an exact integer sum; leading [0, t1) at S = 1
+    s"""WITH $kmSurvivalCtes,
+      |f AS (SELECT t, CAST(floor(s_t * 1e6 + 0.5) AS BIGINT) AS s6
+      |  FROM km_out WHERE t < 700),
+      |nx AS (SELECT t, s6, lead(t) OVER (ORDER BY t) AS t_next FROM f),
+      |a AS (SELECT SUM(s6 * (LEAST(coalesce(t_next, 700), 700) - t))
+      |    AS area_q, MIN(t) AS t_first, COUNT(*) AS k FROM nx)
+      |SELECT CAST(700 AS BIGINT) AS tau, CAST(k AS INT) AS k_times,
+      |  round(CAST(t_first * 1000000 + area_q AS DOUBLE) / 1e6, 6) AS rmst
+      |FROM a""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    Stats.rmst(kmDurations(s, dir), col("t"), col("d"), tau = 700L)
   }
 
   q("q_nelson_aalen",
@@ -8455,6 +8490,47 @@ object Queries {
         round(col("q_even"), 6).as("q_even"), round(col("q_odd"), 6).as("q_odd"),
         round(col("q_even") - col("q_odd"), 6).as("qq_gap"))
       .orderBy("decile")
+  }
+
+  q("q_lttb_downsample",
+    // LTTB series thinning (mean-anchor variant) of the hourly event
+    // counts to 48 tiles + the two endpoints: per tile keep the point
+    // with max triangle area vs the neighbor-tile means — exact NTILE
+    // tiles, exact-integer tile sums, one quantized double area per
+    // candidate, argmax by (area, min t)
+    """WITH h AS (SELECT CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS t,
+      |    CAST(COUNT(*) AS BIGINT) AS v FROM events GROUP BY 1),
+      |ed AS (SELECT MIN(t) AS t_lo, MAX(t) AS t_hi FROM h),
+      |fp AS (SELECT t AS t0, v AS v0 FROM h, ed WHERE t = t_lo),
+      |lp AS (SELECT t AS t9, v AS v9 FROM h, ed WHERE t = t_hi),
+      |i AS (SELECT t, v, NTILE(48) OVER (ORDER BY t) AS tile FROM h, ed
+      |  WHERE t <> t_lo AND t <> t_hi),
+      |m AS (SELECT tile, SUM(t) AS st, SUM(v) AS sv, COUNT(*) AS c
+      |  FROM i GROUP BY 1),
+      |an AS (SELECT m.tile,
+      |    coalesce(CAST(ml.st AS DOUBLE) / ml.c, CAST(t0 AS DOUBLE)) AS tl,
+      |    coalesce(CAST(ml.sv AS DOUBLE) / ml.c, CAST(v0 AS DOUBLE)) AS vl,
+      |    coalesce(CAST(mr.st AS DOUBLE) / mr.c, CAST(t9 AS DOUBLE)) AS tr,
+      |    coalesce(CAST(mr.sv AS DOUBLE) / mr.c, CAST(v9 AS DOUBLE)) AS vr
+      |  FROM m LEFT JOIN m ml ON ml.tile = m.tile - 1
+      |    LEFT JOIN m mr ON mr.tile = m.tile + 1, fp, lp),
+      |sc AS (SELECT i.tile, t, v, CAST(floor(abs(
+      |    tl * (CAST(v AS DOUBLE) - vr) + CAST(t AS DOUBLE) * (vr - vl)
+      |    + tr * (vl - CAST(v AS DOUBLE))) * 1e6 + 0.5) AS BIGINT) AS area_q
+      |  FROM i JOIN an ON an.tile = i.tile),
+      |mxq AS (SELECT tile, MAX(area_q) AS mxa FROM sc GROUP BY 1),
+      |pk AS (SELECT sc.tile, MIN(t) AS t FROM sc JOIN mxq
+      |  ON mxq.tile = sc.tile AND area_q = mxa GROUP BY 1),
+      |sel AS (SELECT sc.t, sc.v FROM sc JOIN pk
+      |  ON pk.tile = sc.tile AND pk.t = sc.t)
+      |SELECT t, v FROM (SELECT t0 AS t, v0 AS v FROM fp
+      |  UNION ALL SELECT t9, v9 FROM lp UNION ALL SELECT t, v FROM sel)
+      |ORDER BY t""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val h = events(s, dir)
+      .groupBy((unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+        .cast("long").as("t"))
+      .agg(count(lit(1)).as("v"))
+    Resample.lttb(h, col("t"), col("v"), buckets = 48).orderBy("t")
   }
 
   q("q_graph_ppr",
@@ -8838,6 +8914,33 @@ object Queries {
     val pm = least(lit(999), col("n_chars") % 500
       + when(col("lang") === "en", 300).otherwise(100))
     Eval.calibrationBins(d, col("lang") === "en", pm, bins = 10)
+  }
+
+  q("q_eval_ece",
+    // expected + maximum calibration error: the one-number summary of
+    // the q_eval_calibration table — per-bin 6-dp |gap| re-quantized to
+    // exact ×1e6 integers, n-weighted exact sum for ECE, plain max for
+    // MCE
+    """WITH p AS (SELECT lang = 'en' AS pos,
+      |    LEAST(999, n_chars % 500 + CASE WHEN lang = 'en' THEN 300 ELSE 100 END) AS pm
+      |  FROM documents),
+      |b AS (SELECT CAST(LEAST(floor(pm * 10 / 1000), 9) AS INT) AS bin,
+      |    CASE WHEN pos THEN 1 ELSE 0 END AS pos, pm FROM p),
+      |a AS (SELECT bin, COUNT(*) AS n, SUM(pos) AS n_pos, SUM(pm) AS sum_milli
+      |  FROM b GROUP BY 1),
+      |gp AS (SELECT n,
+      |    round(abs(CAST(sum_milli AS DOUBLE) / CAST(n * 1000 AS DOUBLE)
+      |      - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS abs_gap
+      |  FROM a)
+      |SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(COUNT(*) AS INT) AS k_bins,
+      |  round(CAST(SUM(n * CAST(floor(abs_gap * 1e6 + 0.5) AS BIGINT))
+      |    AS DOUBLE) / (CAST(SUM(n) AS DOUBLE) * 1e6), 6) AS ece,
+      |  MAX(abs_gap) AS mce
+      |FROM gp""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val d = tbl(s, dir, "documents")
+    val pm = least(lit(999), col("n_chars") % 500
+      + when(col("lang") === "en", 300).otherwise(100))
+    Eval.ece(d, col("lang") === "en", pm, bins = 10)
   }
 
   q("q_eval_isotonic",

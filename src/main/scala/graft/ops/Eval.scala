@@ -389,6 +389,26 @@ object Eval {
           / sqrt((col("n1") + col("n2")).cast("double")), 6).as("z"))
   }
 
+  /** Expected / maximum calibration error: the one-number summary of
+    * [[calibrationBins]] — ECE = Σ (n_b/N)·|gap_b|, MCE = max |gap_b|.
+    * Each bin's |gap| is the table's already-6-dp value re-quantized to
+    * an exact ×10⁶ integer, so the weighted reduction is an exact
+    * integer sum (order-free); MCE is a plain max. Bins-sized input —
+    * nothing here scales with rows.
+    */
+  def ece(df: DataFrame, isPos: Column, pMilli: Column,
+          bins: Int = 10): DataFrame = {
+    val b = calibrationBins(df, isPos, pMilli, bins)
+    b.agg(sum("n").cast("long").as("n"),
+        count(lit(1)).cast("int").as("k_bins"),
+        sum(col("n") * floor(col("abs_gap") * 1e6 + 0.5)).as("ece_q"),
+        max(col("abs_gap")).as("mce"))
+      .select(col("n"), col("k_bins"),
+        round(col("ece_q").cast("double")
+          / (col("n").cast("double") * 1e6), 6).as("ece"),
+        col("mce"))
+  }
+
   /** Lift / gains table: rank rows by score descending (id tie-break),
     * cut into `k` tiles (exact NTILE semantics), and per tile report the
     * positive count, rate, CUMULATIVE capture of all positives, and lift

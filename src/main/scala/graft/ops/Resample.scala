@@ -81,6 +81,74 @@ object Resample {
     }(enc)
   }
 
+  /** Largest-Triangle-Three-Buckets downsampling (mean-anchor variant —
+    * Steinarsson 2013, the fixed-anchor form that parallelizes): keep
+    * the global first and last points; cut the interior into `buckets`
+    * equal-count tiles (exact NTILE semantics via [[Ranks]] — no
+    * single-task sort); in each tile keep the point maximizing the
+    * triangle area against the NEIGHBOR TILE MEANS (first/last point at
+    * the edges) — the perceptually-faithful series thinning a dashboard
+    * runs before plotting millions of points. Tile means are exact
+    * integer sums taking one IEEE division each; each candidate's area
+    * is one fixed double expression quantized to ×10⁶, so the per-tile
+    * argmax (max area, then min t) is deterministic on any engine and
+    * partitioning. `tCol` must be unique per row; `tCol`/`vCol` integer.
+    * One rank pass + tiles-sized joins — nothing unpartitioned.
+    */
+  def lttb(df: DataFrame, tCol: Column, vCol: Column,
+           buckets: Int): DataFrame = {
+    require(buckets >= 1, "need at least one interior bucket")
+    val base = df.select(tCol.as("t"), vCol.as("v"))
+      .localCheckpoint() // consumers: edge lookup + the interior rank pass
+    val edges = base.agg(min("t").as("t_lo"), max("t").as("t_hi"))
+    val edgePts = base.crossJoin(broadcast(edges))
+      .filter(col("t") === col("t_lo") || col("t") === col("t_hi"))
+      .select(col("t"), col("v"), (col("t") === col("t_lo")).as("is_first"))
+      .localCheckpoint() // consumers: anchor row + the output union
+    val interior = base.crossJoin(broadcast(edges))
+      .filter(col("t") =!= col("t_lo") && col("t") =!= col("t_hi"))
+      .select("t", "v")
+      .localCheckpoint() // consumers: count + rank pass
+    val nInt = interior.count()
+    val tiled = Ranks.globalRank(interior, col("t"), col("t"), "rk")
+      .withColumn("tile", Ranks.ntileOfRank(col("rk"), lit(nInt), buckets))
+    val m = tiled.groupBy("tile")
+      .agg(sum("t").as("st"), sum("v").as("sv"), count(lit(1)).as("c"))
+    val firstPt = edgePts.filter(col("is_first"))
+      .select(col("t").as("t0"), col("v").as("v0"))
+    val lastPt = edgePts.filter(!col("is_first"))
+      .select(col("t").as("t9"), col("v").as("v9"))
+    def meanOf(side: String, shift: Int) = m.select(
+      (col("tile") - shift).as("tile"),
+      (col("st").cast("double") / col("c").cast("double")).as(s"t$side"),
+      (col("sv").cast("double") / col("c").cast("double")).as(s"v$side"))
+    val anchors = m.select(col("tile"))
+      .join(meanOf("l", -1), Seq("tile"), "left")   // tile-1's mean
+      .join(meanOf("r", 1), Seq("tile"), "left")    // tile+1's mean
+      .crossJoin(broadcast(firstPt)).crossJoin(broadcast(lastPt))
+      .select(col("tile"),
+        coalesce(col("tl"), col("t0").cast("double")).as("tl"),
+        coalesce(col("vl"), col("v0").cast("double")).as("vl"),
+        coalesce(col("tr"), col("t9").cast("double")).as("tr"),
+        coalesce(col("vr"), col("v9").cast("double")).as("vr"))
+    val scored = tiled.join(broadcast(anchors), "tile")
+      .withColumn("area_q", floor(abs(
+        col("tl") * (col("v").cast("double") - col("vr"))
+          + col("t").cast("double") * (col("vr") - col("vl"))
+          + col("tr") * (col("vl") - col("v").cast("double"))) * 1e6 + 0.5)
+        .cast("long"))
+      .localCheckpoint() // consumers: per-tile max + the argmax join
+    val mx = scored.groupBy(col("tile").as("tile_m"))
+      .agg(max("area_q").as("area_mx"))
+    val selT = scored.join(broadcast(mx),
+        col("tile") === col("tile_m") && col("area_q") === col("area_mx"))
+      .groupBy(col("tile").as("tile_s")).agg(min("t").as("t_s"))
+    val sel = scored.join(broadcast(selT),
+        col("tile") === col("tile_s") && col("t") === col("t_s"))
+      .select(col("t"), col("v"))
+    edgePts.select("t", "v").union(sel)
+  }
+
   /** OHLC bars: per time bucket, the first/highest/lowest/last value plus
     * the count and exact volume — the canonical downsampling of a tick
     * stream. ONE aggregation over the bucket key (map-side partial

@@ -640,6 +640,42 @@ object Stats {
           col("carry"), (acc, f) => acc * f), 6).as("s_t"))
   }
 
+  /** Restricted mean survival time: the area under the [[kaplanMeier]]
+    * curve on [0, τ] — the "average event-free time in the first τ
+    * units" that stays meaningful when the curve never reaches the
+    * median. Each interval term re-quantizes the curve's published 6-dp
+    * S(t) to an exact ×10⁶ integer and multiplies by the exact integer
+    * interval width (next event time, clipped at τ), so the area is an
+    * EXACT integer sum — order-free; the leading [0, t₁) interval
+    * contributes at S = 1. Event-grid-sized input after the K-M pass;
+    * the next-time lookup is a rank self-join ([[Ranks.globalRank]]),
+    * not an unpartitioned window.
+    */
+  def rmst(df: DataFrame, durCol: Column, eventCol: Column, tau: Long,
+           blockW: Int = 64, maxBlocks: Int = 4096): DataFrame = {
+    require(tau > 0, "tau must be positive")
+    val km = kaplanMeier(df, durCol, eventCol, blockW, maxBlocks)
+      .filter(col("t") < tau)
+      .select(col("t").cast("long").as("t"),
+        floor(col("s_t") * 1e6 + 0.5).cast("long").as("s6"))
+      .localCheckpoint() // consumers: rank pass + first/area aggregates
+    val ranked = Ranks.globalRank(km, col("t"), col("t"), "rk")
+      .localCheckpoint() // consumers: the self-join's two sides
+    val nxt = ranked.select((col("rk") - 1).as("rk"), col("t").as("t_next"))
+    val head = ranked.agg(
+      coalesce(min("t"), lit(tau)).cast("long").as("t_first"),
+      count(lit(1)).cast("int").as("k_times"))
+    ranked.join(nxt, Seq("rk"), "left")
+      .select(col("s6"),
+        (least(coalesce(col("t_next"), lit(tau)), lit(tau)) - col("t"))
+          .as("gap"))
+      .agg(coalesce(sum(col("s6") * col("gap")), lit(0L)).as("area_q"))
+      .crossJoin(head)
+      .select(lit(tau).as("tau"), col("k_times"),
+        round((col("t_first") * lit(1000000L) + col("area_q"))
+          .cast("double") / 1e6, 6).as("rmst"))
+  }
+
   /** Anomaly z-score of an integer metric against its trailing window
     * (`lookback` prior rows, current row excluded). The window sums are
     * integer — exact under any evaluation order, so segment-tree vs

@@ -305,6 +305,38 @@ class OpsSpec extends AnyFunSuite {
       (2, 2L, 0L, 0.0, 0.666667, 0.0), (3, 2L, 1L, 0.5, 1.0, 1.0)))
   }
 
+  test("rmst: hand-replayed K-M area with the leading S=1 interval and " +
+    "tau clipping") {
+    val df = Seq((1, 1), (2, 1), (2, 0), (3, 1)).toDF("t", "d")
+    // K-M: S(1)=.75, S(2)=.5, S(3)=0; tau=3 → 1·1 + .75·1 + .5·1 = 2.25
+    val r = Stats.rmst(df, col("t"), col("d"), tau = 3L).collect().head
+    assert((r.getAs[Long]("tau"), r.getAs[Int]("k_times"),
+      r.getAs[Double]("rmst")) == (3L, 2, 2.25))
+    // tau before the first event: the whole window survives at S = 1
+    val e = Stats.rmst(df, col("t"), col("d"), tau = 1L).collect().head
+    assert((e.getAs[Int]("k_times"), e.getAs[Double]("rmst")) == (0, 1.0))
+  }
+
+  test("ece: n-weighted |gap| sum and max over two hand bins") {
+    // bin 9: mean_p=.9 vs rate .75 → gap .15 (n=4); bin 1: .1 vs 0 → .1
+    val rows = Seq.fill(3)((true, 900L)) ++ Seq((false, 900L)) ++
+      Seq.fill(4)((false, 100L))
+    val df = rows.toDF("pos", "pm")
+    val r = Eval.ece(df, col("pos"), col("pm"), bins = 10).collect().head
+    assert((r.getAs[Long]("n"), r.getAs[Int]("k_bins"),
+      r.getAs[Double]("ece"), r.getAs[Double]("mce")) == (8L, 2, 0.125, 0.15))
+  }
+
+  test("lttb: keeps endpoints and the per-tile spike (max-area point)") {
+    // flat zero series with one spike per tile: the spike wins its tile
+    val rows = (0L to 9L).map(t =>
+      (t, if (t == 3) 100L else if (t == 7) 80L else 0L))
+    val df = rows.toDF("t", "v")
+    val got = Resample.lttb(df, col("t"), col("v"), buckets = 2)
+      .orderBy("t").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((0L, 0L), (3L, 100L), (7L, 80L), (9L, 0L)))
+  }
+
   test("acf: alternating series has acf(1) = -1, acf(2) = 1; gaps drop pairs") {
     val alt = (0L until 40L).map(t => (t, if (t % 2 == 0) 10L else 20L))
       .toDF("t", "v")
