@@ -8492,6 +8492,74 @@ object Queries {
       .orderBy("decile")
   }
 
+  q("q_skipping_eval",
+    // data-skipping effectiveness: 64 simulated equal-count files under
+    // the natural (orderkey) vs clustered (custkey-sorted) layout, zone
+    // maps per file, and the file/row scan cost of the range predicate
+    // o_custkey in [100, 200) under each — the quantitative case for
+    // layout work (exact NTILE files, no single-task sort)
+    """WITH r AS (SELECT o_orderkey AS ord, o_custkey AS p, o_orderkey AS id
+      |  FROM orders),
+      |l1 AS (SELECT p, NTILE(64) OVER (ORDER BY ord, id) AS f FROM r),
+      |g1 AS (SELECT f, MIN(p) AS mn, MAX(p) AS mx, COUNT(*) AS c
+      |  FROM l1 GROUP BY 1),
+      |s1 AS (SELECT 'natural' AS layout, CAST(COUNT(*) AS INT) AS n_files,
+      |  CAST(coalesce(SUM(CASE WHEN mn < 200 AND mx >= 100 THEN 1 END), 0) AS INT) AS n_hit,
+      |  CAST(coalesce(SUM(CASE WHEN mn < 200 AND mx >= 100 THEN c END), 0) AS BIGINT) AS rows_scanned,
+      |  CAST(SUM(c) AS BIGINT) AS n_rows FROM g1),
+      |l2 AS (SELECT p, NTILE(64) OVER (ORDER BY p, id) AS f FROM r),
+      |g2 AS (SELECT f, MIN(p) AS mn, MAX(p) AS mx, COUNT(*) AS c
+      |  FROM l2 GROUP BY 1),
+      |s2 AS (SELECT 'clustered' AS layout, CAST(COUNT(*) AS INT) AS n_files,
+      |  CAST(coalesce(SUM(CASE WHEN mn < 200 AND mx >= 100 THEN 1 END), 0) AS INT) AS n_hit,
+      |  CAST(coalesce(SUM(CASE WHEN mn < 200 AND mx >= 100 THEN c END), 0) AS BIGINT) AS rows_scanned,
+      |  CAST(SUM(c) AS BIGINT) AS n_rows FROM g2)
+      |SELECT layout, n_files, n_hit, rows_scanned, n_rows,
+      |  round(1 - CAST(n_hit AS DOUBLE) / CAST(n_files AS DOUBLE), 6)
+      |    AS prune_rate
+      |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2) ORDER BY layout"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    Bucketing.skippingEval(tbl(s, dir, "orders"), col("o_orderkey"),
+      col("o_custkey"), col("o_orderkey"), lo = 100L, hi = 200L, files = 64)
+      .orderBy("layout")
+  }
+
+  q("q_bloom_fpp",
+    // bloom-filter design eval with an engine-neutral md5 bloom
+    // (k=4 positions per key mod m=2048): build on high-balance
+    // customers, probe distinct order custkeys, score pass counts
+    // against the exact semi-join truth — observed FPP + fill factor
+    s"""WITH a AS (SELECT DISTINCT c_custkey AS key FROM customer
+      |  WHERE c_acctbal > 5000),
+      |b AS (SELECT DISTINCT o_custkey AS key FROM orders),
+      |ii AS (SELECT i FROM (VALUES (0), (1), (2), (3)) x(i)),
+      |bits AS (SELECT DISTINCT
+      |    ${md5Hash60Sql("'b' || i || '|' || CAST(key AS VARCHAR)")} % 2048 AS pos
+      |  FROM a CROSS JOIN ii),
+      |pp AS (SELECT key,
+      |    ${md5Hash60Sql("'b' || i || '|' || CAST(key AS VARCHAR)")} % 2048 AS pos
+      |  FROM b CROSS JOIN ii),
+      |pass AS (SELECT key FROM pp JOIN bits USING (pos)
+      |  GROUP BY key HAVING COUNT(*) = 4),
+      |c AS (SELECT (SELECT COUNT(*) FROM a) AS n_build,
+      |  (SELECT COUNT(*) FROM b) AS n_probe,
+      |  (SELECT COUNT(*) FROM b WHERE key IN (SELECT key FROM a)) AS n_true,
+      |  (SELECT COUNT(*) FROM pass) AS n_pass,
+      |  (SELECT COUNT(*) FROM bits) AS bits_set)
+      |SELECT n_build, n_probe, n_true, n_pass,
+      |  n_pass - n_true AS n_false_pos,
+      |  round(CAST(n_pass - n_true AS DOUBLE)
+      |    / CAST(n_probe - n_true AS DOUBLE), 6) AS fpp_observed,
+      |  CAST(2048 AS INT) AS m, CAST(4 AS INT) AS k,
+      |  round(CAST(bits_set AS DOUBLE) / 2048, 6) AS fill
+      |FROM c""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    Sketch.bloomFppEval(
+      tbl(s, dir, "customer").filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey")),
+      tbl(s, dir, "orders").select(col("o_custkey")),
+      col("c_custkey"), col("o_custkey"), m = 2048, k = 4)
+  }
+
   q("q_lttb_downsample",
     // LTTB series thinning (mean-anchor variant) of the hourly event
     // counts to 48 tiles + the two endpoints: per tile keep the point

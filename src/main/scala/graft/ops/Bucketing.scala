@@ -130,6 +130,42 @@ object Bucketing {
       .drop("__h")
       .write.mode("overwrite").parquet(path)
 
+  /** Data-skipping effectiveness eval: simulate writing `files`
+    * equal-count files under two layouts — `natural` (the incoming
+    * `naturalOrd` order) and `clustered` (sorted by the predicate
+    * column) — build each file's min/max zone map, and report how many
+    * files a range predicate `[lo, hi)` must scan under each. This is
+    * the quantitative case for [[writeZordered]]-style layout work: the
+    * same query, the same data, orders of magnitude fewer files touched.
+    * Rank passes are range-bucketed ([[Ranks.globalRank]] + exact NTILE
+    * tiles, no single-task sort); everything after is files-sized.
+    * `tieCol` must be unique (it completes both total orders).
+    */
+  def skippingEval(df: DataFrame, naturalOrd: Column, predCol: Column,
+                   tieCol: Column, lo: Long, hi: Long,
+                   files: Int): DataFrame = {
+    val base = df.select(naturalOrd.as("ord"), predCol.as("p"),
+        tieCol.as("id"))
+      .localCheckpoint() // consumers: count + two rank passes
+    val n = base.count()
+    def layout(name: String, sortC: Column): DataFrame =
+      Ranks.globalRank(base, sortC, col("id"), "rk")
+        .withColumn("f", Ranks.ntileOfRank(col("rk"), lit(n), files))
+        .groupBy("f")
+        .agg(min("p").as("mn"), max("p").as("mx"), count(lit(1)).as("c"))
+        .agg(count(lit(1)).cast("int").as("n_files"),
+          coalesce(sum(when(col("mn") < hi && col("mx") >= lo, 1)), lit(0))
+            .cast("int").as("n_hit"),
+          coalesce(sum(when(col("mn") < hi && col("mx") >= lo, col("c"))),
+            lit(0)).cast("long").as("rows_scanned"),
+          sum(col("c")).cast("long").as("n_rows"))
+        .select(lit(name).as("layout"), col("n_files"), col("n_hit"),
+          col("rows_scanned"), col("n_rows"),
+          round(lit(1d) - col("n_hit").cast("double")
+            / col("n_files").cast("double"), 6).as("prune_rate"))
+    layout("natural", col("ord")).union(layout("clustered", col("p")))
+  }
+
   /** Compaction PLANNER (the analysis half of [[compact]]): given a file
     * inventory `(ordCol unique ascending id, sizeCol bytes)`, assign each
     * file to an output bin by its START OFFSET in the id-ordered byte

@@ -262,4 +262,53 @@ object Sketch {
       .select(est.as("est_join"), col("n_exact"),
         round((est - col("n_exact")) / col("n_exact"), 6).as("rel_err"))
   }
+
+  /** Bloom-filter false-positive eval with an ENGINE-NEUTRAL bloom:
+    * k md5-derived bit positions per key (`md5("b<i>|" + key) mod m` —
+    * the [[Pipeline.md5Hash60]] construction, so any engine replays the
+    * exact bit set), membership = all k positions set. Builds the bits
+    * from `build`'s keys, probes `probe`'s distinct keys, and scores
+    * the bloom against the exact semi-join truth: pass/true/false-
+    * positive counts, the observed FPP among true non-members, and the
+    * fill factor. This is the measurement behind choosing m and k for
+    * [[Pipeline.bloomSemiJoin]]-style prefilters at scale.
+    * Scale shape: bits ≤ m rows; the probe explodes k rows per key and
+    * joins the (broadcastable) bit set; truth is one semi join.
+    */
+  def bloomFppEval(build: DataFrame, probe: DataFrame, buildKey: Column,
+                   probeKey: Column, m: Int, k: Int = 4): DataFrame = {
+    require(m > 0 && k > 0 && k <= 8, "need m > 0 and 1 <= k <= 8")
+    val spark = build.sparkSession
+    import spark.implicits._
+    def positions(keys: DataFrame): DataFrame =
+      keys.crossJoin((0 until k).toDF("i"))
+        .select(col("key"), col("i"), pmod(Pipeline.md5Hash60(
+          concat(lit("b"), col("i"), lit("|"), col("key").cast("string"))),
+          lit(m.toLong)).as("pos"))
+    val a = build.select(buildKey.as("key")).distinct()
+      .localCheckpoint() // consumers: bits + the exact-truth semi join
+    val b = probe.select(probeKey.as("key")).distinct()
+      .localCheckpoint() // consumers: probe explode + truth + count
+    val bits = positions(a).select("pos").distinct()
+      .localCheckpoint() // consumers: fill count + the probe join
+    val pass = positions(b).join(bits, "pos")
+      .groupBy("key").agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === k).select("key")
+    val truth = b.join(a, Seq("key"), "left_semi")
+    val counts = a.agg(count(lit(1)).as("n_build"))
+      .crossJoin(b.agg(count(lit(1)).as("n_probe")))
+      .crossJoin(truth.agg(count(lit(1)).as("n_true")))
+      .crossJoin(pass.agg(count(lit(1)).as("n_pass")))
+      .crossJoin(bits.agg(count(lit(1)).as("bits_set")))
+    counts.select(col("n_build"), col("n_probe"), col("n_true"),
+      col("n_pass"), (col("n_pass") - col("n_true")).as("n_false_pos"),
+      // NULL when every probe is a member (no non-member to false-flag;
+      // an ANSI 0-divide would abort)
+      when(col("n_probe") > col("n_true"),
+        round((col("n_pass") - col("n_true")).cast("double")
+          / (col("n_probe") - col("n_true")).cast("double"), 6))
+        .as("fpp_observed"),
+      lit(m).as("m"), lit(k).as("k"),
+      round(col("bits_set").cast("double") / m.toDouble, 6).as("fill"))
+  }
 }

@@ -337,6 +337,40 @@ class OpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((0L, 0L), (3L, 100L), (7L, 80L), (9L, 0L)))
   }
 
+  test("skippingEval: interleaved values defeat natural zone maps; " +
+    "clustering prunes them") {
+    val rows = Seq((1L, 10L), (2L, 50L), (3L, 11L), (4L, 51L),
+      (5L, 12L), (6L, 52L), (7L, 13L), (8L, 53L)).toDF("id", "p")
+    val got = Bucketing.skippingEval(rows, col("id"), col("p"), col("id"),
+        lo = 50L, hi = 54L, files = 4)
+      .orderBy("layout").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getDouble(5)))
+    // natural 2-row files each span both clusters → 4/4 hit; clustered
+    // isolates [50..53] into 2 files → 2/4 hit, half the rows scanned
+    assert(got.toSeq == Seq(("clustered", 4, 2, 4L, 0.5),
+      ("natural", 4, 4, 8L, 0.0)))
+  }
+
+  test("bloomFppEval: no false negatives; self-probe has zero FPP") {
+    val a = (1L to 4L).toDF("key")
+    val b = (1L to 8L).toDF("key")
+    val r = Sketch.bloomFppEval(a, b, col("key"), col("key"), m = 16, k = 2)
+      .collect().head
+    assert((r.getAs[Long]("n_build"), r.getAs[Long]("n_probe"),
+      r.getAs[Long]("n_true")) == (4L, 8L, 4L))
+    // a bloom can only over-approximate: every true member passes
+    assert(r.getAs[Long]("n_pass") >= 4L && r.getAs[Long]("n_false_pos") >= 0L)
+    val fpp = r.getAs[Double]("fpp_observed")
+    assert(fpp >= 0.0 && fpp <= 1.0 && r.getAs[Double]("fill") <= 0.5)
+    val self = Sketch.bloomFppEval(a, a, col("key"), col("key"), m = 16, k = 2)
+      .collect().head
+    assert(self.getAs[Long]("n_pass") == 4L &&
+      self.getAs[Long]("n_false_pos") == 0L)
+    // all-member probe: FPP undefined → NULL, not a 0-divide abort
+    assert(self.isNullAt(self.fieldIndex("fpp_observed")))
+  }
+
   test("acf: alternating series has acf(1) = -1, acf(2) = 1; gaps drop pairs") {
     val alt = (0L until 40L).map(t => (t, if (t % 2 == 0) 10L else 20L))
       .toDF("t", "v")
