@@ -619,6 +619,41 @@ class PlanSpec extends AnyFunSuite {
       s"unpartitioned Window in: ${offenders.mkString(", ")}")
   }
 
+  test("ohlc bars: ONE aggregation — no window, no join, no extra shuffle") {
+    val plan = planOf("q_ohlc_bars")
+    assert(!plan.contains("Window") && !plan.contains("Join"), plan.take(2000))
+    // exactly one hash shuffle: the bar-key aggregation (plus the final
+    // presentation sort's range partitioning)
+    assert(plan.linesIterator.count(_.contains("hashpartitioning")) <= 2,
+      plan.take(2000))
+  }
+
+  test("lttb + lift gains + skipping eval: tiles-sized frames broadcast, " +
+    "never sort-merge") {
+    Seq("q_lttb_downsample", "q_lift_gains", "q_skipping_eval").foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("SortMergeJoin"), s"$q: ${plan.take(2000)}")
+    }
+  }
+
+  test("compaction plan: prefix sums are bucket-partitioned windows, " +
+    "no sort-merge join") {
+    val plan = planOf("q_compaction_plan")
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+    assert(plan.linesIterator.count(_.contains("Window")) >= 1, plan.take(2000))
+  }
+
+  test("mutual info / drift panel: every row-scaled join broadcasts — any " +
+    "surviving sort-merge is the bins-sized FullOuter histogram merge " +
+    "(full outer cannot broadcast)") {
+    Seq("q_mutual_info", "q_drift_panel", "q_psi_deciles").foreach { q =>
+      val plan = planOf(q)
+      val smj = plan.linesIterator.filter(_.contains("SortMergeJoin")).toSeq
+      assert(smj.forall(_.contains("FullOuter")),
+        s"$q: non-FullOuter SMJ — ${smj.mkString("; ")}")
+    }
+  }
+
   test("welch t-test: exact sums partial-aggregate; no join anywhere") {
     val plan = planOf("q_welch_ttest")
     assert(plan.contains("partial_sum") || plan.contains("partial sum"),
