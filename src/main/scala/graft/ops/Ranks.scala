@@ -265,6 +265,48 @@ object Ranks {
         BucketOffset(col("__b"), offs)).as(s"${valCol}_premin"): _*)
   }
 
+  /** Exact interpolated percentiles WITHOUT the single-buffer collect:
+    * Spark's `percentile()` (and any sort-based exact quantile) packs
+    * every value of the group into ONE aggregation buffer — a superlinear
+    * wall the moment the group scales with the data (measured 7.8× on a
+    * 10× input). This form distinct-compresses the values (one
+    * aggregate), takes bucket-partitioned prefix counts, and resolves
+    * each target fraction's two order statistics by a broadcast join —
+    * everything row-scaled stays narrow and partitioned. The
+    * interpolation is the standard h = p·(n−1), v = v_lo +
+    * (v_hi − v_lo)·(h − ⌊h⌋) — the same IEEE shape `percentile()` and
+    * DuckDB `quantile_cont()` evaluate, so results hash-match the
+    * built-ins. Returns one row per fraction: (i, p, value).
+    */
+  def percentilesExact(df: DataFrame, valCol: Column,
+                       fractions: Seq[Double]): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(p => p >= 0 && p <= 1),
+      "fractions must lie in [0, 1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val g = df.select(valCol.as("v")).filter(col("v").isNotNull)
+      .groupBy("v").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // consumers: total count + the prefix pass
+    val n = g.agg(sum("c")).collect()(0).getLong(0)
+    require(n > 0, "percentilesExact: no non-null values")
+    val cum = prefixCounts(g, "v", Seq("c"))
+    val ranks = fractions.zipWithIndex.map { case (p, ix) =>
+      val h = p * (n - 1) // 0-based interpolation position
+      val lo = math.floor(h).toLong + 1
+      (ix + 1, p, h - math.floor(h), lo, math.min(lo + 1, n))
+    }.toDF("i", "p", "frac", "r_lo", "r_hi")
+    def at(rCol: String, name: String): DataFrame =
+      cum.crossJoin(broadcast(ranks))
+        .filter(col(rCol) > col("c_cum") - col("c") &&
+          col(rCol) <= col("c_cum"))
+        .select(col("i"), col("v").cast("double").as(name))
+    at("r_lo", "v_lo").join(at("r_hi", "v_hi"), "i")
+      .join(broadcast(ranks.select("i", "p", "frac")), "i")
+      .select(col("i"), col("p"),
+        (col("v_lo") + (col("v_hi") - col("v_lo")) * col("frac"))
+          .as("value"))
+  }
+
   /** NTILE(k) of a precomputed global rank — Spark/DuckDB NTILE
     * semantics exactly: the first `n mod k` tiles hold `n div k + 1`
     * rows, the rest `n div k`. Lazy CaseWhen keeps the second branch's

@@ -217,4 +217,20 @@ class RanksSpec extends AnyFunSuite {
     assert(fillRanks == (1L to nFill.toLong).toSeq,
       "\"fill...\" sorts before \"hot...\" so filler must occupy ranks 1..nFill")
   }
+
+  test("percentilesExact is bit-identical to Spark's percentile() on a " +
+    "duplicate-heavy frame, including edge fractions") {
+    // 700 rows, many duplicates, negatives, non-uniform spacing
+    val df = spark.range(0, 700)
+      .select(((col("id") * 131 % 97) * (col("id") % 7 - 3)).cast("double")
+        .as("v"))
+      .localCheckpoint()
+    val fr = Seq(0.0, 0.1, 0.25, 0.5, 0.733, 0.9, 1.0)
+    val frSql = fr.map(p => s"${p}D").mkString("array(", ", ", ")")
+    val expect = df.agg(expr(s"percentile(v, $frSql)").as("qs"))
+      .collect()(0).getSeq[Double](0)
+    val got = Ranks.percentilesExact(df, col("v"), fr)
+      .orderBy("i").collect().map(_.getAs[Double]("value")).toSeq
+    assert(got == expect.toSeq) // same interpolation shape → same bits
+  }
 }
