@@ -1769,10 +1769,13 @@ object Queries {
   q("q_graph_pagerank",
     // integer fixed-point PageRank (scale 1e12, damping 85/100 exact) on
     // the symmetric 3-NN cosine graph — every iteration is integer
-    // arithmetic, so the DuckDB recursive CTE reproduces it bit-for-bit
+    // arithmetic, so the DuckDB recursive CTE reproduces it bit-for-bit.
+    // The cohort is BOUNDED (vec_id < 2000): brute all-pairs 3-NN on a
+    // corpus-scaled cohort is quadratic — an unbounded graph build must
+    // go through the IVF/LSH candidate paths (ops/Similarity)
     """WITH RECURSIVE
-      |q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id % 10 < 3),
-      |c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings WHERE vec_id % 10 < 3),
+      |q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id % 10 < 3 AND vec_id < 2000),
+      |c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings WHERE vec_id % 10 < 3 AND vec_id < 2000),
       |s AS (SELECT q_id, n_id,
       |  list_sum(list_transform(range(1, len(q_vec) + 1), i -> CAST(q_vec[i] AS DOUBLE) * CAST(n_vec[i] AS DOUBLE))) /
       |  (sqrt(list_sum(list_transform(range(1, len(q_vec) + 1), i -> CAST(q_vec[i] AS DOUBLE) * CAST(q_vec[i] AS DOUBLE)))) *
@@ -1795,7 +1798,8 @@ object Queries {
       |  WHERE pr.iter < 5 GROUP BY 1, 2)
       |SELECT p, rank FROM pr WHERE iter = 5 ORDER BY rank DESC, p LIMIT 25"""
       .stripMargin.replace("\n", " ")) { (s, dir) =>
-    val sub = tbl(s, dir, "embeddings").filter(pmod(col("vec_id"), lit(10)) < 3)
+    val sub = tbl(s, dir, "embeddings")
+      .filter(pmod(col("vec_id"), lit(10)) < 3 && col("vec_id") < 2000)
     val knn = Similarity.bruteForceKnn(sub, sub, k = 3)
       .select(col("q_id").as("pa"), col("n_id").as("pb"))
     val edges = knn.select(col("pa").as("src"), col("pb").as("dst"))
@@ -8611,13 +8615,14 @@ object Queries {
   }
 
   q("q_graph_ppr",
-    // personalized PageRank on the same 3-NN cosine graph as
-    // q_graph_pagerank, teleporting to the p%7=0 seed set — integer
-    // fixed point throughout, so the recursive CTE replays every
-    // iteration bit-for-bit; top-25 "most related to the seeds"
+    // personalized PageRank on the same BOUNDED 3-NN cosine graph as
+    // q_graph_pagerank (vec_id < 2000 — see the quadratic-build note
+    // there), teleporting to the p%7=0 seed set — integer fixed point
+    // throughout, so the recursive CTE replays every iteration
+    // bit-for-bit; top-25 "most related to the seeds"
     """WITH RECURSIVE
-      |q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id % 10 < 3),
-      |c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings WHERE vec_id % 10 < 3),
+      |q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id % 10 < 3 AND vec_id < 2000),
+      |c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings WHERE vec_id % 10 < 3 AND vec_id < 2000),
       |s AS (SELECT q_id, n_id,
       |  list_sum(list_transform(range(1, len(q_vec) + 1), i -> CAST(q_vec[i] AS DOUBLE) * CAST(n_vec[i] AS DOUBLE))) /
       |  (sqrt(list_sum(list_transform(range(1, len(q_vec) + 1), i -> CAST(q_vec[i] AS DOUBLE) * CAST(q_vec[i] AS DOUBLE)))) *
@@ -8645,7 +8650,8 @@ object Queries {
       |  WHERE pr.iter < 5 GROUP BY 1, 2, sd.p)
       |SELECT p, rank FROM pr WHERE iter = 5 ORDER BY rank DESC, p LIMIT 25"""
       .stripMargin.replace("\n", " ")) { (s, dir) =>
-    val sub = tbl(s, dir, "embeddings").filter(pmod(col("vec_id"), lit(10)) < 3)
+    val sub = tbl(s, dir, "embeddings")
+      .filter(pmod(col("vec_id"), lit(10)) < 3 && col("vec_id") < 2000)
     val knn = Similarity.bruteForceKnn(sub, sub, k = 3)
       .select(col("q_id").as("pa"), col("n_id").as("pb"))
     val edges = knn.select(col("pa").as("src"), col("pb").as("dst"))
