@@ -8505,6 +8505,105 @@ object Queries {
       .orderBy("decile")
   }
 
+  q("q_jackknife_ratio",
+    // bucket-jackknife SE of a RATIO metric (avg order value, cents)
+    // over 40 custkey buckets: leave-one-out estimates from group totals
+    // alone, each one IEEE division quantized to 1e6, variance as exact
+    // decimal algebra — the A/B-platform machinery for ratio metrics
+    """WITH r AS (SELECT o_custkey % 40 AS g,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS x,
+      |    1 AS y FROM orders),
+      |g AS (SELECT g, SUM(CAST(x AS DECIMAL(38,0))) AS sn,
+      |    SUM(CAST(y AS DECIMAL(38,0))) AS sd FROM r GROUP BY 1),
+      |t AS (SELECT SUM(sn) AS nn, SUM(sd) AS dd, COUNT(*) AS gg FROM g),
+      |loo AS (SELECT CAST(floor(CAST(nn - sn AS DOUBLE)
+      |    / CAST(dd - sd AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS t_q FROM g, t),
+      |s AS (SELECT SUM(CAST(t_q AS DECIMAL(38,0))) AS tt FROM loo),
+      |d AS (SELECT SUM((CAST(t_q AS DECIMAL(38,0)) * gg - tt)
+      |    * (CAST(t_q AS DECIMAL(38,0)) * gg - tt)) AS ss FROM loo, s, t),
+      |q AS (SELECT CAST(gg AS INT) AS g_buckets,
+      |    CAST(nn AS DOUBLE) / CAST(dd AS DOUBLE) AS th,
+      |    sqrt(CAST(gg - 1 AS DOUBLE) / CAST(gg AS DOUBLE)
+      |      * CAST(ss AS DOUBLE)
+      |      / (CAST(gg AS DOUBLE) * CAST(gg AS DOUBLE) * 1e12)) AS se
+      |  FROM d, s, t)
+      |SELECT g_buckets, round(th, 6) AS theta, round(se, 6) AS se_jack,
+      |  round(th - 1.9599639845400545 * se, 6) AS ci_lo,
+      |  round(th + 1.9599639845400545 * se, 6) AS ci_hi
+      |FROM q""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    Stats.jackknifeRatio(tbl(s, dir, "orders"), col("o_custkey") % 40,
+      (dec(col("o_totalprice"), 12, 2) * 100).cast("long"), lit(1L))
+  }
+
+  q("q_conformal_coverage",
+    // split-conformal interval check: md5 60/20/20 split, per-language
+    // mean model on train, q̂ = the ⌈(n_cal+1)·0.9⌉-th smallest |residual|
+    // (type-1, ×1e6 exact), test coverage ≥ 90% by the conformal
+    // guarantee — all ranks from prefix counts, no single-task sort
+    s"""WITH b AS (SELECT lang AS seg, n_chars AS y,
+      |    ${md5Hash60Sql("doc_id")} % 100 AS bk FROM documents),
+      |m AS (SELECT seg, CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS pred FROM b WHERE bk < 60 GROUP BY 1),
+      |cal AS (SELECT CAST(floor(abs(CAST(y AS DOUBLE) - pred) * 1e6 + 0.5)
+      |    AS BIGINT) AS r_q FROM b JOIN m USING (seg)
+      |  WHERE bk >= 60 AND bk < 80),
+      |nc AS (SELECT COUNT(*) AS n_cal FROM nc0),
+      |qh AS (SELECT MIN(r_q) AS qhat_q FROM
+      |  (SELECT r_q, row_number() OVER (ORDER BY r_q) AS rn FROM cal), nc
+      |  WHERE rn = CAST(ceil((n_cal + 1) * 90 / 100.0) AS BIGINT)),
+      |ts AS (SELECT CAST(floor(abs(CAST(y AS DOUBLE) - pred) * 1e6 + 0.5)
+      |    AS BIGINT) AS r_q FROM b JOIN m USING (seg) WHERE bk >= 80),
+      |tr AS (SELECT COUNT(*) AS n_train FROM b WHERE bk < 60)
+      |SELECT n_train, n_cal, COUNT(*) AS n_test,
+      |  CAST(SUM(CASE WHEN r_q <= qhat_q THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_covered,
+      |  round(CAST(qhat_q AS DOUBLE) / 1e6, 6) AS q_hat,
+      |  round(CAST(SUM(CASE WHEN r_q <= qhat_q THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE), 6) AS coverage
+      |FROM ts, qh, nc, tr GROUP BY n_train, n_cal, qhat_q"""
+      .stripMargin.replace("nc0", "cal").replace("\n", " ")) { (s, dir) =>
+    Eval.conformalCoverage(tbl(s, dir, "documents"), col("doc_id"),
+      col("lang"), col("n_chars"), alphaPct = 10)
+  }
+
+  q("stream_psi",
+    // streaming drift monitor: the even-doc_id source histogram is the
+    // stored REFERENCE; the odd half streams in (complete-mode category
+    // counts) and PSI is scored against the reference — the production
+    // shape of a feed-drift alarm; oracle = the batch PSI between halves
+    """WITH h1 AS (SELECT source AS bin, COUNT(*) AS o1 FROM documents
+      |  WHERE doc_id % 2 = 0 GROUP BY 1),
+      |h2 AS (SELECT source AS bin, COUNT(*) AS o2 FROM documents
+      |  WHERE doc_id % 2 = 1 GROUP BY 1),
+      |j AS (SELECT bin, CAST(coalesce(o1, 0) AS DECIMAL(38,0)) AS o1,
+      |    CAST(coalesce(o2, 0) AS DECIMAL(38,0)) AS o2
+      |  FROM h1 FULL OUTER JOIN h2 USING (bin)),
+      |tot AS (SELECT SUM(o1) AS n1, SUM(o2) AS n2 FROM j)
+      |SELECT CAST(COUNT(*) AS INT) AS k_bins,
+      |  CAST(coalesce(SUM(CASE WHEN o1 = 0 OR o2 = 0 THEN 1 END), 0) AS INT)
+      |    AS k_zero,
+      |  CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+      |  round(CAST(coalesce(SUM(CASE WHEN o1 > 0 AND o2 > 0 THEN
+      |      (o1 * n2 - o2 * n1) * CAST(floor(ln(CAST(o1 * n2 AS DOUBLE)
+      |        / CAST(o2 * n1 AS DOUBLE)) * 1e12 + 0.5) AS BIGINT) END), 0)
+      |    AS DOUBLE) / (CAST(n1 * n2 AS DOUBLE) * 1e12), 6) AS psi
+      |FROM j, tot GROUP BY n1, n2""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val d = tbl(s, dir, "documents")
+    val ref = d.filter(col("doc_id") % 2 === 0)
+      .groupBy(col("source").as("bin")).agg(count(lit(1)).as("o1"))
+    val src = s.readStream.schema(d.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val counts = src.filter(col("doc_id") % 2 === 1)
+      .groupBy(col("source").as("bin")).agg(count(lit(1)).as("o2"))
+    val qname = "graft_stream_psi"
+    withShufflePartitions(s, 4) {
+      val query = counts.writeStream.format("memory").queryName(qname)
+        .outputMode("complete").start()
+      try query.processAllAvailable() finally query.stop()
+    }
+    Quality.psiCounts(ref, s.table(qname))
+  }
+
   q("q_skipping_eval",
     // data-skipping effectiveness: 64 simulated equal-count files under
     // the natural (orderkey) vs clustered (custkey-sorted) layout, zone

@@ -389,6 +389,55 @@ object Eval {
           / sqrt((col("n1") + col("n2")).cast("double")), 6).as("z"))
   }
 
+  /** Split-conformal prediction coverage: the distribution-free interval
+    * guarantee check. md5-bucket the ids into train/calibration/test
+    * (60/20/20, engine-deterministic); fit the trivial per-segment-mean
+    * model on train; take q̂ = the ⌈(n_cal+1)(1−α)⌉-th smallest absolute
+    * calibration residual (the finite-sample conformal quantile — TYPE-1,
+    * no interpolation); report the fraction of test rows with
+    * |y − ŷ| ≤ q̂, which conformal theory lower-bounds by 1−α. Residuals
+    * quantize once to ×10⁶ integers, so the rank lookup
+    * ([[Ranks.prefixCounts]] — no single-task sort) and the coverage
+    * compare are exact. One aggregate per split + one broadcast of the
+    * segment means; nothing row-scaled collects.
+    */
+  def conformalCoverage(df: DataFrame, idCol: Column, segCol: Column,
+                        yCol: Column, alphaPct: Int = 10): DataFrame = {
+    require(alphaPct > 0 && alphaPct < 100, "alphaPct in (0, 100)")
+    def d38(c: Column): Column =
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val bucket = pmod(Pipeline.md5Hash60(idCol), lit(100))
+    val base = df.select(segCol.as("seg"), yCol.cast("long").as("y"),
+        bucket.as("b"))
+      .localCheckpoint() // consumers: three split passes
+    val model = base.filter(col("b") < 60).groupBy("seg")
+      .agg(sum(d38(col("y"))).as("sy"), count(lit(1)).as("cy"))
+      .select(col("seg"),
+        (col("sy").cast("double") / col("cy").cast("double")).as("pred"))
+    def residuals(split: Column): DataFrame =
+      base.filter(split).join(broadcast(model), "seg")
+        .select(floor(abs(col("y").cast("double") - col("pred")) * 1e6 + 0.5)
+          .cast("long").as("r_q"))
+    val cal = residuals(col("b") >= 60 && col("b") < 80)
+      .groupBy("r_q").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // consumers: count + the rank pass
+    val nCal = cal.agg(sum("c")).collect()(0).getLong(0)
+    val rank = math.ceil((nCal + 1) * (100 - alphaPct) / 100.0).toLong
+    val qhat = Ranks.prefixCounts(cal, "r_q", Seq("c"))
+      .filter(col("c_cum") >= rank && col("c_cum") - col("c") < rank)
+      .select(col("r_q").as("qhat_q"))
+    val nTrain = base.filter(col("b") < 60).count()
+    residuals(col("b") >= 80).crossJoin(broadcast(qhat))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("r_q") <= col("qhat_q"), 1L).otherwise(0L))
+          .as("n_covered"), first("qhat_q").as("qhat_q"))
+      .select(lit(nTrain).as("n_train"), lit(nCal).as("n_cal"),
+        col("n_test"), col("n_covered"),
+        round(col("qhat_q").cast("double") / 1e6, 6).as("q_hat"),
+        round(col("n_covered").cast("double") / col("n_test").cast("double"),
+          6).as("coverage"))
+  }
+
   /** Expected / maximum calibration error: the one-number summary of
     * [[calibrationBins]] — ECE = Σ (n_b/N)·|gap_b|, MCE = max |gap_b|.
     * Each bin's |gap| is the table's already-6-dp value re-quantized to

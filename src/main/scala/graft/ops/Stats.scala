@@ -1448,6 +1448,53 @@ object Stats {
           .otherwise("continue").as("decision"))
   }
 
+  /** Bucket-jackknife variance of a RATIO metric Σnum/Σden — the
+    * standard-error machinery A/B platforms need for per-user ratio
+    * metrics (avg order value, sessions/user), where the naive binomial
+    * SE is wrong because both numerator and denominator are random.
+    * Leave-one-bucket-out estimates come from the group totals alone
+    * (θ₍₋g₎ = (N−n_g)/(D−d_g) — one aggregate, no per-row resample);
+    * each θ₍₋g₎ takes ONE IEEE division of exact decimal sums and is
+    * quantized to 1e6 fixed point (×1e12 would overflow LONG for
+    * cents-scale ratios), so the jackknife mean/variance are exact
+    * integer algebra over the G-sized table: Var = (G−1)/G ·
+    * Σ(t_q·G − T)² / (G²·10¹²). Output one row: G, θ, SE, and the
+    * normal 95% CI (pinned z). Buckets should be randomization units
+    * (user hash buckets), G ≳ 20.
+    */
+  def jackknifeRatio(df: DataFrame, bucketCol: Column, numCol: Column,
+                     denCol: Column): DataFrame = {
+    def d38(c: Column): Column =
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val g = df.select(bucketCol.as("g"), numCol.cast("long").as("x"),
+        denCol.cast("long").as("y"))
+      .groupBy("g").agg(sum(d38(col("x"))).as("sn"), sum(d38(col("y"))).as("sd"))
+      .localCheckpoint() // consumers: totals + the leave-one-out pass
+    val tot = g.agg(sum("sn").as("nn"), sum("sd").as("dd"),
+      count(lit(1)).cast("long").as("gg"))
+    val loo = g.crossJoin(broadcast(tot))
+      .withColumn("t_q", floor((col("nn") - col("sn")).cast("double")
+        / (col("dd") - col("sd")).cast("double") * 1e6 + 0.5).cast("long"))
+    val s = loo.agg(first("gg").as("gg"), first("nn").as("nn"),
+      first("dd").as("dd"), sum(d38(col("t_q"))).as("tt"),
+      sum(d38(col("t_q")) * col("gg")).as("tg"))
+    // Σ(t_q·G − T)²: second pass keeps every term exact decimal
+    val dev = loo.crossJoin(broadcast(
+        s.select(col("tt").as("tt2"), col("gg").as("gg2"))))
+      .agg(sum((d38(col("t_q")) * col("gg2") - col("tt2")) *
+        (d38(col("t_q")) * col("gg2") - col("tt2"))).as("ss"))
+    val zc = lit(ZAlpha025)
+    val theta = col("nn").cast("double") / col("dd").cast("double")
+    val se = sqrt((col("gg") - 1).cast("double") / col("gg").cast("double")
+      * col("ss").cast("double")
+      / (col("gg").cast("double") * col("gg").cast("double") * 1e12))
+    s.crossJoin(dev)
+      .select(col("gg").cast("int").as("g_buckets"),
+        round(theta, 6).as("theta"), round(se, 6).as("se_jack"),
+        round(theta - zc * se, 6).as("ci_lo"),
+        round(theta + zc * se, 6).as("ci_hi"))
+  }
+
   /** z(0.975) and z(0.80): the two normal quantiles of the conventional
     * α=0.05 two-sided / 80%-power design, pinned as LITERALS (no inverse
     * CDF at query time) so both engines share the exact doubles.

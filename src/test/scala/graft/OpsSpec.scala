@@ -371,6 +371,47 @@ class OpsSpec extends AnyFunSuite {
     assert(self.isNullAt(self.fieldIndex("fpp_observed")))
   }
 
+  test("jackknifeRatio: constant per-bucket ratio has zero jackknife SE; " +
+    "hand replay on a varying frame") {
+    val const = (1 to 40).map(i => (i % 4, 10L, 5L)).toDF("g", "x", "y")
+    val c = Stats.jackknifeRatio(const, col("g"), col("x"), col("y"))
+      .collect().head
+    assert((c.getAs[Int]("g_buckets"), c.getAs[Double]("theta"),
+      c.getAs[Double]("se_jack")) == (4, 2.0, 0.0))
+    assert(c.getAs[Double]("ci_lo") == 2.0 && c.getAs[Double]("ci_hi") == 2.0)
+    // varying buckets: replay the quantized leave-one-out algebra
+    val rows = Seq((0, 10L, 2L), (1, 30L, 2L), (2, 20L, 4L))
+    val df = rows.toDF("g", "x", "y")
+    val r = Stats.jackknifeRatio(df, col("g"), col("x"), col("y"))
+      .collect().head
+    val (nn, dd, gg) = (60L, 8L, 3L)
+    val tq = rows.map { case (_, x, y) =>
+      math.floor((nn - x).toDouble / (dd - y).toDouble * 1e6 + 0.5).toLong
+    }
+    val tt = tq.sum
+    val ss = tq.map(t => { val d = t * gg - tt; d.toDouble * d }).sum
+    val se = math.sqrt((gg - 1).toDouble / gg * ss / (gg.toDouble * gg * 1e12))
+    assert(r.getAs[Double]("theta") == 7.5)
+    assert(r.getAs[Double]("se_jack") ==
+      BigDecimal(se).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("conformalCoverage: exact per-segment model gives zero residuals, " +
+    "q-hat 0 and full coverage") {
+    val df = (1L to 400L).map(i => (i, if (i % 2 == 0) "a" else "b",
+      if (i % 2 == 0) 100L else 50L)).toDF("id", "seg", "y")
+    val r = Eval.conformalCoverage(df, col("id"), col("seg"), col("y"))
+      .collect().head
+    assert(r.getAs[Double]("q_hat") == 0.0)
+    assert(r.getAs[Double]("coverage") == 1.0)
+    assert(r.getAs[Long]("n_train") + r.getAs[Long]("n_cal")
+      + r.getAs[Long]("n_test") == 400L)
+    // md5 split: bit-stable across runs
+    val r2 = Eval.conformalCoverage(df, col("id"), col("seg"), col("y"))
+      .collect().head
+    assert(r.toSeq == r2.toSeq)
+  }
+
   test("acf: alternating series has acf(1) = -1, acf(2) = 1; gaps drop pairs") {
     val alt = (0L until 40L).map(t => (t, if (t % 2 == 0) 10L else 20L))
       .toDF("t", "v")
