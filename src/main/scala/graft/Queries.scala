@@ -8505,6 +8505,75 @@ object Queries {
       .orderBy("decile")
   }
 
+  q("q_markov_entropy_rate",
+    // predictability of the event stream: first-order Markov entropy
+    // rate −Σ (n/N)·ln(n/tn) over the q_markov_transitions cells, plus
+    // 1 − H/ln k — exact decimal cell sums, 1e12-quantized exact-
+    // rational logs, three final IEEE divisions
+    """WITH p AS (SELECT event_type AS cur, lead(event_type) OVER
+      |    (PARTITION BY user_id ORDER BY ts, event_id) AS nxt FROM events),
+      |c AS (SELECT cur, nxt, COUNT(*) AS n FROM p WHERE nxt IS NOT NULL
+      |  GROUP BY 1, 2),
+      |t AS (SELECT cur, SUM(n) AS tn FROM c GROUP BY 1),
+      |tt AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+      |    CAST(COUNT(DISTINCT cur) AS BIGINT) AS k FROM c),
+      |h AS (SELECT SUM(CAST(n AS DECIMAL(38,0)) * CAST(floor(
+      |    ln(CAST(n AS DOUBLE) / CAST(tn AS DOUBLE)) * 1e12 + 0.5)
+      |    AS BIGINT)) AS h_q FROM c JOIN t USING (cur))
+      |SELECT nn AS n_transitions, CAST(k AS INT) AS k_states,
+      |  round(-CAST(h_q AS DOUBLE) / (CAST(nn AS DOUBLE) * 1e12), 6)
+      |    AS entropy_rate_nats,
+      |  round(ln(CAST(k AS DOUBLE)), 6) AS max_entropy_nats,
+      |  round(1 + CAST(h_q AS DOUBLE)
+      |    / (CAST(nn AS DOUBLE) * 1e12 * ln(CAST(k AS DOUBLE))), 6)
+      |    AS predictability
+      |FROM h, tt""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val p = events(s, dir)
+      .select(col("event_type").as("cur"),
+        lead("event_type", 1).over(w).as("nxt"))
+      .filter(col("nxt").isNotNull)
+    Stats.entropyRate(p, col("cur"), col("nxt"))
+  }
+
+  q("q_dp_noisy_counts",
+    // Laplace-mechanism DP release of the language histogram (ε=1,
+    // sensitivity 1) with a SEEDED md5 inverse-CDF draw — the same
+    // release on every re-run, replayable by any engine; production
+    // publishes n_noisy only (n is the verification column here)
+    s"""WITH c AS (SELECT lang AS bin, COUNT(*) AS n FROM documents GROUP BY 1),
+      |u AS (SELECT bin, n,
+      |    (CAST(${md5Hash60Sql("'r9|' || bin")} % 4503599627370496 AS DOUBLE)
+      |      + 0.5) / 4503599627370496 AS uu FROM c),
+      |z AS (SELECT bin, n, round(CAST(floor(((-1.0) * sign(uu - 0.5)
+      |    * ln(1 - 2 * abs(uu - 0.5))) * 1e6 + 0.5) AS BIGINT) / 1e6, 6)
+      |    AS noise FROM u)
+      |SELECT bin, n, noise, round(n + noise, 6) AS n_noisy,
+      |  CAST(1.0 AS DOUBLE) AS epsilon
+      |FROM z ORDER BY bin""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    Quality.dpNoisyCounts(tbl(s, dir, "documents"), "lang",
+      epsilon = 1.0, seed = "r9").orderBy("bin")
+  }
+
+  q("text_hill_tail",
+    // Hill tail-index of the token-frequency distribution: α over the
+    // top-100 tokens against the 101st as threshold — the quantitative
+    // Zipf-tail estimate behind vocab/dedup mass decisions; only k+1
+    // (tok, f) rows leave the cluster
+    s"""WITH toks AS (SELECT unnest($toksSql) AS tok FROM documents),
+      |f AS (SELECT tok, COUNT(*) AS f FROM toks WHERE len(tok) > 0
+      |  GROUP BY 1),
+      |top AS (SELECT tok, f FROM f ORDER BY f DESC, tok LIMIT 101),
+      |ref AS (SELECT f AS f_ref FROM top ORDER BY f ASC, tok DESC LIMIT 1),
+      |tk AS (SELECT tok, f FROM top ORDER BY f DESC, tok LIMIT 100)
+      |SELECT CAST(COUNT(*) AS INT) AS k, CAST(f_ref AS BIGINT) AS f_ref,
+      |  round(CAST(COUNT(*) AS DOUBLE) * 1e12 / CAST(SUM(CAST(floor(
+      |    ln(CAST(f AS DOUBLE) / CAST(f_ref AS DOUBLE)) * 1e12 + 0.5)
+      |    AS BIGINT)) AS DOUBLE), 6) AS hill_alpha
+      |FROM tk, ref GROUP BY f_ref""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    TextAnalysis.hillTailIndex(tbl(s, dir, "documents"), col("text"), k = 100)
+  }
+
   q("q_jackknife_ratio",
     // bucket-jackknife SE of a RATIO metric (avg order value, cents)
     // over 40 custkey buckets: leave-one-out estimates from group totals

@@ -77,6 +77,36 @@ object Quality {
       oldDf.groupBy(col(binCol).as("bin")).agg(count(lit(1)).as("o1")),
       newDf.groupBy(col(binCol).as("bin")).agg(count(lit(1)).as("o2")))
 
+  /** Differentially-private category counts via the Laplace mechanism
+    * with a SEEDED, engine-replayable noise draw: u from the md5 of
+    * (seed | category) — 52 mantissa bits, shifted to (0,1) — and
+    * noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|), the inverse-CDF Laplace
+    * sample at sensitivity 1 (one row added/removed moves one count by
+    * one). The deterministic seed makes a pipeline re-run publish the
+    * SAME release (and lets this eval verify the mechanism end-to-end);
+    * a production caller rotates the seed per release and publishes
+    * `n_noisy` only — `n` is included here for the verification harness.
+    * One category-sized aggregate; the noise is a per-category scalar
+    * expression.
+    */
+  def dpNoisyCounts(df: DataFrame, catCol: String, epsilon: Double,
+                    seed: String): DataFrame = {
+    require(epsilon > 0, "epsilon must be positive")
+    val m = 4503599627370496L // 2^52
+    val u = (pmod(graft.ops.Pipeline.md5Hash60(
+      concat(lit(seed), lit("|"), col("bin").cast("string"))), lit(m))
+      .cast("double") + 0.5) / m.toDouble
+    val cdev = u - 0.5
+    val noise = (-lit(1.0 / epsilon)) * signum(cdev) *
+      log(lit(1d) - lit(2d) * abs(cdev))
+    df.groupBy(col(catCol).as("bin")).agg(count(lit(1)).as("n"))
+      .withColumn("noise", round(floor(noise * 1e6 + 0.5) / 1e6, 6))
+      .select(col("bin"), col("n"),
+        col("noise"),
+        round(col("n") + col("noise"), 6).as("n_noisy"),
+        lit(epsilon).as("epsilon"))
+  }
+
   /** Population Stability Index between two cohorts over a caller-chosen
     * bin column — the standard model-monitoring drift score
     * PSI = Σ (p_i − q_i)·ln(p_i/q_i). One aggregate per side (the raw

@@ -1448,6 +1448,39 @@ object Stats {
           .otherwise("continue").as("decision"))
   }
 
+  /** Entropy rate of a first-order Markov process from observed
+    * transitions: H = −Σ_{s,s'} (n_{ss'}/N)·ln(n_{ss'}/n_s) — how
+    * predictable the next event is given the current one, with the
+    * normalized predictability 1 − H/ln k (k = observed states). The
+    * behavioral-sequence companion to [[mutualInfo]]: same exact-decimal
+    * cell machinery, each ln of an exact rational quantized once to 1e12,
+    * exact order-free reductions, three final IEEE divisions. One
+    * (cur,next)-cell aggregate; cells ≪ rows.
+    */
+  def entropyRate(df: DataFrame, curCol: Column, nxtCol: Column): DataFrame = {
+    def d38(c: Column): Column =
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    def qln(num: Column, den: Column): Column =
+      floor(log(num.cast("double") / den.cast("double")) * 1e12 + 0.5)
+    val c = df.select(curCol.as("cur"), nxtCol.as("nxt"))
+      .groupBy("cur", "nxt").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // consumers: margins + the cell reduce
+    val t = c.groupBy("cur").agg(sum("n").as("tn"))
+    val tot = c.agg(sum("n").cast("long").as("nn"),
+      countDistinct("cur").cast("long").as("k"))
+    c.join(broadcast(t), "cur").crossJoin(broadcast(tot))
+      .agg(first("nn").as("nn"), first("k").as("k"),
+        sum(d38(col("n")) * qln(col("n"), col("tn"))).as("h_q"))
+      .select(col("nn").as("n_transitions"), col("k").cast("int")
+          .as("k_states"),
+        round(-col("h_q").cast("double") / (col("nn").cast("double") * 1e12),
+          6).as("entropy_rate_nats"),
+        round(log(col("k").cast("double")), 6).as("max_entropy_nats"),
+        round(lit(1d) + col("h_q").cast("double")
+          / (col("nn").cast("double") * 1e12 * log(col("k").cast("double"))),
+          6).as("predictability"))
+  }
+
   /** Bucket-jackknife variance of a RATIO metric Σnum/Σden — the
     * standard-error machinery A/B platforms need for per-user ratio
     * metrics (avg order value, sessions/user), where the naive binomial

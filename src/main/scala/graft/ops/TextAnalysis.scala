@@ -1018,4 +1018,34 @@ object TextAnalysis {
         round(col("dot").cast("double")
           / sqrt((col("na") * col("nb")).cast("double")), 6).as("cosine"))
   }
+
+  /** Hill tail-index estimate of the token-frequency distribution:
+    * α = k / Σ_{i≤k} ln(f_i / f_{k+1}) over the k most frequent tokens
+    * against the (k+1)-th as threshold — the quantitative check on the
+    * Zipf exponent ([[zipfDecades]] shows the shape; this estimates the
+    * tail). A heavier tail (smaller α) means dedup/vocab decisions move
+    * more mass than a log-log eyeball suggests. Frequencies reduce
+    * map-side; only k+1 `(tok, f)` rows leave the cluster (TakeOrdered
+    * top-k, id tie-break); each ln takes an exact integer rational,
+    * quantized once to 1e12 — one IEEE division total.
+    */
+  def hillTailIndex(df: DataFrame, textCol: Column, k: Int): DataFrame = {
+    require(k >= 2, "need at least 2 tail points")
+    val f = df.select(explode(tokens(textCol)).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("tok").agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("tok")).limit(k + 1)
+      .localCheckpoint() // consumers: threshold row + the top-k reduce
+    val ref = f.orderBy(col("f").asc, col("tok").desc).limit(1)
+      .select(col("f").as("f_ref"))
+    f.orderBy(col("f").desc, col("tok")).limit(k)
+      .crossJoin(broadcast(ref))
+      .agg(count(lit(1)).cast("int").as("k"),
+        first("f_ref").cast("long").as("f_ref"),
+        sum(floor(log(col("f").cast("double") / col("f_ref").cast("double"))
+          * 1e12 + 0.5).cast("long")).as("s_q"))
+      .select(col("k"), col("f_ref"),
+        round(col("k").cast("double") * 1e12 / col("s_q").cast("double"), 6)
+          .as("hill_alpha"))
+  }
 }

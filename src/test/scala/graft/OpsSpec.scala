@@ -412,6 +412,62 @@ class OpsSpec extends AnyFunSuite {
     assert(r.toSeq == r2.toSeq)
   }
 
+  test("entropyRate: deterministic chain has H = 0 and predictability 1; " +
+    "half-random chain replays to ln2/2") {
+    val det = Seq(("a", "b"), ("a", "b"), ("b", "a"), ("b", "a"))
+      .toDF("cur", "nxt")
+    val d = Stats.entropyRate(det, col("cur"), col("nxt")).collect().head
+    assert((d.getAs[Long]("n_transitions"), d.getAs[Int]("k_states"),
+      d.getAs[Double]("entropy_rate_nats"), d.getAs[Double]("predictability"))
+      == (4L, 2, 0.0, 1.0))
+    val mix = Seq(("a", "b"), ("a", "c"), ("b", "a"), ("b", "a"))
+      .toDF("cur", "nxt")
+    val m = Stats.entropyRate(mix, col("cur"), col("nxt")).collect().head
+    // a splits 1/1 (H=ln2), b is deterministic → rate = (2/4)·ln2
+    val q = math.floor(math.log(0.5) * 1e12 + 0.5) // per-cell quantized ln(1/2)
+    val expect = BigDecimal(-(2 * q) / (4 * 1e12))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(m.getAs[Double]("entropy_rate_nats") == expect)
+    assert(m.getAs[Double]("max_entropy_nats") ==
+      BigDecimal(math.log(2.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("dpNoisyCounts: seeded Laplace draw replays exactly and is " +
+    "bit-stable across runs") {
+    val df = (Seq.fill(7)("x") ++ Seq.fill(3)("y")).toDF("c")
+    val a = Quality.dpNoisyCounts(df, "c", epsilon = 1.0, seed = "t")
+      .orderBy("bin").collect()
+    val b = Quality.dpNoisyCounts(df, "c", epsilon = 1.0, seed = "t")
+      .orderBy("bin").collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    // replay the md5 inverse-CDF draw for bin "x"
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest("t|x".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    val u = ((h % 4503599627370496L).toDouble + 0.5) / 4503599627370496L
+    val c = u - 0.5
+    val noise = math.floor(-1.0 * math.signum(c) *
+      math.log(1 - 2 * math.abs(c)) * 1e6 + 0.5) / 1e6
+    val x = a.find(_.getString(0) == "x").get
+    assert(x.getAs[Double]("noise") == noise)
+    assert(x.getAs[Double]("n_noisy") == 7 + noise)
+  }
+
+  test("hillTailIndex: geometric frequencies replay the quantized alpha") {
+    val doc = (Seq.fill(8)("aa") ++ Seq.fill(4)("bb") ++ Seq.fill(2)("cc")
+      ++ Seq("dd")).mkString(" ")
+    val df = Seq(doc).toDF("text")
+    val r = TextAnalysis.hillTailIndex(df, col("text"), k = 3).collect().head
+    def q12(x: Double) = math.floor(x * 1e12 + 0.5).toLong
+    val sq = q12(math.log(8.0)) + q12(math.log(4.0)) + q12(math.log(2.0))
+    val expect = BigDecimal(3.0 * 1e12 / sq.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert((r.getAs[Int]("k"), r.getAs[Long]("f_ref"),
+      r.getAs[Double]("hill_alpha")) == (3, 1L, expect))
+  }
+
   test("acf: alternating series has acf(1) = -1, acf(2) = 1; gaps drop pairs") {
     val alt = (0L until 40L).map(t => (t, if (t % 2 == 0) 10L else 20L))
       .toDF("t", "v")
