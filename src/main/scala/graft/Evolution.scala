@@ -179,15 +179,25 @@ object Evolution {
   def analyze(spark: SparkSession, op: String, input: String, output: String,
               textCol: String = "text", idCol: String = "doc_id",
               bucketDocs: Int = 1000, ks: Seq[Int] = Seq(100, 1000, 10000),
-              mode: String = "errorifexists"): Long = {
+              input2: Option[String] = None, binCol: String = "source",
+              k: Int = 100, mode: String = "errorifexists"): Long = {
     val df = spark.read.parquet(input)
+    def df2 = spark.read.parquet(input2.getOrElse(sys.error(
+      s"analyze $op compares two cohorts — pass -j <reference.parquet>")))
     val out = op match {
       case "heaps" => ops.TextAnalysis.heapsLaw(df, bucketDocs, idCol, textCol)
       case "vocab-coverage" => ops.TextAnalysis.vocabCoverage(df, ks, textCol)
       case "zipf" => ops.TextAnalysis.zipfDecades(df, textCol)
       case "quality" => ops.TextAnalysis.stats(df, textCol)
+      // drift monitoring: -i new cohort vs -j reference, over --bin-col
+      case "psi" => ops.Quality.psi(df2, df, binCol)
+      case "drift" => ops.Quality.categoricalDrift(df2, df, binCol)
+      case "hill" =>
+        ops.TextAnalysis.hillTailIndex(df,
+          org.apache.spark.sql.functions.col(textCol), k)
       case other => throw new IllegalArgumentException(
-        s"unknown analyze op '$other' (heaps | vocab-coverage | zipf | quality)")
+        s"unknown analyze op '$other' (heaps | vocab-coverage | zipf | " +
+          "quality | psi | drift | hill)")
     }
     val obs = org.apache.spark.sql.Observation()
     out.observe(obs, org.apache.spark.sql.functions
@@ -333,7 +343,7 @@ object Evolution {
       case Some("analyze") =>
         val n = analyze(spark,
           args.lift(1).getOrElse(sys.error(
-            "analyze requires an op: heaps | vocab-coverage | zipf | quality")),
+            "analyze requires an op: heaps | vocab-coverage | zipf | quality | psi | drift | hill")),
           opt("-i").getOrElse(sys.error("analyze requires -i <input.parquet>")),
           opt("-o").getOrElse(sys.error("analyze requires -o <output.parquet>")),
           textCol = opt("--text-col").getOrElse("text"),
@@ -341,6 +351,8 @@ object Evolution {
           bucketDocs = opt("--bucket-docs").map(_.toInt).getOrElse(1000),
           ks = opt("--ks").map(_.split(",").map(_.toInt).toSeq)
             .getOrElse(Seq(100, 1000, 10000)),
+          input2 = opt("-j"), binCol = opt("--bin-col").getOrElse("source"),
+          k = opt("--k").map(_.toInt).getOrElse(100),
           mode = mode)
         println(s"analyze ${args.lift(1).get}: wrote $n rows to ${opt("-o").get}")
       case _ =>

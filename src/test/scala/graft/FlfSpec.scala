@@ -350,6 +350,38 @@ class CurateCliSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("unknown analyze op"))
   }
+
+  test("analyze drift ops: psi/drift compare -i against -j; hill reports " +
+    "the tail index") {
+    val dir = java.nio.file.Files.createTempDirectory("analyze2").toString
+    val ref = s"$dir/ref"; val cur = s"$dir/cur"
+    (0L until 20L).map(i => (i, if (i % 4 == 0) "web" else "books"))
+      .toDF("doc_id", "source").write.mode("overwrite").parquet(ref)
+    (0L until 20L).map(i => (i, if (i % 2 == 0) "web" else "books"))
+      .toDF("doc_id", "source").write.mode("overwrite").parquet(cur)
+    assert(Evolution.analyze(spark, "psi", cur, s"$dir/psi",
+      input2 = Some(ref)) == 1L)
+    val psi = spark.read.parquet(s"$dir/psi").collect().head
+    assert(psi.getAs[Double]("psi") > 0.0) // 25/75 → 50/50 drifted
+    assert(Evolution.analyze(spark, "drift", cur, s"$dir/panel",
+      input2 = Some(ref)) == 1L)
+    assert(spark.read.parquet(s"$dir/panel").collect().head
+      .getAs[Double]("tvd") == 0.25)
+    // psi without -j is a usage error, not a silent self-compare
+    val e = intercept[RuntimeException] {
+      Evolution.analyze(spark, "psi", cur, s"$dir/y")
+    }
+    assert(e.getMessage.contains("-j"))
+    // distinct tokens with freqs 16,8,4,2,1 ×2: top-2 both 16, ref 8
+    (0L until 10L).map(i => (i, (s"t$i " * (1 << (4 - i.toInt % 5))).trim))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/txt")
+    assert(Evolution.analyze(spark, "hill", s"$dir/txt", s"$dir/hill",
+      k = 2) == 1L)
+    val hill = spark.read.parquet(s"$dir/hill").collect().head
+    assert(hill.getAs[Long]("f_ref") == 8L)
+    assert(math.abs(hill.getAs[Double]("hill_alpha") - 1.0 / math.log(2.0))
+      < 1e-5)
+  }
 }
 
 class FlfEvolveSpec extends AnyFunSuite {
