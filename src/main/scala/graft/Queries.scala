@@ -8505,6 +8505,58 @@ object Queries {
       .orderBy("decile")
   }
 
+  q("q_attribution_removal",
+    // Markov removal-effect attribution: journey chain (start →
+    // touchpoints → conv/null, truncated at first purchase), absorbing
+    // conversion probability in ×1e6 integer fixed point (60 truncating
+    // iterations — the CTE replays them bit-for-bit via absorbing
+    // self-loops), channel credit = normalized conversion collapse when
+    // the channel's incoming traffic is lost
+    """WITH RECURSIVE
+      |seq0 AS (SELECT user_id AS u, event_type AS t,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS idx
+      |  FROM events),
+      |fp AS (SELECT u, MIN(idx) AS fp FROM seq0 WHERE t = 'purchase' GROUP BY 1),
+      |kept AS (SELECT seq0.u, seq0.t, seq0.idx FROM seq0 LEFT JOIN fp USING (u)
+      |  WHERE fp IS NULL OR idx <= fp),
+      |st AS (SELECT u, t, idx,
+      |    lead(t) OVER (PARTITION BY u ORDER BY idx) AS nxt0 FROM kept),
+      |tr AS (SELECT t AS cur, coalesce(CASE WHEN nxt0 = 'purchase'
+      |      THEN 'conv' ELSE nxt0 END, 'null') AS nxt
+      |    FROM st WHERE t <> 'purchase'
+      |  UNION ALL SELECT 'start', CASE WHEN t = 'purchase' THEN 'conv'
+      |      ELSE t END FROM st WHERE idx = 1),
+      |cells0 AS (SELECT cur, nxt, COUNT(*) AS n FROM tr GROUP BY 1, 2),
+      |cells AS (SELECT * FROM cells0
+      |  UNION ALL SELECT 'conv', 'conv', 1 UNION ALL SELECT 'null', 'null', 1),
+      |tnn AS (SELECT cur, SUM(n) AS tn FROM cells GROUP BY 1),
+      |rem AS (SELECT '__all__' AS removed
+      |  UNION ALL SELECT DISTINCT nxt FROM cells0 WHERE nxt NOT IN ('conv', 'null')),
+      |pr(removed, iter, s, p) AS (
+      |  SELECT removed, 0, cur, CAST(CASE WHEN cur = 'conv' THEN 1000000
+      |    ELSE 0 END AS BIGINT) FROM rem, (SELECT DISTINCT cur FROM cells) c
+      |  UNION ALL
+      |  SELECT pr.removed, pr.iter + 1, c.cur,
+      |    CAST(SUM(c.n * CASE WHEN c.nxt = pr.removed THEN 0 ELSE pr.p END)
+      |      // t.tn AS BIGINT)
+      |  FROM pr JOIN cells c ON c.nxt = pr.s JOIN tnn t ON t.cur = c.cur
+      |  WHERE pr.iter < 60 GROUP BY pr.removed, pr.iter, c.cur, t.tn),
+      |fin AS (SELECT removed, p FROM pr WHERE iter = 60 AND s = 'start'),
+      |pa AS (SELECT p AS p_all FROM fin WHERE removed = '__all__'),
+      |ef AS (SELECT removed AS channel, p AS p_q,
+      |    1000000 - p * 1000000 // GREATEST(p_all, 1) AS eff_q
+      |  FROM fin, pa WHERE removed <> '__all__'),
+      |es AS (SELECT SUM(eff_q) AS eff_sum FROM ef)
+      |SELECT channel, round(CAST(p_all AS DOUBLE) / 1e6, 6) AS p_conv_all,
+      |  round(CAST(p_q AS DOUBLE) / 1e6, 6) AS p_conv_without,
+      |  round(CAST(eff_q AS DOUBLE) / 1e6, 6) AS removal_effect,
+      |  round(CAST(eff_q AS DOUBLE) / CAST(eff_sum AS DOUBLE), 6)
+      |    AS attribution_share
+      |FROM ef, es, pa ORDER BY channel""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    Funnel.removalEffectAttribution(events(s, dir), "user_id", "ts",
+      "event_id", "event_type", convType = "purchase").orderBy("channel")
+  }
+
   q("q_markov_entropy_rate",
     // predictability of the event stream: first-order Markov entropy
     // rate −Σ (n/N)·ln(n/tn) over the q_markov_transitions cells, plus

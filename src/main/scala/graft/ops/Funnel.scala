@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
@@ -59,5 +59,91 @@ object Funnel {
       .map { case (s, i) => s"${i + 1}, '$s', n${i + 1}" }.mkString(", ")
     wide.selectExpr(
       s"stack(${steps.size}, $stackArgs) as (step, step_name, n_users)")
+  }
+
+  /** Markov removal-effect attribution (Anderl et al.): build the
+    * first-order journey chain (start → touchpoints → conv/null,
+    * truncated at the first conversion), compute the absorbing
+    * conversion probability, then for each channel REMOVE it (its
+    * incoming traffic is lost to null) and re-solve — a channel's
+    * attribution is how much total conversion collapses without it,
+    * normalized over channels. The principled alternative to last-touch
+    * ([[graft.Queries]] `q_attribution_lasttouch`).
+    *
+    * Exactness/replayability: the chain solve is `iters` rounds of
+    * p(s) ← ⌊Σ_t n(s→t)·p(t) / n(s)⌋ in ×10⁶ integer fixed point —
+    * truncating division once per state per round, so any engine
+    * replays the identical integers (a recursive CTE does). Removal
+    * effects 10⁶ − ⌊p₋c·10⁶/p_all⌋ stay integers; only the share takes
+    * an IEEE division.
+    *
+    * Scale shape: journeys reduce to the (cur,next)-cell table in one
+    * pass (two partitioned windows + one aggregate); the chain solve
+    * runs driver-side on that ≤ (states+1)² cell table — bounded by the
+    * event-type domain, never by rows.
+    */
+  def removalEffectAttribution(events: DataFrame, userCol: String,
+                               tsCol: String, tieCol: String,
+                               typeCol: String, convType: String,
+                               iters: Int = 60): DataFrame = {
+    val spark = events.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("u").orderBy("ts", "tie")
+    val seq0 = events.select(col(userCol).as("u"), col(typeCol).as("t"),
+        col(tsCol).as("ts"), col(tieCol).as("tie"))
+      .withColumn("idx", row_number().over(w))
+    val fp = seq0.filter(col("t") === convType)
+      .groupBy("u").agg(min("idx").as("fp"))
+    val kept = seq0.join(fp, Seq("u"), "left")
+      .filter(col("fp").isNull || col("idx") <= col("fp"))
+    val kw = Window.partitionBy("u").orderBy("idx")
+    def mapTo(c: Column): Column =
+      when(c === convType, "conv").otherwise(c)
+    val step = kept.withColumn("nxt0", lead("t", 1).over(kw))
+    val mids = step.filter(col("t") =!= convType)
+      .select(col("t").as("cur"),
+        coalesce(mapTo(col("nxt0")), lit("null")).as("nxt"))
+    val starts = step.filter(col("idx") === 1)
+      .select(lit("start").as("cur"), mapTo(col("t")).as("nxt"))
+    // BOUNDED collect: one cell per (state+1)² of the event-type domain
+    val cells = mids.union(starts).groupBy("cur", "nxt")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val tn = cells.groupBy(_._1).map { case (s, cs) => s -> cs.map(_._3).sum }
+    val channels = cells.map(_._2).filter(t => t != "conv" && t != "null")
+      .distinct.sorted
+    def solve(removed: Option[String]): Long = {
+      val states = tn.keys.toSeq
+      var p = states.map(_ -> 0L).toMap
+      for (_ <- 1 to iters) {
+        p = states.map { s =>
+          // BigInt accumulate: n·p can graze Long range at 100 TB counts
+          val num = cells.filter(_._1 == s).map { case (_, t, n) =>
+            val pv =
+              if (t == "conv") 1000000L
+              else if (t == "null" || removed.contains(t)) 0L
+              else p.getOrElse(t, 0L)
+            BigInt(n) * pv
+          }.sum
+          s -> (num / tn(s)).toLong
+        }.toMap
+      }
+      p.getOrElse("start", 0L)
+    }
+    val pAll = solve(None)
+    val rows = channels.map { c =>
+      val pc = solve(Some(c))
+      val effQ = 1000000L - pc * 1000000L / math.max(pAll, 1L)
+      (c, pc, effQ)
+    }
+    val effSum = rows.map(_._3).sum
+    import spark.implicits._
+    rows.toSeq.toDF("channel", "p_q", "eff_q")
+      .select(col("channel"),
+        round(lit(pAll).cast("double") / 1e6, 6).as("p_conv_all"),
+        round(col("p_q").cast("double") / 1e6, 6).as("p_conv_without"),
+        round(col("eff_q").cast("double") / 1e6, 6).as("removal_effect"),
+        round(col("eff_q").cast("double") / effSum.toDouble, 6)
+          .as("attribution_share"))
   }
 }

@@ -468,6 +468,28 @@ class OpsSpec extends AnyFunSuite {
       r.getAs[Double]("hill_alpha")) == (3, 1L, expect))
   }
 
+  test("removalEffectAttribution: hand-solved two-channel chain with a " +
+    "non-converting journey") {
+    // u1 view→conv, u2 view→(end), u3/u4 click→conv:
+    // p(view)=.5, p(click)=1, p(start)=(2·.5+2·1)/4=.75 in ×1e6 integers
+    val rows = Seq(
+      (1L, 1L, 1L, "view"), (1L, 2L, 2L, "purchase"),
+      (2L, 1L, 3L, "view"),
+      (3L, 1L, 4L, "click"), (3L, 2L, 5L, "purchase"),
+      (4L, 1L, 6L, "click"), (4L, 2L, 7L, "purchase"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Funnel.removalEffectAttribution(rows, "user_id", "ts",
+        "event_id", "event_type", convType = "purchase")
+      .orderBy("channel").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    // remove view: p=(2·1e6)//4=.5 → eff=1e6−500000·1e6//750000=333334
+    // remove click: p=(2·5e5)//4=.25 → eff=666667; shares /1000001
+    assert(got.toSeq == Seq(
+      ("click", 0.75, 0.25, 0.666667, 0.666666),
+      ("view", 0.75, 0.5, 0.333334, 0.333334)))
+  }
+
   test("acf: alternating series has acf(1) = -1, acf(2) = 1; gaps drop pairs") {
     val alt = (0L until 40L).map(t => (t, if (t % 2 == 0) 10L else 20L))
       .toDF("t", "v")
