@@ -8505,6 +8505,90 @@ object Queries {
       .orderBy("decile")
   }
 
+  q("q_bh_fdr",
+    // Benjamini–Hochberg FDR over 25 per-nation two-proportion z-tests
+    // (md5-parity arms, high-balance conversion): two-sided p ×1e9 via
+    // the SHARED Zelen–Severo normal-CDF polynomial (one quantization),
+    // exact-integer step-up compares, rank without a single-task sort —
+    // the multiple-testing discipline a segment drilldown needs
+    s"""WITH r AS (SELECT c_nationkey AS s,
+      |    ${md5Hash60Sql("c_custkey")} % 2 = 0 AS a,
+      |    CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END AS c FROM customer),
+      |cells AS (SELECT s, CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN a THEN c ELSE 0 END) AS BIGINT) AS x1,
+      |    CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |    CAST(SUM(CASE WHEN NOT a THEN c ELSE 0 END) AS BIGINT) AS x2
+      |  FROM r GROUP BY 1),
+      |mm AS (SELECT COUNT(*) AS m FROM cells),
+      |v AS (SELECT *, n1 > 0 AND n2 > 0 AND x1 + x2 > 0
+      |    AND x1 + x2 < n1 + n2 AS valid,
+      |    CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+      |    CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2,
+      |    CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) AS ppool
+      |  FROM cells),
+      |zz AS (SELECT s, n1, x1, n2, x2, valid, CASE WHEN valid THEN
+      |    (p1 - p2) / sqrt(ppool * (1 - ppool)
+      |      * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))
+      |    ELSE 0 END AS zraw FROM v),
+      |kk AS (SELECT *, 1 / (1 + 0.2316419 * abs(zraw)) AS k FROM zz),
+      |pq AS (SELECT s, n1, x1, n2, x2,
+      |    CASE WHEN valid THEN round(zraw, 6) ELSE 0 END AS z,
+      |    CASE WHEN valid THEN LEAST(CAST(floor(2 * (exp(abs(zraw) * abs(zraw)
+      |      * (-0.5)) * 0.3989422804014327) * (k * (0.319381530 + k *
+      |      ((-0.356563782) + k * (1.781477937 + k * ((-1.821255978) + k
+      |      * 1.330274429))))) * 1e9 + 0.5) AS BIGINT), 1000000000)
+      |    ELSE 1000000000 END AS p_q FROM kk),
+      |rk AS (SELECT *, row_number() OVER (ORDER BY p_q, s) AS rank FROM pq),
+      |km AS (SELECT MAX(CASE WHEN CAST(p_q AS DECIMAL(38,0)) * (m * 1000)
+      |    <= CAST(rank AS DECIMAL(38,0)) * 50000000000 THEN rank END) AS kmax
+      |  FROM rk, mm)
+      |SELECT s, n1, x1, n2, x2, z,
+      |  round(CAST(p_q AS DOUBLE) / 1e9, 6) AS p_value,
+      |  CAST(rank AS INT) AS rank,
+      |  rank <= coalesce(kmax, 0) AS significant
+      |FROM rk, km ORDER BY s""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    Stats.bhFdrTwoProportion(tbl(s, dir, "customer"), col("c_nationkey"),
+        pmod(Pipeline.md5Hash60(col("c_custkey")), lit(2)) === 0,
+        when(col("c_acctbal") > 5000, 1L).otherwise(0L))
+      .orderBy("s")
+  }
+
+  q("q_audience_overlap",
+    // audience-overlap matrix: for every ordered pair of event types,
+    // the exact user-set intersection, Jaccard, and containment — the
+    // segment-overlap report behind audience planning; one distinct
+    // (type, user) projection self-joined on user
+    """WITH tu AS (SELECT DISTINCT event_type AS t, user_id AS u FROM events),
+      |sz AS (SELECT t, COUNT(*) AS n FROM tu GROUP BY 1),
+      |ix AS (SELECT a.t AS t_a, b.t AS t_b, COUNT(*) AS n_both
+      |  FROM tu a JOIN tu b ON a.u = b.u AND a.t < b.t GROUP BY 1, 2)
+      |SELECT t_a, t_b, CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+      |  CAST(n_both AS BIGINT) AS n_both,
+      |  round(CAST(n_both AS DOUBLE) / CAST(sa.n + sb.n - n_both AS DOUBLE), 6)
+      |    AS jaccard,
+      |  round(CAST(n_both AS DOUBLE) / CAST(LEAST(sa.n, sb.n) AS DOUBLE), 6)
+      |    AS containment
+      |FROM ix JOIN sz sa ON sa.t = t_a JOIN sz sb ON sb.t = t_b
+      |ORDER BY 1, 2""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val tu = events(s, dir).select(col("event_type").as("t"),
+      col("user_id").as("u")).distinct()
+      .localCheckpoint() // consumers: sizes + both sides of the pair join
+    val sz = tu.groupBy("t").agg(count(lit(1)).as("n"))
+    val ix = tu.select(col("t").as("t_a"), col("u"))
+      .join(tu.select(col("t").as("t_b"), col("u")), "u")
+      .filter(col("t_a") < col("t_b"))
+      .groupBy("t_a", "t_b").agg(count(lit(1)).as("n_both"))
+    ix.join(broadcast(sz.select(col("t").as("t_a"), col("n").as("n_a"))), "t_a")
+      .join(broadcast(sz.select(col("t").as("t_b"), col("n").as("n_b"))), "t_b")
+      .select(col("t_a"), col("t_b"), col("n_a"), col("n_b"), col("n_both"),
+        round(col("n_both").cast("double")
+          / (col("n_a") + col("n_b") - col("n_both")).cast("double"), 6)
+          .as("jaccard"),
+        round(col("n_both").cast("double")
+          / least(col("n_a"), col("n_b")).cast("double"), 6).as("containment"))
+      .orderBy("t_a", "t_b")
+  }
+
   q("q_attribution_removal",
     // Markov removal-effect attribution: journey chain (start →
     // touchpoints → conv/null, truncated at first purchase), absorbing

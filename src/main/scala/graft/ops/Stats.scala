@@ -1481,6 +1481,69 @@ object Stats {
           6).as("predictability"))
   }
 
+  /** Two-sided normal p-value ×10⁹ from |z|, via the Zelen–Severo
+    * polynomial (Abramowitz–Stegun 26.2.17, |ε| < 7.5·10⁻⁸) — a FIXED
+    * Horner chain + one exp, so any engine replays the same doubles;
+    * quantized once so downstream comparisons are exact integers.
+    * Clamped to ≤ 10⁹ (the polynomial overshoots 1 by <1e-7 at z≈0).
+    */
+  private def twoSidedPQ9(absZ: Column): Column = {
+    val k = lit(1d) / (lit(1d) + lit(0.2316419) * absZ)
+    val poly = k * (lit(0.319381530) + k * (lit(-0.356563782) + k *
+      (lit(1.781477937) + k * (lit(-1.821255978) + k * lit(1.330274429)))))
+    val pdf = exp(absZ * absZ * lit(-0.5)) * lit(0.3989422804014327)
+    least(floor(lit(2d) * pdf * poly * 1e9 + 0.5).cast("long"),
+      lit(1000000000L))
+  }
+
+  /** Benjamini–Hochberg FDR correction over per-stratum two-proportion
+    * z-tests — the multiple-testing discipline a segment-drilldown A/B
+    * readout needs (25 segments at α=0.05 expect one false "winner"
+    * uncorrected). Per stratum: pooled-variance z (the
+    * [[Eval.twoProportionZ]] shape), two-sided p ×10⁹ via a shared
+    * normal-CDF polynomial (one quantization, so the step-up compares
+    * are EXACT integers: p_q·m·1000 ≤ rank·α_milli·10⁹ as decimals),
+    * rank from [[Ranks.globalRank]] (no single-task sort), significant ⇔
+    * rank ≤ max passing rank. Strata with an empty arm or a degenerate
+    * pooled rate report p = 1.
+    */
+  def bhFdrTwoProportion(df: DataFrame, strataCol: Column, isACol: Column,
+                         convCol: Column, alphaMilli: Int = 50): DataFrame = {
+    require(alphaMilli > 0 && alphaMilli < 1000, "alphaMilli in (0, 1000)")
+    def d38(c: Column): Column =
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val cells = df.select(strataCol.as("s"), isACol.as("a"),
+        convCol.cast("long").as("c"))
+      .groupBy("s").agg(
+        sum(when(col("a"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("a"), col("c")).otherwise(0L)).as("x1"),
+        sum(when(!col("a"), 1L).otherwise(0L)).as("n2"),
+        sum(when(!col("a"), col("c")).otherwise(0L)).as("x2"))
+      .localCheckpoint() // consumers: count + rank pass + the k-max join
+    val m = cells.count()
+    def d(c: Column) = c.cast("double")
+    val p1 = d(col("x1")) / d(col("n1"))
+    val p2 = d(col("x2")) / d(col("n2"))
+    val pp = d(col("x1") + col("x2")) / d(col("n1") + col("n2"))
+    val zc = (p1 - p2) / sqrt(pp * (lit(1) - pp)
+      * (lit(1.0) / d(col("n1")) + lit(1.0) / d(col("n2"))))
+    val valid = col("n1") > 0 && col("n2") > 0 &&
+      col("x1") + col("x2") > 0 && col("x1") + col("x2") < col("n1") + col("n2")
+    val scored = cells
+      .withColumn("z", when(valid, round(zc, 6)).otherwise(lit(0d)))
+      .withColumn("p_q", when(valid, twoSidedPQ9(abs(zc)))
+        .otherwise(lit(1000000000L)))
+    val ranked = Ranks.globalRank(scored, col("p_q"), col("s"), "rank")
+    val ok = d38(col("p_q")) * (m * 1000L) <=
+      d38(col("rank")) * (alphaMilli * 1000000000L)
+    val kmax = ranked.agg(max(when(ok, col("rank"))).as("kmax"))
+    ranked.crossJoin(broadcast(kmax))
+      .select(col("s"), col("n1"), col("x1"), col("n2"), col("x2"),
+        col("z"), round(col("p_q").cast("double") / 1e9, 6).as("p_value"),
+        col("rank").cast("int").as("rank"),
+        (col("rank") <= coalesce(col("kmax"), lit(0L))).as("significant"))
+  }
+
   /** Bucket-jackknife variance of a RATIO metric Σnum/Σden — the
     * standard-error machinery A/B platforms need for per-user ratio
     * metrics (avg order value, sessions/user), where the naive binomial

@@ -490,6 +490,28 @@ class OpsSpec extends AnyFunSuite {
       ("view", 0.75, 0.5, 0.333334, 0.333334)))
   }
 
+  test("bhFdrTwoProportion: a strong effect survives the step-up, a null " +
+    "and a degenerate stratum do not") {
+    val rows =
+      (0 until 100).map(i => ("A", true, if (i < 90) 1L else 0L)) ++
+      (0 until 100).map(i => ("A", false, if (i < 10) 1L else 0L)) ++
+      (0 until 100).map(i => ("B", i % 2 == 0, if (i % 4 < 2) 1L else 0L)) ++
+      (0 until 20).map(_ => ("C", true, 0L)) ++
+      (0 until 20).map(_ => ("C", false, 0L))
+    val df = rows.toDF("s", "a", "c")
+    val got = Stats.bhFdrTwoProportion(df, col("s"), col("a"), col("c"))
+      .orderBy("s").collect()
+    val byS = got.map(r => r.getString(0) -> r).toMap
+    assert(byS("A").getAs[Boolean]("significant"))
+    assert(byS("A").getAs[Double]("p_value") == 0.0) // |z| ≈ 11.3
+    assert(byS("A").getAs[Int]("rank") == 1)
+    assert(!byS("B").getAs[Boolean]("significant"))
+    // degenerate stratum (no conversions anywhere): p = 1, z = 0
+    assert(byS("C").getAs[Double]("p_value") == 1.0 &&
+      byS("C").getAs[Double]("z") == 0.0)
+    assert(!byS("C").getAs[Boolean]("significant"))
+  }
+
   test("acf: alternating series has acf(1) = -1, acf(2) = 1; gaps drop pairs") {
     val alt = (0L until 40L).map(t => (t, if (t % 2 == 0) 10L else 20L))
       .toDF("t", "v")
