@@ -8641,6 +8641,55 @@ object Queries {
       "event_id", "event_type", convType = "purchase").orderBy("channel")
   }
 
+  q("q_attribution_shapley",
+    // exact Shapley attribution over journey channel SETS with the
+    // cumulative worth v(S) = CONVERSIONS from journeys touching ⊆ S
+    // (subset-sum of exact-set counts — monotone, φ ≥ 0, Σφ = the
+    // touch-attributable conversions); integer factorial weights over
+    // all 2^|C| subsets (channel-domain-bounded), one IEEE division per
+    // output row; the axiom-clean companion to q_attribution_removal
+    """WITH seq0 AS (SELECT user_id AS u, event_type AS t,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS idx
+      |  FROM events),
+      |fp AS (SELECT u, MIN(idx) AS fp FROM seq0 WHERE t = 'purchase' GROUP BY 1),
+      |kept AS (SELECT seq0.u, seq0.t, seq0.idx, fp FROM seq0 LEFT JOIN fp USING (u)
+      |  WHERE fp IS NULL OR idx <= fp),
+      |sets AS (SELECT u, list_sort(list_distinct(list(t))) AS chs FROM kept
+      |  WHERE t <> 'purchase' GROUP BY u),
+      |usr AS (SELECT u, MAX(fp) IS NOT NULL AS conv FROM kept GROUP BY u),
+      |j AS (SELECT usr.u, usr.conv, coalesce(chs, []) AS chs
+      |  FROM usr LEFT JOIN sets USING (u)),
+      |cidx AS (SELECT c, row_number() OVER (ORDER BY c) - 1 AS i
+      |  FROM (SELECT DISTINCT unnest(chs) AS c FROM j)),
+      |nch AS (SELECT CAST(COUNT(*) AS INT) AS nc FROM cidx),
+      |jm AS (SELECT j.u, j.conv, coalesce(SUM(1 << i), 0) AS mask
+      |  FROM j LEFT JOIN (SELECT u, unnest(chs) AS ch FROM j) e ON e.u = j.u
+      |  LEFT JOIN cidx ON cidx.c = e.ch GROUP BY j.u, j.conv),
+      |vtab AS (SELECT mask, COUNT(*) AS n,
+      |    SUM(CASE WHEN conv THEN 1 ELSE 0 END) AS x FROM jm GROUP BY 1),
+      |subsets AS (SELECT unnest(range(0, (SELECT 1 << nc FROM nch))) AS m),
+      |vq AS (SELECT m, (SELECT coalesce(SUM(x), 0) FROM vtab
+      |    WHERE (mask | m) = m) AS v FROM subsets),
+      |fact AS (SELECT k, f FROM (VALUES (0, 1), (1, 1), (2, 2), (3, 6),
+      |    (4, 24), (5, 120), (6, 720), (7, 5040), (8, 40320), (9, 362880),
+      |    (10, 3628800), (11, 39916800), (12, 479001600)) t(k, f)),
+      |phi AS (SELECT ci.c, SUM(fs.f * fns.f * (v2.v - vq.v)) AS num
+      |  FROM cidx ci
+      |  JOIN vq ON (vq.m >> ci.i) & 1 = 0
+      |  JOIN vq v2 ON v2.m = (vq.m | (1 << ci.i))
+      |  JOIN fact fs ON fs.k = bit_count(vq.m)
+      |  JOIN fact fns ON fns.k = (SELECT nc FROM nch) - bit_count(vq.m) - 1
+      |  GROUP BY ci.c),
+      |den AS (SELECT f AS cf FROM fact WHERE k = (SELECT nc FROM nch)),
+      |tot AS (SELECT SUM(num) AS tt FROM phi)
+      |SELECT c AS channel,
+      |  round(CAST(num AS DOUBLE) / CAST(cf AS DOUBLE), 6) AS shapley,
+      |  round(CAST(num AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS share
+      |FROM phi, den, tot ORDER BY 1""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    Funnel.shapleyAttribution(events(s, dir), "user_id", "ts", "event_id",
+      "event_type", convType = "purchase").orderBy("channel")
+  }
+
   q("q_markov_entropy_rate",
     // predictability of the event stream: first-order Markov entropy
     // rate −Σ (n/N)·ln(n/tn) over the q_markov_transitions cells, plus

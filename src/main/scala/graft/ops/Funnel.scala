@@ -82,11 +82,13 @@ object Funnel {
     * runs driver-side on that ≤ (states+1)² cell table — bounded by the
     * event-type domain, never by rows.
     */
-  def removalEffectAttribution(events: DataFrame, userCol: String,
-                               tsCol: String, tieCol: String,
-                               typeCol: String, convType: String,
-                               iters: Int = 60): DataFrame = {
-    val spark = events.sparkSession
+  /** Shared journey plumbing: per-user event index, first-conversion
+    * position, and the journey truncated at (and including) the first
+    * conversion. Columns: u, t, idx, fp (null = never converted).
+    */
+  private def journeys(events: DataFrame, userCol: String, tsCol: String,
+                       tieCol: String, typeCol: String,
+                       convType: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("u").orderBy("ts", "tie")
     val seq0 = events.select(col(userCol).as("u"), col(typeCol).as("t"),
@@ -94,8 +96,17 @@ object Funnel {
       .withColumn("idx", row_number().over(w))
     val fp = seq0.filter(col("t") === convType)
       .groupBy("u").agg(min("idx").as("fp"))
-    val kept = seq0.join(fp, Seq("u"), "left")
+    seq0.join(fp, Seq("u"), "left")
       .filter(col("fp").isNull || col("idx") <= col("fp"))
+  }
+
+  def removalEffectAttribution(events: DataFrame, userCol: String,
+                               tsCol: String, tieCol: String,
+                               typeCol: String, convType: String,
+                               iters: Int = 60): DataFrame = {
+    val spark = events.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val kept = journeys(events, userCol, tsCol, tieCol, typeCol, convType)
     val kw = Window.partitionBy("u").orderBy("idx")
     def mapTo(c: Column): Column =
       when(c === convType, "conv").otherwise(c)
@@ -145,5 +156,77 @@ object Funnel {
         round(col("eff_q").cast("double") / 1e6, 6).as("removal_effect"),
         round(col("eff_q").cast("double") / effSum.toDouble, 6)
           .as("attribution_share"))
+  }
+
+  /** Exact Shapley-value attribution over journey CHANNEL SETS with the
+    * cumulative-worth coalition function v(S) = CONVERSIONS from
+    * journeys whose touched-channel set ⊆ S (a subset-sum zeta transform
+    * of the exact-set counts — monotone, so every φ ≥ 0, and efficiency
+    * gives Σφ = v(C) − v(∅) = exactly the touch-attributable
+    * conversions). Each channel's credit is the textbook Shapley average
+    * φ_c = Σ_{S ⊆ C∖c} |S|!·(|C|−|S|−1)!/|C|! · (v(S∪c) − v(S)) — the
+    * order-free axiom-clean attribution the removal-effect chain
+    * approximates. EXACT end to end: integer conversion counts, BigInt
+    * factorial weights; one IEEE division per output row.
+    *
+    * Scale shape: journeys reduce to per-SET (n, x) cells in one pass;
+    * the Shapley sum runs driver-side over all 2^|C| subsets — bounded
+    * by the CHANNEL DOMAIN (≤ `maxChannels`, default 12 → 4096 subsets),
+    * never by rows.
+    */
+  def shapleyAttribution(events: DataFrame, userCol: String, tsCol: String,
+                         tieCol: String, typeCol: String, convType: String,
+                         maxChannels: Int = 12): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val kept = journeys(events, userCol, tsCol, tieCol, typeCol, convType)
+      .localCheckpoint() // consumers: the set aggregate + the user list
+    val sets = kept.filter(col("t") =!= convType)
+      .groupBy("u").agg(sort_array(collect_set(col("t"))).as("chs"))
+    val usr = kept.groupBy("u").agg(max(col("fp")).isNotNull.as("conv"))
+    // BOUNDED collect: one cell per observed channel SET (≤ 2^|C|)
+    val cells = usr.join(sets, Seq("u"), "left")
+      .select(coalesce(col("chs"), array()).as("chs"), col("conv"))
+      .groupBy("chs").agg(count(lit(1)).as("n"),
+        sum(when(col("conv"), 1L).otherwise(0L)).as("x"))
+      .collect()
+      .map(r => (r.getSeq[String](0), r.getLong(1), r.getLong(2)))
+    val channels = cells.flatMap(_._1).distinct.sorted
+    val nc = channels.length
+    require(nc >= 1 && nc <= maxChannels,
+      s"shapleyAttribution: $nc channels (bound $maxChannels) — the " +
+        "2^|C| subset sweep needs a bounded channel domain")
+    val bit = channels.zipWithIndex.toMap
+    val vq = new Array[Long](1 << nc) // exact-set conversion counts…
+    cells.foreach { case (chs, _, x) =>
+      val m = chs.map(bit).foldLeft(0)((a, b) => a | (1 << b))
+      vq(m) = x
+    }
+    // …zeta-transformed in place to the cumulative worth v(S) = Σ_{T⊆S} x_T
+    for (i <- 0 until nc; m <- vq.indices)
+      if ((m & (1 << i)) != 0) vq(m) += vq(m ^ (1 << i))
+    val fact = (1 to nc).scanLeft(BigInt(1))(_ * _) // fact(k) = k!, k = 0..nc
+    def phiNum(c: Int): BigInt = {
+      var s = BigInt(0)
+      val b = 1 << bit(channels(c))
+      var m = 0
+      while (m < vq.length) {
+        if ((m & b) == 0) {
+          val k = Integer.bitCount(m)
+          s += fact(k) * fact(nc - k - 1) * (vq(m | b) - vq(m))
+        }
+        m += 1
+      }
+      s
+    }
+    val nums = channels.indices.map(phiNum)
+    val den = fact(nc).toDouble
+    val tot = nums.sum.toDouble
+    channels.zip(nums).map { case (c, n) =>
+      (c, BigDecimal(n.toDouble / den)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(n.toDouble / tot)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.toDF("channel", "shapley", "share")
   }
 }

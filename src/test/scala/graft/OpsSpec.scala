@@ -512,6 +512,25 @@ class OpsSpec extends AnyFunSuite {
     assert(!byS("C").getAs[Boolean]("significant"))
   }
 
+  test("shapleyAttribution: hand-solved two-channel worth with efficiency " +
+    "Sum(phi) = attributable conversions") {
+    // sets: {view}×2 conv, {click}×1 conv, {view,click}×1 conv, {view}
+    // non-conv → v({v})=2, v({c})=1, v({v,c})=4
+    val rows = Seq(
+      (1L, 1L, 1L, "view"), (1L, 2L, 2L, "purchase"),
+      (2L, 1L, 3L, "click"), (2L, 2L, 4L, "purchase"),
+      (3L, 1L, 5L, "view"), (3L, 2L, 6L, "click"), (3L, 3L, 7L, "purchase"),
+      (4L, 1L, 8L, "view"),
+      (5L, 1L, 9L, "view"), (5L, 2L, 10L, "purchase"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Funnel.shapleyAttribution(rows, "user_id", "ts", "event_id",
+        "event_type", convType = "purchase")
+      .orderBy("channel").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    // phi_view = (1·1·2 + 1·1·3)/2! = 2.5; phi_click = (1 + 2)/2 = 1.5
+    assert(got.toSeq == Seq(("click", 1.5, 0.375), ("view", 2.5, 0.625)))
+  }
+
   test("acf: alternating series has acf(1) = -1, acf(2) = 1; gaps drop pairs") {
     val alt = (0L until 40L).map(t => (t, if (t % 2 == 0) 10L else 20L))
       .toDF("t", "v")
