@@ -8641,6 +8641,48 @@ object Queries {
       "event_id", "event_type", convType = "purchase").orderBy("channel")
   }
 
+  q("q_rake_weights", {
+    // raking / IPF: weights making the odd-doc_id half's (lang, source)
+    // margins match the even half's — 8 alternating row/col passes in
+    // ×1e6 truncating integers, unrolled here as 16 mechanical CTE
+    // steps so DuckDB replays the identical fixed-point sequence
+    val steps = (1 to 8).flatMap { i =>
+      val (p1, p2, p0) = (s"w${2 * i - 1}", s"w${2 * i}", s"w${2 * i - 2}")
+      Seq(
+        s"""$p1 AS MATERIALIZED (SELECT w.r, w.c, w.n, CAST(w.w
+           |    * coalesce((SELECT t FROM tr WHERE tr.r = w.r), 0) * 1000000
+           |    // GREATEST((SELECT SUM(p.n * p.w) FROM $p0 p WHERE p.r = w.r), 1)
+           |    AS HUGEINT) AS w FROM $p0 w)""",
+        s"""$p2 AS MATERIALIZED (SELECT w.r, w.c, w.n, CAST(w.w
+           |    * coalesce((SELECT t FROM tc WHERE tc.c = w.c), 0) * 1000000
+           |    // GREATEST((SELECT SUM(p.n * p.w) FROM $p1 p WHERE p.c = w.c), 1)
+           |    AS HUGEINT) AS w FROM $p1 w)""")
+    }.mkString(",\n")
+    s"""WITH cells AS MATERIALIZED (SELECT lang AS r, source AS c, COUNT(*) AS n
+      |  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1, 2),
+      |nn AS (SELECT SUM(n) AS n FROM cells),
+      |rr AS (SELECT lang AS k, COUNT(*) AS n FROM documents
+      |  WHERE doc_id % 2 = 0 GROUP BY 1),
+      |cc AS (SELECT source AS k, COUNT(*) AS n FROM documents
+      |  WHERE doc_id % 2 = 0 GROUP BY 1),
+      |rn AS (SELECT SUM(n) AS n FROM rr),
+      |tr AS (SELECT k AS r, n * (SELECT n FROM nn) // (SELECT n FROM rn) AS t
+      |  FROM rr),
+      |tc AS (SELECT k AS c, n * (SELECT n FROM nn) // (SELECT n FROM rn) AS t
+      |  FROM cc),
+      |w0 AS MATERIALIZED (SELECT r, c, n, CAST(1000000 AS HUGEINT) AS w FROM cells),
+      |$steps
+      |SELECT r AS lang, c AS source, CAST(n AS BIGINT) AS n,
+      |  round(CAST(w AS DOUBLE) / 1e6, 6) AS weight,
+      |  round(CAST(n AS DOUBLE) * CAST(w AS DOUBLE) / 1e6, 6) AS n_weighted
+      |FROM w16 ORDER BY 1, 2""".stripMargin.replace("\n", " ")
+  }) { (s, dir) =>
+    val d = tbl(s, dir, "documents")
+    Stats.rake(d.filter(col("doc_id") % 2 === 1),
+        d.filter(col("doc_id") % 2 === 0), "lang", "source")
+      .orderBy("lang", "source")
+  }
+
   q("q_attribution_shapley",
     // exact Shapley attribution over journey channel SETS with the
     // cumulative worth v(S) = CONVERSIONS from journeys touching ⊆ S

