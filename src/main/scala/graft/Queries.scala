@@ -8641,6 +8641,80 @@ object Queries {
       "event_id", "event_type", convType = "purchase").orderBy("channel")
   }
 
+  q("q_causal_iv",
+    // instrumental-variable (Wald) estimate: md5-parity encouragement as
+    // the instrument, per-user views as exposure, purchases as outcome —
+    // cross-multiplied exact-decimal arm sums, ONE IEEE division for
+    // β_IV (plus first stage and ITT); the LATE companion to
+    // q_causal_did/q_cuped
+    s"""WITH u AS (SELECT user_id,
+      |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x,
+      |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+      |  FROM events GROUP BY 1),
+      |a AS (SELECT ${md5Hash60Sql("user_id")} % 2 = 0 AS z, x, y FROM u),
+      |g AS (SELECT CAST(SUM(CASE WHEN z THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |  CAST(SUM(CASE WHEN z THEN x ELSE 0 END) AS BIGINT) AS sx1,
+      |  CAST(SUM(CASE WHEN z THEN y ELSE 0 END) AS BIGINT) AS sy1,
+      |  CAST(SUM(CASE WHEN NOT z THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+      |  CAST(SUM(CASE WHEN NOT z THEN x ELSE 0 END) AS BIGINT) AS sx0,
+      |  CAST(SUM(CASE WHEN NOT z THEN y ELSE 0 END) AS BIGINT) AS sy0 FROM a),
+      |d AS (SELECT n1, n0,
+      |    CAST(sx1 AS DECIMAL(38,0)) * n0 - CAST(sx0 AS DECIMAL(38,0)) * n1 AS dx,
+      |    CAST(sy1 AS DECIMAL(38,0)) * n0 - CAST(sy0 AS DECIMAL(38,0)) * n1 AS dy,
+      |    CAST(n1 AS DECIMAL(38,0)) * n0 AS nn FROM g)
+      |SELECT n1, n0,
+      |  round(CAST(dx AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS first_stage,
+      |  round(CAST(dy AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS itt,
+      |  CASE WHEN dx <> 0 THEN round(CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE), 6)
+      |    END AS beta_iv
+      |FROM d""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val u = events(s, dir).groupBy("user_id")
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+    Stats.ivWald(u,
+      pmod(Pipeline.md5Hash60(col("user_id")), lit(2)) === 0,
+      col("x"), col("y"))
+  }
+
+  q("q_causal_rdd",
+    // sharp regression discontinuity at zero account balance: local
+    // linear fits on ±$2000 windows of acctbal cents, order count as
+    // the outcome — exact decimal power sums per side, one IEEE
+    // division per coefficient, effect = the intercept jump at 0
+    """WITH oc AS (SELECT o_custkey, COUNT(*) AS y FROM orders GROUP BY 1),
+      |r AS (SELECT CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS x,
+      |    coalesce(y, 0) AS y FROM customer
+      |  LEFT JOIN oc ON o_custkey = c_custkey),
+      |b AS (SELECT x, y, x >= 0 AS side FROM r
+      |  WHERE x >= -200000 AND x <= 200000),
+      |g AS (SELECT side, COUNT(*) AS n, SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+      |    SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+      |    SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+      |    SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy FROM b GROUP BY 1),
+      |l AS (SELECT CAST(n AS BIGINT) AS n_l,
+      |    CASE WHEN n * sxx - sx * sx <> 0 THEN round(CAST(sy * sxx
+      |      - sx * sxy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS a_l,
+      |    CASE WHEN n * sxx - sx * sx <> 0 THEN round(CAST(n * sxy
+      |      - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS b_l
+      |  FROM g WHERE NOT side),
+      |rr AS (SELECT CAST(n AS BIGINT) AS n_r,
+      |    CASE WHEN n * sxx - sx * sx <> 0 THEN round(CAST(sy * sxx
+      |      - sx * sxy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS a_r,
+      |    CASE WHEN n * sxx - sx * sx <> 0 THEN round(CAST(n * sxy
+      |      - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS b_r
+      |  FROM g WHERE side)
+      |SELECT CAST(200000 AS BIGINT) AS bandwidth, n_l, n_r, a_l, b_l,
+      |  a_r, b_r, round(a_r - a_l, 6) AS rdd_effect
+      |FROM l, rr""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val oc = tbl(s, dir, "orders").groupBy("o_custkey")
+      .agg(count(lit(1)).as("y"))
+    val r = tbl(s, dir, "customer")
+      .join(oc, col("o_custkey") === col("c_custkey"), "left")
+      .select(floor(col("c_acctbal") * 100 + 0.5).cast("long").as("run"),
+        coalesce(col("y"), lit(0L)).as("y"))
+    Stats.rdd(r, col("run"), col("y"), bandwidth = 200000L)
+  }
+
   q("q_rake_weights", {
     // raking / IPF: weights making the odd-doc_id half's (lang, source)
     // margins match the even half's — 8 alternating row/col passes in

@@ -1481,6 +1481,76 @@ object Stats {
           6).as("predictability"))
   }
 
+  /** Instrumental-variable (Wald) estimate with a BINARY instrument:
+    * β_IV = (ȳ₁−ȳ₀)/(x̄₁−x̄₀) — the local average treatment effect when
+    * the instrument (an encouragement, a rollout flag) moves exposure
+    * but can only touch the outcome THROUGH it. Cross-multiplied form
+    * (sy₁n₀ − sy₀n₁)/(sx₁n₀ − sx₀n₁): exact decimal sums, ONE IEEE
+    * division for β (and one each for the first stage and the ITT).
+    * NULL when the instrument does not move exposure (zero denominator).
+    * One tiny two-arm aggregate; rows are scanned once.
+    */
+  def ivWald(df: DataFrame, zCol: Column, xCol: Column,
+             yCol: Column): DataFrame = {
+    def d38(c: Column): Column =
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val g = df.select(zCol.as("z"), xCol.cast("long").as("x"),
+        yCol.cast("long").as("y"))
+      .agg(sum(when(col("z"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("z"), col("x")).otherwise(0L)).as("sx1"),
+        sum(when(col("z"), col("y")).otherwise(0L)).as("sy1"),
+        sum(when(!col("z"), 1L).otherwise(0L)).as("n0"),
+        sum(when(!col("z"), col("x")).otherwise(0L)).as("sx0"),
+        sum(when(!col("z"), col("y")).otherwise(0L)).as("sy0"))
+    val dx = d38(col("sx1")) * col("n0") - d38(col("sx0")) * col("n1")
+    val dy = d38(col("sy1")) * col("n0") - d38(col("sy0")) * col("n1")
+    val nn = d38(col("n1")) * col("n0")
+    g.select(col("n1"), col("n0"),
+      round(dx.cast("double") / nn.cast("double"), 6).as("first_stage"),
+      round(dy.cast("double") / nn.cast("double"), 6).as("itt"),
+      when(dx =!= 0, round(dy.cast("double") / dx.cast("double"), 6))
+        .as("beta_iv"))
+  }
+
+  /** Sharp regression discontinuity: local-linear fits on either side of
+    * the cutoff (running variable pre-centered so the cutoff is 0,
+    * window ±`bandwidth`), effect = the jump between the two intercepts
+    * AT the cutoff. Per side the OLS closed form runs on exact decimal
+    * power sums (n, Σx, Σy, Σxx, Σxy) — intercept and slope each take
+    * one IEEE division; sides with a singular design (n < 2 or constant
+    * x) report NULL. One aggregate over the two windows; rows outside
+    * the bandwidth are filtered at the scan.
+    */
+  def rdd(df: DataFrame, runCol: Column, yCol: Column,
+          bandwidth: Long): DataFrame = {
+    require(bandwidth > 0, "bandwidth must be positive")
+    def d38(c: Column): Column =
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val base = df.select(runCol.cast("long").as("x"),
+        yCol.cast("long").as("y"))
+      .filter(col("x") >= -bandwidth && col("x") <= bandwidth)
+      .withColumn("side", col("x") >= 0)
+    val g = base.groupBy("side").agg(count(lit(1)).as("n"),
+      sum(d38(col("x"))).as("sx"), sum(d38(col("y"))).as("sy"),
+      sum(d38(col("x")) * col("x")).as("sxx"),
+      sum(d38(col("x")) * col("y")).as("sxy"))
+    def sideRow(flag: Boolean, tag: String): DataFrame = {
+      val det = col("n") * col("sxx") - col("sx") * col("sx")
+      g.filter(col("side") === flag).select(
+        col("n").as(s"n_$tag"),
+        when(det =!= 0, round((col("sy") * col("sxx")
+          - col("sx") * col("sxy")).cast("double") / det.cast("double"), 6))
+          .as(s"a_$tag"),
+        when(det =!= 0, round((col("n") * col("sxy")
+          - col("sx") * col("sy")).cast("double") / det.cast("double"), 6))
+          .as(s"b_$tag"))
+    }
+    sideRow(false, "l").crossJoin(sideRow(true, "r"))
+      .select(lit(bandwidth).as("bandwidth"), col("n_l"), col("n_r"),
+        col("a_l"), col("b_l"), col("a_r"), col("b_r"),
+        round(col("a_r") - col("a_l"), 6).as("rdd_effect"))
+  }
+
   /** Raking / iterative proportional fitting: per-cell weights that make
     * the SAMPLE's two categorical margins match a REFERENCE's (the
     * post-stratification step survey analysis and covariate-balancing

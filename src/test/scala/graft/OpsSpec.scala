@@ -549,6 +549,32 @@ class OpsSpec extends AnyFunSuite {
     assert(byR == Map("a" -> 3.0, "b" -> 1.0))
   }
 
+  test("ivWald: hand ratio of arm differences; null when the instrument " +
+    "is inert") {
+    val df = Seq((true, 3L, 1L), (true, 1L, 1L), (false, 1L, 1L),
+      (false, 1L, 0L)).toDF("z", "x", "y")
+    val r = Stats.ivWald(df, col("z"), col("x"), col("y")).collect().head
+    // first stage (4·2−2·2)/4 = 1; itt (2·2−1·2)/4 = .5; beta .5/1
+    assert((r.getAs[Long]("n1"), r.getAs[Long]("n0"),
+      r.getAs[Double]("first_stage"), r.getAs[Double]("itt"),
+      r.getAs[Double]("beta_iv")) == (2L, 2L, 1.0, 0.5, 0.5))
+    val inert = Seq((true, 1L, 2L), (false, 1L, 0L)).toDF("z", "x", "y")
+    val i = Stats.ivWald(inert, col("z"), col("x"), col("y")).collect().head
+    assert(i.isNullAt(i.fieldIndex("beta_iv")))
+  }
+
+  test("rdd: two exact local-linear fits and the intercept jump") {
+    val df = Seq((-2L, 0L), (-1L, 1L), (0L, 5L), (1L, 6L), (99L, 0L))
+      .toDF("x", "y")
+    val r = Stats.rdd(df, col("x"), col("y"), bandwidth = 10L)
+      .collect().head
+    // left y = x + 2 → a_l = 2, b_l = 1; right y = x + 5 → a_r = 5
+    assert((r.getAs[Long]("n_l"), r.getAs[Long]("n_r"),
+      r.getAs[Double]("a_l"), r.getAs[Double]("b_l"),
+      r.getAs[Double]("a_r"), r.getAs[Double]("b_r"),
+      r.getAs[Double]("rdd_effect")) == (2L, 2L, 2.0, 1.0, 5.0, 1.0, 3.0))
+  }
+
   test("acf: alternating series has acf(1) = -1, acf(2) = 1; gaps drop pairs") {
     val alt = (0L until 40L).map(t => (t, if (t % 2 == 0) 10L else 20L))
       .toDF("t", "v")
