@@ -8641,6 +8641,47 @@ object Queries {
       "event_id", "event_type", convType = "purchase").orderBy("channel")
   }
 
+  q("q_eval_qini",
+    // Qini / uplift table: users decile-ranked by view count, arms from
+    // the md5 parity — per tile both arms' exact counts, the uplift
+    // rate difference, and cumulative Qini X_t − X_c·N_t/N_c (exact
+    // cross-products, one IEEE division per tile); scores WHO is
+    // persuadable where q_lift_gains scores who converts
+    s"""WITH u AS (SELECT user_id,
+      |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS score,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+      |  FROM events GROUP BY 1),
+      |a AS (SELECT user_id, score, y,
+      |    ${md5Hash60Sql("user_id")} % 2 = 0 AS t FROM u),
+      |r AS (SELECT *, NTILE(10) OVER (ORDER BY score DESC, user_id) AS tile
+      |  FROM a),
+      |g AS (SELECT tile, SUM(CASE WHEN t THEN 1 ELSE 0 END) AS nt,
+      |    SUM(CASE WHEN t THEN y ELSE 0 END) AS xt,
+      |    SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS nc,
+      |    SUM(CASE WHEN NOT t THEN y ELSE 0 END) AS xc FROM r GROUP BY 1),
+      |c AS (SELECT tile, nt, xt, nc, xc, SUM(nt) OVER w AS ntc,
+      |    SUM(xt) OVER w AS xtc, SUM(nc) OVER w AS ncc, SUM(xc) OVER w AS xcc
+      |  FROM g WINDOW w AS (ORDER BY tile))
+      |SELECT CAST(tile AS INT) AS tile, CAST(nt AS BIGINT) AS nt,
+      |  CAST(xt AS BIGINT) AS xt, CAST(nc AS BIGINT) AS nc,
+      |  CAST(xc AS BIGINT) AS xc,
+      |  CASE WHEN nt > 0 AND nc > 0 THEN round(CAST(CAST(xt AS DECIMAL(38,0))
+      |    * nc - CAST(xc AS DECIMAL(38,0)) * nt AS DOUBLE)
+      |    / CAST(CAST(nt AS DECIMAL(38,0)) * nc AS DOUBLE), 6) END AS uplift,
+      |  CASE WHEN ncc > 0 THEN round(CAST(CAST(xtc AS DECIMAL(38,0)) * ncc
+      |    - CAST(xcc AS DECIMAL(38,0)) * ntc AS DOUBLE)
+      |    / CAST(ncc AS DOUBLE), 6) END AS qini_cum
+      |FROM c ORDER BY tile""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val u = events(s, dir).groupBy("user_id")
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("score"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+    Eval.qini(u, col("score"),
+        pmod(Pipeline.md5Hash60(col("user_id")), lit(2)) === 0,
+        col("y"), col("user_id"), k = 10)
+      .orderBy("tile")
+  }
+
   q("q_causal_iv",
     // instrumental-variable (Wald) estimate: md5-parity encouragement as
     // the instrument, per-user views as exposure, purchases as outcome —

@@ -438,6 +438,44 @@ object Eval {
           6).as("coverage"))
   }
 
+  /** Qini / uplift-gains table: rank by uplift score descending, cut
+    * into `k` tiles, and per tile report both arms' exact counts, the
+    * per-tile uplift (treated − control conversion rate), and the
+    * CUMULATIVE Qini value g(d) = X_t(d) − X_c(d)·N_t(d)/N_c(d) — the
+    * standard evaluation of a targeting model that predicts WHO is
+    * persuadable, not who converts ([[liftGains]] scores the latter).
+    * Same machinery: range-bucketed global rank, exact NTILE, prefix
+    * sums; Qini's single IEEE division per tile on exact cross-products.
+    * Tiles whose cumulative control arm is empty report NULL.
+    */
+  def qini(df: DataFrame, scoreCol: Column, treatedCol: Column,
+           convCol: Column, idCol: Column, k: Int = 10): DataFrame = {
+    def d38(c: Column): Column =
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val base = df.select(idCol.as("id"), scoreCol.as("score"),
+        treatedCol.as("t"), convCol.cast("long").as("y"))
+      .localCheckpoint() // consumers: count + the rank pass
+    val n = base.count()
+    val tiled = Ranks.globalRank(base, -col("score"), col("id"), "rk")
+      .withColumn("tile", Ranks.ntileOfRank(col("rk"), lit(n), k))
+    val g = tiled.groupBy("tile").agg(
+        sum(when(col("t"), 1L).otherwise(0L)).as("nt"),
+        sum(when(col("t"), col("y")).otherwise(0L)).as("xt"),
+        sum(when(!col("t"), 1L).otherwise(0L)).as("nc"),
+        sum(when(!col("t"), col("y")).otherwise(0L)).as("xc"))
+      .localCheckpoint() // Ranks deterministic-input contract, pass 2
+    Ranks.prefixCounts(g, "tile", Seq("nt", "xt", "nc", "xc"))
+      .select(col("tile"), col("nt"), col("xt"), col("nc"), col("xc"),
+        when(col("nt") > 0 && col("nc") > 0,
+          round((d38(col("xt")) * col("nc") - d38(col("xc")) * col("nt"))
+            .cast("double") / (d38(col("nt")) * col("nc")).cast("double"), 6))
+          .as("uplift"),
+        when(col("nc_cum") > 0,
+          round((d38(col("xt_cum")) * col("nc_cum")
+            - d38(col("xc_cum")) * col("nt_cum")).cast("double")
+            / col("nc_cum").cast("double"), 6)).as("qini_cum"))
+  }
+
   /** Expected / maximum calibration error: the one-number summary of
     * [[calibrationBins]] — ECE = Σ (n_b/N)·|gap_b|, MCE = max |gap_b|.
     * Each bin's |gap| is the table's already-6-dp value re-quantized to

@@ -575,6 +575,25 @@ class OpsSpec extends AnyFunSuite {
       r.getAs[Double]("rdd_effect")) == (2L, 2L, 2.0, 1.0, 5.0, 1.0, 3.0))
   }
 
+  test("qini: hand-computed uplift and cumulative Qini over two tiles") {
+    // tile1 (ids 1-4): t:2 conv 2/2, c:2 conv 0/2 → uplift 1.0,
+    //   qini = 2 − 0·2/2 = 2; tile2: t:2 conv 0, c:2 conv 2 → uplift −1,
+    //   qini_cum = 2 − 2·4/4 = 0 (the model's gains vanish by depth 2)
+    val df = Seq(
+      (1L, 40L, true, 1L), (2L, 39L, true, 1L),
+      (3L, 38L, false, 0L), (4L, 37L, false, 0L),
+      (5L, 20L, true, 0L), (6L, 19L, true, 0L),
+      (7L, 18L, false, 1L), (8L, 17L, false, 1L))
+      .toDF("id", "score", "t", "y")
+    val got = Eval.qini(df, col("score"), col("t"), col("y"), col("id"),
+        k = 2)
+      .orderBy("tile").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(got.toSeq == Seq((1, 2L, 2L, 2L, 0L, 1.0, 2.0),
+      (2, 2L, 0L, 2L, 2L, -1.0, 0.0)))
+  }
+
   test("acf: alternating series has acf(1) = -1, acf(2) = 1; gaps drop pairs") {
     val alt = (0L until 40L).map(t => (t, if (t % 2 == 0) 10L else 20L))
       .toDF("t", "v")
