@@ -1858,6 +1858,33 @@ object Queries {
       .orderBy("l_returnflag")
   }
 
+  q("q_group_percentiles",
+    // the SAME percentile report as q_percentiles but through
+    // Ranks.groupedPercentilesExact — one lexicographic (group, value)
+    // prefix pass + broadcast rank joins, no per-group aggregation
+    // buffer, no per-group single-task window; identical values, scale-
+    // safe plan (the oracle is q_percentiles' SQL verbatim)
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_quantity, 0.5), 6) AS med_qty,
+      |  round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price,
+      |  round(quantile_cont(l_extendedprice, 0.75), 6) AS p75_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val li = tbl(s, dir, "lineitem")
+    val med = Ranks.groupedPercentilesExact(li, col("l_returnflag"),
+        col("l_quantity"), Seq(0.5))
+      .select(col("g").as("l_returnflag"),
+        round(col("value"), 6).as("med_qty"))
+    val pr = Ranks.groupedPercentilesExact(li, col("l_returnflag"),
+      col("l_extendedprice"), Seq(0.25, 0.75))
+    val p25 = pr.filter(col("i") === 1).select(col("g").as("l_returnflag"),
+      round(col("value"), 6).as("p25_price"))
+    val p75 = pr.filter(col("i") === 2).select(col("g").as("l_returnflag"),
+      round(col("value"), 6).as("p75_price"))
+    med.join(p25, "l_returnflag").join(p75, "l_returnflag")
+      .orderBy("l_returnflag")
+  }
+
   q("q_grouping_sets",
     """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
       |FROM lineitem

@@ -273,10 +273,12 @@ object Ranks {
     * aggregate), takes bucket-partitioned prefix counts, and resolves
     * each target fraction's two order statistics by a broadcast join —
     * everything row-scaled stays narrow and partitioned. The
-    * interpolation is the standard h = p·(n−1), v = v_lo +
-    * (v_hi − v_lo)·(h − ⌊h⌋) — the same IEEE shape `percentile()` and
-    * DuckDB `quantile_cont()` evaluate, so results hash-match the
-    * built-ins. Returns one row per fraction: (i, p, value).
+    * interpolation is h = p·(n−1), v = v_lo + (v_hi − v_lo)·(h − ⌊h⌋) —
+    * the exact IEEE shape DuckDB `quantile_cont()` evaluates (bit-
+    * identical); Spark's `percentile()` uses the algebraically-equal
+    * two-sided lerp v_lo·(1−f) + v_hi·f, which can differ in the last
+    * ulp — at the 6-dp publication grain the three always agree.
+    * Returns one row per fraction: (i, p, value).
     */
   def percentilesExact(df: DataFrame, valCol: Column,
                        fractions: Seq[Double]): DataFrame = {
@@ -303,6 +305,58 @@ object Ranks {
     at("r_lo", "v_lo").join(at("r_hi", "v_hi"), "i")
       .join(broadcast(ranks.select("i", "p", "frac")), "i")
       .select(col("i"), col("p"),
+        (col("v_lo") + (col("v_hi") - col("v_lo")) * col("frac"))
+          .as("value"))
+  }
+
+  /** Per-GROUP exact interpolated percentiles — [[percentilesExact]]
+    * without one call per group and without the per-group single-task
+    * window a `partitionBy(group)` row_number would plan: ONE
+    * lexicographic (group, value) prefix pass; each group's internal
+    * offset is recovered distributedly as min(c_cum − c) over the group
+    * (no driver ordering assumption); the per-group rank targets come
+    * from the groups-BOUNDED count collect. Interpolation is the
+    * [[percentilesExact]] shape — bit-identical to DuckDB
+    * `quantile_cont GROUP BY`; Spark's `percentile()` lerp can differ in
+    * the final ulp (see there). String group keys (the collected count
+    * table types the rank frame). Returns (group, i, p, value).
+    */
+  def groupedPercentilesExact(df: DataFrame, grpCol: Column, valCol: Column,
+                              fractions: Seq[Double]): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(p => p >= 0 && p <= 1),
+      "fractions must lie in [0, 1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val g = df.select(grpCol.as("g"), valCol.as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy("g", "v").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // consumers: group counts + the prefix pass
+    // BOUNDED collect: one row per group
+    val counts = g.groupBy("g").agg(sum("c").as("n")).collect()
+      .map(r => r.get(0) -> r.getLong(1))
+    val ranks = counts.flatMap { case (gk, n) =>
+      fractions.zipWithIndex.map { case (p, ix) =>
+        val h = p * (n - 1)
+        val lo = math.floor(h).toLong + 1
+        (gk.asInstanceOf[String], ix + 1, p, h - math.floor(h), lo,
+          math.min(lo + 1, n))
+      }
+    }.toSeq.toDF("g", "i", "p", "frac", "r_lo", "r_hi")
+    val cum = prefixCountsBy(g, Seq("g", "v"), Seq("c"))
+    val off = cum.groupBy(col("g").as("g2"))
+      .agg(min(col("c_cum") - col("c")).as("off"))
+    val wg = cum.join(broadcast(off), col("g") === col("g2"))
+      .select(col("g"), col("v"), col("c"), (col("c_cum") - col("off"))
+        .as("gc"))
+    def at(rCol: String, name: String): DataFrame =
+      wg.join(broadcast(ranks.withColumnRenamed("g", "gr")),
+          col("g") === col("gr") && col(rCol) > col("gc") - col("c") &&
+            col(rCol) <= col("gc"))
+        .select(col("g"), col("i"), col("v").cast("double").as(name))
+    at("r_lo", "v_lo").join(at("r_hi", "v_hi"), Seq("g", "i"))
+      .join(broadcast(ranks.select(col("g"), col("i"), col("p"),
+        col("frac"))), Seq("g", "i"))
+      .select(col("g"), col("i"), col("p"),
         (col("v_lo") + (col("v_hi") - col("v_lo")) * col("frac"))
           .as("value"))
   }

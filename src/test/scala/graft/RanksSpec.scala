@@ -233,4 +233,43 @@ class RanksSpec extends AnyFunSuite {
       .orderBy("i").collect().map(_.getAs[Double]("value")).toSeq
     assert(got == expect.toSeq) // same interpolation shape → same bits
   }
+
+  test("groupedPercentilesExact is bit-identical to the quantile_cont " +
+    "shape per group (Spark's builtin lerp may differ in the last ulp)") {
+    val df = spark.range(0, 900)
+      .select(concat(lit("g"), (col("id") % 4)).as("g"),
+        ((col("id") * 131 % 89) * (col("id") % 5 - 2)).cast("double").as("v"))
+      .filter(col("g") =!= "g3" || col("id") < 12) // one tiny group
+      .localCheckpoint()
+    val fr = Seq(0.1, 0.5, 0.9)
+    // reference: the DuckDB/percentilesExact lerp lo + (hi−lo)·frac,
+    // replayed on the driver from the sorted group values
+    val byG = df.collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    val expect = byG.map { case (g, vs) =>
+      g -> fr.map { p =>
+        val h = p * (vs.size - 1)
+        val lo = math.floor(h).toInt
+        val hi = math.min(lo + 1, vs.size - 1)
+        vs(lo) + (vs(hi) - vs(lo)) * (h - math.floor(h))
+      }
+    }
+    val got = Ranks.groupedPercentilesExact(df, col("g"), col("v"), fr)
+      .collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.sortBy(_.getInt(1)).map(_.getAs[Double]("value")).toSeq)
+      .toMap
+    assert(got == expect)
+    // and at the 6-dp publication grain the builtin agrees too
+    val frSql = fr.map(p => s"${p}D").mkString("array(", ", ", ")")
+    val builtin = df.groupBy("g")
+      .agg(expr(s"percentile(v, $frSql)").as("qs")).collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1).map(v =>
+        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toMap
+    got.foreach { case (g, vs) =>
+      assert(vs.map(v => BigDecimal(v).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) == builtin(g).toSeq, g)
+    }
+  }
 }
