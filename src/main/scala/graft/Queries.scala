@@ -1859,29 +1859,29 @@ object Queries {
   }
 
   q("q_group_percentiles",
-    // the SAME percentile report as q_percentiles but through
+    // per-group exact price quartiles through
     // Ranks.groupedPercentilesExact — one lexicographic (group, value)
     // prefix pass + broadcast rank joins, no per-group aggregation
-    // buffer, no per-group single-task window; identical values, scale-
-    // safe plan (the oracle is q_percentiles' SQL verbatim)
-    """SELECT l_returnflag,
-      |  round(quantile_cont(l_quantity, 0.5), 6) AS med_qty,
-      |  round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price,
-      |  round(quantile_cont(l_extendedprice, 0.75), 6) AS p75_price
-      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
-      .stripMargin.replace("\n", " ")) { (s, dir) =>
-    val li = tbl(s, dir, "lineitem")
-    val med = Ranks.groupedPercentilesExact(li, col("l_returnflag"),
-        col("l_quantity"), Seq(0.5))
-      .select(col("g").as("l_returnflag"),
-        round(col("value"), 6).as("med_qty"))
-    val pr = Ranks.groupedPercentilesExact(li, col("l_returnflag"),
-      col("l_extendedprice"), Seq(0.25, 0.75))
-    val p25 = pr.filter(col("i") === 1).select(col("g").as("l_returnflag"),
-      round(col("value"), 6).as("p25_price"))
-    val p75 = pr.filter(col("i") === 2).select(col("g").as("l_returnflag"),
-      round(col("value"), 6).as("p75_price"))
-    med.join(p25, "l_returnflag").join(p75, "l_returnflag")
+    // buffer, no per-group single-task window. Same values as the
+    // built-in at the 6-dp grain; exists for the CONTINUOUS-domain case
+    // where percentile()'s value-map buffer is a memory wall (the
+    // throughput tradeoff is measured in PLANS.md)
+    """WITH q AS (SELECT l_returnflag AS g,
+      |    unnest(quantile_cont(CAST(l_extendedprice AS DOUBLE),
+      |      [0.25, 0.5, 0.75])) AS v,
+      |    unnest([1, 2, 3]) AS i
+      |  FROM lineitem GROUP BY 1)
+      |SELECT g AS l_returnflag,
+      |  round(MAX(CASE WHEN i = 1 THEN v END), 6) AS p25_price,
+      |  round(MAX(CASE WHEN i = 2 THEN v END), 6) AS med_price,
+      |  round(MAX(CASE WHEN i = 3 THEN v END), 6) AS p75_price
+      |FROM q GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val pr = Ranks.groupedPercentilesExact(tbl(s, dir, "lineitem"),
+      col("l_returnflag"), col("l_extendedprice"), Seq(0.25, 0.5, 0.75))
+    pr.groupBy(col("g").as("l_returnflag"))
+      .agg(round(max(when(col("i") === 1, col("value"))), 6).as("p25_price"),
+        round(max(when(col("i") === 2, col("value"))), 6).as("med_price"),
+        round(max(when(col("i") === 3, col("value"))), 6).as("p75_price"))
       .orderBy("l_returnflag")
   }
 

@@ -292,6 +292,8 @@ object Ranks {
     val n = g.agg(sum("c")).collect()(0).getLong(0)
     require(n > 0, "percentilesExact: no non-null values")
     val cum = prefixCounts(g, "v", Seq("c"))
+      .localCheckpoint() // consumers: BOTH rank joins — without this the
+      // whole prefix pipeline re-executes per order statistic
     val ranks = fractions.zipWithIndex.map { case (p, ix) =>
       val h = p * (n - 1) // 0-based interpolation position
       val lo = math.floor(h).toLong + 1
@@ -343,11 +345,13 @@ object Ranks {
       }
     }.toSeq.toDF("g", "i", "p", "frac", "r_lo", "r_hi")
     val cum = prefixCountsBy(g, Seq("g", "v"), Seq("c"))
+      .localCheckpoint() // consumers: offsets + both rank joins
     val off = cum.groupBy(col("g").as("g2"))
       .agg(min(col("c_cum") - col("c")).as("off"))
     val wg = cum.join(broadcast(off), col("g") === col("g2"))
       .select(col("g"), col("v"), col("c"), (col("c_cum") - col("off"))
         .as("gc"))
+      .localCheckpoint() // consumers: the two rank joins
     def at(rCol: String, name: String): DataFrame =
       wg.join(broadcast(ranks.withColumnRenamed("g", "gr")),
           col("g") === col("gr") && col(rCol) > col("gc") - col("c") &&
