@@ -6933,9 +6933,8 @@ object Queries {
       |    coalesce(o2, 0) AS o2 FROM h1 FULL JOIN h2 ON h1.bin = h2.bin),
       |t AS (SELECT SUM(o1) AS n1, SUM(o2) AS n2 FROM j)
       |SELECT bin, CAST(o1 AS INT) AS o1, CAST(o2 AS INT) AS o2,
-      |  round(CAST(n1 + n2 AS DOUBLE) *
-      |    (CAST((o1 * n2 - o2 * n1) * (o1 * n2 - o2 * n1) AS DOUBLE) /
-      |     CAST(n1 * n2 * (o1 + o2) AS DOUBLE)), 6) AS contrib
+      |  round(CAST((o1 * n2 - o2 * n1) * (o1 * n2 - o2 * n1) AS DOUBLE) /
+      |     CAST(n1 * n2 * (o1 + o2) AS DOUBLE), 6) AS contrib
       |FROM j, t ORDER BY bin""".stripMargin.replace("\n", " ")) { (s, dir) =>
     val orders = tbl(s, dir, "orders").select("o_orderkey", "o_orderpriority")
     Quality.histDrift(
@@ -7227,9 +7226,8 @@ object Queries {
       |    coalesce(o2, 0) AS o2 FROM h1 FULL JOIN h2 ON h1.bin = h2.bin),
       |t AS (SELECT SUM(o1) AS n1, SUM(o2) AS n2 FROM j)
       |SELECT bin, CAST(o1 AS INT) AS o1, CAST(o2 AS INT) AS o2,
-      |  round(CAST(n1 + n2 AS DOUBLE) *
-      |    (CAST((o1 * n2 - o2 * n1) * (o1 * n2 - o2 * n1) AS DOUBLE) /
-      |     CAST(n1 * n2 * (o1 + o2) AS DOUBLE)), 6) AS contrib
+      |  round(CAST((o1 * n2 - o2 * n1) * (o1 * n2 - o2 * n1) AS DOUBLE) /
+      |     CAST(n1 * n2 * (o1 + o2) AS DOUBLE), 6) AS contrib
       |FROM j, t ORDER BY bin""".stripMargin.replace("\n", " ")) { (s, dir) =>
     val ev = events(s, dir).select("event_id", "event_type")
     val landing = cachedLanding(s"drift:$dir") { d =>
@@ -8360,9 +8358,8 @@ object Queries {
       |  CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
       |  round(CAST(SUM(abs(dlt)) AS DOUBLE)
       |    / (2 * CAST(n1 * n2 AS DOUBLE)), 6) AS tvd,
-      |  round(CAST(SUM(CAST(floor(CAST(n1 + n2 AS DOUBLE)
-      |      * (CAST(dlt AS DOUBLE) * CAST(dlt AS DOUBLE)
-      |        / CAST(n1 * n2 * (o1 + o2) AS DOUBLE)) * 1e6 + 0.5) AS BIGINT))
+      |  round(CAST(SUM(CAST(floor(CAST(dlt AS DOUBLE) * CAST(dlt AS DOUBLE)
+      |        / CAST(n1 * n2 * (o1 + o2) AS DOUBLE) * 1e6 + 0.5) AS BIGINT))
       |    AS DOUBLE) / 1e6, 6) AS chi2,
       |  round(CAST(SUM(CASE WHEN o1 > 0 THEN o1 * n2 * CAST(floor(ln(
       |        CAST(2 * o1 * n2 AS DOUBLE) / CAST(mix AS DOUBLE)) * 1e12 + 0.5)

@@ -423,9 +423,17 @@ object Eval {
       .localCheckpoint() // consumers: count + the rank pass
     val nCal = cal.agg(sum("c")).collect()(0).getLong(0)
     val rank = math.ceil((nCal + 1) * (100 - alphaPct) / 100.0).toLong
-    val qhat = Ranks.prefixCounts(cal, "r_q", Seq("c"))
-      .filter(col("c_cum") >= rank && col("c_cum") - col("c") < rank)
-      .select(col("r_q").as("qhat_q"))
+    // rank can exceed n_cal on a small calibration set: the conformal
+    // convention is q-hat = +infinity (every test point covered) — a
+    // sentinel row, NOT an empty frame that would annihilate the
+    // cross join and report n_test = 0
+    val spark2 = df.sparkSession
+    import spark2.implicits._
+    val qhat =
+      if (rank > nCal) Seq(Long.MaxValue).toDF("qhat_q")
+      else Ranks.prefixCounts(cal, "r_q", Seq("c"))
+        .filter(col("c_cum") >= rank && col("c_cum") - col("c") < rank)
+        .select(col("r_q").as("qhat_q"))
     val nTrain = base.filter(col("b") < 60).count()
     residuals(col("b") >= 80).crossJoin(broadcast(qhat))
       .agg(count(lit(1)).as("n_test"),

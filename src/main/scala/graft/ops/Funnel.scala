@@ -123,13 +123,14 @@ object Funnel {
     val tn = cells.groupBy(_._1).map { case (s, cs) => s -> cs.map(_._3).sum }
     val channels = cells.map(_._2).filter(t => t != "conv" && t != "null")
       .distinct.sorted
+    val byCur = cells.groupBy(_._1) // one index, not a scan per state/iter
     def solve(removed: Option[String]): Long = {
       val states = tn.keys.toSeq
       var p = states.map(_ -> 0L).toMap
       for (_ <- 1 to iters) {
         p = states.map { s =>
           // BigInt accumulate: n·p can graze Long range at 100 TB counts
-          val num = cells.filter(_._1 == s).map { case (_, t, n) =>
+          val num = byCur(s).map { case (_, t, n) =>
             val pv =
               if (t == "conv") 1000000L
               else if (t == "null" || removed.contains(t)) 0L
@@ -154,7 +155,8 @@ object Funnel {
         round(lit(pAll).cast("double") / 1e6, 6).as("p_conv_all"),
         round(col("p_q").cast("double") / 1e6, 6).as("p_conv_without"),
         round(col("eff_q").cast("double") / 1e6, 6).as("removal_effect"),
-        round(col("eff_q").cast("double") / effSum.toDouble, 6)
+        (if (effSum == 0L) lit(0d) // no collapse anywhere → zero shares
+         else round(col("eff_q").cast("double") / effSum.toDouble, 6))
           .as("attribution_share"))
   }
 
@@ -222,11 +224,12 @@ object Funnel {
     val nums = channels.indices.map(phiNum)
     val den = fact(nc).toDouble
     val tot = nums.sum.toDouble
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     channels.zip(nums).map { case (c, n) =>
-      (c, BigDecimal(n.toDouble / den)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
-        BigDecimal(n.toDouble / tot)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      // tot = 0 ⇔ no touch-attributable conversions at all — every
+      // share is 0 by definition, not NaN
+      (c, r6(n.toDouble / den), if (tot == 0d) 0d else r6(n.toDouble / tot))
     }.toSeq.toDF("channel", "shapley", "share")
   }
 }

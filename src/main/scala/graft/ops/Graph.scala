@@ -98,10 +98,14 @@ object Graph {
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
     val deg = e.groupBy("src").agg(count(lit(1)).as("d")).localCheckpoint()
     val verts = deg.select(col("src").as("p"))
+    // seeds restricted to GRAPH vertices before sizing the teleport
+    // share: a seed with no out-edges is not a chain state — counting it
+    // would silently starve the surviving seeds' restart mass
     val sd = seeds.select(col("p")).distinct()
+      .join(verts, Seq("p"), "left_semi")
       .withColumn("__seed", lit(true)).localCheckpoint()
     val ns = sd.count()
-    require(ns > 0, "personalizedPageRank: empty seed set")
+    require(ns > 0, "personalizedPageRank: no seed has outgoing edges")
     val r0 = scale / ns
     val base = (15L * r0) / 100L
     var rank = verts.join(broadcast(sd), verts("p") === sd("p"), "left")

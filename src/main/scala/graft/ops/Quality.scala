@@ -61,9 +61,10 @@ object Quality {
 
   /** Distribution-drift monitor between two dataset versions: per
     * category bin, both counts and the bin's two-sample chi-square
-    * contribution N·(o1·n2 − o2·n1)² / (n1·n2·(o1+o2)) — algebraically
-    * identical to Σ(o−e)²/e with pooled expectations, but the numerator
-    * and denominator stay INTEGERS until one final division+multiply, so
+    * contribution (o1·n2 − o2·n1)² / (n1·n2·(o1+o2)) — algebraically
+    * identical to Σ(o−e)²/e with pooled expectations (expand E_i =
+    * n_i·(o1+o2)/N and the N factors cancel), but the numerator and
+    * denominator stay INTEGERS until one final division, so
     * the statistic hash-matches across engines (PSI/KL need per-bin
     * logs; at a fixed bin count chi-square ranks drift the same way).
     * Compare Σ contrib against χ²(bins−1) offline for a trigger.
@@ -159,11 +160,12 @@ object Quality {
       b.groupBy(col(catCol).as("bin")).agg(count(lit(1)).as("o2")))
     val dlt = col("o1") * col("n2") - col("o2") * col("n1")
     val mix = col("o1") * col("n2") + col("o2") * col("n1")
-    // dlt squared IN DOUBLE (a d38 square would overflow 38 digits once
-    // the per-side totals pass ~1e9.5 rows); both engines share the shape
-    val chi2Term = (col("n1") + col("n2")).cast("double") *
-      (dlt.cast("double") * dlt.cast("double") /
-        (col("n1") * col("n2") * (col("o1") + col("o2"))).cast("double"))
+    // χ²_j = dlt²/(n1·n2·(o1+o2)) — the pooled-expectation identity with
+    // the N factors cancelled; dlt squared IN DOUBLE (a d38 square would
+    // overflow 38 digits once the per-side totals pass ~1e9.5 rows);
+    // both engines share the shape
+    val chi2Term = dlt.cast("double") * dlt.cast("double") /
+      (col("n1") * col("n2") * (col("o1") + col("o2"))).cast("double")
     val hellTerm = sqrt((col("o1") * col("o2")).cast("double") /
       (col("n1") * col("n2")).cast("double"))
     j.agg(count(lit(1)).cast("int").as("k_bins"),
@@ -221,9 +223,8 @@ object Quality {
     j.crossJoin(broadcast(tot))
       .select(col("bin"), col("o1").cast("int").as("o1"),
         col("o2").cast("int").as("o2"),
-        round((col("n1") + col("n2")).cast("double") *
-          ((dlt * dlt).cast("double") /
-            (col("n1") * col("n2") * (col("o1") + col("o2"))).cast("double")),
+        round((dlt * dlt).cast("double") /
+            (col("n1") * col("n2") * (col("o1") + col("o2"))).cast("double"),
           6).as("contrib"))
   }
 }

@@ -1476,9 +1476,11 @@ object Stats {
         round(-col("h_q").cast("double") / (col("nn").cast("double") * 1e12),
           6).as("entropy_rate_nats"),
         round(log(col("k").cast("double")), 6).as("max_entropy_nats"),
-        round(lit(1d) + col("h_q").cast("double")
+        // single-state chains have ln k = 0: predictability undefined,
+        // published NULL rather than a NaN/−Inf
+        when(col("k") > 1, round(lit(1d) + col("h_q").cast("double")
           / (col("nn").cast("double") * 1e12 * log(col("k").cast("double"))),
-          6).as("predictability"))
+          6)).as("predictability"))
   }
 
   /** Instrumental-variable (Wald) estimate with a BINARY instrument:
@@ -1572,7 +1574,10 @@ object Stats {
     val spark = sample.sparkSession
     import spark.implicits._
     // BOUNDED collects: category-domain-sized margins + cells
-    val cells = sample.groupBy(col(rowCol).as("r"), col(colCol).as("c"))
+    // keys cast to STRING on both sides (margins already do): any key
+    // type rakes, and targets always match cell keys
+    val cells = sample.groupBy(col(rowCol).cast("string").as("r"),
+        col(colCol).cast("string").as("c"))
       .agg(count(lit(1)).as("n")).collect()
       .map(x => (x.getString(0), x.getString(1), x.getLong(2)))
     val n = cells.map(_._3).sum
@@ -1700,11 +1705,15 @@ object Stats {
     val tot = g.agg(sum("sn").as("nn"), sum("sd").as("dd"),
       count(lit(1)).cast("long").as("gg"))
     val loo = g.crossJoin(broadcast(tot))
-      .withColumn("t_q", floor((col("nn") - col("sn")).cast("double")
-        / (col("dd") - col("sd")).cast("double") * 1e6 + 0.5).cast("long"))
+      // a bucket holding the ENTIRE denominator has no leave-one-out
+      // estimate (x/0 → an ANSI Inf-to-long abort); its t_q stays null
+      // and the aggregate below nulls the SE/CI instead of crashing
+      .withColumn("t_q", when(col("dd") =!= col("sd"),
+        floor((col("nn") - col("sn")).cast("double")
+          / (col("dd") - col("sd")).cast("double") * 1e6 + 0.5).cast("long")))
     val s = loo.agg(first("gg").as("gg"), first("nn").as("nn"),
       first("dd").as("dd"), sum(d38(col("t_q"))).as("tt"),
-      sum(d38(col("t_q")) * col("gg")).as("tg"))
+      count(col("t_q")).as("n_loo"))
     // Σ(t_q·G − T)²: second pass keeps every term exact decimal
     val dev = loo.crossJoin(broadcast(
         s.select(col("tt").as("tt2"), col("gg").as("gg2"))))
@@ -1715,11 +1724,13 @@ object Stats {
     val se = sqrt((col("gg") - 1).cast("double") / col("gg").cast("double")
       * col("ss").cast("double")
       / (col("gg").cast("double") * col("gg").cast("double") * 1e12))
+    val full = col("n_loo") === col("gg") // every bucket had an estimate
     s.crossJoin(dev)
       .select(col("gg").cast("int").as("g_buckets"),
-        round(theta, 6).as("theta"), round(se, 6).as("se_jack"),
-        round(theta - zc * se, 6).as("ci_lo"),
-        round(theta + zc * se, 6).as("ci_hi"))
+        round(theta, 6).as("theta"),
+        when(full, round(se, 6)).as("se_jack"),
+        when(full, round(theta - zc * se, 6)).as("ci_lo"),
+        when(full, round(theta + zc * se, 6)).as("ci_hi"))
   }
 
   /** z(0.975) and z(0.80): the two normal quantiles of the conventional

@@ -1045,7 +1045,9 @@ object TextAnalysis {
         sum(floor(log(col("f").cast("double") / col("f_ref").cast("double"))
           * 1e12 + 0.5).cast("long")).as("s_q"))
       .select(col("k"), col("f_ref"),
-        round(col("k").cast("double") * 1e12 / col("s_q").cast("double"), 6)
-          .as("hill_alpha"))
+        // s_q = 0 ⇔ the top-k ties the threshold frequency (vocabulary
+        // ≤ k distinct tokens) — no tail to estimate, NULL not Infinity
+        when(col("s_q") > 0, round(col("k").cast("double") * 1e12
+          / col("s_q").cast("double"), 6)).as("hill_alpha"))
   }
 }

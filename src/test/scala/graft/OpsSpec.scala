@@ -155,9 +155,10 @@ class OpsSpec extends AnyFunSuite {
     assert((r.getAs[Int]("k_bins"), r.getAs[Long]("n_a"),
       r.getAs[Long]("n_b")) == (2, 4L, 4L))
     assert(r.getAs[Double]("tvd") == 0.25)
-    // chi2: bins x(2,1) y(2,3) → 8·16/(16·3) + 8·16/(16·5), each q6
-    val chi2 = (math.floor(8d * 16 / 48 * 1e6 + 0.5) +
-      math.floor(8d * 16 / 80 * 1e6 + 0.5)) / 1e6
+    // chi2: bins x(2,1) y(2,3) → 16/(16·3) + 16/(16·5), each q6
+    // (direct Σ(O−E)²/E over the 2×2 pooled table = 0.533333 ✓)
+    val chi2 = (math.floor(16d / 48 * 1e6 + 0.5) +
+      math.floor(16d / 80 * 1e6 + 0.5)) / 1e6
     assert(r.getAs[Double]("chi2") ==
       BigDecimal(chi2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     def q12(x: Double) = math.floor(x * 1e12 + 0.5)
@@ -592,6 +593,38 @@ class OpsSpec extends AnyFunSuite {
         r.getLong(4), r.getDouble(5), r.getDouble(6)))
     assert(got.toSeq == Seq((1, 2L, 2L, 2L, 0L, 1.0, 2.0),
       (2, 2L, 0L, 2L, 2L, -1.0, 0.0)))
+  }
+
+  test("review-fix edges: zero-worth shapley, single-bucket jackknife, " +
+    "flat-vocab hill, one-state entropy, tiny-calibration conformal") {
+    // no touch-attributable conversions: shares are 0, not NaN
+    val sh = Funnel.shapleyAttribution(
+      Seq((1L, 1L, 1L, "view"), (2L, 1L, 2L, "purchase"))
+        .toDF("user_id", "ts", "event_id", "event_type"),
+      "user_id", "ts", "event_id", "event_type", "purchase").collect()
+    assert(sh.forall(r => r.getDouble(2) == 0.0))
+    // one bucket holds the whole denominator: SE/CI NULL, no Inf abort
+    val jk = Stats.jackknifeRatio(
+      Seq((0, 10L, 2L), (1, 5L, 0L)).toDF("g", "x", "y"),
+      col("g"), col("x"), col("y")).collect().head
+    assert(jk.getAs[Double]("theta") == 7.5 &&
+      jk.isNullAt(jk.fieldIndex("se_jack")))
+    // vocabulary smaller than k: no tail, alpha NULL (not Infinity)
+    val hl = TextAnalysis.hillTailIndex(
+      Seq("w w w w").toDF("text"), col("text"), k = 3).collect().head
+    assert(hl.isNullAt(hl.fieldIndex("hill_alpha")))
+    // single current-state chain: predictability NULL (ln 1 = 0)
+    val er = Stats.entropyRate(
+      Seq(("a", "b"), ("a", "c")).toDF("cur", "nxt"),
+      col("cur"), col("nxt")).collect().head
+    assert(er.isNullAt(er.fieldIndex("predictability")))
+    // calibration too small for the conformal rank: q-hat = +inf, every
+    // test row covered — NOT an annihilated cross join claiming n_test=0
+    val tiny = (1L to 40L).map(i => (i, "s", i % 7)).toDF("id", "seg", "y")
+    val cf = Eval.conformalCoverage(tiny, col("id"), col("seg"), col("y"))
+      .collect().head
+    assert(cf.getAs[Long]("n_test") > 0L &&
+      cf.getAs[Double]("coverage") == 1.0)
   }
 
   test("acf: alternating series has acf(1) = -1, acf(2) = 1; gaps drop pairs") {
@@ -1864,17 +1897,20 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("histogram drift: hand-computed chi-square contributions, missing bins coalesce") {
-    // old [A,A,B], mirrored new [A,B,B] per 2: symmetric 8.0 per bin
+    // old [4A,2B] vs new [2A,4B]: direct Σ(O−E)²/E with pooled E gives
+    // 1/3 per cell, 2/3 per bin — the identity check that caught a
+    // spurious ×N factor in an earlier form of this statistic
     val oldV = Seq("A", "A", "A", "A", "B", "B").toDF("c")
     val newV = Seq("A", "A", "B", "B", "B", "B").toDF("c")
     val got = Quality.histDrift(oldV, newV, "c").orderBy("bin").collect()
       .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
-    assert(got.toSeq == Seq(("A", 4, 2, 8.0), ("B", 2, 4, 8.0)))
-    // a bin absent on one side counts as zero there, not a dropped row
+    assert(got.toSeq == Seq(("A", 4, 2, 0.666667), ("B", 2, 4, 0.666667)))
+    // a bin absent on one side counts as zero there, not a dropped row;
+    // direct check: E_B1 = .5 → (0−.5)²/.5 + (1−.5)²/.5 = 1.0
     val got2 = Quality.histDrift(Seq("A", "A").toDF("c"),
         Seq("A", "B").toDF("c"), "c").orderBy("bin").collect()
       .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
-    assert(got2.toSeq == Seq(("A", 2, 1, 1.333333), ("B", 0, 1, 4.0)))
+    assert(got2.toSeq == Seq(("A", 2, 1, 0.333333), ("B", 0, 1, 1.0)))
   }
 
   test("Kneser-Ney bigram masses sum to exactly 1 per context") {
