@@ -204,11 +204,8 @@ object Quality {
     j.crossJoin(broadcast(tot))
   }
 
-  /** ln(num/den) of an exact decimal rational, quantized once to 1e12
-    * fixed point (the [[graft.ops.Stats.mutualInfo]] float discipline).
-    */
-  private def qln(num: Column, den: Column): Column =
-    floor(log(num.cast("double") / den.cast("double")) * 1e12 + 0.5)
+  /** See [[Exact.qln12]] — one shared definition of the grain. */
+  private def qln(num: Column, den: Column): Column = Exact.qln12(num, den)
 
   /** [[histDrift]] over PRE-AGGREGATED histograms `(bin, o1)` / `(bin,
     * o2)` — for counts that already exist (a streaming aggregation's

@@ -1340,10 +1340,8 @@ object Stats {
     * once.
     */
   def mutualInfo(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
-    def d38(c: Column): Column =
-      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
-    def qln(num: Column, den: Column): Column =
-      floor(log(num.cast("double") / den.cast("double")) * 1e12 + 0.5)
+    def d38(c: Column): Column = Exact.d38(c)
+    def qln(num: Column, den: Column): Column = Exact.qln12(num, den)
     val cells = df.select(xCol.as("x"), yCol.as("y"))
       .groupBy("x", "y").agg(count(lit(1)).as("nij"))
       .localCheckpoint() // consumers: both margins + the cell reduce
@@ -1458,10 +1456,8 @@ object Stats {
     * (cur,next)-cell aggregate; cells ≪ rows.
     */
   def entropyRate(df: DataFrame, curCol: Column, nxtCol: Column): DataFrame = {
-    def d38(c: Column): Column =
-      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
-    def qln(num: Column, den: Column): Column =
-      floor(log(num.cast("double") / den.cast("double")) * 1e12 + 0.5)
+    def d38(c: Column): Column = Exact.d38(c)
+    def qln(num: Column, den: Column): Column = Exact.qln12(num, den)
     val c = df.select(curCol.as("cur"), nxtCol.as("nxt"))
       .groupBy("cur", "nxt").agg(count(lit(1)).as("n"))
       .localCheckpoint() // consumers: margins + the cell reduce
