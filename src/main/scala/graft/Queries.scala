@@ -9107,6 +9107,87 @@ object Queries {
       col("c_custkey"), col("o_custkey"), m = 2048, k = 4)
   }
 
+  q("stream_lttb",
+    // the dashboard loop end-to-end: the hourly series aggregates as a
+    // STREAM (complete mode), then LTTB thins the monitor's series to
+    // 24 tiles + endpoints — oracle = the identical batch pipeline
+    """WITH h AS (SELECT CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS t,
+      |    CAST(COUNT(*) AS BIGINT) AS v FROM events GROUP BY 1),
+      |ed AS (SELECT MIN(t) AS t_lo, MAX(t) AS t_hi FROM h),
+      |fp AS (SELECT t AS t0, v AS v0 FROM h, ed WHERE t = t_lo),
+      |lp AS (SELECT t AS t9, v AS v9 FROM h, ed WHERE t = t_hi),
+      |i AS (SELECT t, v, NTILE(24) OVER (ORDER BY t) AS tile FROM h, ed
+      |  WHERE t <> t_lo AND t <> t_hi),
+      |m AS (SELECT tile, SUM(t) AS st, SUM(v) AS sv, COUNT(*) AS c
+      |  FROM i GROUP BY 1),
+      |an AS (SELECT m.tile,
+      |    coalesce(CAST(ml.st AS DOUBLE) / ml.c, CAST(t0 AS DOUBLE)) AS tl,
+      |    coalesce(CAST(ml.sv AS DOUBLE) / ml.c, CAST(v0 AS DOUBLE)) AS vl,
+      |    coalesce(CAST(mr.st AS DOUBLE) / mr.c, CAST(t9 AS DOUBLE)) AS tr,
+      |    coalesce(CAST(mr.sv AS DOUBLE) / mr.c, CAST(v9 AS DOUBLE)) AS vr
+      |  FROM m LEFT JOIN m ml ON ml.tile = m.tile - 1
+      |    LEFT JOIN m mr ON mr.tile = m.tile + 1, fp, lp),
+      |sc AS (SELECT i.tile, t, v, CAST(floor(abs(
+      |    tl * (CAST(v AS DOUBLE) - vr) + CAST(t AS DOUBLE) * (vr - vl)
+      |    + tr * (vl - CAST(v AS DOUBLE))) * 1e6 + 0.5) AS BIGINT) AS area_q
+      |  FROM i JOIN an ON an.tile = i.tile),
+      |mxq AS (SELECT tile, MAX(area_q) AS mxa FROM sc GROUP BY 1),
+      |pk AS (SELECT sc.tile, MIN(t) AS t FROM sc JOIN mxq
+      |  ON mxq.tile = sc.tile AND area_q = mxa GROUP BY 1),
+      |sel AS (SELECT sc.t, sc.v FROM sc JOIN pk
+      |  ON pk.tile = sc.tile AND pk.t = sc.t)
+      |SELECT t, v FROM (SELECT t0 AS t, v0 AS v FROM fp
+      |  UNION ALL SELECT t9, v9 FROM lp UNION ALL SELECT t, v FROM sel)
+      |ORDER BY t""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = s.readStream.schema(tbl(s, dir, "events").schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val normalized = src.schema("ts").dataType match {
+      case LongType =>
+        src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => src.withColumn("ts", col("ts").cast(TimestampType))
+    }
+    val hourly = normalized
+      .groupBy((unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+        .cast("long").as("t"))
+      .agg(count(lit(1)).as("v"))
+    val qname = "graft_stream_lttb"
+    withShufflePartitions(s, 4) {
+      val query = hourly.writeStream.format("memory").queryName(qname)
+        .outputMode("complete").start()
+      try query.processAllAvailable() finally query.stop()
+    }
+    Resample.lttb(s.table(qname), col("t"), col("v"), buckets = 24)
+      .orderBy("t")
+  }
+
+  q("q_value_bands",
+    // hour-of-day monitoring bands: exact p10/p50/p90 of the event value
+    // (cents) per hour of day via the grouped distributed percentile —
+    // 24 groups, no per-group aggregation buffer, no per-group
+    // single-task window
+    """WITH e AS (SELECT CAST(lpad(CAST(EXTRACT(hour FROM ts) AS VARCHAR), 2, '0')
+      |    AS VARCHAR) AS hod,
+      |    CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS DOUBLE) AS v
+      |  FROM events),
+      |q AS (SELECT hod, unnest(quantile_cont(v, [0.1, 0.5, 0.9])) AS qv,
+      |    unnest([1, 2, 3]) AS i FROM e GROUP BY 1)
+      |SELECT hod, round(MAX(CASE WHEN i = 1 THEN qv END), 6) AS p10_cents,
+      |  round(MAX(CASE WHEN i = 2 THEN qv END), 6) AS p50_cents,
+      |  round(MAX(CASE WHEN i = 3 THEN qv END), 6) AS p90_cents
+      |FROM q GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")) { (s, dir) =>
+    val e = events(s, dir).select(
+      lpad(hour(col("ts")).cast("string"), 2, "0").as("hod"),
+      floor(col("value") * 100 + 0.5).cast("long").cast("double").as("v"))
+    Ranks.groupedPercentilesExact(e, col("hod"), col("v"),
+        Seq(0.1, 0.5, 0.9))
+      .groupBy(col("g").as("hod"))
+      .agg(round(max(when(col("i") === 1, col("value"))), 6).as("p10_cents"),
+        round(max(when(col("i") === 2, col("value"))), 6).as("p50_cents"),
+        round(max(when(col("i") === 3, col("value"))), 6).as("p90_cents"))
+      .orderBy("hod")
+  }
+
   q("q_lttb_downsample",
     // LTTB series thinning (mean-anchor variant) of the hourly event
     // counts to 48 tiles + the two endpoints: per tile keep the point
