@@ -394,3 +394,405 @@ def mann_kendall():
     return pd.DataFrame([{"n_points": n, "n_pairs": m, "s": S,
                           "var18": var18, "z": z, "sen_dv": dv,
                           "sen_dt": dt, "sen_slope": dv / dt}])
+
+
+# --- time series ------------------------------------------------------------
+
+def _acf_lags(max_lag=6):
+    """Pairwise-complete Pearson autocorrelation: corr(v_t, v_{t+lag})
+    over pairs where both hours exist (the series' declared acf form)."""
+    h = _hourly()
+    idx = {int(t): float(v) for t, v in h.items()}
+    out = []
+    for lag in range(1, max_lag + 1):
+        xs, ys = [], []
+        for t, v in idx.items():
+            if t + lag in idx:
+                xs.append(v)
+                ys.append(idx[t + lag])
+        out.append((lag, len(xs), float(np.corrcoef(xs, ys)[0, 1])))
+    return out
+
+
+@audit("q_acf_hourly")
+def acf_hourly():
+    return pd.DataFrame([{"lag": l, "n_pairs": n, "acf": a}
+                         for l, n, a in _acf_lags()])
+
+
+@audit("q_pacf_hourly", atol=1e-5)
+def pacf_hourly():
+    # Levinson-Durbin recursion (Durbin 1960): kappa_m = (r_m -
+    # sum_j phi_{m-1,j} r_{m-j}) / e_{m-1}; pacf_m = kappa_m. The engine
+    # feeds the 6dp-rounded acf values into the recursion (presentation
+    # contract), so the audit does too.
+    acf = [r6(a) for _, _, a in _acf_lags()]
+    r = acf
+    phis = [r[0]]
+    e = 1.0 - r[0] * r[0]
+    pacfs = [r[0]]
+    for m in range(1, 6):
+        kap = (r[m] - sum(phis[j] * r[m - 1 - j] for j in range(m))) / e
+        phis = [phis[j] - kap * phis[m - 1 - j] for j in range(m)] + [kap]
+        e *= (1.0 - kap * kap)
+        pacfs.append(kap)
+    return pd.DataFrame([{"lag": l + 1, "acf": acf[l], "pacf": pacfs[l]}
+                         for l in range(6)])
+
+
+@audit("q_runs_test", atol=2e-6)
+def runs_test():
+    # Wald-Wolfowitz (1940) runs test above/below the mean:
+    # E[R] = 1 + 2 n1 n2/(n1+n2),
+    # Var[R] = 2 n1 n2 (2 n1 n2 - n1 - n2) / ((n1+n2)^2 (n1+n2-1)).
+    h = _hourly()
+    v = h.values.astype(np.int64)
+    n = len(v)
+    sv = int(v.sum())
+    hi = v * n > sv
+    runs = 1 + int((hi[1:] != hi[:-1]).sum())
+    n1, n2 = int(hi.sum()), int((~hi).sum())
+    # engine's exact fixed-point presentation (nested floor divisions)
+    e_x1e6 = 1000000 + (2 * n1 * n2 * 1000000) // (n1 + n2)
+    v_x1e6 = ((2 * n1 * n2 * 1000000) // ((n1 + n2) * (n1 + n2))) \
+        * (2 * n1 * n2 - n1 - n2) // max(n1 + n2 - 1, 1)
+    z = (runs * 1000000 - e_x1e6) / math.sqrt(v_x1e6 * 1e6)
+    # textbook crosscheck on the float form
+    E = 1 + 2 * n1 * n2 / (n1 + n2)
+    V = 2 * n1 * n2 * (2 * n1 * n2 - n1 - n2) / ((n1 + n2) ** 2 * (n1 + n2 - 1))
+    assert abs(z - (runs - E) / math.sqrt(V)) < 1e-3, (z, (runs - E) / math.sqrt(V))
+    return pd.DataFrame([{"n1": n1, "n2": n2, "runs": runs,
+                          "e_x1e6": e_x1e6, "v_x1e6": v_x1e6, "z": z}])
+
+
+@audit("q_cusum_changepoint")
+def cusum_changepoint():
+    # CUSUM changepoint location: argmax_i |S_i - (i/n) S_n| (Page 1954 /
+    # Pettitt-style cumulative deviation), reported with the max statistic.
+    e = table("events").sort_values(["user_id", "ts", "event_id"],
+                                    kind="mergesort")
+    rows = []
+    for uid, g in e.groupby("user_id"):
+        v = half_up(g.value.values, 1e6)
+        n = len(v)
+        c = np.cumsum([int(x) for x in v])
+        t = int(c[-1])
+        d = [abs(n * int(c[i]) - (i + 1) * t) for i in range(n)]
+        best = max(range(n), key=lambda i: (d[i], -(i + 1)))
+        rows.append({"user_id": uid, "n": n, "cp_pos": best + 1,
+                     "cp_stat": d[best] / (n * 1e6)})
+    return pd.DataFrame(rows)
+
+
+@audit("q_ewma_events")
+def ewma_events():
+    # EWMA with alpha = 0.5 seeded at the first observation:
+    # e_1 = x_1, e_k = (1-alpha) e_{k-1} + alpha x_k.
+    e = table("events").sort_values(["user_id", "ts", "event_id"],
+                                    kind="mergesort")
+    rows = []
+    for uid, g in e.groupby("user_id"):
+        xs = g.value.values
+        acc = float(xs[0])
+        for x in xs[1:]:
+            acc = acc * 0.5 + float(x) * 0.5
+        rows.append({"user_id": uid, "n": len(xs), "ewma": rn(acc, 6)})
+    return pd.DataFrame(rows)
+
+
+@audit("q_seasonal_decomp")
+def seasonal_decomp():
+    # Classical additive decomposition: trend by centered 2x24 moving
+    # average (weights 1,2,...,2,1 over t-12..t+12, denominator 48);
+    # seasonal index = mean detrended value per phase (t mod 24).
+    h = _hourly()
+    idx = {int(t): int(v) for t, v in h.items()}
+    phases = {}
+    for t, v in idx.items():
+        neigh = [(k, idx.get(t + k)) for k in range(-12, 13)]
+        if any(nv is None for _, nv in neigh):
+            continue
+        s2p = sum((1 if abs(k) == 12 else 2) * nv for k, nv in neigh)
+        trend_fp = (s2p * 1000000) // 48
+        d_fp = v * 1000000 - trend_fp
+        phases.setdefault(t % 24, []).append(d_fp)
+    rows = []
+    for ph in sorted(phases):
+        ds = phases[ph]
+        rows.append({"phase": ph, "n_points": len(ds), "d_sum": sum(ds),
+                     "seasonal": sum(ds) / (len(ds) * 1e6)})
+    return pd.DataFrame(rows)
+
+
+# --- survival / causal -------------------------------------------------------
+
+def _durations():
+    """Per-user duration in whole hours between first and last event, and
+    the event indicator (users still active in the final window are
+    censored)."""
+    e = table("events")
+    g = e.groupby("user_id").agg(mn=("ts", "min"), mx=("ts", "max"))
+    mn_us = g.mn.values.astype("datetime64[us]").astype("int64")
+    mx_us = g.mx.values.astype("datetime64[us]").astype("int64")
+    t = (mx_us - mn_us) // 3600000000
+    ev = g.mx.values < np.datetime64("2024-01-29")
+    return g.index.values, t, ev
+
+
+@audit("q_km_survival")
+def km_survival():
+    # Kaplan & Meier (1958): S(t) = prod_{t_i <= t} (1 - d_i / n_i) with
+    # n_i the at-risk count just before t_i (deaths and censorings both
+    # leave the risk set).
+    _, t, ev = _durations()
+    df = pd.DataFrame({"t": t, "d": ev.astype(int)})
+    g = df.groupby("t").agg(d=("d", "sum"), c=("d", "size")).sort_index()
+    n = len(df)
+    out = []
+    s = 1.0
+    at_risk = n
+    for ti, row in g.iterrows():
+        s *= (1.0 - float(row.d) / at_risk)
+        out.append({"t": ti, "d": int(row.d), "n_risk": at_risk, "s_t": s})
+        at_risk -= int(row.c)
+    return pd.DataFrame(out)
+
+
+@audit("q_logrank", atol=2e-6)
+def logrank():
+    # Mantel (1966) log-rank: O_a - E_a with E_a = sum d_j n_aj / n_j,
+    # V = sum d_j (n_j - d_j)/(n_j - 1) * (n_aj/n_j) (1 - n_aj/n_j);
+    # chi2 = (O_a - E_a)^2 / V on 1 dof. All subjects are events here.
+    uid, t, _ = _durations()
+    a = uid % 2 == 0
+    df = pd.DataFrame({"t": t, "a": a})
+    g = df.groupby("t").agg(c=("a", "size"), ca=("a", "sum")).sort_index()
+    nn, na = len(df), int(a.sum())
+    nr, nra = nn, na
+    o_a, e_fp, v_fp = 0, 0, 0
+    for _, row in g.iterrows():
+        dd, da = int(row.c), int(row.ca)   # everyone at t is an event
+        o_a += da
+        e_fp += (dd * nra * 1000000) // nr
+        v_fp += ((dd * (nr - dd) * 1000000) // max(nr - 1, 1)) \
+            * nra // nr * (nr - nra) // nr
+        nr -= int(row.c)
+        nra -= int(row.ca)
+    chi2 = (o_a * 1000000 - e_fp) ** 2 / (v_fp * 1e6)
+    return pd.DataFrame([{"n": nn, "n_a": na, "o_a": o_a,
+                          "e_a_x1e6": e_fp, "v_x1e6": v_fp,
+                          "logrank_chi2": chi2}])
+
+
+@audit("q_causal_did")
+def causal_did():
+    # Difference-in-differences (Card & Krueger 1994 form):
+    # DID = (mean_T,post - mean_T,pre) - (mean_C,post - mean_C,pre).
+    e = table("events")
+    treat = (e.user_id % 2 == 0).values
+    post = (e.ts >= np.datetime64("2024-01-16")).values
+    v = half_up(e.value.values, 1e6) / 1e6
+    def m(sel):
+        return float(v[sel].mean())
+    dt = m(treat & post) - m(treat & ~post)
+    dc = m(~treat & post) - m(~treat & ~post)
+    return pd.DataFrame([{"n_total": len(e), "delta_treat": dt,
+                          "delta_control": dc, "did": dt - dc}])
+
+
+@audit("q_cuped")
+def cuped():
+    # CUPED (Deng, Xu, Kohavi & Walker 2013): theta = Cov(X,Y)/Var(X);
+    # variance ratio Var(Y - theta X)/Var(Y) = 1 - rho^2.
+    e = table("events")
+    pre = (e.ts < np.datetime64("2024-01-16")).values
+    cents = half_up(e.value.values, 100)
+    df = pd.DataFrame({"u": e.user_id.values,
+                       "x": np.where(pre, cents, 0),
+                       "y": np.where(~pre, cents, 0)})
+    g = df.groupby("u").agg(x=("x", "sum"), y=("y", "sum"))
+    x, y = g.x.values.astype(float), g.y.values.astype(float)
+    cov = ((x - x.mean()) * (y - y.mean())).sum()
+    vx = ((x - x.mean()) ** 2).sum()
+    vy = ((y - y.mean()) ** 2).sum()
+    rho2 = cov * cov / (vx * vy)
+    return pd.DataFrame([{"n": len(g), "theta": cov / vx,
+                          "var_ratio": 1.0 - rho2}])
+
+
+@audit("q_causal_iv")
+def causal_iv():
+    # Wald (1940) instrumental-variable estimator:
+    # beta_IV = (E[Y|Z=1]-E[Y|Z=0]) / (E[X|Z=1]-E[X|Z=0]).
+    e = table("events")
+    g = e.groupby("user_id").agg(
+        x=("event_type", lambda s: int((s == "view").sum())),
+        y=("event_type", lambda s: int((s == "purchase").sum())))
+    z = np.array([md5h60(u) % 2 == 0 for u in g.index])
+    x, y = g.x.values, g.y.values
+    n1, n0 = int(z.sum()), int((~z).sum())
+    fs = x[z].mean() - x[~z].mean()
+    itt = y[z].mean() - y[~z].mean()
+    return pd.DataFrame([{"n1": n1, "n0": n0, "first_stage": fs,
+                          "itt": itt,
+                          "beta_iv": (itt / fs) if fs != 0 else None}])
+
+
+@audit("q_causal_rdd", atol=2.1e-6)
+def causal_rdd():
+    # Sharp regression discontinuity (Thistlethwaite & Campbell 1960):
+    # separate OLS on each side of the cutoff within the bandwidth;
+    # effect = intercept_right - intercept_left at x = 0.
+    c = table("customer")
+    o = table("orders").groupby("o_custkey").size()
+    x = half_up(c.c_acctbal.values, 100)
+    y = c.c_custkey.map(o).fillna(0).values.astype(int)
+    band = (x >= -200000) & (x <= 200000)
+    rows = {"bandwidth": 200000}
+    for side, tag in ((x[band] >= 0, "r"), (x[band] < 0, "l")):
+        xs = x[band][side].astype(float)
+        ys = y[band][side].astype(float)
+        n = len(xs)
+        den = n * (xs * xs).sum() - xs.sum() ** 2
+        b = (n * (xs * ys).sum() - xs.sum() * ys.sum()) / den
+        a = (ys.sum() * (xs * xs).sum() - xs.sum() * (xs * ys).sum()) / den
+        rows[f"n_{tag}"] = n
+        rows[f"a_{tag}"] = a
+        rows[f"b_{tag}"] = b
+    rows["rdd_effect"] = rows["a_r"] - rows["a_l"]
+    return pd.DataFrame([rows])
+
+
+# --- drift / distribution distances ------------------------------------------
+
+def _two_sample_chi2_contrib(o1, o2):
+    """Pearson two-sample homogeneity chi-square, per-bin contribution,
+    computed DIRECTLY as sum over both samples of (O-E)^2/E with
+    E_sb = n_s * (o1_b + o2_b) / (n1 + n2) — the definition, not the
+    cross-product shortcut (this is the check that would have caught the
+    round-9 x(n1+n2) bug)."""
+    n1, n2 = o1.sum(), o2.sum()
+    N = n1 + n2
+    out = []
+    for a, b in zip(o1, o2):
+        c = a + b
+        e1, e2 = n1 * c / N, n2 * c / N
+        out.append((a - e1) ** 2 / e1 + (b - e2) ** 2 / e2)
+    return np.array(out), int(n1), int(n2)
+
+
+@audit("q_drift_chisq")
+def drift_chisq():
+    o = table("orders")
+    bins = sorted(o.o_orderpriority.unique())
+    h1 = o[o.o_orderkey % 17 != 5].o_orderpriority.value_counts()
+    h2 = o[o.o_orderkey % 11 != 3].o_orderpriority.value_counts()
+    o1 = np.array([int(h1.get(b, 0)) for b in bins])
+    o2 = np.array([int(h2.get(b, 0)) for b in bins])
+    contrib, _, _ = _two_sample_chi2_contrib(o1, o2)
+    return pd.DataFrame({"bin": bins, "o1": o1, "o2": o2,
+                         "contrib": contrib})
+
+
+@audit("q_psi_deciles", atol=5e-6)
+def psi_deciles():
+    # Population stability index: PSI = sum (p_b - q_b) ln(p_b / q_b)
+    # over bins where both proportions are positive.
+    o = table("orders")
+    cents = half_up(o.o_totalprice.values, 100)
+    b = np.minimum(cents // 5000000, 9)
+    even = (o.o_orderkey % 2 == 0).values
+    bins = np.unique(b)
+    o1 = np.array([int(((b == k) & even).sum()) for k in bins])
+    o2 = np.array([int(((b == k) & ~even).sum()) for k in bins])
+    n1, n2 = int(o1.sum()), int(o2.sum())
+    psi = sum((a / n1 - c / n2) * math.log((a * n2) / (c * n1))
+              for a, c in zip(o1, o2) if a > 0 and c > 0)
+    return pd.DataFrame([{"k_bins": len(bins),
+                          "k_zero": int(((o1 == 0) | (o2 == 0)).sum()),
+                          "n_a": n1, "n_b": n2, "psi": psi}])
+
+
+@audit("q_drift_panel", atol=2e-5)
+def drift_panel():
+    # TVD = (1/2) sum |p-q|; Pearson chi2; Jensen-Shannon divergence
+    # (Lin 1991): JSD = (1/2) sum [p ln(2p/(p+q)) + q ln(2q/(p+q))];
+    # Hellinger = sqrt(1 - sum sqrt(p q)) (Bhattacharyya coefficient).
+    d = table("documents")
+    srcs = sorted(d.source.unique())
+    h1 = d[d.doc_id % 2 == 0].source.value_counts()
+    h2 = d[d.doc_id % 2 == 1].source.value_counts()
+    o1 = np.array([int(h1.get(s, 0)) for s in srcs])
+    o2 = np.array([int(h2.get(s, 0)) for s in srcs])
+    n1, n2 = int(o1.sum()), int(o2.sum())
+    p, q = o1 / n1, o2 / n2
+    tvd = 0.5 * np.abs(p - q).sum()
+    contrib, _, _ = _two_sample_chi2_contrib(o1, o2)
+    # the engine floor-rounds each chi2 term to 1e-6 before summing
+    chi2 = sum(math.floor(c * 1e6 + 0.5) for c in contrib) / 1e6
+    m = (p + q) / 2
+    jsd = 0.5 * sum((pi * math.log(pi / mi) if pi > 0 else 0.0)
+                    + (qi * math.log(qi / mi) if qi > 0 else 0.0)
+                    for pi, qi, mi in zip(p, q, m))
+    hell = math.sqrt(max(0.0, 1.0 - np.sqrt(p * q).sum()))
+    return pd.DataFrame([{"k_bins": len(srcs), "n_a": n1, "n_b": n2,
+                          "tvd": tvd, "chi2": chi2, "jsd_nats": jsd,
+                          "hellinger": hell}])
+
+
+@audit("q_embedding_drift")
+def embedding_drift():
+    # centroid shift between cohorts: ||mu_a - mu_b||^2, cosine of the
+    # centroids, and the single dimension with the largest shift.
+    e = table("embeddings")
+    emb = np.stack(e.embedding.values)
+    q = np.floor(emb.astype(np.float64) * 1048576 + 0.5).astype(np.int64)
+    a = (e.vec_id % 2 == 0).values
+    na, nb = int(a.sum()), int((~a).sum())
+    sa = q[a].sum(axis=0).astype(object)
+    sb = q[~a].sum(axis=0).astype(object)
+    ddn = sa * nb - sb * na
+    scale = na * nb * 1048576.0
+    dist2 = float(sum(d * d for d in ddn)) / (scale * scale)
+    cos = float(sum(x * y for x, y in zip(sa, sb))) / math.sqrt(
+        float(sum(x * x for x in sa)) * float(sum(y * y for y in sb)))
+    top = max(range(len(ddn)), key=lambda i: (ddn[i] * ddn[i], -i))
+    return pd.DataFrame([{"n_a": na, "n_b": nb, "n_dims": emb.shape[1],
+                          "centroid_dist2": dist2, "centroid_cos": cos,
+                          "top_dim": top,
+                          "top_dim_shift": float(ddn[top]) / scale}])
+
+
+@audit("q_feature_chisq")
+def feature_chisq():
+    # chi-square test of independence, per-cell contribution (O-E)^2/E
+    # with E_ij = row_i * col_j / N (Pearson 1900).
+    o = table("orders")
+    ct = o.groupby(["o_orderpriority", "o_orderstatus"]).size()
+    rtot = ct.groupby(level=0).sum()
+    ctot = ct.groupby(level=1).sum()
+    N = int(ct.sum())
+    rows = []
+    for (f, cls), n in sorted(ct.items()):
+        E = rtot[f] * ctot[cls] / N
+        rows.append({"f": f, "cls": cls, "n": int(n),
+                     "contrib": (n - E) ** 2 / E})
+    return pd.DataFrame(rows)
+
+
+@audit("q_mutual_info", atol=5e-6)
+def mutual_info():
+    # Shannon MI in nats: I = sum p_ij ln(p_ij/(p_i p_j));
+    # H = -sum p ln p; NMI = I / sqrt(H_x H_y) (Strehl & Ghosh 2002).
+    d = table("documents")
+    ct = d.groupby(["lang", "source"]).size()
+    px = ct.groupby(level=0).sum()
+    py = ct.groupby(level=1).sum()
+    N = int(ct.sum())
+    mi = sum(n / N * math.log(n * N / (px[x] * py[y]))
+             for (x, y), n in ct.items())
+    hx = -sum(n / N * math.log(n / N) for n in px)
+    hy = -sum(n / N * math.log(n / N) for n in py)
+    return pd.DataFrame([{"n": N, "k_x": len(px), "k_y": len(py),
+                          "mi_nats": mi, "h_x": hx, "h_y": hy,
+                          "nmi": mi / math.sqrt(hx * hy)}])
