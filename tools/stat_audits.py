@@ -796,3 +796,356 @@ def mutual_info():
     return pd.DataFrame([{"n": N, "k_x": len(px), "k_y": len(py),
                           "mi_nats": mi, "h_x": hx, "h_y": hy,
                           "nmi": mi / math.sqrt(hx * hy)}])
+
+
+# --- attribution / uplift -----------------------------------------------------
+
+def _kept_prefix():
+    """Per-user event sequence truncated at (and including) the first
+    purchase — the attribution window shared by the removal/Shapley
+    queries."""
+    e = table("events").sort_values(["user_id", "ts", "event_id"],
+                                    kind="mergesort")
+    out = {}
+    for uid, g in e.groupby("user_id"):
+        ts = list(g.event_type.values)
+        if "purchase" in ts:
+            ts = ts[:ts.index("purchase") + 1]
+        out[uid] = ts
+    return out
+
+
+@audit("q_attribution_lasttouch")
+def attribution_lasttouch():
+    e = table("events")
+    e = e[e.user_id < 100].sort_values(["user_id", "ts", "event_id"],
+                                       kind="mergesort")
+    rows = []
+    for uid, g in e.groupby("user_id"):
+        last_click = None
+        for _, r in g.iterrows():
+            if r.event_type == "purchase":
+                rows.append({"event_id": r.event_id, "user_id": uid,
+                             "click_event_id": last_click, "value": r.value})
+            if r.event_type == "click":
+                last_click = r.event_id
+    rows.sort(key=lambda r: r["event_id"])
+    df = pd.DataFrame(rows)
+    df["click_event_id"] = df["click_event_id"].astype("Int64")
+    return df
+
+
+@audit("q_attribution_removal")
+def attribution_removal():
+    # Markov removal-effect attribution (Anderl, Becker, von Wangenheim &
+    # Schumann 2016): absorption probability P(start -> conv) in the
+    # first-order journey chain, re-solved with each channel's inbound
+    # edges removed; effect_c = 1 - P_without_c / P_all.
+    seqs = _kept_prefix()
+    from collections import Counter
+    cells = Counter()
+    for ts in seqs.values():
+        chain = ["start"] + ["conv" if t == "purchase" else t for t in ts]
+        if chain[-1] != "conv":
+            chain.append("null")
+        for a, b in zip(chain, chain[1:]):
+            cells[(a, b)] += 1
+    cells[("conv", "conv")] += 1
+    cells[("null", "null")] += 1
+    states = sorted({a for a, _ in cells} | {b for _, b in cells})
+    tn = Counter()
+    for (a, _), n in cells.items():
+        tn[a] += n
+    channels = sorted({b for (_, b) in cells
+                       if b not in ("conv", "null")} - {"start"})
+
+    def absorb_fp(removed):
+        # the engine's declared fixed-point contract: 60 synchronous
+        # value-iteration steps at 1e6 scale with floor division
+        p = {s: (1000000 if s == "conv" else 0) for s in states}
+        for _ in range(60):
+            p = {s: sum(n * (0 if b == removed else p[b])
+                        for (a, b), n in cells.items() if a == s) // tn[s]
+                 for s in states}
+        return p["start"]
+
+    def absorb_exact(removed):
+        # textbook crosscheck: solve p = P p, p(conv)=1, p(null)=0
+        idx = {s: i for i, s in enumerate(states)}
+        A = np.eye(len(states))
+        rhs = np.zeros(len(states))
+        for s in states:
+            if s == "conv":
+                rhs[idx[s]] = 1.0
+            elif s == "null":
+                pass
+            else:
+                for (a, b), n in cells.items():
+                    if a == s and b != removed:
+                        A[idx[s], idx[b]] -= n / tn[s]
+        return float(np.linalg.solve(A, rhs)[idx["start"]])
+
+    p_all = absorb_fp(None)
+    assert abs(p_all / 1e6 - absorb_exact(None)) < 2e-4, \
+        (p_all, absorb_exact(None))
+    rows = []
+    effs = {}
+    for ch in channels:
+        p_q = absorb_fp(ch)
+        assert abs(p_q / 1e6 - absorb_exact(ch)) < 2e-4
+        effs[ch] = 1000000 - p_q * 1000000 // max(p_all, 1)
+        rows.append((ch, p_q))
+    eff_sum = sum(effs.values())
+    return pd.DataFrame([{"channel": ch, "p_conv_all": p_all / 1e6,
+                          "p_conv_without": p_q / 1e6,
+                          "removal_effect": effs[ch] / 1e6,
+                          "attribution_share": effs[ch] / eff_sum}
+                         for ch, p_q in rows])
+
+
+@audit("q_attribution_shapley")
+def attribution_shapley():
+    # Shapley (1953): phi_c = sum_{S not containing c}
+    # |S|! (n-|S|-1)! / n! * (v(S u {c}) - v(S)), with the coalition value
+    # v(S) = conversions among users whose touched-channel set is in S.
+    seqs = _kept_prefix()
+    users = []
+    for ts in seqs.values():
+        conv = ts and ts[-1] == "purchase"
+        chs = frozenset(t for t in ts if t != "purchase")
+        users.append((chs, conv))
+    channels = sorted(set().union(*[c for c, _ in users]) if users else [])
+    nc = len(channels)
+    ci = {c: i for i, c in enumerate(channels)}
+    masks = {}
+    for chs, conv in users:
+        m = sum(1 << ci[c] for c in chs)
+        masks[m] = masks.get(m, 0) + (1 if conv else 0)
+    v = [0] * (1 << nc)
+    for m in range(1 << nc):
+        v[m] = sum(x for um, x in masks.items() if (um | m) == m)
+    fact = [math.factorial(k) for k in range(nc + 1)]
+    nums = {}
+    for c in channels:
+        i = ci[c]
+        num = 0
+        for m in range(1 << nc):
+            if (m >> i) & 1:
+                continue
+            s = bin(m).count("1")
+            num += fact[s] * fact[nc - s - 1] * (v[m | (1 << i)] - v[m])
+        nums[c] = num
+    tot = sum(nums.values())
+    return pd.DataFrame([{"channel": c, "shapley": nums[c] / fact[nc],
+                          "share": nums[c] / tot} for c in channels])
+
+
+@audit("q_eval_qini")
+def eval_qini():
+    # Uplift by decile and cumulative Qini (Radcliffe 2007):
+    # uplift_k = xt_k/nt_k - xc_k/nc_k;
+    # Qini_cum = XT_cum - XC_cum * NT_cum / NC_cum.
+    e = table("events")
+    g = e.groupby("user_id").agg(
+        score=("event_type", lambda s: int((s == "view").sum())),
+        y=("event_type", lambda s: int((s == "purchase").any())))
+    g = g.reset_index()
+    g["t"] = [md5h60(u) % 2 == 0 for u in g.user_id]
+    g = g.sort_values(["score", "user_id"],
+                      ascending=[False, True], kind="mergesort")
+    n = len(g)
+    base, extra = divmod(n, 10)
+    tiles = np.repeat(np.arange(1, 11),
+                      [base + (1 if k <= extra else 0) for k in range(1, 11)])
+    g["tile"] = tiles
+    rows = []
+    ntc = xtc = ncc = xcc = 0
+    for tile, gg in g.groupby("tile"):
+        nt = int(gg.t.sum()); xt = int(gg.y[gg.t].sum())
+        nc = int((~gg.t).sum()); xc = int(gg.y[~gg.t].sum())
+        ntc += nt; xtc += xt; ncc += nc; xcc += xc
+        rows.append({"tile": int(tile), "nt": nt, "xt": xt, "nc": nc,
+                     "xc": xc,
+                     "uplift": (xt / nt - xc / nc) if nt and nc else None,
+                     "qini_cum": (xtc - xcc * ntc / ncc) if ncc else None})
+    return pd.DataFrame(rows)
+
+
+# --- power / multiple testing / bootstrap / conformal ------------------------
+
+@audit("q_power_mde")
+def power_mde():
+    # Two-proportion power analysis (unpooled normal approximation):
+    # n/arm = (z_{1-a/2} + z_{power})^2 (p1(1-p1)+p2(1-p2)) / (p1-p2)^2;
+    # MDE at current n = (z1+z2) sqrt(vsum / min(n1,n2)).
+    e = table("events")
+    conv = e.groupby("user_id").agg(
+        c=("event_type", lambda s: int((s == "purchase").any())))
+    gsel = conv.index.values % 2 == 0
+    n1, x1 = int(gsel.sum()), int(conv.c.values[gsel].sum())
+    n2, x2 = int((~gsel).sum()), int(conv.c.values[~gsel].sum())
+    p1, p2 = x1 / n1, x2 / n2
+    z = norm_ppf(0.975) + norm_ppf(0.8)
+    assert abs(z - (1.9599639845400545 + 0.8416212335729143)) < 1e-10
+    vsum = p1 * (1 - p1) + p2 * (1 - p2)
+    dlt = p1 - p2
+    return pd.DataFrame([{
+        "n1": n1, "x1": x1, "n2": n2, "x2": x2, "p1": p1, "p2": p2,
+        "n_per_arm_req": math.ceil(z * z * vsum / (dlt * dlt))
+        if dlt != 0 else None,
+        "mde_at_n": z * math.sqrt(vsum / min(n1, n2))}])
+
+
+def _phi_as(z):
+    """Abramowitz & Stegun 26.2.17: 1 - Phi(z) for z >= 0 (|eps|<7.5e-8)."""
+    k = 1.0 / (1.0 + 0.2316419 * z)
+    poly = k * (0.319381530 + k * (-0.356563782 + k * (1.781477937
+        + k * (-1.821255978 + k * 1.330274429))))
+    return math.exp(-0.5 * z * z) * 0.3989422804014327 * poly
+
+
+@audit("q_bh_fdr")
+def bh_fdr():
+    # Per-stratum two-proportion z (pooled SE), two-sided p, then
+    # Benjamini-Hochberg (1995): k* = max{k: p_(k) <= 0.05 k/m};
+    # reject ranks 1..k*.
+    c = table("customer")
+    a = np.array([md5h60(k) % 2 == 0 for k in c.c_custkey])
+    conv = (c.c_acctbal > 5000).values.astype(int)
+    rows = []
+    for s in sorted(c.c_nationkey.unique()):
+        m = (c.c_nationkey == s).values
+        n1, x1 = int((a & m).sum()), int(conv[a & m].sum())
+        n2, x2 = int((~a & m).sum()), int(conv[~a & m].sum())
+        valid = n1 > 0 and n2 > 0 and 0 < x1 + x2 < n1 + n2
+        if valid:
+            p1, p2 = x1 / n1, x2 / n2
+            pp = (x1 + x2) / (n1 + n2)
+            z = (p1 - p2) / math.sqrt(pp * (1 - pp) * (1 / n1 + 1 / n2))
+            p_as = min(math.floor(2 * _phi_as(abs(z)) * 1e9 + 0.5), 10**9)
+            # crosscheck the approximation against the erf-exact normal
+            assert abs(p_as / 1e9 - 2 * (1 - norm_cdf(abs(z)))) < 5e-7
+        else:
+            z, p_as = 0.0, 10**9
+        rows.append({"s": int(s), "n1": n1, "x1": x1, "n2": n2, "x2": x2,
+                     "z": z if valid else 0.0, "p_q": p_as})
+    rows.sort(key=lambda r: (r["p_q"], r["s"]))
+    mm = len(rows)
+    kmax = 0
+    for i, r in enumerate(rows):
+        if r["p_q"] * mm * 1000 <= (i + 1) * 50000000000:
+            kmax = i + 1
+    for i, r in enumerate(rows):
+        r["rank"] = i + 1
+        r["significant"] = (i + 1) <= kmax
+        r["p_value"] = r.pop("p_q") / 1e9
+    rows.sort(key=lambda r: r["s"])
+    return pd.DataFrame(rows)
+
+
+@audit("q_bootstrap_ci")
+def bootstrap_ci():
+    # Deterministic Poisson(1) bootstrap (Chamandy et al. 2012, "Estimating
+    # uncertainty for massive data streams"): per (replica, row) weight =
+    # #{thresholds <= u} against the Poisson(1) cdf quantized to 2^60;
+    # percentile CI from the 32 replica means (type-1 index 1+floor(q(b-1))).
+    o = table("orders")
+    o = o[o.o_custkey < 300]
+    cents = half_up(o.o_totalprice.values, 100)
+    ids = o.o_orderkey.values
+    # Poisson(1) cdf thresholds in 2^60 units (k = 0..6)
+    thr = []
+    cum, fact = 0.0, 1.0
+    for k in range(7):
+        if k > 0:
+            fact *= k
+        cum += math.exp(-1.0) / fact
+        thr.append(math.floor(cum * 1.152921504606846976e18))
+    b = 32
+    means = []
+    for rep in range(b):
+        sw = swx = 0
+        for i, x in zip(ids, cents):
+            u = md5h60(f"{rep}_{i}")
+            w = sum(1 for t in thr if u >= t)
+            sw += w
+            swx += w * int(x)
+        means.append(r6((swx / 100.0) / sw))
+    means.sort()
+    def idx(q):
+        return math.floor(q * (b - 1))
+    return pd.DataFrame([{"b": b, "ci_lo": means[idx(0.05)],
+                          "median": means[idx(0.5)],
+                          "ci_hi": means[idx(0.95)]}])
+
+
+@audit("q_conformal_coverage")
+def conformal_coverage():
+    # Split conformal prediction (Vovk et al. 2005; Lei et al. 2018):
+    # qhat = ceil((n_cal+1)(1-alpha))-th smallest calibration residual;
+    # test coverage P(|y - pred| <= qhat) >= 1 - alpha by construction.
+    d = table("documents")
+    bk = np.array([md5h60(i) % 100 for i in d.doc_id])
+    pred = d[bk < 60].groupby("lang").n_chars.mean()
+    def residuals(sel):
+        sub = d[sel]
+        return np.floor(np.abs(sub.n_chars.values -
+                               sub.lang.map(pred).values) * 1e6 + 0.5).astype(np.int64)
+    cal = np.sort(residuals((bk >= 60) & (bk < 80)))
+    n_cal = len(cal)
+    qhat = int(cal[math.ceil((n_cal + 1) * 90 / 100.0) - 1])
+    ts = residuals(bk >= 80)
+    ncov = int((ts <= qhat).sum())
+    return pd.DataFrame([{"n_train": int((bk < 60).sum()), "n_cal": n_cal,
+                          "n_test": len(ts), "n_covered": ncov,
+                          "q_hat": qhat / 1e6, "coverage": ncov / len(ts)}])
+
+
+@audit("q_lift_gains")
+def lift_gains():
+    # Cumulative gains / lift table: lift_k = rate_k / base_rate,
+    # capture_k = cumulative positives / total positives.
+    e = table("events")
+    g = e.groupby("user_id").agg(
+        score=("event_type", lambda s: int((s == "view").sum())),
+        y=("event_type", lambda s: int((s == "purchase").any())))
+    g = g.reset_index().sort_values(["score", "user_id"],
+                                    ascending=[False, True], kind="mergesort")
+    n = len(g)
+    base, extra = divmod(n, 10)
+    g["tile"] = np.repeat(np.arange(1, 11),
+                          [base + (1 if k <= extra else 0)
+                           for k in range(1, 11)])
+    nn, pp = n, int(g.y.sum())
+    rows, cum = [], 0
+    for tile, gg in g.groupby("tile"):
+        pos = int(gg.y.sum())
+        cum += pos
+        rows.append({"tile": int(tile), "n": len(gg), "pos": pos,
+                     "pos_rate": pos / len(gg), "cum_capture": cum / pp,
+                     "lift": (pos * nn) / (len(gg) * pp)})
+    return pd.DataFrame(rows)
+
+
+@audit("q_markov_entropy_rate", atol=5e-6)
+def markov_entropy_rate():
+    # Empirical entropy rate of a first-order chain (Shannon 1948):
+    # H = -sum_ij (n_ij/N) ln(n_ij / n_i); predictability = 1 - H/ln k.
+    e = table("events").sort_values(["user_id", "ts", "event_id"],
+                                    kind="mergesort")
+    from collections import Counter
+    cells = Counter()
+    for _, g in e.groupby("user_id"):
+        ts = list(g.event_type.values)
+        for a, b in zip(ts, ts[1:]):
+            cells[(a, b)] += 1
+    tn = Counter()
+    for (a, _), n in cells.items():
+        tn[a] += n
+    N = sum(cells.values())
+    k = len(tn)
+    H = -sum(n / N * math.log(n / tn[a]) for (a, _), n in cells.items())
+    return pd.DataFrame([{"n_transitions": N, "k_states": k,
+                          "entropy_rate_nats": H,
+                          "max_entropy_nats": math.log(k),
+                          "predictability": 1 - H / math.log(k)}])
