@@ -1149,3 +1149,436 @@ def markov_entropy_rate():
                           "entropy_rate_nats": H,
                           "max_entropy_nats": math.log(k),
                           "predictability": 1 - H / math.log(k)}])
+
+
+# --- concentration / moments / profiling --------------------------------------
+
+@audit("q_gini_spend")
+def gini_spend():
+    # Gini coefficient, rank form (e.g. Sen 1973):
+    # G = (2 sum_i i*x_(i) - (n+1) sum x) / (n sum x), x ascending.
+    o = table("orders")
+    cents = half_up(o.o_totalprice.values, 100)
+    s = pd.DataFrame({"k": o.o_custkey.values, "c": cents}) \
+        .groupby("k").c.sum().sort_values().values
+    n = len(s)
+    sv = int(s.sum())
+    s2rv = int(sum((i + 1) * int(x) for i, x in enumerate(s)))
+    gini = (2 * s2rv - (n + 1) * sv) / (n * sv)
+    return pd.DataFrame([{"n": n, "gini": gini}])
+
+
+@audit("q_hhi_supplier")
+def hhi_supplier():
+    # Herfindahl-Hirschman index: HHI = sum_i share_i^2 (x1e6 fixed point
+    # with floor quantization of each share to 1e-6).
+    li = table("lineitem")
+    cents = half_up(li.l_extendedprice.values, 100)
+    g = pd.DataFrame({"k": li.l_suppkey.values, "c": cents}) \
+        .groupby("k").c.sum()
+    t = int(g.sum())
+    shares = [(int(v) * 1000000) // t for v in g.values]
+    hhi = sum(s * s for s in shares) // 1000000
+    # textbook float crosscheck
+    true_hhi = sum((v / t) ** 2 for v in g.values)
+    assert abs(hhi / 1e6 - true_hhi) < 1e-4, (hhi, true_hhi)
+    return pd.DataFrame([{"n_groups": len(g), "hhi_x1e6": hhi}])
+
+
+@audit("q_gini_impurity")
+def gini_impurity():
+    # Gini impurity: 1 - sum_v p_v^2 per categorical column.
+    o = table("orders")
+    rows = []
+    for c in sorted(["o_orderstatus", "o_orderpriority"]):
+        vc = o[c].value_counts()
+        t = int(vc.sum())
+        g = 1.0 - sum((int(v) / t) ** 2 for v in vc.values)
+        rows.append({"col_name": c, "n_distinct": len(vc), "gini": g})
+    return pd.DataFrame(rows)
+
+
+@audit("q_stats_moments")
+def stats_moments():
+    # classical descriptive moments + OLS slope per return flag:
+    # sample variance (n-1), sample covariance, Pearson r, slope = cov/var.
+    li = table("lineitem")
+    x = half_up(li.l_quantity.values, 100) / 100.0
+    y = half_up(li.l_extendedprice.values, 100) / 100.0
+    rows = []
+    for f in sorted(li.l_returnflag.unique()):
+        m = (li.l_returnflag == f).values
+        xs, ys = x[m], y[m]
+        n = len(xs)
+        vx = xs.var(ddof=1)
+        cov = ((xs - xs.mean()) * (ys - ys.mean())).sum() / (n - 1)
+        corr = float(np.corrcoef(xs, ys)[0, 1])
+        rows.append({"l_returnflag": f, "n": n, "mean_x": xs.mean(),
+                     "var_x": vx, "std_x": math.sqrt(vx),
+                     "covar_xy": cov, "corr_xy": corr,
+                     "slope_xy": cov / vx})
+    return pd.DataFrame(rows)
+
+
+@audit("q_seasonality_profile")
+def seasonality_profile():
+    # chi-square contribution of each (iso-dow, hour) cell against the
+    # uniform profile over the 168 weekly cells: (O-E)^2/E, E = N/168.
+    e = table("events")
+    ts = pd.DatetimeIndex(e.ts)
+    dow = ts.dayofweek.values + 1   # ISO: Monday=1
+    hod = ts.hour.values
+    ct = pd.DataFrame({"dow": dow, "hod": hod}).groupby(["dow", "hod"]).size()
+    N = int(ct.sum())
+    E = N / 168.0
+    rows = [{"dow": int(d), "hod": int(h), "n": int(n),
+             "contrib": (n - E) ** 2 / E}
+            for (d, h), n in sorted(ct.items())]
+    return pd.DataFrame(rows)
+
+
+@audit("q_ccf_hourly")
+def ccf_hourly():
+    # cross-correlation: Pearson(click_t, view_{t+lag}) at lags -3..3
+    # over pairwise-complete hours.
+    x = _hourly("click")
+    y = _hourly("view")
+    xi = {int(t): float(v) for t, v in x.items()}
+    yi = {int(t): float(v) for t, v in y.items()}
+    rows = []
+    for lag in range(-3, 4):
+        xs = [v for t, v in xi.items() if t + lag in yi]
+        ys = [yi[t + lag] for t in xi if t + lag in yi]
+        rows.append({"lag": lag, "n_pairs": len(xs),
+                     "ccf": float(np.corrcoef(xs, ys)[0, 1])})
+    return pd.DataFrame(rows)
+
+
+@audit("q_skew_stats")
+def skew_stats():
+    # heavy-hitter shares: top-20 keys by count with share of total.
+    li = table("lineitem")
+    vc = li.l_suppkey.value_counts()
+    total = int(vc.sum())
+    top = sorted(vc.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    return pd.DataFrame([{"key": int(k), "n": int(n),
+                          "share": r6(n / total), "rank": i + 1}
+                         for i, (k, n) in enumerate(top)])
+
+
+@audit("q_quality_benford")
+def quality_benford():
+    # Benford (1938) first-digit law: P(d) = log10(1 + 1/d); relative
+    # deviation of observed counts from the expectation.
+    o = table("orders")
+    cents = half_up(o.o_totalprice.values, 100)
+    first = np.array([str(c / 100 if c % 100 else c // 100)[0]
+                      for c in cents])
+    # string form of DECIMAL(12,2) always starts with the integer part
+    first = np.array([str(abs(c))[0] if abs(c) >= 100 else "0"
+                      for c in cents])
+    rows = []
+    obs = {d: int((first == str(d)).sum()) for d in range(1, 10)}
+    ntot = sum(obs.values())
+    for d in range(1, 10):
+        if obs[d] == 0:
+            continue
+        p = r6(math.log10(1 + 1 / d))
+        exp = ntot * p
+        rows.append({"d": str(d), "n_obs": obs[d],
+                     "expected": math.floor(exp * 1e6 + 0.5) / 1e6,
+                     "rel_dev": math.floor((obs[d] - exp) / exp * 1e6 + 0.5) / 1e6})
+    return pd.DataFrame(rows)
+
+
+# --- corpus statistics / linear algebra ---------------------------------------
+
+def _tokens_per_doc():
+    """whitespace tokenization of trimmed text (the corpus queries'
+    declared tokenizer)."""
+    import re
+    d = table("documents")
+    return {int(i): re.split(r"\s+", t.strip()) if t.strip() else [""]
+            for i, t in zip(d.doc_id, d.text)}
+
+
+@audit("text_heaps_law")
+def heaps_law():
+    # Heaps (1978): vocabulary growth V(n) as cumulative distinct types
+    # vs cumulative tokens, in 50-doc buckets (type attributed to the
+    # first document containing it).
+    toks = _tokens_per_doc()
+    first = {}
+    per_bucket_toks = {}
+    for did in sorted(toks):
+        b = did // 50
+        ts = toks[did]
+        per_bucket_toks[b] = per_bucket_toks.get(b, 0) + len(ts)
+        for t in ts:
+            if t not in first:
+                first[t] = b
+    new_types = {}
+    for t, b in first.items():
+        new_types[b] = new_types.get(b, 0) + 1
+    rows, ctoks, cvocab = [], 0, 0
+    for b in sorted(per_bucket_toks):
+        ctoks += per_bucket_toks[b]
+        cvocab += new_types.get(b, 0)
+        rows.append({"bucket": b, "docs_seen": (b + 1) * 50,
+                     "tokens_seen": ctoks, "vocab": cvocab})
+    return pd.DataFrame(rows)
+
+
+def _type_freqs_ranked():
+    from collections import Counter
+    f = Counter()
+    for ts in _tokens_per_doc().values():
+        f.update(ts)
+    # rank by frequency desc, token asc (deterministic)
+    return sorted(f.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+@audit("text_zipf_decades")
+def zipf_decades():
+    # Zipf (1949): freq * rank ~ const; grouped by rank decade
+    # (decade = floor(log10(rank))), reporting mean freq*rank.
+    ranked = _type_freqs_ranked()
+    rows = {}
+    for rnk, (_, freq) in enumerate(ranked, start=1):
+        dec = len(str(rnk)) - 1
+        n, s = rows.get(dec, (0, 0))
+        rows[dec] = (n + 1, s + freq * rnk)
+    return pd.DataFrame([{"decade": d, "n_tokens": n, "fr_sum": s,
+                          "fr_avg_x1000": (s * 1000) // n}
+                         for d, (n, s) in sorted(rows.items())])
+
+
+@audit("text_vocab_coverage")
+def vocab_coverage():
+    # top-k vocabulary coverage: share of token mass covered by the k
+    # most frequent types.
+    ranked = _type_freqs_ranked()
+    total = sum(f for _, f in ranked)
+    rows = []
+    for k in (10, 100, 1000):
+        covered = sum(f for _, f in ranked[:k])
+        rows.append({"k": k, "covered": covered, "total": total,
+                     "coverage_x1e6": (covered * 1000000) // total})
+    return pd.DataFrame(rows)
+
+
+@audit("q_pca_power", atol=16)
+def pca_power():
+    # Power iteration (von Mises & Pollaczek-Geiringer 1929) on the Gram
+    # matrix of a 30% sample, 6 fixed-point iterations at 1e6 scale with
+    # per-step max-normalization. The declared contract is SIX rounds (at
+    # this data's eigengap ~1.03 that is far from converged), so the
+    # textbook crosscheck is against an independent FLOAT power iteration
+    # of the same round count, not the limiting eigenvector. atol=16
+    # covers fixed-point drift (float-product rounding differences in the
+    # Gram cells amplify to a few 1e-6 units over 6 normalized rounds).
+    e = table("embeddings")
+    sub = e[e.vec_id % 10 < 3]
+    emb = np.stack(sub.embedding.values).astype(np.float64)
+    dim = emb.shape[1]
+    # exact integer Gram: m0[i][j] = sum floor(e_i * e_j * 1e12)
+    m = [[0] * dim for _ in range(dim)]
+    for i in range(dim):
+        prods = np.floor(emb[:, i:i + 1] * emb * 1e12).astype(np.int64)
+        sums = prods.sum(axis=0)
+        for j in range(dim):
+            # duckdb // floors toward -inf; python matches
+            m[i][j] = int(sums[j]) // 1000000
+    v = [1000000] * dim
+    for _ in range(6):
+        w = [sum(m[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        mx = max(abs(x) for x in w)
+        d = mx // 1000000 or 1
+        v = [x // d for x in w]
+    # textbook crosscheck: an independent float64 power iteration of the
+    # same round count aligns with the fixed-point iterate
+    M = np.array([[float(x) for x in row] for row in m])
+    vf = np.ones(dim)
+    for _ in range(6):
+        w = M @ vf
+        vf = w / np.abs(w).max()
+    vv = np.array(v, dtype=float)
+    cos = abs(vf @ vv) / (np.linalg.norm(vf) * np.linalg.norm(vv))
+    assert cos > 0.9999, f"fixed-point iterate diverges from float: {cos}"
+    order = sorted(range(dim), key=lambda i: (-abs(v[i]), i))[:8]
+    return pd.DataFrame([{"i": i + 1, "v": float(v[i])} for i in order])
+
+
+# --- sketches / quantiles / behavioral ----------------------------------------
+
+@audit("text_hill_tail", atol=5e-6)
+def hill_tail():
+    # Hill (1975) tail-index estimator over type frequencies:
+    # alpha_hat = k / sum_{i=1}^{k} ln(f_(i) / f_(k+1)).
+    from collections import Counter
+    f = Counter()
+    for ts in _tokens_per_doc().values():
+        f.update(t for t in ts if t)
+    ranked = sorted(f.items(), key=lambda kv: (-kv[1], kv[0]))[:101]
+    f_ref = ranked[-1][1]
+    tk = ranked[:100]
+    k = len(tk)
+    denom = sum(math.floor(math.log(fi / f_ref) * 1e12 + 0.5)
+                for _, fi in tk)
+    alpha = k * 1e12 / denom
+    # float crosscheck of the quantized form
+    assert abs(alpha - k / sum(math.log(fi / f_ref) for _, fi in tk)) < 1e-6
+    return pd.DataFrame([{"k": k, "f_ref": f_ref, "hill_alpha": alpha}])
+
+
+def _source_token_hashes():
+    d = table("documents")
+    out = {}
+    import re
+    for src, txt in zip(d.source, d.text):
+        toks = re.split(r"\s+", txt.strip()) if txt.strip() else [""]
+        out.setdefault(src, set()).update(toks)
+    return {s: (toks, sorted(md5h60(t) for t in toks))
+            for s, toks in out.items()}
+
+
+@audit("q_sketch_kmv_distinct")
+def kmv_distinct():
+    # KMV / bottom-k distinct estimator (Bar-Yossef et al. 2002):
+    # D_hat = (k-1) / U_(k) with U_(k) the k-th smallest hash mapped to
+    # (0,1); exact count below k.
+    rows = []
+    for src, (toks, hs) in sorted(_source_token_hashes().items()):
+        nh = len(hs)
+        if nh < 128:
+            est = float(nh)
+        else:
+            est = r6(127.0 * 1152921504606846976.0 / hs[127])
+        rows.append({"source": src, "est_distinct": est,
+                     "n_exact": len(toks)})
+    return pd.DataFrame(rows)
+
+
+@audit("q_sketch_kmv_jaccard")
+def kmv_jaccard():
+    # Broder (1997) bottom-k Jaccard: |lowest-k of (A u B) ^ A ^ B| / k,
+    # against the exact token-set Jaccard.
+    sigs = {s: hs[:128] for s, (_, hs) in _source_token_hashes().items()}
+    sets = {s: toks for s, (toks, _) in _source_token_hashes().items()}
+    rows = []
+    for a in sorted(sigs):
+        for b in sorted(sigs):
+            if a >= b:
+                continue
+            union_low = sorted(set(sigs[a]) | set(sigs[b]))[:128]
+            inter = set(union_low) & set(sigs[a]) & set(sigs[b])
+            ni = len(sets[a] & sets[b])
+            rows.append({"key_a": a, "key_b": b,
+                         "est_jaccard": len(inter) / 128,
+                         "exact_jaccard":
+                             ni / (len(sets[a]) + len(sets[b]) - ni)})
+    return pd.DataFrame(rows)
+
+
+@audit("q_sketch_quantiles")
+def sketch_quantiles():
+    # hash-ordered reservoir of 64 per group; type-1 (floor) quantiles of
+    # the sample.
+    import hashlib
+    e = table("events")
+    rows = []
+    for et in sorted(e.event_type.unique()):
+        g = e[e.event_type == et]
+        keyed = sorted((hashlib.md5(str(i).encode()).hexdigest(), float(v))
+                       for i, v in zip(g.event_id, g.value))
+        vals = sorted(v for _, v in keyed[:64])
+        def pick(q):
+            return vals[int(math.floor(q * (len(vals) - 1)))]
+        rows.append({"event_type": et, "p50": pick(0.5),
+                     "p90": pick(0.9), "p99": pick(0.99)})
+    return pd.DataFrame(rows)
+
+
+@audit("q_percentiles")
+def percentiles():
+    # linearly interpolated quantiles (Hyndman & Fan type 7):
+    # position h = q(n-1), value = x_(floor h) + (h - floor h) * gap.
+    li = table("lineitem")
+    rows = []
+    for f in sorted(li.l_returnflag.unique()):
+        g = li[li.l_returnflag == f]
+        rows.append({"l_returnflag": f,
+                     "med_qty": float(np.percentile(g.l_quantity, 50)),
+                     "p25_price": float(np.percentile(g.l_extendedprice, 25)),
+                     "p75_price": float(np.percentile(g.l_extendedprice, 75))})
+    return pd.DataFrame(rows)
+
+
+@audit("q_group_percentiles")
+def group_percentiles():
+    li = table("lineitem")
+    rows = []
+    for f in sorted(li.l_returnflag.unique()):
+        g = li[li.l_returnflag == f]
+        rows.append({"l_returnflag": f,
+                     "p25_price": float(np.percentile(g.l_extendedprice, 25)),
+                     "med_price": float(np.percentile(g.l_extendedprice, 50)),
+                     "p75_price": float(np.percentile(g.l_extendedprice, 75))})
+    return pd.DataFrame(rows)
+
+
+@audit("q_cohort_retention")
+def cohort_retention():
+    # classic weekly cohort retention triangle: share of a first-activity
+    # cohort active k weeks later.
+    e = table("events")
+    ts = pd.DatetimeIndex(e.ts)
+    week = (ts - pd.to_timedelta(ts.dayofweek, unit="D")).normalize()
+    df = pd.DataFrame({"u": e.user_id.values, "w": week})
+    fw = df.groupby("u").w.min()
+    aw = df.drop_duplicates()
+    cohort = aw.u.map(fw)
+    off = ((aw.w.values - cohort.values).astype("timedelta64[D]")
+           .astype(int) // 7)
+    ct = pd.DataFrame({"cohort_week": cohort.values, "week_offset": off}) \
+        .groupby(["cohort_week", "week_offset"]).size()
+    cs = fw.value_counts()
+    rows = [{"cohort_week": cw, "week_offset": int(k),
+             "n_active": int(n), "n_cohort": int(cs[cw]),
+             "retention": int(n) / int(cs[cw])}
+            for (cw, k), n in sorted(ct.items()) if k <= 8]
+    return pd.DataFrame(rows)
+
+
+def _funnel_times():
+    e = table("events")
+    us = e.ts.values.astype("datetime64[us]").astype("int64")
+    df = pd.DataFrame({"u": e.user_id.values, "t": us,
+                       "ty": e.event_type.values})
+    t1 = df[df.ty == "view"].groupby("u").t.min()
+    j2 = df[df.ty == "click"].join(t1.rename("t1"), on="u", how="inner")
+    t2 = j2[j2.t > j2.t1].groupby("u").t.min()
+    j3 = df[df.ty == "purchase"].join(t2.rename("t2"), on="u", how="inner")
+    t3 = j3[j3.t > j3.t2].groupby("u").t.min()
+    return t1, t2, t3
+
+
+@audit("q_funnel")
+def funnel():
+    t1, t2, t3 = _funnel_times()
+    return pd.DataFrame([
+        {"step": 1, "step_name": "view", "n_users": len(t1)},
+        {"step": 2, "step_name": "click", "n_users": len(t2)},
+        {"step": 3, "step_name": "purchase", "n_users": len(t3)}])
+
+
+@audit("q_funnel_latency")
+def funnel_latency():
+    # median (lower, (n+1)//2-th order statistic) step-to-step latency
+    t1, t2, t3 = _funnel_times()
+    rows = []
+    for step, (lo, hi) in enumerate([(t1, t2), (t2, t3)], start=1):
+        d = sorted((hi - lo.loc[hi.index]).values)
+        med = d[(len(d) + 1) // 2 - 1]
+        rows.append({"step": step, "n": len(d), "median_s": med / 1e6})
+    return pd.DataFrame(rows)
