@@ -1582,3 +1582,213 @@ def funnel_latency():
         med = d[(len(d) + 1) // 2 - 1]
         rows.append({"step": step, "n": len(d), "median_s": med / 1e6})
     return pd.DataFrame(rows)
+
+
+# --- calibration / isotonic / QQ ----------------------------------------------
+
+def _calib_bins():
+    d = table("documents")
+    y = (d.lang == "en").values.astype(int)
+    pm = np.minimum(999, d.n_chars.values % 500 + np.where(y == 1, 300, 100))
+    bins = np.minimum((pm * 10) // 1000, 9)
+    return bins, y, pm
+
+
+@audit("q_eval_calibration")
+def eval_calibration():
+    bins, y, pm = _calib_bins()
+    rows = []
+    for b in sorted(np.unique(bins)):
+        m = bins == b
+        n = int(m.sum())
+        npos = int(y[m].sum())
+        sm = int(pm[m].sum())
+        mean_p = sm / (n * 1000)
+        rate = npos / n
+        rows.append({"bin": int(b), "n": n, "n_pos": npos,
+                     "sum_milli": sm, "mean_p": mean_p, "pos_rate": rate,
+                     "abs_gap": abs(mean_p - rate)})
+    return pd.DataFrame(rows)
+
+
+@audit("q_eval_isotonic")
+def eval_isotonic():
+    # PAVA isotonic regression (Ayer et al. 1955): merge adjacent pools
+    # while a pool's rate exceeds its successor's; the fit is unique, so
+    # any merge order gives the same pools.
+    bins, y, _ = _calib_bins()
+    stats = []
+    for b in sorted(np.unique(bins)):
+        m = bins == b
+        stats.append([int(b), int(b), int(m.sum()), int(y[m].sum())])
+    pools = [list(s) for s in stats]
+    changed = True
+    while changed:
+        changed = False
+        for k in range(len(pools) - 1):
+            lo1, hi1, n1, p1 = pools[k]
+            lo2, hi2, n2, p2 = pools[k + 1]
+            if p1 * n2 > p2 * n1:
+                pools[k:k + 2] = [[lo1, hi2, n1 + n2, p1 + p2]]
+                changed = True
+                break
+    out = []
+    for b0, b1, n, npos in stats:
+        pl = next(p for p in pools if p[0] <= b0 <= p[1])
+        out.append({"bin": b0, "n": n, "n_pos": npos,
+                    "iso_rate_x1e6": (pl[3] * 1000000) // pl[2]})
+    return pd.DataFrame(out)
+
+
+@audit("q_qq_deciles")
+def qq_deciles():
+    o = table("orders")
+    v = o.o_totalprice.values.astype(float)
+    even = (o.o_orderkey % 2 == 0).values
+    qs = np.arange(10, 100, 10)
+    qe = np.percentile(v[even], qs)
+    qd = np.percentile(v[~even], qs)
+    return pd.DataFrame([{"decile": i + 1, "q_even": qe[i], "q_odd": qd[i],
+                          "qq_gap": qe[i] - qd[i]} for i in range(9)])
+
+
+@audit("q_quantile_normalize")
+def quantile_normalize():
+    c = table("customer").sort_values(["c_nationkey", "c_acctbal",
+                                       "c_custkey"], kind="mergesort")
+    rows = []
+    for nk, g in c.groupby("c_nationkey"):
+        n = len(g)
+        for rn, (_, r) in enumerate(g.iterrows(), start=1):
+            rows.append({"c_custkey": r.c_custkey, "c_nationkey": nk,
+                         "rn": rn,
+                         "pct": (rn - 1) / (n - 1) if n > 1 else None})
+    return pd.DataFrame(rows)
+
+
+@audit("q_sketch_kmv_containment")
+def kmv_containment():
+    # bottom-k containment estimate (Broder 1997 / Agarwal et al.):
+    # C(A,B) ~= |L ^ A ^ B| / |L ^ A| with L the k lowest hashes of A u B;
+    # exact containment |A ^ B|/|A| for reference.
+    sigs = {s: hs[:128] for s, (_, hs) in _source_token_hashes().items()}
+    sets = {s: toks for s, (toks, _) in _source_token_hashes().items()}
+    rows = []
+    for a in sorted(sigs):
+        for b in sorted(sigs):
+            if a == b:
+                continue
+            low = sorted(set(sigs[a]) | set(sigs[b]))[:128]
+            la = set(low) & set(sigs[a])
+            est = (len(la & set(sigs[b])) / len(la)) if la else None
+            ni = len(sets[a] & sets[b])
+            rows.append({"key_a": a, "key_b": b, "est_containment": est,
+                         "exact_containment": ni / len(sets[a])})
+    return pd.DataFrame(rows)
+
+
+# --- descriptive text / segmentation -------------------------------------------
+
+@audit("text_lexical_diversity")
+def lexical_diversity():
+    # type-token ratio and the repeat probability sum c(c-1)/(n(n-1))
+    # (Simpson/Yule-style repeat index).
+    from collections import Counter
+    rows = []
+    for did, ts in sorted(_tokens_per_doc().items()):
+        c = Counter(ts)
+        n = len(ts)
+        coll = sum(v * (v - 1) for v in c.values())
+        rows.append({"doc_id": did, "n_tokens": n, "n_types": len(c),
+                     "ttr": len(c) / n,
+                     "rep_prob": coll / (n * (n - 1)) if n > 1 else 0.0})
+    return pd.DataFrame(rows)
+
+
+@audit("text_stats")
+def text_stats():
+    d = table("documents").sort_values("doc_id")
+    toks = _tokens_per_doc()
+    rows = []
+    for _, r in d.iterrows():
+        ts = toks[int(r.doc_id)]
+        n = len(ts)
+        rows.append({"doc_id": r.doc_id, "lang": r.lang,
+                     "source": r.source, "n_chars": r.n_chars,
+                     "n_tokens": n, "n_distinct": len(set(ts)),
+                     "ttr": len(set(ts)) / n,
+                     "mean_token_len": sum(len(t) for t in ts) / n,
+                     "est_subword_tokens":
+                         sum(math.ceil(len(t) / 4.0) for t in ts)})
+    return pd.DataFrame(rows)
+
+
+@audit("q_pareto_abc")
+def pareto_abc():
+    # ABC / Pareto classification on cumulative revenue share
+    # (A <= 80%, B <= 95%, C above).
+    li = table("lineitem")
+    li = li[li.l_partkey < 500]
+    cents = half_up(li.l_extendedprice.values, 100)
+    g = pd.DataFrame({"part": li.l_partkey.values, "c": cents}) \
+        .groupby("part").c.sum()
+    tot = int(g.sum())
+    order = sorted(g.items(), key=lambda kv: (-kv[1], kv[0]))
+    cum = 0
+    cls = {}
+    for part, rev in order:
+        cum += int(rev)
+        cls[part] = "A" if cum * 100 <= tot * 80 else \
+                    "B" if cum * 100 <= tot * 95 else "C"
+    return pd.DataFrame([{"part": int(p), "rev": int(g[p]) / 100.0,
+                          "abc": cls[p]} for p in sorted(g.index)])
+
+
+@audit("q_rfm_segments")
+def rfm_segments():
+    # RFM quintile scoring (Hughes 1994): NTILE(5) on recency asc,
+    # frequency desc, monetary desc; rule-based segment labels.
+    o = table("orders")
+    ref = np.datetime64("2001-08-02")
+    g = o.groupby("o_custkey").agg(mx=("o_orderdate", "max"),
+                                   frequency=("o_orderkey", "size"))
+    cents = pd.DataFrame({"k": o.o_custkey.values,
+                          "c": half_up(o.o_totalprice.values, 100)}) \
+        .groupby("k").c.sum()
+    g["recency_days"] = ((ref - g.mx.values.astype("datetime64[D]"))
+                         .astype("timedelta64[D]").astype(int))
+    g["monetary"] = (cents / 100.0)
+    g = g.reset_index()
+    n = len(g)
+
+    def ntile(keys):
+        order = sorted(range(n), key=keys)
+        base, extra = divmod(n, 5)
+        out = [0] * n
+        pos = 0
+        for t in range(1, 6):
+            sz = base + (1 if t <= extra else 0)
+            for i in order[pos:pos + sz]:
+                out[i] = t
+            pos += sz
+        return out
+
+    g["r_score"] = ntile(lambda i: (g.recency_days[i], g.o_custkey[i]))
+    g["f_score"] = ntile(lambda i: (-g.frequency[i], g.o_custkey[i]))
+    g["m_score"] = ntile(lambda i: (-g.monetary[i], g.o_custkey[i]))
+    def seg(r):
+        if r.r_score <= 2 and r.f_score <= 2:
+            return "champion"
+        if r.f_score <= 2:
+            return "loyal"
+        if r.r_score >= 4:
+            return "at_risk"
+        return "regular"
+    g["segment"] = g.apply(seg, axis=1)
+    g["monetary"] = [rn(m, 2) for m in g.monetary]
+    g = g.sort_values(["r_score", "o_custkey"], kind="mergesort",
+                      key=None)
+    g["ord"] = g.r_score + g.f_score + g.m_score
+    g = g.sort_values(["ord", "o_custkey"], kind="mergesort").head(50)
+    return g[["o_custkey", "recency_days", "frequency", "monetary",
+              "r_score", "f_score", "m_score", "segment"]]
