@@ -42,6 +42,18 @@ object Bench {
     // round-9 additions (top-cost / new families)
     "q_golden_record", "q_spearman", "text_heaps_law")
 
+  /** Host-load canary: five stable queries whose code has not changed
+    * since early rounds, spanning scan/agg/join/window/shuffle shapes.
+    * Their total is emitted as `canary_sec`; dividing any other query's
+    * round-over-round ratio by the canary ratio separates host-load
+    * inflation from real regressions (the round-9 driver bench inflated
+    * 1.3-1.55x uniformly from host contention and had to be argued down
+    * by hand).
+    */
+  private val canary: Seq[String] = Seq(
+    "flf_parse", "q1_agg", "q18_volume_customers",
+    "dedup_minhash_lsh", "knn_cosine_brute")
+
   private def family(name: String): String = {
     val i = name.indexOf('_')
     // numbered queries (q1_agg, q19_or_pushdown) fold into the q family
@@ -106,8 +118,10 @@ object Bench {
     val total = results.filter(_._3).map(_._2).sum
     // complete per-query map → file (the line form stopped fitting the
     // harness's stdout tail once the query count passed ~150)
+    val byNameAll = results.map(r => r._1 -> r._2).toMap
+    val canarySec = canary.flatMap(byNameAll.get).filter(_ >= 0).sum
     val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","canary_sec":$canarySec%.3f,"queries":${
         jmap(results.map(r => (r._1, r._2)))
       },"failed":$failed,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
@@ -121,7 +135,7 @@ object Bench {
     val fams = results.filter(_._3).groupBy(r => family(r._1)).toSeq
       .map { case (f, rs) => f -> rs.map(_._2).sum }.sortBy(_._1)
     val head = headline.flatMap(n => byName.get(n).map(n -> _))
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","nq":${
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","canary_sec":$canarySec%.3f,"nq":${
       results.size},"queries":${jmap(head)},"families":${jmap(fams)
       },"failed":$failed,"full":"$outPath","sf":"$sfDir"}""")
     spark.stop()

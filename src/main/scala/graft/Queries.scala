@@ -1859,13 +1859,14 @@ object Queries {
   }
 
   q("q_group_percentiles",
-    // per-group exact price quartiles through
-    // Ranks.groupedPercentilesExact — one lexicographic (group, value)
-    // prefix pass + broadcast rank joins, no per-group aggregation
-    // buffer, no per-group single-task window. Same values as the
-    // built-in at the 6-dp grain; exists for the CONTINUOUS-domain case
-    // where percentile()'s value-map buffer is a memory wall (the
-    // throughput tradeoff is measured in PLANS.md)
+    // per-group exact price quartiles through the SIZE-AWARE dispatcher
+    // Ranks.groupedPercentiles: a per-group approx_count_distinct probe
+    // routes bounded domains to the built-in percentile() aggregation
+    // buffer (fast) and continuous domains to the bufferless prefix-pass
+    // machinery (no per-task memory cliff at 100 TB). Both regimes'
+    // plans are pinned in PlanSpec; the throughput tradeoff is measured
+    // in PLANS.md. Values agree at the 6-dp publication grain (lerp
+    // shapes documented at Ranks.percentilesExact)
     """WITH q AS (SELECT l_returnflag AS g,
       |    unnest(quantile_cont(CAST(l_extendedprice AS DOUBLE),
       |      [0.25, 0.5, 0.75])) AS v,
@@ -1876,7 +1877,7 @@ object Queries {
       |  round(MAX(CASE WHEN i = 2 THEN v END), 6) AS med_price,
       |  round(MAX(CASE WHEN i = 3 THEN v END), 6) AS p75_price
       |FROM q GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")) { (s, dir) =>
-    val pr = Ranks.groupedPercentilesExact(tbl(s, dir, "lineitem"),
+    val pr = Ranks.groupedPercentiles(tbl(s, dir, "lineitem"),
       col("l_returnflag"), col("l_extendedprice"), Seq(0.25, 0.5, 0.75))
     pr.groupBy(col("g").as("l_returnflag"))
       .agg(round(max(when(col("i") === 1, col("value"))), 6).as("p25_price"),

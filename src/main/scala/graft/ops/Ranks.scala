@@ -365,6 +365,56 @@ object Ranks {
           .as("value"))
   }
 
+  /** Size-aware per-group percentile dispatcher. Spark's built-in exact
+    * `percentile()` buffers one (value → count) map per group inside the
+    * aggregation — unbeatable when the per-group distinct-value count is
+    * bounded (0.36 s vs 15.5 s at sf1, PLANS.md), but a per-task memory
+    * cliff on continuous domains at 100 TB. This chooser runs ONE cheap
+    * probe (per-group `approx_count_distinct`, a fixed-size HLL buffer,
+    * then a groups-bounded max) and routes: max estimated distinct ≤
+    * `maxBufferedDistinct` → built-in aggregation; above → the bufferless
+    * [[groupedPercentilesExact]] prefix-pass machinery. The HLL estimate
+    * carries ~2% rsd, so the default threshold (2^16) keeps an order of
+    * magnitude of headroom against the real buffer wall. Both paths emit
+    * (g, i, p, value); the two lerp shapes can differ in the last ulp
+    * (see [[percentilesExact]]) — equal at any publication grain.
+    */
+  def groupedPercentiles(df: DataFrame, grpCol: Column, valCol: Column,
+                         fractions: Seq[Double],
+                         maxBufferedDistinct: Long = 1L << 16): DataFrame = {
+    val vals = df.select(grpCol.as("g"), valCol.as("v"))
+      .filter(col("v").isNotNull)
+    val probe = vals.groupBy("g")
+      .agg(approx_count_distinct(col("v")).as("nd"))
+      .agg(max("nd")).collect()(0)
+    val maxDistinct = if (probe.isNullAt(0)) 0L else probe.getLong(0)
+    if (maxDistinct <= maxBufferedDistinct)
+      groupedPercentilesBuffered(df, grpCol, valCol, fractions)
+    else groupedPercentilesExact(df, grpCol, valCol, fractions)
+  }
+
+  /** The buffered regime of [[groupedPercentiles]]: Spark's exact
+    * `percentile()` aggregate (per-group value-map buffer, one shuffle).
+    * Correct whenever the group's distinct values fit an aggregation
+    * buffer; never call it on continuous domains at scale.
+    */
+  def groupedPercentilesBuffered(df: DataFrame, grpCol: Column,
+                                 valCol: Column,
+                                 fractions: Seq[Double]): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(p => p >= 0 && p <= 1),
+      "fractions must lie in [0, 1]")
+    val frArr = array(fractions.map(lit): _*)
+    df.select(grpCol.as("g"), valCol.cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy("g")
+      .agg(expr(s"percentile(v, array(${fractions.mkString(", ")}))")
+        .as("vs"))
+      .select(col("g"), posexplode(col("vs")).as(Seq("pos", "value")))
+      .select(col("g"), (col("pos") + 1).cast("int").as("i"),
+        element_at(frArr, col("pos").cast("int") + 1).as("p"),
+        col("value"))
+  }
+
   /** NTILE(k) of a precomputed global rank — Spark/DuckDB NTILE
     * semantics exactly: the first `n mod k` tiles hold `n div k + 1`
     * rows, the rest `n div k`. Lazy CaseWhen keeps the second branch's

@@ -619,6 +619,35 @@ class PlanSpec extends AnyFunSuite {
       s"unpartitioned Window in: ${offenders.mkString(", ")}")
   }
 
+  test("grouped percentiles dispatch: bounded domain -> built-in percentile " +
+    "buffer; continuous domain -> bufferless prefix machinery") {
+    import org.apache.spark.sql.functions.col
+    val li = Queries.all("q1_agg") // any query forces session init
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+    // regime 1: generous threshold routes to the built-in aggregation
+    val buffered = graft.ops.Ranks.groupedPercentiles(df,
+      col("l_returnflag"), col("l_extendedprice"), Seq(0.5),
+      maxBufferedDistinct = Long.MaxValue)
+    val bPlan = buffered.queryExecution.executedPlan.toString
+    assert(bPlan.contains("percentile("), bPlan.take(1500))
+    assert(!bPlan.contains("BroadcastHashJoin"), bPlan.take(1500))
+    // regime 2: threshold 0 forces the bufferless prefix-pass path —
+    // no percentile() aggregation buffer anywhere in the plan
+    val exact = graft.ops.Ranks.groupedPercentiles(df,
+      col("l_returnflag"), col("l_extendedprice"), Seq(0.5),
+      maxBufferedDistinct = 0L)
+    val ePlan = exact.queryExecution.executedPlan.toString
+    assert(!ePlan.contains("percentile("), ePlan.take(1500))
+    assert(ePlan.contains("BroadcastHashJoin") ||
+      ePlan.contains("BroadcastExchange"), ePlan.take(1500))
+    // both regimes agree at the 6-dp publication grain
+    val b = buffered.select(col("g"), org.apache.spark.sql.functions
+      .round(col("value"), 6).as("v")).collect().map(r => (r.get(0), r.get(1))).toMap
+    val e = exact.select(col("g"), org.apache.spark.sql.functions
+      .round(col("value"), 6).as("v")).collect().map(r => (r.get(0), r.get(1))).toMap
+    assert(b == e, s"regimes disagree: $b vs $e")
+  }
+
   test("per-query exchange budget: shuffle/broadcast counts never regress " +
     "(committed budget, sweep over every query)") {
     // The round-9 verdict's ask: the empty-allowlist Window sweep killed the
