@@ -1792,3 +1792,111 @@ def rfm_segments():
     g = g.sort_values(["ord", "o_custkey"], kind="mergesort").head(50)
     return g[["o_custkey", "recency_days", "frequency", "monetary",
               "r_score", "f_score", "m_score", "segment"]]
+
+
+@audit("q_assoc_rules")
+def assoc_rules():
+    # Association-rule measures (Agrawal & Srikant 1994; Brin et al. 1997):
+    # confidence(A->B) = supp(A,B)/supp(A); lift = supp(A,B) N / (supp(A)
+    # supp(B)); minimum pair support 2; top 20 by lift.
+    li = table("lineitem")
+    ps = li[["l_orderkey", "l_partkey"]].drop_duplicates()
+    n_orders = ps.l_orderkey.nunique()
+    item = ps.groupby("l_partkey").size()
+    from collections import Counter
+    pair = Counter()
+    for _, g in ps.groupby("l_orderkey"):
+        parts = sorted(g.l_partkey.values)
+        for i in range(len(parts)):
+            for j in range(i + 1, len(parts)):
+                pair[(int(parts[i]), int(parts[j]))] += 1
+    rows = []
+    for (a, b), n in pair.items():
+        if n < 2:
+            continue
+        na, nb = int(item[a]), int(item[b])
+        rows.append({"pa": a, "pb": b, "n_pair": n, "n_a": na, "n_b": nb,
+                     "conf_ab_x1e6": (n * 1000000) // na,
+                     "conf_ba_x1e6": (n * 1000000) // nb,
+                     "lift_x1e6": (n * 1000000 * n_orders) // (na * nb)})
+    rows.sort(key=lambda r: (-r["lift_x1e6"], r["pa"], r["pb"]))
+    return pd.DataFrame(rows[:20])
+
+
+# --- vector-similarity kernels --------------------------------------------------
+
+def _emb_matrix():
+    e = table("embeddings")
+    return (e.vec_id.values.astype(np.int64), e.label.values,
+            np.stack(e.embedding.values).astype(np.float64))
+
+
+def _knn_frame(cond):
+    """cosine top-5 with the engine's deterministic tiebreak
+    (score rounded to 6dp desc, neighbor id asc)."""
+    ids, labels, emb = _emb_matrix()
+    nrm = np.sqrt((emb * emb).sum(axis=1))
+    qsel = ids < 10
+    rows = []
+    for qi in np.where(qsel)[0]:
+        cos = (emb @ emb[qi]) / (nrm * nrm[qi])
+        cand = [(r6(cos[j]), int(ids[j])) for j in range(len(ids))
+                if cond(qi, j, ids, labels)]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        for c, nid in cand[:5]:
+            rows.append({"q_id": int(ids[qi]), "n_id": nid, "cos": c})
+    rows.sort(key=lambda r: (r["q_id"], r["n_id"]))
+    return pd.DataFrame(rows)
+
+
+@audit("knn_cosine_brute")
+def knn_cosine_brute():
+    # exact cosine top-k: cos = <a,b>/(|a||b|), excluding self.
+    return _knn_frame(lambda qi, j, ids, labels: ids[j] != ids[qi])
+
+
+@audit("knn_hard_negatives")
+def knn_hard_negatives():
+    # hardest negatives: most-similar DIFFERENT-label vectors.
+    return _knn_frame(lambda qi, j, ids, labels: labels[j] != labels[qi])
+
+
+@audit("dedup_embedding_cosine")
+def dedup_embedding_cosine():
+    # same-label pairs with cosine >= 0.2 (threshold on the 6dp-rounded
+    # score, the engine's publication grain).
+    ids, labels, emb = _emb_matrix()
+    nrm = np.sqrt((emb * emb).sum(axis=1))
+    rows = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if labels[i] != labels[j]:
+                continue
+            a, b = (i, j) if ids[i] < ids[j] else (j, i)
+            c = r6(float(emb[a] @ emb[b]) / (nrm[a] * nrm[b]))
+            if c >= 0.2:
+                rows.append({"a_id": int(ids[a]), "b_id": int(ids[b]),
+                             "cos": c})
+    rows.sort(key=lambda r: (r["a_id"], r["b_id"]))
+    return pd.DataFrame(rows)
+
+
+@audit("q_eval_ann_recall")
+def eval_ann_recall():
+    # recall@5 of the label-cell ANN against the exact cosine top-5
+    # (the standard ANN evaluation protocol).
+    ids, labels, emb = _emb_matrix()
+    nrm = np.sqrt((emb * emb).sum(axis=1))
+    rows = []
+    for qi in np.where(ids < 10)[0]:
+        cos = (emb @ emb[qi]) / (nrm * nrm[qi])
+        def topk(mask):
+            cand = [(r6(cos[j]), int(ids[j])) for j in np.where(mask)[0]]
+            cand.sort(key=lambda t: (-t[0], t[1]))
+            return {nid for _, nid in cand[:5]}
+        exact = topk(ids != ids[qi])
+        ann = topk((labels == labels[qi]) & (ids != ids[qi]))
+        hits = len(exact & ann)
+        rows.append({"q_id": int(ids[qi]), "hits": hits,
+                     "recall_at_5": hits / 5})
+    return pd.DataFrame(rows)
