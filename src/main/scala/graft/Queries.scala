@@ -834,8 +834,30 @@ object Queries {
         explode(HashColumns.deletionVariantHashes(col("p_name"), 2)).as("vh"))
       .select(col("p_partkey"),
         xxhash64(col("vh"), col("blk"), col("p_brand")).as("h"))
-    val cand = variants.as("a").hint("shuffle_hash")
-      .join(variants.as("b").hint("shuffle_hash"),
+    // SIZE the self-join's shuffle so each task's hash-relation build
+    // stays bounded REGARDLESS of corpus size: the pinned shuffle-hash
+    // at the session's fixed partition count grows each build linearly
+    // with the data and hit the executor-memory wall at sf3 (the r10
+    // soak: "Can't acquire ... to build hash relation" under an 8 GiB
+    // heap). The variant count is estimable cheaply and EXACTLY where
+    // Spark's estimator is blind: rows x (1 + L + L(L-1)/2) deletion
+    // variants from one metadata-count + one tiny avg-length aggregate
+    // on the (dimension-sized) parts table. ~500k variant rows per
+    // partition keeps a build at a few tens of MB — the same bound a
+    // 1000-executor cluster wants, reached by partition count, not heap.
+    val stats = p.agg(count(lit(1)).as("n"),
+      avg(length(col("p_name"))).as("len")).head()
+    val nVariants = {
+      val l = stats.getDouble(1)
+      stats.getLong(0) * (1 + l + l * (l - 1) / 2)
+    }
+    val sessionParts =
+      s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val joinParts = math.max(sessionParts,
+      math.ceil(nVariants / 500000.0).toInt)
+    val spread = variants.repartition(joinParts, col("h"))
+    val cand = spread.as("a").hint("shuffle_hash")
+      .join(spread.as("b").hint("shuffle_hash"),
         col("a.h") === col("b.h") && col("a.p_partkey") < col("b.p_partkey"))
       .select(col("a.p_partkey").as("a_id"), col("b.p_partkey").as("b_id"))
       .distinct()
