@@ -1900,3 +1900,70 @@ def eval_ann_recall():
         rows.append({"q_id": int(ids[qi]), "hits": hits,
                      "recall_at_5": hits / 5})
     return pd.DataFrame(rows)
+
+
+# --- streaming statistical queries (outputs audited against the same
+# --- textbook algebra over the batch-equivalent input) -----------------------
+
+@audit("stream_drift")
+def stream_drift():
+    e = table("events")
+    bins = sorted(e.event_type.unique())
+    h1 = e[e.event_id % 2 == 0].event_type.value_counts()
+    h2 = e[e.event_id % 2 == 1].event_type.value_counts()
+    o1 = np.array([int(h1.get(b, 0)) for b in bins])
+    o2 = np.array([int(h2.get(b, 0)) for b in bins])
+    contrib, _, _ = _two_sample_chi2_contrib(o1, o2)
+    return pd.DataFrame({"bin": bins, "o1": o1, "o2": o2,
+                         "contrib": contrib})
+
+
+@audit("stream_psi", atol=5e-6)
+def stream_psi():
+    d = table("documents")
+    srcs = sorted(d.source.unique())
+    h1 = d[d.doc_id % 2 == 0].source.value_counts()
+    h2 = d[d.doc_id % 2 == 1].source.value_counts()
+    o1 = np.array([int(h1.get(s, 0)) for s in srcs])
+    o2 = np.array([int(h2.get(s, 0)) for s in srcs])
+    n1, n2 = int(o1.sum()), int(o2.sum())
+    psi = sum((a / n1 - b / n2) * math.log((a * n2) / (b * n1))
+              for a, b in zip(o1, o2) if a > 0 and b > 0)
+    return pd.DataFrame([{"k_bins": len(srcs),
+                          "k_zero": int(((o1 == 0) | (o2 == 0)).sum()),
+                          "n_a": n1, "n_b": n2, "psi": psi}])
+
+
+@audit("stream_srm")
+def stream_srm():
+    e = table("events")
+    arm = np.array([md5h60(u) % 2 == 0 for u in e.user_id])
+    n1, n2 = int(arm.sum()), int((~arm).sum())
+    return pd.DataFrame([{"n1": n1, "n2": n2,
+                          "chi2_x1e6":
+                              ((n1 - n2) ** 2 * 1000000) // (n1 + n2)}])
+
+
+@audit("stream_ewma")
+def stream_ewma():
+    # integer EWMA alpha=1/4 in 2^32 fixed point, seeded at the first
+    # observation; spike = sample > 2x previous smoothed value.
+    e = table("events")
+    e = e[e.user_id < 40]
+    e = e.assign(cents=half_up(e.value.values, 100),
+                 tsm=e.ts.values.astype("datetime64[us]").astype("int64"))
+    e = e.sort_values(["event_type", "tsm", "event_id"], kind="mergesort")
+    rows = []
+    for et, g in e.groupby("event_type"):
+        s = None
+        for _, r in g.iterrows():
+            x = int(r.cents) * 4294967296
+            if s is None:
+                s, spike = x, False
+            else:
+                spike = x > 2 * s
+                s = (3 * s + x) // 4
+            rows.append({"event_type": et, "event_id": int(r.event_id),
+                         "smoothed": s, "spike": spike})
+    rows.sort(key=lambda r: (r["event_type"], r["event_id"]))
+    return pd.DataFrame(rows)
