@@ -374,8 +374,9 @@ object Ranks {
     * then a groups-bounded max) and routes: max estimated distinct ≤
     * `maxBufferedDistinct` → built-in aggregation; above → the bufferless
     * [[groupedPercentilesExact]] prefix-pass machinery. The HLL estimate
-    * carries ~2% rsd, so the default threshold (2^16) keeps an order of
-    * magnitude of headroom against the real buffer wall. Both paths emit
+    * carries ~5% rsd (Spark's default), so the default threshold (2^16)
+    * keeps orders of magnitude of headroom against the real per-task
+    * buffer wall (millions of entries). Both paths emit
     * (g, i, p, value); the two lerp shapes can differ in the last ulp
     * (see [[percentilesExact]]) — equal at any publication grain.
     */
