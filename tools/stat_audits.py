@@ -1967,3 +1967,351 @@ def stream_ewma():
                          "smoothed": s, "spike": spike})
     rows.sort(key=lambda r: (r["event_type"], r["event_id"]))
     return pd.DataFrame(rows)
+
+
+# --- kappa / jackknife / survival-extras / SPRT / ECE ---------------------------
+
+def _langid_pred(texts):
+    import re
+    rules = [("zh", re.compile("[一-鿿]")),
+             ("ja", re.compile("[぀-ヿ]")),
+             ("ru", re.compile("[Ѐ-ӿ]")),
+             ("es", re.compile("[¡¿ñ]")),
+             ("de", re.compile("[äöüß]")),
+             ("fr", re.compile("[çàâêîôûœ]"))]
+    out = []
+    for t in texts:
+        for lang, rx in rules:
+            if rx.search(t):
+                out.append(lang)
+                break
+        else:
+            out.append("en")
+    return out
+
+
+@audit("q_eval_kappa")
+def eval_kappa():
+    # Cohen (1960): kappa = (p_o - p_e)/(1 - p_e),
+    # p_e = sum_c (row_c * col_c) / N^2.
+    d = table("documents")
+    pred = _langid_pred(d.text.values)
+    actual = d.lang.values
+    N = len(d)
+    hit = sum(1 for a, p in zip(actual, pred) if a == p)
+    from collections import Counter
+    na, npred = Counter(actual), Counter(pred)
+    pe = sum(na[c] * npred.get(c, 0) for c in na) / (N * N)
+    po = hit / N
+    return pd.DataFrame([{"accuracy": po,
+                          "kappa": (po - pe) / (1 - pe)}])
+
+
+@audit("q_jackknife_ratio")
+def jackknife_ratio():
+    # Delete-one-group jackknife SE of a ratio (Quenouille 1956/Tukey):
+    # SE^2 = (g-1)/g * sum_g (theta_(g) - mean)^2 over leave-one-out
+    # ratios. The engine quantizes each LOO ratio to 1e-6 first.
+    o = table("orders")
+    cents = half_up(o.o_totalprice.values, 100)
+    gkey = (o.o_custkey % 40).values
+    df = pd.DataFrame({"g": gkey, "x": cents, "y": 1})
+    g = df.groupby("g").agg(sn=("x", "sum"), sd=("y", "sum"))
+    nn, dd, gg = int(g.sn.sum()), int(g.sd.sum()), len(g)
+    t_q = [math.floor((nn - int(r.sn)) / (dd - int(r.sd)) * 1e6 + 0.5)
+           for _, r in g.iterrows()]
+    tt = sum(t_q)
+    ss = sum((tq * gg - tt) ** 2 for tq in t_q)
+    th = nn / dd
+    se = math.sqrt((gg - 1) / gg * ss / (gg * gg * 1e12))
+    z = norm_ppf(0.975)
+    return pd.DataFrame([{"g_buckets": gg, "theta": th, "se_jack": se,
+                          "ci_lo": th - z * se, "ci_hi": th + z * se}])
+
+
+@audit("q_rmst")
+def rmst():
+    # Restricted mean survival time: RMST(tau) = integral_0^tau S(t) dt,
+    # the area under the Kaplan-Meier step function (S=1 before the
+    # first event time). Engine quantizes S to 1e-6 per step.
+    km = km_survival()
+    km = km[km.t < 700].reset_index(drop=True)
+    tau = 700
+    area_q = 0
+    for i, r in km.iterrows():
+        t_next = int(km.t[i + 1]) if i + 1 < len(km) else tau
+        s6 = math.floor(r.s_t * 1e6 + 0.5)
+        area_q += s6 * (min(t_next, tau) - int(r.t))
+    t_first = int(km.t[0])
+    return pd.DataFrame([{"tau": tau, "k_times": len(km),
+                          "rmst": (t_first * 1000000 + area_q) / 1e6}])
+
+
+@audit("q_nelson_aalen")
+def nelson_aalen():
+    # Nelson (1972)/Aalen (1978) cumulative hazard: H(t) = sum d_i/n_i.
+    _, t, ev = _durations()
+    df = pd.DataFrame({"t": t, "d": ev.astype(int)})
+    g = df.groupby("t").agg(d=("d", "sum"), c=("d", "size")).sort_index()
+    at_risk = len(df)
+    rows, cum = [], 0
+    for ti, r in g.iterrows():
+        cum += math.floor(int(r.d) / at_risk * 1e12 + 0.5)
+        rows.append({"t": int(ti), "d": int(r.d), "n_risk": at_risk,
+                     "h_t": cum / 1e12})
+        at_risk -= int(r.c)
+    return pd.DataFrame(rows)
+
+
+@audit("q_sequential_sprt")
+def sequential_sprt():
+    # Wald (1945) SPRT for Bernoulli p0=0.2 vs p1=0.3, alpha=beta=0.05:
+    # LLR_n crosses ln((1-beta)/alpha) -> accept H1,
+    # ln(beta/(1-alpha)) -> accept H0.
+    e = table("events")
+    conv = e.groupby("user_id").agg(
+        x=("event_type", lambda s: int((s == "purchase").any())))
+    la = math.floor(math.log(0.3 / 0.2) * 1e12 + 0.5)
+    lb = math.floor(math.log(0.7 / 0.8) * 1e12 + 0.5)
+    up = math.floor(math.log(0.95 / 0.05) * 1e12 + 0.5)
+    dn = math.floor(math.log(0.05 / 0.95) * 1e12 + 0.5)
+    cum, first_h1, first_h0, final = 0, None, None, 0
+    for uid in sorted(conv.index):
+        x = int(conv.x[uid])
+        cum += x * la + (1 - x) * lb
+        if first_h1 is None and cum >= up:
+            first_h1 = int(uid)
+        if first_h0 is None and cum <= dn:
+            first_h0 = int(uid)
+        final = cum
+    if first_h1 is not None and (first_h0 is None or first_h1 <= first_h0):
+        decision = "accept_h1"
+    elif first_h0 is not None:
+        decision = "accept_h0"
+    else:
+        decision = "continue"
+    out = pd.DataFrame([{"n": len(conv), "llr_final": final / 1e12,
+                         "first_h1": first_h1, "first_h0": first_h0,
+                         "decision": decision}])
+    out["first_h1"] = out["first_h1"].astype("Int64")
+    out["first_h0"] = out["first_h0"].astype("Int64")
+    return out
+
+
+@audit("q_eval_ece")
+def eval_ece():
+    # Expected calibration error (Naeini et al. 2015):
+    # ECE = sum_k n_k/N |pbar_k - obar_k|; MCE = max_k gap.
+    bins, y, pm = _calib_bins()
+    N = len(pm)
+    gaps = []
+    ece_q = 0
+    for b in sorted(np.unique(bins)):
+        m = bins == b
+        n = int(m.sum())
+        gap = r6(abs(int(pm[m].sum()) / (n * 1000) - int(y[m].sum()) / n))
+        gaps.append(gap)
+        ece_q += n * math.floor(gap * 1e6 + 0.5)
+    return pd.DataFrame([{"n": N, "k_bins": len(gaps),
+                          "ece": ece_q / (N * 1e6), "mce": max(gaps)}])
+
+
+# --- confusion / standardization / bloom / windows --------------------------------
+
+@audit("q_eval_confusion")
+def eval_confusion():
+    # per-class precision/recall/F1 from marginal identities:
+    # prec = tp/pred_c, rec = tp/actual_c, F1 = 2tp/(actual_c + pred_c).
+    d = table("documents")
+    pred = _langid_pred(d.text.values)
+    from collections import Counter
+    na = Counter(d.lang.values)
+    npred = Counter(pred)
+    tp = Counter(a for a, p in zip(d.lang.values, pred) if a == p)
+    rows = []
+    for c in sorted(na):
+        t, pn = tp.get(c, 0), npred.get(c, 0)
+        rows.append({"c": c, "tp": t, "fp": pn - t, "fn": na[c] - t,
+                     "prec": (t / pn) if pn > 0 else None,
+                     "rec": t / na[c],
+                     "f1": 2.0 * t / (na[c] + pn) if na[c] + pn > 0 else None})
+    return pd.DataFrame(rows)
+
+
+@audit("q_direct_standardization")
+def direct_standardization():
+    # Direct standardization (classic epidemiology): adjusted rate =
+    # sum_s w_s * rate_gs with w_s = n_s / N over the pooled standard
+    # population; each term floor-quantized at 1e-12.
+    e = table("events")
+    g = (e.user_id % 2 == 0).values
+    s = pd.DatetimeIndex(e.ts).hour.values
+    x = (e.event_type == "purchase").values.astype(int)
+    df = pd.DataFrame({"g": g, "s": s, "x": x})
+    cells = df.groupby(["g", "s"]).agg(n=("x", "size"), x=("x", "sum"))
+    n_s = df.groupby("s").size()
+    N = len(df)
+    rows = []
+    for gv in (False, True):
+        sub = cells.loc[gv]
+        term_q = sum(math.floor(int(n_s[sv]) * int(r.x)
+                                / (N * int(r.n)) * 1e12 + 0.5)
+                     for sv, r in sub.iterrows())
+        rows.append({"g": gv, "n": int(sub.n.sum()), "x": int(sub.x.sum()),
+                     "k_strata": len(sub),
+                     "crude_rate": int(sub.x.sum()) / int(sub.n.sum()),
+                     "adj_rate": term_q / 1e12})
+    return pd.DataFrame(rows)
+
+
+@audit("q_bloom_fpp")
+def bloom_fpp():
+    # Bloom filter (1970) observed false-positive rate with k=4 hashes
+    # into m=2048 bits, vs the exact membership ground truth.
+    c = table("customer")
+    o = table("orders")
+    a = set(int(k) for k in c[c.c_acctbal > 5000].c_custkey)
+    b = set(int(k) for k in o.o_custkey)
+    def positions(key):
+        return {md5h60(f"b{i}|{key}") % 2048 for i in range(4)}
+    bits = set()
+    for k in a:
+        bits |= positions(k)
+    n_true = len(a & b)
+    n_pass = sum(1 for k in b if positions(k) <= bits)
+    return pd.DataFrame([{
+        "n_build": len(a), "n_probe": len(b), "n_true": n_true,
+        "n_pass": n_pass, "n_false_pos": n_pass - n_true,
+        "fpp_observed": (n_pass - n_true) / (len(b) - n_true),
+        "m": 2048, "k": 4, "fill": len(bits) / 2048}])
+
+
+@audit("q_window_median")
+def window_median():
+    # trailing 25-row interpolated median of hourly counts per type.
+    e = table("events")
+    h = e.ts.values.astype("datetime64[h]")
+    ct = pd.DataFrame({"t": e.event_type.values, "h": h}) \
+        .groupby(["t", "h"]).size().rename("n").reset_index()
+    rows = []
+    for t, g in ct.groupby("t"):
+        g = g.sort_values("h")
+        ns = g.n.values
+        for i in range(len(g)):
+            w = ns[max(0, i - 24):i + 1].astype(float)
+            rows.append({"event_type": t,
+                         "h": g.h.values[i], "n": int(ns[i]),
+                         "med25": float(np.percentile(w, 50))})
+    return pd.DataFrame(rows)
+
+
+# --- HLL / DP / raking / text scores ---------------------------------------------
+
+def _hll_est(hashes, m):
+    """Flajolet-Fuller-Gandouet-Meunier (2007) HyperLogLog from 60-bit
+    hashes: register j = h mod m, rank = (60 - log2 m + 1) - bitlen(h div
+    m); raw = alpha_m m^2 / sum 2^-M_j; small-range linear counting
+    m ln(m/V) when raw <= 2.5m and V > 0."""
+    import math as _m
+    lb = int(_m.log2(m))
+    shift = 60 - lb + 1
+    regs = {}
+    for h in hashes:
+        j = h % m
+        w = h // m
+        mj = shift - w.bit_length()
+        regs[j] = max(regs.get(j, 0), mj)
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    two = 1 << shift
+    sp = sum(1 << (shift - mj) for mj in regs.values())
+    npz = len(regs)
+    raw = alpha * m * m * float(two) / (sp + (m - npz) * two)
+    v = m - npz
+    if v > 0 and raw <= 2.5 * m:
+        return r6(m * math.log(m / v))
+    return r6(raw)
+
+
+@audit("q_sketch_hll", atol=2e-6)
+def sketch_hll():
+    rows = []
+    for src, (toks, hs) in sorted(_source_token_hashes().items()):
+        rows.append({"source": src, "est_distinct": _hll_est(hs, 64),
+                     "n_exact": len(toks)})
+    return pd.DataFrame(rows)
+
+
+@audit("q_dp_noisy_counts")
+def dp_noisy_counts():
+    # Laplace mechanism (Dwork et al. 2006) with the inverse-CDF draw:
+    # noise = -(1/eps) sgn(u - 1/2) ln(1 - 2|u - 1/2|), u from the
+    # seeded md5 uniform (sensitivity 1, eps = 1).
+    d = table("documents")
+    rows = []
+    for lang, n in sorted(d.lang.value_counts().items()):
+        u = (md5h60(f"r9|{lang}") % 4503599627370496 + 0.5) / 4503599627370496
+        noise = -math.copysign(1.0, u - 0.5) * math.log(1 - 2 * abs(u - 0.5))
+        noise = math.floor(noise * 1e6 + 0.5) / 1e6
+        rows.append({"bin": lang, "n": int(n), "noise": noise,
+                     "n_noisy": r6(n + noise), "epsilon": 1.0})
+    return pd.DataFrame(rows)
+
+
+@audit("q_rake_weights")
+def rake_weights():
+    # Raking / iterative proportional fitting (Deming & Stephan 1940):
+    # alternately scale weights so row then column margins match the
+    # target population's; 8 double-passes in 1e6 truncating fixed point.
+    d = table("documents")
+    odd = d[d.doc_id % 2 == 1]
+    even = d[d.doc_id % 2 == 0]
+    cells = odd.groupby(["lang", "source"]).size().to_dict()
+    nn = sum(cells.values())
+    rr = even.lang.value_counts().to_dict()
+    cc = even.source.value_counts().to_dict()
+    rn = sum(rr.values())
+    tr = {r: (int(n) * nn) // rn for r, n in rr.items()}
+    tc = {c: (int(n) * nn) // rn for c, n in cc.items()}
+    w = {k: 1000000 for k in cells}
+    for _ in range(8):
+        rowsum = {}
+        for (r, c), n in cells.items():
+            rowsum[r] = rowsum.get(r, 0) + n * w[(r, c)]
+        w = {(r, c): (w[(r, c)] * tr.get(r, 0) * 1000000)
+             // max(rowsum[r], 1) for (r, c) in cells}
+        colsum = {}
+        for (r, c), n in cells.items():
+            colsum[c] = colsum.get(c, 0) + n * w[(r, c)]
+        w = {(r, c): (w[(r, c)] * tc.get(c, 0) * 1000000)
+             // max(colsum[c], 1) for (r, c) in cells}
+    rows = [{"lang": r, "source": c, "n": int(n),
+             "weight": w[(r, c)] / 1e6,
+             "n_weighted": r6(int(n) * float(w[(r, c)]) / 1e6)}
+            for (r, c), n in cells.items()]
+    rows.sort(key=lambda x: (x["lang"], x["source"]))
+    return pd.DataFrame(rows)
+
+
+@audit("text_quality")
+def text_quality():
+    # composite quality score: 0.4*TTR + 0.3*min(1, len/100)
+    # + 0.3*(1 - stopword fraction), stopwords {the, a}.
+    rows = []
+    for did, ts in sorted(_tokens_per_doc().items()):
+        n = len(ts)
+        ttr = len(set(ts)) / n
+        stop = sum(1 for t in ts if t in ("the", "a")) / n
+        rows.append({"doc_id": did,
+                     "quality": r6(ttr * 0.4 + min(1.0, n / 100.0) * 0.3
+                                   + (1 - stop) * 0.3)})
+    return pd.DataFrame(rows)
+
+
+@audit("text_langid")
+def text_langid():
+    d = table("documents")
+    pred = _langid_pred(d.text.values)
+    ct = pd.DataFrame({"lang": d.lang.values, "predicted": pred}) \
+        .groupby(["lang", "predicted"]).size()
+    return pd.DataFrame([{"lang": l, "predicted": p, "n": int(n)}
+                         for (l, p), n in sorted(ct.items())])
