@@ -2315,3 +2315,93 @@ def text_langid():
         .groupby(["lang", "predicted"]).size()
     return pd.DataFrame([{"lang": l, "predicted": p, "n": int(n)}
                          for (l, p), n in sorted(ct.items())])
+
+
+# --- LTTB / Gopher / k-fold -------------------------------------------------------
+
+@audit("q_lttb_downsample")
+def lttb_downsample():
+    # Largest-Triangle-Three-Buckets (Steinarsson 2013), fixed-anchor
+    # bucketed variant: interior points in 48 NTILE buckets; each bucket
+    # keeps its max-triangle-area point against the NEIGHBOR BUCKET MEANS
+    # (first/last raw points anchor the ends); area via the shoelace
+    # |x1(y2-y3)+x2(y3-y1)+x3(y1-y2)| (1e-6 fixed point, ties -> min t).
+    h = _hourly()
+    t = h.index.values.astype(np.int64)
+    v = h.values.astype(np.int64)
+    t0, v0 = int(t[0]), int(v[0])
+    t9, v9 = int(t[-1]), int(v[-1])
+    ti, vi = t[1:-1], v[1:-1]
+    n = len(ti)
+    base, extra = divmod(n, 48)
+    tiles = np.repeat(np.arange(1, 49),
+                      [base + (1 if k <= extra else 0) for k in range(1, 49)])
+    means = {}
+    for k in np.unique(tiles):
+        m = tiles == k
+        means[int(k)] = (ti[m].mean(), vi[m].mean())
+    sel = []
+    for k in np.unique(tiles):
+        tl, vl = means.get(int(k) - 1, (float(t0), float(v0)))
+        tr, vr = means.get(int(k) + 1, (float(t9), float(v9)))
+        m = tiles == k
+        best = None
+        for tt, vv in zip(ti[m], vi[m]):
+            area = math.floor(abs(tl * (vv - vr) + tt * (vr - vl)
+                                  + tr * (vl - vv)) * 1e6 + 0.5)
+            key = (-area, tt)
+            if best is None or key < best[0]:
+                best = (key, (int(tt), int(vv)))
+        sel.append(best[1])
+    pts = sorted([(t0, v0), (t9, v9)] + sel)
+    return pd.DataFrame([{"t": a, "v": b} for a, b in pts])
+
+
+@audit("text_gopher_rules")
+def gopher_rules():
+    # Gopher corpus-quality heuristics (Rae et al. 2021): word count,
+    # mean word length, symbol-to-word ratio, alphabetic-word fraction,
+    # stopword presence; pass = conjunction.
+    import re
+    stop = {"the", "be", "to", "of", "and", "that", "have", "with"}
+    alpha = re.compile("[A-Za-z]")
+    rows = []
+    for did, ts in sorted(_tokens_per_doc().items()):
+        n = len(ts)
+        sum_len = sum(len(t) for t in ts)
+        n_alpha = sum(1 for t in ts if alpha.search(t))
+        n_symbol = sum(1 for t in ts
+                       if t.startswith("#") or t.endswith("...")
+                       or t.endswith("…"))
+        n_stop = len(stop & set(ts))
+        ok_words = 50 <= n <= 100000
+        ok_wlen = 3 * n <= sum_len <= 10 * n
+        ok_symbol = 10 * n_symbol <= n
+        ok_alpha = 10 * n_alpha >= 8 * n
+        ok_stop = n_stop >= 2
+        rows.append({"doc_id": did, "n_words": n, "ok_words": ok_words,
+                     "ok_wlen": ok_wlen, "ok_symbol": ok_symbol,
+                     "ok_alpha": ok_alpha, "ok_stop": ok_stop,
+                     "pass": ok_words and ok_wlen and ok_symbol
+                             and ok_alpha and ok_stop})
+    return pd.DataFrame(rows)
+
+
+@audit("q_stratified_kfold")
+def stratified_kfold():
+    # stratified k-fold assignment: deterministic hash-ordered
+    # round-robin within each stratum (k = 5).
+    d = table("documents")
+    rows = []
+    for lang, g in d.groupby("lang"):
+        order = sorted(zip([md5h60(i) for i in g.doc_id], g.doc_id,
+                           g.n_chars))
+        agg = {}
+        for i, (_, did, nc) in enumerate(order):
+            f = i % 5
+            n, s = agg.get(f, (0, 0))
+            agg[f] = (n + 1, s + int(nc))
+        for f, (n, s) in sorted(agg.items()):
+            rows.append({"lang": lang, "fold": f, "n_docs": n,
+                         "sum_chars": s})
+    return pd.DataFrame(rows)
