@@ -119,9 +119,14 @@ object Bench {
     // complete per-query map → file (the line form stopped fitting the
     // harness's stdout tail once the query count passed ~150)
     val byNameAll = results.map(r => r._1 -> r._2).toMap
-    val canarySec = canary.flatMap(byNameAll.get).filter(_ >= 0).sum
+    // canary_n guards the normalization: a failed/filtered canary member
+    // would silently shrink the sum and misread as a host-load change,
+    // so consumers must check canary_n == 5 before dividing by it
+    val canaryTimes = canary.flatMap(byNameAll.get).filter(_ >= 0)
+    val canarySec = canaryTimes.sum
+    val canaryN = canaryTimes.size
     val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","canary_sec":$canarySec%.3f,"queries":${
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","canary_sec":$canarySec%.3f,"canary_n":$canaryN,"queries":${
         jmap(results.map(r => (r._1, r._2)))
       },"failed":$failed,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
@@ -131,7 +136,7 @@ object Bench {
     } catch { case t: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${t.getMessage}")
     }
-    val byName = results.map(r => r._1 -> r._2).toMap
+    val byName = byNameAll
     val fams = results.filter(_._3).groupBy(r => family(r._1)).toSeq
       .map { case (f, rs) => f -> rs.map(_._2).sum }.sortBy(_._1)
     val head = headline.flatMap(n => byName.get(n).map(n -> _))

@@ -848,7 +848,9 @@ object Queries {
     val stats = p.agg(count(lit(1)).as("n"),
       avg(length(col("p_name"))).as("len")).head()
     val nVariants = {
-      val l = stats.getDouble(1)
+      // avg() over zero rows is NULL — an empty parts input must size to
+      // the session default, not NPE at construction time
+      val l = if (stats.isNullAt(1)) 0.0 else stats.getDouble(1)
       stats.getLong(0) * (1 + l + l * (l - 1) / 2)
     }
     val sessionParts =

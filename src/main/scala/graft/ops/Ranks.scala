@@ -336,14 +336,32 @@ object Ranks {
     // BOUNDED collect: one row per group
     val counts = g.groupBy("g").agg(sum("c").as("n")).collect()
       .map(r => r.get(0) -> r.getLong(1))
-    val ranks = counts.flatMap { case (gk, n) =>
+    // build the rank-target frame with the GROUP KEY'S OWN TYPE — an
+    // asInstanceOf[String] here worked on string keys and became a
+    // scale-dependent ClassCastException the moment the dispatcher
+    // routed an int-keyed frame to this path (r10 review finding)
+    val rankRows = counts.toSeq.flatMap { case (gk, n) =>
       fractions.zipWithIndex.map { case (p, ix) =>
         val h = p * (n - 1)
         val lo = math.floor(h).toLong + 1
-        (gk.asInstanceOf[String], ix + 1, p, h - math.floor(h), lo,
+        org.apache.spark.sql.Row(gk, ix + 1, p, h - math.floor(h), lo,
           math.min(lo + 1, n))
       }
-    }.toSeq.toDF("g", "i", "p", "frac", "r_lo", "r_hi")
+    }
+    val rankSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("g", g.schema("g").dataType),
+      org.apache.spark.sql.types.StructField("i",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("p",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("frac",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("r_lo",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("r_hi",
+        org.apache.spark.sql.types.LongType)))
+    import scala.jdk.CollectionConverters._
+    val ranks = spark.createDataFrame(rankRows.asJava, rankSchema)
     val cum = prefixCountsBy(g, Seq("g", "v"), Seq("c"))
       .localCheckpoint() // consumers: offsets + both rank joins
     val off = cum.groupBy(col("g").as("g2"))

@@ -294,10 +294,11 @@ if __name__ == "__main__":
           "",
           f"Engine outputs from `graft.Verify` at `{SF_DIR}`; every statistic",
           "recomputed with independent textbook algebra (numpy/float64, no",
-          "scipy in this image) by `tools/stat_audit.py`. `max_abs_diff` is",
-          "over all float columns after column-name-sorted alignment;",
-          "non-float columns compare exactly.",
-          "", "| query | verdict | max_abs_diff | detail |", "|---|---|---|---|"]
+          "scipy in this image) by `tools/stat_audit.py`. `max_scaled_diff`",
+          "= max over float cells of |expected-got| / max(1, |expected|)",
+          "after column-name-sorted alignment; non-float columns compare",
+          "exactly.",
+          "", "| query | verdict | max_scaled_diff | detail |", "|---|---|---|---|"]
     for name, verdict, maxd, detail in rows:
         md.append(f"| {name} | {verdict} | "
                   f"{('%.2e' % maxd) if maxd is not None else '-'} | {detail[:90]} |")

@@ -1272,8 +1272,6 @@ def quality_benford():
     # deviation of observed counts from the expectation.
     o = table("orders")
     cents = half_up(o.o_totalprice.values, 100)
-    first = np.array([str(c / 100 if c % 100 else c // 100)[0]
-                      for c in cents])
     # string form of DECIMAL(12,2) always starts with the integer part
     first = np.array([str(abs(c))[0] if abs(c) >= 100 else "0"
                       for c in cents])
@@ -1431,15 +1429,23 @@ def hill_tail():
     return pd.DataFrame([{"k": k, "f_ref": f_ref, "hill_alpha": alpha}])
 
 
+_STH_CACHE = None
+
 def _source_token_hashes():
+    # memoized: several audits call this twice (sigs + sets), and the
+    # per-token md5 is the dominant audit cost
+    global _STH_CACHE
+    if _STH_CACHE is not None:
+        return _STH_CACHE
     d = table("documents")
     out = {}
     import re
     for src, txt in zip(d.source, d.text):
         toks = re.split(r"\s+", txt.strip()) if txt.strip() else [""]
         out.setdefault(src, set()).update(toks)
-    return {s: (toks, sorted(md5h60(t) for t in toks))
-            for s, toks in out.items()}
+    _STH_CACHE = {s: (toks, sorted(md5h60(t) for t in toks))
+                  for s, toks in out.items()}
+    return _STH_CACHE
 
 
 @audit("q_sketch_kmv_distinct")
@@ -1786,8 +1792,6 @@ def rfm_segments():
         return "regular"
     g["segment"] = g.apply(seg, axis=1)
     g["monetary"] = [rn(m, 2) for m in g.monetary]
-    g = g.sort_values(["r_score", "o_custkey"], kind="mergesort",
-                      key=None)
     g["ord"] = g.r_score + g.f_score + g.m_score
     g = g.sort_values(["ord", "o_custkey"], kind="mergesort").head(50)
     return g[["o_custkey", "recency_days", "frequency", "monetary",
