@@ -2409,3 +2409,157 @@ def stratified_kfold():
             rows.append({"lang": lang, "fold": f, "n_docs": n,
                          "sum_chars": s})
     return pd.DataFrame(rows)
+
+
+# --- deterministic sampling family --------------------------------------------------
+
+@audit("q_sample_hash")
+def sample_hash():
+    # deterministic 5% hash sample: keep rows with h(id) mod 20 == 0.
+    d = table("documents")
+    keep = d[[md5h60(i) % 20 == 0 for i in d.doc_id]]
+    g = keep.groupby("lang").doc_id.agg(["size", "min", "max"])
+    return pd.DataFrame([{"lang": l, "n": int(r["size"]),
+                          "min_id": int(r["min"]), "max_id": int(r["max"])}
+                         for l, r in g.iterrows()])
+
+
+@audit("q_sample_stratified")
+def sample_stratified():
+    # stratified top-20 per stratum under the deterministic hash order.
+    d = table("documents")
+    rows = []
+    for lang, g in d.groupby("lang"):
+        order = sorted((md5h60(i), int(i)) for i in g.doc_id)[:20]
+        for rn, (_, did) in enumerate(order, start=1):
+            rows.append({"lang": lang, "rn": rn, "doc_id": did})
+    rows.sort(key=lambda r: (r["lang"], r["rn"]))
+    return pd.DataFrame(rows)
+
+
+@audit("q_sample_weighted")
+def sample_weighted():
+    # weighted reservoir sampling via exponential clocks (Efraimidis &
+    # Spirakis 2006, the -ln(u)/w arrival form): smallest 25 arrivals;
+    # u seeded from a 52-bit md5 prefix.
+    d = table("documents")
+    import hashlib
+    rows = []
+    for did, nc in zip(d.doc_id, d.n_chars):
+        h = int(hashlib.md5(str(did).encode()).hexdigest()[:13], 16)
+        arrival = -math.log((h + 1) / 4503599627370496.0) / nc
+        rows.append((arrival, int(did), int(nc)))
+    rows.sort()
+    # the engine presents the selected SET ordered by doc_id (driver
+    # compare re-sorts rows; membership is the sampling semantics)
+    return pd.DataFrame([{"doc_id": i, "n_chars": c}
+                         for _, i, c in sorted(rows[:25],
+                                               key=lambda r: r[1])])
+
+
+@audit("q_sample_temperature")
+def sample_temperature():
+    # temperature-sampling allocation (T=2 -> w ~ n^(1/2), the
+    # multilingual corpus-balancing rule): integer sqrt in 1e6 fixed
+    # point, budget 10000 docs split proportionally.
+    d = table("documents")
+    c = d.source.value_counts().sort_index()
+    ws = {}
+    for src, n in c.items():
+        x = int(n) * 1000000
+        s0 = math.floor(math.sqrt(float(x)))
+        if (s0 + 1) * (s0 + 1) <= x:
+            s0 += 1
+        elif s0 * s0 > x:
+            s0 -= 1
+        ws[src] = s0
+    tw = sum(ws.values())
+    return pd.DataFrame([{"source": s, "n_docs": int(c[s]), "w_fp": ws[s],
+                          "alloc_docs": (ws[s] * 10000) // tw}
+                         for s in sorted(ws)])
+
+
+@audit("q_sample_budget")
+def sample_budget():
+    # per-source doc budget (5 + len(source) mod 7) under hash order.
+    d = table("documents")
+    rows = []
+    for src, g in d.groupby("source"):
+        budget = 5 + (len(src) % 7)
+        order = sorted((md5h60(i), int(i)) for i in g.doc_id)[:budget]
+        for rn, (_, did) in enumerate(order, start=1):
+            rows.append({"source": src, "doc_id": did, "rn": rn})
+    rows.sort(key=lambda r: (r["source"], r["rn"]))
+    return pd.DataFrame(rows)
+
+
+@audit("q_sample_token_budget")
+def sample_token_budget():
+    # token-budget packing: hash-ordered running token sum per source,
+    # keep while cum <= 400.
+    d = table("documents")
+    toks = _tokens_per_doc()
+    rows = []
+    for src, g in d.groupby("source"):
+        order = sorted((md5h60(i), int(i)) for i in g.doc_id)
+        cum = 0
+        for _, did in order:
+            n = len(toks[did])
+            cum += n
+            if cum <= 400:
+                rows.append({"source": src, "doc_id": did, "n_tok": n,
+                             "cum_tok": cum})
+    rows.sort(key=lambda r: (r["source"], r["doc_id"]))
+    return pd.DataFrame(rows)
+
+
+@audit("q_sketch_cms")
+def sketch_cms():
+    # Count-Min sketch (Cormode & Muthukrishnan 2005): 4 rows x 256
+    # buckets, point estimate = min over rows of the bucket counter;
+    # probed at the exact top-20 tokens (estimate >= truth always).
+    from collections import Counter
+    toks = []
+    for ts in _tokens_per_doc().values():
+        toks.extend(ts)
+    cells = {}
+    for t in toks:
+        for r in range(4):
+            b = md5h60(f"{r}|{t}") % 256
+            cells[(r, b)] = cells.get((r, b), 0) + 1
+    f = Counter(toks)
+    top = sorted(f.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    rows = []
+    for t, n in top:
+        est = min(cells[(r, md5h60(f"{r}|{t}") % 256)] for r in range(4))
+        assert est >= n, (t, est, n)   # the CMS one-sided guarantee
+        rows.append({"tok": t, "n_true": n, "n_est": est})
+    return pd.DataFrame(rows)
+
+
+@audit("q_value_bands")
+def value_bands():
+    # hourly value bands: type-7 deciles of exact cents per hour-of-day.
+    e = table("events")
+    hod = pd.DatetimeIndex(e.ts).hour.values
+    v = half_up(e.value.values, 100).astype(float)
+    rows = []
+    for h in sorted(np.unique(hod)):
+        q = np.percentile(v[hod == h], [10, 50, 90])
+        rows.append({"hod": f"{h:02d}", "p10_cents": q[0],
+                     "p50_cents": q[1], "p90_cents": q[2]})
+    return pd.DataFrame(rows)
+
+
+@audit("q_split_train_val")
+def split_train_val():
+    # deterministic 80/10/10 hash split — disjoint and exhaustive.
+    d = table("documents")
+    s = [("train" if md5h60(i) % 100 < 80 else
+          "val" if md5h60(i) % 100 < 90 else "test") for i in d.doc_id]
+    g = pd.DataFrame({"split": s, "lang": d.lang.values,
+                      "doc_id": d.doc_id.values}) \
+        .groupby(["split", "lang"]).doc_id.agg(["size", "min", "max"])
+    return pd.DataFrame([{"split": sp, "lang": l, "n": int(r["size"]),
+                          "min_id": int(r["min"]), "max_id": int(r["max"])}
+                         for (sp, l), r in sorted(g.iterrows())])
