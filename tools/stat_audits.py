@@ -2563,3 +2563,127 @@ def split_train_val():
     return pd.DataFrame([{"split": sp, "lang": l, "n": int(r["size"]),
                           "min_id": int(r["min"]), "max_id": int(r["max"])}
                          for (sp, l), r in sorted(g.iterrows())])
+
+
+# --- IR / language modeling -----------------------------------------------------
+
+@audit("text_tfidf_topk")
+def tfidf_topk():
+    # raw TF-IDF with the multiplicative idf N/df (Sparck Jones 1972,
+    # log-free presentation): top-3 terms per doc for doc_id < 80.
+    from collections import Counter
+    toks = _tokens_per_doc()
+    df = Counter()
+    for ts in toks.values():
+        df.update(set(ts))
+    nd = len(toks)
+    rows = []
+    for did in sorted(toks):
+        if did >= 80:
+            continue
+        tf = Counter(toks[did])
+        scored = sorted(((t, n, df[t], n * nd / df[t])
+                         for t, n in tf.items()),
+                        key=lambda x: (-x[3], x[0]))[:3]
+        for rk, (t, n, d, s) in enumerate(scored, start=1):
+            rows.append({"doc_id": did, "rk": rk, "tok": t, "tf": n,
+                         "dfreq": d, "tfidf": s})
+    return pd.DataFrame(rows)
+
+
+@audit("text_collocations")
+def collocations():
+    # window-2 collocation score: the PMI ratio P(w1,w2)/(P(w1)P(w2))
+    # in 1e6 fixed point (log-free monotone form), min pair count 5,
+    # symmetric pairs over offsets 1 and 2, top 20.
+    from collections import Counter
+    toks = _tokens_per_doc()
+    pairs = Counter()
+    uni = Counter()
+    for ts in toks.values():
+        uni.update(ts)
+        for off in (1, 2):
+            for a, b in zip(ts, ts[off:]):
+                pairs[(a, b)] += 1
+                pairs[(b, a)] += 1
+    T = sum(uni.values())
+    scored = [(w1, w2, n, (n * T * 1000000) // (uni[w1] * uni[w2]))
+              for (w1, w2), n in pairs.items() if n >= 5]
+    scored.sort(key=lambda x: (-x[3], x[0], x[1]))
+    return pd.DataFrame([{"rk": i + 1, "w1": w1, "w2": w2, "n": n,
+                          "score_fp": s}
+                         for i, (w1, w2, n, s) in enumerate(scored[:20])])
+
+
+@audit("text_bm25_topk")
+def bm25_topk():
+    # Okapi BM25 (Robertson et al. 1994) k1=1.2, b=0.75, with the
+    # engine's log-free rational idf (N-df+0.5)/(df+0.5) and exact
+    # integer fixed point: tf-term = tf(k1+1)/(tf + k1(1-b+b dl/avgdl)).
+    from collections import Counter
+    toks = _tokens_per_doc()
+    N = len(toks)
+    T = sum(len(ts) for ts in toks.values())
+    dl = {d: len(ts) for d, ts in toks.items()}
+    queries = {"q_analytics": ["query", "filter", "join"],
+               "q_streaming": ["stream", "window", "scan"],
+               "q_physical": ["hash", "merge", "sort", "table"]}
+    qtoks = {t for ts in queries.values() for t in ts}
+    tf = {}
+    for d, ts in toks.items():
+        c = Counter(t for t in ts if t in qtoks)
+        for t, n in c.items():
+            tf[(d, t)] = n
+    dfq = Counter(t for (_, t) in tf)
+    rows = []
+    for qid, ts in queries.items():
+        scores = {}
+        for (d, t), n in tf.items():
+            if t not in ts:
+                continue
+            idf_fp = ((2 * (N - dfq[t]) + 1) * 1000000) // (2 * dfq[t] + 1)
+            tf_fp = (22 * T * n * 1000000) // (10 * T * n + 3 * T
+                                               + 9 * dl[d] * N)
+            scores[d] = scores.get(d, 0) + idf_fp * tf_fp
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        for rnk, (d, s) in enumerate(top, start=1):
+            rows.append({"query_id": qid, "rnk": rnk, "doc_id": d,
+                         "score_fp": s})
+    rows.sort(key=lambda r: (r["query_id"], r["rnk"]))
+    return pd.DataFrame(rows)
+
+
+@audit("text_lm_kneser_ney")
+def lm_kneser_ney():
+    # Interpolated Kneser-Ney bigram probability (Kneser & Ney 1995;
+    # Chen & Goodman 1999), discount D = 0.75:
+    # p(w2|w1) = max(c(w1 w2)-D, 0)/c(w1 .)
+    #          + D N1+(w1 .)/c(w1 .) * N1+(. w2)/|bigram types|;
+    # per-doc score = mean over its bigrams (positional sum order).
+    from collections import Counter
+    toks = _tokens_per_doc()
+    bi = Counter()
+    for ts in toks.values():
+        for a, b in zip(ts, ts[1:]):
+            bi[(a, b)] += 1
+    cw1, n1l, n1r = Counter(), Counter(), Counter()
+    for (a, b), n in bi.items():
+        cw1[a] += n
+        n1l[a] += 1
+        n1r[b] += 1
+    tt = len(bi)
+    rows = []
+    for did in sorted(toks):
+        ts = toks[did]
+        if len(ts) < 2:
+            continue
+        acc = 0.0
+        nb = 0
+        for a, b in zip(ts, ts[1:]):
+            p = max(bi[(a, b)] - 0.75, 0.0) / cw1[a] \
+                + (0.75 * n1l[a] / cw1[a]) * (n1r[b] / tt)
+            acc += p
+            nb += 1
+        rows.append({"doc_id": did, "n_bigrams": nb,
+                     "kn_score": math.floor(acc / nb * 1e6 + 0.5) / 1e6})
+    return pd.DataFrame(rows)
