@@ -2687,3 +2687,69 @@ def lm_kneser_ney():
         rows.append({"doc_id": did, "n_bigrams": nb,
                      "kn_score": math.floor(acc / nb * 1e6 + 0.5) / 1e6})
     return pd.DataFrame(rows)
+
+
+@audit("q_markov_transitions")
+def markov_transitions():
+    # first-order empirical transition matrix: p(next|cur) = n / rowsum.
+    e = table("events").sort_values(["user_id", "ts", "event_id"],
+                                    kind="mergesort")
+    from collections import Counter
+    cells = Counter()
+    for _, g in e.groupby("user_id"):
+        ts = list(g.event_type.values)
+        for a, b in zip(ts, ts[1:]):
+            cells[(a, b)] += 1
+    tn = Counter()
+    for (a, _), n in cells.items():
+        tn[a] += n
+    return pd.DataFrame([{"cur": a, "nxt": b, "n": n, "p": n / tn[a]}
+                         for (a, b), n in sorted(cells.items())])
+
+
+def _bpe(rounds=6):
+    """Byte-pair encoding training (Sennrich, Haddow & Birch 2016):
+    start from character units over the word-frequency table; each round
+    merges the most frequent adjacent unit pair (ties: pair string asc)
+    by a greedy left-to-right fold."""
+    from collections import Counter
+    words = Counter()
+    for ts in _tokens_per_doc().values():
+        words.update(ts)
+    seqs = {w: [list(w), int(f)] for w, f in words.items() if len(w) >= 2}
+    merges = []
+    for k in range(1, rounds + 1):
+        pc = Counter()
+        for u, f in seqs.values():
+            for a, b in zip(u, u[1:]):
+                pc[(a, b)] += f
+        (a, b), n = min(pc.items(),
+                        key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1]))
+        merges.append((k, f"{a} {b}", int(n)))
+        for w, (u, f) in seqs.items():
+            acc = []
+            for x in u:
+                if acc and acc[-1] == a and x == b:
+                    acc[-1] = acc[-1] + x
+                else:
+                    acc.append(x)
+            seqs[w][0] = acc
+    vocab = Counter()
+    for u, f in seqs.values():
+        for unit in u:
+            vocab[unit] += f
+    return merges, vocab
+
+
+@audit("text_bpe_merges")
+def bpe_merges():
+    merges, _ = _bpe(6)
+    return pd.DataFrame([{"round": k, "pair": p, "n": n}
+                         for k, p, n in merges])
+
+
+@audit("text_bpe_vocab")
+def bpe_vocab():
+    _, vocab = _bpe(6)
+    top = sorted(vocab.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    return pd.DataFrame([{"unit": u, "n": n} for u, n in top])
