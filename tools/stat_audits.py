@@ -2753,3 +2753,97 @@ def bpe_vocab():
     _, vocab = _bpe(6)
     top = sorted(vocab.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     return pd.DataFrame([{"unit": u, "n": n} for u, n in top])
+
+
+# --- join-size sketch / gapfill / DSIR ----------------------------------------------
+
+@audit("q_sketch_join_size")
+def sketch_join_size():
+    # KMV-based equi-join size estimation (Vengerov et al. 2015 shape):
+    # |A join B| ~= J/(1+J) (Da+Db) * (na/Da) * (nb/Db) from bottom-128
+    # signatures, vs the exact sum of per-key count products.
+    o = table("orders")
+    e = table("events")
+    ka = [int(k) for k in o.o_custkey]
+    kb = [int(k) for k in e.user_id]
+    sha = sorted({md5h60(k) for k in set(ka)})
+    shb = sorted({md5h60(k) for k in set(kb)})
+    def kmv_d(hs):
+        return float(len(hs)) if len(hs) < 128 \
+            else r6(127.0 * 1152921504606846976.0 / hs[127])
+    da, db = kmv_d(sha), kmv_d(shb)
+    siga, sigb = set(sha[:128]), set(shb[:128])
+    low = sorted(siga | sigb)[:128]
+    ej = r6(len([h for h in low if h in siga and h in sigb]) / 128)
+    from collections import Counter
+    ca, cb = Counter(ka), Counter(kb)
+    n_exact = sum(ca[k] * cb[k] for k in ca.keys() & cb.keys())
+    est = r6(ej * (da + db) / (1.0 + ej) * (len(ka) / da) * (len(kb) / db))
+    return pd.DataFrame([{"est_join": est, "n_exact": n_exact,
+                          "rel_err": (est - n_exact) / n_exact}])
+
+
+@audit("q_resample_gapfill")
+def resample_gapfill():
+    # hourly spine per user with last-observation-carried-forward fill.
+    e = table("events")
+    e = e[(e.event_type == "purchase") & (e.user_id < 40)]
+    h = e.ts.values.astype("datetime64[h]")
+    obs = pd.DataFrame({"u": e.user_id.values, "h": h}) \
+        .groupby(["u", "h"]).size().rename("n")
+    rows = []
+    for u in sorted(obs.index.get_level_values(0).unique()):
+        series = obs.loc[u]
+        lo, hi = series.index.min(), series.index.max()
+        last = None
+        t = lo
+        while t <= hi:
+            n = int(series[t]) if t in series.index else None
+            if n is not None:
+                last = n
+            rows.append({"user_id": u, "h": t, "n": n, "n_fill": last})
+            t += np.timedelta64(1, "h")
+    df = pd.DataFrame(rows)
+    df["n"] = df["n"].astype("Int64")
+    df["n_fill"] = df["n_fill"].astype("Int64")
+    return df
+
+
+def _dsir_weights():
+    """DSIR domain-affinity weights (Xie et al. 2023, unigram form with
+    add-one smoothing): per raw-pool doc, mean over tokens of
+    p_target(tok)/p_raw(tok)."""
+    d = table("documents")
+    toks = _tokens_per_doc()
+    from collections import Counter
+    ct, cs = Counter(), Counter()
+    is_t = {int(i): s == "src0" for i, s in zip(d.doc_id, d.source)}
+    for did, ts in toks.items():
+        (ct if is_t[did] else cs).update(ts)
+    vocab = set(ct) | set(cs)
+    nt, ns, v = sum(ct.values()), sum(cs.values()), len(vocab)
+    rows = []
+    for did in sorted(toks):
+        if is_t[did]:
+            continue
+        ts = toks[did]
+        acc = 0.0
+        for t in ts:
+            acc += (ct[t] + 1) * (ns + v) / ((cs[t] + 1) * (nt + v))
+        rows.append({"doc_id": did, "n_toks": len(ts),
+                     "dsir_w": math.floor(acc / len(ts) * 1e6 + 0.5) / 1e6})
+    return rows
+
+
+@audit("q_dsir_weights")
+def dsir_weights():
+    return pd.DataFrame(_dsir_weights())
+
+
+@audit("q_dsir_resample")
+def dsir_resample():
+    d = table("documents")
+    src = {int(i): s for i, s in zip(d.doc_id, d.source)}
+    rows = sorted(_dsir_weights(), key=lambda r: (-r["dsir_w"], r["doc_id"]))[:30]
+    return pd.DataFrame([{"doc_id": r["doc_id"], "source": src[r["doc_id"]],
+                          "dsir_w": r["dsir_w"]} for r in rows])
