@@ -34,12 +34,20 @@ object ProbeSoak {
       val tCapped = (System.nanoTime() - t0) / 1e9
       // linkage candidate pairs (the q_link_matches / q_golden_record
       // work measure): dirty mentions blocked against customers, scored
-      // 1:1 — the count IS the blocked-pair count
+      // 1:1 — the count IS the blocked-pair count. Also time the
+      // documented >=sf30 mitigation (maxBlockPairs) to prove the capped
+      // slope at each scale.
       val cust = spark.read.parquet(s"$dir/customer.parquet")
+      var tl = System.nanoTime()
       val nLink = graft.ops.Linkage.linkCustomers(cust).count()
+      val tExactLink = (System.nanoTime() - tl) / 1e9
+      tl = System.nanoTime()
+      val nLinkCap = graft.ops.Linkage
+        .linkCustomers(cust, maxBlockPairs = 100000L).count()
+      val tCapLink = (System.nanoTime() - tl) / 1e9
       println(f"$dir%-10s docs=$nDocs%8d lsh_cand=$nCand%10d verified=$nPairs%7d " +
         f"cluster_exact=$tExact%6.1fs($exactN) cluster_cap50=$tCapped%6.1fs($cappedN) " +
-        f"link_cand=$nLink%10d")
+        f"link_cand=$nLink%10d ${tExactLink}%.1fs link_cap=$nLinkCap%10d ${tCapLink}%.1fs")
     }
     spark.stop()
   }
