@@ -2847,3 +2847,91 @@ def dsir_resample():
     rows = sorted(_dsir_weights(), key=lambda r: (-r["dsir_w"], r["doc_id"]))[:30]
     return pd.DataFrame([{"doc_id": r["doc_id"], "source": src[r["doc_id"]],
                           "dsir_w": r["dsir_w"]} for r in rows])
+
+
+# --- HLL variants / CMS cells / synthetic tiles -------------------------------------
+
+def _all_token_hashes():
+    hs = set()
+    for _, (toks, _) in _source_token_hashes().items():
+        hs.update(md5h60(t) for t in toks)
+    return sorted(hs)
+
+
+@audit("q_sketch_hll_merge", atol=2e-6)
+def sketch_hll_merge():
+    # HLL registers merge by max — the whole-corpus estimate from the
+    # union of per-source streams equals the single-stream estimate.
+    hs = _all_token_hashes()
+    from collections import Counter
+    toks = set()
+    for _, (ts, _) in _source_token_hashes().items():
+        toks.update(ts)
+    return pd.DataFrame([{"scope": "all", "est_distinct": _hll_est(hs, 64),
+                          "n_exact": len(toks)}])
+
+
+@audit("q_sketch_hll_windowed", atol=2e-6)
+def sketch_hll_windowed():
+    # per-hour distinct-user HLL vs exact.
+    e = table("events")
+    hour = e.ts.values.astype("datetime64[h]")
+    df = pd.DataFrame({"hour": hour, "u": e.user_id.values}) \
+        .drop_duplicates()
+    rows = []
+    for h, g in df.groupby("hour"):
+        hs = sorted({md5h60(u) for u in g.u})
+        rows.append({"hour": h, "est_distinct": _hll_est(hs, 64),
+                     "n_exact": len(g)})
+    return pd.DataFrame(rows)
+
+
+@audit("stream_hll")
+def stream_hll_registers():
+    # the raw per-source HLL register state (j -> max rank) — mergeable
+    # streaming state, compared register-by-register.
+    rows = []
+    for src, (toks, _) in sorted(_source_token_hashes().items()):
+        regs = {}
+        for t in toks:
+            h = md5h60(t)
+            j, w = h % 64, h // 64
+            regs[j] = max(regs.get(j, 0), 55 - w.bit_length())
+        for j in sorted(regs):
+            rows.append({"source": src, "j": j, "mj": regs[j]})
+    return pd.DataFrame(rows)
+
+
+@audit("stream_cms_cells")
+def stream_cms_cells():
+    # the raw CMS counter grid (4 x 256) over all tokens.
+    from collections import Counter
+    cells = Counter()
+    for ts in _tokens_per_doc().values():
+        for t in ts:
+            for r in range(4):
+                cells[(r, md5h60(f"{r}|{t}") % 256)] += 1
+    return pd.DataFrame([{"r": r, "bucket": b, "c": n}
+                         for (r, b), n in sorted(cells.items())])
+
+
+@audit("multimodal_tile_stats")
+def multimodal_tile_stats():
+    # 2x2 tile RGB sums over deterministic synthetic pixels — validates
+    # the tile bucketing and channel extraction arithmetic.
+    d = table("documents")
+    rows = []
+    for did in sorted(int(i) for i in d.doc_id if i < 50):
+        w, h = 8 + did % 9, 8 + did % 7
+        agg = {}
+        for x in range(w):
+            for y in range(h):
+                v = (did * 1315423911 + x * 2654435761 + y * 40503) & 16777215
+                tr, tc = (y * 2) // h, (x * 2) // w
+                n, r, g, b = agg.get((tr, tc), (0, 0, 0, 0))
+                agg[(tr, tc)] = (n + 1, r + ((v >> 16) & 255),
+                                 g + ((v >> 8) & 255), b + (v & 255))
+        for (tr, tc), (n, r, g, b) in sorted(agg.items()):
+            rows.append({"id": did, "tr": tr, "tc": tc, "n_px": n,
+                         "sum_r": r, "sum_g": g, "sum_b": b})
+    return pd.DataFrame(rows)
