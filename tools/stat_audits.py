@@ -2935,3 +2935,44 @@ def multimodal_tile_stats():
             rows.append({"id": did, "tr": tr, "tc": tc, "n_px": n,
                          "sum_r": r, "sum_g": g, "sum_b": b})
     return pd.DataFrame(rows)
+
+
+@audit("q_eval_hll_error", atol=2e-6)
+def eval_hll_error():
+    # HLL precision sweep over the 3-gram shingle universe, m = 16/64/256
+    # (stderr ~ 1.04/sqrt(m); linear counting where raw <= 2.5m).
+    shingles = set()
+    for ts in _tokens_per_doc().values():
+        seen = set()
+        for i in range(max(len(ts) - 2, 0)):
+            seen.add(" ".join(ts[i:i + 3]))
+        shingles.update(seen)
+    hs = sorted(md5h60(g) for g in shingles)
+    n = len(shingles)
+    rows = []
+    for m in (16, 64, 256):
+        est = _hll_est(hs, m)
+        rows.append({"m": m, "est_distinct": est, "n_exact": n,
+                     "rel_err": r6((est - n) / n)})
+    return pd.DataFrame(rows)
+
+
+@audit("q_quality_checks")
+def quality_checks():
+    # data-quality rule counters: not-null, range, uniqueness, FK orphans.
+    o = table("orders")
+    c = table("customer")
+    fk = (~o.o_custkey.isin(set(c.c_custkey))).sum()
+    rows = [
+        {"rule": "foreign_key:o_custkey", "n_violations": int(fk)},
+        {"rule": "in_range:o_totalprice",
+         "n_violations": int(((o.o_totalprice < 0)
+                              | (o.o_totalprice >= 1e7)
+                              | o.o_totalprice.isna()).sum())},
+        {"rule": "not_null:o_orderkey",
+         "n_violations": int(o.o_orderkey.isna().sum())},
+        {"rule": "unique:o_orderkey",
+         "n_violations": int(o.o_orderkey.notna().sum()
+                             - o.o_orderkey.nunique())},
+    ]
+    return pd.DataFrame(rows)
