@@ -2976,3 +2976,235 @@ def quality_checks():
                              - o.o_orderkey.nunique())},
     ]
     return pd.DataFrame(rows)
+
+
+# --- MinHash-LSH pipeline (the flagship dedup operators) --------------------------
+# Kirsch & Mitzenmacher (2006) double hashing over an md5 base:
+# hash_i(t) = h1(t) + i*h2(t) with h1 = 60-bit, h2 = 56-bit md5 slices;
+# signature_i = min over 3-token shingles; 3 bands x 3 rows; bucket
+# digest = md5("v|v|v" of the band's signature values).
+
+def _shingles3(ts):
+    if len(ts) < 3:
+        return set()
+    return {" ".join(ts[i:i + 3]) for i in range(len(ts) - 2)}
+
+
+def _minhash_sig(shingles, k=9):
+    import hashlib
+    mins = [None] * k
+    for t in shingles:
+        hx = hashlib.md5(t.encode()).hexdigest()
+        h1 = int(hx[:15], 16)
+        h2 = int(hx[15:29], 16)
+        for i in range(k):
+            v = h1 + i * h2
+            if mins[i] is None or v < mins[i]:
+                mins[i] = v
+    return mins
+
+
+def _lsh_pipeline(doc_filter=lambda d: True):
+    """returns (shingle sets, candidate pairs, verified pairs >= 0.5)."""
+    import hashlib
+    sh = {d: _shingles3(ts) for d, ts in _tokens_per_doc().items()
+          if doc_filter(d)}
+    buckets = {}
+    for d, s in sh.items():
+        sig = _minhash_sig(s)
+        for b in range(3):
+            dig = hashlib.md5(
+                "|".join(str(v) for v in sig[3 * b:3 * b + 3]).encode()
+            ).hexdigest()
+            buckets.setdefault((b, dig), []).append(d)
+    cand = set()
+    for ds in buckets.values():
+        ds = sorted(ds)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                cand.add((ds[i], ds[j]))
+    verified = {}
+    for a, b in cand:
+        inter = len(sh[a] & sh[b])
+        jac = r6(inter / len(sh[a] | sh[b]))
+        if jac >= 0.5:
+            verified[(a, b)] = jac
+    return sh, cand, verified
+
+
+def _components(pairs):
+    """min-reachable-id label per node of the undirected pair graph."""
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    label = {}
+    for start in sorted(adj):
+        if start in label:
+            continue
+        comp, stack = [], [start]
+        seen = {start}
+        while stack:
+            x = stack.pop()
+            comp.append(x)
+            for y in adj[x]:
+                if y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        m = min(comp)
+        for x in comp:
+            label[x] = m
+    return label
+
+
+@audit("dedup_minhash_lsh")
+def dedup_minhash_lsh():
+    _, _, verified = _lsh_pipeline()
+    return pd.DataFrame([{"a_id": a, "b_id": b, "jac": j}
+                         for (a, b), j in sorted(verified.items())])
+
+
+@audit("dedup_cluster")
+def dedup_cluster():
+    _, _, verified = _lsh_pipeline()
+    label = _components(verified.keys())
+    return pd.DataFrame([{"doc_id": d, "cluster_id": label[d]}
+                         for d in sorted(label)])
+
+
+@audit("dedup_survivors")
+def dedup_survivors():
+    d = table("documents")
+    _, _, verified = _lsh_pipeline()
+    label = _components(verified.keys())
+    dropped = {x for x, l in label.items() if l != x}
+    keep = d[~d.doc_id.isin(dropped)]
+    g = keep.groupby("source").agg(n_docs=("doc_id", "size"),
+                                   sum_chars=("n_chars", "sum"))
+    return pd.DataFrame([{"source": s, "n_docs": int(r.n_docs),
+                          "sum_chars": int(r.sum_chars)}
+                         for s, r in g.iterrows()])
+
+
+@audit("dedup_survivor_weights")
+def dedup_survivor_weights():
+    _, _, verified = _lsh_pipeline()
+    label = _components(verified.keys())
+    from collections import Counter
+    w = Counter(label.values())
+    return pd.DataFrame([{"doc_id": k, "weight": n}
+                         for k, n in sorted(w.items()) if n > 1])
+
+
+@audit("dedup_priority_survivors")
+def dedup_priority_survivors():
+    # keeper = min (priority, id) within each cluster; priority here is
+    # -int(source[3:5]) (trust the higher-numbered source).
+    d = table("documents")
+    src = {int(i): s for i, s in zip(d.doc_id, d.source)}
+    _, _, verified = _lsh_pipeline()
+    label = _components(verified.keys())
+    clusters = {}
+    for x, l in label.items():
+        clusters.setdefault(l, []).append(x)
+    dropped = set()
+    for l, xs in clusters.items():
+        keeper = min(xs, key=lambda x: (-int(src[x][3:5]), x))
+        dropped.update(x for x in xs if x != keeper)
+    keep = d[~d.doc_id.isin(dropped)]
+    g = keep.groupby("source").agg(n_docs=("doc_id", "size"),
+                                   sum_chars=("n_chars", "sum"))
+    return pd.DataFrame([{"source": s, "n_docs": int(r.n_docs),
+                          "sum_chars": int(r.sum_chars)}
+                         for s, r in g.iterrows()])
+
+
+@audit("q_eval_dedup_recall")
+def eval_dedup_recall():
+    # LSH candidate quality vs the exact >=0.5-jaccard all-pairs truth
+    # on the bounded sample.
+    sh, cand, _ = _lsh_pipeline(lambda d: d % 3 == 0 and d < 5000)
+    docs = sorted(sh)
+    truth = set()
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = docs[i], docs[j]
+            if not sh[a] or not sh[b]:
+                continue
+            if r6(len(sh[a] & sh[b]) / len(sh[a] | sh[b])) >= 0.5:
+                truth.add((a, b))
+    hit = cand & truth
+    return pd.DataFrame([{
+        "n_truth": len(truth), "n_cand": len(cand), "n_hit": len(hit),
+        "precision_lsh": r6(len(hit) / len(cand)) if cand else None,
+        "recall_lsh": r6(len(hit) / len(truth)) if truth else None}])
+
+
+@audit("q_eval_lsh_bucket_sweep")
+def eval_lsh_bucket_sweep():
+    # the maxBucket tuning table: candidates/hits/precision/recall per
+    # cap over the same bounded sample.
+    import hashlib
+    sh = {d: _shingles3(ts) for d, ts in _tokens_per_doc().items()
+          if d % 3 == 0 and d < 5000}
+    buckets = {}
+    for d, s in sh.items():
+        sig = _minhash_sig(s)
+        for b in range(3):
+            dig = hashlib.md5(
+                "|".join(str(v) for v in sig[3 * b:3 * b + 3]).encode()
+            ).hexdigest()
+            buckets.setdefault((b, dig), []).append(d)
+    docs = sorted(sh)
+    truth = set()
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = docs[i], docs[j]
+            if sh[a] and sh[b] and \
+               r6(len(sh[a] & sh[b]) / len(sh[a] | sh[b])) >= 0.5:
+                truth.add((a, b))
+    rows = []
+    for cap in (2, 5, 1000000):   # presented ascending
+        cand = set()
+        for ds in buckets.values():
+            if len(ds) > cap:
+                continue
+            ds = sorted(ds)
+            for i in range(len(ds)):
+                for j in range(i + 1, len(ds)):
+                    cand.add((ds[i], ds[j]))
+        hit = cand & truth
+        rows.append({"max_bucket": cap, "n_truth": len(truth),
+                     "n_cand": len(cand), "n_hit": len(hit),
+                     "precision_lsh": r6(len(hit) / len(cand)) if cand else None,
+                     "recall_lsh": r6(len(hit) / len(truth)) if truth else None})
+    return pd.DataFrame(rows)
+
+
+@audit("dedup_incremental_minhash")
+def dedup_incremental_minhash():
+    # incremental batch vs base: batch docs colliding with a base doc in
+    # ANY band and verifying >= 0.5 are dropped; survivors returned.
+    import hashlib
+    toks = _tokens_per_doc()
+    sh = {d: _shingles3(ts) for d, ts in toks.items()}
+    base = {d for d in sh if d % 10 < 8}
+    inc = {d for d in sh if d % 10 >= 8}
+    buckets = {}
+    for d in sorted(sh):
+        sig = _minhash_sig(sh[d])
+        for b in range(3):
+            dig = hashlib.md5(
+                "|".join(str(v) for v in sig[3 * b:3 * b + 3]).encode()
+            ).hexdigest()
+            buckets.setdefault((b, dig), []).append(d)
+    dropped = set()
+    for ds in buckets.values():
+        bs = [d for d in ds if d in base]
+        is_ = [d for d in ds if d in inc]
+        for i in is_:
+            for b in bs:
+                if r6(len(sh[i] & sh[b]) / len(sh[i] | sh[b])) >= 0.5:
+                    dropped.add(i)
+                    break
+    return pd.DataFrame([{"doc_id": d} for d in sorted(inc - dropped)])
