@@ -3208,3 +3208,193 @@ def dedup_incremental_minhash():
                     dropped.add(i)
                     break
     return pd.DataFrame([{"doc_id": d} for d in sorted(inc - dropped)])
+
+
+# --- remaining dedup family --------------------------------------------------------
+
+@audit("dedup_exact")
+def dedup_exact():
+    import hashlib
+    d = table("documents")
+    dig = [hashlib.md5(t.encode()).hexdigest() for t in d.text]
+    g = pd.DataFrame({"digest": dig, "doc_id": d.doc_id.values}) \
+        .groupby("digest").doc_id.agg(["min", "size"])
+    rows = [{"digest": k, "keep_id": int(r["min"]),
+             "n_copies": int(r["size"])} for k, r in g.iterrows()]
+    rows.sort(key=lambda r: r["keep_id"])
+    return pd.DataFrame(rows)
+
+
+@audit("dedup_exact_normalized")
+def dedup_exact_normalized():
+    # canonical digest: NFC, lowercase, trim + collapse [ \t\n\r\f\v]+.
+    import hashlib, re, unicodedata
+    ws = re.compile("[ \t\n\r\f\x0B]+")
+    d = table("documents")
+    dig = []
+    for t in d.text:
+        n = ws.sub(" ", ws.sub(" ", unicodedata.normalize("NFC", t)
+                               .lower()).strip())
+        dig.append(hashlib.md5(n.encode()).hexdigest())
+    g = pd.DataFrame({"digest": dig, "doc_id": d.doc_id.values}) \
+        .groupby("digest").doc_id.agg(["min", "size"])
+    rows = [{"digest": k, "keep_id": int(r["min"]),
+             "n_copies": int(r["size"])} for k, r in g.iterrows()]
+    rows.sort(key=lambda r: r["keep_id"])
+    return pd.DataFrame(rows)
+
+
+@audit("dedup_incremental")
+def dedup_incremental():
+    import hashlib
+    d = table("documents")
+    dig = {int(i): hashlib.md5(t.encode()).hexdigest()
+           for i, t in zip(d.doc_id, d.text)}
+    base = {dig[i] for i in dig if i % 10 < 8}
+    inc = sorted(i for i in dig if i % 10 >= 8)
+    seen = {}
+    for i in inc:
+        seen.setdefault(dig[i], i)
+    rows = [{"doc_id": i, "digest": g} for g, i in sorted(
+        seen.items(), key=lambda kv: kv[1]) if g not in base]
+    return pd.DataFrame(rows)
+
+
+@audit("dedup_simhash")
+def dedup_simhash():
+    # Charikar (2002) SimHash: 60-bit per-bit majority vote over (all,
+    # duplicated) token hashes; exact-signature grouping.
+    from collections import Counter
+    d = table("documents")
+    sigs = []
+    for t, did in zip(d.text, d.doc_id):
+        import re
+        toks = re.split(r"\s+", t.strip()) if t.strip() else [""]
+        votes = [0] * 60
+        for tok in toks:
+            h = md5h60(tok)
+            for j in range(60):
+                votes[j] += 1 if (h >> j) & 1 else -1
+        sig = sum(1 << j for j in range(60) if votes[j] >= 0)
+        sigs.append(sig)
+    g = pd.DataFrame({"sig": sigs, "doc_id": d.doc_id.values}) \
+        .groupby("sig").doc_id.agg(["min", "size"])
+    rows = [{"sig": int(k), "keep_id": int(r["min"]),
+             "n_docs": int(r["size"])} for k, r in g.iterrows()]
+    rows.sort(key=lambda r: r["keep_id"])
+    return pd.DataFrame(rows)
+
+
+@audit("dedup_prefix_jaccard")
+def dedup_prefix_jaccard():
+    # PPJoin-style prefix filtering (Xiao, Wang, Lin & Yu 2008): order
+    # each doc's distinct tokens by (global df asc, token asc); two docs
+    # with jaccard >= t MUST share a token in their first
+    # sz - ceil(t*sz) + 1 tokens; verify candidates exactly.
+    from collections import Counter
+    toks = {d: sorted(set(ts)) for d, ts in _tokens_per_doc().items()
+            if d % 7 < 2}
+    df = Counter()
+    for ts in toks.values():
+        df.update(ts)
+    prefix_of = {}
+    for d, ts in toks.items():
+        order = sorted(ts, key=lambda t: (df[t], t))
+        sz = len(order)
+        npfx = sz - math.ceil(0.8 * sz) + 1
+        prefix_of[d] = order[:npfx]
+    inv = {}
+    for d, pfx in prefix_of.items():
+        for t in pfx:
+            inv.setdefault(t, []).append(d)
+    cand = set()
+    for ds in inv.values():
+        ds = sorted(ds)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                cand.add((ds[i], ds[j]))
+    rows = []
+    for a, b in sorted(cand):
+        sa, sb = set(toks[a]), set(toks[b])
+        i = len(sa & sb)
+        jac = i / (len(sa) + len(sb) - i)
+        if jac >= 0.8:
+            rows.append({"a_id": a, "b_id": b, "jac": r6(jac)})
+    return pd.DataFrame(rows)
+
+
+def _semantic_cells(train_mask_fn, k=8, iters=2):
+    """Seeded spherical k-means (SemDeDup, Abbas et al. 2023 shape):
+    centroids from the first k training vectors; assignment by max
+    cosine (tie -> lower cid); update = per-dim mean of 2^20-quantized
+    components, floored, squeezed through float32."""
+    ids, _, emb = _emb_matrix()
+    nrm = np.sqrt((emb * emb).sum(axis=1))
+    order = np.argsort(ids)
+    train = [i for i in order if train_mask_fn(int(ids[i]))]
+    c = [emb[i].copy() for i in train[:k]]
+    sq = {i: np.floor(emb[i] * 1048576 + 0.5).astype(np.int64) + 1048576
+          for i in train}
+
+    def assign(rows, cents):
+        cn = [math.sqrt(float(cv @ cv)) for cv in cents]
+        out = {}
+        for i in rows:
+            best = max(range(len(cents)),
+                       key=lambda cid: (float(emb[i] @ cents[cid])
+                                        / (nrm[i] * cn[cid]), -cid))
+            out[i] = best
+        return out
+
+    for _ in range(iters):
+        a = assign(train, c)
+        sums = {}
+        for i, cid in a.items():
+            s, n = sums.get(cid, (np.zeros(emb.shape[1], dtype=object), 0))
+            sums[cid] = (s + sq[i], n + 1)
+        for cid, (s, n) in sums.items():
+            cm = np.array([int(x) // n - 1048576 for x in s], dtype=np.int64)
+            c[cid] = np.float32(cm / 1048576.0).astype(np.float64)
+    cells = assign(range(len(ids)), c)
+    return ids, emb, nrm, cells
+
+
+@audit("dedup_semantic")
+def dedup_semantic():
+    ids, emb, nrm, cells = _semantic_cells(lambda _: True)
+    by_cell = {}
+    for i, cid in cells.items():
+        by_cell.setdefault(cid, []).append(i)
+    drops = set()
+    for xs in by_cell.values():
+        xs = sorted(xs, key=lambda i: ids[i])
+        for p in range(len(xs)):
+            for q in range(p + 1, len(xs)):
+                a, b = xs[p], xs[q]
+                if r6(float(emb[a] @ emb[b]) / (nrm[a] * nrm[b])) >= 0.2:
+                    drops.add(int(ids[b]))
+    rows = [{"vec_id": int(ids[i]), "cell": cid}
+            for i, cid in cells.items() if int(ids[i]) not in drops]
+    rows.sort(key=lambda r: r["vec_id"])
+    return pd.DataFrame(rows)
+
+
+@audit("dedup_incremental_semantic")
+def dedup_incremental_semantic():
+    ids, emb, nrm, cells = _semantic_cells(lambda v: v % 10 < 8)
+    base = {i for i in cells if ids[i] % 10 < 8}
+    by_cell_base = {}
+    for i in base:
+        by_cell_base.setdefault(cells[i], []).append(i)
+    rows = []
+    for i, cid in cells.items():
+        v = int(ids[i])
+        if v % 10 < 8:
+            continue
+        dropped = any(
+            r6(float(emb[i] @ emb[b]) / (nrm[i] * nrm[b])) >= 0.3
+            for b in by_cell_base.get(cid, []))
+        if not dropped:
+            rows.append({"vec_id": v, "cell": cid})
+    rows.sort(key=lambda r: r["vec_id"])
+    return pd.DataFrame(rows)
