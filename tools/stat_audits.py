@@ -3398,3 +3398,118 @@ def dedup_incremental_semantic():
             rows.append({"vec_id": v, "cell": cid})
     rows.sort(key=lambda r: r["vec_id"])
     return pd.DataFrame(rows)
+
+
+@audit("knn_cosine_ivf")
+def knn_cosine_ivf():
+    # IVF with label cells: exact cosine top-5 restricted to the query's
+    # cell (same-label candidates).
+    return _knn_frame(lambda qi, j, ids, labels:
+                      labels[j] == labels[qi] and ids[j] != ids[qi])
+
+
+@audit("knn_cosine_lsh")
+def knn_cosine_lsh():
+    # random-hyperplane LSH (Charikar 2002): bucket = sign pattern of
+    # the embedding against the shared seeded hyperplanes (driver
+    # literals in the query contract); exact cosine top-5 within bucket.
+    import json, re
+    sql = json.load(open("/tmp/verify_seal/oracle_sql.json"))["knn_cosine_lsh"]
+    planes = []
+    for arr in re.findall(r"\[([-0-9.,eE]+)\]", sql):
+        vals = [float(x) for x in arr.split(",")]
+        if len(vals) == 64:
+            planes.append(np.array(vals))
+    # literals repeat once per CASE; dedupe preserving order
+    uniq = []
+    for p in planes:
+        if not any(np.array_equal(p, u) for u in uniq):
+            uniq.append(p)
+    ids, labels, emb = _emb_matrix()
+    nrm = np.sqrt((emb * emb).sum(axis=1))
+    buckets = np.zeros(len(ids), dtype=np.int64)
+    for bit, p in enumerate(uniq):
+        buckets += ((emb @ p) >= 0).astype(np.int64) << bit
+    rows = []
+    for qi in np.where(ids < 10)[0]:
+        cand = [(r6(float(emb[qi] @ emb[j]) / (nrm[qi] * nrm[j])),
+                 int(ids[j]))
+                for j in np.where(buckets == buckets[qi])[0]
+                if ids[j] != ids[qi]]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        for c, nid in cand[:5]:
+            rows.append({"q_id": int(ids[qi]), "n_id": nid, "cos": c})
+    rows.sort(key=lambda r: (r["q_id"], r["n_id"]))
+    return pd.DataFrame(rows)
+
+
+@audit("knn_cosine_sq8")
+def knn_cosine_sq8():
+    # int8 scalar quantization: code = round(x / max|x| * 127); cosine
+    # computed entirely in the quantized domain.
+    ids, _, emb = _emb_matrix()
+    scale = np.abs(emb).max(axis=1)
+    scale = np.where(scale == 0.0, 1.0, scale)
+    # DuckDB round() is half away from zero
+    x = emb / scale[:, None] * 127.0
+    code = (np.floor(np.abs(x) + 0.5) * np.sign(x)).astype(np.int64)
+    nrm = np.sqrt((code * code).sum(axis=1).astype(float))
+    rows = []
+    for qi in np.where(ids < 10)[0]:
+        cand = [(r6(float(code[qi] @ code[j]) / (nrm[qi] * nrm[j])),
+                 int(ids[j])) for j in range(len(ids)) if ids[j] != ids[qi]]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        for c, nid in cand[:5]:
+            rows.append({"q_id": int(ids[qi]), "n_id": nid, "cos": c})
+    rows.sort(key=lambda r: (r["q_id"], r["n_id"]))
+    return pd.DataFrame(rows)
+
+
+@audit("knn_cosine_ivf_kmeans")
+def knn_cosine_ivf_kmeans():
+    # IVF over the seeded k-means cells (same codebook protocol as
+    # SemDeDup): exact cosine top-5 within the query's cell.
+    ids, emb, nrm, cells = _semantic_cells(lambda _: True)
+    by_cell = {}
+    for i, cid in cells.items():
+        by_cell.setdefault(cid, []).append(i)
+    rows = []
+    for qi in np.where(ids < 10)[0]:
+        cand = [(r6(float(emb[qi] @ emb[j]) / (nrm[qi] * nrm[j])),
+                 int(ids[j]))
+                for j in by_cell[cells[qi]] if ids[j] != ids[qi]]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        for c, nid in cand[:5]:
+            rows.append({"q_id": int(ids[qi]), "n_id": nid, "cos": c})
+    rows.sort(key=lambda r: (r["q_id"], r["n_id"]))
+    return pd.DataFrame(rows)
+
+
+@audit("knn_cosine_ivf_probe2")
+def knn_cosine_ivf_probe2():
+    # multi-probe IVF: corpus assigned to its best cell (first-8-vector
+    # centroids); queries probe their TWO nearest cells.
+    ids, _, emb = _emb_matrix()
+    nrm = np.sqrt((emb * emb).sum(axis=1))
+    order = np.argsort(ids)
+    cents = [emb[i] for i in order if ids[i] < 8]
+    cn = [math.sqrt(float(c @ c)) for c in cents]
+    def ranked_cells(i):
+        sc = [(float(emb[i] @ cents[cid]) / (nrm[i] * cn[cid]), -cid)
+              for cid in range(len(cents))]
+        return [(-c) for _, c in sorted(sc, reverse=True)]
+    cellc = {}
+    for i in range(len(ids)):
+        cellc.setdefault(ranked_cells(i)[0], []).append(i)
+    rows = []
+    for qi in np.where(ids < 10)[0]:
+        probe = set(ranked_cells(qi)[:2])
+        cand = [(r6(float(emb[qi] @ emb[j]) / (nrm[qi] * nrm[j])),
+                 int(ids[j]))
+                for cell in probe for j in cellc.get(cell, [])
+                if ids[j] != ids[qi]]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        for c, nid in cand[:5]:
+            rows.append({"q_id": int(ids[qi]), "n_id": nid, "cos": c})
+    rows.sort(key=lambda r: (r["q_id"], r["n_id"]))
+    return pd.DataFrame(rows)
