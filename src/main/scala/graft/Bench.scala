@@ -140,7 +140,7 @@ object Bench {
     val fams = results.filter(_._3).groupBy(r => family(r._1)).toSeq
       .map { case (f, rs) => f -> rs.map(_._2).sum }.sortBy(_._1)
     val head = headline.flatMap(n => byName.get(n).map(n -> _))
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","canary_sec":$canarySec%.3f,"nq":${
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","canary_sec":$canarySec%.3f,"canary_n":$canaryN,"nq":${
       results.size},"queries":${jmap(head)},"families":${jmap(fams)
       },"failed":$failed,"full":"$outPath","sf":"$sfDir"}""")
     spark.stop()

@@ -123,8 +123,7 @@ object Dedup {
     (sh, if (checkpointBands) bandRows.localCheckpoint() else bandRows)
   }
 
-  /** `maxBucket`: RESULT-CHANGING opt-in (the hotKeyCap contract — the
-    * default is EXACT, no gate). A (band, digest) bucket holding k docs
+  /** `maxBucket` contract. A (band, digest) bucket holding k docs
     * contributes C(k,2) candidate pairs, and on vocabulary-limited
     * corpora the per-band minima concentrate on the few globally-smallest
     * shingle hashes, so the hottest bucket grows as a LINEAR FRACTION of
@@ -140,22 +139,123 @@ object Dedup {
     * before trusting it, and run exact dedup first so a giant EXACT-dup
     * family (a legitimate hot bucket) is collapsed before LSH ever sees
     * it.
+    *
+    * The DEFAULT is [[AutoBucket]] — the size-aware dispatcher (r10
+    * verdict: "default exact" handed a user pointing this at 100 TB the
+    * n² plan). Pass `Int.MaxValue` to force exact, a positive cap to
+    * force capped; see [[minhashLshAuto]] for the probe/route contract
+    * and the dispatch metadata.
     */
   def minhashLsh(df: DataFrame, textCol: String, idCol: String,
                  shingleN: Int = 3, bands: Int = 3, rows: Int = 3,
                  threshold: Double = 0.5,
-                 maxBucket: Int = Int.MaxValue): DataFrame = {
-    // Shingling and the k-minhash signature feed three consumers (band
-    // self-join + both verification joins); materialize them once instead
-    // of letting projection collapse recompute the md5 pyramid per use.
-    // localCheckpoint is eager (each scan reads materialized blocks, never
-    // the md5 upstream), truncates lineage, and — unlike catalog .cache()
-    // — is released by the ContextCleaner when the result is dropped, so
-    // library use in a long-lived session doesn't accumulate storage
-    // (ADVICE r1). At cluster scale this becomes a reliable checkpoint —
-    // the plan shape is the same.
-    val (sh, bandRows0) = shingleBands(df, textCol, idCol, shingleN, bands, rows)
-    val bandRows = capBuckets(bandRows0, maxBucket)
+                 maxBucket: Int = AutoBucket): DataFrame =
+    if (maxBucket == AutoBucket)
+      minhashLshAuto(df, textCol, idCol, shingleN, bands, rows, threshold).pairs
+    else {
+      // Shingling and the k-minhash signature feed three consumers (band
+      // self-join + both verification joins); materialize them once instead
+      // of letting projection collapse recompute the md5 pyramid per use.
+      // localCheckpoint is eager (each scan reads materialized blocks, never
+      // the md5 upstream), truncates lineage, and — unlike catalog .cache()
+      // — is released by the ContextCleaner when the result is dropped, so
+      // library use in a long-lived session doesn't accumulate storage
+      // (ADVICE r1). At cluster scale this becomes a reliable checkpoint —
+      // the plan shape is the same.
+      val (sh, bandRows0) = shingleBands(df, textCol, idCol, shingleN, bands, rows)
+      verifiedPairs(sh, capBuckets(bandRows0, maxBucket), threshold)
+    }
+
+  /** Sentinel `maxBucket` value: let [[minhashLshAuto]] probe the bucket
+    * distribution and pick the regime. The default everywhere a caller
+    * does not state an explicit exact/capped choice.
+    */
+  val AutoBucket: Int = -1
+
+  /** One dispatched LSH run: the regime the probe chose and why, plus the
+    * verified pairs. `candidateRetention` is the band-level recall proxy —
+    * the fraction of exact candidate pairs still generated after the cap
+    * (1.0 in the exact regime). It is a PESSIMISTIC bound on verified-pair
+    * recall (a true pair survives if ANY of its band buckets is under the
+    * cap); measure with q_eval_dedup_recall before trusting a cap on a
+    * new corpus.
+    */
+  case class LshDispatch(regime: String, nDocs: Long, estCandidates: Long,
+                         estCandidatesCapped: Long, maxBucketObserved: Long,
+                         candidateRetention: Double, cap: Int,
+                         pairs: DataFrame)
+
+  /** Size-aware MinHash-LSH dispatcher (the Ranks.groupedPercentiles
+    * pattern applied to dedup). ONE cheap probe over the
+    * already-checkpointed band rows (groupBy (band, digest) count →
+    * Σ C(k,2), its ≤cap restriction, max k, total rows — all
+    * map-side-combined on a frame of `bands` rows per doc) decides:
+    *
+    *  - Σ C(k,2) ≤ `maxCandidatesPerDoc` · nDocs → EXACT: candidate
+    *    generation is linear-in-corpus work, no reason to pay recall.
+    *  - above → CAPPED at `cappedBucket`: the hot-bucket n² regime has
+    *    arrived (sf10 soak: 113.8M candidates = 228/doc, 24× wall slope
+    *    at the old exact default; cap=50 holds 1.75×/decade at 75–79%
+    *    verified-pair recall).
+    *
+    * The default threshold (32 candidates/doc) keeps every measured
+    * linear-regime scale exact (sf0.01 ≈ 0.2/doc … sf1 = 22/doc) and
+    * flips at the measured n² onset (sf3 = 68/doc). The probe is an
+    * eager construction-time job, accounted in the probe-job budget
+    * sweep (PlanSpec).
+    */
+  def minhashLshAuto(df: DataFrame, textCol: String, idCol: String,
+                     shingleN: Int = 3, bands: Int = 3, rows: Int = 3,
+                     threshold: Double = 0.5,
+                     cappedBucket: Int = 50,
+                     maxCandidatesPerDoc: Long = 32): LshDispatch = {
+    val (sh, bandRows) = shingleBands(df, textCol, idCol, shingleN, bands, rows)
+    val (routed, exact, (nDocs, cand, candCapped, maxK)) =
+      probeRoute(bandRows, bands, cappedBucket, maxCandidatesPerDoc)
+    LshDispatch(
+      regime = if (exact) "exact" else "capped",
+      nDocs = nDocs, estCandidates = cand, estCandidatesCapped = candCapped,
+      maxBucketObserved = maxK,
+      candidateRetention =
+        if (exact) 1.0 else candCapped.toDouble / math.max(cand, 1L),
+      cap = if (exact) Int.MaxValue else cappedBucket,
+      pairs = verifiedPairs(sh, routed, threshold))
+  }
+
+  /** The dispatcher's probe + route over a CHECKPOINTED band frame: one
+    * map-side-combined aggregate, then either the frame unchanged (exact)
+    * or its ≤cap restriction. Stats tuple: (nDocs, ΣC(k,2), capped
+    * ΣC(k,2), max bucket).
+    */
+  private def probeRoute(bandRows: DataFrame, bands: Int, cappedBucket: Int,
+                         maxCandidatesPerDoc: Long)
+      : (DataFrame, Boolean, (Long, Long, Long, Long)) = {
+    val st = bandRows.groupBy("band", "digest").agg(count(lit(1)).as("k"))
+      .agg(sum(expr("(k * (k - 1)) div 2")).as("cand"),
+        sum(when(col("k") <= cappedBucket, expr("(k * (k - 1)) div 2"))
+          .otherwise(lit(0L))).as("cand_capped"),
+        max(col("k")).as("max_k"), sum(col("k")).as("band_rows"))
+      .collect()(0)
+    def lng(i: Int): Long = if (st.isNullAt(i)) 0L else st.getLong(i)
+    val (cand, candCapped, maxK) = (lng(0), lng(1), lng(2))
+    val nDocs = lng(3) / bands // each banded doc emits exactly `bands` rows
+    val exact = cand <= maxCandidatesPerDoc * math.max(nDocs, 1L)
+    val routed = if (exact) bandRows else capBuckets(bandRows, cappedBucket)
+    (routed, exact, (nDocs, cand, candCapped, maxK))
+  }
+
+  /** [[probeRoute]] with the dispatcher defaults, band frame only — the
+    * auto path of [[lshCandidatePairs]].
+    */
+  private def autoCapBuckets(bandRows: DataFrame, bands: Int): DataFrame =
+    probeRoute(bandRows, bands, cappedBucket = 50, maxCandidatesPerDoc = 32)._1
+
+  /** The candidates-then-verify tail shared by every LSH path: band
+    * self-join on (band, digest) → distinct pairs → exact sorted-array
+    * jaccard against the checkpointed shingle frame.
+    */
+  private def verifiedPairs(sh: DataFrame, bandRows: DataFrame,
+                            threshold: Double): DataFrame = {
     val cand = bandRows.as("a")
       .join(bandRows.as("b"),
         col("a.band") === col("b.band") && col("a.digest") === col("b.digest") &&
@@ -196,15 +296,18 @@ object Dedup {
     * blind is how LSH deployments silently lose near-dups. Same band
     * self-join as minhashLsh (one key-partitioned shuffle on
     * (band, digest)); returns distinct (a_id, b_id), a_id < b_id.
-    * `maxBucket` follows the minhashLsh contract (default exact).
+    * `maxBucket` follows the minhashLsh contract (default [[AutoBucket]];
+    * the probe/route thresholds are [[minhashLshAuto]]'s defaults).
     */
   def lshCandidatePairs(df: DataFrame, textCol: String, idCol: String,
                         shingleN: Int = 3, bands: Int = 3,
                         rows: Int = 3,
-                        maxBucket: Int = Int.MaxValue): DataFrame = {
+                        maxBucket: Int = AutoBucket): DataFrame = {
     val (_, bandRows0) = shingleBands(df, textCol, idCol, shingleN, bands, rows,
       checkpointSh = false)
-    val bandRows = capBuckets(bandRows0, maxBucket)
+    val bandRows =
+      if (maxBucket == AutoBucket) autoCapBuckets(bandRows0, bands)
+      else capBuckets(bandRows0, maxBucket)
     bandRows.as("a")
       .join(bandRows.as("b"),
         col("a.band") === col("b.band") && col("a.digest") === col("b.digest") &&
@@ -468,7 +571,7 @@ object Dedup {
   def dedupByMinhash(df: DataFrame, textCol: String, idCol: String,
                      shingleN: Int = 3, bands: Int = 3, rows: Int = 3,
                      threshold: Double = 0.5,
-                     maxBucket: Int = Int.MaxValue): DataFrame = {
+                     maxBucket: Int = AutoBucket): DataFrame = {
     val pairs = minhashLsh(df, textCol, idCol, shingleN, bands, rows, threshold,
       maxBucket)
     val dropped = clusterPairs(pairs)
@@ -493,7 +596,7 @@ object Dedup {
                              priority: Column,
                              shingleN: Int = 3, bands: Int = 3, rows: Int = 3,
                              threshold: Double = 0.5,
-                             maxBucket: Int = Int.MaxValue): DataFrame = {
+                             maxBucket: Int = AutoBucket): DataFrame = {
     val pairs = minhashLsh(df, textCol, idCol, shingleN, bands, rows, threshold,
       maxBucket)
     val labeled = clusterPairs(pairs)

@@ -330,7 +330,7 @@ object Ranks {
     val spark = df.sparkSession
     import spark.implicits._
     val g = df.select(grpCol.as("g"), valCol.as("v"))
-      .filter(col("v").isNotNull)
+      .filter(col("v").isNotNull && col("g").isNotNull)
       .groupBy("g", "v").agg(count(lit(1)).as("c"))
       .localCheckpoint() // consumers: group counts + the prefix pass
     // BOUNDED collect: one row per group
@@ -397,12 +397,17 @@ object Ranks {
     * buffer wall (millions of entries). Both paths emit
     * (g, i, p, value); the two lerp shapes can differ in the last ulp
     * (see [[percentilesExact]]) — equal at any publication grain.
+    * NULL group keys are DROPPED in both regimes (both paths filter
+    * them before grouping) — without the shared filter the buffered
+    * groupBy kept a g=NULL group while the exact path's null-rejecting
+    * rank joins silently lost it, so the dispatcher's output for
+    * null-keyed rows would have flipped with data size.
     */
   def groupedPercentiles(df: DataFrame, grpCol: Column, valCol: Column,
                          fractions: Seq[Double],
                          maxBufferedDistinct: Long = 1L << 16): DataFrame = {
     val vals = df.select(grpCol.as("g"), valCol.as("v"))
-      .filter(col("v").isNotNull)
+      .filter(col("v").isNotNull && col("g").isNotNull)
     val probe = vals.groupBy("g")
       .agg(approx_count_distinct(col("v")).as("nd"))
       .agg(max("nd")).collect()(0)
@@ -424,7 +429,7 @@ object Ranks {
       "fractions must lie in [0, 1]")
     val frArr = array(fractions.map(lit): _*)
     df.select(grpCol.as("g"), valCol.cast("double").as("v"))
-      .filter(col("v").isNotNull)
+      .filter(col("v").isNotNull && col("g").isNotNull)
       .groupBy("g")
       .agg(expr(s"percentile(v, array(${fractions.mkString(", ")}))")
         .as("vs"))

@@ -880,7 +880,7 @@ class OpsSpec extends AnyFunSuite {
     assert(dupFam.getLong(1) == 0L) // keeper is min doc_id
   }
 
-  test("minhashLsh maxBucket: hot bucket dropped, small-bucket pairs survive, default exact") {
+  test("minhashLsh maxBucket: hot bucket dropped, small-bucket pairs survive") {
     // 30 identical docs form one hot bucket per band; one separate
     // near-dup pair lives in its own small buckets
     val hot = (0L until 30L).map(i => (i, "alpha beta gamma delta epsilon"))
@@ -888,12 +888,53 @@ class OpsSpec extends AnyFunSuite {
     val pair = Seq((100L, "quantum flux capacitor energizes warp drive"),
       (101L, "quantum flux capacitor energizes warp drive"))
     val df = (hot ++ pair).toDF("doc_id", "text")
-    val exact = Dedup.minhashLsh(df, "text", "doc_id")
+    val exact = Dedup.minhashLsh(df, "text", "doc_id", maxBucket = Int.MaxValue)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(exact.contains((100L, 101L)) && exact.size == 30 * 29 / 2 + 1)
     val capped = Dedup.minhashLsh(df, "text", "doc_id", maxBucket = 10)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(capped == Set((100L, 101L))) // hot family suppressed, pair kept
+  }
+
+  test("minhashLshAuto routes EXACT when candidate mass is linear in corpus") {
+    // distinct docs, tiny buckets: candidates/doc far below the threshold
+    val near = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta epsilon zeta"), // exact dup of 0
+      (2L, "totally different words entirely here now"),
+      (3L, "yet another unrelated document text body"))
+    val d = Dedup.minhashLshAuto(near.toDF("doc_id", "text"), "text", "doc_id")
+    assert(d.regime == "exact")
+    assert(d.nDocs == 4 && d.cap == Int.MaxValue && d.candidateRetention == 1.0)
+    val got = d.pairs.select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 1L)))
+    // the dispatched exact result == the forced-exact result
+    val forced = Dedup.minhashLsh(near.toDF("doc_id", "text"), "text", "doc_id",
+      maxBucket = Int.MaxValue).select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got == forced)
+  }
+
+  test("minhashLshAuto routes CAPPED when hot buckets make candidates superlinear") {
+    // one 40-doc identical family: ΣC(k,2) = 3·780 = 2340 > 32·42 docs,
+    // so the probe must flip to the capped regime; with cappedBucket=10
+    // the hot buckets are dropped while the small pair survives
+    val hot = (0L until 40L).map(i => (i, "alpha beta gamma delta epsilon"))
+    val pair = Seq((100L, "quantum flux capacitor energizes warp drive"),
+      (101L, "quantum flux capacitor energizes warp drive"))
+    val df = (hot ++ pair).toDF("doc_id", "text")
+    val d = Dedup.minhashLshAuto(df, "text", "doc_id", cappedBucket = 10)
+    assert(d.regime == "capped")
+    assert(d.nDocs == 42 && d.cap == 10)
+    assert(d.maxBucketObserved == 40)
+    // band-level retention: only the pair's buckets (k=2) survive the cap
+    assert(d.candidateRetention > 0.0 && d.candidateRetention < 0.01)
+    val got = d.pairs.select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((100L, 101L)))
+    // default-arg minhashLsh IS the dispatched path (cap 50 keeps the
+    // 40-doc bucket, so it must equal forced-exact here)
+    val viaDefault = Dedup.minhashLsh(df, "text", "doc_id")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(viaDefault.size == 40 * 39 / 2 + 1)
   }
 
   test("minhash LSH finds exact and near dups, not unrelated docs") {

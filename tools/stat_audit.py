@@ -290,6 +290,12 @@ if __name__ == "__main__":
     sys.modules["stat_audit"] = sys.modules[__name__]
     import stat_audits  # noqa: F401  (registers via AUDITS)
     rows, bad = main()
+    if ONLY:
+        # A filtered run must never clobber the committed full-table audit
+        # (the round-10 end-of-round snapshot did exactly that): print only.
+        print(f"(subset run: {len(rows)} of {len(AUDITS)} audits; "
+              "STAT_AUDIT.md NOT rewritten)")
+        sys.exit(1 if bad else 0)
     md = ["# STAT_AUDIT — third-engine statistical audit",
           "",
           f"Engine outputs from `graft.Verify` at `{SF_DIR}`; every statistic",
