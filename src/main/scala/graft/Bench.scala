@@ -50,7 +50,7 @@ object Bench {
     * 1.3-1.55x uniformly from host contention and had to be argued down
     * by hand).
     */
-  private val canary: Seq[String] = Seq(
+  private[graft] val canary: Seq[String] = Seq(
     "flf_parse", "q1_agg", "q18_volume_customers",
     "dedup_minhash_lsh", "knn_cosine_brute")
 

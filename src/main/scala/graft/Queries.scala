@@ -814,70 +814,15 @@ object Queries {
       |WHERE levenshtein(a.p_name, b.p_name) <= 2
       |ORDER BY a_id, b_id"""
       .stripMargin.replace("\n", " ")) { (s, dir) =>
+    // the full plan rationale (deletion-neighborhood candidates, fused
+    // variant-hash kernel, folded join key, explode-aware shuffle sizing,
+    // banded verification) lives with the extracted operator — see
+    // ops/FuzzyJoin.scala; default = EXACT (maxBucket opt-in only)
     val p = tbl(s, dir, "part").select(col("p_partkey"), col("p_name"),
       col("p_brand"),
       element_at(split(trim(col("p_name")), "\\s+"), -1).as("blk"))
-    // one fused codegen pass emits the name's hash and all 1-/2-deletion
-    // variant hashes (O(1) each via polynomial prefix hashes) — the HOF
-    // formulation (nested transform + substr + xxhash64) is interpreted
-    // per element and measured 14x slower on the same plan
-    // fold (variant hash, block, brand) into ONE long join key so the
-    // 27M-row variant shuffle carries 16 bytes/row, and pin the self-join
-    // to shuffle-hash: Spark's size estimator doesn't see the explode
-    // fan-out and would otherwise try to BROADCAST the exploded side
-    // (observed: a 4.1 GiB broadcast build at sf1)
-    // spread the scan first: the ~100x variant explode otherwise runs at
-    // the input's split count (one small file = one task generating all
-    // 27M variant rows at sf1)
-    val variants = Similarity.spreadForScan(p)
-      .select(col("p_partkey"), col("blk"), col("p_brand"),
-        explode(HashColumns.deletionVariantHashes(col("p_name"), 2)).as("vh"))
-      .select(col("p_partkey"),
-        xxhash64(col("vh"), col("blk"), col("p_brand")).as("h"))
-    // SIZE the self-join's shuffle so each task's hash-relation build
-    // stays bounded REGARDLESS of corpus size: the pinned shuffle-hash
-    // at the session's fixed partition count grows each build linearly
-    // with the data and hit the executor-memory wall at sf3 (the r10
-    // soak: "Can't acquire ... to build hash relation" under an 8 GiB
-    // heap). The variant count is estimable cheaply and EXACTLY where
-    // Spark's estimator is blind: rows x (1 + L + L(L-1)/2) deletion
-    // variants from one metadata-count + one tiny avg-length aggregate
-    // on the (dimension-sized) parts table. ~500k variant rows per
-    // partition keeps a build at a few tens of MB — the same bound a
-    // 1000-executor cluster wants, reached by partition count, not heap.
-    val stats = p.agg(count(lit(1)).as("n"),
-      avg(length(col("p_name"))).as("len")).head()
-    val nVariants = {
-      // avg() over zero rows is NULL — an empty parts input must size to
-      // the session default, not NPE at construction time
-      val l = if (stats.isNullAt(1)) 0.0 else stats.getDouble(1)
-      stats.getLong(0) * (1 + l + l * (l - 1) / 2)
-    }
-    val sessionParts =
-      s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val joinParts = math.max(sessionParts,
-      math.ceil(nVariants / 500000.0).toInt)
-    val spread = variants.repartition(joinParts, col("h"))
-    val cand = spread.as("a").hint("shuffle_hash")
-      .join(spread.as("b").hint("shuffle_hash"),
-        col("a.h") === col("b.h") && col("a.p_partkey") < col("b.p_partkey"))
-      .select(col("a.p_partkey").as("a_id"), col("b.p_partkey").as("b_id"))
-      .distinct()
-    // fetch names for survivors only, re-check blk/brand EXACTLY (the
-    // folded hash key alone would make blk/brand equality probabilistic),
-    // then verify with the banded DP
-    val named = cand
-      .join(p.select(col("p_partkey"), col("p_name").as("a_name"),
-          col("blk").as("a_blk"), col("p_brand").as("a_brand")),
-        col("a_id") === col("p_partkey")).drop("p_partkey")
-      .join(p.select(col("p_partkey"), col("p_name").as("b_name"),
-          col("blk").as("b_blk"), col("p_brand").as("b_brand")),
-        col("b_id") === col("p_partkey")).drop("p_partkey")
-    named
-      .filter(col("a_blk") === col("b_blk") && col("a_brand") === col("b_brand"))
-      .withColumn("dist", levenshtein(col("a_name"), col("b_name"), 2))
-      .filter(col("dist") >= 0)
-      .select("a_id", "b_id", "a_name", "b_name", "dist")
+    graft.ops.FuzzyJoin.editDistanceSelfJoin(p, "p_partkey", "p_name",
+        Seq("blk", "p_brand"), maxEdits = 2)
       .orderBy("a_id", "b_id")
   }
 
@@ -9444,29 +9389,14 @@ object Queries {
        |FROM agg JOIN best ON agg.c_custkey = best.c_custkey AND best.rn = 1
        |JOIN mb ON mb.c_custkey = agg.c_custkey
        |ORDER BY agg.c_custkey""".stripMargin.replace("\n", " ")) { (s, dir) =>
-    // every output column is a DUPLICATE-INSENSITIVE per-custkey
-    // aggregate (max-by-(length,name), max balance, distinct d_id
-    // count), so the oracle's window + three joins collapse into ONE
-    // groupBy over an exploded two-struct array and the match frame is
-    // referenced exactly once — no localCheckpoint (which also dropped
-    // AQE on the 2.2M-pair linkage plan and cost ~2.5 s at sf0.1), no
-    // executor-pinned blocks, one shuffle after the linkage itself.
-    // (The oracle's DISTINCT on the c-side union arm only dedups rows
-    // that max/countDistinct ignore anyway.)
+    // the merge rationale (duplicate-insensitive single-groupBy, no
+    // localCheckpoint — which also dropped AQE on the 2.2M-pair linkage
+    // plan and cost ~2.5 s at sf0.1) lives with the extracted operator,
+    // Linkage.goldenRecord. (The oracle's DISTINCT on the c-side union
+    // arm only dedups rows that max/countDistinct ignore anyway.)
     val m = Linkage.decide(Linkage.linkCustomers(tbl(s, dir, "customer")), 18, 5)
       .filter(col("zone") === "match")
-    m.select(col("c_custkey"), col("d_id"), explode(array(
-        struct(length(col("d_name")).as("l"), col("d_name").as("nm"),
-          col("d_bal").as("bal")),
-        struct(length(col("c_name")).as("l"), col("c_name").as("nm"),
-          dec(col("c_acctbal"), 12, 2).as("bal")))).as("e"))
-      .groupBy("c_custkey")
-      .agg(countDistinct("d_id").cast("int").as("n_matched"),
-        max(struct(col("e.l"), col("e.nm"))).as("b"),
-        max(col("e.bal")).cast("double").as("max_bal"))
-      .select(col("c_custkey"), col("n_matched"), col("b.nm").as("best_name"),
-        col("max_bal"))
-      .orderBy("c_custkey")
+    Linkage.goldenRecord(m).orderBy("c_custkey")
   }
 
   q("q_markov_transitions",

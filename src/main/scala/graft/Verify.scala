@@ -25,6 +25,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Host-load canary (same 5 queries as Bench.canary): oracle-gate and
+    // stat-audit wall times quoted in PLANS.md are only comparable across
+    // rounds divided by this — r10 normalized Bench this way but left
+    // Verify runs un-normalized. Full runs only: a subset run's wall is
+    // never quoted as a gate figure.
+    if (only.isEmpty) {
+      val t0 = System.nanoTime()
+      Bench.canary.foreach { n =>
+        try SparkEntry.queries(n)(spark, sfDir).count()
+        catch { case _: Throwable => () }
+      }
+      val canarySec = (System.nanoTime() - t0) / 1e9
+      val line = f"""{"verify_canary_sec":$canarySec%.3f,"canary_n":${Bench.canary.size}}"""
+      println(line)
+      Files.writeString(Paths.get(s"$outDir/verify_canary.json"), line)
+    }
     SparkEntry.queries.filter(kv => only.forall(_.contains(kv._1)))
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

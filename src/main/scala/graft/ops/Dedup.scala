@@ -198,17 +198,20 @@ object Dedup {
     *    at the old exact default; cap=50 holds 1.75×/decade at 75–79%
     *    verified-pair recall).
     *
-    * The default threshold (32 candidates/doc) keeps every measured
-    * linear-regime scale exact (sf0.01 ≈ 0.2/doc … sf1 = 22/doc) and
-    * flips at the measured n² onset (sf3 = 68/doc). The probe is an
-    * eager construction-time job, accounted in the probe-job budget
-    * sweep (PlanSpec).
+    * Σ C(k,2) counts BAND multiplicity (a pair colliding in b bands
+    * counts b times — the probe never pays the distinct-pair shuffle),
+    * so thresholds are in raw collisions: the default 96/doc ≈ 32
+    * distinct pairs/doc at 3 bands. Measured routing on the driver-shaped
+    * corpus: sf0.01 (298 raw ≈ 0.6/doc) … sf1 (2.05M ≈ 41/doc) exact;
+    * sf3+ (the n² onset: ~31M ≈ 204/doc) capped. The probe is an eager
+    * construction-time job, accounted in the probe-job budget sweep
+    * (PlanSpec).
     */
   def minhashLshAuto(df: DataFrame, textCol: String, idCol: String,
                      shingleN: Int = 3, bands: Int = 3, rows: Int = 3,
                      threshold: Double = 0.5,
                      cappedBucket: Int = 50,
-                     maxCandidatesPerDoc: Long = 32): LshDispatch = {
+                     maxCandidatesPerDoc: Long = 96): LshDispatch = {
     val (sh, bandRows) = shingleBands(df, textCol, idCol, shingleN, bands, rows)
     val (routed, exact, (nDocs, cand, candCapped, maxK)) =
       probeRoute(bandRows, bands, cappedBucket, maxCandidatesPerDoc)
@@ -248,7 +251,7 @@ object Dedup {
     * auto path of [[lshCandidatePairs]].
     */
   private def autoCapBuckets(bandRows: DataFrame, bands: Int): DataFrame =
-    probeRoute(bandRows, bands, cappedBucket = 50, maxCandidatesPerDoc = 32)._1
+    probeRoute(bandRows, bands, cappedBucket = 50, maxCandidatesPerDoc = 96)._1
 
   /** The candidates-then-verify tail shared by every LSH path: band
     * self-join on (band, digest) → distinct pairs → exact sorted-array

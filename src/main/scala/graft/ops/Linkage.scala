@@ -232,4 +232,28 @@ object Linkage {
       maxBlockPairs = maxBlockPairs)
     score(pairs, customerComparators)
   }
+
+  /** Survivorship / golden-record merge over a decided customer match
+    * frame (the q_golden_record aggregation, extracted r11 so scale
+    * probes exercise the exact query path): per matched customer the
+    * longest (tie: lexicographically greatest) name across both sources
+    * and the maximum balance. Every output column is a
+    * DUPLICATE-INSENSITIVE per-custkey aggregate (max-by-(length,name),
+    * max balance, distinct d_id count), so the merge is ONE groupBy over
+    * an exploded two-struct array and the match frame is referenced
+    * exactly once — no localCheckpoint, no executor-pinned blocks, one
+    * shuffle after the linkage itself.
+    */
+  def goldenRecord(matches: DataFrame): DataFrame =
+    matches.select(col("c_custkey"), col("d_id"), explode(array(
+        struct(length(col("d_name")).as("l"), col("d_name").as("nm"),
+          col("d_bal").as("bal")),
+        struct(length(col("c_name")).as("l"), col("c_name").as("nm"),
+          col("c_acctbal").cast("decimal(12,2)").as("bal")))).as("e"))
+      .groupBy("c_custkey")
+      .agg(countDistinct("d_id").cast("int").as("n_matched"),
+        max(struct(col("e.l"), col("e.nm"))).as("b"),
+        max(col("e.bal")).cast("double").as("max_bal"))
+      .select(col("c_custkey"), col("n_matched"), col("b.nm").as("best_name"),
+        col("max_bal"))
 }

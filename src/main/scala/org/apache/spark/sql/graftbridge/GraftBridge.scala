@@ -25,6 +25,15 @@ object GraftBridge {
       .logicalPlan
 }
 
+/** Test/tooling accessor for the `private[spark]` listener bus: the
+  * probe-job budget sweep (PlanSpec) must drain async listener events
+  * deterministically before reading its per-query job counter.
+  */
+object GraftListener {
+  def waitUntilListenerBusEmpty(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
+}
+
 object GraftBridgeExtensions {
   /** Test/tooling accessor for the private[sql] strategy registry. */
   def plannerStrategies(ext: org.apache.spark.sql.SparkSessionExtensions,

@@ -51,6 +51,77 @@ class LinkageSpec extends AnyFunSuite {
     assert(exact == Set((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L)))
   }
 
+  test("fuzzyJoin: deletion-neighborhood candidates find all <=2-edit pairs, " +
+    "exact by default") {
+    val parts = Seq(
+      (1L, "smith widget large", "B1"),
+      (2L, "smith widgit large", "B1"),  // 1 edit from 1
+      (3L, "smith widgets large", "B1"), // 1 edit from 1, 2 from 2
+      (4L, "smith widget large", "B2"),  // same name, different block
+      (5L, "jones gadget small", "B1"))  // unrelated
+      .toDF("p_id", "p_name", "p_brand")
+      .withColumn("blk", element_at(split(trim(col("p_name")), "\\s+"), -1))
+    val got = FuzzyJoin.editDistanceSelfJoin(parts, "p_id", "p_name",
+        Seq("blk", "p_brand"), maxEdits = 2)
+      .select("a_id", "b_id", "dist").as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 2L, 1), (1L, 3L, 1), (2L, 3L, 2)))
+    // brute-force ground truth within blocks: nothing missed
+    val rows = parts.select("p_id", "p_name", "p_brand", "blk")
+      .as[(Long, String, String, String)].collect()
+    val brute = (for {
+      a <- rows; b <- rows
+      if a._1 < b._1 && a._3 == b._3 && a._4 == b._4
+      d = {
+        val l = org.apache.commons.text.similarity.LevenshteinDistance
+          .getDefaultInstance.apply(a._2, b._2)
+        l.intValue
+      } if d <= 2
+    } yield (a._1, b._1, d)).toSet
+    assert(got == brute)
+  }
+
+  test("fuzzyJoin maxBucket: hot variant bucket skipped, small-bucket pairs survive") {
+    // 8 identical names form hot variant buckets; one separate 1-edit
+    // pair lives in small buckets — the Linkage.maxBlockPairs contract
+    // shape applied to the variant-hash key
+    val hot = (1L to 8L).map(i => (i, "alpha beta gamma", "B1"))
+    // the edit sits in a NON-last token: blk (last token) must agree
+    val pair = Seq((100L, "quantum flux drive", "B1"),
+      (101L, "quantun flux drive", "B1"))
+    val parts = (hot ++ pair).toDF("p_id", "p_name", "p_brand")
+      .withColumn("blk", element_at(split(trim(col("p_name")), "\\s+"), -1))
+    val exact = FuzzyJoin.editDistanceSelfJoin(parts, "p_id", "p_name",
+        Seq("blk", "p_brand"), maxEdits = 2)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(exact.size == 8 * 7 / 2 + 1 && exact.contains((100L, 101L)))
+    val capped = FuzzyJoin.editDistanceSelfJoin(parts, "p_id", "p_name",
+        Seq("blk", "p_brand"), maxEdits = 2, maxBucket = 4)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // hot family suppressed together (identical names share ALL variant
+    // buckets), the small pair survives
+    assert(capped == Set((100L, 101L)))
+  }
+
+  test("fuzzyJoin maxNeighborhood: each record keeps k nearest, union semantics") {
+    // 6 identical names: 15 exact pairs; with k=2 each record keeps its
+    // 2 smallest-id neighbors (all dist 0) and a pair survives if EITHER
+    // endpoint keeps it -> exactly {(1,2),(1,3),(2,3)} ∪ {(1,j),(2,j): j>=4}
+    val parts = (1L to 6L).map(i => (i, "alpha beta gamma", "B1"))
+      .toDF("p_id", "p_name", "p_brand")
+      .withColumn("blk", element_at(split(trim(col("p_name")), "\\s+"), -1))
+    val got = FuzzyJoin.editDistanceSelfJoin(parts, "p_id", "p_name",
+        Seq("blk", "p_brand"), maxEdits = 2, maxNeighborhood = 2)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val want = Set((1L, 2L), (1L, 3L), (2L, 3L),
+      (1L, 4L), (2L, 4L), (1L, 5L), (2L, 5L), (1L, 6L), (2L, 6L))
+    assert(got == want)
+    // the un-capped default is unchanged: all 15 pairs
+    val exact = FuzzyJoin.editDistanceSelfJoin(parts, "p_id", "p_name",
+        Seq("blk", "p_brand"), maxEdits = 2)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(exact.size == 15)
+  }
+
   test("score + decide: level precedence, pattern, integer weights, zones") {
     val pairs = Linkage.candidates(left, right, "l_id", "r_id",
       Seq((lit(1), lit(1)))) // tiny all-pairs block: 9 pairs, test-only

@@ -915,26 +915,27 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("minhashLshAuto routes CAPPED when hot buckets make candidates superlinear") {
-    // one 40-doc identical family: ΣC(k,2) = 3·780 = 2340 > 32·42 docs,
-    // so the probe must flip to the capped regime; with cappedBucket=10
-    // the hot buckets are dropped while the small pair survives
-    val hot = (0L until 40L).map(i => (i, "alpha beta gamma delta epsilon"))
+    // one 80-doc identical family: ΣC(k,2) = 3·3160 = 9480 raw band
+    // collisions > 96·82, so the probe must flip to the capped regime;
+    // with cappedBucket=10 the hot buckets are dropped while the small
+    // pair survives
+    val hot = (0L until 80L).map(i => (i, "alpha beta gamma delta epsilon"))
     val pair = Seq((100L, "quantum flux capacitor energizes warp drive"),
       (101L, "quantum flux capacitor energizes warp drive"))
     val df = (hot ++ pair).toDF("doc_id", "text")
     val d = Dedup.minhashLshAuto(df, "text", "doc_id", cappedBucket = 10)
     assert(d.regime == "capped")
-    assert(d.nDocs == 42 && d.cap == 10)
-    assert(d.maxBucketObserved == 40)
+    assert(d.nDocs == 82 && d.cap == 10)
+    assert(d.maxBucketObserved == 80)
     // band-level retention: only the pair's buckets (k=2) survive the cap
     assert(d.candidateRetention > 0.0 && d.candidateRetention < 0.01)
     val got = d.pairs.select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(got == Set((100L, 101L)))
-    // default-arg minhashLsh IS the dispatched path (cap 50 keeps the
-    // 40-doc bucket, so it must equal forced-exact here)
+    // default-arg minhashLsh IS the dispatched path (default cap 50 drops
+    // the 80-doc bucket: only the small pair survives)
     val viaDefault = Dedup.minhashLsh(df, "text", "doc_id")
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
-    assert(viaDefault.size == 40 * 39 / 2 + 1)
+    assert(viaDefault == Set((100L, 101L)))
   }
 
   test("minhash LSH finds exact and near dups, not unrelated docs") {

@@ -712,6 +712,70 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("per-query probe-job budget: eager jobs at CONSTRUCTION never regress " +
+    "(committed budget, sweep over every query)") {
+    // Closes the exchange sweep's documented blind spot (above): eager
+    // probe jobs run while the query FUNCTION executes — the percentile
+    // dispatcher's distinct-count probe, the LSH dispatcher's bucket
+    // probe, localCheckpoint materializations, bounded collects,
+    // iterative-loop convergence probes — never appear in the returned
+    // plan. This sweep counts them with a SparkListener, keyed by a
+    // per-query job group so concurrently-running suites in the shared
+    // session can't pollute the count. Jobs submitted from OTHER threads
+    // (streaming micro-batch executors) don't inherit the group and are
+    // deliberately out of scope: they are stream replay work, not
+    // driver-side construction probes. Budget semantics match the
+    // exchange sweep: committed tsv, assert <=, regenerate deliberately
+    //   GRAFT_REGEN_PROBE_BUDGET=1 sbt "testOnly graft.PlanSpec -- -z probe"
+    // (a count going UP needs a commit-message justification).
+    val budgetPath = java.nio.file.Paths.get("src/test/resources/probe_job_budget.tsv")
+    val sc = spark.sparkContext
+    val counts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val gid = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.jobGroup.id"))).getOrElse("")
+        if (gid.startsWith("probe-budget:"))
+          counts.merge(gid.stripPrefix("probe-budget:"), 1, (a, b) => a + b)
+      }
+    }
+    sc.addSparkListener(listener)
+    val observed = try {
+      Queries.all.keys.toSeq.sorted.map { name =>
+        sc.setJobGroup(s"probe-budget:$name", "probe-job budget sweep",
+          interruptOnCancel = false)
+        try Queries.all(name)(spark, sf) finally sc.clearJobGroup()
+        (name, ())
+      }
+      org.apache.spark.sql.graftbridge.GraftListener.waitUntilListenerBusEmpty(sc)
+      Queries.all.keys.toSeq.sorted.map(n => (n, counts.getOrDefault(n, 0).toInt))
+    } finally sc.removeSparkListener(listener)
+    if (sys.env.contains("GRAFT_REGEN_PROBE_BUDGET")) {
+      java.nio.file.Files.createDirectories(budgetPath.getParent)
+      java.nio.file.Files.writeString(budgetPath,
+        observed.map { case (n, j) => s"$n\t$j" }.mkString("", "\n", "\n"))
+      info(s"regenerated $budgetPath with ${observed.size} entries")
+    } else {
+      assert(java.nio.file.Files.exists(budgetPath),
+        s"missing $budgetPath — regenerate with GRAFT_REGEN_PROBE_BUDGET=1")
+      val budget = java.nio.file.Files.readAllLines(budgetPath).toArray(Array.empty[String])
+        .filter(_.nonEmpty).map { line =>
+          val Array(n, j) = line.split('\t')
+          n -> j.toInt
+        }.toMap
+      val missing = observed.collect { case (n, _) if !budget.contains(n) => n }
+      val over = observed.flatMap { case (n, j) =>
+        budget.get(n).collect {
+          case bj if j > bj => s"$n: $j construction jobs (budget $bj)"
+        }
+      }
+      assert(missing.isEmpty,
+        s"queries missing from probe-job budget (regenerate): ${missing.mkString(", ")}")
+      assert(over.isEmpty, s"probe-job budget exceeded:\n${over.mkString("\n")}")
+    }
+  }
+
   test("ohlc bars: ONE aggregation — no window, no join, no extra shuffle") {
     val plan = planOf("q_ohlc_bars")
     assert(!plan.contains("Window") && !plan.contains("Join"), plan.take(2000))

@@ -22,11 +22,15 @@ object ProbeSoak {
     for (dir <- args) {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       val nDocs = docs.count()
-      val nCand = Dedup.lshCandidatePairs(docs, "text", "doc_id").count()
-      val nPairs = Dedup.minhashLsh(docs, "text", "doc_id").count()
+      // exact legs stay explicitly exact: the default is now the
+      // dispatcher, and this probe's whole point is the exact work curve
+      val nCand = Dedup.lshCandidatePairs(docs, "text", "doc_id",
+        maxBucket = Int.MaxValue).count()
+      val nPairs = Dedup.minhashLsh(docs, "text", "doc_id",
+        maxBucket = Int.MaxValue).count()
       var t0 = System.nanoTime()
       val exactN = Dedup.clusterPairs(
-        Dedup.minhashLsh(docs, "text", "doc_id")).count()
+        Dedup.minhashLsh(docs, "text", "doc_id", maxBucket = Int.MaxValue)).count()
       val tExact = (System.nanoTime() - t0) / 1e9
       t0 = System.nanoTime()
       val cappedN = Dedup.clusterPairs(

@@ -3513,3 +3513,379 @@ def knn_cosine_ivf_probe2():
             rows.append({"q_id": int(ids[qi]), "n_id": nid, "cos": c})
     rows.sort(key=lambda r: (r["q_id"], r["n_id"]))
     return pd.DataFrame(rows)
+
+
+# --- graph statistics (r11 audit growth) ------------------------------------
+
+def _parts_supplier_edges():
+    """Canonical (pa < pb) edge set of the parts-sharing-a-supplier
+    graph, l_partkey < 300 (the graph queries' declared cohort)."""
+    li = table("lineitem")
+    li = li[li.l_partkey < 300]
+    by_s = {}
+    for p, s in set(zip(li.l_partkey.astype(int), li.l_suppkey.astype(int))):
+        by_s.setdefault(s, set()).add(p)
+    edges = set()
+    for ps in by_s.values():
+        ps = sorted(ps)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[j]))
+    return edges
+
+
+def _triangle_counts(edges):
+    """Per-vertex triangle participation from adjacency-set
+    intersections (each triangle counted once per vertex)."""
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tc = {}
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            tc[c] = tc.get(c, 0)  # ensure key exists even if only via wedge
+    # count triangles once (a<b<c) then attribute to all three vertices
+    tri = 0
+    tcount = {}
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            if c > b:  # a < b < c by canonical edge order
+                tri += 1
+                for v in (a, b, c):
+                    tcount[v] = tcount.get(v, 0) + 1
+    return tri, tcount, adj
+
+
+@audit("q_graph_triangles")
+def graph_triangles():
+    # Triangle count via adjacency-set intersection over canonical
+    # (a<b) edges — each unordered triangle counted exactly once.
+    edges = _parts_supplier_edges()
+    tri, _, _ = _triangle_counts(edges)
+    return pd.DataFrame([{"n_edges": len(edges), "n_triangles": tri}])
+
+
+@audit("q_graph_clustering_coef")
+def graph_clustering_coef():
+    # Watts-Strogatz local clustering coefficient C_v = 2 t_v / d_v(d_v-1)
+    # (Watts & Strogatz 1998); vertices with d >= 2; top-25 by
+    # (coef desc, v asc) at 6-dp presentation.
+    edges = _parts_supplier_edges()
+    _, tcount, adj = _triangle_counts(edges)
+    rows = []
+    for v, nb in adj.items():
+        d = len(nb)
+        if d < 2:
+            continue
+        t = tcount.get(v, 0)
+        rows.append({"v": v, "d": d, "t": t,
+                     "coef": r6(2.0 * t / (d * (d - 1)))})
+    rows.sort(key=lambda r: (-r["coef"], r["v"]))
+    rows = rows[:25]
+    return pd.DataFrame([{"v": r["v"], "d": np.int32(r["d"]),
+                          "t": np.int32(r["t"]), "coef": r["coef"]}
+                         for r in rows])
+
+
+@audit("q_graph_assortativity")
+def graph_assortativity():
+    # Degree assortativity r (Newman 2002, eq. 4): Pearson correlation of
+    # the degree pairs (d_u, d_v) over each edge counted in BOTH
+    # directions (the undirected convention).
+    edges = _parts_supplier_edges()
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    xs, ys = [], []
+    for a, b in edges:
+        xs += [deg[a], deg[b]]
+        ys += [deg[b], deg[a]]
+    x = np.array(xs, dtype=float)
+    y = np.array(ys, dtype=float)
+    r = float(((x - x.mean()) * (y - y.mean())).sum()
+              / math.sqrt(((x - x.mean()) ** 2).sum()
+                          * ((y - y.mean()) ** 2).sum()))
+    return pd.DataFrame([{"n_endpoints": 2 * len(edges),
+                          "assortativity": r6(r)}])
+
+
+@audit("q_eval_ranking")
+def eval_ranking():
+    # NDCG@10 (Järvelin & Kekäläinen 2002) + reciprocal rank of the
+    # TF-IDF run against BM25-graded truth (gain = 11 - bm25 rank).
+    # Discounts quantized once: round(10^12 / log2(i+1)); DCG sums exact
+    # integers; ndcg = round(dcg/idcg, 6); rr_fp = 10^9 // first_rel.
+    from collections import Counter
+    toks = _tokens_per_doc()
+    N = len(toks)
+    T = sum(len(ts) for ts in toks.values())
+    dl = {d: len(ts) for d, ts in toks.items()}
+    queries = {"q_analytics": ["query", "filter", "join"],
+               "q_streaming": ["stream", "window", "scan"],
+               "q_physical": ["hash", "merge", "sort", "table"]}
+    qtoks = {t for ts in queries.values() for t in ts}
+    tf = {}
+    for d, ts in toks.items():
+        c = Counter(t for t in ts if t in qtoks)
+        for t, n in c.items():
+            tf[(d, t)] = n
+    dfq = Counter(t for (_, t) in tf)
+    disc = [int(math.floor(1e12 / math.log2(i + 1) + 0.5))
+            for i in range(1, 11)]
+    rows = []
+    for qid in sorted(queries):
+        ts = queries[qid]
+        # BM25 truth (same integer fixed point as the audited
+        # text_bm25_topk): top-10, gain = 11 - rank
+        bs, tfs = {}, {}
+        for (d, t), n in tf.items():
+            if t not in ts:
+                continue
+            idf_fp = ((2 * (N - dfq[t]) + 1) * 1000000) // (2 * dfq[t] + 1)
+            tf_fp = (22 * T * n * 1000000) // (10 * T * n + 3 * T
+                                               + 9 * dl[d] * N)
+            bs[d] = bs.get(d, 0) + idf_fp * tf_fp
+            # TF-IDF run score: sum over query terms of tf * N * 1e6 // df
+            tfs[d] = tfs.get(d, 0) + (n * N * 1000000) // dfq[t]
+        truth = {d: 11 - rnk for rnk, (d, _) in enumerate(
+            sorted(bs.items(), key=lambda kv: (-kv[1], kv[0]))[:10], start=1)}
+        run = [d for d, _ in sorted(tfs.items(),
+                                    key=lambda kv: (-kv[1], kv[0]))[:10]]
+        dcg = sum(truth.get(d, 0) * disc[i] for i, d in enumerate(run))
+        idcg = sum(g * disc[i] for i, g in enumerate(
+            sorted(truth.values(), reverse=True)[:10]))
+        first = next((i + 1 for i, d in enumerate(run) if d in truth), None)
+        rows.append({"query_id": qid, "ndcg": r6(dcg / idcg),
+                     "first_rel": np.int32(first),
+                     "rr_fp": 10 ** 9 // first if first else 0})
+    return pd.DataFrame(rows)
+
+
+def _knn3_graph():
+    """Symmetric 3-NN cosine graph over the bounded embedding cohort
+    (vec_id %10 < 3, vec_id < 2000), ties by (round(cos,6) desc, id)."""
+    e = table("embeddings")
+    e = e[(e.vec_id % 10 < 3) & (e.vec_id < 2000)]
+    ids = e.vec_id.values.astype(int)
+    emb = np.stack([np.asarray(v, dtype=np.float64) for v in e.embedding])
+    nrm = np.sqrt((emb * emb).sum(axis=1))
+    edges = set()
+    for i in range(len(ids)):
+        sims = sorted(((r6(float(emb[i] @ emb[j]) / (nrm[i] * nrm[j])),
+                        -ids[j]) for j in range(len(ids)) if j != i),
+                      reverse=True)[:3]
+        for _, nj in sims:
+            a, b = ids[i], -nj
+            edges.add((a, b))
+            edges.add((b, a))
+    return edges
+
+
+def _fp_pagerank(edges, seeds=None, iters=5):
+    """Integer fixed-point PageRank, scale 10^12, damping 85/100, all
+    divisions floor (Page et al. 1999 power iteration, quantized):
+    r0 = S//n (uniform) or S//|seeds| on seeds; each round
+    r(v) = teleport(v) + (85 * sum_u r(u)//d(u) over in-edges) // 100,
+    teleport = (15 * (S//n_base)) // 100 on the teleport set."""
+    S = 10 ** 12
+    adj = {}
+    deg = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        deg[a] = deg.get(a, 0) + 1
+    verts = sorted(deg)
+    base = sorted(seeds) if seeds is not None else verts
+    nb = len(base)
+    r = {v: (S // nb if (seeds is None or v in seeds) else 0)
+         for v in verts}
+    for _ in range(iters):
+        nxt = {}
+        for u in verts:
+            share = r[u] // deg[u]
+            for v in adj[u]:
+                nxt[v] = nxt.get(v, 0) + share
+        r = {v: ((15 * (S // nb)) // 100
+                 if (seeds is None or v in seeds) else 0)
+                + (85 * nxt.get(v, 0)) // 100
+             for v in verts if v in nxt}
+    return r
+
+
+@audit("q_graph_pagerank")
+def graph_pagerank():
+    edges = _knn3_graph()
+    r = _fp_pagerank(edges)
+    top = sorted(r.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    return pd.DataFrame([{"p": p, "rank": rk} for p, rk in top])
+
+
+@audit("q_graph_ppr")
+def graph_ppr():
+    edges = _knn3_graph()
+    seeds = {v for v, _ in edges if v % 7 == 0}
+    r = _fp_pagerank(edges, seeds=seeds)
+    top = sorted(r.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    return pd.DataFrame([{"p": p, "rank": rk} for p, rk in top])
+
+
+def _order_hash_edges():
+    """Canonical distinct edges of the order-hash graph
+    (o_orderkey%3000, o_custkey%3000), self-loops dropped."""
+    o = table("orders")
+    a = (o.o_orderkey % 3000).astype(int).values
+    b = (o.o_custkey % 3000).astype(int).values
+    return {(min(x, y), max(x, y)) for x, y in zip(a, b) if x != y}
+
+
+@audit("q_graph_kcore")
+def graph_kcore():
+    # k-core (Seidman 1983) by iterative peeling: repeatedly delete
+    # vertices of degree < 6 (12 rounds bound, converges earlier);
+    # output = surviving vertices with their core-subgraph degree.
+    edges = _order_hash_edges()
+    cur = set(edges)
+    for _ in range(12):
+        deg = {}
+        for a, b in cur:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {v for v, d in deg.items() if d >= 6}
+        nxt = {(a, b) for a, b in cur if a in keep and b in keep}
+        if nxt == cur:
+            break
+        cur = nxt
+    deg = {}
+    for a, b in cur:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    return pd.DataFrame([{"v": v, "d": np.int32(d)}
+                         for v, d in sorted(deg.items())])
+
+
+@audit("q_graph_bfs_hops")
+def graph_bfs_hops():
+    # multi-source BFS: min hops from the <20 vertex ids, 3 rounds;
+    # output = every vertex reached within 3 hops (sources at 0).
+    edges = _order_hash_edges()
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    hop = {v: 0 for v in adj if v < 20}
+    frontier = set(hop)
+    for h in (1, 2, 3):
+        frontier = {n for v in frontier for n in adj[v] if n not in hop}
+        for n in frontier:
+            hop[n] = h
+    return pd.DataFrame([{"v": v, "hop": np.int32(h)}
+                         for v, h in sorted(hop.items())])
+
+
+def _label_prop(edges, rounds=3):
+    """Deterministic synchronous label propagation: seeds = vertices
+    < 30 labeled v%3 (pinned); each round every vertex takes the
+    plurality label of its neighbors' PREVIOUS labels (ties: smallest
+    label); unlabeled vertices stay unlabeled until a neighbor has a
+    label."""
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seeds = {v: v % 3 for v in adj if v < 30}
+    lab = dict(seeds)
+    for _ in range(rounds):
+        votes = {}
+        for v, nb in adj.items():
+            c = {}
+            for n in nb:
+                if n in lab:
+                    c[lab[n]] = c.get(lab[n], 0) + 1
+            if c:
+                votes[v] = min(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        lab = dict(seeds)
+        for v, l in votes.items():
+            if v not in seeds:
+                lab[v] = l
+    return adj, seeds, lab
+
+
+@audit("q_graph_label_prop")
+def graph_label_prop():
+    edges = _order_hash_edges()
+    _, _, lab = _label_prop(edges)
+    return pd.DataFrame([{"v": v, "label": np.int32(l)}
+                         for v, l in sorted(lab.items())])
+
+
+@audit("q_graph_modularity")
+def graph_modularity():
+    # Newman modularity (Newman & Girvan 2004):
+    # Q = sum_c [ in_c/m - (tot_c/2m)^2 ], communities = 3-round label
+    # prop, unlabeled vertices = singletons. Integer form:
+    # Q·4m² = sum_c (4m·in_c - tot_c²); modularity_x1e6 = sign-split
+    # truncating division by 4m².
+    edges = _order_hash_edges()
+    _, _, lab = _label_prop(edges)
+    verts = {v for e in edges for v in e}
+    comm = {v: lab.get(v, -v - 1) for v in verts}
+    m = len(edges)
+    in_c, tot_c = {}, {}
+    for a, b in edges:
+        ca, cb = comm[a], comm[b]
+        tot_c[ca] = tot_c.get(ca, 0) + 1
+        tot_c[cb] = tot_c.get(cb, 0) + 1
+        if ca == cb:
+            in_c[ca] = in_c.get(ca, 0) + 1
+    q4m2 = sum(4 * m * in_c.get(c, 0) - tot_c[c] * tot_c[c] for c in tot_c)
+    mod_fp = (1 if q4m2 > 0 else -1 if q4m2 < 0 else 0) \
+        * (abs(q4m2) * 1000000 // (4 * m * m))
+    return pd.DataFrame([{"m_edges": m, "n_communities": len(tot_c),
+                          "q4m2": q4m2, "modularity_x1e6": mod_fp}])
+
+
+@audit("q_graph_link_predict")
+def graph_link_predict():
+    # Common-neighbors link prediction (Liben-Nowell & Kleinberg 2003):
+    # for non-adjacent x<y, common = |N(x) ∩ N(y)|, jaccard via the
+    # union identity d(x)+d(y)−common; top-20 by (common desc, pa, pb).
+    edges = _parts_supplier_edges()
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    rows = []
+    vs = sorted(adj)
+    for i, x in enumerate(vs):
+        for y in vs[i + 1:]:
+            if (x, y) in edges:
+                continue
+            common = len(adj[x] & adj[y])
+            if common == 0:
+                continue
+            rows.append({"pa": x, "pb": y, "common": np.int32(common),
+                         "jaccard": r6(common /
+                                       (len(adj[x]) + len(adj[y]) - common))})
+    rows.sort(key=lambda r: (-int(r["common"]), r["pa"], r["pb"]))
+    return pd.DataFrame(rows[:20])
+
+
+@audit("q_eval_pr_curve")
+def eval_pr_curve():
+    # precision/recall sweep at thresholds 0,100..900 over the
+    # documents' synthetic milli-score (lang-en positive class):
+    # precision = tp/(tp+fp), recall = tp/(tp+fn), null when undefined.
+    d = table("documents")
+    pos = (d.lang == "en").values
+    pm = np.minimum(999, d.n_chars.values % 500 + np.where(pos, 300, 100))
+    rows = []
+    for thr in range(0, 1000, 100):
+        sel = pm >= thr
+        tp = int((sel & pos).sum())
+        fp = int((sel & ~pos).sum())
+        fn = int((~sel & pos).sum())
+        rows.append({"thr": np.int32(thr), "tp": tp, "fp": fp, "fn": fn,
+                     "precision": r6(tp / (tp + fp)) if tp + fp else None,
+                     "recall": r6(tp / (tp + fn)) if tp + fn else None})
+    return pd.DataFrame(rows)
