@@ -3889,3 +3889,397 @@ def eval_pr_curve():
                      "precision": r6(tp / (tp + fp)) if tp + fp else None,
                      "recall": r6(tp / (tp + fn)) if tp + fn else None})
     return pd.DataFrame(rows)
+
+
+# --- streaming panel finals (r11 audit growth) ------------------------------
+# The stream_* queries replay bounded batches through Structured
+# Streaming; their finals are ordinary statistics of the events/documents
+# tables, recomputed here independently of both engines.
+
+@audit("q_events_hourly")
+def events_hourly():
+    # tumbling-hour counts + exact DECIMAL(18,4) value sums per type.
+    e = table("events")
+    h = pd.Series(e.ts.values).dt.floor("h")
+    q = half_up(e.value.values.astype(float), 10000)  # exact 1e-4 units
+    g = pd.DataFrame({"h": h, "event_type": e.event_type.values, "q": q}) \
+        .groupby(["h", "event_type"], sort=True) \
+        .agg(n=("q", "size"), s=("q", "sum")).reset_index()
+    return pd.DataFrame({"h": g.h, "event_type": g.event_type,
+                         "n": g.n.astype(np.int64),
+                         "sum_value": g.s / 1e4})
+
+
+# identical statistic replayed through the streaming window aggregation
+AUDITS["stream_events_hourly"] = AUDITS["q_events_hourly"]
+
+
+@audit("q_ohlc_bars")
+def ohlc_bars():
+    # hourly OHLC bars over integer cents; open/close = value at the
+    # min/max of the total order key epoch_us(ts)*1e10 + event_id.
+    e = table("events")
+    h = pd.Series(e.ts.values).dt.floor("h")
+    cents = half_up(e.value.values.astype(float), 100)
+    k = (e.ts.values.astype("datetime64[us]").astype(np.int64)
+         .astype(object) * 10 ** 10 + e.event_id.values.astype(object))
+    d = pd.DataFrame({"bar": h, "v": cents, "k": k})
+    rows = []
+    for bar, g in d.groupby("bar", sort=True):
+        v = g.v.values
+        rows.append({"bar": bar, "n_ticks": len(g),
+                     "open": int(v[np.argmin(g.k.values)]),
+                     "high": int(v.max()), "low": int(v.min()),
+                     "close": int(v[np.argmax(g.k.values)]),
+                     "volume": int(v.sum())})
+    return pd.DataFrame(rows)
+
+
+AUDITS["stream_ohlc"] = AUDITS["q_ohlc_bars"]
+
+# the streaming quantile sketch's bounded single batch reproduces the
+# batch sketch bit-for-bit (same oracle SQL, same engine output)
+AUDITS["stream_quantiles"] = AUDITS["q_sketch_quantiles"]
+
+
+@audit("stream_token_counts")
+def stream_token_counts():
+    from collections import Counter
+    toks = _tokens_per_doc()
+    c = Counter(t for d, ts in toks.items() if d < 100 for t in ts)
+    return pd.DataFrame([{"tok": t, "n": n} for t, n in sorted(c.items())])
+
+
+@audit("stream_topk")
+def stream_topk():
+    from collections import Counter
+    toks = _tokens_per_doc()
+    c = Counter(t for d, ts in toks.items() if d < 200 for t in ts)
+    top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    return pd.DataFrame([{"tok": t, "n": n} for t, n in top])
+
+
+@audit("stream_sessionize")
+def stream_sessionize():
+    # 30-minute-gap sessionization (user_id < 50): a new session starts
+    # when the gap from the previous event (by (ts, event_id)) exceeds
+    # 30 min; per session: event count + start/end timestamps.
+    e = table("events")
+    e = e[e.user_id < 50].sort_values(["user_id", "ts", "event_id"],
+                                      kind="mergesort")
+    rows = []
+    for uid, g in e.groupby("user_id", sort=True):
+        ts = g.ts.values
+        sid = 0
+        start = i0 = 0
+        for i in range(len(ts)):
+            if i == 0 or (ts[i] - ts[i - 1]) > np.timedelta64(30, "m"):
+                if i > 0:
+                    rows.append({"user_id": uid, "session_id": sid,
+                                 "n_events": i - i0,
+                                 "session_start": ts[i0],
+                                 "session_end": ts[i - 1]})
+                sid += 1
+                i0 = i
+        rows.append({"user_id": uid, "session_id": sid,
+                     "n_events": len(ts) - i0, "session_start": ts[i0],
+                     "session_end": ts[-1]})
+    return pd.DataFrame(rows)
+
+
+@audit("stream_funnel")
+def stream_funnel():
+    # strictly-ordered 3-step funnel per user (view -> click -> purchase
+    # first-times in epoch microseconds), user_id < 50, later steps null
+    # when never reached after the previous step.
+    e = table("events")
+    e = e[e.user_id < 50]
+    us = e.ts.values.astype("datetime64[us]").astype(np.int64)
+    d = pd.DataFrame({"u": e.user_id.values, "t": us,
+                      "et": e.event_type.values})
+    rows = []
+    for u, g in d.groupby("u", sort=True):
+        v = g[g.et == "view"].t
+        if v.empty:
+            continue
+        t1 = int(v.min())
+        c = g[(g.et == "click") & (g.t > t1)].t
+        t2 = int(c.min()) if not c.empty else None
+        t3 = None
+        if t2 is not None:
+            p = g[(g.et == "purchase") & (g.t > t2)].t
+            t3 = int(p.min()) if not p.empty else None
+        rows.append({"user_id": u, "t1": t1, "t2": t2, "t3": t3})
+    df = pd.DataFrame(rows)
+    # nullable int columns surface as float in parquet round-trips
+    for c in ("t2", "t3"):
+        df[c] = df[c].astype("float64" if df[c].isna().any() else "int64")
+    return df
+
+
+@audit("stream_lttb")
+def stream_lttb_audit():
+    # the LTTB downsample (see q_lttb_downsample) over the SAME hourly
+    # count series but with 24 interior buckets — the streaming panel's
+    # coarser plot budget.
+    h = _hourly()
+    t = h.index.values.astype(np.int64)
+    v = h.values.astype(np.int64)
+    t0, v0 = int(t[0]), int(v[0])
+    t9, v9 = int(t[-1]), int(v[-1])
+    ti, vi = t[1:-1], v[1:-1]
+    n = len(ti)
+    nb = 24
+    base, extra = divmod(n, nb)
+    tiles = np.repeat(np.arange(1, nb + 1),
+                      [base + (1 if k <= extra else 0)
+                       for k in range(1, nb + 1)])
+    means = {}
+    for k in np.unique(tiles):
+        m = tiles == k
+        means[int(k)] = (ti[m].mean(), vi[m].mean())
+    sel = []
+    for k in np.unique(tiles):
+        tl, vl = means.get(int(k) - 1, (float(t0), float(v0)))
+        tr, vr = means.get(int(k) + 1, (float(t9), float(v9)))
+        m = tiles == k
+        best = None
+        for tt, vv in zip(ti[m], vi[m]):
+            area = math.floor(abs(tl * (vv - vr) + tt * (vr - vl)
+                                  + tr * (vl - vv)) * 1e6 + 0.5)
+            key = (-area, tt)
+            if best is None or key < best[0]:
+                best = (key, (int(tt), int(vv)))
+        sel.append(best[1])
+    pts = sorted([(t0, v0), (t9, v9)] + sel)
+    return pd.DataFrame([{"t": a, "v": b} for a, b in pts])
+
+
+# --- robust statistics / anomaly family (r11 audit growth) -------------------
+
+@audit("q_anomaly_zscore")
+def anomaly_zscore():
+    # rolling z-score over the trailing 24 FULL hourly counts (window
+    # excludes the current hour): z = (n - mean) / sd, sd = sample sd
+    # from exact integer power sums; null until the window fills.
+    e = table("events")
+    h = pd.Series(e.ts.values).dt.floor("h")
+    c = pd.DataFrame({"et": e.event_type.values, "h": h}) \
+        .groupby(["et", "h"]).size().reset_index(name="n")
+    rows = []
+    for et, g in c.groupby("et", sort=True):
+        g = g.sort_values("h")
+        ns = g.n.values.astype(np.int64)
+        for i in range(len(ns)):
+            lo = max(0, i - 24)
+            w = ns[lo:i]
+            z = None
+            if len(w) == 24:
+                s1, s2 = int(w.sum()), int((w * w).sum())
+                den = 24.0 * s2 - float(s1) * s1
+                if den != 0:
+                    z = r6((ns[i] - s1 / 24.0)
+                           / math.sqrt(den / (24.0 * 23.0)))
+            rows.append({"event_type": et, "h": g.h.values[i],
+                         "n": int(ns[i]), "zscore": z})
+    return pd.DataFrame(rows)
+
+
+@audit("q_anomaly_mad")
+def anomaly_mad():
+    # MAD outliers (Hampel): med = lower median (element (n+1)//2 of the
+    # sorted list), mad = lower median of |v - med|, outlier if
+    # |v - med| > 3*mad. Values exact cents.
+    o = table("orders")
+    v = half_up(o.o_totalprice.values.astype(float), 100)
+    rows = []
+    d = pd.DataFrame({"grp": o.o_orderpriority.values, "v": v})
+    for grp, g in d.groupby("grp", sort=True):
+        vs = np.sort(g.v.values)
+        n = len(vs)
+        med = int(vs[(n + 1) // 2 - 1])
+        ds = np.sort(np.abs(vs - med))
+        mad = int(ds[(n + 1) // 2 - 1])
+        rows.append({"grp": grp, "n": n, "med": med / 100.0,
+                     "mad": mad / 100.0,
+                     "n_outliers": np.int32(int((ds > 3 * mad).sum()))})
+    return pd.DataFrame(rows)
+
+
+@audit("q_trimmed_mean")
+def trimmed_mean():
+    # 5/95 percentile-trimmed mean per return flag: bounds at sorted
+    # positions 1+(n-1)*p//100 (lower interpolation), keep v in
+    # [plo, phi], mean of exact cents rounded 6dp.
+    li = table("lineitem")
+    v = half_up(li.l_extendedprice.values.astype(float), 100)
+    rows = []
+    for fl, g in pd.DataFrame({"f": li.l_returnflag.values, "v": v}) \
+            .groupby("f", sort=True):
+        vs = np.sort(g.v.values)
+        n = len(vs)
+        plo = int(vs[(n - 1) * 5 // 100])
+        phi = int(vs[(n - 1) * 95 // 100])
+        kept = g.v.values[(g.v.values >= plo) & (g.v.values <= phi)]
+        rows.append({"l_returnflag": fl, "n_kept": len(kept),
+                     "trimmed_mean": r6(int(kept.sum()) / 100.0
+                                        / len(kept))})
+    return pd.DataFrame(rows)
+
+
+@audit("q_winsorize")
+def winsorize():
+    # 5/95 winsorized mean per priority: clamp to the same lower-interp
+    # bounds, exact-cent sum / n at 6dp.
+    o = table("orders")
+    v = half_up(o.o_totalprice.values.astype(float), 100)
+    rows = []
+    for grp, g in pd.DataFrame({"grp": o.o_orderpriority.values, "v": v}) \
+            .groupby("grp", sort=True):
+        vs = np.sort(g.v.values)
+        n = len(vs)
+        lo = int(vs[(n - 1) * 5 // 100])
+        hi = int(vs[(n - 1) * 95 // 100])
+        cv = np.clip(g.v.values, lo, hi)
+        rows.append({"grp": grp, "n": np.int32(n), "lo": lo / 100.0,
+                     "hi": hi / 100.0,
+                     "mean_w": r6(int(cv.sum()) / 100.0 / n)})
+    return pd.DataFrame(rows)
+
+
+@audit("q_weighted_median")
+def weighted_median():
+    # lower weighted median (Edgeworth 1888): first v (ordered by
+    # (v, custkey)) whose cumulative weight reaches half the total,
+    # weights 1 + custkey%5.
+    c = table("customer")
+    v = half_up(c.c_acctbal.values.astype(float), 100)
+    d = pd.DataFrame({"seg": c.c_mktsegment.values, "v": v,
+                      "wt": 1 + c.c_custkey.values % 5,
+                      "k": c.c_custkey.values})
+    rows = []
+    for seg, g in d.groupby("seg", sort=True):
+        g = g.sort_values(["v", "k"], kind="mergesort")
+        cw = g.wt.cumsum().values
+        tw = int(g.wt.sum())
+        i = int(np.argmax(2 * cw >= tw))
+        rows.append({"seg": seg, "w_median": g.v.values[i] / 100.0,
+                     "total_weight": tw})
+    return pd.DataFrame(rows)
+
+
+@audit("q_twap")
+def twap():
+    # time-weighted average price per customer (<200): weight = micros
+    # to the NEXT order (by (date, key)); TWAP = Σ v·w / Σ w.
+    o = table("orders")
+    o = o[o.o_custkey < 200]
+    cents = half_up(o.o_totalprice.values.astype(float), 100)
+    d = pd.DataFrame({"c": o.o_custkey.values,
+                      "t": o.o_orderdate.values.astype("datetime64[us]")
+                      .astype(np.int64),
+                      "k": o.o_orderkey.values, "v": cents})
+    rows = []
+    for c, g in d.groupby("c", sort=True):
+        g = g.sort_values(["t", "k"], kind="mergesort")
+        t = g.t.values
+        wt = (t[1:] - t[:-1]).astype(object)
+        v = g.v.values[:-1].astype(object)
+        if len(wt) == 0:
+            continue
+        sw = int(sum(wt))
+        sv = sum(int(a) * int(b) for a, b in zip(v, wt))
+        rows.append({"o_custkey": c, "n_intervals": len(wt),
+                     "total_micros": sw, "twap": r6(sv / 100.0 / sw)})
+    return pd.DataFrame(rows)
+
+
+@audit("q_two_proportion")
+def two_proportion():
+    # pooled two-proportion z (Fleiss 1981): arms from the 60-bit md5
+    # hash parity of user_id; conversion = >=14 purchases.
+    e = table("events")
+    conv = e.groupby("user_id").apply(
+        lambda g: int((g.event_type == "purchase").sum() >= 14),
+        include_groups=False)
+    arm = {u: md5h60(int(u)) % 2 == 0 for u in conv.index}
+    n1 = sum(1 for u in conv.index if arm[u])
+    x1 = sum(int(conv[u]) for u in conv.index if arm[u])
+    n2 = len(conv) - n1
+    x2 = int(conv.sum()) - x1
+    p1, p2 = x1 / n1, x2 / n2
+    pp = (x1 + x2) / (n1 + n2)
+    z = (p1 - p2) / math.sqrt(pp * (1 - pp) * (1 / n1 + 1 / n2))
+    return pd.DataFrame([{"n1": n1, "x1": x1, "n2": n2, "x2": x2,
+                          "p_diff": r6(p1 - p2), "z": r6(z)}])
+
+
+@audit("q_cramers_v")
+def cramers_v():
+    # Cramér's V (Cramér 1946): V = sqrt(chi2 / (n (min(ka,kb)-1))),
+    # chi2 from the engines' truncating 1e6 fixed-point lift form:
+    # chi2_x1e6 = max(Σ_cell o·(o·1e6·n // (ra·cb)) - n·1e6, 0).
+    c = table("customer")
+    cells = pd.DataFrame({"a": c.c_nationkey.values,
+                          "b": c.c_mktsegment.values}) \
+        .groupby(["a", "b"]).size().reset_index(name="o")
+    ra = cells.groupby("a").o.sum().to_dict()
+    cb = cells.groupby("b").o.sum().to_dict()
+    n = int(cells.o.sum())
+    ka, kb = cells.a.nunique(), cells.b.nunique()
+    s = sum(int(o) * (int(o) * 1000000 * n // (ra[a] * cb[b]))
+            for a, b, o in zip(cells.a, cells.b, cells.o))
+    chi2_fp = max(s - n * 1000000, 0)
+    v = math.sqrt(chi2_fp / (n * (min(ka, kb) - 1) * 1000000))
+    return pd.DataFrame([{"n": n, "ka": ka, "kb": kb,
+                          "chi2_x1e6": chi2_fp, "cramers_v": r6(v)}])
+
+
+@audit("q_cochran_armitage")
+def cochran_armitage():
+    # Cochran-Armitage trend test (Armitage 1955), scores w = leading
+    # digit of priority, response x = status 'F':
+    # T = Σ w (x_w N - n_w X); z = T / sqrt(X(N-X)(N Σw²n - (Σwn)²)/N).
+    o = table("orders")
+    w = o.o_orderpriority.str[0].astype(int).values
+    x = (o.o_orderstatus == "F").astype(int).values
+    g = pd.DataFrame({"w": w, "x": x}).groupby("w") \
+        .agg(n=("x", "size"), x=("x", "sum"))
+    N, X = int(g.n.sum()), int(g.x.sum())
+    t_n = sum(int(wi) * (int(r.x) * N - int(r.n) * X)
+              for wi, r in g.iterrows())
+    w2n = sum(int(wi) * int(wi) * int(r.n) for wi, r in g.iterrows())
+    wn = sum(int(wi) * int(r.n) for wi, r in g.iterrows())
+    z = t_n / math.sqrt(X * (N - X) * (N * w2n - wn * wn) / N)
+    return pd.DataFrame([{"k_doses": np.int32(len(g)), "n": N, "x": X,
+                          "t_n": t_n, "z": r6(z)}])
+
+
+@audit("q_burstiness")
+def burstiness():
+    # Goh & Barabási (2008) burstiness B = (σ−μ)/(σ+μ) of per-user
+    # inter-event gaps (ms floor), pooled per event type; cv²×1e6 in the
+    # engines' truncating integer form (nq − s²)·1e6 // s².
+    e = table("events")
+    t = e.ts.values.astype("datetime64[us]").astype(np.int64) // 1000
+    d = pd.DataFrame({"u": e.user_id.values, "key": e.event_type.values,
+                      "t": t, "i": e.event_id.values})
+    gaps = {}
+    for (u,), g in d.groupby(["u"], sort=False):
+        g = g.sort_values(["t", "i"], kind="mergesort")
+        ts = g.t.values
+        ks = g.key.values
+        for j in range(len(ts) - 1):
+            gaps.setdefault(ks[j], []).append(int(ts[j + 1] - ts[j]))
+    rows = []
+    for key in sorted(gaps):
+        gg = gaps[key]
+        n = len(gg)
+        s = sum(gg)
+        q = sum(int(x) * int(x) for x in gg)
+        num = n * q - s * s
+        rows.append({"key": key, "n_gaps": n, "sum_ms": s,
+                     "cv2_x1e6": num * 1000000 // (s * s),
+                     "burstiness": r6((math.sqrt(num) - s)
+                                      / (math.sqrt(num) + s))})
+    return pd.DataFrame(rows)
