@@ -4283,3 +4283,917 @@ def burstiness():
                      "burstiness": r6((math.sqrt(num) - s)
                                       / (math.sqrt(num) + s))})
     return pd.DataFrame(rows)
+
+
+@audit("q_mase_hourly")
+def mase_hourly():
+    # MASE (Hyndman & Koehler 2006) of the seasonal-naive (lag 24)
+    # forecast scaled by the one-step naive: exact integer |error| sums,
+    # truncating 1e6 fixed-point ratio.
+    h = _hourly()
+    t = h.index.values.astype(np.int64)
+    v = {int(a): int(b) for a, b in zip(t, h.values)}
+    season = [(abs(v[a] - v[a - 24])) for a in v if a - 24 in v]
+    naive = [(abs(v[a] - v[a - 1])) for a in v if a - 1 in v]
+    ns, ss = len(season), sum(season)
+    nn, sn = len(naive), sum(naive)
+    return pd.DataFrame([{"n_season": ns, "sum_season": ss,
+                          "n_naive": nn, "sum_naive": sn,
+                          "mase_x1e6": ss * nn * 1000000 // (ns * sn)}])
+
+
+@audit("q_ols_by_group")
+def ols_by_group():
+    # simple OLS per group from the normal equations (Gauss):
+    # slope = (nSxy - SxSy)/(nSxx - Sx²), intercept = (Sy - slope·Sx)/n,
+    # r² = slope² · (nSxx - Sx²)/(nSyy - Sy²) (the squared-correlation
+    # identity). x/y exact cents.
+    li = table("lineitem")
+    x = half_up(li.l_quantity.values.astype(float), 100) / 100.0
+    y = half_up(li.l_extendedprice.values.astype(float), 100) / 100.0
+    rows = []
+    for grp, g in pd.DataFrame({"g": li.l_returnflag.values,
+                                "x": x, "y": y}).groupby("g", sort=True):
+        n = len(g)
+        sx, sy = g.x.sum(), g.y.sum()
+        sxx, syy, sxy = (g.x * g.x).sum(), (g.y * g.y).sum(), (g.x * g.y).sum()
+        num = n * sxy - sx * sy
+        dx = n * sxx - sx * sx
+        dy = n * syy - sy * sy
+        slope = num / dx
+        rows.append({"grp": grp, "n": n, "slope": r6(slope),
+                     "intercept": r6((sy - slope * sx) / n),
+                     "r2": r6(num * num / (dx * dy))})
+    return pd.DataFrame(rows)
+
+
+@audit("q_lorenz_deciles")
+def lorenz_deciles():
+    # Lorenz curve in customer-spend deciles (Lorenz 1905): NTILE(10)
+    # over (spend cents, custkey), per-decile share and cumulative share.
+    o = table("orders")
+    cents = half_up(o.o_totalprice.values.astype(float), 100)
+    s = pd.DataFrame({"c": o.o_custkey.values, "v": cents}) \
+        .groupby("c").v.sum().reset_index()
+    s = s.sort_values(["v", "c"], kind="mergesort")
+    n = len(s)
+    base, extra = divmod(n, 10)
+    sizes = [base + (1 if k < extra else 0) for k in range(10)]
+    rows = []
+    tot = int(s.v.sum())
+    cum = 0
+    i0 = 0
+    for b, sz in enumerate(sizes, start=1):
+        chunk = s.v.values[i0:i0 + sz]
+        i0 += sz
+        vs = int(chunk.sum())
+        cum += vs
+        rows.append({"bucket": np.int32(b), "n_rows": sz, "v_sum": vs,
+                     "share": r6(vs / tot), "cum_share": r6(cum / tot)})
+    return pd.DataFrame(rows)
+
+
+@audit("q_mixture_weights")
+def mixture_weights():
+    # deterministic mixture sampling: keep doc iff md5-60bit(doc_id) %
+    # 100 < per-source budget (60/30/10 cycling by source index).
+    d = table("documents")
+    budget = {f"src{i}": [60, 30, 10][i % 3] for i in range(20)}
+    keep = [md5h60(int(i)) % 100 < budget.get(s, 0)
+            for i, s in zip(d.doc_id, d.source)]
+    k = d[np.array(keep)]
+    g = k.groupby("source").doc_id.agg(["size", "min"])
+    return pd.DataFrame([{"source": s, "n_kept": int(r["size"]),
+                          "min_id": int(r["min"])}
+                         for s, r in sorted(g.iterrows())])
+
+
+@audit("q_audience_overlap")
+def audience_overlap():
+    # pairwise audience Jaccard + containment over distinct
+    # (event_type, user) sets.
+    e = table("events")
+    sets = {t: set(g.user_id.values)
+            for t, g in e.groupby("event_type")}
+    ts = sorted(sets)
+    rows = []
+    for i, a in enumerate(ts):
+        for b in ts[i + 1:]:
+            both = len(sets[a] & sets[b])
+            rows.append({"t_a": a, "t_b": b, "n_a": len(sets[a]),
+                         "n_b": len(sets[b]), "n_both": both,
+                         "jaccard": r6(both / len(sets[a] | sets[b])),
+                         "containment": r6(both / min(len(sets[a]),
+                                                      len(sets[b])))})
+    return pd.DataFrame(rows)
+
+
+@audit("q_histogram_numeric")
+def histogram_numeric():
+    # fixed-width 30k histogram of order totals, top bin clamped at 19.
+    o = table("orders")
+    v = o.o_totalprice.values.astype(float)
+    b = np.minimum(np.floor(v / 30000.0), 19).astype(int)
+    rows = []
+    for bi in sorted(set(b)):
+        m = b == bi
+        rows.append({"bin": np.int32(bi), "lo_edge": bi * 30000.0,
+                     "n": int(m.sum()), "lo": float(v[m].min()),
+                     "hi": float(v[m].max())})
+    return pd.DataFrame(rows)
+
+
+@audit("q_item_item_cosine")
+def item_item_cosine():
+    # item-item co-occurrence cosine (Sarwar et al. 2001):
+    # cos(i,j) = c_ij / sqrt(c_i c_j) over distinct (order, part)
+    # baskets; top-20 by (cosine desc, pa, pb).
+    li = table("lineitem")
+    li = li[li.l_partkey < 300]
+    ps = set(zip(li.l_orderkey.astype(int), li.l_partkey.astype(int)))
+    from collections import Counter
+    ci = Counter(p for _, p in ps)
+    by_o = {}
+    for o, p in ps:
+        by_o.setdefault(o, []).append(p)
+    cij = Counter()
+    for parts in by_o.values():
+        parts = sorted(parts)
+        for i in range(len(parts)):
+            for j in range(i + 1, len(parts)):
+                cij[(parts[i], parts[j])] += 1
+    rows = [{"pa": a, "pb": b, "cij": np.int32(n),
+             "cosine": r6(n / math.sqrt(ci[a] * ci[b]))}
+            for (a, b), n in cij.items()]
+    rows.sort(key=lambda r: (-r["cosine"], r["pa"], r["pb"]))
+    return pd.DataFrame(rows[:20])
+
+
+@audit("q_kanonymity")
+def kanonymity():
+    # k-anonymity / l-diversity risk flags (Sweeney 2002; Machanavajjhala
+    # 2007) over the (nation, segment) quasi-identifier: class size < 10
+    # = k-risk, distinct sensitive values < 8 = l-risk.
+    c = table("customer")
+    bal = half_up(c.c_acctbal.values.astype(float), 100)
+    g = pd.DataFrame({"n": c.c_nationkey.values, "s": c.c_mktsegment.values,
+                      "b": bal}).groupby(["n", "s"]) \
+        .agg(class_size=("b", "size"), n_sensitive=("b", "nunique"))
+    return pd.DataFrame([{"c_nationkey": n, "c_mktsegment": s,
+                          "class_size": int(r.class_size),
+                          "n_sensitive": int(r.n_sensitive),
+                          "k_risk": bool(r.class_size < 10),
+                          "l_risk": bool(r.n_sensitive < 8)}
+                         for (n, s), r in sorted(g.iterrows())])
+
+
+def _bm25_tfidf_rankings():
+    """Shared BM25 / TF-IDF fixed-point rankings over the three fixture
+    queries (the scoring forms audited in text_bm25_topk /
+    text_tfidf_topk): returns {query_id: (bm25_top10, tfidf_top10)} as
+    ordered doc_id lists."""
+    from collections import Counter
+    toks = _tokens_per_doc()
+    N = len(toks)
+    T = sum(len(ts) for ts in toks.values())
+    dl = {d: len(ts) for d, ts in toks.items()}
+    queries = {"q_analytics": ["query", "filter", "join"],
+               "q_streaming": ["stream", "window", "scan"],
+               "q_physical": ["hash", "merge", "sort", "table"]}
+    qtoks = {t for ts in queries.values() for t in ts}
+    tf = {}
+    for d, ts in toks.items():
+        c = Counter(t for t in ts if t in qtoks)
+        for t, n in c.items():
+            tf[(d, t)] = n
+    dfq = Counter(t for (_, t) in tf)
+    out = {}
+    for qid, ts in queries.items():
+        bs, tfs = {}, {}
+        for (d, t), n in tf.items():
+            if t not in ts:
+                continue
+            idf_fp = ((2 * (N - dfq[t]) + 1) * 1000000) // (2 * dfq[t] + 1)
+            tf_fp = (22 * T * n * 1000000) // (10 * T * n + 3 * T
+                                               + 9 * dl[d] * N)
+            bs[d] = bs.get(d, 0) + idf_fp * tf_fp
+            tfs[d] = tfs.get(d, 0) + (n * N * 1000000) // dfq[t]
+        out[qid] = (
+            [d for d, _ in sorted(bs.items(),
+                                  key=lambda kv: (-kv[1], kv[0]))[:10]],
+            [d for d, _ in sorted(tfs.items(),
+                                  key=lambda kv: (-kv[1], kv[0]))[:10]])
+    return out
+
+
+@audit("q_hybrid_rrf")
+def hybrid_rrf():
+    # Reciprocal Rank Fusion (Cormack et al. 2009), k=60, integer form
+    # 1e9 // (60 + rank), fused over the BM25 and TF-IDF top-10 runs.
+    rows = []
+    for qid, (brun, trun) in sorted(_bm25_tfidf_rankings().items()):
+        f = {}
+        nr = {}
+        for run in (brun, trun):
+            for i, d in enumerate(run, start=1):
+                f[d] = f.get(d, 0) + 10 ** 9 // (60 + i)
+                nr[d] = nr.get(d, 0) + 1
+        top = sorted(f.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        for rnk, (d, s) in enumerate(top, start=1):
+            rows.append({"query_id": qid, "rnk": np.int32(rnk),
+                         "doc_id": d, "rrf_fp": s, "n_runs": nr[d]})
+    return pd.DataFrame(rows)
+
+
+@audit("q_join_fanout_histogram")
+def join_fanout_histogram():
+    # pre-join fan-out histogram by decimal digit count of the per-key
+    # row product — the skew pre-flight for a planned join.
+    o = table("orders")
+    e = table("events")
+    ca = o.groupby("o_custkey").size()
+    cb = e.groupby("user_id").size()
+    rows = {}
+    for k in ca.index.intersection(cb.index):
+        f = int(ca[k]) * int(cb[k])
+        d = len(str(f))
+        n, s = rows.get(d, (0, 0))
+        rows[d] = (n + 1, s + f)
+    return pd.DataFrame([{"digits": np.int32(d), "n_keys": np.int32(n),
+                          "n_rows": s}
+                         for d, (n, s) in sorted(rows.items())])
+
+
+@audit("q13_order_histogram")
+def q13_histogram():
+    # TPC-H Q13: distribution of per-customer order counts (left join
+    # keeps zero-order customers).
+    c = table("customer")
+    o = table("orders")
+    cnt = o.groupby("o_custkey").size()
+    co = [int(cnt.get(k, 0)) for k in c.c_custkey]
+    from collections import Counter
+    h = Counter(co)
+    rows = sorted(h.items(), key=lambda kv: (-kv[1], -kv[0]))
+    return pd.DataFrame([{"c_count": k, "custdist": n}
+                         for k, n in rows])
+
+
+@audit("text_token_histogram")
+def token_histogram():
+    # doc-length histogram in 8-token bins, clamped at bin 12.
+    toks = _tokens_per_doc()
+    from collections import defaultdict
+    agg = defaultdict(lambda: [0, 0])
+    for ts in toks.values():
+        n = len(ts)
+        b = min(n // 8, 12)
+        agg[b][0] += 1
+        agg[b][1] += n
+    return pd.DataFrame([{"bin": np.int32(b), "n_docs": n,
+                          "sum_tokens": s}
+                         for b, (n, s) in sorted(agg.items())])
+
+
+@audit("q_approx_distinct")
+def approx_distinct():
+    # the HLL gate's companion: exact distinct parts per flag, with the
+    # within-rsd flag the engine asserts (audited true alongside the
+    # dedicated q_eval_hll_error audit which recomputes the HLL itself).
+    li = table("lineitem")
+    g = li.groupby("l_returnflag").l_partkey.nunique()
+    return pd.DataFrame([{"l_returnflag": f, "exact_parts": int(n),
+                          "within_rsd": True}
+                         for f, n in sorted(g.items())])
+
+
+@audit("q_label_noise")
+def label_noise():
+    # Confident-learning-style kNN label check (5-NN plurality label vs
+    # own label) on the bounded embedding cohort; ties by smallest label.
+    e = table("embeddings")
+    e = e[(e.vec_id % 10 < 3) & (e.vec_id < 2000)].sort_values("vec_id")
+    ids = e.vec_id.values.astype(int)
+    labs = e.label.values.astype(int)
+    emb = np.stack([np.asarray(v, dtype=np.float64) for v in e.embedding])
+    nrm = np.sqrt((emb * emb).sum(axis=1))
+    rows = []
+    for i in range(len(ids)):
+        sims = sorted(((r6(float(emb[i] @ emb[j]) / (nrm[i] * nrm[j])),
+                        -ids[j], labs[j]) for j in range(len(ids))
+                       if j != i), reverse=True)[:5]
+        from collections import Counter
+        c = Counter(l for _, _, l in sims)
+        knn_label, nv = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        rows.append({"vec_id": ids[i], "label": np.int32(labs[i]),
+                     "knn_label": np.int32(knn_label),
+                     "n_agree": np.int32(nv),
+                     "flagged": bool(knn_label != labs[i])})
+    return pd.DataFrame(rows)
+
+
+@audit("q_skipping_eval")
+def skipping_eval():
+    # data-skipping evaluation: min/max zone maps over 64 NTILE "files"
+    # in natural vs clustered layout; predicate p in [100, 200); a file
+    # is scanned iff its [mn, mx] range intersects the predicate.
+    o = table("orders")
+    d = pd.DataFrame({"ord": o.o_orderkey.values, "p": o.o_custkey.values,
+                      "id": o.o_orderkey.values})
+    def layout(sort_cols, name):
+        s = d.sort_values(sort_cols, kind="mergesort")
+        n = len(s)
+        base, extra = divmod(n, 64)
+        sizes = [base + (1 if k < extra else 0) for k in range(64)]
+        rows_hit = files_hit = 0
+        i0 = 0
+        for sz in sizes:
+            p = s.p.values[i0:i0 + sz]
+            i0 += sz
+            if p.min() < 200 and p.max() >= 100:
+                files_hit += 1
+                rows_hit += sz
+        return {"layout": name, "n_files": np.int32(64),
+                "n_hit": np.int32(files_hit), "rows_scanned": rows_hit,
+                "n_rows": n, "prune_rate": r6(1 - files_hit / 64)}
+    return pd.DataFrame([layout(["p", "id"], "clustered"),
+                         layout(["ord", "id"], "natural")])
+
+
+@audit("q_eval_ivf_cell_balance")
+def eval_ivf_cell_balance():
+    # IVF cell-load balance after 2 Lloyd rounds (Lloyd 1982) with the
+    # engine's fixed-point centroid means: seed = first 8 vectors by id;
+    # each round reassigns by cosine (ties: smallest cell) and recomputes
+    # centroid components as (Σ (floor(x·2^20+0.5)+2^20)) // n − 2^20,
+    # dequantized through FLOAT32; empty cells keep their previous
+    # centroid. load_x1000 = n·8·1000 // N vs the uniform share.
+    e = table("embeddings").sort_values("vec_id")
+    emb = np.stack([np.asarray(v, dtype=np.float64) for v in e.embedding])
+    nrm = np.sqrt((emb * emb).sum(axis=1))
+    s = (np.floor(emb * 1048576.0 + 0.5) + 1048576.0).astype(np.int64)
+    cents = [emb[c].copy() for c in range(8)]
+    def assign(cv):
+        cn = [math.sqrt(float(c @ c)) for c in cv]
+        out = np.empty(len(emb), dtype=np.int64)
+        for i in range(len(emb)):
+            out[i] = min(range(8),
+                         key=lambda c: (-(emb[i] @ cv[c]) / (nrm[i] * cn[c]),
+                                        c))
+        return out
+    for _ in range(2):
+        a = assign(cents)
+        for c in range(8):
+            m = a == c
+            if m.any():
+                cm = s[m].sum(axis=0) // int(m.sum()) - 1048576
+                cents[c] = np.float32(cm / 1048576.0).astype(np.float64)
+    a = assign(cents)
+    N = len(emb)
+    counts = {int(c): int((a == c).sum()) for c in np.unique(a)}
+    return pd.DataFrame([{"cell": np.int32(c), "n_vecs": n,
+                          "load_x1000": n * 8 * 1000 // N}
+                         for c, n in sorted(counts.items())])
+
+
+@audit("q_eval_ivf_sweep")
+def eval_ivf_sweep():
+    # IVF recall@5 sweep at n_probe = 1, 2, 4: centroids = vectors
+    # id < 8; corpus in its best cell (raw cosine, ties cid); truth =
+    # brute top-5 per query (id < 10) by (round(cos,6) desc, id).
+    e = table("embeddings").sort_values("vec_id")
+    ids = e.vec_id.values.astype(int)
+    emb = np.stack([np.asarray(v, dtype=np.float64) for v in e.embedding])
+    nrm = np.sqrt((emb * emb).sum(axis=1))
+    cents = [emb[i] for i in range(len(ids)) if ids[i] < 8]
+    cn = [math.sqrt(float(c @ c)) for c in cents]
+    def cell_rank(i):
+        sc = [(-(emb[i] @ cents[c]) / (nrm[i] * cn[c]), c)
+              for c in range(len(cents))]
+        return [c for _, c in sorted(sc)]
+    ranks = [cell_rank(i) for i in range(len(ids))]
+    cellc = {}
+    for i in range(len(ids)):
+        cellc.setdefault(ranks[i][0], []).append(i)
+    qs = [i for i in range(len(ids)) if ids[i] < 10]
+    def top5(qi, pool):
+        cand = sorted(((-r6(float(emb[qi] @ emb[j]) / (nrm[qi] * nrm[j])),
+                        int(ids[j])) for j in pool if j != qi))
+        return {n for _, n in cand[:5]}
+    truth = {qi: top5(qi, range(len(ids))) for qi in qs}
+    n_truth = sum(len(t) for t in truth.values())
+    rows = []
+    for npb in (1, 2, 4):
+        hit = 0
+        for qi in qs:
+            pool = [j for c in ranks[qi][:npb] for j in cellc.get(c, [])]
+            hit += len(top5(qi, pool) & truth[qi])
+        rows.append({"n_probe": np.int32(npb), "n_truth": n_truth,
+                     "n_hit": hit, "recall_at_5": r6(hit / n_truth)})
+    return pd.DataFrame(rows)
+
+
+@audit("q_eval_lsh_sweep")
+def eval_lsh_sweep():
+    # MinHash-LSH (bands x rows) operating-point sweep at fixed k = 9
+    # hashes: (1,9), (3,3), (9,1) over the doc_id%3=0, <5000 cohort;
+    # truth = exact 3-shingle jaccard >= 0.5 (round 6); candidates =
+    # same (band, signature-slice) bucket; Kirsch-Mitzenmacher
+    # h_i = h1 + i*h2 from md5 hex slices (60- and 56-bit).
+    import hashlib
+    toks = _tokens_per_doc()
+    sh = {}
+    for d, ts in toks.items():
+        if d % 3 != 0 or d >= 5000:
+            continue
+        n = len(ts)
+        hi = n - 2 if n >= 3 else 1
+        sh[d] = list(dict.fromkeys(" ".join(ts[i:i + 3])
+                                   for i in range(hi)))
+    def h12(t):
+        x = hashlib.md5(t.encode()).hexdigest()
+        return int(x[:15], 16), int(x[15:29], 16)
+    hp = {d: [h12(t) for t in s] for d, s in sh.items()}
+    sig = {d: [min(h1 + i * h2 for h1, h2 in ps) for i in range(9)]
+           for d, ps in hp.items() if ps}
+    def jac(a, b):
+        sa, sb = set(sh[a]), set(sh[b])
+        return r6(len(sa & sb) / len(sa | sb))
+    dids = sorted(sig)
+    truth = {(a, b) for i, a in enumerate(dids) for b in dids[i + 1:]
+             if jac(a, b) >= 0.5}
+    rows = []
+    for bands, r in ((1, 9), (3, 3), (9, 1)):
+        buckets = {}
+        for d in dids:
+            for b in range(bands):
+                key = (b, tuple(sig[d][b * r:(b + 1) * r]))
+                buckets.setdefault(key, []).append(d)
+        cand = {(a, b) for ds in buckets.values()
+                for i, a in enumerate(ds) for b in ds[i + 1:] if a < b}
+        hit = len(cand & truth)
+        rows.append({"n_bands": np.int32(bands), "n_rows": np.int32(r),
+                     "n_truth": len(truth), "n_cand": len(cand),
+                     "n_hit": hit,
+                     "precision_lsh": r6(hit / len(cand)) if cand else None,
+                     "recall_lsh": r6(hit / len(truth)) if truth else None})
+    return pd.DataFrame(rows)
+
+
+@audit("q_coreset_kcenter")
+def coreset_kcenter():
+    # greedy k-center / farthest-point traversal (Gonzalez 1985) on the
+    # vec_id%5=0 cohort: start at min id, then 5 more rounds of argmax
+    # min-squared-distance (each distance rounded 6dp BEFORE the min
+    # fold, matching the per-step presentation), ties to smallest id.
+    e = table("embeddings")
+    e = e[e.vec_id % 5 == 0].sort_values("vec_id")
+    ids = e.vec_id.values.astype(int)
+    emb = np.stack([np.asarray(v, dtype=np.float64) for v in e.embedding])
+    sel = [0]
+    md = {i: 0.0 if i == 0 else None for i in range(len(ids))}
+    # distances to the first center
+    c = emb[0]
+    md = {i: r6(float(((emb[i] - c) ** 2).sum())) for i in range(len(ids))}
+    rows = [{"sel_order": 1, "vec_id": int(ids[0]), "md": 0.0}]
+    chosen = {0}
+    for step in range(2, 7):
+        best = min(((-md[i], ids[i], i) for i in range(len(ids))
+                    if i not in chosen))
+        _, vid, bi = best
+        rows.append({"sel_order": step, "vec_id": int(vid),
+                     "md": md[bi]})
+        chosen.add(bi)
+        c = emb[bi]
+        for i in range(len(ids)):
+            md[i] = min(md[i], r6(float(((emb[i] - c) ** 2).sum())))
+    return pd.DataFrame(rows)
+
+
+@audit("text_readability")
+def text_readability():
+    # Flesch reading ease (Flesch 1948): 206.835 − 1.015 W/S − 84.6 Y/W
+    # with corpus-level word / vowel-run-syllable / sentence counts per
+    # source (sentences split on [.!?]+\s+, syllables = [aeiouy]+ runs).
+    import re
+    d = table("documents")
+    vowel = re.compile(r"[aeiouy]+")
+    sent = re.compile(r"[.!?]+\s+")
+    agg = {}
+    for src, text in zip(d.source, d.text):
+        t = text if isinstance(text, str) else ""
+        nw = len(re.split(r"\s+", t.strip())) if t.strip() else 1
+        ny = len(vowel.findall(t))
+        ns = len(sent.split(t))
+        a = agg.setdefault(src, [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += nw
+        a[2] += ny
+        a[3] += ns
+    rows = []
+    for src in sorted(agg):
+        n_docs, w, y, s = agg[src]
+        rows.append({"source": src, "n_docs": n_docs, "n_words": w,
+                     "n_syllables": y, "n_sentences": s,
+                     "words_per_sentence": r6(w / s),
+                     "syll_per_word": r6(y / w),
+                     "flesch": r6(206.835 - 1.015 * w / s - 84.6 * y / w)})
+    return pd.DataFrame(rows)
+
+
+@audit("text_repetition")
+def text_repetition():
+    # boilerplate/repetition signals (Rae et al. 2021 Gopher rep rules):
+    # top-bigram mass fraction, duplicate-trigram fraction, adjacent-
+    # duplicate-token fraction.
+    from collections import Counter
+    rows = []
+    for did, w in sorted(_tokens_per_doc().items()):
+        g2 = [f"{w[i]} {w[i+1]}" for i in range(len(w) - 1)]
+        g3 = [f"{w[i]} {w[i+1]} {w[i+2]}" for i in range(len(w) - 2)]
+        top2 = (max(Counter(g2).values()) / len(g2)) if g2 else 0.0
+        dup3 = ((len(g3) - len(set(g3))) / len(g3)) if g3 else 0.0
+        adj = (sum(1 for i in range(len(w) - 1) if w[i] == w[i + 1])
+               / (len(w) - 1)) if len(w) > 1 else 0.0
+        rows.append({"doc_id": did, "n_bigrams": np.int32(len(g2)),
+                     "top_bigram_frac": r6(top2),
+                     "dup_trigram_frac": r6(dup3),
+                     "adj_dup_frac": r6(adj)})
+    return pd.DataFrame(rows)
+
+
+@audit("text_ngram_topk")
+def text_ngram_topk():
+    from collections import Counter
+    c = Counter()
+    for w in _tokens_per_doc().values():
+        c.update(f"{w[i]} {w[i+1]}" for i in range(len(w) - 1))
+    top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    return pd.DataFrame([{"gram": g, "n": n} for g, n in top])
+
+
+@audit("text_skipgrams")
+def text_skipgrams():
+    # window-2 symmetric skipgram counts (the word2vec-style pair
+    # table): (w_i, w_j) for j - i in {1, 2}, both directions.
+    from collections import Counter
+    c = Counter()
+    for w in _tokens_per_doc().values():
+        for i in range(len(w) - 1):
+            for j in (i + 1, i + 2):
+                if j < len(w):
+                    c[(w[i], w[j])] += 1
+                    c[(w[j], w[i])] += 1
+    rows = [{"w1": a, "w2": b, "n": n} for (a, b), n in sorted(c.items())]
+    return pd.DataFrame(rows)
+
+
+@audit("text_tokenizer_stats")
+def text_tokenizer_stats():
+    # tokenizer fertility per source: utf8 bytes, whitespace words,
+    # [a-z0-9]+ subwords; fertility = subwords/words, bytes/subword.
+    import re
+    d = table("documents")
+    agg = {}
+    for src, text in zip(d.source, d.text):
+        t = text if isinstance(text, str) else ""
+        nb = len(t.encode("utf-8"))
+        nw = len(re.split(r"\s+", t.strip())) if t.strip() else 1
+        ns = len([x for x in re.split(r"[^a-z0-9]+", t.lower()) if x])
+        a = agg.setdefault(src, [0, 0, 0])
+        a[0] += nb
+        a[1] += nw
+        a[2] += ns
+    rows = []
+    for src in sorted(agg):
+        nb, nw, ns = agg[src]
+        rows.append({"source": src, "n_bytes": nb, "n_words": nw,
+                     "n_subwords": ns, "fertility": r6(ns / nw),
+                     "bytes_per_subword": r6(nb / ns)})
+    return pd.DataFrame(rows)
+
+
+def _pq_distance_tables():
+    """PQ machinery shared by knn_pq_adc / knn_ivf_pq / knn_two_stage:
+    4 subspaces × 16 dims, 4 codewords each. The codebook VALUES are the
+    query contract (seeded construction, embedded as literals in the
+    oracle SQL — parsed as input selection, like the LSH planes); the
+    ADC algebra (Jégou et al. 2011: d_s[j] = ||x_s − c_sj||², score =
+    Σ_s d_s[code_s]) is recomputed here from the published definition.
+    Returns (ids, labels, emb, dtab[n][4][8], codes[n][4])."""
+    import re
+    import os as _os
+    import json as _json
+    from stat_audit import OUT_DIR
+    with open(_os.path.join(OUT_DIR, "oracle_sql.json")) as f:
+        s = _json.load(f)["knn_pq_adc"]
+    arrs = [a for a in re.findall(r"\[(-?\d[^\]\[]*?)\]", s)
+            if len(a.split(",")) == 16]
+    cws = []
+    seen = []
+    for a in arrs:
+        v = np.array([float(x) for x in a.split(",")])
+        if not any(np.array_equal(v, u) for u in seen):
+            seen.append(v)
+    assert len(seen) == 16, len(seen)
+    book = [seen[4 * s0:4 * (s0 + 1)] for s0 in range(4)]
+    e = table("embeddings").sort_values("vec_id")
+    ids = e.vec_id.values.astype(int)
+    labs = e.label.values.astype(int)
+    emb = np.stack([np.asarray(v, dtype=np.float64) for v in e.embedding])
+    dtab = np.zeros((len(ids), 4, 4))
+    for s0 in range(4):
+        sub = emb[:, s0 * 16:(s0 + 1) * 16]
+        for j in range(4):
+            dif = sub - book[s0][j]
+            dtab[:, s0, j] = (dif * dif).sum(axis=1)
+    codes = dtab.argmin(axis=2)  # first min index = list_position semantics
+    return ids, labs, emb, dtab, codes
+
+
+@audit("knn_pq_adc")
+def knn_pq_adc():
+    ids, _, _, dtab, codes = _pq_distance_tables()
+    rows = []
+    for qi in np.where(ids < 10)[0]:
+        cand = sorted((r6(sum(float(dtab[qi, s0, codes[j, s0]])
+                              for s0 in range(4))), int(ids[j]))
+                      for j in range(len(ids)) if j != qi)
+        for adc, nid in cand[:5]:
+            rows.append({"q_id": int(ids[qi]), "n_id": nid, "adc": adc})
+    rows.sort(key=lambda r: (r["q_id"], r["n_id"]))
+    return pd.DataFrame(rows)
+
+
+@audit("knn_ivf_pq")
+def knn_ivf_pq():
+    # PQ-ADC restricted to the query's label cell (the IVF coarse stage
+    # here is the label partition).
+    ids, labs, _, dtab, codes = _pq_distance_tables()
+    rows = []
+    for qi in np.where(ids < 10)[0]:
+        cand = sorted((r6(sum(float(dtab[qi, s0, codes[j, s0]])
+                              for s0 in range(4))), int(ids[j]))
+                      for j in range(len(ids))
+                      if j != qi and labs[j] == labs[qi])
+        for adc, nid in cand[:5]:
+            rows.append({"q_id": int(ids[qi]), "n_id": nid, "adc": adc})
+    rows.sort(key=lambda r: (r["q_id"], r["n_id"]))
+    return pd.DataFrame(rows)
+
+
+@audit("knn_two_stage")
+def knn_two_stage():
+    # coarse ADC shortlist (top-20 by (adc, id)) -> exact cosine rerank
+    # (round 6, ties id) -> top-5.
+    ids, _, emb, dtab, codes = _pq_distance_tables()
+    nrm = np.sqrt((emb * emb).sum(axis=1))
+    rows = []
+    for qi in np.where(ids < 10)[0]:
+        short = sorted((r6(sum(float(dtab[qi, s0, codes[j, s0]])
+                               for s0 in range(4))), int(ids[j]), j)
+                       for j in range(len(ids)) if j != qi)[:20]
+        rer = sorted(((-r6(float(emb[qi] @ emb[j]) / (nrm[qi] * nrm[j])),
+                       int(ids[j])) for _, _, j in short))[:5]
+        for negc, nid in rer:
+            rows.append({"q_id": int(ids[qi]), "n_id": nid, "cos": -negc})
+    rows.sort(key=lambda r: (r["q_id"], r["n_id"]))
+    return pd.DataFrame(rows)
+
+
+@audit("knn_cosine_ivf_coarse")
+def knn_cosine_ivf_coarse():
+    # single-probe IVF with first-8 centroids: queries (id < 10) search
+    # ONLY their own cell, exact cosine top-5 (round 6, ties id).
+    e = table("embeddings").sort_values("vec_id")
+    ids = e.vec_id.values.astype(int)
+    emb = np.stack([np.asarray(v, dtype=np.float64) for v in e.embedding])
+    nrm = np.sqrt((emb * emb).sum(axis=1))
+    cents = emb[:8]
+    cn = np.sqrt((cents * cents).sum(axis=1))
+    cell = np.array([min(range(8),
+                         key=lambda c: (-(emb[i] @ cents[c])
+                                        / (nrm[i] * cn[c]), c))
+                     for i in range(len(ids))])
+    rows = []
+    for qi in np.where(ids < 10)[0]:
+        cand = sorted(((-r6(float(emb[qi] @ emb[j]) / (nrm[qi] * nrm[j])),
+                        int(ids[j]))
+                       for j in np.where(cell == cell[qi])[0] if j != qi))
+        for negc, nid in cand[:5]:
+            rows.append({"q_id": int(ids[qi]), "n_id": nid, "cos": -negc})
+    rows.sort(key=lambda r: (r["q_id"], r["n_id"]))
+    return pd.DataFrame(rows)
+
+
+@audit("text_fingerprint")
+def text_fingerprint():
+    # bag-of-words fingerprint: md5 of the space-joined sorted distinct
+    # token set — exact-dedup families with min-id keeper.
+    import hashlib
+    fams = {}
+    for did, ts in sorted(_tokens_per_doc().items()):
+        fp = hashlib.md5(" ".join(sorted(set(ts))).encode()).hexdigest()
+        if fp in fams:
+            fams[fp][1] += 1
+        else:
+            fams[fp] = [did, 1]
+    rows = [{"fp": fp, "keep_id": kid, "n_docs": n}
+            for fp, (kid, n) in fams.items()]
+    rows.sort(key=lambda r: r["keep_id"])
+    return pd.DataFrame(rows)
+
+
+@audit("text_minhash_fingerprint")
+def text_minhash_fingerprint():
+    # single-hash minhash fingerprint: min md5 hex over the distinct
+    # 3-shingle set (short docs: the whole-text 1-window rule).
+    import hashlib
+    rows = []
+    for did, ts in sorted(_tokens_per_doc().items()):
+        if not "".join(ts).strip() and len(ts) == 1:
+            continue
+        hi = len(ts) - 2 if len(ts) >= 3 else 1
+        sh = list(dict.fromkeys(" ".join(ts[i:i + 3]) for i in range(hi)))
+        fp = min(hashlib.md5(s.encode()).hexdigest() for s in sh)
+        rows.append({"doc_id": did, "fp": fp})
+    return pd.DataFrame(rows)
+
+
+@audit("text_source_similarity")
+def text_source_similarity():
+    # source-level term-frequency cosine: exact integer dot products and
+    # squared norms, one IEEE division per pair.
+    from collections import Counter
+    toks = table("documents")
+    tf = {}
+    for src, text in zip(toks.source, toks.text):
+        t = text if isinstance(text, str) else ""
+        ws = [w for w in __import__("re").split(r"\s+", t.strip()) if w] \
+            if t.strip() else []
+        c = tf.setdefault(src, Counter())
+        c.update(ws)
+    srcs = sorted(tf)
+    n2 = {g: sum(v * v for v in tf[g].values()) for g in srcs}
+    rows = []
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            dot = sum(fa * tf[b][t] for t, fa in tf[a].items()
+                      if t in tf[b])
+            if dot == 0:
+                continue
+            rows.append({"ga": a, "gb": b, "dot": dot,
+                         "cosine": r6(dot / math.sqrt(n2[a] * n2[b]))})
+    return pd.DataFrame(rows)
+
+
+@audit("text_lm_score")
+def text_lm_score():
+    # MLE bigram LM doc perplexity proxy: p(w2|w1) = c(bigram)/c(w1),
+    # per-doc mean in POSITIONAL sum order, half-up 1e6 fixed point.
+    from collections import Counter
+    toks = _tokens_per_doc()
+    uni = Counter()
+    bi = Counter()
+    for ts in toks.values():
+        uni.update(ts)
+        bi.update(f"{a} {b}" for a, b in zip(ts, ts[1:]))
+    rows = []
+    for did in sorted(toks):
+        ts = toks[did]
+        if len(ts) < 2:
+            continue
+        acc = 0.0
+        for a, b in zip(ts, ts[1:]):
+            acc += bi[f"{a} {b}"] / uni[a]
+        n = len(ts) - 1
+        rows.append({"doc_id": did, "n_bigrams": np.int32(n),
+                     "lm_score": math.floor(acc / n * 1e6 + 0.5) / 1e6})
+    return pd.DataFrame(rows)
+
+
+@audit("text_vocab_prune")
+def text_vocab_prune():
+    # vocabulary pruning audit: keep tokens with document frequency
+    # >= 3 and <= half the corpus; per-source OOV rate of the pruned
+    # vocabulary.
+    from collections import Counter
+    d = table("documents")
+    toks = _tokens_per_doc()
+    src_of = dict(zip(d.doc_id.astype(int), d.source))
+    dfq = Counter()
+    for ts in toks.values():
+        dfq.update(set(ts))
+    nd = len(d)
+    kept = {t for t, f in dfq.items() if f >= 3 and 2 * f <= nd}
+    agg = {}
+    for did, ts in toks.items():
+        a = agg.setdefault(src_of[did], [0, 0])
+        a[0] += len(ts)
+        a[1] += sum(1 for t in ts if t in kept)
+    rows = []
+    for src in sorted(agg):
+        nt, nc = agg[src]
+        rows.append({"source": src, "n_tokens": np.int32(nt),
+                     "n_covered": np.int32(nc),
+                     "vocab_size": np.int32(len(kept)),
+                     "oov_rate": r6((nt - nc) / nt)})
+    return pd.DataFrame(rows)
+
+
+# --- exact-criterion dedup family (r11 audit growth) -------------------------
+
+@audit("dedup_exact_materialized")
+def dedup_exact_materialized():
+    import hashlib
+    d = table("documents")
+    keep = {}
+    for did, text in sorted(zip(d.doc_id.astype(int), d.text)):
+        dg = hashlib.md5((text or "").encode()).hexdigest()
+        keep.setdefault(dg, did)
+    ids = sorted(keep.values())
+    src = dict(zip(d.doc_id.astype(int), d.source))
+    return pd.DataFrame([{"doc_id": i, "source": src[i]} for i in ids])
+
+
+@audit("dedup_shared_ngram")
+def dedup_shared_ngram():
+    # exact shared-window pairs: docs sharing >= 1 distinct 8-token
+    # window; n_shared = count of distinct shared windows.
+    toks = _tokens_per_doc()
+    wins = {}
+    for did, ts in toks.items():
+        hi = len(ts) - 7 if len(ts) >= 8 else 1
+        wins[did] = set(" ".join(ts[i:i + 8]) for i in range(hi))
+    inv = {}
+    for did, ws in wins.items():
+        for w in ws:
+            inv.setdefault(w, []).append(did)
+    from collections import Counter
+    pc = Counter()
+    for ds in inv.values():
+        ds = sorted(ds)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                pc[(ds[i], ds[j])] += 1
+    rows = [{"a_id": a, "b_id": b, "n_shared": n}
+            for (a, b), n in sorted(pc.items())]
+    return pd.DataFrame(rows)
+
+
+@audit("dedup_ngram_jaccard")
+def dedup_ngram_jaccard():
+    # blocked exact 3-shingle jaccard: same lang, adjacent 64-char
+    # length buckets, jac >= 0.5 at 6dp.
+    d = table("documents")
+    toks = _tokens_per_doc()
+    meta = {int(i): (l, math.floor(len(t) / 64.0))
+            for i, l, t in zip(d.doc_id, d.lang, d.text)}
+    sh = {}
+    for did, ts in toks.items():
+        hi = len(ts) - 2 if len(ts) >= 3 else 1
+        sh[did] = set(" ".join(ts[i:i + 3]) for i in range(hi))
+    dids = sorted(sh)
+    rows = []
+    for i, a in enumerate(dids):
+        for b in dids[i + 1:]:
+            if meta[a][0] != meta[b][0] \
+                    or abs(meta[a][1] - meta[b][1]) > 1:
+                continue
+            j = r6(len(sh[a] & sh[b]) / len(sh[a] | sh[b]))
+            if j >= 0.5:
+                rows.append({"a_id": a, "b_id": b, "jac": j})
+    return pd.DataFrame(rows)
+
+
+@audit("dedup_simhash_hamming")
+def dedup_simhash_hamming():
+    # Charikar (2002) simhash: 60-bit per-bit majority (>= 0 -> 1) over
+    # 60-bit md5 token hashes; 4x15-bit band blocking; keep pairs with
+    # hamming <= 3.
+    toks = _tokens_per_doc()
+    sig = {}
+    for did, ts in toks.items():
+        v = [0] * 60
+        for t in ts:
+            hv = md5h60(t)
+            for b in range(60):
+                v[b] += 1 if (hv >> b) & 1 else -1
+        sig[did] = sum(1 << b for b in range(60) if v[b] >= 0)
+    buckets = {}
+    for did, s in sig.items():
+        for band in range(4):
+            buckets.setdefault((band, (s >> (band * 15)) & 32767),
+                               []).append(did)
+    pairs = set()
+    for ds in buckets.values():
+        ds = sorted(ds)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                pairs.add((ds[i], ds[j]))
+    rows = []
+    for a, b in sorted(pairs):
+        h = bin(sig[a] ^ sig[b]).count("1")
+        if h <= 3:
+            rows.append({"a_id": a, "b_id": b, "hamming": np.int32(h)})
+    return pd.DataFrame(rows)
