@@ -5197,3 +5197,1164 @@ def dedup_simhash_hamming():
         if h <= 3:
             rows.append({"a_id": a, "b_id": b, "hamming": np.int32(h)})
     return pd.DataFrame(rows)
+
+
+@audit("q_sankey_paths")
+def sankey_paths():
+    # top first-3-step user journeys, counted exactly.
+    e = table("events").sort_values(["user_id", "ts", "event_id"],
+                                    kind="mergesort")
+    from collections import Counter
+    c = Counter(">".join(g.event_type.values[:3])
+                for _, g in e.groupby("user_id"))
+    top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    return pd.DataFrame([{"path": p, "n": n} for p, n in top])
+
+
+@audit("q_negative_sampling")
+def negative_sampling():
+    # deterministic negative sampling: 5 cross-label negatives per query
+    # (id < 10) by md5("q|n") hex order (ties n_id).
+    import hashlib
+    e = table("embeddings")
+    ids = e.vec_id.values.astype(int)
+    labs = dict(zip(ids, e.label.values.astype(int)))
+    rows = []
+    for q in sorted(i for i in ids if i < 10):
+        cand = sorted((hashlib.md5(f"{q}|{n}".encode()).hexdigest(), n)
+                      for n in ids if labs[n] != labs[q])[:5]
+        rows.extend({"q_id": q, "n_id": n} for _, n in sorted(cand))
+    rows.sort(key=lambda r: (r["q_id"], r["n_id"]))
+    return pd.DataFrame(rows)
+
+
+@audit("q_embedding_centroids")
+def embedding_centroids():
+    # per-label mean embedding, componentwise, 6dp.
+    e = table("embeddings")
+    emb = np.stack([np.asarray(v, dtype=np.float64) for v in e.embedding])
+    rows = []
+    for lab in sorted(set(e.label.values.astype(int))):
+        m = e.label.values.astype(int) == lab
+        mean = emb[m].mean(axis=0)
+        for pos in range(emb.shape[1]):
+            rows.append({"label": lab, "pos": np.int32(pos + 1),
+                         "c": r6(float(mean[pos])), "n_vecs": int(m.sum())})
+    return pd.DataFrame(rows)
+
+
+@audit("q_decontaminate")
+def decontaminate():
+    # eval-set decontamination: drop any training doc (id%17 != 0)
+    # sharing a distinct 5-token window with the eval split (id%17 == 0);
+    # survivors per source.
+    toks = _tokens_per_doc()
+    d = table("documents")
+    src = dict(zip(d.doc_id.astype(int), d.source))
+    def wins(ts):
+        hi = len(ts) - 4 if len(ts) >= 5 else 1
+        return set(" ".join(ts[i:i + 5]) for i in range(hi))
+    ev = set()
+    for did, ts in toks.items():
+        if did % 17 == 0:
+            ev |= wins(ts)
+    agg = {}
+    for did, ts in toks.items():
+        if did % 17 == 0 or wins(ts) & ev:
+            continue
+        a = agg.setdefault(src[did], [0, did])
+        a[0] += 1
+        a[1] = min(a[1], did)
+    return pd.DataFrame([{"source": s, "n_clean": n, "min_id": m}
+                         for s, (n, m) in sorted(agg.items())])
+
+
+@audit("q_chunk_documents")
+def chunk_documents():
+    # char-window chunking: stride 96, window 128, docs id < 100.
+    d = table("documents")
+    rows = []
+    for did, text in sorted(zip(d.doc_id.astype(int), d.text)):
+        if did >= 100:
+            continue
+        t = text or ""
+        off = 0
+        cid = 0
+        while off < len(t) or (off == 0 and len(t) == 0):
+            if off >= len(t):
+                break
+            rows.append({"doc_id": did, "chunk_id": np.int32(cid),
+                         "off": np.int32(off), "chunk": t[off:off + 128]})
+            off += 96
+            cid += 1
+    return pd.DataFrame(rows)
+
+
+@audit("q_pack_sequences")
+def pack_sequences():
+    # sequence packing into 2048-token windows per md5-hash shard:
+    # window/offset from the per-shard running token total in doc order.
+    toks = _tokens_per_doc()
+    rows = []
+    cum = {}
+    for did in sorted(toks):
+        n = len(toks[did])
+        shard = md5h60(did) % 8
+        c0 = cum.get(shard, 0)
+        cum[shard] = c0 + n
+        rows.append({"doc_id": did, "shard": shard,
+                     "window_id": c0 // 2048, "off": c0 % 2048,
+                     "n_tok": np.int32(n)})
+    return pd.DataFrame(rows)
+
+
+@audit("q_truncate_tokens")
+def truncate_tokens():
+    rows = []
+    for did, w in sorted(_tokens_per_doc().items()):
+        rows.append({"doc_id": did, "text": " ".join(w[:32]),
+                     "n_tok_orig": np.int32(len(w)),
+                     "truncated": len(w) > 32})
+    return pd.DataFrame(rows)
+
+
+@audit("q_split_token_tv")
+def split_token_tv():
+    # total-variation distance between train/rest token distributions
+    # (exact integer cross-product form): TV = Σ|c·T2 − d·T1|/(2 T1 T2).
+    from collections import Counter
+    toks = _tokens_per_doc()
+    ctr, crs = Counter(), Counter()
+    for did, ts in toks.items():
+        (ctr if md5h60(did) % 100 < 80 else crs).update(ts)
+    t1, t2 = sum(ctr.values()), sum(crs.values())
+    vocab = set(ctr) | set(crs)
+    num = sum(abs(ctr[t] * t2 - crs[t] * t1) for t in vocab)
+    return pd.DataFrame([{"n_train_toks": t1, "n_rest_toks": t2,
+                          "tv": r6(num / (2.0 * t1 * t2))}])
+
+
+@audit("q_repeated_spans")
+def repeated_spans():
+    # cross-document repeated 8-token spans (the boilerplate detector):
+    # per doc, distinct spans also appearing in ANOTHER doc.
+    toks = _tokens_per_doc()
+    spans = {}
+    for did, w in toks.items():
+        if len(w) < 8:
+            continue
+        spans[did] = set(" ".join(w[i:i + 8]) for i in range(len(w) - 7))
+    owners = {}
+    for did, ss in spans.items():
+        for s in ss:
+            owners.setdefault(s, set()).add(did)
+    rows = []
+    for did in sorted(spans):
+        n = sum(1 for s in spans[did] if len(owners[s]) > 1)
+        if n:
+            rows.append({"doc_id": did, "n_repeated_spans": n})
+    return pd.DataFrame(rows)
+
+
+@audit("text_feature_hash")
+def text_feature_hash():
+    # hashing-trick features (Weinberger et al. 2009): 256 buckets from
+    # the 60-bit md5 hash, per-doc bucket counts (docs id < 20).
+    from collections import Counter
+    rows = []
+    for did, ts in sorted(_tokens_per_doc().items()):
+        if did >= 20:
+            continue
+        c = Counter(md5h60(t) % 256 for t in ts)
+        for b, n in sorted(c.items()):
+            rows.append({"doc_id": did, "bucket": np.int32(b),
+                         "n": np.int32(n)})
+    return pd.DataFrame(rows)
+
+
+@audit("text_script_profile")
+def text_script_profile():
+    # Unicode script profiling over the synthetic multilingual suffixes:
+    # per-script char counts + plurality-with-precedence dominant label.
+    import re
+    d = table("documents")
+    rows = []
+    for did, text in sorted(zip(d.doc_id.astype(int), d.text)):
+        t = text or ""
+        t += {0: " дата" * 120, 1: " 数据" * 200,
+              2: " données 123", 3: ""}[did % 4]
+        nl = len(re.findall(r"[A-Za-z]", t))
+        ncy = len(re.findall(r"[Ѐ-ӿ]", t))
+        ncj = len(re.findall(r"[一-鿿]", t))
+        nd = len(re.findall(r"[0-9]", t))
+        dom = ("latin" if nl >= ncy and nl >= ncj
+               else "cyrillic" if ncy >= ncj else "cjk")
+        rows.append({"doc_id": did, "n_chars": np.int32(len(t)),
+                     "n_latin": np.int32(nl), "n_cyrillic": np.int32(ncy),
+                     "n_cjk": np.int32(ncj), "n_digit": np.int32(nd),
+                     "dominant": dom})
+    return pd.DataFrame(rows)
+
+
+@audit("text_sentence_split")
+def text_sentence_split():
+    import re
+    d = table("documents")
+    rows = []
+    for did, text in sorted(zip(d.doc_id.astype(int), d.text)):
+        if did >= 50:
+            continue
+        for pos, s in enumerate(re.split(r"[.!?]+\s+", text or ""),
+                                start=1):
+            if not s:
+                continue
+            nw = len(re.split(r"\s+", s.strip())) if s.strip() else 1
+            rows.append({"doc_id": did, "pos": np.int32(pos),
+                         "n_chars": np.int32(len(s)),
+                         "n_words": np.int32(nw)})
+    return pd.DataFrame(rows)
+
+
+@audit("text_normalize")
+def text_normalize():
+    # NFC + lowercase + whitespace-class collapse/trim.
+    import re
+    import unicodedata
+    d = table("documents")
+    ws = "[ \t\n\r\f\x0b]"
+    rows = []
+    for did, text in sorted(zip(d.doc_id.astype(int), d.text)):
+        t = unicodedata.normalize("NFC", text or "").lower()
+        t = re.sub(f"^{ws}+|{ws}+$", "", t)
+        t = re.sub(f"{ws}+", " ", t)
+        rows.append({"doc_id": did, "norm": t})
+    return pd.DataFrame(rows)
+
+
+@audit("text_html_strip")
+def text_html_strip():
+    # tag strip + the 5 standard entity unescapes + whitespace collapse
+    # over the synthetic HTML wrapping.
+    import re
+    d = table("documents")
+    rows = []
+    for did, text in sorted(zip(d.doc_id.astype(int), d.text)):
+        t = text or ""
+        html = (f'<html><head><title>t</title></head><body><p id="d{did}">'
+                + t.replace(" the ", " &amp; ") + "</p>"
+                + ('<br/><span class="x">&lt;tag&gt;</span>'
+                   if did % 3 == 0 else "")
+                + "</body></html>")
+        n_tags = len(re.findall(r"<[^>]*>", html))
+        s = re.sub(r"<[^>]*>", "", html)
+        for a, b in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                     ("&#39;", "'"), ("&amp;", "&")):
+            s = s.replace(a, b)
+        s = re.sub(r"\s+", " ", s).strip()
+        rows.append({"doc_id": did, "n_tags": np.int32(n_tags),
+                     "n_raw_chars": np.int32(len(html)), "extracted": s})
+    return pd.DataFrame(rows)
+
+
+@audit("text_pii_redact")
+def text_pii_redact():
+    # PII redaction audit: email + phone regex hits and the md5 digest
+    # of the redacted text over the synthetic contact suffixes.
+    import re
+    import hashlib
+    d = table("documents")
+    em = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+")
+    ph = re.compile(r"\+?[0-9][0-9]{2}-[0-9]{4}")
+    rows = []
+    for did, text in sorted(zip(d.doc_id.astype(int), d.text)):
+        t = (text or "") + f" contact user{did}@mail.example.com " \
+            f"or +1-555-{did % 10000:04d}"
+        red = ph.sub("<PHONE>", em.sub("<EMAIL>", t))
+        rows.append({"doc_id": did,
+                     "n_emails": np.int32(len(em.findall(t))),
+                     "n_phones": np.int32(len(ph.findall(t))),
+                     "digest": hashlib.md5(red.encode()).hexdigest()})
+    return pd.DataFrame(rows)
+
+
+@audit("text_mojibake_audit")
+def text_mojibake_audit():
+    # encoding-health audit over synthetic mojibake injections:
+    # replacement-char docs, C0-control chars, non-ASCII chars.
+    import re
+    d = table("documents")
+    ctrl = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f]")
+    nona = re.compile("[^\x00-\x7f]")
+    agg = {}
+    for did, src, text in zip(d.doc_id.astype(int), d.source, d.text):
+        t = text or ""
+        t += ("�" if did % 7 == 0 else
+              "\x07" if did % 5 == 0 else
+              "\xe9" if did % 3 == 0 else "")
+        a = agg.setdefault(src, [0, 0, 0, 0, 0])
+        a[0] += 1
+        a[1] += len(t)
+        a[2] += 1 if "�" in t else 0
+        a[3] += len(ctrl.findall(t))
+        a[4] += len(nona.findall(t))
+    rows = []
+    for src in sorted(agg):
+        nd, nc, rp, ct, na = agg[src]
+        rows.append({"source": src, "n_docs": nd, "n_chars": nc,
+                     "n_repl_docs": rp, "n_ctrl_chars": ct,
+                     "n_nonascii_chars": na,
+                     "ascii_ratio": r6(1.0 - na / nc)})
+    return pd.DataFrame(rows)
+
+
+@audit("text_chunk_dedup")
+def text_chunk_dedup():
+    # 16-token chunk-level dedup: drop chunks appearing in >1 doc,
+    # reassemble the survivors per doc.
+    toks = _tokens_per_doc()
+    chunks = {}
+    for did, w in toks.items():
+        n = math.ceil(len(w) / 16.0)
+        chunks[did] = [" ".join(w[(i - 1) * 16:(i - 1) * 16 + 16])
+                       for i in range(1, int(n) + 1)]
+    owners = {}
+    for did, cs in chunks.items():
+        for c in set(cs):
+            owners.setdefault(c, set()).add(did)
+    rows = []
+    for did in sorted(chunks):
+        kept = [c for c in chunks[did] if len(owners[c]) == 1]
+        if kept:
+            rows.append({"doc_id": did, "text_clean": " ".join(kept)})
+    return pd.DataFrame(rows)
+
+
+@audit("text_explode_tokens")
+def text_explode_tokens():
+    rows = []
+    for did, w in sorted(_tokens_per_doc().items()):
+        if did >= 50:
+            continue
+        for pos, tok in enumerate(w, start=1):
+            rows.append({"doc_id": did, "pos": np.int32(pos), "tok": tok})
+    return pd.DataFrame(rows)
+
+
+@audit("text_subword_tokens")
+def text_subword_tokens():
+    import re
+    d = table("documents")
+    toks = _tokens_per_doc()
+    rows = []
+    for did, text in sorted(zip(d.doc_id.astype(int), d.text)):
+        sw = [x for x in re.split(r"[^a-z0-9]+", (text or "").lower()) if x]
+        rows.append({"doc_id": did,
+                     "n_ws_tokens": np.int32(len(toks[did])),
+                     "n_subwords": np.int32(len(sw)),
+                     "n_distinct_subwords": np.int32(len(set(sw)))})
+    return pd.DataFrame(rows)
+
+
+def _span_pairs8():
+    """Shared 8-token-window doc pairs (the dedup_shared_ngram edge
+    set)."""
+    toks = _tokens_per_doc()
+    inv = {}
+    for did, ts in toks.items():
+        hi = len(ts) - 7 if len(ts) >= 8 else 1
+        for w in set(" ".join(ts[i:i + 8]) for i in range(hi)):
+            inv.setdefault(w, []).append(did)
+    pairs = set()
+    for ds in inv.values():
+        ds = sorted(ds)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                pairs.add((ds[i], ds[j]))
+    return pairs
+
+
+@audit("dedup_span_clusters")
+def dedup_span_clusters():
+    # connected components over the shared-span pair graph: each doc's
+    # cluster id = min reachable doc id (union-find).
+    pairs = _span_pairs8()
+    parent = {}
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = [{"doc_id": d, "cluster_id": find(d)} for d in sorted(parent)]
+    return pd.DataFrame(rows)
+
+
+@audit("dedup_incremental_span")
+def dedup_incremental_span():
+    # incremental exact-substring filter: drop incoming docs (id%10 >= 8)
+    # sharing any 8-token window with the base (id%10 < 8).
+    toks = _tokens_per_doc()
+    def wins(ts):
+        hi = len(ts) - 7 if len(ts) >= 8 else 1
+        return set(" ".join(ts[i:i + 8]) for i in range(hi))
+    base = set()
+    for did, ts in toks.items():
+        if did % 10 < 8:
+            base |= wins(ts)
+    keep = [did for did, ts in sorted(toks.items())
+            if did % 10 >= 8 and not (wins(ts) & base)]
+    return pd.DataFrame([{"doc_id": d} for d in keep])
+
+
+@audit("q_data_card")
+def data_card():
+    # per-source data card: doc/char counts, language Gini impurity
+    # (1 − Σ p²) in half-up 1e6 fixed point, english share.
+    d = table("documents")
+    g = d.groupby(["source", "lang"]).agg(nl=("doc_id", "size"),
+                                          cl=("n_chars", "sum"))
+    rows = []
+    for src in sorted(set(d.source)):
+        sub = g.loc[src]
+        n = int(sub.nl.sum())
+        ch = int(sub.cl.sum())
+        sl2 = int((sub.nl.astype(np.int64) ** 2).sum())
+        nen = int(sub.nl.get("en", 0))
+        rows.append({
+            "source": src, "n_docs": n, "sum_chars": ch,
+            "n_langs": len(sub), "mean_chars": rn(ch / n, 6),
+            "lang_gini": rn((n * n - sl2) / (n * n), 6),
+            "pct_en": rn(nen / n, 6)})
+    return pd.DataFrame(rows)
+
+
+@audit("q_url_canonicalize")
+def url_canonicalize():
+    # URL canonicalization: strip fragment, lowercase scheme+host, drop
+    # default ports, drop www., sort query params, drop tracking params
+    # (utm_*, fbclid, gclid); group identical canonical urls.
+    import re
+    d = table("documents")
+    agg = {}
+    for did in sorted(d.doc_id.astype(int)):
+        if did % 2 == 0:
+            url = f"HTTPS://WWW.Site{did % 5}.COM:443/p/{did % 17}"
+        else:
+            url = f"http://site{did % 5}.com:80/p/{did % 17}"
+        url += {0: "?b=2&utm_source=feed&a=1",
+                1: "?a=1&b=2&gclid=xyz", 2: ""}[did % 3]
+        if did % 4 == 0:
+            url += "#frag"
+        nf = re.sub(r"#.*$", "", url)
+        m = re.match(r"^([^:/?#]+)://([^/?#]*)(.*)$", nf)
+        scheme = m.group(1).lower()
+        hostport = m.group(2).lower()
+        pathq = m.group(3)
+        host = hostport
+        if scheme == "https":
+            host = re.sub(r":443$", "", host)
+        elif scheme == "http":
+            host = re.sub(r":80$", "", host)
+        host = re.sub(r"^www\.", "", host)
+        path = pathq.split("?")[0]
+        query = pathq.split("?", 1)[1] if "?" in pathq else ""
+        keep = sorted(x for x in query.split("&")
+                      if x and not re.match(r"^(utm_[^=]*|fbclid|gclid)=",
+                                            x))
+        cq = "&".join(keep)
+        curl = f"{scheme}://{host}{path if path else '/'}" \
+            + (f"?{cq}" if cq else "")
+        a = agg.setdefault(curl, [0, did])
+        a[0] += 1
+        a[1] = min(a[1], did)
+    rows = [{"curl": c, "n_urls": n, "first_doc": f}
+            for c, (n, f) in sorted(agg.items())]
+    return pd.DataFrame(rows)
+
+
+@audit("q_event_throttle")
+def event_throttle():
+    # rate limiting / throttle replay: keep an event iff >= 24 h after
+    # the last KEPT event of its (user, type) stream.
+    e = table("events")
+    e = e[e.user_id < 60]
+    us = e.ts.values.astype("datetime64[us]").astype(np.int64)
+    d = pd.DataFrame({"u": e.user_id.values, "et": e.event_type.values,
+                      "id": e.event_id.values, "tsm": us})
+    d = d.sort_values(["u", "et", "tsm", "id"], kind="mergesort")
+    rows = []
+    for (u, et), g in d.groupby(["u", "et"], sort=True):
+        last = None
+        for _, r in g.iterrows():
+            if last is None or r.tsm - last >= 86400000000:
+                rows.append({"user_id": u, "event_type": et,
+                             "event_id": int(r.id), "tsm": int(r.tsm)})
+                last = int(r.tsm)
+    rows.sort(key=lambda r: (r["user_id"], r["event_type"], r["event_id"]))
+    return pd.DataFrame(rows)
+
+
+@audit("q_interval_merge")
+def interval_merge():
+    # island merge of [ts, ts+1h) intervals per user (user_id < 100):
+    # a new island starts when s0 > running max of previous ends.
+    e = table("events")
+    e = e[e.user_id < 100]
+    us = e.ts.values.astype("datetime64[us]").astype(np.int64)
+    d = pd.DataFrame({"u": e.user_id.values, "s0": us,
+                      "e0": us + 3600000000, "id": e.event_id.values})
+    d = d.sort_values(["u", "s0", "id"], kind="mergesort")
+    rows = []
+    for u, g in d.groupby("u", sort=True):
+        island = 0
+        pmax = None
+        cur = None
+        for _, r in g.iterrows():
+            if pmax is None or r.s0 > pmax:
+                if cur:
+                    rows.append(cur)
+                island += 1
+                cur = {"user_id": u, "island": island,
+                       "start_us": int(r.s0), "end_us": int(r.e0),
+                       "n_intervals": 0}
+            cur["end_us"] = max(cur["end_us"], int(r.e0))
+            cur["n_intervals"] += 1
+            pmax = int(r.e0) if pmax is None else max(pmax, int(r.e0))
+        if cur:
+            rows.append(cur)
+    return pd.DataFrame(rows)
+
+
+@audit("q_scd2_intervals")
+def scd2_intervals():
+    # SCD-2 validity intervals per customer (< 200) from the order
+    # sequence: version, valid_from/to, is_current.
+    o = table("orders")
+    o = o[o.o_custkey < 200]
+    d = o.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                      kind="mergesort")
+    rows = []
+    for c, g in d.groupby("o_custkey", sort=True):
+        dates = list(g.o_orderdate.values)
+        keys = list(g.o_orderkey.values)
+        for i in range(len(keys)):
+            rows.append({
+                "o_custkey": c, "version": np.int32(i + 1),
+                "o_orderkey": int(keys[i]), "valid_from": dates[i],
+                "valid_to": dates[i + 1] if i + 1 < len(keys) else None,
+                "is_current": i + 1 == len(keys)})
+    return pd.DataFrame(rows)
+
+
+@audit("q_mode_by_group")
+def mode_by_group():
+    from collections import Counter
+    li = table("lineitem")
+    rows = []
+    for fl, g in pd.DataFrame({"f": li.l_returnflag.values,
+                               "q": li.l_quantity.values.astype(float)}) \
+            .groupby("f", sort=True):
+        c = Counter(g.q.values)
+        (v, n) = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        rows.append({"l_returnflag": fl, "mode_qty": float(v), "n": n})
+    return pd.DataFrame(rows)
+
+
+@audit("q_minmax_by")
+def minmax_by():
+    # arg_max/arg_min by the composite (balance-cents·1e6 + custkey) key.
+    c = table("customer")
+    bal = half_up(c.c_acctbal.values.astype(float), 100)
+    d = pd.DataFrame({"n": c.c_nationkey.values, "nm": c.c_name.values,
+                      "k": bal.astype(object) * 10000 +
+                      c.c_custkey.values.astype(object)})
+    rows = []
+    for nk, g in d.groupby("n", sort=True):
+        ks = g.k.values
+        rows.append({"c_nationkey": nk,
+                     "top_name": g.nm.values[int(np.argmax(ks))],
+                     "bottom_name": g.nm.values[int(np.argmin(ks))],
+                     "n": len(g)})
+    return pd.DataFrame(rows)
+
+
+@audit("q_width_bucket")
+def width_bucket():
+    li = table("lineitem")
+    li = li[li.l_orderkey < 300].sort_values(["l_orderkey", "l_linenumber"],
+                                             kind="mergesort")
+    q = li.l_quantity.values.astype(float)
+    wb = np.where(q < 0, 0, np.where(q >= 55, 11,
+                                     np.floor(10.0 * q / 55.0) + 1)) \
+        .astype(np.int64)
+    return pd.DataFrame({"l_orderkey": li.l_orderkey.values,
+                         "l_linenumber": li.l_linenumber.values,
+                         "l_quantity": q, "wb": wb})
+
+
+@audit("q_feature_bins")
+def feature_bins():
+    # equal-population decile bins of order totals (cents, ntile over
+    # (v, orderkey)): per-bin count, min/max/sum, mean in dollars.
+    o = table("orders")
+    v = half_up(o.o_totalprice.values.astype(float), 100)
+    d = pd.DataFrame({"v": v, "t": o.o_orderkey.values}) \
+        .sort_values(["v", "t"], kind="mergesort")
+    n = len(d)
+    base, extra = divmod(n, 10)
+    rows = []
+    i0 = 0
+    for b in range(1, 11):
+        sz = base + (1 if b <= extra else 0)
+        chunk = d.v.values[i0:i0 + sz]
+        i0 += sz
+        s = int(chunk.sum())
+        rows.append({"bin": np.int32(b), "n": sz,
+                     "min_cents": int(chunk.min()),
+                     "max_cents": int(chunk.max()), "sum_cents": s,
+                     "mean_dollars": r6(s / sz / 100.0)})
+    return pd.DataFrame(rows)
+
+
+@audit("q_events_sliding")
+def events_sliding():
+    # 1-hour sliding windows with 30-min hop: each event lands in its
+    # 30-min bucket and the previous one.
+    e = table("events")
+    b = pd.Series(e.ts.values).dt.floor("30min")
+    d = pd.concat([
+        pd.DataFrame({"ws": b, "event_type": e.event_type.values}),
+        pd.DataFrame({"ws": b - pd.Timedelta(minutes=30),
+                      "event_type": e.event_type.values})])
+    g = d.groupby(["ws", "event_type"], sort=True).size() \
+        .reset_index(name="n")
+    return g
+
+
+@audit("q_sessionize")
+def q_sessionize():
+    # batch 30-min-gap sessionization: same statistic as the audited
+    # stream_sessionize (strict > gap), identical expected frame.
+    return stream_sessionize()
+
+
+@audit("q_session_window")
+def q_session_window():
+    # session-window variant: gap >= 30 min starts a new session; output
+    # per session start (ordered) with event counts.
+    e = table("events")
+    e = e[e.user_id < 50].sort_values(["user_id", "ts", "event_id"],
+                                      kind="mergesort")
+    rows = []
+    for uid, g in e.groupby("user_id", sort=True):
+        ts = g.ts.values
+        i0 = 0
+        for i in range(1, len(ts) + 1):
+            if i == len(ts) or (ts[i] - ts[i - 1]) >= np.timedelta64(30, "m"):
+                rows.append({"user_id": uid, "session_start": ts[i0],
+                             "n_events": i - i0})
+                i0 = i
+    return pd.DataFrame(rows)
+
+
+@audit("q_agg_distinct")
+def agg_distinct():
+    li = table("lineitem")
+    rows = []
+    for fl, g in li.groupby("l_returnflag", sort=True):
+        rows.append({"l_returnflag": fl,
+                     "n_parts": g.l_partkey.nunique(),
+                     "n_supps": g.l_suppkey.nunique(),
+                     "sum_dq": int(sum(set(g.l_quantity.astype(float)
+                                           .astype(int))))})
+    return pd.DataFrame(rows)
+
+
+@audit("q_bool_aggs")
+def bool_aggs():
+    c = table("customer")
+    bal = c.c_acctbal.values.astype(float)
+    rows = []
+    for nk, g in pd.DataFrame({"n": c.c_nationkey.values, "b": bal,
+                               "s": c.c_mktsegment.values}) \
+            .groupby("n", sort=True):
+        rows.append({"c_nationkey": nk,
+                     "all_positive": bool((g.b > 0.0).all()),
+                     "any_deep_debt": bool((g.b < -900.0).any()),
+                     "n_building": int((g.s == "BUILDING").sum()),
+                     "n": len(g)})
+    return pd.DataFrame(rows)
+
+
+@audit("q_collect_agg")
+def collect_agg():
+    c = table("customer")
+    rows = []
+    for nk, g in c.groupby("c_nationkey", sort=True):
+        segs = sorted(set(g.c_mktsegment))
+        rows.append({"c_nationkey": nk, "segs": ",".join(segs),
+                     "n": len(segs)})
+    return pd.DataFrame(rows)
+
+
+def _quality_score(w):
+    """The curation quality score: 0.4·type-token ratio + 0.3·min(1,
+    len/100) + 0.3·(1 − stop-fraction over {'the','a'}), round 6."""
+    n = len(w)
+    ttr = len(set(w)) / n
+    stop = sum(1 for t in w if t in ("the", "a")) / n
+    return r6(ttr * 0.4 + min(1.0, n / 100.0) * 0.3 + (1 - stop) * 0.3)
+
+
+@audit("q_curate_pipeline")
+def curate_pipeline():
+    # end-to-end curation: english lang-id gate -> quality >= 0.5 ->
+    # exact-dup keeper (min id per md5(text)) -> 50% deterministic
+    # hash sample.
+    import hashlib
+    d = table("documents")
+    pred = _langid_pred(d.text.values)
+    toks = _tokens_per_doc()
+    keep = {}
+    cand = []
+    for did, src, text, lang in sorted(zip(d.doc_id.astype(int),
+                                           d.source, d.text, pred)):
+        if lang != "en":
+            continue
+        q = _quality_score(toks[did])
+        if q < 0.5:
+            continue
+        dg = hashlib.md5((text or "").encode()).hexdigest()
+        if dg not in keep:
+            keep[dg] = did
+        cand.append((did, src, q, dg))
+    rows = [{"doc_id": did, "source": src, "quality": q}
+            for did, src, q, dg in cand
+            if keep[dg] == did and md5h60(did) % 2 == 0]
+    return pd.DataFrame(rows)
+
+
+@audit("q_curate_audit")
+def curate_audit():
+    # the same pipeline with per-stage drop FLAGS retained for every doc
+    # (the provenance/audit view of q_curate_pipeline).
+    import hashlib
+    d = table("documents")
+    pred = _langid_pred(d.text.values)
+    toks = _tokens_per_doc()
+    recs = []
+    keep = {}
+    for did, text, lang in sorted(zip(d.doc_id.astype(int), d.text,
+                                      pred)):
+        f_lang = lang != "en"
+        f_quality = _quality_score(toks[did]) < 0.5
+        ok = not f_lang and not f_quality
+        dg = hashlib.md5((text or "").encode()).hexdigest()
+        if ok and dg not in keep:
+            keep[dg] = did
+        recs.append((did, f_lang, f_quality, ok, dg))
+    rows = []
+    for did, f_lang, f_quality, ok, dg in recs:
+        is_keeper = ok and keep.get(dg) == did
+        rows.append({"doc_id": did, "f_lang": f_lang,
+                     "f_quality": f_quality,
+                     "f_dup": ok and not is_keeper,
+                     "f_sample": is_keeper and md5h60(did) % 2 != 0,
+                     "kept": is_keeper and md5h60(did) % 2 == 0})
+    return pd.DataFrame(rows)
+
+
+def _lev(a, b):
+    """Wagner-Fischer edit distance."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, start=1):
+        cur = [i]
+        for j, cb in enumerate(b, start=1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _jaro_winkler(a, b):
+    """Jaro (1989) + Winkler (1990) prefix boost (l <= 4, p = 0.1,
+    boost applied only when jaro > 0.7 — Winkler's original boost
+    threshold, the convention both engines share)."""
+    if a == b:
+        return 1.0
+    la, lb = len(a), len(b)
+    window = max(la, lb) // 2 - 1
+    ma = [False] * la
+    mb = [False] * lb
+    m = 0
+    for i in range(la):
+        lo = max(0, i - window)
+        hi = min(lb, i + window + 1)
+        for j in range(lo, hi):
+            if not mb[j] and a[i] == b[j]:
+                ma[i] = mb[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(la):
+        if ma[i]:
+            while not mb[k]:
+                k += 1
+            if a[i] != b[k]:
+                t += 1
+            k += 1
+    jaro = (m / la + m / lb + (m - t / 2) / m) / 3
+    if jaro <= 0.7:
+        return jaro
+    l = 0
+    for x, y in zip(a, b):
+        if x != y or l == 4:
+            break
+        l += 1
+    return jaro + l * 0.1 * (1 - jaro)
+
+
+@audit("q_jaro_winkler")
+def jaro_winkler():
+    vocab = sorted({t for ts in _tokens_per_doc().values() for t in ts})
+    rows = []
+    for i, a in enumerate(vocab):
+        for b in vocab[i + 1:]:
+            jw = _jaro_winkler(a, b)
+            if jw >= 0.6:
+                rows.append({"w1": a, "w2": b, "jw": r6(jw)})
+    return pd.DataFrame(rows)
+
+
+@audit("q_string_distance")
+def string_distance():
+    p = table("part").sort_values("p_partkey")
+    rows = []
+    for _, r in p.iterrows():
+        name = r.p_name
+        rows.append({
+            "p_partkey": int(r.p_partkey),
+            "lev": np.int32(_lev(r.p_brand, r.p_type)),
+            "rname": name[::-1],
+            "tname": "".join("." if c in "aeiou" else c for c in name),
+            "bb": r.p_brand * 2,
+            "pos_a": np.int32(name.find("a") + 1),
+            "l4": name[:4], "r4": name[-4:] if len(name) >= 4 else name})
+    return pd.DataFrame(rows)
+
+
+@audit("q_topk_orders")
+def topk_orders():
+    o = table("orders")
+    d = o.sort_values(["o_totalprice", "o_orderkey"],
+                      ascending=[False, True], kind="mergesort").head(20)
+    return pd.DataFrame({"o_orderkey": d.o_orderkey.values,
+                         "o_custkey": d.o_custkey.values,
+                         "o_totalprice": d.o_totalprice.values
+                         .astype(float)})
+
+
+@audit("q_case_buckets")
+def case_buckets():
+    o = table("orders")
+    v = o.o_totalprice.values.astype(float)
+    b = np.where(v < 50000, "low", np.where(v < 150000, "mid", "high"))
+    rows = []
+    for bk in sorted(set(b)):
+        m = b == bk
+        rows.append({"bucket": bk, "n": int(m.sum()),
+                     "min_key": int(o.o_orderkey.values[m].min())})
+    return pd.DataFrame(rows)
+
+
+@audit("q_cube")
+def cube():
+    # CUBE over (status, priority): exact decimal-cent sums per cell,
+    # null = rolled-up dimension, NULLS FIRST ordering.
+    o = table("orders")
+    cents = half_up(o.o_totalprice.values.astype(float), 100)
+    d = pd.DataFrame({"s": o.o_orderstatus.values,
+                      "p": o.o_orderpriority.values, "v": cents})
+    rows = []
+    for sk in (None, *sorted(set(d.s))):
+        for pk in (None, *sorted(set(d.p))):
+            m = np.ones(len(d), dtype=bool)
+            if sk is not None:
+                m &= (d.s == sk).values
+            if pk is not None:
+                m &= (d.p == pk).values
+            if not m.any():
+                continue
+            rows.append({"o_orderstatus": sk, "o_orderpriority": pk,
+                         "n": int(m.sum()),
+                         "total": int(d.v.values[m].sum()) / 100.0})
+    return pd.DataFrame(rows)
+
+
+@audit("q_grouping_sets")
+def grouping_sets():
+    li = table("lineitem")
+    rows = [{"l_returnflag": None, "l_linestatus": None, "n": len(li)}]
+    for ls in sorted(set(li.l_linestatus)):
+        rows.append({"l_returnflag": None, "l_linestatus": ls,
+                     "n": int((li.l_linestatus == ls).sum())})
+    for rf in sorted(set(li.l_returnflag)):
+        rows.append({"l_returnflag": rf, "l_linestatus": None,
+                     "n": int((li.l_returnflag == rf).sum())})
+    return pd.DataFrame(rows)
+
+
+@audit("q_rollup")
+def rollup():
+    li = table("lineitem")
+    q = li.l_quantity.values.astype(float)
+    rows = [{"l_returnflag": None, "l_linestatus": None, "n": len(li),
+             "sum_qty": float(q.sum())}]
+    for rf in sorted(set(li.l_returnflag)):
+        m = (li.l_returnflag == rf).values
+        rows.append({"l_returnflag": rf, "l_linestatus": None,
+                     "n": int(m.sum()), "sum_qty": float(q[m].sum())})
+        for ls in sorted(set(li.l_linestatus[m])):
+            m2 = m & (li.l_linestatus == ls).values
+            rows.append({"l_returnflag": rf, "l_linestatus": ls,
+                         "n": int(m2.sum()),
+                         "sum_qty": float(q[m2].sum())})
+    # NULLS FIRST ordering on both keys
+    rows.sort(key=lambda r: ((r["l_returnflag"] is not None,
+                              r["l_returnflag"] or ""),
+                             (r["l_linestatus"] is not None,
+                              r["l_linestatus"] or "")))
+    return pd.DataFrame(rows)
+
+
+@audit("q_grouping_id")
+def grouping_id():
+    li = table("lineitem")
+    rows = [{"l_returnflag": None, "l_linestatus": None,
+             "g_rf": np.int32(1), "g_ls": np.int32(1), "n": len(li)}]
+    for rf in sorted(set(li.l_returnflag)):
+        m = (li.l_returnflag == rf).values
+        rows.append({"l_returnflag": rf, "l_linestatus": None,
+                     "g_rf": np.int32(0), "g_ls": np.int32(1),
+                     "n": int(m.sum())})
+        for ls in sorted(set(li.l_linestatus[m])):
+            m2 = m & (li.l_linestatus == ls).values
+            rows.append({"l_returnflag": rf, "l_linestatus": ls,
+                         "g_rf": np.int32(0), "g_ls": np.int32(0),
+                         "n": int(m2.sum())})
+    rows.sort(key=lambda r: (int(r["g_rf"]), int(r["g_ls"]),
+                             (r["l_returnflag"] is not None,
+                              r["l_returnflag"] or ""),
+                             (r["l_linestatus"] is not None,
+                              r["l_linestatus"] or "")))
+    return pd.DataFrame(rows)
+
+
+@audit("q_sort_multi")
+def sort_multi():
+    li = table("lineitem")
+    d = li.sort_values(["l_returnflag", "l_linestatus", "l_orderkey",
+                        "l_linenumber"], kind="mergesort").head(100)
+    return d[["l_orderkey", "l_linenumber", "l_returnflag",
+              "l_linestatus"]].reset_index(drop=True)
+
+
+@audit("q_posexplode")
+def posexplode():
+    rows = []
+    for did, w in sorted(_tokens_per_doc().items()):
+        if did >= 50:
+            continue
+        for pos, tok in enumerate(w):
+            rows.append({"doc_id": did, "pos": np.int32(pos), "tok": tok})
+    return pd.DataFrame(rows)
+
+
+def _events_sorted(max_user):
+    e = table("events")
+    e = e[e.user_id < max_user]
+    return e.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+
+
+@audit("q_window_rank")
+def window_rank():
+    c = table("customer")
+    d = c.sort_values(["c_nationkey", "c_acctbal", "c_custkey"],
+                      ascending=[True, False, True], kind="mergesort")
+    rows = []
+    for nk, g in d.groupby("c_nationkey", sort=True):
+        bal = g.c_acctbal.values.astype(float)
+        # the order key includes custkey, so there are no ties and
+        # rank() == row_number()
+        for i in range(min(3, len(g))):
+            rows.append({"c_nationkey": nk,
+                         "c_custkey": int(g.c_custkey.values[i]),
+                         "c_acctbal": float(bal[i]),
+                         "rn": i + 1, "rnk": i + 1})
+    return pd.DataFrame(rows)
+
+
+@audit("q_window_frame")
+def window_frame():
+    # 4-row trailing moving average of exact DECIMAL(18,4) sums.
+    d = _events_sorted(10)
+    rows = []
+    for uid, g in d.groupby("user_id", sort=True):
+        vals = half_up(g.value.values.astype(float), 10000)
+        for i in range(len(g)):
+            lo = max(0, i - 3)
+            w = vals[lo:i + 1]
+            rows.append({"user_id": uid,
+                         "event_id": int(g.event_id.values[i]),
+                         "mov_avg": int(w.sum()) / 1e4 / len(w)})
+    return pd.DataFrame(rows)
+
+
+@audit("q_window_nth")
+def window_nth():
+    d = _events_sorted(40)
+    rows = []
+    for uid, g in d.groupby("user_id", sort=True):
+        v = g.value.values.astype(float)
+        for i in range(len(g)):
+            rows.append({"user_id": uid,
+                         "event_id": int(g.event_id.values[i]),
+                         "value": float(v[i]),
+                         "v3": float(v[2]) if i >= 2 else None,
+                         "lag2": float(v[i - 2]) if i >= 2 else None,
+                         "lead2": float(v[i + 2]) if i + 2 < len(g)
+                         else -1.0})
+    return pd.DataFrame(rows)
+
+
+@audit("q_window_range")
+def window_range():
+    # RANGE frame on the VALUE axis: rows whose value is within
+    # [v - 5, v] of the current row's value (per user).
+    e = table("events")
+    e = e[e.user_id < 10].sort_values(["user_id", "ts", "event_id"],
+                                      kind="mergesort")
+    rows = []
+    for uid, g in e.groupby("user_id", sort=True):
+        v = g.value.values.astype(float)
+        for i in range(len(g)):
+            n = int(((v >= v[i] - 5) & (v <= v[i])).sum())
+            rows.append({"user_id": uid,
+                         "event_id": int(g.event_id.values[i]),
+                         "n_near": n})
+    return pd.DataFrame(rows)
+
+
+@audit("q_window_running")
+def window_running():
+    d = _events_sorted(20)
+    rows = []
+    for uid, g in d.groupby("user_id", sort=True):
+        q = half_up(g.value.values.astype(float), 10000)
+        run = 0
+        prev = None
+        for i in range(len(g)):
+            run += int(q[i])
+            rows.append({"user_id": uid,
+                         "event_id": int(g.event_id.values[i]),
+                         "running": run / 1e4,
+                         "prev_event": prev})
+            prev = int(g.event_id.values[i])
+    df = pd.DataFrame(rows)
+    df["prev_event"] = df["prev_event"].astype("float64") \
+        if df["prev_event"].isna().any() else df["prev_event"]
+    return df
+
+
+def _asof_frames():
+    e = table("events")
+    o = table("orders")
+    ets = e.ts.values.astype("datetime64[us]").astype(np.int64)
+    ots = o.o_orderdate.values.astype("datetime64[us]").astype(np.int64)
+    by_cust = {}
+    for k, t, ok in zip(o.o_custkey.values, ots, o.o_orderkey.values):
+        by_cust.setdefault(int(k), []).append((int(t), int(ok)))
+    return e, ets, by_cust
+
+
+@audit("q_asof_join")
+def asof_join():
+    # backward as-of join: latest order at-or-before each event, ties
+    # to the larger orderkey.
+    e, ets, by_cust = _asof_frames()
+    rows = []
+    for eid, uid, t in zip(e.event_id.values, e.user_id.values, ets):
+        cand = [(ot, ok) for ot, ok in by_cust.get(int(uid), [])
+                if ot <= t]
+        if not cand:
+            continue
+        ot, ok = max(cand)
+        rows.append({"event_id": int(eid), "user_id": int(uid),
+                     "o_orderkey": ok,
+                     "o_orderdate": np.datetime64(ot, "us")})
+    rows.sort(key=lambda r: r["event_id"])
+    return pd.DataFrame(rows)
+
+
+@audit("q_asof_nearest")
+def asof_nearest():
+    # nearest-in-time as-of: min |Δt|, ties prefer the backward side,
+    # then the larger orderkey.
+    e, ets, by_cust = _asof_frames()
+    rows = []
+    for eid, uid, t in zip(e.event_id.values, e.user_id.values, ets):
+        cand = [(abs(ot - t), 0 if ot <= t else 1, -ok)
+                for ot, ok in by_cust.get(int(uid), [])]
+        if not cand:
+            continue
+        _, _, nok = min(cand)
+        rows.append({"event_id": int(eid), "user_id": int(uid),
+                     "o_orderkey": -nok})
+    rows.sort(key=lambda r: r["event_id"])
+    return pd.DataFrame(rows)
+
+
+@audit("q_asof_tolerance")
+def asof_tolerance():
+    # backward as-of with a 9000-day tolerance window.
+    e, ets, by_cust = _asof_frames()
+    tol = 9000 * 86400000000
+    rows = []
+    for eid, uid, t in zip(e.event_id.values, e.user_id.values, ets):
+        cand = [(ot, ok) for ot, ok in by_cust.get(int(uid), [])
+                if ot <= t and ot >= t - tol]
+        if not cand:
+            continue
+        ot, ok = max(cand)
+        rows.append({"event_id": int(eid), "user_id": int(uid),
+                     "o_orderkey": ok,
+                     "o_orderdate": np.datetime64(ot, "us")})
+    rows.sort(key=lambda r: r["event_id"])
+    return pd.DataFrame(rows)
+
+
+@audit("q_copurchase_pairs")
+def copurchase_pairs():
+    li = table("lineitem")
+    ps = set(zip(li.l_orderkey.astype(int), li.l_partkey.astype(int)))
+    by_o = {}
+    for o2, p2 in ps:
+        by_o.setdefault(o2, []).append(p2)
+    from collections import Counter
+    c = Counter()
+    for parts in by_o.values():
+        parts = sorted(parts)
+        for i in range(len(parts)):
+            for j in range(i + 1, len(parts)):
+                c[(parts[i], parts[j])] += 1
+    top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    return pd.DataFrame([{"pa": a, "pb": b, "n": n}
+                         for (a, b), n in top])
