@@ -6358,3 +6358,593 @@ def copurchase_pairs():
     top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     return pd.DataFrame([{"pa": a, "pb": b, "n": n}
                          for (a, b), n in top])
+
+
+@audit("q_math_funcs")
+def math_funcs():
+    li = table("lineitem")
+    li = li[li.l_orderkey < 200].sort_values(["l_orderkey", "l_linenumber"],
+                                             kind="mergesort")
+    p = li.l_extendedprice.values.astype(float)
+    dsc = li.l_discount.values.astype(float)
+    q = li.l_quantity.values.astype(float)
+    return pd.DataFrame({
+        "l_orderkey": li.l_orderkey.values,
+        "l_linenumber": li.l_linenumber.values,
+        "abs_price": np.abs(p * -1),
+        "sqrt_price": np.array([r6(math.sqrt(x)) for x in p]),
+        "floor_p": np.floor(p).astype(np.int64),
+        "ceil_p": np.ceil(p).astype(np.int64),
+        "sgn": np.sign(dsc - 0.05),
+        "m7": (li.l_orderkey.values % 7).astype(np.int64),
+        "g": np.maximum(q, dsc * 100),
+        "l": np.minimum(q, dsc * 100)})
+
+
+@audit("q_date_funcs")
+def date_funcs():
+    o = table("orders")
+    ts = pd.Series(o.o_orderdate.values)
+    cents = half_up(o.o_totalprice.values.astype(float), 100)
+    g = pd.DataFrame({"y": ts.dt.year, "m": ts.dt.month, "v": cents}) \
+        .groupby(["y", "m"], sort=True) \
+        .agg(n=("v", "size"), s=("v", "sum")).reset_index()
+    return pd.DataFrame({"y": g.y.astype(np.int32),
+                         "m": g.m.astype(np.int32), "n": g.n,
+                         "total": g.s / 100.0})
+
+
+@audit("q_bitwise_funcs")
+def bitwise_funcs():
+    li = table("lineitem")
+    li = li[li.l_orderkey < 100].sort_values(["l_orderkey", "l_linenumber"],
+                                             kind="mergesort")
+    a = li.l_orderkey.values.astype(np.int64)
+    b = li.l_partkey.values.astype(np.int64)
+    return pd.DataFrame({
+        "l_orderkey": a, "l_linenumber": li.l_linenumber.values,
+        "band": a & b, "bor": a | b, "bxor": a ^ b,
+        "shl": a << 3, "shr": b >> 2,
+        "bits": np.array([bin(x).count("1") for x in a], dtype=np.int32)})
+
+
+@audit("q_hash_funcs")
+def hash_funcs():
+    import hashlib
+    p = table("part").sort_values("p_partkey")
+    return pd.DataFrame({
+        "p_partkey": p.p_partkey.values,
+        "h_md5": [hashlib.md5(n.encode()).hexdigest() for n in p.p_name],
+        "h_sha256": [hashlib.sha256(n.encode()).hexdigest()
+                     for n in p.p_name],
+        "brand8": [hashlib.md5(b.encode()).hexdigest()[:8]
+                   for b in p.p_brand]})
+
+
+@audit("q_string_funcs")
+def string_funcs():
+    import re
+    p = table("part").sort_values("p_partkey")
+    rows = []
+    for _, r in p.iterrows():
+        n = r.p_name
+        m = re.search(r"([a-z]+)$", n)
+        rows.append({
+            "p_partkey": int(r.p_partkey), "uname": n.upper(),
+            "len": len(n), "pre": n[:5], "slug": n.replace(" ", "_"),
+            "bt": f"{r.p_brand}|{r.p_type}",
+            "is_eco": np.int32(1 if "ECO" in r.p_type else 0),
+            "last_word": m.group(1) if m else "",
+            "n_words": np.int32(len(n.split(" ")))})
+    return pd.DataFrame(rows)
+
+
+@audit("q_regex_funcs")
+def regex_funcs():
+    import re
+    d = table("documents").sort_values("doc_id")
+    rows = []
+    for _, r in d.iterrows():
+        t = r.text or ""
+        m = re.search(r"([a-z]{7,})", t)
+        dev = re.sub(r"[aeiou]", "", t)
+        rows.append({
+            "doc_id": int(r.doc_id),
+            "long_word": m.group(1) if m else "",
+            "devowel40": dev[:40],
+            "n_vowels": np.int32(len(t) - len(dev)),
+            "mentions": np.int32(1 if re.search(r" (data|customer) ", t)
+                                 else 0)})
+    return pd.DataFrame(rows)
+
+
+@audit("q_url_funcs")
+def url_funcs():
+    e = table("events")
+    e = e[e.event_id < 2000].sort_values("event_id")
+    rows = []
+    for _, r in e.iterrows():
+        url = (f"https://shop.example.com/{r.event_type}/page"
+               f"?user={int(r.user_id)}&ref=mail")
+        rows.append({"event_id": int(r.event_id), "url": url,
+                     "host": "shop.example.com",
+                     "path": f"/{r.event_type}/page",
+                     "user_param": str(int(r.user_id))})
+    return pd.DataFrame(rows)
+
+
+@audit("q_array_funcs")
+def array_funcs():
+    c = table("customer")
+    rows = []
+    for nk, g in c.groupby("c_nationkey", sort=True):
+        ks = sorted(g.c_custkey.astype(int))
+        rows.append({
+            "c_nationkey": nk, "n": np.int32(len(ks)),
+            "first5": ",".join(str(k) for k in ks[:5]),
+            "has_1": 1 in ks, "min_k": ks[0], "max_k": ks[-1],
+            "n_even": np.int32(sum(1 for k in ks if k % 2 == 0))})
+    return pd.DataFrame(rows)
+
+
+@audit("q_try_arith")
+def try_arith():
+    li = table("lineitem")
+    li = li[li.l_orderkey < 300].sort_values(["l_orderkey", "l_linenumber"],
+                                             kind="mergesort")
+    p = li.l_extendedprice.values.astype(float)
+    q = li.l_quantity.values.astype(float)
+    safe = np.where(q - 25 == 0, np.nan, p / np.where(q - 25 == 0, 1,
+                                                      q - 25))
+    return pd.DataFrame({
+        "l_orderkey": li.l_orderkey.values,
+        "l_linenumber": li.l_linenumber.values,
+        "safe_div": [None if math.isnan(x) else x for x in safe],
+        "oob": [None] * len(li),
+        "flag_int": [None] * len(li)})
+
+
+@audit("q_join_semi")
+def join_semi():
+    c = table("customer")
+    o = table("orders")
+    has = set(o.o_custkey.astype(int))
+    g = c[c.c_custkey.isin(has)].groupby("c_nationkey", sort=True).size()
+    return pd.DataFrame([{"c_nationkey": k, "n": int(n)}
+                         for k, n in g.items()])
+
+
+@audit("q_join_anti")
+def join_anti():
+    c = table("customer")
+    o = table("orders")
+    has = set(o.o_custkey.astype(int))
+    g = c[~c.c_custkey.isin(has)].groupby("c_mktsegment", sort=True).size()
+    return pd.DataFrame([{"c_mktsegment": k, "n": int(n)}
+                         for k, n in g.items()],
+                        columns=["c_mktsegment", "n"])
+
+
+@audit("q_join_null_anti")
+def join_null_anti():
+    c = table("customer")
+    o = table("orders")
+    big = set(o[o.o_totalprice.astype(float) > 150000]
+              .o_custkey.astype(int))
+    g = c[~c.c_custkey.isin(big)].groupby("c_mktsegment", sort=True).size()
+    return pd.DataFrame([{"c_mktsegment": k, "n": int(n)}
+                         for k, n in g.items()])
+
+
+@audit("q_bloom_join")
+def bloom_join():
+    c = table("customer")
+    o = table("orders")
+    bld = set(c[c.c_mktsegment == "BUILDING"].c_custkey.astype(int))
+    sel = o[o.o_custkey.isin(bld)]
+    g = sel.groupby("o_orderpriority", sort=True) \
+        .o_orderkey.agg(["size", "min"])
+    return pd.DataFrame([{"o_orderpriority": k, "n": int(r["size"]),
+                          "min_key": int(r["min"])}
+                         for k, r in g.iterrows()])
+
+
+@audit("q_salted_join")
+def salted_join():
+    li = table("lineitem")
+    g = li.groupby("l_returnflag", sort=True).size()
+    return pd.DataFrame([{"l_returnflag": k, "n": int(n),
+                          "rf_total": int(n)} for k, n in g.items()])
+
+
+@audit("q_range_join")
+def range_join():
+    e = table("events")
+    ts = pd.Series(e.ts.values)
+    weeks = sorted(set(ts.dt.to_period("W").dt.start_time
+                       + pd.Timedelta(hours=12)))
+    rows = []
+    for w in weeks:
+        n = int(((ts >= w) & (ts < w + pd.Timedelta(hours=24))).sum())
+        rows.append({"w_start": w, "n": n})
+    return pd.DataFrame(rows)
+
+
+@audit("q_join_outer")
+def join_outer():
+    n = table("nation")
+    c = table("customer")
+    cents = half_up(c.c_acctbal.values.astype(float), 100)
+    rows = []
+    for _, r in n.sort_values("n_name").iterrows():
+        m = (c.c_nationkey == r.n_nationkey).values
+        rows.append({"n_name": r.n_name, "n_cust": int(m.sum()),
+                     "sum_bal": int(cents[m].sum()) / 100.0
+                     if m.any() else None})
+    rows.sort(key=lambda x: x["n_name"])
+    return pd.DataFrame(rows)
+
+
+@audit("q_join_right")
+def join_right():
+    c = table("customer")
+    o = table("orders")
+    cnt = o.groupby("o_custkey").size()
+    rows = []
+    for k in sorted(c.c_custkey.astype(int)):
+        n = int(cnt.get(k, 0))
+        rows.append({"c_custkey": k, "n_orders": n,
+                     "n_rows": max(n, 1)})
+    return pd.DataFrame(rows)
+
+
+@audit("q_join_full")
+def join_full():
+    o = table("orders")
+    o = o[o.o_custkey < 500]
+    d = pd.Series(o.o_orderdate.values)
+    early = o[d.values < np.datetime64("1996-01-01")] \
+        .groupby("o_custkey").size()
+    late = o[d.values >= np.datetime64("1999-01-01")] \
+        .groupby("o_custkey").size()
+    ks = sorted(set(early.index) | set(late.index))
+    rows = [{"ck": int(k),
+             "n_early": int(early[k]) if k in early.index else None,
+             "n_late": int(late[k]) if k in late.index else None}
+            for k in ks]
+    df = pd.DataFrame(rows)
+    for col in ("n_early", "n_late"):
+        df[col] = df[col].astype("float64") if df[col].isna().any() \
+            else df[col].astype("int64")
+    return df
+
+
+@audit("q_cross_join")
+def cross_join():
+    r = sorted(table("region").r_name)
+    return pd.DataFrame([{"ra": a, "rb": b} for a in r for b in r])
+
+
+@audit("q_lateral_join")
+def lateral_join():
+    n = table("nation").sort_values("n_nationkey")
+    c = table("customer")
+    cents = half_up(c.c_acctbal.values.astype(float), 100)
+    rows = []
+    for _, r in n.iterrows():
+        m = (c.c_nationkey == r.n_nationkey).values
+        rows.append({"n_nationkey": int(r.n_nationkey),
+                     "n_name": r.n_name, "cnt": int(m.sum()),
+                     "top_bal": int(cents[m].max()) / 100.0
+                     if m.any() else None})
+    return pd.DataFrame(rows)
+
+
+@audit("q_exists_subquery")
+def exists_subquery():
+    c = table("customer")
+    o = table("orders")
+    tp = o.o_totalprice.values.astype(float)
+    big = set(o.o_custkey.values[tp > 200000].astype(int))
+    small = set(o.o_custkey.values[tp < 10000].astype(int))
+    sel = c[c.c_custkey.isin(big - small)].sort_values("c_custkey")
+    return pd.DataFrame({"c_custkey": sel.c_custkey.values,
+                         "c_name": sel.c_name.values})
+
+
+@audit("q_correlated_subquery")
+def correlated_subquery():
+    o = table("orders")
+    cents = half_up(o.o_totalprice.values.astype(float), 100)
+    d = pd.DataFrame({"k": o.o_custkey.values, "v": cents,
+                      "raw": o.o_totalprice.values.astype(float)})
+    rows = []
+    for k, g in d.groupby("k", sort=True):
+        # threshold: twice the customer's mean (exact decimal sum / n)
+        thr = 2 * (int(g.v.sum()) / 100.0) / len(g)
+        n = int((g.raw > thr).sum())
+        if n:
+            rows.append({"o_custkey": k, "n": n})
+    return pd.DataFrame(rows)
+
+
+@audit("q_scalar_subquery")
+def scalar_subquery():
+    o = table("orders")
+    cents = half_up(o.o_totalprice.values.astype(float), 100)
+    total = int(cents.sum()) / 100.0
+    n_all = len(o)
+    sel = o[o.o_totalprice.values.astype(float) * n_all > total]
+    g = sel.groupby("o_orderpriority", sort=True).size()
+    return pd.DataFrame([{"o_orderpriority": k, "n": int(n)}
+                         for k, n in g.items()])
+
+
+@audit("q_setops")
+def setops():
+    c = set(table("customer").c_nationkey.astype(int))
+    s = set(table("supplier").s_nationkey.astype(int))
+    rows = [("any", k) for k in sorted(c | s)] \
+        + [("both", k) for k in sorted(c & s)] \
+        + [("cust_only", k) for k in sorted(c - s)]
+    rows.sort()
+    return pd.DataFrame([{"op": op, "nationkey": k} for op, k in rows])
+
+
+@audit("q_setops_all")
+def setops_all():
+    from collections import Counter
+    c = Counter(table("customer").c_nationkey.astype(int))
+    s = Counter(table("supplier").s_nationkey.astype(int))
+    rows = []
+    for k in sorted(set(c) | set(s)):
+        rows += [("e_all", k)] * max(c[k] - s[k], 0)
+        rows += [("i_all", k)] * min(c[k], s[k])
+    rows.sort()
+    return pd.DataFrame([{"op": op, "nationkey": k} for op, k in rows])
+
+
+@audit("q_recursive_cte")
+def recursive_cte():
+    # halving-tree reachability: k joins to its parent k // 2.
+    ks = set(table("customer").c_custkey.astype(int))
+    depth = {1: 0}
+    frontier = {1}
+    d = 0
+    while frontier:
+        d += 1
+        frontier = {k for k in ks
+                    if 1 < k <= 200 and k // 2 in frontier}
+        for k in frontier:
+            depth.setdefault(k, d)
+        if d > 64:
+            break
+    rows = {}
+    for k, dd in depth.items():
+        a = rows.setdefault(dd, [0, k, k])
+        a[0] += 1
+        a[1] = min(a[1], k)
+        a[2] = max(a[2], k)
+    return pd.DataFrame([{"depth": np.int32(dd), "n": a[0],
+                          "min_k": a[1], "max_k": a[2]}
+                         for dd, a in sorted(rows.items())])
+
+
+@audit("q_interval_arith")
+def interval_arith():
+    e = table("events")
+    e = e[e.event_id < 2000].sort_values("event_id")
+    ts = pd.Series(e.ts.values)
+    rows = []
+    for eid, t in zip(e.event_id.values, ts):
+        d = t.normalize()
+        week = (d - pd.Timedelta(days=d.dayofweek)).date()
+        month_end = (d + pd.offsets.MonthEnd(0)).date()
+        plus2m = (d + pd.DateOffset(months=2)).date()
+        rows.append({"event_id": int(eid),
+                     "ts_plus": t + pd.Timedelta(minutes=90),
+                     "week_start": str(week),
+                     "month_end": str(month_end),
+                     "plus2m": str(plus2m),
+                     "wd": np.int32(d.dayofweek)})
+    return pd.DataFrame(rows)
+
+
+@audit("q_json_props")
+def json_props():
+    import json as _json
+    e = table("events")
+    k = np.array([_json.loads(p)["k"] for p in e.props])
+    g = pd.DataFrame({"et": e.event_type.values, "k": k}) \
+        .groupby("et", sort=True).agg(s=("k", "sum"), n=("k", "size"))
+    return pd.DataFrame([{"event_type": et, "sum_k": int(r.s),
+                          "n": int(r.n)} for et, r in g.iterrows()])
+
+
+@audit("q_map_json")
+def map_json():
+    import json as _json
+    e = table("events")
+    k = np.array([_json.loads(p)["k"] for p in e.props])
+    g = pd.DataFrame({"et": e.event_type.values, "k": k}) \
+        .groupby("et", sort=True) \
+        .agg(s=("k", "sum"), mn=("k", "min"), mx=("k", "max"),
+             n=("k", "size"))
+    return pd.DataFrame([{"event_type": et, "ks": "k", "sum_k": int(r.s),
+                          "min_k": np.int32(r.mn),
+                          "max_k": np.int32(r.mx), "n": int(r.n)}
+                         for et, r in g.iterrows()])
+
+
+@audit("q_variant_json")
+def variant_json():
+    import json as _json
+    e = table("events")
+    e = e[e.event_id < 3000].sort_values("event_id")
+    k = np.array([_json.loads(p)["k"] for p in e.props])
+    return pd.DataFrame({"event_id": e.event_id.values,
+                         "k": k.astype(np.int32),
+                         "k_mod": (k % 10).astype(np.int32),
+                         "no_such_field": [True] * len(e)})
+
+
+@audit("q_hof_extras")
+def hof_extras():
+    c = table("customer")
+    rows = []
+    for nk, g in c.groupby("c_nationkey", sort=True):
+        ks = sorted(g.c_custkey.astype(int))[:8]
+        rows.append({
+            "c_nationkey": nk, "n": np.int32(len(ks)),
+            "sum_products": sum(k * (k + 10) for k in ks),
+            "has_mult7": any(k % 7 == 0 for k in ks),
+            "all_pos": all(k >= 0 for k in ks),
+            "total": sum(ks)})
+    return pd.DataFrame(rows)
+
+
+@audit("q_sequence_hof")
+def sequence_hof():
+    li = table("lineitem")
+    li = li[li.l_orderkey < 300].sort_values(["l_orderkey", "l_linenumber"],
+                                             kind="mergesort")
+    k = li.l_quantity.values.astype(float).astype(np.int64)
+    return pd.DataFrame({
+        "l_orderkey": li.l_orderkey.values,
+        "l_linenumber": li.l_linenumber.values, "k": k,
+        "tri": k * (k + 1) // 2,
+        "sumsq": k * (k + 1) * (2 * k + 1) // 6,
+        "n_even": k // 2})
+
+
+@audit("q_null_semantics")
+def null_semantics():
+    c = table("customer")
+    c = c[c.c_custkey < 200]
+    bal = c.c_acctbal.values.astype(float)
+    b = np.where(bal < 0, np.nan, bal)
+    rows = []
+    for nk, g in pd.DataFrame({"n": c.c_nationkey.values, "b": b,
+                               "k": c.c_custkey.values}) \
+            .groupby("n", sort=True):
+        nn = int((~np.isnan(g.b.values)).sum())
+        # null-safe pair count: pairs agreeing on bal INCLUDING null==null
+        from collections import Counter
+        cnt = Counter("NULL" if math.isnan(x) else x for x in g.b.values)
+        pairs = sum(v * (v - 1) // 2 for v in cnt.values())
+        rows.append({"c_nationkey": nk, "n_all": len(g), "n_bal": nn,
+                     "n_null": len(g) - nn,
+                     "min_bal": (None if nn == 0
+                                 else float(np.nanmin(g.b.values))),
+                     "n_nullsafe_pairs": pairs})
+    rows.sort(key=lambda r: (r["min_bal"] is not None,
+                             r["min_bal"] if r["min_bal"] is not None
+                             else 0.0, r["c_nationkey"]))
+    return pd.DataFrame(rows)
+
+
+@audit("q_profile_columns")
+def profile_columns():
+    o = table("orders")
+    rows = []
+    for col in ("o_orderkey", "o_custkey", "o_orderstatus",
+                "o_orderpriority"):
+        v = o[col]
+        mn, mx = v.min(), v.max()
+        rows.append({"col_name": col, "n_rows": len(o),
+                     "n_nonnull": int(v.notna().sum()),
+                     "n_distinct": int(v.nunique()),
+                     "min_s": str(mn), "max_s": str(mx)})
+    rows.sort(key=lambda r: r["col_name"])
+    return pd.DataFrame(rows)
+
+
+@audit("q_bpe_pair_freqs")
+def bpe_pair_freqs():
+    # character-bigram frequencies weighted by word frequency (the BPE
+    # round-1 pair table), over [a-z0-9]+ subwords.
+    import re
+    from collections import Counter
+    words = Counter()
+    for text in table("documents").text:
+        words.update(x for x in re.split(r"[^a-z0-9]+",
+                                         (text or "").lower()) if x)
+    pc = Counter()
+    for w, f in words.items():
+        if len(w) >= 2:
+            for i in range(len(w) - 1):
+                pc[w[i:i + 2]] += f
+    top = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    return pd.DataFrame([{"pair": p, "n": n} for p, n in top])
+
+
+@audit("q_merge_upsert")
+def merge_upsert():
+    c = table("customer")
+    cents = half_up(c.c_acctbal.values.astype(float), 100)
+    rows = {}
+    for (k, nm, nk, b, seg) in zip(c.c_custkey.astype(int), c.c_name,
+                                   c.c_nationkey.astype(int), cents,
+                                   c.c_mktsegment):
+        if k % 37 == 0:
+            continue  # deleted
+        if k % 10 == 0:
+            rows[k] = (nm, nk, 0.0, seg)  # updated to bal 0
+        else:
+            rows[k] = (nm, nk, b / 100.0, seg)
+        if k % 100 == 0:
+            rows[k + 1000000] = (f"NEW_{k}", 0, 100.0, "MACHINERY")
+    # inserts for deleted-but-%100 customers too
+    for k in c.c_custkey.astype(int):
+        if k % 100 == 0 and k % 37 == 0:
+            rows[k + 1000000] = (f"NEW_{k}", 0, 100.0, "MACHINERY")
+    return pd.DataFrame([{"c_custkey": k, "c_name": v[0],
+                          "c_nationkey": np.int32(v[1]), "bal": v[2],
+                          "c_mktsegment": v[3]}
+                         for k, v in sorted(rows.items())])
+
+
+@audit("q_snapshot_diff")
+def snapshot_diff():
+    o = table("orders")
+    ks = o.o_orderkey.astype(int).values
+    status = o.o_orderstatus.values
+    old = {k: ("P" if k % 13 == 0 else s)
+           for k, s in zip(ks, status) if k % 17 != 5}
+    new = {k: s for k, s in zip(ks, status) if k % 11 != 3}
+    rows = []
+    for k in sorted(set(old) | set(new)):
+        if k not in old:
+            rows.append({"o_orderkey": k, "change": "added"})
+        elif k not in new:
+            rows.append({"o_orderkey": k, "change": "removed"})
+        elif old[k] != new[k]:
+            rows.append({"o_orderkey": k, "change": "changed"})
+    return pd.DataFrame(rows)
+
+
+@audit("q_scd2_lookup")
+def scd2_lookup():
+    # point-in-time SCD-2 lookup: latest version valid at each event.
+    o = table("orders")
+    o = o[o.o_custkey < 200]
+    d = o.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                      kind="mergesort")
+    versions = {}
+    for ck, g in d.groupby("o_custkey", sort=False):
+        vf = g.o_orderdate.values.astype("datetime64[us]").astype(np.int64)
+        versions[int(ck)] = [(int(t), i + 1, int(k))
+                             for i, (t, k) in enumerate(
+                                 zip(vf, g.o_orderkey.values))]
+    e = table("events")
+    ets = e.ts.values.astype("datetime64[us]").astype(np.int64)
+    rows = []
+    for eid, uid, t in zip(e.event_id.values, e.user_id.values, ets):
+        vs = [v for v in versions.get(int(uid), []) if v[0] <= t]
+        if not vs:
+            continue
+        _, ver, ok = max(vs)
+        rows.append({"event_id": int(eid), "user_id": int(uid),
+                     "version": np.int32(ver), "o_orderkey": ok})
+    rows.sort(key=lambda r: r["event_id"])
+    return pd.DataFrame(rows)
