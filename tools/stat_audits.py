@@ -6948,3 +6948,623 @@ def scd2_lookup():
                      "version": np.int32(ver), "o_orderkey": ok})
     rows.sort(key=lambda r: r["event_id"])
     return pd.DataFrame(rows)
+
+
+# --- TPC-H classics (exact decimal replays) ----------------------------------
+
+def _li_money():
+    """lineitem money columns in exact integer units: price cents,
+    discount/tax hundredths — the engines' DECIMAL(12,2)/(4,2) domain."""
+    li = table("lineitem")
+    return li, \
+        half_up(li.l_extendedprice.values.astype(float), 100), \
+        half_up(li.l_discount.values.astype(float), 100), \
+        half_up(li.l_tax.values.astype(float), 100)
+
+
+def _dt(col):
+    return col.values.astype("datetime64[D]")
+
+
+@audit("q1_agg")
+def q1_agg():
+    li, cents, disc, tax = _li_money()
+    m = _dt(li.l_shipdate) <= np.datetime64("1998-09-02")
+    rows = []
+    d = pd.DataFrame({"rf": li.l_returnflag.values[m],
+                      "ls": li.l_linestatus.values[m],
+                      "q": li.l_quantity.values.astype(float)[m],
+                      "c": cents[m].astype(object),
+                      "dp": (cents[m].astype(object)
+                             * (100 - disc[m].astype(object))),
+                      "ch": (cents[m].astype(object)
+                             * (100 - disc[m].astype(object))
+                             * (100 + tax[m].astype(object)))})
+    for (rf, ls), g in d.groupby(["rf", "ls"], sort=True):
+        n = len(g)
+        rows.append({
+            "l_returnflag": rf, "l_linestatus": ls,
+            "sum_qty": float(g.q.sum()),
+            "sum_base": int(g.c.sum()) / 1e2,
+            "sum_disc_price": int(g.dp.sum()) / 1e4,
+            "sum_charge": int(g.ch.sum()) / 1e6,
+            "avg_qty": float(g.q.sum()) / n,
+            "avg_price": int(g.c.sum()) / 1e2 / n,
+            "n": n})
+    return pd.DataFrame(rows)
+
+
+@audit("q3_join_topk")
+def q3_join_topk():
+    li, cents, disc, _ = _li_money()
+    c = table("customer")
+    o = table("orders")
+    bld = set(c[c.c_mktsegment == "BUILDING"].c_custkey.astype(int))
+    osel = o[o.o_custkey.isin(bld)
+             & (_dt(o.o_orderdate) < np.datetime64("1998-03-15"))]
+    odate = dict(zip(osel.o_orderkey.astype(int), osel.o_orderdate))
+    m = (_dt(li.l_shipdate) > np.datetime64("1998-03-15")) \
+        & li.l_orderkey.isin(odate).values
+    rev = {}
+    for ok, cts, dsc in zip(li.l_orderkey.values[m], cents[m], disc[m]):
+        rev[int(ok)] = rev.get(int(ok), 0) + int(cts) * (100 - int(dsc))
+    top = sorted(rev.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    return pd.DataFrame([{"l_orderkey": k, "revenue": v / 1e4,
+                          "o_orderdate": odate[k]} for k, v in top])
+
+
+@audit("q4_priority_exists")
+def q4_priority_exists():
+    o = table("orders")
+    li = table("lineitem")
+    od = dict(zip(o.o_orderkey.astype(int), _dt(o.o_orderdate)))
+    late = {int(ok) for ok, sd in zip(li.l_orderkey.values,
+                                      _dt(li.l_shipdate))
+            if int(ok) in od and sd > od[int(ok)]}
+    sel = o[(_dt(o.o_orderdate) >= np.datetime64("1996-07-01"))
+            & (_dt(o.o_orderdate) < np.datetime64("1996-10-01"))
+            & o.o_orderkey.isin(late)]
+    g = sel.groupby("o_orderpriority", sort=True).size()
+    return pd.DataFrame([{"o_orderpriority": k, "order_count": int(n)}
+                         for k, n in g.items()])
+
+
+@audit("q5_join_broadcast")
+def q5_join_broadcast():
+    li, cents, disc, _ = _li_money()
+    r = table("region"); n = table("nation")
+    s = table("supplier"); o = table("orders"); c = table("customer")
+    nname = dict(zip(n.n_nationkey.astype(int), n.n_name))
+    snat = dict(zip(s.s_suppkey.astype(int), s.s_nationkey.astype(int)))
+    cnat = dict(zip(c.c_custkey.astype(int), c.c_nationkey.astype(int)))
+    osel = o[(_dt(o.o_orderdate) >= np.datetime64("1996-01-01"))
+             & (_dt(o.o_orderdate) < np.datetime64("1997-01-01"))]
+    ocust = dict(zip(osel.o_orderkey.astype(int),
+                     osel.o_custkey.astype(int)))
+    rev = {}
+    for ok, sk, cts, dsc in zip(li.l_orderkey.values, li.l_suppkey.values,
+                                cents, disc):
+        ok, sk = int(ok), int(sk)
+        if ok not in ocust:
+            continue
+        nk = snat[sk]
+        if cnat[ocust[ok]] != nk:
+            continue
+        rev[nname[nk]] = rev.get(nname[nk], 0) \
+            + int(cts) * (100 - int(dsc))
+    return pd.DataFrame([{"n_name": k, "revenue": v / 1e4}
+                         for k, v in sorted(rev.items())])
+
+
+@audit("q6_filter_pushdown")
+def q6_filter_pushdown():
+    li, cents, disc, _ = _li_money()
+    d = li.l_discount.values.astype(float)
+    m = (_dt(li.l_shipdate) >= np.datetime64("1996-01-01")) \
+        & (_dt(li.l_shipdate) < np.datetime64("1997-01-01")) \
+        & (d >= 0.05) & (d <= 0.07) \
+        & (li.l_quantity.values.astype(float) < 24)
+    rev = sum(int(a) * int(b) for a, b in zip(cents[m], disc[m]))
+    return pd.DataFrame([{"revenue": rev / 1e4, "n": int(m.sum())}])
+
+
+@audit("q7_nation_volume")
+def q7_nation_volume():
+    li, cents, disc, _ = _li_money()
+    s = table("supplier"); o = table("orders")
+    c = table("customer"); n = table("nation")
+    nname = dict(zip(n.n_nationkey.astype(int), n.n_name))
+    snat = dict(zip(s.s_suppkey.astype(int), s.s_nationkey.astype(int)))
+    cnat = dict(zip(c.c_custkey.astype(int), c.c_nationkey.astype(int)))
+    ocust = dict(zip(o.o_orderkey.astype(int), o.o_custkey.astype(int)))
+    sd = _dt(li.l_shipdate)
+    want = {"NATION_1", "NATION_2"}
+    rev = {}
+    yr = pd.Series(li.l_shipdate.values).dt.year.values
+    m = (sd >= np.datetime64("1996-01-01")) & (sd < np.datetime64("1998-01-01"))
+    for ok, sk, cts, dsc, y, keep in zip(li.l_orderkey.values,
+                                         li.l_suppkey.values, cents, disc,
+                                         yr, m):
+        if not keep:
+            continue
+        sn = nname[snat[int(sk)]]
+        cn = nname[cnat[ocust[int(ok)]]]
+        if sn in want and cn in want and sn != cn:
+            key = (sn, cn, int(y))
+            rev[key] = rev.get(key, 0) + int(cts) * (100 - int(dsc))
+    return pd.DataFrame([{"supp_nation": a, "cust_nation": b,
+                          "l_year": np.int32(y), "revenue": v / 1e4}
+                         for (a, b, y), v in sorted(rev.items())])
+
+
+@audit("q8_market_share")
+def q8_market_share():
+    li, cents, disc, _ = _li_money()
+    p = table("part"); s = table("supplier"); o = table("orders")
+    c = table("customer"); n = table("nation"); r = table("region")
+    nname = dict(zip(n.n_nationkey.astype(int), n.n_name))
+    nreg = dict(zip(n.n_nationkey.astype(int), n.n_regionkey.astype(int)))
+    rname = dict(zip(r.r_regionkey.astype(int), r.r_name))
+    promo = set(p[p.p_type == "PROMO"].p_partkey.astype(int))
+    snat = dict(zip(s.s_suppkey.astype(int), s.s_nationkey.astype(int)))
+    cnat = dict(zip(c.c_custkey.astype(int), c.c_nationkey.astype(int)))
+    ocust = dict(zip(o.o_orderkey.astype(int), o.o_custkey.astype(int)))
+    oyear = dict(zip(o.o_orderkey.astype(int),
+                     pd.Series(o.o_orderdate.values).dt.year.values))
+    tot, nat5 = {}, {}
+    for ok, pk, sk, cts, dsc in zip(li.l_orderkey.values,
+                                    li.l_partkey.values,
+                                    li.l_suppkey.values, cents, disc):
+        if int(pk) not in promo:
+            continue
+        cn = cnat[ocust[int(ok)]]
+        if rname[nreg[cn]] != "ASIA":
+            continue
+        y = int(oyear[int(ok)])
+        v = int(cts) * (100 - int(dsc))
+        tot[y] = tot.get(y, 0) + v
+        if nname[snat[int(sk)]] == "NATION_5":
+            nat5[y] = nat5.get(y, 0) + v
+    return pd.DataFrame([{"o_year": np.int32(y),
+                          "mkt_share": (nat5.get(y, 0) / 1e4)
+                          / (tot[y] / 1e4) if nat5.get(y) else None}
+                         for y in sorted(tot)])
+
+
+@audit("q9_profit_proxy")
+def q9_profit_proxy():
+    li, cents, disc, _ = _li_money()
+    p = table("part"); s = table("supplier")
+    o = table("orders"); n = table("nation")
+    nname = dict(zip(n.n_nationkey.astype(int), n.n_name))
+    snat = dict(zip(s.s_suppkey.astype(int), s.s_nationkey.astype(int)))
+    bolt = {int(k): half_up(float(rp), 100)
+            for k, nm, rp in zip(p.p_partkey, p.p_name, p.p_retailprice)
+            if "bolt" in nm}
+    oyear = dict(zip(o.o_orderkey.astype(int),
+                     pd.Series(o.o_orderdate.values).dt.year.values))
+    q = li.l_quantity.values.astype(float).astype(np.int64)
+    prof = {}
+    for ok, pk, sk, cts, dsc, qty in zip(li.l_orderkey.values,
+                                         li.l_partkey.values,
+                                         li.l_suppkey.values, cents,
+                                         disc, q):
+        pk = int(pk)
+        if pk not in bolt:
+            continue
+        # amount in 1e-4 dollars: price·(100−disc) − retail·50·qty
+        amt = int(cts) * (100 - int(dsc)) - int(bolt[pk]) * 50 * int(qty)
+        key = (nname[snat[int(sk)]], int(oyear[int(ok)]))
+        prof[key] = prof.get(key, 0) + amt
+    return pd.DataFrame([{"n_name": nn, "o_year": np.int32(y),
+                          "sum_profit": v / 1e4}
+                         for (nn, y), v in sorted(prof.items())])
+
+
+@audit("q10_returned_top")
+def q10_returned_top():
+    li, cents, disc, _ = _li_money()
+    c = table("customer"); o = table("orders"); n = table("nation")
+    nname = dict(zip(n.n_nationkey.astype(int), n.n_name))
+    osel = o[(_dt(o.o_orderdate) >= np.datetime64("1996-10-01"))
+             & (_dt(o.o_orderdate) < np.datetime64("1997-01-01"))]
+    ocust = dict(zip(osel.o_orderkey.astype(int),
+                     osel.o_custkey.astype(int)))
+    m = (li.l_returnflag.values == "R") \
+        & li.l_orderkey.isin(ocust).values
+    rev = {}
+    for ok, cts, dsc in zip(li.l_orderkey.values[m], cents[m], disc[m]):
+        ck = ocust[int(ok)]
+        rev[ck] = rev.get(ck, 0) + int(cts) * (100 - int(dsc))
+    cinfo = {int(k): (nm, float(b), nname[int(nk)])
+             for k, nm, b, nk in zip(c.c_custkey, c.c_name, c.c_acctbal,
+                                     c.c_nationkey)}
+    top = sorted(rev.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    return pd.DataFrame([{"c_custkey": k, "c_name": cinfo[k][0],
+                          "revenue": v / 1e4, "acctbal": cinfo[k][1],
+                          "n_name": cinfo[k][2]} for k, v in top])
+
+
+@audit("q12_delay_buckets")
+def q12_delay_buckets():
+    li = table("lineitem")
+    o = table("orders")
+    od = dict(zip(o.o_orderkey.astype(int), _dt(o.o_orderdate)))
+    prio = dict(zip(o.o_orderkey.astype(int), o.o_orderpriority))
+    sd = _dt(li.l_shipdate)
+    agg = {}
+    for ok, s in zip(li.l_orderkey.values, sd):
+        ok = int(ok)
+        dd = int((s - od[ok]).astype(int))
+        b = "fast" if dd < 30 else "medium" if dd < 90 else "slow"
+        hi = prio[ok] in ("1-URGENT", "2-HIGH")
+        a = agg.setdefault(b, [0, 0])
+        a[0 if hi else 1] += 1
+    return pd.DataFrame([{"delay_bucket": b, "high_count": a[0],
+                          "low_count": a[1]}
+                         for b, a in sorted(agg.items())])
+
+
+@audit("q14_promo_share")
+def q14_promo_share():
+    li, cents, disc, _ = _li_money()
+    p = table("part")
+    promo = set(p[p.p_type == "PROMO"].p_partkey.astype(int))
+    sd = _dt(li.l_shipdate)
+    m = (sd >= np.datetime64("1996-09-01")) \
+        & (sd < np.datetime64("1996-10-01"))
+    tot = promo_v = 0
+    for pk, cts, dsc in zip(li.l_partkey.values[m], cents[m], disc[m]):
+        v = int(cts) * (100 - int(dsc))
+        tot += v
+        if int(pk) in promo:
+            promo_v += v
+    return pd.DataFrame([{"promo_share": (promo_v / 1e4) * 100.0
+                          / (tot / 1e4)}])
+
+
+@audit("q15_top_supplier")
+def q15_top_supplier():
+    li, cents, disc, _ = _li_money()
+    s = table("supplier")
+    sd = _dt(li.l_shipdate)
+    m = (sd >= np.datetime64("1996-01-01")) \
+        & (sd < np.datetime64("1996-04-01"))
+    rev = {}
+    for sk, cts, dsc in zip(li.l_suppkey.values[m], cents[m], disc[m]):
+        rev[int(sk)] = rev.get(int(sk), 0) + int(cts) * (100 - int(dsc))
+    mx = max(rev.values())
+    sname = dict(zip(s.s_suppkey.astype(int), s.s_name))
+    return pd.DataFrame([{"s_suppkey": k, "s_name": sname[k],
+                          "total_revenue": v / 1e4}
+                         for k, v in sorted(rev.items()) if v == mx])
+
+
+@audit("q17_small_qty_revenue")
+def q17_small_qty_revenue():
+    li, cents, _, _ = _li_money()
+    p = table("part")
+    b11 = set(p[p.p_brand == "Brand#11"].p_partkey.astype(int))
+    q = li.l_quantity.values.astype(float).astype(np.int64)
+    pk = li.l_partkey.values.astype(int)
+    cnt, sq = {}, {}
+    for k, qq in zip(pk, q):
+        cnt[k] = cnt.get(k, 0) + 1
+        sq[k] = sq.get(k, 0) + int(qq)
+    tot = n = 0
+    for k, qq, cts in zip(pk, q, cents):
+        if k in b11 and 5 * int(qq) * cnt[k] < sq[k]:
+            tot += int(cts)
+            n += 1
+    return pd.DataFrame([{"avg_yearly": tot / 100.0 / 7.0, "n": n}])
+
+
+@audit("q18_volume_customers")
+def q18_volume_customers():
+    li = table("lineitem")
+    o = table("orders")
+    c = table("customer")
+    q = li.l_quantity.values.astype(float).astype(np.int64)
+    sums = {}
+    for ok, qq in zip(li.l_orderkey.values.astype(int), q):
+        sums[ok] = sums.get(ok, 0) + int(qq)
+    big = {k: v for k, v in sums.items() if v > 300}
+    cname = dict(zip(c.c_custkey.astype(int), c.c_name))
+    rows = []
+    for ok, ck, od, tp in zip(o.o_orderkey.astype(int),
+                              o.o_custkey.astype(int),
+                              o.o_orderdate, o.o_totalprice):
+        if ok in big:
+            rows.append({"c_custkey": ck, "c_name": cname[ck],
+                         "o_orderkey": ok, "o_orderdate": od,
+                         "totalprice": float(tp), "sum_qty": big[ok]})
+    rows.sort(key=lambda r: (-r["totalprice"], r["o_orderkey"]))
+    return pd.DataFrame(rows[:50])
+
+
+@audit("q19_or_pushdown")
+def q19_or_pushdown():
+    li, cents, disc, _ = _li_money()
+    p = table("part")
+    binfo = {int(k): (b, int(sz)) for k, b, sz in
+             zip(p.p_partkey, p.p_brand, p.p_size)}
+    q = li.l_quantity.values.astype(float)
+    tot = n = 0
+    for pk, qq, cts, dsc in zip(li.l_partkey.values.astype(int), q,
+                                cents, disc):
+        b, sz = binfo[pk]
+        ok = (b == "Brand#12" and 1 <= sz <= 15 and 1 <= qq <= 11) \
+            or (b == "Brand#23" and 1 <= sz <= 25 and 10 <= qq <= 20) \
+            or (b == "Brand#3" and 1 <= sz <= 35 and 20 <= qq <= 30)
+        if ok:
+            tot += int(cts) * (100 - int(dsc))
+            n += 1
+    return pd.DataFrame([{"revenue": tot / 1e4, "n": n}])
+
+
+@audit("q20_semi_agg")
+def q20_semi_agg():
+    li = table("lineitem")
+    p = table("part")
+    s = table("supplier")
+    promo = set(p[p.p_type == "PROMO"].p_partkey.astype(int))
+    q = li.l_quantity.values.astype(float).astype(np.int64)
+    agg = {}
+    for sk, pk, qq in zip(li.l_suppkey.values.astype(int),
+                          li.l_partkey.values.astype(int), q):
+        if pk in promo:
+            agg[sk] = agg.get(sk, 0) + int(qq)
+    keep = {k for k, v in agg.items() if v > 100}
+    sname = dict(zip(s.s_suppkey.astype(int), s.s_name))
+    return pd.DataFrame([{"s_suppkey": k, "s_name": sname[k]}
+                         for k in sorted(keep)])
+
+
+@audit("q22_idle_customers")
+def q22_idle_customers():
+    c = table("customer")
+    o = table("orders")
+    cents = half_up(c.c_acctbal.values.astype(float), 100)
+    pos = cents[c.c_acctbal.values.astype(float) > 0.0]
+    cnt, tot = len(pos), int(pos.sum())
+    has = set(o.o_custkey.astype(int))
+    m = (cents.astype(object) * cnt > tot) \
+        & ~c.c_custkey.isin(has).values
+    g = pd.DataFrame({"n": c.c_nationkey.values[m],
+                      "v": cents[m]}).groupby("n", sort=True) \
+        .agg(num=("v", "size"), s=("v", "sum"))
+    return pd.DataFrame([{"c_nationkey": k, "numcust": int(r.num),
+                          "totacctbal": int(r.s) / 100.0}
+                         for k, r in g.iterrows()],
+                        columns=["c_nationkey", "numcust", "totacctbal"])
+
+
+@audit("q_asof_forward")
+def asof_forward():
+    # forward as-of: earliest event at-or-after each order, ties to the
+    # larger event_id (rn orders ts ASC, event_id DESC).
+    e = table("events")
+    o = table("orders")
+    ets = e.ts.values.astype("datetime64[us]").astype(np.int64)
+    by_user = {}
+    for u, t, eid in zip(e.user_id.values, ets, e.event_id.values):
+        by_user.setdefault(int(u), []).append((int(t), -int(eid)))
+    rows = []
+    for ok, ck, od in zip(o.o_orderkey.astype(int),
+                          o.o_custkey.astype(int),
+                          o.o_orderdate.values
+                          .astype("datetime64[us]").astype(np.int64)):
+        cand = [(t, ne) for t, ne in by_user.get(ck, []) if t >= od]
+        if not cand:
+            continue
+        _, ne = min(cand)
+        rows.append({"o_orderkey": ok, "o_custkey": ck,
+                     "event_id": -ne})
+    rows.sort(key=lambda r: r["o_orderkey"])
+    return pd.DataFrame(rows)
+
+
+@audit("q_asof_outer")
+def asof_outer():
+    # backward as-of LEFT join: unmatched events keep a null order side.
+    e, ets, by_cust = _asof_frames()
+    rows = []
+    for eid, uid, t in zip(e.event_id.values, e.user_id.values, ets):
+        cand = [(ot, ok) for ot, ok in by_cust.get(int(uid), [])
+                if ot <= t]
+        if cand:
+            ot, ok = max(cand)
+            rows.append({"event_id": int(eid), "user_id": int(uid),
+                         "o_orderkey": ok,
+                         "o_orderdate": np.datetime64(ot, "us")})
+        else:
+            rows.append({"event_id": int(eid), "user_id": int(uid),
+                         "o_orderkey": None, "o_orderdate": None})
+    rows.sort(key=lambda r: r["event_id"])
+    df = pd.DataFrame(rows)
+    if df.o_orderkey.isna().any():
+        df["o_orderkey"] = df["o_orderkey"].astype("float64")
+    return df
+
+
+@audit("q_asof_broadcast")
+def asof_broadcast():
+    return asof_join()
+
+
+@audit("q_udaf_wavg")
+def udaf_wavg():
+    li, cents, disc, _ = _li_money()
+    qc = half_up(li.l_quantity.values.astype(float), 100)
+    rows = []
+    for fl, g in pd.DataFrame({"f": li.l_returnflag.values,
+                               "c": cents.astype(object),
+                               "d": disc.astype(object),
+                               "q": qc.astype(object)}) \
+            .groupby("f", sort=True):
+        num = sum(int(c) * (100 - int(d)) * int(q)
+                  for c, d, q in zip(g.c, g.d, g.q))
+        den = sum(int(q) for q in g.q)
+        rows.append({"l_returnflag": fl,
+                     "wavg_price": r6((num / 1e6) / (den / 1e2)),
+                     "n": len(g)})
+    return pd.DataFrame(rows)
+
+
+@audit("q_window_extras")
+def window_extras():
+    c = table("customer")
+    d = c.sort_values(["c_nationkey", "c_acctbal", "c_custkey"],
+                      ascending=[True, False, True], kind="mergesort")
+    rows = []
+    for nk, g in d.groupby("c_nationkey", sort=True):
+        n = len(g)
+        ks = g.c_custkey.values.astype(int)
+        base, extra = divmod(n, 4)
+        tile = np.repeat(np.arange(1, 5),
+                         [base + (1 if k <= extra else 0)
+                          for k in range(1, 5)])
+        # order key includes custkey -> no ties: dense_rank == row_number
+        for i in range(n):
+            rows.append({
+                "c_custkey": int(ks[i]), "c_nationkey": nk,
+                "drnk": i + 1, "q4": int(tile[i]),
+                "richest": int(ks[0]),
+                "pr": math.floor(i / (n - 1) * 1e6 + 0.5) / 1e6
+                if n > 1 else 0.0,
+                "cd": math.floor((i + 1) / n * 1e6 + 0.5) / 1e6})
+    rows.sort(key=lambda r: (r["c_nationkey"], r["c_custkey"]))
+    return pd.DataFrame(rows)
+
+
+@audit("q_skyline_2d")
+def skyline_2d():
+    p = table("part")
+    price = half_up(p.p_retailprice.values.astype(float), 100)
+    pts = list(zip(p.p_size.values.astype(int), price,
+                   p.p_partkey.values.astype(int)))
+    rows = []
+    for sz, pr, k in pts:
+        dominated = any(
+            (s2 <= sz and p2 <= pr and (s2 < sz or p2 < pr))
+            for s2, p2, _ in pts)
+        if not dominated:
+            rows.append({"p_partkey": k, "p_size": np.int32(sz),
+                         "price": pr / 100.0})
+    rows.sort(key=lambda r: (int(r["p_size"]), r["p_partkey"]))
+    return pd.DataFrame(rows)
+
+
+def _linkage_scored():
+    """Fellegi-Sunter customer linkage replay (Fellegi & Sunter 1969):
+    deterministic corruption -> two blocking passes -> 4-comparator
+    agreement levels -> integer log-weight score. Returns the scored
+    candidate list [(d_id, c_custkey, pattern, score, pr-row)] plus the
+    pass pair-counts."""
+    c = table("customer")
+    cents = half_up(c.c_acctbal.values.astype(float), 100)
+    cust = {int(k): (nm, int(nk), int(b), seg)
+            for k, nm, nk, b, seg in zip(c.c_custkey, c.c_name,
+                                         c.c_nationkey, cents,
+                                         c.c_mktsegment)}
+    dirty = {}
+    for k, (nm, nk, b, seg) in cust.items():
+        if k % 3 == 2:
+            continue
+        hh = md5h60(k)
+        dn = (nm.upper() if hh % 4 == 0 else
+              nm[:-1] if hh % 4 == 1 else
+              nm + " " if hh % 4 == 2 else nm)
+        dnat = (nk + 1) % 25 if hh % 7 == 0 else nk
+        dbal = b + 7 if hh % 5 == 0 else b
+        dirty[k] = (dn, dnat, dbal, seg)
+    # pass A: (nat, seg, floor(bal/100)) attribute block
+    blocka = {}
+    for ck, (nm, nk, b, seg) in cust.items():
+        blocka.setdefault((nk, seg, math.floor(b / 10000)), []).append(ck)
+    pa = [(d, ck) for d, (dn, dnat, dbal, dseg) in dirty.items()
+          for ck in blocka.get((dnat, dseg, math.floor(dbal / 10000)), [])]
+    # pass B: name chars 10..16
+    blockb = {}
+    for ck, (nm, nk, b, seg) in cust.items():
+        blockb.setdefault(nm[9:16], []).append(ck)
+    pb = [(d, ck) for d, (dn, dnat, dbal, dseg) in dirty.items()
+          for ck in blockb.get(dn[9:16], [])]
+    cand = sorted(set(pa) | set(pb))
+    scored = []
+    for d, ck in cand:
+        dn, dnat, dbal, dseg = dirty[d]
+        nm, nk, b, seg = cust[ck]
+        name_lv = (2 if dn == nm else
+                   1 if _lev(dn.lower(), nm.lower()) <= 2 else 0)
+        bal_lv = 1 if abs(dbal - b) <= 10 else 0
+        key_lv = 1 if dnat == nk else 0
+        seg_lv = 1 if dseg == seg else 0
+        score = {2: 20, 1: 12, 0: -10}[name_lv] \
+            + (6 if bal_lv else -4) + (3 if key_lv else -2) \
+            + (3 if seg_lv else -2)
+        pat = f"n{name_lv}|b{bal_lv}|k{key_lv}|s{seg_lv}"
+        scored.append((d, ck, pat, score,
+                       (dn, dbal, nm, b)))
+    return scored, len(pa), len(pb), len(cand), \
+        len({d for d, _ in pa}), len({d for d, _ in pb}), \
+        len({d for d, _ in cand})
+
+
+@audit("q_link_matches")
+def link_matches():
+    scored = _linkage_scored()[0]
+    rows = [{"d_id": d, "c_custkey": ck, "pattern": p, "fs_score": s}
+            for d, ck, p, s, _ in scored if s >= 18]
+    rows.sort(key=lambda r: (r["d_id"], r["c_custkey"]))
+    return pd.DataFrame(rows)
+
+
+@audit("q_link_zones")
+def link_zones():
+    scored = _linkage_scored()[0]
+    agg = {}
+    for d, ck, _, s, _ in scored:
+        zone = "match" if s >= 18 else "possible" if s >= 5 \
+            else "nonmatch"
+        a = agg.setdefault((zone, d == ck), [0, s, s])
+        a[0] += 1
+        a[1] = min(a[1], s)
+        a[2] = max(a[2], s)
+    return pd.DataFrame([{"zone": z, "is_true": t, "n": a[0],
+                          "min_s": a[1], "max_s": a[2]}
+                         for (z, t), a in sorted(agg.items())])
+
+
+@audit("q_link_blocking")
+def link_blocking():
+    _, npa, npb, ncand, la, lb, lc = _linkage_scored()
+    return pd.DataFrame([
+        {"pass": "pass_block", "n_pairs": npa, "n_left": la},
+        {"pass": "pass_name", "n_pairs": npb, "n_left": lb},
+        {"pass": "union_distinct", "n_pairs": ncand, "n_left": lc}])
+
+
+@audit("q_golden_record")
+def golden_record():
+    scored = _linkage_scored()[0]
+    m = [(d, ck, info) for d, ck, _, s, info in scored if s >= 18]
+    by_c = {}
+    for d, ck, (dn, dbal, nm, b) in m:
+        a = by_c.setdefault(ck, {"d": set(), "names": []})
+        a["d"].add(d)
+        a["names"].append((dn, dbal))
+    rows = []
+    for ck in sorted(by_c):
+        a = by_c[ck]
+        # c-side name/bal appear once (DISTINCT), d-side per match
+        nm, b = next((i[2], i[3]) for d, c2, i in
+                     [(d, c2, i) for d, c2, _, s, i in scored
+                      if c2 == ck and s >= 18])
+        names = a["names"] + [(nm, b)]
+        best = max(names, key=lambda x: (len(x[0]), x[0]))[0]
+        rows.append({"c_custkey": ck,
+                     "n_matched": np.int32(len(a["d"])),
+                     "best_name": best,
+                     "max_bal": max(x[1] for x in names) / 100.0})
+    return pd.DataFrame(rows)
