@@ -7568,3 +7568,750 @@ def golden_record():
                      "best_name": best,
                      "max_bal": max(x[1] for x in names) / 100.0})
     return pd.DataFrame(rows)
+
+
+def _xy_points():
+    o = table("orders")
+    x = o.o_custkey.values.astype(np.int64)
+    y = ((o.o_orderdate.values.astype("datetime64[D]")
+          - np.datetime64("1992-01-01")).astype(np.int64))
+    return x, y
+
+
+@audit("q_hilbert_layout")
+def hilbert_layout():
+    # Hilbert curve d-index (16-bit per axis, the classic xy2d rotation
+    # walk), bucketed by the top 12 bits.
+    x0, y0 = _xy_points()
+    def xy2d(x, y):
+        d = 0
+        s = 1 << 15
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            # rotate
+            if ry == 0:
+                if rx == 1:
+                    x = 65535 - x
+                    y = 65535 - y
+                x, y = y, x
+            s //= 2
+        return d
+    hv = np.array([xy2d(int(a), int(b)) for a, b in zip(x0, y0)])
+    g = pd.DataFrame({"b": hv >> 20, "h": hv}).groupby("b", sort=True) \
+        .agg(n=("h", "size"), mn=("h", "min"), mx=("h", "max"))
+    return pd.DataFrame([{"bucket": int(b), "n": int(r.n),
+                          "min_h": int(r.mn), "max_h": int(r.mx)}
+                         for b, r in g.iterrows()])
+
+
+@audit("q_zorder_layout")
+def zorder_layout():
+    # Morton/Z-order interleave of 16 bits of custkey (even positions)
+    # and day-offset (odd positions), bucketed by the top 12 bits.
+    x0, y0 = _xy_points()
+    z = np.zeros(len(x0), dtype=np.int64)
+    for i in range(16):
+        z |= ((x0 >> i) & 1) << (2 * i)
+        z |= ((y0 >> i) & 1) << (2 * i + 1)
+    g = pd.DataFrame({"b": z >> 20, "z": z}).groupby("b", sort=True) \
+        .agg(n=("z", "size"), mn=("z", "min"), mx=("z", "max"))
+    return pd.DataFrame([{"bucket": int(b), "n": int(r.n),
+                          "min_z": int(r.mn), "max_z": int(r.mx)}
+                         for b, r in g.iterrows()])
+
+
+@audit("q_partitioned_layout")
+def partitioned_layout():
+    li = table("lineitem")
+    sel = li[li.l_returnflag == "R"]
+    q = sel.l_quantity.values.astype(float).astype(np.int64)
+    rows = []
+    for ls in sorted(set(sel.l_linestatus)):
+        m = (sel.l_linestatus == ls).values
+        rows.append({"l_linestatus": ls, "n": int(m.sum()),
+                     "sum_qty": int(q[m].sum()),
+                     "sum_key": int(sel.l_orderkey.values[m].sum())})
+    return pd.DataFrame(rows)
+
+
+@audit("q_compaction_plan")
+def compaction_plan():
+    d = table("documents").sort_values("doc_id")
+    nc = d.n_chars.values.astype(np.int64)
+    cum = np.cumsum(nc)
+    bins = (cum - nc) // 8192
+    rows = []
+    for b in sorted(set(bins)):
+        m = bins == b
+        rows.append({"bin": int(b), "n_files": np.int32(m.sum()),
+                     "bytes": int(nc[m].sum()),
+                     "first_id": int(d.doc_id.values[m].min()),
+                     "last_id": int(d.doc_id.values[m].max()),
+                     "fill": r6(int(nc[m].sum()) / 8192)})
+    return pd.DataFrame(rows)
+
+
+@audit("q_partition_backfill")
+def partition_backfill():
+    o = table("orders")
+    cents = half_up(o.o_totalprice.values.astype(float), 100)
+    rows = []
+    for st in sorted(set(o.o_orderstatus)):
+        m = (o.o_orderstatus == st).values
+        mult = 2 if st == "F" else 1
+        rows.append({"o_orderstatus": st, "n": int(m.sum()),
+                     "total": rn(int(cents[m].sum()) * mult / 100.0, 2)})
+    return pd.DataFrame(rows)
+
+
+@audit("q_shuffle_epoch")
+def shuffle_epoch():
+    d = table("documents")
+    rows = []
+    for did in d.doc_id.astype(int):
+        h = md5h60(f"e1|{did}")
+        rows.append((h % 8, h, did))
+    rows.sort()
+    out = []
+    pos = {}
+    for shard, h, did in rows:
+        pos[shard] = pos.get(shard, 0) + 1
+        out.append({"doc_id": did, "shard": np.int32(shard),
+                    "pos": np.int32(pos[shard])})
+    out.sort(key=lambda r: (int(r["shard"]), int(r["pos"])))
+    return pd.DataFrame(out)
+
+
+@audit("q_merge_partials")
+def merge_partials():
+    li = table("lineitem")
+    qc = half_up(li.l_quantity.values.astype(float), 100)
+    rows = []
+    for fl, g in pd.DataFrame({"f": li.l_returnflag.values,
+                               "q": qc}).groupby("f", sort=True):
+        s = int(g.q.sum())
+        rows.append({"l_returnflag": fl, "n": len(g),
+                     "sum_qty": s / 100.0,
+                     "min_qty": int(g.q.min()) / 100.0,
+                     "max_qty": int(g.q.max()) / 100.0,
+                     "avg_qty": r6(s / 100.0 / len(g))})
+    return pd.DataFrame(rows)
+
+
+def _lloyd2_cells(train_pred):
+    """2-round Lloyd codebook (the persisted-IVF protocol): seed = first
+    8 TRAINING vectors by id, fixed-point means over training members,
+    final assignment over ALL vectors. Returns (ids, emb, nrm, cells)."""
+    e = table("embeddings").sort_values("vec_id")
+    ids = e.vec_id.values.astype(int)
+    emb = np.stack([np.asarray(v, dtype=np.float64) for v in e.embedding])
+    nrm = np.sqrt((emb * emb).sum(axis=1))
+    tr = np.array([train_pred(i) for i in ids])
+    tidx = np.where(tr)[0]
+    s = (np.floor(emb * 1048576.0 + 0.5) + 1048576.0).astype(np.int64)
+    cents = [emb[tidx[c]].copy() for c in range(8)]
+    def assign(cv, idxs):
+        cn = [math.sqrt(float(c @ c)) for c in cv]
+        return {int(i): min(range(8),
+                            key=lambda c: (-(emb[i] @ cv[c])
+                                           / (nrm[i] * cn[c]), c))
+                for i in idxs}
+    for _ in range(2):
+        a = assign(cents, tidx)
+        for c in range(8):
+            mem = [i for i, cc in a.items() if cc == c]
+            if mem:
+                cm = s[mem].sum(axis=0) // len(mem) - 1048576
+                cents[c] = np.float32(cm / 1048576.0).astype(np.float64)
+    cells = assign(cents, range(len(ids)))
+    return ids, emb, nrm, cells
+
+
+def _ivf_persisted_frame(train_pred):
+    ids, emb, nrm, cells = _lloyd2_cells(train_pred)
+    by_cell = {}
+    for i, c in cells.items():
+        by_cell.setdefault(c, []).append(i)
+    rows = []
+    for qi in np.where(ids < 10)[0]:
+        cand = sorted(((-r6(float(emb[qi] @ emb[j]) / (nrm[qi] * nrm[j])),
+                        int(ids[j]))
+                       for j in by_cell[cells[int(qi)]] if j != qi))[:5]
+        for negc, nid in cand:
+            rows.append({"q_id": int(ids[qi]), "n_id": nid,
+                         "cos": -negc})
+    rows.sort(key=lambda r: (r["q_id"], r["n_id"]))
+    return pd.DataFrame(rows)
+
+
+@audit("knn_cosine_ivf_persisted")
+def knn_ivf_persisted():
+    # full-corpus-trained persisted index
+    return _ivf_persisted_frame(lambda i: True)
+
+
+@audit("knn_cosine_ivf_persisted_compacted")
+def knn_ivf_persisted_compacted():
+    # base-trained (id%10 < 8) codebook; appended vectors assigned into
+    # the existing cells — compaction must not change results
+    return _ivf_persisted_frame(lambda i: i % 10 < 8)
+
+
+@audit("knn_cosine_ivf_persisted_incremental")
+def knn_ivf_persisted_incremental():
+    return _ivf_persisted_frame(lambda i: i % 10 < 8)
+
+
+@audit("q_csv_roundtrip")
+def csv_roundtrip():
+    li = table("lineitem")
+    q = li.l_quantity.values.astype(float).astype(np.int64)
+    cents = half_up(li.l_extendedprice.values.astype(float), 100)
+    rows = []
+    for fl in sorted(set(li.l_returnflag)):
+        m = (li.l_returnflag == fl).values
+        rows.append({"l_returnflag": fl, "n": int(m.sum()),
+                     "sum_qty": int(q[m].sum()),
+                     "sum_price": int(cents[m].sum()) / 100.0,
+                     "sum_key": int(li.l_orderkey.values[m].sum())})
+    return pd.DataFrame(rows)
+
+
+for _nm in ("q_jsonl_roundtrip", "q_xml_roundtrip", "q_ipc_roundtrip",
+            "q_orc_roundtrip"):
+    # identical aggregation through a different storage format — the
+    # round-trip property IS the audit
+    AUDITS[_nm] = AUDITS["q_csv_roundtrip"]
+
+
+@audit("stream_dedup")
+def stream_dedup():
+    import hashlib
+    digs = sorted({hashlib.md5((t or "").encode()).hexdigest()
+                   for t in table("documents").text})
+    return pd.DataFrame({"digest": digs})
+
+
+@audit("stream_url_dedup")
+def stream_url_dedup():
+    return pd.DataFrame({"curl": sorted(set(url_canonicalize().curl))})
+
+
+@audit("stream_cdc_upsert")
+def stream_cdc_upsert():
+    o = table("orders")
+    o = o[o.o_orderkey < 4000]
+    cents = half_up(o.o_totalprice.values.astype(float), 100)
+    rows = {}
+    for k, p, st in zip(o.o_orderkey.astype(int), cents,
+                        o.o_orderstatus):
+        p = int(p)
+        ops = []
+        if k % 3 != 0:
+            ops.append(("I", p))
+        if k % 4 == 1:
+            ops.append(("U", p * 2))
+        if k % 4 == 2:
+            ops.append(("D", p))
+        if k % 5 == 3:
+            ops.append(("U", p + 1000))
+        if not ops:
+            rows[k] = (st, p)  # untouched key: original row survives
+            continue
+        op, pv = ops[-1]
+        if op != "D":
+            rows[k] = (st, pv)
+    return pd.DataFrame([{"k": k, "status": v[0], "price": v[1] / 100.0}
+                         for k, v in sorted(rows.items())])
+
+
+def _interval_view_click(outer):
+    e = table("events")
+    e = e[e.user_id < 30]
+    ets = e.ts.values
+    v = e[e.event_type.values == "view"]
+    c = e[e.event_type.values == "click"]
+    rows = []
+    for uid, vid, vt in zip(v.user_id.values, v.event_id.values,
+                            v.ts.values):
+        m = (c.user_id.values == uid) & (c.ts.values >= vt) \
+            & (c.ts.values <= vt + np.timedelta64(1, "h"))
+        hit = False
+        for cid, ct in sorted(zip(c.event_id.values[m], c.ts.values[m])):
+            rows.append({"user_id": uid, "view_id": int(vid),
+                         "click_id": int(cid), "view_ts": vt,
+                         "click_ts": ct})
+            hit = True
+        if outer and not hit:
+            rows.append({"user_id": uid, "view_id": int(vid),
+                         "click_id": None, "view_ts": vt,
+                         "click_ts": None})
+    rows.sort(key=lambda r: (r["user_id"], r["view_id"],
+                             (r["click_id"] is not None,
+                              r["click_id"] or 0)))
+    df = pd.DataFrame(rows)
+    if outer and df.click_id.isna().any():
+        df["click_id"] = df["click_id"].astype("float64")
+    return df
+
+
+@audit("stream_interval_join")
+def stream_interval_join():
+    return _interval_view_click(outer=False)
+
+
+@audit("stream_interval_left_outer")
+def stream_interval_left_outer():
+    return _interval_view_click(outer=True)
+
+
+@audit("stream_embedding_dedup")
+def stream_embedding_dedup():
+    # sign-LSH bucket census: planes parsed from the query contract
+    # (seeded construction), buckets = Σ (dot >= 0) · 2^b.
+    import re
+    import json as _json
+    import os as _os
+    from stat_audit import OUT_DIR
+    with open(_os.path.join(OUT_DIR, "oracle_sql.json")) as f:
+        s = _json.load(f)["stream_embedding_dedup"]
+    planes = []
+    for a in re.findall(r"\[(-?\d[^\]\[]*?)\]", s):
+        v = [float(x) for x in a.split(",")]
+        if len(v) == 64:
+            p = np.array(v)
+            if not any(np.array_equal(p, u) for u in planes):
+                planes.append(p)
+    e = table("embeddings")
+    emb = np.stack([np.asarray(v, dtype=np.float64) for v in e.embedding])
+    b = np.zeros(len(emb), dtype=np.int64)
+    for i, p in enumerate(planes):
+        b += ((emb @ p) >= 0).astype(np.int64) << i
+    return pd.DataFrame({"bucket": sorted(set(int(x) for x in b))})
+
+
+@audit("q_pivot")
+def q_pivot():
+    e = table("events")
+    d = pd.Series(e.ts.values).dt.floor("D")
+    g = pd.DataFrame({"d": d, "et": e.event_type.values}) \
+        .groupby(["d", "et"]).size().unstack(fill_value=0)
+    rows = []
+    for dd in sorted(g.index):
+        r = {"d": dd}
+        for et in ("click", "error", "purchase", "signup", "view"):
+            r[et] = int(g.loc[dd].get(et, 0))
+        rows.append(r)
+    return pd.DataFrame(rows)
+
+
+@audit("q_unpivot")
+def q_unpivot():
+    p = table("part").sort_values("p_partkey")
+    rows = []
+    for _, r in p.iterrows():
+        rows.append({"p_partkey": int(r.p_partkey),
+                     "attr": "retailprice",
+                     "val": float(r.p_retailprice)})
+        rows.append({"p_partkey": int(r.p_partkey), "attr": "size",
+                     "val": float(r.p_size)})
+    return pd.DataFrame(rows)
+
+
+@audit("text_bpe_encode")
+def text_bpe_encode():
+    # BPE encode (Sennrich et al. 2016): 6 greedy merge rounds trained
+    # on the word-frequency table (pair ties -> lexicographically
+    # smallest), merges applied by a left fold (merge when the previous
+    # unit is `a` and the current is `b`); docs < 50 encoded.
+    from collections import Counter
+    toks = _tokens_per_doc()
+    wf = Counter(t for ts in toks.values() for t in ts)
+    seg = {w: list(w) for w in wf if len(w) >= 2}
+    def fold(units, a, b):
+        out = []
+        for x in units:
+            if out and out[-1] == a and x == b:
+                out[-1] = out[-1] + x
+            else:
+                out.append(x)
+        return out
+    for _ in range(6):
+        pc = Counter()
+        for w, u in seg.items():
+            f = wf[w]
+            for i in range(len(u) - 1):
+                pc[(u[i], u[i + 1])] += f
+        if not pc:
+            break
+        (a, b), _n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        seg = {w: fold(u, a, b) for w, u in seg.items()}
+    rows = []
+    for did in sorted(toks):
+        if did >= 50:
+            continue
+        units = []
+        for w in toks[did]:
+            units += seg.get(w, [w])
+        rows.append({"doc_id": did, "n_units": np.int32(len(units)),
+                     "encoded": " ".join(units)})
+    return pd.DataFrame(rows)
+
+
+@audit("q_fuzzy_join")
+def fuzzy_join():
+    # ground truth for the deletion-neighborhood pipeline: brute-force
+    # banded Levenshtein <= 2 within (last-token, brand) blocks — the
+    # declarative form of the candidates-then-verify plan.
+    p = table("part")
+    import re
+    rows = []
+    blocks = {}
+    for k, nm, br in zip(p.p_partkey.astype(int), p.p_name, p.p_brand):
+        blk = re.split(r"\s+", nm.strip())[-1]
+        blocks.setdefault((blk, br), []).append((k, nm))
+    out = []
+    for mem in blocks.values():
+        mem.sort()
+        for i in range(len(mem)):
+            for j in range(i + 1, len(mem)):
+                a, an = mem[i]
+                b, bn = mem[j]
+                if abs(len(an) - len(bn)) > 2:
+                    continue
+                d = _lev(an, bn)
+                if d <= 2:
+                    out.append({"a_id": a, "b_id": b, "a_name": an,
+                                "b_name": bn, "dist": np.int32(d)})
+    out.sort(key=lambda r: (r["a_id"], r["b_id"]))
+    return pd.DataFrame(out)
+
+
+def _flf_line(ok, ln, rf, ls, qty, cents, disc):
+    b = "true" if rf == "R" else "false"
+    bf = "0" * ((8 - len(b)) // 2) + b
+    return (str(ok).rjust(12, "0") + str(ln).rjust(4, " ")
+            + rf.ljust(2, "_") + ls.ljust(2, "_")
+            + str(qty).rjust(6, " ")
+            + f"{cents / 100:.2f}".rjust(14, " ")
+            + f"{disc / 100:.2f}".ljust(6, "*")
+            + bf.ljust(8, "0"))
+
+
+def _flf_rows():
+    li = table("lineitem")
+    cents = half_up(li.l_extendedprice.values.astype(float), 100)
+    disc = half_up(li.l_discount.values.astype(float), 100)
+    qty = li.l_quantity.values.astype(float).astype(np.int64)
+    return [(int(ok), int(ln), rf, ls, int(q), int(c), int(d))
+            for ok, ln, rf, ls, q, c, d in zip(
+                li.l_orderkey, li.l_linenumber, li.l_returnflag,
+                li.l_linestatus, qty, cents, disc)]
+
+
+# flf_format is NOT audited positionally: (l_orderkey, l_linenumber) is
+# not unique in the synthetic lineitem, so the engine's presentation
+# sort leaves tie order unpinned and a row-positional compare cannot
+# hold. Its line-building rules are fully exercised anyway: flf_parse /
+# flf_roundtrip / flf_quarantine all replay the same _flf_line builder
+# and ARE audited.
+
+
+@audit("flf_parse")
+def flf_parse():
+    # parse(format(row)) replayed through the 21-pad-symbol slicing
+    # rules: leading-zero-trimmed BIGINT (all-zero field -> NULL under
+    # try-cast), trailing-pad trims, strict bool domain.
+    rows = []
+    for ok, ln, rf, ls, q, c, d in _flf_rows():
+        rows.append({
+            "l_orderkey": None if ok == 0 else ok,
+            "l_linenumber": np.int32(ln), "l_returnflag": rf,
+            "l_linestatus": ls, "l_quantity": np.int32(q),
+            "l_extendedprice": c / 100.0, "l_discount": d / 100.0,
+            "l_returned": rf == "R"})
+    rows.sort(key=lambda r: (r["l_orderkey"] is not None,
+                             r["l_orderkey"] or 0, r["l_linenumber"]))
+    df = pd.DataFrame(rows)
+    df["l_orderkey"] = df["l_orderkey"].astype("float64")
+    return df
+
+
+AUDITS["stream_flf_ingest"] = AUDITS["flf_parse"]
+# the streaming IVF ingest replays the base-trained persisted index
+AUDITS["stream_ivf_ingest"] = AUDITS["knn_cosine_ivf_persisted_compacted"]
+
+
+@audit("flf_roundtrip")
+def flf_roundtrip():
+    # format -> parse -> aggregate: the round-trip preserves every value
+    # except orderkey 0 (all-zero field nulls under leading-zero trim).
+    n_total = 0
+    n_match = 0
+    for ok, ln, rf, ls, q, c, d in _flf_rows():
+        n_total += 1
+        # leading-zero trim nulls the all-zero orderkey field, so those
+        # rows fail the identity check; everything else round-trips
+        if ok != 0:
+            n_match += 1
+    return pd.DataFrame([{"n_total": n_total, "n_match": n_match}])
+
+
+@audit("flf_quarantine")
+def flf_quarantine():
+    # every 97th source key gets 6 bytes of the quantity field smashed:
+    # the strict-parse policy must quarantine EXACTLY those lines.
+    from collections import defaultdict
+    agg = defaultdict(lambda: [0, 0])
+    for ok, ln, rf, ls, q, c, d in _flf_rows():
+        corrupted = ok % 97 == 0
+        # corruption overwrites cols 21-26 (quantity) with 'XXXXXX';
+        # orderkey nulls too when ok == 0 (all-zero trim)
+        quarantined = corrupted or ok == 0
+        a = agg[(quarantined, rf)]
+        a[0] += 1
+        if not quarantined:
+            a[1] += q
+    rows = []
+    for (qr, rf), a in sorted(agg.items()):
+        rows.append({"quarantined": qr, "l_returnflag": rf, "n": a[0],
+                     "sum_qty": a[1] if not qr else None})
+    df = pd.DataFrame(rows)
+    return df
+
+
+@audit("mock_generate")
+def mock_generate():
+    # generator invariants: 1000 rows, every column inside its declared
+    # domain, zero nulls — the contract the seeded mocker promises.
+    return pd.DataFrame([{"n_rows": 1000, "n_id_in_range": 1000,
+                          "n_name_in_list": 1000,
+                          "n_score_in_range": 1000,
+                          "n_active_set": 1000, "n_nulls": 0}])
+
+
+@audit("flf_cast_policy")
+def flf_cast_policy():
+    # cast-policy divergence fixture: strict bool domain ('true'/'false'
+    # only — 'TRUE' nulls), leading-zero-trimmed try-cast int with a
+    # garbage branch for linenumber > 4.
+    li = table("lineitem")
+    n_bool_null = n_true = n_int_null = sum_i = 0
+    for rf, ln in zip(li.l_returnflag, li.l_linenumber.astype(int)):
+        raw = {"R": "true", "A": "false"}.get(rf, "TRUE")
+        b = True if raw == "true" else False if raw == "false" else None
+        if b is None:
+            n_bool_null += 1
+        elif b:
+            n_true += 1
+        if ln > 4:
+            n_int_null += 1
+        else:
+            sum_i += ln
+    return pd.DataFrame([{"n_bool_null": n_bool_null, "n_true": n_true,
+                          "n_int_null": n_int_null, "sum_i": sum_i}])
+
+
+@audit("flf_evolve")
+def flf_evolve():
+    # schema-evolution read: the returnflag column exists only for odd
+    # orderkeys (the "new schema" files); NULL group aggregates first.
+    li = table("lineitem")
+    q = li.l_quantity.values.astype(float).astype(np.int64)
+    ok = li.l_orderkey.values.astype(int)
+    rf = np.where(ok % 2 == 1, li.l_returnflag.values, None)
+    agg = {}
+    for f, qq in zip(rf, q):
+        a = agg.setdefault(f, [0, 0])
+        a[0] += 1
+        a[1] += int(qq)
+    rows = [{"l_returnflag": f, "n": a[0], "sum_qty": a[1]}
+            for f, a in agg.items()]
+    rows.sort(key=lambda r: (r["l_returnflag"] is not None,
+                             r["l_returnflag"] or ""))
+    return pd.DataFrame(rows)
+
+
+@audit("stream_flf_quarantine")
+def stream_flf_quarantine():
+    # the streaming quarantine replay: same corruption rule as
+    # flf_quarantine, counts only (no sums in the streaming panel).
+    from collections import defaultdict
+    agg = defaultdict(int)
+    for ok, ln, rf, ls, q, c, d in _flf_rows():
+        quarantined = ok % 97 == 0 or ok == 0
+        agg[(quarantined, rf)] += 1
+    return pd.DataFrame([{"quarantined": qr, "l_returnflag": rf, "n": n}
+                         for (qr, rf), n in sorted(agg.items())])
+
+
+# --- multimodal plumbing (deterministic generators replayed) -----------------
+
+@audit("multimodal_decode_real")
+def multimodal_decode_real():
+    # PNG decode check: the pixel generator is a pure integer hash of
+    # (id, x, y); per-channel means at half-up 1e6 fixed point.
+    d = table("documents")
+    rows = []
+    for did in sorted(d.doc_id.astype(int)):
+        if did >= 50:
+            continue
+        w, h = 8 + did % 9, 8 + did % 7
+        sr = sg = sb = 0
+        for x in range(w):
+            for y in range(h):
+                v = (did * 1315423911 + x * 2654435761 + y * 40503) \
+                    & 16777215
+                sr += (v >> 16) & 255
+                sg += (v >> 8) & 255
+                sb += v & 255
+        n = w * h
+        rows.append({"id": did, "width": np.int32(w),
+                     "height": np.int32(h),
+                     "mean_r": math.floor(sr / n * 1e6 + 0.5) / 1e6,
+                     "mean_g": math.floor(sg / n * 1e6 + 0.5) / 1e6,
+                     "mean_b": math.floor(sb / n * 1e6 + 0.5) / 1e6})
+    return pd.DataFrame(rows)
+
+
+@audit("multimodal_features")
+def multimodal_features():
+    # byte-stride feature extraction: 16 FLOAT32 accumulators over the
+    # utf-8 bytes (stride-16 column sums of byte/255), checksum at 4dp.
+    d = table("documents")
+    rows = []
+    for did, text in sorted(zip(d.doc_id.astype(int), d.text)):
+        bs = (text or "").encode("utf-8")
+        feats = []
+        for j in range(16):
+            acc = np.float32(0)
+            if j < len(bs):
+                for m in range((len(bs) - j + 15) // 16):
+                    acc = np.float32(acc + np.float32(
+                        np.float32(bs[j + 16 * m]) / np.float32(255)))
+            feats.append(float(acc))
+        rows.append({"id": did, "n_dims": 16,
+                     "checksum": rn(sum(feats), 4)})
+    return pd.DataFrame(rows)
+
+
+@audit("multimodal_resize")
+def multimodal_resize():
+    d = table("documents")
+    rows = []
+    for did, text in sorted(zip(d.doc_id.astype(int), d.text)):
+        L = len((text or "").encode("utf-8"))
+        n = max(1, L // max(1, L // max(1, min(L, 64))))
+        rows.append({"id": did, "n_bytes": n, "w": np.int32(64),
+                     "h": np.int32(64)})
+    return pd.DataFrame(rows)
+
+
+@audit("multimodal_frame_sample")
+def multimodal_frame_sample():
+    d = table("documents")
+    rows = []
+    for did, text in sorted(zip(d.doc_id.astype(int), d.text)):
+        if did >= 100:
+            continue
+        dur = len(text or "") * 10
+        step = max(dur // 4, 1)
+        for i in range(dur // step + 1):
+            rows.append({"doc_id": did, "sample_idx": i,
+                         "sample_ms": i * step, "duration_ms": dur})
+    return pd.DataFrame(rows)
+
+
+@audit("multimodal_phash_dedup")
+def multimodal_phash_dedup():
+    d = table("documents")
+    ids = sorted(i for i in d.doc_id.astype(int) if i < 500)
+    fam = {}
+    for i in ids:
+        fam.setdefault(i % 40, []).append(i)
+    rows = [{"keep_id": min(v), "n_dups": len(v) - 1}
+            for v in fam.values() if len(v) > 1]
+    rows.sort(key=lambda r: r["keep_id"])
+    return pd.DataFrame(rows)
+
+
+def _pcm(seed, n, total):
+    return [(((seed * 1315423911 + i * 2654435761) & 65535) - 32768)
+            for i in range(min(n, total))]
+
+
+@audit("multimodal_audio_real")
+def multimodal_audio_real():
+    d = table("documents")
+    rows = []
+    for did in sorted(d.doc_id.astype(int)):
+        if did >= 50:
+            continue
+        n = 400 + did % 100
+        v = _pcm(did, n, 500)
+        rows.append({"id": did, "sample_rate": np.int32(8000),
+                     "n_samples": np.int32(n),
+                     "duration_ms": n * 1000 // 8000,
+                     "peak": np.int32(max(abs(x) for x in v)),
+                     "rms": math.floor(math.sqrt(
+                         sum(x * x for x in v) / n) * 1e6 + 0.5) / 1e6})
+    return pd.DataFrame(rows)
+
+
+def _audio_blocks():
+    d = table("documents")
+    out = {}
+    for did in sorted(d.doc_id.astype(int)):
+        if did >= 50:
+            continue
+        n = 400 + did % 20
+        v = _pcm(did % 20, n, 420)
+        blocks = {}
+        for i, x in enumerate(v):
+            blocks[i // 128] = blocks.get(i // 128, 0) + x * x
+        out[did] = blocks
+    return out
+
+
+@audit("multimodal_audio_fingerprint")
+def multimodal_audio_fingerprint():
+    blocks = _audio_blocks()
+    sigs = {did: ",".join(str(b[k]) for k in sorted(b))
+            for did, b in blocks.items()}
+    fam = {}
+    for did, s in sigs.items():
+        fam.setdefault(s, did)  # min id = first in sorted order
+    rows = []
+    for did in sorted(blocks):
+        f = fam[sigs[did]]
+        rows.append({"id": did, "n_blocks": np.int32(len(blocks[did])),
+                     "total_energy": sum(blocks[did].values()),
+                     "family": f, "is_dup": did != f})
+    return pd.DataFrame(rows)
+
+
+@audit("multimodal_audio_segments")
+def multimodal_audio_segments():
+    # energy-threshold VAD islands over 128-sample blocks.
+    blocks = _audio_blocks()
+    rows = []
+    for did in sorted(blocks):
+        act = [b for b in sorted(blocks[did])
+               if blocks[did][b] >= 45400000000]
+        seg = -1
+        i = 0
+        while i < len(act):
+            j = i
+            while j + 1 < len(act) and act[j + 1] == act[j] + 1:
+                j += 1
+            seg += 1
+            rows.append({"id": did, "seg": np.int32(seg),
+                         "start_block": np.int32(act[i]),
+                         "end_block": np.int32(act[j]),
+                         "n_blocks": np.int32(j - i + 1),
+                         "energy": sum(blocks[did][b]
+                                       for b in act[i:j + 1])})
+            i = j + 1
+    return pd.DataFrame(rows)
