@@ -381,12 +381,31 @@ object Dedup {
     * probability, tunable via bands×rows), while the exact verify means
     * band collisions alone never drop a document.
     */
+  /** `maxBucket` follows the [[minhashLsh]] contract (default
+    * [[AutoBucket]] since r11): the probe join bandI×bandB explodes on
+    * hot BASE buckets exactly like the self-join did — a base (band,
+    * digest) bucket of k docs makes every colliding incoming doc pay k
+    * verifications, so a vocabulary-limited base is n·m in candidates.
+    * The dispatcher probes the BASE band distribution (the big,
+    * reusable side) and gates it when candidate mass is superlinear.
+    * Capping here trades the DROP criterion, not result pairs: an
+    * incoming doc whose only collisions sit in gated hot buckets
+    * SURVIVES (is kept) — the conservative direction for a
+    * contamination filter's recall on drops; measure with the
+    * incremental entries of q_eval_dedup_recall before trusting it.
+    */
   def incrementalMinhash(base: DataFrame, incoming: DataFrame,
                          textCol: String, idCol: String, shingleN: Int = 3,
                          bands: Int = 3, rows: Int = 3,
-                         threshold: Double = 0.5): DataFrame = {
-    val (shB, bandB) = shingleBands(base, textCol, idCol, shingleN, bands, rows,
-      checkpointBands = false)
+                         threshold: Double = 0.5,
+                         maxBucket: Int = AutoBucket): DataFrame = {
+    // gated paths scan the base band frame twice (probe/keep aggregate
+    // + the join); only the plain exact path stays one-shot uncached
+    val (shB, bandB0) = shingleBands(base, textCol, idCol, shingleN, bands, rows,
+      checkpointBands = maxBucket != Int.MaxValue)
+    val bandB =
+      if (maxBucket == AutoBucket) autoCapBuckets(bandB0, bands)
+      else capBuckets(bandB0, maxBucket)
     val (shI, bandI) = shingleBands(incoming, textCol, idCol, shingleN, bands, rows,
       checkpointBands = false)
     val cand = bandI.as("i").join(bandB.as("b"),

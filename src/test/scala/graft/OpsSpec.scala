@@ -1303,6 +1303,33 @@ class OpsSpec extends AnyFunSuite {
     assert(got.contains(3L) && got.contains(4L)) // unrelated docs survive
   }
 
+  test("incremental minhash maxBucket: gated hot base bucket keeps its incoming dups") {
+    // 40 identical base docs = hot (band, digest) buckets; an incoming
+    // copy collides ONLY there, so a binding cap must let it SURVIVE
+    // (the conservative direction for a drop filter), while a doc
+    // colliding via small buckets is still dropped
+    val base = ((0L until 40L).map(i => (i, "alpha beta gamma delta epsilon")) ++
+      Seq((50L, "quantum flux capacitor energizes warp drive")))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (100L, "alpha beta gamma delta epsilon"),          // dup of hot family
+      (101L, "quantum flux capacitor energizes warp drive"), // dup via small bucket
+      (102L, "totally unrelated words entirely here now"))
+      .toDF("doc_id", "text")
+    val exact = Dedup.incrementalMinhash(base, incoming, "text", "doc_id",
+        maxBucket = Int.MaxValue)
+      .select("doc_id").as[Long].collect().toSet
+    assert(exact == Set(102L)) // both dups dropped under exact
+    val capped = Dedup.incrementalMinhash(base, incoming, "text", "doc_id",
+        maxBucket = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(capped == Set(100L, 102L)) // hot-bucket dup survives, small-bucket dup dropped
+    // the auto default routes exact on this small corpus: same drops
+    val auto = Dedup.incrementalMinhash(base, incoming, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(auto == Set(102L))
+  }
+
   test("incremental dedup drops base duplicates and keeps min-id batch survivors") {
     val base = Seq((1L, "alpha text"), (2L, "beta text")).toDF("doc_id", "text")
     val incoming = Seq(
