@@ -32,12 +32,20 @@ object Verify {
     // never quoted as a gate figure.
     if (only.isEmpty) {
       val t0 = System.nanoTime()
-      Bench.canary.foreach { n =>
-        try SparkEntry.queries(n)(spark, sfDir).count()
-        catch { case _: Throwable => () }
+      // canary_n counts only COMPLETED canary queries (mirroring Bench's
+      // canaryTimes.size): a failing canary would otherwise silently
+      // shorten the measured work while the normalization denominator
+      // still claimed the full set, skewing the cross-round comparisons
+      // the canary exists to make honest
+      val ok = Bench.canary.count { n =>
+        try { SparkEntry.queries(n)(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] canary $n failed: ${e.getMessage}")
+          false
+        }
       }
       val canarySec = (System.nanoTime() - t0) / 1e9
-      val line = f"""{"verify_canary_sec":$canarySec%.3f,"canary_n":${Bench.canary.size}}"""
+      val line = f"""{"verify_canary_sec":$canarySec%.3f,"canary_n":$ok}"""
       println(line)
       Files.writeString(Paths.get(s"$outDir/verify_canary.json"), line)
     }

@@ -88,10 +88,16 @@ object Dedup {
     * projection collapse would otherwise recompute the md5 pyramid per
     * use (see the minhashLsh scaladoc for the full rationale).
     */
+  /** Returns (shingle frame, band frame, band-row count). The count is
+    * `-1` when the bands are not checkpointed; otherwise it is read off
+    * the SAME job that materializes the checkpoint (lazy localCheckpoint
+    * + count — one action instead of eager-checkpoint-then-probe), so
+    * the dispatcher's row-count floor costs zero extra jobs.
+    */
   private def shingleBands(df: DataFrame, textCol: String, idCol: String,
                            shingleN: Int, bands: Int, rows: Int,
                            checkpointBands: Boolean = true,
-                           checkpointSh: Boolean = true): (DataFrame, DataFrame) = {
+                           checkpointSh: Boolean = true): (DataFrame, DataFrame, Long) = {
     val sh0 = df.select(col(idCol).as("doc_id"),
       TextAnalysis.shingles(col(textCol), shingleN).as("s"))
       // A doc shorter than shingleN tokens has an EMPTY shingle set: no
@@ -105,8 +111,11 @@ object Dedup {
       .withColumn("sx", sort_array(transform(col("s"), s => xxhash64(s))))
     // checkpoint sh only for callers that verify (they re-scan it twice
     // by id); a candidates-only caller would pay a full materialization
-    // of the shingle arrays for a frame it never reads again
-    val sh = if (checkpointSh) sh0.localCheckpoint() else sh0
+    // of the shingle arrays for a frame it never reads again. LAZY: the
+    // band count below (or the first consumer) materializes it inside a
+    // job that was running anyway — concurrent first scans coordinate
+    // through the block manager, so it is still computed once.
+    val sh = if (checkpointSh) sh0.localCheckpoint(false) else sh0
     // one-pass codegen kernel == minhashFromPairs(shingleHashPairs(s), k)
     // (property-checked in OpsSpec); k running minima over one md5 per
     // shingle instead of a k-wide interpreted transform pyramid
@@ -120,7 +129,10 @@ object Dedup {
     // checkpoint only when the caller scans the band frame more than once
     // (minhashLsh's self-join does; incrementalMinhash's one-shot probe
     // join would pay an eager full-corpus materialization for nothing)
-    (sh, if (checkpointBands) bandRows.localCheckpoint() else bandRows)
+    if (checkpointBands) {
+      val b = bandRows.localCheckpoint(false)
+      (sh, b, b.count()) // materializes b AND the lazy sh in ONE job
+    } else (sh, bandRows, -1L)
   }
 
   /** `maxBucket` contract. A (band, digest) bucket holding k docs
@@ -162,7 +174,7 @@ object Dedup {
       // library use in a long-lived session doesn't accumulate storage
       // (ADVICE r1). At cluster scale this becomes a reliable checkpoint —
       // the plan shape is the same.
-      val (sh, bandRows0) = shingleBands(df, textCol, idCol, shingleN, bands, rows)
+      val (sh, bandRows0, _) = shingleBands(df, textCol, idCol, shingleN, bands, rows)
       verifiedPairs(sh, capBuckets(bandRows0, maxBucket), threshold)
     }
 
@@ -172,6 +184,28 @@ object Dedup {
     */
   val AutoBucket: Int = -1
 
+  /** The dispatcher's default cap / routing threshold / probe floor —
+    * named once and referenced by BOTH [[minhashLshAuto]]'s signature and
+    * the band-only auto path ([[autoCapBuckets]], behind
+    * [[lshCandidatePairs]] and [[incrementalMinhash]]), so every Auto
+    * entry point routes identically under identical inputs; a retune
+    * here retunes them together (ADVICE r11).
+    */
+  val DefaultCappedBucket: Int = 50
+  val DefaultMaxCandidatesPerDoc: Long = 96L
+
+  /** Row-count floor for the probe itself: at or below this many docs the
+    * dispatcher routes EXACT without running the bucket-distribution
+    * probe. Sub-floor work is bounded by a corpus-size-independent
+    * constant — even the fully degenerate worst case (every doc in one
+    * bucket) is ≤ bands·C(floor,2) raw collisions, the kind of bounded
+    * job the cap exists to protect, not produce — so the probe would be
+    * pure overhead (measured +29% canary-normalized on sf0.1's 5k-doc
+    * corpus in r11). The doc count is read off the same job that
+    * materializes the band checkpoint, so the floor check is free.
+    */
+  val DefaultProbeFloorDocs: Long = 8192L
+
   /** One dispatched LSH run: the regime the probe chose and why, plus the
     * verified pairs. `candidateRetention` is the band-level recall proxy —
     * the fraction of exact candidate pairs still generated after the cap
@@ -180,9 +214,14 @@ object Dedup {
     * cap); measure with q_eval_dedup_recall before trusting a cap on a
     * new corpus.
     */
+  /** `probed = false` marks a floor-skipped dispatch (corpus at or below
+    * `probeFloorDocs`): the regime is exact by construction and the three
+    * `est*`/`maxBucketObserved` fields are `-1` (never measured).
+    */
   case class LshDispatch(regime: String, nDocs: Long, estCandidates: Long,
                          estCandidatesCapped: Long, maxBucketObserved: Long,
                          candidateRetention: Double, cap: Int,
+                         probed: Boolean,
                          pairs: DataFrame)
 
   /** Size-aware MinHash-LSH dispatcher (the Ranks.groupedPercentiles
@@ -210,19 +249,31 @@ object Dedup {
   def minhashLshAuto(df: DataFrame, textCol: String, idCol: String,
                      shingleN: Int = 3, bands: Int = 3, rows: Int = 3,
                      threshold: Double = 0.5,
-                     cappedBucket: Int = 50,
-                     maxCandidatesPerDoc: Long = 96): LshDispatch = {
-    val (sh, bandRows) = shingleBands(df, textCol, idCol, shingleN, bands, rows)
-    val (routed, exact, (nDocs, cand, candCapped, maxK)) =
-      probeRoute(bandRows, bands, cappedBucket, maxCandidatesPerDoc)
-    LshDispatch(
-      regime = if (exact) "exact" else "capped",
-      nDocs = nDocs, estCandidates = cand, estCandidatesCapped = candCapped,
-      maxBucketObserved = maxK,
-      candidateRetention =
-        if (exact) 1.0 else candCapped.toDouble / math.max(cand, 1L),
-      cap = if (exact) Int.MaxValue else cappedBucket,
-      pairs = verifiedPairs(sh, routed, threshold))
+                     cappedBucket: Int = DefaultCappedBucket,
+                     maxCandidatesPerDoc: Long = DefaultMaxCandidatesPerDoc,
+                     probeFloorDocs: Long = DefaultProbeFloorDocs): LshDispatch = {
+    val (sh, bandRows, nBandRows) = shingleBands(df, textCol, idCol, shingleN, bands, rows)
+    val nDocs = nBandRows / math.max(bands, 1)
+    if (nDocs <= probeFloorDocs)
+      // sub-floor corpus: exact is certain (see [[DefaultProbeFloorDocs]]),
+      // the probe would be the only superfluous job — skip it
+      LshDispatch(regime = "exact", nDocs = nDocs, estCandidates = -1L,
+        estCandidatesCapped = -1L, maxBucketObserved = -1L,
+        candidateRetention = 1.0, cap = Int.MaxValue, probed = false,
+        pairs = verifiedPairs(sh, bandRows, threshold))
+    else {
+      val (routed, exact, (_, cand, candCapped, maxK)) =
+        probeRoute(bandRows, bands, cappedBucket, maxCandidatesPerDoc)
+      LshDispatch(
+        regime = if (exact) "exact" else "capped",
+        nDocs = nDocs, estCandidates = cand, estCandidatesCapped = candCapped,
+        maxBucketObserved = maxK,
+        candidateRetention =
+          if (exact) 1.0 else candCapped.toDouble / math.max(cand, 1L),
+        cap = if (exact) Int.MaxValue else cappedBucket,
+        probed = true,
+        pairs = verifiedPairs(sh, routed, threshold))
+    }
   }
 
   /** The dispatcher's probe + route over a CHECKPOINTED band frame: one
@@ -248,10 +299,17 @@ object Dedup {
   }
 
   /** [[probeRoute]] with the dispatcher defaults, band frame only — the
-    * auto path of [[lshCandidatePairs]].
+    * auto path of [[lshCandidatePairs]] and [[incrementalMinhash]].
+    * `nBandRows` is the checkpoint-job count from [[shingleBands]]; a
+    * sub-floor corpus skips the probe entirely (same contract as
+    * [[minhashLshAuto]]; -1 = unknown count, always probes).
     */
-  private def autoCapBuckets(bandRows: DataFrame, bands: Int): DataFrame =
-    probeRoute(bandRows, bands, cappedBucket = 50, maxCandidatesPerDoc = 96)._1
+  private def autoCapBuckets(bandRows: DataFrame, bands: Int,
+                             nBandRows: Long): DataFrame =
+    if (nBandRows >= 0 &&
+        nBandRows / math.max(bands, 1) <= DefaultProbeFloorDocs) bandRows
+    else probeRoute(bandRows, bands, DefaultCappedBucket,
+      DefaultMaxCandidatesPerDoc)._1
 
   /** The candidates-then-verify tail shared by every LSH path: band
     * self-join on (band, digest) → distinct pairs → exact sorted-array
@@ -306,10 +364,10 @@ object Dedup {
                         shingleN: Int = 3, bands: Int = 3,
                         rows: Int = 3,
                         maxBucket: Int = AutoBucket): DataFrame = {
-    val (_, bandRows0) = shingleBands(df, textCol, idCol, shingleN, bands, rows,
+    val (_, bandRows0, nBandRows) = shingleBands(df, textCol, idCol, shingleN, bands, rows,
       checkpointSh = false)
     val bandRows =
-      if (maxBucket == AutoBucket) autoCapBuckets(bandRows0, bands)
+      if (maxBucket == AutoBucket) autoCapBuckets(bandRows0, bands, nBandRows)
       else capBuckets(bandRows0, maxBucket)
     bandRows.as("a")
       .join(bandRows.as("b"),
@@ -401,12 +459,12 @@ object Dedup {
                          maxBucket: Int = AutoBucket): DataFrame = {
     // gated paths scan the base band frame twice (probe/keep aggregate
     // + the join); only the plain exact path stays one-shot uncached
-    val (shB, bandB0) = shingleBands(base, textCol, idCol, shingleN, bands, rows,
+    val (shB, bandB0, nBandB) = shingleBands(base, textCol, idCol, shingleN, bands, rows,
       checkpointBands = maxBucket != Int.MaxValue)
     val bandB =
-      if (maxBucket == AutoBucket) autoCapBuckets(bandB0, bands)
+      if (maxBucket == AutoBucket) autoCapBuckets(bandB0, bands, nBandB)
       else capBuckets(bandB0, maxBucket)
-    val (shI, bandI) = shingleBands(incoming, textCol, idCol, shingleN, bands, rows,
+    val (shI, bandI, _) = shingleBands(incoming, textCol, idCol, shingleN, bands, rows,
       checkpointBands = false)
     val cand = bandI.as("i").join(bandB.as("b"),
         col("i.band") === col("b.band") && col("i.digest") === col("b.digest"))

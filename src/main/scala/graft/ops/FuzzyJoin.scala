@@ -19,6 +19,14 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyJoin {
 
+  /** Broadcast floor for the hot-key anti join: over-cap key sets up to
+    * this many rows (8-byte longs — ~8 MiB of key payload) broadcast;
+    * larger sets take a shuffled left_anti instead. Guards the
+    * degenerate small-cap × low-entropy case where "the skew set" is a
+    * large fraction of all variant keys.
+    */
+  private val MaxBroadcastHotKeys: Long = 1L << 20
+
   /** `maxBucket`: RESULT-CHANGING opt-in (the hotKeyCap contract —
     * default = exact, no gate), mirroring [[Linkage.candidates]]'
     * maxBlockPairs. A (variant-hash × block) bucket holding m rows
@@ -96,9 +104,22 @@ object FuzzyJoin {
     val spread =
       if (maxBucket == Int.MaxValue) spread0
       else {
+        // "tiny by definition" only holds for generous caps: a small cap
+        // on a low-entropy corpus can push a large fraction of variant
+        // keys over it, and an unconditional broadcast() of that set
+        // would hit the driver/executor broadcast wall. Checkpoint the
+        // hot set (lazy — the count below materializes it in the same
+        // job), read its size off the materialized blocks, and only
+        // broadcast when it is actually small; above the floor fall back
+        // to a shuffled left_anti (one extra exchange on h, never a
+        // driver-sized collect).
         val hot = spread0.groupBy("h").agg(count(lit(1)).as("__k"))
           .filter(col("__k") > maxBucket).select("h")
-        spread0.join(broadcast(hot), Seq("h"), "left_anti")
+          .localCheckpoint(false)
+        val nHot = hot.count()
+        if (nHot <= MaxBroadcastHotKeys)
+          spread0.join(broadcast(hot), Seq("h"), "left_anti")
+        else spread0.join(hot.hint("shuffle_hash"), Seq("h"), "left_anti")
       }
     val cand = spread.as("a").hint("shuffle_hash")
       .join(spread.as("b").hint("shuffle_hash"),

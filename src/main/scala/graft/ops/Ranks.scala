@@ -330,7 +330,7 @@ object Ranks {
     val spark = df.sparkSession
     import spark.implicits._
     val g = df.select(grpCol.as("g"), valCol.as("v"))
-      .filter(col("v").isNotNull && col("g").isNotNull)
+      .filter(col("v").isNotNull)
       .groupBy("g", "v").agg(count(lit(1)).as("c"))
       .localCheckpoint() // consumers: group counts + the prefix pass
     // BOUNDED collect: one row per group
@@ -364,20 +364,26 @@ object Ranks {
     val ranks = spark.createDataFrame(rankRows.asJava, rankSchema)
     val cum = prefixCountsBy(g, Seq("g", "v"), Seq("c"))
       .localCheckpoint() // consumers: offsets + both rank joins
+    // null-safe keys (<=>): the NULL group must survive these joins —
+    // standard GROUP BY semantics, and the buffered regime keeps it
     val off = cum.groupBy(col("g").as("g2"))
       .agg(min(col("c_cum") - col("c")).as("off"))
-    val wg = cum.join(broadcast(off), col("g") === col("g2"))
+    val wg = cum.join(broadcast(off), col("g") <=> col("g2"))
       .select(col("g"), col("v"), col("c"), (col("c_cum") - col("off"))
         .as("gc"))
       .localCheckpoint() // consumers: the two rank joins
     def at(rCol: String, name: String): DataFrame =
       wg.join(broadcast(ranks.withColumnRenamed("g", "gr")),
-          col("g") === col("gr") && col(rCol) > col("gc") - col("c") &&
+          col("g") <=> col("gr") && col(rCol) > col("gc") - col("c") &&
             col(rCol) <= col("gc"))
         .select(col("g"), col("i"), col("v").cast("double").as(name))
-    at("r_lo", "v_lo").join(at("r_hi", "v_hi"), Seq("g", "i"))
-      .join(broadcast(ranks.select(col("g"), col("i"), col("p"),
-        col("frac"))), Seq("g", "i"))
+    val hi = at("r_hi", "v_hi")
+      .withColumnRenamed("g", "g2").withColumnRenamed("i", "i2")
+    val pr = ranks.select(col("g").as("g3"), col("i").as("i3"), col("p"),
+      col("frac"))
+    at("r_lo", "v_lo")
+      .join(hi, col("g") <=> col("g2") && col("i") === col("i2"))
+      .join(broadcast(pr), col("g") <=> col("g3") && col("i") === col("i3"))
       .select(col("g"), col("i"), col("p"),
         (col("v_lo") + (col("v_hi") - col("v_lo")) * col("frac"))
           .as("value"))
@@ -397,17 +403,20 @@ object Ranks {
     * buffer wall (millions of entries). Both paths emit
     * (g, i, p, value); the two lerp shapes can differ in the last ulp
     * (see [[percentilesExact]]) — equal at any publication grain.
-    * NULL group keys are DROPPED in both regimes (both paths filter
-    * them before grouping) — without the shared filter the buffered
-    * groupBy kept a g=NULL group while the exact path's null-rejecting
-    * rank joins silently lost it, so the dispatcher's output for
-    * null-keyed rows would have flipped with data size.
+    * NULL group keys are KEPT in both regimes — standard SQL GROUP BY
+    * semantics (NULL forms its own group; DuckDB oracles replay it
+    * unchanged). The exact path's offset and rank joins key on
+    * null-safe equality (`<=>`) for exactly this reason: with plain
+    * `===` the buffered groupBy kept a g=NULL group while the exact
+    * path's null-rejecting joins silently lost it, so the dispatcher's
+    * output for null-keyed rows would have flipped with data size
+    * (regime-pinned in RanksSpec).
     */
   def groupedPercentiles(df: DataFrame, grpCol: Column, valCol: Column,
                          fractions: Seq[Double],
                          maxBufferedDistinct: Long = 1L << 16): DataFrame = {
     val vals = df.select(grpCol.as("g"), valCol.as("v"))
-      .filter(col("v").isNotNull && col("g").isNotNull)
+      .filter(col("v").isNotNull)
     val probe = vals.groupBy("g")
       .agg(approx_count_distinct(col("v")).as("nd"))
       .agg(max("nd")).collect()(0)
@@ -429,7 +438,7 @@ object Ranks {
       "fractions must lie in [0, 1]")
     val frArr = array(fractions.map(lit): _*)
     df.select(grpCol.as("g"), valCol.cast("double").as("v"))
-      .filter(col("v").isNotNull && col("g").isNotNull)
+      .filter(col("v").isNotNull)
       .groupBy("g")
       .agg(expr(s"percentile(v, array(${fractions.mkString(", ")}))")
         .as("vs"))

@@ -906,8 +906,17 @@ class OpsSpec extends AnyFunSuite {
     val d = Dedup.minhashLshAuto(near.toDF("doc_id", "text"), "text", "doc_id")
     assert(d.regime == "exact")
     assert(d.nDocs == 4 && d.cap == Int.MaxValue && d.candidateRetention == 1.0)
+    // 4 docs sit under the probe floor: exact is certain by construction,
+    // so the dispatcher must NOT have paid the bucket-distribution probe
+    assert(!d.probed && d.estCandidates == -1L)
     val got = d.pairs.select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(got == Set((0L, 1L)))
+    // with the floor disabled the probe runs, measures the linear
+    // candidate mass, and still routes exact — identical pairs
+    val dp = Dedup.minhashLshAuto(near.toDF("doc_id", "text"), "text",
+      "doc_id", probeFloorDocs = 0)
+    assert(dp.probed && dp.regime == "exact" && dp.estCandidates >= 0)
+    assert(dp.pairs.select("a_id", "b_id").as[(Long, Long)].collect().toSet == got)
     // the dispatched exact result == the forced-exact result
     val forced = Dedup.minhashLsh(near.toDF("doc_id", "text"), "text", "doc_id",
       maxBucket = Int.MaxValue).select("a_id", "b_id").as[(Long, Long)].collect().toSet
@@ -923,19 +932,25 @@ class OpsSpec extends AnyFunSuite {
     val pair = Seq((100L, "quantum flux capacitor energizes warp drive"),
       (101L, "quantum flux capacitor energizes warp drive"))
     val df = (hot ++ pair).toDF("doc_id", "text")
-    val d = Dedup.minhashLshAuto(df, "text", "doc_id", cappedBucket = 10)
-    assert(d.regime == "capped")
+    // the 82-doc corpus sits under the default probe floor, so the flip
+    // is tested with the floor disabled (the floor's own contract — tiny
+    // corpora route exact unprobed — is pinned in the EXACT test above)
+    val d = Dedup.minhashLshAuto(df, "text", "doc_id", cappedBucket = 10,
+      probeFloorDocs = 0)
+    assert(d.regime == "capped" && d.probed)
     assert(d.nDocs == 82 && d.cap == 10)
     assert(d.maxBucketObserved == 80)
     // band-level retention: only the pair's buckets (k=2) survive the cap
     assert(d.candidateRetention > 0.0 && d.candidateRetention < 0.01)
     val got = d.pairs.select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(got == Set((100L, 101L)))
-    // default-arg minhashLsh IS the dispatched path (default cap 50 drops
-    // the 80-doc bucket: only the small pair survives)
+    // default-arg minhashLsh on this sub-floor corpus routes EXACT without
+    // probing — the hot family is bounded work here, not an n² risk, so
+    // it must all come back
     val viaDefault = Dedup.minhashLsh(df, "text", "doc_id")
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
-    assert(viaDefault == Set((100L, 101L)))
+    assert(viaDefault.contains((100L, 101L)))
+    assert(viaDefault.size == 80 * 79 / 2 + 1)
   }
 
   test("minhash LSH finds exact and near dups, not unrelated docs") {

@@ -272,4 +272,30 @@ class RanksSpec extends AnyFunSuite {
         BigDecimal.RoundingMode.HALF_UP).toDouble) == builtin(g).toSeq, g)
     }
   }
+
+  test("groupedPercentiles keeps the NULL group in BOTH regimes " +
+    "(SQL GROUP BY semantics; r11 ADVICE)") {
+    // a third of the rows carry a NULL group key; standard GROUP BY puts
+    // them in their own group, and the dispatcher's two regimes must
+    // agree on it — the exact path's offset/rank joins key null-safely
+    // (<=>) for exactly this case
+    val df = spark.range(0, 300)
+      .select(when(col("id") % 3 === 0, lit(null))
+          .otherwise(concat(lit("g"), col("id") % 3)).as("g"),
+        ((col("id") * 131 % 97) - 40).cast("double").as("v"))
+      .localCheckpoint()
+    val fr = Seq(0.25, 0.5, 0.9)
+    def run(threshold: Long) = Ranks.groupedPercentiles(df, col("g"),
+        col("v"), fr, maxBufferedDistinct = threshold)
+      .collect()
+      .map(r => (Option(r.get(0)), r.getInt(1),
+        BigDecimal(r.getAs[Double]("value"))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toSet
+    val buffered = run(Long.MaxValue)
+    val exact = run(0L)
+    assert(buffered == exact, s"regimes disagree:\n$buffered\nvs\n$exact")
+    assert(buffered.exists(_._1.isEmpty), "NULL group was dropped")
+    assert(buffered.count(_._1.isEmpty) == fr.size)
+  }
 }
