@@ -2132,8 +2132,11 @@ object Queries {
     val rows = Seq((1, 9), (3, 3), (9, 1)).map { case (b, r) =>
       // two consumers (count + hit join): checkpoint the bounded
       // candidate set so the band self-join runs once per config
+      // PIN the exact regime: this query MEASURES candidate recall, so
+      // the dispatcher's cap would confound the very metric it reports
+      // (ADVICE r11); the Auto default stays the library contract
       val cand = Dedup.lshCandidatePairs(docs, "text", "doc_id",
-          shingleN = 3, bands = b, rows = r)
+          shingleN = 3, bands = b, rows = r, maxBucket = Int.MaxValue)
         .localCheckpoint()
       val hit = cand.join(truth, Seq("a_id", "b_id"))
       cand.agg(count(lit(1)).as("n_cand"))
@@ -2180,9 +2183,13 @@ object Queries {
       .stripMargin.replace("\n", " ")
   }) { (s, dir) =>
     val docs = tbl(s, dir, "documents")
+    // oracle replays EXACT LSH — pin the regime so the published SQL is
+    // true at EVERY scale, not just below the dispatcher's flip point
+    // (ADVICE r11); Auto remains the library default
     Dedup.incrementalMinhash(
         docs.filter(col("doc_id") % 10 < 8),
-        docs.filter(col("doc_id") % 10 >= 8), "text", "doc_id")
+        docs.filter(col("doc_id") % 10 >= 8), "text", "doc_id",
+        maxBucket = Int.MaxValue)
       .select("doc_id").orderBy("doc_id")
   }
 
@@ -2218,8 +2225,34 @@ object Queries {
   q("dedup_minhash_lsh",
     s"WITH ${minhashPairsCtes(bands = 3, rows = 3)} " +
       "SELECT a_id, b_id, jac FROM pairs ORDER BY a_id, b_id") { (s, dir) =>
+    // REGIME PIN (ADVICE r11): every dedup_*/q_eval_* oracle below
+    // replays EXACT LSH (minhashPairsCtes), so these queries state
+    // maxBucket = Int.MaxValue explicitly -- the declared SQL spec then
+    // holds at any corpus size, instead of silently diverging past the
+    // dispatcher's flip point. The LIBRARY default everywhere else
+    // remains AutoBucket (probe + route), regime-pinned in OpsSpec and
+    // measured in PLANS.md.
     Dedup.minhashLsh(tbl(s, dir, "documents"), "text", "doc_id",
-      shingleN = 3, bands = 3, rows = 3, threshold = 0.5).orderBy("a_id", "b_id")
+      shingleN = 3, bands = 3, rows = 3, threshold = 0.5,
+      maxBucket = Int.MaxValue).orderBy("a_id", "b_id")
+  }
+
+  q("dedup_auto_dispatch",
+    // the DISPATCHER itself, oracle-backed: at the sf0.01 gate the corpus
+    // sits under the probe floor, so the contract this oracle states --
+    // regime 'exact', probe NOT paid, verified pairs == the exact replay
+    // -- is exactly what the floor guarantees. Above the floor the regime
+    // literal would flip with the corpus; the cross-scale behavior is
+    // regime-pinned in OpsSpec and measured in PLANS.md instead.
+    s"""WITH ${minhashPairsCtes(bands = 3, rows = 3)}
+       |SELECT 'exact' AS regime, FALSE AS probed,
+       |  (SELECT COUNT(*) FROM sh WHERE len(s) > 0) AS n_docs,
+       |  (SELECT COUNT(*) FROM pairs) AS n_pairs"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val d = Dedup.minhashLshAuto(tbl(s, dir, "documents"), "text", "doc_id")
+    d.pairs.agg(count(lit(1)).as("n_pairs"))
+      .select(lit(d.regime).as("regime"), lit(d.probed).as("probed"),
+        lit(d.nDocs).as("n_docs"), col("n_pairs"))
   }
 
   q("dedup_shared_ngram",
@@ -2308,8 +2341,9 @@ object Queries {
     // balanced shuffle keys.
     val docs = tbl(s, dir, "documents")
       .filter(pmod(col("doc_id"), lit(3)) === 0 && col("doc_id") < 5000)
+    // exact-regime pin: recall evaluation (see dedup_minhash_lsh note)
     val cand = Dedup.lshCandidatePairs(docs, "text", "doc_id",
-      shingleN = 3, bands = 3, rows = 3)
+      shingleN = 3, bands = 3, rows = 3, maxBucket = Int.MaxValue)
     val sh = docs.select(col("doc_id"),
         sort_array(transform(TextAnalysis.shingles(col("text"), 3),
           t => xxhash64(t))).as("sx"))
@@ -5112,7 +5146,8 @@ object Queries {
        |  UNION SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc_id)
        |SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin.replace("\n", " ")) { (s, dir) =>
-    val pairs = Dedup.minhashLsh(tbl(s, dir, "documents"), "text", "doc_id")
+    val pairs = Dedup.minhashLsh(tbl(s, dir, "documents"), "text", "doc_id",
+      maxBucket = Int.MaxValue) // exact-regime pin (see dedup_minhash_lsh)
     Dedup.clusterPairs(pairs).orderBy("doc_id")
   }
 
@@ -5130,7 +5165,8 @@ object Queries {
        |SELECT cluster_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS weight
        |FROM cl GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY 1"""
       .stripMargin.replace("\n", " ")) { (s, dir) =>
-    val pairs = Dedup.minhashLsh(tbl(s, dir, "documents"), "text", "doc_id")
+    val pairs = Dedup.minhashLsh(tbl(s, dir, "documents"), "text", "doc_id",
+      maxBucket = Int.MaxValue) // exact-regime pin (see dedup_minhash_lsh)
     Dedup.clusterPairs(pairs)
       .groupBy("cluster_id").agg(count(lit(1)).as("weight"))
       .filter(col("weight") > 1)
@@ -5152,7 +5188,8 @@ object Queries {
        |SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
        |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
        |GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")) { (s, dir) =>
-    Dedup.dedupByMinhash(tbl(s, dir, "documents"), "text", "doc_id")
+    Dedup.dedupByMinhash(tbl(s, dir, "documents"), "text", "doc_id",
+        maxBucket = Int.MaxValue) // exact-regime pin (see dedup_minhash_lsh)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
       .orderBy("source")
@@ -5183,7 +5220,8 @@ object Queries {
        |GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")) { (s, dir) =>
     val docs = tbl(s, dir, "documents")
     Dedup.dedupByMinhashPriority(docs, "text", "doc_id",
-        -substring(col("source"), 4, 2).cast("int"))
+        -substring(col("source"), 4, 2).cast("int"),
+        maxBucket = Int.MaxValue) // exact-regime pin (see dedup_minhash_lsh)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
       .orderBy("source")

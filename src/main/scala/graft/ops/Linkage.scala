@@ -58,36 +58,162 @@ object Linkage {
     * scale). Measured 7.7 → 1.8 s on the 2.2M-pair customer fixture's
     * zones aggregate at sf0.1.
     */
-  /** `maxBlockPairs`: RESULT-CHANGING opt-in (the hotKeyCap contract —
-    * default = exact, no gate). When set, any block whose |L_b|·|R_b|
-    * fan-out exceeds the cap is skipped IN THAT PASS — the standard
-    * linkage defense against a degenerate key (a constant-ish block is
-    * all-pairs in disguise). A skipped block's true pairs survive iff
-    * another pass catches them, so cap only passes that have a
-    * corruption-independent backstop, and run [[blockSizes]] first.
+  /** `maxBlockPairs` contract. When set to a positive cap, any block
+    * whose |L_b|·|R_b| fan-out exceeds it is skipped IN THAT PASS — the
+    * standard linkage defense against a degenerate key (a constant-ish
+    * block is all-pairs in disguise). A skipped block's true pairs
+    * survive iff another pass catches them, so cap only passes that have
+    * a corruption-independent backstop, and run [[blockSizes]] first.
+    *
+    * The DEFAULT is [[AutoBlockPairs]] — the size-aware dispatcher (the
+    * Dedup.minhashLshAuto pattern; r11 verdict: a degenerate blocking
+    * key on real data is all-pairs in disguise, and "default exact"
+    * hands a 100 TB caller that plan). One ids-only probe measures each
+    * pass's block fan-out and gates ONLY passes whose candidate mass is
+    * superlinear in the input; well-designed keys never pay a gating
+    * aggregate. Pass `Long.MaxValue` to force exact everywhere, a
+    * positive cap to force capping on every pass; see [[candidatesAuto]]
+    * for the probe/route contract and the per-pass dispatch metadata.
     */
   def candidates(left: DataFrame, right: DataFrame,
                  leftId: String, rightId: String,
                  passes: Seq[(Column, Column)],
-                 maxBlockPairs: Long = Long.MaxValue): DataFrame = {
+                 maxBlockPairs: Long = AutoBlockPairs): DataFrame =
+    if (maxBlockPairs == AutoBlockPairs)
+      candidatesAuto(left, right, leftId, rightId, passes).pairs
+    else attachPayloads(left, right, leftId, rightId,
+      candidateIdPairs(left, right, leftId, rightId, passes,
+        Seq.fill(passes.size)(maxBlockPairs)))
+
+  /** Sentinel `maxBlockPairs` value: let [[candidatesAuto]] probe each
+    * pass's block fan-out and pick its regime. The default everywhere a
+    * caller does not state an explicit exact/capped choice.
+    */
+  val AutoBlockPairs: Long = -1L
+
+  /** The dispatcher's default per-block cap for a GATED pass (the
+    * sf30-soak-tested value: recall 0.9999997 on the customer fixture)
+    * and its routing threshold — a pass stays EXACT while its total
+    * fan-out Σ_b |L_b|·|R_b| ≤ `DefaultMaxPairsPerRow` · (|L|+|R|),
+    * i.e. while candidate generation is linear-in-input work. The
+    * customer fixture's designed keys measure ~85-90 pairs/row flat from
+    * sf0.1 to sf10 (PLANS.md), so 256 carries ~3× headroom for honest
+    * keys while a degenerate key (pairs/row that GROWS with the corpus)
+    * crosses it immediately at any real scale.
+    */
+  val DefaultCappedBlockPairs: Long = 100000L
+  val DefaultMaxPairsPerRow: Long = 256L
+
+  /** One blocking pass's dispatch decision: the probe's measured totals
+    * (`estPairs` = Σ|L_b|·|R_b|, `estPairsGated` = the ≤cap restriction,
+    * `skippedBlocks` = over-cap block count) and the regime chosen —
+    * `cap` is `Long.MaxValue` when the pass runs exact.
+    */
+  case class PassDispatch(pass: Int, regime: String, estPairs: Long,
+                          estPairsGated: Long, skippedBlocks: Long,
+                          cap: Long)
+
+  /** One dispatched candidate generation: per-pass decisions plus input
+    * sizes and the candidate-pair frame. `regime` is "exact" iff every
+    * pass ran ungated.
+    */
+  case class LinkDispatch(regime: String, nLeft: Long, nRight: Long,
+                          passes: Seq[PassDispatch], pairs: DataFrame)
+
+  /** Size-aware blocked-candidates dispatcher. ONE ids-only probe job
+    * (per pass: groupBy counts on each side's block key, full-outer
+    * joined so the same aggregate also yields |L| and |R|, then a
+    * single-row rollup; the per-pass rows union into one collect of
+    * `passes.size` rows) decides PER PASS:
+    *
+    *  - Σ|L_b|·|R_b| ≤ `maxPairsPerRow` · (|L|+|R|) → EXACT: this
+    *    pass's candidate mass is linear in its input, no gate, no
+    *    gating aggregate in the result plan.
+    *  - above → CAPPED at `cappedBlockPairs`: some block's fan-out is
+    *    all-pairs in disguise; blocks over the cap are skipped in this
+    *    pass (their true pairs survive iff a backstop pass catches
+    *    them — the [[candidates]] maxBlockPairs contract).
+    *
+    * The probe shuffles only (block key, count) rows — bounded by block
+    * cardinality, never by pairs — and is the same aggregate
+    * [[blockSizes]] exposes for pre-flight review. Null block keys
+    * count toward |L|/|R| but never pair (equi-joins drop them), which
+    * matches the generation join exactly.
+    */
+  def candidatesAuto(left: DataFrame, right: DataFrame,
+                     leftId: String, rightId: String,
+                     passes: Seq[(Column, Column)],
+                     cappedBlockPairs: Long = DefaultCappedBlockPairs,
+                     maxPairsPerRow: Long = DefaultMaxPairsPerRow): LinkDispatch = {
     require(passes.nonEmpty, "at least one blocking pass required")
-    val idPairs = passes.map { case (lk, rk) =>
+    val probeRows = passes.zipWithIndex.map { case ((lk, rk), i) =>
+      val l = left.select(lk.as("__bk")).groupBy("__bk")
+        .agg(count(lit(1)).as("__nl"))
+      val r = right.select(rk.as("__bk")).groupBy("__bk")
+        .agg(count(lit(1)).as("__nr"))
+      val p = coalesce(col("__nl"), lit(0L)) * coalesce(col("__nr"), lit(0L))
+      l.join(r, Seq("__bk"), "full_outer")
+        .agg(lit(i).as("pass"),
+          sum(p).as("pairs"),
+          sum(when(p <= cappedBlockPairs, p).otherwise(lit(0L)))
+            .as("pairs_gated"),
+          sum(when(p > cappedBlockPairs, lit(1L)).otherwise(lit(0L)))
+            .as("over"),
+          sum(coalesce(col("__nl"), lit(0L))).as("nl"),
+          sum(coalesce(col("__nr"), lit(0L))).as("nr"))
+    }.reduce(_ union _).collect()
+    def lng(r: org.apache.spark.sql.Row, i: Int): Long =
+      if (r.isNullAt(i)) 0L else r.getLong(i)
+    val byPass = probeRows.map(r => r.getInt(0) -> r).toMap
+    val (nL, nR) = (lng(byPass(0), 4), lng(byPass(0), 5))
+    val decisions = passes.indices.map { i =>
+      val r = byPass(i)
+      val pairs = lng(r, 1)
+      val exact = pairs <= maxPairsPerRow * math.max(nL + nR, 1L)
+      PassDispatch(i, if (exact) "exact" else "capped", pairs,
+        lng(r, 2), lng(r, 3),
+        if (exact) Long.MaxValue else cappedBlockPairs)
+    }
+    LinkDispatch(
+      regime = if (decisions.forall(_.regime == "exact")) "exact" else "capped",
+      nLeft = nL, nRight = nR, passes = decisions,
+      pairs = attachPayloads(left, right, leftId, rightId,
+        candidateIdPairs(left, right, leftId, rightId, passes,
+          decisions.map(_.cap))))
+  }
+
+  /** The multi-pass union of blocked id pairs, one cap per pass
+    * (`Long.MaxValue` = exact, no gating aggregate in that pass's plan).
+    * Shared by the exact/forced paths and the dispatcher.
+    */
+  private def candidateIdPairs(left: DataFrame, right: DataFrame,
+                               leftId: String, rightId: String,
+                               passes: Seq[(Column, Column)],
+                               caps: Seq[Long]): DataFrame =
+    passes.zip(caps).map { case ((lk, rk), cap) =>
       val l = left.select(col(leftId), lk.as("__bk"))
       val r = right.select(col(rightId), rk.as("__bk"))
       val (lf, rf) =
-        if (maxBlockPairs == Long.MaxValue) (l, r) // exact: no gating aggregate
+        if (cap == Long.MaxValue) (l, r) // exact: no gating aggregate
         else {
           val keep = l.groupBy("__bk").agg(count(lit(1)).as("__nl"))
             .join(r.groupBy("__bk").agg(count(lit(1)).as("__nr")), "__bk")
-            .filter(col("__nl") * col("__nr") <= maxBlockPairs)
+            .filter(col("__nl") * col("__nr") <= cap)
             .select("__bk")
           (l.join(keep, Seq("__bk"), "left_semi"),
             r.join(keep, Seq("__bk"), "left_semi"))
         }
       lf.join(rf, "__bk").select(leftId, rightId)
     }.reduce(_ union _).dropDuplicates(leftId, rightId)
+
+  /** Attach both sides' payload columns to a deduped id-pair frame —
+    * one id-keyed join per side (broadcast-able here, an ordinary
+    * id-keyed join at scale; see the [[candidates]] scale note).
+    */
+  private def attachPayloads(left: DataFrame, right: DataFrame,
+                             leftId: String, rightId: String,
+                             idPairs: DataFrame): DataFrame =
     idPairs.join(left, leftId).join(right, rightId)
-  }
 
   /** Pair fan-out per blocking key for one pass — the pre-flight skew
     * check (|L_b| · |R_b| per key, descending). Run before committing to
@@ -210,17 +336,20 @@ object Linkage {
     *    (nation, segment): constant over the whole corpus, degenerates
     *    to all-pairs (`blockSizes` flags both immediately).
     */
-  /** `maxBlockPairs` follows the [[candidates]] contract — DEFAULT EXACT
-    * (`Long.MaxValue`, no gate), so engine and oracle stay comparable at
-    * EVERY scale. A caller running ≥ sf30 corpora, where the residual
-    * n²/cells growth of attribute blocking makes pass-A cells exceed
-    * ~100k-pair fan-outs, opts into a cap explicitly (100000L is the
-    * soak-tested value; pass B's name-digit blocks are ≤100 customers by
-    * construction at any corpus size and catch every fixture-true pair —
-    * LinkageSpec holds that property end-to-end with the cap engaged).
+  /** `maxBlockPairs` follows the [[candidates]] contract — DEFAULT
+    * [[AutoBlockPairs]] (r12): the dispatcher's probe measures both
+    * passes' fan-out and routes exact while it is linear-in-input
+    * (~85-90 pairs/row flat from sf0.1 to sf10 on these designed keys,
+    * so engine and oracle agree at every verification scale), gating a
+    * pass only if a corruption or a corpus shift ever degenerates its
+    * key. Explicit `Long.MaxValue` forces exact; an explicit positive
+    * cap (100000L is the sf30-soak-tested value) forces capping — pass
+    * B's name-digit blocks are ≤100 customers by construction at any
+    * corpus size and catch every fixture-true pair (LinkageSpec holds
+    * that property end-to-end with the cap engaged).
     */
   def linkCustomers(customer: DataFrame,
-                    maxBlockPairs: Long = Long.MaxValue): DataFrame = {
+                    maxBlockPairs: Long = AutoBlockPairs): DataFrame = {
     val dirty = dirtyCustomers(customer)
     val pairs = candidates(dirty, customer, "d_id", "c_custkey", Seq(
       (concat_ws("|", col("d_nat"), col("d_seg"),

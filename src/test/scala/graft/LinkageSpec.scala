@@ -44,11 +44,49 @@ class LinkageSpec extends AnyFunSuite {
       maxBlockPairs = 2L)
       .select("l_id", "r_id").as[(Long, Long)].collect().toSet
     assert(capped == Set((1L, 10L), (2L, 20L), (3L, 30L)))
-    // default stays exact (no gate): same result as the uncapped call
+    // the auto default routes this linear-fan-out corpus EXACT: same
+    // result as a forced-exact call
     val exact = Linkage.candidates(left, right, "l_id", "r_id",
       Seq((col("l_state"), col("r_state"))))
       .select("l_id", "r_id").as[(Long, Long)].collect().toSet
     assert(exact == Set((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L)))
+    val forced = Linkage.candidates(left, right, "l_id", "r_id",
+      Seq((col("l_state"), col("r_state"))), maxBlockPairs = Long.MaxValue)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    assert(exact == forced)
+  }
+
+  test("candidatesAuto: degenerate blocking key flips its pass to capped, " +
+    "backstop pass keeps every true pair (regime pin)") {
+    // 600 left x 600 right rows sharing ONE constant block key: that
+    // pass is all-pairs in disguise (360k pairs over 1200 rows = 300/row
+    // > the 256/row routing threshold), and with the 100k default block
+    // cap its single block is skipped outright. The id-suffix backstop
+    // pass (<=1x1 blocks by construction) is immune.
+    val l = spark.range(600).select(col("id").as("l_id"),
+      concat(lit("name"), col("id")).as("l_name"))
+    val r = spark.range(600).select((col("id") + 1000).as("r_id"),
+      concat(lit("name"), col("id")).as("r_name"))
+    val d = Linkage.candidatesAuto(l, r, "l_id", "r_id", Seq(
+      (lit("K"), lit("K")),                       // degenerate: one block
+      (col("l_name"), col("r_name"))))            // backstop: unique names
+    assert(d.regime == "capped" && d.nLeft == 600 && d.nRight == 600)
+    assert(d.passes(0).regime == "capped" && d.passes(0).estPairs == 360000L
+      && d.passes(0).skippedBlocks == 1 && d.passes(0).estPairsGated == 0L)
+    assert(d.passes(1).regime == "exact" && d.passes(1).estPairs == 600L)
+    // the degenerate pass contributes nothing; the backstop finds all
+    // 600 true pairs and ONLY those — no all-pairs blowup in the result
+    val got = d.pairs.select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    assert(got == (0L until 600L).map(i => (i, i + 1000)).toSet)
+    // forced exact on the same corpus IS all-pairs: the plan the
+    // dispatcher exists to refuse at scale
+    val exactN = Linkage.candidates(l, r, "l_id", "r_id",
+      Seq((lit("K"), lit("K"))), maxBlockPairs = Long.MaxValue).count()
+    assert(exactN == 360000L)
+    // and a well-designed corpus routes exact on every pass
+    val ok = Linkage.candidatesAuto(l, r, "l_id", "r_id",
+      Seq((col("l_name"), col("r_name"))))
+    assert(ok.regime == "exact" && ok.passes.forall(_.cap == Long.MaxValue))
   }
 
   test("fuzzyJoin: deletion-neighborhood candidates find all <=2-edit pairs, " +

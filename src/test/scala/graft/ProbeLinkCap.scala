@@ -24,7 +24,7 @@ object ProbeLinkCap {
     for (dir <- args) {
       val cust = spark.read.parquet(s"$dir/customer.parquet")
       var t0 = System.nanoTime()
-      val exact = Linkage.linkCustomers(cust)
+      val exact = Linkage.linkCustomers(cust, maxBlockPairs = Long.MaxValue)
         .filter(col("fs_score") >= 18)
         .select("d_id", "c_custkey").distinct().localCheckpoint()
       val nExactMatches = exact.count()

@@ -43,7 +43,8 @@ object ProbeSoak {
       // slope at each scale.
       val cust = spark.read.parquet(s"$dir/customer.parquet")
       var tl = System.nanoTime()
-      val nLink = graft.ops.Linkage.linkCustomers(cust).count()
+      val nLink = graft.ops.Linkage
+        .linkCustomers(cust, maxBlockPairs = Long.MaxValue).count()
       val tExactLink = (System.nanoTime() - tl) / 1e9
       tl = System.nanoTime()
       val nLinkCap = graft.ops.Linkage
