@@ -49,24 +49,33 @@ def engine_out(name):
     return pd.read_parquet(d)
 
 
-AUDITS = {}   # name -> (fn() -> expected DataFrame, atol)
+AUDITS = {}   # name -> (fn() -> expected DataFrame, atol, orderless)
 
-def audit(name, atol=1.1e-6):
+def audit(name, atol=1.1e-6, orderless=False):
     """Register an audit. Default atol absorbs the engine's round(x, 6)
     presentation (<= 5e-7) plus fixed-point quantization of its exact-
     decimal pipelines; a wrong formula is off by orders of magnitude more
     (the round-9 chi2 bug was off ~1.2e5x). Large unrounded columns are
-    covered by the relative term in compare()."""
+    covered by the relative term in compare().
+
+    orderless=True compares as a MULTISET: both frames are sorted by ALL
+    columns before the positional walk. For queries whose presentation
+    sort leaves tie order unpinned (flf_format's duplicate
+    (l_orderkey, l_linenumber) keys). Only sound when every column is
+    discrete (int/str/bool) so the canonical sort is exact — a float
+    sort key could misalign ties that differ inside the tolerance."""
     def reg(fn):
-        AUDITS[name] = (fn, atol)
+        AUDITS[name] = (fn, atol, orderless)
         return fn
     return reg
 
 
-def compare(name, expected, got, float_tol=1.1e-6, rel_tol=1e-7):
+def compare(name, expected, got, float_tol=1.1e-6, rel_tol=1e-7,
+            orderless=False):
     """Column-name-sorted compare; floats flag when BOTH the absolute diff
     exceeds float_tol AND the relative diff exceeds rel_tol; rest exact.
-    Returns (verdict, max_abs_diff, detail)."""
+    orderless canonically sorts both frames by all columns first (see
+    audit()). Returns (verdict, max_abs_diff, detail)."""
     if got is None:
         return ("MISSING", None, "no engine output")
     exp = expected.reset_index(drop=True)
@@ -74,6 +83,9 @@ def compare(name, expected, got, float_tol=1.1e-6, rel_tol=1e-7):
     ecols, gcols = sorted(exp.columns), sorted(g.columns)
     if ecols != gcols:
         return ("SCHEMA", None, f"cols expected {ecols} got {gcols}")
+    if orderless:
+        exp = exp.sort_values(ecols, kind="mergesort").reset_index(drop=True)
+        g = g.sort_values(gcols, kind="mergesort").reset_index(drop=True)
     if len(exp) != len(g):
         return ("ROWS", None, f"rows expected {len(exp)} got {len(g)}")
     maxd = 0.0
@@ -258,10 +270,11 @@ def main():
         names = [n for n in names if n in ONLY]
     for name in names:
         try:
-            fn, atol = AUDITS[name]
+            fn, atol, orderless = AUDITS[name]
             exp = fn()
             verdict, maxd, detail = compare(name, exp, engine_out(name),
-                                            float_tol=atol)
+                                            float_tol=atol,
+                                            orderless=orderless)
         except Exception as e:
             import traceback
             verdict, maxd, detail = ("ERR", None,

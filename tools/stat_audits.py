@@ -3064,6 +3064,17 @@ def dedup_minhash_lsh():
                          for (a, b), j in sorted(verified.items())])
 
 
+@audit("dedup_auto_dispatch")
+def dedup_auto_dispatch():
+    # the dispatcher's floor contract at gate scale: sub-floor corpus ->
+    # regime 'exact', probe not paid, n_docs = docs with >=1 shingle,
+    # pairs == the exact replay's verified set
+    sh, _, verified = _lsh_pipeline()
+    n_docs = sum(1 for v in sh.values() if len(v) > 0)
+    return pd.DataFrame([{"n_docs": n_docs, "n_pairs": len(verified),
+                          "probed": False, "regime": "exact"}])
+
+
 @audit("dedup_cluster")
 def dedup_cluster():
     _, _, verified = _lsh_pipeline()
@@ -8011,12 +8022,19 @@ def _flf_rows():
                 li.l_linestatus, qty, cents, disc)]
 
 
-# flf_format is NOT audited positionally: (l_orderkey, l_linenumber) is
-# not unique in the synthetic lineitem, so the engine's presentation
-# sort leaves tie order unpinned and a row-positional compare cannot
-# hold. Its line-building rules are fully exercised anyway: flf_parse /
-# flf_roundtrip / flf_quarantine all replay the same _flf_line builder
-# and ARE audited.
+@audit("flf_format", orderless=True)
+def flf_format():
+    # (l_orderkey, l_linenumber) is not unique in the synthetic lineitem,
+    # so the engine's presentation sort leaves tie order unpinned and a
+    # row-POSITIONAL compare cannot hold; the orderless multiset compare
+    # (sort both frames by all three discrete columns — the line string
+    # breaks the ties) pins the result exactly. The line-building rules
+    # are additionally exercised by flf_parse / flf_roundtrip /
+    # flf_quarantine, which replay the same _flf_line builder.
+    rows = [{"l_orderkey": int(ok), "l_linenumber": np.int32(ln),
+             "line": _flf_line(ok, ln, rf, ls, q, c, d)}
+            for ok, ln, rf, ls, q, c, d in _flf_rows()]
+    return pd.DataFrame(rows)
 
 
 @audit("flf_parse")
