@@ -16,9 +16,11 @@ object Streams {
     * files and run the identical parse pipeline incrementally. The batch
     * and streaming plans share FlfParse column-for-column.
     */
-  def flfIngest(spark: SparkSession, landingDir: String, schema: FixedSchema): DataFrame =
+  def flfIngest(spark: SparkSession, landingDir: String, schema: FixedSchema,
+                filesPerTrigger: Int = 16): DataFrame =
     FlfParse.parse(
-      spark.readStream.option("maxFilesPerTrigger", 16).text(landingDir), schema)
+      spark.readStream.option("maxFilesPerTrigger", filesPerTrigger)
+        .text(landingDir), schema)
 
   /** Sink half of the streaming convert: append parquet with checkpointing. */
   def flfIngestToParquet(parsed: DataFrame, outDir: String,
