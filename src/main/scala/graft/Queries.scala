@@ -2264,7 +2264,8 @@ object Queries {
        |FROM gr a JOIN gr b ON a.g = b.g AND a.doc_id < b.doc_id
        |GROUP BY a.doc_id, b.doc_id ORDER BY a_id, b_id"""
       .stripMargin.replace("\n", " ")) { (s, dir) =>
-    Dedup.sharedNgramPairs(tbl(s, dir, "documents"), "text", "doc_id", n = 8)
+    Dedup.sharedNgramPairs(tbl(s, dir, "documents"), "text", "doc_id", n = 8,
+        maxGramDocs = Int.MaxValue) // exact-regime pin (see dedup_minhash_lsh)
       .orderBy("a_id", "b_id")
   }
 
@@ -2283,7 +2284,7 @@ object Queries {
        |SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin.replace("\n", " ")) { (s, dir) =>
     val pairs = Dedup.sharedNgramPairs(tbl(s, dir, "documents"), "text",
-      "doc_id", n = 8)
+      "doc_id", n = 8, maxGramDocs = Int.MaxValue) // exact-regime pin
     Dedup.clusterPairs(pairs.select("a_id", "b_id")).orderBy("doc_id")
   }
 
@@ -4768,6 +4769,71 @@ object Queries {
     Pipeline.curate(tbl(s, dir, "documents"), lang = "en", minQuality = 0.5,
         sampleMod = 2, sampleKeep = 1)
       .select("doc_id", "source", "quality")
+      .orderBy("doc_id")
+  }
+
+  q("q_corpus_pipeline", {
+    // the FULL corpus pipeline as ONE oracle-backed query (r12; the
+    // composition gate's correctness half — ProbeCorpusPipeline holds
+    // the staged-equivalence + cost half at sf1/sf10): lang gate →
+    // quality gate → near-dup MinHash dedup (exact regime: the oracle
+    // replays exact LSH; the dispatcher default is regime-pinned
+    // elsewhere) → 13-gram decontamination against the doc_id%997 eval
+    // slice → 800-token budget per source in md5-hash order → pack into
+    // 256-token windows over 4 md5 shards.
+    val langCase = """(CASE
+      |    WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+      |    WHEN regexp_matches(text, '[\x{3040}-\x{30ff}]') THEN 'ja'
+      |    WHEN regexp_matches(text, '[\x{0400}-\x{04ff}]') THEN 'ru'
+      |    WHEN regexp_matches(text, '[¡¿ñ]') THEN 'es'
+      |    WHEN regexp_matches(text, '[äöüß]') THEN 'de'
+      |    WHEN regexp_matches(text, '[çàâêîôûœ]') THEN 'fr'
+      |    ELSE 'en' END)""".stripMargin
+    val qualityExpr = s"""round((len(list_distinct($toksSql))::DOUBLE / len($toksSql)) * 0.4
+      |    + least(1.0, len($toksSql) / 100.0) * 0.3
+      |    + (1 - len(list_filter($toksSql, t -> t IN ('the', 'a')))::DOUBLE / len($toksSql)) * 0.3,
+      |  6)""".stripMargin
+    val gateWhere = s"WHERE doc_id % 997 != 0 AND $langCase = 'en' AND $qualityExpr >= 0.5"
+    s"""WITH RECURSIVE ${minhashPairsCtes(bands = 3, rows = 3, where = gateWhere)},
+       |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION ALL SELECT b_id, a_id FROM pairs),
+       |reach AS (SELECT src AS doc_id, src AS r FROM edges
+       |  UNION SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc_id),
+       |cl AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+       |f AS (SELECT doc_id, source, text, $qualityExpr AS quality,
+       |  len($toksSql) AS n_tok FROM documents $gateWhere),
+       |surv0 AS (SELECT * FROM f WHERE doc_id NOT IN
+       |  (SELECT doc_id FROM cl WHERE cluster_id != doc_id)),
+       |evg AS (SELECT DISTINCT unnest(${shinglesSqlN(13)}) AS g
+       |  FROM documents WHERE doc_id % 997 = 0),
+       |cont AS (SELECT DISTINCT sg.doc_id FROM
+       |  (SELECT doc_id, unnest(${shinglesSqlN(13)}) AS g FROM surv0) sg
+       |  JOIN evg USING (g)),
+       |surv AS (SELECT * FROM surv0 WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+       |tb AS (SELECT doc_id, source, quality, n_tok,
+       |  SUM(n_tok) OVER (PARTITION BY source
+       |    ORDER BY ${md5Hash60Sql("doc_id")}, doc_id
+       |    ROWS UNBOUNDED PRECEDING) AS cum_tok FROM surv),
+       |sel AS (SELECT doc_id, source, quality, n_tok,
+       |  ${md5Hash60Sql("doc_id")} % 4 AS shard FROM tb WHERE cum_tok <= 800),
+       |pk AS (SELECT doc_id, source, quality, n_tok, shard,
+       |  SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+       |    ROWS UNBOUNDED PRECEDING) AS cum FROM sel)
+       |SELECT doc_id, source, quality, CAST(n_tok AS BIGINT) AS n_tok,
+       |  CAST(shard AS BIGINT) AS shard,
+       |  CAST((cum - n_tok) // 256 AS BIGINT) AS window_id,
+       |  CAST((cum - n_tok) % 256 AS BIGINT) AS "off"
+       |FROM pk ORDER BY doc_id""".stripMargin.replace("\n", " ")
+  }) { (s, dir) =>
+    val docs = tbl(s, dir, "documents")
+    // exact-regime pin inside corpusPipeline is not exposed; at the
+    // sf0.01 gate the gated corpus sits far under the probe floor, so
+    // the dispatcher routes exact unprobed and matches the exact-replay
+    // oracle by the floor contract (see dedup_auto_dispatch)
+    Pipeline.corpusPipeline(
+        docs.filter(col("doc_id") % 997 =!= 0),
+        docs.filter(col("doc_id") % 997 === 0),
+        budgetTokens = 800L, contextLen = 256, shards = 4)
       .orderBy("doc_id")
   }
 

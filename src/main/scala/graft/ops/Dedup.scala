@@ -385,16 +385,54 @@ object Dedup {
     * unrelated document. Exact, no verification step: the shingle IS the
     * criterion. One shuffle keyed on the n-gram itself; a window shared
     * by m documents contributes m·(m-1)/2 pairs, all true results, so
-    * fan-out is output-bounded (boilerplate-heavy corpora should strip
-    * boilerplate first — see repeatedSpans — exactly as with suffix
-    * arrays). Returns (a_id, b_id, n_shared = distinct shared windows).
+    * fan-out is output-bounded — which is exactly the danger on a
+    * boilerplate-heavy corpus, where the OUTPUT is n² (see the
+    * `maxGramDocs` contract below; stripping boilerplate first via
+    * repeatedSpans remains the semantically cleanest fix). Returns
+    * (a_id, b_id, n_shared = distinct shared windows).
+    */
+  /** `maxGramDocs` contract (r12; closes the documented boilerplate
+    * caveat): a window shared by m docs contributes C(m,2) pairs — every
+    * one TRUE, so on a boilerplate-heavy corpus the OUTPUT itself is n²
+    * (all docs carrying the same boilerplate sentence pair up). The
+    * DEFAULT is [[AutoBucket]] — [[sharedNgramPairsAuto]] probes the
+    * window-frequency distribution and, only when pair mass is
+    * superlinear in the gram rows, drops windows above the cap before
+    * the self-join (the stop-gram rule: a window shared by thousands of
+    * documents is boilerplate, not provenance). Under the cap a pair
+    * survives iff it shares at least one sub-cap window, and `n_shared`
+    * counts only sub-cap windows. `Int.MaxValue` forces exact (plan
+    * unchanged from r11 — no gating aggregate); a positive cap forces
+    * the gate.
     */
   def sharedNgramPairs(df: DataFrame, textCol: String, idCol: String,
-                       n: Int = 8): DataFrame = {
-    // shingles() already de-dups windows within a document, so the join
-    // key stream carries each (doc, window) once and COUNT = distinct
-    val grams = df.select(col(idCol).as("doc_id"),
+                       n: Int = 8, maxGramDocs: Int = AutoBucket): DataFrame =
+    if (maxGramDocs == AutoBucket)
+      sharedNgramPairsAuto(df, textCol, idCol, n).pairs
+    else {
+      // shingles() already de-dups windows within a document, so the join
+      // key stream carries each (doc, window) once and COUNT = distinct
+      val grams = gramFrame(df, textCol, idCol, n)
+      gramSelfJoin(capGrams(grams, maxGramDocs))
+    }
+
+  private def gramFrame(df: DataFrame, textCol: String, idCol: String,
+                        n: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"),
       explode(TextAnalysis.shingles(col(textCol), n)).as("g"))
+
+  /** Drop windows shared by more than `maxGramDocs` docs before the
+    * self-join; Int.MaxValue skips the gating aggregate entirely.
+    */
+  private def capGrams(grams: DataFrame, maxGramDocs: Int): DataFrame =
+    if (maxGramDocs == Int.MaxValue) grams
+    else {
+      val keep = grams.groupBy("g").agg(count(lit(1)).as("__k"))
+        .filter(col("__k") <= maxGramDocs).select("g")
+      grams.join(keep, Seq("g"), "left_semi")
+    }
+
+  private def gramSelfJoin(grams: DataFrame): DataFrame =
     // explode-derived join sides defeat the size estimator (it cannot see
     // the fan-out) — pin the shuffle join so a "small" estimate never
     // broadcasts a corpus-sized gram frame (the q_fuzzy_join lesson)
@@ -403,6 +441,62 @@ object Dedup {
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("n_shared"))
+
+  /** Stop-gram dispatcher defaults. The cap matches the LSH bucket cap
+    * (both gate "key shared by a linear corpus fraction" hot keys); the
+    * routing threshold is in PAIRS PER GRAM ROW — gram rows ≈ corpus
+    * token mass, so `pairs ≤ 8 · gramRows` holds for real dup families
+    * (a family of m verbatim copies contributes ~L·C(m,2) pairs on
+    * ~L·m rows = (m−1)/2 per row — families to m≈17 stay exact) while a
+    * boilerplate window shared by a corpus FRACTION crosses it at any
+    * real scale (measured on the constructed shapes in PLANS.md r12).
+    */
+  val DefaultCappedGramDocs: Int = 50
+  val DefaultMaxPairsPerGramRow: Long = 8L
+
+  /** One dispatched shared-span run: regime, probe stats over the
+    * window-frequency distribution, band-level pair retention
+    * (capped-pair mass / exact-pair mass; 1.0 in the exact regime), and
+    * the pair frame.
+    */
+  case class SpanDispatch(regime: String, nGramRows: Long, estPairs: Long,
+                          estPairsCapped: Long, maxGramDocsObserved: Long,
+                          pairRetention: Double, cap: Int, pairs: DataFrame)
+
+  /** Size-aware shared-span dispatcher (the minhashLshAuto pattern on
+    * the window-posting distribution). The gram frame checkpoints
+    * lazily and ONE map-side-combined probe (groupBy window count →
+    * Σ C(k,2), its ≤cap restriction, max k, total rows) rides on it;
+    * exact routing keeps the r11 plan shape, capped routing drops
+    * over-cap windows with a semi join. No row-count floor: unlike the
+    * band frame (`bands` rows/doc) the gram frame's worst case is not
+    * bounded by its row count alone, and the probe is one aggregate
+    * over rows the self-join was about to shuffle anyway.
+    */
+  def sharedNgramPairsAuto(df: DataFrame, textCol: String, idCol: String,
+                           n: Int = 8,
+                           cappedGramDocs: Int = DefaultCappedGramDocs,
+                           maxPairsPerGramRow: Long = DefaultMaxPairsPerGramRow)
+      : SpanDispatch = {
+    val grams = gramFrame(df, textCol, idCol, n).localCheckpoint(false)
+    val st = grams.groupBy("g").agg(count(lit(1)).as("k"))
+      .agg(sum(expr("(k * (k - 1)) div 2")).as("cand"),
+        sum(when(col("k") <= cappedGramDocs, expr("(k * (k - 1)) div 2"))
+          .otherwise(lit(0L))).as("cand_capped"),
+        max(col("k")).as("max_k"), sum(col("k")).as("gram_rows"))
+      .collect()(0)
+    def lng(i: Int): Long = if (st.isNullAt(i)) 0L else st.getLong(i)
+    val (cand, candCapped, maxK, gramRows) = (lng(0), lng(1), lng(2), lng(3))
+    val exact = cand <= maxPairsPerGramRow * math.max(gramRows, 1L)
+    SpanDispatch(
+      regime = if (exact) "exact" else "capped",
+      nGramRows = gramRows, estPairs = cand, estPairsCapped = candCapped,
+      maxGramDocsObserved = maxK,
+      pairRetention =
+        if (exact) 1.0 else candCapped.toDouble / math.max(cand, 1L),
+      cap = if (exact) Int.MaxValue else cappedGramDocs,
+      pairs = gramSelfJoin(
+        if (exact) grams else capGrams(grams, cappedGramDocs)))
   }
 
   /** Incremental shared-span filter: drop incoming docs sharing ANY

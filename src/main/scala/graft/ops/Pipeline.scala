@@ -251,6 +251,62 @@ object Pipeline {
     * BELOW the shuffle, so the exchange carries only the
     * language-and-quality survivors.
     */
+  /** The FULL training-corpus pipeline composed end to end as ONE
+    * declarative job (VERDICT r11 task 2 — [[curate]] composes only the
+    * light funnel): language filter → quality gate → DISPATCHER-ROUTED
+    * near-dup dedup ([[Dedup.dedupByMinhash]], AutoBucket) →
+    * decontamination against the eval set (13-gram overlap) →
+    * per-source token-budget sample → sequence packing. Returns the
+    * packed frame: every surviving doc with (quality, n_tok, shard,
+    * window_id, off).
+    *
+    * Composition discipline (what ProbeCorpusPipeline measures at
+    * sf1/sf10): the narrow gates fuse into the scan; the heavy stages
+    * keep their own shuffle keys (band digest / gram hash / stratum /
+    * shard) with nothing re-shuffled twice on the same key; the
+    * near-dup drop set and the contaminated-id set stay
+    * drop-list-sized (broadcast anti joins), so the corpus itself is
+    * never shuffled between the gates. End-to-end survivors equal the
+    * staged composition of the individual operators exactly (the probe
+    * asserts it), because every stage is deterministic in its input —
+    * no stage depends on partitioning or arrival order.
+    */
+  def corpusPipeline(docs: DataFrame, evalSet: DataFrame,
+                     lang: String = "en", minQuality: Double = 0.5,
+                     nearDupThreshold: Double = 0.5,
+                     decontaminateShingleN: Int = 13,
+                     budgetTokens: Long = Long.MaxValue,
+                     contextLen: Int = 512, shards: Int = 8,
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val nTok = size(split(col(textCol), "\\s+")).cast("long")
+    // checkpoint the gate ONCE: its survivors feed the dedup banding,
+    // the dedup anti-join probe, the decontamination gram scan, and the
+    // final pass — left lazy, the lang+quality lineage re-executes in
+    // every broadcast subtree and the composed job ran 2x SLOWER than
+    // the five stages run separately (the r12 composition gate's
+    // finding, ProbeCorpusPipeline: 34.4 vs 17.9 s at sf1 before this
+    // line). Lazy checkpoint: the first consumer materializes it inside
+    // a job it was running anyway.
+    val gated = docs
+      .filter(graft.ops.TextAnalysis.langId(col(textCol)) === lang)
+      .withColumn("quality", graft.ops.TextAnalysis.qualityScore(col(textCol)))
+      .filter(col("quality") >= minQuality)
+      .localCheckpoint(false)
+    val deduped = Dedup.dedupByMinhash(gated, textCol, idCol,
+      threshold = nearDupThreshold)
+    val clean = decontaminate(deduped, evalSet, textCol, idCol,
+      decontaminateShingleN)
+    val sampled =
+      if (budgetTokens == Long.MaxValue) clean
+      else tokenBudgetSample(clean, "source", idCol, nTok, budgetTokens)
+    // compute the token count BEFORE dropping the text column the
+    // packing frame no longer needs to carry
+    packSequences(
+      sampled.select(col(idCol), col("source"), col("quality"),
+        nTok.as("__toks")),
+      idCol, col("__toks"), contextLen, shards).drop("__toks")
+  }
+
   def curate(docs: DataFrame, lang: String, minQuality: Double,
              sampleMod: Int, sampleKeep: Int,
              textCol: String = "text", idCol: String = "doc_id"): DataFrame = {

@@ -2820,6 +2820,43 @@ class AdviceRegressionSpec extends AnyFunSuite {
     assert(got((0L, 2L)) == 5L) // all 5 windows of the exact dup
   }
 
+  test("sharedNgramPairsAuto: boilerplate window flips the stop-gram gate; " +
+    "honest corpus routes exact (regime pin)") {
+    // 60 docs all carrying the same 4-token boilerplate + unique bodies:
+    // the boilerplate windows pair every doc with every other (C(60,2)
+    // pairs over ~8 gram rows/doc — far past 8 pairs/row), so the
+    // dispatcher must gate; the one true verbatim pair (100, 101) shares
+    // sub-cap windows and must survive with its n_shared intact
+    val boiler = (0L until 60L).map(i =>
+      (i, s"unique$i body$i words$i here$i please subscribe to our newsletter"))
+    val pair = Seq(
+      (100L, "entirely fresh content alpha beta gamma delta epsilon"),
+      (101L, "entirely fresh content alpha beta gamma delta epsilon"))
+    val df = (boiler ++ pair).toDF("doc_id", "text")
+    val d = Dedup.sharedNgramPairsAuto(df, "text", "doc_id", n = 4,
+      cappedGramDocs = 10)
+    assert(d.regime == "capped" && d.cap == 10)
+    assert(d.maxGramDocsObserved == 60) // the boilerplate window postings
+    assert(d.pairRetention < 0.01) // C(60,2)-class mass gated away
+    val got = d.pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((100L, 101L) -> 5L)) // all 5 windows of the dup pair
+    // a corpus of honest dup families (m=3 << cap) routes exact: the
+    // dispatched result equals the forced-exact result
+    val honest = (0L until 30L).map { i =>
+      val f = i / 3 // families of 3 verbatim copies, fully distinct texts
+      (i, s"fam${f}a fam${f}b fam${f}c fam${f}d fam${f}e fam${f}f")
+    }.toDF("doc_id", "text")
+    val h = Dedup.sharedNgramPairsAuto(honest, "text", "doc_id", n = 4)
+    assert(h.regime == "exact" && h.pairRetention == 1.0)
+    val hGot = h.pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toSet
+    val hExact = Dedup.sharedNgramPairs(honest, "text", "doc_id", n = 4,
+        maxGramDocs = Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toSet
+    assert(hGot == hExact)
+  }
+
   test("LSH candidate pairs are a superset of the verified minhash pairs") {
     val corpus = Seq(
       (0L, "the cat sat on the mat and looked at the dog"),

@@ -5948,6 +5948,66 @@ def curate_pipeline():
     return pd.DataFrame(rows)
 
 
+@audit("q_corpus_pipeline")
+def corpus_pipeline():
+    # the FULL composed pipeline (r12): en gate -> quality >= 0.5 ->
+    # minhash near-dup dedup (exact replay; the engine routes exact by
+    # the probe-floor contract at this scale) -> 13-gram decontamination
+    # vs the doc_id%997 eval slice -> 800-token budget per source in
+    # md5-hash order -> pack into 256-token windows over 4 md5 shards.
+    d = table("documents")
+    pred = _langid_pred(d.text.values)
+    toks = _tokens_per_doc()
+    srcs = dict(zip(d.doc_id.astype(int), d.source))
+    eval_ids = {int(i) for i in d.doc_id if int(i) % 997 == 0}
+    gated = []
+    for did, lang in zip(d.doc_id.astype(int), pred):
+        did = int(did)
+        if did % 997 == 0 or lang != "en":
+            continue
+        q = _quality_score(toks[did])
+        if q >= 0.5:
+            gated.append((did, q))
+    gids = {did for did, _ in gated}
+    _, _, verified = _lsh_pipeline(doc_filter=lambda x: x in gids)
+    label = _components(verified.keys())
+    dropped = {x for x, l in label.items() if l != x}
+
+    def grams13(ts):
+        return {" ".join(ts[i:i + 13]) for i in range(len(ts) - 12)} \
+            if len(ts) >= 13 else set()
+    evg = set()
+    for did in eval_ids:
+        evg |= grams13(toks[did])
+    surv = [(did, q) for did, q in gated
+            if did not in dropped and not (grams13(toks[did]) & evg)]
+    from collections import defaultdict
+    by_src = defaultdict(list)
+    for did, q in surv:
+        by_src[srcs[did]].append((md5h60(did), did, q))
+    sel = []
+    for s_, lst in by_src.items():
+        lst.sort()
+        cum = 0
+        for _, did, q in lst:
+            cum += len(toks[did])
+            if cum <= 800:
+                sel.append((did, s_, q, len(toks[did])))
+    shards = defaultdict(list)
+    for did, s_, q, n in sel:
+        shards[md5h60(did) % 4].append((did, s_, q, n))
+    rows = []
+    for sh, lst in shards.items():
+        cum = 0
+        for did, s_, q, n in sorted(lst):
+            rows.append({"doc_id": did, "source": s_, "quality": q,
+                         "n_tok": n, "shard": sh,
+                         "window_id": cum // 256, "off": cum % 256})
+            cum += n
+    rows.sort(key=lambda r: r["doc_id"])
+    return pd.DataFrame(rows)
+
+
 @audit("q_curate_audit")
 def curate_audit():
     # the same pipeline with per-stage drop FLAGS retained for every doc
