@@ -131,7 +131,11 @@ object Dedup {
     // join would pay an eager full-corpus materialization for nothing)
     if (checkpointBands) {
       val b = bandRows.localCheckpoint(false)
-      (sh, b, b.count()) // materializes b AND the lazy sh in ONE job
+      // classic RDD count over the internal rows: ONE job (a Dataset
+      // .count() plans an AQE aggregate that runs as two), materializing
+      // b AND the lazy sh — byte-for-byte what eager localCheckpoint's
+      // own internal count did, plus the number comes back
+      (sh, b, b.queryExecution.toRdd.count())
     } else (sh, bandRows, -1L)
   }
 
