@@ -106,11 +106,13 @@ object Linkage {
 
   /** One blocking pass's dispatch decision: the probe's measured totals
     * (`estPairs` = Σ|L_b|·|R_b|, `estPairsGated` = the ≤cap restriction,
-    * `skippedBlocks` = over-cap block count) and the regime chosen —
-    * `cap` is `Long.MaxValue` when the pass runs exact.
+    * `overCapBlocks` = blocks whose fan-out exceeds the cap — OBSERVED
+    * by the probe in both regimes; they are actually skipped only when
+    * the pass routes capped) and the regime chosen — `cap` is
+    * `Long.MaxValue` when the pass runs exact.
     */
   case class PassDispatch(pass: Int, regime: String, estPairs: Long,
-                          estPairsGated: Long, skippedBlocks: Long,
+                          estPairsGated: Long, overCapBlocks: Long,
                           cap: Long)
 
   /** One dispatched candidate generation: per-pass decisions plus input

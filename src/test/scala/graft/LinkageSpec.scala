@@ -72,7 +72,7 @@ class LinkageSpec extends AnyFunSuite {
       (col("l_name"), col("r_name"))))            // backstop: unique names
     assert(d.regime == "capped" && d.nLeft == 600 && d.nRight == 600)
     assert(d.passes(0).regime == "capped" && d.passes(0).estPairs == 360000L
-      && d.passes(0).skippedBlocks == 1 && d.passes(0).estPairsGated == 0L)
+      && d.passes(0).overCapBlocks == 1 && d.passes(0).estPairsGated == 0L)
     assert(d.passes(1).regime == "exact" && d.passes(1).estPairs == 600L)
     // the degenerate pass contributes nothing; the backstop finds all
     // 600 true pairs and ONLY those — no all-pairs blowup in the result

@@ -42,7 +42,7 @@ object ProbeLinkAuto {
     val d = Linkage.candidatesAuto(l, r, "l_id", "r_id", passes)
     d.passes.foreach(p => println(
       s"pass ${p.pass}: regime=${p.regime} estPairs=${p.estPairs} " +
-        s"gated=${p.estPairsGated} skippedBlocks=${p.skippedBlocks}"))
+        s"gated=${p.estPairsGated} overCapBlocks=${p.overCapBlocks}"))
     val nDispatched = t(s"dispatched (n=$n)") { d.pairs.count() }
     val nExact = t(s"forced exact (n=$n)") {
       Linkage.candidates(l, r, "l_id", "r_id", passes,
