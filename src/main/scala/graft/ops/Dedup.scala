@@ -288,18 +288,27 @@ object Dedup {
   private def probeRoute(bandRows: DataFrame, bands: Int, cappedBucket: Int,
                          maxCandidatesPerDoc: Long)
       : (DataFrame, Boolean, (Long, Long, Long, Long)) = {
+    // pair mass sums in DOUBLE: a hot bucket of k docs contributes
+    // k(k-1)/2, and at the corpus sizes this probe exists to defend
+    // against (k a linear fraction of 1e10+ docs) the Long form wraps
+    // silently and could route the most degenerate corpus EXACT (r12
+    // review). Double is approximate above 2^53 — routing is an
+    // order-of-magnitude decision, and the reported estimates saturate
+    // at Long.MaxValue.
+    val half = col("k").cast("double") * (col("k") - 1).cast("double") / 2
     val st = bandRows.groupBy("band", "digest").agg(count(lit(1)).as("k"))
-      .agg(sum(expr("(k * (k - 1)) div 2")).as("cand"),
-        sum(when(col("k") <= cappedBucket, expr("(k * (k - 1)) div 2"))
-          .otherwise(lit(0L))).as("cand_capped"),
+      .agg(sum(half).as("cand"),
+        sum(when(col("k") <= cappedBucket, half).otherwise(lit(0.0d)))
+          .as("cand_capped"),
         max(col("k")).as("max_k"), sum(col("k")).as("band_rows"))
       .collect()(0)
     def lng(i: Int): Long = if (st.isNullAt(i)) 0L else st.getLong(i)
-    val (cand, candCapped, maxK) = (lng(0), lng(1), lng(2))
+    def dbl(i: Int): Double = if (st.isNullAt(i)) 0.0 else st.getDouble(i)
+    val (cand, candCapped, maxK) = (dbl(0), dbl(1), lng(2))
     val nDocs = lng(3) / bands // each banded doc emits exactly `bands` rows
-    val exact = cand <= maxCandidatesPerDoc * math.max(nDocs, 1L)
+    val exact = cand <= maxCandidatesPerDoc.toDouble * math.max(nDocs, 1L)
     val routed = if (exact) bandRows else capBuckets(bandRows, cappedBucket)
-    (routed, exact, (nDocs, cand, candCapped, maxK))
+    (routed, exact, (nDocs, cand.toLong, candCapped.toLong, maxK))
   }
 
   /** [[probeRoute]] with the dispatcher defaults, band frame only — the
@@ -415,8 +424,15 @@ object Dedup {
       sharedNgramPairsAuto(df, textCol, idCol, n).pairs
     else {
       // shingles() already de-dups windows within a document, so the join
-      // key stream carries each (doc, window) once and COUNT = distinct
-      val grams = gramFrame(df, textCol, idCol, n)
+      // key stream carries each (doc, window) once and COUNT = distinct.
+      // A FORCED positive cap gives the gram frame three consumers (keep
+      // aggregate + both self-join sides): checkpoint it, as the auto
+      // path does — only the forced-exact plan stays checkpoint-free
+      // (its two self-join scans share one exchange)
+      val grams0 = gramFrame(df, textCol, idCol, n)
+      val grams =
+        if (maxGramDocs == Int.MaxValue) grams0
+        else grams0.localCheckpoint(false)
       gramSelfJoin(capGrams(grams, maxGramDocs))
     }
 
@@ -483,15 +499,20 @@ object Dedup {
                            maxPairsPerGramRow: Long = DefaultMaxPairsPerGramRow)
       : SpanDispatch = {
     val grams = gramFrame(df, textCol, idCol, n).localCheckpoint(false)
+    // double pair-mass sums, as in probeRoute: the Long form wraps on
+    // exactly the degenerate input this gate exists to catch
+    val half = col("k").cast("double") * (col("k") - 1).cast("double") / 2
     val st = grams.groupBy("g").agg(count(lit(1)).as("k"))
-      .agg(sum(expr("(k * (k - 1)) div 2")).as("cand"),
-        sum(when(col("k") <= cappedGramDocs, expr("(k * (k - 1)) div 2"))
-          .otherwise(lit(0L))).as("cand_capped"),
+      .agg(sum(half).as("cand"),
+        sum(when(col("k") <= cappedGramDocs, half).otherwise(lit(0.0d)))
+          .as("cand_capped"),
         max(col("k")).as("max_k"), sum(col("k")).as("gram_rows"))
       .collect()(0)
     def lng(i: Int): Long = if (st.isNullAt(i)) 0L else st.getLong(i)
-    val (cand, candCapped, maxK, gramRows) = (lng(0), lng(1), lng(2), lng(3))
-    val exact = cand <= maxPairsPerGramRow * math.max(gramRows, 1L)
+    def dbl(i: Int): Double = if (st.isNullAt(i)) 0.0 else st.getDouble(i)
+    val (candD, candCappedD, maxK, gramRows) = (dbl(0), dbl(1), lng(2), lng(3))
+    val (cand, candCapped) = (candD.toLong, candCappedD.toLong)
+    val exact = candD <= maxPairsPerGramRow.toDouble * math.max(gramRows, 1L)
     SpanDispatch(
       regime = if (exact) "exact" else "capped",
       nGramRows = gramRows, estPairs = cand, estPairsCapped = candCapped,

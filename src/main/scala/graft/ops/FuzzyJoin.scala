@@ -116,7 +116,9 @@ object FuzzyJoin {
         val hot = spread0.groupBy("h").agg(count(lit(1)).as("__k"))
           .filter(col("__k") > maxBucket).select("h")
           .localCheckpoint(false)
-        val nHot = hot.count()
+        // classic internal-RDD count: one job that also materializes the
+        // checkpoint (Dataset.count would plan an AQE aggregate = two)
+        val nHot = hot.queryExecution.toRdd.count()
         if (nHot <= MaxBroadcastHotKeys)
           spread0.join(broadcast(hot), Seq("h"), "left_anti")
         else spread0.join(hot.hint("shuffle_hash"), Seq("h"), "left_anti")

@@ -153,27 +153,35 @@ object Linkage {
         .agg(count(lit(1)).as("__nl"))
       val r = right.select(rk.as("__bk")).groupBy("__bk")
         .agg(count(lit(1)).as("__nr"))
-      val p = coalesce(col("__nl"), lit(0L)) * coalesce(col("__nr"), lit(0L))
+      // fan-out products and their sums in DOUBLE: on the degenerate
+      // 1e10-rows-per-side block this probe exists to catch, the Long
+      // product wraps silently and could route the pass EXACT (r12
+      // review). Routing is an order-of-magnitude decision; reported
+      // estimates saturate at Long.MaxValue.
+      val p = coalesce(col("__nl"), lit(0L)).cast("double") *
+        coalesce(col("__nr"), lit(0L)).cast("double")
       l.join(r, Seq("__bk"), "full_outer")
         .agg(lit(i).as("pass"),
           sum(p).as("pairs"),
-          sum(when(p <= cappedBlockPairs, p).otherwise(lit(0L)))
+          sum(when(p <= cappedBlockPairs.toDouble, p).otherwise(lit(0.0d)))
             .as("pairs_gated"),
-          sum(when(p > cappedBlockPairs, lit(1L)).otherwise(lit(0L)))
+          sum(when(p > cappedBlockPairs.toDouble, lit(1L)).otherwise(lit(0L)))
             .as("over"),
           sum(coalesce(col("__nl"), lit(0L))).as("nl"),
           sum(coalesce(col("__nr"), lit(0L))).as("nr"))
     }.reduce(_ union _).collect()
     def lng(r: org.apache.spark.sql.Row, i: Int): Long =
       if (r.isNullAt(i)) 0L else r.getLong(i)
+    def dbl(r: org.apache.spark.sql.Row, i: Int): Double =
+      if (r.isNullAt(i)) 0.0 else r.getDouble(i)
     val byPass = probeRows.map(r => r.getInt(0) -> r).toMap
     val (nL, nR) = (lng(byPass(0), 4), lng(byPass(0), 5))
     val decisions = passes.indices.map { i =>
       val r = byPass(i)
-      val pairs = lng(r, 1)
-      val exact = pairs <= maxPairsPerRow * math.max(nL + nR, 1L)
-      PassDispatch(i, if (exact) "exact" else "capped", pairs,
-        lng(r, 2), lng(r, 3),
+      val pairs = dbl(r, 1)
+      val exact = pairs <= maxPairsPerRow.toDouble * math.max(nL + nR, 1L)
+      PassDispatch(i, if (exact) "exact" else "capped", pairs.toLong,
+        dbl(r, 2).toLong, lng(r, 3),
         if (exact) Long.MaxValue else cappedBlockPairs)
     }
     LinkDispatch(

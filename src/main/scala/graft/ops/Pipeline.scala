@@ -278,7 +278,11 @@ object Pipeline {
                      budgetTokens: Long = Long.MaxValue,
                      contextLen: Int = 512, shards: Int = 8,
                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val nTok = size(split(col(textCol), "\\s+")).cast("long")
+    // the DECLARED corpus tokenizer (split of trimmed text) — an
+    // untrimmed split would count a phantom leading token on
+    // whitespace-padded text and shift every budget cut downstream
+    // (r12 review finding)
+    val nTok = size(graft.ops.TextAnalysis.tokens(col(textCol))).cast("long")
     // checkpoint the gate ONCE: its survivors feed the dedup banding,
     // the dedup anti-join probe, the decontamination gram scan, and the
     // final pass — left lazy, the lang+quality lineage re-executes in

@@ -47,7 +47,7 @@ object ProbeCorpusPipeline {
       val evalSet = docs.filter(col("doc_id") % 997 === 0).localCheckpoint()
       val train = docs.filter(col("doc_id") % 997 =!= 0).localCheckpoint()
       val totTok = train.agg(
-        sum(size(split(col("text"), "\\s+")))).collect()(0).getLong(0)
+        sum(size(graft.ops.TextAnalysis.tokens(col("text"))))).collect()(0).getLong(0)
       // a budget that BINDS (~60% of the mean per-source token mass)
       val budget = (totTok * 0.6 / 20).toLong
       println(s"== $dir: ${train.count()} train docs, $totTok tokens, " +
@@ -63,7 +63,7 @@ object ProbeCorpusPipeline {
         out
       }
 
-      val nTok = size(split(col("text"), "\\s+")).cast("long")
+      val nTok = size(graft.ops.TextAnalysis.tokens(col("text"))).cast("long")
       val composedPlan = Pipeline.corpusPipeline(train, evalSet,
         budgetTokens = budget, contextLen = 512, shards = 8)
       println(s"composed final-plan exchanges: ${exchanges(composedPlan)}")

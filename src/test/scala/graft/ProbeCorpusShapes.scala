@@ -14,9 +14,12 @@ import org.apache.spark.sql.functions._
   *   python3 tools/gen_corpus.py boilerplate 20000 target/corpora/boilerplate_20000.parquet
   *   sbt -batch "Test/runMain graft.ProbeCorpusShapes target/corpora/boilerplate_20000.parquet ..."
   *
-  * Each corpus plants 2% true near-dups (text-edit copies), so recall =
-  * dispatched ∩ exact over exact is measured on REAL positives, not
-  * vocabulary-collision noise. Exact baselines are skipped when the
+  * Each corpus plants 2% near-dups (text-edit copies) and writes the
+  * planted (a_id, b_id) list alongside (<corpus>.pairs.parquet), so
+  * recall is measured against the ACTUAL ground truth: planted-true =
+  * planted ∩ the exact run's result (a planted pair the exact operator
+  * itself rejects — jaccard under threshold after heavy edits — is not
+  * a positive either path owes). Exact baselines are skipped when the
   * probe's own estimate says they are >2e8 raw candidates (the
   * measurement would be the n² run the dispatcher exists to refuse).
   */
@@ -41,7 +44,9 @@ object ProbeCorpusShapes {
 
     args.foreach { path =>
       val docs = spark.read.parquet(path).localCheckpoint()
-      println(s"== $path ==")
+      val planted = spark.read.parquet(
+        path.stripSuffix(".parquet") + ".pairs.parquet").localCheckpoint()
+      println(s"== $path (${planted.count()} planted pairs) ==")
 
       // --- MinHash-LSH dispatcher ---
       val d = Dedup.minhashLshAuto(docs, "text", "doc_id", probeFloorDocs = 0)
@@ -58,8 +63,13 @@ object ProbeCorpusShapes {
         }
         val nEx = exact.count()
         val hit = d.pairs.join(exact, Seq("a_id", "b_id"), "left_semi").count()
+        val pTrue = exact.join(planted, Seq("a_id", "b_id"), "left_semi")
+          .localCheckpoint()
+        val pAll = pTrue.count()
+        val pKept = d.pairs.join(pTrue, Seq("a_id", "b_id"), "left_semi").count()
         println(f"lsh   exact:      $nEx%9d verified pairs in $tEx%7.1f s " +
-          f"recall=${hit.toDouble / math.max(nEx, 1L)}%.4f")
+          f"recall=${hit.toDouble / math.max(nEx, 1L)}%.4f " +
+          f"planted-recall=${pKept.toDouble / math.max(pAll, 1L)}%.4f ($pKept/$pAll)")
       } else println("lsh   exact:      SKIPPED (probe estimate > 2e8 raw candidates)")
 
       // --- stop-gram shared-span dispatcher ---
@@ -76,20 +86,13 @@ object ProbeCorpusShapes {
             maxGramDocs = Int.MaxValue).localCheckpoint()
         }
         val nEx = exactSpan.count()
-        // recall over the PLANTED near-dup pairs: a planted copy shares
-        // long verbatim runs with its source, so every planted pair is a
-        // true span pair; boilerplate-only pairs are exactly the mass the
-        // stop-gram rule is allowed to drop
-        val n = docs.count()
-        // a planted copy shares its WHOLE unique body with its source
-        // (>=8 surviving 8-gram windows even after 2 token edits), while
-        // a boilerplate-only pair shares at most the template's 5
-        // windows — n_shared >= 8 separates the true planted pairs from
-        // the boilerplate mass on every generated shape
-        val planted = exactSpan
-          .filter(col("b_id") >= n - n / 50 && col("n_shared") >= 8)
-        val pKept = sp.pairs.join(planted, Seq("a_id", "b_id"), "left_semi").count()
-        val pAll = planted.count()
+        // planted-true = planted ∩ exact span pairs (the GENERATOR's
+        // list, not a reconstruction — r12 review: an n_shared heuristic
+        // silently dropped hard planted pairs from the denominator)
+        val pTrue = exactSpan.join(planted, Seq("a_id", "b_id"), "left_semi")
+          .localCheckpoint()
+        val pAll = pTrue.count()
+        val pKept = sp.pairs.join(pTrue, Seq("a_id", "b_id"), "left_semi").count()
         println(f"span  exact:      $nEx%9d pairs in $tEx%7.1f s " +
           f"planted-pair recall=${pKept.toDouble / math.max(pAll, 1L)}%.4f ($pKept/$pAll)")
       } else println("span  exact:      SKIPPED (probe estimate > 2e8 pairs)")

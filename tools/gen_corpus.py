@@ -14,9 +14,11 @@ Shapes:
                minima concentrate on the globally-common shingles and hot
                buckets grow as a linear corpus fraction.
 
-Both shapes plant 2% true near-dup pairs (a copy of an earlier doc with
-1-2 token edits) so verified-pair recall is measurable against ground
-truth by construction.
+Both shapes plant 2% near-dup pairs (a copy of an earlier doc with
+1-2 token edits); the planted (a_id, b_id) list is WRITTEN alongside as
+<out minus .parquet>.pairs.parquet so recall is measured against the
+actual ground truth, not a reconstruction heuristic (r12 review: the
+heuristic silently dropped hard planted pairs from the denominator).
 
 Usage: gen_corpus.py <shape> <n_docs> <out.parquet>
 """
@@ -55,24 +57,33 @@ def gen(shape, n):
     # plant 2% near-dups: doc i copies doc j<i with 1-2 token edits
     n_dup = n // 50
     dup_targets = rng.integers(0, n - n_dup, size=n_dup)
+    pairs = []
     for k in range(n_dup):
         i = n - n_dup + k
         toks = texts[dup_targets[k]].split()
         for _ in range(int(rng.integers(1, 3))):
             toks[int(rng.integers(len(toks)))] = f"edit{k}"
         texts[i] = " ".join(toks)
-    return texts
+        a, b = sorted((int(dup_targets[k]), i))
+        pairs.append((a, b))
+    return texts, pairs
 
 
 def main():
     shape, n, out = sys.argv[1], int(sys.argv[2]), sys.argv[3]
-    texts = gen(shape, n)
+    texts, pairs = gen(shape, n)
     t = pa.table({
         "doc_id": pa.array(range(n), pa.int64()),
         "text": pa.array(texts, pa.string()),
     })
     pq.write_table(t, out)
-    print(f"{out}: {n} docs, shape={shape}, "
+    pout = out[:-len(".parquet")] + ".pairs.parquet" \
+        if out.endswith(".parquet") else out + ".pairs.parquet"
+    pq.write_table(pa.table({
+        "a_id": pa.array([a for a, _ in pairs], pa.int64()),
+        "b_id": pa.array([b for _, b in pairs], pa.int64()),
+    }), pout)
+    print(f"{out}: {n} docs, shape={shape}, {len(pairs)} planted pairs, "
           f"avg_len={sum(len(x.split()) for x in texts) / n:.1f} tokens")
 
 
