@@ -2269,6 +2269,42 @@ object Queries {
       .orderBy("a_id", "b_id")
   }
 
+  q("q_eval_span_cap_sweep", {
+    // the stop-gram gate's tuning table (the q_eval_lsh_bucket_sweep
+    // pattern for sharedNgramPairs): pair recall under three explicit
+    // maxGramDocs caps vs the exact pair set. A pair survives cap c iff
+    // its MINIMUM shared-window posting count <= c, and capped pairs
+    // are always a SUBSET of exact pairs, so recall = n_pairs/n_truth
+    // with no intersection join. Run this before trusting a cap on a
+    // new corpus — the dispatcher default's cap is 50.
+    s"""WITH gr AS (SELECT doc_id, unnest(${shinglesSqlN(8)}) AS g FROM documents),
+       |kc AS (SELECT g, COUNT(*) AS k FROM gr GROUP BY g),
+       |pr AS (SELECT kc.k, a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM gr a JOIN gr b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  JOIN kc ON kc.g = a.g),
+       |agg AS (SELECT a_id, b_id, MIN(k) AS min_k FROM pr GROUP BY 1, 2),
+       |caps(c) AS (VALUES (1000000), (20), (3))
+       |SELECT c AS max_gram_docs, COUNT(*) AS n_truth,
+       |  COUNT(*) FILTER (WHERE min_k <= c) AS n_pairs,
+       |  round(COUNT(*) FILTER (WHERE min_k <= c)::DOUBLE / COUNT(*), 6)
+       |    AS recall
+       |FROM agg, caps GROUP BY c ORDER BY max_gram_docs DESC"""
+      .stripMargin.replace("\n", " ")
+  }) { (s, dir) =>
+    val docs = tbl(s, dir, "documents")
+    // two consumers per cap arm reference truth; compute it once
+    val truth = Dedup.sharedNgramPairs(docs, "text", "doc_id", n = 8,
+      maxGramDocs = Int.MaxValue).select("a_id", "b_id").localCheckpoint()
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    Seq(1000000, 20, 3).map { cap =>
+      Dedup.sharedNgramPairs(docs, "text", "doc_id", n = 8, maxGramDocs = cap)
+        .agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(nTruth)
+        .select(lit(cap).as("max_gram_docs"), col("n_truth"), col("n_pairs"),
+          round(col("n_pairs").cast("double") / col("n_truth"), 6).as("recall"))
+    }.reduce(_ union _).orderBy(col("max_gram_docs").desc)
+  }
+
   q("dedup_span_clusters",
     // shared-span pairs -> connected components: the family view of
     // exact-substring dedup (dedup_cluster's pipeline with the span

@@ -3075,6 +3075,39 @@ def dedup_auto_dispatch():
                           "probed": False, "regime": "exact"}])
 
 
+@audit("q_eval_span_cap_sweep")
+def eval_span_cap_sweep():
+    # stop-gram tuning table: pair recall under explicit window-posting
+    # caps, derived from raw 8-gram postings (a pair survives cap c iff
+    # its minimum shared-window posting count <= c).
+    toks = _tokens_per_doc()
+    posts = {}
+    for did, ts in toks.items():
+        for i in range(len(ts) - 7):
+            posts.setdefault(" ".join(ts[i:i + 8]), set()).add(did)
+    min_k = {}
+    for g, docs in posts.items():
+        k = len(docs)
+        if k < 2:
+            continue
+        ds = sorted(docs)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                pr = (ds[i], ds[j])
+                if pr not in min_k or k < min_k[pr]:
+                    min_k[pr] = k
+    n_truth = len(min_k)
+    rows = []
+    for c in (1000000, 20, 3):
+        n_pairs = sum(1 for k in min_k.values() if k <= c)
+        # engine emits round(ratio, 6) (Spark HALF_UP); compare() carries
+        # 1.1e-6 atol, so plain float rounding is inside tolerance
+        rows.append({"max_gram_docs": np.int32(c), "n_truth": n_truth,
+                     "n_pairs": n_pairs,
+                     "recall": float(np.round(n_pairs / n_truth, 6))})
+    return pd.DataFrame(rows)
+
+
 @audit("dedup_cluster")
 def dedup_cluster():
     _, _, verified = _lsh_pipeline()
