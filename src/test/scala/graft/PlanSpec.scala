@@ -619,6 +619,30 @@ class PlanSpec extends AnyFunSuite {
       s"unpartitioned Window in: ${offenders.mkString(", ")}")
   }
 
+  test("corpusPipeline checkpoints its gate: ONE parquet scan in the " +
+    "composed plan (the r12 composition-gate recompute fix)") {
+    // without the gate's lazy localCheckpoint the lang+quality lineage
+    // re-executes in every broadcast subtree (dedup anti probe,
+    // decontamination gram scan, final pass) — the composed job ran 2x
+    // slower than its own stages until ProbeCorpusPipeline caught it.
+    // That recompute is invisible to the exchange and probe-job sweeps
+    // (it shows only in wall time), so pin the plan shape directly: the
+    // only parquet scan left in the composed plan is the EVAL slice;
+    // everything else reads checkpointed blocks (Scan ExistingRDD).
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = graft.ops.Pipeline.corpusPipeline(
+      docs.filter(col("doc_id") % 997 =!= 0),
+      docs.filter(col("doc_id") % 997 === 0),
+      budgetTokens = 800L, contextLen = 256, shards = 4)
+    val plan = p.queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    val rdds = plan.linesIterator.count(_.contains("Scan ExistingRDD"))
+    assert(scans <= 1, s"gate lineage leaked into the composed plan: " +
+      s"$scans parquet scans (expected <=1, the eval slice)\n${plan.take(2000)}")
+    assert(rdds >= 1, "no checkpointed frame in the composed plan at all?")
+  }
+
   test("grouped percentiles dispatch: bounded domain -> built-in percentile " +
     "buffer; continuous domain -> bufferless prefix machinery") {
     import org.apache.spark.sql.functions.col
