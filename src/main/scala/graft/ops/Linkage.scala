@@ -192,6 +192,17 @@ object Linkage {
           decisions.map(_.cap))))
   }
 
+  /** The capped pass's in-plan keep gate: |L_b|·|R_b| ≤ cap, with the
+    * product in DOUBLE, matching the probe's arithmetic (r13, ADVICE
+    * r12): a degenerate block of ~3e9 rows per side wraps the Long
+    * product to a NEGATIVE that passes `<= cap` — keeping exactly the
+    * all-pairs block this cap exists to refuse. Routing and gating are
+    * order-of-magnitude decisions; double is exact to 2^53 and merely
+    * approximate beyond, both fine here.
+    */
+  private[graft] def blockKeep(nl: Column, nr: Column, cap: Long): Column =
+    nl.cast("double") * nr.cast("double") <= cap.toDouble
+
   /** The multi-pass union of blocked id pairs, one cap per pass
     * (`Long.MaxValue` = exact, no gating aggregate in that pass's plan).
     * Shared by the exact/forced paths and the dispatcher.
@@ -208,7 +219,7 @@ object Linkage {
         else {
           val keep = l.groupBy("__bk").agg(count(lit(1)).as("__nl"))
             .join(r.groupBy("__bk").agg(count(lit(1)).as("__nr")), "__bk")
-            .filter(col("__nl") * col("__nr") <= cap)
+            .filter(blockKeep(col("__nl"), col("__nr"), cap))
             .select("__bk")
           (l.join(keep, Seq("__bk"), "left_semi"),
             r.join(keep, Seq("__bk"), "left_semi"))

@@ -56,6 +56,29 @@ class LinkageSpec extends AnyFunSuite {
     assert(exact == forced)
   }
 
+  test("blockKeep gate: wrapped-Long block products are REFUSED (double arithmetic)") {
+    // ADVICE r12 (medium): 3037000500² wraps Long to a negative that
+    // would pass `<= cap` in Long arithmetic — the in-plan keep gate of
+    // a capped pass must refuse that block, exactly like the probe,
+    // which already sums pair mass in double. No real corpus of that
+    // size fits a test, so the gate expression is extracted and checked
+    // on literal counts spanning the wrap boundary.
+    val counts = Seq(
+      (1L, 1L),                     // 1 pair: keep
+      (100L, 1000L),                // 1e5: keep
+      (3037000500L, 3037000500L),   // Long-wraps NEGATIVE: must refuse
+      (4294967296L, 4294967296L),   // 2^32·2^32 Long-wraps to exactly 0: must refuse
+      (Long.MaxValue, Long.MaxValue)).toDF("nl", "nr")
+    val kept = counts
+      .filter(Linkage.blockKeep(col("nl"), col("nr"), cap = 100000L))
+      .as[(Long, Long)].collect().toSet
+    assert(kept == Set((1L, 1L), (100L, 1000L)),
+      s"wrapped products leaked through the keep gate: $kept")
+    // sanity: the Long forms really do wrap under (documents the bug)
+    assert(3037000500L * 3037000500L < 0L)
+    assert(4294967296L * 4294967296L == 0L)
+  }
+
   test("candidatesAuto: degenerate blocking key flips its pass to capped, " +
     "backstop pass keeps every true pair (regime pin)") {
     // 600 left x 600 right rows sharing ONE constant block key: that
