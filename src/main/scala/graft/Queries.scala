@@ -2238,16 +2238,37 @@ object Queries {
   }
 
   q("dedup_auto_dispatch",
-    // the DISPATCHER itself, oracle-backed: at the sf0.01 gate the corpus
-    // sits under the probe floor, so the contract this oracle states --
-    // regime 'exact', probe NOT paid, verified pairs == the exact replay
-    // -- is exactly what the floor guarantees. Above the floor the regime
-    // literal would flip with the corpus; the cross-scale behavior is
-    // regime-pinned in OpsSpec and measured in PLANS.md instead.
-    s"""WITH ${minhashPairsCtes(bands = 3, rows = 3)}
-       |SELECT 'exact' AS regime, FALSE AS probed,
-       |  (SELECT COUNT(*) FROM sh WHERE len(s) > 0) AS n_docs,
-       |  (SELECT COUNT(*) FROM pairs) AS n_pairs"""
+    // the DISPATCHER itself, oracle-backed — SCALE-TRUE (ADVICE r12): the
+    // oracle DERIVES the dispatch from the corpus instead of hardcoding
+    // the sub-floor literals, replaying the full decision procedure —
+    // probe paid iff n_docs > 8192 (DefaultProbeFloorDocs); regime exact
+    // iff unprobed or raw band collisions ΣC(k,2) ≤ 96·n_docs
+    // (DefaultMaxCandidatesPerDoc); pairs = the exact replay in the exact
+    // regime, the ≤50-bucket (DefaultCappedBucket) replay in the capped
+    // one. The declared spec now holds at ANY corpus size, like the rest
+    // of the dedup_* family.
+    s"""WITH ${minhashPairsCtes(bands = 3, rows = 3)},
+       |nd AS (SELECT COUNT(*) AS n_docs FROM sh WHERE len(s) > 0),
+       |bk AS (SELECT band, digest, COUNT(*) AS k FROM bands GROUP BY 1, 2),
+       |pm AS (SELECT COALESCE(SUM(CAST(k AS DOUBLE) * (k - 1) / 2), 0) AS cand FROM bk),
+       |rg AS (SELECT n_docs, n_docs > 8192 AS probed,
+       |    CASE WHEN n_docs <= 8192 OR cand <= 96.0 * n_docs
+       |      THEN 'exact' ELSE 'capped' END AS regime
+       |  FROM nd, pm),
+       |keepb AS (SELECT band, digest FROM bk WHERE k <= 50),
+       |candc AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN keepb kb ON a.band = kb.band AND a.digest = kb.digest
+       |  JOIN bands b ON a.band = b.band AND a.digest = b.digest
+       |    AND a.doc_id < b.doc_id),
+       |pairsc AS (SELECT a_id, b_id FROM (SELECT a_id, b_id,
+       |  round(len(list_intersect(x.s, y.s))::DOUBLE /
+       |        len(list_distinct(list_concat(x.s, y.s))), 6) AS jac
+       |  FROM candc JOIN sh x ON x.doc_id = a_id JOIN sh y ON y.doc_id = b_id)
+       |  WHERE jac >= 0.5)
+       |SELECT regime, probed, n_docs,
+       |  CASE WHEN regime = 'exact' THEN (SELECT COUNT(*) FROM pairs)
+       |       ELSE (SELECT COUNT(*) FROM pairsc) END AS n_pairs
+       |FROM rg"""
       .stripMargin.replace("\n", " ")) { (s, dir) =>
     val d = Dedup.minhashLshAuto(tbl(s, dir, "documents"), "text", "doc_id")
     d.pairs.agg(count(lit(1)).as("n_pairs"))
@@ -4862,14 +4883,15 @@ object Queries {
        |FROM pk ORDER BY doc_id""".stripMargin.replace("\n", " ")
   }) { (s, dir) =>
     val docs = tbl(s, dir, "documents")
-    // exact-regime pin inside corpusPipeline is not exposed; at the
-    // sf0.01 gate the gated corpus sits far under the probe floor, so
-    // the dispatcher routes exact unprobed and matches the exact-replay
-    // oracle by the floor contract (see dedup_auto_dispatch)
+    // REGIME PIN (ADVICE r12): this oracle replays EXACT LSH, so the
+    // engine pins the pipeline's near-dup stage exact — the declared
+    // SQL then holds at ANY corpus size, like the rest of the dedup_*
+    // family. AutoBucket stays the library default for corpusPipeline.
     Pipeline.corpusPipeline(
         docs.filter(col("doc_id") % 997 =!= 0),
         docs.filter(col("doc_id") % 997 === 0),
-        budgetTokens = 800L, contextLen = 256, shards = 4)
+        budgetTokens = 800L, contextLen = 256, shards = 4,
+        dedupMaxBucket = Int.MaxValue)
       .orderBy("doc_id")
   }
 

@@ -271,13 +271,21 @@ object Pipeline {
     * asserts it), because every stage is deterministic in its input —
     * no stage depends on partitioning or arrival order.
     */
+  /** `dedupMaxBucket` follows the [[Dedup.minhashLsh]] contract (ADVICE
+    * r12): default [[Dedup.AutoBucket]] = the dispatcher decides the
+    * near-dup stage's regime; `Int.MaxValue` forces exact (what a
+    * replayed-SQL spec of the pipeline states); a positive cap forces
+    * capped. Without this knob the composed pipeline was the one LSH
+    * call site whose regime a caller could not pin.
+    */
   def corpusPipeline(docs: DataFrame, evalSet: DataFrame,
                      lang: String = "en", minQuality: Double = 0.5,
                      nearDupThreshold: Double = 0.5,
                      decontaminateShingleN: Int = 13,
                      budgetTokens: Long = Long.MaxValue,
                      contextLen: Int = 512, shards: Int = 8,
-                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                     textCol: String = "text", idCol: String = "doc_id",
+                     dedupMaxBucket: Int = Dedup.AutoBucket): DataFrame = {
     // the DECLARED corpus tokenizer (split of trimmed text) — an
     // untrimmed split would count a phantom leading token on
     // whitespace-padded text and shift every budget cut downstream
@@ -297,7 +305,7 @@ object Pipeline {
       .filter(col("quality") >= minQuality)
       .localCheckpoint(false)
     val deduped = Dedup.dedupByMinhash(gated, textCol, idCol,
-      threshold = nearDupThreshold)
+      threshold = nearDupThreshold, maxBucket = dedupMaxBucket)
     val clean = decontaminate(deduped, evalSet, textCol, idCol,
       decontaminateShingleN)
     val sampled =
