@@ -2929,6 +2929,84 @@ object Queries {
       .orderBy("cell")
   }
 
+  q("q_eval_knn_graph_recall", {
+    // ANN-backed kNN-GRAPH construction (Graph.knnGraph, VERDICT r12 §2):
+    // the 3-NN cosine graph built through the persisted IVF index's
+    // precomputed cells vs the brute-force truth graph, swept over the
+    // nProbe recall-vs-cost knob — edge recall per nProbe is THE tuning
+    // table a corpus-scale graph build reads before trusting a
+    // (cells, nProbe) pair (edges crossing all probed cells are the
+    // measured loss). Oracle replays the shared k-means chain, the
+    // ranked query-side cell assignment against the trained codebook,
+    // both graph builds, and the symmetrized-edge intersections.
+    val dotE = duckDotE(64) _
+    val probes = Seq(1, 2, 4)
+    def cfg(p: Int): Seq[String] = Seq(
+      s"""si_$p AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         |  round(${dotE("CAST(q.embedding[i] AS DOUBLE)", "CAST(n.embedding[i] AS DOUBLE)")} /
+         |    (q.nrm * n.nrm), 6) AS cos
+         |  FROM rkq qa JOIN e q ON q.vec_id = qa.vec_id AND qa.rn <= $p
+         |  JOIN cw n ON n.cell = qa.cell AND n.vec_id != q.vec_id)""",
+      s"""ri_$p AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn
+         |  FROM si_$p) WHERE rn <= 3)""",
+      s"""ei_$p AS (SELECT DISTINCT src, dst FROM (SELECT q_id AS src, n_id AS dst
+         |  FROM ri_$p UNION ALL SELECT n_id, q_id FROM ri_$p))""",
+      s"""hit_$p AS (SELECT ei.src FROM ei_$p ei JOIN eb
+         |  ON ei.src = eb.src AND ei.dst = eb.dst)""")
+    def row(p: Int): String =
+      s"""SELECT $p AS n_probe,
+         |  (SELECT COUNT(*) FROM eb) AS n_truth_edges,
+         |  (SELECT COUNT(*) FROM ei_$p) AS n_ivf_edges,
+         |  (SELECT COUNT(*) FROM hit_$p) AS n_hit,
+         |  round((SELECT COUNT(*) FROM hit_$p)::DOUBLE /
+         |    (SELECT COUNT(*) FROM eb), 6) AS edge_recall""".stripMargin
+    ((kmeansCellCtes(k = 8, iters = 2, dim = 64) ++ Seq(
+      s"""cw AS (SELECT e.vec_id, e.embedding, e.nrm, c.cell
+         |  FROM e JOIN cellt c USING (vec_id))""",
+      // ranked query-side assignment against the TRAINED codebook (c2 =
+      // the 2-iteration chain's final centroids) — the ivfAssignCells
+      // contract: cos DESC, centroid id ASC
+      s"""rkq AS (SELECT e.vec_id, c.cid AS cell,
+         |  row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${dotE("CAST(e.embedding[i] AS DOUBLE)", "c.cv[i]")} /
+         |      (e.nrm * sqrt(${dotE("c.cv[i]", "c.cv[i]")})) DESC, c.cid) AS rn
+         |  FROM e CROSS JOIN c2 c)""",
+      s"""sb AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         |  round(${dotE("CAST(q.embedding[i] AS DOUBLE)", "CAST(n.embedding[i] AS DOUBLE)")} /
+         |    (q.nrm * n.nrm), 6) AS cos
+         |  FROM e q JOIN e n ON q.vec_id != n.vec_id)""",
+      s"""rb AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn
+         |  FROM sb) WHERE rn <= 3)""",
+      s"""eb AS (SELECT DISTINCT src, dst FROM (SELECT q_id AS src, n_id AS dst
+         |  FROM rb UNION ALL SELECT n_id, q_id FROM rb))""") ++
+      probes.flatMap(cfg))
+      .mkString("WITH ", ", ", " ") +
+      probes.map(row).mkString(" UNION ALL ") + " ORDER BY n_probe")
+      .stripMargin.replace("\n", " ")
+  }) { (s, dir) =>
+    val emb = tbl(s, dir, "embeddings")
+    val idx = cachedLanding(s"ivfidx:$dir") { d =>
+      Similarity.writeIvfIndex(emb, d, k = 8, iters = 2, dim = 64)
+    }
+    // the truth feeds all three configs (count + hit join each):
+    // checkpoint it and each config's bounded edge set
+    val eb = Graph.knnGraphBrute(emb, k = 3).localCheckpoint()
+    val nT = eb.agg(count(lit(1)).as("n_truth_edges"))
+    Seq(1, 2, 4).map { p =>
+      val ei = Graph.knnGraph(s, idx, k = 3, nProbe = p).localCheckpoint()
+      val hit = ei.join(eb, Seq("src", "dst"))
+      ei.agg(count(lit(1)).as("n_ivf_edges"))
+        .crossJoin(nT)
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(lit(p).as("n_probe"), col("n_truth_edges"),
+          col("n_ivf_edges"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_truth_edges"), 6)
+            .as("edge_recall"))
+    }.reduce(_ unionByName _).orderBy("n_probe")
+  }
+
   q("stream_ivf_ingest",
     // STREAMING index maintenance: the embedding batches arrive as a
     // file-source stream and foreachBatch-append into the persisted

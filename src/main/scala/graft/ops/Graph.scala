@@ -11,6 +11,71 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Symmetrized distinct edge list from a directed kNN frame
+    * ((q_id, n_id) → undirected (src, dst) both ways): the shape every
+    * graph operator in this file consumes. One dedup shuffle on the
+    * edge pair.
+    */
+  private def symmetrize(knn: DataFrame): DataFrame = {
+    // lazy checkpoint: BOTH union arms read the directed kNN — left
+    // un-truncated, each arm re-ran the full cell-join + top-k (measured
+    // 2× the whole build at sf1). First consumer materializes it inside
+    // a job it was running anyway.
+    val k = knn.localCheckpoint(false)
+    k.select(col("q_id").as("src"), col("n_id").as("dst"))
+      .union(k.select(col("n_id").as("src"), col("q_id").as("dst")))
+      .distinct()
+  }
+
+  /** Exact cosine kNN graph by brute force — O(n²) pair scoring. The
+    * TRUTH BASELINE for [[knnGraph]]'s recall eval and the right call
+    * only on a bounded slice (the q_graph_* fixture rule: explicit
+    * row-count filter before calling). For corpus-scale graph
+    * construction use [[knnGraph]].
+    */
+  def knnGraphBrute(vectors: DataFrame, k: Int, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame =
+    symmetrize(Similarity.bruteForceKnn(vectors, vectors, k, idCol, vecCol))
+
+  /** ANN-backed kNN-graph construction over a PERSISTED IVF index
+    * (r13, VERDICT r12 §2): every indexed vector is joined to its own
+    * cell's vectors — the cells are PRECOMPUTED on disk
+    * ([[Similarity.writeIvfIndex]]), so the build is one cell-keyed
+    * shuffle + within-cell scoring + per-vector top-k, never the n²
+    * all-pairs scan. Returns the symmetrized distinct (src, dst) edge
+    * list the Graph operators consume.
+    *
+    * Scale shape: with c balanced cells the candidate mass is Σ|cell|²
+    * ≈ n²/c — pick c ~ √(n/k̄) so per-cell work is linear-in-n, and
+    * read q_eval_ivf_cell_balance first: a hot cell quietly carries a
+    * quadratic fraction (the LSH hot-bucket failure mode). Recall is a
+    * measured trade — edges whose endpoints land in different cells are
+    * missed; `nProbe` is the recall-vs-cost knob (each vector's QUERY
+    * side fans out to its nProbe nearest cells; the corpus side stays
+    * the stored one-cell assignment, so candidate mass scales ×nProbe,
+    * never ×nProbe²). q_eval_knn_graph_recall is the tuning table:
+    * edge recall vs the brute truth per nProbe on the bounded fixture —
+    * read it before a corpus-scale build trusts a (cells, nProbe) pair.
+    */
+  def knnGraph(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+               k: Int, nProbe: Int = 1, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val cells = spark.read.parquet(Similarity.ivfCellsPath(spark, indexPath))
+    // spread the QUERY side across the shuffle width: the cell layout
+    // may sit in a handful of parquet files (a compacted small index is
+    // exactly that), and the scan's split count would cap the whole
+    // scoring stage's parallelism (the bruteForceKnn scan rule; measured
+    // 2.8× at sf1). The corpus side needs no spread — it is either
+    // broadcast or shuffled on the cell key anyway.
+    val q = Similarity.spreadForScan(cells)
+    symmetrize(
+      if (nProbe <= 1)
+        Similarity.ivfKnn(cells, q, k, cellCol = "cell", idCol, vecCol)
+      else
+        Similarity.ivfMultiProbeKnnFromIndex(spark, indexPath, q, k,
+          nProbe, idCol, vecCol))
+  }
+
   /** All triangles (x < y < z) of an undirected graph given as canonical
     * edges (pa < pb, distinct), via the compact-forward algorithm: every
     * edge is re-oriented from its lower-(degree, id) endpoint to the

@@ -193,12 +193,40 @@ object Similarity {
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
       l2Norm(col(vecCol)).as("n_norm"),
       ivfAssignCell(col(vecCol), centroids).as("cell"))
+    cellTopK(q, c, k)
+  }
+
+  /** The shared cell-join top-k tail: score each (query, same-cell
+    * corpus vector) pair, keep each query's k best (cos DESC, id ASC).
+    */
+  private def cellTopK(q: DataFrame, c: DataFrame, k: Int): DataFrame = {
     val scored = q.join(c, Seq("cell")).filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         round(cosineHoisted(col("q_vec"), col("n_vec"), col("q_norm"), col("n_norm")), 6)
           .as("cos"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+  }
+
+  /** Multi-probe search against a PERSISTED index: the corpus side reads
+    * its precomputed cells from the current snapshot (no assignment pass
+    * at query time — [[ivfKnnFromIndex]]'s contract), only the QUERY
+    * side fans out to its `nProbe` nearest cells through the loaded
+    * codebook. A (q, n) pair still meets at most once (each corpus
+    * vector owns one cell), so no dedup precedes the top-k window.
+    */
+  def ivfMultiProbeKnnFromIndex(spark: org.apache.spark.sql.SparkSession,
+                                path: String, queries: DataFrame, k: Int,
+                                nProbe: Int, idCol: String = "vec_id",
+                                vecCol: String = "embedding"): DataFrame = {
+    val codebook = readIvfCodebook(spark, path)
+    val corpus = spark.read.parquet(ivfCellsPath(spark, path))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      l2Norm(col(vecCol)).as("q_norm"),
+      explode(ivfAssignCells(col(vecCol), codebook, nProbe)).as("cell"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      l2Norm(col(vecCol)).as("n_norm"), col("cell"))
+    cellTopK(q, c, k)
   }
 
   /** Fixed-point scale for kmeansCodebook's centroid means: 2^20, a
@@ -565,12 +593,7 @@ object Similarity {
       l2Norm(col(vecCol)).as("q_norm"), col(cellCol).as("cell"))
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
       l2Norm(col(vecCol)).as("n_norm"), col(cellCol).as("cell"))
-    val scored = q.join(c, Seq("cell")).filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"),
-        round(cosineHoisted(col("q_vec"), col("n_vec"), col("q_norm"), col("n_norm")), 6)
-          .as("cos"))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+    cellTopK(q, c, k)
   }
 
   /** PERSISTED IVF index: the trained codebook (`codebook.parquet`,

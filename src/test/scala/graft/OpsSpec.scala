@@ -3065,6 +3065,30 @@ class AdviceRegressionSpec extends AnyFunSuite {
       .columns.toSet == Set("vec_id", "embedding", "cell"))
   }
 
+  test("knnGraph: IVF-backed edges are symmetric distinct; nProbe=all-cells " +
+    "equals the brute-force graph exactly") {
+    val rnd = new scala.util.Random(17)
+    val vecs = (0L until 60L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("knngraph").toString
+    Similarity.writeIvfIndex(df, path, k = 4, iters = 2, dim = 8)
+    def edges(g: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      g.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val g1 = edges(Graph.knnGraph(spark, path, k = 3))
+    // symmetric: every (a,b) has (b,a); distinct is by construction of Set
+    assert(g1.forall { case (a, b) => g1.contains((b, a)) && a != b })
+    // probing EVERY cell degenerates to brute force — the graphs must
+    // coincide edge-for-edge (the ivfMultiProbeKnn nProbe=|cells| contract
+    // carried through the index-backed build)
+    val gAll = edges(Graph.knnGraph(spark, path, k = 3, nProbe = 4))
+    val gBrute = edges(Graph.knnGraphBrute(df, k = 3))
+    assert(gAll == gBrute)
+    // sanity on the truth side: 60 vertices × 3 directed picks,
+    // symmetrized-distinct can at most halve — never fewer than 90 edges
+    assert(gBrute.size >= 60 * 3 / 2)
+  }
+
   test("ivfIndexAppend: search after append is bit-identical to assigning the full corpus") {
     val rnd = new scala.util.Random(23)
     val vecs = (0L until 50L).map(i =>
