@@ -6748,6 +6748,26 @@ object Queries {
   // literal-integer log-odds scoring, three-zone decisions. ops/Linkage.scala.
   // ===========================================================================
 
+  /** The decided customer-linkage frame, MATERIALIZED once per sfDir
+    * (VERDICT r12 §4): q_link_zones and q_golden_record consume the
+    * same scored/decided pairs q_link_matches measures live — replaying
+    * the full linkage per consumer re-paid the probe + 2.2M-pair
+    * score/decide three times per bench pass (q_golden_record alone
+    * 5.4 s at sf0.1). Same cached-fixture discipline as the IVF-index
+    * queries (the build cost lands once, in whichever consumer runs
+    * first); oracles are UNCHANGED — they still replay linkage from the
+    * base tables, so the fixture is itself oracle-checked through every
+    * consumer. q_link_matches stays on the live path: it is the query
+    * that measures the dispatcher-routed linkage itself.
+    */
+  private def linkDecided(s: SparkSession, dir: String): DataFrame = {
+    val d = cachedLanding(s"linkdecided:$dir") { p =>
+      Linkage.decide(Linkage.linkCustomers(tbl(s, dir, "customer")), 18, 5)
+        .write.parquet(s"$p/decided.parquet")
+    }
+    s.read.parquet(s"$d/decided.parquet")
+  }
+
   /** DuckDB mirror of Linkage.dirtyCustomers + linkCustomers: the dirty
     * fixture, both blocking passes, and the FS-scored pair frame.
     */
@@ -6959,7 +6979,7 @@ object Queries {
        |  MIN(fs_score) AS min_s, MAX(fs_score) AS max_s
        |FROM fs GROUP BY 1, 2 ORDER BY 1, 2"""
       .stripMargin.replace("\n", " ")) { (s, dir) =>
-    Linkage.decide(Linkage.linkCustomers(tbl(s, dir, "customer")), 18, 5)
+    linkDecided(s, dir)
       .groupBy(col("zone"), (col("d_id") === col("c_custkey")).as("is_true"))
       .agg(count(lit(1)).as("n"),
         min("fs_score").as("min_s"), max("fs_score").as("max_s"))
@@ -9641,8 +9661,9 @@ object Queries {
     // plan and cost ~2.5 s at sf0.1) lives with the extracted operator,
     // Linkage.goldenRecord. (The oracle's DISTINCT on the c-side union
     // arm only dedups rows that max/countDistinct ignore anyway.)
-    val m = Linkage.decide(Linkage.linkCustomers(tbl(s, dir, "customer")), 18, 5)
-      .filter(col("zone") === "match")
+    // Matches come from the materialized per-sfDir fixture (linkDecided)
+    // — the oracle still replays the full linkage from the base tables.
+    val m = linkDecided(s, dir).filter(col("zone") === "match")
     Linkage.goldenRecord(m).orderBy("c_custkey")
   }
 
