@@ -3367,7 +3367,7 @@ def dedup_prefix_jaccard():
     return pd.DataFrame(rows)
 
 
-def _semantic_cells(train_mask_fn, k=8, iters=2):
+def _semantic_cells(train_mask_fn, k=8, iters=2, with_centroids=False):
     """Seeded spherical k-means (SemDeDup, Abbas et al. 2023 shape):
     centroids from the first k training vectors; assignment by max
     cosine (tie -> lower cid); update = per-dim mean of 2^20-quantized
@@ -3400,6 +3400,8 @@ def _semantic_cells(train_mask_fn, k=8, iters=2):
             cm = np.array([int(x) // n - 1048576 for x in s], dtype=np.int64)
             c[cid] = np.float32(cm / 1048576.0).astype(np.float64)
     cells = assign(range(len(ids)), c)
+    if with_centroids:
+        return ids, emb, nrm, cells, c
     return ids, emb, nrm, cells
 
 
@@ -4662,6 +4664,48 @@ def skipping_eval():
                 "n_rows": n, "prune_rate": r6(1 - files_hit / 64)}
     return pd.DataFrame([layout(["p", "id"], "clustered"),
                          layout(["ord", "id"], "natural")])
+
+
+@audit("q_eval_knn_graph_recall")
+def q_eval_knn_graph_recall():
+    # ANN-backed kNN-graph recall table (Graph.knnGraph): per nProbe, the
+    # symmetrized 3-NN edge set built within the trained k-means cells
+    # (query side probing its nProbe nearest centroids, corpus side its
+    # argmax cell) intersected with the brute-force truth edge set.
+    ids, emb, nrm, cells, cents = _semantic_cells(lambda _: True,
+                                                  with_centroids=True)
+    cn = [math.sqrt(float(cv @ cv)) for cv in cents]
+
+    def ranked(i):
+        sc = sorted(((float(emb[i] @ cents[cid]) / (nrm[i] * cn[cid]), -cid)
+                     for cid in range(len(cents))), reverse=True)
+        return [-c for _, c in sc]
+
+    by_cell = {}
+    for i, cid in cells.items():
+        by_cell.setdefault(cid, []).append(i)
+
+    def topk_edges(cand_fn):
+        edges = set()
+        for qi in range(len(ids)):
+            cand = [(r6(float(emb[qi] @ emb[j]) / (nrm[qi] * nrm[j])),
+                     int(ids[j])) for j in cand_fn(qi) if j != qi]
+            cand.sort(key=lambda t: (-t[0], t[1]))
+            for _, nid in cand[:3]:
+                edges.add((int(ids[qi]), nid))
+                edges.add((nid, int(ids[qi])))
+        return edges
+
+    truth = topk_edges(lambda qi: range(len(ids)))
+    rows = []
+    for p in (1, 2, 4):
+        ei = topk_edges(lambda qi, p=p: [j for cell in ranked(qi)[:p]
+                                         for j in by_cell.get(cell, [])])
+        hit = len(ei & truth)
+        rows.append({"n_probe": p, "n_truth_edges": len(truth),
+                     "n_ivf_edges": len(ei), "n_hit": hit,
+                     "edge_recall": r6(hit / len(truth))})
+    return pd.DataFrame(rows)
 
 
 @audit("q_eval_ivf_cell_balance")
