@@ -350,8 +350,22 @@ object Evolution {
             ops.Similarity.ivfIndexCompact(spark,
               opt("-x").getOrElse(sys.error("index compact requires -x <indexDir>")))
             println(s"index compact: rewrote cell partitions of ${opt("-x").get}")
+          case Some("knn-graph") =>
+            // ANN-backed kNN-graph construction over the persisted index
+            // (Graph.knnGraph): symmetrized distinct (src, dst) edges,
+            // --n-probe = the recall-vs-cost knob (tune with
+            // q_eval_knn_graph_recall's table before a corpus-scale run)
+            val out = ops.Graph.knnGraph(spark,
+              opt("-x").getOrElse(sys.error("index knn-graph requires -x <indexDir>")),
+              k = opt("-k").map(_.toInt).getOrElse(3),
+              nProbe = opt("--n-probe").map(_.toInt).getOrElse(1),
+              idCol = opt("--id-col").getOrElse("vec_id"),
+              vecCol = opt("--vec-col").getOrElse("embedding"))
+            out.write.mode(mode).parquet(opt("-o").getOrElse(
+              sys.error("index knn-graph requires -o <edges.parquet>")))
+            println(s"index knn-graph: wrote symmetrized edge list to ${opt("-o").get}")
           case other => sys.error(
-            s"unknown index op '${other.getOrElse("")}' (build | search | append | compact)")
+            s"unknown index op '${other.getOrElse("")}' (build | search | append | compact | knn-graph)")
         }
       case Some("analyze") =>
         val n = analyze(spark,
@@ -371,7 +385,8 @@ object Evolution {
       case _ =>
         System.err.println(
           "usage: evolution (convert|mock|curate <op>|analyze <op>|" +
-            "index build|index search|index append|index compact) [options]")
+            "index build|index search|index append|index compact|" +
+            "index knn-graph) [options]")
         sys.exit(2)
     } finally spark.stop()
   }

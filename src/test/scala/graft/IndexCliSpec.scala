@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `evolution index build|knn-graph` driven through the REAL CLI entry
+  * (`Evolution.main`) in a forked JVM — main() owns its session and
+  * stops it in `finally`, so an in-suite call would kill the shared
+  * test session. The fork also exercises the r13 session() fallback
+  * path end-to-end (no spark.master configured → local mode).
+  */
+class IndexCliSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  private def runCli(cliArgs: String*): String = {
+    val java = s"${sys.props("java.home")}/bin/java"
+    val cmd = Seq(java) ++ addOpens ++ Seq(
+      "-Dspark.ui.enabled=false", "-Xmx4g",
+      "-cp", sys.props("java.class.path"), "graft.Evolution") ++ cliArgs
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.environment().put("SPARK_GRAFT_CPUS", "4")
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    val out = scala.io.Source.fromInputStream(p.getInputStream).mkString
+    val rc = p.waitFor()
+    assert(rc == 0, s"evolution ${cliArgs.mkString(" ")} failed (rc=$rc):\n${out.takeRight(3000)}")
+    out
+  }
+
+  test("index build + knn-graph CLI: persisted index in, symmetric edge list out") {
+    val dir = java.nio.file.Files.createTempDirectory("idxcli").toString
+    val rnd = new scala.util.Random(29)
+    (0L until 40L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+      .write.parquet(s"$dir/emb.parquet")
+    val o1 = runCli("index", "build", "-i", s"$dir/emb.parquet",
+      "-o", s"$dir/idx", "-k", "4", "--iters", "2", "--dim", "8")
+    assert(o1.contains("index build: wrote codebook + cells"))
+    val o2 = runCli("index", "knn-graph", "-x", s"$dir/idx",
+      "-o", s"$dir/edges.parquet", "-k", "3", "--n-probe", "2")
+    assert(o2.contains("index knn-graph: wrote symmetrized edge list"))
+    val edges = spark.read.parquet(s"$dir/edges.parquet")
+      .as[(Long, Long)].collect().toSet
+    assert(edges.nonEmpty)
+    assert(edges.forall { case (a, b) => a != b && edges.contains((b, a)) })
+    // every vector contributes: 40 vertices x >=3 picks, symmetrized
+    assert(edges.size >= 40 * 3 / 2)
+  }
+}
