@@ -230,6 +230,12 @@ object Evolution {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // spark-submit communicates the cluster master via the spark.master
+    // system property (getOrCreate() picks it up on its own); honor a
+    // bare-java SPARK_MASTER env var the same way (r13 review: checking
+    // it without APPLYING it left the builder masterless → crash)
+    sys.env.get("SPARK_MASTER").filter(_ => !sys.props.contains("spark.master"))
+      .foreach(b.master)
     if (!sys.props.contains("spark.master") && !sys.env.contains("SPARK_MASTER")) {
       val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
       b.master(s"local[$cpus]")

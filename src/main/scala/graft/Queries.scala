@@ -2249,7 +2249,8 @@ object Queries {
     // of the dedup_* family.
     s"""WITH ${minhashPairsCtes(bands = 3, rows = 3)},
        |nd AS (SELECT COUNT(*) AS n_docs FROM sh WHERE len(s) > 0),
-       |bk AS (SELECT band, digest, COUNT(*) AS k FROM bands GROUP BY 1, 2),
+       |bk AS (SELECT band, digest, COUNT(*) AS k FROM bands
+       |  WHERE digest IS NOT NULL GROUP BY 1, 2),
        |pm AS (SELECT COALESCE(SUM(CAST(k AS DOUBLE) * (k - 1) / 2), 0) AS cand FROM bk),
        |rg AS (SELECT n_docs, n_docs > 8192 AS probed,
        |    CASE WHEN n_docs <= 8192 OR cand <= 96.0 * n_docs

@@ -12,9 +12,14 @@ import org.apache.spark.sql.functions._
 object Graph {
 
   /** Symmetrized distinct edge list from a directed kNN frame
-    * ((q_id, n_id) → undirected (src, dst) both ways): the shape every
-    * graph operator in this file consumes. One dedup shuffle on the
-    * edge pair.
+    * ((q_id, n_id) → undirected (src, dst) both ways): the shape the
+    * src/dst-consuming operators here take (pageRank, kCore,
+    * labelPropagation, bfsHops, personalizedPageRank). NOT the
+    * [[triangles]]/[[clusteringCoefficient]] input — those take
+    * canonical one-row-per-edge (pa < pb, distinct) frames; derive one
+    * with `edges.filter(col("src") < col("dst"))
+    * .select(col("src").as("pa"), col("dst").as("pb"))`. One dedup
+    * shuffle on the edge pair.
     */
   private def symmetrize(knn: DataFrame): DataFrame = {
     // lazy checkpoint: BOTH union arms read the directed kNN — left

@@ -14,27 +14,9 @@ class IndexCliSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.spark
   import spark.implicits._
 
-  private val addOpens = Seq(
-    "java.base/java.lang", "java.base/java.lang.invoke",
-    "java.base/java.lang.reflect", "java.base/java.io",
-    "java.base/java.net", "java.base/java.nio",
-    "java.base/java.util", "java.base/java.util.concurrent",
-    "java.base/java.util.concurrent.atomic",
-    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-    "java.base/sun.security.action", "java.base/sun.util.calendar",
-  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-
   private def runCli(cliArgs: String*): String = {
-    val java = s"${sys.props("java.home")}/bin/java"
-    val cmd = Seq(java) ++ addOpens ++ Seq(
-      "-Dspark.ui.enabled=false", "-Xmx4g",
-      "-cp", sys.props("java.class.path"), "graft.Evolution") ++ cliArgs
-    val pb = new ProcessBuilder(cmd: _*)
-    pb.environment().put("SPARK_GRAFT_CPUS", "4")
-    pb.redirectErrorStream(true)
-    val p = pb.start()
-    val out = scala.io.Source.fromInputStream(p.getInputStream).mkString
-    val rc = p.waitFor()
+    val (rc, out) = ForkedJvm.run("graft.Evolution", args = cliArgs,
+      env = Map("SPARK_GRAFT_CPUS" -> "4"), maxHeap = "4g")
     assert(rc == 0, s"evolution ${cliArgs.mkString(" ")} failed (rc=$rc):\n${out.takeRight(3000)}")
     out
   }

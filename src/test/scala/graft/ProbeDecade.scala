@@ -26,10 +26,6 @@ object ProbeDecade {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def timed[T](body: => T): (T, Double) = {
-      val t0 = System.nanoTime(); val r = body
-      (r, (System.nanoTime() - t0) / 1e9)
-    }
     def exchanges(df: org.apache.spark.sql.DataFrame): Int =
       df.queryExecution.executedPlan.toString
         .linesIterator.count(_.contains("Exchange"))
@@ -39,20 +35,20 @@ object ProbeDecade {
       println(s"=== $dir docs=$nDocs ===")
 
       // 1. MinHash-LSH dispatcher
-      val (dLsh, tLshProbe) = timed {
+      val (dLsh, tLshProbe) = Timed {
         Dedup.minhashLshAuto(docs, "text", "doc_id")
       }
-      val (nLshPairs, tLsh) = timed(dLsh.pairs.count())
+      val (nLshPairs, tLsh) = Timed(dLsh.pairs.count())
       println(f"LSH   regime=${dLsh.regime}%-6s probed=${dLsh.probed} " +
         f"est=${dLsh.estCandidates}%12d capped=${dLsh.estCandidatesCapped}%12d " +
         f"maxBucket=${dLsh.maxBucketObserved}%8d retention=${dLsh.candidateRetention}%.4f " +
         f"probe=${tLshProbe}%6.1fs pairs=$nLshPairs%9d wall=${tLsh}%7.1fs")
 
       // 2. shared-span dispatcher
-      val (dSpan, tSpanProbe) = timed {
+      val (dSpan, tSpanProbe) = Timed {
         Dedup.sharedNgramPairsAuto(docs, "text", "doc_id")
       }
-      val (nSpanPairs, tSpan) = timed(dSpan.pairs.count())
+      val (nSpanPairs, tSpan) = Timed(dSpan.pairs.count())
       println(f"SPAN  regime=${dSpan.regime}%-6s gramRows=${dSpan.nGramRows}%12d " +
         f"est=${dSpan.estPairs}%12d capped=${dSpan.estPairsCapped}%12d " +
         f"maxK=${dSpan.maxGramDocsObserved}%8d retention=${dSpan.pairRetention}%.4f " +
@@ -62,7 +58,7 @@ object ProbeDecade {
       // metadata-bearing entry point)
       val cust = spark.read.parquet(s"$dir/customer.parquet")
       val dirty = Linkage.dirtyCustomers(cust)
-      val (dLink, tLinkProbe) = timed {
+      val (dLink, tLinkProbe) = Timed {
         Linkage.candidatesAuto(dirty, cust, "d_id", "c_custkey", Seq(
           (concat_ws("|", col("d_nat"), col("d_seg"),
             floor(col("d_bal") / 100).cast("int")),
@@ -71,7 +67,7 @@ object ProbeDecade {
           (substring(col("d_name"), 10, 7),
             substring(col("c_name"), 10, 7))))
       }
-      val (nLinkPairs, tLink) = timed(dLink.pairs.count())
+      val (nLinkPairs, tLink) = Timed(dLink.pairs.count())
       val passes = dLink.passes.map(p =>
         f"p${p.pass}:${p.regime}(est=${p.estPairs} over=${p.overCapBlocks})")
         .mkString(" ")
@@ -82,7 +78,7 @@ object ProbeDecade {
       // 4. grouped-percentiles dispatcher: c_acctbal is a continuous
       // domain (~1.1M distincts at sf100 >> 2^16) — must route EXACT
       // (bufferless); the buffered regime here would be the memory cliff
-      val (pr, tRank) = timed {
+      val (pr, tRank) = Timed {
         val r = Ranks.groupedPercentiles(cust, col("c_mktsegment"),
           col("c_acctbal"), Seq(0.25, 0.5, 0.75))
         (r, r.count())
@@ -91,7 +87,7 @@ object ProbeDecade {
         "(continuous domain: exact kernel expected — verify via plan in RanksSpec)")
 
       // 5. composed corpus pipeline, library defaults (AUTO near-dup)
-      val (p, tPipe) = timed {
+      val (p, tPipe) = Timed {
         val out = Pipeline.corpusPipeline(
           docs.filter(col("doc_id") % 997 =!= 0),
           docs.filter(col("doc_id") % 997 === 0),

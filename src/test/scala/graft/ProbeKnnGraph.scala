@@ -25,18 +25,14 @@ object ProbeKnnGraph {
     val nCells = if (args.length > 1) args(1).toInt else 8
     val emb = spark.read.parquet(s"$dir/embeddings.parquet").localCheckpoint()
     val n = emb.count()
-    def timed[T](body: => T): (T, Double) = {
-      val t0 = System.nanoTime(); val r = body
-      (r, (System.nanoTime() - t0) / 1e9)
-    }
     val idx = java.nio.file.Files.createTempDirectory("knng_idx").toString
-    val (_, tIdx) = timed {
+    val (_, tIdx) = Timed {
       Similarity.writeIvfIndex(emb, idx, k = nCells, iters = 2, dim = 64)
     }
-    val (eb, tBrute) = timed {
+    val (eb, tBrute) = Timed {
       val g = Graph.knnGraphBrute(emb, k = 3).localCheckpoint()
       (g, g.count())
-    } match { case ((g, c), t) => ((g, c), t) }
+    }
     // cell balance: the IVF scan-cost model assumes ~n/nCells per cell;
     // a hot cell makes the self-join quadratic AND recall poor (many
     // centroids idle). Same report as q_eval_ivf_cell_balance.
@@ -48,7 +44,7 @@ object ProbeKnnGraph {
       f"${n.toDouble * n / 1e6}%8.1fM brute) index_build=${tIdx}%6.2fs " +
       f"brute=${tBrute}%7.2fs truth_edges=${eb._2}%9d")
     for (p <- Seq(1, 2, 4)) {
-      val ((ei, nE), tIvf) = timed {
+      val ((ei, nE), tIvf) = Timed {
         val g = Graph.knnGraph(spark, idx, k = 3, nProbe = p).localCheckpoint()
         (g, g.count())
       }

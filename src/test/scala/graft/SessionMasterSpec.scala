@@ -27,33 +27,13 @@ object SessionMasterCheck {
   */
 class SessionMasterSpec extends AnyFunSuite {
 
-  private val addOpens = Seq(
-    "java.base/java.lang", "java.base/java.lang.invoke",
-    "java.base/java.lang.reflect", "java.base/java.io",
-    "java.base/java.net", "java.base/java.nio",
-    "java.base/java.util", "java.base/java.util.concurrent",
-    "java.base/java.util.concurrent.atomic",
-    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-    "java.base/sun.security.action", "java.base/sun.util.calendar",
-  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-
   /** Fork SessionMasterCheck with the given -D props / env, return the
     * CHECK line.
     */
   private def forkCheck(props: Seq[String],
                         env: Map[String, String]): String = {
-    val java = s"${sys.props("java.home")}/bin/java"
-    val cmd = (Seq(java) ++ addOpens ++ props ++ Seq(
-      "-Dspark.ui.enabled=false", // keep the forked JVM port-free; unrelated to the master decision
-      "-Xmx2g", "-cp", sys.props("java.class.path"),
-      "graft.SessionMasterCheck")).toArray
-    val pb = new ProcessBuilder(cmd: _*)
-    pb.redirectErrorStream(true)
-    val pe = pb.environment()
-    env.foreach { case (k, v) => pe.put(k, v) }
-    val p = pb.start()
-    val out = scala.io.Source.fromInputStream(p.getInputStream).mkString
-    val rc = p.waitFor()
+    val (rc, out) = ForkedJvm.run("graft.SessionMasterCheck",
+      props = props, env = env)
     assert(rc == 0, s"forked session check failed (rc=$rc):\n$out")
     out.linesIterator.find(_.startsWith("CHECK "))
       .getOrElse(fail(s"no CHECK line in forked output:\n$out"))
@@ -65,6 +45,14 @@ class SessionMasterSpec extends AnyFunSuite {
     assert(line.contains("master=local[2]"), line)
     // the cluster's own parallelism defaults apply — NOT the local pin
     // (Spark default 200; the point is it is not SPARK_GRAFT_CPUS)
+    assert(line.contains("shuffle=200"), line)
+  }
+
+  test("SPARK_MASTER env var is APPLIED, not merely detected (r13 review: " +
+    "detecting without applying left the builder masterless and crashed)") {
+    val line = forkCheck(Seq.empty, Map("SPARK_MASTER" -> "local[2]",
+      "SPARK_GRAFT_CPUS" -> "7"))
+    assert(line.contains("master=local[2]"), line)
     assert(line.contains("shuffle=200"), line)
   }
 
