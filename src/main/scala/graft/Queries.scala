@@ -3008,6 +3008,96 @@ object Queries {
     }.reduce(_ unionByName _).orderBy("n_probe")
   }
 
+  q("q_eval_knn_graph_refine", {
+    // NN-Descent refinement (Similarity.knnRefine / Graph.knnGraphRefined):
+    // per-round edge recall vs the brute truth, starting from the
+    // nProbe=2 IVF graph — the LINEAR-cost recall path (≤4nk² rescored
+    // candidates per round) vs paying more probes. The base MUST cross
+    // cells: an nProbe=1 graph is cell-confined (every edge lives inside
+    // one k-means cell, so the two-hop closure can never leave it and
+    // refinement is measurably a no-op — the flat-recall finding this
+    // eval's first draft surfaced); nProbe=2's second-best-cell edges
+    // are the bridges refinement amplifies. Oracle replays the k-means
+    // chain, the ranked 2-cell assignment, the base top-k, and both
+    // refinement rounds (undirected two-hop expansion → exact rescore →
+    // top-k).
+    val dotE = duckDotE(64) _
+    val rounds = Seq(0, 1, 2)
+    def cosSql(qa: String, na: String): String =
+      s"""round(${dotE(s"CAST($qa.embedding[i] AS DOUBLE)", s"CAST($na.embedding[i] AS DOUBLE)")} /
+         |    ($qa.nrm * $na.nrm), 6)""".stripMargin
+    def refine(j: Int): Seq[String] = Seq(
+      s"""und_$j AS (SELECT q_id, n_id FROM r$j
+         |  UNION SELECT n_id, q_id FROM r$j)""",
+      s"""cand_$j AS (SELECT DISTINCT q_id, n_id FROM (
+         |  SELECT a.q_id, b.n_id FROM und_$j a JOIN und_$j b ON a.n_id = b.q_id
+         |  UNION ALL SELECT q_id, n_id FROM und_$j) WHERE q_id != n_id)""",
+      s"""sc_$j AS (SELECT c.q_id, c.n_id, ${cosSql("q", "n")} AS cos
+         |  FROM cand_$j c JOIN e q ON q.vec_id = c.q_id
+         |  JOIN e n ON n.vec_id = c.n_id)""",
+      s"""r${j + 1} AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn
+         |  FROM sc_$j) WHERE rn <= 3)""")
+    def edges(j: Int): Seq[String] = Seq(
+      s"""ed_$j AS (SELECT DISTINCT src, dst FROM (SELECT q_id AS src, n_id AS dst
+         |  FROM r$j UNION ALL SELECT n_id, q_id FROM r$j))""",
+      s"""hit_$j AS (SELECT ed.src FROM ed_$j ed JOIN eb
+         |  ON ed.src = eb.src AND ed.dst = eb.dst)""")
+    def row(j: Int): String =
+      s"""SELECT $j AS n_rounds,
+         |  (SELECT COUNT(*) FROM eb) AS n_truth_edges,
+         |  (SELECT COUNT(*) FROM ed_$j) AS n_refined_edges,
+         |  (SELECT COUNT(*) FROM hit_$j) AS n_hit,
+         |  round((SELECT COUNT(*) FROM hit_$j)::DOUBLE /
+         |    (SELECT COUNT(*) FROM eb), 6) AS edge_recall""".stripMargin
+    ((kmeansCellCtes(k = 8, iters = 2, dim = 64) ++ Seq(
+      s"""cw AS (SELECT e.vec_id, e.embedding, e.nrm, c.cell
+         |  FROM e JOIN cellt c USING (vec_id))""",
+      // ranked query-side assignment against the trained codebook (the
+      // ivfAssignCells contract) — the base graph probes TWO cells
+      s"""rkq AS (SELECT e.vec_id, c.cid AS cell,
+         |  row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${dotE("CAST(e.embedding[i] AS DOUBLE)", "c.cv[i]")} /
+         |      (e.nrm * sqrt(${dotE("c.cv[i]", "c.cv[i]")})) DESC, c.cid) AS rn
+         |  FROM e CROSS JOIN c2 c)""",
+      s"""si AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id, ${cosSql("q", "n")} AS cos
+         |  FROM rkq qa JOIN e q ON q.vec_id = qa.vec_id AND qa.rn <= 2
+         |  JOIN cw n ON n.cell = qa.cell AND n.vec_id != q.vec_id)""",
+      s"""r0 AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn
+         |  FROM si) WHERE rn <= 3)""",
+      s"""sb AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id, ${cosSql("q", "n")} AS cos
+         |  FROM e q JOIN e n ON q.vec_id != n.vec_id)""",
+      s"""rb AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn
+         |  FROM sb) WHERE rn <= 3)""",
+      s"""eb AS (SELECT DISTINCT src, dst FROM (SELECT q_id AS src, n_id AS dst
+         |  FROM rb UNION ALL SELECT n_id, q_id FROM rb))""") ++
+      Seq(0, 1).flatMap(refine) ++ rounds.flatMap(edges))
+      .mkString("WITH ", ", ", " ") +
+      rounds.map(row).mkString(" UNION ALL ") + " ORDER BY n_rounds")
+      .stripMargin.replace("\n", " ")
+  }) { (s, dir) =>
+    val emb = tbl(s, dir, "embeddings")
+    val idx = cachedLanding(s"ivfidx:$dir") { d =>
+      Similarity.writeIvfIndex(emb, d, k = 8, iters = 2, dim = 64)
+    }
+    val eb = Graph.knnGraphBrute(emb, k = 3).localCheckpoint()
+    val nT = eb.agg(count(lit(1)).as("n_truth_edges"))
+    Seq(0, 1, 2).map { r =>
+      val ei = Graph.knnGraphRefined(s, idx, k = 3, nProbe = 2, rounds = r)
+        .localCheckpoint()
+      val hit = ei.join(eb, Seq("src", "dst"))
+      ei.agg(count(lit(1)).as("n_refined_edges"))
+        .crossJoin(nT)
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(lit(r).as("n_rounds"), col("n_truth_edges"),
+          col("n_refined_edges"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_truth_edges"), 6)
+            .as("edge_recall"))
+    }.reduce(_ unionByName _).orderBy("n_rounds")
+  }
+
   q("stream_ivf_ingest",
     // STREAMING index maintenance: the embedding batches arrive as a
     // file-source stream and foreachBatch-append into the persisted

@@ -81,6 +81,38 @@ object Graph {
           nProbe, idCol, vecCol))
   }
 
+  /** [[knnGraph]] + `rounds` NN-Descent refinement passes
+    * ([[Similarity.knnRefine]]): each round replaces every vector's list
+    * with the exact top-k over {current neighbors} ∪ {neighbors of
+    * neighbors, both directions} — the standard way to buy graph recall
+    * at LINEAR cost (≤4nk² rescored candidates per round) instead of
+    * probing more cells. REQUIRES a cross-cell base: with nProbe = 1
+    * every base edge lives inside one k-means cell, the two-hop closure
+    * can never leave the cell, and refinement is exactly a no-op (the
+    * base was already the within-cell exact top-k — measured flat on
+    * the fixture). Start from nProbe ≥ 2 — the second-best-cell edges
+    * are the bridges each round amplifies. q_eval_knn_graph_refine
+    * measures the per-round recall lift vs the brute truth on the
+    * bounded fixture; rounds = 0 degenerates to [[knnGraph]].
+    */
+  def knnGraphRefined(spark: org.apache.spark.sql.SparkSession,
+                      indexPath: String, k: Int, nProbe: Int = 1,
+                      rounds: Int = 1, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    require(rounds >= 0, "rounds >= 0")
+    val cells = spark.read.parquet(Similarity.ivfCellsPath(spark, indexPath))
+    val q = Similarity.spreadForScan(cells)
+    var g =
+      if (nProbe <= 1)
+        Similarity.ivfKnn(cells, q, k, cellCol = "cell", idCol, vecCol)
+      else
+        Similarity.ivfMultiProbeKnnFromIndex(spark, indexPath, q, k,
+          nProbe, idCol, vecCol)
+    for (_ <- 1 to rounds)
+      g = Similarity.knnRefine(g, cells, k, idCol, vecCol)
+    symmetrize(g)
+  }
+
   /** All triangles (x < y < z) of an undirected graph given as canonical
     * edges (pa < pb, distinct), via the compact-forward algorithm: every
     * edge is re-oriented from its lower-(degree, id) endpoint to the

@@ -208,6 +208,47 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
   }
 
+  /** One NN-Descent refinement round (Dong, Moses & Li 2011, the
+    * neighbor-of-my-neighbor principle) over a DIRECTED kNN frame
+    * ((q_id, n_id, cos)): candidates = the current edges plus every
+    * two-hop neighbor through the UNDIRECTED base graph (NN-Descent's
+    * reverse-edge trick — a vector is a candidate for the points it is
+    * near, not just the points near it), rescored exactly and cut back
+    * to top-k. Recall climbs toward the true graph with each round at
+    * LINEAR cost: the undirected frame has 2nk edges, the two-hop join
+    * fans out to ≤4nk² candidate rows — never a function of corpus²,
+    * unlike lowering the cell count or raising nProbe past the probed
+    * fraction. The input graph must CROSS its partition boundaries for
+    * refinement to find anything: two-hop expansion stays inside a
+    * connected component, so a cell-confined nProbe=1 IVF graph (each
+    * component ⊆ one cell, already the within-cell exact top-k) refines
+    * to itself — start from nProbe ≥ 2 (see [[Graph.knnGraphRefined]]).
+    * Same rounding/tie contract as every kNN path (cos rounded to 6,
+    * ties by n_id).
+    */
+  def knnRefine(knn: DataFrame, vectors: DataFrame, k: Int,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val e = knn.select(col("q_id"), col("n_id"))
+    // three consumers (both join sides + the union arm): checkpoint the
+    // undirected frame so the upstream kNN build runs once
+    val und = e.union(e.select(col("n_id").as("q_id"), col("q_id").as("n_id")))
+      .localCheckpoint(false)
+    val hop = und.as("a").join(und.as("b"), col("a.n_id") === col("b.q_id"))
+      .select(col("a.q_id").as("q_id"), col("b.n_id").as("n_id"))
+    val cand = hop.union(und).filter(col("q_id") =!= col("n_id")).distinct()
+    val q = vectors.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      l2Norm(col(vecCol)).as("q_norm"))
+    val c = vectors.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      l2Norm(col(vecCol)).as("n_norm"))
+    val scored = cand.join(q, "q_id").join(c, "n_id")
+      .select(col("q_id"), col("n_id"),
+        round(cosineHoisted(col("q_vec"), col("n_vec"), col("q_norm"), col("n_norm")), 6)
+          .as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+  }
+
   /** Multi-probe search against a PERSISTED index: the corpus side reads
     * its precomputed cells from the current snapshot (no assignment pass
     * at query time — [[ivfKnnFromIndex]]'s contract), only the QUERY

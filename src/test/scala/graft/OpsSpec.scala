@@ -3084,6 +3084,16 @@ class AdviceRegressionSpec extends AnyFunSuite {
     val gAll = edges(Graph.knnGraph(spark, path, k = 3, nProbe = 4))
     val gBrute = edges(Graph.knnGraphBrute(df, k = 3))
     assert(gAll == gBrute)
+    // NN-Descent invariants: the exact graph is a FIXED POINT of
+    // refinement (candidates can only rediscover the true top-k) …
+    assert(edges(Graph.knnGraphRefined(spark, path, k = 3, nProbe = 4,
+      rounds = 1)) == gBrute)
+    // … and a cell-confined nProbe=1 base refines to ITSELF — two-hop
+    // expansion cannot leave a connected component, and every component
+    // sits inside one cell whose exact top-k the base already is (the
+    // q_eval_knn_graph_refine flat-recall finding, pinned)
+    assert(edges(Graph.knnGraphRefined(spark, path, k = 3, nProbe = 1,
+      rounds = 2)) == g1)
     // sanity on the truth side: 60 vertices × 3 directed picks,
     // symmetrized-distinct can at most halve — never fewer than 90 edges
     assert(gBrute.size >= 60 * 3 / 2)

@@ -4708,6 +4708,68 @@ def q_eval_knn_graph_recall():
     return pd.DataFrame(rows)
 
 
+@audit("q_eval_knn_graph_refine")
+def q_eval_knn_graph_refine():
+    # NN-Descent refinement recall table (Graph.knnGraphRefined): base =
+    # directed 3-NN within each vector's TWO nearest trained cells
+    # (query side), corpus side argmax cell; each round rescores
+    # {current edges} + {two-hop neighbors through the undirected graph}
+    # and keeps the exact top-3; recall vs the brute truth.
+    ids, emb, nrm, cells, cents = _semantic_cells(lambda _: True,
+                                                  with_centroids=True)
+    cn = [math.sqrt(float(cv @ cv)) for cv in cents]
+
+    def ranked(i):
+        sc = sorted(((float(emb[i] @ cents[cid]) / (nrm[i] * cn[cid]), -cid)
+                     for cid in range(len(cents))), reverse=True)
+        return [-c for _, c in sc]
+
+    by_cell = {}
+    for i, cid in cells.items():
+        by_cell.setdefault(cid, []).append(i)
+    idx_of = {int(ids[i]): i for i in range(len(ids))}
+
+    def topk(qi, cand_idx):
+        cand = [(r6(float(emb[qi] @ emb[j]) / (nrm[qi] * nrm[j])),
+                 int(ids[j])) for j in cand_idx if j != qi]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        return [nid for _, nid in cand[:3]]
+
+    # directed base: probe the 2 nearest cells
+    g = {int(ids[qi]): topk(qi, [j for cell in ranked(qi)[:2]
+                                 for j in by_cell.get(cell, [])])
+         for qi in range(len(ids))}
+    truth_edges = set()
+    for qi in range(len(ids)):
+        for nid in topk(qi, range(len(ids))):
+            truth_edges.add((int(ids[qi]), nid))
+            truth_edges.add((nid, int(ids[qi])))
+
+    def sym(gd):
+        es = set()
+        for q, ns in gd.items():
+            for n in ns:
+                es.add((q, n)); es.add((n, q))
+        return es
+
+    rows = []
+    for r in (0, 1, 2):
+        es = sym(g)
+        hit = len(es & truth_edges)
+        rows.append({"n_rounds": r, "n_truth_edges": len(truth_edges),
+                     "n_refined_edges": len(es), "n_hit": hit,
+                     "edge_recall": r6(hit / len(truth_edges))})
+        if r < 2:
+            und = {}
+            for a, b in sym(g):
+                und.setdefault(a, set()).add(b)
+            g = {q: topk(idx_of[q],
+                         {idx_of[c] for n in und.get(q, set())
+                          for c in und.get(n, set()) | {n}})
+                 for q in und}
+    return pd.DataFrame(rows)
+
+
 @audit("q_eval_ivf_cell_balance")
 def eval_ivf_cell_balance():
     # IVF cell-load balance after 2 Lloyd rounds (Lloyd 1982) with the
