@@ -52,6 +52,18 @@ object ProbeKnnGraph {
       println(f"  nProbe=$p%2d ivf=${tIvf}%7.2fs edges=$nE%9d hit=$hit%9d " +
         f"recall=${hit.toDouble / eb._2}%.4f speedup_vs_brute=${tBrute / tIvf}%5.1fx")
     }
+    // the refinement knob at fixed probe cost: nProbe=2 base + 1 and 2
+    // NN-Descent rounds (linear-cost recall vs paying more probes)
+    for (r <- Seq(1, 2)) {
+      val ((er, nR), tRef) = Timed {
+        val g = Graph.knnGraphRefined(spark, idx, k = 3, nProbe = 2,
+          rounds = r).localCheckpoint()
+        (g, g.count())
+      }
+      val hitR = er.join(eb._1, Seq("src", "dst")).count()
+      println(f"  nProbe= 2+refine$r ivf=${tRef}%7.2fs edges=$nR%9d hit=$hitR%9d " +
+        f"recall=${hitR.toDouble / eb._2}%.4f speedup_vs_brute=${tBrute / tRef}%5.1fx")
+    }
     spark.stop()
   }
 }
