@@ -91,9 +91,17 @@ object Graph {
     * can never leave the cell, and refinement is exactly a no-op (the
     * base was already the within-cell exact top-k — measured flat on
     * the fixture). Start from nProbe ≥ 2 — the second-best-cell edges
-    * are the bridges each round amplifies. q_eval_knn_graph_refine
-    * measures the per-round recall lift vs the brute truth on the
-    * bounded fixture; rounds = 0 degenerates to [[knnGraph]].
+    * are the bridges each round amplifies. When to prefer which knob:
+    * more probes scan more cell mass per vector (cost grows with
+    * nProbe × cell size) but reach ANY cell directly; refinement stays
+    * ≤4nk² per round regardless of cell count but only reaches what
+    * bridges connect — on a corpus whose true neighbors scatter across
+    * many cells, probes win at equal cost (measured on the clustered
+    * fixture: nProbe=4 recall 0.74 vs nProbe=2+2 rounds 0.52 at the
+    * same wall, PLANS.md); at corpus scale with many cells, refinement
+    * is the affordable knob. Measure with q_eval_knn_graph_refine
+    * before trusting either on a new corpus; rounds = 0 degenerates to
+    * [[knnGraph]].
     */
   def knnGraphRefined(spark: org.apache.spark.sql.SparkSession,
                       indexPath: String, k: Int, nProbe: Int = 1,
