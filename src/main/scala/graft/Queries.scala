@@ -3084,18 +3084,20 @@ object Queries {
     }
     val eb = Graph.knnGraphBrute(emb, k = 3).localCheckpoint()
     val nT = eb.agg(count(lit(1)).as("n_truth_edges"))
-    Seq(0, 1, 2).map { r =>
-      val ei = Graph.knnGraphRefined(s, idx, k = 3, nProbe = 2, rounds = r)
-        .localCheckpoint()
-      val hit = ei.join(eb, Seq("src", "dst"))
-      ei.agg(count(lit(1)).as("n_refined_edges"))
-        .crossJoin(nT)
-        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
-        .select(lit(r).as("n_rounds"), col("n_truth_edges"),
-          col("n_refined_edges"), col("n_hit"),
-          round(col("n_hit").cast("double") / col("n_truth_edges"), 6)
-            .as("edge_recall"))
-    }.reduce(_ unionByName _).orderBy("n_rounds")
+    // ONE base build shared across the three stages (the trajectory —
+    // per-rounds knnGraphRefined calls would rebuild it each time)
+    Graph.knnGraphRefinedTrajectory(s, idx, k = 3, nProbe = 2, rounds = 2)
+      .zipWithIndex.map { case (ei0, r) =>
+        val ei = ei0.localCheckpoint()
+        val hit = ei.join(eb, Seq("src", "dst"))
+        ei.agg(count(lit(1)).as("n_refined_edges"))
+          .crossJoin(nT)
+          .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+          .select(lit(r).as("n_rounds"), col("n_truth_edges"),
+            col("n_refined_edges"), col("n_hit"),
+            round(col("n_hit").cast("double") / col("n_truth_edges"), 6)
+              .as("edge_recall"))
+      }.reduce(_ unionByName _).orderBy("n_rounds")
   }
 
   q("stream_ivf_ingest",

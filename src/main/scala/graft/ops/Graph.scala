@@ -106,7 +106,20 @@ object Graph {
   def knnGraphRefined(spark: org.apache.spark.sql.SparkSession,
                       indexPath: String, k: Int, nProbe: Int = 1,
                       rounds: Int = 1, idCol: String = "vec_id",
-                      vecCol: String = "embedding"): DataFrame = {
+                      vecCol: String = "embedding"): DataFrame =
+    knnGraphRefinedTrajectory(spark, indexPath, k, nProbe, rounds,
+      idCol, vecCol).last
+
+  /** The whole refinement TRAJECTORY: the symmetrized edge list after
+    * 0, 1, …, `rounds` refinement passes, sharing ONE base-graph build
+    * (q_eval_knn_graph_refine consumes all of them — calling
+    * [[knnGraphRefined]] per rounds value would rebuild the base each
+    * time). Element i = the graph after i rounds.
+    */
+  def knnGraphRefinedTrajectory(spark: org.apache.spark.sql.SparkSession,
+                                indexPath: String, k: Int, nProbe: Int = 1,
+                                rounds: Int = 1, idCol: String = "vec_id",
+                                vecCol: String = "embedding"): Seq[DataFrame] = {
     require(rounds >= 0, "rounds >= 0")
     val cells = spark.read.parquet(Similarity.ivfCellsPath(spark, indexPath))
     val q = Similarity.spreadForScan(cells)
@@ -116,9 +129,18 @@ object Graph {
       else
         Similarity.ivfMultiProbeKnnFromIndex(spark, indexPath, q, k,
           nProbe, idCol, vecCol)
-    for (_ <- 1 to rounds)
+    val out = Seq.newBuilder[DataFrame]
+    // each round's directed graph feeds TWO consumers (its symmetrized
+    // snapshot + the next refine) — lazy checkpoint so the chain never
+    // re-executes an earlier round's lineage
+    g = g.localCheckpoint(false)
+    out += symmetrize(g)
+    for (_ <- 1 to rounds) {
       g = Similarity.knnRefine(g, cells, k, idCol, vecCol)
-    symmetrize(g)
+        .localCheckpoint(false)
+      out += symmetrize(g)
+    }
+    out.result()
   }
 
   /** All triangles (x < y < z) of an undirected graph given as canonical
