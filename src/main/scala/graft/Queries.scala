@@ -2996,7 +2996,11 @@ object Queries {
     val eb = Graph.knnGraphBrute(emb, k = 3).localCheckpoint()
     val nT = eb.agg(count(lit(1)).as("n_truth_edges"))
     Seq(1, 2, 4).map { p =>
-      val ei = Graph.knnGraph(s, idx, k = 3, nProbe = p).localCheckpoint()
+      // exact-regime pin (the dedup_minhash_lsh convention): this
+      // oracle replays the plain cell join, so the declared SQL holds at
+      // any corpus size; AutoCellVecs stays the library default
+      val ei = Graph.knnGraph(s, idx, k = 3, nProbe = p,
+        maxCellVecs = Int.MaxValue).localCheckpoint()
       val hit = ei.join(eb, Seq("src", "dst"))
       ei.agg(count(lit(1)).as("n_ivf_edges"))
         .crossJoin(nT)
@@ -3086,7 +3090,9 @@ object Queries {
     val nT = eb.agg(count(lit(1)).as("n_truth_edges"))
     // ONE base build shared across the three stages (the trajectory —
     // per-rounds knnGraphRefined calls would rebuild it each time)
-    Graph.knnGraphRefinedTrajectory(s, idx, k = 3, nProbe = 2, rounds = 2)
+    // exact-regime pin, as in q_eval_knn_graph_recall
+    Graph.knnGraphRefinedTrajectory(s, idx, k = 3, nProbe = 2, rounds = 2,
+        maxCellVecs = Int.MaxValue)
       .zipWithIndex.map { case (ei0, r) =>
         val ei = ei0.localCheckpoint()
         val hit = ei.join(eb, Seq("src", "dst"))
@@ -3098,6 +3104,59 @@ object Queries {
             round(col("n_hit").cast("double") / col("n_truth_edges"), 6)
               .as("edge_recall"))
       }.reduce(_ unionByName _).orderBy("n_rounds")
+  }
+
+  q("q_knn_graph_auto_dispatch", {
+    // the kNN-graph DISPATCHER itself, oracle-backed and SCALE-TRUE (the
+    // dedup_auto_dispatch convention): the oracle derives the regime
+    // from the stored cell histogram — exact while the hottest cell ≤
+    // 4096 (Graph.DefaultMaxCellVecs), else the md5-sub-bucketed replay
+    // (salt = md5Hash60(id) mod ceil(|cell|/4096), the split the capped
+    // engine plan performs) — so the declared SQL holds at any corpus
+    // size and the capped branch is validated on a constructed hot-cell
+    // corpus (PLANS.md r13).
+    val dotE = duckDotE(64) _
+    def cosSql(qa: String, na: String): String =
+      s"""round(${dotE(s"CAST($qa.embedding[i] AS DOUBLE)", s"CAST($na.embedding[i] AS DOUBLE)")} /
+         |    ($qa.nrm * $na.nrm), 6)""".stripMargin
+    def topEdges(tag: String, from: String, joinOn: String): Seq[String] = Seq(
+      s"""si_$tag AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         |  ${cosSql("q", "n")} AS cos
+         |  FROM $from q JOIN $from n ON $joinOn AND q.vec_id != n.vec_id)""",
+      s"""r_$tag AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn
+         |  FROM si_$tag) WHERE rn <= 3)""",
+      s"""ed_$tag AS (SELECT DISTINCT src, dst FROM (SELECT q_id AS src, n_id AS dst
+         |  FROM r_$tag UNION ALL SELECT n_id, q_id FROM r_$tag))""")
+    ((kmeansCellCtes(k = 8, iters = 2, dim = 64) ++ Seq(
+      s"""cw AS (SELECT e.vec_id, e.embedding, e.nrm, c.cell
+         |  FROM e JOIN cellt c USING (vec_id))""",
+      s"""hs AS (SELECT cell, COUNT(*) AS ck FROM cellt GROUP BY 1)""",
+      s"""rg AS (SELECT (SELECT COUNT(*) FROM cellt) AS n_vecs,
+         |  (SELECT MAX(ck) FROM hs) AS max_cell,
+         |  CASE WHEN (SELECT MAX(ck) FROM hs) <= 4096
+         |    THEN 'exact' ELSE 'capped' END AS regime)""",
+      s"""sw AS (SELECT cw.vec_id, cw.embedding, cw.nrm, cw.cell,
+         |  ('0x' || substr(md5(CAST(cw.vec_id AS VARCHAR)), 1, 15))::BIGINT
+         |    % GREATEST(CAST(ceil(hs.ck / 4096.0) AS BIGINT), 1) AS salt
+         |  FROM cw JOIN hs USING (cell))""") ++
+      topEdges("x", "cw", "q.cell = n.cell") ++
+      topEdges("c", "sw", "q.cell = n.cell AND q.salt = n.salt"))
+      .mkString("WITH ", ", ", " ") +
+      """SELECT regime, n_vecs, CAST(max_cell AS BIGINT) AS max_cell,
+        |  CASE WHEN regime = 'exact' THEN (SELECT COUNT(*) FROM ed_x)
+        |       ELSE (SELECT COUNT(*) FROM ed_c) END AS n_edges
+        |FROM rg""".stripMargin)
+      .stripMargin.replace("\n", " ")
+  }) { (s, dir) =>
+    val emb = tbl(s, dir, "embeddings")
+    val idx = cachedLanding(s"ivfidx:$dir") { d =>
+      Similarity.writeIvfIndex(emb, d, k = 8, iters = 2, dim = 64)
+    }
+    val d = Graph.knnGraphAuto(s, idx, k = 3)
+    d.edges.agg(count(lit(1)).as("n_edges"))
+      .select(lit(d.regime).as("regime"), lit(d.nVecs).as("n_vecs"),
+        lit(d.maxCellObserved).as("max_cell"), col("n_edges"))
   }
 
   q("stream_ivf_ingest",

@@ -62,23 +62,140 @@ object Graph {
     * edge recall vs the brute truth per nProbe on the bounded fixture —
     * read it before a corpus-scale build trusts a (cells, nProbe) pair.
     */
+  /** `maxCellVecs` follows the dispatcher contract every operator family
+    * with a degenerate n² regime carries (the [[Dedup.minhashLsh]]
+    * pattern): the within-cell self-join costs Σ|cell|² — on a skewed
+    * index one hot cell quietly carries a quadratic fraction of the
+    * corpus AND one task carries the whole hot cell. DEFAULT
+    * [[AutoCellVecs]] = probe the cell histogram (ONE single-row
+    * aggregate) and route: exact while the hottest cell ≤
+    * [[DefaultMaxCellVecs]]; above it, over-cap cells split into
+    * deterministic md5 sub-buckets of ≤ cap vectors and each vector
+    * scores only its own sub-bucket — every task stays ≤ cap² work at
+    * ANY corpus size. Unlike the dedup caps this trades neighbor RANK,
+    * not just recall (a sub-bucket's top-k can promote farther
+    * neighbors); q_eval_knn_graph_recall-style measurement plus a
+    * refinement round ([[knnGraphRefined]] — bridges recover cross-
+    * sub-bucket neighbors) is the standing guidance before trusting a
+    * cap. `Int.MaxValue` forces exact, a positive cap forces splitting;
+    * see [[knnGraphAuto]] for the probe/route metadata.
+    */
   def knnGraph(spark: org.apache.spark.sql.SparkSession, indexPath: String,
-               k: Int, nProbe: Int = 1, idCol: String = "vec_id",
-               vecCol: String = "embedding"): DataFrame = {
+               k: Int, nProbe: Int = 1, maxCellVecs: Int = AutoCellVecs,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame =
+    if (maxCellVecs == AutoCellVecs)
+      knnGraphAuto(spark, indexPath, k, nProbe, idCol = idCol,
+        vecCol = vecCol).edges
+    else
+      symmetrize(directedIvfKnn(spark, indexPath, k, nProbe, maxCellVecs,
+        idCol, vecCol))
+
+  /** Sentinel `maxCellVecs`: let [[knnGraphAuto]] probe the cell
+    * histogram and pick the regime.
+    */
+  val AutoCellVecs: Int = -1
+
+  /** The dispatcher's default cap / routing threshold: a cell of 4096
+    * vectors costs ~8.4M within-cell pairs — an honest task; a hot cell
+    * at a linear corpus fraction is the n² regime this cap refuses.
+    */
+  val DefaultMaxCellVecs: Int = 4096
+
+  /** One dispatched kNN-graph build: the regime the probe chose and why,
+    * plus the symmetrized edges. `candidateRetention` is the capped
+    * fraction of within-cell candidate pairs still scored (1.0 exact) —
+    * for graphs a PROXY, not a bound: a sub-bucket's top-k may promote
+    * farther neighbors rather than drop edges.
+    */
+  case class KnnGraphDispatch(regime: String, nVecs: Long, nCells: Long,
+                              maxCellObserved: Long, estPairs: Long,
+                              estPairsCapped: Long,
+                              candidateRetention: Double, cap: Int,
+                              edges: DataFrame)
+
+  /** Size-aware kNN-graph dispatcher: ONE single-row aggregate over the
+    * stored cell histogram (counts, pair mass in overflow-safe double —
+    * the r12 probe rule) routes exact vs sub-bucketed. See [[knnGraph]]
+    * for the contract.
+    */
+  def knnGraphAuto(spark: org.apache.spark.sql.SparkSession,
+                   indexPath: String, k: Int, nProbe: Int = 1,
+                   cappedCellVecs: Int = DefaultMaxCellVecs,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): KnnGraphDispatch = {
     val cells = spark.read.parquet(Similarity.ivfCellsPath(spark, indexPath))
-    // spread the QUERY side across the shuffle width: the cell layout
-    // may sit in a handful of parquet files (a compacted small index is
-    // exactly that), and the scan's split count would cap the whole
-    // scoring stage's parallelism (the bruteForceKnn scan rule; measured
-    // 2.8× at sf1). The corpus side needs no spread — it is either
-    // broadcast or shuffled on the cell key anyway.
-    val q = Similarity.spreadForScan(cells)
-    symmetrize(
+    val half = col("__ck").cast("double") * (col("__ck") - 1).cast("double") / 2
+    val s = ceil(col("__ck") / cappedCellVecs.toDouble).cast("double")
+    val sub = col("__ck").cast("double") / s
+    val st = cells.groupBy("cell").agg(count(lit(1)).as("__ck"))
+      .agg(sum(half).as("est"),
+        sum(when(col("__ck") <= cappedCellVecs, half)
+          .otherwise(s * sub * (sub - lit(1.0)) / 2)).as("est_capped"),
+        max("__ck").as("max_ck"), sum("__ck").as("n"),
+        count(lit(1)).as("n_cells"))
+      .collect()(0)
+    def dbl(i: Int): Double = if (st.isNullAt(i)) 0.0 else st.getDouble(i)
+    def lng(i: Int): Long = if (st.isNullAt(i)) 0L else st.getLong(i)
+    val (est, estCapped, maxCk, n, nCells) =
+      (dbl(0), dbl(1), lng(2), lng(3), lng(4))
+    val exact = maxCk <= cappedCellVecs
+    KnnGraphDispatch(
+      regime = if (exact) "exact" else "capped",
+      nVecs = n, nCells = nCells, maxCellObserved = maxCk,
+      estPairs = est.toLong, estPairsCapped = estCapped.toLong,
+      candidateRetention = if (exact) 1.0 else estCapped / math.max(est, 1.0),
+      cap = if (exact) Int.MaxValue else cappedCellVecs,
+      edges = symmetrize(directedIvfKnn(spark, indexPath, k, nProbe,
+        if (exact) Int.MaxValue else cappedCellVecs, idCol, vecCol)))
+  }
+
+  /** The directed index-backed kNN build behind [[knnGraph]] /
+    * [[knnGraphAuto]]: exact = the plain cell join; capped = over-cap
+    * cells split into `ceil(|cell|/cap)` deterministic md5 sub-buckets
+    * (each vector — query side included, at any nProbe — lands in ONE
+    * sub-bucket per probed cell, so the per-task bound holds).
+    */
+  private def directedIvfKnn(spark: org.apache.spark.sql.SparkSession,
+                             indexPath: String, k: Int, nProbe: Int,
+                             maxCellVecs: Int, idCol: String,
+                             vecCol: String): DataFrame = {
+    val cells = spark.read.parquet(Similarity.ivfCellsPath(spark, indexPath))
+    if (maxCellVecs == Int.MaxValue) {
+      // spread the QUERY side across the shuffle width: the cell layout
+      // may sit in a handful of parquet files (a compacted small index
+      // is exactly that), and the scan's split count would cap the whole
+      // scoring stage's parallelism (the bruteForceKnn scan rule;
+      // measured 2.8× at sf1). The corpus side needs no spread — it is
+      // either broadcast or shuffled on the cell key anyway.
+      val q = Similarity.spreadForScan(cells)
       if (nProbe <= 1)
         Similarity.ivfKnn(cells, q, k, cellCol = "cell", idCol, vecCol)
       else
         Similarity.ivfMultiProbeKnnFromIndex(spark, indexPath, q, k,
-          nProbe, idCol, vecCol))
+          nProbe, idCol, vecCol)
+    } else {
+      // sub-bucketed: (cell, salt) is the join key, salt = md5(id) mod
+      // ceil(|cell|/cap) — engine-reproducible (the md5Hash60 contract)
+      // so a SQL oracle can replay the split
+      val cnt = cells.groupBy("cell").agg(count(lit(1)).as("__ck"))
+      def keyed(df: DataFrame): DataFrame = df.join(cnt, "cell")
+        .withColumn("__cell2", concat_ws(":", col("cell"),
+          pmod(Pipeline.md5Hash60(col(idCol)),
+            greatest(ceil(col("__ck") / maxCellVecs.toDouble).cast("long"),
+              lit(1L)))))
+      val c = keyed(cells).select(col(idCol).as("n_id"),
+        col(vecCol).as("n_vec"), Similarity.l2Norm(col(vecCol)).as("n_norm"),
+        col("__cell2").as("cell"))
+      val qb =
+        if (nProbe <= 1) keyed(cells)
+        else keyed(cells.select(col(idCol), col(vecCol)).withColumn("cell",
+          explode(Similarity.ivfAssignCells(col(vecCol),
+            Similarity.readIvfCodebook(spark, indexPath), nProbe))))
+      val q = qb.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        Similarity.l2Norm(col(vecCol)).as("q_norm"), col("__cell2").as("cell"))
+      Similarity.cellTopK(q, c, k)
+    }
   }
 
   /** [[knnGraph]] + `rounds` NN-Descent refinement passes
@@ -105,30 +222,35 @@ object Graph {
     */
   def knnGraphRefined(spark: org.apache.spark.sql.SparkSession,
                       indexPath: String, k: Int, nProbe: Int = 1,
-                      rounds: Int = 1, idCol: String = "vec_id",
+                      rounds: Int = 1, maxCellVecs: Int = AutoCellVecs,
+                      idCol: String = "vec_id",
                       vecCol: String = "embedding"): DataFrame =
     knnGraphRefinedTrajectory(spark, indexPath, k, nProbe, rounds,
-      idCol, vecCol).last
+      maxCellVecs, idCol, vecCol).last
 
   /** The whole refinement TRAJECTORY: the symmetrized edge list after
     * 0, 1, …, `rounds` refinement passes, sharing ONE base-graph build
     * (q_eval_knn_graph_refine consumes all of them — calling
     * [[knnGraphRefined]] per rounds value would rebuild the base each
-    * time). Element i = the graph after i rounds.
+    * time). Element i = the graph after i rounds. `maxCellVecs` follows
+    * the [[knnGraph]] dispatcher contract for the BASE build.
     */
   def knnGraphRefinedTrajectory(spark: org.apache.spark.sql.SparkSession,
                                 indexPath: String, k: Int, nProbe: Int = 1,
-                                rounds: Int = 1, idCol: String = "vec_id",
+                                rounds: Int = 1,
+                                maxCellVecs: Int = AutoCellVecs,
+                                idCol: String = "vec_id",
                                 vecCol: String = "embedding"): Seq[DataFrame] = {
     require(rounds >= 0, "rounds >= 0")
     val cells = spark.read.parquet(Similarity.ivfCellsPath(spark, indexPath))
-    val q = Similarity.spreadForScan(cells)
     var g =
-      if (nProbe <= 1)
-        Similarity.ivfKnn(cells, q, k, cellCol = "cell", idCol, vecCol)
+      if (maxCellVecs == AutoCellVecs)
+        directedIvfKnn(spark, indexPath, k, nProbe,
+          knnGraphAuto(spark, indexPath, k, nProbe, idCol = idCol,
+            vecCol = vecCol).cap, idCol, vecCol)
       else
-        Similarity.ivfMultiProbeKnnFromIndex(spark, indexPath, q, k,
-          nProbe, idCol, vecCol)
+        directedIvfKnn(spark, indexPath, k, nProbe, maxCellVecs,
+          idCol, vecCol)
     val out = Seq.newBuilder[DataFrame]
     // each round's directed graph feeds TWO consumers (its symmetrized
     // snapshot + the next refine) — lazy checkpoint so the chain never

@@ -199,7 +199,7 @@ object Similarity {
   /** The shared cell-join top-k tail: score each (query, same-cell
     * corpus vector) pair, keep each query's k best (cos DESC, id ASC).
     */
-  private def cellTopK(q: DataFrame, c: DataFrame, k: Int): DataFrame = {
+  private[ops] def cellTopK(q: DataFrame, c: DataFrame, k: Int): DataFrame = {
     val scored = q.join(c, Seq("cell")).filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         round(cosineHoisted(col("q_vec"), col("n_vec"), col("q_norm"), col("n_norm")), 6)
