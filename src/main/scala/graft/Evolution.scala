@@ -234,9 +234,13 @@ object Evolution {
     // system property (getOrCreate() picks it up on its own); honor a
     // bare-java SPARK_MASTER env var the same way (r13 review: checking
     // it without APPLYING it left the builder masterless → crash)
-    sys.env.get("SPARK_MASTER").filter(_ => !sys.props.contains("spark.master"))
+    // an empty SPARK_MASTER= (a wrapper script exporting the var unset)
+    // must act as absent: applied verbatim it crashes the builder AND
+    // suppresses the local fallback below (ADVICE r13)
+    val envMaster = sys.env.get("SPARK_MASTER").filter(_.trim.nonEmpty)
+    envMaster.filter(_ => !sys.props.contains("spark.master"))
       .foreach(b.master)
-    if (!sys.props.contains("spark.master") && !sys.env.contains("SPARK_MASTER")) {
+    if (!sys.props.contains("spark.master") && envMaster.isEmpty) {
       val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
       b.master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)

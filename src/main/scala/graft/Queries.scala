@@ -6254,6 +6254,173 @@ object Queries {
       .orderBy("c_nationkey")
   }
 
+  q("q2_min_cost_supplier",
+    // TPC-H q2 shape (correlated min-cost subquery against a per-group
+    // scalar bound) re-based on the tables this corpus carries: the
+    // missing partsupp relation is derived as the observed (part,
+    // supplier) supply pairs in lineitem with cost = MIN(extendedprice)
+    // — same join topology (part × supply × supplier × nation × region,
+    // cost = regional per-part minimum), exact decimal cost equality
+    """WITH supply AS (
+      |  SELECT l_partkey AS pk, l_suppkey AS sk,
+      |    MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS cost
+      |  FROM lineitem GROUP BY 1, 2),
+      | rsupply AS (
+      |  SELECT pk, sk, cost, s_acctbal, s_name, n_name
+      |  FROM supply JOIN supplier ON s_suppkey = sk
+      |    JOIN nation ON n_nationkey = s_nationkey
+      |    JOIN region ON r_regionkey = n_regionkey
+      |  WHERE r_name = 'ASIA'),
+      | best AS (SELECT pk AS bpk, MIN(cost) AS mincost FROM rsupply GROUP BY 1)
+      |SELECT CAST(s_acctbal AS DOUBLE) AS s_acctbal, s_name, n_name,
+      |  p_partkey, p_type, CAST(cost AS DOUBLE) AS cost
+      |FROM part JOIN rsupply ON pk = p_partkey
+      |  JOIN best ON bpk = p_partkey AND cost = mincost
+      |WHERE p_size = 15
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    // the p_size filter prunes BOTH the supply branch and the per-part
+    // minimum before the self-join (the min is per part, so restricting
+    // parts first is equivalent and removes 49/50 of the agg + join
+    // work); supplier×nation×region collapses to one broadcast dim
+    val parts = broadcast(tbl(s, dir, "part").filter(col("p_size") === 15)
+      .select("p_partkey", "p_type"))
+    val asiaSupp = broadcast(tbl(s, dir, "supplier")
+      .join(broadcast(tbl(s, dir, "nation")
+        .join(tbl(s, dir, "region").filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))),
+        col("n_nationkey") === col("s_nationkey"))
+      .select("s_suppkey", "s_acctbal", "s_name", "n_name"))
+    val rsupply = tbl(s, dir, "lineitem")
+      .join(parts, col("p_partkey") === col("l_partkey"))
+      .join(asiaSupp, col("s_suppkey") === col("l_suppkey"))
+      .groupBy(col("p_partkey"), col("p_type"), col("l_suppkey"),
+        col("s_acctbal"), col("s_name"), col("n_name"))
+      .agg(min(dec(col("l_extendedprice"), 12, 2)).as("cost"))
+    val best = rsupply.groupBy(col("p_partkey").as("bpk"))
+      .agg(min(col("cost")).as("mincost"))
+    rsupply.join(best, col("bpk") === col("p_partkey") &&
+        col("cost") === col("mincost"))
+      .select(col("s_acctbal").cast("double").as("s_acctbal"), col("s_name"),
+        col("n_name"), col("p_partkey"), col("p_type"),
+        col("cost").cast("double").as("cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey")).limit(100)
+  }
+
+  q("q11_important_stock",
+    // TPC-H q11 shape: per-group value vs a GLOBAL scalar threshold
+    // (group HAVING against a fraction of the grand total), partsupp
+    // value re-based as regional per-part revenue. Exact decimal
+    // threshold form as in q22: val * 2000 > tot — no float fraction
+    """WITH v AS (
+      |  SELECT l_partkey AS p_partkey,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS pval
+      |  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      |    JOIN nation ON n_nationkey = s_nationkey
+      |    JOIN region ON r_regionkey = n_regionkey
+      |  WHERE r_name = 'EUROPE' GROUP BY 1),
+      | t AS (SELECT SUM(pval) AS tot FROM v)
+      |SELECT p_partkey, CAST(pval AS DOUBLE) AS value
+      |FROM v, t WHERE pval * 2000 > tot
+      |ORDER BY value DESC, p_partkey"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val euroSupp = broadcast(tbl(s, dir, "supplier")
+      .join(broadcast(tbl(s, dir, "nation")
+        .join(tbl(s, dir, "region").filter(col("r_name") === "EUROPE"),
+          col("n_regionkey") === col("r_regionkey"))),
+        col("n_nationkey") === col("s_nationkey"))
+      .select("s_suppkey"))
+    val v = tbl(s, dir, "lineitem")
+      .join(euroSupp, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg(sum(dec(col("l_extendedprice"), 12, 2)).as("pval"))
+    val tot = v.agg(sum(col("pval")).as("tot"))
+    v.crossJoin(broadcast(tot))
+      .filter(col("pval") * 2000 > col("tot"))
+      .select(col("p_partkey"), col("pval").cast("double").as("value"))
+      .orderBy(col("value").desc, col("p_partkey"))
+  }
+
+  q("q16_supplier_cnt",
+    // TPC-H q16 shape: distinct-count per part attribute triple with a
+    // NOT IN supplier-exclusion subquery (complaint suppliers proxied by
+    // low account balance — the corpus carries no s_comment)
+    """SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 49)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 500)
+      |GROUP BY 1, 2, 3
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    // NOT IN over a non-null key = left_anti (broadcast: the exclusion
+    // side is a filtered dim); the part predicate prunes 42/50 sizes
+    // before the fact-table join
+    val bad = tbl(s, dir, "supplier").filter(col("s_acctbal") < 500)
+      .select("s_suppkey")
+    val parts = tbl(s, dir, "part")
+      .filter(col("p_brand") =!= "Brand#45" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 49))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    tbl(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+      .join(broadcast(parts), col("p_partkey") === col("l_partkey"))
+      .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  q("q21_waiting_supplier",
+    // TPC-H q21 shape — the multi-correlated EXISTS + NOT EXISTS
+    // self-join on the fact table. The corpus has no commit/receipt
+    // dates, so "kept waiting" is proxied by the returned flag: finished
+    // orders where supplier s returned a line, SOME other supplier also
+    // supplied the order, and NO other supplier's line was returned —
+    // identical join topology (l1 ⋉ l2, l1 ▷ l3 with the <> residual)
+    """SELECT s_name, COUNT(*) AS numwait
+      |FROM supplier, lineitem l1, orders, nation, region
+      |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      |  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_returnflag = 'R')
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    // the EXISTS legs stay equi-joins on l_orderkey with the supplier
+    // inequality as a RESIDUAL condition (semi + anti, shuffled on the
+    // order key — per-order fan-in is bounded by lines-per-order, so no
+    // skew at any corpus size); the region-filtered supplier dim is
+    // broadcast and applied FIRST, pruning l1 before the self-joins
+    val li = tbl(s, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_returnflag")
+    val asiaSupp = broadcast(tbl(s, dir, "supplier")
+      .join(broadcast(tbl(s, dir, "nation")
+        .join(tbl(s, dir, "region").filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))),
+        col("n_nationkey") === col("s_nationkey"))
+      .select("s_suppkey", "s_name"))
+    val fOrders = tbl(s, dir, "orders")
+      .filter(col("o_orderstatus") === "F").select("o_orderkey")
+    val l1 = li.filter(col("l_returnflag") === "R")
+      .join(asiaSupp, col("s_suppkey") === col("l_suppkey"))
+      .join(fOrders, col("o_orderkey") === col("l_orderkey"), "left_semi")
+    val l2 = li.select(col("l_orderkey").as("l2_ok"), col("l_suppkey").as("l2_sk"))
+    val l3 = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("l3_ok"), col("l_suppkey").as("l3_sk"))
+    l1.join(l2, col("l_orderkey") === col("l2_ok") &&
+        col("l_suppkey") =!= col("l2_sk"), "left_semi")
+      .join(l3, col("l_orderkey") === col("l3_ok") &&
+        col("l_suppkey") =!= col("l3_sk"), "left_anti")
+      .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name")).limit(100)
+  }
+
   q("q_window_nth",
     """SELECT user_id, event_id, value,
       |  nth_value(value, 3) OVER w AS v3,

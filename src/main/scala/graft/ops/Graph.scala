@@ -187,9 +187,15 @@ object Graph {
       val c = keyed(cells).select(col(idCol).as("n_id"),
         col(vecCol).as("n_vec"), Similarity.l2Norm(col(vecCol)).as("n_norm"),
         col("__cell2").as("cell"))
+      // spread the QUERY side here too (same scan rule as the exact
+      // branch): the capped regime targets exactly the largest/skewed
+      // indexes where a compacted cells layout would otherwise cap the
+      // scoring stage's parallelism at its file-split count. The corpus
+      // side is shuffled on the (cell, salt) key regardless.
+      val qSrc = Similarity.spreadForScan(cells)
       val qb =
-        if (nProbe <= 1) keyed(cells)
-        else keyed(cells.select(col(idCol), col(vecCol)).withColumn("cell",
+        if (nProbe <= 1) keyed(qSrc)
+        else keyed(qSrc.select(col(idCol), col(vecCol)).withColumn("cell",
           explode(Similarity.ivfAssignCells(col(vecCol),
             Similarity.readIvfCodebook(spark, indexPath), nProbe))))
       val q = qb.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),

@@ -56,6 +56,14 @@ class SessionMasterSpec extends AnyFunSuite {
     assert(line.contains("shuffle=200"), line)
   }
 
+  test("empty SPARK_MASTER= acts as absent: local fallback applies instead " +
+    "of a crashing .master(\"\") (ADVICE r13: wrapper scripts export it unset)") {
+    val line = forkCheck(Seq.empty, Map("SPARK_MASTER" -> "  ",
+      "SPARK_GRAFT_CPUS" -> "5"))
+    assert(line.contains("master=local[5]"), line)
+    assert(line.contains("shuffle=5"), line)
+  }
+
   test("no configured master: local[$SPARK_GRAFT_CPUS] fallback with " +
     "shuffle parallelism pinned to the core count (harness behavior unchanged)") {
     val line = forkCheck(Seq.empty, Map("SPARK_GRAFT_CPUS" -> "3"))
