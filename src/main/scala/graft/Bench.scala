@@ -113,6 +113,10 @@ object Bench {
     }
     def jmap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    // 2-decimal variant for the normalized maps: the stdout line must
+    // stay inside the harness's ~2000-char tail
+    def jmap2(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
@@ -125,9 +129,21 @@ object Bench {
     val canaryTimes = canary.flatMap(byNameAll.get).filter(_ >= 0)
     val canarySec = canaryTimes.sum
     val canaryN = canaryTimes.size
+    // canary-normalized walls (value / canary_sec): three rounds running
+    // the raw totals needed a manual host-load attribution pass because
+    // the canary swings ±30% between driver hosts — emitting the
+    // normalized figure from Bench itself makes round-over-round tables
+    // directly comparable. Guard: only meaningful when all 5 canary
+    // members completed (canary_n == 5); normalized values are -1
+    // otherwise, never a plausible-looking ratio.
+    def nrm(v: Double): Double =
+      if (canaryN == canary.size && canarySec > 0 && v >= 0) v / canarySec
+      else -1.0
     val fullJson =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","canary_sec":$canarySec%.3f,"canary_n":$canaryN,"queries":${
         jmap(results.map(r => (r._1, r._2)))
+      },"normalized":${
+        jmap2(results.map(r => (r._1, nrm(r._2))))
       },"failed":$failed,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
     try {
@@ -140,8 +156,12 @@ object Bench {
     val fams = results.filter(_._3).groupBy(r => family(r._1)).toSeq
       .map { case (f, rs) => f -> rs.map(_._2).sum }.sortBy(_._1)
     val head = headline.flatMap(n => byName.get(n).map(n -> _))
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","canary_sec":$canarySec%.3f,"canary_n":$canaryN,"nq":${
+    // the line carries total + per-family normalized; the complete
+    // per-query normalized map lives in BENCH_FULL.json (per-query on
+    // the line would blow the stdout tail that rounds 3-8 hit)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","canary_sec":$canarySec%.3f,"canary_n":$canaryN,"value_norm":${nrm(total)}%.1f,"nq":${
       results.size},"queries":${jmap(head)},"families":${jmap(fams)
+      },"families_norm":${jmap2(fams.map { case (f, v) => f -> nrm(v) })
       },"failed":$failed,"full":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }

@@ -474,30 +474,133 @@ object Dedup {
   val DefaultCappedGramDocs: Int = 50
   val DefaultMaxPairsPerGramRow: Long = 8L
 
+  /** Document-sample modulus for the span pre-probe: docs with
+    * `md5(id) mod S == 0` (deterministic, engine-reproducible) feed a
+    * streaming window-frequency aggregate that never materializes the
+    * full gram frame. Estimators are exactly unbiased: a window shared
+    * by k docs keeps Binomial(k, 1/S) sampled postings, and
+    * E[C(k_s,2)]·S² = C(k,2) for every k, so pair mass scales by S² and
+    * gram rows by S — the routing RATIO (pairs per gram row) scales by
+    * a clean S with no bias term. At sf100 the checkpointed probe's wall
+    * was 569 s against an 86 s routed plan, all of it gram-frame
+    * materialization the EXACT route never consumes (its two self-join
+    * scans share one exchange); the sampled pre-probe shingles 1/S of
+    * the corpus and drops the checkpoint entirely.
+    */
+  val DefaultSpanProbeSampleMod: Int = 64
+
+  /** The sampled pre-probe only decides when the estimated pairs/row
+    * ratio is OUTSIDE `[threshold/band, threshold·band]` AND the sample
+    * carried at least [[MinSampledGramRows]] gram rows; anything closer
+    * to the boundary (or any corpus small enough to sample thinly) falls
+    * back to the exact checkpointed probe, so small/ambiguous corpora
+    * behave exactly as before. Real corpus shapes sit decades from the
+    * boundary (sf100: 0.002 pairs/row vs 8; the boilerplate adversarial
+    * shape: hundreds vs 8), so the band only ever catches genuinely
+    * borderline inputs — where the exact probe's cost is modest anyway.
+    */
+  val SpanProbeAmbiguityBand: Double = 4.0
+  val MinSampledGramRows: Long = 65536L
+
   /** One dispatched shared-span run: regime, probe stats over the
     * window-frequency distribution, band-level pair retention
     * (capped-pair mass / exact-pair mass; 1.0 in the exact regime), and
-    * the pair frame.
+    * the pair frame. `probeMode` records which probe produced the stats:
+    * `"exact"` = the full checkpointed window-frequency aggregate (stats
+    * are exact); `"sampled"` = the document-sampled streaming pre-probe
+    * (stats are unbiased S-scaled ESTIMATES, `maxGramDocsObserved` a
+    * sample lower bound — see [[sharedNgramPairsAuto]]).
     */
   case class SpanDispatch(regime: String, nGramRows: Long, estPairs: Long,
                           estPairsCapped: Long, maxGramDocsObserved: Long,
-                          pairRetention: Double, cap: Int, pairs: DataFrame)
+                          pairRetention: Double, cap: Int,
+                          probeMode: String, pairs: DataFrame)
 
   /** Size-aware shared-span dispatcher (the minhashLshAuto pattern on
-    * the window-posting distribution). The gram frame checkpoints
-    * lazily and ONE map-side-combined probe (groupBy window count →
-    * Σ C(k,2), its ≤cap restriction, max k, total rows) rides on it;
-    * exact routing keeps the r11 plan shape, capped routing drops
-    * over-cap windows with a semi join. No row-count floor: unlike the
-    * band frame (`bands` rows/doc) the gram frame's worst case is not
-    * bounded by its row count alone, and the probe is one aggregate
-    * over rows the self-join was about to shuffle anyway.
+    * the window-posting distribution), two-phase since r14:
+    *
+    * Phase 1 — SAMPLED pre-probe: docs with `md5(id) mod S == 0`
+    * (S = `probeSampleMod`) feed one streaming window-frequency
+    * aggregate — no checkpoint, 1/S of the shingle CPU. When the
+    * S-scaled pairs/row estimate clears the routing threshold by the
+    * ambiguity band on an adequate sample, route immediately: the exact
+    * regime builds CHECKPOINT-FREE (its two self-join scans share one
+    * exchange — the r13 sf100 run paid 569 s materializing a gram
+    * checkpoint the exact route never read), the capped regime keeps
+    * the checkpoint (keep-aggregate + both join sides = three
+    * consumers).
+    *
+    * Phase 2 — exact probe (fallback; also `probeSampleMod <= 1`): the
+    * r12 behavior verbatim — gram frame checkpoints lazily, ONE
+    * map-side-combined probe (groupBy window count → Σ C(k,2), its
+    * ≤cap restriction, max k, total rows) rides on it. Small corpora
+    * (sample under [[MinSampledGramRows]]) and boundary ratios always
+    * land here, so fixtures and near-threshold inputs keep exact stats
+    * and unchanged routing. No row-count floor: unlike the band frame
+    * (`bands` rows/doc) the gram frame's worst case is not bounded by
+    * its row count alone.
     */
   def sharedNgramPairsAuto(df: DataFrame, textCol: String, idCol: String,
                            n: Int = 8,
                            cappedGramDocs: Int = DefaultCappedGramDocs,
-                           maxPairsPerGramRow: Long = DefaultMaxPairsPerGramRow)
+                           maxPairsPerGramRow: Long = DefaultMaxPairsPerGramRow,
+                           probeSampleMod: Int = DefaultSpanProbeSampleMod,
+                           minSampledGramRows: Long = MinSampledGramRows)
       : SpanDispatch = {
+    // Phase 1 — sampled streaming pre-probe (no checkpoint, 1/S of the
+    // shingling): route here when the decision is clear; fall through to
+    // the exact probe when the sample is thin or the ratio sits inside
+    // the ambiguity band. Deciding from the sample keeps the probe's
+    // cost at ~1/S of the corpus scan INCLUDING shingle CPU — the r13
+    // sf100 measurement showed the checkpointed probe's 569 s wall was
+    // 87% of the span total while the routed plan (exact regime) never
+    // reads the checkpoint it paid for.
+    if (probeSampleMod > 1) {
+      val s = probeSampleMod.toLong
+      val sampled = df.filter(
+        pmod(Pipeline.md5Hash60(col(idCol)), lit(s)) === 0L)
+      val half = col("k").cast("double") * (col("k") - 1).cast("double") / 2
+      val st = gramFrame(sampled, textCol, idCol, n)
+        .groupBy("g").agg(count(lit(1)).as("k"))
+        .agg(sum(half).as("cand"),
+          sum(when(col("k") <= cappedGramDocs, half).otherwise(lit(0.0d)))
+            .as("cand_capped"),
+          max(col("k")).as("max_k"), sum(col("k")).as("gram_rows"))
+        .collect()(0)
+      def lngS(i: Int): Long = if (st.isNullAt(i)) 0L else st.getLong(i)
+      def dblS(i: Int): Double = if (st.isNullAt(i)) 0.0 else st.getDouble(i)
+      val (candS, candCappedS, maxKS, rowsS) =
+        (dblS(0), dblS(1), lngS(2), lngS(3))
+      // estimated pairs per FULL gram row = (candS·S²)/(rowsS·S)
+      val ratio = if (rowsS > 0) candS * s / rowsS else 0.0
+      val thr = maxPairsPerGramRow.toDouble
+      if (rowsS >= minSampledGramRows && ratio <= thr / SpanProbeAmbiguityBand) {
+        // clear EXACT: build checkpoint-free — the exact self-join's two
+        // gram scans share one exchange, so nothing is materialized
+        return SpanDispatch(regime = "exact",
+          nGramRows = rowsS * s, estPairs = (candS * s * s).toLong,
+          estPairsCapped = (candCappedS * s * s).toLong,
+          maxGramDocsObserved = maxKS, pairRetention = 1.0,
+          cap = Int.MaxValue, probeMode = "sampled",
+          pairs = gramSelfJoin(gramFrame(df, textCol, idCol, n)))
+      }
+      if (rowsS >= minSampledGramRows && ratio >= thr * SpanProbeAmbiguityBand) {
+        // clear CAPPED: the gate's keep-aggregate + both join sides give
+        // the gram frame three consumers — checkpoint it as before
+        val grams = gramFrame(df, textCol, idCol, n).localCheckpoint(false)
+        return SpanDispatch(regime = "capped",
+          nGramRows = rowsS * s, estPairs = (candS * s * s).toLong,
+          estPairsCapped = (candCappedS * s * s).toLong,
+          maxGramDocsObserved = maxKS,
+          // sample-restricted retention estimate (the k_s<=cap condition
+          // is not the k<=cap condition, so this is indicative only —
+          // the OUTPUT pairs are gated on full counts regardless)
+          pairRetention =
+            if (candS > 0) candCappedS / candS else 0.0,
+          cap = cappedGramDocs, probeMode = "sampled",
+          pairs = gramSelfJoin(capGrams(grams, cappedGramDocs)))
+      }
+    }
     val grams = gramFrame(df, textCol, idCol, n).localCheckpoint(false)
     // double pair-mass sums, as in probeRoute: the Long form wraps on
     // exactly the degenerate input this gate exists to catch
@@ -520,6 +623,7 @@ object Dedup {
       pairRetention =
         if (exact) 1.0 else candCapped.toDouble / math.max(cand, 1L),
       cap = if (exact) Int.MaxValue else cappedGramDocs,
+      probeMode = "exact",
       pairs = gramSelfJoin(
         if (exact) grams else capGrams(grams, cappedGramDocs)))
   }

@@ -2857,6 +2857,55 @@ class AdviceRegressionSpec extends AnyFunSuite {
     assert(hGot == hExact)
   }
 
+  test("sharedNgramPairsAuto sampled pre-probe: clear ratios route without " +
+    "the checkpointed probe, outputs byte-identical to the exact-probe routes") {
+    // honest corpus, decades under the threshold → sampled EXACT route
+    val honest = (0L until 40L).map { i =>
+      val f = i / 2 // families of 2 verbatim copies
+      (i, s"fam${f}a fam${f}b fam${f}c fam${f}d fam${f}e fam${f}f fam${f}g")
+    }.toDF("doc_id", "text")
+    val se = Dedup.sharedNgramPairsAuto(honest, "text", "doc_id", n = 4,
+      probeSampleMod = 2, minSampledGramRows = 8)
+    assert(se.probeMode == "sampled" && se.regime == "exact")
+    val seGot = se.pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toSet
+    val seWant = Dedup.sharedNgramPairs(honest, "text", "doc_id", n = 4,
+        maxGramDocs = Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toSet
+    assert(seGot == seWant)
+    // boilerplate-dominated corpus, DECADES over the threshold (6 of 7
+    // windows/doc shared by all 200 docs: ~85 pairs/row vs 8·4=32 band
+    // edge) → sampled CAPPED route; the gate works on FULL window
+    // counts, so the planted sub-cap pair survives intact
+    val boiler = (0L until 200L).map(i =>
+      (i, s"unique$i please subscribe to our newsletter right now today friends"))
+    val pair = Seq(
+      (1000L, "entirely fresh content alpha beta gamma delta epsilon"),
+      (1001L, "entirely fresh content alpha beta gamma delta epsilon"))
+    val df = (boiler ++ pair).toDF("doc_id", "text")
+    val sc = Dedup.sharedNgramPairsAuto(df, "text", "doc_id", n = 4,
+      cappedGramDocs = 10, probeSampleMod = 2, minSampledGramRows = 8)
+    assert(sc.probeMode == "sampled" && sc.regime == "capped" && sc.cap == 10)
+    val scGot = sc.pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(scGot == Map((1000L, 1001L) -> 5L))
+    // a NEAR-BOUNDARY corpus (true ratio ~9.5 vs threshold 8) must NOT
+    // be decided from a sample: it falls back to the exact probe and
+    // routes from exact stats — the r13 fixture is exactly that shape
+    val nearBoiler = (0L until 60L).map(i =>
+      (i, s"unique$i body$i words$i here$i please subscribe to our newsletter"))
+    val near = (nearBoiler ++ pair).toDF("doc_id", "text")
+    val nb = Dedup.sharedNgramPairsAuto(near, "text", "doc_id", n = 4,
+      cappedGramDocs = 10, probeSampleMod = 2, minSampledGramRows = 8)
+    assert(nb.probeMode == "exact" && nb.regime == "capped")
+    assert(nb.maxGramDocsObserved == 60)
+    // thin sample (default 64k-row floor) → exact-probe fallback: the
+    // small-fixture contract every existing spec relies on
+    val fb = Dedup.sharedNgramPairsAuto(near, "text", "doc_id", n = 4,
+      cappedGramDocs = 10)
+    assert(fb.probeMode == "exact" && fb.regime == "capped")
+  }
+
   test("LSH candidate pairs are a superset of the verified minhash pairs") {
     val corpus = Seq(
       (0L, "the cat sat on the mat and looked at the dog"),
