@@ -3024,7 +3024,13 @@ object Queries {
     // are the bridges refinement amplifies. Oracle replays the k-means
     // chain, the ranked 2-cell assignment, the base top-k, and both
     // refinement rounds (undirected two-hop expansion → exact rescore →
-    // top-k).
+    // top-k). READ THE TABLE AGAINST THE PROBE COLUMN of
+    // q_eval_knn_graph_recall before spending rounds: on both measured
+    // corpus shapes (clustered sf1 AND the isotropic scattered fixture,
+    // PLANS.md r14) probes reached ~1.7x the recall of refinement at
+    // equal wall, and refinement converged by round 2 — its ceiling is
+    // the base graph's bridge reach, so rounds > 0 pay off only under a
+    // frozen per-vector scan budget on a strongly clustered corpus.
     val dotE = duckDotE(64) _
     val rounds = Seq(0, 1, 2)
     def cosSql(qa: String, na: String): String =

@@ -214,17 +214,24 @@ object Graph {
     * can never leave the cell, and refinement is exactly a no-op (the
     * base was already the within-cell exact top-k — measured flat on
     * the fixture). Start from nProbe ≥ 2 — the second-best-cell edges
-    * are the bridges each round amplifies. When to prefer which knob:
-    * more probes scan more cell mass per vector (cost grows with
-    * nProbe × cell size) but reach ANY cell directly; refinement stays
-    * ≤4nk² per round regardless of cell count but only reaches what
-    * bridges connect — on a corpus whose true neighbors scatter across
-    * many cells, probes win at equal cost (measured on the clustered
-    * fixture: nProbe=4 recall 0.74 vs nProbe=2+2 rounds 0.52 at the
-    * same wall, PLANS.md); at corpus scale with many cells, refinement
-    * is the affordable knob. Measure with q_eval_knn_graph_refine
-    * before trusting either on a new corpus; rounds = 0 degenerates to
-    * [[knnGraph]].
+    * are the bridges each round amplifies.
+    *
+    * DECISION RULE (measured r13-r14 on BOTH corpus shapes, PLANS.md
+    * "refinement vs probes, both shapes"): spend the wall on PROBES
+    * first. On the clustered sf1 corpus nProbe=4 reaches recall 0.74
+    * where nProbe=2 + 2 rounds reaches 0.52 at equal wall; on the
+    * isotropic scattered fixture (64 cells, no cluster structure — the
+    * shape once hypothesized to favor refinement) the gap WIDENS:
+    * nProbe=4 recall 0.467 at 16.9 s vs nProbe=2+1 round 0.280 at
+    * 18.8 s, and refinement CONVERGES by round 2 (+0.007 total) because
+    * two-hop expansion carries no signal when similarities concentrate.
+    * Refinement's failure mode is its recall CEILING — the transitive
+    * reach of the base graph's bridges — not its per-round cost
+    * (≤4nk² stays linear at any cell count). Reach for rounds > 0 only
+    * when more probes are genuinely unavailable (a frozen per-vector
+    * scan budget) AND the corpus is strongly clustered; confirm with
+    * q_eval_knn_graph_refine on the real corpus first. rounds = 0
+    * degenerates to [[knnGraph]].
     */
   def knnGraphRefined(spark: org.apache.spark.sql.SparkSession,
                       indexPath: String, k: Int, nProbe: Int = 1,
