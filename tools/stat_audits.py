@@ -8532,3 +8532,149 @@ def multimodal_audio_segments():
                                        for b in act[i:j + 1])})
             i = j + 1
     return pd.DataFrame(rows)
+
+
+# --- round-14 additions: TPC-H shape completions + the kNN-graph
+# --- dispatcher (VERDICT r13 §1/§3)
+
+def _region_suppliers(region_name):
+    """supplier rows whose nation sits in the named region."""
+    s = table("supplier")
+    n = table("nation")
+    r = table("region")
+    rk = set(r[r.r_name == region_name].r_regionkey.astype(int))
+    nsel = n[n.n_regionkey.astype(int).isin(rk)]
+    nname = dict(zip(nsel.n_nationkey.astype(int), nsel.n_name))
+    sel = s[s.s_nationkey.astype(int).isin(nname)]
+    return sel, {int(k): nname[int(nk)] for k, nk in
+                 zip(sel.s_suppkey, sel.s_nationkey)}
+
+
+@audit("q2_min_cost_supplier")
+def q2_min_cost_supplier():
+    # TPC-H q2 shape: regional per-part minimum supply cost, supply
+    # derived as MIN(extendedprice) cents per observed (part, supplier)
+    # lineitem pair; exact integer cents throughout.
+    li = table("lineitem")
+    cents = half_up(li.l_extendedprice.values.astype(float), 100)
+    asia, nname = _region_suppliers("ASIA")
+    abal = dict(zip(asia.s_suppkey.astype(int),
+                    asia.s_acctbal.astype(float)))
+    sname = dict(zip(asia.s_suppkey.astype(int), asia.s_name))
+    p = table("part")
+    psel = p[p.p_size.astype(int) == 15]
+    ptype = dict(zip(psel.p_partkey.astype(int), psel.p_type))
+    cost = {}
+    for pk, sk, c in zip(li.l_partkey.values, li.l_suppkey.values, cents):
+        pk, sk = int(pk), int(sk)
+        if pk in ptype and sk in sname:
+            key = (pk, sk)
+            cost[key] = min(cost.get(key, int(c)), int(c))
+    best = {}
+    for (pk, _), c in cost.items():
+        best[pk] = min(best.get(pk, c), c)
+    rows = [{"s_acctbal": abal[sk], "s_name": sname[sk], "n_name": nname[sk],
+             "p_partkey": pk, "p_type": ptype[pk], "cost": c / 100.0}
+            for (pk, sk), c in cost.items() if c == best[pk]]
+    rows.sort(key=lambda r: (-r["s_acctbal"], r["n_name"], r["s_name"],
+                             r["p_partkey"]))
+    return pd.DataFrame(rows[:100])
+
+
+@audit("q11_important_stock")
+def q11_important_stock():
+    # TPC-H q11 shape: per-part regional revenue vs a global scalar
+    # threshold, in exact integer cents (val * 2000 > tot).
+    li = table("lineitem")
+    cents = half_up(li.l_extendedprice.values.astype(float), 100)
+    euro, _ = _region_suppliers("EUROPE")
+    esk = set(euro.s_suppkey.astype(int))
+    val = {}
+    for pk, sk, c in zip(li.l_partkey.values, li.l_suppkey.values, cents):
+        if int(sk) in esk:
+            val[int(pk)] = val.get(int(pk), 0) + int(c)
+    tot = sum(val.values())
+    rows = [{"p_partkey": pk, "value": v / 100.0}
+            for pk, v in val.items() if v * 2000 > tot]
+    rows.sort(key=lambda r: (-r["value"], r["p_partkey"]))
+    return pd.DataFrame(rows)
+
+
+@audit("q16_supplier_cnt")
+def q16_supplier_cnt():
+    # TPC-H q16 shape: distinct suppliers per part attribute triple with
+    # a NOT IN exclusion (low-balance suppliers).
+    li = table("lineitem")
+    p = table("part")
+    s = table("supplier")
+    bad = set(s[s.s_acctbal.astype(float) < 500].s_suppkey.astype(int))
+    sizes = {1, 4, 9, 14, 19, 23, 36, 49}
+    psel = p[(p.p_brand != "Brand#45") & (p.p_type != "PROMO")
+             & p.p_size.astype(int).isin(sizes)]
+    pattr = {int(k): (b, t, int(z)) for k, b, t, z in
+             zip(psel.p_partkey, psel.p_brand, psel.p_type, psel.p_size)}
+    found = {}
+    for pk, sk in zip(li.l_partkey.values, li.l_suppkey.values):
+        pk, sk = int(pk), int(sk)
+        if pk in pattr and sk not in bad:
+            found.setdefault(pattr[pk], set()).add(sk)
+    rows = [{"p_brand": b, "p_type": t, "p_size": z,
+             "supplier_cnt": len(ss)}
+            for (b, t, z), ss in found.items()]
+    rows.sort(key=lambda r: (-r["supplier_cnt"], r["p_brand"], r["p_type"],
+                             r["p_size"]))
+    return pd.DataFrame(rows)
+
+
+@audit("q21_waiting_supplier")
+def q21_waiting_supplier():
+    # TPC-H q21 shape (EXISTS + NOT EXISTS self-join): finished orders
+    # where the supplier returned a line, some other supplier supplied
+    # the order, and no other supplier's line was returned.
+    li = table("lineitem")
+    o = table("orders")
+    fin = set(o[o.o_orderstatus == "F"].o_orderkey.astype(int))
+    asia, _ = _region_suppliers("ASIA")
+    sname = dict(zip(asia.s_suppkey.astype(int), asia.s_name))
+    supps, rsupps = {}, {}
+    for ok, sk, rf in zip(li.l_orderkey.values, li.l_suppkey.values,
+                          li.l_returnflag.values):
+        ok, sk = int(ok), int(sk)
+        supps.setdefault(ok, set()).add(sk)
+        if rf == "R":
+            rsupps.setdefault(ok, set()).add(sk)
+    cnt = {}
+    for ok, sk, rf in zip(li.l_orderkey.values, li.l_suppkey.values,
+                          li.l_returnflag.values):
+        ok, sk = int(ok), int(sk)
+        if (rf == "R" and ok in fin and sk in sname
+                and len(supps[ok]) >= 2 and rsupps[ok] == {sk}):
+            cnt[sname[sk]] = cnt.get(sname[sk], 0) + 1
+    rows = [{"s_name": k, "numwait": v} for k, v in cnt.items()]
+    rows.sort(key=lambda r: (-r["numwait"], r["s_name"]))
+    return pd.DataFrame(rows[:100])
+
+
+@audit("q_knn_graph_auto_dispatch")
+def q_knn_graph_auto_dispatch():
+    # kNN-graph dispatcher contract: regime from the stored cell
+    # histogram (exact while the hottest cell <= 4096), edge count = the
+    # symmetrized within-cell top-3 graph (nProbe=1 base).
+    ids, emb, nrm, cells, _ = _semantic_cells(lambda _: True,
+                                              with_centroids=True)
+    by_cell = {}
+    for i, cid in cells.items():
+        by_cell.setdefault(cid, []).append(i)
+    max_cell = max(len(v) for v in by_cell.values())
+    regime = "exact" if max_cell <= 4096 else "capped"
+    edges = set()
+    for qi in range(len(ids)):
+        cand = [(r6(float(emb[qi] @ emb[j]) / (nrm[qi] * nrm[j])),
+                 int(ids[j]))
+                for j in by_cell[cells[qi]] if j != qi]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        for _, nid in cand[:3]:
+            edges.add((int(ids[qi]), nid))
+            edges.add((nid, int(ids[qi])))
+    return pd.DataFrame([{"regime": regime, "n_vecs": len(ids),
+                          "max_cell": max_cell, "n_edges": len(edges)}])
