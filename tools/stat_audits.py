@@ -3459,8 +3459,9 @@ def knn_cosine_lsh():
     # random-hyperplane LSH (Charikar 2002): bucket = sign pattern of
     # the embedding against the shared seeded hyperplanes (driver
     # literals in the query contract); exact cosine top-5 within bucket.
-    import json, re
-    sql = json.load(open("/tmp/verify_seal/oracle_sql.json"))["knn_cosine_lsh"]
+    import json, re, os as _os
+    from stat_audit import OUT_DIR
+    sql = json.load(open(_os.path.join(OUT_DIR, "oracle_sql.json")))["knn_cosine_lsh"]
     planes = []
     for arr in re.findall(r"\[([-0-9.,eE]+)\]", sql):
         vals = [float(x) for x in arr.split(",")]
