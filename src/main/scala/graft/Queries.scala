@@ -5489,6 +5489,36 @@ object Queries {
     s.table(qname).select(md5(col("text")).as("digest")).orderBy("digest")
   }
 
+  q("stream_dedup_rocksdb",
+    // stream_dedup's semantics under the RocksDB state store — the
+    // backend a 100 TB ingest actually runs: the default heap provider
+    // holds every live digest in executor memory, an OOM by construction
+    // at billions of in-horizon keys, while RocksDB keeps the digest set
+    // on executor-local disk behind a bounded block cache with
+    // changelog (delta-only) checkpoint uploads. Identical oracle to
+    // stream_dedup: the state backend must be invisible in the result.
+    "SELECT md5(text) AS digest FROM documents GROUP BY 1 ORDER BY 1") { (s, dir) =>
+    val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+    val landing = cachedLanding(s"dedup:$dir") { d =>
+      docs.write.mode("append").parquet(d)
+      docs.write.mode("append").parquet(d) // the replayed batch
+    }
+    // same epoch-clamp/span-bound ts construction as stream_dedup
+    val src = s.readStream.schema(docs.schema).parquet(landing)
+      .withColumn("ts",
+        timestamp_micros((lit(86400L) + col("doc_id") % 1800L) * 1000000L))
+    val qname = "graft_stream_dedup_rocksdb"
+    withShufflePartitions(s, 4) {
+      graft.streaming.Streams.withRocksDbState(s) {
+        val query = graft.streaming.Streams.dedupStream(src, "text", "ts")
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("append").start()
+        try query.processAllAvailable() finally query.stop()
+      }
+    }
+    s.table(qname).select(md5(col("text")).as("digest")).orderBy("digest")
+  }
+
   // ===========================================================================
   // Rows-only queries (no SQL-expressible oracle): mocker, LSH-ANN,
   // multimodal plumbing.

@@ -261,6 +261,45 @@ object Streams {
       .dropDuplicatesWithinWatermark("__digest")
       .drop("__digest")
 
+  /** Run `body` with streaming state backed by RocksDB instead of the
+    * default heap map (`HDFSBackedStateStoreProvider`). The heap provider
+    * keeps EVERY live key's state in executor memory — at ingest scale
+    * (billions of in-horizon dedup digests or open sessions) that is an
+    * OOM by construction, not a tuning problem. RocksDB keeps state on
+    * executor-local disk behind a bounded block cache
+    * (`boundedMemoryUsage` caps ALL stores on an executor at
+    * `maxMemoryMB` together), and changelog checkpointing uploads only
+    * each batch's delta instead of re-snapshotting full SST files, so
+    * per-batch commit cost tracks the batch's write set, not the
+    * accumulated state size. Both the provider and rocksdbjni ship
+    * inside stock Spark — no extra dependency.
+    *
+    * The conf keys are session-scoped and captured by a query at
+    * `start()`; priors are restored on exit so batch work and other
+    * streams on the shared session are unaffected. Result parity with
+    * the default backend is oracle-pinned by `stream_dedup_rocksdb`
+    * (same oracle as `stream_dedup`); engagement + checkpoint-restart
+    * recovery are spec-pinned in RocksDbStateSpec.
+    */
+  def withRocksDbState[T](spark: SparkSession, maxMemoryMB: Int = 512)
+                         (body: => T): T = {
+    val kvs = Seq(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        ("org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider"),
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+        "true",
+      "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage" -> "true",
+      "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB" ->
+        maxMemoryMB.toString)
+    val prior = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prior.foreach { case (k, o) =>
+      o.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   /** Streaming near-dup VECTOR filter: drop embeddings whose LSH bucket
     * already produced a survivor within the watermark horizon — the
     * ingest-time analogue of the batch embedding-cosine dedup, with the

@@ -8005,6 +8005,17 @@ def stream_dedup():
     return pd.DataFrame({"digest": digs})
 
 
+@audit("stream_dedup_rocksdb")
+def stream_dedup_rocksdb():
+    # identical distinct-digest contract through the RocksDB state
+    # backend — the backend must be invisible in the result, so the same
+    # independent recomputation audits it
+    import hashlib
+    digs = sorted({hashlib.md5((t or "").encode()).hexdigest()
+                   for t in table("documents").text})
+    return pd.DataFrame({"digest": digs})
+
+
 @audit("stream_url_dedup")
 def stream_url_dedup():
     return pd.DataFrame({"curl": sorted(set(url_canonicalize().curl))})
