@@ -46,9 +46,9 @@ def main(sf: float, out: str) -> None:
 
     # region / nation (fixed small dims)
     write(out, "region", r_regionkey=np.arange(5, dtype=np.int32),
-          r_name=[f"REGION{i}" for i in range(5)])
+          r_name=["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"])
     write(out, "nation", n_nationkey=np.arange(25, dtype=np.int32),
-          n_name=[f"NATION{i:02d}" for i in range(25)],
+          n_name=[f"NATION_{i}" for i in range(25)],
           n_regionkey=(np.arange(25) % 5).astype(np.int32))
 
     write(out, "customer",
