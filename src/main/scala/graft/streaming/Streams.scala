@@ -280,6 +280,15 @@ object Streams {
     * the default backend is oracle-pinned by `stream_dedup_rocksdb`
     * (same oracle as `stream_dedup`); engagement + checkpoint-restart
     * recovery are spec-pinned in RocksDbStateSpec.
+    *
+    * Measured decision rule (ProbeStateScale, PLANS.md "state backends
+    * at state scale"): the heap provider costs ~340 B per live key and
+    * died of OOM between 8M and 16M keys in a 4 GiB JVM, while RocksDB
+    * held 16M keys with the JVM heap flat at 65 MB — at 2-5x the drain
+    * wall while the heap map still fits. Keep the default provider
+    * while projected live keys per executor stay well under
+    * heap-bytes/340; switch here the moment the watermark horizon's
+    * key count is a capacity question rather than a tuning one.
     */
   def withRocksDbState[T](spark: SparkSession, maxMemoryMB: Int = 512)
                          (body: => T): T = {
