@@ -113,10 +113,15 @@ object Bench {
     }
     def jmap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    // 2-decimal variant for the normalized maps: the stdout line must
-    // stay inside the harness's ~2000-char tail
+    // 2-decimal variant for the stdout line's normalized map (the line
+    // must stay inside the harness's ~2000-char tail); the FILE form
+    // uses 4 decimals — canary_sec is ~2 s, so a sub-second query
+    // normalizes to ~0.05-0.5 and 2 decimals would quantize a 2x
+    // regression on it into "unchanged" (r14 review)
     def jmap2(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")
+    def jmap4(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + f"\":$v%.4f" }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
@@ -143,7 +148,7 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","canary_sec":$canarySec%.3f,"canary_n":$canaryN,"queries":${
         jmap(results.map(r => (r._1, r._2)))
       },"normalized":${
-        jmap2(results.map(r => (r._1, nrm(r._2))))
+        jmap4(results.map(r => (r._1, nrm(r._2))))
       },"failed":$failed,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
     try {

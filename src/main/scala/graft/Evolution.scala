@@ -235,9 +235,11 @@ object Evolution {
     // bare-java SPARK_MASTER env var the same way (r13 review: checking
     // it without APPLYING it left the builder masterless → crash)
     // an empty SPARK_MASTER= (a wrapper script exporting the var unset)
-    // must act as absent: applied verbatim it crashes the builder AND
-    // suppresses the local fallback below (ADVICE r13)
-    val envMaster = sys.env.get("SPARK_MASTER").filter(_.trim.nonEmpty)
+    // must act as absent, and a whitespace-padded value (quoting slips
+    // in wrapper scripts) must be applied TRIMMED — SparkContext parses
+    // the master URL verbatim, so " local[4] " crashes the builder the
+    // same way the empty case did (ADVICE r13 + r14 review)
+    val envMaster = sys.env.get("SPARK_MASTER").map(_.trim).filter(_.nonEmpty)
     envMaster.filter(_ => !sys.props.contains("spark.master"))
       .foreach(b.master)
     if (!sys.props.contains("spark.master") && envMaster.isEmpty) {

@@ -507,9 +507,13 @@ object Dedup {
     * (capped-pair mass / exact-pair mass; 1.0 in the exact regime), and
     * the pair frame. `probeMode` records which probe produced the stats:
     * `"exact"` = the full checkpointed window-frequency aggregate (stats
-    * are exact); `"sampled"` = the document-sampled streaming pre-probe
-    * (stats are unbiased S-scaled ESTIMATES, `maxGramDocsObserved` a
-    * sample lower bound — see [[sharedNgramPairsAuto]]).
+    * are exact); `"sampled"` = the document-sampled streaming pre-probe,
+    * where `nGramRows`/`estPairs` are unbiased S-scaled estimates,
+    * `maxGramDocsObserved` is a sample LOWER BOUND, and in the capped
+    * regime `estPairsCapped`/`pairRetention` are reported as
+    * not-estimable sentinels (-1 / NaN): the ≤cap pair mass sits below
+    * sample resolution at S ≫ cap, and a plausible-looking wrong number
+    * is worse than an honest sentinel — see [[sharedNgramPairsAuto]].
     */
   case class SpanDispatch(regime: String, nGramRows: Long, estPairs: Long,
                           estPairsCapped: Long, maxGramDocsObserved: Long,
@@ -560,43 +564,49 @@ object Dedup {
       val sampled = df.filter(
         pmod(Pipeline.md5Hash60(col(idCol)), lit(s)) === 0L)
       val half = col("k").cast("double") * (col("k") - 1).cast("double") / 2
+      // no k_s<=cap sum here: the ≤cap mass is below sample resolution
+      // at S ≫ cap (see the capped branch), so only the resolvable
+      // statistics are aggregated
       val st = gramFrame(sampled, textCol, idCol, n)
         .groupBy("g").agg(count(lit(1)).as("k"))
         .agg(sum(half).as("cand"),
-          sum(when(col("k") <= cappedGramDocs, half).otherwise(lit(0.0d)))
-            .as("cand_capped"),
           max(col("k")).as("max_k"), sum(col("k")).as("gram_rows"))
         .collect()(0)
       def lngS(i: Int): Long = if (st.isNullAt(i)) 0L else st.getLong(i)
       def dblS(i: Int): Double = if (st.isNullAt(i)) 0.0 else st.getDouble(i)
-      val (candS, candCappedS, maxKS, rowsS) =
-        (dblS(0), dblS(1), lngS(2), lngS(3))
+      val (candS, maxKS, rowsS) = (dblS(0), lngS(1), lngS(2))
       // estimated pairs per FULL gram row = (candS·S²)/(rowsS·S)
       val ratio = if (rowsS > 0) candS * s / rowsS else 0.0
       val thr = maxPairsPerGramRow.toDouble
       if (rowsS >= minSampledGramRows && ratio <= thr / SpanProbeAmbiguityBand) {
         // clear EXACT: build checkpoint-free — the exact self-join's two
         // gram scans share one exchange, so nothing is materialized
+        // exact regime applies no cap, so the capped mass IS the mass
+        // (the sampled k_s<=cap sum would be the biased quantity the
+        // capped branch refuses to report — never surface it)
         return SpanDispatch(regime = "exact",
           nGramRows = rowsS * s, estPairs = (candS * s * s).toLong,
-          estPairsCapped = (candCappedS * s * s).toLong,
+          estPairsCapped = (candS * s * s).toLong,
           maxGramDocsObserved = maxKS, pairRetention = 1.0,
           cap = Int.MaxValue, probeMode = "sampled",
           pairs = gramSelfJoin(gramFrame(df, textCol, idCol, n)))
       }
       if (rowsS >= minSampledGramRows && ratio >= thr * SpanProbeAmbiguityBand) {
         // clear CAPPED: the gate's keep-aggregate + both join sides give
-        // the gram frame three consumers — checkpoint it as before
+        // the gram frame three consumers — checkpoint it as before.
+        // The ≤cap pair mass is NOT estimable from this sample: with
+        // S ≫ cap a window of k ≤ cap docs almost never draws 2 sampled
+        // members (candCappedS ≈ 0, biased low) while a k ≫ cap window
+        // can pass the k_s ≤ cap test (biased high) — so the capped
+        // diagnostics are reported as not-estimable sentinels rather
+        // than plausible-looking wrong numbers. The OUTPUT pairs are
+        // unaffected: capGrams gates on FULL window counts regardless.
         val grams = gramFrame(df, textCol, idCol, n).localCheckpoint(false)
         return SpanDispatch(regime = "capped",
           nGramRows = rowsS * s, estPairs = (candS * s * s).toLong,
-          estPairsCapped = (candCappedS * s * s).toLong,
+          estPairsCapped = -1L,
           maxGramDocsObserved = maxKS,
-          // sample-restricted retention estimate (the k_s<=cap condition
-          // is not the k<=cap condition, so this is indicative only —
-          // the OUTPUT pairs are gated on full counts regardless)
-          pairRetention =
-            if (candS > 0) candCappedS / candS else 0.0,
+          pairRetention = Double.NaN,
           cap = cappedGramDocs, probeMode = "sampled",
           pairs = gramSelfJoin(capGrams(grams, cappedGramDocs)))
       }

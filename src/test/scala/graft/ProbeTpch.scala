@@ -26,15 +26,16 @@ object ProbeTpch {
     spark.sparkContext.setLogLevel("WARN")
     for (dir <- args; name <- names) {
       var rows = -1L
+      // keep the rep-2 DataFrame: after its count() the AdaptiveSparkPlan
+      // already reports its final form, so no extra execution is needed
+      var last: org.apache.spark.sql.DataFrame = null
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        rows = Queries.all(name)(spark, dir).count()
+        last = Queries.all(name)(spark, dir)
+        rows = last.count()
         (System.nanoTime() - t0) / 1e9
       }
-      // executed AFTER a run so AdaptiveSparkPlan reports its final form
-      val df = Queries.all(name)(spark, dir)
-      df.count()
-      val plan = df.queryExecution.executedPlan.toString
+      val plan = last.queryExecution.executedPlan.toString
       def n(sub: String) = plan.linesIterator.count(_.contains(sub))
       println(f"TPCH $dir $name rows=$rows%6d " +
         f"rep1=${times(0)}%7.2fs rep2=${times(1)}%7.2fs " +

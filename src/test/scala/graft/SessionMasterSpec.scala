@@ -64,6 +64,14 @@ class SessionMasterSpec extends AnyFunSuite {
     assert(line.contains("shuffle=5"), line)
   }
 
+  test("whitespace-padded SPARK_MASTER is applied TRIMMED (r14 review: " +
+    "SparkContext parses the master URL verbatim, so \" local[2] \" crashed)") {
+    val line = forkCheck(Seq.empty, Map("SPARK_MASTER" -> " local[2] ",
+      "SPARK_GRAFT_CPUS" -> "7"))
+    assert(line.contains("master=local[2]"), line)
+    assert(line.contains("shuffle=200"), line)
+  }
+
   test("no configured master: local[$SPARK_GRAFT_CPUS] fallback with " +
     "shuffle parallelism pinned to the core count (harness behavior unchanged)") {
     val line = forkCheck(Seq.empty, Map("SPARK_GRAFT_CPUS" -> "3"))

@@ -8679,6 +8679,16 @@ def q_knn_graph_auto_dispatch():
         by_cell.setdefault(cid, []).append(i)
     max_cell = max(len(v) for v in by_cell.values())
     regime = "exact" if max_cell <= 4096 else "capped"
+    # This audit replays only the EXACT branch's edge count; the capped
+    # branch (md5-salted sub-buckets) has no corpus small enough to
+    # validate a numpy replication against, so rather than silently
+    # reporting exact edges under a capped regime (a guaranteed false
+    # FAIL against the engine), fail loudly with the gap named.
+    if regime == "capped":
+        raise NotImplementedError(
+            "q_knn_graph_auto_dispatch audit replays only the exact "
+            f"branch; corpus routed capped (max_cell={max_cell} > 4096) "
+            "— extend the audit with the sub-bucket edge count first")
     edges = set()
     for qi in range(len(ids)):
         cand = [(r6(float(emb[qi] @ emb[j]) / (nrm[qi] * nrm[j])),
