@@ -505,7 +505,12 @@ object Dedup {
   /** One dispatched shared-span run: regime, probe stats over the
     * window-frequency distribution, band-level pair retention
     * (capped-pair mass / exact-pair mass; 1.0 in the exact regime), and
-    * the pair frame. `probeMode` records which probe produced the stats:
+    * the pair frame. `estPairsCapped` is the pair mass of the ROUTED
+    * plan in EVERY probe mode: equal to `estPairs` in the exact regime
+    * (no cap is applied, so the capped mass IS the mass — consistent
+    * with `pairRetention = 1.0`), the ≤cap-restricted mass in the
+    * exact-probe capped regime, and the -1 sentinel in the sampled
+    * capped regime. `probeMode` records which probe produced the stats:
     * `"exact"` = the full checkpointed window-frequency aggregate (stats
     * are exact); `"sampled"` = the document-sampled streaming pre-probe,
     * where `nGramRows`/`estPairs` are unbiased S-scaled estimates,
@@ -628,7 +633,11 @@ object Dedup {
     val exact = candD <= maxPairsPerGramRow.toDouble * math.max(gramRows, 1L)
     SpanDispatch(
       regime = if (exact) "exact" else "capped",
-      nGramRows = gramRows, estPairs = cand, estPairsCapped = candCapped,
+      nGramRows = gramRows, estPairs = cand,
+      // routed-plan pair mass (see SpanDispatch): the exact regime
+      // applies no cap, so reporting the ≤cap-restricted sum here would
+      // give the same field a different meaning than the sampled route
+      estPairsCapped = if (exact) cand else candCapped,
       maxGramDocsObserved = maxK,
       pairRetention =
         if (exact) 1.0 else candCapped.toDouble / math.max(cand, 1L),

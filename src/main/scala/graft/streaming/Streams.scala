@@ -276,7 +276,17 @@ object Streams {
     *
     * The conf keys are session-scoped and captured by a query at
     * `start()`; priors are restored on exit so batch work and other
-    * streams on the shared session are unaffected. Result parity with
+    * streams on the shared session are unaffected. CONSTRAINT (ADVICE
+    * r14): because the overrides live on the shared session for the
+    * duration of `body`, any UNRELATED stream started concurrently on
+    * the same session inside that window silently captures the RocksDB
+    * backend, and nested/concurrent `withRocksDbState` calls race on
+    * the restore. Do not start other streams on this session while
+    * `body` runs — or scope the overrides to a child
+    * `spark.newSession()` and start the stream there (child sessions
+    * share the catalog/temp views but keep their own conf). The bench
+    * and all query entries run streams sequentially, which satisfies
+    * the constraint. Result parity with
     * the default backend is oracle-pinned by `stream_dedup_rocksdb`
     * (same oracle as `stream_dedup`); engagement + checkpoint-restart
     * recovery are spec-pinned in RocksDbStateSpec.

@@ -74,10 +74,13 @@ class RocksDbStateSpec extends AnyFunSuite {
         assert(metricKeys.exists(_.startsWith("rocksdb")),
           s"no rocksdb custom metrics in ${metricKeys.mkString(",")}")
       } finally q1.stop()
-      // 1b. changelog checkpointing: delta files, not just SST snapshots
-      val changelogs = java.nio.file.Files
+      // 1b. changelog checkpointing: delta files, not just SST snapshots.
+      // Files.walk holds a directory handle until closed (ADVICE r14).
+      val walk = java.nio.file.Files
         .walk(java.nio.file.Paths.get(ckpt, "state"))
-        .iterator().asScala.count(_.toString.endsWith(".changelog"))
+      val changelogs =
+        try walk.iterator().asScala.count(_.toString.endsWith(".changelog"))
+        finally walk.close()
       assert(changelogs > 0, "no .changelog files under the state checkpoint")
 
       // 2. restart: replay batch 1 plus a fresh batch; recovered digest
