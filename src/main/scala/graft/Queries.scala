@@ -6378,6 +6378,55 @@ object Queries {
       .orderBy(col("value").desc, col("p_partkey"))
   }
 
+  q("q11_important_stock_scaled",
+    // The SF-NORMALIZED q11 (VERDICT r14 #3): official TPC-H q11 divides
+    // its HAVING fraction by the scale factor so selectivity stays
+    // constant as the corpus grows; the fixed-fraction analog above is
+    // empty at sf>=1 by construction. SF is derived from a table count —
+    // supplier carries SF x 10,000 rows — so fraction f0/SF with
+    // f0 = 0.00001 becomes the EXACT integer predicate
+    // pval * ns * 10 > tot (f0/SF = f0 x 10000/ns = 0.1/ns). f0 is
+    // calibrated to this generator's revenue spread: uniform
+    // extendedprice over ~30 lineitems/part puts the max part value at
+    // ~3.3x the mean at every SF (the official 0.0001 needs 20x-mean
+    // outliers this generator never produces), so the 2x-mean threshold
+    // selects a stable ~1-3% of parts at every scale — non-empty at
+    // sf0.01 (99 rows) through the ProbeTpch decades. Same plan shape
+    // as q11: dims broadcast, one part-keyed aggregate, the group-vs-
+    // global HAVING via a broadcast one-row scalar (tot, ns).
+    """WITH v AS (
+      |  SELECT l_partkey AS p_partkey,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS pval
+      |  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      |    JOIN nation ON n_nationkey = s_nationkey
+      |    JOIN region ON r_regionkey = n_regionkey
+      |  WHERE r_name = 'EUROPE' GROUP BY 1),
+      | t AS (SELECT SUM(pval) AS tot FROM v),
+      | sc AS (SELECT COUNT(*) AS ns FROM supplier)
+      |SELECT p_partkey, CAST(pval AS DOUBLE) AS value
+      |FROM v, t, sc WHERE pval * ns * 10 > tot
+      |ORDER BY value DESC, p_partkey"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    val euroSupp = broadcast(tbl(s, dir, "supplier")
+      .join(broadcast(tbl(s, dir, "nation")
+        .join(tbl(s, dir, "region").filter(col("r_name") === "EUROPE"),
+          col("n_regionkey") === col("r_regionkey"))),
+        col("n_nationkey") === col("s_nationkey"))
+      .select("s_suppkey"))
+    val v = tbl(s, dir, "lineitem")
+      .join(euroSupp, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg(sum(dec(col("l_extendedprice"), 12, 2)).as("pval"))
+    // both scalars ride ONE broadcast one-row frame: the value total and
+    // the supplier count the SF normalization derives from
+    val scalars = v.agg(sum(col("pval")).as("tot"))
+      .crossJoin(tbl(s, dir, "supplier").agg(count(lit(1)).as("ns")))
+    v.crossJoin(broadcast(scalars))
+      .filter(col("pval") * col("ns") * 10 > col("tot"))
+      .select(col("p_partkey"), col("pval").cast("double").as("value"))
+      .orderBy(col("value").desc, col("p_partkey"))
+  }
+
   q("q16_supplier_cnt",
     // TPC-H q16 shape: distinct-count per part attribute triple with a
     // NOT IN supplier-exclusion subquery (complaint suppliers proxied by

@@ -14,7 +14,7 @@ import org.apache.spark.sql.SparkSession
   */
 object ProbeTpch {
   private val names = Seq("q2_min_cost_supplier", "q11_important_stock",
-    "q16_supplier_cnt", "q21_waiting_supplier")
+    "q11_important_stock_scaled", "q16_supplier_cnt", "q21_waiting_supplier")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
