@@ -5174,6 +5174,54 @@ object Queries {
       .orderBy("user_id", "session_id")
   }
 
+  q("stream_sessionize_rocksdb",
+    // stream_sessionize under the RocksDB state store (VERDICT r14 #4):
+    // flatMapGroupsWithState's per-user open-session record is exactly
+    // the live state a 100 TB ingest holds for every active user at
+    // once — the heap provider's OOM-by-construction regime
+    // (ProbeStateScale: ~340 B/key, dead between 8M and 16M keys at
+    // 4 GiB). Identical oracle to stream_sessionize: the backend must
+    // be invisible in the result.
+    """WITH g AS (SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+      |  FROM events WHERE user_id < 50
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (SELECT user_id, ts,
+      |  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS session_id FROM g)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |  COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
+      |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = s.readStream.schema(tbl(s, dir, "events").schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val micros = src.schema("ts").dataType match {
+      case LongType => expr("ts div 1000")
+      case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+      case _ => unix_micros(col("ts"))
+    }
+    val evs = src.filter(col("user_id") < 50)
+      .select(col("user_id"), col("event_id"), micros.as("ts_micros"))
+      .as[graft.streaming.Streams.SessEvent]
+    val qname = "graft_stream_sessionize_rocksdb"
+    withShufflePartitions(s, 4) {
+      graft.streaming.Streams.withRocksDbState(s) {
+        val query = graft.streaming.Streams.sessionWindows(evs)
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("append").start()
+        try query.processAllAvailable() finally query.stop()
+      }
+    }
+    s.table(qname)
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        timestamp_micros(col("start_micros")).cast(TimestampNTZType).as("session_start"),
+        timestamp_micros(col("end_micros")).cast(TimestampNTZType).as("session_end"))
+      .orderBy("user_id", "session_id")
+  }
+
   q("q_funnel",
     """WITH t1 AS (SELECT user_id AS u, MIN(epoch_us(ts)) AS t1 FROM events
       |  WHERE event_type = 'view' GROUP BY 1),
@@ -5227,6 +5275,51 @@ object Queries {
         .writeStream.format("memory").queryName(qname)
         .outputMode("append").start()
       try query.processAllAvailable() finally query.stop()
+    }
+    s.table(qname).orderBy("user_id", "view_id", "click_id")
+  }
+
+  q("stream_interval_join_rocksdb",
+    // stream_interval_join under the RocksDB state store (VERDICT r14
+    // #4): the stream-stream join buffers BOTH sides' in-horizon rows in
+    // the state store — O(rate x horizon) live rows, the largest state
+    // footprint of any operator here, so it is the first to need the
+    // disk-backed store at ingest scale. Identical oracle to
+    // stream_interval_join: the backend must be invisible in the result.
+    """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+      |  v.ts AS view_ts, c.ts AS click_ts
+      |FROM events v JOIN events c ON c.user_id = v.user_id
+      |  AND v.event_type = 'view' AND c.event_type = 'click'
+      |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+      |WHERE v.user_id < 30
+      |ORDER BY v.user_id, view_id, click_id"""
+      .stripMargin.replace("\n", " ")) { (s, dir) =>
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = tbl(s, dir, "events").schema
+    def src = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    def toTs: Column = schema("ts").dataType match {
+      case LongType => timestamp_micros(expr("ts div 1000"))
+      case TimestampNTZType => col("ts").cast(TimestampType)
+      case _ => col("ts")
+    }
+    val views = src.filter(col("user_id") < 30 && col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), toTs.as("l_ts"))
+    val clicks = src.filter(col("user_id") < 30 && col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
+        toTs.as("r_ts"))
+    val qname = "graft_stream_interval_join_rocksdb"
+    withShufflePartitions(s, 4) {
+      graft.streaming.Streams.withRocksDbState(s) {
+        val query = graft.streaming.Streams
+          .intervalJoin(views, clicks, "user_id", "c_user_id", "1 HOUR")
+          .select(col("user_id"), col("view_id"), col("click_id"),
+            col("l_ts").cast(TimestampNTZType).as("view_ts"),
+            col("r_ts").cast(TimestampNTZType).as("click_ts"))
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("append").start()
+        try query.processAllAvailable() finally query.stop()
+      }
     }
     s.table(qname).orderBy("user_id", "view_id", "click_id")
   }
@@ -5362,6 +5455,34 @@ object Queries {
         .writeStream.format("memory").queryName(qname)
         .outputMode("update").start()
       try query.processAllAvailable() finally query.stop()
+    }
+    s.table(qname).orderBy("event_type")
+  }
+
+  q("stream_quantiles_rocksdb",
+    // stream_quantiles under the RocksDB state store (VERDICT r14 #4):
+    // mapGroupsWithState's O(k)-per-key sketch state is small per key
+    // but the KEY COUNT is unbounded (per-entity production keys), so
+    // the backend question is the same capacity question as dedup.
+    // Identical oracle to stream_quantiles: the backend must be
+    // invisible in the result — the sketch fold's bit-for-bit
+    // determinism (md5 bottom-k, exact tie order) survives the state
+    // serialization round-trip through RocksDB or it is a defect.
+    quantileSketchSql) { (s, dir) =>
+    import s.implicits._
+    val src = s.readStream.schema(tbl(s, dir, "events").schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val rows = src.select(col("event_type"), col("event_id"),
+        col("value").cast("double").as("value"))
+      .as[graft.streaming.Streams.QRow]
+    val qname = "graft_stream_quantiles_rocksdb"
+    withShufflePartitions(s, 4) {
+      graft.streaming.Streams.withRocksDbState(s) {
+        val query = graft.streaming.Streams.quantileState(rows, k = 64)
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("update").start()
+        try query.processAllAvailable() finally query.stop()
+      }
     }
     s.table(qname).orderBy("event_type")
   }
