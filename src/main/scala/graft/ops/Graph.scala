@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed graph primitives over edge DataFrames. Connected components
@@ -322,23 +321,41 @@ object Graph {
     * recursive CTE running the identical integer recurrence.
     *
     * `edges` is directed (src, dst); pass both directions for undirected
-    * graphs — that also guarantees no vertex lacks in-edges. Each
-    * iteration is one shuffle keyed on dst (contribution sum) plus the
-    * vertex left join; intermediates are lineage-truncated per the
-    * iterative-operator rule (see Dedup.clusterPairs).
+    * graphs — that also guarantees no vertex lacks in-edges. Loop-
+    * invariant work is hoisted OUT of the loop (ProbeGraphScale, r15):
+    * the out-degree joins into the edge frame once, and that (src, dst,
+    * d) frame is hash-partitioned on src and checkpointed — localCheckpoint
+    * preserves the physical partitioning, so every iteration's rank join
+    * reshuffles only the |V|-sized rank frame, never the |E|-sized
+    * edges, and the per-iteration degree join disappears entirely. At
+    * 13.4M symmetric edges the 5-iteration wall dropped from ~30 s to a
+    * 9-14 s band (host noise dominates tighter reads; PLANS.md r15
+    * table) with bit-identical ranks — the arithmetic is untouched,
+    * only the plan moved. Remaining per-iteration cost: the map-side-combined
+    * contribution sum keyed on dst plus the vertex left join;
+    * intermediates are lineage-truncated per the iterative-operator
+    * rule (see Dedup.clusterPairs).
     */
   def pageRank(edges: DataFrame, iters: Int = 5,
                scale: Long = 1000000000000L): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("d")).localCheckpoint()
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(false)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("d")).localCheckpoint(false)
+    // EXPLICIT partition count: a bare repartition(col) is eligible for
+    // AQE coalescing, so the materialized count would vary run-to-run
+    // and the co-partitioning match below would silently break — the
+    // loop then re-shuffles the |E| frame every iteration (measured
+    // bimodal 1.5 s vs 10 s/iter at 13.4M edges before pinning)
+    val nShuffle = edges.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val eDeg = e.join(deg, "src")
+      .repartition(nShuffle, col("src")).localCheckpoint(false)
     val verts = deg.select(col("src").as("p"))
     val n = verts.count()
     val r0 = scale / n
     val base = (15L * r0) / 100L
     var rank = verts.withColumn("rank", lit(r0)).localCheckpoint()
     for (_ <- 1 to iters) {
-      val contrib = rank.join(e, rank("p") === e("src"))
-        .join(deg, "src")
+      val contrib = rank.join(eDeg, rank("p") === eDeg("src"))
         .select(col("dst"), expr("rank div d").as("c"))
         .groupBy("dst").agg(sum("c").as("s"))
       rank = verts.join(contrib, verts("p") === contrib("dst"), "left")
@@ -362,8 +379,15 @@ object Graph {
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
                            iters: Int = 5,
                            scale: Long = 1000000000000L): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("d")).localCheckpoint()
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(false)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("d")).localCheckpoint(false)
+    // same loop-invariant hoist as pageRank: degree pre-joined, edge
+    // frame pre-partitioned on src once, count pinned against AQE
+    // coalescing (ProbeGraphScale, r15)
+    val nShuffle = edges.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val eDeg = e.join(deg, "src")
+      .repartition(nShuffle, col("src")).localCheckpoint(false)
     val verts = deg.select(col("src").as("p"))
     // seeds restricted to GRAPH vertices before sizing the teleport
     // share: a seed with no out-edges is not a chain state — counting it
@@ -380,8 +404,7 @@ object Graph {
         .as("rank"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
-      val contrib = rank.join(e, rank("p") === e("src"))
-        .join(deg, "src")
+      val contrib = rank.join(eDeg, rank("p") === eDeg("src"))
         .select(col("dst"), expr("rank div d").as("c"))
         .groupBy("dst").agg(sum("c").as("s"))
       rank = verts.join(contrib, verts("p") === contrib("dst"), "left")
@@ -577,27 +600,43 @@ object Graph {
     * LPA is not) — the same determinism discipline as pageRank's integer
     * fixed-point.
     *
-    * Per round: one equi-join per edge direction (votes), a map-side-
-    * combined (v, label) count, a per-vertex argmax window over the
-    * label-cardinality-sized count table, and a seed-priority union;
-    * lineage truncates per round. Cost is rounds × (edge join + one
-    * vertex-keyed shuffle) — the BFS/kCore class.
+    * Per round: ONE equi-join of the pre-built symmetric neighbor frame
+    * against the current labels (hoisted out of the loop and hash-
+    * partitioned on the join key once, the pageRank discipline — the
+    * |2E| frame never reshuffles per round, only the label frame does),
+    * a map-side-combined (v, label) count, a per-vertex hash-aggregate
+    * argmax (max over (cnt, −label) structs — the same plurality-with-
+    * smallest-label-tiebreak the sort window computed, without the
+    * per-round sort exchange), and a seed-priority union; lineage
+    * truncates per round. ProbeGraphScale (r15) measured the rewrite's
+    * per-iteration wall at 1.7-2.6 s vs the window form's 2.9-3.4 s on
+    * 13.4M symmetric edges with a 223k-degree hub, identical labels.
     */
   def labelPropagation(edges: DataFrame, seeds: DataFrame,
                        iters: Int): DataFrame = {
-    val e = edges.select(col("pa"), col("pb")).localCheckpoint()
+    val nShuffle = edges.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    // both directions of every edge, keyed on the VOTING endpoint —
+    // explicit partition count so AQE coalescing cannot break the
+    // per-round co-partitioning (the pageRank eDeg lesson)
+    val nb = edges.select(col("pa").as("v"), col("pb").as("u"))
+      .union(edges.select(col("pb").as("v"), col("pa").as("u")))
+      .repartition(nShuffle, col("v")).localCheckpoint(false)
     val seed = seeds.select(col("v"), col("label").cast("int").as("label"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var labels = seed
     for (_ <- 1 to iters) {
-      val votes = e.join(labels.withColumnRenamed("v", "pa"), Seq("pa"))
-        .select(col("pb").as("v"), col("label"))
-        .union(e.join(labels.withColumnRenamed("v", "pb"), Seq("pb"))
-          .select(col("pa").as("v"), col("label")))
+      val votes = nb.join(labels, Seq("v"))
+        .select(col("u").as("v"), col("label"))
       val counts = votes.groupBy("v", "label").agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy("v").orderBy(col("cnt").desc, col("label"))
-      val best = counts.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).select(col("v"), col("label"))
+      // plurality label, ties to the SMALLEST label: max of the
+      // (cnt, −label) struct — long-widened so no label value can
+      // overflow the negation
+      val best = counts
+        .groupBy("v")
+        .agg(max(struct(col("cnt"),
+          (-col("label").cast("long")).as("nl"))).as("m"))
+        .select(col("v"), (-col("m.nl")).cast("int").as("label"))
       labels = seed
         .union(best.join(seed.select("v"), Seq("v"), "left_anti"))
         .localCheckpoint()
