@@ -54,6 +54,39 @@ object Bench {
     "flf_parse", "q1_agg", "q18_volume_customers",
     "dedup_minhash_lsh", "knn_cosine_brute")
 
+  /** Writeback self-defense (VERDICT r14 #2): benching within ~2 min of
+    * a multi-GB dataset write inflates the streaming family's walls
+    * 1.7x (checkpoint fsyncs contend with page-cache writeback —
+    * PLANS.md r14 "writeback contamination") while the CPU-bound canary
+    * stays healthy, so canary normalization cannot see it. The defense
+    * is twofold: WAIT (bounded) for /proc/meminfo Dirty to settle
+    * before the first query, and RECORD the dirty state in the
+    * artifact so a run that could not settle is marked in
+    * BENCH_FULL.json instead of in a human's memory.
+    */
+  private def dirtyKb(): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/meminfo")
+      try src.getLines().collectFirst {
+        case l if l.startsWith("Dirty:") => l.trim.split("\\s+")(1).toLong
+      }.getOrElse(-1L)
+      finally src.close()
+    } catch { case _: Throwable => -1L } // non-Linux: unknown, never fatal
+
+  /** Dirty pages above this are "writeback pending at bench scale": an
+    * idle host sits at zero to a few MB, while the post-generation
+    * contaminated state is hundreds of MB to GBs draining for minutes.
+    */
+  private val DirtySettleKb = 65536L
+
+  /** Healthy canary_sec band measured across r10-r14 driver+builder
+    * hosts (1.8-2.7 s; PLANS.md r14 — a 4.58 s outlier was a noisy-CPU
+    * window whose run had to be discarded by hand). A run outside the
+    * band is flagged in the artifact: normalize THROUGH a spiking
+    * canary and real regressions read as "unchanged".
+    */
+  private val CanaryBand: (Double, Double) = (1.8, 2.7)
+
   private def family(name: String): String = {
     val i = name.indexOf('_')
     // numbered queries (q1_agg, q19_or_pushdown) fold into the q family
@@ -77,6 +110,28 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // writeback settle: bounded wait for the page cache to drain before
+    // the first measured query (see dirtyKb). SPARK_GRAFT_DIRTY_WAIT_SEC
+    // overrides the budget (0 disables the wait — used by the
+    // deliberate-contamination validation, never by round benches).
+    val dirtyStartKb = dirtyKb()
+    val dirtyWaitBudget =
+      sys.env.getOrElse("SPARK_GRAFT_DIRTY_WAIT_SEC", "120").toInt
+    val tWait = System.nanoTime()
+    while (dirtyKb() > DirtySettleKb &&
+        (System.nanoTime() - tWait) / 1e9 < dirtyWaitBudget)
+      Thread.sleep(2000)
+    val dirtyWaitSec = (System.nanoTime() - tWait) / 1e9
+    val dirtyRunKb = dirtyKb()
+    // the flag the artifact carries: true = the run STARTED with
+    // writeback pending (could not settle inside the budget) and the
+    // stream family's walls are suspect. -1 readings (no /proc) stay
+    // unflagged — unknown is not evidence of contamination.
+    val dirtyFlag = dirtyRunKb > DirtySettleKb
+    if (dirtyFlag)
+      System.err.println(f"[bench] WARNING: starting with Dirty=" +
+        f"${dirtyRunKb}kB after $dirtyWaitSec%.0f s settle wait — " +
+        "stream-family walls are suspect (writeback contamination)")
     // JVM/codegen warmup on the smallest sf so per-query numbers measure
     // the plan, not first-use compilation.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
@@ -144,8 +199,17 @@ object Bench {
     def nrm(v: Double): Double =
       if (canaryN == canary.size && canarySec > 0 && v >= 0) v / canarySec
       else -1.0
+    // canary-band flag (r14 #2): only meaningful on full runs with all
+    // canary members present; subset runs record false without meaning
+    val canaryInBand = canaryN == canary.size &&
+      canarySec >= CanaryBand._1 && canarySec <= CanaryBand._2
+    val health =
+      f""""dirty_kb_start":$dirtyStartKb,"dirty_kb_run":$dirtyRunKb,""" +
+      f""""dirty_wait_sec":$dirtyWaitSec%.1f,"dirty_flag":$dirtyFlag,""" +
+      f""""canary_band":[${CanaryBand._1}%.1f,${CanaryBand._2}%.1f],""" +
+      f""""canary_in_band":$canaryInBand"""
     val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","canary_sec":$canarySec%.3f,"canary_n":$canaryN,"queries":${
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","canary_sec":$canarySec%.3f,"canary_n":$canaryN,$health,"queries":${
         jmap(results.map(r => (r._1, r._2)))
       },"normalized":${
         jmap4(results.map(r => (r._1, nrm(r._2))))
@@ -164,7 +228,7 @@ object Bench {
     // the line carries total + per-family normalized; the complete
     // per-query normalized map lives in BENCH_FULL.json (per-query on
     // the line would blow the stdout tail that rounds 3-8 hit)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","canary_sec":$canarySec%.3f,"canary_n":$canaryN,"value_norm":${nrm(total)}%.1f,"nq":${
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","canary_sec":$canarySec%.3f,"canary_n":$canaryN,"dirty_flag":$dirtyFlag,"canary_in_band":$canaryInBand,"value_norm":${nrm(total)}%.1f,"nq":${
       results.size},"queries":${jmap(head)},"families":${jmap(fams)
       },"families_norm":${jmap2(fams.map { case (f, v) => f -> nrm(v) })
       },"failed":$failed,"full":"$outPath","sf":"$sfDir"}""")
