@@ -221,12 +221,57 @@ object Dedup {
   /** `probed = false` marks a floor-skipped dispatch (corpus at or below
     * `probeFloorDocs`): the regime is exact by construction and the three
     * `est*`/`maxBucketObserved` fields are `-1` (never measured).
+    * `probeMode` records which probe produced the stats (the SpanDispatch
+    * convention): `"none"` = floor-skipped; `"exact"` = the full
+    * band-checkpoint aggregate (stats exact); `"sampled"` = the
+    * document-sampled pre-probe, where `nDocs`/`estCandidates` are
+    * unbiased S-scaled estimates, `maxBucketObserved` is a sample LOWER
+    * BOUND, and in the capped regime `estCandidatesCapped`/
+    * `candidateRetention` are not-estimable sentinels (-1 / NaN) — the
+    * ≤cap mass sits below sample resolution at S ≫ cap.
     */
   case class LshDispatch(regime: String, nDocs: Long, estCandidates: Long,
                          estCandidatesCapped: Long, maxBucketObserved: Long,
                          candidateRetention: Double, cap: Int,
-                         probed: Boolean,
+                         probed: Boolean, probeMode: String,
                          pairs: DataFrame)
+
+  /** Document-sample modulus for the LSH pre-probe — the span
+    * dispatcher's two-phase pattern ([[DefaultSpanProbeSampleMod]])
+    * applied to the band-bucket distribution: docs with
+    * `md5(id) mod S == 0` are shingled/banded and ONE streaming
+    * aggregate over their bucket histogram estimates the candidate
+    * mass. A bucket of k docs keeps Binomial(k, 1/S) sampled members,
+    * so E[C(k_s,2)]·S² = C(k,2) exactly and the candidates-per-doc
+    * routing ratio scales by one clean S. On a clear-EXACT decision the
+    * full band frame is built WITHOUT its checkpoint (the self-join's
+    * two scans share one exchange — the span exact-route insight) and
+    * without the checkpoint's count job, so the probe's cost is ~1/S of
+    * the shingle+minhash CPU instead of the r14 path's full-corpus
+    * materialization-ahead-of-time (12.8% of the routed total at sf100).
+    */
+  val DefaultLshProbeSampleMod: Int = 64
+
+  /** Sampled LSH routing only decides when the estimated candidates/doc
+    * ratio clears the threshold by this band on an adequate sample
+    * (≥ [[MinSampledBandRows]] sampled band rows); otherwise the exact
+    * checkpointed probe runs — small and borderline corpora behave
+    * exactly as before.
+    */
+  val LshProbeAmbiguityBand: Double = 4.0
+  val MinSampledBandRows: Long = 8192L
+
+  /** Phase-1 engagement gate: the sampled pre-probe itself costs one
+    * job, and on a small corpus that job is pure overhead on top of a
+    * probe that was already cheap (the r11 lesson — +29% canary-
+    * normalized from probing a 5k-doc corpus; dedup_minhash_lsh is a
+    * bench canary member). The gate reads Catalyst's size statistic
+    * (file bytes for a scan — no job): below it the corpus cannot
+    * produce an adequate sample at the default S anyway
+    * (MinSampledBandRows needs ~175k docs), so phase 2 runs directly
+    * and every sub-gate corpus keeps the r14 plan byte-for-byte.
+    */
+  val DefaultLshProbeSampleMinBytes: Long = 64L << 20
 
   /** Size-aware MinHash-LSH dispatcher (the Ranks.groupedPercentiles
     * pattern applied to dedup). ONE cheap probe over the
@@ -255,7 +300,75 @@ object Dedup {
                      threshold: Double = 0.5,
                      cappedBucket: Int = DefaultCappedBucket,
                      maxCandidatesPerDoc: Long = DefaultMaxCandidatesPerDoc,
-                     probeFloorDocs: Long = DefaultProbeFloorDocs): LshDispatch = {
+                     probeFloorDocs: Long = DefaultProbeFloorDocs,
+                     probeSampleMod: Int = DefaultLshProbeSampleMod,
+                     minSampledBandRows: Long = MinSampledBandRows,
+                     probeSampleMinBytes: Long = DefaultLshProbeSampleMinBytes)
+      : LshDispatch = {
+    // Phase 1 — SAMPLED pre-probe (r15, the span two-phase pattern):
+    // shingle/band 1/S of the docs, one streaming bucket-histogram
+    // aggregate, no checkpoints. Route immediately when the S-scaled
+    // candidates/doc estimate clears the threshold by the ambiguity
+    // band on an adequate sample; the clear-EXACT route then builds the
+    // band frame CHECKPOINT-FREE (its two self-join scans share one
+    // exchange) and skips the checkpoint's count job — at sf100 the r14
+    // path's probe tax was 12.8% of the routed total, all of it work
+    // the exact route can avoid pre-paying. Thin samples and boundary
+    // ratios fall through to the exact probe, so fixtures and
+    // near-threshold corpora keep exact stats and unchanged routing.
+    if (probeSampleMod > 1 &&
+        df.queryExecution.optimizedPlan.stats.sizeInBytes >=
+          BigInt(probeSampleMinBytes)) {
+      val s = probeSampleMod.toLong
+      val sampled = df.filter(
+        pmod(Pipeline.md5Hash60(col(idCol)), lit(s)) === 0L)
+      val halfS = col("k").cast("double") * (col("k") - 1).cast("double") / 2
+      val (_, bandS, _) = shingleBands(sampled, textCol, idCol, shingleN,
+        bands, rows, checkpointBands = false, checkpointSh = false)
+      val st = bandS.groupBy("band", "digest").agg(count(lit(1)).as("k"))
+        .agg(sum(halfS).as("cand"), max(col("k")).as("max_k"),
+          sum(col("k")).as("band_rows"))
+        .collect()(0)
+      def lngS(i: Int): Long = if (st.isNullAt(i)) 0L else st.getLong(i)
+      def dblS(i: Int): Double = if (st.isNullAt(i)) 0.0 else st.getDouble(i)
+      val (candS, maxKS, rowsS) = (dblS(0), lngS(1), lngS(2))
+      val nDocsEst = rowsS * s / math.max(bands, 1)
+      // estimated raw candidates per doc = candS·S² / (rowsS·S/bands)
+      val ratio =
+        if (rowsS > 0) candS * s * bands / rowsS else 0.0
+      val thr = maxCandidatesPerDoc.toDouble
+      if (rowsS >= minSampledBandRows && ratio <= thr / LshProbeAmbiguityBand) {
+        // clear EXACT: no cap is applied, so the capped mass IS the
+        // mass (the SpanDispatch estPairsCapped convention)
+        val (sh, bandRows, _) = shingleBands(df, textCol, idCol, shingleN,
+          bands, rows, checkpointBands = false)
+        return LshDispatch(regime = "exact", nDocs = nDocsEst,
+          estCandidates = (candS * s * s).toLong,
+          estCandidatesCapped = (candS * s * s).toLong,
+          maxBucketObserved = maxKS, candidateRetention = 1.0,
+          cap = Int.MaxValue, probed = true, probeMode = "sampled",
+          pairs = verifiedPairs(sh, bandRows, threshold))
+      }
+      if (rowsS >= minSampledBandRows && ratio >= thr * LshProbeAmbiguityBand) {
+        // clear CAPPED: the stop-shingle gate's keep-aggregate plus both
+        // self-join sides give the band frame three consumers — build it
+        // WITH the checkpoint, as before. The ≤cap mass is not estimable
+        // from the sample (k ≤ cap buckets almost never draw 2 sampled
+        // members at S ≫ cap) — sentinels, never plausible wrong numbers.
+        val (sh, bandRows, _) = shingleBands(df, textCol, idCol, shingleN,
+          bands, rows)
+        return LshDispatch(regime = "capped", nDocs = nDocsEst,
+          estCandidates = (candS * s * s).toLong,
+          estCandidatesCapped = -1L,
+          maxBucketObserved = maxKS, candidateRetention = Double.NaN,
+          cap = cappedBucket, probed = true, probeMode = "sampled",
+          pairs = verifiedPairs(sh, capBuckets(bandRows, cappedBucket),
+            threshold))
+      }
+    }
+    // Phase 2 — exact probe (fallback; also probeSampleMod <= 1): the
+    // r14 behavior verbatim — band checkpoint + count job + one
+    // map-side-combined bucket aggregate riding on it
     val (sh, bandRows, nBandRows) = shingleBands(df, textCol, idCol, shingleN, bands, rows)
     val nDocs = nBandRows / math.max(bands, 1)
     if (nDocs <= probeFloorDocs)
@@ -264,18 +377,22 @@ object Dedup {
       LshDispatch(regime = "exact", nDocs = nDocs, estCandidates = -1L,
         estCandidatesCapped = -1L, maxBucketObserved = -1L,
         candidateRetention = 1.0, cap = Int.MaxValue, probed = false,
+        probeMode = "none",
         pairs = verifiedPairs(sh, bandRows, threshold))
     else {
       val (routed, exact, (_, cand, candCapped, maxK)) =
         probeRoute(bandRows, bands, cappedBucket, maxCandidatesPerDoc)
       LshDispatch(
         regime = if (exact) "exact" else "capped",
-        nDocs = nDocs, estCandidates = cand, estCandidatesCapped = candCapped,
+        nDocs = nDocs, estCandidates = cand,
+        // routed-plan candidate mass (the SpanDispatch convention): the
+        // exact regime applies no cap, so the capped mass IS the mass
+        estCandidatesCapped = if (exact) cand else candCapped,
         maxBucketObserved = maxK,
         candidateRetention =
           if (exact) 1.0 else candCapped.toDouble / math.max(cand, 1L),
         cap = if (exact) Int.MaxValue else cappedBucket,
-        probed = true,
+        probed = true, probeMode = "exact",
         pairs = verifiedPairs(sh, routed, threshold))
     }
   }

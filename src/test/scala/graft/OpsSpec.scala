@@ -953,6 +953,50 @@ class OpsSpec extends AnyFunSuite {
     assert(viaDefault.size == 80 * 79 / 2 + 1)
   }
 
+  test("minhashLshAuto sampled pre-probe: clear decisions route from the " +
+    "sample with identical pairs; ambiguous ratios fall back") {
+    // knobs lowered to exercise phase 1 on fixture-sized corpora:
+    // probeSampleMod=2 samples ~half the docs, minSampledBandRows/
+    // probeSampleMinBytes drop the adequacy/engagement gates
+    def auto(df: org.apache.spark.sql.DataFrame, minRows: Long = 4L) =
+      Dedup.minhashLshAuto(df, "text", "doc_id", probeFloorDocs = 0,
+        probeSampleMod = 2, minSampledBandRows = minRows,
+        probeSampleMinBytes = 0L)
+    // clear EXACT: distinct docs + one dup — sampled collision mass ~0
+    val distinctDocs = (0L until 30L).map(i =>
+      (i, s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i")) ++
+      Seq((100L, "same words repeated here exactly verbatim now"),
+        (101L, "same words repeated here exactly verbatim now"))
+    val de = auto(distinctDocs.toDF("doc_id", "text"))
+    assert(de.probeMode == "sampled" && de.regime == "exact" &&
+      de.cap == Int.MaxValue && de.candidateRetention == 1.0)
+    val exactForced = Dedup.minhashLsh(distinctDocs.toDF("doc_id", "text"),
+      "text", "doc_id", maxBucket = Int.MaxValue)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(de.pairs.select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      == exactForced)
+    // clear CAPPED: a 600-doc identical family pushes the sampled
+    // candidates/doc estimate past threshold x band (96 x 4); the capped
+    // diagnostics must be honest sentinels, and the OUTPUT must equal the
+    // forced-capped result (capBuckets gates on FULL bucket counts)
+    val hot = (0L until 600L).map(i => (i, "alpha beta gamma delta epsilon")) ++
+      Seq((10000L, "quantum flux capacitor energizes warp drive"),
+        (10001L, "quantum flux capacitor energizes warp drive"))
+    val dc = auto(hot.toDF("doc_id", "text"))
+    assert(dc.probeMode == "sampled" && dc.regime == "capped" &&
+      dc.cap == Dedup.DefaultCappedBucket)
+    assert(dc.estCandidatesCapped == -1L && dc.candidateRetention.isNaN)
+    assert(dc.maxBucketObserved > 0) // sample lower bound on the family
+    assert(dc.pairs.select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      == Set((10000L, 10001L)))
+    // ambiguous: the 80-doc family's ratio (~115/doc) sits inside the
+    // band [24, 384] — phase 1 must decline and the exact probe decide
+    // (an adequate sample, so the fallback is the RATIO, not thin data)
+    val mid = (0L until 80L).map(i => (i, "alpha beta gamma delta epsilon"))
+    val dm = auto(mid.toDF("doc_id", "text"), minRows = 4L)
+    assert(dm.probeMode == "exact" && dm.regime == "capped")
+  }
+
   test("minhash LSH finds exact and near dups, not unrelated docs") {
     val pairs = Dedup.minhashLsh(docs, "text", "doc_id", threshold = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

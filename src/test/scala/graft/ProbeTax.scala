@@ -65,14 +65,28 @@ object ProbeTax {
         f"probe=${tOldProbe}%7.1fs routed=${tOldRouted}%7.1fs " +
         f"total=${tOldProbe + tOldRouted}%7.1fs pairs=$nOld%d")
 
-      // LSH a: auto dispatch (probe rides the band checkpoint)
+      // LSH a: auto dispatch (r15: sampled pre-probe on a clear
+      // decision, exact probe riding the band checkpoint otherwise)
       val (dLsh, tLshProbe) = Timed {
         Dedup.minhashLshAuto(docs, "text", "doc_id")
       }
       val (nLsh, tLshRouted) = Timed(dLsh.pairs.count())
-      println(f"LSH  auto     regime=${dLsh.regime} cap=${dLsh.cap} " +
+      val lshTotal = tLshProbe + tLshRouted
+      println(f"LSH  auto     probeMode=${dLsh.probeMode} " +
+        f"regime=${dLsh.regime} cap=${dLsh.cap} " +
         f"probe=${tLshProbe}%7.1fs routed=${tLshRouted}%7.1fs " +
-        f"total=${tLshProbe + tLshRouted}%7.1fs pairs=$nLsh%d")
+        f"total=$lshTotal%7.1fs " +
+        f"probeShare=${100 * tLshProbe / lshTotal}%5.1f%% pairs=$nLsh%d")
+
+      // LSH a': the r14 exact-probe path (probeSampleMod = 1) — band
+      // checkpoint + count job + bucket aggregate before routing
+      val (dLshOld, tLshOldProbe) = Timed {
+        Dedup.minhashLshAuto(docs, "text", "doc_id", probeSampleMod = 1)
+      }
+      val (nLshOld, tLshOldRouted) = Timed(dLshOld.pairs.count())
+      println(f"LSH  exact-probe (r14) regime=${dLshOld.regime} " +
+        f"probe=${tLshOldProbe}%7.1fs routed=${tLshOldRouted}%7.1fs " +
+        f"total=${tLshOldProbe + tLshOldRouted}%7.1fs pairs=$nLshOld%d")
 
       // LSH b: forced capped from scratch at the same cap — pays the
       // same band checkpoint, skips only the probe aggregate
