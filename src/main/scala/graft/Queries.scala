@@ -5131,9 +5131,12 @@ object Queries {
       .orderBy("doc_id")
   }
 
-  q("stream_sessionize",
-    // oracle: the batch sessionization (q_sessionize) — the streaming
-    // operator's single-batch output is provably identical
+  // ONE oracle + ONE body for the stream_sessionize pair (review r15):
+  // the twin's whole contract is "identical oracle to the base — the
+  // backend must be invisible in the result", and two verbatim copies
+  // would let a future base-oracle fix silently strand the twin on the
+  // stale oracle, passing individually while proving nothing.
+  private val sessionizeOracleSql =
     """WITH g AS (SELECT user_id, event_id, ts,
       |    CASE WHEN lag(ts) OVER w IS NULL
       |      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
@@ -5145,7 +5148,10 @@ object Queries {
       |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
       |  COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
       |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id"""
-      .stripMargin.replace("\n", " ")) { (s, dir) =>
+      .stripMargin.replace("\n", " ")
+
+  private def runSessionize(s: SparkSession, dir: String, qname: String,
+                            rocksDb: Boolean): DataFrame = {
     import s.implicits._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = s.readStream.schema(tbl(s, dir, "events").schema)
@@ -5158,12 +5164,15 @@ object Queries {
     val evs = src.filter(col("user_id") < 50)
       .select(col("user_id"), col("event_id"), micros.as("ts_micros"))
       .as[graft.streaming.Streams.SessEvent]
-    val qname = "graft_stream_sessionize"
-    withShufflePartitions(s, 4) {
+    def drain(): Unit = {
       val query = graft.streaming.Streams.sessionWindows(evs)
         .writeStream.format("memory").queryName(qname)
         .outputMode("append").start()
       try query.processAllAvailable() finally query.stop()
+    }
+    withShufflePartitions(s, 4) {
+      if (rocksDb) graft.streaming.Streams.withRocksDbState(s)(drain())
+      else drain()
     }
     // session timezone is UTC, so LTZ micros render the same wall clock
     // as the oracle's naive timestamps once cast to NTZ
@@ -5174,52 +5183,21 @@ object Queries {
       .orderBy("user_id", "session_id")
   }
 
-  q("stream_sessionize_rocksdb",
-    // stream_sessionize under the RocksDB state store (VERDICT r14 #4):
-    // flatMapGroupsWithState's per-user open-session record is exactly
-    // the live state a 100 TB ingest holds for every active user at
-    // once — the heap provider's OOM-by-construction regime
-    // (ProbeStateScale: ~340 B/key, dead between 8M and 16M keys at
-    // 4 GiB). Identical oracle to stream_sessionize: the backend must
-    // be invisible in the result.
-    """WITH g AS (SELECT user_id, event_id, ts,
-      |    CASE WHEN lag(ts) OVER w IS NULL
-      |      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
-      |  FROM events WHERE user_id < 50
-      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-      |s AS (SELECT user_id, ts,
-      |  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |    ROWS UNBOUNDED PRECEDING) AS session_id FROM g)
-      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
-      |  COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
-      |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id"""
-      .stripMargin.replace("\n", " ")) { (s, dir) =>
-    import s.implicits._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = s.readStream.schema(tbl(s, dir, "events").schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-    val micros = src.schema("ts").dataType match {
-      case LongType => expr("ts div 1000")
-      case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
-      case _ => unix_micros(col("ts"))
-    }
-    val evs = src.filter(col("user_id") < 50)
-      .select(col("user_id"), col("event_id"), micros.as("ts_micros"))
-      .as[graft.streaming.Streams.SessEvent]
-    val qname = "graft_stream_sessionize_rocksdb"
-    withShufflePartitions(s, 4) {
-      graft.streaming.Streams.withRocksDbState(s) {
-        val query = graft.streaming.Streams.sessionWindows(evs)
-          .writeStream.format("memory").queryName(qname)
-          .outputMode("append").start()
-        try query.processAllAvailable() finally query.stop()
-      }
-    }
-    s.table(qname)
-      .select(col("user_id"), col("session_id"), col("n_events"),
-        timestamp_micros(col("start_micros")).cast(TimestampNTZType).as("session_start"),
-        timestamp_micros(col("end_micros")).cast(TimestampNTZType).as("session_end"))
-      .orderBy("user_id", "session_id")
+  // oracle: the batch sessionization (q_sessionize) — the streaming
+  // operator's single-batch output is provably identical
+  q("stream_sessionize", sessionizeOracleSql) { (s, dir) =>
+    runSessionize(s, dir, "graft_stream_sessionize", rocksDb = false)
+  }
+
+  // stream_sessionize under the RocksDB state store (VERDICT r14 #4):
+  // flatMapGroupsWithState's per-user open-session record is exactly
+  // the live state a 100 TB ingest holds for every active user at
+  // once — the heap provider's OOM-by-construction regime
+  // (ProbeStateScale: ~340 B/key, dead between 8M and 16M keys at
+  // 4 GiB). Identical oracle to stream_sessionize: the backend must
+  // be invisible in the result.
+  q("stream_sessionize_rocksdb", sessionizeOracleSql) { (s, dir) =>
+    runSessionize(s, dir, "graft_stream_sessionize_rocksdb", rocksDb = true)
   }
 
   q("q_funnel",
@@ -5240,9 +5218,9 @@ object Queries {
       .orderBy("step")
   }
 
-  q("stream_interval_join",
-    // oracle: the batch range join — single-batch append output of a
-    // watermarked stream-stream interval join is exactly the batch result
+  // ONE oracle + ONE body for the stream_interval_join pair (review
+  // r15) — same rationale as the sessionize pair above.
+  private val intervalJoinOracleSql =
     """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
       |  v.ts AS view_ts, c.ts AS click_ts
       |FROM events v JOIN events c ON c.user_id = v.user_id
@@ -5250,7 +5228,10 @@ object Queries {
       |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
       |WHERE v.user_id < 30
       |ORDER BY v.user_id, view_id, click_id"""
-      .stripMargin.replace("\n", " ")) { (s, dir) =>
+      .stripMargin.replace("\n", " ")
+
+  private def runIntervalJoin(s: SparkSession, dir: String, qname: String,
+                              rocksDb: Boolean): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = tbl(s, dir, "events").schema
     def src = s.readStream.schema(schema)
@@ -5265,8 +5246,7 @@ object Queries {
     val clicks = src.filter(col("user_id") < 30 && col("event_type") === "click")
       .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
         toTs.as("r_ts"))
-    val qname = "graft_stream_interval_join"
-    withShufflePartitions(s, 4) {
+    def drain(): Unit = {
       val query = graft.streaming.Streams
         .intervalJoin(views, clicks, "user_id", "c_user_id", "1 HOUR")
         .select(col("user_id"), col("view_id"), col("click_id"),
@@ -5276,52 +5256,28 @@ object Queries {
         .outputMode("append").start()
       try query.processAllAvailable() finally query.stop()
     }
+    withShufflePartitions(s, 4) {
+      if (rocksDb) graft.streaming.Streams.withRocksDbState(s)(drain())
+      else drain()
+    }
     s.table(qname).orderBy("user_id", "view_id", "click_id")
   }
 
-  q("stream_interval_join_rocksdb",
-    // stream_interval_join under the RocksDB state store (VERDICT r14
-    // #4): the stream-stream join buffers BOTH sides' in-horizon rows in
-    // the state store — O(rate x horizon) live rows, the largest state
-    // footprint of any operator here, so it is the first to need the
-    // disk-backed store at ingest scale. Identical oracle to
-    // stream_interval_join: the backend must be invisible in the result.
-    """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
-      |  v.ts AS view_ts, c.ts AS click_ts
-      |FROM events v JOIN events c ON c.user_id = v.user_id
-      |  AND v.event_type = 'view' AND c.event_type = 'click'
-      |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
-      |WHERE v.user_id < 30
-      |ORDER BY v.user_id, view_id, click_id"""
-      .stripMargin.replace("\n", " ")) { (s, dir) =>
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = tbl(s, dir, "events").schema
-    def src = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-    def toTs: Column = schema("ts").dataType match {
-      case LongType => timestamp_micros(expr("ts div 1000"))
-      case TimestampNTZType => col("ts").cast(TimestampType)
-      case _ => col("ts")
-    }
-    val views = src.filter(col("user_id") < 30 && col("event_type") === "view")
-      .select(col("user_id"), col("event_id").as("view_id"), toTs.as("l_ts"))
-    val clicks = src.filter(col("user_id") < 30 && col("event_type") === "click")
-      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
-        toTs.as("r_ts"))
-    val qname = "graft_stream_interval_join_rocksdb"
-    withShufflePartitions(s, 4) {
-      graft.streaming.Streams.withRocksDbState(s) {
-        val query = graft.streaming.Streams
-          .intervalJoin(views, clicks, "user_id", "c_user_id", "1 HOUR")
-          .select(col("user_id"), col("view_id"), col("click_id"),
-            col("l_ts").cast(TimestampNTZType).as("view_ts"),
-            col("r_ts").cast(TimestampNTZType).as("click_ts"))
-          .writeStream.format("memory").queryName(qname)
-          .outputMode("append").start()
-        try query.processAllAvailable() finally query.stop()
-      }
-    }
-    s.table(qname).orderBy("user_id", "view_id", "click_id")
+  // oracle: the batch range join — single-batch append output of a
+  // watermarked stream-stream interval join is exactly the batch result
+  q("stream_interval_join", intervalJoinOracleSql) { (s, dir) =>
+    runIntervalJoin(s, dir, "graft_stream_interval_join", rocksDb = false)
+  }
+
+  // stream_interval_join under the RocksDB state store (VERDICT r14
+  // #4): the stream-stream join buffers BOTH sides' in-horizon rows in
+  // the state store — O(rate x horizon) live rows, the largest state
+  // footprint of any operator here, so it is the first to need the
+  // disk-backed store at ingest scale. Identical oracle to
+  // stream_interval_join: the backend must be invisible in the result.
+  q("stream_interval_join_rocksdb", intervalJoinOracleSql) { (s, dir) =>
+    runIntervalJoin(s, dir, "graft_stream_interval_join_rocksdb",
+      rocksDb = true)
   }
 
   q("stream_interval_left_outer",
@@ -5438,53 +5394,48 @@ object Queries {
     s.table(qname).orderBy("tok")
   }
 
-  q("stream_quantiles", quantileSketchSql) { (s, dir) =>
-    // the quantile sketch as STREAMING STATE: mergeability (k smallest
-    // of a union = k smallest of merged k-smallest sets) is what makes
-    // the per-batch state fold correct — O(k) state per key forever, and
-    // a bounded single batch reproduces the batch sketch bit-for-bit
+  // ONE body for the stream_quantiles pair (review r15; the oracle was
+  // already the shared quantileSketchSql)
+  private def runStreamQuantiles(s: SparkSession, dir: String, qname: String,
+                                 rocksDb: Boolean): DataFrame = {
     import s.implicits._
     val src = s.readStream.schema(tbl(s, dir, "events").schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
     val rows = src.select(col("event_type"), col("event_id"),
         col("value").cast("double").as("value"))
       .as[graft.streaming.Streams.QRow]
-    val qname = "graft_stream_quantiles"
-    withShufflePartitions(s, 4) {
+    def drain(): Unit = {
       val query = graft.streaming.Streams.quantileState(rows, k = 64)
         .writeStream.format("memory").queryName(qname)
         .outputMode("update").start()
       try query.processAllAvailable() finally query.stop()
     }
+    withShufflePartitions(s, 4) {
+      if (rocksDb) graft.streaming.Streams.withRocksDbState(s)(drain())
+      else drain()
+    }
     s.table(qname).orderBy("event_type")
   }
 
-  q("stream_quantiles_rocksdb",
-    // stream_quantiles under the RocksDB state store (VERDICT r14 #4):
-    // mapGroupsWithState's O(k)-per-key sketch state is small per key
-    // but the KEY COUNT is unbounded (per-entity production keys), so
-    // the backend question is the same capacity question as dedup.
-    // Identical oracle to stream_quantiles: the backend must be
-    // invisible in the result — the sketch fold's bit-for-bit
-    // determinism (md5 bottom-k, exact tie order) survives the state
-    // serialization round-trip through RocksDB or it is a defect.
-    quantileSketchSql) { (s, dir) =>
-    import s.implicits._
-    val src = s.readStream.schema(tbl(s, dir, "events").schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-    val rows = src.select(col("event_type"), col("event_id"),
-        col("value").cast("double").as("value"))
-      .as[graft.streaming.Streams.QRow]
-    val qname = "graft_stream_quantiles_rocksdb"
-    withShufflePartitions(s, 4) {
-      graft.streaming.Streams.withRocksDbState(s) {
-        val query = graft.streaming.Streams.quantileState(rows, k = 64)
-          .writeStream.format("memory").queryName(qname)
-          .outputMode("update").start()
-        try query.processAllAvailable() finally query.stop()
-      }
-    }
-    s.table(qname).orderBy("event_type")
+  // the quantile sketch as STREAMING STATE: mergeability (k smallest
+  // of a union = k smallest of merged k-smallest sets) is what makes
+  // the per-batch state fold correct — O(k) state per key forever, and
+  // a bounded single batch reproduces the batch sketch bit-for-bit
+  q("stream_quantiles", quantileSketchSql) { (s, dir) =>
+    runStreamQuantiles(s, dir, "graft_stream_quantiles", rocksDb = false)
+  }
+
+  // stream_quantiles under the RocksDB state store (VERDICT r14 #4):
+  // mapGroupsWithState's O(k)-per-key sketch state is small per key
+  // but the KEY COUNT is unbounded (per-entity production keys), so
+  // the backend question is the same capacity question as dedup.
+  // Identical oracle to stream_quantiles: the backend must be
+  // invisible in the result — the sketch fold's bit-for-bit
+  // determinism (md5 bottom-k, exact tie order) survives the state
+  // serialization round-trip through RocksDB or it is a defect.
+  q("stream_quantiles_rocksdb", quantileSketchSql) { (s, dir) =>
+    runStreamQuantiles(s, dir, "graft_stream_quantiles_rocksdb",
+      rocksDb = true)
   }
 
   q("stream_funnel",

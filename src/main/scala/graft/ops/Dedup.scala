@@ -316,9 +316,15 @@ object Dedup {
     // the exact route can avoid pre-paying. Thin samples and boundary
     // ratios fall through to the exact probe, so fixtures and
     // near-threshold corpora keep exact stats and unchanged routing.
-    if (probeSampleMod > 1 &&
-        df.queryExecution.optimizedPlan.stats.sizeInBytes >=
-          BigInt(probeSampleMinBytes)) {
+    // fail CLOSED on plans without real size statistics (review r15):
+    // a LogicalRDD (localCheckpointed input — pervasive in this
+    // library) reports defaultSizeInBytes = Long.MaxValue, which would
+    // pass a plain >= gate and pay the phase-1 job on exactly the small
+    // corpora the gate protects. Unknown size -> phase 2, the same
+    // fail-safe direction as AsOfJoinPlan's broadcast threshold.
+    val szStats = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (probeSampleMod > 1 && szStats >= BigInt(probeSampleMinBytes) &&
+        szStats < BigInt(Long.MaxValue) / 2) {
       val s = probeSampleMod.toLong
       val sampled = df.filter(
         pmod(Pipeline.md5Hash60(col(idCol)), lit(s)) === 0L)

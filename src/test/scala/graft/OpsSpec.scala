@@ -995,6 +995,14 @@ class OpsSpec extends AnyFunSuite {
     val mid = (0L until 80L).map(i => (i, "alpha beta gamma delta epsilon"))
     val dm = auto(mid.toDF("doc_id", "text"), minRows = 4L)
     assert(dm.probeMode == "exact" && dm.regime == "capped")
+    // fail-CLOSED gate: a localCheckpointed input has NO real size
+    // statistic (LogicalRDD reports defaultSizeInBytes = Long.MaxValue),
+    // which must read as "unknown -> phase 2", never as "huge -> pay
+    // the sampled probe job on a tiny corpus" (review r15)
+    val ck = Dedup.minhashLshAuto(
+      distinctDocs.toDF("doc_id", "text").localCheckpoint(),
+      "text", "doc_id")
+    assert(ck.probeMode == "none") // sub-floor corpus, probe skipped
   }
 
   test("minhash LSH finds exact and near dups, not unrelated docs") {

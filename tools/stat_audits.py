@@ -8700,3 +8700,36 @@ def q_knn_graph_auto_dispatch():
             edges.add((nid, int(ids[qi])))
     return pd.DataFrame([{"regime": regime, "n_vecs": len(ids),
                           "max_cell": max_cell, "n_edges": len(edges)}])
+
+
+# --- round 15 -------------------------------------------------------------
+
+@audit("q11_important_stock_scaled")
+def q11_important_stock_scaled():
+    # SF-normalized q11: official TPC-H divides the HAVING fraction by
+    # SF, derived here from the supplier row count (SF x 10,000), so the
+    # exact integer predicate is val * ns * 10 > tot (f0 = 0.00001).
+    li = table("lineitem")
+    cents = half_up(li.l_extendedprice.values.astype(float), 100)
+    euro, _ = _region_suppliers("EUROPE")
+    esk = set(euro.s_suppkey.astype(int))
+    ns = len(table("supplier"))
+    val = {}
+    for pk, sk, c in zip(li.l_partkey.values, li.l_suppkey.values, cents):
+        if int(sk) in esk:
+            val[int(pk)] = val.get(int(pk), 0) + int(c)
+    tot = sum(val.values())
+    rows = [{"p_partkey": pk, "value": v / 100.0}
+            for pk, v in val.items() if v * ns * 10 > tot]
+    rows.sort(key=lambda r: (-r["value"], r["p_partkey"]))
+    return pd.DataFrame(rows)
+
+
+# RocksDB state-backend twins (r15): identical result contract to their
+# default-backend base query — the backend must be invisible in the
+# result, so the same independent recomputation audits each twin's own
+# Verify output (engine_out reads by registry KEY, so the alias compares
+# the twin's parquet against the base's expected frame).
+AUDITS["stream_sessionize_rocksdb"] = AUDITS["stream_sessionize"]
+AUDITS["stream_interval_join_rocksdb"] = AUDITS["stream_interval_join"]
+AUDITS["stream_quantiles_rocksdb"] = AUDITS["stream_quantiles"]
