@@ -41,7 +41,15 @@ object ProbeGraphScale {
   }
 
   def main(args: Array[String]): Unit = {
-    val sizes = if (args.nonEmpty) args.map(_.toLong).toSeq
+    // "lp357" as the first arg runs ONLY labelPropagation, at iters
+    // {3,5,7}, single-rep: the saturation check for the fourth decade,
+    // where slope(1->3) < slope(3->5) is expected (frontier growth — the
+    // labeled set expands from the seeds toward |V|) and the question is
+    // whether slope(5->7) ~= slope(3->5) (affine past saturation) or
+    // keeps growing (a genuine per-round defect).
+    val lpOnly = args.headOption.contains("lp357")
+    val sizeArgs = if (lpOnly) args.tail else args
+    val sizes = if (sizeArgs.nonEmpty) sizeArgs.map(_.toLong).toSeq
                 else Seq(100000L, 1000000L, 10000000L)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 64)
@@ -58,6 +66,13 @@ object ProbeGraphScale {
 
     for (m <- sizes) {
       val n = m / 10
+      // Partitions sized to the decade, as a real cluster would size them
+      // (floor 64 keeps the three recorded decades' plans unchanged). The
+      // first 100M attempt pinned 64 partitions = ~2M edge rows per task
+      // and OOM'd a 48 GiB heap in shuffle write: a fixed partition count
+      // is itself a thing that does not survive a decade jump.
+      val parts = math.max(64L, m / 500000L).toInt
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
       // directed Zipf edges, self-loops dropped; materialized once so
       // every operator under test reads the same in-memory frame and the
       // measured walls exclude generation
@@ -92,21 +107,29 @@ object ProbeGraphScale {
       // per-iteration linearity: affine wall => truncated lineage.
       // min-of-2 reps per point: single-shot walls on this VM swing 2-3x
       // with page-cache/GC state, which would read as phantom slope
-      def iterSlopes(name: String, run: Int => DataFrame): Unit = {
-        val walls = Seq(1, 3, 5).map { it =>
-          Seq.fill(2) {
+      def iterSlopes(name: String, run: Int => DataFrame,
+                     points: Seq[Int] = Seq(1, 3, 5),
+                     reps: Int = 2): Unit = {
+        val walls = points.map { it =>
+          Seq.fill(reps) {
             val (_, w) = time(run(it).count()); sweep(); w
           }.min
         }
-        val s13 = (walls(1) - walls(0)) / 2
-        val s35 = (walls(2) - walls(1)) / 2
-        println(f"GRAPHSCALE m=$m%9d  $name%-12s " +
-          f"w1=${walls(0)}%7.2fs w3=${walls(1)}%7.2fs w5=${walls(2)}%7.2fs " +
-          f"perIter(1->3)=$s13%6.2fs perIter(3->5)=$s35%6.2fs")
+        val ws = points.zip(walls)
+          .map { case (p, w) => f"w$p=$w%7.2fs" }.mkString(" ")
+        val slopes = points.zip(walls).sliding(2).map { case Seq((pa, wa), (pb, wb)) =>
+          f"perIter($pa->$pb)=${(wb - wa) / (pb - pa)}%6.2fs"
+        }.mkString(" ")
+        println(f"GRAPHSCALE m=$m%9d  $name%-12s $ws $slopes")
       }
-      iterSlopes("pagerank", it => Graph.pageRank(sym, iters = it))
       val seeds = spark.range(0, n, 97)
         .select(col("id").as("v"), pmod(col("id"), lit(7)).as("label"))
+      if (lpOnly) {
+        iterSlopes("labelprop", it => Graph.labelPropagation(und, seeds, it),
+          points = Seq(3, 5, 7), reps = 1)
+        sweep()
+      } else {
+      iterSlopes("pagerank", it => Graph.pageRank(sym, iters = it))
       iterSlopes("labelprop", it => Graph.labelPropagation(und, seeds, it))
 
       val sources = spark.range(1).select(lit(0L).as("v")) // the mega-hub
@@ -123,6 +146,7 @@ object ProbeGraphScale {
           col("pb").as("b_id"))).count())
       println(f"GRAPHSCALE m=$m%9d  concomp      wall=$ccW%7.2fs verts=$ccRows%9d")
       sweep()
+      }
     }
     spark.stop()
   }
