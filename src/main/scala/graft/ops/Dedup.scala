@@ -959,11 +959,25 @@ object Dedup {
     // unpersisting the previous labels then forced later scans to
     // recompute the whole upstream (LSH pipeline included) once per
     // iteration — 206 s at sf0.1 for what is a sub-second graph.
-    val edges = pairs.select(col("a_id"), col("b_id"))
-      .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-      .localCheckpoint()
+    // r16: materialize the PAIR frame once before the union — both union
+    // arms read `pairs`, so checkpointing after the union executed the
+    // (expensive) pair lineage twice; the count that sizes the adaptive
+    // partition pin below doubles as the materializing action.
+    val p0 = pairs.select(col("a_id"), col("b_id")).localCheckpoint(false)
+    val m2 = 2L * p0.count()
+    // loop-invariant hoist (the pageRank eDeg lesson, applied here r16):
+    // every iteration joins the |2E| edge frame on b_id — pre-partition
+    // it on that key ONCE, size-adaptively (~500k rows/partition, the
+    // ProbeGraphScale rule, capped at the session's shuffle width), so
+    // iterations reshuffle only the label frame
+    val nShuffle = pairs.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val nPart = math.max(1, math.min(nShuffle, math.ceil(m2 / 500000.0).toInt))
+    val edges = p0
+      .union(p0.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .repartition(nPart, col("b_id")).localCheckpoint(false)
     var labels = edges.select(col("a_id").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id")).localCheckpoint()
+      .withColumn("cluster_id", col("doc_id")).localCheckpoint(false)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -987,7 +1001,12 @@ object Dedup {
           least(col("x.mid"), coalesce(col("cmid"), col("x.mid"))).as("cluster_id"),
           (least(col("x.mid"), coalesce(col("cmid"), col("x.mid"))) =!= col("x.prev"))
             .as("changed"))
-        .localCheckpoint() // eager: safe to probe convergence below
+        // lazy (r16): the convergence probe below (on probe iterations)
+        // or the next iteration's join is the materializing action —
+        // eager paid one extra final-stage job per iteration. A probe's
+        // partial materialization leaves the rest to the next consumer,
+        // which recomputes at most from the previous round's cache.
+        .localCheckpoint(false)
       // convergence probe every 2nd iteration only: iteration 0 always
       // changes something when any edge exists, and with pointer jumping
       // diameters halve per round, so consecutive probes mostly pay a

@@ -304,7 +304,10 @@ object Graph {
       .join(deg.select(col("v").as("pb"), col("d").as("db")), Seq("pb"))
       .select(when(fwd, col("pa")).otherwise(col("pb")).as("src"),
         when(fwd, col("pb")).otherwise(col("pa")).as("dst"))
-      .localCheckpoint() // three consumers; don't recompute the degree joins
+      // lazy (r16): all three consumers sit in ONE downstream plan, so
+      // the first consumer's job materializes it — eager paid a separate
+      // job for the same work
+      .localCheckpoint(false) // three consumers; don't recompute the degree joins
     o.as("o1").join(o.as("o2"), col("o1.dst") === col("o2.src"))
       .join(o.as("o3"),
         col("o3.src") === col("o1.src") && col("o3.dst") === col("o2.dst"))
@@ -340,20 +343,38 @@ object Graph {
                scale: Long = 1000000000000L): DataFrame = {
     val e = edges.select(col("src"), col("dst")).localCheckpoint(false)
     val deg = e.groupBy("src").agg(count(lit(1)).as("d")).localCheckpoint(false)
+    // ONE probe sizes everything: |V| (for r0) and |E| = Σd ride the same
+    // single-row aggregate the old verts.count() already paid, and |E|
+    // drives the partition pin below.
+    val st = deg.agg(count(lit(1)).as("n"), sum("d").as("m")).collect()(0)
+    val n = st.getLong(0)
+    val mEdges = if (st.isNullAt(1)) 0L else st.getLong(1)
     // EXPLICIT partition count: a bare repartition(col) is eligible for
     // AQE coalescing, so the materialized count would vary run-to-run
     // and the co-partitioning match below would silently break — the
     // loop then re-shuffles the |E| frame every iteration (measured
-    // bimodal 1.5 s vs 10 s/iter at 13.4M edges before pinning)
+    // bimodal 1.5 s vs 10 s/iter at 13.4M edges before pinning).
+    // SIZE-ADAPTIVE pin (r16, guide §2 "partition count scales with
+    // input"): ~500k edge rows per partition — the ProbeGraphScale r15
+    // rule (m/500k) — capped at the session's shuffle width. A constant
+    // width pin made every per-iteration join pay width×task-launch on
+    // graphs thousands of times smaller than a partition's capacity
+    // (measured 12-15 ms/task launch at local fixture scale).
     val nShuffle = edges.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt
+    val nPart = math.max(1, math.min(nShuffle,
+      math.ceil(mEdges / 500000.0).toInt))
     val eDeg = e.join(deg, "src")
-      .repartition(nShuffle, col("src")).localCheckpoint(false)
+      .repartition(nPart, col("src")).localCheckpoint(false)
     val verts = deg.select(col("src").as("p"))
-    val n = verts.count()
     val r0 = scale / n
     val base = (15L * r0) / 100L
-    var rank = verts.withColumn("rank", lit(r0)).localCheckpoint()
+    // loop checkpoints are LAZY (r16): eager ones paid one extra
+    // final-stage job per iteration — under AQE the construction of the
+    // next iteration's frame materializes every non-final stage anyway,
+    // and the next consumer (join or caller action) folds the final
+    // stage in. Arithmetic and lineage truncation are unchanged.
+    var rank = verts.withColumn("rank", lit(r0)).localCheckpoint(false)
     for (_ <- 1 to iters) {
       val contrib = rank.join(eDeg, rank("p") === eDeg("src"))
         .select(col("dst"), expr("rank div d").as("c"))
@@ -361,7 +382,7 @@ object Graph {
       rank = verts.join(contrib, verts("p") === contrib("dst"), "left")
         .select(col("p"),
           (lit(base) + expr("(85 * coalesce(s, 0)) div 100")).as("rank"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     rank
   }
@@ -383,11 +404,16 @@ object Graph {
     val deg = e.groupBy("src").agg(count(lit(1)).as("d")).localCheckpoint(false)
     // same loop-invariant hoist as pageRank: degree pre-joined, edge
     // frame pre-partitioned on src once, count pinned against AQE
-    // coalescing (ProbeGraphScale, r15)
+    // coalescing (ProbeGraphScale, r15); pin SIZE-ADAPTIVE from |E| = Σd
+    // via the same single-row probe (r16 — see pageRank)
+    val st = deg.agg(sum("d").as("m")).collect()(0)
+    val mEdges = if (st.isNullAt(0)) 0L else st.getLong(0)
     val nShuffle = edges.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt
+    val nPart = math.max(1, math.min(nShuffle,
+      math.ceil(mEdges / 500000.0).toInt))
     val eDeg = e.join(deg, "src")
-      .repartition(nShuffle, col("src")).localCheckpoint(false)
+      .repartition(nPart, col("src")).localCheckpoint(false)
     val verts = deg.select(col("src").as("p"))
     // seeds restricted to GRAPH vertices before sizing the teleport
     // share: a seed with no out-edges is not a chain state — counting it
@@ -399,21 +425,27 @@ object Graph {
     require(ns > 0, "personalizedPageRank: no seed has outgoing edges")
     val r0 = scale / ns
     val base = (15L * r0) / 100L
-    var rank = verts.join(broadcast(sd), verts("p") === sd("p"), "left")
-      .select(verts("p"), when(col("__seed").isNotNull, r0).otherwise(0L)
-        .as("rank"))
-      .localCheckpoint()
+    // LOOP-INVARIANT seed membership hoisted out of the loop (r16): the
+    // old form re-ran the broadcast seed join every iteration to decide
+    // the teleport term; (p, is_seed) is iteration-independent, so fold
+    // it into the vertex frame once. Same integer arithmetic per row.
+    val vb = verts.join(broadcast(sd), verts("p") === sd("p"), "left")
+      .select(verts("p"), col("__seed").isNotNull.as("is_seed"))
+      .localCheckpoint(false)
+    // lazy loop checkpoints, as in pageRank (r16)
+    var rank = vb
+      .select(col("p"), when(col("is_seed"), r0).otherwise(0L).as("rank"))
+      .localCheckpoint(false)
     for (_ <- 1 to iters) {
       val contrib = rank.join(eDeg, rank("p") === eDeg("src"))
         .select(col("dst"), expr("rank div d").as("c"))
         .groupBy("dst").agg(sum("c").as("s"))
-      rank = verts.join(contrib, verts("p") === contrib("dst"), "left")
-        .join(broadcast(sd), verts("p") === sd("p"), "left")
-        .select(verts("p"), coalesce(col("s"), lit(0L)).as("s0"),
-          col("__seed"))
-        .select(col("p"), (when(col("__seed").isNotNull, base).otherwise(0L)
+      rank = vb.join(contrib, vb("p") === contrib("dst"), "left")
+        .select(vb("p"), coalesce(col("s"), lit(0L)).as("s0"),
+          col("is_seed"))
+        .select(col("p"), (when(col("is_seed"), base).otherwise(0L)
           + expr("(85 * s0) div 100")).as("rank"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     rank
   }
@@ -469,7 +501,10 @@ object Graph {
     * on its fixture; a non-converged cap would surface as a mismatch).
     */
   def kCore(edges: DataFrame, k: Int, maxIters: Int = 12): DataFrame = {
-    var e = edges.select(col("pa"), col("pb")).localCheckpoint()
+    // lazy checkpoints (r16): every round's convergence count is the
+    // materializing action anyway — the eager form paid one extra
+    // final-stage job per round for nothing
+    var e = edges.select(col("pa"), col("pb")).localCheckpoint(false)
     var n = e.count()
     var iter = 0
     var stable = false
@@ -480,7 +515,7 @@ object Graph {
       val e2 = e
         .join(keep.withColumnRenamed("v", "pa"), Seq("pa"), "left_semi")
         .join(keep.withColumnRenamed("v", "pb"), Seq("pb"), "left_semi")
-        .localCheckpoint()
+        .localCheckpoint(false)
       val n2 = e2.count()
       stable = n2 == n
       e = e2; n = n2; iter += 1
@@ -519,7 +554,9 @@ object Graph {
     * vertices are excluded (coefficient undefined).
     */
   def clusteringCoefficient(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("pa"), col("pb")).localCheckpoint()
+    // lazy (r16): both consumers (triangles' orientation build and the
+    // degree aggregate) sit in one downstream plan — see triangles
+    val e = edges.select(col("pa"), col("pb")).localCheckpoint(false)
     val tv = triangles(e)
       .select(explode(array(col("x"), col("y"), col("z"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("t"))
@@ -538,7 +575,8 @@ object Graph {
     val e = edges.select(col("pa"), col("pb"))
     val nb = e.select(col("pa").as("v"), col("pb").as("u"))
       .union(e.select(col("pb").as("v"), col("pa").as("u")))
-      .localCheckpoint() // consumed by degrees and both wedge sides
+      // lazy (r16): all consumers sit in one downstream plan
+      .localCheckpoint(false) // consumed by degrees and both wedge sides
     val deg = nb.groupBy("v").agg(count(lit(1)).as("d"))
     val centers =
       if (wedgeCap == Int.MaxValue) nb
@@ -571,9 +609,12 @@ object Graph {
     * key — broadcast-able while the frontier is small, shuffle otherwise.
     */
   def bfsHops(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
-    val e = edges.select(col("pa"), col("pb")).localCheckpoint()
+    // lazy checkpoints (r16): each round's frontier-empty probe (and the
+    // next round's joins) materialize the frames — eager paid an extra
+    // job per round (see pageRank)
+    val e = edges.select(col("pa"), col("pb")).localCheckpoint(false)
     var hops = sources.select(col("v")).distinct()
-      .withColumn("hop", lit(0)).localCheckpoint()
+      .withColumn("hop", lit(0)).localCheckpoint(false)
     var h = 1
     var frontierEmpty = false
     while (h <= maxHops && !frontierEmpty) {
@@ -584,7 +625,7 @@ object Graph {
           .select(col("pa").as("v")))
         .withColumn("hop", lit(h))
       hops = hops.union(nbrs)
-        .groupBy("v").agg(min("hop").as("hop")).localCheckpoint()
+        .groupBy("v").agg(min("hop").as("hop")).localCheckpoint(false)
       frontierEmpty = hops.filter(col("hop") === h).isEmpty
       h += 1
     }
@@ -616,12 +657,21 @@ object Graph {
                        iters: Int): DataFrame = {
     val nShuffle = edges.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt
+    // the canonical edge list materializes ONCE (r16): the two union
+    // arms below each read `edges`, so an un-truncated caller lineage
+    // (a knn build) would execute twice; the count that sizes the
+    // adaptive pin doubles as the materializing action
+    val e0 = edges.select(col("pa"), col("pb")).localCheckpoint(false)
+    val m2 = 2L * e0.count()
     // both directions of every edge, keyed on the VOTING endpoint —
     // explicit partition count so AQE coalescing cannot break the
-    // per-round co-partitioning (the pageRank eDeg lesson)
-    val nb = edges.select(col("pa").as("v"), col("pb").as("u"))
-      .union(edges.select(col("pb").as("v"), col("pa").as("u")))
-      .repartition(nShuffle, col("v")).localCheckpoint(false)
+    // per-round co-partitioning (the pageRank eDeg lesson); pin
+    // SIZE-ADAPTIVE (r16, ~500k rows/partition, the ProbeGraphScale
+    // rule, capped at the session's shuffle width — see pageRank)
+    val nPart = math.max(1, math.min(nShuffle, math.ceil(m2 / 500000.0).toInt))
+    val nb = e0.select(col("pa").as("v"), col("pb").as("u"))
+      .union(e0.select(col("pb").as("v"), col("pa").as("u")))
+      .repartition(nPart, col("v")).localCheckpoint(false)
     val seed = seeds.select(col("v"), col("label").cast("int").as("label"))
       .localCheckpoint(false)
     var labels = seed
@@ -639,7 +689,7 @@ object Graph {
         .select(col("v"), (-col("m.nl")).cast("int").as("label"))
       labels = seed
         .union(best.join(seed.select("v"), Seq("v"), "left_anti"))
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy loop checkpoint (r16, see pageRank)
     }
     labels
   }
@@ -659,7 +709,8 @@ object Graph {
   def assortativity(edges: DataFrame): DataFrame = {
     def d38(c: org.apache.spark.sql.Column) =
       c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
-    val e = edges.select(col("pa"), col("pb")).localCheckpoint()
+    // lazy (r16): all consumers sit in one downstream plan — see triangles
+    val e = edges.select(col("pa"), col("pb")).localCheckpoint(false)
     val deg = e.select(col("pa").as("v")).union(e.select(col("pb").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
     val pairs = e
@@ -688,7 +739,10 @@ object Graph {
     * lift to decimal beyond).
     */
   def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
-    val e = edges.select(col("pa"), col("pb")).localCheckpoint()
+    // lazy (r16): first consumer (verts' distinct inside withC's own
+    // materialization) folds the edge materialization into a job it was
+    // already running
+    val e = edges.select(col("pa"), col("pb")).localCheckpoint(false)
     val lab = labels.select(col("v"), col("label").cast("long").as("c"))
     val verts = e.select(col("pa").as("v")).union(e.select(col("pb").as("v")))
       .distinct()
@@ -697,7 +751,8 @@ object Graph {
     val withC = e
       .join(vc.select(col("v").as("pa"), col("c").as("ca")), Seq("pa"))
       .join(vc.select(col("v").as("pb"), col("c").as("cb")), Seq("pb"))
-      .localCheckpoint() // consumers: m count, in_c, tot_c
+      // lazy: the m count below is the materializing action (r16)
+      .localCheckpoint(false) // consumers: m count, in_c, tot_c
     val m = withC.count()
     val inC = withC.filter(col("ca") === col("cb"))
       .groupBy(col("ca").as("c")).agg(count(lit(1)).as("in_c"))

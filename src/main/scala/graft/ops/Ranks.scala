@@ -75,8 +75,18 @@ object Ranks {
     */
   private def boundaries(df: DataFrame, ordCols: Seq[String],
                          buckets: Int): (Array[DataType], Array[Array[Any]]) = {
+    val (t, b, _) = boundariesCounted(df, ordCols, buckets)
+    (t, b)
+  }
+
+  /** [[boundaries]] plus the input row count the sampling pass already
+    * paid for (r16): callers that need n anyway (ntile targets, lttb's
+    * interior size) were re-counting the frame in a separate job.
+    */
+  private def boundariesCounted(df: DataFrame, ordCols: Seq[String],
+                                buckets: Int): (Array[DataType], Array[Array[Any]], Long) = {
     val types = ordCols.map(c => df.schema(c).dataType).toArray
-    val smpRows = sampleRows(df, ordCols, math.max(buckets * 8, 256))
+    val (n, smpRows) = sampleRowsCounted(df, ordCols, math.max(buckets * 8, 256))
     val rows = RangeBucketId.toInternal(types, smpRows)
     val spec = new RangeBucketId.Spec(types, Array.empty)
     java.util.Arrays.sort(rows, new java.util.Comparator[Array[Any]] {
@@ -85,7 +95,7 @@ object Ranks {
     val m = rows.length
     val bnds = (1 until buckets).map(i => i * m / buckets).filter(_ > 0).distinct
       .map(i => rows(i - 1)).toArray
-    (types, bnds)
+    (types, bnds, n)
   }
 
   /** The boundary sample itself: small inputs collect whole, larger ones
@@ -102,11 +112,16 @@ object Ranks {
     * adversarial duplicate-heavy frame directly.
     */
   private[graft] def sampleRows(df: DataFrame, ordCols: Seq[String],
-                                k: Int): Array[org.apache.spark.sql.Row] = {
+                                k: Int): Array[org.apache.spark.sql.Row] =
+    sampleRowsCounted(df, ordCols, k)._2
+
+  /** [[sampleRows]] plus the sizing count it already runs. */
+  private[graft] def sampleRowsCounted(df: DataFrame, ordCols: Seq[String],
+                                       k: Int): (Long, Array[org.apache.spark.sql.Row]) = {
     val cap = 16 * k
     val base = df.select(ordCols.map(col): _*)
     val n = base.count()
-    if (n <= k) base.collect()
+    (n, if (n <= k) base.collect()
     else {
       val h = Pipeline.md5Hash60(
         concat_ws("|", ordCols.map(c => col(c).cast("string")): _*))
@@ -120,7 +135,7 @@ object Ranks {
             "but results are unaffected")
         got.take(cap)
       } else got
-    }
+    })
   }
 
   /** The range-bucket id column: binary search of the row tuple against
@@ -193,17 +208,27 @@ object Ranks {
     * call site. `tieCol` must be unique (it completes the total order).
     */
   def globalRank(df: DataFrame, sortCol: Column, tieCol: Column,
-                 rankName: String, buckets: Int = 0): DataFrame = {
+                 rankName: String, buckets: Int = 0): DataFrame =
+    globalRankCounted(df, sortCol, tieCol, rankName, buckets)._1
+
+  /** [[globalRank]] plus the input row count (r16): the boundary-sample
+    * pass counts the frame anyway, so callers needing n for rank targets
+    * (NTILE sizing, interior size in lttb) no longer pay a separate
+    * count job over the same frame.
+    */
+  def globalRankCounted(df: DataFrame, sortCol: Column, tieCol: Column,
+                        rankName: String,
+                        buckets: Int = 0): (DataFrame, Long) = {
     val b = if (buckets > 0) buckets else defaultBuckets(df)
     val tagged = df.withColumn("__sv", sortCol).withColumn("__tv", tieCol)
-    val (types, bnds) = boundaries(tagged, Seq("__sv", "__tv"), b)
+    val (types, bnds, n) = boundariesCounted(tagged, Seq("__sv", "__tv"), b)
     val parted = tagged.withColumn("__b",
       bucketExpr(Seq("__sv", "__tv"), types, bnds))
     val w = Window.partitionBy("__b").orderBy(col("__sv"), col("__tv"))
     val rn = parted.withColumn("__rn", row_number().over(w).cast("long"))
     val offs = offsetArrays(parted, Seq("n" -> count(lit(1))), bnds.length + 1)
-    rn.withColumn(rankName, offs("n") + col("__rn"))
-      .drop("__b", "__sv", "__tv", "__rn")
+    (rn.withColumn(rankName, offs("n") + col("__rn"))
+      .drop("__b", "__sv", "__tv", "__rn"), n)
   }
 
   /** 1-based rank of a SMALL frame (bounded by construction: the ≤ k

@@ -99,24 +99,29 @@ object Resample {
            buckets: Int): DataFrame = {
     require(buckets >= 1, "need at least one interior bucket")
     val base = df.select(tCol.as("t"), vCol.as("v"))
-      .localCheckpoint() // consumers: edge lookup + the interior rank pass
+      .localCheckpoint() // consumers: edge lookup + the flagged pass
     val edges = base.agg(min("t").as("t_lo"), max("t").as("t_hi"))
-    val edgePts = base.crossJoin(broadcast(edges))
-      .filter(col("t") === col("t_lo") || col("t") === col("t_hi"))
-      .select(col("t"), col("v"), (col("t") === col("t_lo")).as("is_first"))
-      .localCheckpoint() // consumers: anchor row + the output union
-    val interior = base.crossJoin(broadcast(edges))
-      .filter(col("t") =!= col("t_lo") && col("t") =!= col("t_hi"))
+    // ONE flagged pass (r16): edge and interior rows used to be two
+    // separately checkpointed scans of base × broadcast(edges); flagging
+    // once and filtering the checkpointed result halves those jobs
+    val flagged = base.crossJoin(broadcast(edges))
+      .select(col("t"), col("v"), (col("t") === col("t_lo")).as("is_first"),
+        (col("t") === col("t_hi")).as("is_last"))
+      .localCheckpoint() // consumers: edge points + the interior rank pass
+    val edgePts = flagged.filter(col("is_first") || col("is_last"))
+    val interior = flagged.filter(!col("is_first") && !col("is_last"))
       .select("t", "v")
-      .localCheckpoint() // consumers: count + rank pass
-    val nInt = interior.count()
-    val tiled = Ranks.globalRank(interior, col("t"), col("t"), "rk")
+    // the rank pass's boundary sample already counts the interior —
+    // reuse it instead of a separate count job (r16)
+    val (ranked, nInt) =
+      Ranks.globalRankCounted(interior, col("t"), col("t"), "rk")
+    val tiled = ranked
       .withColumn("tile", Ranks.ntileOfRank(col("rk"), lit(nInt), buckets))
     val m = tiled.groupBy("tile")
       .agg(sum("t").as("st"), sum("v").as("sv"), count(lit(1)).as("c"))
     val firstPt = edgePts.filter(col("is_first"))
       .select(col("t").as("t0"), col("v").as("v0"))
-    val lastPt = edgePts.filter(!col("is_first"))
+    val lastPt = edgePts.filter(col("is_last"))
       .select(col("t").as("t9"), col("v").as("v9"))
     def meanOf(side: String, shift: Int) = m.select(
       (col("tile") - shift).as("tile"),
@@ -137,15 +142,16 @@ object Resample {
           + col("t").cast("double") * (col("vr") - col("vl"))
           + col("tr") * (col("vl") - col("v").cast("double"))) * 1e6 + 0.5)
         .cast("long"))
-      .localCheckpoint() // consumers: per-tile max + the argmax join
-    val mx = scored.groupBy(col("tile").as("tile_m"))
-      .agg(max("area_q").as("area_mx"))
-    val selT = scored.join(broadcast(mx),
-        col("tile") === col("tile_m") && col("area_q") === col("area_mx"))
-      .groupBy(col("tile").as("tile_s")).agg(min("t").as("t_s"))
-    val sel = scored.join(broadcast(selT),
-        col("tile") === col("tile_s") && col("t") === col("t_s"))
-      .select(col("t"), col("v"))
+    // per-tile argmax (max area, ties to min t) as ONE map-side-combined
+    // aggregate (r16): min_by over the (−area_q, t) struct picks exactly
+    // the row the old max-join → tie-join → select-back chain picked
+    // (t is unique per row, so the winner is unique) — replacing two
+    // aggregates, two broadcast joins, and the checkpoint `scored`
+    // needed to feed them. Strictly fewer shuffles at any scale.
+    val sel = scored.groupBy("tile")
+      .agg(min_by(struct(col("t"), col("v")),
+        struct((-col("area_q")).as("na"), col("t"))).as("p"))
+      .select(col("p.t").as("t"), col("p.v").as("v"))
     edgePts.select("t", "v").union(sel)
   }
 
