@@ -183,8 +183,12 @@ object Queries {
     // stage the formatted line once: the corrupt branch references it
     // three times, and a staged projection guarantees the 30-column
     // pad/concat evaluates once per row regardless of subexpression
-    // elimination in the CASE
-    val lines = tbl(s, dir, "lineitem")
+    // elimination in the CASE. fanOutScan (r16): the fused
+    // format+corrupt+parse kernel is the whole cost of this query and
+    // ran on the scan's single split — rebalance first (no-op once the
+    // input has real splits; see Pipeline.fanOutScan)
+    val lines = Pipeline.fanOutScan(tbl(s, dir, "lineitem"),
+        xxhash64(col("l_orderkey"), col("l_linenumber")))
       .select(col("l_orderkey"), flfLine().as("l"))
       .select(when(col("l_orderkey") % 97 === 0,
           concat(substring(col("l"), 1, 20), lit("XXXXXX"),

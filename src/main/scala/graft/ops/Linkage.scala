@@ -210,7 +210,9 @@ object Linkage {
   private def candidateIdPairs(left: DataFrame, right: DataFrame,
                                leftId: String, rightId: String,
                                passes: Seq[(Column, Column)],
-                               caps: Seq[Long]): DataFrame =
+                               caps: Seq[Long]): DataFrame = {
+    val nShuffle = left.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
     passes.zip(caps).map { case ((lk, rk), cap) =>
       val l = left.select(col(leftId), lk.as("__bk"))
       val r = right.select(col(rightId), rk.as("__bk"))
@@ -225,7 +227,24 @@ object Linkage {
             r.join(keep, Seq("__bk"), "left_semi"))
         }
       lf.join(rf, "__bk").select(leftId, rightId)
-    }.reduce(_ union _).dropDuplicates(leftId, rightId)
+    }.reduce(_ union _)
+      // PIN the pair-dedup exchange at the session shuffle width (r16,
+      // guide §2.5): everything downstream of this exchange is CPU-heavy
+      // per PAIR (the FS scoring's levenshtein) while the id-pair rows
+      // are ~16 bytes, so AQE's byte-based coalescing — which only sees
+      // bytes — folded the post-shuffle stage to a handful of tasks
+      // (measured at sf0.1: 9.4 s of scoring task time squeezed onto 6
+      // coalesced tasks, 3.5 s wall for q_link_matches). An explicit-
+      // width repartition on the dedup keys is exempt from AQE
+      // coalescing, and the dropDuplicates aggregate reuses its
+      // clustering, so this pins the width of the exchange that already
+      // existed rather than adding one. Cost: duplicate candidate id
+      // pairs now ship through the exchange instead of being partially
+      // deduped map-side — a few bytes per duplicate, bounded by the
+      // cross-pass overlap, irrelevant beside the scoring it spreads.
+      .repartition(nShuffle, col(leftId), col(rightId))
+      .dropDuplicates(leftId, rightId)
+  }
 
   /** Attach both sides' payload columns to a deduped id-pair frame —
     * one id-keyed join per side (broadcast-able here, an ordinary

@@ -84,9 +84,11 @@ object Ranks {
     * interior size) were re-counting the frame in a separate job.
     */
   private def boundariesCounted(df: DataFrame, ordCols: Seq[String],
-                                buckets: Int): (Array[DataType], Array[Array[Any]], Long) = {
+                                buckets: Int,
+                                knownRows: Long = -1L): (Array[DataType], Array[Array[Any]], Long) = {
     val types = ordCols.map(c => df.schema(c).dataType).toArray
-    val (n, smpRows) = sampleRowsCounted(df, ordCols, math.max(buckets * 8, 256))
+    val (n, smpRows) = sampleRowsCounted(df, ordCols, math.max(buckets * 8, 256),
+      knownRows)
     val rows = RangeBucketId.toInternal(types, smpRows)
     val spec = new RangeBucketId.Spec(types, Array.empty)
     java.util.Arrays.sort(rows, new java.util.Comparator[Array[Any]] {
@@ -115,12 +117,17 @@ object Ranks {
                                 k: Int): Array[org.apache.spark.sql.Row] =
     sampleRowsCounted(df, ordCols, k)._2
 
-  /** [[sampleRows]] plus the sizing count it already runs. */
+  /** [[sampleRows]] plus the sizing count it already runs. `knownRows`
+    * (r16): callers that already know the input's row count (a prior
+    * bounded collect, a fused aggregate) pass it to skip the sizing
+    * count job — one fewer driver round-trip per prefix pass.
+    */
   private[graft] def sampleRowsCounted(df: DataFrame, ordCols: Seq[String],
-                                       k: Int): (Long, Array[org.apache.spark.sql.Row]) = {
+                                       k: Int,
+                                       knownRows: Long = -1L): (Long, Array[org.apache.spark.sql.Row]) = {
     val cap = 16 * k
     val base = df.select(ordCols.map(col): _*)
-    val n = base.count()
+    val n = if (knownRows >= 0) knownRows else base.count()
     (n, if (n <= k) base.collect()
     else {
       val h = Pipeline.md5Hash60(
@@ -177,8 +184,8 @@ object Ranks {
     * the output is bit-identical to the unpartitioned-window form.
     */
   def prefixCounts(g: DataFrame, valCol: String, cntCols: Seq[String],
-                   buckets: Int = 0): DataFrame =
-    prefixCountsBy(g, Seq(valCol), cntCols, buckets)
+                   buckets: Int = 0, knownRows: Long = -1L): DataFrame =
+    prefixCountsBy(g, Seq(valCol), cntCols, buckets, knownRows)
 
   /** Multi-column order variant: global running sums in `(ordCols…)`
     * lexicographic ascending order over a frame with one row per
@@ -187,9 +194,9 @@ object Ranks {
     * `SUM(c) OVER (ORDER BY o1, o2, …)`.
     */
   def prefixCountsBy(g: DataFrame, ordCols: Seq[String], cntCols: Seq[String],
-                     buckets: Int = 0): DataFrame = {
+                     buckets: Int = 0, knownRows: Long = -1L): DataFrame = {
     val b = if (buckets > 0) buckets else defaultBuckets(g)
-    val (types, bnds) = boundaries(g, ordCols, b)
+    val (types, bnds, _) = boundariesCounted(g, ordCols, b, knownRows)
     val parted = g.withColumn("__b", bucketExpr(ordCols, types, bnds))
     val w = Window.partitionBy("__b").orderBy(ordCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -311,12 +318,19 @@ object Ranks {
       "fractions must lie in [0, 1]")
     val spark = df.sparkSession
     import spark.implicits._
+    // LAZY checkpoint + ONE fused sizing aggregate (r16): the stats job
+    // below both materializes g (truncating its lineage for the three
+    // later passes) and returns n = Σc AND |g| in one driver round-trip;
+    // |g| feeds the prefix pass so its own sizing count job disappears.
+    // The eager-checkpoint + count + prefix-count shape paid three jobs
+    // for the same information.
     val g = df.select(valCol.as("v")).filter(col("v").isNotNull)
       .groupBy("v").agg(count(lit(1)).as("c"))
-      .localCheckpoint() // consumers: total count + the prefix pass
-    val n = g.agg(sum("c")).collect()(0).getLong(0)
+      .localCheckpoint(false) // consumers: sizing agg + the prefix pass
+    val st = g.agg(sum("c"), count(lit(1))).collect()(0)
+    val n = if (st.isNullAt(0)) 0L else st.getLong(0)
     require(n > 0, "percentilesExact: no non-null values")
-    val cum = prefixCounts(g, "v", Seq("c"))
+    val cum = prefixCounts(g, "v", Seq("c"), knownRows = st.getLong(1))
       .localCheckpoint() // consumers: BOTH rank joins — without this the
       // whole prefix pipeline re-executes per order statistic
     val ranks = fractions.zipWithIndex.map { case (p, ix) =>
@@ -349,18 +363,35 @@ object Ranks {
     * table types the rank frame). Returns (group, i, p, value).
     */
   def groupedPercentilesExact(df: DataFrame, grpCol: Column, valCol: Column,
-                              fractions: Seq[Double]): DataFrame = {
+                              fractions: Seq[Double]): DataFrame =
+    groupedPercentilesExactCells(
+      df.select(grpCol.as("g"), valCol.as("v"))
+        .filter(col("v").isNotNull)
+        .groupBy("g", "v").agg(count(lit(1)).as("c"))
+        // lazy (r16): the groups-bounded stats collect is the
+        // materializing action — eager paid one extra job
+        .localCheckpoint(false), // consumers: group counts + prefix pass
+      fractions)
+
+  /** The exact regime over a PRE-COMPRESSED, checkpointed (g, v, c)
+    * cell frame (one row per distinct group×value, c = multiplicity) —
+    * split out (r16) so the dispatcher's probe and both regimes share
+    * ONE compression scan of the input instead of re-aggregating the
+    * raw frame per stage.
+    */
+  private def groupedPercentilesExactCells(g: DataFrame,
+                                           fractions: Seq[Double]): DataFrame = {
     require(fractions.nonEmpty && fractions.forall(p => p >= 0 && p <= 1),
       "fractions must lie in [0, 1]")
-    val spark = df.sparkSession
+    val spark = g.sparkSession
     import spark.implicits._
-    val g = df.select(grpCol.as("g"), valCol.as("v"))
-      .filter(col("v").isNotNull)
-      .groupBy("g", "v").agg(count(lit(1)).as("c"))
-      .localCheckpoint() // consumers: group counts + the prefix pass
-    // BOUNDED collect: one row per group
-    val counts = g.groupBy("g").agg(sum("c").as("n")).collect()
-      .map(r => r.get(0) -> r.getLong(1))
+    // BOUNDED collect: one row per group. The same aggregate also
+    // carries each group's CELL count, so Σ over the collected rows
+    // sizes the prefix pass without its own count job (r16).
+    val gstats = g.groupBy("g")
+      .agg(sum("c").as("n"), count(lit(1)).as("cells")).collect()
+    val counts = gstats.map(r => r.get(0) -> r.getLong(1))
+    val totalCells = gstats.map(_.getLong(2)).sum
     // build the rank-target frame with the GROUP KEY'S OWN TYPE — an
     // asInstanceOf[String] here worked on string keys and became a
     // scale-dependent ClassCastException the moment the dispatcher
@@ -387,7 +418,7 @@ object Ranks {
         org.apache.spark.sql.types.LongType)))
     import scala.jdk.CollectionConverters._
     val ranks = spark.createDataFrame(rankRows.asJava, rankSchema)
-    val cum = prefixCountsBy(g, Seq("g", "v"), Seq("c"))
+    val cum = prefixCountsBy(g, Seq("g", "v"), Seq("c"), knownRows = totalCells)
       .localCheckpoint() // consumers: offsets + both rank joins
     // null-safe keys (<=>): the NULL group must survive these joins —
     // standard GROUP BY semantics, and the buffered regime keeps it
@@ -440,15 +471,37 @@ object Ranks {
   def groupedPercentiles(df: DataFrame, grpCol: Column, valCol: Column,
                          fractions: Seq[Double],
                          maxBufferedDistinct: Long = 1L << 16): DataFrame = {
-    val vals = df.select(grpCol.as("g"), valCol.as("v"))
+    // ONE compression scan feeds probe AND both regimes (r16, guide
+    // §2.3/§2.4): the old shape scanned the raw frame once for the HLL
+    // probe and AGAIN inside whichever regime won. The (g, v, c) cell
+    // frame is everything either regime needs — the probe becomes an
+    // EXACT per-group distinct count (a cells-bounded re-aggregation,
+    // replacing the ~5%-rsd HLL estimate with the number it estimated;
+    // same threshold, strictly more faithful routing), the buffered
+    // regime runs percentile() with c as its FREQUENCY argument
+    // (identical value-count map, bit-identical result), and the exact
+    // regime consumes the cells directly.
+    val cells = df.select(grpCol.as("g"), valCol.as("v"))
       .filter(col("v").isNotNull)
-    val probe = vals.groupBy("g")
-      .agg(approx_count_distinct(col("v")).as("nd"))
+      .groupBy("g", "v").agg(count(lit(1)).as("c"))
+      // lazy (r16): the probe is the materializing action
+      .localCheckpoint(false) // consumers: probe + the winning regime
+    val probe = cells.groupBy("g").agg(count(lit(1)).as("nd"))
       .agg(max("nd")).collect()(0)
     val maxDistinct = if (probe.isNullAt(0)) 0L else probe.getLong(0)
-    if (maxDistinct <= maxBufferedDistinct)
-      groupedPercentilesBuffered(df, grpCol, valCol, fractions)
-    else groupedPercentilesExact(df, grpCol, valCol, fractions)
+    if (maxDistinct <= maxBufferedDistinct) {
+      require(fractions.nonEmpty && fractions.forall(p => p >= 0 && p <= 1),
+        "fractions must lie in [0, 1]")
+      val frArr = array(fractions.map(lit): _*)
+      cells.select(col("g"), col("v").cast("double").as("v"), col("c"))
+        .groupBy("g")
+        .agg(expr(s"percentile(v, array(${fractions.mkString(", ")}), c)")
+          .as("vs"))
+        .select(col("g"), posexplode(col("vs")).as(Seq("pos", "value")))
+        .select(col("g"), (col("pos") + 1).cast("int").as("i"),
+          element_at(frArr, col("pos").cast("int") + 1).as("p"),
+          col("value"))
+    } else groupedPercentilesExactCells(cells, fractions)
   }
 
   /** The buffered regime of [[groupedPercentiles]]: Spark's exact

@@ -121,34 +121,44 @@ object Stats {
     * ρ = Σuv / √(Σu²·Σv²) has NO catastrophic cancellation and the
     * decimal→double casts at the end can move the result by at most an
     * ulp. Rank maps are |distinct values| rows joined on the value (the
-    * low-cardinality side auto-broadcasts); the wide frame shuffles once
-    * per rank column. Per-row products are computed in longs: exact
-    * while 4n² < 2⁶³, i.e. n ≲ 1.5·10⁹ rows — beyond that, cast the
-    * centered ranks to decimals at the call site.
+    * low-cardinality side auto-broadcasts); the base is scanned ONCE —
+    * everything runs over the distinct-(x,y)-cell compression. Per-cell
+    * products are computed in longs: exact while 4n² < 2⁶³, i.e.
+    * n ≲ 1.5·10⁹ rows — beyond that, cast the centered ranks to decimals
+    * at the call site.
     */
   def spearman(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
-    // NOT checkpointed: the multi-action contract only needs a
-    // DETERMINISTIC input (parquet scans and pure projections qualify —
-    // see the Ranks contract), and re-scanning a two-column projection
-    // per action is cheaper than materializing the full base. Callers
-    // passing a nondeterministic frame (sample(), round-robin
-    // repartition) must localCheckpoint() it themselves. The small
-    // per-VALUE aggregates do checkpoint (inside rankMap) so the
-    // bucket machinery's own actions read a materialized frame.
-    val base = df.select(xCol.as("x"), yCol.as("y"))
-    val n = base.count()
+    // ONE corpus scan (r16, guide §2.3 "aggregate before you shuffle" /
+    // §2.4 "remove shuffles outright"): the old form ran FOUR full
+    // passes over the base — a sizing count, one groupBy per rank map,
+    // and the final join+aggregate pass. Every one of those only needs
+    // the distinct (x, y) CELLS with their multiplicities: n = Σc, each
+    // rank map is a re-aggregation of the cells, and every power sum is
+    // the cell's product weighted by its count. So compress to cells
+    // first (one scan, one shuffle of (x, y) pairs with map-side
+    // partials), checkpoint that bounded frame, and run everything else
+    // over it. Sums are exact integers either way — bit-identical rho.
+    val cells = df.select(xCol.as("x"), yCol.as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("cc"))
+      // lazy (r16): the n aggregate is the materializing action
+      .localCheckpoint(false) // consumers: n agg + two rank maps + final
+    val n = cells.agg(sum("cc")).collect()(0).getLong(0)
     def rankMap(c: String): DataFrame = {
-      val g = base.groupBy(c).agg(count(lit(1)).as("cnt")).localCheckpoint()
+      // lazy: the prefix pass's sizing count materializes it
+      val g = cells.groupBy(c).agg(sum("cc").as("cnt")).localCheckpoint(false)
       Ranks.prefixCounts(g, c, Seq("cnt"))
         .select(col(c),
           (lit(2) * col("cnt_cum") - col("cnt") + 1 - (n + 1)).as(s"u_$c"))
     }
-    val withU = base.join(rankMap("x"), Seq("x")).join(rankMap("y"), Seq("y"))
+    val withU = cells.join(rankMap("x"), Seq("x")).join(rankMap("y"), Seq("y"))
     def d(c: Column): Column = c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
-    withU.agg(count(lit(1)).cast("long").as("n"),
-        sum(d(col("u_x") * col("u_y"))).as("suv"),
-        sum(d(col("u_x") * col("u_x"))).as("suu"),
-        sum(d(col("u_y") * col("u_y"))).as("svv"))
+    // per-cell products stay in longs (exact while 4n² < 2⁶³ — the
+    // documented contract); the count weight multiplies as a decimal so
+    // c·u·u cannot wrap even at the contract's edge
+    withU.agg(sum(d(col("cc"))).cast("long").as("n"),
+        sum(d(col("u_x") * col("u_y")) * d(col("cc"))).as("suv"),
+        sum(d(col("u_x") * col("u_x")) * d(col("cc"))).as("suu"),
+        sum(d(col("u_y") * col("u_y")) * d(col("cc"))).as("svv"))
       .select(col("n"),
         round(col("suv").cast("double") /
           (sqrt(col("suu").cast("double")) * sqrt(col("svv").cast("double"))), 6)
