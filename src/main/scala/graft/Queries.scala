@@ -9986,8 +9986,15 @@ object Queries {
       .filter(pmod(col("vec_id"), lit(10)) < 3 && col("vec_id") < 2000)
     val knn = Similarity.bruteForceKnn(sub, sub, k = 3)
       .select(col("q_id").as("pa"), col("n_id").as("pb"))
+    // CHECKPOINT the kNN edge build before fanning out consumers (r16):
+    // `seeds` below and two seed-sizing actions inside
+    // personalizedPageRank each re-executed the whole brute-force kNN
+    // build (measured: the 16.5 s-task-time build stage ran THREE times
+    // per query — 55 jobs, 32 s total task time). Lazy: ppr's own first
+    // sizing probe is the materializing action.
     val edges = knn.select(col("pa").as("src"), col("pb").as("dst"))
       .union(knn.select(col("pb").as("src"), col("pa").as("dst"))).distinct()
+      .localCheckpoint(false)
     val seeds = edges.select(col("src").as("p")).distinct()
       .filter(pmod(col("p"), lit(7)) === 0)
     Graph.personalizedPageRank(edges, seeds, iters = 5)
@@ -10885,8 +10892,13 @@ object Queries {
     val p = tbl(s, dir, "orders")
       .select((col("o_orderkey") % 3000).as("a"), (col("o_custkey") % 3000).as("b"))
       .filter(col("a") =!= col("b"))
+    // lazy checkpoint (r16): the edge build (scan + distinct) otherwise
+    // re-executes in each of its THREE consumers' action chains — the
+    // seed sizing inside labelPropagation, labelPropagation's own nb
+    // build, and modularity's e build
     val edges = p.select(least(col("a"), col("b")).as("pa"),
       greatest(col("a"), col("b")).as("pb")).distinct()
+      .localCheckpoint(false)
     val seeds = edges.select(col("pa").as("v"))
       .union(edges.select(col("pb").as("v"))).distinct()
       .filter(col("v") < 30)

@@ -767,8 +767,13 @@ object Graph {
       // sign/abs split: Q can be negative, and Spark `div` truncates where
       // DuckDB `//` floors — positive-domain division keeps them equal
       .select(lit(m).as("m_edges"), col("n_communities"), col("q4m2"),
+        // 4m² as a LONG literal (r16 bug fix): the un-suffixed form let
+        // the SQL parser type 4·m·m as INT, whose ANSI constant folding
+        // overflows once m > 23170 — invisible under the bench's
+        // count() (the projection prunes away) but fatal to any full
+        // materialization at sf ≥ 0.1. Same integers, wider type.
         (signum(col("q4m2")).cast("long") *
-          expr(s"abs(q4m2) * 1000000 div (4 * ${m} * ${m})")).cast("long")
+          expr(s"abs(q4m2) * 1000000 div (4 * ${m}L * ${m}L)")).cast("long")
           .as("modularity_x1e6"))
   }
 }

@@ -819,7 +819,13 @@ object Stats {
         sum(decs(c) * decs(c)).cast("double").as(s"ss_$c"))) ++
       pairs.map { case (a, b) =>
         sum(decs(a) * decs(b)).cast("double").as(s"sp_${a}__$b") }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // fanOutScan (r16): ~k² exact-decimal multiplies per row is CPU
+    // work the fixture's single-split scan serialized onto one task
+    // (1.6 s of task time ≈ the whole wall); decimal sums are exact, so
+    // the rebalanced combine order cannot move the result
+    val wide = Pipeline.fanOutScan(df.select(cols.map(col): _*),
+        xxhash64(cols.map(col): _*))
+      .agg(aggs.head, aggs.tail: _*)
     val n = col("n").cast("double")
     def corrOf(a: String, b: String): Column = {
       val num = n * col(s"sp_${a}__$b") - col(s"s_$a") * col(s"s_$b")
@@ -1254,8 +1260,18 @@ object Stats {
     */
   def senSlopeByGroup(df: DataFrame, gCol: Column, tCol: Column,
                       vCol: Column): DataFrame = {
+    // PIN the group exchange width (r16, guide §2.5, the linkage
+    // lesson): the per-group pair fan-out is O(T²) CPU while the hourly
+    // rows are bytes, so AQE's byte-based coalescing folded the
+    // join+window stage to 4 tasks (2.4 s of task time serialized).
+    // Both self-join arms and the rank window reuse this ONE pinned
+    // exchange (ClusteredDistribution(g) is satisfied), so no shuffle
+    // is added; parallelism is still bounded by |groups|.
+    val nShuffle = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
     val h = df.select(gCol.as("g"), tCol.cast("long").as("t"),
       vCol.cast("long").as("v"))
+      .repartition(nShuffle, col("g"))
     val p = h.as("a").join(h.as("b"),
         col("a.g") === col("b.g") && col("b.t") > col("a.t"))
       .select(col("a.g").as("g"), (col("b.v") - col("a.v")).as("dv"),

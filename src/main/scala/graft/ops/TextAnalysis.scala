@@ -624,7 +624,13 @@ object TextAnalysis {
     // (no CSE through lambdas), so element_at(split(...), i) inside the
     // nested transform would re-split the document per (i, j) — cubic
     // per-row work. Against the bound attribute each element_at is O(1).
-    val toks = df.select(tokens(col(textCol)).as("__w"))
+    // fanOutScan (r16, guide §2.5): the tokenize + windowed pair
+    // explode is CPU-heavy per document while the fixture corpus scans
+    // as a single parquet split — rebalance before the kernel (no-op
+    // once the input has real splits)
+    val toks = Pipeline.fanOutScan(df.select(col(textCol)),
+        xxhash64(col(textCol)))
+      .select(tokens(col(textCol)).as("__w"))
       .filter(size(col("__w")) >= 2)
     val w = col("__w")
     // for token index i (1-based), pair with each of the next `window`
@@ -652,7 +658,10 @@ object TextAnalysis {
                        window: Int = 2, k: Int = 20,
                        minCount: Long = 5): DataFrame = {
     val pairs = skipGramPairs(df, textCol, window).filter(col("n") >= minCount)
-    val uni = df.select(explode(tokens(col(textCol))).as("tok"))
+    // same single-split rebalance as skipGramPairs for the unigram scan
+    val uni = Pipeline.fanOutScan(df.select(col(textCol)),
+        xxhash64(col(textCol)))
+      .select(explode(tokens(col(textCol))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
     val tot = uni.agg(sum("cnt").as("t"))
     // headroom: the product n·T·10^6 must stay under 2^63, i.e.
