@@ -2505,9 +2505,16 @@ object Queries {
       .select("a_id", "b_id")
       .localCheckpoint() // three cap configs probe it; compute truth once
     val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    // ONE band build for all three caps (r16): the shingle + minhash +
+    // band-digest work is cap-independent, so compute it once and gate
+    // per cap — the old per-cap lshCandidatePairs calls re-shingled the
+    // corpus three times. Lazy: the first cap's candidate checkpoint
+    // materializes it.
+    val bandsF = Dedup.lshBandFrame(docs, "text", "doc_id",
+        shingleN = 3, bands = 3, rows = 3)
+      .localCheckpoint(false)
     val rowsOut = Seq(1000000, 5, 2).map { cap =>
-      val cand = Dedup.lshCandidatePairs(docs, "text", "doc_id",
-          shingleN = 3, bands = 3, rows = 3, maxBucket = cap)
+      val cand = Dedup.lshCandidatePairsFromBands(bandsF, maxBucket = cap)
         .localCheckpoint() // two consumers: count + hit join
       val hit = cand.join(truth, Seq("a_id", "b_id"))
       cand.agg(count(lit(1)).as("n_cand"))

@@ -505,13 +505,41 @@ object Dedup {
     val bandRows =
       if (maxBucket == AutoBucket) autoCapBuckets(bandRows0, bands, nBandRows)
       else capBuckets(bandRows0, maxBucket)
+    bandPairs(bandRows)
+  }
+
+  /** The (doc_id, band, digest) frame [[lshCandidatePairs]] self-joins,
+    * exposed for SWEEP callers (r16): the band build (shingle + minhash
+    * + band digests — the whole corpus-scaled cost) is independent of
+    * `maxBucket`, so a cap sweep computes it ONCE (checkpoint at the
+    * call site) and gates per configuration via
+    * [[lshCandidatePairsFromBands]] instead of re-shingling the corpus
+    * per cap.
+    */
+  def lshBandFrame(df: DataFrame, textCol: String, idCol: String,
+                   shingleN: Int = 3, bands: Int = 3,
+                   rows: Int = 3): DataFrame =
+    shingleBands(df, textCol, idCol, shingleN, bands, rows,
+      checkpointBands = false, checkpointSh = false)._2
+
+  /** [[lshCandidatePairs]] over a precomputed [[lshBandFrame]], one
+    * EXPLICIT cap per call (the auto route needs the band count probe,
+    * which a sweep deliberately bypasses).
+    */
+  def lshCandidatePairsFromBands(bandRows: DataFrame,
+                                 maxBucket: Int): DataFrame = {
+    require(maxBucket != AutoBucket,
+      "lshCandidatePairsFromBands takes an explicit cap")
+    bandPairs(capBuckets(bandRows, maxBucket))
+  }
+
+  private def bandPairs(bandRows: DataFrame): DataFrame =
     bandRows.as("a")
       .join(bandRows.as("b"),
         col("a.band") === col("b.band") && col("a.digest") === col("b.digest") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
-  }
 
   /** Exact shared-span pairs: documents sharing at least one contiguous
     * run of `n` tokens — the windowed form of suffix-array substring

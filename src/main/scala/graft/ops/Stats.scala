@@ -789,11 +789,17 @@ object Stats {
       .select(col("id").cast("int").as("i"), lit(1000000L).as("v"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
+      // lazy checkpoint on w (r16): the mx probe below materializes it,
+      // and the rescaled v then READS that cache — the uncheckpointed
+      // form executed the join+aggregate twice per iteration (once for
+      // the probe, once inside v's eager checkpoint), 2 jobs + double
+      // work per round on this dim²-bounded frame
       val w = m.join(v.withColumnRenamed("i", "j"), "j")
         .groupBy("i").agg(sum(expr("m * v")).as("w"))
+        .localCheckpoint(false)
       val mx = w.agg(max(abs(col("w")))).head().getLong(0)
       val d = math.max(mx / 1000000L, 1L)
-      v = w.select(col("i"), expr(s"w div $d").as("v")).localCheckpoint()
+      v = w.select(col("i"), expr(s"w div $d").as("v")).localCheckpoint(false)
     }
     v
   }
