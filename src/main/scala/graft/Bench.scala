@@ -79,13 +79,18 @@ object Bench {
     */
   private val DirtySettleKb = 65536L
 
-  /** Healthy canary_sec band measured across r10-r14 driver+builder
-    * hosts (1.8-2.7 s; PLANS.md r14 — a 4.58 s outlier was a noisy-CPU
-    * window whose run had to be discarded by hand). A run outside the
-    * band is flagged in the artifact: normalize THROUGH a spiking
-    * canary and real regressions read as "unchanged".
+  /** Healthy canary_sec band. RECALIBRATED r17 (VERDICT r16 #3/#6): the
+    * r10-r14 band (1.8-2.7) flagged the r15 (2.772) and r16 (2.753)
+    * driver runs out-of-band even though both were healthy rc=0 runs —
+    * two rounds of false alarms on otherwise valid comparisons. Observed
+    * healthy range across r10-r16 driver+builder hosts is 1.8-2.78;
+    * widened to [1.5, 3.2] so ordinary host-to-host spread stays
+    * in-band while the known pathological windows (a 4.58 s noisy-CPU
+    * outlier r14; post-generation writeback) still flag. `canary_dist`
+    * (signed distance to the nearer band edge, 0 inside) is emitted so
+    * borderline reads as borderline instead of binary-failing.
     */
-  private val CanaryBand: (Double, Double) = (1.8, 2.7)
+  private val CanaryBand: (Double, Double) = (1.5, 3.2)
 
   private def family(name: String): String = {
     val i = name.indexOf('_')
@@ -200,14 +205,28 @@ object Bench {
       if (canaryN == canary.size && canarySec > 0 && v >= 0) v / canarySec
       else -1.0
     // canary-band flag (r14 #2): only meaningful on full runs with all
-    // canary members present; subset runs record false without meaning
-    val canaryInBand = canaryN == canary.size &&
+    // canary members present. On SUBSET runs (SPARK_GRAFT_QUERIES set —
+    // the driver never sets it) the flag and distance are suppressed
+    // entirely (r17, VERDICT r16 #6): a meaningless
+    // `canary_in_band=false` on a filtered run read as a health alarm.
+    val canaryFull = canaryN == canary.size
+    val canaryInBand = canaryFull &&
       canarySec >= CanaryBand._1 && canarySec <= CanaryBand._2
+    // signed distance to the band (0 inside): borderline ≠ spike
+    val canaryDist =
+      if (!canaryFull) 0.0
+      else if (canarySec < CanaryBand._1) canarySec - CanaryBand._1
+      else if (canarySec > CanaryBand._2) canarySec - CanaryBand._2
+      else 0.0
+    val canaryHealth =
+      if (canaryFull)
+        f""","canary_band":[${CanaryBand._1}%.1f,${CanaryBand._2}%.1f],""" +
+        f""""canary_in_band":$canaryInBand,"canary_dist":$canaryDist%.3f"""
+      else ""
     val health =
       f""""dirty_kb_start":$dirtyStartKb,"dirty_kb_run":$dirtyRunKb,""" +
-      f""""dirty_wait_sec":$dirtyWaitSec%.1f,"dirty_flag":$dirtyFlag,""" +
-      f""""canary_band":[${CanaryBand._1}%.1f,${CanaryBand._2}%.1f],""" +
-      f""""canary_in_band":$canaryInBand"""
+      f""""dirty_wait_sec":$dirtyWaitSec%.1f,"dirty_flag":$dirtyFlag""" +
+      canaryHealth
     val fullJson =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","canary_sec":$canarySec%.3f,"canary_n":$canaryN,$health,"queries":${
         jmap(results.map(r => (r._1, r._2)))
@@ -228,7 +247,10 @@ object Bench {
     // the line carries total + per-family normalized; the complete
     // per-query normalized map lives in BENCH_FULL.json (per-query on
     // the line would blow the stdout tail that rounds 3-8 hit)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","canary_sec":$canarySec%.3f,"canary_n":$canaryN,"dirty_flag":$dirtyFlag,"canary_in_band":$canaryInBand,"value_norm":${nrm(total)}%.1f,"nq":${
+    val lineBand = if (canaryFull)
+      f""""canary_in_band":$canaryInBand,"canary_dist":$canaryDist%.3f,"""
+    else ""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","canary_sec":$canarySec%.3f,"canary_n":$canaryN,"dirty_flag":$dirtyFlag,$lineBand"value_norm":${nrm(total)}%.1f,"nq":${
       results.size},"queries":${jmap(head)},"families":${jmap(fams)
       },"families_norm":${jmap2(fams.map { case (f, v) => f -> nrm(v) })
       },"failed":$failed,"full":"$outPath","sf":"$sfDir"}""")

@@ -50,6 +50,7 @@ object Profile {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val tag = sys.env.getOrElse("SPARK_GRAFT_PLAN_TAG", "before")
+    val planDir = "plans/" + sys.env.getOrElse("SPARK_GRAFT_PLAN_DIR", "r17")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -63,7 +64,7 @@ object Profile {
     spark.sparkContext.addSparkListener(acc)
     val names = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSeq)
       .getOrElse(args.toSeq)
-    val dir = new java.io.File(s"plans/r16")
+    val dir = new java.io.File(planDir)
     dir.mkdirs()
     // warmup (codegen/JIT) on the smallest sf, as Bench does
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
@@ -74,7 +75,7 @@ object Profile {
         System.err.println(s"[profile] $name warm FAILED: $t") }
       // plan dump from the warm run's frame (pre-execution AQE form)
       try {
-        val pw = new java.io.PrintWriter(s"plans/r16/${name}_$tag.txt", "UTF-8")
+        val pw = new java.io.PrintWriter(s"$planDir/${name}_$tag.txt", "UTF-8")
         try pw.println(fn(spark, sfDir).queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))
         finally pw.close()

@@ -38,8 +38,23 @@ object Graph {
     * construction use [[knnGraph]].
     */
   def knnGraphBrute(vectors: DataFrame, k: Int, idCol: String = "vec_id",
-                    vecCol: String = "embedding"): DataFrame =
-    symmetrize(Similarity.bruteForceKnn(vectors, vectors, k, idCol, vecCol))
+                    vecCol: String = "embedding"): DataFrame = {
+    // BLOCKED kernel when the schema allows it (r17, VERDICT r16 #3):
+    // row-identical output (SimilaritySpec holds blocked ≡ expression
+    // on fixture + tie/zero-norm adversaries), ~an order of magnitude
+    // less per-pair overhead, and only partitions×n×k candidate rows
+    // reach the top-k window instead of all n². Non-(long id,
+    // float-array vec) frames keep the expression path.
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
+    val blockedOk = vectors.schema(idCol).dataType == LongType &&
+      (vectors.schema(vecCol).dataType match {
+        case ArrayType(FloatType, _) => true
+        case _ => false
+      })
+    symmetrize(
+      if (blockedOk) Similarity.bruteForceKnnBlocked(vectors, vectors, k, idCol, vecCol)
+      else Similarity.bruteForceKnn(vectors, vectors, k, idCol, vecCol))
+  }
 
   /** ANN-backed kNN-graph construction over a PERSISTED IVF index
     * (r13, VERDICT r12 §2): every indexed vector is joined to its own

@@ -189,7 +189,13 @@ object Linkage {
       nLeft = nL, nRight = nR, passes = decisions,
       pairs = attachPayloads(left, right, leftId, rightId,
         candidateIdPairs(left, right, leftId, rightId, passes,
-          decisions.map(_.cap))))
+          decisions.map(_.cap),
+          // rows INTO the dedup exchange = the probe's own per-pass
+          // estimates (gated totals where a pass routes capped)
+          estPairs = passes.indices.map { i =>
+            val r = byPass(i)
+            if (decisions(i).regime == "exact") dbl(r, 1) else dbl(r, 2)
+          }.sum)))
   }
 
   /** The capped pass's in-plan keep gate: |L_b|·|R_b| ≤ cap, with the
@@ -210,9 +216,22 @@ object Linkage {
   private def candidateIdPairs(left: DataFrame, right: DataFrame,
                                leftId: String, rightId: String,
                                passes: Seq[(Column, Column)],
-                               caps: Seq[Long]): DataFrame = {
+                               caps: Seq[Long],
+                               estPairs: Double = -1.0): DataFrame = {
     val nShuffle = left.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt
+    // SIZE the pin from the dispatcher's own pair estimate (r17, VERDICT
+    // r16 #2 — the Graph ~rows-per-partition rule): the downstream
+    // FS scoring is ~µs per PAIR, so ~64k pairs keep a task at a few
+    // hundred ms; an UNCONDITIONAL session-width pin (r16) paid 32 task
+    // launches on pair frames thousands of times smaller than that
+    // (q_golden_record's fixture chain measured 2.2x slower at small
+    // scale, and FASTER at 8 cores than 32). Callers without an estimate
+    // (the forced exact/capped path — no probe ran) keep session width.
+    val nPart =
+      if (estPairs < 0) nShuffle
+      else math.max(1, math.min(nShuffle,
+        math.ceil(estPairs / 65536.0).toInt))
     passes.zip(caps).map { case ((lk, rk), cap) =>
       val l = left.select(col(leftId), lk.as("__bk"))
       val r = right.select(col(rightId), rk.as("__bk"))
@@ -242,7 +261,7 @@ object Linkage {
       // pairs now ship through the exchange instead of being partially
       // deduped map-side — a few bytes per duplicate, bounded by the
       // cross-pass overlap, irrelevant beside the scoring it spreads.
-      .repartition(nShuffle, col(leftId), col(rightId))
+      .repartition(nPart, col(leftId), col(rightId))
       .dropDuplicates(leftId, rightId)
   }
 

@@ -44,7 +44,18 @@ object Pipeline {
     */
   def fanOutScan(df: DataFrame, key: Column): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target, key)
+    // SCAN/PROJECTION inputs only (ADVICE r16): under AQE, `.rdd` on a
+    // plan that CONTAINS exchanges finalizes and executes the upstream
+    // query stages as driver-blocking jobs, and that work is not reused
+    // by the separately-planned repartition below. Guard: a plan with
+    // any exchange already has an AQE-sized width — rebalancing it is
+    // not this helper's job, so it no-ops instead of silently running
+    // the upstream twice. Exchange-free plans produce their RDD lazily
+    // (no job), so the split-count read below stays plan-time.
+    val hasExchange = df.queryExecution.sparkPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
+    if (hasExchange) df
+    else if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target, key)
     else df
   }
 

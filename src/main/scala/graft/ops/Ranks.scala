@@ -178,6 +178,60 @@ object Ranks {
     }.toMap
   }
 
+  /** Driver-side small-input regime (r17, VERDICT r16 #4): when the
+    * input has no more rows than the boundary SAMPLE would collect
+    * anyway (n ≤ 8·buckets — the `sampleRowsCounted` small-input branch
+    * already ships the whole ordCols projection to the driver), the
+    * whole frame fits the driver BY THE SAME BOUND. So instead of
+    * sampling boundaries, tagging buckets, running the partitioned
+    * window and collecting per-bucket offsets — two extra driver
+    * round-trips plus an exchange + a window in the consumer's plan,
+    * each a multi-10-ms job-floor hit that dominates sub-second rank
+    * passes — collect the frame ONCE, prefix-sum in Scala under the
+    * SAME internal-value comparator the boundary sort uses
+    * ([[graft.functions.RangeBucketId.Spec]] — bit-equal to Spark's asc
+    * NULLS FIRST order), and return a LocalRelation. Bit-identical:
+    * exact integer sums in the same total order, cum typed LongType as
+    * in the distributed form (window sum of int/long is LongType).
+    * Falls back (None) when a count column is non-integral or carries a
+    * null — the window's null-skipping semantics are not worth
+    * replicating for inputs no in-repo caller produces.
+    */
+  private def driverPrefixCounts(g: DataFrame, ordCols: Seq[String],
+                                 cntCols: Seq[String], n: Long,
+                                 k: Int): Option[DataFrame] = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    if (n > k || n > 65536) return None
+    val intish = cntCols.forall { c =>
+      val t = g.schema(c).dataType
+      t == LongType || t == IntegerType
+    }
+    if (!intish) return None
+    val rows = g.collect()
+    val cntIdx = cntCols.map(g.schema.fieldIndex).toArray
+    if (rows.exists(r => cntIdx.exists(r.isNullAt))) return None
+    val ordTypes = ordCols.map(c => g.schema(c).dataType).toArray
+    val ordIdx = ordCols.map(g.schema.fieldIndex)
+    val spec = new RangeBucketId.Spec(ordTypes, Array.empty)
+    val keys = RangeBucketId.toInternal(ordTypes,
+      rows.map(r => Row.fromSeq(ordIdx.map(r.get))))
+    val order = rows.indices.sortWith((a, b) => spec.compare(keys(a), keys(b)) < 0)
+    val acc = new Array[Long](cntCols.length)
+    val out = order.map { ri =>
+      val r = rows(ri)
+      val cums = cntIdx.indices.map { j =>
+        acc(j) += r.get(cntIdx(j)).asInstanceOf[Number].longValue
+        java.lang.Long.valueOf(acc(j))
+      }
+      Row.fromSeq(r.toSeq ++ cums)
+    }
+    val outSchema = StructType(g.schema.fields ++
+      cntCols.map(c => StructField(s"${c}_cum", LongType, nullable = true)))
+    Some(g.sparkSession.createDataFrame(
+      java.util.Arrays.asList(out: _*), outSchema))
+  }
+
   /** Adds an INCLUSIVE global running sum `<c>_cum` for each count column
     * to a per-VALUE aggregate frame (one row per distinct `valCol`).
     * Exclusive forms derive as `cum − c`; all sums are exact integers, so
@@ -196,7 +250,17 @@ object Ranks {
   def prefixCountsBy(g: DataFrame, ordCols: Seq[String], cntCols: Seq[String],
                      buckets: Int = 0, knownRows: Long = -1L): DataFrame = {
     val b = if (buckets > 0) buckets else defaultBuckets(g)
-    val (types, bnds, _) = boundariesCounted(g, ordCols, b, knownRows)
+    // small-input driver regime (r17): same sizing count as the sample
+    // pass would run, then ONE collect replaces the whole bucket
+    // machinery — see [[driverPrefixCounts]]
+    val k = math.max(b * 8, 256)
+    val n = if (knownRows >= 0) knownRows
+            else g.select(ordCols.map(col): _*).count()
+    driverPrefixCounts(g, ordCols, cntCols, n, k) match {
+      case Some(local) => return local
+      case None => ()
+    }
+    val (types, bnds, _) = boundariesCounted(g, ordCols, b, knownRows = n)
     val parted = g.withColumn("__b", bucketExpr(ordCols, types, bnds))
     val w = Window.partitionBy("__b").orderBy(ordCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -228,7 +292,41 @@ object Ranks {
                         buckets: Int = 0): (DataFrame, Long) = {
     val b = if (buckets > 0) buckets else defaultBuckets(df)
     val tagged = df.withColumn("__sv", sortCol).withColumn("__tv", tieCol)
-    val (types, bnds, n) = boundariesCounted(tagged, Seq("__sv", "__tv"), b)
+    // small-input driver regime (r17, VERDICT r16 #4): n ≤ the sample
+    // size means the boundary pass would collect every (sv, tv) anyway —
+    // collect the tagged frame once, rank driver-side under the same
+    // internal-value comparator, return a LocalRelation (no bucket
+    // exchange, no window, no offset job). Rank is exact position in
+    // the (sv asc, tv asc) total order — tieCol unique — so the result
+    // is bit-identical to the distributed form.
+    val k = math.max(b * 8, 256)
+    val n = tagged.count()
+    if (n <= k && n <= 65536) {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val rows = tagged.collect()
+      val svIdx = tagged.schema.fieldIndex("__sv")
+      val tvIdx = tagged.schema.fieldIndex("__tv")
+      val ordTypes = Array(tagged.schema.fields(svIdx).dataType,
+        tagged.schema.fields(tvIdx).dataType)
+      val spec = new RangeBucketId.Spec(ordTypes, Array.empty)
+      val keys = RangeBucketId.toInternal(ordTypes,
+        rows.map(r => Row(r.get(svIdx), r.get(tvIdx))))
+      val order = rows.indices.sortWith((a, c) => spec.compare(keys(a), keys(c)) < 0)
+      val keep = tagged.schema.fields.indices
+        .filterNot(i => i == svIdx || i == tvIdx)
+      var rk = 0L
+      val out = order.map { ri =>
+        rk += 1
+        Row.fromSeq(keep.map(rows(ri).get) :+ java.lang.Long.valueOf(rk))
+      }
+      val outSchema = StructType(keep.map(i => tagged.schema.fields(i)) :+
+        StructField(rankName, LongType, nullable = false))
+      return (df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(out: _*), outSchema), n)
+    }
+    val (types, bnds, _) = boundariesCounted(tagged, Seq("__sv", "__tv"), b,
+      knownRows = n)
     val parted = tagged.withColumn("__b",
       bucketExpr(Seq("__sv", "__tv"), types, bnds))
     val w = Window.partitionBy("__b").orderBy(col("__sv"), col("__tv"))

@@ -67,6 +67,115 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
   }
 
+  /** BLOCKED brute-force kNN (r17, VERDICT r16 #3): row-identical to
+    * [[bruteForceKnn]] for `long` ids + `array<float>` vectors, with the
+    * O(|corpus|·|queries|) scoring run as a tight JVM loop over a
+    * broadcast query block instead of a Catalyst broadcast-nested-loop
+    * join feeding a pair-scale window. Each corpus task keeps one
+    * bounded top-k buffer PER QUERY ordered by the final total order
+    * (cos6 desc, n_id asc), so only partitions×|queries|×k candidate
+    * rows ever reach the (unchanged) global window — the map-side
+    * group-limit the expression form cannot do.
+    *
+    * Bit-identity argument, piece by piece:
+    *  - dot: index-order `((double) a(i)) * ((double) b(i))` fold — the
+    *    FloatDotProduct codegen loop verbatim.
+    *  - norms: `sqrt(dot(v, v))` per row, hoisted — as in cosineHoisted.
+    *  - zero-norm guard: `if (den != 0) dot/den else 0.0` — same.
+    *  - round: Spark's Round(double, 6) is
+    *    `BigDecimal(d).setScale(6, HALF_UP).toDouble` over the decimal
+    *    text form, NaN/±Inf passed through — replicated verbatim
+    *    (SimilaritySpec asserts equality against the expression path on
+    *    fixture + adversarial vectors).
+    *  - per-partition top-k under a TOTAL order, unioned, re-ranked by
+    *    the same order = global top-k exactly (any global winner is a
+    *    partition winner). Ranks within k are preserved because the
+    *    comparator is identical and total (n_id unique).
+    * The queries frame collects to the driver — the same rows
+    * bruteForceKnn ships as a broadcast relation, so the size contract
+    * is unchanged.
+    */
+  def bruteForceKnnBlocked(corpus: DataFrame, queries: DataFrame, k: Int,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def dotD(a: Array[Float], b: Array[Float]): Double = {
+      val n = math.min(a.length, b.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def round6(x: Double): Double =
+      if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+      else scala.math.BigDecimal(x)
+        .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    val qRows = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .collect()
+    val qIds = qRows.map(_.getLong(0))
+    val qVecs = qRows.map(_.getSeq[Float](1).toArray)
+    val qNorms = qVecs.map(v => math.sqrt(dotD(v, v)))
+    val bc = spark.sparkContext.broadcast((qIds, qVecs, qNorms))
+    val part = spreadForScan(corpus)
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val (ids, vecs, norms) = bc.value
+        val nq = ids.length
+        // per-query sorted top-k buffers: arrays of (cos, id), kept in
+        // (cos desc, id asc) order — k is small (3-10), insertion wins
+        val bufC = Array.fill(nq)(new Array[Double](k))
+        val bufI = Array.fill(nq)(new Array[Long](k))
+        val bufN = new Array[Int](nq)
+        // candidate (c, id) is strictly better than slot (bc, bi)?
+        def beats(c: Double, id: Long, bc0: Double, bi: Long): Boolean =
+          c > bc0 || (c == bc0 && id < bi)
+        while (it.hasNext) {
+          val (nId, nVec) = it.next()
+          val nNorm = math.sqrt(dotD(nVec, nVec))
+          var qi = 0
+          while (qi < nq) {
+            if (ids(qi) != nId) {
+              val den = norms(qi) * nNorm
+              val raw = if (den != 0.0) dotD(vecs(qi), nVec) / den else 0.0
+              val n0 = bufN(qi)
+              val cs = bufC(qi); val is0 = bufI(qi)
+              // Rounding is the per-pair cost ceiling (decimal-string
+              // BigDecimal, ~100x the 64-wide dot product) — and the
+              // expression path pays it for EVERY pair. Here it is
+              // skipped whenever the RAW cosine provably cannot reach
+              // the k-th slot: round6 moves a value by < 1e-6 (5e-7
+              // half-step + representation slack), so
+              // raw < kth − 1e-6 ⇒ cos6 < kth ⇒ cannot beat or tie the
+              // k-th entry. Once the buffer warms up (first k corpus
+              // rows per query) almost every pair takes this branch,
+              // leaving the dot product as the true per-pair cost.
+              if (bufN(qi) < k || raw >= cs(k - 1) - 1e-6) {
+                val cos = round6(raw)
+                if (n0 < k || beats(cos, nId, cs(n0 - 1), is0(n0 - 1))) {
+                  // insertion sort from the tail
+                  var j = math.min(n0, k - 1)
+                  while (j > 0 && beats(cos, nId, cs(j - 1), is0(j - 1))) {
+                    cs(j) = cs(j - 1); is0(j) = is0(j - 1); j -= 1
+                  }
+                  cs(j) = cos; is0(j) = nId
+                  if (n0 < k) bufN(qi) = n0 + 1
+                }
+              }
+            }
+            qi += 1
+          }
+        }
+        (0 until nq).iterator.flatMap { qi =>
+          (0 until bufN(qi)).iterator.map(j =>
+            (ids(qi), bufI(qi)(j), bufC(qi)(j)))
+        }
+      }.toDF("q_id", "n_id", "cos")
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    part.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+  }
+
   /** Hard-negative mining for contrastive training data: each query's
     * top-k most similar vectors with a DIFFERENT label — the highest-
     * value negatives are the ones the embedding currently confuses.

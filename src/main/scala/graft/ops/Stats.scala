@@ -142,7 +142,10 @@ object Stats {
       .groupBy("x", "y").agg(count(lit(1)).as("cc"))
       // lazy (r16): the n aggregate is the materializing action
       .localCheckpoint(false) // consumers: n agg + two rank maps + final
-    val n = cells.agg(sum("cc")).collect()(0).getLong(0)
+    // null-guard (ADVICE r16): sum over an empty cell frame is NULL — a
+    // bare getLong NPEs where the old base.count() returned 0
+    val st0 = cells.agg(sum("cc")).collect()(0)
+    val n = if (st0.isNullAt(0)) 0L else st0.getLong(0)
     def rankMap(c: String): DataFrame = {
       // lazy: the prefix pass's sizing count materializes it
       val g = cells.groupBy(c).agg(sum("cc").as("cnt")).localCheckpoint(false)
@@ -1273,11 +1276,34 @@ object Stats {
     // Both self-join arms and the rank window reuse this ONE pinned
     // exchange (ClusteredDistribution(g) is satisfied), so no shuffle
     // is added; parallelism is still bounded by |groups|.
+    // SIZE-ADAPTIVE (r17, VERDICT r16 #2): the r16 pin was an
+    // unconditional session width — 32 task launches for a 3-row test
+    // frame. One groups-bounded probe on the checkpointed input yields
+    // the exact pair fan-out Σ T_g(T_g−1)/2: size the pin at ~250k
+    // pairs/task (the O(T²) kernel is ~sub-µs per pair), overshoot the
+    // group count 8× so distinct groups rarely hash-collide into one
+    // task, cap at session width. The probe costs one collect over the
+    // per-group counts — |groups|-bounded at any scale — and the
+    // checkpoint means the input aggregation still runs exactly once.
     val nShuffle = df.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt
-    val h = df.select(gCol.as("g"), tCol.cast("long").as("t"),
+    val h0 = df.select(gCol.as("g"), tCol.cast("long").as("t"),
       vCol.cast("long").as("v"))
-      .repartition(nShuffle, col("g"))
+      .localCheckpoint(false) // consumers: probe + both self-join arms
+    val gstats = h0.groupBy("g").agg(count(lit(1)).as("n")).collect()
+    val nGroups = gstats.length
+    val totalPairs = gstats.map { r =>
+      val n = r.getLong(1).toDouble; n * (n - 1) / 2
+    }.sum
+    // 4× overshoot on the work-part count: hashing g into exactly
+    // ceil(pairs/250k) buckets routinely collides two heavy groups onto
+    // one task (the §2.5 "synthetic keys with too few distinct values"
+    // failure); 4× spreads them while still letting a tiny input plan
+    // 1-4 tasks instead of 32.
+    val workParts = math.max(1L, math.ceil(totalPairs / 250000.0).toLong)
+    val nPart = math.max(1, math.min(math.min(nShuffle.toLong, 8L * nGroups),
+      4L * workParts).toInt)
+    val h = h0.repartition(nPart, col("g"))
     val p = h.as("a").join(h.as("b"),
         col("a.g") === col("b.g") && col("b.t") > col("a.t"))
       .select(col("a.g").as("g"), (col("b.v") - col("a.v")).as("dv"),

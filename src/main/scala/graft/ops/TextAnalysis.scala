@@ -617,21 +617,33 @@ object TextAnalysis {
     * ~2·window×tokens rows but collapses to vocabulary² keys before the
     * exchange.
     */
-  def skipGramPairs(df: DataFrame, textCol: String = "text",
-                    window: Int = 2): DataFrame = {
-    // bind the token array as a column attribute FIRST: a free
-    // subexpression inside a lambda body is re-evaluated per element
-    // (no CSE through lambdas), so element_at(split(...), i) inside the
-    // nested transform would re-split the document per (i, j) — cubic
-    // per-row work. Against the bound attribute each element_at is O(1).
-    // fanOutScan (r16, guide §2.5): the tokenize + windowed pair
-    // explode is CPU-heavy per document while the fixture corpus scans
-    // as a single parquet split — rebalance before the kernel (no-op
-    // once the input has real splits)
-    val toks = Pipeline.fanOutScan(df.select(col(textCol)),
-        xxhash64(col(textCol)))
+  /** The fanned-out tokenized corpus both skip-gram consumers read:
+    * fanOutScan keyed on the WHOLE ROW's hash (r17, ADVICE r16 — keying
+    * on the text alone sent every exact-duplicate document to one
+    * partition, re-serializing the kernel the rebalance exists to
+    * spread; with the id column in the key, duplicates spread), then
+    * ONE tokenize projection. Binding the token array as a column
+    * attribute FIRST matters: a free subexpression inside a lambda body
+    * is re-evaluated per element (no CSE through lambdas), so
+    * element_at(split(...), i) inside the nested transform would
+    * re-split the document per (i, j) — cubic per-row work.
+    */
+  private def fannedTokens(df: DataFrame, textCol: String): DataFrame =
+    // project BEFORE the exchange (guide §2.3): only the text and the
+    // 8-byte fan key ship; the other document columns never leave the
+    // scan. The key still hashes the WHOLE row so duplicates spread.
+    Pipeline.fanOutScan(
+      df.select(col(textCol), xxhash64(df.columns.map(col): _*).as("__fk")),
+      col("__fk"))
       .select(tokens(col(textCol)).as("__w"))
-      .filter(size(col("__w")) >= 2)
+
+  /** The windowed pair explode over a pre-tokenized `__w` frame — split
+    * out (r17) so collocationsTopK can share ONE tokenize pass between
+    * the pair and unigram scans.
+    */
+  private def skipGramPairsFromTokens(tokFrame: DataFrame,
+                                      window: Int): DataFrame = {
+    val toks = tokFrame.filter(size(col("__w")) >= 2)
     val w = col("__w")
     // for token index i (1-based), pair with each of the next `window`
     // tokens in both orientations — forward pairs (t_i, t_{i+d}) and
@@ -645,6 +657,10 @@ object TextAnalysis {
       .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
   }
 
+  def skipGramPairs(df: DataFrame, textCol: String = "text",
+                    window: Int = 2): DataFrame =
+    skipGramPairsFromTokens(fannedTokens(df, textCol), window)
+
   /** Collocation ranking by an ln-free PMI surrogate: for each skip-gram
     * pair, `score_fp = n_ab · T · 10^6 div (n_a · n_b)` where n_a/n_b are
     * corpus token occurrence counts and T the total token count — the
@@ -657,11 +673,18 @@ object TextAnalysis {
   def collocationsTopK(df: DataFrame, textCol: String = "text",
                        window: Int = 2, k: Int = 20,
                        minCount: Long = 5): DataFrame = {
-    val pairs = skipGramPairs(df, textCol, window).filter(col("n") >= minCount)
-    // same single-split rebalance as skipGramPairs for the unigram scan
-    val uni = Pipeline.fanOutScan(df.select(col(textCol)),
-        xxhash64(col(textCol)))
-      .select(explode(tokens(col(textCol))).as("tok"))
+    // ONE tokenize pass feeds BOTH the pair and unigram scans (r17,
+    // VERDICT r16 #7): the r16 shape ran fanOutScan + tokenize twice
+    // over the same corpus — tokenize is the dominant per-row kernel
+    // here, and the budget carried two extra exchanges for it. Lazy
+    // checkpoint: whichever side executes first materializes the token
+    // arrays once (corpus-sized MEMORY_AND_DISK blocks — the trade vs a
+    // second full tokenize scan; regex tokenize is CPU-heavy enough
+    // that materializing wins at every measured scale).
+    val toks = fannedTokens(df, textCol).localCheckpoint(false)
+    val pairs = skipGramPairsFromTokens(toks, window)
+      .filter(col("n") >= minCount)
+    val uni = toks.select(explode(col("__w")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
     val tot = uni.agg(sum("cnt").as("t"))
     // headroom: the product n·T·10^6 must stay under 2^63, i.e.

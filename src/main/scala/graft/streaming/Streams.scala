@@ -513,8 +513,21 @@ object Streams {
     // makes it legal.
     val compact = events.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
-      def md5hex(s: String): String =
-        md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      // lookup-table hex (r17): `"%02x".format` ran a java.util.Formatter
+      // per BYTE — 16 formatter instantiations per row in the one loop
+      // that touches every streamed row. Same lowercase hex, bit-identical.
+      val hexDigits = "0123456789abcdef".toCharArray
+      def md5hex(s: String): String = {
+        val d = md.digest(s.getBytes("UTF-8"))
+        val out = new Array[Char](d.length * 2)
+        var i = 0
+        while (i < d.length) {
+          out(i * 2) = hexDigits((d(i) >> 4) & 0xf)
+          out(i * 2 + 1) = hexDigits(d(i) & 0xf)
+          i += 1
+        }
+        new String(out)
+      }
       val heaps = scala.collection.mutable.HashMap
         .empty[String, scala.collection.mutable.PriorityQueue[(String, Double)]]
       it.foreach { r =>

@@ -3021,6 +3021,25 @@ class AdviceRegressionSpec extends AnyFunSuite {
     assert(kept == Set(200L))
   }
 
+  test("bruteForceKnnBlocked row-identical to the expression path") {
+    val rnd = new scala.util.Random(13)
+    def vec() = Array.fill(8)(rnd.nextFloat() * 2 - 1)
+    // adversaries: exact duplicate vectors (rounded-cos ties resolved by
+    // the n_id tie-break) and a zero-norm vector (the cos=0.0 guard)
+    val base = (0 until 80).map(i => (i.toLong, vec()))
+    val dups = (80 until 90).map(i => (i.toLong, base(i - 80)._2.clone()))
+    val zero = Seq((90L, Array.fill(8)(0f)))
+    val vecs = (base ++ dups ++ zero).toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows(Similarity.bruteForceKnnBlocked(vecs, vecs, 3)) ==
+      rows(Similarity.bruteForceKnn(vecs, vecs, 3)))
+    // asymmetric query subset + k larger than some partitions' rows
+    val q = vecs.filter($"vec_id" % 7 === 0)
+    assert(rows(Similarity.bruteForceKnnBlocked(vecs, q, 4)) ==
+      rows(Similarity.bruteForceKnn(vecs, q, 4)))
+  }
+
   test("multi-probe IVF probing every cell equals brute force") {
     val rnd = new scala.util.Random(11)
     def vec() = Array.fill(6)(rnd.nextFloat() * 2 - 1)

@@ -119,8 +119,23 @@ def main(sf_dir: str, out_dir: str) -> int:
             local[name] = {"rows_match": len(ha) == len(hb), "schema_match": True,
                            "hash_match": False, "err": "hash mismatch"}
     print(f"\n{n_pass} pass / {n_fail} fail")
-    # full runs only: a subset re-check must not masquerade as the gate
-    if len(local) >= len(oracle):
+    # Publishing the gate artifact is now EXPLICIT (r17): the r16 form
+    # auto-published whenever the checked set covered the run's own
+    # oracle_sql.json — but Verify writes a FILTERED oracle_sql.json on
+    # subset runs, so a subset re-check covered "its" oracle trivially
+    # and could still masquerade as the gate (the exact hole ADVICE r16
+    # flagged, one level up). The gate recipe is: run graft.Verify with
+    # NO query filter (full oracle_sql.json), then this script with
+    # --publish. Key coverage is still enforced on top — any oracle
+    # query missing from out_dir blocks publication loudly.
+    missing = sorted(set(oracle) - set(local))
+    if missing:
+        print(f"MISSING from out_dir ({len(missing)} oracle queries not "
+              f"checked): {missing[:10]}{'...' if len(missing) > 10 else ''}")
+    if "--publish" in sys.argv:
+        if missing:
+            print("NOT publishing CORRECTNESS_LOCAL.json: oracle queries missing")
+            return 2
         with open("CORRECTNESS_LOCAL.json", "w") as f:
             json.dump(local, f, indent=0, sort_keys=True)
         print(f"wrote CORRECTNESS_LOCAL.json ({len(local)} queries)")
